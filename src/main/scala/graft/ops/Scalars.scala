@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** Scalar-function families (string / date / math / array / JSON /
+  * conditional) plus batch time-bucketing and gap-sessionization over the
+  * events table (SURVEY.md §2.B). Everything is `functions._` built-ins so
+  * the whole projection stays inside whole-stage codegen.
+  */
+object Scalars {
+
+  /** String function family over part. */
+  def q40String(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_up"),
+      substring(col("p_name"), 1, 8).as("pfx"),
+      element_at(split(col("p_type"), " "), 1).as("type_first"),
+      regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+      length(col("p_name")).as("name_len"),
+      lpad(col("p_size").cast("string"), 5, "0").as("size_pad"),
+      regexp_replace(col("p_name"), " ", "_").as("name_us"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  val q40Sql: String =
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS name_up,
+      |  SUBSTRING(p_name, 1, 8) AS pfx,
+      |  SPLIT_PART(p_type, ' ', 1) AS type_first,
+      |  REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+      |  LENGTH(p_name) AS name_len,
+      |  LPAD(CAST(p_size AS VARCHAR), 5, '0') AS size_pad,
+      |  REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_us,
+      |  CONCAT_WS('|', p_brand, p_type) AS brand_type
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time function family over orders. */
+  def q41Date(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      quarter(col("o_orderdate")).as("q"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      // date-typed results are re-cast to naive timestamps: pandas/parquet
+      // round-trips DATE as python objects, which hash differently from
+      // DuckDB's datetime64 — timestamps compare exactly on both engines
+      date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("days_since"),
+      date_add(to_date(col("o_orderdate")), 90).cast("timestamp_ntz").as("plus90"),
+      last_day(to_date(col("o_orderdate"))).cast("timestamp_ntz").as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  val q41Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+      |  CAST(QUARTER(o_orderdate) AS INTEGER) AS q,
+      |  CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+      |  CAST(DAY(o_orderdate) AS INTEGER) AS dom,
+      |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+      |  CAST(CAST(o_orderdate AS DATE) + 90 AS TIMESTAMP) AS plus90,
+      |  CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Math function family (IEEE-exact ops; ln rounded to 6dp). */
+  def q42Math(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        round(log(col("l_quantity")), 6).as("qty_ln"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        signum(col("l_discount") - 0.05).as("disc_sign"),
+        ceil(col("l_extendedprice") / 1000.0).as("price_k_ceil"),
+        floor(col("l_extendedprice") / 1000.0).as("price_k_floor"),
+        (col("l_quantity").cast("long") % 7).as("qty_mod7"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q42Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS BIGINT) AS qty,
+      |  POW(l_quantity, 2) AS qty_sq,
+      |  SQRT(l_quantity) AS qty_sqrt,
+      |  ROUND(LN(l_quantity), 6) AS qty_ln,
+      |  ABS(l_discount - 0.05) AS disc_dev,
+      |  SIGN(l_discount - 0.05) AS disc_sign,
+      |  CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+      |  CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+      |  CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+      |FROM lineitem WHERE l_orderkey % 10 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Array/higher-order function family over embeddings: size, indexing,
+    * slice, and an `aggregate` fold for the L2 norm — the same HOF dot
+    * product the similarity ops use, all codegen-friendly. */
+  def q43Array(s: SparkSession, dir: String): DataFrame = {
+    val sq = transform(col("embedding"), x => x.cast("double") * x.cast("double"))
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("e1"),
+      round(sqrt(aggregate(sq, lit(0.0), (a, x) => a + x)), 6).as("l2norm"),
+      round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+        (a, x) => a + x.cast("double")), 6).as("head8_sum"),
+      array_max(col("embedding")).cast("double").as("emax"),
+      array_min(col("embedding")).cast("double").as("emin"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q43Sql: String =
+    """SELECT vec_id,
+      |  CAST(LEN(embedding) AS INTEGER) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS e1,
+      |  ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2norm,
+      |  ROUND(LIST_SUM(LIST_TRANSFORM(embedding[1:8],
+      |    x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+      |  CAST(LIST_MAX(embedding) AS DOUBLE) AS emax,
+      |  CAST(LIST_MIN(embedding) AS DOUBLE) AS emin
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** JSON extraction over events.props (string JSON column). */
+  def q44Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("val"))
+      .orderBy(col("k_bucket"))
+
+  val q44Sql: String =
+    s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) % 10 AS k_bucket,
+       |  COUNT(*) AS n, ${sqlSumMoney("value")} AS val
+       |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+
+  /** CASE WHEN conditional aggregation. */
+  def q45CaseWhen(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+        (sum(when(col("o_orderstatus") === "F", 1).otherwise(0)) * 1.0 / count(lit(1)))
+          .as("share_f"))
+      .orderBy(col("o_orderpriority"))
+
+  val q45Sql: String =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS share_f
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Batch tumbling time-bucket aggregation (the batch shape of the
+    * streaming q70; epoch-aligned 5-minute buckets). */
+  def q46TimeBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("val"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val q46Sql: String =
+    s"""WITH ${Tables.eventsOracleCte}
+       |SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+       |  COUNT(*) AS n, ${sqlSumMoney("value")} AS val
+       |FROM events_n GROUP BY win_start, event_type
+       |ORDER BY win_start, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap): lag → flag →
+    * running sum session id → per-session aggregate. One shuffle on
+    * user_id; the canonical scale-out sessionization plan. */
+  def q47Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val q47Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |flags AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |      OR ts > LAG(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+       |  FROM events_n
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM flags)
+       |SELECT user_id, sess_id, COUNT(*) AS n_events,
+       |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
+       |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_string_funcs" -> q40String _,
+    "q41_date_funcs"   -> q41Date _,
+    "q42_math_funcs"   -> q42Math _,
+    "q43_array_funcs"  -> q43Array _,
+    "q44_json_funcs"   -> q44Json _,
+    "q45_case_when"    -> q45CaseWhen _,
+    "q46_time_bucket"  -> q46TimeBucket _,
+    "q47_sessionize"   -> q47Sessionize _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_string_funcs" -> q40Sql,
+    "q41_date_funcs"   -> q41Sql,
+    "q42_math_funcs"   -> q42Sql,
+    "q43_array_funcs"  -> q43Sql,
+    "q44_json_funcs"   -> q44Sql,
+    "q45_case_when"    -> q45Sql,
+    "q46_time_bucket"  -> q46Sql,
+    "q47_sessionize"   -> q47Sql,
+  )
+}

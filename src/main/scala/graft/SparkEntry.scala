@@ -7,9 +7,13 @@ object SparkEntry {
     ops.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries
+    ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries ++
+      llm.Dedup.queries ++ llm.Similarity.queries ++
+      llm.TextAnalysis.queries ++ llm.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle
+    ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle ++
+      llm.Dedup.oracle ++ llm.Similarity.oracle ++
+      llm.TextAnalysis.oracle ++ llm.Multimodal.oracle
 }

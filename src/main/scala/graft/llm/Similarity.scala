@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embeddings table (`array<float>`, 64-dim).
+  *
+  * Two tiers, mirroring what a 100 TB corpus needs:
+  *   - q55: brute-force cosine top-k — the exactness baseline. The query
+  *     set is broadcast, so the candidate side streams map-only (a
+  *     BroadcastNestedLoopJoin whose build side is k rows — this is the
+  *     one place a "cross join" is correct, because one side is tiny).
+  *   - q56: sign-random-projection LSH buckets — the scale path. Vectors
+  *     hash to 16-bit buckets; only same-bucket pairs are scored, an
+  *     equi-join on the bucket key that shuffles O(n) rows, not O(n²).
+  */
+object Similarity {
+
+  /** Sequential double-precision fold: dot(a, b). Stays in Catalyst
+    * expressions (zip_with + aggregate), deterministic order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Brute-force cosine top-5 for 50 query vectors against the corpus.
+    * Similarities rounded to 6dp before ranking with an id tiebreak so
+    * the ordering is stable across engines. */
+  def q55CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val sims = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        (norm(col("qv")) * norm(col("cv"))), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val q55Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 50),
+      |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |sims AS (
+      |  SELECT qid, cid,
+      |    ROUND(list_dot_product(qv, cv) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6) AS sim
+      |  FROM q, c WHERE qid <> cid),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |  FROM sims)
+      |SELECT qid, cid, sim, CAST(rn AS INTEGER) AS rn FROM ranked
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** LSH-bucketed approximate NN: 16 sign-random-projection bits → bucket;
+    * two independent tables (different seeds) for recall; candidates =
+    * bucket collision in either table; exact cosine re-rank, top-3.
+    * The bucket join shuffles O(n · tables) rows — the 100 TB path.
+    * Approximate by construction → rows-only oracle. */
+  def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    // 6 bits → 64 buckets: sized so buckets hold a few dozen candidates
+    // at test scale; at corpus scale nBits grows with log2(n) to keep
+    // bucket occupancy constant.
+    val nBits = 6; val dim = 64
+    def planes(seed: Int): Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nBits, dim)(rnd.nextGaussian())
+    }
+    def bucket(v: Column, pl: Array[Array[Double]]): Column =
+      (0 until nBits).map { i =>
+        val plane = array(pl(i).map(lit): _*)
+        when(dot(v, plane) >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
+      }.reduce(_ bitwiseOR _)
+
+    val e = Tables.embeddings(s, dir)
+    val tables = Seq(planes(7), planes(13))
+    val hashed = e.select(col("vec_id"), col("embedding"),
+      explode(array(tables.zipWithIndex.map { case (pl, t) =>
+        struct(lit(t).as("t"), bucket(col("embedding"), pl).as("b"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+
+    val qs = hashed.filter(col("vec_id") < 50)
+      .select(col("t"), col("b"), col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cs = hashed.select(col("t"), col("b"), col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cands = qs.join(cs, Seq("t", "b"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        (norm(col("qv")) * norm(col("cv"))), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** IVF-style partitioned ANN: coarse-quantize every vector to its
+    * nearest of 8 fixed centroid vectors (vec_id 0..7 — a real system
+    * would k-means these; the assignment/probe plumbing is what matters),
+    * then probe the query's 2 nearest cells only. Cell assignment is a
+    * broadcast of 8 centroids + map-only argmin; the search is an
+    * equi-join on cell id. Rows-only oracle. */
+  def q57AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    // nearest cell per vector (and 2 nearest for queries)
+    val withDist = e.crossJoin(broadcast(cents))
+      .withColumn("d", round(dot(col("embedding"), col("cent")) /
+        (norm(col("embedding")) * norm(col("cent"))), 6))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))
+    val assigned = withDist.withColumn("rk", row_number().over(w))
+    val cells = assigned.filter(col("rk") === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("cent_id").as("cell"))
+    val probes = assigned.filter(col("vec_id") < 50 && col("rk") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cent_id").as("cell"))
+    val cands = probes.join(cells, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        (norm(col("qv")) * norm(col("cv"))), 6))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cands.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_cosine_topk" -> q55CosineTopK _,
+    "q56_ann_lsh"     -> q56AnnLsh _,
+    "q57_ann_ivf"     -> q57AnnIvf _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q55_cosine_topk" -> q55Sql,
+    // q56/q57 are approximate (LSH/IVF) → rows-only checks.
+  )
+}

@@ -1,0 +1,152 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for corpus curation: language-ID heuristic,
+  * quality scoring, token counting, and content fingerprinting. All four
+  * are map-only per-document expressions followed by (at most) one keyed
+  * aggregation — embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  private val stopRe = "\\b(the|a|of|and|to|in)\\b"
+
+  /** Marker-word language-ID: per-language stopword profiles scored with
+    * regexp_count; argmax with a fixed precedence order (deterministic,
+    * and SQL-expressible for the oracle). */
+  def q58LangId(s: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val scoreEn = regexp_count(t, lit("\\b(the|a|of|and)\\b"))
+    val scoreDe = regexp_count(t, lit("\\b(der|die|das|und|ist)\\b"))
+    val scoreEs = regexp_count(t, lit("\\b(el|la|los|las|es)\\b"))
+    val scoreFr = regexp_count(t, lit("\\b(le|les|est|et)\\b"))
+    val scoreZh = regexp_count(col("text"), lit("[\\u4e00-\\u9fff]"))
+    val best = greatest(scoreEn, scoreDe, scoreEs, scoreFr, scoreZh)
+    val pred = when(best === 0, "und")
+      .when(scoreEn === best, "en").when(scoreDe === best, "de")
+      .when(scoreEs === best, "es").when(scoreFr === best, "fr")
+      .otherwise("zh")
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), pred.as("pred_lang"),
+      (pred === col("lang")).as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b')) AS s_en,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+      |    len(regexp_extract_all(lower(text), '\b(el|la|los|las|es)\b')) AS s_es,
+      |    len(regexp_extract_all(lower(text), '\b(le|les|est|et)\b')) AS s_fr,
+      |    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+      |  FROM documents),
+      |pred AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN GREATEST(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |         WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+      |         WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+      |         WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+      |         WHEN s_fr = GREATEST(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+      |         ELSE 'zh' END AS pred_lang
+      |  FROM scored)
+      |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match
+      |FROM pred ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, word stats, stopword/punctuation ratios →
+    * composite score. Pure per-row arithmetic (identical double ops on
+    * both engines; round(…, 6) for the composite). */
+  def q59Quality(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(trim(col("text")), "\\s+"))
+    val nStop = regexp_count(lower(col("text")), lit(stopRe))
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
+    val avgWordLen = length(regexp_replace(col("text"), "\\s+", "")) * 1.0 / nWords
+    val stopRatio = nStop * 1.0 / nWords
+    val punctRatio = nPunct * 1.0 / greatest(length(col("text")), lit(1))
+    val score = round(least(nWords / 100.0, lit(1.0)) * 0.4
+      + least(stopRatio * 5.0, lit(1.0)) * 0.3
+      + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3, 6)
+    Tables.documents(s, dir).select(
+      col("doc_id"), nWords.as("n_words"),
+      round(avgWordLen, 6).as("avg_word_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      score.as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_words,
+      |  ROUND(LENGTH(regexp_replace(text, '\s+', '', 'g')) * 1.0
+      |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_word_len,
+      |  ROUND(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) * 1.0
+      |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stop_ratio,
+      |  ROUND(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+      |    / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+      |  ROUND(LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.4
+      |    + LEAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) * 1.0
+      |        / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.3
+      |    + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+      |        / GREATEST(LENGTH(text), 1) * 10.0, 1.0)) * 0.3, 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token counting per source: whitespace tokens + a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single other), aggregated. */
+  def q60TokenCount(s: SparkSession, dir: String): DataFrame = {
+    val wsTokens = size(split(trim(col("text")), "\\s+"))
+    val reTokens = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    Tables.documents(s, dir)
+      .select(col("source"), wsTokens.as("ws"), reTokens.as("re"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("tot_ws_tokens"),
+        sum(col("re")).as("tot_re_tokens"),
+        round(sum(col("re")) * 1.0 / count(lit(1)), 6).as("avg_re_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q60Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS tot_ws_tokens,
+      |  SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS tot_re_tokens,
+      |  ROUND(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) * 1.0
+      |    / COUNT(*), 6) AS avg_re_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Document fingerprinting: (a) a polynomial rolling hash over the
+    * character stream (mod 1e9+7 — fits exactly in BIGINT on both
+    * engines), (b) a winnowing-style min-shingle-hash. Both map-only. */
+  def q61Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val codes = transform(split(col("text"), ""), c => ascii(c).cast("long"))
+    val poly = aggregate(codes, lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
+    val words = split(trim(col("text")), "\\s+")
+    val shingles = transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
+      i => xxhash64(concat_ws(" ",
+        element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
+    Tables.documents(s, dir).select(
+      col("doc_id"), poly.as("poly_fp"), array_min(shingles).as("min_shingle_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // poly_fp is oracle-checkable (same fold in DuckDB list_reduce);
+  // min_shingle_fp uses xxhash64 (engine-specific) → split columns would
+  // be needed; keep rows-only to avoid a partial-column oracle.
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_lang_id"     -> q58LangId _,
+    "q59_quality"     -> q59Quality _,
+    "q60_token_count" -> q60TokenCount _,
+    "q61_fingerprint" -> q61Fingerprint _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q58_lang_id"     -> q58Sql,
+    "q59_quality"     -> q59Sql,
+    "q60_token_count" -> q60Sql,
+    // q61: xxhash64-based fingerprint is engine-specific → rows-only.
+  )
+}

@@ -1,0 +1,303 @@
+package graft.catalog
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.commit._
+import graft.meta._
+
+/** Spark DSv2 catalog with the semantics of the reference Iceberg REST
+  * catalog server (all 15 operations of SURVEY.md §2.A), re-expressed on
+  * `TableCatalog with SupportsNamespaces` and backed by [[MetadataStore]]
+  * (versioned JSON metadata + CAS commits) instead of an HTTP service.
+  *
+  * Register with:
+  * {{{
+  *   spark.sql.catalog.graft          = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *   spark.sql.catalog.graft.defaults.<k>  = v   // like GET /v1/config defaults
+  *   spark.sql.catalog.graft.overrides.<k> = v   // like GET /v1/config overrides
+  * }}}
+  *
+  * Catalog ops are driver-only (the reference server is a single process;
+  * `/root/reference/main.go:111-121`); only data-plane scans/writes fan
+  * out to executors.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var store: MetadataStore = _
+  private var defaults: Map[String, String] = Map.empty
+  private var overrides: Map[String, String] = Map.empty
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(
+      sys.props("java.io.tmpdir") + s"/graft-warehouse-$name")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh))
+    store = new MetadataStore(wh)
+    val all = options.asScala
+    defaults = all.collect { case (k, v) if k.startsWith("defaults.") =>
+      k.stripPrefix("defaults.") -> v }.toMap
+    overrides = all.collect { case (k, v) if k.startsWith("overrides.") =>
+      k.stripPrefix("overrides.") -> v }.toMap
+  }
+
+  override def name(): String = catalogName
+
+  /** GET /v1/config equivalent (`tables.go:38-46`): client properties are
+    * merged defaults → client → overrides. */
+  def config(clientProps: Map[String, String] = Map.empty): Map[String, String] =
+    defaults ++ clientProps ++ overrides
+
+  def metadataStore: MetadataStore = store
+
+  // ---- namespaces (ops 2-7 of §2.A) ------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    store.listNamespaces(Nil).map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    store.listNamespaces(namespace.toSeq).map(_.toArray).toArray
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    store.namespaceExists(namespace.toSeq)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!store.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    store.loadNamespace(namespace.toSeq).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (store.namespaceExists(namespace.toSeq))
+      throw new NamespaceAlreadyExistsException(namespace)
+    // implicit parents are created as real namespaces (multi-level, like
+    // the reference's \x1F-joined levels, models.go:10)
+    namespace.toSeq.inits.toList.reverse.filter(_.nonEmpty).foreach { prefix =>
+      if (!store.namespaceExists(prefix))
+        store.createNamespace(prefix,
+          if (prefix == namespace.toSeq) metadata.asScala.toMap else Map.empty)
+    }
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit = {
+    val removals = changes.collect {
+      case r: NamespaceChange.RemoveProperty => r.property }
+    val updates = changes.collect {
+      case s: NamespaceChange.SetProperty => s.property -> s.value }.toMap
+    updateNamespaceProperties(namespace.toSeq, removals, updates)
+  }
+
+  /** POST /…/properties semantics (`namespaces.go:146-187`): a key in both
+    * removals and updates is a 422 (UnprocessableEntity, `errors.go:45-49`);
+    * returns the (updated, removed, missing) summary. */
+  def updateNamespaceProperties(ns: Seq[String], removals: Seq[String],
+      updates: Map[String, String]): (Seq[String], Seq[String], Seq[String]) = {
+    val overlap = removals.toSet.intersect(updates.keySet)
+    if (overlap.nonEmpty)
+      throw new IllegalArgumentException(
+        s"properties in both removals and updates: ${overlap.toSeq.sorted.mkString(",")}")
+    if (!store.namespaceExists(ns)) throw new NoSuchNamespaceException(ns.toArray)
+    val current = store.loadNamespace(ns)
+    val missing = removals.filterNot(current.contains)
+    val removed = removals.filter(current.contains)
+    store.setNamespaceProperties(ns, current -- removals ++ updates)
+    (updates.keys.toSeq.sorted, removed.sorted, missing.sorted)
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = namespace.toSeq
+    if (!store.namespaceExists(ns)) throw new NoSuchNamespaceException(namespace)
+    if (cascade) {
+      store.listTables(ns).foreach(t => store.dropTable(ns, t))
+      store.listNamespaces(ns).foreach(c => dropNamespace(c.toArray, cascade = true))
+    }
+    try store.dropNamespace(ns)
+    catch { case _: IllegalStateException =>
+      // non-cascading drop of a non-empty namespace: 409 in the reference
+      // (`namespaces.go:131-136`)
+      throw new NonEmptyNamespaceException(namespace)
+    }
+  }
+
+  // ---- tables (ops 8-14 of §2.A) ---------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!store.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    store.listTables(namespace.toSeq)
+      .map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    store.tableExists(ident.namespace.toSeq, ident.name)
+
+  override def loadTable(ident: Identifier): Table = {
+    val ns = ident.namespace.toSeq
+    val (m, v) = store.load(ns, ident.name)
+    new GraftTable(fullName(ident), store, ns, ident.name, m, v,
+      config(m.properties))
+  }
+
+  /** Time travel: `VERSION AS OF n` loads metadata version n and scans
+    * that snapshot's file list. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ns = ident.namespace.toSeq
+    val v = version.toInt
+    val m = store.loadVersion(ns, ident.name, v)
+    new GraftTable(fullName(ident), store, ns, ident.name, m, v,
+      config(m.properties), frozen = true)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val ns = ident.namespace.toSeq
+    if (!store.namespaceExists(ns)) throw new NoSuchNamespaceException(ident.namespace)
+    if (store.tableExists(ns, ident.name)) throw new TableAlreadyExistsException(ident)
+    val schemaDef = SchemaBridge.fromSpark(schema)
+    val byName = schemaDef.fields.map(f => f.name -> f.id).toMap
+    val specFields = partitions.toList.map(t => TransformBridge.toField(t, byName))
+    val props = properties.asScala.toMap - "location" - "provider" - "owner"
+    val meta = TableMetadata.empty(
+      uuid = java.util.UUID.randomUUID().toString,
+      location = store.dataDir(ns, ident.name),
+      schema = schemaDef,
+      spec = PartitionSpecDef(0, specFields),
+      order = SortOrderDef(0, Nil),
+      props = defaults ++ props ++ overrides)
+    store.createTable(ns, ident.name, meta)
+    loadTable(ident)
+  }
+
+  /** UpdateTable/commit (`tables.go:150-227`): Spark's ALTER TABLE changes
+    * are bridged onto the Requirement/MetadataUpdate algebra with an
+    * AssertCurrentSchemaId guard, then CAS-committed. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ns = ident.namespace.toSeq
+    val (base, _) = store.load(ns, ident.name)
+
+    var schemaUpdated = false
+    var fields = base.currentSchema.fields
+    var nextColId = base.lastColumnId + 1
+    val updates = scala.collection.mutable.ArrayBuffer.empty[MetadataUpdate]
+
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested add not supported")
+        fields = fields :+ FieldDef(nextColId, a.fieldNames.head,
+          SchemaBridge.formatType(a.dataType), required = !a.isNullable)
+        nextColId += 1; schemaUpdated = true
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested delete not supported")
+        fields = fields.filterNot(_.name == d.fieldNames.head); schemaUpdated = true
+      case r: TableChange.RenameColumn =>
+        fields = fields.map(f =>
+          if (f.name == r.fieldNames.head) f.copy(name = r.newName) else f)
+        schemaUpdated = true
+      case u: TableChange.UpdateColumnType =>
+        fields = fields.map(f =>
+          if (f.name == u.fieldNames.head)
+            f.copy(`type` = SchemaBridge.formatType(u.newDataType)) else f)
+        schemaUpdated = true
+      case n: TableChange.UpdateColumnNullability =>
+        fields = fields.map(f =>
+          if (f.name == n.fieldNames.head) f.copy(required = !n.nullable) else f)
+        schemaUpdated = true
+      case p: TableChange.SetProperty =>
+        updates += MetadataUpdate.SetProperties(Map(p.property -> p.value))
+      case p: TableChange.RemoveProperty =>
+        updates += MetadataUpdate.RemoveProperties(Seq(p.property))
+      case other =>
+        throw new UnsupportedOperationException(s"table change $other")
+    }
+    if (schemaUpdated) {
+      val newId = base.schemas.map(_.schemaId).max + 1
+      updates.prepend(MetadataUpdate.SetCurrentSchema(-1))
+      updates.prepend(MetadataUpdate.AddSchema(SchemaDef(newId, fields)))
+    }
+    commit(ident,
+      Seq(Requirement.AssertCurrentSchemaId(base.currentSchemaId)),
+      updates.toSeq)
+    loadTable(ident)
+  }
+
+  /** The REST-shaped commit entry point (requirements + updates), shared
+    * by alterTable, the write path, and tests. */
+  def commit(ident: Identifier, requirements: Seq[Requirement],
+             updates: Seq[MetadataUpdate]): TableMetadata =
+    new Committer(store).commit(ident.namespace.toSeq, ident.name,
+      requirements, updates)
+
+  override def dropTable(ident: Identifier): Boolean =
+    store.dropTable(ident.namespace.toSeq, ident.name)
+
+  // purgeTable: TableCatalog's default throws UnsupportedOperationException,
+  // matching the reference's purge → NotImplemented (tables.go:288-295).
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    try store.renameTable(oldIdent.namespace.toSeq, oldIdent.name,
+      newIdent.namespace.toSeq, newIdent.name)
+    catch { case e: IllegalStateException =>
+      throw new TableAlreadyExistsException(newIdent)
+    }
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+}
+
+/** Transform ↔ PartitionFieldDef bridge (hidden-partitioning vocabulary). */
+object TransformBridge {
+  def toField(t: Transform, idByName: Map[String, Int]): PartitionFieldDef = {
+    def ref: String = t.references().head.fieldNames().mkString(".")
+    def id: Int = idByName.getOrElse(ref,
+      throw new IllegalArgumentException(s"unknown partition column $ref"))
+    t.name() match {
+      case "identity" => PartitionFieldDef(id, "identity", ref)
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value().toString.toInt }.get
+        PartitionFieldDef(id, s"bucket[$n]", s"${ref}_bucket")
+      case "years"  => PartitionFieldDef(id, "year", s"${ref}_year")
+      case "months" => PartitionFieldDef(id, "month", s"${ref}_month")
+      case "days"   => PartitionFieldDef(id, "day", s"${ref}_day")
+      case "hours"  => PartitionFieldDef(id, "hour", s"${ref}_hour")
+      case "truncate" =>
+        val n = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value().toString.toInt }.get
+        PartitionFieldDef(id, s"truncate[$n]", s"${ref}_trunc")
+      case other => throw new IllegalArgumentException(s"transform $other")
+    }
+  }
+
+  def toTransform(f: PartitionFieldDef, nameById: Map[Int, String]): Transform = {
+    val col = nameById.getOrElse(f.sourceId, f.name)
+    f.transform match {
+      case "identity" => Expressions.identity(col)
+      case "year" => Expressions.years(col)
+      case "month" => Expressions.months(col)
+      case "day" => Expressions.days(col)
+      case "hour" => Expressions.hours(col)
+      case b if b.startsWith("bucket[") =>
+        Expressions.bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt, col)
+      case tr if tr.startsWith("truncate[") =>
+        Expressions.apply("truncate",
+          Expressions.literal(tr.stripPrefix("truncate[").stripSuffix("]").toInt),
+          Expressions.column(col))
+      case other => throw new IllegalArgumentException(s"transform $other")
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.catalog
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.commit._
+import graft.meta._
+
+/** DSv2 table over the graft metadata store.
+  *
+  * Reads: delegate to Spark's ParquetTable over the current snapshot's
+  * file list — vectorized scan, filter pushdown, column pruning all come
+  * from the built-in source (the SURVEY §4 "stay on the Catalyst fast
+  * path" decision). Empty tables scan an empty path list with the
+  * declared schema.
+  *
+  * Writes: a V1Write fallback writes parquet into a fresh
+  * `data/commit-<uuid>/` directory, then CAS-commits an AddSnapshot whose
+  * file list is (previous ∪ new) for append or (new) for truncate —
+  * giving atomic, versioned, time-travelable appends (the reference's
+  * commit endpoint, `tables.go:192`, applied to data instead of schema).
+  */
+class GraftTable(tableName: String, store: MetadataStore,
+                 ns: Seq[String], table: String,
+                 meta: TableMetadata, version: Int,
+                 mergedProps: Map[String, String],
+                 frozen: Boolean = false)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = SchemaBridge.toSpark(meta.currentSchema)
+
+  override def partitioning(): Array[Transform] = {
+    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
+    meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
+      .map(f => TransformBridge.toTransform(f, nameById)).toArray
+  }
+
+  override def properties(): util.Map[String, String] = {
+    val extra = Map(
+      "format" -> "parquet",
+      "metadata-location" -> store.metadataLocation(ns, table, version),
+      "current-snapshot-id" -> meta.currentSnapshotId.map(_.toString).getOrElse("none"))
+    (mergedProps ++ extra).asJava
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  private def currentFiles: Seq[String] =
+    meta.currentSnapshot.map(_.files).getOrElse(Nil)
+      .map(rel => store.dataDir(ns, table) + "/" + rel)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    ParquetTable(tableName, spark, options, currentFiles,
+      Some(schema()), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (frozen) throw new UnsupportedOperationException(
+      "cannot write to a time-travel snapshot")
+    new GraftWriteBuilder(store, ns, table)
+  }
+}
+
+private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: String)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit = {
+          val commitId = java.util.UUID.randomUUID().toString
+          val relDir = s"commit-$commitId"
+          val outDir = store.dataDir(ns, table) + "/" + relDir
+          data.write.mode(SaveMode.ErrorIfExists).parquet(outDir)
+          val newFiles = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+            .iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(f => f.endsWith(".parquet") || f.endsWith(".snappy.parquet"))
+            .map(f => s"$relDir/$f").toList
+          val (base, _) = store.load(ns, table)
+          val prev = if (overwrite) Nil
+            else base.currentSnapshot.map(_.files).getOrElse(Nil)
+          val snap = SnapshotDef(
+            snapshotId = base.lastSequenceNumber + 1,
+            timestampMs = System.currentTimeMillis(),
+            operation = if (overwrite) "overwrite" else "append",
+            files = prev ++ newFiles,
+            summary = Map("added-files" -> newFiles.size.toString))
+          new Committer(store).commit(ns, table,
+            Seq(Requirement.AssertCurrentSnapshotId(base.currentSnapshotId)),
+            Seq(MetadataUpdate.AddSnapshot(snap)))
+        }
+      }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.commit
+
+import graft.meta._
+
+/** Optimistic-commit algebra: requirements assert on freshly-loaded state,
+  * updates are pure metadata deltas, and the committer retries the whole
+  * check-then-apply loop on CAS loss — the semantics of the reference's
+  * UpdateTable endpoint (`/root/reference/api/handlers/tables.go:150-227`,
+  * requirements/updates DTO at `models.go:78-82`, e2e exercise at
+  * `test/server_test.go:210-225`).
+  */
+sealed trait Requirement {
+  /** @return None if satisfied, Some(reason) otherwise. */
+  def check(m: TableMetadata): Option[String]
+}
+object Requirement {
+  case object AssertCreate extends Requirement {
+    def check(m: TableMetadata): Option[String] =
+      Some("table already exists") // checked pre-load; loaded ⇒ exists
+  }
+  final case class AssertTableUuid(uuid: String) extends Requirement {
+    def check(m: TableMetadata): Option[String] =
+      if (m.tableUuid == uuid) None
+      else Some(s"uuid changed: expected $uuid, found ${m.tableUuid}")
+  }
+  final case class AssertCurrentSchemaId(id: Int) extends Requirement {
+    def check(m: TableMetadata): Option[String] =
+      if (m.currentSchemaId == id) None
+      else Some(s"current schema changed: expected $id, found ${m.currentSchemaId}")
+  }
+  final case class AssertDefaultSpecId(id: Int) extends Requirement {
+    def check(m: TableMetadata): Option[String] =
+      if (m.defaultSpecId == id) None
+      else Some(s"default spec changed: expected $id, found ${m.defaultSpecId}")
+  }
+  final case class AssertCurrentSnapshotId(id: Option[Long]) extends Requirement {
+    def check(m: TableMetadata): Option[String] =
+      if (m.currentSnapshotId == id) None
+      else Some(s"snapshot changed: expected $id, found ${m.currentSnapshotId}")
+  }
+}
+
+/** Pure metadata delta; `apply` is total given a valid base (ordering
+  * matters — AddSchema must precede the SetCurrentSchema that points at
+  * it, mirroring `server_test.go:216-220`). */
+sealed trait MetadataUpdate { def apply(m: TableMetadata): TableMetadata }
+object MetadataUpdate {
+  final case class AddSchema(schema: SchemaDef) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      require(!m.schemas.exists(_.schemaId == schema.schemaId),
+        s"schema id ${schema.schemaId} already present")
+      m.copy(schemas = m.schemas :+ schema,
+        lastColumnId = math.max(m.lastColumnId,
+          schema.fields.map(_.id).maxOption.getOrElse(0)))
+    }
+  }
+  final case class SetCurrentSchema(schemaId: Int) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      val id = if (schemaId == -1) m.schemas.map(_.schemaId).max else schemaId
+      require(m.schemas.exists(_.schemaId == id), s"no schema with id $id")
+      m.copy(currentSchemaId = id)
+    }
+  }
+  final case class SetProperties(props: Map[String, String]) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata =
+      m.copy(properties = m.properties ++ props)
+  }
+  final case class RemoveProperties(keys: Seq[String]) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata =
+      m.copy(properties = m.properties -- keys)
+  }
+  final case class SetLocation(location: String) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = m.copy(location = location)
+  }
+  final case class AddSnapshot(snapshot: SnapshotDef) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata =
+      m.copy(snapshots = m.snapshots :+ snapshot,
+        currentSnapshotId = Some(snapshot.snapshotId),
+        lastSequenceNumber = m.lastSequenceNumber + 1)
+  }
+  final case class AddPartitionSpec(spec: PartitionSpecDef) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata =
+      m.copy(specs = m.specs :+ spec, defaultSpecId = spec.specId)
+  }
+}
+
+final class CommitFailedException(msg: String) extends RuntimeException(msg)
+
+/** Validate-then-CAS committer with bounded retry. Each attempt re-loads
+  * the current metadata, re-checks every requirement against it, applies
+  * the updates in order, and attempts the single-winner version write.
+  * Losing the race retries from the fresh state; a failed requirement is
+  * terminal (the reference surfaces it as a 409/422-class error). */
+final class Committer(store: MetadataStore, maxRetries: Int = 100) {
+
+  def commit(ns: Seq[String], table: String,
+             requirements: Seq[Requirement],
+             updates: Seq[MetadataUpdate]): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val (base, version) = store.load(ns, table)
+      requirements.foreach { r =>
+        r.check(base).foreach(reason =>
+          throw new CommitFailedException(s"requirement failed: $reason"))
+      }
+      val next = updates.foldLeft(base)((m, u) => u.apply(m))
+      if (store.commit(ns, table, version, next)) return next
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new CommitFailedException(
+          s"lost CAS race $maxRetries times on ${(ns :+ table).mkString(".")}")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.meta
+
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** Versioned table-metadata model, the Spark-native re-expression of the
+  * metadata document the reference serves (reference: the `LoadTableResponse
+  * {metadata-location, metadata, config}` triple, `/root/reference/api/
+  * handlers/models.go:72-76`, and the schema/spec/sort-order options bound
+  * at `/root/reference/api/handlers/tables.go:98-110`).
+  *
+  * One immutable JSON document per version; all table state — versioned
+  * schemas with stable field ids, partition spec (hidden-partition
+  * transforms), sort order, properties, snapshots — lives here. Commits
+  * never mutate: they write version N+1 (see [[MetadataStore]]).
+  */
+final case class FieldDef(id: Int, name: String, `type`: String, required: Boolean)
+
+final case class SchemaDef(schemaId: Int, fields: List[FieldDef])
+
+/** (sourceFieldId, transform, name) — transform ∈ identity | bucket[N] |
+  * truncate[N] | year | month | day | hour (the hidden-partitioning
+  * vocabulary the reference accepts via its partition-spec DTO). */
+final case class PartitionFieldDef(sourceId: Int, transform: String, name: String)
+final case class PartitionSpecDef(specId: Int, fields: List[PartitionFieldDef])
+
+final case class SortFieldDef(sourceId: Int, direction: String, nullOrder: String)
+final case class SortOrderDef(orderId: Int, fields: List[SortFieldDef])
+
+/** A committed data version: the files visible at this snapshot. */
+final case class SnapshotDef(snapshotId: Long, timestampMs: Long,
+                             operation: String, files: List[String],
+                             summary: Map[String, String])
+
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastColumnId: Int,
+    currentSchemaId: Int,
+    schemas: List[SchemaDef],
+    defaultSpecId: Int,
+    specs: List[PartitionSpecDef],
+    defaultSortOrderId: Int,
+    sortOrders: List[SortOrderDef],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: List[SnapshotDef],
+    lastSequenceNumber: Long) {
+
+  def currentSchema: SchemaDef =
+    schemas.find(_.schemaId == currentSchemaId).getOrElse(
+      throw new IllegalStateException(s"current schema $currentSchemaId missing"))
+
+  def currentSnapshot: Option[SnapshotDef] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+}
+
+object TableMetadata {
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  def toJson(m: TableMetadata): String = Serialization.writePretty(m)
+  def fromJson(s: String): TableMetadata = Serialization.read[TableMetadata](s)
+
+  def empty(uuid: String, location: String, schema: SchemaDef,
+            spec: PartitionSpecDef, order: SortOrderDef,
+            props: Map[String, String]): TableMetadata =
+    TableMetadata(
+      formatVersion = 1, tableUuid = uuid, location = location,
+      lastColumnId = schema.fields.map(_.id).maxOption.getOrElse(0),
+      currentSchemaId = schema.schemaId, schemas = List(schema),
+      defaultSpecId = spec.specId, specs = List(spec),
+      defaultSortOrderId = order.orderId, sortOrders = List(order),
+      properties = props, currentSnapshotId = None, snapshots = Nil,
+      lastSequenceNumber = 0L)
+}
+
+/** Spark StructType ↔ metadata schema bridge. Field ids are carried in
+  * each StructField's metadata under `graft.field-id` so renames preserve
+  * column identity (reference keeps ids in the Iceberg schema JSON;
+  * `/root/reference/test/server_test.go:155-160`). */
+object SchemaBridge {
+  import org.apache.spark.sql.types._
+
+  val FieldIdKey = "graft.field-id"
+
+  def toSpark(s: SchemaDef): StructType =
+    StructType(s.fields.map { f =>
+      StructField(f.name, parseType(f.`type`), nullable = !f.required,
+        new MetadataBuilder().putLong(FieldIdKey, f.id.toLong).build())
+    })
+
+  def fromSpark(st: StructType, firstId: Int = 1): SchemaDef = {
+    var next = firstId
+    val fields = st.fields.toList.map { f =>
+      val id = if (f.metadata.contains(FieldIdKey))
+        f.metadata.getLong(FieldIdKey).toInt
+      else { val v = next; next += 1; v }
+      next = math.max(next, id + 1)
+      FieldDef(id, f.name, formatType(f.dataType), required = !f.nullable)
+    }
+    SchemaDef(0, fields)
+  }
+
+  def parseType(t: String): DataType = t match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "date" => DateType
+    case "timestamp" => TimestampNTZType
+    case "timestamptz" => TimestampType
+    case "string" => StringType
+    case "uuid" => StringType
+    case "binary" => BinaryType
+    case dec if dec.startsWith("decimal") =>
+      val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")").split(",")
+      DecimalType(p.trim.toInt, s.trim.toInt)
+    case arr if arr.startsWith("list<") =>
+      ArrayType(parseType(arr.stripPrefix("list<").stripSuffix(">")))
+    case other => DataType.fromDDL(other)
+  }
+
+  def formatType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case ArrayType(e, _) => s"list<${formatType(e)}>"
+    case other => other.sql.toLowerCase
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.catalog.GraftCatalog
+
+/** Queries routed through the GraftCatalog DSv2 path, so the
+  * catalog→Catalyst→vectorized-parquet pipeline (SURVEY.md §3.1's
+  * Spark-native CreateTable/LoadTable lifecycle) is exercised inside the
+  * driver's DuckDB correctness gate, not only in unit tests. */
+object CatalogQueries {
+
+  /** Registers the catalog on the live session, loads two testdata dims
+    * into catalog tables (CREATE + INSERT → snapshot commit), then answers
+    * a join query through `spark.table("graft...")` scans. */
+  def q13CatalogScan(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-q13").toString
+    s.conf.set("spark.sql.catalog.graft_q13", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_q13.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q13.tpch")
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation")
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.region")
+    s.sql("CREATE TABLE graft_q13.tpch.nation (n_nationkey INT, n_name STRING, n_regionkey INT)")
+    s.sql("CREATE TABLE graft_q13.tpch.region (r_regionkey INT, r_name STRING)")
+    Tables.nation(s, dir).writeTo("graft_q13.tpch.nation").append()
+    Tables.region(s, dir).writeTo("graft_q13.tpch.region").append()
+    s.table("graft_q13.tpch.nation")
+      .join(broadcast(s.table("graft_q13.tpch.region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_nation"))
+      .orderBy(col("r_name"))
+  }
+
+  val q13Sql: String =
+    """SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_catalog_scan" -> q13CatalogScan _)
+  val oracle: Map[String, String] = Map(
+    "q13_catalog_scan" -> q13Sql)
+}

@@ -1,0 +1,235 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.GraftCatalog
+import graft.commit._
+import graft.meta._
+
+/** Mirrors the reference's e2e suite (`/root/reference/test/server_test.go`)
+  * through the real user surface — spark.sql DDL/DML against the `graft`
+  * catalog — never by poking internals (SURVEY.md §5 adoption).
+  */
+class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = Files.createTempDirectory("graft-wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", wh)
+    .config("spark.sql.catalog.graft.defaults.write-format", "parquet")
+    .config("spark.sql.catalog.graft.overrides.owner", "graft")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def catalog: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+
+  // -- TestServerConfig (server_test.go:60-67) --------------------------
+  test("config merges defaults, client props, overrides") {
+    spark.sql("SELECT 1").collect() // force catalog init
+    val cfg = catalog.config(Map("owner" -> "client", "extra" -> "1"))
+    assert(cfg("write-format") == "parquet")
+    assert(cfg("extra") == "1")
+    assert(cfg("owner") == "graft") // override wins over client
+  }
+
+  // -- TestNamespaceOperations (server_test.go:69-141) ------------------
+  test("namespace create / list / exists / load / update properties") {
+    // ('owner' is a Spark-reserved namespace property; the reference's
+    // fixture uses owner=test_user — 'team' carries the same role here)
+    spark.sql("CREATE NAMESPACE graft.test_namespace " +
+      "WITH PROPERTIES ('description'='Test namespace', 'team'='test_user')")
+    val listed = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0))
+    assert(listed.contains("test_namespace"))
+
+    val props = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.test_namespace")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("Properties").contains("Test namespace"))
+
+    // update: set description + new_prop, remove owner; summary semantics
+    val (updated, removed, missing) = catalog.updateNamespaceProperties(
+      Seq("test_namespace"),
+      removals = Seq("team", "not_there"),
+      updates = Map("description" -> "Updated", "new_prop" -> "v"))
+    assert(updated.toSet == Set("description", "new_prop"))
+    assert(removed == Seq("team"))
+    assert(missing == Seq("not_there"))
+
+    // 422 rule: a key in both removals and updates (namespaces.go:159-166)
+    val e = intercept[IllegalArgumentException] {
+      catalog.updateNamespaceProperties(Seq("test_namespace"),
+        removals = Seq("description"), updates = Map("description" -> "x"))
+    }
+    assert(e.getMessage.contains("description"))
+  }
+
+  test("multi-level namespaces") {
+    spark.sql("CREATE NAMESPACE graft.a.b.c")
+    assert(spark.sql("SHOW NAMESPACES IN graft.a.b").collect()
+      .map(_.getString(0)).contains("a.b.c"))
+    spark.sql("DROP NAMESPACE graft.a.b.c")
+    spark.sql("DROP NAMESPACE graft.a.b")
+    spark.sql("DROP NAMESPACE graft.a")
+  }
+
+  test("drop of non-empty namespace fails like NamespaceNotEmptyException") {
+    spark.sql("CREATE NAMESPACE graft.busy")
+    spark.sql("CREATE TABLE graft.busy.t (id BIGINT) ")
+    // Spark surfaces the catalog's NonEmptyNamespaceException as an
+    // AnalysisException with the SCHEMA_NOT_EMPTY class
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DROP NAMESPACE graft.busy")
+    }
+    assert(e.getMessage.toLowerCase.contains("empty"))
+    spark.sql("DROP TABLE graft.busy.t")
+    spark.sql("DROP NAMESPACE graft.busy")
+  }
+
+  // -- TestTableOperations (server_test.go:143-260) ---------------------
+  test("table lifecycle: create, exists, load, list, insert, select") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ops")
+    spark.sql("""CREATE TABLE graft.ops.users (
+      id BIGINT NOT NULL, name STRING, created_at TIMESTAMP_NTZ)""")
+
+    val tables = spark.sql("SHOW TABLES IN graft.ops").collect().map(_.getString(1))
+    assert(tables.contains("users"))
+
+    // schema echo, field-by-field (server_test.go:174-176)
+    val fields = spark.table("graft.ops.users").schema.fields
+    assert(fields.map(_.name).toSeq == Seq("id", "name", "created_at"))
+    assert(!fields(0).nullable && fields(1).nullable)
+    // stable field ids carried in metadata
+    assert(fields.map(_.metadata.getLong(SchemaBridge.FieldIdKey)).toSeq == Seq(1L, 2L, 3L))
+
+    spark.sql("INSERT INTO graft.ops.users VALUES " +
+      "(1, 'ada', TIMESTAMP_NTZ'2024-01-01 00:00:00')," +
+      "(2, 'grace', TIMESTAMP_NTZ'2024-01-02 00:00:00')")
+    assert(spark.table("graft.ops.users").count() == 2)
+    spark.sql("INSERT INTO graft.ops.users VALUES " +
+      "(3, 'alan', TIMESTAMP_NTZ'2024-01-03 00:00:00')")
+    assert(spark.sql("SELECT max(id) FROM graft.ops.users").collect()(0).getLong(0) == 3)
+    // filter pushdown path through the delegated parquet scan
+    assert(spark.sql("SELECT name FROM graft.ops.users WHERE id = 2")
+      .collect()(0).getString(0) == "grace")
+  }
+
+  test("schema evolution commit with requirement (server_test.go:210-225)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.evo")
+    spark.sql("CREATE TABLE graft.evo.t (id BIGINT NOT NULL, name STRING)")
+    spark.sql("INSERT INTO graft.evo.t VALUES (1, 'x')")
+
+    spark.sql("ALTER TABLE graft.evo.t ADD COLUMN updated_at TIMESTAMP_NTZ")
+    val schema = spark.table("graft.evo.t").schema
+    assert(schema.fieldNames.toSeq == Seq("id", "name", "updated_at"))
+    // new column gets a fresh field id (rename-safe identity)
+    assert(schema("updated_at").metadata.getLong(SchemaBridge.FieldIdKey) == 3L)
+    // old rows read NULL for the added column
+    assert(spark.sql("SELECT updated_at FROM graft.evo.t").collect()(0).isNullAt(0))
+
+    // explicit requirement failure: stale AssertCurrentSchemaId
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("evo"), "t")
+    val e = intercept[CommitFailedException] {
+      catalog.commit(ident,
+        Seq(Requirement.AssertCurrentSchemaId(0)), // now 1 after evolution
+        Seq(MetadataUpdate.SetProperties(Map("k" -> "v"))))
+    }
+    assert(e.getMessage.contains("requirement failed"))
+
+    // rename column keeps the field id
+    spark.sql("ALTER TABLE graft.evo.t RENAME COLUMN name TO full_name")
+    val renamed = spark.table("graft.evo.t").schema
+    assert(renamed("full_name").metadata.getLong(SchemaBridge.FieldIdKey) == 2L)
+  }
+
+  test("rename table and rename back (server_test.go:227-248)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rn")
+    spark.sql("CREATE TABLE graft.rn.orig (id BIGINT)")
+    spark.sql("INSERT INTO graft.rn.orig VALUES (42)")
+    spark.sql("ALTER TABLE graft.rn.orig RENAME TO rn.renamed")
+    assert(!spark.catalog.tableExists("graft.rn.orig"))
+    assert(spark.table("graft.rn.renamed").collect()(0).getLong(0) == 42)
+    spark.sql("ALTER TABLE graft.rn.renamed RENAME TO rn.orig")
+    assert(spark.table("graft.rn.orig").count() == 1)
+  }
+
+  test("insert overwrite + time travel") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.tt.t VALUES (1), (2)")        // version 2
+    spark.sql("INSERT INTO graft.tt.t VALUES (3)")             // version 3
+    assert(spark.table("graft.tt.t").count() == 3)
+    spark.sql("INSERT OVERWRITE graft.tt.t VALUES (9)")        // version 4
+    assert(spark.table("graft.tt.t").count() == 1)
+    // VERSION AS OF: metadata version 3 saw files of both appends
+    assert(spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 3").count() == 3)
+    assert(spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 2").count() == 2)
+  }
+
+  // -- TestErrorHandling (server_test.go:262-315) -----------------------
+  test("error taxonomy") {
+    intercept[NoSuchNamespaceException] {
+      spark.sql("SHOW TABLES IN graft.non_existent")
+    }
+    intercept[Exception] { // AnalysisException wrapping NoSuchTable
+      spark.table("graft.ops.non_existent_table").collect()
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dup")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.dup.t (id BIGINT NOT NULL)")
+    intercept[TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE graft.dup.t (id BIGINT NOT NULL)")
+    }
+  }
+
+  test("purge is unsupported, like the reference's 501") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.purge")
+    spark.sql("CREATE TABLE graft.purge.t (id BIGINT)")
+    intercept[UnsupportedOperationException] {
+      catalog.purgeTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("purge"), "t"))
+    }
+  }
+
+  test("partitioned create round-trips the hidden-partition spec") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pt")
+    spark.sql("""CREATE TABLE graft.pt.ev (id BIGINT, ts TIMESTAMP_NTZ, cat STRING)
+      PARTITIONED BY (bucket(8, id), days(ts), cat)""")
+    val t = catalog.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("pt"), "ev"))
+    val specs = t.partitioning().map(_.toString).toSeq
+    assert(specs.exists(_.contains("bucket")) && specs.exists(_.contains("days")))
+  }
+
+  // -- concurrency: CAS commit single-winner ----------------------------
+  test("concurrent commits: no lost updates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cc")
+    spark.sql("CREATE TABLE graft.cc.t (id BIGINT)")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("cc"), "t")
+    val threads = 8; val perThread = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = (0 until threads).map { tid =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (0 until perThread).foreach { i =>
+          catalog.commit(ident, Nil,
+            Seq(MetadataUpdate.SetProperties(Map(s"k-$tid-$i" -> "1"))))
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val (m, v) = catalog.metadataStore.load(Seq("cc"), "t")
+    // every one of the 40 property commits must have survived
+    assert((0 until threads).forall(t => (0 until perThread)
+      .forall(i => m.properties.contains(s"k-$t-$i"))))
+    assert(v == 1 + threads * perThread) // v1 create + 40 commits
+  }
+}

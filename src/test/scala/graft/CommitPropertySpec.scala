@@ -1,0 +1,94 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.commit._
+import graft.meta._
+
+/** ScalaCheck properties over the Requirement/MetadataUpdate algebra
+  * (SURVEY.md §5: "any permutation of non-conflicting updates converges;
+  * conflicting requirement always rejects"). */
+class CommitPropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property under ScalaTest (plain scalacheck — the
+    * scalatestplus bridge isn't in the offline dependency set). */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def base: TableMetadata = TableMetadata.empty(
+    uuid = "u-1", location = "/tmp/t",
+    schema = SchemaDef(0, List(FieldDef(1, "id", "long", required = true))),
+    spec = PartitionSpecDef(0, Nil), order = SortOrderDef(0, Nil),
+    props = Map("p0" -> "v0"))
+
+  private val keyGen = Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+
+  test("disjoint SetProperties commute: any permutation converges") {
+    val updatesGen = Gen.listOfN(6, keyGen).map(_.distinct)
+      .map(_.zipWithIndex.map { case (k, i) =>
+        MetadataUpdate.SetProperties(Map(s"k_$k" -> i.toString)) })
+    check(Prop.forAll(updatesGen) { ups =>
+      val applied = ups.permutations.take(12).map(
+        _.foldLeft(base)((m, u) => u.apply(m)).properties).toSet
+      applied.size == 1
+    })
+  }
+
+  test("set-then-remove of the same key is identity on that key") {
+    check(Prop.forAll(keyGen, Gen.alphaStr) { (k, v) =>
+      val key = s"x_$k"
+      val m = MetadataUpdate.RemoveProperties(Seq(key)).apply(
+        MetadataUpdate.SetProperties(Map(key -> v)).apply(base))
+      !m.properties.contains(key)
+    })
+  }
+
+  test("AssertCurrentSchemaId rejects iff id differs") {
+    check(Prop.forAll(Gen.chooseNum(-5, 5)) { id =>
+      val r = Requirement.AssertCurrentSchemaId(id).check(base)
+      if (id == base.currentSchemaId) r.isEmpty else r.isDefined
+    })
+  }
+
+  test("AddSchema then SetCurrentSchema(-1) activates the newest schema") {
+    check(Prop.forAll(Gen.chooseNum(1, 30)) { n =>
+      val m = (1 to n).foldLeft(base) { (acc, i) =>
+        MetadataUpdate.SetCurrentSchema(-1).apply(
+          MetadataUpdate.AddSchema(SchemaDef(i,
+            List(FieldDef(1, "id", "long", required = true),
+                 FieldDef(i + 1, s"c$i", "string", required = false)))).apply(acc))
+      }
+      m.currentSchemaId == n && m.schemas.size == n + 1 &&
+        m.lastColumnId == n + 1
+    })
+  }
+
+  test("AddSnapshot advances the current snapshot and sequence number") {
+    check(Prop.forAll(Gen.chooseNum(1, 20)) { n =>
+      val m = (1 to n).foldLeft(base) { (acc, i) =>
+        MetadataUpdate.AddSnapshot(SnapshotDef(i.toLong, i.toLong * 1000,
+          "append", List(s"f$i.parquet"), Map.empty)).apply(acc)
+      }
+      m.currentSnapshotId.contains(n.toLong) &&
+        m.lastSequenceNumber == n.toLong && m.snapshots.size == n
+    })
+  }
+
+  test("duplicate schema id is rejected") {
+    val dup = MetadataUpdate.AddSchema(SchemaDef(0, Nil))
+    intercept[IllegalArgumentException] { dup.apply(base) }
+  }
+
+  test("metadata JSON round-trips losslessly") {
+    check(Prop.forAll(Gen.listOfN(4, keyGen)) { ks =>
+      val m = base.copy(
+        properties = ks.map(k => k -> k.reverse).toMap,
+        snapshots = List(SnapshotDef(1, 42, "append", List("a.parquet"), Map("n" -> "1"))),
+        currentSnapshotId = Some(1L))
+      TableMetadata.fromJson(TableMetadata.toJson(m)) == m
+    })
+  }
+}

@@ -10,12 +10,14 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries ++
       ops.CatalogQueries.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++
-      llm.TextAnalysis.queries ++ llm.Multimodal.queries
+      llm.TextAnalysis.queries ++ llm.Multimodal.queries ++
+      stream.Streaming.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle ++
       ops.CatalogQueries.oracle ++
       llm.Dedup.oracle ++ llm.Similarity.oracle ++
-      llm.TextAnalysis.oracle ++ llm.Multimodal.oracle
+      llm.TextAnalysis.oracle ++ llm.Multimodal.oracle ++
+      stream.Streaming.oracle
 }

@@ -1,0 +1,126 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Exact._
+import graft.Tables
+
+/** Structured Streaming pack over the events table (SURVEY.md §2.B
+  * streaming rows). Each query drives a real `readStream` file source →
+  * stateful transform → memory sink, synchronously drained with
+  * `processAllAvailable` so the driver's batch-verify contract can check
+  * results against a batch-SQL oracle (the testdata replays as one
+  * micro-batch; at production scale the same plan runs continuously with
+  * watermark-bounded state).
+  */
+object Streaming {
+
+  /** Raw parquet schema of events (ts read as long nanos — the streaming
+    * source gets an explicit schema, same nanos handling as Tables.events). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Event-time stays TimestampType here (watermarks require it); the
+    * session TZ is UTC so values equal the batch path's NTZ micros, and
+    * output window columns are cast back to NTZ for oracle parity. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToMemory(df: DataFrame, s: SparkSession, name: String,
+                          mode: String): DataFrame = {
+    val qname = name + "_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(qname).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(qname)
+  }
+
+  /** Tumbling 5-minute windows + watermark; complete mode so the single
+    * replay batch emits every window (matches the batch time_bucket
+    * oracle — q46's streaming twin). */
+  def q70Tumbling(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("val"))
+      .select(col("window.start").cast(TimestampNTZType).as("win_start"),
+        col("event_type"), col("n"), col("val"))
+    runToMemory(agg, s, "q70", "complete")
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val q70Sql: String =
+    s"""WITH ${Tables.eventsOracleCte}
+       |SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+       |  COUNT(*) AS n, ${sqlSumMoney("value")} AS val
+       |FROM events_n GROUP BY win_start, event_type
+       |ORDER BY win_start, event_type""".stripMargin
+
+  /** Session windows (30-minute gap) per user — Spark's native
+    * `session_window` stateful merge; update mode emits each session once
+    * for a single replay batch. Oracle: gap-based islands in SQL. */
+  def q71Session(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        col("session_window.start").cast(TimestampNTZType).as("sess_start"),
+        col("n_events"))
+    runToMemory(agg, s, "q71", "complete")
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  val q71Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |flags AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |      OR ts - LAG(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+       |  FROM events_n WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flags)
+       |SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events
+       |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
+
+  /** Streaming stateful dedup on (user_id, event_type) within the
+    * watermark — `dropDuplicatesWithinWatermark`, the unbounded-state-safe
+    * variant. Output keys only (arrival order of the kept row is
+    * engine-internal). */
+  def q72StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val dedup = eventStream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToMemory(dedup, s, "q72", "append")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q72Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_stream_tumbling" -> q70Tumbling _,
+    "q71_stream_session"  -> q71Session _,
+    "q72_stream_dedup"    -> q72StreamDedup _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q70_stream_tumbling" -> q70Sql,
+    "q71_stream_session"  -> q71Sql,
+    "q72_stream_dedup"    -> q72Sql,
+  )
+}

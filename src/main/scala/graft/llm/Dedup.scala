@@ -23,6 +23,18 @@ object Dedup {
     array_distinct(transform(shingles, s => xxhash64(s)))
   }
 
+  /** Exact Jaccard over two distinct-element long arrays in one pass
+    * (one HashSet build + one probe sweep — cheaper than
+    * array_intersect + array_union, which each build their own set).
+    * Rounded to 4dp, same as the expression form it replaces. */
+  private val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    val set = new java.util.HashSet[java.lang.Long](a.size * 2)
+    a.foreach(set.add(_))
+    var inter = 0
+    b.foreach(x => if (set.contains(x)) inter += 1)
+    math.round(inter.toDouble / (a.size + b.size - inter) * 10000.0) / 10000.0
+  }
+
   /** Exact dedup: hash-groupBy on sha256(text), keep the smallest doc_id.
     * At 100 TB the shuffle key is the 32-byte digest, not the document —
     * the payload never moves. */
@@ -68,36 +80,99 @@ object Dedup {
     * Emits verified pairs with jaccard >= 0.5. Not SQL-expressible in
     * DuckDB → rows-only oracle.
     */
+  /** splitmix64 finalizer — the per-permutation mixer for MinHash. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val minhashSeeds: Array[Long] = {
+    val rnd = new scala.util.Random(42); Array.fill(64)(rnd.nextLong())
+  }
+
+  /** Shingling kernel: word-split + per-word FNV-1a 64 + k-window combine
+    * + distinct, one pass over the text. The Catalyst expression form
+    * (transform/sequence/concat_ws) costs ~µs per shingle interpreted;
+    * this is the per-row imperative case where a JVM loop is the right
+    * tool — and the plan stays a map-only projection either way. */
+  private def shingleKernel(text: String, k: Int): Array[Long] = {
+    val words = text.trim.split("\\s+")
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L; var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    val wh = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) { wh(i) = fnv(words(i)); i += 1 }
+    val n = math.max(words.length - (k - 1), 1)
+    val out = new java.util.HashSet[java.lang.Long](n * 2)
+    i = 0
+    while (i < n) {
+      var acc = 0L; var j = 0
+      while (j < k && i + j < words.length) { acc = acc * 0x9e3779b97f4a7c15L + wh(i + j); j += 1 }
+      out.add(mix64(acc)); i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator; i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  private val shingleUdf = udf { text: String => shingleKernel(text, 3) }
+
   def q52MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val nPerm = 64; val bands = 16; val rowsPerBand = nPerm / bands
 
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
 
-    // signature: per permutation, min over shingles of xxhash64(h, i)
-    val sigCols = (0 until nPerm).map { i =>
-      array_min(transform(col("sh"), h => xxhash64(h, lit(i))))
+    // Signature kernel as a tight Scala loop (one UDF call per doc):
+    // |shingles| × 64 mixes dominates this operator's cost, and a JVM
+    // while-loop beats interpreted per-element HOF lambdas ~10×. The
+    // shingling stays in Catalyst; only the numeric kernel drops out.
+    val seeds = minhashSeeds
+    val sigUdf = udf { sh: Seq[Long] =>
+      val mins = Array.fill(nPerm)(Long.MaxValue)
+      val it = sh.iterator
+      while (it.hasNext) {
+        val h = it.next(); var i = 0
+        while (i < nPerm) {
+          val x = mix64(h ^ seeds(i))
+          if (x < mins(i)) mins(i) = x
+          i += 1
+        }
+      }
+      mins
     }
-    val signed = docs.select(col("doc_id"), col("sh"), array(sigCols: _*).as("sig"))
+    val signed = docs.select(col("doc_id"), sigUdf(col("sh")).as("sig"))
 
-    // bands: hash the 4-slot slice of the signature
+    // bands: hash the 4-slot slice of the signature. Only (doc_id, band,
+    // bandHash) flows into the bucket join — the shingle arrays stay home
+    // and are re-attached to the deduped pair list afterwards, so the
+    // shuffle moves ids, not payloads (the rule that matters at 100 TB).
     val bandEntries = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }
     val buckets = signed
-      .select(col("doc_id"), col("sh"), explode(array(bandEntries: _*)).as("e"))
-      .select(col("doc_id"), col("sh"), col("e.band").as("band"), col("e.bh").as("bh"))
+      .select(col("doc_id"), explode(array(bandEntries: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
 
-    val a = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    val a = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))) * 1.0 /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -110,17 +185,27 @@ object Dedup {
     * equi-join: 100 TB safe. Rows-only oracle. */
   def q53SimHash(s: SparkSession, dir: String): DataFrame = {
     // per-word 64-bit hash; simhash bit j = 1 iff the sum over word
-    // occurrences of (bit_j(hash) ? +1 : -1) is >= 0. One Catalyst
-    // `aggregate` fold per bit (static j, so shiftright stays literal).
-    val words = split(trim(lower(col("text"))), "\\s+")
-    def voteBit(j: Int): Column = aggregate(words, lit(0L),
-      (acc, w) => acc +
-        when(shiftright(xxhash64(w), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-    val sim = (0 until 64)
-      .map(j => when(voteBit(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-
-    val sigs = Tables.documents(s, dir).select(col("doc_id"), sim.as("sig"))
+    // occurrences of (bit_j(hash) ? +1 : -1) is >= 0. The word hashing
+    // stays in Catalyst (xxhash64); the 64-bit vote kernel is a tight
+    // Scala loop — same rationale as the MinHash signature kernel.
+    val wordHashes = transform(split(trim(lower(col("text"))), "\\s+"),
+      w => xxhash64(w))
+    val simUdf = udf { hs: Seq[Long] =>
+      val votes = new Array[Int](64)
+      val it = hs.iterator
+      while (it.hasNext) {
+        val h = it.next(); var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      var sig = 0L; var j = 0
+      while (j < 64) { if (votes(j) >= 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"), simUdf(wordHashes).as("sig"))
     val blockEntries = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
@@ -144,23 +229,24 @@ object Dedup {
     * bounds pair count without a cross join — then exact word-bigram
     * Jaccard per pair. Rows-only oracle. */
   def q54NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val words = split(trim(col("text")), "\\s+")
-    val bigrams = array_distinct(transform(
-      sequence(lit(1), greatest(size(words) - 1, lit(1))),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+    // grams are hashed to 64-bit (one-pass kernel) before the pairwise
+    // set ops: long-array intersection is several times cheaper than
+    // string arrays, and the shuffled candidate rows shrink accordingly
+    val bigrams = udf { text: String => shingleKernel(text, 2) }.apply(col("text"))
     val blocked = Tables.documents(s, dir).select(
       col("doc_id"), col("source"),
       (col("n_chars") / 100).cast("int").as("len_bucket"),
       bigrams.as("grams"))
-    val a = blocked.select(col("source"), col("len_bucket"),
-      col("doc_id").as("doc_a"), col("grams").as("g_a"))
-    val b = blocked.select(col("source"), col("len_bucket"),
-      col("doc_id").as("doc_b"), col("grams").as("g_b"))
-    a.join(b, Seq("source", "len_bucket"))
+    // pair generation carries ids only; gram arrays re-attach afterwards
+    val a = blocked.select(col("source"), col("len_bucket"), col("doc_id").as("doc_a"))
+    val b = blocked.select(col("source"), col("len_bucket"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("source", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("g_a"), col("g_b"))) * 1.0 /
-          size(array_union(col("g_a"), col("g_b"))), 4))
+    val grams = blocked.select(col("doc_id"), col("grams"))
+    pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccardUdf(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("source"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

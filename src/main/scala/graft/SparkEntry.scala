@@ -8,7 +8,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries ++
-      ops.CatalogQueries.queries ++
+      ops.CatalogQueries.queries ++ ops.Extended.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++
       llm.TextAnalysis.queries ++ llm.Multimodal.queries ++
       stream.Streaming.queries
@@ -16,7 +16,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Scalars.oracle ++
-      ops.CatalogQueries.oracle ++
+      ops.CatalogQueries.oracle ++ ops.Extended.oracle ++
       llm.Dedup.oracle ++ llm.Similarity.oracle ++
       llm.TextAnalysis.oracle ++ llm.Multimodal.oracle ++
       stream.Streaming.oracle

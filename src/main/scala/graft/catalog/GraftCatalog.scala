@@ -57,6 +57,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   def config(clientProps: Map[String, String] = Map.empty): Map[String, String] =
     defaults ++ clientProps ++ overrides
 
+  def configDefaults: Map[String, String] = defaults
+  def configOverrides: Map[String, String] = overrides
+
   def metadataStore: MetadataStore = store
 
   // ---- namespaces (ops 2-7 of §2.A) ------------------------------------

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Remaining SURVEY.md §2.B surfaces: generator (UDTF via explode/
+  * posexplode), typed Aggregator (UDAF), pivot, and correlated scalar
+  * subqueries.
+  */
+object Extended {
+
+  /** Generator surface: posexplode over per-document word arrays →
+    * token frequency table. The generate runs map-side; only the
+    * (token, count) aggregate shuffles. */
+  def q14Explode(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+"))
+        .as(Seq("pos", "word")))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"),
+        min(col("pos")).cast("int").as("min_pos"))
+      .filter(col("n") >= 100)
+      .orderBy(col("word"))
+
+  val q14Sql: String =
+    """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs,
+      |  CAST(MIN(pos) AS INTEGER) AS min_pos
+      |FROM (
+      |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word,
+      |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+      |  FROM documents)
+      |GROUP BY word HAVING COUNT(*) >= 100 ORDER BY word""".stripMargin
+
+  /** Typed Aggregator (UDAF surface): exact money-sum over cents — the
+    * Aggregator form of the Exact.sumMoney pattern, registered as a
+    * column aggregator via `udaf`-style `toColumn` on a typed Dataset. */
+  object CentsSum extends Aggregator[Double, Long, Double] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Double): Long = b + math.round(a * 100)
+    def merge(b1: Long, b2: Long): Long = b1 + b2
+    def finish(r: Long): Double = r / 100.0
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def q15Udaf(s: SparkSession, dir: String): DataFrame = {
+    val centsSum = udaf(CentsSum)
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(centsSum(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q15Sql: String =
+    s"""SELECT o_orderstatus, ${Exact.sqlSumMoney("o_totalprice")} AS total_spend,
+       |  COUNT(*) AS n
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Pivot: order counts per priority, pivoted on status (fixed value
+    * list so the output schema is static — the scalable form; pivot with
+    * value discovery would need an extra pass). */
+  def q16Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+
+  val q16Sql: String =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS "F",
+      |  SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS "O",
+      |  SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Correlated scalar subquery + uncorrelated scalar subquery, via
+    * spark.sql so Catalyst's decorrelation rewrites both into joins. */
+  def q17Subquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("sq_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("sq_customer")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM sq_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  CAST(c_acctbal > (SELECT AVG(c_acctbal) FROM sq_customer) AS BOOLEAN) AS above_avg
+        |FROM sq_customer c ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q17Sql: String =
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  c_acctbal > (SELECT AVG(c_acctbal) FROM customer) AS above_avg
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_explode_udtf"  -> q14Explode _,
+    "q15_udaf_centssum" -> q15Udaf _,
+    "q16_pivot"         -> q16Pivot _,
+    "q17_scalar_subq"   -> q17Subquery _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q14_explode_udtf"  -> q14Sql,
+    "q15_udaf_centssum" -> q15Sql,
+    "q16_pivot"         -> q16Sql,
+    "q17_scalar_subq"   -> q17Sql,
+  )
+}

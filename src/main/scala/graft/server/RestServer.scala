@@ -1,0 +1,283 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.Identifier
+
+import graft.catalog.GraftCatalog
+import graft.commit._
+import graft.meta._
+
+/** Wire-level facade re-exposing [[GraftCatalog]] as the reference's REST
+  * surface — the 15 routes of `/root/reference/api/router/router.go:12-52`
+  * on the JDK's built-in HTTP server (zero extra dependencies; the gin
+  * engine's role, `main.go:111-121`).
+  *
+  * Spec quirks preserved deliberately (SURVEY.md §7.4):
+  *   - namespace levels joined with 0x1F in URLs (`models.go:10`)
+  *   - pagination params accepted but never honored (`namespaces.go:43-46`)
+  *   - `stage-create: true` → 501 (`tables.go:91-96`)
+  *   - `purgeRequested=true` → HTTP 400 carrying a code-501 body
+  *     (`tables.go:288-295` status/body mismatch)
+  *   - rename responds bare 200 with no body (`tables.go:376,401`)
+  *   - commit body's identifier ignored; URL params win (`tables.go:153-171`)
+  *   - error envelope `{error:{message,type,code}}` (`errors.go:5-13`)
+  */
+final class RestServer(catalog: GraftCatalog, port: Int = 0) {
+  private implicit val formats: Formats = DefaultFormats
+  private val Unit31 = "\u001f"
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", handle _)
+  server.setExecutor(null)
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  // ---- routing ----------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    val segs = path.split("/").filter(_.nonEmpty).toList
+    try {
+      (method, segs) match {
+        case ("GET", List("health")) => json(ex, 200, JObject("status" -> JString("ok")))
+        case ("GET", List("v1", "config")) => getConfig(ex)
+        case ("GET", List("v1", "namespaces")) => listNamespaces(ex)
+        case ("POST", List("v1", "namespaces")) => createNamespace(ex)
+        case ("GET", List("v1", "namespaces", ns)) => loadNamespace(ex, ns)
+        case ("HEAD", List("v1", "namespaces", ns)) => headNamespace(ex, ns)
+        case ("DELETE", List("v1", "namespaces", ns)) => dropNamespace(ex, ns)
+        case ("POST", List("v1", "namespaces", ns, "properties")) =>
+          updateNamespaceProps(ex, ns)
+        case ("GET", List("v1", "namespaces", ns, "tables")) => listTables(ex, ns)
+        case ("POST", List("v1", "namespaces", ns, "tables")) => createTable(ex, ns)
+        case ("GET", List("v1", "namespaces", ns, "tables", t)) => loadTable(ex, ns, t)
+        case ("HEAD", List("v1", "namespaces", ns, "tables", t)) => headTable(ex, ns, t)
+        case ("DELETE", List("v1", "namespaces", ns, "tables", t)) => dropTable(ex, ns, t)
+        case ("POST", List("v1", "namespaces", ns, "tables", t)) => updateTable(ex, ns, t)
+        case ("POST", List("v1", "tables", "rename")) => renameTable(ex)
+        case _ => error(ex, 404, "NoSuchEndpointException", s"no route: $method $path")
+      }
+    } catch {
+      case e: NoSuchNamespaceException =>
+        error(ex, 404, "NoSuchNamespaceException", e.getMessage)
+      case e: NoSuchTableException =>
+        error(ex, 404, "NoSuchTableException", e.getMessage)
+      case e: org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException =>
+        error(ex, 409, "AlreadyExistsException", e.getMessage)
+      case e: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+        error(ex, 409, "AlreadyExistsException", e.getMessage)
+      case e: org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException =>
+        error(ex, 409, "NamespaceNotEmptyException", e.getMessage)
+      case e: CommitFailedException =>
+        error(ex, 409, "CommitFailedException", e.getMessage)
+      case e: IllegalArgumentException =>
+        error(ex, 422, "UnprocessableEntityException", e.getMessage)
+      case e: Exception =>
+        error(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
+    } finally ex.close()
+  }
+
+  private def ns(encoded: String): Array[String] =
+    java.net.URLDecoder.decode(encoded, "UTF-8").split(Unit31, -1)
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&").filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
+
+  private def body(ex: HttpExchange): JValue =
+    JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+
+  private def json(ex: HttpExchange, code: Int, v: JValue): Unit = {
+    val bytes = JsonMethods.compact(JsonMethods.render(v)).getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def empty(ex: HttpExchange, code: Int): Unit =
+    ex.sendResponseHeaders(code, -1)
+
+  private def error(ex: HttpExchange, code: Int, tpe: String, msg: String): Unit =
+    json(ex, code, JObject("error" -> JObject(
+      "message" -> JString(msg), "type" -> JString(tpe), "code" -> JInt(code))))
+
+  // ---- handlers ---------------------------------------------------------
+
+  /** GET /v1/config — `warehouse` query param ignored like `tables.go:41-43`. */
+  private def getConfig(ex: HttpExchange): Unit =
+    json(ex, 200, JObject(
+      "defaults" -> toJObj(catalog.configDefaults),
+      "overrides" -> toJObj(catalog.configOverrides)))
+
+  private def listNamespaces(ex: HttpExchange): Unit = {
+    val parent = query(ex).get("parent").map(p => p.split(Unit31, -1).toSeq).getOrElse(Nil)
+    // pageToken/pageSize accepted but ignored; NextPageToken never set
+    val result = catalog.metadataStore.listNamespaces(parent)
+    json(ex, 200, JObject("namespaces" ->
+      JArray(result.map(n => JArray(n.map(JString(_)).toList)).toList)))
+  }
+
+  private def createNamespace(ex: HttpExchange): Unit = {
+    val b = body(ex)
+    val namespace = (b \ "namespace").extract[List[String]]
+    val props = (b \ "properties").extractOpt[Map[String, String]].getOrElse(Map.empty)
+    catalog.createNamespace(namespace.toArray,
+      scala.jdk.CollectionConverters.MapHasAsJava(props).asJava)
+    json(ex, 200, JObject("namespace" -> JArray(namespace.map(JString(_))),
+      "properties" -> toJObj(props)))
+  }
+
+  private def loadNamespace(ex: HttpExchange, enc: String): Unit = {
+    val n = ns(enc)
+    val props = catalog.metadataStore.loadNamespace(n.toSeq)
+    json(ex, 200, JObject("namespace" -> JArray(n.map(JString(_)).toList),
+      "properties" -> toJObj(props)))
+  }
+
+  private def headNamespace(ex: HttpExchange, enc: String): Unit =
+    if (catalog.namespaceExists(ns(enc))) empty(ex, 204)
+    else error(ex, 404, "NoSuchNamespaceException", s"namespace ${ns(enc).mkString(".")}")
+
+  private def dropNamespace(ex: HttpExchange, enc: String): Unit = {
+    catalog.dropNamespace(ns(enc), cascade = false)
+    empty(ex, 204)
+  }
+
+  private def updateNamespaceProps(ex: HttpExchange, enc: String): Unit = {
+    val b = body(ex)
+    val removals = (b \ "removals").extractOpt[List[String]].getOrElse(Nil)
+    val updates = (b \ "updates").extractOpt[Map[String, String]].getOrElse(Map.empty)
+    val (updated, removed, missing) =
+      catalog.updateNamespaceProperties(ns(enc).toSeq, removals, updates)
+    json(ex, 200, JObject(
+      "updated" -> JArray(updated.map(JString(_)).toList),
+      "removed" -> JArray(removed.map(JString(_)).toList),
+      "missing" -> JArray(missing.map(JString(_)).toList)))
+  }
+
+  private def listTables(ex: HttpExchange, enc: String): Unit = {
+    val idents = catalog.listTables(ns(enc))
+    json(ex, 200, JObject("identifiers" -> JArray(idents.map { id =>
+      JObject("namespace" -> JArray(id.namespace.map(JString(_)).toList),
+        "name" -> JString(id.name))
+    }.toList)))
+  }
+
+  private def schemaFromJson(j: JValue): SchemaDef =
+    SchemaDef((j \ "schemaId").extractOpt[Int].getOrElse(0),
+      (j \ "fields").extract[List[FieldDef]])
+
+  private def createTable(ex: HttpExchange, enc: String): Unit = {
+    val n = ns(enc)
+    val b = body(ex)
+    if ((b \ "stage-create").extractOpt[Boolean].contains(true)) {
+      error(ex, 501, "NotImplementedException", "stage-create is not supported")
+      return
+    }
+    val name = (b \ "name").extract[String]
+    val schema = schemaFromJson(b \ "schema")
+    val props = (b \ "properties").extractOpt[Map[String, String]].getOrElse(Map.empty)
+    val specFields = (b \ "partition-spec").extractOpt[List[PartitionFieldDef]].getOrElse(Nil)
+    if (!catalog.metadataStore.namespaceExists(n.toSeq))
+      throw new NoSuchNamespaceException(n)
+    if (catalog.metadataStore.tableExists(n.toSeq, name))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Identifier.of(n, name))
+    val meta = TableMetadata.empty(
+      uuid = java.util.UUID.randomUUID().toString,
+      location = catalog.metadataStore.dataDir(n.toSeq, name),
+      schema = schema.copy(schemaId = 0),
+      spec = PartitionSpecDef(0, specFields),
+      order = SortOrderDef(0, Nil),
+      props = catalog.configDefaults ++ props)
+    catalog.metadataStore.createTable(n.toSeq, name, meta)
+    respondLoadTable(ex, n.toSeq, name)
+  }
+
+  private def respondLoadTable(ex: HttpExchange, n: Seq[String], t: String): Unit = {
+    val (m, v) = catalog.metadataStore.load(n, t)
+    json(ex, 200, JObject(
+      "metadata-location" -> JString(catalog.metadataStore.metadataLocation(n, t, v)),
+      "metadata" -> JsonMethods.parse(TableMetadata.toJson(m)),
+      "config" -> toJObj(catalog.config(m.properties))))
+  }
+
+  private def loadTable(ex: HttpExchange, enc: String, t: String): Unit =
+    respondLoadTable(ex, ns(enc).toSeq, t)
+
+  private def headTable(ex: HttpExchange, enc: String, t: String): Unit =
+    if (catalog.metadataStore.tableExists(ns(enc).toSeq, t)) empty(ex, 204)
+    else error(ex, 404, "NoSuchTableException", s"table $t")
+
+  /** DELETE with purgeRequested=true → HTTP 400 carrying a 501-code body,
+    * preserving the reference's status/body mismatch (`tables.go:288-295`). */
+  private def dropTable(ex: HttpExchange, enc: String, t: String): Unit = {
+    if (query(ex).get("purgeRequested").contains("true")) {
+      error(ex, 400, "NotImplementedException", "purge is not supported")
+      return
+    }
+    if (!catalog.metadataStore.tableExists(ns(enc).toSeq, t))
+      throw new NoSuchTableException(Identifier.of(ns(enc), t))
+    catalog.metadataStore.dropTable(ns(enc).toSeq, t)
+    empty(ex, 204)
+  }
+
+  /** POST commit — body identifier ignored, URL params win (`tables.go:171`). */
+  private def updateTable(ex: HttpExchange, enc: String, t: String): Unit = {
+    val b = body(ex)
+    val reqs = (b \ "requirements").extractOpt[List[JValue]].getOrElse(Nil).map(parseReq)
+    val ups = (b \ "updates").extractOpt[List[JValue]].getOrElse(Nil).map(parseUpdate)
+    catalog.commit(Identifier.of(ns(enc), t), reqs, ups)
+    val (m, v) = catalog.metadataStore.load(ns(enc).toSeq, t)
+    json(ex, 200, JObject(
+      "metadata-location" -> JString(catalog.metadataStore.metadataLocation(ns(enc).toSeq, t, v)),
+      "metadata" -> JsonMethods.parse(TableMetadata.toJson(m))))
+  }
+
+  private def parseReq(j: JValue): Requirement = (j \ "type").extract[String] match {
+    case "assert-current-schema-id" =>
+      Requirement.AssertCurrentSchemaId((j \ "current-schema-id").extract[Int])
+    case "assert-table-uuid" =>
+      Requirement.AssertTableUuid((j \ "uuid").extract[String])
+    case "assert-default-spec-id" =>
+      Requirement.AssertDefaultSpecId((j \ "default-spec-id").extract[Int])
+    case other => throw new IllegalArgumentException(s"unknown requirement $other")
+  }
+
+  private def parseUpdate(j: JValue): MetadataUpdate = (j \ "action").extract[String] match {
+    case "add-schema" => MetadataUpdate.AddSchema(schemaFromJson(j \ "schema"))
+    case "set-current-schema" =>
+      MetadataUpdate.SetCurrentSchema((j \ "schema-id").extract[Int])
+    case "set-properties" =>
+      MetadataUpdate.SetProperties((j \ "updates").extract[Map[String, String]])
+    case "remove-properties" =>
+      MetadataUpdate.RemoveProperties((j \ "removals").extract[List[String]])
+    case "set-location" =>
+      MetadataUpdate.SetLocation((j \ "location").extract[String])
+    case other => throw new IllegalArgumentException(s"unknown update $other")
+  }
+
+  /** POST /v1/tables/rename — discards the result, bare 200 no body. */
+  private def renameTable(ex: HttpExchange): Unit = {
+    val b = body(ex)
+    val srcNs = (b \ "source" \ "namespace").extract[List[String]]
+    val srcName = (b \ "source" \ "name").extract[String]
+    val dstNs = (b \ "destination" \ "namespace").extract[List[String]]
+    val dstName = (b \ "destination" \ "name").extract[String]
+    catalog.renameTable(Identifier.of(srcNs.toArray, srcName),
+      Identifier.of(dstNs.toArray, dstName))
+    empty(ex, 200)
+  }
+
+  private def toJObj(m: Map[String, String]): JObject =
+    JObject(m.toList.map { case (k, v) => k -> (JString(v): JValue) })
+}

@@ -92,12 +92,49 @@ private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: St
           val commitId = java.util.UUID.randomUUID().toString
           val relDir = s"commit-$commitId"
           val outDir = store.dataDir(ns, table) + "/" + relDir
-          data.write.mode(SaveMode.ErrorIfExists).parquet(outDir)
-          val newFiles = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
-            .iterator().asScala
-            .map(_.getFileName.toString)
-            .filter(f => f.endsWith(".parquet") || f.endsWith(".snappy.parquet"))
-            .map(f => s"$relDir/$f").toList
+          val (meta0, _) = store.load(ns, table)
+
+          // declared write order: range-cluster + sort within partitions
+          // (row-group stats then give min/max skipping on read — the
+          // reference's sort-order option, tables.go:105-107)
+          val sortCols = meta0.properties.get("write.sort-order").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { spec =>
+              val parts = spec.split("\\s+")
+              if (parts.length > 1 && parts(1).equalsIgnoreCase("desc"))
+                org.apache.spark.sql.functions.col(parts(0)).desc
+              else org.apache.spark.sql.functions.col(parts(0)).asc
+            }
+          // identity partition transforms become physical partition dirs;
+          // the partition value rides in a shadow column so the original
+          // stays inside the data files (scans need no partition recovery)
+          val nameById = meta0.currentSchema.fields.map(f => f.id -> f.name).toMap
+          val identCols = meta0.specs.find(_.specId == meta0.defaultSpecId)
+            .map(_.fields).getOrElse(Nil)
+            .filter(_.transform == "identity")
+            .flatMap(f => nameById.get(f.sourceId))
+            .filter(data.columns.contains)
+
+          var out = data
+          if (sortCols.nonEmpty)
+            out = out.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+          val writer = if (identCols.nonEmpty) {
+            identCols.foreach { c =>
+              out = out.withColumn(s"__part_$c", org.apache.spark.sql.functions.col(c))
+            }
+            out.write.partitionBy(identCols.map("__part_" + _): _*)
+          } else out.write
+          writer.mode(SaveMode.ErrorIfExists).parquet(outDir)
+
+          def listRec(p: java.nio.file.Path): List[String] = {
+            val s = java.nio.file.Files.walk(p)
+            try s.iterator().asScala
+              .filter(f => java.nio.file.Files.isRegularFile(f) &&
+                f.getFileName.toString.endsWith(".parquet"))
+              .map(f => p.relativize(f).toString).toList
+            finally s.close()
+          }
+          val newFiles = listRec(java.nio.file.Paths.get(outDir))
+            .map(f => s"$relDir/$f")
           val (base, _) = store.load(ns, table)
           val prev = if (overwrite) Nil
             else base.currentSnapshot.map(_.files).getOrElse(Nil)

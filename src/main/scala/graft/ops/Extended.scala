@@ -95,11 +95,52 @@ object Extended {
       |  c_acctbal > (SELECT AVG(c_acctbal) FROM customer) AS above_avg
       |FROM customer c ORDER BY c_custkey""".stripMargin
 
+  /** Map-typed column functions: construction, lookup, cardinality,
+    * key/value extraction — per-row deterministic (no collect_list). */
+  def q18Map(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      map(lit("status"), col("o_orderstatus"),
+        lit("prio"), col("o_orderpriority")).as("m"))
+      .select(
+        col("o_orderkey"),
+        element_at(col("m"), "status").as("status"),
+        element_at(col("m"), "prio").as("prio"),
+        size(col("m")).as("m_size"),
+        array_join(map_keys(col("m")), ",").as("keys_joined"))
+      .orderBy(col("o_orderkey"))
+
+  val q18Sql: String =
+    """SELECT o_orderkey,
+      |  m['status'][1] AS status, m['prio'][1] AS prio,
+      |  CAST(cardinality(m) AS INTEGER) AS m_size,
+      |  array_to_string(map_keys(m), ',') AS keys_joined
+      |FROM (SELECT o_orderkey,
+      |        MAP {'status': o_orderstatus, 'prio': o_orderpriority} AS m
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** INTERSECT ALL (multiset intersection) — completes the set-op family. */
+  def q19IntersectAll(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").cast("int").as("nationkey"))
+      .intersectAll(Tables.supplier(s, dir)
+        .select(col("s_nationkey").cast("int").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  val q19Sql: String =
+    """SELECT nationkey, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+      |GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_explode_udtf"  -> q14Explode _,
     "q15_udaf_centssum" -> q15Udaf _,
     "q16_pivot"         -> q16Pivot _,
     "q17_scalar_subq"   -> q17Subquery _,
+    "q18_map_funcs"     -> q18Map _,
+    "q19_intersect_all" -> q19IntersectAll _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,5 +148,7 @@ object Extended {
     "q15_udaf_centssum" -> q15Sql,
     "q16_pivot"         -> q16Sql,
     "q17_scalar_subq"   -> q17Sql,
+    "q18_map_funcs"     -> q18Sql,
+    "q19_intersect_all" -> q19Sql,
   )
 }

@@ -112,15 +112,55 @@ object Streaming {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  case class EventRow(event_id: Long, user_id: Long, event_type: String,
+                      value: Double)
+  case class UserState(nEvents: Long, cents: Long)
+  case class UserSummary(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via `mapGroupsWithState` over a
+    * `KeyValueGroupedDataset` — the arbitrary-stateful-processing surface.
+    * State is a running (count, exact-cents-sum) per user; with the
+    * single replay batch, update mode emits each user's final state once
+    * (continuously it would emit per-batch updates, state bounded by
+    * |users|). */
+  def q73Stateful(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = eventStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+    val summarized = typed.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.nEvents; var cents = prev.cents
+          rows.foreach { r => n += 1; cents += math.round(r.value * 100) }
+          state.update(UserState(n, cents))
+          UserSummary(user, n, cents / 100.0)
+      }
+    val q = summarized.toDF().writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("q73_" + java.util.UUID.randomUUID().toString.take(8))
+    val started = q.start()
+    started.processAllAvailable(); started.stop()
+    s.table(started.name).orderBy(col("user_id"))
+  }
+
+  val q73Sql: String =
+    s"""SELECT user_id, COUNT(*) AS n_events,
+       |  ${sqlSumMoney("value")} AS total_value
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stream_tumbling" -> q70Tumbling _,
     "q71_stream_session"  -> q71Session _,
     "q72_stream_dedup"    -> q72StreamDedup _,
+    "q73_stream_stateful" -> q73Stateful _,
   )
 
   val oracle: Map[String, String] = Map(
     "q70_stream_tumbling" -> q70Sql,
     "q71_stream_session"  -> q71Sql,
     "q72_stream_dedup"    -> q72Sql,
+    "q73_stream_stateful" -> q73Sql,
   )
 }

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -207,6 +208,26 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("pt"), "ev"))
     val specs = t.partitioning().map(_.toString).toSeq
     assert(specs.exists(_.contains("bucket")) && specs.exists(_.contains("days")))
+  }
+
+  test("identity partitioning + write.sort-order shape the physical layout") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.layout")
+    spark.sql("""CREATE TABLE graft.layout.ev (id BIGINT, cat STRING, amt DOUBLE)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('write.sort-order'='id')""")
+    spark.sql("INSERT INTO graft.layout.ev VALUES " +
+      "(3,'a',1.0),(1,'b',2.0),(2,'a',3.0),(4,'b',4.0)")
+    // physical layout: partition dirs per cat under the commit dir
+    val dataDir = java.nio.file.Paths.get(wh, "layout", "ev", "data")
+    val partDirs = java.nio.file.Files.walk(dataDir).iterator()
+    val dirs = scala.jdk.CollectionConverters.IteratorHasAsScala(partDirs)
+      .asScala.map(_.toString).toList
+    assert(dirs.exists(_.contains("__part_cat=a")))
+    assert(dirs.exists(_.contains("__part_cat=b")))
+    // reads see all rows with the original column intact
+    val rows = spark.table("graft.layout.ev").orderBy(col("id")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("b", "a", "a", "b"))
   }
 
   // -- concurrency: CAS commit single-winner ----------------------------

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.GraftCatalog
+
+/** Physical-plan quality gates: the properties that make these plans
+  * survive a 100× scale-up (SURVEY.md §4). Each assertion inspects the
+  * formatted explain output, the same thing a human would check before
+  * shipping a plan to a 1000-executor cluster. */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = Files.createTempDirectory("graft-plan-wh").toString
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", wh)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and column pruning push into the raw parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("filters push through the GraftCatalog DSv2 scan (ParquetTable delegate)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.plans")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.plans.li (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.plans.li SELECT l_orderkey, l_quantity " +
+      s"FROM parquet.`$sf/lineitem.parquet` LIMIT 1000")
+    val df = spark.table("graft.plans.li").filter(col("k") === 5L).select(col("v"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,5)]"),
+      s"filter not pushed through catalog scan:\n$plan")
+  }
+
+  test("small dimension join is broadcast, not shuffled") {
+    val plan = planOf(ops.Relational.q03TopRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val plan = planOf(ops.Relational.q11TopK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$plan")
+  }
+
+  test("aggregation is partial+final (map-side combine before shuffle)") {
+    val plan = planOf(ops.Relational.q01PricingSummary(spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan->filter->agg pipeline") {
+    val df = ops.Relational.q01PricingSummary(spark, sf)
+    df.collect() // AQE finalizes the plan only on execution
+    val plan = planOf(df)
+    // codegen stages render as "*(n) Operator" in the finalized AQE plan
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen span:\n$plan")
+  }
+
+  test("as-of join is one shuffle + window, not a per-row subquery") {
+    val plan = planOf(ops.Relational.q10AsofJoin(spark, sf))
+    assert(plan.contains("Window"), s"expected window-based as-of:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of join degenerated to NLJ:\n$plan")
+  }
+}

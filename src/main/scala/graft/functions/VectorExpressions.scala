@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the embedding-vector hot path —
+  * codegen'd (`doGenCode`), so the similarity operators stay inside
+  * whole-stage codegen with zero boxing: preferable to a Scala UDF on the
+  * per-pair scoring loop (SURVEY.md §7.3 preference order). Both fold
+  * left-to-right in double precision, bit-identical to the DuckDB oracle's
+  * list_dot_product over DOUBLE[].
+  */
+case class DotProductF(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // inputs are array<float>; type enforcement stays at the call sites
+  // (ExpectsInputTypes is private[sql] in Spark 4)
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot"
+}
+
+/** L2 norm of a float vector (sequential double fold, codegen'd). */
+case class L2NormF(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0; var i = 0
+    while (i < x.numElements()) {
+      val v = x.getFloat(i).toDouble; acc += v * v; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_l2norm"
+}
+
+object VectorFunctions {
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProductF(es(0), es(1))),
+    "graft_l2norm" -> (es => L2NormF(es.head)))
+
+  /** Session-scoped registration (idempotent); lets `call_function` and
+    * SQL reach the expressions without SparkSessionExtensions config. */
+  def register(s: SparkSession): Unit = registrations.foreach { case (name, b) =>
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+  }
+
+  def dotF(s: SparkSession, a: Column, b: Column): Column = {
+    register(s); call_function("graft_dot", a, b)
+  }
+  def l2normF(s: SparkSession, a: Column): Column = {
+    register(s); call_function("graft_l2norm", a)
+  }
+}
+
+/** Spark extension point: `--conf spark.sql.extensions=graft.functions.
+  * GraftExtensions` registers the vector functions in every session. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProductF(es(0), es(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2NormF].getName, "graft_l2norm"),
+      (es: Seq[Expression]) => L2NormF(es.head)))
+  }
+}

@@ -18,19 +18,17 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Sequential double-precision dot product as a JVM loop — the same
-    * left-to-right fold (so bit-identical to DuckDB's list_dot_product
-    * over DOUBLE[] and to the Catalyst `aggregate` HOF it replaces), but
-    * ~15× cheaper than interpreted per-element lambdas on the hot
-    * pair-scoring path. */
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var acc = 0.0; var i = 0
-    val n = math.min(a.size, b.size)
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
-  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
-  private def norm(a: Column): Column = sqrt(dotUdf(a, a))
+  /** Pair scoring runs on the native codegen'd Catalyst expressions
+    * (graft.functions.DotProductF / L2NormF): same left-to-right double
+    * fold as DuckDB's list_dot_product over DOUBLE[] — bit-identical —
+    * but inside whole-stage codegen with no boxing (preference order of
+    * SURVEY.md §7.3: native Expression > UDF > interpreted HOF).
+    * Queries call [[graft.functions.VectorFunctions.register]] before
+    * resolving these. */
+  private def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+  private def norm(a: Column): Column =
+    call_function("graft_l2norm", a)
 
   /** float-vector · double-hyperplane variant (sign-LSH projections). */
   private val dotPlaneUdf = udf { (a: Seq[Float], p: Seq[Double]) =>
@@ -44,6 +42,7 @@ object Similarity {
     * Similarities rounded to 6dp before ranking with an id tiebreak so
     * the ordering is stable across engines. */
   def q55CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     // norms once per vector (n + k calls), not once per pair (n·k)
     val q = e.filter(col("vec_id") < 50)
@@ -83,6 +82,7 @@ object Similarity {
     * The bucket join shuffles O(n · tables) rows — the 100 TB path.
     * Approximate by construction → rows-only oracle. */
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     // 6 bits → 64 buckets: sized so buckets hold a few dozen candidates
     // at test scale; at corpus scale nBits grows with log2(n) to keep
     // bucket occupancy constant.
@@ -131,6 +131,7 @@ object Similarity {
     * broadcast of 8 centroids + map-only argmin; the search is an
     * equi-join on cell id. Rows-only oracle. */
   def q57AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", norm(col("embedding")))
     val cents = e.filter(col("vec_id") < 8)

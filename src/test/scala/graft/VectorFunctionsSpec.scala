@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.{GraftExtensions, VectorFunctions}
+
+/** Native codegen'd vector expressions: interpreted eval vs codegen vs a
+  * reference fold must agree bit-exactly, and the SparkSessionExtensions
+  * injection must make the functions SQL-visible. */
+class VectorFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def referenceDot(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < math.min(a.size, b.size)) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  test("graft_dot matches a reference sequential fold bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    val vecs = Seq.fill(50)((Seq.fill(64)(rnd.nextFloat() - 0.5f),
+      Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("a", "b")
+    VectorFunctions.register(spark)
+    val got = df.select(call_function("graft_dot", col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    val want = vecs.map { case (a, b) => referenceDot(a, b) }
+    assert(got.toSeq == want)
+  }
+
+  test("codegen and interpreted paths agree") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    VectorFunctions.register(spark)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = df.select(call_function("graft_dot", col("a"), col("b"))).head.getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val gen = df.select(call_function("graft_dot", col("a"), col("b"))).head.getDouble(0)
+    assert(interp == gen && gen == 32.0)
+  }
+
+  test("extensions make the functions visible in SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "graft_l2norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n")
+      .head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+  }
+
+  test("nulls propagate") {
+    VectorFunctions.register(spark)
+    val r = spark.sql("SELECT graft_dot(NULL, array(CAST(1.0 AS FLOAT)))").head
+    assert(r.isNullAt(0))
+  }
+}

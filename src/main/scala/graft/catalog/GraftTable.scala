@@ -60,21 +60,105 @@ class GraftTable(tableName: String, store: MetadataStore,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  private def currentFiles: Seq[String] =
+  private def currentRelFiles: Seq[String] =
     meta.currentSnapshot.map(_.files).getOrElse(Nil)
-      .map(rel => store.dataDir(ns, table) + "/" + rel)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val spark = SparkSession.active
-    ParquetTable(tableName, spark, options, currentFiles,
-      Some(schema()), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
+  /** Identity-partitioned column names (physical partition dirs exist). */
+  private def identityPartCols: Seq[String] = {
+    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
+    meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
+      .filter(_.transform == "identity").flatMap(f => nameById.get(f.sourceId))
   }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tableName, store.dataDir(ns, table), currentRelFiles,
+      identityPartCols, schema(), options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (frozen) throw new UnsupportedOperationException(
       "cannot write to a time-travel snapshot")
     new GraftWriteBuilder(store, ns, table)
+  }
+}
+
+/** Scan builder with snapshot-manifest partition pruning: identity
+  * partition values are embedded in the manifest's relative file paths
+  * (`commit-X/__part_<col>=<val>/...`), so equality/IN filters on
+  * identity-partitioned columns eliminate whole files before the parquet
+  * delegate is even constructed — the metadata-level file skipping the
+  * reference's hidden-partition spec exists to enable (SURVEY.md §4).
+  * Remaining filters flow to the delegate for row-group skipping. */
+private[graft] class GraftScanBuilder(
+    tableName: String, dataDir: String, relFiles: Seq[String],
+    partCols: Seq[String], tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.sources._
+
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    // everything is also kept as a residual: pruning is best-effort and
+    // the delegate re-checks row groups + rows
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = if (required.isEmpty) tableSchema else required
+
+  /** Allowed value sets per partition column from the pushed filters
+    * (conjunctive): None = unconstrained. */
+  private def allowedValues: Map[String, Set[String]] = {
+    val acc = scala.collection.mutable.Map.empty[String, Set[String]]
+    def intersect(c: String, vs: Set[String]): Unit =
+      acc(c) = acc.get(c).map(_.intersect(vs)).getOrElse(vs)
+    pushed.foreach {
+      case EqualTo(c, v) if partCols.contains(c) => intersect(c, Set(String.valueOf(v)))
+      case EqualNullSafe(c, v) if partCols.contains(c) && v != null =>
+        intersect(c, Set(String.valueOf(v)))
+      case In(c, vs) if partCols.contains(c) =>
+        intersect(c, vs.filter(_ != null).map(String.valueOf).toSet)
+      case _ => ()
+    }
+    acc.toMap
+  }
+
+  private[graft] def prunedRelFiles: Seq[String] = {
+    val allowed = allowedValues
+    if (allowed.isEmpty) relFiles
+    else relFiles.filter { rel =>
+      val kvs = rel.split("/").iterator
+        .filter(_.startsWith("__part_")).flatMap { seg =>
+          seg.stripPrefix("__part_").split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+      allowed.forall { case (c, vs) =>
+        kvs.get(c).forall(vs.contains) // file without the dir key: keep
+      }
+    }
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val files = prunedRelFiles.map(rel => s"$dataDir/$rel")
+    val delegate = ParquetTable(tableName, SparkSession.active, options, files,
+      Some(tableSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+    delegate.pruneColumns(requiredSchema)
+    // hand the supported subset to the delegate for row-group skipping;
+    // the field is `protected var` in Scala but its setter is public
+    // bytecode, so one reflective call bridges it
+    val supported = delegate.pushDataFilters(pushed)
+    classOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
+      .getMethod("pushedDataFilters_$eq", classOf[Array[Filter]])
+      .invoke(delegate, supported)
+    delegate.build()
   }
 }
 

@@ -53,6 +53,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"filter not pushed through catalog scan:\n$plan")
   }
 
+  test("identity-partition filters prune snapshot files before the scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.prune")
+    spark.sql("""CREATE TABLE graft.prune.ev (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.prune.ev VALUES (1,'a'),(2,'b'),(3,'c')")
+    val table = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("prune"), "ev"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val builder = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .asInstanceOf[graft.catalog.GraftScanBuilder]
+    val all = builder.prunedRelFiles.size
+    builder.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("cat", "b")))
+    val pruned = builder.prunedRelFiles
+    assert(all == 3 && pruned.size == 1, s"expected 3 -> 1 files, got $all -> ${pruned.size}")
+    assert(pruned.head.contains("__part_cat=b"))
+    // behavior end-to-end: the filter still returns the right rows
+    val rows = spark.sql("SELECT id FROM graft.prune.ev WHERE cat = 'b'").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("small dimension join is broadcast, not shuffled") {
     val plan = planOf(ops.Relational.q03TopRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")

@@ -246,7 +246,27 @@ object Windows {
       |  EXCEPT ALL SELECT s_nationkey FROM supplier)
       |GROUP BY nationkey ORDER BY nationkey""".stripMargin
 
+  /** Skew-safe two-stage aggregation: the skewed key (event_type has ~8
+    * values over 100k+ rows) is salted into 16 sub-keys for the first
+    * shuffle, then the partials re-aggregate on the bare key — the salt
+    * bounds any single reducer's share at 1/16 of the hottest key. Exact
+    * cents arithmetic keeps the result equal to the unsalted oracle. */
+  def q34SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val salted = graft.Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n_part"), sum(cents(col("value"))).as("cents_part"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("n_part")).as("n"), (sum(col("cents_part")) / 100.0).as("val"))
+      .orderBy(col("event_type"))
+  }
+
+  val q34Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value")} AS val
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_salted_agg"      -> q34SaltedAgg _,
     "q20_window_rank"     -> q20Rank _,
     "q21_window_running"  -> q21Running _,
     "q22_window_laglead"  -> q22LagLead _,
@@ -264,6 +284,7 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q34_salted_agg"     -> q34Sql,
     "q20_window_rank"    -> q20Sql,
     "q21_window_running" -> q21Sql,
     "q22_window_laglead" -> q22Sql,

@@ -101,6 +101,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no codegen span:\n$plan")
   }
 
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      Tables.orders(spark, sf).write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+      Tables.lineitem(spark, sf)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lines")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lines"), col("o_orderkey") === col("l_orderkey"))
+      joined.collect()
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffled:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lines")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("as-of join is one shuffle + window, not a per-row subquery") {
     val plan = planOf(ops.Relational.q10AsofJoin(spark, sf))
     assert(plan.contains("Window"), s"expected window-based as-of:\n$plan")

@@ -134,7 +134,32 @@ object Extended {
       |  INTERSECT ALL SELECT s_nationkey FROM supplier)
       |GROUP BY nationkey ORDER BY nationkey""".stripMargin
 
+  /** DecimalType arithmetic: exact fixed-point aggregation (the decimal
+    * half of the type-system table, SURVEY.md §1.2); final cast to double
+    * keeps the output dtype engine-neutral while every intermediate step
+    * is exact decimal math. */
+  def q35Decimal(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("o_totalprice").cast("decimal(12,2)")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(dec).cast("double").as("sum_dec"),
+        max(dec).cast("double").as("max_dec"),
+        min(dec).cast("double").as("min_dec"),
+        (sum(dec).cast("double") / count(lit(1))).as("avg_dec"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q35Sql: String =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_dec,
+      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_dec,
+      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_dec,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_dec
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_decimal_agg"   -> q35Decimal _,
     "q14_explode_udtf"  -> q14Explode _,
     "q15_udaf_centssum" -> q15Udaf _,
     "q16_pivot"         -> q16Pivot _,
@@ -144,6 +169,7 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q35_decimal_agg"   -> q35Sql,
     "q14_explode_udtf"  -> q14Sql,
     "q15_udaf_centssum" -> q15Sql,
     "q16_pivot"         -> q16Sql,

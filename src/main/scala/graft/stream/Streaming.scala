@@ -150,11 +150,44 @@ object Streaming {
        |  ${sqlSumMoney("value")} AS total_value
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  case class HighSpender(user_id: Long, n_high: Long)
+
+  /** `flatMapGroupsWithState` variant: variable-arity emission — a group
+    * yields a row only when it has high-value events, so state can
+    * swallow groups silently (the shape mapGroupsWithState can't
+    * express). Append mode. */
+  def q74StatefulFlat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = eventStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+    val flagged = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.nEvents
+          rows.foreach { r => if (r.value >= 250.0) n += 1 }
+          state.update(UserState(n, 0L))
+          if (n > 0) Iterator.single(HighSpender(user, n)) else Iterator.empty
+      }
+    val q = flagged.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("q74_" + java.util.UUID.randomUUID().toString.take(8))
+    val started = q.start()
+    started.processAllAvailable(); started.stop()
+    s.table(started.name).orderBy(col("user_id"))
+  }
+
+  val q74Sql: String =
+    """SELECT user_id, COUNT(*) AS n_high FROM events
+      |WHERE value >= 250.0 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stream_tumbling" -> q70Tumbling _,
     "q71_stream_session"  -> q71Session _,
     "q72_stream_dedup"    -> q72StreamDedup _,
     "q73_stream_stateful" -> q73Stateful _,
+    "q74_stream_flatmap"  -> q74StatefulFlat _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -162,5 +195,6 @@ object Streaming {
     "q71_stream_session"  -> q71Sql,
     "q72_stream_dedup"    -> q72Sql,
     "q73_stream_stateful" -> q73Sql,
+    "q74_stream_flatmap"  -> q74Sql,
   )
 }

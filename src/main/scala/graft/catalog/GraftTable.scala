@@ -219,18 +219,15 @@ private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: St
           }
           val newFiles = listRec(java.nio.file.Paths.get(outDir))
             .map(f => s"$relDir/$f")
-          val (base, _) = store.load(ns, table)
-          val prev = if (overwrite) Nil
-            else base.currentSnapshot.map(_.files).getOrElse(Nil)
-          val snap = SnapshotDef(
-            snapshotId = base.lastSequenceNumber + 1,
-            timestampMs = System.currentTimeMillis(),
-            operation = if (overwrite) "overwrite" else "append",
-            files = prev ++ newFiles,
-            summary = Map("added-files" -> newFiles.size.toString))
-          new Committer(store).commit(ns, table,
-            Seq(Requirement.AssertCurrentSnapshotId(base.currentSnapshotId)),
-            Seq(MetadataUpdate.AddSnapshot(snap)))
+          // delta-style updates: the final file list is computed against
+          // the freshly-loaded base inside the CAS retry loop, so racing
+          // appends are commutative (no snapshot-id assertion needed —
+          // appends never conflict; overwrite semantics is last-wins)
+          val now = System.currentTimeMillis()
+          val update =
+            if (overwrite) MetadataUpdate.ReplaceFiles(newFiles, now)
+            else MetadataUpdate.AppendFiles(newFiles, now)
+          new Committer(store).commit(ns, table, Nil, Seq(update))
         }
       }
   }

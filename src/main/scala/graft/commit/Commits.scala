@@ -78,6 +78,31 @@ object MetadataUpdate {
         currentSnapshotId = Some(snapshot.snapshotId),
         lastSequenceNumber = m.lastSequenceNumber + 1)
   }
+  /** Append: new data files join whatever the *fresh* base's current
+    * snapshot holds — the delta is computed at apply time, inside the
+    * committer's retry loop, so two racing appends both survive (the
+    * loser's retry re-applies its delta on top of the winner's snapshot;
+    * a precomputed absolute file list would silently drop the winner's
+    * files). */
+  final case class AppendFiles(newFiles: List[String], timestampMs: Long)
+    extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      val prev = m.currentSnapshot.map(_.files).getOrElse(Nil)
+      AddSnapshot(SnapshotDef(
+        snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
+        operation = "append", files = prev ++ newFiles,
+        summary = Map("added-files" -> newFiles.size.toString))).apply(m)
+    }
+  }
+  /** Overwrite: the new snapshot holds exactly the new files. */
+  final case class ReplaceFiles(newFiles: List[String], timestampMs: Long)
+    extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata =
+      AddSnapshot(SnapshotDef(
+        snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
+        operation = "overwrite", files = newFiles,
+        summary = Map("added-files" -> newFiles.size.toString))).apply(m)
+  }
   final case class AddPartitionSpec(spec: PartitionSpecDef) extends MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata =
       m.copy(specs = m.specs :+ spec, defaultSpecId = spec.specId)

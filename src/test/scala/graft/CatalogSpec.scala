@@ -230,6 +230,24 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(1)).toSeq == Seq("b", "a", "a", "b"))
   }
 
+  test("concurrent INSERTs: racing appends both survive") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.race")
+    spark.sql("CREATE TABLE graft.race.t (id BIGINT)")
+    val threads = 4; val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = (0 until threads).map { tid =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (0 until perThread).foreach { i =>
+          spark.sql(s"INSERT INTO graft.race.t VALUES (${tid * 100 + i})")
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    // every row from every racing append must be visible
+    assert(spark.table("graft.race.t").count() == threads * perThread)
+  }
+
   // -- concurrency: CAS commit single-winner ----------------------------
   test("concurrent commits: no lost updates") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cc")

@@ -72,7 +72,8 @@ class GraftTable(tableName: String, store: MetadataStore,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, store.dataDir(ns, table), currentRelFiles,
-      identityPartCols, schema(), options)
+      identityPartCols, schema(), options,
+      meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (frozen) throw new UnsupportedOperationException(
@@ -91,7 +92,8 @@ class GraftTable(tableName: String, store: MetadataStore,
 private[graft] class GraftScanBuilder(
     tableName: String, dataDir: String, relFiles: Seq[String],
     partCols: Seq[String], tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    fileStats: Map[String, List[graft.meta.ColStatDef]] = Map.empty)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -128,21 +130,59 @@ private[graft] class GraftScanBuilder(
     acc.toMap
   }
 
+  private def partitionAllows(rel: String, allowed: Map[String, Set[String]]): Boolean = {
+    val kvs = rel.split("/").iterator
+      .filter(_.startsWith("__part_")).flatMap { seg =>
+        seg.stripPrefix("__part_").split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+    allowed.forall { case (c, vs) =>
+      kvs.get(c).forall(vs.contains) // file without the dir key: keep
+    }
+  }
+
+  /** Typed compare of a manifest stat string against a filter value,
+    * driven by the table schema. None = incomparable (never prune). */
+  private def cmp(col: String, stat: String, v: Any): Option[Int] = try {
+    import org.apache.spark.sql.types._
+    tableSchema.fields.find(_.name == col).map(_.dataType) match {
+      case Some(IntegerType | LongType) =>
+        Some(java.lang.Long.compare(stat.toLong, String.valueOf(v).toLong))
+      case Some(FloatType | DoubleType) =>
+        Some(java.lang.Double.compare(stat.toDouble, String.valueOf(v).toDouble))
+      case Some(StringType) => Some(stat.compareTo(String.valueOf(v)))
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  /** Min/max file skipping: a conjunct that cannot hold anywhere inside
+    * the file's [min, max] range eliminates the file. Unknown filter
+    * shapes and stat-less columns never prune (safety first). */
+  private def statsAllow(rel: String): Boolean = fileStats.get(rel) match {
+    case None => true
+    case Some(stats) =>
+      val byCol = stats.map(s => s.name -> s).toMap
+      def range(c: String): Option[graft.meta.ColStatDef] = byCol.get(c)
+      pushed.forall {
+        case EqualTo(c, v) => range(c).forall(st =>
+          cmp(c, st.min, v).forall(_ <= 0) && cmp(c, st.max, v).forall(_ >= 0))
+        case In(c, vs) => range(c).forall(st => vs.exists(v =>
+          cmp(c, st.min, v).forall(_ <= 0) && cmp(c, st.max, v).forall(_ >= 0)))
+        case GreaterThan(c, v) => range(c).forall(st => cmp(c, st.max, v).forall(_ > 0))
+        case GreaterThanOrEqual(c, v) => range(c).forall(st => cmp(c, st.max, v).forall(_ >= 0))
+        case LessThan(c, v) => range(c).forall(st => cmp(c, st.min, v).forall(_ < 0))
+        case LessThanOrEqual(c, v) => range(c).forall(st => cmp(c, st.min, v).forall(_ <= 0))
+        case _ => true
+      }
+  }
+
   private[graft] def prunedRelFiles: Seq[String] = {
     val allowed = allowedValues
-    if (allowed.isEmpty) relFiles
-    else relFiles.filter { rel =>
-      val kvs = rel.split("/").iterator
-        .filter(_.startsWith("__part_")).flatMap { seg =>
-          seg.stripPrefix("__part_").split("=", 2) match {
-            case Array(k, v) => Some(k -> v)
-            case _ => None
-          }
-        }.toMap
-      allowed.forall { case (c, vs) =>
-        kvs.get(c).forall(vs.contains) // file without the dir key: keep
-      }
-    }
+    relFiles
+      .filter(rel => allowed.isEmpty || partitionAllows(rel, allowed))
+      .filter(statsAllow)
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
@@ -224,9 +264,13 @@ private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: St
           // appends are commutative (no snapshot-id assertion needed —
           // appends never conflict; overwrite semantics is last-wins)
           val now = System.currentTimeMillis()
+          // footer-only stats harvest per new file → manifest min/max
+          val stats = newFiles.map { rel =>
+            rel -> FileStats.harvest(store.dataDir(ns, table) + "/" + rel)
+          }.filter(_._2.nonEmpty).toMap
           val update =
-            if (overwrite) MetadataUpdate.ReplaceFiles(newFiles, now)
-            else MetadataUpdate.AppendFiles(newFiles, now)
+            if (overwrite) MetadataUpdate.ReplaceFiles(newFiles, now, stats)
+            else MetadataUpdate.AppendFiles(newFiles, now, stats)
           new Committer(store).commit(ns, table, Nil, Seq(update))
         }
       }

@@ -84,24 +84,29 @@ object MetadataUpdate {
     * loser's retry re-applies its delta on top of the winner's snapshot;
     * a precomputed absolute file list would silently drop the winner's
     * files). */
-  final case class AppendFiles(newFiles: List[String], timestampMs: Long)
+  final case class AppendFiles(newFiles: List[String], timestampMs: Long,
+                               stats: Map[String, List[ColStatDef]] = Map.empty)
     extends MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata = {
       val prev = m.currentSnapshot.map(_.files).getOrElse(Nil)
+      val prevStats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
       AddSnapshot(SnapshotDef(
         snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
         operation = "append", files = prev ++ newFiles,
-        summary = Map("added-files" -> newFiles.size.toString))).apply(m)
+        summary = Map("added-files" -> newFiles.size.toString),
+        fileStats = prevStats ++ stats)).apply(m)
     }
   }
   /** Overwrite: the new snapshot holds exactly the new files. */
-  final case class ReplaceFiles(newFiles: List[String], timestampMs: Long)
+  final case class ReplaceFiles(newFiles: List[String], timestampMs: Long,
+                                stats: Map[String, List[ColStatDef]] = Map.empty)
     extends MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata =
       AddSnapshot(SnapshotDef(
         snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
         operation = "overwrite", files = newFiles,
-        summary = Map("added-files" -> newFiles.size.toString))).apply(m)
+        summary = Map("added-files" -> newFiles.size.toString),
+        fileStats = stats)).apply(m)
   }
   final case class AddPartitionSpec(spec: PartitionSpecDef) extends MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata =

@@ -27,10 +27,19 @@ final case class PartitionSpecDef(specId: Int, fields: List[PartitionFieldDef])
 final case class SortFieldDef(sourceId: Int, direction: String, nullOrder: String)
 final case class SortOrderDef(orderId: Int, fields: List[SortFieldDef])
 
-/** A committed data version: the files visible at this snapshot. */
+/** Per-file, per-column value range harvested from parquet footers at
+  * commit time (min/max as strings, typed by the table schema at prune
+  * time). The manifest-level stats that let a scan skip whole files on
+  * range predicates without opening them. */
+final case class ColStatDef(name: String, min: String, max: String, nulls: Long)
+
+/** A committed data version: the files visible at this snapshot, plus
+  * optional per-file column stats keyed by relative file path. */
 final case class SnapshotDef(snapshotId: Long, timestampMs: Long,
                              operation: String, files: List[String],
-                             summary: Map[String, String])
+                             summary: Map[String, String],
+                             fileStats: Map[String, List[ColStatDef]] =
+                               Map.empty)
 
 final case class TableMetadata(
     formatVersion: Int,

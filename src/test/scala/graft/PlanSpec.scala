@@ -76,6 +76,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("manifest min/max stats skip files on range predicates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("""CREATE TABLE graft.stats.t (id BIGINT, v DOUBLE)
+      TBLPROPERTIES ('write.sort-order'='id')""")
+    // three commits with disjoint id ranges → three file groups whose
+    // manifest stats don't overlap
+    spark.sql("INSERT INTO graft.stats.t SELECT id, CAST(id AS DOUBLE) FROM range(1, 11)")
+    spark.sql("INSERT INTO graft.stats.t SELECT id, CAST(id AS DOUBLE) FROM range(100, 111)")
+    spark.sql("INSERT INTO graft.stats.t SELECT id, CAST(id AS DOUBLE) FROM range(1000, 1011)")
+    val table = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("stats"), "t"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val builder = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .asInstanceOf[graft.catalog.GraftScanBuilder]
+    val all = builder.prunedRelFiles.size
+    builder.pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("id", 500L)))
+    val pruned = builder.prunedRelFiles.size
+    assert(pruned < all, s"stats did not prune: $all -> $pruned files")
+    // behavior unchanged
+    assert(spark.sql("SELECT count(*) FROM graft.stats.t WHERE id > 500")
+      .head.getLong(0) == 11L)
+    assert(spark.sql("SELECT count(*) FROM graft.stats.t").head.getLong(0) == 32L)
+  }
+
   test("small dimension join is broadcast, not shuffled") {
     val plan = planOf(ops.Relational.q03TopRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")

@@ -82,6 +82,36 @@ class CommitPropertySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { dup.apply(base) }
   }
 
+  test("store edge cases: missing versions, cross-namespace rename, double drop") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-edge").toString
+    val store = new MetadataStore(wh)
+    store.createNamespace(Seq("a"), Map.empty)
+    store.createNamespace(Seq("b"), Map.empty)
+    store.createTable(Seq("a"), "t", base)
+    intercept[Exception] { store.loadVersion(Seq("a"), "t", 99) }
+    intercept[Exception] { store.load(Seq("a"), "missing") }
+    store.renameTable(Seq("a"), "t", Seq("b"), "t2") // cross-namespace
+    assert(store.tableExists(Seq("b"), "t2") && !store.tableExists(Seq("a"), "t"))
+    assert(store.dropTable(Seq("b"), "t2"))
+    assert(!store.dropTable(Seq("b"), "t2")) // idempotent false
+    assert(store.dropNamespace(Seq("a")) && store.dropNamespace(Seq("b")))
+  }
+
+  test("file stats survive the append/replace delta updates") {
+    val stats = Map("f1.parquet" -> List(ColStatDef("id", "1", "10", 0)))
+    val m1 = MetadataUpdate.AppendFiles(List("f1.parquet"), 1000L, stats).apply(base)
+    assert(m1.currentSnapshot.get.fileStats == stats)
+    val stats2 = Map("f2.parquet" -> List(ColStatDef("id", "11", "20", 0)))
+    val m2 = MetadataUpdate.AppendFiles(List("f2.parquet"), 2000L, stats2).apply(m1)
+    assert(m2.currentSnapshot.get.fileStats == stats ++ stats2)
+    assert(m2.currentSnapshot.get.files == List("f1.parquet", "f2.parquet"))
+    val m3 = MetadataUpdate.ReplaceFiles(List("f3.parquet"), 3000L, Map.empty).apply(m2)
+    assert(m3.currentSnapshot.get.files == List("f3.parquet"))
+    assert(m3.currentSnapshot.get.fileStats.isEmpty)
+    // JSON round-trip with stats present
+    assert(TableMetadata.fromJson(TableMetadata.toJson(m2)) == m2)
+  }
+
   test("metadata JSON round-trips losslessly") {
     check(Prop.forAll(Gen.listOfN(4, keyGen)) { ks =>
       val m = base.copy(

@@ -161,10 +161,51 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate detection — the vector flavor of
+    * dedup: sign-LSH buckets generate candidate pairs (ids only through
+    * the shuffle), exact cosine verifies, pairs >= 0.35 survive (this
+    * corpus's near-dup band; true dups would sit near 1.0). Same banding
+    * recall/cost trade as MinHash-LSH; approximate → rows-only oracle. */
+  def q64DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val nBits = 6; val dim = 64
+    def planes(seed: Int): Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nBits, dim)(rnd.nextGaussian())
+    }
+    def bucket(v: Column, pl: Array[Array[Double]]): Column =
+      (0 until nBits).map { i =>
+        val plane = array(pl(i).map(lit): _*)
+        when(dotPlaneUdf(v, plane) >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
+      }.reduce(_ bitwiseOR _)
+
+    val e = Tables.embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
+    val hashed = e.select(col("vec_id"),
+      explode(array(Seq(planes(21), planes(33)).zipWithIndex.map { case (pl, t) =>
+        struct(lit(t).as("t"), bucket(col("embedding"), pl).as("b"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val a = hashed.select(col("t"), col("b"), col("vec_id").as("id_a"))
+    val b = hashed.select(col("t"), col("b"), col("vec_id").as("id_b"))
+    val pairs = a.join(b, Seq("t", "b")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    val vecs = e.select(col("vec_id"), col("embedding"), col("nrm"))
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= 0.35)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q55_cosine_topk" -> q55CosineTopK _,
-    "q56_ann_lsh"     -> q56AnnLsh _,
-    "q57_ann_ivf"     -> q57AnnIvf _,
+    "q55_cosine_topk"      -> q55CosineTopK _,
+    "q56_ann_lsh"          -> q56AnnLsh _,
+    "q57_ann_ivf"          -> q57AnnIvf _,
+    "q64_dedup_embedding"  -> q64DedupEmbedding _,
   )
 
   val oracle: Map[String, String] = Map(

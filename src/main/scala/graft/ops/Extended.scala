@@ -158,7 +158,31 @@ object Extended {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_dec
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Pure non-equi (range) join: events banded by value against an
+    * inline band dimension — no equi key, so Catalyst plans a
+    * BroadcastNestedLoopJoin; correct at scale only because the build
+    * side is O(bands). (The equi+residual theta shape is q09.) */
+  def q36RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(5).select(
+      col("id").cast("int").as("band_id"),
+      (col("id") * 100.0).as("lo"), ((col("id") + 1) * 100.0).as("hi"))
+    graft.Tables.events(s, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("val"))
+      .orderBy(col("band_id"))
+  }
+
+  val q36Sql: String =
+    s"""SELECT band_id, COUNT(*) AS n, ${Exact.sqlSumMoney("value")} AS val
+       |FROM events JOIN (
+       |  SELECT CAST(r AS INTEGER) AS band_id, r*100.0 AS lo, (r+1)*100.0 AS hi
+       |  FROM range(5) t(r)) bands
+       |ON value >= lo AND value < hi
+       |GROUP BY band_id ORDER BY band_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_range_join"    -> q36RangeJoin _,
     "q35_decimal_agg"   -> q35Decimal _,
     "q14_explode_udtf"  -> q14Explode _,
     "q15_udaf_centssum" -> q15Udaf _,
@@ -169,6 +193,7 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q36_range_join"    -> q36Sql,
     "q35_decimal_agg"   -> q35Sql,
     "q14_explode_udtf"  -> q14Sql,
     "q15_udaf_centssum" -> q15Sql,

@@ -74,9 +74,46 @@ object Multimodal {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Long, feature: Long)
+
+  /** Frame sampling: each payload is chunked into fixed 64-byte "frames"
+    * (standing in for video frame extraction), every 4th frame is
+    * sampled, and a stub per-frame featurizer runs partition-locally.
+    * The explode happens inside mapPartitions so one input row fans out
+    * to many feature rows without a generator plan node — the batch
+    * shape a real decode+sample stage has. Rows-only oracle (stub
+    * features); frame counts are deterministic from n_bytes. */
+  def q65MultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("video/fake").as("mime"), col("source").as("src"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .as[MediaRow]
+    val frameSize = 64; val sampleEvery = 4
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = math.max((r.payload.length + frameSize - 1) / frameSize, 1)
+        (0 until nFrames by sampleEvery).iterator.map { idx =>
+          val from = idx * frameSize
+          val until = math.min(from + frameSize, r.payload.length)
+          val chunk = java.util.Arrays.copyOfRange(r.payload, from, math.max(until, from))
+          val (_, _, cs) = fakeDecode(chunk) // STUB featurizer per frame
+          Frame(r.doc_id, idx, (until - from).toLong, cs)
+        }
+      }
+    }.toDF()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("frame_bytes")).as("sampled_bytes"),
+        min(col("feature")).as("min_feature"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_multimodal_meta"   -> q62MultimodalMeta _,
     "q63_multimodal_decode" -> q63MultimodalDecode _,
+    "q65_multimodal_frames" -> q65MultimodalFrames _,
   )
 
   val oracle: Map[String, String] = Map(

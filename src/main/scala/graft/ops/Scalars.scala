@@ -212,7 +212,27 @@ object Scalars {
        |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
        |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
 
+  /** Sliding windows (10-minute windows every 5 minutes): each event
+    * lands in two overlapping windows — `window(ts, size, slide)`
+    * duplicates map-side, aggregation stays one shuffle. Oracle unrolls
+    * the two candidate starts per event. */
+  def q48SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes")
+        .getField("start").as("win_start"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("val"))
+      .orderBy(col("win_start"))
+
+  val q48Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |starts AS (
+       |  SELECT value, ts, time_bucket(INTERVAL '5 minutes', ts) - (r * INTERVAL '5 minutes') AS win_start
+       |  FROM events_n, range(2) t(r))
+       |SELECT win_start, COUNT(*) AS n, ${sqlSumMoney("value")} AS val
+       |FROM starts GROUP BY win_start ORDER BY win_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_sliding_window" -> q48SlidingWindow _,
     "q40_string_funcs" -> q40String _,
     "q41_date_funcs"   -> q41Date _,
     "q42_math_funcs"   -> q42Math _,
@@ -224,6 +244,7 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q48_sliding_window" -> q48Sql,
     "q40_string_funcs" -> q40Sql,
     "q41_date_funcs"   -> q41Sql,
     "q42_math_funcs"   -> q42Sql,

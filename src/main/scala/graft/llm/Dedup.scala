@@ -12,17 +12,6 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Word-k-shingle set, hashed to 64-bit via xxhash64 — the unit of
-    * near-dup similarity. `transform(sequence(...))` keeps shingling
-    * inside Catalyst expressions (no UDF). */
-  private def shingleHashes(text: Column, k: Int = 3): Column = {
-    val words = split(trim(text), "\\s+")
-    val shingles = transform(
-      sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
-      i => concat_ws(" ", (0 until k).map(j => element_at(words, i + j)): _*))
-    array_distinct(transform(shingles, s => xxhash64(s)))
-  }
-
   /** Exact Jaccard over two distinct-element long arrays in one pass
     * (one HashSet build + one probe sweep — cheaper than
     * array_intersect + array_union, which each build their own set).
@@ -65,21 +54,6 @@ object Dedup {
       |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
       |ORDER BY doc_id""".stripMargin
 
-  /** MinHash + LSH near-dup detection.
-    *
-    * Pipeline (all shuffle-by-key, 100 TB safe):
-    *   1. shingle + hash each doc (map-only);
-    *   2. 64-"permutation" MinHash signature: permutation i is the
-    *      seed-salted rehash xxhash64(shingleHash, i) (ANSI-safe — no
-    *      overflowing multiply — and well mixed), minimized per doc with
-    *      one `transform`+`array_min` per permutation — map-only;
-    *   3. LSH banding 16 bands × 4 rows: explode to (band, bandHash),
-    *      self-equi-join on the band bucket (never a cross join);
-    *   4. verify candidates with exact shingle-set Jaccard
-    *      (array_intersect/union on the two docs' shingle sets).
-    * Emits verified pairs with jaccard >= 0.5. Not SQL-expressible in
-    * DuckDB → rows-only oracle.
-    */
   /** splitmix64 finalizer — the per-permutation mixer for MinHash. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -124,16 +98,26 @@ object Dedup {
 
   private val shingleUdf = udf { text: String => shingleKernel(text, 3) }
 
+  /** MinHash + LSH near-dup detection.
+    *
+    * Pipeline (all shuffle-by-key, 100 TB safe):
+    *   1. word-3-shingle + 64-bit hash per doc (one-pass kernel, map-only);
+    *   2. 64-permutation MinHash signature: permutation i is
+    *      min over shingles of splitmix64(h ^ seed_i) — a tight JVM loop,
+    *      one UDF call per doc, map-only;
+    *   3. LSH banding 16 bands × 4 rows: explode to (band, bandHash) and
+    *      self-equi-join on the bucket — ids only through the shuffle,
+    *      never a cross join;
+    *   4. re-attach shingle sets to the deduped pair list and verify with
+    *      exact single-pass Jaccard; emit pairs >= 0.5.
+    * Not SQL-expressible in DuckDB → rows-only oracle.
+    */
   def q52MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val nPerm = 64; val bands = 16; val rowsPerBand = nPerm / bands
 
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
 
-    // Signature kernel as a tight Scala loop (one UDF call per doc):
-    // |shingles| × 64 mixes dominates this operator's cost, and a JVM
-    // while-loop beats interpreted per-element HOF lambdas ~10×. The
-    // shingling stays in Catalyst; only the numeric kernel drops out.
     val seeds = minhashSeeds
     val sigUdf = udf { sh: Seq[Long] =>
       val mins = Array.fill(nPerm)(Long.MaxValue)

@@ -245,6 +245,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean =
     store.dropTable(ident.namespace.toSeq, ident.name)
 
+  /** Maintenance: compact the current snapshot's files into
+    * `targetFileCount` files (small-file problem at scale). Reads the
+    * live table, rewrites coalesced data, commits a ReplaceFiles
+    * snapshot — readers see either the old or the new layout, never a
+    * mix (same CAS protocol as every other commit). */
+  def compact(ident: Identifier, targetFileCount: Int = 1): TableMetadata = {
+    val ns = ident.namespace.toSeq
+    val spark = org.apache.spark.sql.SparkSession.active
+    val current = spark.table((name() +: ident.namespace :+ ident.name).mkString("."))
+    val commitId = java.util.UUID.randomUUID().toString
+    val relDir = s"compact-$commitId"
+    val outDir = store.dataDir(ns, ident.name) + "/" + relDir
+    current.repartition(targetFileCount)
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
+    val newFiles = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).map(f => s"$relDir/$f").toList
+    val stats = newFiles.map { rel =>
+      rel -> graft.meta.FileStats.harvest(store.dataDir(ns, ident.name) + "/" + rel)
+    }.filter(_._2.nonEmpty).toMap
+    commit(ident, Nil,
+      Seq(MetadataUpdate.ReplaceFiles(newFiles, System.currentTimeMillis(), stats)))
+  }
+
+  /** Maintenance: retain only the `keep` most recent metadata versions'
+    * reachable state — deletes data files referenced by no retained
+    * snapshot and removes older metadata versions. Time travel reaches
+    * only retained versions afterwards. */
+  def expireSnapshots(ident: Identifier, keep: Int = 1): Int = {
+    require(keep >= 1, "must keep at least one version")
+    val ns = ident.namespace.toSeq
+    val latest = store.currentVersion(ns, ident.name)
+    if (latest == 0) throw new NoSuchTableException(ident)
+    val cutoff = math.max(latest - keep + 1, 1)
+    // a file is live iff some retained version's *current* snapshot holds
+    // it (the snapshot history list inside newer metadata references every
+    // past file — using it would retain everything forever)
+    val retainedFiles = (cutoff to latest).flatMap { v =>
+      store.loadVersion(ns, ident.name, v).currentSnapshot
+        .map(_.files).getOrElse(Nil)
+    }.toSet
+    val dataDir = java.nio.file.Paths.get(store.dataDir(ns, ident.name))
+    var removed = 0
+    // delete unreferenced data files
+    if (java.nio.file.Files.isDirectory(dataDir)) {
+      val walk = java.nio.file.Files.walk(dataDir)
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toList.foreach { p =>
+          val rel = dataDir.relativize(p).toString
+          if (!retainedFiles.contains(rel)) {
+            java.nio.file.Files.delete(p); removed += 1
+          }
+        }
+      finally walk.close()
+    }
+    // drop expired metadata versions (current pointer = max version file)
+    (1 until cutoff).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(store.metadataLocation(ns, ident.name, v)))
+    }
+    removed
+  }
+
   // purgeTable: TableCatalog's default throws UnsupportedOperationException,
   // matching the reference's purge → NotImplemented (tables.go:288-295).
 

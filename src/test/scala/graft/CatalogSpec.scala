@@ -230,6 +230,35 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(1)).toSeq == Seq("b", "a", "a", "b"))
   }
 
+  test("compaction rewrites many small files into one, data unchanged") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.t (id BIGINT)")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO graft.maint.t VALUES ($i)"))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("maint"), "t")
+    val before = catalog.metadataStore.load(Seq("maint"), "t")._1
+      .currentSnapshot.get.files.size
+    assert(before >= 5)
+    val m = catalog.compact(ident, targetFileCount = 1)
+    assert(m.currentSnapshot.get.files.size == 1)
+    assert(spark.table("graft.maint.t").collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 5L))
+  }
+
+  test("snapshot expiration deletes unreferenced files and old versions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.exp")
+    spark.sql("CREATE TABLE graft.exp.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.exp.t VALUES (1)")
+    spark.sql("INSERT OVERWRITE graft.exp.t VALUES (2)") // orphans v2's file
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("exp"), "t")
+    val removed = catalog.expireSnapshots(ident, keep = 1)
+    assert(removed >= 1) // the overwritten file is physically gone
+    assert(spark.table("graft.exp.t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // expired versions are no longer time-travelable
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.exp.t VERSION AS OF 1").collect()
+    }
+  }
+
   test("concurrent INSERTs: racing appends both survive") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.race")
     spark.sql("CREATE TABLE graft.race.t (id BIGINT)")

@@ -34,7 +34,9 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", handle _)
-  server.setExecutor(null)
+  // concurrent request handling (gin serves per-goroutine; handlers are
+  // stateless and the store's CAS protocol arbitrates writers)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)

@@ -112,6 +112,19 @@ class CommitPropertySpec extends AnyFunSuite {
     assert(TableMetadata.fromJson(TableMetadata.toJson(m2)) == m2)
   }
 
+  test("append deltas commute up to file-set equality") {
+    check(Prop.forAll(Gen.listOfN(5, keyGen).map(_.distinct)) { names =>
+      val appends = names.zipWithIndex.map { case (n, i) =>
+        MetadataUpdate.AppendFiles(List(s"$n-$i.parquet"), i.toLong)
+      }
+      val results = appends.permutations.take(12).map { perm =>
+        val m = perm.foldLeft(base)((acc, u) => u.apply(acc))
+        (m.currentSnapshot.get.files.toSet, m.lastSequenceNumber)
+      }.toSet
+      results.size == 1 // same file set and sequence number in any order
+    })
+  }
+
   test("metadata JSON round-trips losslessly") {
     check(Prop.forAll(Gen.listOfN(4, keyGen)) { ks =>
       val m = base.copy(

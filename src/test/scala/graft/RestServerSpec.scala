@@ -207,6 +207,25 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(req("DELETE", "/v1/namespaces/busy_rest").statusCode() == 204)
   }
 
+  test("concurrent property commits over the wire: CAS keeps every update") {
+    req("POST", "/v1/namespaces", """{"namespace":["cc_rest"]}""")
+    req("POST", "/v1/namespaces/cc_rest/tables", s"""{"name":"t","schema":$tableSchema}""")
+    val threads = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = (0 until threads).map { tid =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = req("POST", "/v1/namespaces/cc_rest/tables/t",
+          s"""{"updates":[{"action":"set-properties","updates":{"k$tid":"v"}}]}""")
+          .statusCode()
+      })
+    }
+    assert(futures.forall(_.get() == 200))
+    pool.shutdown()
+    val load = parse(req("GET", "/v1/namespaces/cc_rest/tables/t"))
+    val props = (load \ "metadata" \ "properties").extract[Map[String, String]]
+    assert((0 until threads).forall(t => props.contains(s"k$t")))
+  }
+
   test("error taxonomy over the wire (server_test.go:262-315)") {
     assert(req("GET", "/v1/namespaces/non_existent").statusCode() == 404)
     val r = req("GET", "/v1/namespaces/non_existent")

@@ -187,7 +187,11 @@ private[graft] class GraftScanBuilder(
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val files = prunedRelFiles.map(rel => s"$dataDir/$rel")
-    val delegate = ParquetTable(tableName, SparkSession.active, options, files,
+    val spark = SparkSession.active
+    // resolve columns by the field ids stamped at write time, so files
+    // written before a column rename still serve the renamed column
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val delegate = ParquetTable(tableName, spark, options, files,
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)
     delegate.pruneColumns(requiredSchema)
@@ -238,7 +242,13 @@ private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: St
             .flatMap(f => nameById.get(f.sourceId))
             .filter(data.columns.contains)
 
-          var out = data
+          // stamp table field ids onto the outgoing columns so the parquet
+          // writer records them (fieldId.write is on by default) — the
+          // read side then resolves by id, making renames metadata-only
+          val schemaFields = SchemaBridge.toSpark(meta0.currentSchema)
+          var out = data.select(schemaFields.fields.toSeq.map { f =>
+            org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)
+          }: _*)
           if (sortCols.nonEmpty)
             out = out.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
           val writer = if (identCols.nonEmpty) {

@@ -85,13 +85,17 @@ object TableMetadata {
 }
 
 /** Spark StructType ↔ metadata schema bridge. Field ids are carried in
-  * each StructField's metadata under `graft.field-id` so renames preserve
-  * column identity (reference keeps ids in the Iceberg schema JSON;
+  * each StructField's metadata under `parquet.field.id` — Spark's native
+  * field-id key, so (a) the parquet writer stamps ids into data files and
+  * (b) the reader resolves columns by id when
+  * `spark.sql.parquet.fieldId.read.enabled` is on — making column RENAME
+  * a pure metadata operation that still reads old files correctly
+  * (reference keeps ids in the Iceberg schema JSON;
   * `/root/reference/test/server_test.go:155-160`). */
 object SchemaBridge {
   import org.apache.spark.sql.types._
 
-  val FieldIdKey = "graft.field-id"
+  val FieldIdKey = "parquet.field.id"
 
   def toSpark(s: SchemaDef): StructType =
     StructType(s.fields.map { f =>

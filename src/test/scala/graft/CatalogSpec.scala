@@ -146,10 +146,13 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("requirement failed"))
 
-    // rename column keeps the field id
+    // rename column keeps the field id — and old files still serve the
+    // renamed column's DATA (field-id resolution, not name matching)
     spark.sql("ALTER TABLE graft.evo.t RENAME COLUMN name TO full_name")
     val renamed = spark.table("graft.evo.t").schema
     assert(renamed("full_name").metadata.getLong(SchemaBridge.FieldIdKey) == 2L)
+    assert(spark.sql("SELECT full_name FROM graft.evo.t WHERE id = 1")
+      .collect()(0).getString(0) == "x")
   }
 
   test("rename table and rename back (server_test.go:227-248)") {

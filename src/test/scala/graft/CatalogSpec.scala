@@ -153,6 +153,25 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(renamed("full_name").metadata.getLong(SchemaBridge.FieldIdKey) == 2L)
     assert(spark.sql("SELECT full_name FROM graft.evo.t WHERE id = 1")
       .collect()(0).getString(0) == "x")
+
+    // drop column: files keep the physical column, schema hides it
+    spark.sql("ALTER TABLE graft.evo.t DROP COLUMN updated_at")
+    assert(spark.table("graft.evo.t").schema.fieldNames.toSeq
+      == Seq("id", "full_name"))
+    assert(spark.sql("SELECT id FROM graft.evo.t").count() == 1)
+  }
+
+  test("type widening: int -> bigint still reads old files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.widen")
+    spark.sql("CREATE TABLE graft.widen.t (id INT, v INT)")
+    spark.sql("INSERT INTO graft.widen.t VALUES (1, 10)")
+    spark.sql("ALTER TABLE graft.widen.t ALTER COLUMN v TYPE BIGINT")
+    assert(spark.table("graft.widen.t").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT v FROM graft.widen.t").collect()(0).getLong(0) == 10L)
+    spark.sql("INSERT INTO graft.widen.t VALUES (2, 5000000000)") // > int range
+    assert(spark.sql("SELECT sum(v) FROM graft.widen.t").collect()(0).getLong(0)
+      == 5000000010L)
   }
 
   test("rename table and rename back (server_test.go:227-248)") {

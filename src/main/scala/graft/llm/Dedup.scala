@@ -236,7 +236,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup clusters + keep/drop decisions: connected components over
+    * the verified MinHash pairs via iterative min-label propagation
+    * (each round: every doc adopts the smallest label among itself and
+    * its neighbors; converges in <= graph-diameter rounds — bounded here,
+    * and at 100 TB this is the standard alternating-join CC, all
+    * equi-joins on doc ids). Output: every clustered doc with its
+    * cluster representative (min doc_id) and the keep decision.
+    * Rows-only oracle (derived from the LSH pair set). */
+  def q67DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q52MinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    // undirected edges both ways; materialized once — each propagation
+    // round is truncated with localCheckpoint so the plan stays O(1)
+    // deep (10 rounds of nested joins would otherwise blow up analysis)
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id"))).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 10) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.withColumnRenamed("label", "l_new")
+        .join(labels.withColumnRenamed("label", "l_old"), Seq("doc_id"))
+        .filter(col("l_new") =!= col("l_old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+      .select(col("doc_id"), col("label").as("cluster_rep"),
+        (col("doc_id") === col("label")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_dedup_clusters" -> q67DedupClusters _,
     "q50_dedup_exact"   -> q50Exact _,
     "q51_dedup_norm"    -> q51Norm _,
     "q52_dedup_minhash" -> q52MinHashLsh _,

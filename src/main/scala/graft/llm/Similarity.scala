@@ -125,25 +125,44 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** IVF-style partitioned ANN: coarse-quantize every vector to its
-    * nearest of 8 fixed centroid vectors (vec_id 0..7 — a real system
-    * would k-means these; the assignment/probe plumbing is what matters),
-    * then probe the query's 2 nearest cells only. Cell assignment is a
-    * broadcast of 8 centroids + map-only argmin; the search is an
-    * equi-join on cell id. Rows-only oracle. */
+  /** IVF partitioned ANN with one Lloyd training round: seed centroids
+    * (vec_id 0..7) → assign every vector → refine each centroid to its
+    * cell's element-wise mean (posexplode + per-(cell,pos) avg, rebuilt
+    * with a sort_array — no collect to the driver) → re-assign against
+    * the refined centroids → probe the query's 2 nearest cells only.
+    * Assignment is a broadcast of k centroids + map-only argmin; the
+    * search is an equi-join on cell id. Rows-only oracle. */
   def q57AnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", norm(col("embedding")))
-    val cents = e.filter(col("vec_id") < 8)
+
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("d0", round(dot(col("embedding"), col("cent")) /
+          (col("nrm") * col("cent_nrm")), 6))
+        .withColumn("rk0", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d0").desc, col("cent_id"))))
+
+    val seed = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
         col("nrm").as("cent_nrm"))
-    // nearest cell per vector (and 2 nearest for queries)
-    val withDist = e.crossJoin(broadcast(cents))
-      .withColumn("d", round(dot(col("embedding"), col("cent")) /
-        (col("nrm") * col("cent_nrm")), 6))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))
-    val assigned = withDist.withColumn("rk", row_number().over(w))
+
+    // one Lloyd round: cell means become the refined centroids
+    val cells0 = assign(seed).filter(col("rk0") === 1)
+      .select(col("cent_id").as("cell0"), col("embedding"))
+    val refined = cells0
+      .select(col("cell0"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell0"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("cell0"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m").cast("float")).as("cent"))
+      .select(col("cell0").as("cent_id"), col("cent"), norm(col("cent")).as("cent_nrm"))
+
+    // re-assign against refined centroids (and 2 nearest for queries)
+    val assigned = assign(refined)
+      .withColumnRenamed("d0", "d").withColumnRenamed("rk0", "rk")
     val cells = assigned.filter(col("rk") === 1)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"), col("cent_id").as("cell"))

@@ -48,6 +48,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       k.stripPrefix("defaults.") -> v }.toMap
     overrides = all.collect { case (k, v) if k.startsWith("overrides.") =>
       k.stripPrefix("overrides.") -> v }.toMap
+    // scans resolve columns by the field ids stamped at write time (so
+    // files written before a rename still serve the renamed column); set
+    // once here rather than mutating session conf per scan build
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.conf.set("spark.sql.parquet.fieldId.read.enabled", "true"))
   }
 
   override def name(): String = catalogName
@@ -247,33 +252,70 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** Maintenance: compact the current snapshot's files into
     * `targetFileCount` files (small-file problem at scale). Reads the
-    * live table, rewrites coalesced data, commits a ReplaceFiles
-    * snapshot — readers see either the old or the new layout, never a
-    * mix (same CAS protocol as every other commit). */
-  def compact(ident: Identifier, targetFileCount: Int = 1): TableMetadata = {
+    * snapshot pinned at entry (VERSION AS OF), rewrites coalesced data,
+    * and commits a ReplaceFiles snapshot guarded by
+    * AssertCurrentSnapshotId — an append that lands between the scan and
+    * the CAS makes this attempt fail (instead of being silently dropped
+    * by re-applying the precomputed file list), and compaction rescans
+    * from the fresh state. Readers see either the old or the new layout,
+    * never a mix. */
+  def compact(ident: Identifier, targetFileCount: Int = 1,
+              maxAttempts: Int = 3): TableMetadata = {
     val ns = ident.namespace.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
-    val current = spark.table((name() +: ident.namespace :+ ident.name).mkString("."))
-    val commitId = java.util.UUID.randomUUID().toString
-    val relDir = s"compact-$commitId"
-    val outDir = store.dataDir(ns, ident.name) + "/" + relDir
-    current.repartition(targetFileCount)
-      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
-    val newFiles = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
-      .iterator().asScala.map(_.getFileName.toString)
-      .filter(_.endsWith(".parquet")).map(f => s"$relDir/$f").toList
-    val stats = newFiles.map { rel =>
-      rel -> graft.meta.FileStats.harvest(store.dataDir(ns, ident.name) + "/" + rel)
-    }.filter(_._2.nonEmpty).toMap
-    commit(ident, Nil,
-      Seq(MetadataUpdate.ReplaceFiles(newFiles, System.currentTimeMillis(), stats)))
+    val fqn = (name() +: ident.namespace :+ ident.name).mkString(".")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val (base, version) = store.load(ns, ident.name)
+      // scan exactly the snapshot we assert on — not whatever is current
+      // by the time the job runs
+      val current = spark.sql(s"SELECT * FROM $fqn VERSION AS OF $version")
+      val commitId = java.util.UUID.randomUUID().toString
+      val relDir = s"compact-$commitId"
+      val outDir = store.dataDir(ns, ident.name) + "/" + relDir
+      current.repartition(targetFileCount)
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
+      val newFiles = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).map(f => s"$relDir/$f").toList
+      val stats = newFiles.map { rel =>
+        rel -> graft.meta.FileStats.harvest(store.dataDir(ns, ident.name) + "/" + rel)
+      }.filter(_._2.nonEmpty).toMap
+      try {
+        return commit(ident,
+          Seq(Requirement.AssertCurrentSnapshotId(base.currentSnapshotId)),
+          Seq(MetadataUpdate.ReplaceFiles(newFiles, System.currentTimeMillis(), stats)))
+      } catch {
+        case e: CommitFailedException =>
+          // concurrent commit won — remove this attempt's orphaned output
+          // and rescan the new state
+          deleteRecursive(java.nio.file.Paths.get(outDir))
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursive)
+    java.nio.file.Files.deleteIfExists(p)
   }
 
   /** Maintenance: retain only the `keep` most recent metadata versions'
     * reachable state — deletes data files referenced by no retained
     * snapshot and removes older metadata versions. Time travel reaches
-    * only retained versions afterwards. */
-  def expireSnapshots(ident: Identifier, keep: Int = 1): Int = {
+    * only retained versions afterwards.
+    *
+    * `graceMs`: unreferenced files younger than this are kept. A
+    * concurrent writer stages parquet into `data/commit-<uuid>/` BEFORE
+    * its CAS commit makes them referenced; without the grace window the
+    * sweep would delete those staged files and the writer's subsequent
+    * commit would reference nonexistent data. One hour >> any commit's
+    * stage-to-CAS gap. */
+  def expireSnapshots(ident: Identifier, keep: Int = 1,
+                      graceMs: Long = 3600000L): Int = {
     require(keep >= 1, "must keep at least one version")
     val ns = ident.namespace.toSeq
     val latest = store.currentVersion(ns, ident.name)
@@ -296,7 +338,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           p.getFileName.toString.endsWith(".parquet"))
         .toList.foreach { p =>
           val rel = dataDir.relativize(p).toString
-          if (!retainedFiles.contains(rel)) {
+          val youngerThanGrace = try {
+            java.nio.file.Files.getLastModifiedTime(p).toMillis >
+              System.currentTimeMillis() - graceMs
+          } catch { case _: java.io.IOException => true } // vanished: skip
+          if (!retainedFiles.contains(rel) && !youngerThanGrace) {
             java.nio.file.Files.delete(p); removed += 1
           }
         }

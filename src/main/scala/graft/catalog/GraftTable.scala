@@ -157,14 +157,32 @@ private[graft] class GraftScanBuilder(
     }
   } catch { case _: Exception => None }
 
+  /** Current column name → stable field id (from the `parquet.field.id`
+    * metadata the schema bridge stamps). Stats resolve through this, so a
+    * rename (or a reused name) can never pair a filter with another
+    * column's min/max. */
+  private val fieldIdByName: Map[String, Int] =
+    tableSchema.fields.flatMap { f =>
+      if (f.metadata.contains(graft.meta.SchemaBridge.FieldIdKey))
+        Some(f.name -> f.metadata.getLong(graft.meta.SchemaBridge.FieldIdKey).toInt)
+      else None
+    }.toMap
+
   /** Min/max file skipping: a conjunct that cannot hold anywhere inside
     * the file's [min, max] range eliminates the file. Unknown filter
     * shapes and stat-less columns never prune (safety first). */
   private def statsAllow(rel: String): Boolean = fileStats.get(rel) match {
     case None => true
     case Some(stats) =>
-      val byCol = stats.map(s => s.name -> s).toMap
-      def range(c: String): Option[graft.meta.ColStatDef] = byCol.get(c)
+      def range(c: String): Option[graft.meta.ColStatDef] =
+        fieldIdByName.get(c) match {
+          case Some(id) =>
+            // id-keyed first; a legacy no-id stat may name-match, but a
+            // stat carrying a DIFFERENT id never does
+            stats.find(_.fieldId.contains(id))
+              .orElse(stats.find(s => s.fieldId.isEmpty && s.name == c))
+          case None => stats.find(_.name == c)
+        }
       pushed.forall {
         case EqualTo(c, v) => range(c).forall(st =>
           cmp(c, st.min, v).forall(_ <= 0) && cmp(c, st.max, v).forall(_ >= 0))
@@ -187,10 +205,10 @@ private[graft] class GraftScanBuilder(
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val files = prunedRelFiles.map(rel => s"$dataDir/$rel")
+    // fieldId.read.enabled is set once at catalog initialize (the read
+    // side resolves columns by stamped field ids) — no per-scan session
+    // conf mutation here
     val spark = SparkSession.active
-    // resolve columns by the field ids stamped at write time, so files
-    // written before a column rename still serve the renamed column
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val delegate = ParquetTable(tableName, spark, options, files,
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)

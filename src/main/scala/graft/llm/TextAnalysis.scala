@@ -111,8 +111,8 @@ object TextAnalysis {
 
   val q60Sql: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS tot_ws_tokens,
-      |  SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS tot_re_tokens,
+      |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tot_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS tot_re_tokens,
       |  ROUND(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) * 1.0
       |    / COUNT(*), 6) AS avg_re_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin

@@ -25,7 +25,8 @@ object FileStats {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(absPath), new Configuration()))
     try {
-      case class Acc(var min: Comparable[Any], var max: Comparable[Any], var nulls: Long)
+      case class Acc(var min: Comparable[Any], var max: Comparable[Any], var nulls: Long,
+                     fieldId: Option[Int])
       val acc = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
       for (block <- reader.getFooter.getBlocks.asScala;
            col <- block.getColumns.asScala) {
@@ -51,13 +52,15 @@ object FileStats {
                 if (mn.compareTo(a.min) < 0) a.min = mn
                 if (mx.compareTo(a.max) > 0) a.max = mx
                 a.nulls += st.getNumNulls
-              case None => acc(name) = Acc(mn, mx, st.getNumNulls)
+              case None =>
+                acc(name) = Acc(mn, mx, st.getNumNulls,
+                  Option(pt.getId).map(_.intValue()))
             }
           }
         }
       }
       acc.map { case (n, a) =>
-        ColStatDef(n, stringify(a.min), stringify(a.max), a.nulls)
+        ColStatDef(n, stringify(a.min), stringify(a.max), a.nulls, a.fieldId)
       }.toList
     } finally reader.close()
   } catch { case _: Exception => Nil } // stats are an optimization, never fatal

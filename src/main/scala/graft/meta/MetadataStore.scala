@@ -70,13 +70,16 @@ final class MetadataStore(val warehouse: String) {
   }
 
   /** Non-cascading drop; refuses when tables or child namespaces remain
-    * (reference: NamespaceNotEmptyException 409, `namespaces.go:131-136`). */
+    * (reference: NamespaceNotEmptyException 409, `namespaces.go:131-136`).
+    * Once the emptiness check passes, anything left under the directory
+    * is residue from metadata-only table drops (data files with no
+    * metadata dir) — removed recursively, so DROP NAMESPACE succeeds
+    * instead of leaking a raw DirectoryNotEmptyException. */
   def dropNamespace(ns: Seq[String]): Boolean = {
     if (!namespaceExists(ns)) return false
     if (listTables(ns).nonEmpty || listNamespaces(ns).nonEmpty)
       throw new IllegalStateException(s"namespace not empty: ${ns.mkString(".")}")
-    Files.delete(nsPath(ns).resolve(NsMarker))
-    Files.delete(nsPath(ns))
+    deleteRecursive(nsPath(ns))
     true
   }
 

@@ -30,8 +30,15 @@ final case class SortOrderDef(orderId: Int, fields: List[SortFieldDef])
 /** Per-file, per-column value range harvested from parquet footers at
   * commit time (min/max as strings, typed by the table schema at prune
   * time). The manifest-level stats that let a scan skip whole files on
-  * range predicates without opening them. */
-final case class ColStatDef(name: String, min: String, max: String, nulls: Long)
+  * range predicates without opening them.
+  *
+  * `fieldId` is the stable schema field id stamped into the parquet file;
+  * pruning resolves filters through it, so stats written before a column
+  * rename (or before a name is reused by a new column) never drive a
+  * wrong skip. `name` is kept for legacy stats with no id (name-matched
+  * only as a fallback). */
+final case class ColStatDef(name: String, min: String, max: String, nulls: Long,
+                            fieldId: Option[Int] = None)
 
 /** A committed data version: the files visible at this snapshot, plus
   * optional per-file column stats keyed by relative file path. */

@@ -92,7 +92,7 @@ object Scalars {
       |  SQRT(l_quantity) AS qty_sqrt,
       |  ROUND(LN(l_quantity), 6) AS qty_ln,
       |  ABS(l_discount - 0.05) AS disc_dev,
-      |  SIGN(l_discount - 0.05) AS disc_sign,
+      |  CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
       |  CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
       |  CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
       |  CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
@@ -155,10 +155,10 @@ object Scalars {
 
   val q45Sql: String =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS share_f
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS DOUBLE) AS share_f
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Batch tumbling time-bucket aggregation (the batch shape of the
@@ -208,7 +208,7 @@ object Scalars {
        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
        |  FROM flags)
-       |SELECT user_id, sess_id, COUNT(*) AS n_events,
+       |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
        |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
        |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin
 

@@ -272,7 +272,9 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("INSERT INTO graft.exp.t VALUES (1)")
     spark.sql("INSERT OVERWRITE graft.exp.t VALUES (2)") // orphans v2's file
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("exp"), "t")
-    val removed = catalog.expireSnapshots(ident, keep = 1)
+    // graceMs=0: the test's files are seconds old; production default (1h)
+    // protects files staged by in-flight commits
+    val removed = catalog.expireSnapshots(ident, keep = 1, graceMs = 0L)
     assert(removed >= 1) // the overwritten file is physically gone
     assert(spark.table("graft.exp.t").collect().map(_.getLong(0)).toSeq == Seq(2L))
     // expired versions are no longer time-travelable
@@ -321,5 +323,50 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0 until threads).forall(t => (0 until perThread)
       .forall(i => m.properties.contains(s"k-$t-$i"))))
     assert(v == 1 + threads * perThread) // v1 create + 40 commits
+  }
+
+  test("compaction does not drop a concurrently-appended file") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mc")
+    spark.sql("CREATE TABLE graft.mc.t (id BIGINT)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.mc.t VALUES ($i)"))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("mc"), "t")
+    // simulate compact's read-then-commit race: capture the snapshot a
+    // compactor would read, let an append land in between, then attempt
+    // the guarded ReplaceFiles — it must FAIL, not silently drop row 4
+    val (base, _) = catalog.metadataStore.load(Seq("mc"), "t")
+    spark.sql("INSERT INTO graft.mc.t VALUES (4)") // concurrent append
+    intercept[CommitFailedException] {
+      catalog.commit(ident,
+        Seq(Requirement.AssertCurrentSnapshotId(base.currentSnapshotId)),
+        Seq(MetadataUpdate.ReplaceFiles(
+          base.currentSnapshot.get.files, System.currentTimeMillis())))
+    }
+    // the real compact() rescans on conflict: end state keeps all 4 rows
+    val m = catalog.compact(ident, targetFileCount = 1)
+    assert(m.currentSnapshot.get.files.size == 1)
+    assert(spark.table("graft.mc.t").collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 4L))
+  }
+
+  test("snapshot expiration keeps unreferenced files inside the grace window") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gr")
+    spark.sql("CREATE TABLE graft.gr.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.gr.t VALUES (1)")
+    spark.sql("INSERT OVERWRITE graft.gr.t VALUES (2)") // orphans v2's file
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("gr"), "t")
+    // default grace (1h): the just-written orphan looks like a file staged
+    // by an in-flight commit, so the sweep must leave it alone
+    assert(catalog.expireSnapshots(ident, keep = 1) == 0)
+    assert(spark.table("graft.gr.t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("DROP NAMESPACE CASCADE succeeds over dropped tables' residual data") {
+    spark.sql("CREATE NAMESPACE graft.resid")
+    spark.sql("CREATE TABLE graft.resid.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.resid.t VALUES (1)")
+    // metadata-only drop leaves data files behind (purge → 501 quirk)
+    spark.sql("DROP TABLE graft.resid.t")
+    spark.sql("DROP NAMESPACE graft.resid CASCADE") // must not 500
+    assert(!catalog.metadataStore.namespaceExists(Seq("resid")))
   }
 }

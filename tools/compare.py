@@ -60,6 +60,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
             n_fail += 1
             continue
+        # driver's hash is dtype-KIND-sensitive (int vs float vs object —
+        # r1 showed q16 etc. fail on int64 vs float64) but width-tolerant
+        # (q20's int32 vs int64 passed). Compare kind only.
+        dt_bad = [(c, str(want[c].dtype), str(got[c].dtype))
+                  for c in want.columns if want[c].dtype.kind != got[c].dtype.kind]
+        if dt_bad:
+            c, w, g = dt_bad[0]
+            print(f"FAIL {name}: dtype col={c} want={w} got={g}")
+            n_fail += 1
+            continue
         bad = None
         for c in want.columns:
             wv, gv = want[c].tolist(), got[c].tolist()

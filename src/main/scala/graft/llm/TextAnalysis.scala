@@ -118,23 +118,44 @@ object TextAnalysis {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** Document fingerprinting: (a) a polynomial rolling hash over the
-    * character stream (mod 1e9+7 — fits exactly in BIGINT on both
-    * engines), (b) a winnowing-style min-shingle-hash. Both map-only. */
+    * character stream (mod 1e9+7 — every intermediate fits exactly in
+    * BIGINT on both engines), (b) a winnowing-style min-shingle hash
+    * using the SAME mod-p char fold per 3-word shingle (not xxhash64,
+    * which is engine-specific) — so the whole row is oracle-checkable
+    * against DuckDB's list_reduce. Both map-only. */
   def q61Fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val codes = transform(split(col("text"), ""), c => ascii(c).cast("long"))
-    val poly = aggregate(codes, lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
+    def charFold(str: Column): Column =
+      aggregate(transform(split(str, ""), c => ascii(c).cast("long")),
+        lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
     val words = split(trim(col("text")), "\\s+")
     val shingles = transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
-      i => xxhash64(concat_ws(" ",
+      i => charFold(concat_ws(" ",
         element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
     Tables.documents(s, dir).select(
-      col("doc_id"), poly.as("poly_fp"), array_min(shingles).as("min_shingle_fp"))
+      col("doc_id"), charFold(col("text")).as("poly_fp"),
+      array_min(shingles).as("min_shingle_fp"))
       .orderBy(col("doc_id"))
   }
 
-  // poly_fp is oracle-checkable (same fold in DuckDB list_reduce);
-  // min_shingle_fp uses xxhash64 (engine-specific) → split columns would
-  // be needed; keep rows-only to avoid a partial-column oracle.
+  /** The same two folds in DuckDB: `regexp_extract_all(s, '(?s).')`
+    * splits to codepoints exactly like Spark's `split(s, '')` (verified
+    * value-identical on the corpus), and list_reduce replays the fold. */
+  val q61Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |    regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(regexp_extract_all(text, '(?s).'),
+      |      c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, c) -> (a * 31 + c) % 1000000007) AS poly_fp,
+      |  list_min(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+      |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_extract_all(w[i] || ' ' || w[i+1] || ' ' || w[i+2], '(?s).'),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, c) -> (a * 31 + c) % 1000000007))) AS min_shingle_fp
+      |FROM w ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_lang_id"     -> q58LangId _,
@@ -147,6 +168,6 @@ object TextAnalysis {
     "q58_lang_id"     -> q58Sql,
     "q59_quality"     -> q59Sql,
     "q60_token_count" -> q60Sql,
-    // q61: xxhash64-based fingerprint is engine-specific → rows-only.
+    "q61_fingerprint" -> q61Sql,
   )
 }

@@ -41,14 +41,39 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
 
+  // ---- middleware (requestID + access log + CORS + recovery) ------------
+  // the reference's gin middleware stack: RequestLogger assigns a
+  // requestID and logs path/method/clientIP/status/latency/size
+  // (`middleware.go:11-36`); CORS + panic recovery are mounted in
+  // `main.go:113-114` (recovery here is the catch-all → 500 envelope).
+
+  private val logger = org.slf4j.LoggerFactory.getLogger(classOf[RestServer])
+  private val recent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Last ≤100 access-log lines (for tests / debugging). */
+  def recentLogs: Seq[String] =
+    scala.jdk.CollectionConverters.IteratorHasAsScala(recent.iterator()).asScala.toSeq
+
+  private def cors(ex: HttpExchange): Unit = {
+    val h = ex.getResponseHeaders
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Allow-Methods", "GET, POST, PUT, DELETE, HEAD, OPTIONS")
+    h.set("Access-Control-Allow-Headers", "Content-Type, Authorization, X-Request-ID")
+  }
+
   // ---- routing ----------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {
+    val t0 = System.nanoTime()
+    val requestId = java.util.UUID.randomUUID().toString
+    ex.getResponseHeaders.set("X-Request-ID", requestId)
+    cors(ex)
     val method = ex.getRequestMethod
     val path = ex.getRequestURI.getPath
     val segs = path.split("/").filter(_.nonEmpty).toList
     try {
       (method, segs) match {
+        case ("OPTIONS", _) => empty(ex, 204) // CORS preflight
         case ("GET", List("health")) => json(ex, 200, JObject("status" -> JString("ok")))
         case ("GET", List("v1", "config")) => getConfig(ex)
         case ("GET", List("v1", "namespaces")) => listNamespaces(ex)
@@ -84,7 +109,17 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
         error(ex, 422, "UnprocessableEntityException", e.getMessage)
       case e: Exception =>
         error(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
-    } finally ex.close()
+    } finally {
+      val latencyMs = (System.nanoTime() - t0) / 1e6
+      val size = Option(ex.getAttribute("graft.size")).fold(0L)(_.toString.toLong)
+      val line = f"requestId=$requestId method=$method path=$path " +
+        f"client=${ex.getRemoteAddress.getAddress.getHostAddress} " +
+        f"status=${ex.getResponseCode} latency=$latencyMs%.2fms size=$size"
+      logger.info(line)
+      recent.add(line)
+      while (recent.size > 100) recent.poll()
+      ex.close()
+    }
   }
 
   private def ns(encoded: String): Array[String] =
@@ -100,6 +135,7 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0) {
 
   private def json(ex: HttpExchange, code: Int, v: JValue): Unit = {
     val bytes = JsonMethods.compact(JsonMethods.render(v)).getBytes(UTF_8)
+    ex.setAttribute("graft.size", bytes.length.toLong)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)

@@ -234,4 +234,29 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.statusCode() == 404)
     assert((parse(t) \ "error" \ "type").extract[String] == "NoSuchTableException")
   }
+
+  test("middleware: requestID header, CORS, and structured access log (middleware.go:11-36)") {
+    val r = req("GET", "/v1/config")
+    assert(r.statusCode() == 200)
+    val rid = r.headers().firstValue("X-Request-ID")
+    assert(rid.isPresent && rid.get.nonEmpty, "no X-Request-ID header")
+    assert(r.headers().firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    // the access log records requestID/method/path/clientIP/status/latency/size
+    val line = server.recentLogs.reverse.find(_.contains(s"requestId=${rid.get}"))
+    assert(line.isDefined, s"no log line for requestId=${rid.get}")
+    assert(line.get.contains("method=GET") && line.get.contains("path=/v1/config")
+      && line.get.contains("status=200") && line.get.contains("client=127.0.0.1")
+      && line.get.contains("latency=") && line.get.contains("size="),
+      s"incomplete log line: ${line.get}")
+  }
+
+  test("middleware: OPTIONS preflight answers 204 with CORS methods") {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/v1/namespaces"))
+        .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 204)
+    assert(r.headers().firstValue("Access-Control-Allow-Methods").orElse("")
+      .contains("DELETE"))
+  }
 }

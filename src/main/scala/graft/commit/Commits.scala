@@ -116,12 +116,22 @@ object MetadataUpdate {
 
 final class CommitFailedException(msg: String) extends RuntimeException(msg)
 
+/** What the committer needs from a metadata backend: versioned load and
+  * a single-winner conditional write. [[graft.meta.MetadataStore]] (local
+  * fs, hard-link CAS) and [[graft.meta.ConditionalPutMetadata]] (object
+  * store, If-None-Match PUT) both satisfy it. */
+trait CommitTarget {
+  def load(ns: Seq[String], table: String): (TableMetadata, Int)
+  def commit(ns: Seq[String], table: String, expectedVersion: Int,
+             next: TableMetadata): Boolean
+}
+
 /** Validate-then-CAS committer with bounded retry. Each attempt re-loads
   * the current metadata, re-checks every requirement against it, applies
   * the updates in order, and attempts the single-winner version write.
   * Losing the race retries from the fresh state; a failed requirement is
   * terminal (the reference surfaces it as a 409/422-class error). */
-final class Committer(store: MetadataStore, maxRetries: Int = 100) {
+final class Committer(store: CommitTarget, maxRetries: Int = 100) {
 
   def commit(ns: Seq[String], table: String,
              requirements: Seq[Requirement],

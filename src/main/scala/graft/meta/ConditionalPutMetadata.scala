@@ -1,0 +1,74 @@
+package graft.meta
+
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+/** The one storage primitive the whole commit protocol needs: an atomic
+  * create-if-absent keyed blob write — exactly what object stores expose
+  * as conditional PUT (`If-None-Match: *` on S3/GCS/ABS). Everything else
+  * (load, version listing) is plain reads.
+  *
+  * [[MetadataStore]] realizes this on a local filesystem via hard-link
+  * creation; [[ConditionalPutMetadata]] realizes the same versioned
+  * commit protocol on any [[CasBlobStore]] — proving the CAS abstraction
+  * documented at [[MetadataStore]] holds beyond local fs (the reference
+  * swaps glue/rest/sql catalog backends the same way, `main.go:13-15`).
+  */
+trait CasBlobStore {
+  /** Atomically create `key` iff absent. False = key already existed. */
+  def putIfAbsent(key: String, content: Array[Byte]): Boolean
+  def get(key: String): Option[Array[Byte]]
+  def listPrefix(prefix: String): Seq[String]
+}
+
+/** In-memory object store with conditional-PUT semantics — the test
+  * double for S3-style backends (putIfAbsent = ConcurrentHashMap
+  * putIfAbsent, the same linearizable create-if-absent guarantee). */
+final class InMemoryBlobStore extends CasBlobStore {
+  private val blobs = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  def putIfAbsent(key: String, content: Array[Byte]): Boolean =
+    blobs.putIfAbsent(key, content) == null
+  def get(key: String): Option[Array[Byte]] = Option(blobs.get(key))
+  def listPrefix(prefix: String): Seq[String] =
+    blobs.keys.asScala.filter(_.startsWith(prefix)).toSeq
+}
+
+/** Versioned table metadata over a [[CasBlobStore]]: one immutable JSON
+  * blob per version at `<ns…>/<table>/metadata/v<N>.metadata.json`, the
+  * current version is the max present, and a commit is a single
+  * conditional PUT of version N+1 — identical protocol to
+  * [[MetadataStore]], different substrate. Implements [[CommitTarget]]
+  * so [[graft.commit.Committer]] drives it unchanged. */
+final class ConditionalPutMetadata(blobs: CasBlobStore)
+  extends graft.commit.CommitTarget {
+
+  private val VersionRe = ".*/v(\\d+)\\.metadata\\.json$".r
+
+  private def prefix(ns: Seq[String], t: String): String =
+    (ns :+ t).mkString("/") + "/metadata/"
+  private def key(ns: Seq[String], t: String, v: Int): String =
+    prefix(ns, t) + s"v$v.metadata.json"
+
+  def createTable(ns: Seq[String], t: String, m: TableMetadata): Boolean =
+    blobs.putIfAbsent(key(ns, t, 1), TableMetadata.toJson(m).getBytes(UTF_8))
+
+  def currentVersion(ns: Seq[String], t: String): Int =
+    blobs.listPrefix(prefix(ns, t))
+      .collect { case VersionRe(v) => v.toInt }.maxOption.getOrElse(0)
+
+  override def load(ns: Seq[String], t: String): (TableMetadata, Int) = {
+    val v = currentVersion(ns, t)
+    require(v > 0, s"no such table ${(ns :+ t).mkString(".")}")
+    (loadVersion(ns, t, v), v)
+  }
+
+  def loadVersion(ns: Seq[String], t: String, v: Int): TableMetadata =
+    TableMetadata.fromJson(new String(
+      blobs.get(key(ns, t, v)).getOrElse(
+        throw new IllegalStateException(s"missing version $v")), UTF_8))
+
+  override def commit(ns: Seq[String], t: String, expectedVersion: Int,
+                      next: TableMetadata): Boolean =
+    blobs.putIfAbsent(key(ns, t, expectedVersion + 1),
+      TableMetadata.toJson(next).getBytes(UTF_8))
+}

@@ -25,7 +25,7 @@ import org.json4s.jackson.Serialization
   * The same protocol maps to conditional-PUT (If-None-Match) on object
   * stores, so it holds on a 1000-driver cluster, not just local fs.
   */
-final class MetadataStore(val warehouse: String) {
+final class MetadataStore(val warehouse: String) extends graft.commit.CommitTarget {
 
   private val NsMarker = ".namespace.json"
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)

@@ -250,6 +250,39 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"incomplete log line: ${line.get}")
   }
 
+  test("config-file bootstrap: default-catalog selection and defaults/overrides (main.go:82-100)") {
+    import graft.server.ServerMain
+    val dir = Files.createTempDirectory("graft-cfg")
+    val whCfg = Files.createTempDirectory("graft-cfg-wh").toString
+    val cfgPath = dir.resolve(".graft.json")
+    Files.write(cfgPath,
+      s"""{ "default-catalog": "prod",
+         |  "catalog": { "prod": { "warehouse": "$whCfg" },
+         |               "other": { "warehouse": "/nope" } },
+         |  "server": { "defaults": {"write-format": "parquet"},
+         |              "overrides": {"owner": "cfg"} },
+         |  "port": 0 }""".stripMargin.getBytes)
+    // path precedence: explicit beats GRAFT_HOME beats home
+    assert(ServerMain.resolvePath(Some("/x/y.json")) == "/x/y.json")
+    assert(ServerMain.resolvePath(None).endsWith(".graft.json"))
+    val cfg = ServerMain.load(cfgPath.toString)
+    assert(cfg.defaultCatalog == "prod" && cfg.catalogs.contains("other"))
+    val (srv, port) = ServerMain.startFromConfig(cfg)
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/config")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val j = parse(r)
+      assert((j \ "defaults" \ "write-format").extract[String] == "parquet")
+      assert((j \ "overrides" \ "owner").extract[String] == "cfg")
+    } finally srv.stop()
+    // unknown default-catalog fails like the reference's panic
+    intercept[IllegalArgumentException] {
+      ServerMain.startFromConfig(cfg.copy(defaultCatalog = "missing"))
+    }
+  }
+
   test("middleware: OPTIONS preflight answers 204 with CORS methods") {
     val r = client.send(
       HttpRequest.newBuilder(URI.create(base + "/v1/namespaces"))

@@ -132,7 +132,7 @@ object Similarity {
   /** IVF partitioned ANN, Lloyd-trained: seed centroids (vec_id 0..7) →
     * iterate (assign every vector to its nearest centroid, refine each
     * centroid to its cell's element-wise mean) until the centroids stop
-    * moving (max cosine shift < 1e-4) or 5 rounds — the refine is a
+    * moving (max cosine shift < 1e-4) or 3 rounds — the refine is a
     * posexplode + per-(cell,pos) avg rebuilt with sort_array, never a
     * collect of vectors to the driver. Each round's k centroid rows are
     * localCheckpoint'ed so round r+1 doesn't re-run rounds 1..r (the q67
@@ -145,7 +145,7 @@ object Similarity {
     annIvf(s, dir, nProbe = 5)
 
   def annIvf(s: SparkSession, dir: String, kCells: Int = 8, nProbe: Int = 5,
-             maxRounds: Int = 5, eps: Double = 1e-4): DataFrame = {
+             maxRounds: Int = 3, eps: Double = 1e-4): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .withColumn("nrm", norm(col("embedding")))

@@ -302,7 +302,58 @@ object Windows {
     s"""SELECT event_type, COUNT(*) AS n, ${sqlSumMoney("value")} AS val
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Statistical aggregate family: stddev/variance (sample + population),
+    * correlation, covariance — Spark's distributed moment merge vs
+    * DuckDB's streaming accumulation differ only in final-ulp float
+    * noise, so results round to 4dp (columns kept at small magnitudes:
+    * quantity 1-50, discount 0-0.1 — a 4dp round leaves 1e-6 relative
+    * headroom, far above either engine's error). */
+  def q37StatsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 4).as("qty_sd"),
+        round(stddev_pop(col("l_quantity")), 4).as("qty_sd_pop"),
+        round(var_samp(col("l_discount")), 6).as("disc_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_cov"))
+      .orderBy(col("l_returnflag"))
+
+  val q37Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_sd,
+      |  ROUND(STDDEV_POP(l_quantity), 4) AS qty_sd_pop,
+      |  ROUND(VAR_SAMP(l_discount), 6) AS disc_var,
+      |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      |  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS qty_disc_cov
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Exact (interpolating) percentiles + median per group — the exact
+    * complement to q30's approximate HLL path. Spark `percentile` and
+    * DuckDB `quantile_cont` share the same linear-interpolation
+    * definition; 6dp rounding absorbs ulp noise. */
+  def q38Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+        round(expr("median(o_totalprice)"), 6).as("med"))
+      .orderBy(col("o_orderstatus"))
+
+  val q38Sql: String =
+    """SELECT o_orderstatus,
+      |  ROUND(QUANTILE_CONT(o_totalprice, 0.25), 6) AS p25,
+      |  ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS p50,
+      |  ROUND(QUANTILE_CONT(o_totalprice, 0.75), 6) AS p75,
+      |  ROUND(MEDIAN(o_totalprice), 6) AS med
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_stats_agg"       -> q37StatsAgg _,
+    "q38_percentiles"     -> q38Percentiles _,
     "q34_salted_agg"      -> q34SaltedAgg _,
     "q20_window_rank"     -> q20Rank _,
     "q21_window_running"  -> q21Running _,
@@ -321,6 +372,8 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q37_stats_agg"      -> q37Sql,
+    "q38_percentiles"    -> q38Sql,
     "q34_salted_agg"     -> q34Sql,
     "q20_window_rank"    -> q20Sql,
     "q21_window_running" -> q21Sql,

@@ -35,8 +35,20 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** State-store instances = shuffle partitions at query start. For the
+    * single-replay-batch harness, 32 stores are pure fixed cost (open +
+    * commit + snapshot per store per batch) over tiny state — 8 is
+    * plenty. Production sizes this to throughput; results are identical
+    * either way (keyed aggregation is partition-count-independent). */
+  private def withReplayPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def runToMemory(df: DataFrame, s: SparkSession, name: String,
-                          mode: String): DataFrame = {
+                          mode: String): DataFrame = withReplayPartitions(s) {
     val qname = name + "_" + java.util.UUID.randomUUID().toString.take(8)
     val q = df.writeStream.outputMode(mode).format("memory").queryName(qname).start()
     q.processAllAvailable()
@@ -166,11 +178,13 @@ object Streaming {
           state.update(UserState(n, cents))
           UserSummary(user, n, cents / 100.0)
       }
-    val q = summarized.toDF().writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName("q73_" + java.util.UUID.randomUUID().toString.take(8))
-    val started = q.start()
-    started.processAllAvailable(); started.stop()
-    s.table(started.name).orderBy(col("user_id"))
+    withReplayPartitions(s) {
+      val q = summarized.toDF().writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("q73_" + java.util.UUID.randomUUID().toString.take(8))
+      val started = q.start()
+      started.processAllAvailable(); started.stop()
+      s.table(started.name).orderBy(col("user_id"))
+    }
   }
 
   val q73Sql: String =
@@ -199,11 +213,13 @@ object Streaming {
           state.update(UserState(n, 0L))
           if (n > 0) Iterator.single(HighSpender(user, n)) else Iterator.empty
       }
-    val q = flagged.toDF().writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName("q74_" + java.util.UUID.randomUUID().toString.take(8))
-    val started = q.start()
-    started.processAllAvailable(); started.stop()
-    s.table(started.name).orderBy(col("user_id"))
+    withReplayPartitions(s) {
+      val q = flagged.toDF().writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("q74_" + java.util.UUID.randomUUID().toString.take(8))
+      val started = q.start()
+      started.processAllAvailable(); started.stop()
+      s.table(started.name).orderBy(col("user_id"))
+    }
   }
 
   val q74Sql: String =

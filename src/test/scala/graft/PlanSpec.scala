@@ -152,6 +152,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dynamic partition pruning reaches a partitioned fact scan") {
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    Tables.events(spark, sf).write.partitionBy("event_type").parquet(s"$dir/ev")
+    val fact = spark.read.parquet(s"$dir/ev")
+    // dim filtered on a NON-key attribute (length is not invertible, so
+    // the optimizer cannot rewrite it into a static partition predicate —
+    // pruning must come from the broadcast result at runtime)
+    val dim = Tables.events(spark, sf).select(col("event_type")).distinct()
+      .filter(length(col("event_type")) === 5)
+    val joined = fact.join(dim, Seq("event_type")).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val plan = planOf(joined)
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+  }
+
   test("q23 distribution stats: no single-partition exchange feeds a window") {
     val df = ops.Windows.q23Ntile(spark, sf)
     val plan = planOf(df)

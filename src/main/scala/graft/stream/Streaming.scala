@@ -152,6 +152,40 @@ object Streaming {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream-stream interval join — the remaining first-class streaming
+    * operator: each click joins the same user's views from the preceding
+    * 10 minutes. Both sides carry watermarks (the state-cleanup bound:
+    * view state older than watermark+interval is evicted at scale); the
+    * join itself is an equi-key on user_id plus a time-range residual, so
+    * it shuffles both streams once on the key — never a cross join. For
+    * the single replay batch, inner-join matches emit in-batch and the
+    * result equals the batch interval join (the oracle). */
+  def q75StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val views = eventStream(s, dir).filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = eventStream(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val joined = views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+    runToMemory(joined, s, "q75", "append")
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  val q75Sql: String =
+    s"""WITH ${Tables.eventsOracleCte}
+       |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+       |FROM events_n v JOIN events_n c
+       |  ON v.user_id = c.user_id
+       |  AND v.event_type = 'view' AND c.event_type = 'click'
+       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+       |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   case class EventRow(event_id: Long, user_id: Long, event_type: String,
                       value: Double)
   case class UserState(nEvents: Long, cents: Long)
@@ -232,6 +266,7 @@ object Streaming {
     "q72_stream_dedup"    -> q72StreamDedup _,
     "q73_stream_stateful" -> q73Stateful _,
     "q74_stream_flatmap"  -> q74StatefulFlat _,
+    "q75_stream_join"     -> q75StreamJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -240,5 +275,6 @@ object Streaming {
     "q72_stream_dedup"    -> q72Sql,
     "q73_stream_stateful" -> q73Sql,
     "q74_stream_flatmap"  -> q74Sql,
+    "q75_stream_join"     -> q75Sql,
   )
 }

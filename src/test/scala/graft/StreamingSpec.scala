@@ -17,11 +17,15 @@ import graft.stream.Streaming
   */
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  private val wh = java.nio.file.Files.createTempDirectory("graft-stream-wh").toString
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graftst", classOf[graft.catalog.GraftCatalog].getName)
+    .config("spark.sql.catalog.graftst.warehouse", wh)
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -85,5 +89,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val stateRows = q.lastProgress.stateOperators.apply(0).numRowsTotal
       assert(stateRows == 1, s"closed sessions not evicted: $stateRows state rows")
     } finally q.stop()
+  }
+
+  test("streaming sink into a catalog table: one atomic snapshot per micro-batch") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.stream")
+    spark.sql("CREATE TABLE graftst.stream.ev (user_id BIGINT, value DOUBLE)")
+    val input = MemoryStream[Ev](spark)
+    // foreachBatch → DSv2 append: each micro-batch lands as ONE CAS-committed
+    // snapshot, so readers see batch boundaries atomically and time travel
+    // reaches the state after any batch — the streaming ingest shape for
+    // the catalog (a restarted batch re-appends; dedup by batch id would
+    // ride on a table property for full exactly-once)
+    val q = input.toDF().select($"user_id", $"value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.writeTo("graftst.stream.ev").append()
+      }
+      .start()
+    try {
+      input.addData(ev(0, 1L), ev(1, 2L))
+      q.processAllAvailable()
+      input.addData(ev(2, 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(spark.table("graftst.stream.ev").count() == 3)
+    val store = spark.sessionState.catalogManager.catalog("graftst")
+      .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
+    val (m, v) = store.load(Seq("stream"), "ev")
+    assert(m.snapshots.size == 2, s"expected 2 snapshots, got ${m.snapshots.size}")
+    assert(v == 3) // v1 create + one commit per micro-batch
+    // time travel to the first batch's snapshot
+    assert(spark.sql("SELECT count(*) FROM graftst.stream.ev VERSION AS OF 2")
+      .head.getLong(0) == 2L)
   }
 }

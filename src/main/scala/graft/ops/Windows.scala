@@ -332,7 +332,14 @@ object Windows {
   /** Exact (interpolating) percentiles + median per group — the exact
     * complement to q30's approximate HLL path. Spark `percentile` and
     * DuckDB `quantile_cont` share the same linear-interpolation
-    * definition; 6dp rounding absorbs ulp noise. */
+    * definition; 6dp rounding absorbs ulp noise.
+    *
+    * Scale note: Spark's Percentile buffers a value→count map per group,
+    * so memory is bounded by the DISTINCT-value domain, not row count —
+    * fine for 2dp money (≤ ~1e7 entries worst case at any data size).
+    * For unbounded-domain columns at 100 TB the scale path is
+    * approx_percentile (t-digest sketch, merged map-side like q30's
+    * HLL), engine-specific → it would be a rows-only query. */
   def q38Percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))

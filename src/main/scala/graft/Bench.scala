@@ -19,24 +19,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch every table (footer + FS caches) and exercise the
-    // agg/join codegen paths once
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
-    }
-    Tables.events(spark, sfDir).count()
-    ops.Relational.q01PricingSummary(spark, sfDir).count()
-    ops.CatalogQueries.ensureWarehouse(spark, sfDir) // q13 DDL is setup, not scan
-    // one-time Structured Streaming init (state store provider, checkpoint
-    // machinery, micro-batch planner) — so the first streaming query in
-    // the pack measures its plan, not engine warmup
-    stream.Streaming.queries("q72_stream_dedup")(spark, sfDir).count()
-
     // optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=q70_stream_tumbling,q71_stream_session)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(prefix: String): Boolean = only.forall(_.exists(_.startsWith(prefix)))
+
+    // warmup: touch every table (footer + FS caches) and exercise the
+    // agg/join codegen paths once. Warmup failures must not kill the
+    // bench before it can emit its JSON — the measured loop will surface
+    // the same failure in `failed` instead.
+    try {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
+      Tables.events(spark, sfDir).count()
+      ops.Relational.q01PricingSummary(spark, sfDir).count()
+      if (selected("q13")) // q13 DDL is setup, not scan
+        ops.CatalogQueries.ensureWarehouse(spark, sfDir)
+      // one-time Structured Streaming init (state store provider,
+      // checkpoint machinery, micro-batch planner) — so the first
+      // streaming query in the pack measures its plan, not engine warmup
+      if (selected("q7"))
+        stream.Streaming.queries("q72_stream_dedup")(spark, sfDir).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed (continuing): $e")
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

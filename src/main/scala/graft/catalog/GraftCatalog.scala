@@ -290,17 +290,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case e: CommitFailedException =>
           // concurrent commit won — remove this attempt's orphaned output
           // and rescan the new state
-          deleteRecursive(java.nio.file.Paths.get(outDir))
+          MetadataStore.deleteRecursive(java.nio.file.Paths.get(outDir))
           if (attempt >= maxAttempts) throw e
       }
     }
     throw new IllegalStateException("unreachable")
-  }
-
-  private def deleteRecursive(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursive)
-    java.nio.file.Files.deleteIfExists(p)
   }
 
   /** Maintenance: retain only the `keep` most recent metadata versions'

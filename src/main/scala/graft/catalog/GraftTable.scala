@@ -205,10 +205,14 @@ private[graft] class GraftScanBuilder(
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val files = prunedRelFiles.map(rel => s"$dataDir/$rel")
-    // fieldId.read.enabled is set once at catalog initialize (the read
-    // side resolves columns by stamped field ids) — no per-scan session
-    // conf mutation here
     val spark = SparkSession.active
+    // field-id column resolution is set at catalog initialize, but that
+    // can be undone (RESET / SET ... = false) or may have landed on a
+    // different session than the one scanning — without it, files written
+    // before a rename silently read the renamed column as NULL. Re-assert
+    // here only when it's not already on (no-op in the steady state).
+    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val delegate = ParquetTable(tableName, spark, options, files,
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)

@@ -128,9 +128,12 @@ object TextAnalysis {
       aggregate(transform(split(str, ""), c => ascii(c).cast("long")),
         lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
     val words = split(trim(col("text")), "\\s+")
+    // slice truncates at the array end (and DuckDB's w[i:i+2] slices the
+    // same way), so a 1-2 word document folds its whole text instead of
+    // diverging between engines (element_at past the end would throw
+    // under ANSI; concat_ws-over-nulls would skip where DuckDB nulls)
     val shingles = transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
-      i => charFold(concat_ws(" ",
-        element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
+      i => charFold(concat_ws(" ", slice(words, i, lit(3)))))
     Tables.documents(s, dir).select(
       col("doc_id"), charFold(col("text")).as("poly_fp"),
       array_min(shingles).as("min_shingle_fp"))
@@ -152,7 +155,7 @@ object TextAnalysis {
       |    (a, c) -> (a * 31 + c) % 1000000007) AS poly_fp,
       |  list_min(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(regexp_extract_all(w[i] || ' ' || w[i+1] || ' ' || w[i+2], '(?s).'),
+      |      list_transform(regexp_extract_all(array_to_string(w[i:i+2], ' '), '(?s).'),
       |        c -> CAST(ascii(c) AS BIGINT))),
       |      (a, c) -> (a * 31 + c) % 1000000007))) AS min_shingle_fp
       |FROM w ORDER BY doc_id""".stripMargin

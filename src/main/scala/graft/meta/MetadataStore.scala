@@ -188,15 +188,24 @@ final class MetadataStore(val warehouse: String) extends graft.commit.CommitTarg
     finally Files.deleteIfExists(tmp)
   }
 
-  private def deleteRecursive(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursive)
-    Files.deleteIfExists(p)
-  }
+  private[meta] def deleteRecursive(p: Path): Unit = MetadataStore.deleteRecursive(p)
 
   private def noSuchNamespace(ns: Seq[String]) =
     new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ns.toArray)
   private def noSuchTable(ns: Seq[String], t: String) =
     new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
       org.apache.spark.sql.connector.catalog.Identifier.of(ns.toArray, t))
+}
+
+object MetadataStore {
+  /** Depth-first delete; the directory stream is closed before recursing
+    * (an unclosed Files.list leaks a descriptor per directory level). */
+  def deleteRecursive(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      val children = try s.iterator().asScala.toList finally s.close()
+      children.foreach(deleteRecursive)
+    }
+    Files.deleteIfExists(p)
+  }
 }

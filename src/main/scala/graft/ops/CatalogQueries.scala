@@ -11,14 +11,19 @@ import graft.catalog.GraftCatalog
   * driver's DuckDB correctness gate, not only in unit tests. */
 object CatalogQueries {
 
-  private val warmed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // weak keys: a stopped session's entry is collectable, and two live
+  // sessions can never alias (identityHashCode could collide after GC)
+  private val warmed =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
   /** One-time per (session, sfDir): register the catalog, CREATE the two
     * tables, INSERT-commit the testdata. Split out of the query body so
     * the bench times the DSv2 SCAN, not namespace/table DDL + two commits
     * + a temp-dir mkdir (Bench calls this during warmup). */
-  def ensureWarehouse(s: SparkSession, dir: String): Unit =
-    warmed.computeIfAbsent(System.identityHashCode(s) + "|" + dir, { _ =>
+  def ensureWarehouse(s: SparkSession, dir: String): Unit = warmed.synchronized {
+    val dirs = warmed.computeIfAbsent(s, _ => new java.util.HashSet[String]())
+    if (dirs.add(dir)) {
       val wh = java.nio.file.Files.createTempDirectory("graft-wh-q13").toString
       s.conf.set("spark.sql.catalog.graft_q13", classOf[GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graft_q13.warehouse", wh)
@@ -29,8 +34,8 @@ object CatalogQueries {
       s.sql("CREATE TABLE graft_q13.tpch.region (r_regionkey INT, r_name STRING)")
       Tables.nation(s, dir).writeTo("graft_q13.tpch.nation").append()
       Tables.region(s, dir).writeTo("graft_q13.tpch.region").append()
-      wh
-    })
+    }
+  }
 
   /** Answers a join query through `spark.table("graft...")` DSv2 scans
     * (warehouse setup memoized in [[ensureWarehouse]]). */

@@ -91,15 +91,18 @@ object Windows {
     *   rank_asc(v)  = N - max(rn over value group) + 1
     *     → percent_rank = (rank_asc-1)/(N-1) = (N - max rn)/(N-1);
     *   #rows ≤ v    = N - min(rn over value group) + 1 → cume_dist.
-    * The persist pins partition ids so the counts job and the main job
-    * see identical layouts (at cluster scale: checkpoint instead). */
+    * The localCheckpoint pins partition ids so the counts job and the
+    * main job see identical layouts — and unlike a persist() it bypasses
+    * the CacheManager (no plan-substitution surprises for later queries)
+    * and is released by the ContextCleaner once unreferenced. At cluster
+    * scale: a reliable checkpoint plays the same role. */
   def q23Ntile(s: SparkSession, dir: String): DataFrame = {
     val key = Seq(col("c_acctbal").desc, col("c_custkey").asc)
     val parts = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_acctbal"))
       .repartitionByRange(key: _*)
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val sizes = parts.groupBy(col("pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = sizes.map(_._2).sum

@@ -28,11 +28,12 @@ import graft.meta._
   *   - commit body's identifier ignored; URL params win (`tables.go:153-171`)
   *   - error envelope `{error:{message,type,code}}` (`errors.go:5-13`)
   */
-final class RestServer(catalog: GraftCatalog, port: Int = 0) {
+final class RestServer(catalog: GraftCatalog, port: Int = 0,
+                       host: String = "127.0.0.1") {
   private implicit val formats: Formats = DefaultFormats
   private val Unit31 = "\u001f"
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.createContext("/", handle _)
   // concurrent request handling (gin serves per-goroutine; handlers are
   // stateless and the store's CAS protocol arbitrates writers)

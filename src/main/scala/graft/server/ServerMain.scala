@@ -29,6 +29,7 @@ object ServerMain {
       catalogs: Map[String, Map[String, String]],
       defaults: Map[String, String],
       overrides: Map[String, String],
+      host: String,
       port: Int)
 
   private val CfgFile = ".graft.json"
@@ -53,6 +54,7 @@ object ServerMain {
         .map(_.extract[Map[String, Map[String, String]]]).getOrElse(Map.empty),
       defaults = strMap(j \ "server" \ "defaults"),
       overrides = strMap(j \ "server" \ "overrides"),
+      host = (j \ "host").extractOpt[String].getOrElse("127.0.0.1"),
       port = (j \ "port").extractOpt[Int].getOrElse(8080))
   }
 
@@ -68,7 +70,7 @@ object ServerMain {
     val catalog = new GraftCatalog
     catalog.initialize(cfg.defaultCatalog,
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
-    val server = new RestServer(catalog, portOverride.getOrElse(cfg.port))
+    val server = new RestServer(catalog, portOverride.getOrElse(cfg.port), cfg.host)
     val bound = server.start()
     (server, bound)
   }

@@ -74,41 +74,66 @@ object Multimodal {
     }.toDF().orderBy(col("doc_id"))
   }
 
-  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Long, feature: Long)
+  case class TextFrameRow(doc_id: Long, text: String)
+  case class Frame(doc_id: Long, frame_idx: Int, frame_chars: Long, feature: Long)
 
-  /** Frame sampling: each payload is chunked into fixed 64-byte "frames"
+  /** Frame sampling: each payload is chunked into fixed 64-char "frames"
     * (standing in for video frame extraction), every 4th frame is
-    * sampled, and a stub per-frame featurizer runs partition-locally.
-    * The explode happens inside mapPartitions so one input row fans out
-    * to many feature rows without a generator plan node — the batch
-    * shape a real decode+sample stage has. Rows-only oracle (stub
-    * features); frame counts are deterministic from n_bytes. */
+    * sampled, and a per-frame featurizer runs partition-locally. The
+    * explode happens inside mapPartitions so one input row fans out to
+    * many feature rows without a generator plan node — the batch shape a
+    * real decode+sample stage has (a codec would consume bytes; frames
+    * are chars here so the featurizer — the same mod-1e9+7 fold as q61 —
+    * is replayable by the DuckDB oracle, making the whole fan-out
+    * hash-checked rather than rows-only). */
   def q65MultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        lit("video/fake").as("mime"), col("source").as("src"),
-        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text")).as[TextFrameRow]
     val frameSize = 64; val sampleEvery = 4
     media.mapPartitions { rows =>
+      // per-partition init would go here (codec handles, model weights)
       rows.flatMap { r =>
-        val nFrames = math.max((r.payload.length + frameSize - 1) / frameSize, 1)
+        val n = r.text.length
+        val nFrames = math.max((n + frameSize - 1) / frameSize, 1)
         (0 until nFrames by sampleEvery).iterator.map { idx =>
           val from = idx * frameSize
-          val until = math.min(from + frameSize, r.payload.length)
-          val chunk = java.util.Arrays.copyOfRange(r.payload, from, math.max(until, from))
-          val (_, _, cs) = fakeDecode(chunk) // STUB featurizer per frame
+          val until = math.min(from + frameSize, n)
+          var cs = 0L
+          var i = from
+          while (i < until) { cs = (cs * 31 + r.text.charAt(i)) % 1000000007L; i += 1 }
           Frame(r.doc_id, idx, (until - from).toLong, cs)
         }
       }
     }.toDF()
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sampled"), sum(col("frame_bytes")).as("sampled_bytes"),
+      .agg(count(lit(1)).cast("long").as("n_sampled"),
+        sum(col("frame_chars")).as("sampled_chars"),
         min(col("feature")).as("min_feature"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB replay: unnest the sampled frame indexes, substr the chunk,
+    * fold it with list_reduce — then the same per-doc aggregate. */
+  val q65Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, text, LENGTH(text) AS n,
+      |    GREATEST(CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT), 1) AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, UNNEST(range(0, n_frames, 4)) AS idx, text, n FROM w),
+      |feat AS (
+      |  SELECT doc_id, idx,
+      |    CAST(LENGTH(SUBSTR(text, CAST(idx * 64 + 1 AS INTEGER), 64)) AS BIGINT) AS frame_chars,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_extract_all(SUBSTR(text, CAST(idx * 64 + 1 AS INTEGER), 64), '(?s).'),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, c) -> (a * 31 + c) % 1000000007) AS feature
+      |  FROM f)
+      |SELECT doc_id, COUNT(*) AS n_sampled,
+      |  CAST(SUM(frame_chars) AS BIGINT) AS sampled_chars,
+      |  MIN(feature) AS min_feature
+      |FROM feat GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_multimodal_meta"   -> q62MultimodalMeta _,
@@ -117,7 +142,9 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
-    "q62_multimodal_meta" -> q62Sql,
-    // q63: stubbed decoder features → rows-only.
+    "q62_multimodal_meta"   -> q62Sql,
+    "q65_multimodal_frames" -> q65Sql,
+    // q63: stubbed byte-level decoder features → rows-only (byte folds
+    // over multi-byte text aren't replayable from SQL's codepoint view).
   )
 }

@@ -43,7 +43,7 @@ object Bench {
       // streaming query in the pack measures its plan, not engine warmup
       if (selected("q7"))
         stream.Streaming.queries("q72_stream_dedup")(spark, sfDir).count()
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] warmup failed (continuing): $e")
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

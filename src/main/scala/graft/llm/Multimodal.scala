@@ -94,20 +94,24 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init would go here (codec handles, model weights)
       rows.flatMap { r =>
-        val n = r.text.length
+        // chunk and fold over CODEPOINTS, not UTF-16 units — DuckDB's
+        // LENGTH/SUBSTR/ascii are codepoint-based, and a non-BMP char
+        // (surrogate pair) would otherwise shift frame boundaries
+        val cps = r.text.codePoints().toArray
+        val n = cps.length
         val nFrames = math.max((n + frameSize - 1) / frameSize, 1)
         (0 until nFrames by sampleEvery).iterator.map { idx =>
           val from = idx * frameSize
           val until = math.min(from + frameSize, n)
           var cs = 0L
           var i = from
-          while (i < until) { cs = (cs * 31 + r.text.charAt(i)) % 1000000007L; i += 1 }
+          while (i < until) { cs = (cs * 31 + cps(i)) % 1000000007L; i += 1 }
           Frame(r.doc_id, idx, (until - from).toLong, cs)
         }
       }
     }.toDF()
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_sampled"),
+      .agg(count(lit(1)).as("n_sampled"),
         sum(col("frame_chars")).as("sampled_chars"),
         min(col("feature")).as("min_feature"))
       .orderBy(col("doc_id"))

@@ -21,19 +21,27 @@ object CatalogQueries {
     * tables, INSERT-commit the testdata. Split out of the query body so
     * the bench times the DSv2 SCAN, not namespace/table DDL + two commits
     * + a temp-dir mkdir (Bench calls this during warmup). */
-  def ensureWarehouse(s: SparkSession, dir: String): Unit = warmed.synchronized {
-    val dirs = warmed.computeIfAbsent(s, _ => new java.util.HashSet[String]())
-    if (dirs.add(dir)) {
-      val wh = java.nio.file.Files.createTempDirectory("graft-wh-q13").toString
-      s.conf.set("spark.sql.catalog.graft_q13", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_q13.warehouse", wh)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q13.tpch")
-      s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation")
-      s.sql("DROP TABLE IF EXISTS graft_q13.tpch.region")
-      s.sql("CREATE TABLE graft_q13.tpch.nation (n_nationkey INT, n_name STRING, n_regionkey INT)")
-      s.sql("CREATE TABLE graft_q13.tpch.region (r_regionkey INT, r_name STRING)")
-      Tables.nation(s, dir).writeTo("graft_q13.tpch.nation").append()
-      Tables.region(s, dir).writeTo("graft_q13.tpch.region").append()
+  def ensureWarehouse(s: SparkSession, dir: String): Unit = {
+    // global lock only guards the memo lookup; the DDL runs under a
+    // per-session lock so unrelated sessions never serialize on it
+    val dirs = warmed.synchronized {
+      warmed.computeIfAbsent(s, _ => new java.util.HashSet[String]())
+    }
+    dirs.synchronized {
+      if (!dirs.contains(dir)) {
+        val wh = java.nio.file.Files.createTempDirectory("graft-wh-q13").toString
+        s.conf.set("spark.sql.catalog.graft_q13", classOf[GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_q13.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q13.tpch")
+        s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation")
+        s.sql("DROP TABLE IF EXISTS graft_q13.tpch.region")
+        s.sql("CREATE TABLE graft_q13.tpch.nation (n_nationkey INT, n_name STRING, n_regionkey INT)")
+        s.sql("CREATE TABLE graft_q13.tpch.region (r_regionkey INT, r_name STRING)")
+        Tables.nation(s, dir).writeTo("graft_q13.tpch.nation").append()
+        Tables.region(s, dir).writeTo("graft_q13.tpch.region").append()
+        dirs.add(dir) // only memoize a setup that SUCCEEDED — the DDL is
+                      // idempotent, so a failed attempt can retry
+      }
     }
   }
 

@@ -11,7 +11,7 @@ object SparkEntry {
       ops.CatalogQueries.queries ++ ops.Extended.queries ++
       llm.Dedup.queries ++ llm.Similarity.queries ++
       llm.TextAnalysis.queries ++ llm.Multimodal.queries ++
-      stream.Streaming.queries
+      llm.Curation.queries ++ stream.Streaming.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +19,5 @@ object SparkEntry {
       ops.CatalogQueries.oracle ++ ops.Extended.oracle ++
       llm.Dedup.oracle ++ llm.Similarity.oracle ++
       llm.TextAnalysis.oracle ++ llm.Multimodal.oracle ++
-      stream.Streaming.oracle
+      llm.Curation.oracle ++ stream.Streaming.oracle
 }

@@ -1,0 +1,147 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators that complete the training-data pipeline:
+  * deterministic splitting, hash sampling, sequence packing, and class
+  * rebalancing. Everything is map-only arithmetic plus (at most) one
+  * keyed window or aggregate — embarrassingly parallel at 100 TB — and
+  * every hash is plain modular arithmetic both engines compute
+  * identically (engine hash functions like xxhash64 differ, so they
+  * cannot anchor an oracle-checked split).
+  */
+object Curation {
+
+  /** Affine hash into [0, 2^31): multiplier/increment are glibc's LCG
+    * constants; the pre-mod keeps every intermediate below 2^62 so ANSI
+    * arithmetic never overflows even for 1e18 ids. */
+  private def detHash(id: Column): Column =
+    pmod((id % 2147483648L) * 1103515245L + 12345L, lit(2147483648L))
+
+  private val sqlDetHash = // the same hash in DuckDB syntax
+    "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"
+
+  /** The q61 char fold — turns a string group key into an engine-neutral
+    * number so group-hash splits stay oracle-checkable. */
+  private def charFold(str: Column): Column =
+    aggregate(transform(split(str, ""), c => ascii(c).cast("long")),
+      lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
+
+  private val sqlCharFoldSource =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(regexp_extract_all(source, '(?s).'),
+      |      c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin
+
+  /** Deterministic train/val/test split (80/10/10 by hash bucket) plus a
+    * 10% hash sample flag — the reproducible alternative to TABLESAMPLE
+    * (which is engine- and partitioning-dependent). Splitting hashes the
+    * DOCUMENT id; grouping-aware splits (all docs of one source landing
+    * together, so near-duplicates cannot straddle train/test) hash the
+    * group key instead — the source_split column. */
+  def q68SplitSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(detHash(col("doc_id")), lit(100))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val srcBucket = pmod(detHash(charFold(col("source"))), lit(100))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split.as("split"),
+        (pmod(bucket, lit(10)) === 0).as("in_10pct_sample"),
+        when(srcBucket < 80, "train").otherwise("heldout").as("source_split"))
+      .groupBy(col("split"), col("source_split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("in_10pct_sample"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("split"), col("source_split"))
+  }
+
+  val q68Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    ($sqlDetHash) % 100 AS bucket,
+       |    (((($sqlCharFoldSource) % 2147483648) * 1103515245 + 12345)
+       |      % 2147483648) % 100 AS src_bucket
+       |  FROM documents)
+       |SELECT
+       |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CASE WHEN src_bucket < 80 THEN 'train' ELSE 'heldout' END AS source_split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN bucket % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM h GROUP BY split, source_split ORDER BY split, source_split""".stripMargin
+
+  /** Concat-and-chunk sequence packing — exactly how pretraining data is
+    * laid out: documents are concatenated per source (in doc_id order)
+    * and the token stream is cut into fixed windows; a document's pack is
+    * where its first token falls. One window per source (keyed shuffle),
+    * then a tiny per-pack aggregate. */
+  def q76TokenPacking(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1024
+    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), tokens.as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / budget))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  val q76Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM t)
+      |SELECT source, CAST(FLOOR(cum_before / 1024.0) AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc
+      |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+
+  /** Class rebalancing: downsample every language to (approximately) the
+    * rarest class's size, deterministically — keep a doc iff its hash
+    * modulo its class count lands below the minimum class count. Class
+    * counts are a tiny broadcast-joined aggregate; the keep decision is
+    * then map-only, so nothing about the rebalance limits scale. */
+  def q77Rebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    // 1-row global min attached via broadcast (not a partition-less window)
+    val withMin = counts.crossJoin(broadcast(counts.agg(min(col("cnt")).as("min_cnt"))))
+    docs.join(broadcast(withMin), Seq("lang"))
+      .withColumn("keep", pmod(detHash(col("doc_id")), col("cnt")) < col("min_cnt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"))
+      .orderBy(col("lang"))
+  }
+
+  val q77Sql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+       |m AS (SELECT lang, cnt, MIN(cnt) OVER () AS min_cnt FROM counts)
+       |SELECT d.lang, COUNT(*) AS n_before,
+       |  CAST(SUM(CASE WHEN ($sqlDetHash) % cnt < min_cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+       |FROM documents d JOIN m ON d.lang = m.lang
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_split_sample"  -> q68SplitSample _,
+    "q76_token_packing" -> q76TokenPacking _,
+    "q77_rebalance"     -> q77Rebalance _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q68_split_sample"  -> q68Sql,
+    "q76_token_packing" -> q76Sql,
+    "q77_rebalance"     -> q77Sql,
+  )
+}

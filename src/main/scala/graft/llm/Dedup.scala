@@ -236,6 +236,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Benchmark decontamination (the eval-overlap check run before every
+    * training run): a corpus document is contaminated if it shares any
+    * 8-word-gram with the eval set (here: doc_id < 50 stands in for the
+    * benchmark). Eval grams and corpus grams are hashed 64-bit by the
+    * same one-pass kernel as MinHash shingling, so the overlap join
+    * moves (gram-hash, doc_id) pairs only — never text — and the eval
+    * side is small enough to broadcast; at 100 TB this is a broadcast
+    * semi-join over a map-only explode. Oracle: string 8-grams in
+    * DuckDB (hash membership ≡ string membership modulo collision). */
+  def q79Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams8 = udf { text: String => shingleKernel(text, 8) }
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(grams8(col("text"))).as("gh"))
+    val evalGrams = g.filter(col("doc_id") < 50).select(col("gh")).distinct()
+    g.filter(col("doc_id") >= 50)
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  val q79Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(1, len(w) - 6),
+      |      i -> array_to_string(w[i:i+7], ' ')))) AS gram
+      |  FROM w),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+      |hits AS (
+      |  SELECT DISTINCT doc_id, source FROM g
+      |  WHERE doc_id >= 50 AND gram IN (SELECT gram FROM ev))
+      |SELECT source, COUNT(*) AS n_contaminated
+      |FROM hits GROUP BY source ORDER BY source""".stripMargin
+
   /** DuckDB replay of q54: Jaccard over DISTINCT word-bigram strings
     * equals Jaccard over their 64-bit hashes (the Spark side) as long as
     * FNV doesn't collide inside a block — verified value-identical on the
@@ -310,12 +348,14 @@ object Dedup {
     "q52_dedup_minhash" -> q52MinHashLsh _,
     "q53_dedup_simhash" -> q53SimHash _,
     "q54_ngram_jaccard" -> q54NgramJaccard _,
+    "q79_decontaminate" -> q79Decontaminate _,
   )
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact"   -> q50Sql,
     "q51_dedup_norm"    -> q51Sql,
     "q54_ngram_jaccard" -> q54Sql,
+    "q79_decontaminate" -> q79Sql,
     // q52/q53: LSH banding / signature hashing are engine-specific →
     // rows-only checks.
   )

@@ -30,12 +30,22 @@ object Similarity {
   private def norm(a: Column): Column =
     call_function("graft_l2norm", a)
 
-  /** float-vector · double-hyperplane variant (sign-LSH projections). */
-  private val dotPlaneUdf = udf { (a: Seq[Float], p: Seq[Double]) =>
-    var acc = 0.0; var i = 0
-    val n = math.min(a.size, p.size)
-    while (i < n) { acc += a(i).toDouble * p(i); i += 1 }
-    acc
+  /** Sign-LSH bucket kernel: one UDF call computes ALL bits of a table's
+    * bucket (planes ride in the closure, serialized once per task — not
+    * per-row column literals; one invocation per (row, table) instead of
+    * one per (row, table, bit)). */
+  private def bucketUdf(planes: Array[Array[Double]]) = udf { v: Seq[Float] =>
+    var b = 0
+    var bit = 0
+    while (bit < planes.length) {
+      val p = planes(bit)
+      var acc = 0.0; var i = 0
+      val n = math.min(v.size, p.length)
+      while (i < n) { acc += v(i).toDouble * p(i); i += 1 }
+      if (acc >= 0) b |= (1 << bit)
+      bit += 1
+    }
+    b
   }
 
   /** Brute-force cosine top-5 for 50 query vectors against the corpus.
@@ -92,18 +102,13 @@ object Similarity {
       val rnd = new scala.util.Random(seed)
       Array.fill(nBits, dim)(rnd.nextGaussian())
     }
-    def bucket(v: Column, pl: Array[Array[Double]]): Column =
-      (0 until nBits).map { i =>
-        val plane = array(pl(i).map(lit): _*)
-        when(dotPlaneUdf(v, plane) >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
-      }.reduce(_ bitwiseOR _)
 
     val e = Tables.embeddings(s, dir)
     val tables = Seq(planes(7), planes(13), planes(19), planes(29))
     val hashed = e.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
       explode(array(tables.zipWithIndex.map { case (pl, t) =>
-        struct(lit(t).as("t"), bucket(col("embedding"), pl).as("b"))
+        struct(lit(t).as("t"), bucketUdf(pl)(col("embedding")).as("b"))
       }: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("tb.t").as("t"), col("tb.b").as("b"))
@@ -224,16 +229,11 @@ object Similarity {
       val rnd = new scala.util.Random(seed)
       Array.fill(nBits, dim)(rnd.nextGaussian())
     }
-    def bucket(v: Column, pl: Array[Array[Double]]): Column =
-      (0 until nBits).map { i =>
-        val plane = array(pl(i).map(lit): _*)
-        when(dotPlaneUdf(v, plane) >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
-      }.reduce(_ bitwiseOR _)
 
     val e = Tables.embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
     val hashed = e.select(col("vec_id"),
       explode(array(Seq(planes(21), planes(33)).zipWithIndex.map { case (pl, t) =>
-        struct(lit(t).as("t"), bucket(col("embedding"), pl).as("b"))
+        struct(lit(t).as("t"), bucketUdf(pl)(col("embedding")).as("b"))
       }: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
     val a = hashed.select(col("t"), col("b"), col("vec_id").as("id_a"))

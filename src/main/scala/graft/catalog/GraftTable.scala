@@ -70,10 +70,24 @@ class GraftTable(tableName: String, store: MetadataStore,
       .filter(_.transform == "identity").flatMap(f => nameById.get(f.sourceId))
   }
 
+  /** bucket[n] spec fields as (sourceCol, n, dirKeyName). */
+  private def bucketPartSpecs: Seq[(String, Int, String)] = {
+    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
+    val BucketRe = "bucket\\[(\\d+)\\]".r
+    meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
+      .flatMap { f =>
+        f.transform match {
+          case BucketRe(n) => nameById.get(f.sourceId).map(src => (src, n.toInt, f.name))
+          case _ => None
+        }
+      }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, store.dataDir(ns, table), currentRelFiles,
       identityPartCols, schema(), options,
-      meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty))
+      meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
+      bucketPartSpecs)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (frozen) throw new UnsupportedOperationException(
@@ -93,7 +107,8 @@ private[graft] class GraftScanBuilder(
     tableName: String, dataDir: String, relFiles: Seq[String],
     partCols: Seq[String], tableSchema: StructType,
     options: CaseInsensitiveStringMap,
-    fileStats: Map[String, List[graft.meta.ColStatDef]] = Map.empty)
+    fileStats: Map[String, List[graft.meta.ColStatDef]] = Map.empty,
+    bucketSpecs: Seq[(String, Int, String)] = Nil)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -113,18 +128,46 @@ private[graft] class GraftScanBuilder(
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = if (required.isEmpty) tableSchema else required
 
-  /** Allowed value sets per partition column from the pushed filters
-    * (conjunctive): None = unconstrained. */
+  private val bucketBySrc: Map[String, (Int, String)] =
+    bucketSpecs.map { case (src, n, name) => src -> (n, name) }.toMap
+
+  /** Driver-side replay of the write path's `pmod(hash(col), n)` for a
+    * pushed literal: Spark's Murmur3 (seed 42) over the column's Catalyst
+    * type. None when the literal can't be converted (never prune then). */
+  private def bucketOf(c: String, v: Any, n: Int): Option[Int] = try {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    tableSchema.fields.find(_.name == c).map { f =>
+      val h = new Murmur3Hash(Seq(Literal.create(v, f.dataType)), 42)
+        .eval(null).asInstanceOf[Int]
+      ((h % n) + n) % n
+    }
+  } catch { case _: Exception => None }
+
+  /** Allowed value sets per partition-DIRECTORY key from the pushed
+    * filters (conjunctive): identity columns match their own value,
+    * bucket columns match the recomputed bucket id. None = unconstrained. */
   private def allowedValues: Map[String, Set[String]] = {
     val acc = scala.collection.mutable.Map.empty[String, Set[String]]
     def intersect(c: String, vs: Set[String]): Unit =
       acc(c) = acc.get(c).map(_.intersect(vs)).getOrElse(vs)
+    def bucketHit(c: String, v: Any): Unit = bucketBySrc.get(c).foreach {
+      case (n, dirKey) => bucketOf(c, v, n).foreach(b => intersect(dirKey, Set(b.toString)))
+    }
     pushed.foreach {
       case EqualTo(c, v) if partCols.contains(c) => intersect(c, Set(String.valueOf(v)))
+      case EqualTo(c, v) if bucketBySrc.contains(c) => bucketHit(c, v)
       case EqualNullSafe(c, v) if partCols.contains(c) && v != null =>
         intersect(c, Set(String.valueOf(v)))
+      case EqualNullSafe(c, v) if bucketBySrc.contains(c) && v != null => bucketHit(c, v)
       case In(c, vs) if partCols.contains(c) =>
         intersect(c, vs.filter(_ != null).map(String.valueOf).toSet)
+      case In(c, vs) if bucketBySrc.contains(c) =>
+        bucketBySrc.get(c).foreach { case (n, dirKey) =>
+          val buckets = vs.filter(_ != null).flatMap(v => bucketOf(c, v, n)).map(_.toString)
+          // only prune if EVERY literal resolved to a bucket (a missed
+          // conversion must not narrow the allowed set)
+          if (buckets.length == vs.count(_ != null)) intersect(dirKey, buckets.toSet)
+        }
       case _ => ()
     }
     acc.toMap
@@ -254,15 +297,28 @@ private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: St
                 org.apache.spark.sql.functions.col(parts(0)).desc
               else org.apache.spark.sql.functions.col(parts(0)).asc
             }
-          // identity partition transforms become physical partition dirs;
-          // the partition value rides in a shadow column so the original
-          // stays inside the data files (scans need no partition recovery)
+          // identity and bucket[n] partition transforms become physical
+          // partition dirs; the partition value rides in a shadow column
+          // so the original stays inside the data files (scans need no
+          // partition recovery). Bucket ids are pmod(hash(col), n) —
+          // Spark's Murmur3 — which the scan side recomputes for pushed
+          // equality filters to prune whole buckets.
           val nameById = meta0.currentSchema.fields.map(f => f.id -> f.name).toMap
-          val identCols = meta0.specs.find(_.specId == meta0.defaultSpecId)
+          val specFields = meta0.specs.find(_.specId == meta0.defaultSpecId)
             .map(_.fields).getOrElse(Nil)
+          val identCols = specFields
             .filter(_.transform == "identity")
             .flatMap(f => nameById.get(f.sourceId))
             .filter(data.columns.contains)
+          val BucketRe = "bucket\\[(\\d+)\\]".r
+          val bucketFields = specFields.flatMap { f =>
+            f.transform match {
+              case BucketRe(n) => nameById.get(f.sourceId)
+                .filter(data.columns.contains)
+                .map(src => (src, n.toInt, f.name))
+              case _ => None
+            }
+          }
 
           // stamp table field ids onto the outgoing columns so the parquet
           // writer records them (fieldId.write is on by default) — the
@@ -273,11 +329,18 @@ private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: St
           }: _*)
           if (sortCols.nonEmpty)
             out = out.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-          val writer = if (identCols.nonEmpty) {
+          val partDirCols =
+            identCols.map("__part_" + _) ++ bucketFields.map("__part_" + _._3)
+          val writer = if (partDirCols.nonEmpty) {
             identCols.foreach { c =>
               out = out.withColumn(s"__part_$c", org.apache.spark.sql.functions.col(c))
             }
-            out.write.partitionBy(identCols.map("__part_" + _): _*)
+            bucketFields.foreach { case (src, n, name) =>
+              out = out.withColumn(s"__part_$name", org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.col(src)),
+                org.apache.spark.sql.functions.lit(n)))
+            }
+            out.write.partitionBy(partDirCols: _*)
           } else out.write
           writer.mode(SaveMode.ErrorIfExists).parquet(outDir)
 

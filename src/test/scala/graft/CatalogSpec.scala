@@ -325,6 +325,38 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v == 1 + threads * perThread) // v1 create + 40 commits
   }
 
+  test("bucket[n] transform: physical bucket dirs + equality filter pruning") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bkt")
+    spark.sql("""CREATE TABLE graft.bkt.t (id BIGINT, v STRING)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO graft.bkt.t SELECT id, CAST(id AS STRING) FROM range(0, 64)")
+    // physical layout: bucket dirs under the commit dir
+    val dataDir = java.nio.file.Paths.get(wh, "bkt", "t", "data")
+    val walk = java.nio.file.Files.walk(dataDir)
+    val dirs = try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
+      .asScala.map(_.toString).toList finally walk.close()
+    assert((0 until 4).forall(b => dirs.exists(_.contains(s"__part_id_bucket=$b"))),
+      s"missing bucket dirs in:\n${dirs.mkString("\n")}")
+    // scan-side pruning: an equality filter keeps only one bucket's files
+    val table = catalog.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("bkt"), "t"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val builder = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .asInstanceOf[graft.catalog.GraftScanBuilder]
+    val all = builder.prunedRelFiles.size
+    builder.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("id", 7L)))
+    val pruned = builder.prunedRelFiles
+    assert(pruned.size < all, s"bucket filter did not prune: $all -> ${pruned.size}")
+    assert(pruned.forall(_.contains("__part_id_bucket=")), pruned.mkString(","))
+    assert(pruned.map(_.replaceAll(".*__part_id_bucket=(\\d+).*", "$1")).distinct.size == 1,
+      "more than one bucket survived an equality filter")
+    // behavior end-to-end
+    assert(spark.sql("SELECT v FROM graft.bkt.t WHERE id = 7").collect()
+      .map(_.getString(0)).toSeq == Seq("7"))
+    assert(spark.table("graft.bkt.t").count() == 64)
+  }
+
   test("compaction does not drop a concurrently-appended file") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mc")
     spark.sql("CREATE TABLE graft.mc.t (id BIGINT)")

@@ -70,30 +70,98 @@ class GraftTable(tableName: String, store: MetadataStore,
       .filter(_.transform == "identity").flatMap(f => nameById.get(f.sourceId))
   }
 
-  /** bucket[n] spec fields as (sourceCol, n, dirKeyName). */
-  private def bucketPartSpecs: Seq[(String, Int, String)] = {
+  /** Non-identity spec fields as (sourceCol, transform, dirKeyName). */
+  private def transformPartSpecs: Seq[(String, String, String)] = {
     val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
-    val BucketRe = "bucket\\[(\\d+)\\]".r
     meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
-      .flatMap { f =>
-        f.transform match {
-          case BucketRe(n) => nameById.get(f.sourceId).map(src => (src, n.toInt, f.name))
-          case _ => None
-        }
-      }
+      .filter(_.transform != "identity")
+      .flatMap(f => nameById.get(f.sourceId).map(src => (src, f.transform, f.name)))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, store.dataDir(ns, table), currentRelFiles,
       identityPartCols, schema(), options,
       meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
-      bucketPartSpecs)
+      transformPartSpecs)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (frozen) throw new UnsupportedOperationException(
       "cannot write to a time-travel snapshot")
     new GraftWriteBuilder(store, ns, table)
   }
+}
+
+/** The physical side of the hidden-partitioning vocabulary: every
+  * non-identity transform maps to (a) a write-side dir-value expression
+  * and (b) a driver-side replay of that expression on a pushed literal,
+  * so scans prune whole partition dirs without ever materializing the
+  * transform as a user-visible column (identity rides the source column
+  * directly). Temporal replay is restricted to timezone-independent
+  * types (DateType / TimestampNTZType) — TimestampType dir values depend
+  * on the session timezone, so those layouts are written but never
+  * pruned against (a wrong prune silently drops rows; skipping one is
+  * only slower). */
+private[graft] object PartitionTransforms {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  private val BucketRe = "bucket\\[(\\d+)\\]".r
+  private val TruncRe = "truncate\\[(\\d+)\\]".r
+
+  /** Write-side dir-value expression; None = no physical layout. */
+  def dirExpr(transform: String, src: String, dt: DataType): Option[Column] =
+    transform match {
+      case BucketRe(n) => Some(pmod(hash(col(src)), lit(n.toInt)))
+      case TruncRe(n) => dt match {
+        case StringType => Some(substring(col(src), 1, n.toInt))
+        case IntegerType | LongType => Some(col(src) - pmod(col(src), lit(n.toLong)))
+        case _ => None
+      }
+      case "year"  => Some(year(col(src)))
+      case "month" => Some(date_format(col(src), "yyyy-MM"))
+      case "day"   => Some(date_format(col(src), "yyyy-MM-dd"))
+      case "hour"  => Some(date_format(col(src), "yyyy-MM-dd-HH"))
+      case _ => None
+    }
+
+  /** Driver-side replay on a pushed literal → the dir value an equal row
+    * was written under; None = can't replay safely (never prune). */
+  def dirValueOf(transform: String, v: Any, dt: DataType): Option[String] = try {
+    import java.time.{LocalDate, LocalDateTime}
+    def asLocalDateTime: Option[LocalDateTime] = v match {
+      case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay)
+      case d: LocalDate => Some(d.atStartOfDay)
+      case t: java.sql.Timestamp => Some(t.toLocalDateTime)
+      case t: LocalDateTime => Some(t)
+      case _ => None
+    }
+    def temporalOk = dt == DateType || dt == TimestampNTZType
+    transform match {
+      case BucketRe(n) =>
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+        val h = new Murmur3Hash(Seq(Literal.create(v, dt)), 42)
+          .eval(null).asInstanceOf[Int]
+        Some((((h % n.toInt) + n.toInt) % n.toInt).toString)
+      case TruncRe(n) => dt match {
+        case StringType => Some(String.valueOf(v).take(n.toInt))
+        case IntegerType | LongType =>
+          val x = v.asInstanceOf[Number].longValue()
+          Some((x - java.lang.Math.floorMod(x, n.toLong)).toString)
+        case _ => None
+      }
+      case "year" if temporalOk => asLocalDateTime.map(_.getYear.toString)
+      case "month" if temporalOk =>
+        asLocalDateTime.map(t => f"${t.getYear}%04d-${t.getMonthValue}%02d")
+      case "day" if temporalOk =>
+        asLocalDateTime.map(t =>
+          f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d")
+      case "hour" if temporalOk =>
+        asLocalDateTime.map(t =>
+          f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d-${t.getHour}%02d")
+      case _ => None
+    }
+  } catch { case _: Exception => None }
 }
 
 /** Scan builder with snapshot-manifest partition pruning: identity
@@ -108,7 +176,7 @@ private[graft] class GraftScanBuilder(
     partCols: Seq[String], tableSchema: StructType,
     options: CaseInsensitiveStringMap,
     fileStats: Map[String, List[graft.meta.ColStatDef]] = Map.empty,
-    bucketSpecs: Seq[(String, Int, String)] = Nil)
+    transformSpecs: Seq[(String, String, String)] = Nil)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -128,45 +196,39 @@ private[graft] class GraftScanBuilder(
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = if (required.isEmpty) tableSchema else required
 
-  private val bucketBySrc: Map[String, (Int, String)] =
-    bucketSpecs.map { case (src, n, name) => src -> (n, name) }.toMap
+  private val transformBySrc: Map[String, (String, String)] =
+    transformSpecs.map { case (src, tr, name) => src -> (tr, name) }.toMap
 
-  /** Driver-side replay of the write path's `pmod(hash(col), n)` for a
-    * pushed literal: Spark's Murmur3 (seed 42) over the column's Catalyst
-    * type. None when the literal can't be converted (never prune then). */
-  private def bucketOf(c: String, v: Any, n: Int): Option[Int] = try {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
-    tableSchema.fields.find(_.name == c).map { f =>
-      val h = new Murmur3Hash(Seq(Literal.create(v, f.dataType)), 42)
-        .eval(null).asInstanceOf[Int]
-      ((h % n) + n) % n
-    }
-  } catch { case _: Exception => None }
+  /** Replay a transform on a pushed literal via [[PartitionTransforms]]. */
+  private def dirValueOf(c: String, transform: String, v: Any): Option[String] =
+    tableSchema.fields.find(_.name == c)
+      .flatMap(f => PartitionTransforms.dirValueOf(transform, v, f.dataType))
 
   /** Allowed value sets per partition-DIRECTORY key from the pushed
     * filters (conjunctive): identity columns match their own value,
-    * bucket columns match the recomputed bucket id. None = unconstrained. */
+    * transform columns match the replayed dir value. None = unconstrained. */
   private def allowedValues: Map[String, Set[String]] = {
     val acc = scala.collection.mutable.Map.empty[String, Set[String]]
     def intersect(c: String, vs: Set[String]): Unit =
       acc(c) = acc.get(c).map(_.intersect(vs)).getOrElse(vs)
-    def bucketHit(c: String, v: Any): Unit = bucketBySrc.get(c).foreach {
-      case (n, dirKey) => bucketOf(c, v, n).foreach(b => intersect(dirKey, Set(b.toString)))
+    def transformHit(c: String, v: Any): Unit = transformBySrc.get(c).foreach {
+      case (tr, dirKey) => dirValueOf(c, tr, v).foreach(d => intersect(dirKey, Set(d)))
     }
     pushed.foreach {
       case EqualTo(c, v) if partCols.contains(c) => intersect(c, Set(String.valueOf(v)))
-      case EqualTo(c, v) if bucketBySrc.contains(c) => bucketHit(c, v)
+      case EqualTo(c, v) if transformBySrc.contains(c) => transformHit(c, v)
       case EqualNullSafe(c, v) if partCols.contains(c) && v != null =>
         intersect(c, Set(String.valueOf(v)))
-      case EqualNullSafe(c, v) if bucketBySrc.contains(c) && v != null => bucketHit(c, v)
+      case EqualNullSafe(c, v) if transformBySrc.contains(c) && v != null =>
+        transformHit(c, v)
       case In(c, vs) if partCols.contains(c) =>
         intersect(c, vs.filter(_ != null).map(String.valueOf).toSet)
-      case In(c, vs) if bucketBySrc.contains(c) =>
-        bucketBySrc.get(c).foreach { case (n, dirKey) =>
-          val buckets = vs.filter(_ != null).flatMap(v => bucketOf(c, v, n)).map(_.toString)
-          // only prune if EVERY literal resolved to a bucket (a missed
-          // conversion must not narrow the allowed set)
-          if (buckets.length == vs.count(_ != null)) intersect(dirKey, buckets.toSet)
+      case In(c, vs) if transformBySrc.contains(c) =>
+        transformBySrc.get(c).foreach { case (tr, dirKey) =>
+          val dirs = vs.filter(_ != null).flatMap(v => dirValueOf(c, tr, v))
+          // only prune if EVERY literal replayed (a missed conversion
+          // must not narrow the allowed set)
+          if (dirs.length == vs.count(_ != null)) intersect(dirKey, dirs.toSet)
         }
       case _ => ()
     }
@@ -297,28 +359,31 @@ private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: St
                 org.apache.spark.sql.functions.col(parts(0)).desc
               else org.apache.spark.sql.functions.col(parts(0)).asc
             }
-          // identity and bucket[n] partition transforms become physical
-          // partition dirs; the partition value rides in a shadow column
-          // so the original stays inside the data files (scans need no
-          // partition recovery). Bucket ids are pmod(hash(col), n) —
-          // Spark's Murmur3 — which the scan side recomputes for pushed
-          // equality filters to prune whole buckets.
+          // every partition transform becomes physical partition dirs;
+          // the partition value rides in a shadow column so the original
+          // stays inside the data files (scans need no partition
+          // recovery). Non-identity dir values come from
+          // PartitionTransforms.dirExpr (bucket = pmod(hash, n),
+          // truncate = prefix/floor, temporal = formatted), and the scan
+          // side replays the same function on pushed equality literals.
           val nameById = meta0.currentSchema.fields.map(f => f.id -> f.name).toMap
+          val typeByName = SchemaBridge.toSpark(meta0.currentSchema)
+            .fields.map(f => f.name -> f.dataType).toMap
           val specFields = meta0.specs.find(_.specId == meta0.defaultSpecId)
             .map(_.fields).getOrElse(Nil)
           val identCols = specFields
             .filter(_.transform == "identity")
             .flatMap(f => nameById.get(f.sourceId))
             .filter(data.columns.contains)
-          val BucketRe = "bucket\\[(\\d+)\\]".r
-          val bucketFields = specFields.flatMap { f =>
-            f.transform match {
-              case BucketRe(n) => nameById.get(f.sourceId)
-                .filter(data.columns.contains)
-                .map(src => (src, n.toInt, f.name))
-              case _ => None
+          val transformFields = specFields
+            .filter(_.transform != "identity")
+            .flatMap { f =>
+              for {
+                src <- nameById.get(f.sourceId) if data.columns.contains(src)
+                dt <- typeByName.get(src)
+                ex <- PartitionTransforms.dirExpr(f.transform, src, dt)
+              } yield (f.name, ex)
             }
-          }
 
           // stamp table field ids onto the outgoing columns so the parquet
           // writer records them (fieldId.write is on by default) — the
@@ -330,15 +395,13 @@ private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: St
           if (sortCols.nonEmpty)
             out = out.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
           val partDirCols =
-            identCols.map("__part_" + _) ++ bucketFields.map("__part_" + _._3)
+            identCols.map("__part_" + _) ++ transformFields.map("__part_" + _._1)
           val writer = if (partDirCols.nonEmpty) {
             identCols.foreach { c =>
               out = out.withColumn(s"__part_$c", org.apache.spark.sql.functions.col(c))
             }
-            bucketFields.foreach { case (src, n, name) =>
-              out = out.withColumn(s"__part_$name", org.apache.spark.sql.functions.pmod(
-                org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.col(src)),
-                org.apache.spark.sql.functions.lit(n)))
+            transformFields.foreach { case (name, ex) =>
+              out = out.withColumn(s"__part_$name", ex)
             }
             out.write.partitionBy(partDirCols: _*)
           } else out.write

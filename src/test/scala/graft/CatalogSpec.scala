@@ -357,6 +357,45 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.bkt.t").count() == 64)
   }
 
+  test("truncate and temporal transforms: physical dirs + filter pruning") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("DROP TABLE IF EXISTS graft.tt.t")
+    spark.sql("""CREATE TABLE graft.tt.t (id BIGINT, name STRING, d DATE)
+      PARTITIONED BY (truncate(3, name), months(d))""")
+    spark.sql("""INSERT INTO graft.tt.t VALUES
+      (1, 'alphabet', DATE '2024-01-05'), (2, 'alpine', DATE '2024-01-20'),
+      (3, 'beta', DATE '2024-02-10'), (4, 'gamma', DATE '2024-03-01')""")
+    val dataDir = java.nio.file.Paths.get(wh, "tt", "t", "data")
+    val walk = java.nio.file.Files.walk(dataDir)
+    val dirs = try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
+      .asScala.map(_.toString).toList finally walk.close()
+    assert(dirs.exists(_.contains("__part_name_trunc=alp")), dirs.mkString("\n"))
+    assert(dirs.exists(_.contains("__part_d_month=2024-02")), dirs.mkString("\n"))
+    // pruning: string-prefix and month filters keep only matching dirs
+    val table = catalog.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("tt"), "t"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    def prunedWith(f: org.apache.spark.sql.sources.Filter): Seq[String] = {
+      val b = table.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+        .asInstanceOf[graft.catalog.GraftScanBuilder]
+      b.pushFilters(Array(f)); b.prunedRelFiles
+    }
+    val byName = prunedWith(org.apache.spark.sql.sources.EqualTo("name", "alpine"))
+    assert(byName.nonEmpty && byName.forall(_.contains("__part_name_trunc=alp")),
+      byName.mkString(","))
+    val byMonth = prunedWith(org.apache.spark.sql.sources.EqualTo(
+      "d", java.sql.Date.valueOf("2024-02-10")))
+    assert(byMonth.nonEmpty && byMonth.forall(_.contains("__part_d_month=2024-02")),
+      byMonth.mkString(","))
+    // behavior end-to-end
+    assert(spark.sql("SELECT id FROM graft.tt.t WHERE name = 'alpine'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sql("SELECT id FROM graft.tt.t WHERE d = DATE '2024-02-10'")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(spark.table("graft.tt.t").count() == 4)
+  }
+
   test("compaction does not drop a concurrently-appended file") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mc")
     spark.sql("CREATE TABLE graft.mc.t (id BIGINT)")

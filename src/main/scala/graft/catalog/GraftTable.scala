@@ -70,11 +70,21 @@ class GraftTable(tableName: String, store: MetadataStore,
       .filter(_.transform == "identity").flatMap(f => nameById.get(f.sourceId))
   }
 
-  /** Non-identity spec fields as (sourceCol, transform, dirKeyName). */
+  /** Non-identity spec fields as (sourceCol, transform, dirKeyName).
+    * A bucket column whose type ever CHANGED across schema versions is
+    * excluded: Murmur3's hash family depends on the input type (hashInt
+    * vs hashLong), so files written under the old type live in dirs the
+    * current-type replay would never compute — pruning them would
+    * silently drop rows. (Other transforms replay on the VALUE, which
+    * widening preserves.) */
   private def transformPartSpecs: Seq[(String, String, String)] = {
     val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
+    def typeStable(fieldId: Int): Boolean =
+      meta.schemas.flatMap(_.fields.filter(_.id == fieldId).map(_.`type`))
+        .distinct.size <= 1
     meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
       .filter(_.transform != "identity")
+      .filter(f => !f.transform.startsWith("bucket[") || typeStable(f.sourceId))
       .flatMap(f => nameById.get(f.sourceId).map(src => (src, f.transform, f.name)))
   }
 
@@ -144,7 +154,13 @@ private[graft] object PartitionTransforms {
           .eval(null).asInstanceOf[Int]
         Some((((h % n.toInt) + n.toInt) % n.toInt).toString)
       case TruncRe(n) => dt match {
-        case StringType => Some(String.valueOf(v).take(n.toInt))
+        case StringType =>
+          // codepoint prefix, matching write-side substring semantics
+          // (String.take counts UTF-16 units and would split surrogate
+          // pairs into a dir value that was never written)
+          val s = String.valueOf(v)
+          val end = s.offsetByCodePoints(0, math.min(n.toInt, s.codePointCount(0, s.length)))
+          Some(s.substring(0, end))
         case IntegerType | LongType =>
           val x = v.asInstanceOf[Number].longValue()
           Some((x - java.lang.Math.floorMod(x, n.toLong)).toString)
@@ -236,10 +252,14 @@ private[graft] class GraftScanBuilder(
   }
 
   private def partitionAllows(rel: String, allowed: Map[String, Set[String]]): Boolean = {
+    // dir values are Hive-escaped by partitionBy (':' → '%3A' etc.);
+    // unescape before comparing with raw replayed literals, or a value
+    // containing any escaped character would wrongly prune its own file
     val kvs = rel.split("/").iterator
       .filter(_.startsWith("__part_")).flatMap { seg =>
         seg.stripPrefix("__part_").split("=", 2) match {
-          case Array(k, v) => Some(k -> v)
+          case Array(k, v) => Some(k ->
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
           case _ => None
         }
       }.toMap

@@ -21,20 +21,16 @@ object Curation {
   private def detHash(id: Column): Column =
     pmod((id % 2147483648L) * 1103515245L + 12345L, lit(2147483648L))
 
-  private val sqlDetHash = // the same hash in DuckDB syntax
-    "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"
+  // the same hash in DuckDB syntax. DuckDB's % is sign-preserving while
+  // the Spark side finishes with pmod, so the SQL wraps the final mod
+  // into floor-mod form — identical for any sign of doc_id
+  private val sqlDetHash =
+    "((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648"
 
-  /** The q61 char fold — turns a string group key into an engine-neutral
-    * number so group-hash splits stay oracle-checkable. */
-  private def charFold(str: Column): Column =
-    aggregate(transform(split(str, ""), c => ascii(c).cast("long")),
-      lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
-
-  private val sqlCharFoldSource =
-    """list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(regexp_extract_all(source, '(?s).'),
-      |      c -> CAST(ascii(c) AS BIGINT))),
-      |    (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin
+  // string group keys hash through the shared q61 char fold (TextAnalysis)
+  // so group-hash splits stay oracle-checkable with engine-neutral values
+  private def charFold(str: Column): Column = TextAnalysis.charFold(str)
+  private val sqlCharFoldSource = TextAnalysis.sqlCharFold("source")
 
   /** Deterministic train/val/test split (80/10/10 by hash bucket) plus a
     * 10% hash sample flag — the reproducible alternative to TABLESAMPLE

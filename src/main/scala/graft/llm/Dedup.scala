@@ -244,7 +244,9 @@ object Dedup {
     * moves (gram-hash, doc_id) pairs only — never text — and the eval
     * side is small enough to broadcast; at 100 TB this is a broadcast
     * semi-join over a map-only explode. Oracle: string 8-grams in
-    * DuckDB (hash membership ≡ string membership modulo collision). */
+    * DuckDB (hash membership ≡ string membership modulo collision; a
+    * sub-8-word document contributes its whole word sequence as one
+    * gram on both sides, mirroring the kernel's short-doc window). */
   def q79Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val grams8 = udf { text: String => shingleKernel(text, 8) }
     val g = Tables.documents(s, dir)
@@ -264,8 +266,9 @@ object Dedup {
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, source,
-      |    unnest(list_distinct(list_transform(range(1, len(w) - 6),
-      |      i -> array_to_string(w[i:i+7], ' ')))) AS gram
+      |    unnest(CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+      |           ELSE list_distinct(list_transform(range(1, len(w) - 6),
+      |             i -> array_to_string(w[i:i+7], ' '))) END) AS gram
       |  FROM w),
       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
       |hits AS (

@@ -123,10 +123,22 @@ object TextAnalysis {
     * using the SAME mod-p char fold per 3-word shingle (not xxhash64,
     * which is engine-specific) — so the whole row is oracle-checkable
     * against DuckDB's list_reduce. Both map-only. */
+  /** mod-1e9+7 char fold — the engine-neutral string hash shared by the
+    * fingerprint, curation, and frame-sampling queries (every
+    * intermediate fits in BIGINT on both engines; Spark's split(s, '')
+    * and DuckDB's regexp_extract_all(s, '(?s).') both yield codepoints). */
+  def charFold(str: Column): Column =
+    aggregate(transform(split(str, ""), c => ascii(c).cast("long")),
+      lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
+
+  /** The same fold as a DuckDB expression over column/expression `e`. */
+  def sqlCharFold(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(regexp_extract_all($e, '(?s).'),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin
+
   def q61Fingerprint(s: SparkSession, dir: String): DataFrame = {
-    def charFold(str: Column): Column =
-      aggregate(transform(split(str, ""), c => ascii(c).cast("long")),
-        lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
     val words = split(trim(col("text")), "\\s+")
     // slice truncates at the array end (and DuckDB's w[i:i+2] slices the
     // same way), so a 1-2 word document folds its whole text instead of

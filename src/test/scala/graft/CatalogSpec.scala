@@ -396,6 +396,19 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.tt.t").count() == 4)
   }
 
+  test("partition values with Hive-escaped characters still match filters") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.esc")
+    spark.sql("DROP TABLE IF EXISTS graft.esc.t")
+    spark.sql("CREATE TABLE graft.esc.t (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO graft.esc.t VALUES (1, 'a:b'), (2, 'c=d'), (3, 'plain')")
+    // dir names are escaped (a%3Ab); the pruner must still keep the file
+    assert(spark.sql("SELECT id FROM graft.esc.t WHERE cat = 'a:b'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql("SELECT id FROM graft.esc.t WHERE cat = 'c=d'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.table("graft.esc.t").count() == 3)
+  }
+
   test("compaction does not drop a concurrently-appended file") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mc")
     spark.sql("CREATE TABLE graft.mc.t (id BIGINT)")

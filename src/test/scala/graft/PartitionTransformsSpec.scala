@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.PartitionTransforms
+
+/** The property that makes partition pruning safe: for every transform
+  * and every value, the dir value the WRITE side computes (the Catalyst
+  * expression, evaluated through a real plan) equals the dir value the
+  * SCAN side replays driver-side for a pushed literal. A divergence on
+  * any input is a silently-dropped row, so this is checked over
+  * adversarial generators (surrogate pairs, Hive-escaped characters,
+  * negative numbers, boundary dates) rather than just the happy path.
+  */
+class PartitionTransformsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Evaluate the write-side dir expression on a one-row frame, as a
+    * string — the value partitionBy would use for the directory. */
+  private def writeDirValue(transform: String, v: Any, dt: DataType): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("c", dt)))
+    val row = org.apache.spark.sql.Row(v)
+    val df = spark.createDataFrame(List(row).asJava, schema)
+    PartitionTransforms.dirExpr(transform, "c", dt).map { ex =>
+      String.valueOf(df.select(ex.cast("string")).head.get(0))
+    }
+  }
+
+  private val trickyString: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf(':', '=', '%', '/', '#', ' ', 'é', '世'),
+    Gen.const('\ud83d').map(_ => '\ud83d'))).map { cs =>
+    // assemble, pairing any high surrogate with a low one so the string
+    // stays valid UTF-16 (lone surrogates aren't storable text)
+    val sb = new StringBuilder
+    cs.foreach { c => if (c == '\ud83d') sb.append("😀") else sb.append(c) }
+    sb.toString
+  }
+
+  test("truncate[n] on strings: write expression == driver replay (incl. non-BMP)") {
+    check(Prop.forAll(trickyString, Gen.choose(1, 5)) { (s, n) =>
+      writeDirValue(s"truncate[$n]", s, StringType) ==
+        PartitionTransforms.dirValueOf(s"truncate[$n]", s, StringType)
+    })
+  }
+
+  test("truncate[n] on longs: write expression == driver replay (incl. negatives)") {
+    check(Prop.forAll(Gen.choose(Long.MinValue / 4, Long.MaxValue / 4),
+        Gen.choose(1, 1000)) { (x, n) =>
+      writeDirValue(s"truncate[$n]", x, LongType) ==
+        PartitionTransforms.dirValueOf(s"truncate[$n]", x, LongType)
+    })
+  }
+
+  test("bucket[n]: write expression == driver replay for longs and strings") {
+    check(Prop.forAll(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2),
+        Gen.choose(1, 64)) { (x, n) =>
+      writeDirValue(s"bucket[$n]", x, LongType) ==
+        PartitionTransforms.dirValueOf(s"bucket[$n]", x, LongType)
+    })
+    check(Prop.forAll(trickyString, Gen.choose(1, 64)) { (s, n) =>
+      writeDirValue(s"bucket[$n]", s, StringType) ==
+        PartitionTransforms.dirValueOf(s"bucket[$n]", s, StringType)
+    })
+  }
+
+  test("temporal transforms on DATE: write expression == driver replay") {
+    val dateGen = Gen.choose(-20000, 40000) // ~1915..2079 as epoch days
+      .map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)))
+    for (tr <- Seq("year", "month", "day")) {
+      check(Prop.forAll(dateGen) { d =>
+        writeDirValue(tr, d, DateType) ==
+          PartitionTransforms.dirValueOf(tr, d, DateType)
+      })
+    }
+  }
+
+  test("timezone-dependent timestamps are never replayed (no wrong prune possible)") {
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 10:30:00")
+    for (tr <- Seq("year", "month", "day", "hour"))
+      assert(PartitionTransforms.dirValueOf(tr, ts, TimestampType).isEmpty)
+  }
+}

@@ -8,12 +8,15 @@ import graft.Tables
   * columns with a typed metadata struct; decode/feature-extract runs as a
   * partition-local typed transform over `Dataset[MediaRow]`.
   *
-  * The container has no image/audio codecs, so `fakeDecode` below is a
-  * clearly-marked STUB standing in for the real decoder (it derives
-  * deterministic pseudo-features from the bytes). Everything around it —
-  * schema, binary payload handling, encoder round-trip, partition-level
-  * batching via mapPartitions — is the real Spark plumbing a decode stage
-  * needs, and is what the tests exercise.
+  * The decode stage is REAL for the codec-free Netpbm family (PGM "P5" /
+  * PPM "P6" — [[PgmCodec]], zero dependencies): header parse → true
+  * width/height → pixel checksum. Payloads that aren't Netpbm (this
+  * corpus's text-as-binary rows, or formats needing a codec library the
+  * container lacks — JPEG etc.) fall back to clearly-marked STUB
+  * pseudo-features so the pipeline stays total and deterministic. The
+  * surrounding Spark plumbing — schema, binary handling, encoder
+  * round-trip, partition-level batching via mapPartitions — is the real
+  * thing either way.
   */
 object Multimodal {
 
@@ -22,17 +25,61 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
                            height: Int, checksum: Long)
 
-  /** STUB decoder: stands in for e.g. JPEG decode + resize. Deterministic
-    * pseudo-features so tests are stable; a real deployment swaps this
-    * body for an actual codec call, keeping the signature. */
-  private def fakeDecode(payload: Array[Byte]): (Int, Int, Long) = {
-    var cs = 1125899906842597L // FNV-ish fold; deterministic
-    var i = 0
-    while (i < payload.length) { cs = cs * 31 + (payload(i) & 0xff); i += 1 }
-    val w = 64 + math.abs(cs % 961).toInt   // fake "decoded" dimensions
-    val h = 64 + math.abs((cs / 961) % 961).toInt
-    (w, h, cs)
+  /** Minimal real decoder for binary Netpbm images (PGM `P5`, PPM `P6`):
+    * ASCII header (magic, width, height, maxval; '#' comments allowed)
+    * followed by raw samples. Returns (width, height, pixelChecksum) or
+    * None if the payload isn't Netpbm. */
+  private[graft] object PgmCodec {
+    def decode(p: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (p.length < 10 || p(0) != 'P' || (p(1) != '5' && p(1) != '6')) return None
+      var i = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < p.length) {
+          val c = p(i).toChar
+          if (c == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+          else if (c.isWhitespace) i += 1
+          else go = false
+        }
+      }
+      def int(): Option[Int] = {
+        skipWs()
+        val start = i
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') i += 1
+        if (i == start) None else Some(new String(p, start, i - start).toInt)
+      }
+      val channels = if (p(1) == '6') 3 else 1
+      for {
+        w <- int() if w > 0
+        h <- int() if h > 0
+        maxval <- int() if maxval > 0 && maxval < 65536
+        bytesPerSample = if (maxval > 255) 2 else 1
+        dataStart = i + 1 // single whitespace after maxval
+        need = w.toLong * h * channels * bytesPerSample
+        if dataStart + need <= p.length
+      } yield {
+        var cs = 1125899906842597L
+        var j = dataStart
+        val end = dataStart + need.toInt
+        while (j < end) { cs = cs * 31 + (p(j) & 0xff); j += 1 }
+        (w, h, cs)
+      }
+    }
   }
+
+  /** Decode: real Netpbm parse first; otherwise the STUB fallback —
+    * deterministic pseudo-features standing in for codecs (JPEG etc.)
+    * the container doesn't ship. A real deployment extends the real
+    * branch per format, keeping the signature. */
+  private def fakeDecode(payload: Array[Byte]): (Int, Int, Long) =
+    PgmCodec.decode(payload).getOrElse {
+      var cs = 1125899906842597L // FNV-ish fold; deterministic
+      var i = 0
+      while (i < payload.length) { cs = cs * 31 + (payload(i) & 0xff); i += 1 }
+      val w = 64 + math.abs(cs % 961).toInt   // fake "decoded" dimensions
+      val h = 64 + math.abs((cs / 961) % 961).toInt
+      (w, h, cs)
+    }
 
   /** Metadata extraction over the binary payload — SQL-expressible half
     * of the multimodal path (oracle-checked). */
@@ -51,11 +98,21 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Typed decode pipeline: DataFrame → Dataset[MediaRow] →
-    * mapPartitions(decode) → Dataset[MediaFeatures]. Partition-local so a
-    * real decoder can amortize codec/model init per partition (the same
-    * shape a Pandas-UDF/mapInPandas stage has in PySpark). Rows-only
-    * oracle (stub features are engine-internal). */
+  /** The reusable typed decode stage: DataFrame → Dataset[MediaRow] →
+    * mapPartitions(decode) → Dataset[MediaFeatures]. Partition-local so
+    * a real decoder can amortize codec/model init per partition (the
+    * same shape a Pandas-UDF/mapInPandas stage has in PySpark). */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (codec handles, model weights)
+      rows.map { r =>
+        val (w, h, cs) = fakeDecode(r.payload)
+        MediaFeatures(r.doc_id, r.n_bytes, w, h, cs)
+      }
+    }
+  }
+
   def q63MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media: Dataset[MediaRow] = Tables.documents(s, dir)
@@ -65,13 +122,7 @@ object Multimodal {
         col("source").as("src"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
       .as[MediaRow]
-    media.mapPartitions { rows =>
-      // per-partition init would go here (codec handles, model weights)
-      rows.map { r =>
-        val (w, h, cs) = fakeDecode(r.payload)
-        MediaFeatures(r.doc_id, r.n_bytes, w, h, cs)
-      }
-    }.toDF().orderBy(col("doc_id"))
+    decodeFeatures(media).toDF().orderBy(col("doc_id"))
   }
 
   case class TextFrameRow(doc_id: Long, text: String)

@@ -77,7 +77,7 @@ class GraftTable(tableName: String, store: MetadataStore,
     * current-type replay would never compute — pruning them would
     * silently drop rows. (Other transforms replay on the VALUE, which
     * widening preserves.) */
-  private def transformPartSpecs: Seq[(String, String, String)] = {
+  private[graft] def transformPartSpecs: Seq[(String, String, String)] = {
     val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
     def typeStable(fieldId: Int): Boolean =
       meta.schemas.flatMap(_.fields.filter(_.id == fieldId).map(_.`type`))

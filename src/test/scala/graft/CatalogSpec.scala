@@ -396,6 +396,34 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.tt.t").count() == 4)
   }
 
+  test("bucket pruning disables after a column type change (hash family shifts)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bw")
+    spark.sql("DROP TABLE IF EXISTS graft.bw.t")
+    spark.sql("CREATE TABLE graft.bw.t (id INT, v STRING) PARTITIONED BY (bucket(4, id))")
+    // every commit covers ids 0..7, so min/max stats can never prune an
+    // id=7 lookup — only the bucket-dir mechanism is in play
+    (1 to 3).foreach { _ =>
+      spark.sql("INSERT INTO graft.bw.t SELECT CAST(id AS INT), CAST(id AS STRING) FROM range(0, 8)")
+    }
+    // widen id: Murmur3 hashInt(7) != hashLong(7L), so files written under
+    // INT live in buckets the BIGINT replay would compute differently
+    spark.sql("ALTER TABLE graft.bw.t ALTER COLUMN id TYPE BIGINT")
+    def specsOf(ns: String, t: String) = catalog.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), t))
+      .asInstanceOf[graft.catalog.GraftTable].transformPartSpecs
+    // the scan builder no longer receives the bucket spec, so no bucket
+    // pruning can run (min/max stats pruning — value-based and
+    // widening-safe — still applies, which is why results stay correct)
+    assert(specsOf("bw", "t").isEmpty,
+      "bucket spec still active after a column type change")
+    assert(spark.sql("SELECT v FROM graft.bw.t WHERE id = 7").collect()
+      .map(_.getString(0)).toSeq == Seq("7", "7", "7"))
+    // control: a bucketed table with a stable type keeps its spec
+    spark.sql("DROP TABLE IF EXISTS graft.bw.stable")
+    spark.sql("CREATE TABLE graft.bw.stable (id BIGINT) PARTITIONED BY (bucket(4, id))")
+    assert(specsOf("bw", "stable").nonEmpty)
+  }
+
   test("partition values with Hive-escaped characters still match filters") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.esc")
     spark.sql("DROP TABLE IF EXISTS graft.esc.t")

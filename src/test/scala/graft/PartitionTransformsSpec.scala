@@ -93,6 +93,19 @@ class PartitionTransformsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("temporal transforms on TIMESTAMP_NTZ: write expression == driver replay") {
+    val ldtGen = for {
+      d <- Gen.choose(0, 25000) // ~1970..2038 as epoch days
+      s <- Gen.choose(0, 86399)
+    } yield java.time.LocalDate.ofEpochDay(d.toLong).atStartOfDay.plusSeconds(s.toLong)
+    for (tr <- Seq("year", "month", "day", "hour")) {
+      check(Prop.forAll(ldtGen) { t =>
+        writeDirValue(tr, t, TimestampNTZType) ==
+          PartitionTransforms.dirValueOf(tr, t, TimestampNTZType)
+      })
+    }
+  }
+
   test("timezone-dependent timestamps are never replayed (no wrong prune possible)") {
     val ts = java.sql.Timestamp.valueOf("2024-06-01 10:30:00")
     for (tr <- Seq("year", "month", "day", "hour"))

@@ -289,6 +289,8 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
       Requirement.AssertTableUuid((j \ "uuid").extract[String])
     case "assert-default-spec-id" =>
       Requirement.AssertDefaultSpecId((j \ "default-spec-id").extract[Int])
+    case "assert-current-snapshot-id" =>
+      Requirement.AssertCurrentSnapshotId((j \ "snapshot-id").extractOpt[Long])
     case other => throw new IllegalArgumentException(s"unknown requirement $other")
   }
 
@@ -302,6 +304,19 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
       MetadataUpdate.RemoveProperties((j \ "removals").extract[List[String]])
     case "set-location" =>
       MetadataUpdate.SetLocation((j \ "location").extract[String])
+    // data-plane commits over the wire (the reference forwards the full
+    // iceberg-go update set to CommitTable; these are the snapshot-level
+    // members our commit algebra supports)
+    case "add-snapshot" =>
+      MetadataUpdate.AddSnapshot((j \ "snapshot").extract[SnapshotDef])
+    case "append-files" =>
+      MetadataUpdate.AppendFiles(
+        (j \ "files").extract[List[String]],
+        (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()))
+    case "replace-files" =>
+      MetadataUpdate.ReplaceFiles(
+        (j \ "files").extract[List[String]],
+        (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()))
     case other => throw new IllegalArgumentException(s"unknown update $other")
   }
 

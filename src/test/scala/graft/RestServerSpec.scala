@@ -283,6 +283,32 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("wire commit of append-files: delta applies, stale snapshot assert is 409") {
+    req("POST", "/v1/namespaces", """{"namespace": ["wirecommit"]}""")
+    req("POST", s"/v1/namespaces/wirecommit/tables",
+      """{"name": "t", "schema": {"fields": [
+        |{"id": 1, "name": "id", "type": "long", "required": true}]}}""".stripMargin)
+    // two wire appends — the delta semantics must keep both file sets
+    val c1 = req("POST", "/v1/namespaces/wirecommit/tables/t",
+      """{"requirements": [], "updates": [
+        |{"action": "append-files", "files": ["a.parquet"], "timestamp-ms": 1}]}""".stripMargin)
+    assert(c1.statusCode() == 200)
+    val c2 = req("POST", "/v1/namespaces/wirecommit/tables/t",
+      """{"requirements": [{"type": "assert-current-snapshot-id", "snapshot-id": 1}],
+        |"updates": [
+        |{"action": "append-files", "files": ["b.parquet"], "timestamp-ms": 2}]}""".stripMargin)
+    assert(c2.statusCode() == 200)
+    val files = ((parse(c2) \ "metadata" \ "snapshots")(1) \ "files").extract[List[String]]
+    assert(files == List("a.parquet", "b.parquet"))
+    // stale snapshot assertion → commit refused with 409
+    val stale = req("POST", "/v1/namespaces/wirecommit/tables/t",
+      """{"requirements": [{"type": "assert-current-snapshot-id", "snapshot-id": 1}],
+        |"updates": [
+        |{"action": "replace-files", "files": ["c.parquet"], "timestamp-ms": 3}]}""".stripMargin)
+    assert(stale.statusCode() == 409)
+    assert((parse(stale) \ "error" \ "type").extract[String] == "CommitFailedException")
+  }
+
   test("middleware: OPTIONS preflight answers 204 with CORS methods") {
     val r = client.send(
       HttpRequest.newBuilder(URI.create(base + "/v1/namespaces"))

@@ -108,6 +108,12 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
         error(ex, 409, "CommitFailedException", e.getMessage)
       case e: IllegalArgumentException =>
         error(ex, 422, "UnprocessableEntityException", e.getMessage)
+      // malformed/unmappable request body → 400, like the reference's
+      // ShouldBindJSON failure path (`tables.go:163-169`)
+      case e: org.json4s.MappingException =>
+        error(ex, 400, "BadRequestException", String.valueOf(e.getMessage))
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        error(ex, 400, "BadRequestException", String.valueOf(e.getMessage))
       case e: Exception =>
         error(ex, 500, "InternalServerError", String.valueOf(e.getMessage))
     } finally {

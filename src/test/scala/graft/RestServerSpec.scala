@@ -309,6 +309,14 @@ class RestServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((parse(stale) \ "error" \ "type").extract[String] == "CommitFailedException")
   }
 
+  test("malformed request bodies answer 400, not 500 (ShouldBindJSON parity)") {
+    val broken = req("POST", "/v1/namespaces", """{"namespace": "not-a-list"}""")
+    assert(broken.statusCode() == 400, s"got ${broken.statusCode()}: ${broken.body()}")
+    assert((parse(broken) \ "error" \ "type").extract[String] == "BadRequestException")
+    val invalid = req("POST", "/v1/namespaces", "{not json at all")
+    assert(invalid.statusCode() == 400)
+  }
+
   test("middleware: OPTIONS preflight answers 204 with CORS methods") {
     val r = client.send(
       HttpRequest.newBuilder(URI.create(base + "/v1/namespaces"))

@@ -1,0 +1,172 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+import graft.catalog.GraftCatalog
+
+/** Catalog-persisted ANN index artifacts.
+  *
+  * Index CONSTRUCTION is a separate build step, not part of any query:
+  * the Lloyd-trained IVF centroids, the per-vector cell assignments, and
+  * the sign-LSH bucket tables are written once through the DSv2 catalog
+  * sink as ordinary graft tables, and the search queries (q56/q57/q66)
+  * only READ them. This is the only shape that works at 100 TB — you
+  * never train a clustering or rebuild a bucket index inside a query;
+  * the index is a versioned, snapshot-committed table artifact that any
+  * later session can load (the same lifecycle the reference gives data
+  * tables via its commit endpoint, `/root/reference/api/handlers/
+  * tables.go:192`).
+  *
+  * Index contents are ids-only (vec_id, cell / bucket, plus the cached
+  * L2 norm): the corpus payload stays in its own table and search joins
+  * it back by key — at 100 TB the index must not copy the corpus.
+  */
+object AnnIndex {
+
+  /** LSH geometry — shared by the build side (bucket table) and the
+    * query side (probe buckets), which MUST hash with identical planes. */
+  val LshBits = 5
+  val Dim = 64
+  val LshSeeds: Seq[Int] = Seq(7, 13, 19, 29)
+
+  /** IVF geometry: k cells, Lloyd rounds, convergence epsilon. k grows
+    * ~sqrt(n) at scale; 8 fits this corpus (50-query recall ≥ 0.85). */
+  val KCells = 8
+  val MaxRounds = 3
+  val Eps = 1e-4
+
+  private[llm] def planes(seed: Int, nBits: Int = LshBits): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, Dim)(rnd.nextGaussian())
+  }
+
+  // one build per (session, sfDir); weak keys so a stopped session's
+  // entry is collectable (same memo discipline as CatalogQueries)
+  private val built =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Map[String, String]]())
+
+  /** Ensure the index tables for `dir` exist in this session's index
+    * catalog; returns the namespace prefix (e.g. `graft_ann.sf_1a2b3c4d`)
+    * holding `ivf_centroids`, `ivf_cells`, `lsh_buckets`. */
+  def ensure(s: SparkSession, dir: String): String = {
+    val dirs = built.synchronized {
+      built.computeIfAbsent(s, _ => new java.util.HashMap[String, String]())
+    }
+    dirs.synchronized {
+      Option(dirs.get(dir)).getOrElse {
+        if (s.conf.getOption("spark.sql.catalog.graft_ann").isEmpty) {
+          val wh = java.nio.file.Files.createTempDirectory("graft-ann-wh").toString
+          s.conf.set("spark.sql.catalog.graft_ann", classOf[GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.graft_ann.warehouse", wh)
+        }
+        val ns = "sf_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val prefix = s"graft_ann.$ns"
+        buildInto(s, dir, prefix)
+        dirs.put(dir, prefix) // memoize only a build that SUCCEEDED
+        prefix
+      }
+    }
+  }
+
+  /** Build all index tables for `dir` under `prefix` (a `catalog.ns`
+    * pair whose catalog is already registered). Idempotent: drops and
+    * recreates. Public so tests can build into an explicit warehouse and
+    * prove the artifact survives a session restart. */
+  def buildInto(s: SparkSession, dir: String, prefix: String): Unit = {
+    graft.functions.VectorFunctions.register(s)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $prefix")
+
+    // corpus + norms once, persisted across the Lloyd rounds — training
+    // must not re-scan the source parquet per round
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = train(e)
+
+      def replace(table: String, ddlCols: String, df: DataFrame): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $prefix.$table")
+        s.sql(s"CREATE TABLE $prefix.$table ($ddlCols)")
+        df.writeTo(s"$prefix.$table").append()
+      }
+
+      replace("ivf_centroids",
+        "cent_id INT, cent ARRAY<FLOAT>, cent_nrm DOUBLE",
+        cents.select(col("cent_id").cast("int"), col("cent"), col("cent_nrm")))
+
+      // final hard assignment of every corpus vector to its nearest cell;
+      // norm cached so search never recomputes it corpus-side
+      replace("ivf_cells", "vec_id BIGINT, cell INT, nrm DOUBLE",
+        assignRanked(e, cents).filter(col("rk") === 1)
+          .select(col("vec_id").cast("bigint"),
+            col("cent_id").cast("int").as("cell"), col("nrm")))
+
+      val tables = LshSeeds.map(planes(_))
+      replace("lsh_buckets", "t INT, b INT, vec_id BIGINT, nrm DOUBLE",
+        e.select(col("vec_id"), col("nrm"),
+          explode(array(tables.zipWithIndex.map { case (pl, t) =>
+            struct(lit(t).as("t"), Similarity.bucketUdf(pl)(col("embedding")).as("b"))
+          }: _*)).as("tb"))
+          .select(col("tb.t").as("t"), col("tb.b").as("b"),
+            col("vec_id").cast("bigint"), col("nrm")))
+    } finally e.unpersist()
+  }
+
+  /** Rank every (vector, centroid) pair by cosine: rk 1 = nearest cell.
+    * 6dp rounding + cent_id tiebreak keeps the assignment deterministic
+    * across engines and build/query time. */
+  private[llm] def assignRanked(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("d", round(Similarity.dot(col("embedding"), col("cent")) /
+        (col("nrm") * col("cent_nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
+
+  /** Lloyd's algorithm over the persisted corpus: seed centroids from
+    * vec_id 0..k-1, iterate assign → per-(cell,pos) mean until the max
+    * cosine shift < eps or MaxRounds. The refine is a posexplode +
+    * grouped avg rebuilt with sort_array — vectors never collect to the
+    * driver. Each round's k centroid rows are localCheckpoint'ed so
+    * round r+1 doesn't re-run rounds 1..r. */
+  private def train(e: DataFrame): DataFrame = {
+    def refineOnce(cents: DataFrame): DataFrame =
+      assignRanked(e, cents).filter(col("rk") === 1)
+        .select(col("cent_id").as("cell0"), col("embedding"))
+        .select(col("cell0"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell0"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell0"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m").cast("float")).as("cent"))
+        .select(col("cell0").as("cent_id"), col("cent"),
+          Similarity.norm(col("cent")).as("cent_nrm"))
+
+    var cents = e.filter(col("vec_id") < KCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
+        col("nrm").as("cent_nrm"))
+      .localCheckpoint()
+    var roundNo = 0
+    var shifted = true
+    while (roundNo < MaxRounds && shifted) {
+      val next = refineOnce(cents).localCheckpoint(false)
+      val shift = cents
+        .select(col("cent_id"), col("cent").as("oc"), col("cent_nrm").as("on"))
+        .join(next.select(col("cent_id"), col("cent").as("nc"), col("cent_nrm").as("nn")),
+          Seq("cent_id"))
+        .select(max(lit(1.0) -
+          Similarity.dot(col("oc"), col("nc")) / (col("on") * col("nn"))).as("s"))
+        .head.getDouble(0)
+      cents = next
+      shifted = shift > Eps
+      roundNo += 1
+    }
+    cents
+  }
+}

@@ -25,16 +25,16 @@ object Similarity {
     * SURVEY.md §7.3: native Expression > UDF > interpreted HOF).
     * Queries call [[graft.functions.VectorFunctions.register]] before
     * resolving these. */
-  private def dot(a: Column, b: Column): Column =
+  private[llm] def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
-  private def norm(a: Column): Column =
+  private[llm] def norm(a: Column): Column =
     call_function("graft_l2norm", a)
 
   /** Sign-LSH bucket kernel: one UDF call computes ALL bits of a table's
     * bucket (planes ride in the closure, serialized once per task — not
     * per-row column literals; one invocation per (row, table) instead of
     * one per (row, table, bit)). */
-  private def bucketUdf(planes: Array[Array[Double]]) = udf { v: Seq[Float] =>
+  private[llm] def bucketUdf(planes: Array[Array[Double]]) = udf { v: Seq[Float] =>
     var b = 0
     var bit = 0
     while (bit < planes.length) {
@@ -86,45 +86,47 @@ object Similarity {
       |SELECT qid, cid, sim, CAST(rn AS INTEGER) AS rn FROM ranked
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
-  /** LSH-bucketed approximate NN with MULTI-PROBE: sign-random-projection
-    * bits → bucket per table; the query side also probes every bucket at
-    * Hamming distance 1 (flip one bit), which multiplies per-table recall
-    * without growing the index — the standard multi-probe LSH trade
-    * (probes buy recall like extra tables, at index size ×1). Candidates
-    * = bucket collision in any (table, probe); exact cosine re-rank,
-    * top-3. The bucket join shuffles O(n·tables + q·tables·bits) rows —
-    * never O(n²). At corpus scale nBits grows with log2(n) to keep
-    * bucket occupancy constant. Approximate → rows-only oracle. */
+  /** LSH-bucketed approximate NN with MULTI-PROBE, searching the
+    * CATALOG-PERSISTED bucket index ([[AnnIndex]] builds it once per
+    * (session, corpus); at 100 TB it's a table artifact built by a
+    * pipeline, never inside a query). The query side hashes its 50
+    * vectors with the same planes and also probes every bucket at
+    * Hamming distance 1 (flip one bit), which multiplies per-table
+    * recall without growing the index — the standard multi-probe LSH
+    * trade. Candidates are ids from the index (the corpus payload joins
+    * back by key); exact cosine re-rank, top-3. The bucket join shuffles
+    * O(n·tables + q·tables·bits) rows — never O(n²). At corpus scale
+    * nBits grows with log2(n) to keep bucket occupancy constant.
+    * Approximate → rows-only oracle. */
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val nBits = 5; val dim = 64
-    def planes(seed: Int): Array[Array[Double]] = {
-      val rnd = new scala.util.Random(seed)
-      Array.fill(nBits, dim)(rnd.nextGaussian())
-    }
-
+    val pfx = AnnIndex.ensure(s, dir)
+    val buckets = s.table(s"$pfx.lsh_buckets")
     val e = Tables.embeddings(s, dir)
-    val tables = Seq(planes(7), planes(13), planes(19), planes(29))
-    val hashed = e.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
-      explode(array(tables.zipWithIndex.map { case (pl, t) =>
-        struct(lit(t).as("t"), bucketUdf(pl)(col("embedding")).as("b"))
-      }: _*)).as("tb"))
+
+    // query-side hashing with the SAME planes the index was built with
+    val tables = AnnIndex.LshSeeds.map(AnnIndex.planes(_))
+    val qhashed = e.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        explode(array(tables.zipWithIndex.map { case (pl, t) =>
+          struct(lit(t).as("t"), bucketUdf(pl)(col("embedding")).as("b"))
+        }: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("tb.t").as("t"), col("tb.b").as("b"))
-
-    // multi-probe: the query hits its own bucket plus the nBits buckets
+    // multi-probe: the query hits its own bucket plus the LshBits buckets
     // one bit-flip away (explode is query-side only — the index stays 1×)
     val probeBuckets = explode(array(
-      (col("b") +: (0 until nBits).map(i => col("b").bitwiseXOR(lit(1 << i)))): _*))
-    val qs = hashed.filter(col("vec_id") < 50)
+      (col("b") +: (0 until AnnIndex.LshBits).map(i =>
+        col("b").bitwiseXOR(lit(1 << i)))): _*))
+    val qs = qhashed
       .select(col("t"), probeBuckets.as("b"), col("vec_id").as("qid"),
         col("embedding").as("qv"), col("nrm").as("qn"))
-    val cs = hashed.select(col("t"), col("b"), col("vec_id").as("cid"),
-      col("embedding").as("cv"), col("nrm").as("cn"))
-    val cands = qs.join(cs, Seq("t", "b"))
+    val cands = qs
+      .join(buckets.select(col("t"), col("b"), col("vec_id").as("cid"),
+        col("nrm").as("cn")), Seq("t", "b"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")), Seq("cid"))
       .withColumn("sim", round(dot(col("qv"), col("cv")) /
         (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
@@ -134,78 +136,33 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** IVF partitioned ANN, Lloyd-trained: seed centroids (vec_id 0..7) →
-    * iterate (assign every vector to its nearest centroid, refine each
-    * centroid to its cell's element-wise mean) until the centroids stop
-    * moving (max cosine shift < 1e-4) or 3 rounds — the refine is a
-    * posexplode + per-(cell,pos) avg rebuilt with sort_array, never a
-    * collect of vectors to the driver. Each round's k centroid rows are
-    * localCheckpoint'ed so round r+1 doesn't re-run rounds 1..r (the q67
-    * label-propagation pattern). Search probes the query's `nProbe`
-    * nearest cells via an equi-join on cell id. With k=8 cells, nProbe=5
-    * scans ~5/8 of this tiny corpus (recall ≥ 0.85 at both SFs); at
-    * 100 TB k grows ~√n (so cells stay bounded) and nProbe stays a small
-    * constant — the scan fraction nProbe/k shrinks with scale.
+  /** IVF partitioned ANN over the CATALOG-PERSISTED index: centroids and
+    * per-vector cell assignments are tables [[AnnIndex]] trained and
+    * committed once (Lloyd's, see its Scaladoc); the query only (a) ranks
+    * its 50 vectors against the k=8 broadcast centroids to pick nProbe=5
+    * cells, (b) equi-joins the probed cells' member ids, (c) joins the
+    * corpus payload back by key and re-ranks exact, top-3. Scans ~nProbe/k
+    * of the corpus; at 100 TB k grows ~√n so the scan fraction shrinks
+    * with scale while the index stays ids-only.
     * Rows-only oracle (approximate). */
-  def q57AnnIvf(s: SparkSession, dir: String): DataFrame =
-    annIvf(s, dir, nProbe = 5)
-
-  def annIvf(s: SparkSession, dir: String, kCells: Int = 8, nProbe: Int = 5,
-             maxRounds: Int = 3, eps: Double = 1e-4): DataFrame = {
+  def q57AnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    val nProbe = 5
+    val pfx = AnnIndex.ensure(s, dir)
+    val cents = s.table(s"$pfx.ivf_centroids")
+    val cells = s.table(s"$pfx.ivf_cells")
     val e = Tables.embeddings(s, dir)
+
+    val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))
-
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("d0", round(dot(col("embedding"), col("cent")) /
-          (col("nrm") * col("cent_nrm")), 6))
-        .withColumn("rk0", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d0").desc, col("cent_id"))))
-
-    def refineOnce(cents: DataFrame): DataFrame =
-      assign(cents).filter(col("rk0") === 1)
-        .select(col("cent_id").as("cell0"), col("embedding"))
-        .select(col("cell0"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell0"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .groupBy(col("cell0"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-          p => p.getField("m").cast("float")).as("cent"))
-        .select(col("cell0").as("cent_id"), col("cent"), norm(col("cent")).as("cent_nrm"))
-
-    var cents = e.filter(col("vec_id") < kCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
-        col("nrm").as("cent_nrm"))
-      .localCheckpoint()
-    var roundNo = 0
-    var shifted = true
-    while (roundNo < maxRounds && shifted) {
-      // lazy checkpoint: the shift probe below is the action that
-      // materializes it — one Spark job per round, k tiny rows kept
-      val next = refineOnce(cents).localCheckpoint(false)
-      // convergence: max (1 - cos(old, new)) over the k centroid pairs
-      val shift = cents
-        .select(col("cent_id"), col("cent").as("oc"), col("cent_nrm").as("on"))
-        .join(next.select(col("cent_id"), col("cent").as("nc"), col("cent_nrm").as("nn")),
-          Seq("cent_id"))
-        .select(max(lit(1.0) - dot(col("oc"), col("nc")) / (col("on") * col("nn"))).as("s"))
-        .head.getDouble(0)
-      cents = next
-      shifted = shift > eps
-      roundNo += 1
-    }
-
-    // assign against the trained centroids (nProbe nearest for queries)
-    val assigned = assign(cents)
-      .withColumnRenamed("d0", "d").withColumnRenamed("rk0", "rk")
-    val cells = assigned.filter(col("rk") === 1)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"), col("cent_id").as("cell"))
-    val probes = assigned.filter(col("vec_id") < 50 && col("rk") <= nProbe)
+    val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("cell"))
-    val cands = probes.join(cells, Seq("cell"))
+    val corpus = cells
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("cell"))
+    val cands = probes.join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
       .withColumn("sim", round(dot(col("qv"), col("cv")) /
@@ -254,8 +211,10 @@ object Similarity {
 
   /** ANN quality evaluation: recall@3 of the LSH and IVF indexes against
     * the exact brute-force neighbors — the number that decides whether an
-    * approximate index is shippable. Both sides are deterministic, but
-    * the approximate side is not SQL-expressible → rows-only oracle. */
+    * approximate index is shippable. Both approximate sides search the
+    * one shared catalog-persisted index ([[AnnIndex.ensure]] is memoized,
+    * so nothing is rebuilt here). Both sides are deterministic, but the
+    * approximate side is not SQL-expressible → rows-only oracle. */
   def q66AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = q55CosineTopK(s, dir).filter(col("rn") <= 3)
       .select(col("qid"), col("cid"))

@@ -70,16 +70,56 @@ object Curation {
   /** Concat-and-chunk sequence packing — exactly how pretraining data is
     * laid out: documents are concatenated per source (in doc_id order)
     * and the token stream is cut into fixed windows; a document's pack is
-    * where its first token falls. One window per source (keyed shuffle),
-    * then a tiny per-pack aggregate. */
+    * where its first token falls.
+    *
+    * The per-source running sum does NOT use
+    * `Window.partitionBy(source)`: the documents table has a handful of
+    * sources, and at 100 TB one source is most of the corpus — a window
+    * keyed by an almost-global key funnels that source's whole token
+    * stream through one task (q23's global-window problem). Instead the
+    * q23 two-pass plan, applied per source: range-partition on
+    * (source, doc_id) so each source spans MANY bounded partitions,
+    * collect only the per-(partition, source) token SUBTOTALS (≤
+    * numShufflePartitions + #sources rows — metadata-scale), broadcast
+    * the per-source prefix offsets back as a literal map, and add them
+    * to a within-partition running sum whose window key (pid, source)
+    * is bounded by partition size by construction. */
   def q76TokenPacking(s: SparkSession, dir: String): DataFrame = {
     val budget = 1024
     val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    // tokenize ONCE into a checkpoint: the range partitioner's sampling
+    // job would otherwise re-run the text split over the whole corpus a
+    // second time just to pick split points
+    val toks = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"), tokens.as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .localCheckpoint()
+    val parts = toks
+      .repartitionByRange(col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids across the two passes
+    // pass 1: per-(partition, source) subtotals; a range partition holds
+    // a contiguous (source, doc_id) slice, so this is ≤ nPart + nSource
+    // rows — the same metadata class as an AQE statistic
+    val subtotals = parts.groupBy(col("pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // per source: tokens in all EARLIER partitions = the offset to add
+    // to that partition's local running sum
+    val sep = "\u001F" // same reserved separator as the namespace codec
+    val offsets: Map[String, Long] = subtotals.groupBy(_._2).flatMap {
+      case (src, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (pid, off) => s"$pid$sep$src" -> off }
+    }
+    val offset = element_at(typedLit(offsets),
+      concat_ws(sep, col("pid"), col("source")))
+    // pass 2: bounded within-partition window + broadcast offset
+    val wIn = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .withColumn("cum_before",
+        offset + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .withColumn("pack_id", floor(col("cum_before") / budget))
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),

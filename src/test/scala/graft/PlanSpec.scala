@@ -177,6 +177,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Window"), s"expected keyed windows:\n$plan")
   }
 
+  test("q76 packing: no window keyed by the low-cardinality source alone") {
+    val df = llm.Curation.q76TokenPacking(spark, sf)
+    val plan = planOf(df)
+    // a Window whose key is (source) funnels each source — nearly the
+    // whole corpus at 100 TB — through one task; the two-pass plan keys
+    // its window by (pid, source), bounded by partition size. (The final
+    // per-(source, pack_id) aggregate may hash on source+pack_id — that
+    // key is high-cardinality and map-side combined, which is fine.)
+    assert(!plan.contains("windowspecdefinition(source"),
+      s"window partitioned on source alone:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in packing plan:\n$plan")
+    assert(plan.contains("Window"), s"expected bounded keyed window:\n$plan")
+  }
+
   test("as-of join is one shuffle + window, not a per-row subquery") {
     val plan = planOf(ops.Relational.q10AsofJoin(spark, sf))
     assert(plan.contains("Window"), s"expected window-based as-of:\n$plan")

@@ -328,6 +328,44 @@ private[graft] class GraftScanBuilder(
       .filter(statsAllow)
   }
 
+  /** Rebuild a Catalyst predicate from a pushed v1 filter, resolved
+    * against the table schema. Partial coverage is safe: a filter that
+    * doesn't convert simply isn't offered to the delegate for row-group
+    * skipping — it is still enforced by the residual Spark keeps above
+    * the scan (pushFilters returns everything as residual). */
+  private def toCatalyst(f: Filter): Option[
+      org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def attr(c: String): Option[ce.Expression] =
+      tableSchema.fields.find(_.name == c)
+        .map(fd => ce.AttributeReference(fd.name, fd.dataType, fd.nullable, fd.metadata)())
+    def lit(c: String, v: Any): Option[ce.Expression] =
+      tableSchema.fields.find(_.name == c)
+        .map(fd => ce.Literal.create(v, fd.dataType))
+    def bin(c: String, v: Any, mk: (ce.Expression, ce.Expression) => ce.Expression) =
+      for { a <- attr(c); l <- lit(c, v) } yield mk(a, l)
+    f match {
+      case EqualTo(c, v) => bin(c, v, ce.EqualTo)
+      case EqualNullSafe(c, v) => bin(c, v, ce.EqualNullSafe)
+      case GreaterThan(c, v) => bin(c, v, ce.GreaterThan)
+      case GreaterThanOrEqual(c, v) => bin(c, v, ce.GreaterThanOrEqual)
+      case LessThan(c, v) => bin(c, v, ce.LessThan)
+      case LessThanOrEqual(c, v) => bin(c, v, ce.LessThanOrEqual)
+      case In(c, vs) =>
+        for { a <- attr(c); fd <- tableSchema.fields.find(_.name == c) }
+          yield ce.In(a, vs.toSeq.map(v => ce.Literal.create(v, fd.dataType)))
+      case IsNull(c) => attr(c).map(ce.IsNull)
+      case IsNotNull(c) => attr(c).map(ce.IsNotNull)
+      case StringStartsWith(c, v) => bin(c, v, ce.StartsWith)
+      case StringEndsWith(c, v) => bin(c, v, ce.EndsWith)
+      case StringContains(c, v) => bin(c, v, ce.Contains)
+      case And(l, r) => for { a <- toCatalyst(l); b <- toCatalyst(r) } yield ce.And(a, b)
+      case Or(l, r) => for { a <- toCatalyst(l); b <- toCatalyst(r) } yield ce.Or(a, b)
+      case Not(x) => toCatalyst(x).map(ce.Not)
+      case _ => None
+    }
+  }
+
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val files = prunedRelFiles.map(rel => s"$dataDir/$rel")
     val spark = SparkSession.active
@@ -342,13 +380,11 @@ private[graft] class GraftScanBuilder(
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)
     delegate.pruneColumns(requiredSchema)
-    // hand the supported subset to the delegate for row-group skipping;
-    // the field is `protected var` in Scala but its setter is public
-    // bytecode, so one reflective call bridges it
-    val supported = delegate.pushDataFilters(pushed)
-    classOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
-      .getMethod("pushedDataFilters_$eq", classOf[Array[Filter]])
-      .invoke(delegate, supported)
+    // hand the pushed filters to the delegate for row-group skipping
+    // through its public Catalyst pushdown surface (FileScanBuilder.
+    // pushFilters translates + records them as pushedDataFilters) — no
+    // reflection against Spark internals
+    delegate.pushFilters(pushed.toSeq.flatMap(toCatalyst))
     delegate.build()
   }
 }

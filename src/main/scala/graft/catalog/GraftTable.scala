@@ -106,11 +106,16 @@ class GraftTable(tableName: String, store: MetadataStore,
   * and (b) a driver-side replay of that expression on a pushed literal,
   * so scans prune whole partition dirs without ever materializing the
   * transform as a user-visible column (identity rides the source column
-  * directly). Temporal replay is restricted to timezone-independent
-  * types (DateType / TimestampNTZType) — TimestampType dir values depend
-  * on the session timezone, so those layouts are written but never
-  * pruned against (a wrong prune silently drops rows; skipping one is
-  * only slower). */
+  * directly).
+  *
+  * Temporal replay covers the timezone-independent types (DateType /
+  * TimestampNTZType) unconditionally. TimestampType (an instant) renders
+  * its dir value through the SESSION timezone, so both the write-side
+  * layout and the read-side replay are gated on the session being
+  * pinned UTC (the driver contract): a non-UTC writer lays out no
+  * temporal dirs for instants and a non-UTC reader never prunes them —
+  * the two sides can therefore never disagree (a wrong prune silently
+  * drops rows; skipping one is only slower). */
 private[graft] object PartitionTransforms {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
@@ -119,8 +124,45 @@ private[graft] object PartitionTransforms {
   private val BucketRe = "bucket\\[(\\d+)\\]".r
   private val TruncRe = "truncate\\[(\\d+)\\]".r
 
+  /** The session renders instants in UTC (modulo alias zone ids). */
+  private def sessionIsUtc: Boolean = try {
+    java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      .normalized() == java.time.ZoneOffset.UTC
+  } catch { case _: Exception => false }
+
+  /** Monotone transforms: source order implies dir-value order under
+    * [[cmpDir]] — the precondition for range pruning. */
+  def isMonotone(transform: String): Boolean = transform match {
+    case "year" | "month" | "day" | "hour" => true
+    case TruncRe(_) => true
+    case _ => false
+  }
+
+  /** Order two dir values of a monotone transform. Temporal formats are
+    * zero-padded fixed-width (lexicographic-safe) except bare `year`,
+    * which compares numerically; numeric truncates likewise. None =
+    * incomparable (never prune on it). */
+  def cmpDir(transform: String, dt: DataType, a: String, b: String): Option[Int] =
+    transform match {
+      case "year" => try Some(java.lang.Long.compare(a.toLong, b.toLong))
+        catch { case _: NumberFormatException => None }
+      case "month" | "day" | "hour" => Some(a.compareTo(b))
+      case TruncRe(_) => dt match {
+        case IntegerType | LongType =>
+          try Some(java.lang.Long.compare(a.toLong, b.toLong))
+          catch { case _: NumberFormatException => None }
+        case StringType => Some(a.compareTo(b))
+        case _ => None
+      }
+      case _ => None
+    }
+
   /** Write-side dir-value expression; None = no physical layout. */
-  def dirExpr(transform: String, src: String, dt: DataType): Option[Column] =
+  def dirExpr(transform: String, src: String, dt: DataType): Option[Column] = {
+    // instants render via the session TZ: only lay out temporal dirs
+    // when that's UTC, so the (UTC-gated) replay reads them correctly
+    def temporalLayoutOk = dt != TimestampType || sessionIsUtc
     transform match {
       case BucketRe(n) => Some(pmod(hash(col(src)), lit(n.toInt)))
       case TruncRe(n) => dt match {
@@ -128,12 +170,13 @@ private[graft] object PartitionTransforms {
         case IntegerType | LongType => Some(col(src) - pmod(col(src), lit(n.toLong)))
         case _ => None
       }
-      case "year"  => Some(year(col(src)))
-      case "month" => Some(date_format(col(src), "yyyy-MM"))
-      case "day"   => Some(date_format(col(src), "yyyy-MM-dd"))
-      case "hour"  => Some(date_format(col(src), "yyyy-MM-dd-HH"))
+      case "year" if temporalLayoutOk  => Some(year(col(src)))
+      case "month" if temporalLayoutOk => Some(date_format(col(src), "yyyy-MM"))
+      case "day" if temporalLayoutOk   => Some(date_format(col(src), "yyyy-MM-dd"))
+      case "hour" if temporalLayoutOk  => Some(date_format(col(src), "yyyy-MM-dd-HH"))
       case _ => None
     }
+  }
 
   /** Driver-side replay on a pushed literal → the dir value an equal row
     * was written under; None = can't replay safely (never prune). */
@@ -142,11 +185,18 @@ private[graft] object PartitionTransforms {
     def asLocalDateTime: Option[LocalDateTime] = v match {
       case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay)
       case d: LocalDate => Some(d.atStartOfDay)
+      // instant literals (TimestampType): UTC wall time, explicitly —
+      // never the JVM default zone (only reached when sessionIsUtc)
+      case t: java.sql.Timestamp if dt == TimestampType =>
+        Some(t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
+      case t: java.time.Instant =>
+        Some(t.atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
       case t: java.sql.Timestamp => Some(t.toLocalDateTime)
       case t: LocalDateTime => Some(t)
       case _ => None
     }
-    def temporalOk = dt == DateType || dt == TimestampNTZType
+    def temporalOk = dt == DateType || dt == TimestampNTZType ||
+      (dt == TimestampType && sessionIsUtc)
     transform match {
       case BucketRe(n) =>
         import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
@@ -251,11 +301,12 @@ private[graft] class GraftScanBuilder(
     acc.toMap
   }
 
-  private def partitionAllows(rel: String, allowed: Map[String, Set[String]]): Boolean = {
-    // dir values are Hive-escaped by partitionBy (':' → '%3A' etc.);
-    // unescape before comparing with raw replayed literals, or a value
-    // containing any escaped character would wrongly prune its own file
-    val kvs = rel.split("/").iterator
+  /** Partition-directory key/values of a manifest path. Dir values are
+    * Hive-escaped by partitionBy (':' → '%3A' etc.); unescape before
+    * comparing with raw replayed literals, or a value containing any
+    * escaped character would wrongly prune its own file. */
+  private def dirKvs(rel: String): Map[String, String] =
+    rel.split("/").iterator
       .filter(_.startsWith("__part_")).flatMap { seg =>
         seg.stripPrefix("__part_").split("=", 2) match {
           case Array(k, v) => Some(k ->
@@ -263,10 +314,69 @@ private[graft] class GraftScanBuilder(
           case _ => None
         }
       }.toMap
+
+  private def partitionAllows(rel: String, allowed: Map[String, Set[String]]): Boolean = {
+    val kvs = dirKvs(rel)
     allowed.forall { case (c, vs) =>
       kvs.get(c).forall(vs.contains) // file without the dir key: keep
     }
   }
+
+  /** Inclusive [lo, hi] dir-value bounds per partition-directory key,
+    * from pushed RANGE filters on monotone-transformed source columns —
+    * this is what makes `ts >= a AND ts < b` on an hour/day-partitioned
+    * events table skip whole directories. A strict bound stays inclusive
+    * at dir granularity (the boundary dir still holds qualifying rows);
+    * incomparable dir values never tighten anything. */
+  private def allowedDirRanges
+      : Map[String, (String, org.apache.spark.sql.types.DataType,
+                     Option[String], Option[String])] = {
+    val acc = scala.collection.mutable.Map.empty[
+      String, (String, org.apache.spark.sql.types.DataType, Option[String], Option[String])]
+    def hit(c: String, v: Any, isLower: Boolean): Unit =
+      transformBySrc.get(c).foreach { case (tr, dirKey) =>
+        if (PartitionTransforms.isMonotone(tr))
+          for {
+            dt <- tableSchema.fields.find(_.name == c).map(_.dataType)
+            d <- PartitionTransforms.dirValueOf(tr, v, dt)
+          } {
+            val (t0, dt0, lo, hi) = acc.getOrElse(dirKey, (tr, dt, None, None))
+            def tighter(cur: Option[String], keepIfCmp: Int => Boolean): Option[String] =
+              cur match {
+                case None => Some(d)
+                case Some(x) => PartitionTransforms.cmpDir(tr, dt, d, x) match {
+                  case Some(cmp) if keepIfCmp(cmp) => Some(d)
+                  case _ => cur
+                }
+              }
+            acc(dirKey) =
+              if (isLower) (t0, dt0, tighter(lo, _ > 0), hi) // max of lowers
+              else (t0, dt0, lo, tighter(hi, _ < 0))         // min of uppers
+          }
+      }
+    pushed.foreach {
+      case GreaterThan(c, v) => hit(c, v, isLower = true)
+      case GreaterThanOrEqual(c, v) => hit(c, v, isLower = true)
+      case LessThan(c, v) => hit(c, v, isLower = false)
+      case LessThanOrEqual(c, v) => hit(c, v, isLower = false)
+      case _ => ()
+    }
+    acc.toMap
+  }
+
+  private def rangeAllows(
+      rel: String,
+      ranges: Map[String, (String, org.apache.spark.sql.types.DataType,
+                           Option[String], Option[String])]): Boolean =
+    ranges.isEmpty || {
+      val kvs = dirKvs(rel)
+      ranges.forall { case (key, (tr, dt, lo, hi)) =>
+        kvs.get(key).forall { d => // file without the dir key: keep
+          lo.forall(l => PartitionTransforms.cmpDir(tr, dt, d, l).forall(_ >= 0)) &&
+          hi.forall(h => PartitionTransforms.cmpDir(tr, dt, d, h).forall(_ <= 0))
+        }
+      }
+    }
 
   /** Typed compare of a manifest stat string against a filter value,
     * driven by the table schema. None = incomparable (never prune). */
@@ -323,8 +433,10 @@ private[graft] class GraftScanBuilder(
 
   private[graft] def prunedRelFiles: Seq[String] = {
     val allowed = allowedValues
+    val ranges = allowedDirRanges
     relFiles
       .filter(rel => allowed.isEmpty || partitionAllows(rel, allowed))
+      .filter(rangeAllows(_, ranges))
       .filter(statsAllow)
   }
 

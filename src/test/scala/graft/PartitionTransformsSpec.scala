@@ -106,9 +106,33 @@ class PartitionTransformsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("timezone-dependent timestamps are never replayed (no wrong prune possible)") {
-    val ts = java.sql.Timestamp.valueOf("2024-06-01 10:30:00")
-    for (tr <- Seq("year", "month", "day", "hour"))
-      assert(PartitionTransforms.dirValueOf(tr, ts, TimestampType).isEmpty)
+  test("temporal transforms on TIMESTAMP (instant): write == replay under UTC") {
+    spark.sql("SELECT 1").collect() // force session init on this thread
+    val tsGen = Gen.choose(0L, 2200000000L) // ~1970..2039 epoch seconds
+      .map(s => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+    for (tr <- Seq("year", "month", "day", "hour")) {
+      check(Prop.forAll(tsGen) { t =>
+        writeDirValue(tr, t, TimestampType) ==
+          PartitionTransforms.dirValueOf(tr, t, TimestampType) &&
+          PartitionTransforms.dirValueOf(tr, t, TimestampType).nonEmpty
+      })
+    }
+  }
+
+  test("non-UTC sessions neither lay out nor replay instant temporal dirs") {
+    // a session whose instants render in a different zone must refuse
+    // BOTH sides — layouts it writes can't be pruned by a UTC reader and
+    // vice versa; refusing both keeps the pair consistent (never-wrong)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val ts = java.sql.Timestamp.valueOf("2024-06-01 10:30:00")
+      for (tr <- Seq("year", "month", "day", "hour")) {
+        assert(PartitionTransforms.dirValueOf(tr, ts, TimestampType).isEmpty)
+        assert(PartitionTransforms.dirExpr(tr, "c", TimestampType).isEmpty)
+      }
+      // timezone-independent types are unaffected by the session zone
+      assert(PartitionTransforms.dirValueOf("day",
+        java.sql.Date.valueOf("2024-06-01"), DateType).contains("2024-06-01"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 }

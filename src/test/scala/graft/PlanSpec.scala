@@ -168,6 +168,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no dynamic partition pruning in:\n$plan")
   }
 
+  test("time-range filters prune hour-partitioned dirs, rows unchanged") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tsprune")
+    spark.sql("""CREATE TABLE graft.tsprune.ev (id BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (hours(ts))""")
+    spark.sql("INSERT INTO graft.tsprune.ev SELECT id, " +
+      "timestamp'2024-06-01 00:30:00' + make_interval(0,0,0,0,CAST(id AS INT)) " +
+      "FROM range(0, 24)") // one row per hour of the day
+    val table = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("tsprune"), "ev"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val builder = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .asInstanceOf[graft.catalog.GraftScanBuilder]
+    val all = builder.prunedRelFiles.size
+    builder.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+        java.sql.Timestamp.valueOf("2024-06-01 06:00:00")),
+      org.apache.spark.sql.sources.LessThan("ts",
+        java.sql.Timestamp.valueOf("2024-06-01 09:00:00"))))
+    val pruned = builder.prunedRelFiles
+    // hours 06..08 qualify; hour 09 is kept conservatively (a strict
+    // upper bound stays inclusive at dir granularity)
+    assert(all == 24 && pruned.size <= 4,
+      s"expected <=4 of 24 hour dirs, got $all -> ${pruned.size}")
+    assert(pruned.forall(p => (6 to 9).exists(h =>
+      p.contains(f"__part_ts_hour=2024-06-01-$h%02d"))), pruned.mkString("\n"))
+    // rows identical with pruning on vs a full manual scan
+    val got = spark.sql("SELECT id FROM graft.tsprune.ev WHERE " +
+      "ts >= timestamp'2024-06-01 06:00:00' AND ts < timestamp'2024-06-01 09:00:00'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = spark.table("graft.tsprune.ev").collect()
+      .filter { r =>
+        val t = r.getTimestamp(1)
+        !t.before(java.sql.Timestamp.valueOf("2024-06-01 06:00:00")) &&
+          t.before(java.sql.Timestamp.valueOf("2024-06-01 09:00:00"))
+      }.map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got == Seq(6L, 7L, 8L), s"got $got want $want")
+  }
+
   test("q23 distribution stats: no single-partition exchange feeds a window") {
     val df = ops.Windows.q23Ntile(spark, sf)
     val plan = planOf(df)

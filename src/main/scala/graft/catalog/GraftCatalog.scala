@@ -33,7 +33,7 @@ import graft.meta._
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
-  private var store: MetadataStore = _
+  private var store: MetaStore = _
   private var defaults: Map[String, String] = Map.empty
   private var overrides: Map[String, String] = Map.empty
 
@@ -41,8 +41,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
     val wh = Option(options.get("warehouse")).getOrElse(
       sys.props("java.io.tmpdir") + s"/graft-warehouse-$name")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh))
-    store = new MetadataStore(wh)
+    // scheme-dispatched backend: bare/file paths → POSIX hard-link CAS,
+    // anything else → the Hadoop FileSystem store (hdfs://, abfs://, …)
+    store = MetaStore.forWarehouse(wh)
+    store.ensureRoot()
     val all = options.asScala
     defaults = all.collect { case (k, v) if k.startsWith("defaults.") =>
       k.stripPrefix("defaults.") -> v }.toMap
@@ -65,7 +67,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   def configDefaults: Map[String, String] = defaults
   def configOverrides: Map[String, String] = overrides
 
-  def metadataStore: MetadataStore = store
+  def metadataStore: MetaStore = store
 
   // ---- namespaces (ops 2-7 of §2.A) ------------------------------------
 
@@ -276,9 +278,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val outDir = store.dataDir(ns, ident.name) + "/" + relDir
       current.repartition(targetFileCount)
         .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
-      val newFiles = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
-        .iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).map(f => s"$relDir/$f").toList
+      val newFiles = store.listParquetUnder(outDir).map(f => s"$relDir/$f")
       val stats = newFiles.map { rel =>
         rel -> graft.meta.FileStats.harvest(store.dataDir(ns, ident.name) + "/" + rel)
       }.filter(_._2.nonEmpty).toMap
@@ -290,7 +290,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case e: CommitFailedException =>
           // concurrent commit won — remove this attempt's orphaned output
           // and rescan the new state
-          MetadataStore.deleteRecursive(java.nio.file.Paths.get(outDir))
+          store.deleteTree(outDir)
           if (attempt >= maxAttempts) throw e
       }
     }
@@ -322,30 +322,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       store.loadVersion(ns, ident.name, v).currentSnapshot
         .map(_.files).getOrElse(Nil)
     }.toSet
-    val dataDir = java.nio.file.Paths.get(store.dataDir(ns, ident.name))
+    val dataDir = store.dataDir(ns, ident.name)
     var removed = 0
     // delete unreferenced data files
-    if (java.nio.file.Files.isDirectory(dataDir)) {
-      val walk = java.nio.file.Files.walk(dataDir)
-      try walk.iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .toList.foreach { p =>
-          val rel = dataDir.relativize(p).toString
-          val youngerThanGrace = try {
-            java.nio.file.Files.getLastModifiedTime(p).toMillis >
-              System.currentTimeMillis() - graceMs
-          } catch { case _: java.io.IOException => true } // vanished: skip
-          if (!retainedFiles.contains(rel) && !youngerThanGrace) {
-            java.nio.file.Files.delete(p); removed += 1
-          }
-        }
-      finally walk.close()
+    store.listParquetUnder(dataDir).foreach { rel =>
+      val abs = dataDir + "/" + rel
+      // vanished (None) counts as young: never delete what we can't date
+      val youngerThanGrace = store.lastModifiedMs(abs)
+        .forall(_ > System.currentTimeMillis() - graceMs)
+      if (!retainedFiles.contains(rel) && !youngerThanGrace) {
+        if (store.deleteFileIfExists(abs)) removed += 1
+      }
     }
     // drop expired metadata versions (current pointer = max version file)
     (1 until cutoff).foreach { v =>
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(store.metadataLocation(ns, ident.name, v)))
+      store.deleteFileIfExists(store.metadataLocation(ns, ident.name, v))
     }
     removed
   }

@@ -31,7 +31,7 @@ import graft.meta._
   * giving atomic, versioned, time-travelable appends (the reference's
   * commit endpoint, `tables.go:192`, applied to data instead of schema).
   */
-class GraftTable(tableName: String, store: MetadataStore,
+class GraftTable(tableName: String, store: MetaStore,
                  ns: Seq[String], table: String,
                  meta: TableMetadata, version: Int,
                  mergedProps: Map[String, String],
@@ -501,7 +501,7 @@ private[graft] class GraftScanBuilder(
   }
 }
 
-private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: String)
+private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -575,16 +575,7 @@ private class GraftWriteBuilder(store: MetadataStore, ns: Seq[String], table: St
           } else out.write
           writer.mode(SaveMode.ErrorIfExists).parquet(outDir)
 
-          def listRec(p: java.nio.file.Path): List[String] = {
-            val s = java.nio.file.Files.walk(p)
-            try s.iterator().asScala
-              .filter(f => java.nio.file.Files.isRegularFile(f) &&
-                f.getFileName.toString.endsWith(".parquet"))
-              .map(f => p.relativize(f).toString).toList
-            finally s.close()
-          }
-          val newFiles = listRec(java.nio.file.Paths.get(outDir))
-            .map(f => s"$relDir/$f")
+          val newFiles = store.listParquetUnder(outDir).map(f => s"$relDir/$f")
           // delta-style updates: the final file list is computed against
           // the freshly-loaded base inside the CAS retry loop, so racing
           // appends are commutative (no snapshot-id assertion needed —

@@ -22,8 +22,12 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 object FileStats {
 
   def harvest(absPath: String): List[ColStatDef] = try {
+    // session Hadoop conf first: it carries fs.<scheme>.impl bindings and
+    // credentials for non-local warehouses
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(absPath), new Configuration()))
+      HadoopInputFile.fromPath(new Path(absPath), conf))
     try {
       case class Acc(var min: Comparable[Any], var max: Comparable[Any], var nulls: Long,
                      fieldId: Option[Int])

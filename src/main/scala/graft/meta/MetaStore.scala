@@ -1,0 +1,66 @@
+package graft.meta
+
+/** The metadata-backend surface the catalog, table, and REST layers
+  * program against — versioned namespace/table documents plus the few
+  * physical-file operations the write/compact/expire paths need. Three
+  * implementations:
+  *   - [[MetadataStore]]: local filesystem, hard-link CAS (java.nio);
+  *   - [[HadoopMetadataStore]]: any Hadoop FileSystem whose rename
+  *     refuses an existing destination (HDFS, ABFS, a MiniCluster);
+  *   - [[ConditionalPutMetadata]]: object stores, If-None-Match PUT
+  *     (commit-path only).
+  * Mirrors the reference's pluggable backend seam
+  * (`/root/reference/main.go:13-15`: glue | rest | sql).
+  */
+trait MetaStore extends graft.commit.CommitTarget {
+  def warehouse: String
+
+  // ---- namespaces ----
+  def namespaceExists(ns: Seq[String]): Boolean
+  def createNamespace(ns: Seq[String], props: Map[String, String]): Unit
+  def loadNamespace(ns: Seq[String]): Map[String, String]
+  def setNamespaceProperties(ns: Seq[String], props: Map[String, String]): Unit
+  def listNamespaces(parent: Seq[String]): Seq[Seq[String]]
+  def dropNamespace(ns: Seq[String]): Boolean
+
+  // ---- tables ----
+  def tableExists(ns: Seq[String], t: String): Boolean
+  def listTables(ns: Seq[String]): Seq[String]
+  def currentVersion(ns: Seq[String], t: String): Int
+  def metadataLocation(ns: Seq[String], t: String, version: Int): String
+  def loadVersion(ns: Seq[String], t: String, v: Int): TableMetadata
+  def createTable(ns: Seq[String], t: String, m: TableMetadata): Unit
+  def dropTable(ns: Seq[String], t: String): Boolean
+  def renameTable(fromNs: Seq[String], from: String,
+                  toNs: Seq[String], to: String): Unit
+  def dataDir(ns: Seq[String], t: String): String
+
+  // ---- physical files (write staging / compaction / expiry) ----
+  /** Create the warehouse root if absent. */
+  def ensureRoot(): Unit
+  /** Recursively list `.parquet` files under an absolute directory, as
+    * paths RELATIVE to it; empty when the directory doesn't exist. */
+  def listParquetUnder(absDir: String): List[String]
+  /** Recursively delete a directory tree (no-op when absent). */
+  def deleteTree(absDir: String): Unit
+  /** Delete one file; false when it didn't exist. */
+  def deleteFileIfExists(abs: String): Boolean
+  /** Last-modified epoch millis; None when the file vanished. */
+  def lastModifiedMs(abs: String): Option[Long]
+}
+
+object MetaStore {
+  /** Pick the store implementation for a warehouse location: bare paths
+    * and `file:` URIs use the POSIX hard-link store; any other scheme
+    * goes through the Hadoop FileSystem API (the seam a real cluster
+    * points at `hdfs://` / `abfs://`). */
+  def forWarehouse(wh: String): MetaStore = {
+    val scheme = try Option(new java.net.URI(wh).getScheme)
+    catch { case _: java.net.URISyntaxException => None }
+    scheme match {
+      case None | Some("file") => new MetadataStore(
+        if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh)
+      case Some(_) => new HadoopMetadataStore(wh)
+    }
+  }
+}

@@ -25,7 +25,7 @@ import org.json4s.jackson.Serialization
   * The same protocol maps to conditional-PUT (If-None-Match) on object
   * stores, so it holds on a 1000-driver cluster, not just local fs.
   */
-final class MetadataStore(val warehouse: String) extends graft.commit.CommitTarget {
+final class MetadataStore(val warehouse: String) extends MetaStore {
 
   private val NsMarker = ".namespace.json"
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
@@ -164,6 +164,29 @@ final class MetadataStore(val warehouse: String) extends graft.commit.CommitTarg
 
   def dataDir(ns: Seq[String], t: String): String =
     tablePath(ns, t).resolve("data").toString
+
+  // ---- physical files ---------------------------------------------------
+
+  def ensureRoot(): Unit = { Files.createDirectories(Paths.get(warehouse)); () }
+
+  def listParquetUnder(absDir: String): List[String] = {
+    val dir = Paths.get(absDir)
+    if (!Files.isDirectory(dir)) return Nil
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => dir.relativize(p).toString).toList
+    finally walk.close()
+  }
+
+  def deleteTree(absDir: String): Unit = deleteRecursive(Paths.get(absDir))
+
+  def deleteFileIfExists(abs: String): Boolean = Files.deleteIfExists(Paths.get(abs))
+
+  def lastModifiedMs(abs: String): Option[Long] =
+    try Some(Files.getLastModifiedTime(Paths.get(abs)).toMillis)
+    catch { case _: java.io.IOException => None }
 
   // ---- helpers ----------------------------------------------------------
 

@@ -208,10 +208,53 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** HOT-BLOCK GUARD for blocked self-joins: blocking is only scale-safe
+    * while blocks stay bounded, and real corpora skew (one source, one
+    * popular length). A block of n rows would otherwise put all ~n²/2
+    * candidate pairs in ONE join key = one straggler task. Blocks larger
+    * than `maxBlock` are subdivided into k = ceil(n/maxBlock) hash
+    * shards and covered by the ORDERED SHARD-PAIR trick: side A of the
+    * self-join carries key (shard(doc), t) for every t, side B carries
+    * (t, shard(doc)) for every t, so each doc pair meets at key
+    * (shard_a, shard_b) EXACTLY once — the pair set is identical to the
+    * naive block join (nothing silently dropped), but no join key holds
+    * more than ~(n/k)² pairs and the shuffle grows only k× on the hot
+    * block's ids. Cold blocks get k=1 and degenerate to the plain join.
+    * Block sizes ride a broadcast aggregate — no driver round-trip. */
+  private[graft] def guardedBlockPairs(blocked: DataFrame,
+                                     maxBlock: Int = 4096): DataFrame = {
+    val sizes = blocked.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("k", least(ceil(col("bn") / maxBlock), lit(64)).cast("int"))
+    val withK = blocked.select(col("source"), col("len_bucket"), col("doc_id"))
+      .join(broadcast(sizes.select(col("source"), col("len_bucket"), col("k"))),
+        Seq("source", "len_bucket"))
+    val a = withK.select(col("source"), col("len_bucket"),
+      pmod(hash(col("doc_id")), col("k")).as("x"),
+      explode(sequence(lit(0), col("k") - 1)).as("y"),
+      col("doc_id").as("doc_a"))
+    val b = withK.select(col("source"), col("len_bucket"),
+      explode(sequence(lit(0), col("k") - 1)).as("x"),
+      pmod(hash(col("doc_id")), col("k")).as("y"),
+      col("doc_id").as("doc_b"))
+    a.join(b, Seq("source", "len_bucket", "x", "y"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("len_bucket"), col("doc_a"), col("doc_b"))
+  }
+
+  /** Blocks that trip the guard (k > 1) — the observability half: a
+    * pipeline monitors this to catch skew growth. */
+  private[graft] def hotBlocks(blocked: DataFrame, maxBlock: Int = 4096): DataFrame =
+    blocked.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBlock)
+
   /** Blocked exact n-gram Jaccard: candidate pairs only within a
     * (source, length-bucket) block — the classic blocking pattern that
     * bounds pair count without a cross join — then exact word-bigram
-    * Jaccard per pair. Rows-only oracle. */
+    * Jaccard per pair. Oversized blocks are subdivided by
+    * [[guardedBlockPairs]] (same pair set, bounded tasks). Oracle-checked:
+    * the cover is exact, so the pair set matches the naive SQL join. */
   def q54NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // grams are hashed to 64-bit (one-pass kernel) before the pairwise
     // set ops: long-array intersection is several times cheaper than
@@ -222,10 +265,7 @@ object Dedup {
       (col("n_chars") / 100).cast("int").as("len_bucket"),
       bigrams.as("grams"))
     // pair generation carries ids only; gram arrays re-attach afterwards
-    val a = blocked.select(col("source"), col("len_bucket"), col("doc_id").as("doc_a"))
-    val b = blocked.select(col("source"), col("len_bucket"), col("doc_id").as("doc_b"))
-    val pairs = a.join(b, Seq("source", "len_bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    val pairs = guardedBlockPairs(blocked.select("source", "len_bucket", "doc_id"))
     val grams = blocked.select(col("doc_id"), col("grams"))
     pairs
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), Seq("doc_a"))

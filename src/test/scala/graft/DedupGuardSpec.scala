@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.llm.Dedup
+
+/** The hot-block guard: a skewed block trips it, per-key work is
+  * subdivided, and the produced pair set is EXACTLY the naive block
+  * self-join's — the guard bounds stragglers, it must never drop or
+  * duplicate a candidate pair. */
+class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** 150 docs in ONE (source, len_bucket) block (the skew case) plus a
+    * small cold block. */
+  private def fixture = {
+    import spark.implicits._
+    val hot = (0 until 150).map(i => (i.toLong, "hot_src", 3))
+    val cold = (1000 until 1010).map(i => (i.toLong, "cold_src", 7))
+    (hot ++ cold).toDF("doc_id", "source", "len_bucket")
+  }
+
+  test("skewed block trips the guard; cold block does not") {
+    val hot = Dedup.hotBlocks(fixture, maxBlock = 64).collect()
+    assert(hot.length == 1)
+    assert(hot.head.getString(0) == "hot_src" && hot.head.getLong(2) == 150L)
+  }
+
+  test("guarded pair cover equals the naive block self-join exactly") {
+    val docs = fixture
+    val guarded = Dedup.guardedBlockPairs(docs, maxBlock = 64)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every pair exactly once (no dropDuplicates in the cover — dups
+    // would mean a pair met at two shard keys)
+    assert(guarded.length == guarded.distinct.length, "cover produced duplicates")
+    val naive = {
+      val a = docs.select(col("source"), col("len_bucket"), col("doc_id").as("doc_a"))
+      val b = docs.select(col("source"), col("len_bucket"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("source", "len_bucket")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(guarded.sorted.toSeq == naive.sorted.toSeq,
+      s"pair sets differ: guarded=${guarded.length} naive=${naive.length}")
+    // sanity: 150*149/2 hot + 10*9/2 cold
+    assert(naive.length == 150 * 149 / 2 + 45)
+  }
+
+  test("subdivision bounds the rows behind any single join key") {
+    // reconstruct the guarded A-side keys: with maxBlock=64 and n=150,
+    // k=3, so no (x, y) key may carry more than ~n/k ≈ 50 A-side rows —
+    // the straggler bound the guard exists for
+    val k = 3
+    val sharded = fixture.filter(col("source") === "hot_src")
+      .select(pmod(hash(col("doc_id")), lit(k)).as("x"))
+      .groupBy("x").count().collect().map(_.getLong(1))
+    assert(sharded.length == k, s"expected $k shards, got ${sharded.length}")
+    assert(sharded.max <= 150 / k + 25, s"shard skew too high: ${sharded.toSeq}")
+  }
+}

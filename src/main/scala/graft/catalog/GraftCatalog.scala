@@ -246,8 +246,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * by alterTable, the write path, and tests. */
   def commit(ident: Identifier, requirements: Seq[Requirement],
              updates: Seq[MetadataUpdate]): TableMetadata =
-    new Committer(store).commit(ident.namespace.toSeq, ident.name,
-      requirements, updates)
+    store.commitOps(ident.namespace.toSeq, ident.name, requirements, updates)
 
   override def dropTable(ident: Identifier): Boolean =
     store.dropTable(ident.namespace.toSeq, ident.name)
@@ -350,6 +349,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     catch { case e: IllegalStateException =>
       throw new TableAlreadyExistsException(newIdent)
     }
+    // re-point the metadata's location at the moved data dir: local
+    // scans compute the path structurally and never read it, but a
+    // DELEGATING front (RestMetadataStore) reaches the data through this
+    // field — stale, it would scan the pre-rename path
+    val newNs = newIdent.namespace.toSeq
+    store.commitOps(newNs, newIdent.name, Nil,
+      Seq(MetadataUpdate.SetLocation(store.dataDir(newNs, newIdent.name))))
   }
 
   private def fullName(ident: Identifier): String =

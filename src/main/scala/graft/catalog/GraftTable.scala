@@ -588,7 +588,7 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           val update =
             if (overwrite) MetadataUpdate.ReplaceFiles(newFiles, now, stats)
             else MetadataUpdate.AppendFiles(newFiles, now, stats)
-          new Committer(store).commit(ns, table, Nil, Seq(update))
+          store.commitOps(ns, table, Nil, Seq(update))
         }
       }
   }

@@ -35,6 +35,16 @@ trait MetaStore extends graft.commit.CommitTarget {
                   toNs: Seq[String], to: String): Unit
   def dataDir(ns: Seq[String], t: String): String
 
+  /** The requirements+updates commit (the REST-shaped entry point).
+    * Filesystem stores run the optimistic CAS loop locally; a
+    * delegating store forwards the ops so the BACKING catalog's
+    * committer arbitrates — forwarding a raw (version, document) CAS
+    * would instead race every hop. */
+  def commitOps(ns: Seq[String], table: String,
+                requirements: Seq[graft.commit.Requirement],
+                updates: Seq[graft.commit.MetadataUpdate]): TableMetadata =
+    new graft.commit.Committer(this).commit(ns, table, requirements, updates)
+
   // ---- physical files (write staging / compaction / expiry) ----
   /** Create the warehouse root if absent. */
   def ensureRoot(): Unit
@@ -51,15 +61,18 @@ trait MetaStore extends graft.commit.CommitTarget {
 
 object MetaStore {
   /** Pick the store implementation for a warehouse location: bare paths
-    * and `file:` URIs use the POSIX hard-link store; any other scheme
-    * goes through the Hadoop FileSystem API (the seam a real cluster
-    * points at `hdfs://` / `abfs://`). */
+    * and `file:` URIs use the POSIX hard-link store; `http(s)` points at
+    * another graft REST catalog (federation — the reference's `rest`
+    * backend, `main.go:14`); any other scheme goes through the Hadoop
+    * FileSystem API (the seam a real cluster points at `hdfs://` /
+    * `abfs://`). */
   def forWarehouse(wh: String): MetaStore = {
     val scheme = try Option(new java.net.URI(wh).getScheme)
     catch { case _: java.net.URISyntaxException => None }
     scheme match {
       case None | Some("file") => new MetadataStore(
         if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh)
+      case Some("http") | Some("https") => new RestMetadataStore(wh)
       case Some(_) => new HadoopMetadataStore(wh)
     }
   }

@@ -315,14 +315,18 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
     // members our commit algebra supports)
     case "add-snapshot" =>
       MetadataUpdate.AddSnapshot((j \ "snapshot").extract[SnapshotDef])
+    // optional per-file stats so manifest min/max skipping survives a
+    // delegated commit (absent on reference-shaped bodies — additive)
     case "append-files" =>
       MetadataUpdate.AppendFiles(
         (j \ "files").extract[List[String]],
-        (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()))
+        (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()),
+        (j \ "file-stats").extractOpt[Map[String, List[ColStatDef]]].getOrElse(Map.empty))
     case "replace-files" =>
       MetadataUpdate.ReplaceFiles(
         (j \ "files").extract[List[String]],
-        (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()))
+        (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()),
+        (j \ "file-stats").extractOpt[Map[String, List[ColStatDef]]].getOrElse(Map.empty))
     case other => throw new IllegalArgumentException(s"unknown update $other")
   }
 

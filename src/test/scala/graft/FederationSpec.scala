@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.GraftCatalog
+import graft.meta.RestMetadataStore
+import graft.server.RestServer
+
+/** Federation: a GraftCatalog whose metadata backend is ANOTHER graft
+  * catalog's REST server (the reference's `rest` backend, `main.go:14`)
+  * — proving the wire protocol is complete enough to be its own
+  * backend. The front catalog's warehouse is `http://…`; data files land
+  * on the backing catalog's (shared) storage. */
+class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val backWh = Files.createTempDirectory("graft-fed-back-wh").toString
+  private val backing = new GraftCatalog
+  private var server: RestServer = _
+  private var port: Int = _
+
+  lazy val spark: SparkSession = {
+    backing.initialize("backing", new CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", backWh)))
+    server = new RestServer(backing)
+    port = server.start()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.fed", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.fed.warehouse", s"http://127.0.0.1:$port")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = { spark.stop(); server.stop() }
+
+  test("warehouse scheme http dispatches to the REST-delegating store") {
+    spark.sql("SELECT 1").collect()
+    val cat = spark.sessionState.catalogManager.catalog("fed")
+      .asInstanceOf[GraftCatalog]
+    assert(cat.metadataStore.isInstanceOf[RestMetadataStore])
+  }
+
+  test("full SQL lifecycle through the delegating catalog") {
+    spark.sql("CREATE NAMESPACE fed.corp WITH PROPERTIES ('team'='data')")
+    spark.sql("CREATE TABLE fed.corp.ev (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO fed.corp.ev VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO fed.corp.ev VALUES (3,'a')")
+    assert(spark.table("fed.corp.ev").count() == 3)
+    // filters still prune through the delegated manifest
+    assert(spark.sql("SELECT id FROM fed.corp.ev WHERE cat='b'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // schema evolution rides the wire commit algebra
+    spark.sql("ALTER TABLE fed.corp.ev ADD COLUMN note STRING")
+    assert(spark.table("fed.corp.ev").columns.toSeq ==
+      Seq("id", "cat", "note"))
+    spark.sql("ALTER TABLE fed.corp.ev SET TBLPROPERTIES ('x'='1')")
+
+    // every mutation is observable in the BACKING catalog: the front
+    // holds no state of its own
+    val (m, v) = backing.metadataStore.load(Seq("corp"), "ev")
+    assert(m.snapshots.size == 2, s"backing saw ${m.snapshots.size} snapshots")
+    assert(m.properties.get("x").contains("1"))
+    assert(m.currentSchema.fields.map(_.name) == List("id", "cat", "note"))
+    // data files live under the BACKING warehouse
+    assert(m.currentSnapshot.get.files.nonEmpty)
+    assert(m.location.startsWith(backWh))
+    // per-file stats survived the delegated commit (file-stats extension)
+    assert(m.currentSnapshot.get.fileStats.nonEmpty,
+      "manifest stats lost through the wire commit")
+
+    // overwrite, rename, drop — all through the front
+    spark.sql("INSERT OVERWRITE fed.corp.ev VALUES (9,'z','n')")
+    assert(spark.table("fed.corp.ev").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    spark.sql("ALTER TABLE fed.corp.ev RENAME TO corp.ev2")
+    assert(spark.table("fed.corp.ev2").count() == 1)
+    assert(backing.metadataStore.tableExists(Seq("corp"), "ev2"))
+    spark.sql("DROP TABLE fed.corp.ev2")
+    assert(!backing.metadataStore.tableExists(Seq("corp"), "ev2"))
+    spark.sql("DROP NAMESPACE fed.corp")
+    assert(!backing.metadataStore.namespaceExists(Seq("corp")))
+  }
+
+  test("conflicting commits are arbitrated by the backing committer") {
+    spark.sql("CREATE NAMESPACE fed.race")
+    spark.sql("CREATE TABLE fed.race.t (id BIGINT)")
+    val front = spark.sessionState.catalogManager.catalog("fed")
+      .asInstanceOf[GraftCatalog].metadataStore
+    // 6 threads × 5 property commits through the wire all land exactly once
+    val threads = (0 until 6).map { i =>
+      new Thread(() => (0 until 5).foreach { j =>
+        front.commitOps(Seq("race"), "t", Nil,
+          Seq(graft.commit.MetadataUpdate.SetProperties(Map(s"k-$i-$j" -> "1"))))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (m, v) = backing.metadataStore.load(Seq("race"), "t")
+    assert(v == 31, s"expected 31 versions (create + 30 commits), got $v")
+    assert((0 until 6).forall(i => (0 until 5).forall(j =>
+      m.properties.contains(s"k-$i-$j"))))
+  }
+}

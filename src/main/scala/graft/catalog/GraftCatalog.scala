@@ -296,6 +296,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Maintenance: roll the table back to an earlier snapshot — a pure
+    * metadata commit (SetCurrentSnapshot) through the same optimistic
+    * CAS as every other mutation; history and files stay intact, so the
+    * rollback is itself time-travelable and reversible. */
+  def rollback(ident: Identifier, snapshotId: Long): TableMetadata =
+    commit(ident, Nil, Seq(MetadataUpdate.SetCurrentSnapshot(snapshotId)))
+
   /** Maintenance: retain only the `keep` most recent metadata versions'
     * reachable state — deletes data files referenced by no retained
     * snapshot and removes older metadata versions. Time travel reaches

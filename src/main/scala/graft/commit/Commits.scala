@@ -112,6 +112,17 @@ object MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata =
       m.copy(specs = m.specs :+ spec, defaultSpecId = spec.specId)
   }
+  /** Rollback: re-point the current snapshot at an existing (older)
+    * snapshot. History is preserved — nothing is deleted, and a later
+    * append stacks onto the rolled-back state (its file delta is
+    * computed against the new current snapshot inside the retry loop). */
+  final case class SetCurrentSnapshot(snapshotId: Long) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      require(m.snapshots.exists(_.snapshotId == snapshotId),
+        s"no snapshot with id $snapshotId")
+      m.copy(currentSnapshotId = Some(snapshotId))
+    }
+  }
 }
 
 final class CommitFailedException(msg: String) extends RuntimeException(msg)

@@ -227,6 +227,8 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
     case MetadataUpdate.AddSnapshot(s) => JObject(
       "action" -> JString("add-snapshot"),
       "snapshot" -> JsonMethods.parse(Serialization.write(s)(TableMetadata.formats)))
+    case MetadataUpdate.SetCurrentSnapshot(id) => JObject(
+      "action" -> JString("set-current-snapshot"), "snapshot-id" -> JInt(id))
     case MetadataUpdate.AppendFiles(files, ts, stats) => JObject(
       "action" -> JString("append-files"),
       "files" -> JArray(files.map(JString(_))),

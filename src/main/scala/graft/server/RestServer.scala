@@ -315,6 +315,8 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
     // members our commit algebra supports)
     case "add-snapshot" =>
       MetadataUpdate.AddSnapshot((j \ "snapshot").extract[SnapshotDef])
+    case "set-current-snapshot" =>
+      MetadataUpdate.SetCurrentSnapshot((j \ "snapshot-id").extract[Long])
     // optional per-file stats so manifest min/max skipping survives a
     // delegated commit (absent on reference-shaped bodies — additive)
     case "append-files" =>

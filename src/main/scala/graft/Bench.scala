@@ -67,7 +67,12 @@ object Bench {
       if (results.exists(_._1 == "q66_ann_recall") && !failed.contains("q66_ann_recall"))
         try llm.Similarity.q66AnnRecall(spark, sfDir).collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
-        catch { case scala.util.control.NonFatal(_) => Map.empty }
+        catch { case scala.util.control.NonFatal(e) =>
+          // a gate that can't run must FAIL the bench, not waive itself
+          System.err.println(s"[bench] recall evaluation failed: $e")
+          failed += "recall_evaluation_error"
+          Map.empty
+        }
       else Map.empty
     recall.collect { case (idx, r) if r < 0.8 => s"recall_$idx" }
       .foreach(failed += _)

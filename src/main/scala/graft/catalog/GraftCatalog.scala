@@ -359,10 +359,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // re-point the metadata's location at the moved data dir: local
     // scans compute the path structurally and never read it, but a
     // DELEGATING front (RestMetadataStore) reaches the data through this
-    // field — stale, it would scan the pre-rename path
+    // field — stale, it would scan the pre-rename path. Conditional so
+    // a federated rename doesn't commit it twice: the BACKING catalog
+    // already ran this fixup, and through a delegating store
+    // dataDir == location by construction, so the guard is false there.
     val newNs = newIdent.namespace.toSeq
-    store.commitOps(newNs, newIdent.name, Nil,
-      Seq(MetadataUpdate.SetLocation(store.dataDir(newNs, newIdent.name))))
+    val want = store.dataDir(newNs, newIdent.name)
+    if (store.load(newNs, newIdent.name)._1.location != want)
+      store.commitOps(newNs, newIdent.name, Nil,
+        Seq(MetadataUpdate.SetLocation(want)))
   }
 
   private def fullName(ident: Identifier): String =

@@ -76,7 +76,12 @@ class GraftTable(tableName: String, store: MetaStore,
     Option(options.get("from-version")) match {
       case None => currentRelFiles
       case Some(fromV) =>
-        val from = store.loadVersion(ns, table, fromV.toInt)
+        val v = try fromV.trim.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"read option from-version must be an integer metadata version, " +
+              s"got '$fromV' (table $tableName)")
+        }
+        val from = store.loadVersion(ns, table, v)
         val baseline = from.currentSnapshot.map(_.files.toSet).getOrElse(Set.empty)
         currentRelFiles.filterNot(baseline)
     }
@@ -157,15 +162,33 @@ private[graft] object PartitionTransforms {
     case _ => false
   }
 
+  // the exact shapes the write-side formatters emit for in-range years;
+  // anything else (e.g. the '+52972-06' EXCEEDS_PAD form date_format
+  // produces past year 9999) is NOT lexicographically ordered against
+  // the 4-digit form and must never participate in a prune decision
+  private val MonthDirRe = "\\d{4}-\\d{2}".r
+  private val DayDirRe = "\\d{4}-\\d{2}-\\d{2}".r
+  private val HourDirRe = "\\d{4}-\\d{2}-\\d{2}-\\d{2}".r
+  private def wellFormed(transform: String, v: String): Boolean = transform match {
+    case "month" => MonthDirRe.matches(v)
+    case "day" => DayDirRe.matches(v)
+    case "hour" => HourDirRe.matches(v)
+    case _ => true
+  }
+
   /** Order two dir values of a monotone transform. Temporal formats are
     * zero-padded fixed-width (lexicographic-safe) except bare `year`,
     * which compares numerically; numeric truncates likewise. None =
-    * incomparable (never prune on it). */
+    * incomparable (never prune on it) — including any dir value outside
+    * the fixed-width year-1..9999 shape. */
   def cmpDir(transform: String, dt: DataType, a: String, b: String): Option[Int] =
     transform match {
       case "year" => try Some(java.lang.Long.compare(a.toLong, b.toLong))
         catch { case _: NumberFormatException => None }
-      case "month" | "day" | "hour" => Some(a.compareTo(b))
+      case "month" | "day" | "hour" =>
+        if (wellFormed(transform, a) && wellFormed(transform, b))
+          Some(a.compareTo(b))
+        else None
       case TruncRe(_) => dt match {
         case IntegerType | LongType =>
           try Some(java.lang.Long.compare(a.toLong, b.toLong))
@@ -213,8 +236,13 @@ private[graft] object PartitionTransforms {
       case t: LocalDateTime => Some(t)
       case _ => None
     }
-    def temporalOk = dt == DateType || dt == TimestampNTZType ||
-      (dt == TimestampType && sessionIsUtc)
+    // years outside 1..9999 never replay: the write-side formatter
+    // switches to a signed EXCEEDS_PAD form ('+52972', era years for BC)
+    // that our fixed-width replay would mismatch — a replay disagreement
+    // is a silently-dropped row, so such literals simply never prune
+    def temporalOk = (dt == DateType || dt == TimestampNTZType ||
+      (dt == TimestampType && sessionIsUtc)) &&
+      asLocalDateTime.forall(t => t.getYear >= 1 && t.getYear <= 9999)
     transform match {
       case BucketRe(n) =>
         import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}

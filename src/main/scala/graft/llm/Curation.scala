@@ -84,13 +84,17 @@ object Curation {
     * the per-source prefix offsets back as a literal map, and add them
     * to a within-partition running sum whose window key (pid, source)
     * is bounded by partition size by construction. */
-  def q76TokenPacking(s: SparkSession, dir: String): DataFrame = {
-    val budget = 1024
+  def q76TokenPacking(s: SparkSession, dir: String): DataFrame =
+    packDocs(Tables.documents(s, dir))
+
+  /** The packing core over any (source, doc_id, text) frame —
+    * separated so fixtures (null sources, skew) can drive it directly. */
+  private[graft] def packDocs(docs: DataFrame, budget: Int = 1024): DataFrame = {
     val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
     // tokenize ONCE into a checkpoint: the range partitioner's sampling
     // job would otherwise re-run the text split over the whole corpus a
     // second time just to pick split points
-    val toks = Tables.documents(s, dir)
+    val toks = docs
       .select(col("source"), col("doc_id"), tokens.as("n_tokens"))
       .localCheckpoint()
     val parts = toks
@@ -106,14 +110,20 @@ object Curation {
     // per source: tokens in all EARLIER partitions = the offset to add
     // to that partition's local running sum
     val sep = "\u001F" // same reserved separator as the namespace codec
+    // null sources ride a sentinel on BOTH sides of the lookup:
+    // concat_ws silently skips null columns, which would hand every
+    // null-source doc a null offset (the pid prefix keeps keys
+    // unambiguous -- it never contains the separator)
+    val nullTok = "\u001F<null>"
     val offsets: Map[String, Long] = subtotals.groupBy(_._2).flatMap {
-      case (src, rows) =>
+      case (src0, rows) =>
+        val src = Option(src0).getOrElse(nullTok)
         val sorted = rows.sortBy(_._1)
         sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
           .map { case (pid, off) => s"$pid$sep$src" -> off }
     }
     val offset = element_at(typedLit(offsets),
-      concat_ws(sep, col("pid"), col("source")))
+      concat_ws(sep, col("pid"), coalesce(col("source"), lit(nullTok))))
     // pass 2: bounded within-partition window + broadcast offset
     val wIn = Window.partitionBy(col("pid"), col("source"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)

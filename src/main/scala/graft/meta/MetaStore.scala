@@ -66,6 +66,13 @@ object MetaStore {
     * backend, `main.go:14`); any other scheme goes through the Hadoop
     * FileSystem API (the seam a real cluster points at `hdfs://` /
     * `abfs://`). */
+  /** Object stores whose Hadoop connector implements rename as a
+    * non-atomic copy+delete: HadoopMetadataStore's rename-CAS would let
+    * two racing committers both "win" a version there — silent lost
+    * commits. Fail fast and point at the conditional-PUT protocol. */
+  private val CopyDeleteRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift")
+
   def forWarehouse(wh: String): MetaStore = {
     val scheme = try Option(new java.net.URI(wh).getScheme)
     catch { case _: java.net.URISyntaxException => None }
@@ -73,6 +80,12 @@ object MetaStore {
       case None | Some("file") => new MetadataStore(
         if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh)
       case Some("http") | Some("https") => new RestMetadataStore(wh)
+      case Some(s) if CopyDeleteRenameSchemes.contains(s.toLowerCase) =>
+        throw new IllegalArgumentException(
+          s"warehouse scheme '$s' has non-atomic rename — the rename-CAS " +
+            "store would silently lose racing commits there; use a " +
+            "conditional-PUT commit backend (ConditionalPutMetadata) or " +
+            "front the warehouse with a graft REST catalog (http://…)")
       case Some(_) => new HadoopMetadataStore(wh)
     }
   }

@@ -22,10 +22,9 @@ import graft.commit._
   * (version, document) CAS is intentionally unsupported; the wire
   * protocol arbitrates one level down, exactly once.
   *
-  * Unsupported through delegation (throws): time travel to non-current
-  * versions (the wire serves only the current snapshot) and
-  * AddPartitionSpec (no wire verb). Everything else — namespaces,
-  * tables, appends, overwrites, schema evolution, rename — round-trips.
+  * The full surface round-trips: namespaces, tables, appends,
+  * overwrites, schema evolution, rename, rollback, time travel
+  * (`?version=N` on LoadTable) and partition-spec evolution.
   */
 final class RestMetadataStore(val warehouse: String) extends MetaStore {
 
@@ -34,8 +33,13 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
   private val http = HttpClient.newHttpClient()
   private val Unit31 = "\u001F"
 
-  private def enc(ns: Seq[String]): String =
-    URLEncoder.encode(ns.mkString(Unit31), "UTF-8")
+  /** Percent-encode one path segment. URLEncoder is form-encoding —
+    * its '+' for space would NOT decode back to a space in a URI path,
+    * so rewrite it; everything else ('/', '#', '?', '%') is covered. */
+  private def seg(s: String): String =
+    URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  private def enc(ns: Seq[String]): String = seg(ns.mkString(Unit31))
 
   private case class Resp(code: Int, body: String) {
     def json: JValue = JsonMethods.parse(body)
@@ -120,7 +124,7 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
   // ---- tables -----------------------------------------------------------
 
   def tableExists(ns: Seq[String], t: String): Boolean =
-    call("HEAD", s"/v1/namespaces/${enc(ns)}/tables/$t").code == 204
+    call("HEAD", s"/v1/namespaces/${enc(ns)}/tables/${seg(t)}").code == 204
 
   def listTables(ns: Seq[String]): Seq[String] = {
     val r = expect(call("GET", s"/v1/namespaces/${enc(ns)}/tables"), Set(200), ns)
@@ -132,8 +136,10 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
     * `.../metadata/v7.metadata.json` — the wire's version carrier. */
   private val VersionRe = ".*/v(\\d+)\\.metadata\\.json$".r
 
-  private def loadRaw(ns: Seq[String], t: String): (TableMetadata, Int, String) = {
-    val r = expect(call("GET", s"/v1/namespaces/${enc(ns)}/tables/$t"),
+  private def loadRaw(ns: Seq[String], t: String,
+                      version: Option[Int] = None): (TableMetadata, Int, String) = {
+    val q = version.map(v => s"?version=$v").getOrElse("")
+    val r = expect(call("GET", s"/v1/namespaces/${enc(ns)}/tables/${seg(t)}$q"),
       Set(200), ns, Some(t))
     val loc = (r.json \ "metadata-location").extract[String]
     val v = loc match { case VersionRe(n) => n.toInt; case _ => 0 }
@@ -154,13 +160,8 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
     loc.replace(s"v$v.metadata.json", s"v$version.metadata.json")
   }
 
-  def loadVersion(ns: Seq[String], t: String, v: Int): TableMetadata = {
-    val (m, cur, _) = loadRaw(ns, t)
-    if (v != cur) throw new UnsupportedOperationException(
-      s"time travel to version $v is not reachable through a REST-delegating store " +
-        s"(wire serves only the current version $cur)")
-    m
-  }
+  def loadVersion(ns: Seq[String], t: String, v: Int): TableMetadata =
+    loadRaw(ns, t, Some(v))._1
 
   def createTable(ns: Seq[String], t: String, m: TableMetadata): Unit = {
     val schema = m.currentSchema
@@ -184,7 +185,7 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
   override def commitOps(ns: Seq[String], table: String,
                          requirements: Seq[Requirement],
                          updates: Seq[MetadataUpdate]): TableMetadata = {
-    val r = call("POST", s"/v1/namespaces/${enc(ns)}/tables/$table", Some(JObject(
+    val r = call("POST", s"/v1/namespaces/${enc(ns)}/tables/${seg(table)}", Some(JObject(
       "requirements" -> JArray(requirements.map(reqJson).toList),
       "updates" -> JArray(updates.map(updateJson).toList))))
     val ok = expect(r, Set(200), ns, Some(table))
@@ -229,6 +230,9 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
       "snapshot" -> JsonMethods.parse(Serialization.write(s)(TableMetadata.formats)))
     case MetadataUpdate.SetCurrentSnapshot(id) => JObject(
       "action" -> JString("set-current-snapshot"), "snapshot-id" -> JInt(id))
+    case MetadataUpdate.AddPartitionSpec(spec) => JObject(
+      "action" -> JString("add-partition-spec"),
+      "spec" -> JsonMethods.parse(Serialization.write(spec)(TableMetadata.formats)))
     case MetadataUpdate.AppendFiles(files, ts, stats) => JObject(
       "action" -> JString("append-files"),
       "files" -> JArray(files.map(JString(_))),
@@ -244,7 +248,7 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
   }
 
   def dropTable(ns: Seq[String], t: String): Boolean = {
-    val r = call("DELETE", s"/v1/namespaces/${enc(ns)}/tables/$t")
+    val r = call("DELETE", s"/v1/namespaces/${enc(ns)}/tables/${seg(t)}")
     r.code match {
       case 204 => true
       case 404 => false
@@ -261,8 +265,8 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
         "name" -> JString(to)))))
     expect(r, Set(200), fromNs, Some(from))
     // the moved table's data dir changed with it
-    dataDirCache.remove((fromNs :+ from).mkString(" "))
-    dataDirCache.remove((toNs :+ to).mkString(" "))
+    dataDirCache.remove((fromNs :+ from).mkString(Unit31))
+    dataDirCache.remove((toNs :+ to).mkString(Unit31))
     ()
   }
 
@@ -272,7 +276,7 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def dataDir(ns: Seq[String], t: String): String = {
-    val key = (ns :+ t).mkString(" ")
+    val key = (ns :+ t).mkString(Unit31)
     Option(dataDirCache.get(key)).getOrElse {
       val loc = try load(ns, t)._1.location
       catch { case _: Exception =>

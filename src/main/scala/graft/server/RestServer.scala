@@ -248,8 +248,14 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
     respondLoadTable(ex, n.toSeq, name)
   }
 
-  private def respondLoadTable(ex: HttpExchange, n: Seq[String], t: String): Unit = {
-    val (m, v) = catalog.metadataStore.load(n, t)
+  private def respondLoadTable(ex: HttpExchange, n: Seq[String], t: String,
+                               version: Option[Int] = None): Unit = {
+    // optional ?version=N time travel (additive — reference clients
+    // never send it); out-of-range versions → 404 like a missing table
+    val (m, v) = version match {
+      case Some(want) => (catalog.metadataStore.loadVersion(n, t, want), want)
+      case None => catalog.metadataStore.load(n, t)
+    }
     json(ex, 200, JObject(
       "metadata-location" -> JString(catalog.metadataStore.metadataLocation(n, t, v)),
       "metadata" -> JsonMethods.parse(TableMetadata.toJson(m)),
@@ -257,7 +263,8 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
   }
 
   private def loadTable(ex: HttpExchange, enc: String, t: String): Unit =
-    respondLoadTable(ex, ns(enc).toSeq, t)
+    respondLoadTable(ex, ns(enc).toSeq, t,
+      query(ex).get("version").map(_.toInt))
 
   private def headTable(ex: HttpExchange, enc: String, t: String): Unit =
     if (catalog.metadataStore.tableExists(ns(enc).toSeq, t)) empty(ex, 204)
@@ -317,6 +324,8 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
       MetadataUpdate.AddSnapshot((j \ "snapshot").extract[SnapshotDef])
     case "set-current-snapshot" =>
       MetadataUpdate.SetCurrentSnapshot((j \ "snapshot-id").extract[Long])
+    case "add-partition-spec" =>
+      MetadataUpdate.AddPartitionSpec((j \ "spec").extract[PartitionSpecDef])
     // optional per-file stats so manifest min/max skipping survives a
     // delegated commit (absent on reference-shaped bodies — additive)
     case "append-files" =>

@@ -57,6 +57,18 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(naive.length == 150 * 149 / 2 + 45)
   }
 
+  test("token packing packs null-source documents like any other group") {
+    import spark.implicits._
+    // 5 docs with NULL source, 4 tokens each, budget 8 → packs 0,0,1,1,2
+    val docs = (0 until 5).map(i => (i.toLong, null: String, "a b c d"))
+      .toDF("doc_id", "source", "text")
+    val packs = graft.llm.Curation.packDocs(docs, budget = 8).collect()
+    assert(packs.forall(_.isNullAt(0)), "source should stay null")
+    assert(packs.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq ==
+      Seq((0L, 2L, 8L), (1L, 2L, 8L), (2L, 1L, 4L)),
+      s"null-source packing wrong: ${packs.mkString(", ")}")
+  }
+
   test("subdivision bounds the rows behind any single join key") {
     // reconstruct the guarded A-side keys: with maxBlock=64 and n=150,
     // k=3, so no (x, y) key may carry more than ~n/k ≈ 50 A-side rows —

@@ -105,4 +105,17 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0 until 6).forall(i => (0 until 5).forall(j =>
       m.properties.contains(s"k-$i-$j"))))
   }
+
+  test("time travel reaches non-current versions through the wire") {
+    // the race table has 31 metadata versions; v1 is the empty create
+    assert(spark.sql("SELECT * FROM fed.race.t VERSION AS OF 1").count() == 0)
+    val front = spark.sessionState.catalogManager.catalog("fed")
+      .asInstanceOf[GraftCatalog].metadataStore
+    val early = front.loadVersion(Seq("race"), "t", 2).properties
+    val now = front.load(Seq("race"), "t")._1.properties
+    assert(early.size < now.size, s"v2 (${early.size} props) should predate " +
+      s"current (${now.size} props)")
+    // an out-of-range version surfaces as a missing-table 404
+    intercept[Exception] { front.loadVersion(Seq("race"), "t", 99) }
+  }
 }

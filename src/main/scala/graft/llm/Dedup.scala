@@ -368,14 +368,16 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
+      // carry the convergence bit INSIDE the checkpointed frame: the
+      // isEmpty probe then only scans cached partitions instead of
+      // re-running a labels⋈next join — one action per round, not two
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.withColumnRenamed("label", "l_new")
-        .join(labels.withColumnRenamed("label", "l_old"), Seq("doc_id"))
-        .filter(col("l_new") =!= col("l_old")).isEmpty
-      labels = next
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("label") > coalesce(col("nlabel"), col("label"))).as("changed"))
+        .localCheckpoint(false)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       rounds += 1
     }
     labels

@@ -223,16 +223,25 @@ private[graft] object PartitionTransforms {
     * was written under; None = can't replay safely (never prune). */
   def dirValueOf(transform: String, v: Any, dt: DataType): Option[String] = try {
     import java.time.{LocalDate, LocalDateTime}
+    // java.sql.Date/Timestamp literals are REBASED by Spark between the
+    // hybrid Julian calendar (their definition) and the proleptic
+    // Gregorian one the engine computes in; below the 1582 cutover the
+    // rebase is not the identity, so toInstant/toLocalDate land days
+    // away from the write-side dir value. Refuse those — never prune on
+    // a literal the two calendars disagree about. (java.time literals
+    // convert exactly and carry no bound beyond temporalOk's 1..9999.)
+    def gregorianSafe(t: LocalDateTime): Option[LocalDateTime] =
+      Some(t).filter(_.getYear >= 1583)
     def asLocalDateTime: Option[LocalDateTime] = v match {
-      case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay)
+      case d: java.sql.Date => gregorianSafe(d.toLocalDate.atStartOfDay)
       case d: LocalDate => Some(d.atStartOfDay)
       // instant literals (TimestampType): UTC wall time, explicitly —
       // never the JVM default zone (only reached when sessionIsUtc)
       case t: java.sql.Timestamp if dt == TimestampType =>
-        Some(t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
+        gregorianSafe(t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
       case t: java.time.Instant =>
         Some(t.atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
-      case t: java.sql.Timestamp => Some(t.toLocalDateTime)
+      case t: java.sql.Timestamp => gregorianSafe(t.toLocalDateTime)
       case t: LocalDateTime => Some(t)
       case _ => None
     }

@@ -119,6 +119,28 @@ class PartitionTransformsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("replay never disagrees with the write side — it refuses instead") {
+    // the safety invariant behind every prune: for ANY value, replay is
+    // either exactly the write-side dir value or None. Extreme years
+    // (past 9999, BC) make date_format switch to signed/era forms the
+    // fixed-width replay can't reproduce — those must come back None,
+    // never a mismatching Some (that would silently drop rows).
+    spark.sql("SELECT 1").collect()
+    val wideTsGen = Gen.oneOf(
+      Gen.choose(-62135596800L, 253402300799L), // years 0001..9999
+      Gen.choose(253402300800L, 3000000000000L), // far future (> 9999)
+      Gen.choose(-80000000000L, -62135596801L)   // BC / year-zero band
+    ).map(s => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+    for (tr <- Seq("year", "month", "day", "hour")) {
+      check(Prop.forAll(wideTsGen) { t =>
+        PartitionTransforms.dirValueOf(tr, t, TimestampType) match {
+          case None => true // refusing is always safe
+          case some => some == writeDirValue(tr, t, TimestampType)
+        }
+      })
+    }
+  }
+
   test("non-UTC sessions neither lay out nor replay instant temporal dirs") {
     // a session whose instants render in a different zone must refuse
     // BOTH sides — layouts it writes can't be pruned by a UTC reader and

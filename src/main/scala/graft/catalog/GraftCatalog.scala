@@ -275,8 +275,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val commitId = java.util.UUID.randomUUID().toString
       val relDir = s"compact-$commitId"
       val outDir = store.dataDir(ns, ident.name) + "/" + relDir
-      current.repartition(targetFileCount)
-        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
+      // honor the declared write.sort-order: a plain repartition would
+      // interleave the sort key across the compacted files, silently
+      // destroying the min/max stats skipping the order exists to feed
+      val sortCols = WriteShaping.sortCols(base.properties)
+      val shaped =
+        if (sortCols.nonEmpty)
+          current.repartitionByRange(targetFileCount, sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+        else current.repartition(targetFileCount)
+      shaped.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
       val newFiles = store.listParquetUnder(outDir).map(f => s"$relDir/$f")
       val stats = newFiles.map { rel =>
         rel -> graft.meta.FileStats.harvest(store.dataDir(ns, ident.name) + "/" + rel)

@@ -120,7 +120,13 @@ class GraftTable(tableName: String, store: MetaStore,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (frozen) throw new UnsupportedOperationException(
       "cannot write to a time-travel snapshot")
-    new GraftWriteBuilder(store, ns, table)
+    // write options prefixed `summary.` become snapshot-summary entries
+    // (df.writeTo(t).option("summary.k", "v").append()) — the carrier
+    // the exactly-once streaming sink uses for its batch-id watermark
+    val extraSummary = info.options.asScala.collect {
+      case (k, v) if k.startsWith("summary.") => k.stripPrefix("summary.") -> v
+    }.toMap
+    new GraftWriteBuilder(store, ns, table, extraSummary)
   }
 }
 
@@ -556,7 +562,22 @@ private[graft] class GraftScanBuilder(
   }
 }
 
-private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String)
+/** The declared `write.sort-order` table property as Spark sort columns
+  * — shared by the write path and compaction, which must both lay data
+  * out in the order the manifest stats assume. */
+private[catalog] object WriteShaping {
+  def sortCols(props: Map[String, String]): Seq[org.apache.spark.sql.Column] =
+    props.get("write.sort-order").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { spec =>
+        val parts = spec.split("\\s+")
+        if (parts.length > 1 && parts(1).equalsIgnoreCase("desc"))
+          org.apache.spark.sql.functions.col(parts(0)).desc
+        else org.apache.spark.sql.functions.col(parts(0)).asc
+      }
+}
+
+private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String,
+                                extraSummary: Map[String, String] = Map.empty)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -575,13 +596,7 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           // declared write order: range-cluster + sort within partitions
           // (row-group stats then give min/max skipping on read — the
           // reference's sort-order option, tables.go:105-107)
-          val sortCols = meta0.properties.get("write.sort-order").toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { spec =>
-              val parts = spec.split("\\s+")
-              if (parts.length > 1 && parts(1).equalsIgnoreCase("desc"))
-                org.apache.spark.sql.functions.col(parts(0)).desc
-              else org.apache.spark.sql.functions.col(parts(0)).asc
-            }
+          val sortCols = WriteShaping.sortCols(meta0.properties)
           // every partition transform becomes physical partition dirs;
           // the partition value rides in a shadow column so the original
           // stays inside the data files (scans need no partition
@@ -641,8 +656,8 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
             rel -> FileStats.harvest(store.dataDir(ns, table) + "/" + rel)
           }.filter(_._2.nonEmpty).toMap
           val update =
-            if (overwrite) MetadataUpdate.ReplaceFiles(newFiles, now, stats)
-            else MetadataUpdate.AppendFiles(newFiles, now, stats)
+            if (overwrite) MetadataUpdate.ReplaceFiles(newFiles, now, stats, extraSummary)
+            else MetadataUpdate.AppendFiles(newFiles, now, stats, extraSummary)
           store.commitOps(ns, table, Nil, Seq(update))
         }
       }

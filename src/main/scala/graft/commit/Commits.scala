@@ -85,7 +85,8 @@ object MetadataUpdate {
     * a precomputed absolute file list would silently drop the winner's
     * files). */
   final case class AppendFiles(newFiles: List[String], timestampMs: Long,
-                               stats: Map[String, List[ColStatDef]] = Map.empty)
+                               stats: Map[String, List[ColStatDef]] = Map.empty,
+                               extraSummary: Map[String, String] = Map.empty)
     extends MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata = {
       val prev = m.currentSnapshot.map(_.files).getOrElse(Nil)
@@ -93,19 +94,20 @@ object MetadataUpdate {
       AddSnapshot(SnapshotDef(
         snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
         operation = "append", files = prev ++ newFiles,
-        summary = Map("added-files" -> newFiles.size.toString),
+        summary = extraSummary + ("added-files" -> newFiles.size.toString),
         fileStats = prevStats ++ stats)).apply(m)
     }
   }
   /** Overwrite: the new snapshot holds exactly the new files. */
   final case class ReplaceFiles(newFiles: List[String], timestampMs: Long,
-                                stats: Map[String, List[ColStatDef]] = Map.empty)
+                                stats: Map[String, List[ColStatDef]] = Map.empty,
+                                extraSummary: Map[String, String] = Map.empty)
     extends MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata =
       AddSnapshot(SnapshotDef(
         snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
         operation = "overwrite", files = newFiles,
-        summary = Map("added-files" -> newFiles.size.toString),
+        summary = extraSummary + ("added-files" -> newFiles.size.toString),
         fileStats = stats)).apply(m)
   }
   final case class AddPartitionSpec(spec: PartitionSpecDef) extends MetadataUpdate {

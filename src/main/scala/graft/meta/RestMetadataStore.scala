@@ -233,16 +233,18 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
     case MetadataUpdate.AddPartitionSpec(spec) => JObject(
       "action" -> JString("add-partition-spec"),
       "spec" -> JsonMethods.parse(Serialization.write(spec)(TableMetadata.formats)))
-    case MetadataUpdate.AppendFiles(files, ts, stats) => JObject(
+    case MetadataUpdate.AppendFiles(files, ts, stats, extra) => JObject(
       "action" -> JString("append-files"),
       "files" -> JArray(files.map(JString(_))),
       "timestamp-ms" -> JInt(ts),
-      "file-stats" -> statsJson(stats))
-    case MetadataUpdate.ReplaceFiles(files, ts, stats) => JObject(
+      "file-stats" -> statsJson(stats),
+      "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
+    case MetadataUpdate.ReplaceFiles(files, ts, stats, extra) => JObject(
       "action" -> JString("replace-files"),
       "files" -> JArray(files.map(JString(_))),
       "timestamp-ms" -> JInt(ts),
-      "file-stats" -> statsJson(stats))
+      "file-stats" -> statsJson(stats),
+      "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
     case other => throw new UnsupportedOperationException(
       s"update $other has no wire encoding")
   }

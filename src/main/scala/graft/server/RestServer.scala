@@ -332,12 +332,14 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
       MetadataUpdate.AppendFiles(
         (j \ "files").extract[List[String]],
         (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()),
-        (j \ "file-stats").extractOpt[Map[String, List[ColStatDef]]].getOrElse(Map.empty))
+        (j \ "file-stats").extractOpt[Map[String, List[ColStatDef]]].getOrElse(Map.empty),
+        (j \ "summary").extractOpt[Map[String, String]].getOrElse(Map.empty))
     case "replace-files" =>
       MetadataUpdate.ReplaceFiles(
         (j \ "files").extract[List[String]],
         (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()),
-        (j \ "file-stats").extractOpt[Map[String, List[ColStatDef]]].getOrElse(Map.empty))
+        (j \ "file-stats").extractOpt[Map[String, List[ColStatDef]]].getOrElse(Map.empty),
+        (j \ "summary").extractOpt[Map[String, String]].getOrElse(Map.empty))
     case other => throw new IllegalArgumentException(s"unknown update $other")
   }
 

@@ -17,6 +17,36 @@ import graft.Tables
   */
 object Streaming {
 
+  /** EXACTLY-ONCE catalog sink for `foreachBatch`: failure recovery
+    * re-runs the last uncommitted micro-batch, and a naive append would
+    * double its rows. Each commit stamps the batch id into the snapshot
+    * summary (via the `summary.` write-option carrier), and a replayed
+    * batch whose id is already committed for this `queryKey` is skipped
+    * — the sink is idempotent under the at-least-once delivery
+    * Structured Streaming guarantees foreachBatch. The check reads only
+    * table METADATA (snapshot summaries), never data; concurrent
+    * writers of OTHER keys/tables are unaffected (their snapshots just
+    * don't carry this key).
+    * {{{ df.writeStream.foreachBatch(Streaming.catalogSink(spark, "graft", Seq("ns"), "t", "ingest")).start() }}} */
+  def catalogSink(s: SparkSession, catalogName: String, ns: Seq[String],
+                  table: String, queryKey: String): (DataFrame, Long) => Unit = {
+    val fqn = (catalogName +: ns :+ table).mkString(".")
+    val summaryKey = s"streaming-batch-$queryKey"
+    (batch: DataFrame, batchId: Long) => {
+      val store = s.sessionState.catalogManager.catalog(catalogName)
+        .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
+      val committed = store.load(ns, table)._1.snapshots
+        .flatMap(_.summary.get(summaryKey))
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .maxOption.getOrElse(-1L)
+      if (batchId > committed)
+        batch.writeTo(fqn)
+          .option(s"summary.$summaryKey", batchId.toString)
+          .append()
+      // else: replayed batch — its snapshot already committed; skip
+    }
+  }
+
   /** Raw parquet schema of events (ts read as long nanos — the streaming
     * source gets an explicit schema, same nanos handling as Tables.events). */
   private val rawSchema = StructType(Seq(

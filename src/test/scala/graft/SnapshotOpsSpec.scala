@@ -48,6 +48,31 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("snap.inc.ev").count() == 5)
   }
 
+  test("compaction preserves the declared sort order and stats skipping") {
+    spark.sql("CREATE NAMESPACE snap.cp")
+    spark.sql("""CREATE TABLE snap.cp.t (id BIGINT, v DOUBLE)
+      TBLPROPERTIES ('write.sort-order'='id')""")
+    // three overlapping-range commits → after a sorted compact into 3
+    // files, ranges must be disjoint again so min/max stats still skip
+    spark.sql("INSERT INTO snap.cp.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 300, 3)")
+    spark.sql("INSERT INTO snap.cp.t SELECT id, CAST(id AS DOUBLE) FROM range(1, 300, 3)")
+    spark.sql("INSERT INTO snap.cp.t SELECT id, CAST(id AS DOUBLE) FROM range(2, 300, 3)")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("cp"), "t")
+    catalog.compact(ident, targetFileCount = 3)
+    assert(spark.table("snap.cp.t").count() == 300)
+    val table = catalog.loadTable(ident)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val builder = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .asInstanceOf[graft.catalog.GraftScanBuilder]
+    val all = builder.prunedRelFiles.size
+    builder.pushFilters(Array(org.apache.spark.sql.sources.LessThan("id", 50L)))
+    val pruned = builder.prunedRelFiles.size
+    assert(all == 3 && pruned == 1,
+      s"sorted compact should leave disjoint ranges: $all -> $pruned files")
+    assert(spark.sql("SELECT count(*) FROM snap.cp.t WHERE id < 50").head.getLong(0) == 50L)
+  }
+
   test("rollback re-points the current snapshot; appends stack on top") {
     spark.sql("CREATE NAMESPACE snap.rb")
     spark.sql("CREATE TABLE snap.rb.t (id BIGINT)")               // v1

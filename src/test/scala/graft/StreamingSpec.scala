@@ -96,16 +96,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.stream")
     spark.sql("CREATE TABLE graftst.stream.ev (user_id BIGINT, value DOUBLE)")
     val input = MemoryStream[Ev](spark)
-    // foreachBatch → DSv2 append: each micro-batch lands as ONE CAS-committed
-    // snapshot, so readers see batch boundaries atomically and time travel
-    // reaches the state after any batch — the streaming ingest shape for
-    // the catalog (a restarted batch re-appends; dedup by batch id would
-    // ride on a table property for full exactly-once)
+    // foreachBatch → exactly-once catalog sink: each micro-batch lands
+    // as ONE CAS-committed snapshot stamped with its batch id, so
+    // readers see batch boundaries atomically, time travel reaches the
+    // state after any batch, and a REPLAYED batch (failure recovery)
+    // is recognized and skipped instead of doubling rows
+    val sink = graft.stream.Streaming.catalogSink(
+      spark, "graftst", Seq("stream"), "ev", "spec")
     val q = input.toDF().select($"user_id", $"value")
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        batch.writeTo("graftst.stream.ev").append()
-      }
+      .foreachBatch(sink)
       .start()
     try {
       input.addData(ev(0, 1L), ev(1, 2L))
@@ -123,5 +123,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // time travel to the first batch's snapshot
     assert(spark.sql("SELECT count(*) FROM graftst.stream.ev VERSION AS OF 2")
       .head.getLong(0) == 2L)
+
+    // failure-recovery replay: re-delivering ALREADY-COMMITTED batches
+    // must be a no-op (at-least-once delivery → exactly-once effects)
+    import spark.implicits._
+    val replay = Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "value")
+    sink(replay, 0L) // batch 0 again
+    sink(replay, 1L) // batch 1 again
+    assert(spark.table("graftst.stream.ev").count() == 3,
+      "replayed batches were double-committed")
+    // a genuinely NEW batch still lands
+    sink(Seq((9L, 90.0)).toDF("user_id", "value"), 2L)
+    assert(spark.table("graftst.stream.ev").count() == 4)
   }
 }

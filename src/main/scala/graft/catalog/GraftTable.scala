@@ -36,7 +36,8 @@ class GraftTable(tableName: String, store: MetaStore,
                  meta: TableMetadata, version: Int,
                  mergedProps: Map[String, String],
                  frozen: Boolean = false)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
 
@@ -116,6 +117,63 @@ class GraftTable(tableName: String, store: MetaStore,
       identityPartCols, schema(), options,
       meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
       transformPartSpecs)
+
+  /** Partition-boundary metadata DELETE (`DELETE FROM t WHERE cat='b'`):
+    * when every conjunct is an equality/IN on an identity-partitioned
+    * column and every current file carries those dir keys, whole files
+    * are provably all-match or all-miss — the delete is then a pure
+    * snapshot commit that drops the matching files, no data rewrite.
+    * Anything finer-grained refuses (canDeleteWhere false) rather than
+    * approximating — Spark surfaces the refusal to the user. */
+  private def deleteFilterCols(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.sources._
+    val cols = filters.map {
+      case EqualTo(c, v) if v != null && identityPartCols.contains(c) => Some(c)
+      case EqualNullSafe(c, v) if v != null && identityPartCols.contains(c) => Some(c)
+      case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) &&
+        identityPartCols.contains(c) => Some(c)
+      case _ => None
+    }
+    if (cols.forall(_.isDefined)) Some(cols.flatten.toSeq) else None
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !frozen && (deleteFilterCols(filters) match {
+      case None => false
+      case Some(cols) =>
+        // every file must be decidable: it carries a dir value for every
+        // referenced column (files from a pre-partitioning spec don't)
+        currentRelFiles.forall { rel =>
+          val kvs = PartitionDirs.kvs(rel)
+          cols.forall(kvs.contains)
+        }
+    })
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources._
+    require(canDeleteWhere(filters), "delete not decidable on partition boundaries")
+    def fileMatches(rel: String): Boolean = {
+      val kvs = PartitionDirs.kvs(rel)
+      filters.forall {
+        case EqualTo(c, v) => kvs(c) == String.valueOf(v)
+        case EqualNullSafe(c, v) => kvs(c) == String.valueOf(v)
+        case In(c, vs) => vs.map(String.valueOf).contains(kvs(c))
+        case _ => false
+      }
+    }
+    val kept = currentRelFiles.filterNot(fileMatches)
+    val dropped = currentRelFiles.size - kept.size
+    val keptStats = meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
+      .view.filterKeys(kept.toSet).toMap
+    // guarded by the snapshot this table instance scanned: a racing
+    // append must fail the delete (and be retried) rather than having
+    // its files silently discarded by our ReplaceFiles
+    store.commitOps(ns, table,
+      Seq(graft.commit.Requirement.AssertCurrentSnapshotId(meta.currentSnapshotId)),
+      Seq(MetadataUpdate.ReplaceFiles(kept.toList, System.currentTimeMillis(),
+        keptStats, Map("deleted-files" -> dropped.toString))))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (frozen) throw new UnsupportedOperationException(
@@ -291,6 +349,23 @@ private[graft] object PartitionTransforms {
   } catch { case _: Exception => None }
 }
 
+/** Partition-directory key/values of a manifest path. Dir values are
+  * Hive-escaped by partitionBy (':' → '%3A' etc.); unescape before
+  * comparing with raw replayed literals, or a value containing any
+  * escaped character would wrongly prune (or wrongly delete) its own
+  * file. Shared by the scan-side pruner and the metadata DELETE path. */
+private[graft] object PartitionDirs {
+  def kvs(rel: String): Map[String, String] =
+    rel.split("/").iterator
+      .filter(_.startsWith("__part_")).flatMap { seg =>
+        seg.stripPrefix("__part_").split("=", 2) match {
+          case Array(k, v) => Some(k ->
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
+          case _ => None
+        }
+      }.toMap
+}
+
 /** Scan builder with snapshot-manifest partition pruning: identity
   * partition values are embedded in the manifest's relative file paths
   * (`commit-X/__part_<col>=<val>/...`), so equality/IN filters on
@@ -362,22 +437,8 @@ private[graft] class GraftScanBuilder(
     acc.toMap
   }
 
-  /** Partition-directory key/values of a manifest path. Dir values are
-    * Hive-escaped by partitionBy (':' → '%3A' etc.); unescape before
-    * comparing with raw replayed literals, or a value containing any
-    * escaped character would wrongly prune its own file. */
-  private def dirKvs(rel: String): Map[String, String] =
-    rel.split("/").iterator
-      .filter(_.startsWith("__part_")).flatMap { seg =>
-        seg.stripPrefix("__part_").split("=", 2) match {
-          case Array(k, v) => Some(k ->
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v))
-          case _ => None
-        }
-      }.toMap
-
   private def partitionAllows(rel: String, allowed: Map[String, Set[String]]): Boolean = {
-    val kvs = dirKvs(rel)
+    val kvs = PartitionDirs.kvs(rel)
     allowed.forall { case (c, vs) =>
       kvs.get(c).forall(vs.contains) // file without the dir key: keep
     }
@@ -430,7 +491,7 @@ private[graft] class GraftScanBuilder(
       ranges: Map[String, (String, org.apache.spark.sql.types.DataType,
                            Option[String], Option[String])]): Boolean =
     ranges.isEmpty || {
-      val kvs = dirKvs(rel)
+      val kvs = PartitionDirs.kvs(rel)
       ranges.forall { case (key, (tr, dt, lo, hi)) =>
         kvs.get(key).forall { d => // file without the dir key: keep
           lo.forall(l => PartitionTransforms.cmpDir(tr, dt, d, l).forall(_ >= 0)) &&

@@ -48,6 +48,36 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("snap.inc.ev").count() == 5)
   }
 
+  test("DELETE on partition boundaries is a metadata-only snapshot commit") {
+    spark.sql("CREATE NAMESPACE snap.del")
+    spark.sql("""CREATE TABLE snap.del.ev (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO snap.del.ev VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("INSERT INTO snap.del.ev VALUES (4,'b')")
+    val filesBefore = catalog.metadataStore.load(Seq("del"), "ev")
+      ._1.currentSnapshot.get.files.toSet
+
+    spark.sql("DELETE FROM snap.del.ev WHERE cat = 'b'")
+    assert(spark.table("snap.del.ev").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    val (m, _) = catalog.metadataStore.load(Seq("del"), "ev")
+    val filesAfter = m.currentSnapshot.get.files.toSet
+    // metadata-only: the surviving files are the SAME physical files
+    // (no rewrite), only the cat=b ones left the snapshot
+    assert(filesAfter.subsetOf(filesBefore), "delete rewrote data files")
+    assert(filesBefore.diff(filesAfter).forall(_.contains("__part_cat=b")))
+    assert(m.currentSnapshot.get.summary.get("deleted-files").contains("2"))
+    // history intact: the pre-delete state is still time-travelable
+    assert(spark.sql("SELECT count(*) FROM snap.del.ev VERSION AS OF 3")
+      .head.getLong(0) == 4L)
+
+    // a non-partition predicate refuses rather than approximating
+    intercept[Exception] {
+      spark.sql("DELETE FROM snap.del.ev WHERE id = 1")
+    }
+    assert(spark.table("snap.del.ev").count() == 2)
+  }
+
   test("compaction preserves the declared sort order and stats skipping") {
     spark.sql("CREATE NAMESPACE snap.cp")
     spark.sql("""CREATE TABLE snap.cp.t (id BIGINT, v DOUBLE)

@@ -125,14 +125,29 @@ class GraftTable(tableName: String, store: MetaStore,
     * snapshot commit that drops the matching files, no data rewrite.
     * Anything finer-grained refuses (canDeleteWhere false) rather than
     * approximating — Spark surfaces the refusal to the user. */
+  /** A column is delete-decidable only when (a) its String rendering is
+    * byte-identical to the partition-dir rendering — true for string/
+    * int/long/boolean, NOT for timestamps (dir '2020-01-01 00:00:00' vs
+    * Timestamp.toString '…00.0' — a mismatch would silently no-op the
+    * delete) — and (b) its NAME was never reused for a different field
+    * id in any schema version (after rename + name-reuse, old files'
+    * `__part_<name>` dirs hold another column's values; matching by
+    * bare name would drop the wrong files — same rename discipline as
+    * the stats/bucket guards). */
+  private def deleteDecidable(c: String): Boolean =
+    meta.currentSchema.fields.find(_.name == c).exists { f =>
+      Set("string", "int", "long", "boolean").contains(f.`type`) &&
+        meta.schemas.forall(_.fields.filter(_.name == c).forall(_.id == f.id))
+    }
+
   private def deleteFilterCols(filters: Array[org.apache.spark.sql.sources.Filter])
       : Option[Seq[String]] = {
     import org.apache.spark.sql.sources._
+    def ok(c: String) = identityPartCols.contains(c) && deleteDecidable(c)
     val cols = filters.map {
-      case EqualTo(c, v) if v != null && identityPartCols.contains(c) => Some(c)
-      case EqualNullSafe(c, v) if v != null && identityPartCols.contains(c) => Some(c)
-      case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) &&
-        identityPartCols.contains(c) => Some(c)
+      case EqualTo(c, v) if v != null && ok(c) => Some(c)
+      case EqualNullSafe(c, v) if v != null && ok(c) => Some(c)
+      case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) && ok(c) => Some(c)
       case _ => None
     }
     if (cols.forall(_.isDefined)) Some(cols.flatten.toSeq) else None
@@ -180,11 +195,20 @@ class GraftTable(tableName: String, store: MetaStore,
       "cannot write to a time-travel snapshot")
     // write options prefixed `summary.` become snapshot-summary entries
     // (df.writeTo(t).option("summary.k", "v").append()) — the carrier
-    // the exactly-once streaming sink uses for its batch-id watermark
+    // the exactly-once streaming sink uses for its batch-id watermark.
+    // NOTE: CaseInsensitiveStringMap lowercases keys, so summary keys
+    // land lowercased; writers must use lowercase keys on the read side.
     val extraSummary = info.options.asScala.collect {
       case (k, v) if k.startsWith("summary.") => k.stripPrefix("summary.") -> v
     }.toMap
-    new GraftWriteBuilder(store, ns, table, extraSummary)
+    // `require-summary-max-below.<key>` = v attaches an idempotence
+    // fence checked INSIDE the commit loop (see AssertMaxSummaryBelow)
+    val requirements = info.options.asScala.collect {
+      case (k, v) if k.startsWith("require-summary-max-below.") =>
+        graft.commit.Requirement.AssertMaxSummaryBelow(
+          k.stripPrefix("require-summary-max-below."), v.toLong)
+    }.toSeq
+    new GraftWriteBuilder(store, ns, table, extraSummary, requirements)
   }
 }
 
@@ -406,6 +430,23 @@ private[graft] class GraftScanBuilder(
     tableSchema.fields.find(_.name == c)
       .flatMap(f => PartitionTransforms.dirValueOf(transform, v, f.dataType))
 
+  /** Identity pruning compares String.valueOf(literal) with the file's
+    * unescaped dir value — only valid for types whose renderings are
+    * byte-identical. Timestamps/dates/decimals render differently
+    * (Timestamp.toString appends '.0'; dir values carry no fraction), so
+    * constraining on them would WRONGLY PRUNE the matching file —
+    * silently dropped rows. Those types simply never constrain. */
+  private def exactRenderIdentity(c: String): Boolean =
+    tableSchema.fields.find(_.name == c).map(_.dataType).exists {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+
   /** Allowed value sets per partition-DIRECTORY key from the pushed
     * filters (conjunctive): identity columns match their own value,
     * transform columns match the replayed dir value. None = unconstrained. */
@@ -416,14 +457,15 @@ private[graft] class GraftScanBuilder(
     def transformHit(c: String, v: Any): Unit = transformBySrc.get(c).foreach {
       case (tr, dirKey) => dirValueOf(c, tr, v).foreach(d => intersect(dirKey, Set(d)))
     }
+    def identCol(c: String): Boolean = partCols.contains(c) && exactRenderIdentity(c)
     pushed.foreach {
-      case EqualTo(c, v) if partCols.contains(c) => intersect(c, Set(String.valueOf(v)))
+      case EqualTo(c, v) if identCol(c) => intersect(c, Set(String.valueOf(v)))
       case EqualTo(c, v) if transformBySrc.contains(c) => transformHit(c, v)
-      case EqualNullSafe(c, v) if partCols.contains(c) && v != null =>
+      case EqualNullSafe(c, v) if identCol(c) && v != null =>
         intersect(c, Set(String.valueOf(v)))
       case EqualNullSafe(c, v) if transformBySrc.contains(c) && v != null =>
         transformHit(c, v)
-      case In(c, vs) if partCols.contains(c) =>
+      case In(c, vs) if identCol(c) =>
         intersect(c, vs.filter(_ != null).map(String.valueOf).toSet)
       case In(c, vs) if transformBySrc.contains(c) =>
         transformBySrc.get(c).foreach { case (tr, dirKey) =>
@@ -638,7 +680,8 @@ private[catalog] object WriteShaping {
 }
 
 private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String,
-                                extraSummary: Map[String, String] = Map.empty)
+                                extraSummary: Map[String, String] = Map.empty,
+                                requirements: Seq[Requirement] = Nil)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -719,7 +762,7 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           val update =
             if (overwrite) MetadataUpdate.ReplaceFiles(newFiles, now, stats, extraSummary)
             else MetadataUpdate.AppendFiles(newFiles, now, stats, extraSummary)
-          store.commitOps(ns, table, Nil, Seq(update))
+          store.commitOps(ns, table, requirements, Seq(update))
         }
       }
   }

@@ -38,6 +38,21 @@ object Requirement {
       if (m.currentSnapshotId == id) None
       else Some(s"snapshot changed: expected $id, found ${m.currentSnapshotId}")
   }
+  /** No snapshot may already carry summary `key` at a value >= `value`
+    * — the idempotence fence the exactly-once streaming sink commits
+    * under: two drivers racing the same micro-batch both pass the
+    * read-side watermark, but only one passes this check INSIDE the
+    * CAS loop; the loser gets a terminal CommitFailedException instead
+    * of double-appending. */
+  final case class AssertMaxSummaryBelow(key: String, value: Long) extends Requirement {
+    def check(m: TableMetadata): Option[String] = {
+      val cur = m.snapshots.flatMap(_.summary.get(key))
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .maxOption.getOrElse(Long.MinValue)
+      if (cur < value) None
+      else Some(s"summary '$key' already committed at $cur >= $value")
+    }
+  }
 }
 
 /** Pure metadata delta; `apply` is total given a valid base (ordering

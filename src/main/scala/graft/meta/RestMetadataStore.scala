@@ -205,6 +205,9 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
         List("type" -> JString("assert-current-snapshot-id")) ++
           id.map(i => "snapshot-id" -> (JInt(i): JValue))
       JObject(fields)
+    case Requirement.AssertMaxSummaryBelow(k, v) => JObject(
+      "type" -> JString("assert-max-summary-below"),
+      "key" -> JString(k), "value" -> JInt(v))
     case Requirement.AssertCreate => JObject("type" -> JString("assert-create"))
   }
 

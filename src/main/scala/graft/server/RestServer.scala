@@ -304,6 +304,9 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
       Requirement.AssertDefaultSpecId((j \ "default-spec-id").extract[Int])
     case "assert-current-snapshot-id" =>
       Requirement.AssertCurrentSnapshotId((j \ "snapshot-id").extractOpt[Long])
+    case "assert-max-summary-below" =>
+      Requirement.AssertMaxSummaryBelow(
+        (j \ "key").extract[String], (j \ "value").extract[Long])
     case other => throw new IllegalArgumentException(s"unknown requirement $other")
   }
 

@@ -31,21 +31,52 @@ object Streaming {
   def catalogSink(s: SparkSession, catalogName: String, ns: Seq[String],
                   table: String, queryKey: String): (DataFrame, Long) => Unit = {
     val fqn = (catalogName +: ns :+ table).mkString(".")
-    val summaryKey = s"streaming-batch-$queryKey"
+    // lowercased at BOTH ends: write options travel through a
+    // CaseInsensitiveStringMap that lowercases keys, so a mixed-case
+    // key would be stored lowercased and never found again on read
+    val summaryKey = s"streaming-batch-${queryKey.toLowerCase(java.util.Locale.ROOT)}"
+    // the watermark is monotone per queryKey, so after the first load it
+    // rides in the closure — NOT re-scanned from (possibly remote)
+    // metadata on every micro-batch of a long-running stream.
+    // NOTE: the watermark outlives checkpoints BY DESIGN — restarting
+    // from a fresh checkpoint dir with the SAME queryKey (batch ids
+    // reset to 0) skips until the old high-water mark, exactly like
+    // transactional writer app-ids in other lakehouses. Reprocessing
+    // intentionally requires a NEW queryKey (or a table rollback).
+    var cached = Long.MinValue
     (batch: DataFrame, batchId: Long) => {
-      val store = s.sessionState.catalogManager.catalog(catalogName)
-        .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
-      val committed = store.load(ns, table)._1.snapshots
-        .flatMap(_.summary.get(summaryKey))
-        .flatMap(v => scala.util.Try(v.toLong).toOption)
-        .maxOption.getOrElse(-1L)
-      if (batchId > committed)
-        batch.writeTo(fqn)
-          .option(s"summary.$summaryKey", batchId.toString)
-          .append()
+      if (cached == Long.MinValue) {
+        val store = s.sessionState.catalogManager.catalog(catalogName)
+          .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
+        cached = store.load(ns, table)._1.snapshots
+          .flatMap(_.summary.get(summaryKey))
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .maxOption.getOrElse(-1L)
+      }
+      if (batchId > cached) {
+        // the read-side watermark alone is racy (a zombie driver and its
+        // replacement can both pass it); the require-option attaches an
+        // AssertMaxSummaryBelow fence checked INSIDE the commit loop, so
+        // exactly one of two racing committers of this batch id wins
+        try {
+          batch.writeTo(fqn)
+            .option(s"summary.$summaryKey", batchId.toString)
+            .option(s"require-summary-max-below.$summaryKey", batchId.toString)
+            .append()
+        } catch {
+          case e: Throwable if causeChain(e)
+            .exists(_.isInstanceOf[graft.commit.CommitFailedException]) =>
+            // a concurrent committer (zombie failover) won this batch —
+            // its effects are already in the table; skipping is correct
+        }
+        cached = batchId
+      }
       // else: replayed batch — its snapshot already committed; skip
     }
   }
+
+  private def causeChain(e: Throwable): Iterator[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
 
   /** Raw parquet schema of events (ts read as long nanos — the streaming
     * source gets an explicit schema, same nanos handling as Tables.events). */

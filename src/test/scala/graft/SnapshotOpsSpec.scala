@@ -78,6 +78,26 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("snap.del.ev").count() == 2)
   }
 
+  test("timestamp identity partitions: no wrong prune, no silent delete") {
+    // Timestamp.toString ('…00.0') != the partition-dir rendering
+    // ('…00'), so equality on a timestamp identity partition must
+    // neither constrain the scan pruner nor be delete-decidable
+    spark.sql("CREATE NAMESPACE snap.tsid")
+    spark.sql("""CREATE TABLE snap.tsid.ev (id BIGINT, ts TIMESTAMP)
+      PARTITIONED BY (ts)""")
+    spark.sql("INSERT INTO snap.tsid.ev VALUES " +
+      "(1, timestamp'2020-01-01 00:00:00'), (2, timestamp'2020-06-01 12:00:00')")
+    // the filter must return its row (a wrong prune would yield 0 rows)
+    assert(spark.sql("SELECT id FROM snap.tsid.ev WHERE ts = timestamp'2020-01-01 00:00:00'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the delete must refuse (silently dropping zero files while
+    // reporting success would be worse)
+    intercept[Exception] {
+      spark.sql("DELETE FROM snap.tsid.ev WHERE ts = timestamp'2020-01-01 00:00:00'")
+    }
+    assert(spark.table("snap.tsid.ev").count() == 2)
+  }
+
   test("compaction preserves the declared sort order and stats skipping") {
     spark.sql("CREATE NAMESPACE snap.cp")
     spark.sql("""CREATE TABLE snap.cp.t (id BIGINT, v DOUBLE)

@@ -101,8 +101,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // readers see batch boundaries atomically, time travel reaches the
     // state after any batch, and a REPLAYED batch (failure recovery)
     // is recognized and skipped instead of doubling rows
+    // mixed-case queryKey on purpose: write options lowercase their keys,
+    // and the sink must stay idempotent regardless
     val sink = graft.stream.Streaming.catalogSink(
-      spark, "graftst", Seq("stream"), "ev", "spec")
+      spark, "graftst", Seq("stream"), "ev", "specIngest")
     val q = input.toDF().select($"user_id", $"value")
       .writeStream
       .foreachBatch(sink)
@@ -135,5 +137,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a genuinely NEW batch still lands
     sink(Seq((9L, 90.0)).toDF("user_id", "value"), 2L)
     assert(spark.table("graftst.stream.ev").count() == 4)
+
+    // zombie-failover fence: the read-side watermark is racy, so the
+    // commit itself carries AssertMaxSummaryBelow — re-committing an
+    // already-committed batch id DIRECTLY (bypassing the sink's
+    // watermark, as a zombie driver would) must fail in the CAS loop
+    val zombie = intercept[Exception] {
+      Seq((99L, 1.0)).toDF("user_id", "value")
+        .writeTo("graftst.stream.ev")
+        .option("summary.streaming-batch-specingest", "2")
+        .option("require-summary-max-below.streaming-batch-specingest", "2")
+        .append()
+    }
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
+    assert(chain(zombie).exists(_.isInstanceOf[graft.commit.CommitFailedException]),
+      s"expected a commit-fence failure, got $zombie")
+    assert(spark.table("graftst.stream.ev").count() == 4,
+      "zombie re-commit slipped through the fence")
   }
 }

@@ -154,6 +154,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val ns = ident.namespace.toSeq
+    // `$history` / `$files` inspection tables — unless a REAL table
+    // with that exact name exists (real tables always win)
+    if (!store.tableExists(ns, ident.name)) ident.name.split("\\$", 2) match {
+      case Array(base, kind)
+        if MetadataTables.Kinds.contains(kind) && store.tableExists(ns, base) =>
+        val (m, _) = store.load(ns, base)
+        return MetadataTables.table(kind,
+          fullName(Identifier.of(ident.namespace, base)), m)
+      case _ => ()
+    }
     val (m, v) = store.load(ns, ident.name)
     new GraftTable(fullName(ident), store, ns, ident.name, m, v,
       config(m.properties))

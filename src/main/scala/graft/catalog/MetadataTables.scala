@@ -1,0 +1,85 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.meta.TableMetadata
+
+/** Inspection (metadata) tables, resolved by a `$kind` suffix on the
+  * table name — the operational surface for snapshots and data files:
+  * {{{
+  *   SELECT * FROM graft.ns.`t$history`   -- one row per snapshot
+  *   SELECT * FROM graft.ns.`t$files`     -- current snapshot's files
+  * }}}
+  * Everything comes from the already-loaded metadata document, served
+  * through a [[LocalScan]] (driver-local rows — metadata-scale by
+  * construction, never a distributed job). A REAL table whose name
+  * contains `$` shadows the suffix (real tables resolve first). */
+object MetadataTables {
+
+  val Kinds: Set[String] = Set("history", "files")
+
+  def table(kind: String, fqn: String, m: TableMetadata): Table = kind match {
+    case "history" => history(fqn, m)
+    case "files" => files(fqn, m)
+  }
+
+  private def history(fqn: String, m: TableMetadata): Table = {
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("committed_at", TimestampNTZType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false)))
+    val rows: Array[InternalRow] = m.snapshots.map { s =>
+      new GenericInternalRow(Array[Any](
+        s.snapshotId,
+        s.timestampMs * 1000L, // epoch micros for TIMESTAMP_NTZ (UTC session)
+        UTF8String.fromString(s.operation),
+        s.files.size,
+        m.currentSnapshotId.contains(s.snapshotId))): InternalRow
+    }.toArray
+    new RowsTable(fqn + "$history", schema, rows)
+  }
+
+  private def files(fqn: String, m: TableMetadata): Table = {
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("n_stat_cols", IntegerType, nullable = false)))
+    val stats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
+    val rows: Array[InternalRow] =
+      m.currentSnapshot.map(_.files).getOrElse(Nil).map { f =>
+        val part = PartitionDirs.kvs(f).toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString("/")
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(f),
+          UTF8String.fromString(part),
+          stats.get(f).map(_.size).getOrElse(0))): InternalRow
+      }.toArray
+    new RowsTable(fqn + "$files", schema, rows)
+  }
+
+  private class RowsTable(tname: String, tschema: StructType,
+                          data: Array[InternalRow])
+    extends Table with SupportsRead {
+    override def name(): String = tname
+    override def schema(): StructType = tschema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = data
+          override def readSchema(): StructType = tschema
+        }
+      }
+  }
+}

@@ -78,6 +78,31 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("snap.del.ev").count() == 2)
   }
 
+  test("$history and $files inspection tables serve the metadata document") {
+    spark.sql("CREATE NAMESPACE snap.ins")
+    spark.sql("CREATE TABLE snap.ins.t (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO snap.ins.t VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO snap.ins.t VALUES (3,'a')")
+
+    val hist = spark.sql("SELECT * FROM snap.ins.`t$history` ORDER BY snapshot_id")
+      .collect()
+    assert(hist.length == 2)
+    assert(hist.map(_.getString(2)).toSeq == Seq("append", "append"))
+    assert(hist.map(_.getBoolean(4)).toSeq == Seq(false, true)) // is_current
+    assert(hist.last.getInt(3) == 3, "current snapshot should hold 3 files")
+
+    val files = spark.sql("SELECT * FROM snap.ins.`t$files`").collect()
+    assert(files.length == 3)
+    assert(files.forall(r => r.getString(1).startsWith("cat=")))
+    assert(files.forall(_.getInt(2) > 0), "manifest stats missing from $files")
+
+    // plans stay driver-local — an inspection query must never launch
+    // a distributed scan over data files
+    val plan = spark.sql("SELECT * FROM snap.ins.`t$history`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
+  }
+
   test("timestamp identity partitions: no wrong prune, no silent delete") {
     // Timestamp.toString ('…00.0') != the partition-dir rendering
     // ('…00'), so equality on a timestamp identity partition must

@@ -209,6 +209,56 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Symmetric int8 embedding quantization — the 4× storage compression
+    * every large embedding corpus ships with: per-vector scale =
+    * 127/max|x|, q_i = floor(x_i·scale + 0.5) (explicit half-up so both
+    * engines round identically), plus the reconstruction RMSE that
+    * decides whether int8 is acceptable for the downstream similarity
+    * job. Map-only over the corpus — embarrassingly parallel; the
+    * whole op is higher-order Catalyst functions, no UDF. */
+  def q80Quantize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val x = col("embedding")
+    val maxAbs = aggregate(x, lit(0.0d),
+      (acc, v) => greatest(acc, abs(v.cast("double"))))
+    val withScale = e
+      .withColumn("max_abs", maxAbs)
+      .filter(col("max_abs") > 0) // a zero vector has no scale
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+    val quant = transform(x, v =>
+      floor(v.cast("double") * col("scale") + lit(0.5)).cast("int"))
+    val err = aggregate(
+      zip_with(x, col("q"), (v, q) =>
+        pow(v.cast("double") - q.cast("double") / col("scale"), 2)),
+      lit(0.0d), (acc, d) => acc + d)
+    withScale
+      .withColumn("q", quant)
+      .withColumn("rmse", sqrt(err / size(x)))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale6"),
+        round(col("rmse"), 6).as("rmse6"),
+        aggregate(col("q"), lit(0L), (acc, q) => acc + abs(q).cast("long")).as("q_l1"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q80Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> abs(v))) AS max_abs
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, x, 127.0 / max_abs AS scale FROM s WHERE max_abs > 0),
+      |q AS (
+      |  SELECT vec_id, x, scale,
+      |    list_transform(x, v -> CAST(floor(v * scale + 0.5) AS INTEGER)) AS qv
+      |  FROM sc)
+      |SELECT vec_id,
+      |  ROUND(scale, 6) AS scale6,
+      |  ROUND(sqrt(list_sum(list_transform(list_zip(x, qv),
+      |    p -> pow(p[1] - p[2] / scale, 2))) / len(x)), 6) AS rmse6,
+      |  CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1
+      |FROM q ORDER BY vec_id""".stripMargin
+
   /** ANN quality evaluation: recall@3 of the LSH and IVF indexes against
     * the exact brute-force neighbors — the number that decides whether an
     * approximate index is shippable. Both approximate sides search the
@@ -237,10 +287,12 @@ object Similarity {
     "q57_ann_ivf"          -> q57AnnIvf _,
     "q64_dedup_embedding"  -> q64DedupEmbedding _,
     "q66_ann_recall"       -> q66AnnRecall _,
+    "q80_quantize"         -> q80Quantize _,
   )
 
   val oracle: Map[String, String] = Map(
     "q55_cosine_topk" -> q55Sql,
+    "q80_quantize" -> q80Sql,
     // q56/q57 are approximate (LSH/IVF) → rows-only checks.
   )
 }

@@ -152,13 +152,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     store.tableExists(ident.namespace.toSeq, ident.name)
 
+  /** `name$kind` split at the LAST '$' (a real base name may itself
+    * contain '$'), for names that could be inspection tables. */
+  private def inspectionSplit(name: String): Option[(String, String)] = {
+    val i = name.lastIndexOf('$')
+    if (i <= 0) None
+    else Some((name.substring(0, i), name.substring(i + 1)))
+      .filter { case (_, kind) => MetadataTables.Kinds.contains(kind) }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val ns = ident.namespace.toSeq
-    // `$history` / `$files` inspection tables — unless a REAL table
-    // with that exact name exists (real tables always win)
-    if (!store.tableExists(ns, ident.name)) ident.name.split("\\$", 2) match {
-      case Array(base, kind)
-        if MetadataTables.Kinds.contains(kind) && store.tableExists(ns, base) =>
+    // `$history` / `$files` inspection tables — unless a REAL table with
+    // that exact name exists (real tables always win). The existence
+    // probe only runs for names that can BE inspection tables, so the
+    // hot path ($-free names) stays one metadata call.
+    inspectionSplit(ident.name) match {
+      case Some((base, kind))
+        if !store.tableExists(ns, ident.name) && store.tableExists(ns, base) =>
         val (m, _) = store.load(ns, base)
         return MetadataTables.table(kind,
           fullName(Identifier.of(ident.namespace, base)), m)
@@ -173,6 +184,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * that snapshot's file list. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val ns = ident.namespace.toSeq
+    // a clear refusal beats a spurious not-found for `t$history` etc.
+    if (inspectionSplit(ident.name).exists { case (b, _) =>
+        !store.tableExists(ns, ident.name) && store.tableExists(ns, b) })
+      throw new UnsupportedOperationException(
+        s"inspection table ${ident.name} does not support time travel " +
+          "(it already serves the full snapshot history)")
     val v = version.toInt
     val m = store.loadVersion(ns, ident.name, v)
     new GraftTable(fullName(ident), store, ns, ident.name, m, v,

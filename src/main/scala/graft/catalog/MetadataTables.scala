@@ -24,12 +24,15 @@ import graft.meta.TableMetadata
   * contains `$` shadows the suffix (real tables resolve first). */
 object MetadataTables {
 
-  val Kinds: Set[String] = Set("history", "files")
+  // one structure drives both the name-resolution set and the dispatch,
+  // so adding a kind can't produce a resolvable-but-unbuildable name
+  private val builders: Map[String, (String, TableMetadata) => Table] =
+    Map("history" -> history, "files" -> files)
 
-  def table(kind: String, fqn: String, m: TableMetadata): Table = kind match {
-    case "history" => history(fqn, m)
-    case "files" => files(fqn, m)
-  }
+  val Kinds: Set[String] = builders.keySet
+
+  def table(kind: String, fqn: String, m: TableMetadata): Table =
+    builders(kind)(fqn, m)
 
   private def history(fqn: String, m: TableMetadata): Table = {
     val schema = StructType(Seq(

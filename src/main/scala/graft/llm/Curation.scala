@@ -179,15 +179,52 @@ object Curation {
        |FROM documents d JOIN m ON d.lang = m.lang
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Domain-mixture weighting: per-source token share of the corpus and
+    * the sampling weight that would equalize sources toward a uniform
+    * target mixture (weight_s = (1/K)/share_s) — the knob a pretraining
+    * data recipe turns. A per-source aggregate plus one broadcast
+    * 1-row total: nothing here limits scale. */
+  def q81MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val per = Tables.documents(s, dir)
+      .select(col("source"), tokens.as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("total"), count(lit(1)).as("k"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share6", round(col("tokens") / col("total"), 6))
+      .withColumn("weight6",
+        round((lit(1.0) / col("k")) / (col("tokens") / col("total")), 6))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("share6"), col("weight6"))
+      .orderBy(col("source"))
+  }
+
+  val q81Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      |  FROM t GROUP BY source),
+      |g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS k FROM p)
+      |SELECT source, n_docs, tokens,
+      |  ROUND(tokens / total, 6) AS share6,
+      |  ROUND((1.0 / k) / (tokens / total), 6) AS weight6
+      |FROM p, g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_split_sample"  -> q68SplitSample _,
     "q76_token_packing" -> q76TokenPacking _,
     "q77_rebalance"     -> q77Rebalance _,
+    "q81_mixture"       -> q81MixtureWeights _,
   )
 
   val oracle: Map[String, String] = Map(
     "q68_split_sample"  -> q68Sql,
     "q76_token_packing" -> q76Sql,
     "q77_rebalance"     -> q77Sql,
+    "q81_mixture"       -> q81Sql,
   )
 }

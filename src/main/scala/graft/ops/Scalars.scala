@@ -231,6 +231,37 @@ object Scalars {
        |SELECT win_start, COUNT(*) AS n, ${sqlSumMoney("value")} AS val
        |FROM starts GROUP BY win_start ORDER BY win_start""".stripMargin
 
+
+  /** Day-over-day retention cohorts: per active-day, how many users
+    * come back the next day — the activation/health readout every
+    * events pipeline reports. One distinct (day, user) projection, one
+    * self equi-join on (user, day+1): keyed shuffles only, no window,
+    * scale-indifferent. */
+  def q82Retention(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val next = active
+      .select(col("d").as("d_next"), col("user_id").as("uid_next"))
+    active
+      .join(next, col("uid_next") === col("user_id") &&
+        col("d_next") === col("d") + expr("INTERVAL 1 DAY"), "left")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("uid_next").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+      .orderBy(col("d"))
+  }
+
+  val q82Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |a AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events_n)
+       |SELECT a.d, COUNT(*) AS n_active,
+       |  CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_retained
+       |FROM a LEFT JOIN a b
+       |  ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+       |GROUP BY a.d ORDER BY a.d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_sliding_window" -> q48SlidingWindow _,
     "q40_string_funcs" -> q40String _,
@@ -241,6 +272,7 @@ object Scalars {
     "q45_case_when"    -> q45CaseWhen _,
     "q46_time_bucket"  -> q46TimeBucket _,
     "q47_sessionize"   -> q47Sessionize _,
+    "q82_retention"    -> q82Retention _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -253,5 +285,6 @@ object Scalars {
     "q45_case_when"    -> q45Sql,
     "q46_time_bucket"  -> q46Sql,
     "q47_sessionize"   -> q47Sql,
+    "q82_retention"    -> q82Sql,
   )
 }

@@ -103,6 +103,38 @@ class HadoopStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       fin.properties.contains(s"k-$i-$j"))), "a committed property was lost")
   }
 
+  test("store edge cases hold on the Hadoop backend too") {
+    // the same contract CommitPropertySpec pins for the POSIX store:
+    // missing versions, cross-namespace rename, idempotent double drop
+    spark.sql("SELECT 1").collect()
+    val store = new graft.meta.HadoopMetadataStore(wh + "/edges")
+    store.ensureRoot()
+    val schema = SchemaDef(0, List(FieldDef(1, "id", "long", required = false)))
+    def meta0(loc: String) = TableMetadata.empty(
+      java.util.UUID.randomUUID().toString, loc, schema,
+      PartitionSpecDef(0, Nil), SortOrderDef(0, Nil), Map.empty)
+    store.createNamespace(Seq("a"), Map("k" -> "v"))
+    store.createNamespace(Seq("b"), Map.empty)
+    assert(store.loadNamespace(Seq("a")) == Map("k" -> "v"))
+    store.setNamespaceProperties(Seq("a"), Map("k2" -> "v2"))
+    assert(store.loadNamespace(Seq("a")) == Map("k2" -> "v2"))
+    store.createTable(Seq("a"), "t", meta0(store.dataDir(Seq("a"), "t")))
+    intercept[Exception] { store.loadVersion(Seq("a"), "t", 99) }
+    intercept[Exception] { store.load(Seq("a"), "missing") }
+    intercept[IllegalStateException] {
+      store.createTable(Seq("a"), "t", meta0(store.dataDir(Seq("a"), "t")))
+    }
+    store.renameTable(Seq("a"), "t", Seq("b"), "t2") // cross-namespace
+    assert(store.tableExists(Seq("b"), "t2") && !store.tableExists(Seq("a"), "t"))
+    intercept[Exception] { // non-empty namespace refuses to drop
+      store.dropNamespace(Seq("b"))
+    }
+    assert(store.dropTable(Seq("b"), "t2"))
+    assert(!store.dropTable(Seq("b"), "t2")) // idempotent false
+    assert(store.dropNamespace(Seq("a")) && store.dropNamespace(Seq("b")))
+    assert(!store.dropNamespace(Seq("a"))) // already gone
+  }
+
   test("the hdfslike filesystem really refuses rename onto an existing file") {
     val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
       spark.sessionState.newHadoopConf())

@@ -57,9 +57,13 @@ class GraftTable(tableName: String, store: MetaStore,
     (mergedProps ++ extra).asJava
   }
 
+  // no OVERWRITE_DYNAMIC: Spark has no V1-write fallback exec for the
+  // OverwritePartitionsDynamic plan — dynamic semantics ride the V1
+  // convention instead (partitionOverwriteMode=dynamic conf/option on
+  // an overwrite, handled inside the write builder)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   private def currentRelFiles: Seq[String] =
     meta.currentSnapshot.map(_.files).getOrElse(Nil)
@@ -125,20 +129,8 @@ class GraftTable(tableName: String, store: MetaStore,
     * snapshot commit that drops the matching files, no data rewrite.
     * Anything finer-grained refuses (canDeleteWhere false) rather than
     * approximating — Spark surfaces the refusal to the user. */
-  /** A column is delete-decidable only when (a) its String rendering is
-    * byte-identical to the partition-dir rendering — true for string/
-    * int/long/boolean, NOT for timestamps (dir '2020-01-01 00:00:00' vs
-    * Timestamp.toString '…00.0' — a mismatch would silently no-op the
-    * delete) — and (b) its NAME was never reused for a different field
-    * id in any schema version (after rename + name-reuse, old files'
-    * `__part_<name>` dirs hold another column's values; matching by
-    * bare name would drop the wrong files — same rename discipline as
-    * the stats/bucket guards). */
   private def deleteDecidable(c: String): Boolean =
-    meta.currentSchema.fields.find(_.name == c).exists { f =>
-      Set("string", "int", "long", "boolean").contains(f.`type`) &&
-        meta.schemas.forall(_.fields.filter(_.name == c).forall(_.id == f.id))
-    }
+    PartitionDecidability.decidableIdentityCols(meta).contains(c)
 
   private def deleteFilterCols(filters: Array[org.apache.spark.sql.sources.Filter])
       : Option[Seq[String]] = {
@@ -208,7 +200,16 @@ class GraftTable(tableName: String, store: MetaStore,
         graft.commit.Requirement.AssertMaxSummaryBelow(
           k.stripPrefix("require-summary-max-below."), v.toLong)
     }.toSeq
-    new GraftWriteBuilder(store, ns, table, extraSummary, requirements)
+    // the V1 dynamic-overwrite convention: with
+    // partitionOverwriteMode=dynamic (write option beats session conf),
+    // a full-table overwrite replaces only the partitions the new data
+    // touches — "reprocess whatever days this batch carries"
+    val dynamicOverwrite = Option(info.options.get("partitionOverwriteMode"))
+      .map(_.equalsIgnoreCase("dynamic"))
+      .getOrElse(org.apache.spark.sql.internal.SQLConf.get.partitionOverwriteMode ==
+        org.apache.spark.sql.internal.SQLConf.PartitionOverwriteMode.DYNAMIC)
+    new GraftWriteBuilder(store, ns, table, extraSummary, requirements,
+      dynamicOverwrite)
   }
 }
 
@@ -371,6 +372,31 @@ private[graft] object PartitionTransforms {
       case _ => None
     }
   } catch { case _: Exception => None }
+}
+
+/** Which identity-partitioned columns can DECIDE partition-boundary
+  * mutations (DELETE / filtered overwrite): (a) the String rendering of
+  * a literal must be byte-identical to the partition-dir rendering —
+  * true for string/int/long/boolean, NOT for timestamps (dir
+  * '2020-01-01 00:00:00' vs Timestamp.toString '…00.0' — a mismatch
+  * silently no-ops the mutation) — and (b) the column NAME was never
+  * reused for a different field id in any schema version (after rename
+  * + name-reuse, old files' `__part_<name>` dirs hold another column's
+  * values; matching by bare name would mutate the wrong files — same
+  * rename discipline as the stats/bucket guards). */
+private[graft] object PartitionDecidability {
+  def decidableIdentityCols(meta: TableMetadata): Set[String] = {
+    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
+    meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
+      .filter(_.transform == "identity")
+      .flatMap(f => nameById.get(f.sourceId))
+      .filter { c =>
+        meta.currentSchema.fields.find(_.name == c).exists { f =>
+          Set("string", "int", "long", "boolean").contains(f.`type`) &&
+            meta.schemas.forall(_.fields.filter(_.name == c).forall(_.id == f.id))
+        }
+      }.toSet
+  }
 }
 
 /** Partition-directory key/values of a manifest path. Dir values are
@@ -681,12 +707,44 @@ private[catalog] object WriteShaping {
 
 private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String,
                                 extraSummary: Map[String, String] = Map.empty,
-                                requirements: Seq[Requirement] = Nil)
-  extends WriteBuilder with SupportsTruncate {
+                                requirements: Seq[Requirement] = Nil,
+                                dynamicOverwrite: Boolean = false)
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
-  private var overwrite = false
+  import GraftWriteBuilder._
 
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  private var mode: WriteMode = AppendMode
+
+  override def truncate(): WriteBuilder = {
+    mode = if (dynamicOverwrite) DynamicMode else TruncateMode
+    this
+  }
+
+  /** `INSERT OVERWRITE t PARTITION (cat='b')` / `writeTo.overwrite(cond)`:
+    * a true-literal condition is a truncate (or, under
+    * partitionOverwriteMode=dynamic, a replace of the touched
+    * partitions); anything else must be decidable on partition
+    * boundaries (checked at write time). */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    val isTruncate = filters.isEmpty ||
+      filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    mode =
+      if (!isTruncate) ByFilterMode(filters)
+      else if (dynamicOverwrite) DynamicMode
+      else TruncateMode
+    this
+  }
+
+  /** Replace exactly the partitions the NEW data touches. (Spark's
+    * OverwritePartitionsDynamic plan has no V1 fallback, so this entry
+    * point is reached via the partitionOverwriteMode=dynamic convention
+    * rather than the OVERWRITE_DYNAMIC capability.) */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = DynamicMode; this
+  }
 
   override def build(): V1Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
@@ -759,11 +817,81 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           val stats = newFiles.map { rel =>
             rel -> FileStats.harvest(store.dataDir(ns, table) + "/" + rel)
           }.filter(_._2.nonEmpty).toMap
-          val update =
-            if (overwrite) MetadataUpdate.ReplaceFiles(newFiles, now, stats, extraSummary)
-            else MetadataUpdate.AppendFiles(newFiles, now, stats, extraSummary)
+          val update = mode match {
+            case AppendMode =>
+              MetadataUpdate.AppendFiles(newFiles, now, stats, extraSummary)
+            case TruncateMode =>
+              MetadataUpdate.ReplaceFiles(newFiles, now, stats, extraSummary)
+            case ByFilterMode(filters) =>
+              val pvs = partitionValuesOf(filters, meta0)
+              requireDirKeysEverywhere(meta0, pvs.flatMap(_.keySet).toSet)
+              MetadataUpdate.OverwritePartitions(newFiles, pvs, now, stats, extraSummary)
+            case DynamicMode =>
+              // the partitions the new data landed in ARE the replace set;
+              // an unpartitioned table degrades to a plain truncate (the
+              // V1 dynamic-mode semantic)
+              val pvs = newFiles.map(PartitionDirs.kvs).distinct
+              if (pvs.isEmpty || pvs.exists(_.isEmpty))
+                MetadataUpdate.ReplaceFiles(newFiles, now, stats, extraSummary)
+              else {
+                requireDirKeysEverywhere(meta0, pvs.flatMap(_.keySet).toSet)
+                MetadataUpdate.OverwritePartitions(newFiles, pvs, now, stats, extraSummary)
+              }
+          }
           store.commitOps(ns, table, requirements, Seq(update))
         }
       }
+  }
+}
+
+private object GraftWriteBuilder {
+  import org.apache.spark.sql.sources._
+
+  sealed trait WriteMode
+  case object AppendMode extends WriteMode
+  case object TruncateMode extends WriteMode
+  final case class ByFilterMode(filters: Array[Filter]) extends WriteMode
+  case object DynamicMode extends WriteMode
+
+  /** Translate a conjunctive overwrite condition into explicit partition
+    * tuples (In expands to alternatives; conjuncts cross-product). Only
+    * equality/IN on decidable identity-partitioned columns qualifies —
+    * anything else throws rather than approximating overwrite scope. */
+  def partitionValuesOf(filters: Array[Filter],
+                        meta: graft.meta.TableMetadata): List[Map[String, String]] = {
+    val decidable = PartitionDecidability.decidableIdentityCols(meta)
+    val perFilter: Seq[Seq[Map[String, String]]] = filters.toSeq.map {
+      case EqualTo(c, v) if v != null && decidable(c) =>
+        Seq(Map(c -> String.valueOf(v)))
+      case EqualNullSafe(c, v) if v != null && decidable(c) =>
+        Seq(Map(c -> String.valueOf(v)))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) && decidable(c) =>
+        vs.toSeq.map(v => Map(c -> String.valueOf(v)))
+      case f => throw new UnsupportedOperationException(
+        s"overwrite condition $f is not decidable on partition boundaries " +
+          "(equality/IN on a string/int/long/boolean identity-partitioned, " +
+          "never-renamed column required)")
+    }
+    val combined = perFilter.foldLeft(Seq(Map.empty[String, String])) { (acc, alts) =>
+      for { a <- acc; b <- alts } yield a ++ b
+    }
+    require(combined.size <= 1000,
+      s"overwrite partition cross-product too large (${combined.size})")
+    combined.toList
+  }
+
+  /** Every existing file must carry every referenced dir key: a file
+    * written before partitioning has no dir value, so "doesn't match"
+    * would silently KEEP rows the overwrite was meant to replace. */
+  def requireDirKeysEverywhere(meta: graft.meta.TableMetadata,
+                               keys: Set[String]): Unit = {
+    val missing = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+      .find(f => !keys.subsetOf(PartitionDirs.kvs(f).keySet))
+    missing.foreach { f =>
+      throw new UnsupportedOperationException(
+        s"file $f predates the partition layout for ${keys.mkString(",")} — " +
+          "partition overwrite would silently keep its matching rows; " +
+          "compact the table first")
+    }
   }
 }

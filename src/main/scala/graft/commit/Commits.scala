@@ -113,6 +113,37 @@ object MetadataUpdate {
         fileStats = prevStats ++ stats)).apply(m)
     }
   }
+  /** Partition overwrite: drop every previous file whose partition-dir
+    * key/values FULLY match one of `partitionValues` (each map is one
+    * partition tuple, conjunctive within the map, disjunctive across
+    * maps), keep the rest, add the new files — the "reprocess day X"
+    * commit. Like AppendFiles, the kept/new split is recomputed against
+    * the FRESH base inside the committer's retry loop, so an unrelated
+    * racing append to an untouched partition survives. */
+  final case class OverwritePartitions(newFiles: List[String],
+                                       partitionValues: List[Map[String, String]],
+                                       timestampMs: Long,
+                                       stats: Map[String, List[ColStatDef]] = Map.empty,
+                                       extraSummary: Map[String, String] = Map.empty)
+    extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      val prev = m.currentSnapshot.map(_.files).getOrElse(Nil)
+      val prevStats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
+      def replaced(f: String): Boolean = {
+        val kvs = graft.catalog.PartitionDirs.kvs(f)
+        partitionValues.exists(pv =>
+          pv.nonEmpty && pv.forall { case (k, v) => kvs.get(k).contains(v) })
+      }
+      val kept = prev.filterNot(replaced)
+      AddSnapshot(SnapshotDef(
+        snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
+        operation = "overwrite-partitions", files = kept ++ newFiles,
+        summary = extraSummary +
+          ("added-files" -> newFiles.size.toString) +
+          ("replaced-files" -> (prev.size - kept.size).toString),
+        fileStats = prevStats.view.filterKeys(kept.toSet).toMap ++ stats)).apply(m)
+    }
+  }
   /** Overwrite: the new snapshot holds exactly the new files. */
   final case class ReplaceFiles(newFiles: List[String], timestampMs: Long,
                                 stats: Map[String, List[ColStatDef]] = Map.empty,

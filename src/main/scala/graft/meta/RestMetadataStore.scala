@@ -233,6 +233,13 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
       "snapshot" -> JsonMethods.parse(Serialization.write(s)(TableMetadata.formats)))
     case MetadataUpdate.SetCurrentSnapshot(id) => JObject(
       "action" -> JString("set-current-snapshot"), "snapshot-id" -> JInt(id))
+    case MetadataUpdate.OverwritePartitions(files, pvs, ts, stats, extra) => JObject(
+      "action" -> JString("overwrite-partitions"),
+      "files" -> JArray(files.map(JString(_))),
+      "partition-values" -> JsonMethods.parse(Serialization.write(pvs)(TableMetadata.formats)),
+      "timestamp-ms" -> JInt(ts),
+      "file-stats" -> statsJson(stats),
+      "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
     case MetadataUpdate.AddPartitionSpec(spec) => JObject(
       "action" -> JString("add-partition-spec"),
       "spec" -> JsonMethods.parse(Serialization.write(spec)(TableMetadata.formats)))

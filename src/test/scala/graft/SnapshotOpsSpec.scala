@@ -103,6 +103,62 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
   }
 
+  test("partition overwrite replaces exactly the targeted partitions") {
+    spark.sql("CREATE NAMESPACE snap.po")
+    spark.sql("CREATE TABLE snap.po.ev (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO snap.po.ev VALUES (1,'a'),(2,'b'),(3,'c')")
+    val untouched = catalog.metadataStore.load(Seq("po"), "ev")
+      ._1.currentSnapshot.get.files.filterNot(_.contains("__part_cat=b")).toSet
+
+    // static: INSERT OVERWRITE ... PARTITION (cat='b') replaces only b
+    spark.sql("INSERT OVERWRITE snap.po.ev PARTITION (cat='b') VALUES (20)")
+    val rows = spark.table("snap.po.ev").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(rows == Seq(1L -> "a", 3L -> "c", 20L -> "b"), s"got $rows")
+    val (m1, _) = catalog.metadataStore.load(Seq("po"), "ev")
+    // untouched partitions kept the SAME physical files (metadata-only)
+    assert(untouched.subsetOf(m1.currentSnapshot.get.files.toSet))
+    assert(m1.currentSnapshot.get.summary.get("replaced-files").contains("1"))
+
+    // dynamic (write option): a full-table overwrite under
+    // partitionOverwriteMode=dynamic replaces only the partitions in
+    // the NEW data (a and b), leaving c alone
+    import spark.implicits._
+    Seq((100L, "a"), (200L, "b")).toDF("id", "cat")
+      .writeTo("snap.po.ev")
+      .option("partitionOverwriteMode", "dynamic")
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+    val rows2 = spark.table("snap.po.ev").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(rows2 == Seq(3L -> "c", 100L -> "a", 200L -> "b"), s"got $rows2")
+
+    // dynamic (session conf): a writeTo full-table overwrite under the
+    // dynamic conf also keeps untouched partitions. (SQL INSERT
+    // OVERWRITE under that conf is planned as OverwritePartitionsDynamic
+    // before capabilities are consulted, and Spark ships no V1 fallback
+    // exec for it — so the conf is honored on the writeTo path only.)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((300L, "b")).toDF("id", "cat")
+        .writeTo("snap.po.ev")
+        .overwrite(org.apache.spark.sql.functions.lit(true))
+      val rows3 = spark.table("snap.po.ev").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      assert(rows3 == Seq(3L -> "c", 100L -> "a", 300L -> "b"), s"got $rows3")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    // racing append to an UNTOUCHED partition survives the overwrite's
+    // retry (the kept/new split recomputes against the fresh base)
+    spark.sql("INSERT INTO snap.po.ev VALUES (4,'d')")
+    assert(spark.table("snap.po.ev").count() == 4)
+
+    // a non-decidable condition refuses rather than approximating
+    intercept[Exception] {
+      Seq((9L, "z")).toDF("id", "cat")
+        .writeTo("snap.po.ev").overwrite(org.apache.spark.sql.functions.col("id") === 9L)
+    }
+  }
+
   test("timestamp identity partitions: no wrong prune, no silent delete") {
     // Timestamp.toString ('…00.0') != the partition-dir rendering
     // ('…00'), so equality on a timestamp identity partition must

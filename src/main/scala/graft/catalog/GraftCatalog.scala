@@ -306,12 +306,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // interleave the sort key across the compacted files, silently
       // destroying the min/max stats skipping the order exists to feed
       val sortCols = WriteShaping.sortCols(base.properties)
-      val shaped =
+      val clustered =
         if (sortCols.nonEmpty)
           current.repartitionByRange(targetFileCount, sortCols: _*)
             .sortWithinPartitions(sortCols: _*)
         else current.repartition(targetFileCount)
-      shaped.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
+      // …and preserve the partition LAYOUT: compacted files must keep
+      // their __part_ dirs or partition pruning and partition-boundary
+      // DELETE/overwrite stop working on the rewritten table
+      val (shaped, partDirCols) = WriteShaping.withPartitionDirs(clustered, base)
+      val writer = if (partDirCols.nonEmpty)
+        shaped.write.partitionBy(partDirCols: _*)
+      else shaped.write
+      writer.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
       val newFiles = store.listParquetUnder(outDir).map(f => s"$relDir/$f")
       val stats = newFiles.map { rel =>
         rel -> graft.meta.FileStats.harvest(store.dataDir(ns, ident.name) + "/" + rel)

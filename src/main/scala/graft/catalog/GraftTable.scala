@@ -129,13 +129,11 @@ class GraftTable(tableName: String, store: MetaStore,
     * snapshot commit that drops the matching files, no data rewrite.
     * Anything finer-grained refuses (canDeleteWhere false) rather than
     * approximating — Spark surfaces the refusal to the user. */
-  private def deleteDecidable(c: String): Boolean =
-    PartitionDecidability.decidableIdentityCols(meta).contains(c)
-
   private def deleteFilterCols(filters: Array[org.apache.spark.sql.sources.Filter])
       : Option[Seq[String]] = {
     import org.apache.spark.sql.sources._
-    def ok(c: String) = identityPartCols.contains(c) && deleteDecidable(c)
+    val decidable = PartitionDecidability.decidableIdentityCols(meta)
+    def ok(c: String) = decidable(c)
     val cols = filters.map {
       case EqualTo(c, v) if v != null && ok(c) => Some(c)
       case EqualNullSafe(c, v) if v != null && ok(c) => Some(c)
@@ -703,6 +701,40 @@ private[catalog] object WriteShaping {
           org.apache.spark.sql.functions.col(parts(0)).desc
         else org.apache.spark.sql.functions.col(parts(0)).asc
       }
+
+  /** Shadow `__part_` columns for the default partition spec: every
+    * transform becomes a physical dir value while the original column
+    * stays inside the data files (scans need no partition recovery).
+    * Shared by the write path AND compaction — a rewrite that dropped
+    * the layout would disable partition pruning and partition-boundary
+    * DELETE/overwrite on the rewritten files. Returns the frame plus
+    * the dir column names to partitionBy. */
+  def withPartitionDirs(df: DataFrame, meta: TableMetadata)
+      : (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
+    val typeByName = SchemaBridge.toSpark(meta.currentSchema)
+      .fields.map(f => f.name -> f.dataType).toMap
+    val specFields = meta.specs.find(_.specId == meta.defaultSpecId)
+      .map(_.fields).getOrElse(Nil)
+    val identCols = specFields
+      .filter(_.transform == "identity")
+      .flatMap(f => nameById.get(f.sourceId))
+      .filter(df.columns.contains)
+    val transformFields = specFields
+      .filter(_.transform != "identity")
+      .flatMap { f =>
+        for {
+          src <- nameById.get(f.sourceId) if df.columns.contains(src)
+          dt <- typeByName.get(src)
+          ex <- PartitionTransforms.dirExpr(f.transform, src, dt)
+        } yield (f.name, ex)
+      }
+    var out = df
+    identCols.foreach(c => out = out.withColumn(s"__part_$c", col(c)))
+    transformFields.foreach { case (n, ex) => out = out.withColumn(s"__part_$n", ex) }
+    (out, identCols.map("__part_" + _) ++ transformFields.map("__part_" + _._1))
+  }
 }
 
 private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String,
@@ -710,8 +742,7 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
                                 requirements: Seq[Requirement] = Nil,
                                 dynamicOverwrite: Boolean = false)
   extends WriteBuilder
-  with org.apache.spark.sql.connector.write.SupportsOverwrite
-  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   import GraftWriteBuilder._
 
@@ -738,13 +769,6 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
     this
   }
 
-  /** Replace exactly the partitions the NEW data touches. (Spark's
-    * OverwritePartitionsDynamic plan has no V1 fallback, so this entry
-    * point is reached via the partitionOverwriteMode=dynamic convention
-    * rather than the OVERWRITE_DYNAMIC capability.) */
-  override def overwriteDynamicPartitions(): WriteBuilder = {
-    mode = DynamicMode; this
-  }
 
   override def build(): V1Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
@@ -759,32 +783,6 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           // (row-group stats then give min/max skipping on read — the
           // reference's sort-order option, tables.go:105-107)
           val sortCols = WriteShaping.sortCols(meta0.properties)
-          // every partition transform becomes physical partition dirs;
-          // the partition value rides in a shadow column so the original
-          // stays inside the data files (scans need no partition
-          // recovery). Non-identity dir values come from
-          // PartitionTransforms.dirExpr (bucket = pmod(hash, n),
-          // truncate = prefix/floor, temporal = formatted), and the scan
-          // side replays the same function on pushed equality literals.
-          val nameById = meta0.currentSchema.fields.map(f => f.id -> f.name).toMap
-          val typeByName = SchemaBridge.toSpark(meta0.currentSchema)
-            .fields.map(f => f.name -> f.dataType).toMap
-          val specFields = meta0.specs.find(_.specId == meta0.defaultSpecId)
-            .map(_.fields).getOrElse(Nil)
-          val identCols = specFields
-            .filter(_.transform == "identity")
-            .flatMap(f => nameById.get(f.sourceId))
-            .filter(data.columns.contains)
-          val transformFields = specFields
-            .filter(_.transform != "identity")
-            .flatMap { f =>
-              for {
-                src <- nameById.get(f.sourceId) if data.columns.contains(src)
-                dt <- typeByName.get(src)
-                ex <- PartitionTransforms.dirExpr(f.transform, src, dt)
-              } yield (f.name, ex)
-            }
-
           // stamp table field ids onto the outgoing columns so the parquet
           // writer records them (fieldId.write is on by default) — the
           // read side then resolves by id, making renames metadata-only
@@ -794,17 +792,12 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           }: _*)
           if (sortCols.nonEmpty)
             out = out.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-          val partDirCols =
-            identCols.map("__part_" + _) ++ transformFields.map("__part_" + _._1)
-          val writer = if (partDirCols.nonEmpty) {
-            identCols.foreach { c =>
-              out = out.withColumn(s"__part_$c", org.apache.spark.sql.functions.col(c))
-            }
-            transformFields.foreach { case (name, ex) =>
-              out = out.withColumn(s"__part_$name", ex)
-            }
-            out.write.partitionBy(partDirCols: _*)
-          } else out.write
+          // every partition transform becomes physical partition dirs
+          // (shadow columns; scan side replays dirExpr on pushed literals)
+          val (shaped, partDirCols) = WriteShaping.withPartitionDirs(out, meta0)
+          val writer = if (partDirCols.nonEmpty)
+            shaped.write.partitionBy(partDirCols: _*)
+          else shaped.write
           writer.mode(SaveMode.ErrorIfExists).parquet(outDir)
 
           val newFiles = store.listParquetUnder(outDir).map(f => s"$relDir/$f")
@@ -827,16 +820,28 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
               requireDirKeysEverywhere(meta0, pvs.flatMap(_.keySet).toSet)
               MetadataUpdate.OverwritePartitions(newFiles, pvs, now, stats, extraSummary)
             case DynamicMode =>
-              // the partitions the new data landed in ARE the replace set;
-              // an unpartitioned table degrades to a plain truncate (the
-              // V1 dynamic-mode semantic)
+              // the partitions the new data landed in ARE the replace set
+              val expectedKeys = specDirKeys(meta0)
               val pvs = newFiles.map(PartitionDirs.kvs).distinct
-              if (pvs.isEmpty || pvs.exists(_.isEmpty))
+              if (newFiles.isEmpty && expectedKeys.nonEmpty) {
+                // zero partitions touched → nothing to replace; a
+                // truncate here would wipe the table on an empty batch
+                store.deleteTree(outDir)
+                return
+              } else if (expectedKeys.isEmpty)
+                // unpartitioned table: dynamic degrades to plain truncate
+                // (the V1 dynamic-mode semantic)
                 MetadataUpdate.ReplaceFiles(newFiles, now, stats, extraSummary)
-              else {
-                requireDirKeysEverywhere(meta0, pvs.flatMap(_.keySet).toSet)
+              else if (pvs.exists(_.keySet != expectedKeys))
+                // a suppressed layout (e.g. a non-UTC session writing a
+                // temporal transform) would silently widen the replace
+                // set to whole coarser partitions — refuse instead
+                throw new UnsupportedOperationException(
+                  s"dynamic overwrite needs the full partition layout " +
+                    s"(${expectedKeys.mkString(",")}) on every written file; " +
+                    "got " + pvs.map(_.keySet.mkString(",")).distinct.mkString(" | "))
+              else
                 MetadataUpdate.OverwritePartitions(newFiles, pvs, now, stats, extraSummary)
-              }
           }
           store.commitOps(ns, table, requirements, Seq(update))
         }
@@ -853,10 +858,23 @@ private object GraftWriteBuilder {
   final case class ByFilterMode(filters: Array[Filter]) extends WriteMode
   case object DynamicMode extends WriteMode
 
+  /** Dir-key names of the default partition spec (identity fields key
+    * by source column name, transforms by field name). */
+  def specDirKeys(meta: graft.meta.TableMetadata): Set[String] = {
+    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
+    meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
+      .map(f => if (f.transform == "identity")
+        nameById.getOrElse(f.sourceId, f.name) else f.name)
+      .toSet
+  }
+
   /** Translate a conjunctive overwrite condition into explicit partition
-    * tuples (In expands to alternatives; conjuncts cross-product). Only
-    * equality/IN on decidable identity-partitioned columns qualifies —
-    * anything else throws rather than approximating overwrite scope. */
+    * tuples (In expands to alternatives; conjuncts cross-product with
+    * same-column CONSISTENCY — `cat='a' AND cat='b'` selects nothing,
+    * never partition b). Only equality/IN on decidable
+    * identity-partitioned columns qualifies — anything else throws
+    * rather than approximating overwrite scope. An empty result is
+    * legitimate: nothing is replaced, the new rows just land. */
   def partitionValuesOf(filters: Array[Filter],
                         meta: graft.meta.TableMetadata): List[Map[String, String]] = {
     val decidable = PartitionDecidability.decidableIdentityCols(meta)
@@ -872,26 +890,37 @@ private object GraftWriteBuilder {
           "(equality/IN on a string/int/long/boolean identity-partitioned, " +
           "never-renamed column required)")
     }
+    // reject a huge product BEFORE materializing it
+    val product = perFilter.map(_.size.toLong).product
+    require(product <= 1000,
+      s"overwrite partition cross-product too large ($product)")
     val combined = perFilter.foldLeft(Seq(Map.empty[String, String])) { (acc, alts) =>
-      for { a <- acc; b <- alts } yield a ++ b
+      for {
+        a <- acc
+        b <- alts
+        // conflicting constraints on the same column select no partition
+        if b.forall { case (k, v) => a.get(k).forall(_ == v) }
+      } yield a ++ b
     }
-    require(combined.size <= 1000,
-      s"overwrite partition cross-product too large (${combined.size})")
     combined.toList
   }
 
   /** Every existing file must carry every referenced dir key: a file
     * written before partitioning has no dir value, so "doesn't match"
-    * would silently KEEP rows the overwrite was meant to replace. */
+    * would silently KEEP rows the overwrite was meant to replace. This
+    * pre-write check fails fast; the authoritative re-check runs inside
+    * [[MetadataUpdate.OverwritePartitions]] against the fresh base on
+    * every CAS retry. */
   def requireDirKeysEverywhere(meta: graft.meta.TableMetadata,
                                keys: Set[String]): Unit = {
     val missing = meta.currentSnapshot.map(_.files).getOrElse(Nil)
       .find(f => !keys.subsetOf(PartitionDirs.kvs(f).keySet))
     missing.foreach { f =>
       throw new UnsupportedOperationException(
-        s"file $f predates the partition layout for ${keys.mkString(",")} — " +
+        s"file $f lacks the partition layout for ${keys.mkString(",")} — " +
           "partition overwrite would silently keep its matching rows; " +
-          "compact the table first")
+          "rewrite it under the current partition spec " +
+          "(compaction preserves layouts)")
     }
   }
 }

@@ -129,6 +129,17 @@ object MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata = {
       val prev = m.currentSnapshot.map(_.files).getOrElse(Nil)
       val prevStats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
+      // authoritative layout guard, re-run against the FRESH base on
+      // every CAS retry: a racer may have committed files without the
+      // referenced dir keys (e.g. written under an older spec); those
+      // would silently keep the rows this overwrite replaces
+      val required = partitionValues.flatMap(_.keySet).toSet
+      prev.find(f => !required.subsetOf(graft.catalog.PartitionDirs.kvs(f).keySet))
+        .foreach { f =>
+          throw new UnsupportedOperationException(
+            s"file $f lacks the partition layout for ${required.mkString(",")} — " +
+              "cannot decide partition overwrite against it")
+        }
       def replaced(f: String): Boolean = {
         val kvs = graft.catalog.PartitionDirs.kvs(f)
         partitionValues.exists(pv =>

@@ -157,6 +157,37 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((9L, "z")).toDF("id", "cat")
         .writeTo("snap.po.ev").overwrite(org.apache.spark.sql.functions.col("id") === 9L)
     }
+
+    // an EMPTY dynamic batch replaces nothing (a truncate here would
+    // wipe the table on a zero-row reprocess run)
+    val before = spark.table("snap.po.ev").count()
+    Seq.empty[(Long, String)].toDF("id", "cat")
+      .writeTo("snap.po.ev")
+      .option("partitionOverwriteMode", "dynamic")
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+    assert(spark.table("snap.po.ev").count() == before,
+      "empty dynamic overwrite mutated the table")
+
+    // an unsatisfiable condition (cat='a' AND cat='b') selects no
+    // partition: nothing replaced, the new rows just land
+    import org.apache.spark.sql.functions.col
+    Seq((500L, "q")).toDF("id", "cat")
+      .writeTo("snap.po.ev")
+      .overwrite(col("cat") === "a" && col("cat") === "b")
+    assert(spark.table("snap.po.ev").count() == before + 1)
+    assert(spark.sql("SELECT count(*) FROM snap.po.ev WHERE cat IN ('a','b')")
+      .head.getLong(0) == 2L, "unsatisfiable condition wiped a partition")
+
+    // compaction preserves the partition layout, so partition overwrite
+    // still works on a compacted table
+    catalog.compact(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("po"), "ev"),
+      targetFileCount = 2)
+    spark.sql("INSERT OVERWRITE snap.po.ev PARTITION (cat='b') VALUES (999)")
+    assert(spark.sql("SELECT id FROM snap.po.ev WHERE cat = 'b'")
+      .collect().map(_.getLong(0)).toSeq == Seq(999L))
+    assert(spark.sql("SELECT count(*) FROM snap.po.ev WHERE cat <> 'b'")
+      .head.getLong(0) == 4L, "compacted non-b rows lost")
   }
 
   test("timestamp identity partitions: no wrong prune, no silent delete") {

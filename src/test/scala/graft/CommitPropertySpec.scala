@@ -37,6 +37,56 @@ class CommitPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("OverwritePartitions: exact partition of the file set, no losses") {
+    // random corpus of files across partitions + a random replace set:
+    // the result must keep exactly the non-targeted files, drop every
+    // targeted one, contain all new files, and never invent a file
+    val catGen = Gen.oneOf("a", "b", "c", "d")
+    val filesGen = Gen.listOfN(12, catGen).map(_.zipWithIndex.map {
+      case (c, i) => s"commit-x/__part_cat=$c/f$i.parquet"
+    })
+    val targetGen = Gen.someOf("a", "b", "c", "d").map(_.toList)
+    check(Prop.forAll(filesGen, targetGen) { (files, targets) =>
+      val withData = MetadataUpdate.AppendFiles(files, 1L).apply(base)
+      val pvs = targets.map(c => Map("cat" -> c))
+      val newFiles = List("commit-y/__part_cat=z/n0.parquet")
+      val out = MetadataUpdate.OverwritePartitions(newFiles, pvs, 2L)
+        .apply(withData).currentSnapshot.get.files
+      val expectKept = files.filterNot(f =>
+        targets.exists(c => f.contains(s"__part_cat=$c")))
+      out.toSet == (expectKept ++ newFiles).toSet &&
+        out.size == expectKept.size + newFiles.size
+    })
+  }
+
+  test("OverwritePartitions commutes with appends to untouched partitions") {
+    val filesGen = Gen.listOfN(6, Gen.oneOf("a", "b")).map(_.zipWithIndex.map {
+      case (c, i) => s"c0/__part_cat=$c/f$i.parquet"
+    })
+    check(Prop.forAll(filesGen, Gen.chooseNum(0, 5)) { (files, n) =>
+      val withData = MetadataUpdate.AppendFiles(files, 1L).apply(base)
+      val overwrite = MetadataUpdate.OverwritePartitions(
+        List("c1/__part_cat=a/new.parquet"), List(Map("cat" -> "a")), 2L)
+      val append = MetadataUpdate.AppendFiles(
+        List(s"c2/__part_cat=c/x$n.parquet"), 3L)
+      // the racing append targets partition c, untouched by the
+      // overwrite of a — either commit order yields the same file set
+      val ab = append.apply(overwrite.apply(withData)).currentSnapshot.get.files.toSet
+      val ba = overwrite.apply(append.apply(withData)).currentSnapshot.get.files.toSet
+      ab == ba
+    })
+  }
+
+  test("OverwritePartitions refuses a base holding layout-less files") {
+    val withMixed = MetadataUpdate.AppendFiles(
+      List("c0/__part_cat=a/f0.parquet", "c0/plain.parquet"), 1L).apply(base)
+    intercept[UnsupportedOperationException] {
+      MetadataUpdate.OverwritePartitions(
+        List("c1/__part_cat=a/n.parquet"), List(Map("cat" -> "a")), 2L)
+        .apply(withMixed)
+    }
+  }
+
   test("set-then-remove of the same key is identity on that key") {
     check(Prop.forAll(keyGen, Gen.alphaStr) { (k, v) =>
       val key = s"x_$k"

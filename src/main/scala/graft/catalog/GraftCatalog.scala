@@ -320,9 +320,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       else shaped.write
       writer.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
       val newFiles = store.listParquetUnder(outDir).map(f => s"$relDir/$f")
-      val stats = newFiles.map { rel =>
-        rel -> graft.meta.FileStats.harvest(store.dataDir(ns, ident.name) + "/" + rel)
-      }.filter(_._2.nonEmpty).toMap
+      val stats = graft.meta.FileStats.harvestAll(spark,
+        store.dataDir(ns, ident.name), newFiles)
       try {
         return commit(ident,
           Seq(Requirement.AssertCurrentSnapshotId(base.currentSnapshotId)),

@@ -806,10 +806,10 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           // appends are commutative (no snapshot-id assertion needed —
           // appends never conflict; overwrite semantics is last-wins)
           val now = System.currentTimeMillis()
-          // footer-only stats harvest per new file → manifest min/max
-          val stats = newFiles.map { rel =>
-            rel -> FileStats.harvest(store.dataDir(ns, table) + "/" + rel)
-          }.filter(_._2.nonEmpty).toMap
+          // footer-only stats harvest → manifest min/max; large file
+          // batches fan out as one Spark job (never serial on the driver)
+          val stats = FileStats.harvestAll(data.sparkSession,
+            store.dataDir(ns, table), newFiles)
           val update = mode match {
             case AppendMode =>
               MetadataUpdate.AppendFiles(newFiles, now, stats, extraSummary)

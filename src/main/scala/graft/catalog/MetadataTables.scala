@@ -27,7 +27,7 @@ object MetadataTables {
   // one structure drives both the name-resolution set and the dispatch,
   // so adding a kind can't produce a resolvable-but-unbuildable name
   private val builders: Map[String, (String, TableMetadata) => Table] =
-    Map("history" -> history, "files" -> files)
+    Map("history" -> history, "files" -> files, "snapshots" -> snapshots)
 
   val Kinds: Set[String] = builders.keySet
 
@@ -50,6 +50,41 @@ object MetadataTables {
         m.currentSnapshotId.contains(s.snapshotId))): InternalRow
     }.toArray
     new RowsTable(fqn + "$history", schema, rows)
+  }
+
+  /** `t$snapshots`: the full per-snapshot detail — operation, file
+    * counts, and the raw summary map (where the streaming sink's batch
+    * watermarks and the overwrite's replaced-files counts live). */
+  private def snapshots(fqn: String, m: TableMetadata): Table = {
+    val schema = StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("committed_at", TimestampNTZType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("added_files", IntegerType, nullable = true),
+      StructField("replaced_files", IntegerType, nullable = true),
+      StructField("summary", MapType(StringType, StringType), nullable = false),
+      StructField("is_current", BooleanType, nullable = false)))
+    def summaryInt(s: graft.meta.SnapshotDef, key: String): Any =
+      s.summary.get(key).flatMap(v => scala.util.Try(v.toInt).toOption).orNull
+    val rows: Array[InternalRow] = m.snapshots.map { s =>
+      val keys = s.summary.keys.toArray.sorted
+      val summaryMap = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          keys.map(UTF8String.fromString(_): Any)),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          keys.map(k => UTF8String.fromString(s.summary(k)): Any)))
+      new GenericInternalRow(Array[Any](
+        s.snapshotId,
+        s.timestampMs * 1000L, // epoch micros for TIMESTAMP_NTZ (UTC session)
+        UTF8String.fromString(s.operation),
+        s.files.size,
+        summaryInt(s, "added-files"),
+        summaryInt(s, "replaced-files"),
+        summaryMap,
+        m.currentSnapshotId.contains(s.snapshotId))): InternalRow
+    }.toArray
+    new RowsTable(fqn + "$snapshots", schema, rows)
   }
 
   private def files(fqn: String, m: TableMetadata): Table = {

@@ -200,8 +200,15 @@ trait CommitTarget {
   * the current metadata, re-checks every requirement against it, applies
   * the updates in order, and attempts the single-winner version write.
   * Losing the race retries from the fresh state; a failed requirement is
-  * terminal (the reference surfaces it as a 409/422-class error). */
-final class Committer(store: CommitTarget, maxRetries: Int = 100) {
+  * terminal (the reference surfaces it as a 409/422-class error).
+  *
+  * Retries back off with full jitter (random in [0, min(cap, base·2^n)]):
+  * against a remote CAS backend (object store, REST) many drivers losing
+  * the same race would otherwise re-collide in lockstep — a thundering
+  * herd that turns contention into livelock. The first retry is
+  * sleep-free (local stores resolve races in microseconds). */
+final class Committer(store: CommitTarget, maxRetries: Int = 100,
+                      backoffBaseMs: Long = 1, backoffCapMs: Long = 200) {
 
   def commit(ns: Seq[String], table: String,
              requirements: Seq[Requirement],
@@ -219,6 +226,13 @@ final class Committer(store: CommitTarget, maxRetries: Int = 100) {
       if (attempt > maxRetries)
         throw new CommitFailedException(
           s"lost CAS race $maxRetries times on ${(ns :+ table).mkString(".")}")
+      if (attempt > 1) {
+        val ceiling = math.min(backoffCapMs,
+          backoffBaseMs << math.min(attempt, 30))
+        val sleep = java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(ceiling + 1)
+        if (sleep > 0) Thread.sleep(sleep)
+      }
     }
     throw new IllegalStateException("unreachable")
   }

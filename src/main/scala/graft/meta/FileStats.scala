@@ -21,11 +21,13 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   */
 object FileStats {
 
-  def harvest(absPath: String): List[ColStatDef] = try {
+  def harvest(absPath: String): List[ColStatDef] =
     // session Hadoop conf first: it carries fs.<scheme>.impl bindings and
     // credentials for non-local warehouses
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
+    harvest(absPath, org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf()).getOrElse(new Configuration()))
+
+  def harvest(absPath: String, conf: Configuration): List[ColStatDef] = try {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(absPath), conf))
     try {
@@ -72,5 +74,49 @@ object FileStats {
   private def stringify(v: Any): String = v match {
     case b: Binary => b.toStringUsingUTF8
     case other => String.valueOf(other)
+  }
+
+  /** How many files a commit harvests on the driver before fanning out.
+    * Below this, task-launch overhead exceeds the footer reads. */
+  private val DriverHarvestMax = 8
+
+  /** Per-file stats for a commit's new files. Small batches read footers
+    * on the driver; larger ones run ONE small Spark job parallelized over
+    * the file list, so a 10k-file append against an object store costs
+    * one round of concurrent footer reads instead of 10k serial driver
+    * round-trips inside the commit. The manifest payload is identical
+    * either way (same ColStatDef lists keyed by the same rel paths). */
+  def harvestAll(spark: org.apache.spark.sql.SparkSession, dataDir: String,
+                 relFiles: Seq[String]): Map[String, List[ColStatDef]] = {
+    val out: Seq[(String, List[ColStatDef])] =
+      if (relFiles.size <= DriverHarvestMax) {
+        val conf = spark.sessionState.newHadoopConf()
+        relFiles.map(rel => rel -> harvest(s"$dataDir/$rel", conf))
+      } else {
+        val confBc = spark.sparkContext.broadcast(
+          new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        val slices = math.min(relFiles.size,
+          spark.sparkContext.defaultParallelism * 2)
+        spark.sparkContext.parallelize(relFiles, slices)
+          .map(rel => rel -> harvest(s"$dataDir/$rel", confBc.value.value))
+          .collect().toSeq
+      }
+    out.filter(_._2.nonEmpty).toMap
+  }
+}
+
+/** Hadoop Configuration is not java-serializable; wrap its own
+  * write/readFields protocol so the harvest job can ship the session conf
+  * (fs bindings + credentials) to executors. */
+private[meta] class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }

@@ -257,4 +257,48 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       catalog.rollback(Identifier.of(Array("rb"), "t"), snapshotId = 99)
     }
   }
+
+  test("$snapshots serves per-snapshot detail including the summary map") {
+    spark.sql("CREATE NAMESPACE snap.sn")
+    spark.sql("CREATE TABLE snap.sn.t (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO snap.sn.t VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT OVERWRITE snap.sn.t PARTITION (cat='b') VALUES (20)")
+
+    val rows = spark.sql(
+      """SELECT snapshot_id, operation, n_files, added_files, replaced_files,
+        |       summary['added-files'] AS sa, is_current
+        |FROM snap.sn.`t$snapshots` ORDER BY snapshot_id""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toSeq == Seq("append", "overwrite-partitions"))
+    assert(rows.head.getInt(3) == 2)            // first append added 2 files
+    assert(rows.last.getInt(4) == 1)            // overwrite replaced the b file
+    assert(rows.map(_.getString(5)).toSeq == Seq("2", "1")) // raw summary map
+    assert(rows.map(_.getBoolean(6)).toSeq == Seq(false, true))
+
+    // driver-local, like the other inspection tables
+    val plan = spark.sql("SELECT * FROM snap.sn.`t$snapshots`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
+  }
+
+  test("many-file appends still harvest stats for every file") {
+    spark.sql("CREATE NAMESPACE snap.mf")
+    spark.sql("CREATE TABLE snap.mf.t (id BIGINT, v DOUBLE)")
+    // 16 files > the driver-harvest threshold → the distributed path
+    import spark.implicits._
+    (1L to 160L).map(i => (i, i * 1.5)).toDF("id", "v")
+      .repartition(16).writeTo("snap.mf.t").append()
+
+    val (m, _) = catalog.metadataStore.load(Seq("mf"), "t")
+    val snap = m.currentSnapshot.get
+    assert(snap.files.size == 16)
+    assert(snap.fileStats.keySet == snap.files.toSet,
+      "every committed file must carry harvested stats")
+    // the stats are real min/max (id is a plain INT64 column)
+    val idMins = snap.fileStats.values.flatMap(_.find(_.name == "id")).map(_.min.toLong)
+    assert(idMins.min == 1L)
+    // …and they feed file skipping exactly like the driver-side harvest
+    val pruned = spark.table("snap.mf.t").where($"id" === 1L)
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }

@@ -63,7 +63,8 @@ class GraftTable(tableName: String, store: MetaStore,
   // an overwrite, handled inside the write builder)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   private def currentRelFiles: Seq[String] =
     meta.currentSnapshot.map(_.files).getOrElse(Nil)
@@ -80,6 +81,9 @@ class GraftTable(tableName: String, store: MetaStore,
   private def scanRelFiles(options: CaseInsensitiveStringMap): Seq[String] =
     Option(options.get("from-version")) match {
       case None => currentRelFiles
+      // `latest` is the streaming tail-only baseline; as a batch delta
+      // it is by definition empty
+      case Some(fromV) if fromV.equalsIgnoreCase("latest") => Nil
       case Some(fromV) =>
         val v = try fromV.trim.toInt catch { case _: NumberFormatException =>
           throw new IllegalArgumentException(
@@ -120,7 +124,8 @@ class GraftTable(tableName: String, store: MetaStore,
     new GraftScanBuilder(tableName, store.dataDir(ns, table), scanRelFiles(options),
       identityPartCols, schema(), options,
       meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
-      transformPartSpecs)
+      transformPartSpecs,
+      streamSource = Some((store, ns, table)))
 
   /** Partition-boundary metadata DELETE (`DELETE FROM t WHERE cat='b'`):
     * when every conjunct is an equality/IN on an identity-partitioned
@@ -207,7 +212,7 @@ class GraftTable(tableName: String, store: MetaStore,
       .getOrElse(org.apache.spark.sql.internal.SQLConf.get.partitionOverwriteMode ==
         org.apache.spark.sql.internal.SQLConf.PartitionOverwriteMode.DYNAMIC)
     new GraftWriteBuilder(store, ns, table, extraSummary, requirements,
-      dynamicOverwrite)
+      dynamicOverwrite, info)
   }
 }
 
@@ -426,7 +431,8 @@ private[graft] class GraftScanBuilder(
     partCols: Seq[String], tableSchema: StructType,
     options: CaseInsensitiveStringMap,
     fileStats: Map[String, List[graft.meta.ColStatDef]] = Map.empty,
-    transformSpecs: Seq[(String, String, String)] = Nil)
+    transformSpecs: Seq[(String, String, String)] = Nil,
+    streamSource: Option[(graft.meta.MetaStore, Seq[String], String)] = None)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -666,8 +672,13 @@ private[graft] class GraftScanBuilder(
     }
   }
 
-  override def build(): org.apache.spark.sql.connector.read.Scan = {
-    val files = prunedRelFiles.map(rel => s"$dataDir/$rel")
+  /** Parquet delegate scan over an explicit RELATIVE file list, with the
+    * captured column pruning + filter pushdown applied — the one
+    * construction shared by the batch path (pruned manifest files) and
+    * the micro-batch stream (per-batch version deltas). */
+  private[graft] def delegateScanFor(rels: Seq[String])
+      : org.apache.spark.sql.connector.read.Scan = {
+    val files = rels.map(rel => s"$dataDir/$rel")
     val spark = SparkSession.active
     // field-id column resolution is set at catalog initialize, but that
     // can be undone (RESET / SET ... = false) or may have landed on a
@@ -686,6 +697,23 @@ private[graft] class GraftScanBuilder(
     // reflection against Spark internals
     delegate.pushFilters(pushed.toSeq.flatMap(toCatalyst))
     delegate.build()
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val batchScan = delegateScanFor(prunedRelFiles)
+    streamSource match {
+      case None => batchScan
+      case Some((store, ns, table)) =>
+        new GraftScan(batchScan, _ => {
+          val start = Option(options.get("from-version")) match {
+            case Some(v) if v.equalsIgnoreCase("latest") =>
+              store.currentVersion(ns, table)
+            case Some(v) => v.trim.toInt
+            case None => 0
+          }
+          new GraftMicroBatchStream(store, ns, table, start, delegateScanFor)
+        })
+    }
   }
 }
 
@@ -740,7 +768,8 @@ private[catalog] object WriteShaping {
 private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String,
                                 extraSummary: Map[String, String] = Map.empty,
                                 requirements: Seq[Requirement] = Nil,
-                                dynamicOverwrite: Boolean = false)
+                                dynamicOverwrite: Boolean = false,
+                                info: LogicalWriteInfo = null)
   extends WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -771,6 +800,28 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
 
 
   override def build(): V1Write = new V1Write {
+    /** `df.writeStream.toTable(...)` — see [[GraftStreamingWrite]]. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (mode != AppendMode) throw new UnsupportedOperationException(
+        "streaming write into a graft table supports append output mode only")
+      val (meta0, _) = store.load(ns, table)
+      val specFields = meta0.specs.find(_.specId == meta0.defaultSpecId)
+        .map(_.fields).getOrElse(Nil)
+      if (specFields.nonEmpty) throw new UnsupportedOperationException(
+        "native streaming write into a PARTITIONED graft table is not " +
+          "supported yet — use foreachBatch with Streaming.catalogSink " +
+          "(same exactly-once guarantee, partition layout preserved)")
+      // rows arrive in the QUERY schema's column order; graft field ids
+      // ride in from the table schema by name so the parquet writer
+      // stamps them (rename stays metadata-only on streamed files too)
+      val tableFields = SchemaBridge.toSpark(meta0.currentSchema)
+        .fields.map(f => f.name -> f).toMap
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        info.schema().fields.map(f => tableFields.getOrElse(f.name, f)))
+      new GraftStreamingWrite(store, ns, table, info.queryId(), dataSchema)
+    }
+
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit = {

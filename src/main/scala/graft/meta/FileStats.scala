@@ -108,7 +108,7 @@ object FileStats {
 /** Hadoop Configuration is not java-serializable; wrap its own
   * write/readFields protocol so the harvest job can ship the session conf
   * (fs bindings + credentials) to executors. */
-private[meta] class SerializableHadoopConf(
+private[graft] class SerializableHadoopConf(
     @transient var value: Configuration) extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()

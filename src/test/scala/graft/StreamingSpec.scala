@@ -91,6 +91,173 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming source tails snapshot commits as exact version deltas") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE graftst.src")
+    spark.sql("CREATE TABLE graftst.src.t (id BIGINT)")
+    spark.sql("INSERT INTO graftst.src.t VALUES (1), (2)")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-src-ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def start() = spark.readStream.table("graftst.src.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        seen.add(id -> df.collect().map(_.getLong(0)).sorted.toSeq); ()
+      }.start()
+
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // first batch = the whole pre-existing table (baseline version 0)
+      assert(seen.asScala.flatMap(_._2).toSeq.sorted == Seq(1L, 2L))
+
+      spark.sql("INSERT INTO graftst.src.t VALUES (3)")
+      q.processAllAvailable()
+      spark.sql("INSERT INTO graftst.src.t VALUES (4), (5)")
+      q.processAllAvailable()
+      // exactly the two deltas — each append arrives once, as its files
+      val batches = seen.asScala.toSeq.sortBy(_._1).map(_._2)
+      assert(batches.flatten.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(batches.contains(Seq(3L)), s"expected a [3] delta, got $batches")
+      assert(batches.contains(Seq(4L, 5L)), s"expected a [4,5] delta, got $batches")
+    } finally q.stop()
+
+    // restart from the checkpoint: committed batches are NOT re-emitted;
+    // only what landed while the stream was down arrives
+    seen.clear()
+    spark.sql("INSERT INTO graftst.src.t VALUES (6)")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.asScala.flatMap(_._2).toSeq == Seq(6L),
+        s"restart must deliver only the new delta, got ${seen.asScala.toSeq}")
+    } finally q2.stop()
+  }
+
+  test("streaming source from-version=latest tails only post-start commits") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE graftst.tail")
+    spark.sql("CREATE TABLE graftst.tail.t (id BIGINT)")
+    spark.sql("INSERT INTO graftst.tail.t VALUES (1), (2)")
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.option("from-version", "latest")
+      .table("graftst.tail.t")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-tail-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        df.collect().foreach(r => seen.add(r.getLong(0))); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq.isEmpty, "tail-only stream replayed history")
+      spark.sql("INSERT INTO graftst.tail.t VALUES (9)")
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq == Seq(9L))
+    } finally q.stop()
+  }
+
+  test("native streaming write: one snapshot per epoch, exactly once across replay") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE graftst.nw")
+    spark.sql("CREATE TABLE graftst.nw.t (user_id BIGINT, value DOUBLE)")
+    val input = MemoryStream[Ev](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nw-ckpt").toString
+    def start() = input.toDF().select($"user_id", $"value")
+      .writeStream.option("checkpointLocation", ckpt).toTable("graftst.nw.t")
+
+    val q = start()
+    try {
+      input.addData(ev(0, 1L), ev(1, 2L)); q.processAllAvailable()
+      input.addData(ev(2, 3L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("graftst.nw.t").count() == 3)
+    val store = spark.sessionState.catalogManager.catalog("graftst")
+      .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
+    val (m1, _) = store.load(Seq("nw"), "t")
+    assert(m1.snapshots.size == 2, "expected one snapshot per data epoch")
+    // atomic batch boundaries: time travel reaches the first epoch
+    assert(spark.sql("SELECT count(*) FROM graftst.nw.t VERSION AS OF 2")
+      .head.getLong(0) == 2L)
+
+    // simulated failure recovery: wipe the LAST epoch's commit marker so
+    // the restarted query re-executes it — the commit fence must
+    // recognize the replay and skip, never double-append
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.last.delete(), "couldn't remove the commit marker")
+    // ...and its checksum twin, or the re-write of the marker fails
+    new java.io.File(ckpt + "/commits", s".${commits.last.getName}.crc").delete()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays the wiped epoch
+      assert(spark.table("graftst.nw.t").count() == 3,
+        "replayed epoch was double-committed")
+      input.addData(ev(3, 4L)) // and a genuinely new epoch still lands
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("graftst.nw.t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // the replay's orphaned duplicate files were cleaned up: everything
+    // on disk is referenced by the current snapshot
+    val (m2, _) = store.load(Seq("nw"), "t")
+    assert(store.listParquetUnder(store.dataDir(Seq("nw"), "t")).size ==
+      m2.currentSnapshot.get.files.size, "orphan files left behind")
+
+    // a partitioned table refuses the native path (foreachBatch covers it)
+    spark.sql("""CREATE TABLE graftst.nw.p (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    val in2 = MemoryStream[Ev](spark)
+    val bad = intercept[Exception] {
+      val qp = in2.toDF().select($"user_id".as("id"), $"event_type".as("cat"))
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-nwp-ckpt").toString)
+        .toTable("graftst.nw.p")
+      in2.addData(ev(0, 1L))
+      try qp.processAllAvailable() finally qp.stop()
+    }
+    def chain0(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
+    assert(chain0(bad).exists(_.getMessage != null) &&
+      chain0(bad).exists(t => Option(t.getMessage).exists(_.contains("PARTITIONED"))),
+      s"expected the partitioned-table refusal, got $bad")
+  }
+
+  test("table-to-table incremental pipeline: readStream.table into toTable") {
+    spark.sql("CREATE NAMESPACE graftst.cdc")
+    spark.sql("CREATE TABLE graftst.cdc.src (id BIGINT)")
+    spark.sql("CREATE TABLE graftst.cdc.dst (id BIGINT)")
+    spark.sql("INSERT INTO graftst.cdc.src VALUES (1), (2)")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    def start() = spark.readStream.table("graftst.cdc.src")
+      .writeStream.option("checkpointLocation", ckpt).toTable("graftst.cdc.dst")
+
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graftst.cdc.dst").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L))
+      spark.sql("INSERT INTO graftst.cdc.src VALUES (3)")
+      q.processAllAvailable()
+      assert(spark.table("graftst.cdc.dst").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+    } finally q.stop()
+
+    // stop → more commits upstream → restart: only the delta flows on
+    spark.sql("INSERT INTO graftst.cdc.src VALUES (4), (5)")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graftst.cdc.dst").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L), "restart duplicated or dropped rows")
+    } finally q2.stop()
+  }
+
   test("streaming sink into a catalog table: one atomic snapshot per micro-batch") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.stream")

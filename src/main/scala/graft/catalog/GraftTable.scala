@@ -37,7 +37,8 @@ class GraftTable(tableName: String, store: MetaStore,
                  mergedProps: Map[String, String],
                  frozen: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = tableName
 
@@ -185,6 +186,19 @@ class GraftTable(tableName: String, store: MetaStore,
         keptStats, Map("deleted-files" -> dropped.toString))))
   }
 
+  /** Copy-on-write DELETE / UPDATE / MERGE — see
+    * [[GraftRowLevelOperation]]. SupportsDelete above stays the fast
+    * path: Spark converts a rewritten DELETE back to the metadata-only
+    * commit whenever [[canDeleteWhere]] accepts it. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (frozen) throw new UnsupportedOperationException(
+      "cannot mutate a time-travel snapshot")
+    () => new GraftRowLevelOperation(store, ns, table, tableName, meta,
+      info.command())
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (frozen) throw new UnsupportedOperationException(
       "cannot write to a time-travel snapshot")
@@ -311,9 +325,20 @@ private[graft] object PartitionTransforms {
     }
   }
 
+  /** The session's UTC decision, for callers that must capture it on the
+    * driver and replay values on executors (the row-level rewrite
+    * writer): executor-side SQLConf fallback must never decide layout. */
+  private[graft] def sessionUtc: Boolean = sessionIsUtc
+
   /** Driver-side replay on a pushed literal → the dir value an equal row
     * was written under; None = can't replay safely (never prune). */
-  def dirValueOf(transform: String, v: Any, dt: DataType): Option[String] = try {
+  def dirValueOf(transform: String, v: Any, dt: DataType): Option[String] =
+    dirValueOf(transform, v, dt, sessionIsUtc)
+
+  /** [[dirValueOf]] with the session-UTC decision passed explicitly —
+    * evaluate it on the driver when the replay runs inside tasks. */
+  def dirValueOf(transform: String, v: Any, dt: DataType,
+                 utcSession: Boolean): Option[String] = try {
     import java.time.{LocalDate, LocalDateTime}
     // java.sql.Date/Timestamp literals are REBASED by Spark between the
     // hybrid Julian calendar (their definition) and the proleptic
@@ -328,7 +353,7 @@ private[graft] object PartitionTransforms {
       case d: java.sql.Date => gregorianSafe(d.toLocalDate.atStartOfDay)
       case d: LocalDate => Some(d.atStartOfDay)
       // instant literals (TimestampType): UTC wall time, explicitly —
-      // never the JVM default zone (only reached when sessionIsUtc)
+      // never the JVM default zone (only reached when utcSession)
       case t: java.sql.Timestamp if dt == TimestampType =>
         gregorianSafe(t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime)
       case t: java.time.Instant =>
@@ -342,7 +367,7 @@ private[graft] object PartitionTransforms {
     // that our fixed-width replay would mismatch — a replay disagreement
     // is a silently-dropped row, so such literals simply never prune
     def temporalOk = (dt == DateType || dt == TimestampNTZType ||
-      (dt == TimestampType && sessionIsUtc)) &&
+      (dt == TimestampType && utcSession)) &&
       asLocalDateTime.forall(t => t.getYear >= 1 && t.getYear <= 9999)
     transform match {
       case BucketRe(n) =>
@@ -432,7 +457,9 @@ private[graft] class GraftScanBuilder(
     options: CaseInsensitiveStringMap,
     fileStats: Map[String, List[graft.meta.ColStatDef]] = Map.empty,
     transformSpecs: Seq[(String, String, String)] = Nil,
-    streamSource: Option[(graft.meta.MetaStore, Seq[String], String)] = None)
+    streamSource: Option[(graft.meta.MetaStore, Seq[String], String)] = None,
+    groupPruneOnly: Boolean = false,
+    onBuild: Seq[String] => Unit = _ => ())
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -694,13 +721,20 @@ private[graft] class GraftScanBuilder(
     // hand the pushed filters to the delegate for row-group skipping
     // through its public Catalyst pushdown surface (FileScanBuilder.
     // pushFilters translates + records them as pushedDataFilters) — no
-    // reflection against Spark internals
-    delegate.pushFilters(pushed.toSeq.flatMap(toCatalyst))
+    // reflection against Spark internals.
+    // EXCEPT in group-prune-only mode (row-level rewrites): there the
+    // pushed condition only selects which FILES are affected — the
+    // write-back needs every surviving row of those files, and
+    // row-group skipping of non-matching rows would silently drop them
+    if (!groupPruneOnly)
+      delegate.pushFilters(pushed.toSeq.flatMap(toCatalyst))
     delegate.build()
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
-    val batchScan = delegateScanFor(prunedRelFiles)
+    val pruned = prunedRelFiles
+    onBuild(pruned)
+    val batchScan = delegateScanFor(pruned)
     streamSource match {
       case None => batchScan
       case Some((store, ns, table)) =>

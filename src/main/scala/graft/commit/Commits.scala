@@ -155,6 +155,38 @@ object MetadataUpdate {
         fileStats = prevStats.view.filterKeys(kept.toSet).toMap ++ stats)).apply(m)
     }
   }
+  /** Copy-on-write rewrite: the `removed` files (a scanned subset of the
+    * current snapshot) leave, the `added` files (their surviving rows,
+    * rewritten) join, everything else is untouched — the commit shape of
+    * row-level DELETE/UPDATE/MERGE. Callers guard with
+    * AssertCurrentSnapshotId(the scanned snapshot): the rewritten rows
+    * were derived from exactly that state, so ANY interleaved commit
+    * (even an append) must fail this rewrite rather than be silently
+    * merged with stale row data. The removed-set containment check is a
+    * belt-and-braces invariant on top of that guard. */
+  final case class RewriteFiles(removed: List[String], added: List[String],
+                                timestampMs: Long,
+                                stats: Map[String, List[ColStatDef]] = Map.empty,
+                                extraSummary: Map[String, String] = Map.empty)
+    extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      val prev = m.currentSnapshot.map(_.files).getOrElse(Nil)
+      val missing = removed.filterNot(prev.toSet)
+      require(missing.isEmpty,
+        s"rewrite removes files absent from the current snapshot: " +
+          missing.take(3).mkString(", "))
+      val prevStats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
+      val kept = prev.filterNot(removed.toSet)
+      AddSnapshot(SnapshotDef(
+        snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
+        operation = "rewrite", files = kept ++ added,
+        summary = extraSummary +
+          ("rewritten-files" -> removed.size.toString) +
+          ("added-files" -> added.size.toString),
+        fileStats = prevStats.view.filterKeys(kept.toSet).toMap ++ stats)).apply(m)
+    }
+  }
+
   /** Overwrite: the new snapshot holds exactly the new files. */
   final case class ReplaceFiles(newFiles: List[String], timestampMs: Long,
                                 stats: Map[String, List[ColStatDef]] = Map.empty,

@@ -71,11 +71,13 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM snap.del.ev VERSION AS OF 3")
       .head.getLong(0) == 4L)
 
-    // a non-partition predicate refuses rather than approximating
-    intercept[Exception] {
-      spark.sql("DELETE FROM snap.del.ev WHERE id = 1")
-    }
-    assert(spark.table("snap.del.ev").count() == 2)
+    // a non-partition predicate takes the copy-on-write path instead:
+    // correct rows survive, and the commit is a "rewrite" (not metadata)
+    spark.sql("DELETE FROM snap.del.ev WHERE id = 1")
+    assert(spark.table("snap.del.ev").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L))
+    assert(catalog.metadataStore.load(Seq("del"), "ev")
+      ._1.currentSnapshot.get.operation == "rewrite")
   }
 
   test("$history and $files inspection tables serve the metadata document") {
@@ -255,6 +257,121 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rolling back to an unknown snapshot is a terminal commit failure
     intercept[Exception] {
       catalog.rollback(Identifier.of(Array("rb"), "t"), snapshotId = 99)
+    }
+  }
+
+  test("copy-on-write DELETE rewrites only the files that can match") {
+    spark.sql("CREATE NAMESPACE snap.cow")
+    spark.sql("CREATE TABLE snap.cow.t (id BIGINT, v BIGINT)")
+    // three separate commits → three files with disjoint stats ranges
+    spark.sql("INSERT INTO snap.cow.t VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO snap.cow.t VALUES (3, 150), (4, 80)")
+    spark.sql("INSERT INTO snap.cow.t VALUES (5, 300)")
+    val snapBefore = catalog.metadataStore.load(Seq("cow"), "t")
+      ._1.currentSnapshot.get
+    // stats decide the affected set: a file whose max(v) <= 100 can't
+    // match the predicate and must keep its exact path
+    def maxV(rel: String): Long = snapBefore.fileStats(rel)
+      .find(_.name == "v").get.max.toLong
+    val untouchable = snapBefore.files.filter(maxV(_) <= 100)
+    val affected = snapBefore.files.filter(maxV(_) > 100)
+    assert(untouchable.nonEmpty && affected.nonEmpty, "bad test layout")
+
+    spark.sql("DELETE FROM snap.cow.t WHERE v > 100")
+    val rows = spark.table("snap.cow.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(rows == Seq(1L -> 10L, 2L -> 20L, 4L -> 80L), s"got $rows")
+
+    val (m, _) = catalog.metadataStore.load(Seq("cow"), "t")
+    val after = m.currentSnapshot.get.files
+    assert(untouchable.forall(after.contains),
+      s"untouched file was rewritten: $untouchable vs $after")
+    assert(affected.forall(f => !after.contains(f)),
+      s"affected file kept its path: $affected vs $after")
+    assert(m.currentSnapshot.get.operation == "rewrite")
+    assert(m.currentSnapshot.get.summary.get("rewritten-files")
+      .contains(affected.size.toString))
+    // rewritten files carry harvested stats like any committed file
+    assert(after.toSet.subsetOf(m.currentSnapshot.get.fileStats.keySet ++
+      snapBefore.files.toSet))
+    // history intact: pre-delete state still time-travelable
+    assert(spark.sql("SELECT count(*) FROM snap.cow.t VERSION AS OF 4")
+      .head.getLong(0) == 5L)
+    // no orphans: disk holds exactly the live + historical files
+    val kept = catalog.metadataStore
+      .listParquetUnder(catalog.metadataStore.dataDir(Seq("cow"), "t"))
+    assert(after.forall(kept.contains))
+  }
+
+  test("row-level DELETE on a partitioned table preserves the dir layout") {
+    spark.sql("CREATE NAMESPACE snap.cowp")
+    spark.sql("""CREATE TABLE snap.cowp.t (id BIGINT, cat STRING, v BIGINT)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO snap.cowp.t VALUES (1,'a',10),(2,'a',200),(3,'b',30)")
+
+    spark.sql("DELETE FROM snap.cowp.t WHERE v > 100")
+    assert(spark.table("snap.cowp.t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    val (m, _) = catalog.metadataStore.load(Seq("cowp"), "t")
+    // every current file still carries its partition dir — rewritten
+    // files included — so pruning and partition-boundary ops keep working
+    assert(m.currentSnapshot.get.files.forall(_.contains("__part_cat=")),
+      s"layout lost: ${m.currentSnapshot.get.files}")
+    // ...proof: a partition-boundary DELETE is still metadata-only
+    val filesBefore = m.currentSnapshot.get.files.toSet
+    spark.sql("DELETE FROM snap.cowp.t WHERE cat = 'b'")
+    val (m2, _) = catalog.metadataStore.load(Seq("cowp"), "t")
+    assert(m2.currentSnapshot.get.files.toSet.subsetOf(filesBefore),
+      "partition delete rewrote data after a row-level rewrite")
+    assert(spark.table("snap.cowp.t").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L))
+  }
+
+  test("UPDATE and MERGE ride the same copy-on-write rewrite") {
+    spark.sql("CREATE NAMESPACE snap.dml")
+    spark.sql("CREATE TABLE snap.dml.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO snap.dml.t VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO snap.dml.t VALUES (3, 30)")
+
+    spark.sql("UPDATE snap.dml.t SET v = v + 1 WHERE id = 2")
+    val afterUpdate = spark.table("snap.dml.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(afterUpdate == Seq(1L -> 10L, 2L -> 21L, 3L -> 30L), s"got $afterUpdate")
+
+    spark.sql("""MERGE INTO snap.dml.t t
+      USING (SELECT * FROM VALUES (3, 300L), (9, 900L) AS s(id, v)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val afterMerge = spark.table("snap.dml.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(afterMerge == Seq(1L -> 10L, 2L -> 21L, 3L -> 300L, 9L -> 900L),
+      s"got $afterMerge")
+  }
+
+  test("a rewrite computed against a stale snapshot fails, never merges") {
+    import graft.commit._
+    spark.sql("CREATE NAMESPACE snap.race")
+    spark.sql("CREATE TABLE snap.race.t (id BIGINT)")
+    spark.sql("INSERT INTO snap.race.t VALUES (1)")
+    val (m1, _) = catalog.metadataStore.load(Seq("race"), "t")
+    // an append lands between the rewrite's scan and its commit
+    spark.sql("INSERT INTO snap.race.t VALUES (2)")
+    val ex = intercept[CommitFailedException] {
+      catalog.metadataStore.commitOps(Seq("race"), "t",
+        Seq(Requirement.AssertCurrentSnapshotId(m1.currentSnapshotId)),
+        Seq(MetadataUpdate.RewriteFiles(
+          m1.currentSnapshot.get.files, Nil, System.currentTimeMillis())))
+    }
+    assert(ex.getMessage.contains("snapshot changed"))
+    assert(spark.table("snap.race.t").count() == 2)
+    // ...and removing files the current snapshot doesn't hold is refused
+    // even without the guard (belt and braces)
+    intercept[Exception] {
+      catalog.metadataStore.commitOps(Seq("race"), "t", Nil,
+        Seq(MetadataUpdate.RewriteFiles(
+          List("commit-nonexistent/x.parquet"), Nil,
+          System.currentTimeMillis())))
     }
   }
 

@@ -227,30 +227,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     var schemaUpdated = false
     var fields = base.currentSchema.fields
     var nextColId = base.lastColumnId + 1
+    def freshId(): Int = { val v = nextColId; nextColId += 1; v }
     val updates = scala.collection.mutable.ArrayBuffer.empty[MetadataUpdate]
+
+    // nested changes descend id-carrying struct types by name and edit
+    // the field list at the path's parent — ids never change on
+    // rename/move, so nested evolution stays metadata-only exactly like
+    // top-level evolution (old files resolve by field id at every level)
+    def editAt(path: Seq[String])(edit: List[FieldDef] => List[FieldDef]): Unit = {
+      fields = SchemaBridge.editFieldsAt(fields, path)(edit)
+      schemaUpdated = true
+    }
+    def mapField(path: Seq[String])(f: FieldDef => FieldDef): Unit =
+      editAt(path.init) { siblings =>
+        require(siblings.exists(_.name == path.last), s"no such column: ${path.last}")
+        siblings.map(fd => if (fd.name == path.last) f(fd) else fd)
+      }
 
     changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1, "nested add not supported")
-        fields = fields :+ FieldDef(nextColId, a.fieldNames.head,
-          SchemaBridge.formatType(a.dataType), required = !a.isNullable)
-        nextColId += 1; schemaUpdated = true
+        editAt(a.fieldNames.init.toSeq) { siblings =>
+          require(!siblings.exists(_.name == a.fieldNames.last),
+            s"column ${a.fieldNames.last} already exists")
+          siblings :+ FieldDef(freshId(), a.fieldNames.last,
+            SchemaBridge.formatTypeWithIds(a.dataType, () => freshId()),
+            required = !a.isNullable)
+        }
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1, "nested delete not supported")
-        fields = fields.filterNot(_.name == d.fieldNames.head); schemaUpdated = true
+        editAt(d.fieldNames.init.toSeq)(
+          _.filterNot(_.name == d.fieldNames.last))
       case r: TableChange.RenameColumn =>
-        fields = fields.map(f =>
-          if (f.name == r.fieldNames.head) f.copy(name = r.newName) else f)
-        schemaUpdated = true
+        mapField(r.fieldNames.toSeq)(_.copy(name = r.newName))
       case u: TableChange.UpdateColumnType =>
-        fields = fields.map(f =>
-          if (f.name == u.fieldNames.head)
-            f.copy(`type` = SchemaBridge.formatType(u.newDataType)) else f)
-        schemaUpdated = true
+        mapField(u.fieldNames.toSeq)(f => f.copy(
+          `type` = SchemaBridge.formatTypeWithIds(u.newDataType, () => freshId())))
       case n: TableChange.UpdateColumnNullability =>
-        fields = fields.map(f =>
-          if (f.name == n.fieldNames.head) f.copy(required = !n.nullable) else f)
-        schemaUpdated = true
+        mapField(n.fieldNames.toSeq)(_.copy(required = !n.nullable))
       case p: TableChange.SetProperty =>
         updates += MetadataUpdate.SetProperties(Map(p.property -> p.value))
       case p: TableChange.RemoveProperty =>

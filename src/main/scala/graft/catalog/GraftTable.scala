@@ -870,10 +870,18 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           val sortCols = WriteShaping.sortCols(meta0.properties)
           // stamp table field ids onto the outgoing columns so the parquet
           // writer records them (fieldId.write is on by default) — the
-          // read side then resolves by id, making renames metadata-only
+          // read side then resolves by id, making renames metadata-only.
+          // NESTED ids live inside the struct TYPE (StructField metadata
+          // at depth), which the analyzer's output may not carry — cast
+          // to the table's exact type tree when it differs so the writer
+          // stamps ids at every level
           val schemaFields = SchemaBridge.toSpark(meta0.currentSchema)
+          val incomingTypes = data.schema.fields.map(f => f.name -> f.dataType).toMap
           var out = data.select(schemaFields.fields.toSeq.map { f =>
-            org.apache.spark.sql.functions.col(f.name).as(f.name, f.metadata)
+            val c = org.apache.spark.sql.functions.col(f.name)
+            val typed = if (incomingTypes.get(f.name).contains(f.dataType)) c
+                        else c.cast(f.dataType)
+            typed.as(f.name, f.metadata)
           }: _*)
           if (sortCols.nonEmpty)
             out = out.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)

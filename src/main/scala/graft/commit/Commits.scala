@@ -66,7 +66,7 @@ object MetadataUpdate {
         s"schema id ${schema.schemaId} already present")
       m.copy(schemas = m.schemas :+ schema,
         lastColumnId = math.max(m.lastColumnId,
-          schema.fields.map(_.id).maxOption.getOrElse(0)))
+          SchemaBridge.maxFieldId(schema.fields)))
     }
   }
   final case class SetCurrentSchema(schemaId: Int) extends MetadataUpdate {

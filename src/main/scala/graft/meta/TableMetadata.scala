@@ -83,7 +83,7 @@ object TableMetadata {
             props: Map[String, String]): TableMetadata =
     TableMetadata(
       formatVersion = 1, tableUuid = uuid, location = location,
-      lastColumnId = schema.fields.map(_.id).maxOption.getOrElse(0),
+      lastColumnId = SchemaBridge.maxFieldId(schema.fields),
       currentSchemaId = schema.schemaId, schemas = List(schema),
       defaultSpecId = spec.specId, specs = List(spec),
       defaultSortOrderId = order.orderId, sortOrders = List(order),
@@ -101,6 +101,7 @@ object TableMetadata {
   * `/root/reference/test/server_test.go:155-160`). */
 object SchemaBridge {
   import org.apache.spark.sql.types._
+  import TableMetadata.formats
 
   val FieldIdKey = "parquet.field.id"
 
@@ -112,15 +113,24 @@ object SchemaBridge {
 
   def fromSpark(st: StructType, firstId: Int = 1): SchemaDef = {
     var next = firstId
+    def freshId(): Int = { val v = next; next += 1; v }
     val fields = st.fields.toList.map { f =>
       val id = if (f.metadata.contains(FieldIdKey))
         f.metadata.getLong(FieldIdKey).toInt
-      else { val v = next; next += 1; v }
+      else freshId()
       next = math.max(next, id + 1)
-      FieldDef(id, f.name, formatType(f.dataType), required = !f.nullable)
+      FieldDef(id, f.name, formatTypeWithIds(f.dataType, () => freshId()),
+        required = !f.nullable)
     }
     SchemaDef(0, fields)
   }
+
+  /** Struct types serialize as `struct{<json FieldDef list>}` so NESTED
+    * fields carry stable ids too — the precondition for nested rename
+    * being metadata-only (old files resolve the renamed nested column by
+    * id) and for nested add reading old files as null. Legacy DDL-string
+    * structs (no ids) still parse via the fromDDL fallback. */
+  private val StructIdPrefix = "struct{"
 
   def parseType(t: String): DataType = t match {
     case "boolean" => BooleanType
@@ -137,6 +147,11 @@ object SchemaBridge {
     case dec if dec.startsWith("decimal") =>
       val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")").split(",")
       DecimalType(p.trim.toInt, s.trim.toInt)
+    case st if st.startsWith(StructIdPrefix) =>
+      StructType(structFields(st).map { f =>
+        StructField(f.name, parseType(f.`type`), nullable = !f.required,
+          new MetadataBuilder().putLong(FieldIdKey, f.id.toLong).build())
+      })
     case arr if arr.startsWith("list<") =>
       ArrayType(parseType(arr.stripPrefix("list<").stripSuffix(">")))
     case other => DataType.fromDDL(other)
@@ -157,4 +172,60 @@ object SchemaBridge {
     case ArrayType(e, _) => s"list<${formatType(e)}>"
     case other => other.sql.toLowerCase
   }
+
+  /** [[formatType]] that assigns fresh stable ids to struct fields at any
+    * depth (existing `parquet.field.id` metadata wins over assignment). */
+  def formatTypeWithIds(dt: DataType, freshId: () => Int): String = dt match {
+    case st: StructType =>
+      val defs = st.fields.toList.map { f =>
+        val id = if (f.metadata.contains(FieldIdKey))
+          f.metadata.getLong(FieldIdKey).toInt else freshId()
+        FieldDef(id, f.name, formatTypeWithIds(f.dataType, freshId),
+          required = !f.nullable)
+      }
+      StructIdPrefix + org.json4s.jackson.Serialization.write(defs) + "}"
+    case ArrayType(e, _) => s"list<${formatTypeWithIds(e, freshId)}>"
+    case other => formatType(other)
+  }
+
+  /** The FieldDef list of a `struct{...}` type string. */
+  def structFields(t: String): List[FieldDef] =
+    org.json4s.jackson.Serialization.read[List[FieldDef]](
+      t.stripPrefix(StructIdPrefix).dropRight(1))
+
+  def isIdStruct(t: String): Boolean = t.startsWith(StructIdPrefix)
+
+  def formatStruct(fields: List[FieldDef]): String =
+    StructIdPrefix + org.json4s.jackson.Serialization.write(fields) + "}"
+
+  /** Highest field id anywhere in the tree (nested struct ids included —
+    * the id counter must never reuse one after a nested add). */
+  def maxFieldId(fields: List[FieldDef]): Int =
+    fields.map { f =>
+      math.max(f.id, maxFieldIdInType(f.`type`))
+    }.maxOption.getOrElse(0)
+
+  private def maxFieldIdInType(t: String): Int =
+    if (isIdStruct(t)) maxFieldId(structFields(t))
+    else if (t.startsWith("list<"))
+      maxFieldIdInType(t.stripPrefix("list<").stripSuffix(">"))
+    else 0
+
+  /** Rewrite the field list at `path`'s parent: descend struct types by
+    * name, apply `edit` to the list holding the LAST path element, and
+    * re-serialize on the way out. Fails on a path through a non-struct. */
+  def editFieldsAt(fields: List[FieldDef], parentPath: Seq[String])(
+      edit: List[FieldDef] => List[FieldDef]): List[FieldDef] =
+    parentPath.toList match {
+      case Nil => edit(fields)
+      case head :: rest =>
+        val target = fields.find(_.name == head).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $head"))
+        require(isIdStruct(target.`type`),
+          s"column $head is not a struct (nested change unsupported on " +
+            s"${target.`type`})")
+        val inner = editFieldsAt(structFields(target.`type`), rest)(edit)
+        fields.map(f =>
+          if (f.name == head) f.copy(`type` = formatStruct(inner)) else f)
+    }
 }

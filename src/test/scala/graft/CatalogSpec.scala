@@ -481,4 +481,48 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP NAMESPACE graft.resid CASCADE") // must not 500
     assert(!catalog.metadataStore.namespaceExists(Seq("resid")))
   }
+
+  test("nested schema evolution: add, rename, and delete inside a struct") {
+    spark.sql("CREATE NAMESPACE graft.nest")
+    spark.sql("""CREATE TABLE graft.nest.t
+      (id BIGINT, info STRUCT<a: BIGINT, b: STRING>)""")
+    spark.sql("""INSERT INTO graft.nest.t
+      VALUES (1, named_struct('a', 10L, 'b', 'x'))""")
+
+    // nested ADD: the old file reads the new sub-column as null
+    spark.sql("ALTER TABLE graft.nest.t ADD COLUMN info.c DOUBLE")
+    val afterAdd = spark.sql("SELECT id, info.a, info.b, info.c FROM graft.nest.t")
+      .collect().head
+    assert(afterAdd.getLong(1) == 10L && afterAdd.getString(2) == "x")
+    assert(afterAdd.isNullAt(3), "old file must read the added nested field as null")
+    // ...and new writes fill it
+    spark.sql("""INSERT INTO graft.nest.t
+      VALUES (2, named_struct('a', 20L, 'b', 'y', 'c', 2.5))""")
+
+    // nested RENAME is metadata-only: the OLD file (written pre-rename)
+    // still serves its values through field-id resolution
+    spark.sql("ALTER TABLE graft.nest.t RENAME COLUMN info.a TO alpha")
+    val renamed = spark.sql(
+      "SELECT id, info.alpha FROM graft.nest.t ORDER BY id").collect()
+    assert(renamed.map(r => r.getLong(0) -> r.getLong(1)).toSeq ==
+      Seq(1L -> 10L, 2L -> 20L),
+      "nested rename must keep serving old files' values by field id")
+
+    // nested DELETE drops the sub-column from the schema
+    spark.sql("ALTER TABLE graft.nest.t DROP COLUMN info.b")
+    assert(!spark.table("graft.nest.t").schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("b"))
+    assert(spark.sql("SELECT info.c FROM graft.nest.t WHERE id = 2")
+      .head.getDouble(0) == 2.5)
+
+    // nested ids are distinct and survive in the metadata document; the
+    // id counter accounts for them (no reuse after a nested add)
+    val (m, _) = catalog.metadataStore.load(Seq("nest"), "t")
+    val info = m.currentSchema.fields.find(_.name == "info").get
+    val nested = graft.meta.SchemaBridge.structFields(info.`type`)
+    assert(nested.map(_.name).toSet == Set("alpha", "c"))
+    assert((nested.map(_.id) :+ info.id :+
+      m.currentSchema.fields.find(_.name == "id").get.id).distinct.size == 4)
+    assert(m.lastColumnId >= nested.map(_.id).max)
+  }
 }

@@ -74,17 +74,98 @@ object AnnIndex {
     }
   }
 
+  /** Index-side property recording which corpus metadata VERSION the
+    * index covers — the baseline [[refresh]] computes its delta from. */
+  val IndexedVersionKey = "graft.indexed-version"
+
   /** Build all index tables for `dir` under `prefix` (a `catalog.ns`
     * pair whose catalog is already registered). Idempotent: drops and
     * recreates. Public so tests can build into an explicit warehouse and
     * prove the artifact survives a session restart. */
-  def buildInto(s: SparkSession, dir: String, prefix: String): Unit = {
+  def buildInto(s: SparkSession, dir: String, prefix: String): Unit =
+    buildFrom(s, Tables.embeddings(s, dir), prefix)
+
+  /** Build from a CATALOG-table corpus, stamping the corpus version the
+    * index covers so later appends refresh incrementally ([[refresh]]). */
+  def buildFromCorpus(s: SparkSession, corpusFqn: String, prefix: String): Unit = {
+    buildFrom(s, s.table(corpusFqn), prefix)
+    stampVersion(s, prefix, corpusVersion(s, corpusFqn))
+  }
+
+  private def stampVersion(s: SparkSession, prefix: String, v: Int): Unit =
+    s.sql(s"ALTER TABLE $prefix.ivf_cells " +
+      s"SET TBLPROPERTIES ('$IndexedVersionKey'='$v')")
+
+  private def indexedVersion(s: SparkSession, prefix: String): Int =
+    s.sql(s"SHOW TBLPROPERTIES $prefix.ivf_cells")
+      .filter(col("key") === IndexedVersionKey)
+      .collect().headOption.map(_.getString(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"$prefix.ivf_cells carries no $IndexedVersionKey — " +
+          "was the index built with buildFromCorpus?"))
+
+  /** The corpus table's current metadata version via its graft catalog. */
+  private def corpusVersion(s: SparkSession, corpusFqn: String): Int = {
+    val parts = corpusFqn.split("\\.")
+    require(parts.length >= 3, s"expected catalog.ns….table, got $corpusFqn")
+    val store = s.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[GraftCatalog].metadataStore
+    store.currentVersion(parts.tail.init.toSeq, parts.last)
+  }
+
+  /** Incremental index refresh after corpus appends: reads ONLY the
+    * changes-since delta (the `from-version` incremental scan against
+    * the version stamped at build), assigns the new vectors to their
+    * nearest EXISTING centroids (no retraining — IVF quality degrades
+    * gracefully and recall is re-checked by the bench gate), hashes them
+    * into the LSH bucket tables, and appends both as ordinary snapshot
+    * commits. Returns the number of newly indexed vectors. At 100 TB
+    * this is the only viable maintenance shape: the daily append is
+    * indexed at delta cost while the corpus-sized artifact stays put.
+    * (After an overwrite the delta degrades to "files the overwrite
+    * introduced" — same contract as the from-version scan itself;
+    * rebuild for reprocessing semantics.) */
+  def refresh(s: SparkSession, corpusFqn: String, prefix: String): Long = {
+    graft.functions.VectorFunctions.register(s)
+    val v1 = indexedVersion(s, prefix)
+    val v2 = corpusVersion(s, corpusFqn)
+    if (v2 <= v1) return 0L
+
+    val delta = s.read.option("from-version", v1.toString).table(corpusFqn)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = delta.count()
+      if (n > 0) {
+        val cents = s.table(s"$prefix.ivf_centroids")
+        assignRanked(delta, cents).filter(col("rk") === 1)
+          .select(col("vec_id").cast("bigint"),
+            col("cent_id").cast("int").as("cell"), col("nrm"))
+          .writeTo(s"$prefix.ivf_cells").append()
+
+        val tables = LshSeeds.map(planes(_))
+        delta.select(col("vec_id"), col("nrm"),
+          explode(array(tables.zipWithIndex.map { case (pl, t) =>
+            struct(lit(t).as("t"), Similarity.bucketUdf(pl)(col("embedding")).as("b"))
+          }: _*)).as("tb"))
+          .select(col("tb.t").as("t"), col("tb.b").as("b"),
+            col("vec_id").cast("bigint"), col("nrm"))
+          .writeTo(s"$prefix.lsh_buckets").append()
+      }
+      stampVersion(s, prefix, v2)
+      n
+    } finally delta.unpersist()
+  }
+
+  /** Build all index tables from an explicit corpus frame. */
+  private def buildFrom(s: SparkSession, corpus: DataFrame, prefix: String): Unit = {
     graft.functions.VectorFunctions.register(s)
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $prefix")
 
     // corpus + norms once, persisted across the Lloyd rounds — training
     // must not re-scan the source parquet per round
-    val e = Tables.embeddings(s, dir)
+    val e = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -101,8 +101,16 @@ object Similarity {
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val pfx = AnnIndex.ensure(s, dir)
+    lshSearch(s, Tables.embeddings(s, dir), pfx)
+  }
+
+  /** The LSH search core against an explicit corpus frame + index prefix
+    * — shared by q56 (raw-parquet corpus) and incremental-index users
+    * (catalog-table corpus refreshed in place, [[AnnIndex.refresh]]). */
+  def lshSearch(s: SparkSession, corpus: DataFrame, pfx: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val buckets = s.table(s"$pfx.lsh_buckets")
-    val e = Tables.embeddings(s, dir)
+    val e = corpus
 
     // query-side hashing with the SAME planes the index was built with
     val tables = AnnIndex.LshSeeds.map(AnnIndex.planes(_))
@@ -147,11 +155,18 @@ object Similarity {
     * Rows-only oracle (approximate). */
   def q57AnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val nProbe = 5
     val pfx = AnnIndex.ensure(s, dir)
+    ivfSearch(s, Tables.embeddings(s, dir), pfx)
+  }
+
+  /** The IVF search core against an explicit corpus frame + index prefix
+    * (see [[lshSearch]]). */
+  def ivfSearch(s: SparkSession, corpusDf: DataFrame, pfx: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val nProbe = 5
     val cents = s.table(s"$pfx.ivf_centroids")
     val cells = s.table(s"$pfx.ivf_cells")
-    val e = Tables.embeddings(s, dir)
+    val e = corpusDf
 
     val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))

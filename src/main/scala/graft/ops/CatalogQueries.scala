@@ -63,8 +63,36 @@ object CatalogQueries {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** The MICRO_BATCH_READ streaming source inside the correctness gate:
+    * `readStream.table` tails the catalog table (the whole existing
+    * table arrives as the first version-delta batch), a stateful agg
+    * folds it, and the result must hash-match the batch oracle — proving
+    * the stream's file-delta planning loses and duplicates nothing. */
+  def q83StreamCatalogSource(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    try {
+      val qname = "q83_" + java.util.UUID.randomUUID().toString.take(8)
+      val agg = s.readStream.table("graft_q13.tpch.nation")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_nation"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qname).orderBy(col("n_regionkey"))
+    } finally s.conf.set(key, prev)
+  }
+
+  val q83Sql: String =
+    """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_nation
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q13_catalog_scan" -> q13CatalogScan _)
+    "q13_catalog_scan" -> q13CatalogScan _,
+    "q83_stream_catalog_source" -> q83StreamCatalogSource _)
   val oracle: Map[String, String] = Map(
-    "q13_catalog_scan" -> q13Sql)
+    "q13_catalog_scan" -> q13Sql,
+    "q83_stream_catalog_source" -> q83Sql)
 }

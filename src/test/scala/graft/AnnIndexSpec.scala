@@ -68,4 +68,43 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the memoized build happened once: both searches hit the same prefix
     assert(AnnIndex.ensure(spark, sf) == AnnIndex.ensure(spark, sf))
   }
+
+  test("incremental refresh indexes only the corpus delta") {
+    import spark.implicits._
+    // the corpus lives as a graft catalog table so appends are versioned
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ann_a.corp")
+    spark.sql("CREATE TABLE ann_a.corp.vecs (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .writeTo("ann_a.corp.vecs").append()
+    val n0 = spark.table("ann_a.corp.vecs").count()
+
+    AnnIndex.buildFromCorpus(spark, "ann_a.corp.vecs", "ann_a.inc")
+    assert(spark.table("ann_a.inc.ivf_cells").count() == n0)
+
+    // append: an exact copy of query vector 0 under a fresh id, plus a
+    // second new vector — the delta the refresh must cover
+    val v0 = spark.table("ann_a.corp.vecs").where($"vec_id" === 0L)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val shifted = v0.map(x => -x)
+    Seq((900001L, v0), (900002L, shifted)).toDF("vec_id", "embedding")
+      .writeTo("ann_a.corp.vecs").append()
+
+    val indexed = AnnIndex.refresh(spark, "ann_a.corp.vecs", "ann_a.inc")
+    assert(indexed == 2L, s"refresh must index exactly the delta, got $indexed")
+    // index grew by exactly the delta — nothing was rebuilt
+    assert(spark.table("ann_a.inc.ivf_cells").count() == n0 + 2)
+    assert(spark.table("ann_a.inc.lsh_buckets")
+      .where($"vec_id" >= 900001L).count() == 2L * AnnIndex.LshSeeds.length)
+
+    // both searches see the appended vectors: the exact copy of vector 0
+    // is its nearest neighbor (cosine 1.0) in IVF and LSH alike
+    val corpus = spark.table("ann_a.corp.vecs")
+    def top1(df: org.apache.spark.sql.DataFrame): Long =
+      df.where($"qid" === 0L && $"rn" === 1).head.getLong(1)
+    assert(top1(Similarity.ivfSearch(spark, corpus, "ann_a.inc")) == 900001L)
+    assert(top1(Similarity.lshSearch(spark, corpus, "ann_a.inc")) == 900001L)
+
+    // a second refresh with no new commits is a no-op
+    assert(AnnIndex.refresh(spark, "ann_a.corp.vecs", "ann_a.inc") == 0L)
+  }
 }

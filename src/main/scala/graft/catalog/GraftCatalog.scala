@@ -260,7 +260,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         mapField(r.fieldNames.toSeq)(_.copy(name = r.newName))
       case u: TableChange.UpdateColumnType =>
         mapField(u.fieldNames.toSeq)(f => f.copy(
-          `type` = SchemaBridge.formatTypeWithIds(u.newDataType, () => freshId())))
+          `type` = SchemaBridge.formatTypeReconciled(u.newDataType, f.`type`,
+            () => freshId())))
       case n: TableChange.UpdateColumnNullability =>
         mapField(n.fieldNames.toSeq)(_.copy(required = !n.nullable))
       case p: TableChange.SetProperty =>

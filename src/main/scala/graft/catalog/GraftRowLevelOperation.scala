@@ -199,6 +199,14 @@ private object GraftRewrite {
       case ShortType => Some(row.getShort(idx))
       case ByteType => Some(row.getByte(idx))
       case BooleanType => Some(row.getBoolean(idx))
+      // bucket transforms hash ANY source type — cover the rest so a
+      // bucket[n] on a float/double/decimal/binary column renders its
+      // real dir (the scan-side replay hashes the same literals)
+      case FloatType => Some(row.getFloat(idx))
+      case DoubleType => Some(row.getDouble(idx))
+      case d: DecimalType =>
+        Some(row.getDecimal(idx, d.precision, d.scale).toJavaBigDecimal)
+      case BinaryType => Some(row.getBinary(idx))
       case DateType => Some(java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong))
       case TimestampType =>
         val us = row.getLong(idx)

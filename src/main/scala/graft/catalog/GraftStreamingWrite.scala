@@ -78,9 +78,19 @@ private[catalog] class GraftStreamingWrite(
         case e: Throwable if Iterator.iterate(e)(_.getCause)
             .takeWhile(_ != null).take(16)
             .exists(_.isInstanceOf[CommitFailedException]) =>
-          // a concurrent committer (zombie failover) won this epoch —
-          // its effects are already in the table; drop our duplicates
-          rels.foreach(rel => store.deleteFileIfExists(s"$dataDir/$rel"))
+          // CommitFailedException covers BOTH the epoch fence (a zombie
+          // already committed this epoch — safe to skip) and CAS-retry
+          // exhaustion (nothing committed — skipping would silently
+          // lose the batch). Only the table's own metadata can tell
+          // them apart: verify the epoch really landed before dropping
+          // our files, otherwise surface the failure to the engine.
+          val committed = store.load(ns, table)._1.snapshots
+            .flatMap(_.summary.get(summaryKey))
+            .flatMap(v => scala.util.Try(v.toLong).toOption)
+            .maxOption.getOrElse(Long.MinValue)
+          if (committed >= epochId)
+            rels.foreach(rel => store.deleteFileIfExists(s"$dataDir/$rel"))
+          else throw e
       }
     }
     watermark = math.max(watermark, epochId)

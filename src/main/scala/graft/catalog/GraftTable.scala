@@ -539,7 +539,13 @@ private[graft] class GraftScanBuilder(
   private def partitionAllows(rel: String, allowed: Map[String, Set[String]]): Boolean = {
     val kvs = PartitionDirs.kvs(rel)
     allowed.forall { case (c, vs) =>
-      kvs.get(c).forall(vs.contains) // file without the dir key: keep
+      // file without the dir key: keep. The Hive default-partition
+      // marker also always keeps: it means "null OR unrenderable" (the
+      // row-level rewrite writes it for values its replay can't render),
+      // so constraining on it could prune real rows
+      kvs.get(c).forall(v =>
+        v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME || vs.contains(v))
     }
   }
 
@@ -593,8 +599,12 @@ private[graft] class GraftScanBuilder(
       val kvs = PartitionDirs.kvs(rel)
       ranges.forall { case (key, (tr, dt, lo, hi)) =>
         kvs.get(key).forall { d => // file without the dir key: keep
-          lo.forall(l => PartitionTransforms.cmpDir(tr, dt, d, l).forall(_ >= 0)) &&
-          hi.forall(h => PartitionTransforms.cmpDir(tr, dt, d, h).forall(_ <= 0))
+          // the default-partition marker never participates in a range
+          // decision (same null-or-unrenderable reasoning as equality)
+          d == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME ||
+          (lo.forall(l => PartitionTransforms.cmpDir(tr, dt, d, l).forall(_ >= 0)) &&
+           hi.forall(h => PartitionTransforms.cmpDir(tr, dt, d, h).forall(_ <= 0)))
         }
       }
     }
@@ -742,7 +752,12 @@ private[graft] class GraftScanBuilder(
           val start = Option(options.get("from-version")) match {
             case Some(v) if v.equalsIgnoreCase("latest") =>
               store.currentVersion(ns, table)
-            case Some(v) => v.trim.toInt
+            case Some(v) =>
+              try v.trim.toInt catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"read option from-version must be an integer metadata " +
+                    s"version or 'latest', got '$v' (table $tableName)")
+              }
             case None => 0
           }
           new GraftMicroBatchStream(store, ns, table, start, delegateScanFor)

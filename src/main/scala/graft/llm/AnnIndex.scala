@@ -74,9 +74,11 @@ object AnnIndex {
     }
   }
 
-  /** Index-side property recording which corpus metadata VERSION the
-    * index covers — the baseline [[refresh]] computes its delta from. */
-  val IndexedVersionKey = "graft.indexed-version"
+  /** Snapshot-summary key recording which corpus metadata VERSION an
+    * index-table commit covers — the ledger [[refresh]] computes its
+    * delta from, and the fence that makes a replayed refresh a no-op.
+    * (Lowercase: write options travel through a case-lowering map.) */
+  val IndexedVersionKey = "graft-indexed-version"
 
   /** Build all index tables for `dir` under `prefix` (a `catalog.ns`
     * pair whose catalog is already registered). Idempotent: drops and
@@ -85,24 +87,27 @@ object AnnIndex {
   def buildInto(s: SparkSession, dir: String, prefix: String): Unit =
     buildFrom(s, Tables.embeddings(s, dir), prefix)
 
-  /** Build from a CATALOG-table corpus, stamping the corpus version the
-    * index covers so later appends refresh incrementally ([[refresh]]). */
+  /** Build from a CATALOG-table corpus, pinned at its current metadata
+    * version (a concurrent append is NOT silently half-indexed — it
+    * stays in the next refresh's delta), with that version stamped into
+    * the index commits so later appends refresh incrementally. */
   def buildFromCorpus(s: SparkSession, corpusFqn: String, prefix: String): Unit = {
-    buildFrom(s, s.table(corpusFqn), prefix)
-    stampVersion(s, prefix, corpusVersion(s, corpusFqn))
+    val v = corpusVersion(s, corpusFqn)
+    buildFrom(s, s.read.option("versionAsOf", v.toString).table(corpusFqn),
+      prefix, stamp = Some(v))
   }
 
-  private def stampVersion(s: SparkSession, prefix: String, v: Int): Unit =
-    s.sql(s"ALTER TABLE $prefix.ivf_cells " +
-      s"SET TBLPROPERTIES ('$IndexedVersionKey'='$v')")
-
-  private def indexedVersion(s: SparkSession, prefix: String): Int =
-    s.sql(s"SHOW TBLPROPERTIES $prefix.ivf_cells")
-      .filter(col("key") === IndexedVersionKey)
-      .collect().headOption.map(_.getString(1).toInt)
-      .getOrElse(throw new IllegalStateException(
-        s"$prefix.ivf_cells carries no $IndexedVersionKey — " +
-          "was the index built with buildFromCorpus?"))
+  /** Highest corpus version any ivf_cells commit covers — read from the
+    * snapshot summaries through the `$snapshots` inspection table. */
+  private def indexedVersion(s: SparkSession, prefix: String): Int = {
+    val r = s.sql(
+      s"""SELECT max(cast(summary['$IndexedVersionKey'] AS INT))
+         |FROM $prefix.`ivf_cells$$snapshots`""".stripMargin).head
+    if (r.isNullAt(0)) throw new IllegalStateException(
+      s"$prefix.ivf_cells carries no $IndexedVersionKey summary — " +
+        "was the index built with buildFromCorpus?")
+    r.getInt(0)
+  }
 
   /** The corpus table's current metadata version via its graft catalog. */
   private def corpusVersion(s: SparkSession, corpusFqn: String): Int = {
@@ -113,53 +118,86 @@ object AnnIndex {
     store.currentVersion(parts.tail.init.toSeq, parts.last)
   }
 
+  /** Append `df` to an index table with the version ledger + fence: the
+    * commit stamps `v` into its snapshot summary and refuses (inside the
+    * CAS loop) if a commit covering >= v already landed — re-running a
+    * crashed or raced refresh can never double-append to THIS table. */
+  private def fencedAppend(df: DataFrame, table: String, v: Int): Unit =
+    try {
+      df.writeTo(table)
+        .option(s"summary.$IndexedVersionKey", v.toString)
+        .option(s"require-summary-max-below.$IndexedVersionKey", v.toString)
+        .append()
+    } catch {
+      case e: Throwable if Iterator.iterate(e)(_.getCause)
+          .takeWhile(_ != null).take(16)
+          .exists(_.isInstanceOf[graft.commit.CommitFailedException]) =>
+        // this slice is already indexed here (crash re-run) — skip
+    }
+
   /** Incremental index refresh after corpus appends: reads ONLY the
-    * changes-since delta (the `from-version` incremental scan against
-    * the version stamped at build), assigns the new vectors to their
+    * changes-since delta — the `from-version` incremental scan from the
+    * last stamped version, PINNED at the corpus version captured up
+    * front (`versionAsOf`), so a concurrent append is never half-indexed
+    * under a stamp that excludes it. New vectors are assigned to their
     * nearest EXISTING centroids (no retraining — IVF quality degrades
-    * gracefully and recall is re-checked by the bench gate), hashes them
-    * into the LSH bucket tables, and appends both as ordinary snapshot
-    * commits. Returns the number of newly indexed vectors. At 100 TB
-    * this is the only viable maintenance shape: the daily append is
-    * indexed at delta cost while the corpus-sized artifact stays put.
-    * (After an overwrite the delta degrades to "files the overwrite
-    * introduced" — same contract as the from-version scan itself;
-    * rebuild for reprocessing semantics.) */
+    * gracefully and recall is re-checked by the bench gate) and appended
+    * as fenced snapshot commits: buckets first, then the cells commit
+    * that advances the ledger, so a crash between them re-runs into
+    * fence no-ops (worst case after further corpus commits: duplicate
+    * bucket entries, which the searches dedup — never missing ones).
+    * Returns the number of newly indexed vectors. At 100 TB this is the
+    * only viable maintenance shape: the daily append is indexed at delta
+    * cost while the corpus-sized artifact stays put. (After an overwrite
+    * the delta degrades to "files the overwrite introduced" — same
+    * contract as the from-version scan; rebuild for reprocessing.) */
   def refresh(s: SparkSession, corpusFqn: String, prefix: String): Long = {
     graft.functions.VectorFunctions.register(s)
     val v1 = indexedVersion(s, prefix)
     val v2 = corpusVersion(s, corpusFqn)
     if (v2 <= v1) return 0L
 
-    val delta = s.read.option("from-version", v1.toString).table(corpusFqn)
+    val delta = s.read
+      .option("versionAsOf", v2.toString)
+      .option("from-version", v1.toString)
+      .table(corpusFqn)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = delta.count()
       if (n > 0) {
-        val cents = s.table(s"$prefix.ivf_centroids")
-        assignRanked(delta, cents).filter(col("rk") === 1)
-          .select(col("vec_id").cast("bigint"),
-            col("cent_id").cast("int").as("cell"), col("nrm"))
-          .writeTo(s"$prefix.ivf_cells").append()
-
         val tables = LshSeeds.map(planes(_))
-        delta.select(col("vec_id"), col("nrm"),
-          explode(array(tables.zipWithIndex.map { case (pl, t) =>
-            struct(lit(t).as("t"), Similarity.bucketUdf(pl)(col("embedding")).as("b"))
-          }: _*)).as("tb"))
-          .select(col("tb.t").as("t"), col("tb.b").as("b"),
-            col("vec_id").cast("bigint"), col("nrm"))
-          .writeTo(s"$prefix.lsh_buckets").append()
+        fencedAppend(
+          delta.select(col("vec_id"), col("nrm"),
+            explode(array(tables.zipWithIndex.map { case (pl, t) =>
+              struct(lit(t).as("t"), Similarity.bucketUdf(pl)(col("embedding")).as("b"))
+            }: _*)).as("tb"))
+            .select(col("tb.t").as("t"), col("tb.b").as("b"),
+              col("vec_id").cast("bigint"), col("nrm")),
+          s"$prefix.lsh_buckets", v2)
+
+        val cents = s.table(s"$prefix.ivf_centroids")
+        fencedAppend(
+          assignRanked(delta, cents).filter(col("rk") === 1)
+            .select(col("vec_id").cast("bigint"),
+              col("cent_id").cast("int").as("cell"), col("nrm")),
+          s"$prefix.ivf_cells", v2)
+      } else {
+        // an empty delta still advances the ledger (metadata-only commit
+        // carrier: zero new files, stamped summary)
+        fencedAppend(s.emptyDataFrame
+          .select(lit(0L).as("vec_id"), lit(0).as("cell"), lit(0.0).as("nrm"))
+          .limit(0), s"$prefix.ivf_cells", v2)
       }
-      stampVersion(s, prefix, v2)
       n
     } finally delta.unpersist()
   }
 
-  /** Build all index tables from an explicit corpus frame. */
-  private def buildFrom(s: SparkSession, corpus: DataFrame, prefix: String): Unit = {
+  /** Build all index tables from an explicit corpus frame; `stamp`
+    * threads the corpus version into the ivf_cells commit summary. */
+  private def buildFrom(s: SparkSession, corpus: DataFrame, prefix: String,
+                        stamp: Option[Int] = None): Unit = {
     graft.functions.VectorFunctions.register(s)
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $prefix")
 
@@ -175,7 +213,12 @@ object AnnIndex {
       def replace(table: String, ddlCols: String, df: DataFrame): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $prefix.$table")
         s.sql(s"CREATE TABLE $prefix.$table ($ddlCols)")
-        df.writeTo(s"$prefix.$table").append()
+        val w = df.writeTo(s"$prefix.$table")
+        // the ivf_cells commit carries the corpus-version ledger
+        stamp.filter(_ => table == "ivf_cells")
+          .map(v => w.option(s"summary.$IndexedVersionKey", v.toString))
+          .getOrElse(w)
+          .append()
       }
 
       replace("ivf_centroids",

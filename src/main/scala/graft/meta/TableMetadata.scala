@@ -188,6 +188,31 @@ object SchemaBridge {
     case other => formatType(other)
   }
 
+  /** [[formatTypeWithIds]] reconciled against an OLD type string: nested
+    * struct fields that still exist (by name, recursively) keep their
+    * old ids, only genuinely new fields get fresh ones. A type-level
+    * nested evolution (ALTER COLUMN info TYPE STRUCT<...>) must never
+    * re-mint surviving ids — that would sever id resolution to every
+    * already-written file. */
+  def formatTypeReconciled(newDt: DataType, oldType: String,
+                           freshId: () => Int): String = newDt match {
+    case st: StructType if isIdStruct(oldType) =>
+      val byName = structFields(oldType).map(f => f.name -> f).toMap
+      formatStruct(st.fields.toList.map { f =>
+        byName.get(f.name) match {
+          case Some(old) => FieldDef(old.id, f.name,
+            formatTypeReconciled(f.dataType, old.`type`, freshId),
+            required = !f.nullable)
+          case None => FieldDef(freshId(), f.name,
+            formatTypeWithIds(f.dataType, freshId), required = !f.nullable)
+        }
+      })
+    case ArrayType(e, _) if oldType.startsWith("list<") =>
+      s"list<${formatTypeReconciled(e,
+        oldType.stripPrefix("list<").stripSuffix(">"), freshId)}>"
+    case other => formatTypeWithIds(other, freshId)
+  }
+
   /** The FieldDef list of a `struct{...}` type string. */
   def structFields(t: String): List[FieldDef] =
     org.json4s.jackson.Serialization.read[List[FieldDef]](

@@ -80,7 +80,7 @@ object CatalogQueries {
         .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_nation"))
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(qname).start()
-      q.processAllAvailable(); q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(qname).orderBy(col("n_regionkey"))
     } finally s.conf.set(key, prev)
   }

@@ -66,8 +66,17 @@ object Streaming {
         } catch {
           case e: Throwable if causeChain(e)
             .exists(_.isInstanceOf[graft.commit.CommitFailedException]) =>
-            // a concurrent committer (zombie failover) won this batch —
-            // its effects are already in the table; skipping is correct
+            // CommitFailedException covers BOTH the fence (a concurrent
+            // committer won this batch — skip) and CAS-retry exhaustion
+            // (nothing committed — skipping would lose the batch).
+            // Verify against the table's metadata before skipping.
+            val store = s.sessionState.catalogManager.catalog(catalogName)
+              .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
+            val committed = store.load(ns, table)._1.snapshots
+              .flatMap(_.summary.get(summaryKey))
+              .flatMap(v => scala.util.Try(v.toLong).toOption)
+              .maxOption.getOrElse(Long.MinValue)
+            if (committed < batchId) throw e
         }
         cached = batchId
       }

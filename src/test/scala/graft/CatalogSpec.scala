@@ -524,5 +524,26 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((nested.map(_.id) :+ info.id :+
       m.currentSchema.fields.find(_.name == "id").get.id).distinct.size == 4)
     assert(m.lastColumnId >= nested.map(_.id).max)
+
+    // a TYPE-level struct evolution (one UpdateColumnType carrying the
+    // whole new struct) must keep surviving nested ids — re-minting them
+    // would sever id resolution to every already-written file
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    import org.apache.spark.sql.types._
+    val idByName = nested.map(f => f.name -> f.id).toMap
+    catalog.alterTable(Identifier.of(Array("nest"), "t"),
+      TableChange.updateColumnType(Array("info"), StructType(Seq(
+        StructField("alpha", LongType), StructField("c", DoubleType),
+        StructField("d", StringType)))))
+    val (m2, _) = catalog.metadataStore.load(Seq("nest"), "t")
+    val nested2 = graft.meta.SchemaBridge.structFields(
+      m2.currentSchema.fields.find(_.name == "info").get.`type`)
+    assert(nested2.find(_.name == "alpha").get.id == idByName("alpha"),
+      "surviving nested field was re-minted a fresh id")
+    assert(nested2.find(_.name == "c").get.id == idByName("c"))
+    assert(!idByName.values.toSet.contains(nested2.find(_.name == "d").get.id))
+    // the old file (pre-everything) still serves alpha through its id
+    assert(spark.sql("SELECT info.alpha FROM graft.nest.t WHERE id = 1")
+      .head.getLong(0) == 10L)
   }
 }

@@ -89,10 +89,52 @@ object CatalogQueries {
     """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_nation
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** Row-level DML inside the correctness gate: a catalog table takes a
+    * copy-on-write DELETE, UPDATE, and MERGE, and the final contents
+    * must hash-match the oracle's relational recomputation of the same
+    * three mutations. Rebuilt from scratch each call (idempotent across
+    * the warmup+timed bench runs). */
+  def q84RowLevelDml(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation_dml")
+    s.sql("""CREATE TABLE graft_q13.tpch.nation_dml
+      (n_nationkey INT, n_name STRING, n_regionkey INT)""")
+    Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .writeTo("graft_q13.tpch.nation_dml").append()
+    s.sql("DELETE FROM graft_q13.tpch.nation_dml WHERE n_regionkey = 2")
+    s.sql("""UPDATE graft_q13.tpch.nation_dml
+      SET n_name = concat(n_name, '!') WHERE n_nationkey < 5""")
+    s.sql("""MERGE INTO graft_q13.tpch.nation_dml t
+      USING (SELECT * FROM VALUES (0, 'ZERO'), (99, 'NEWLAND') AS s(k, nm)) s
+      ON t.n_nationkey = s.k
+      WHEN MATCHED THEN UPDATE SET t.n_name = s.nm
+      WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+        VALUES (s.k, s.nm, -1)""")
+    s.table("graft_q13.tpch.nation_dml").orderBy(col("n_nationkey"))
+  }
+
+  val q84Sql: String =
+    """WITH afterdel AS (
+      |  SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 2),
+      |afterupd AS (
+      |  SELECT n_nationkey,
+      |    CASE WHEN n_nationkey < 5 THEN n_name || '!' ELSE n_name END AS n_name,
+      |    n_regionkey FROM afterdel),
+      |src(k, nm) AS (SELECT * FROM (VALUES (0, 'ZERO'), (99, 'NEWLAND'))),
+      |merged AS (
+      |  SELECT a.n_nationkey, COALESCE(s.nm, a.n_name) AS n_name, a.n_regionkey
+      |  FROM afterupd a LEFT JOIN src s ON a.n_nationkey = s.k
+      |  UNION ALL
+      |  SELECT k, nm, -1 FROM src
+      |  WHERE k NOT IN (SELECT n_nationkey FROM afterupd))
+      |SELECT * FROM merged ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_catalog_scan" -> q13CatalogScan _,
-    "q83_stream_catalog_source" -> q83StreamCatalogSource _)
+    "q83_stream_catalog_source" -> q83StreamCatalogSource _,
+    "q84_row_level_dml" -> q84RowLevelDml _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
-    "q83_stream_catalog_source" -> q83Sql)
+    "q83_stream_catalog_source" -> q83Sql,
+    "q84_row_level_dml" -> q84Sql)
 }

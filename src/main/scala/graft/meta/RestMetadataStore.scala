@@ -255,6 +255,13 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
       "timestamp-ms" -> JInt(ts),
       "file-stats" -> statsJson(stats),
       "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
+    case MetadataUpdate.RewriteFiles(removed, added, ts, stats, extra) => JObject(
+      "action" -> JString("rewrite-files"),
+      "removed-files" -> JArray(removed.map(JString(_))),
+      "added-files" -> JArray(added.map(JString(_))),
+      "timestamp-ms" -> JInt(ts),
+      "file-stats" -> statsJson(stats),
+      "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
     case other => throw new UnsupportedOperationException(
       s"update $other has no wire encoding")
   }

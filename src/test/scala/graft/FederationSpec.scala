@@ -118,4 +118,34 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an out-of-range version surfaces as a missing-table 404
     intercept[Exception] { front.loadVersion(Seq("race"), "t", 99) }
   }
+
+  test("row-level DELETE and streaming rides the wire commit algebra") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS fed.dml")
+    spark.sql("CREATE TABLE fed.dml.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO fed.dml.t VALUES (1, 10), (2, 200)")
+    // copy-on-write rewrite forwarded as the rewrite-files wire verb,
+    // arbitrated by the BACKING committer
+    spark.sql("DELETE FROM fed.dml.t WHERE v > 100")
+    assert(spark.table("fed.dml.t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    spark.sql("UPDATE fed.dml.t SET v = v + 1 WHERE id = 1")
+    assert(spark.table("fed.dml.t").head.getLong(1) == 11L)
+
+    // the streaming source tails the federated table's version deltas
+    import scala.jdk.CollectionConverters._
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.option("from-version", "latest").table("fed.dml.t")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-fed-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        df.collect().foreach(r => seen.add(r.getLong(0))); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      spark.sql("INSERT INTO fed.dml.t VALUES (9, 90)")
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq == Seq(9L))
+    } finally q.stop()
+  }
 }

@@ -59,10 +59,7 @@ private[catalog] class GraftStreamingWrite(
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val rels = messages.collect { case GraftStreamFile(rel) => rel }.toList
     if (watermark == Long.MinValue)
-      watermark = store.load(ns, table)._1.snapshots
-        .flatMap(_.summary.get(summaryKey))
-        .flatMap(v => scala.util.Try(v.toLong).toOption)
-        .maxOption.getOrElse(Long.MinValue)
+      watermark = Commits.maxSummary(store.load(ns, table)._1, summaryKey)
     if (epochId <= watermark) {
       // replayed epoch — its snapshot already committed; the fresh files
       // are orphans of the replay, not data
@@ -75,20 +72,14 @@ private[catalog] class GraftStreamingWrite(
           Seq(MetadataUpdate.AppendFiles(rels, System.currentTimeMillis(), stats,
             Map(summaryKey -> epochId.toString))))
       } catch {
-        case e: Throwable if Iterator.iterate(e)(_.getCause)
-            .takeWhile(_ != null).take(16)
-            .exists(_.isInstanceOf[CommitFailedException]) =>
+        case e: Throwable if Commits.commitFailed(e) =>
           // CommitFailedException covers BOTH the epoch fence (a zombie
           // already committed this epoch — safe to skip) and CAS-retry
           // exhaustion (nothing committed — skipping would silently
           // lose the batch). Only the table's own metadata can tell
           // them apart: verify the epoch really landed before dropping
           // our files, otherwise surface the failure to the engine.
-          val committed = store.load(ns, table)._1.snapshots
-            .flatMap(_.summary.get(summaryKey))
-            .flatMap(v => scala.util.Try(v.toLong).toOption)
-            .maxOption.getOrElse(Long.MinValue)
-          if (committed >= epochId)
+          if (Commits.maxSummary(store.load(ns, table)._1, summaryKey) >= epochId)
             rels.foreach(rel => store.deleteFileIfExists(s"$dataDir/$rel"))
           else throw e
       }

@@ -372,7 +372,17 @@ private[graft] object PartitionTransforms {
     transform match {
       case BucketRe(n) =>
         import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
-        val h = new Murmur3Hash(Seq(Literal.create(v, dt)), 42)
+        // UnsafeRow normalizes -0.0 to 0.0 on write, so stored rows hash
+        // the +0.0 bit pattern; a raw -0.0 literal would hash differently
+        // and wrongly prune the file holding its IEEE-equal rows
+        val canon: Any = v match {
+          case d: java.lang.Double if d.doubleValue() == 0.0 =>
+            java.lang.Double.valueOf(0.0)
+          case f: java.lang.Float if f.floatValue() == 0.0f =>
+            java.lang.Float.valueOf(0.0f)
+          case other => other
+        }
+        val h = new Murmur3Hash(Seq(Literal.create(canon, dt)), 42)
           .eval(null).asInstanceOf[Int]
         Some((((h % n.toInt) + n.toInt) % n.toInt).toString)
       case TruncRe(n) => dt match {
@@ -539,13 +549,18 @@ private[graft] class GraftScanBuilder(
   private def partitionAllows(rel: String, allowed: Map[String, Set[String]]): Boolean = {
     val kvs = PartitionDirs.kvs(rel)
     allowed.forall { case (c, vs) =>
-      // file without the dir key: keep. The Hive default-partition
-      // marker also always keeps: it means "null OR unrenderable" (the
-      // row-level rewrite writes it for values its replay can't render),
-      // so constraining on it could prune real rows
+      // file without the dir key: keep. On a TRANSFORM dir key the Hive
+      // default-partition marker also always keeps: it means "null OR
+      // unrenderable" (the row-level rewrite writes it for values its
+      // replay can't render), so constraining on it could prune real
+      // rows. On an IDENTITY key the marker can only mean NULL (both
+      // writers render every non-null exact-render value), and the
+      // equality/IN constraints here never match null rows — pruning
+      // null-partition files on identity keys stays valid.
       kvs.get(c).forall(v =>
-        v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .DEFAULT_PARTITION_NAME || vs.contains(v))
+        (!partCols.contains(c) &&
+          v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME) || vs.contains(v))
     }
   }
 

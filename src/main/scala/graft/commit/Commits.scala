@@ -46,13 +46,29 @@ object Requirement {
     * of double-appending. */
   final case class AssertMaxSummaryBelow(key: String, value: Long) extends Requirement {
     def check(m: TableMetadata): Option[String] = {
-      val cur = m.snapshots.flatMap(_.summary.get(key))
-        .flatMap(v => scala.util.Try(v.toLong).toOption)
-        .maxOption.getOrElse(Long.MinValue)
+      val cur = Commits.maxSummary(m, key)
       if (cur < value) None
       else Some(s"summary '$key' already committed at $cur >= $value")
     }
   }
+}
+
+/** Shared fence arithmetic, used by [[Requirement.AssertMaxSummaryBelow]]
+  * and by every sink that must tell a FENCE rejection (work already
+  * committed — skip) apart from CAS-retry exhaustion (nothing committed
+  * — surface the failure). */
+object Commits {
+  /** Highest numeric value any snapshot's summary carries for `key`;
+    * Long.MinValue when none does. */
+  def maxSummary(m: TableMetadata, key: String): Long =
+    m.snapshots.flatMap(_.summary.get(key))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .maxOption.getOrElse(Long.MinValue)
+
+  /** Does `e`'s cause chain (bounded) contain a CommitFailedException? */
+  def commitFailed(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(_.isInstanceOf[CommitFailedException])
 }
 
 /** Pure metadata delta; `apply` is total given a valid base (ordering

@@ -97,17 +97,29 @@ object AnnIndex {
       prefix, stamp = Some(v))
   }
 
-  /** Highest corpus version any ivf_cells commit covers — read from the
-    * snapshot summaries through the `$snapshots` inspection table. */
-  private def indexedVersion(s: SparkSession, prefix: String): Int = {
+  /** Highest corpus version any commit of `tableFqn` covers — read from
+    * the snapshot summaries through the `$snapshots` inspection table. */
+  private def maxStamp(s: SparkSession, tableFqn: String): Option[Int] = {
+    val i = tableFqn.lastIndexOf('.')
+    val snap = tableFqn.substring(0, i + 1) +
+      "`" + tableFqn.substring(i + 1) + "$snapshots`"
     val r = s.sql(
-      s"""SELECT max(cast(summary['$IndexedVersionKey'] AS INT))
-         |FROM $prefix.`ivf_cells$$snapshots`""".stripMargin).head
-    if (r.isNullAt(0)) throw new IllegalStateException(
-      s"$prefix.ivf_cells carries no $IndexedVersionKey summary — " +
-        "was the index built with buildFromCorpus?")
-    r.getInt(0)
+      s"SELECT max(cast(summary['$IndexedVersionKey'] AS INT)) FROM $snap").head
+    if (r.isNullAt(0)) None else Some(r.getInt(0))
   }
+
+  /** The corpus version the index covers. Prefers the commit-summary
+    * ledger; falls back to the legacy `graft.indexed-version` table
+    * property older builds stamped, so a persisted artifact predating
+    * the ledger rework still refreshes instead of demanding a rebuild. */
+  private def indexedVersion(s: SparkSession, prefix: String): Int =
+    maxStamp(s, s"$prefix.ivf_cells")
+      .orElse(s.sql(s"SHOW TBLPROPERTIES $prefix.ivf_cells")
+        .filter(col("key") === "graft.indexed-version")
+        .collect().headOption.map(_.getString(1).toInt))
+      .getOrElse(throw new IllegalStateException(
+        s"$prefix.ivf_cells carries no $IndexedVersionKey ledger — " +
+          "was the index built with buildFromCorpus?"))
 
   /** The corpus table's current metadata version via its graft catalog. */
   private def corpusVersion(s: SparkSession, corpusFqn: String): Int = {
@@ -121,7 +133,11 @@ object AnnIndex {
   /** Append `df` to an index table with the version ledger + fence: the
     * commit stamps `v` into its snapshot summary and refuses (inside the
     * CAS loop) if a commit covering >= v already landed — re-running a
-    * crashed or raced refresh can never double-append to THIS table. */
+    * crashed or raced refresh can never double-append to THIS table.
+    * CommitFailedException covers both the fence (slice already indexed
+    * — skip) and CAS-retry exhaustion (nothing committed — swallowing
+    * would silently drop this slice from the index forever); the ledger
+    * on THIS table tells them apart. */
   private def fencedAppend(df: DataFrame, table: String, v: Int): Unit =
     try {
       df.writeTo(table)
@@ -129,10 +145,8 @@ object AnnIndex {
         .option(s"require-summary-max-below.$IndexedVersionKey", v.toString)
         .append()
     } catch {
-      case e: Throwable if Iterator.iterate(e)(_.getCause)
-          .takeWhile(_ != null).take(16)
-          .exists(_.isInstanceOf[graft.commit.CommitFailedException]) =>
-        // this slice is already indexed here (crash re-run) — skip
+      case e: Throwable if graft.commit.Commits.commitFailed(e) =>
+        if (!maxStamp(SparkSession.active, table).exists(_ >= v)) throw e
     }
 
   /** Incremental index refresh after corpus appends: reads ONLY the

@@ -48,10 +48,8 @@ object Streaming {
       if (cached == Long.MinValue) {
         val store = s.sessionState.catalogManager.catalog(catalogName)
           .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
-        cached = store.load(ns, table)._1.snapshots
-          .flatMap(_.summary.get(summaryKey))
-          .flatMap(v => scala.util.Try(v.toLong).toOption)
-          .maxOption.getOrElse(-1L)
+        cached = math.max(-1L,
+          graft.commit.Commits.maxSummary(store.load(ns, table)._1, summaryKey))
       }
       if (batchId > cached) {
         // the read-side watermark alone is racy (a zombie driver and its
@@ -64,28 +62,21 @@ object Streaming {
             .option(s"require-summary-max-below.$summaryKey", batchId.toString)
             .append()
         } catch {
-          case e: Throwable if causeChain(e)
-            .exists(_.isInstanceOf[graft.commit.CommitFailedException]) =>
+          case e: Throwable if graft.commit.Commits.commitFailed(e) =>
             // CommitFailedException covers BOTH the fence (a concurrent
             // committer won this batch — skip) and CAS-retry exhaustion
             // (nothing committed — skipping would lose the batch).
             // Verify against the table's metadata before skipping.
             val store = s.sessionState.catalogManager.catalog(catalogName)
               .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
-            val committed = store.load(ns, table)._1.snapshots
-              .flatMap(_.summary.get(summaryKey))
-              .flatMap(v => scala.util.Try(v.toLong).toOption)
-              .maxOption.getOrElse(Long.MinValue)
-            if (committed < batchId) throw e
+            if (graft.commit.Commits.maxSummary(
+                store.load(ns, table)._1, summaryKey) < batchId) throw e
         }
         cached = batchId
       }
       // else: replayed batch — its snapshot already committed; skip
     }
   }
-
-  private def causeChain(e: Throwable): Iterator[Throwable] =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
 
   /** Raw parquet schema of events (ts read as long nanos — the streaming
     * source gets an explicit schema, same nanos handling as Tables.events). */

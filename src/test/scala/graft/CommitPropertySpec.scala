@@ -59,6 +59,37 @@ class CommitPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("RewriteFiles: exact subset swap, stats follow, stale removals refuse") {
+    val filesGen = Gen.chooseNum(1, 12).map(n =>
+      (0 until n).map(i => s"commit-x/f$i.parquet").toList)
+    check(Prop.forAll(filesGen, Gen.chooseNum(0L, Long.MaxValue)) { (files, seed) =>
+      val stats = files.map(f =>
+        f -> List(ColStatDef("id", "0", "9", 0, Some(1)))).toMap
+      val withData = MetadataUpdate.AppendFiles(files, 1L, stats).apply(base)
+      val rnd = new scala.util.Random(seed)
+      val removed = files.filter(_ => rnd.nextBoolean())
+      val added = List("commit-y/r0.parquet")
+      val addedStats = Map(added.head -> List(ColStatDef("id", "1", "2", 0, Some(1))))
+      val out = MetadataUpdate.RewriteFiles(removed, added, 2L, addedStats)
+        .apply(withData).currentSnapshot.get
+      val expectKept = files.filterNot(removed.toSet)
+      // exact swap: kept ∪ added, nothing lost, nothing invented
+      out.files.toSet == (expectKept ++ added).toSet &&
+        out.files.size == expectKept.size + added.size &&
+        // stats follow the files: removed files' stats gone, kept+added present
+        out.fileStats.keySet == (expectKept ++ added).toSet &&
+        out.summary.get("rewritten-files").contains(removed.size.toString)
+    })
+    // removing a file the current snapshot doesn't hold is refused —
+    // the belt-and-braces invariant under the snapshot-id guard
+    val withData = MetadataUpdate.AppendFiles(List("commit-x/f0.parquet"), 1L)
+      .apply(base)
+    intercept[IllegalArgumentException] {
+      MetadataUpdate.RewriteFiles(List("commit-x/ghost.parquet"), Nil, 2L)
+        .apply(withData)
+    }
+  }
+
   test("OverwritePartitions commutes with appends to untouched partitions") {
     val filesGen = Gen.listOfN(6, Gen.oneOf("a", "b")).map(_.zipWithIndex.map {
       case (c, i) => s"c0/__part_cat=$c/f$i.parquet"

@@ -227,6 +227,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the partitioned-table refusal, got $bad")
   }
 
+  test("streaming sink under append contention: every epoch and append lands") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE graftst.cont")
+    spark.sql("CREATE TABLE graftst.cont.t (user_id BIGINT, value DOUBLE)")
+    val input = MemoryStream[Ev](spark)
+    val q = input.toDF().select($"user_id", $"value")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cont-ckpt").toString)
+      .toTable("graftst.cont.t")
+    // hammer the SAME table with concurrent batch appends while epochs
+    // commit — the fence must never misread a lost CAS race as "epoch
+    // already committed" (that would silently drop the epoch's rows)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val appends = (1 to 12).map { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          Seq((1000L + i, i.toDouble)).toDF("user_id", "value")
+            .writeTo("graftst.cont.t").append()
+      })
+    }
+    try {
+      (1 to 5).foreach { i =>
+        input.addData(ev(i, i.toLong)); q.processAllAvailable()
+      }
+    } finally {
+      appends.foreach(_.get())
+      pool.shutdown()
+      q.stop()
+    }
+    // nothing lost on either side: 5 streamed rows + 12 appended rows
+    val ids = spark.table("graftst.cont.t").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 17, s"expected 17 rows, got ${ids.length}: ${ids.toSeq}")
+    assert((1L to 5L).forall(ids.contains), "a streamed epoch's rows were lost")
+    assert((1001L to 1012L).forall(ids.contains), "a batch append was lost")
+  }
+
   test("table-to-table incremental pipeline: readStream.table into toTable") {
     spark.sql("CREATE NAMESPACE graftst.cdc")
     spark.sql("CREATE TABLE graftst.cdc.src (id BIGINT)")

@@ -196,6 +196,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       config(m.properties), frozen = true)
   }
 
+  /** Time travel by wall clock: `TIMESTAMP AS OF t` loads the largest
+    * metadata version committed at or before `t`. Commit time is the
+    * metadata file's mtime — versions are immutable once written, so
+    * the mtime IS the commit instant; versions already expired (file
+    * gone) simply don't qualify. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val ns = ident.namespace.toSeq
+    if (!store.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
+    val tsMs = Math.floorDiv(timestampMicros, 1000L)
+    val latest = store.currentVersion(ns, ident.name)
+    val v = (1 to latest).filter { v =>
+      store.lastModifiedMs(store.metadataLocation(ns, ident.name, v))
+        .exists(_ <= tsMs)
+    }.maxOption.getOrElse(throw new IllegalArgumentException(
+      s"table ${fullName(ident)} has no version committed at or before " +
+        s"timestamp ${java.time.Instant.ofEpochMilli(tsMs)} " +
+        "(the table is younger, or that history has been expired)"))
+    val m = store.loadVersion(ns, ident.name, v)
+    new GraftTable(fullName(ident), store, ns, ident.name, m, v,
+      config(m.properties), frozen = true)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

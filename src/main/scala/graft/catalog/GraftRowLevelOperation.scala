@@ -1,8 +1,7 @@
 package graft.catalog
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
-import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.hadoop.mapreduce.Job
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -260,9 +259,8 @@ private class GraftRewriteDataWriter(
     dirFields: Seq[GraftRewrite.DirField],
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
-  private val ctx = new TaskAttemptContextImpl(conf,
-    new TaskAttemptID(new TaskID(new JobID("graft-rewrite", 0),
-      TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
+  private val ctx = ParquetTaskWriters.taskContext(conf, "graft-rewrite", 0L,
+    partitionId, taskId)
   private val open = scala.collection.mutable.LinkedHashMap.empty[String, OutputWriter]
   private val rels = scala.collection.mutable.ArrayBuffer.empty[String]
   private var closed = false
@@ -314,11 +312,8 @@ private class GraftRewriteDataWriter(
 
   override def abort(): Unit = {
     close()
-    rels.foreach { rel =>
-      val p = new org.apache.hadoop.fs.Path(
-        s"$absDir/${rel.stripPrefix(relDir + "/")}")
-      p.getFileSystem(conf).delete(p, false)
-    }
+    rels.foreach(rel => ParquetTaskWriters.deleteQuietly(conf,
+      s"$absDir/${rel.stripPrefix(relDir + "/")}"))
   }
 
   override def close(): Unit = if (!closed) {

@@ -17,6 +17,23 @@ import graft.meta._
 /** One committed data file of a streaming epoch. */
 private case class GraftStreamFile(rel: String) extends WriterCommitMessage
 
+/** The Hadoop-task scaffolding both executor-side parquet writers (the
+  * streaming epoch writer and the row-level rewrite writer) share — one
+  * place for the attempt-id construction and the abort cleanup, so the
+  * two writers can't drift apart. */
+private[catalog] object ParquetTaskWriters {
+  def taskContext(conf: Configuration, jobName: String, jobId: Long,
+                  partitionId: Int, taskId: Long): TaskAttemptContextImpl =
+    new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID(new JobID(jobName, (jobId % Int.MaxValue).toInt),
+        TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
+
+  def deleteQuietly(conf: Configuration, absPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(absPath)
+    p.getFileSystem(conf).delete(p, false)
+  }
+}
+
 /** Native STREAMING_WRITE: `df.writeStream.toTable("graft.ns.t")` with
   * no user-written foreachBatch. Executors stream rows straight into
   * parquet files (via the same ParquetFileFormat writer the batch path
@@ -115,10 +132,8 @@ private class GraftStreamingDataWriter(
   private val fileName =
     f"part-$epochId-$partitionId%05d-$taskId${java.util.UUID.randomUUID().toString.take(8)}.parquet"
   private val absPath = s"$absDir/$fileName"
-  private val ctx = new TaskAttemptContextImpl(conf,
-    new TaskAttemptID(new TaskID(new JobID("graft-stream",
-      (epochId % Int.MaxValue).toInt), TaskType.MAP, partitionId),
-      (taskId % Int.MaxValue).toInt))
+  private val ctx = ParquetTaskWriters.taskContext(conf, "graft-stream",
+    epochId, partitionId, taskId)
   private val writer = owf.newInstance(absPath, schema, ctx)
   private var closed = false
 
@@ -131,9 +146,7 @@ private class GraftStreamingDataWriter(
 
   override def abort(): Unit = {
     close()
-    val p = new org.apache.hadoop.fs.Path(absPath)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, false)
+    ParquetTaskWriters.deleteQuietly(conf, absPath)
   }
 
   override def close(): Unit = if (!closed) { closed = true; writer.close() }

@@ -375,6 +375,30 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TIMESTAMP AS OF loads the state committed at or before that instant") {
+    spark.sql("CREATE NAMESPACE snap.tt")
+    spark.sql("CREATE TABLE snap.tt.t (id BIGINT)")
+    spark.sql("INSERT INTO snap.tt.t VALUES (1)")
+    Thread.sleep(1100) // mtime granularity: put a clear gap between commits
+    val between = java.time.Instant.now()
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO snap.tt.t VALUES (2)")
+
+    assert(spark.sql(
+      s"SELECT count(*) FROM snap.tt.t TIMESTAMP AS OF '$between'")
+      .head.getLong(0) == 1L, "timestamp travel must see only the first commit")
+    assert(spark.table("snap.tt.t").count() == 2)
+    // before the table existed: a clear refusal, not an empty result
+    intercept[Exception] {
+      spark.sql("SELECT * FROM snap.tt.t TIMESTAMP AS OF '2001-01-01 00:00:00'")
+        .collect()
+    }
+    // the travelled snapshot is frozen: writes refuse
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO snap.tt.t TIMESTAMP AS OF '$between' VALUES (9)")
+    }
+  }
+
   test("$snapshots serves per-snapshot detail including the summary map") {
     spark.sql("CREATE NAMESPACE snap.sn")
     spark.sql("CREATE TABLE snap.sn.t (id BIGINT, cat STRING) PARTITIONED BY (cat)")

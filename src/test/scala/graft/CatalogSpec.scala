@@ -482,6 +482,29 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!catalog.metadataStore.namespaceExists(Seq("resid")))
   }
 
+  test("CTAS, partitioned CTAS, and RTAS create through the catalog") {
+    spark.sql("CREATE NAMESPACE graft.ctas")
+    spark.sql("CREATE TABLE graft.ctas.src (id BIGINT, cat STRING)")
+    spark.sql("INSERT INTO graft.ctas.src VALUES (1,'a'),(2,'b'),(3,'b')")
+
+    spark.sql("CREATE TABLE graft.ctas.t AS SELECT id, cat FROM graft.ctas.src WHERE id > 1")
+    assert(spark.table("graft.ctas.t").count() == 2)
+
+    // partitioned CTAS lays out the physical partition dirs like any
+    // other write — pruning and partition-boundary ops work from birth
+    spark.sql("""CREATE TABLE graft.ctas.p PARTITIONED BY (cat)
+      AS SELECT id, cat FROM graft.ctas.src""")
+    val (m, _) = catalog.metadataStore.load(Seq("ctas"), "p")
+    assert(m.currentSnapshot.get.files.forall(_.contains("__part_cat=")))
+    spark.sql("DELETE FROM graft.ctas.p WHERE cat = 'b'")
+    assert(spark.table("graft.ctas.p").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // RTAS replaces schema + contents; history starts fresh
+    spark.sql("REPLACE TABLE graft.ctas.t AS SELECT cat FROM graft.ctas.src")
+    assert(spark.table("graft.ctas.t").columns.toSeq == Seq("cat"))
+    assert(spark.table("graft.ctas.t").count() == 3)
+  }
+
   test("nested schema evolution: add, rename, and delete inside a struct") {
     spark.sql("CREATE NAMESPACE graft.nest")
     spark.sql("""CREATE TABLE graft.nest.t

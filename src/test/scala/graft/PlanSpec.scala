@@ -239,4 +239,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"as-of join degenerated to NLJ:\n$plan")
   }
+
+  test("row-level rewrite scan never pushes data filters to the delegate") {
+    // LOAD-BEARING: the ReplaceData write-back needs EVERY surviving row
+    // of an affected file. If the rewrite scan ever hands the command
+    // condition to the parquet delegate, row groups holding only
+    // non-matching rows get skipped and their rows silently vanish from
+    // the rewrite. The batch read of the same table MUST still push.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rw")
+    spark.sql("CREATE TABLE graft.rw.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.rw.t VALUES (1, 10), (2, 200)")
+
+    val batchPlan = spark.sql("SELECT * FROM graft.rw.t WHERE v > 100")
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,100)]"),
+      s"batch scan lost its pushdown:\n$batchPlan")
+
+    val rewritePlan = spark.sql(
+      "EXPLAIN FORMATTED DELETE FROM graft.rw.t WHERE v > 100")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(rewritePlan.contains("ReplaceData"), s"not a rewrite:\n$rewritePlan")
+    assert(!rewritePlan.contains("GreaterThan(v,100)"),
+      s"rewrite scan pushed the command condition to the delegate " +
+        s"(row-group skipping would drop surviving rows):\n$rewritePlan")
+  }
 }

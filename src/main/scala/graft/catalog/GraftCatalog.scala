@@ -379,6 +379,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   def rollback(ident: Identifier, snapshotId: Long): TableMetadata =
     commit(ident, Nil, Seq(MetadataUpdate.SetCurrentSnapshot(snapshotId)))
 
+  /** Partition-spec EVOLUTION: re-partition future writes without
+    * touching a byte of existing data — a pure metadata commit that adds
+    * a new default spec (the old one stays in `specs` for history).
+    * Existing files keep their old layout and remain fully scannable
+    * (files lacking a dir key are never pruned on it); writes from the
+    * next load lay out the new dirs. Partition-boundary DELETE/overwrite
+    * refuse on the mixed table — by design, they demand every file carry
+    * the referenced keys — and [[compact]] rewrites everything under the
+    * new spec, after which they work again. Guarded on the CURRENT
+    * default spec so two racing evolutions can't both win. */
+  def evolvePartitionSpec(ident: Identifier,
+                          partitions: Array[Transform]): TableMetadata = {
+    val ns = ident.namespace.toSeq
+    val (base, _) = store.load(ns, ident.name)
+    val byName = base.currentSchema.fields.map(f => f.name -> f.id).toMap
+    val fields = partitions.toList.map(t => TransformBridge.toField(t, byName))
+    val newSpec = PartitionSpecDef(
+      base.specs.map(_.specId).max + 1, fields)
+    commit(ident,
+      Seq(Requirement.AssertDefaultSpecId(base.defaultSpecId)),
+      Seq(MetadataUpdate.AddPartitionSpec(newSpec)))
+  }
+
   /** Maintenance: retain only the `keep` most recent metadata versions'
     * reachable state — deletes data files referenced by no retained
     * snapshot and removes older metadata versions. Time travel reaches

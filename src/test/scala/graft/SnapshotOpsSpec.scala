@@ -375,6 +375,59 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partition-spec evolution: new layout for new writes, old files intact") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    spark.sql("CREATE NAMESPACE snap.evo")
+    spark.sql("CREATE TABLE snap.evo.t (id BIGINT, cat STRING)")
+    spark.sql("INSERT INTO snap.evo.t VALUES (1,'a'),(2,'b')") // pre-evolution
+
+    catalog.evolvePartitionSpec(Identifier.of(Array("evo"), "t"),
+      Array(Expressions.identity("cat")))
+    spark.sql("INSERT INTO snap.evo.t VALUES (3,'a'),(4,'c')") // post-evolution
+
+    val (m, _) = catalog.metadataStore.load(Seq("evo"), "t")
+    val files = m.currentSnapshot.get.files
+    // mixed layout: old files untouched (no dirs), new files partitioned
+    assert(files.exists(!_.contains("__part_cat=")), "old files were rewritten")
+    assert(files.exists(_.contains("__part_cat=a")), "new writes not partitioned")
+    // both layouts serve queries correctly — a cat filter must reach
+    // rows in BOTH (old files are never pruned on a key they lack)
+    assert(spark.sql("SELECT id FROM snap.evo.t WHERE cat = 'a'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+
+    // partition-boundary DELETE refuses on the mixed table (old files
+    // can't be decided), and the row-level copy-on-write path covers it
+    spark.sql("DELETE FROM snap.evo.t WHERE cat = 'b'")
+    assert(catalog.metadataStore.load(Seq("evo"), "t")
+      ._1.currentSnapshot.get.operation == "rewrite")
+    assert(spark.table("snap.evo.t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+
+    // compaction rewrites everything under the NEW spec; boundary ops
+    // work from then on (metadata-only delete again)
+    catalog.compact(Identifier.of(Array("evo"), "t"), targetFileCount = 1)
+    val (m2, _) = catalog.metadataStore.load(Seq("evo"), "t")
+    assert(m2.currentSnapshot.get.files.forall(_.contains("__part_cat=")),
+      "compaction did not restore a uniform layout")
+    spark.sql("DELETE FROM snap.evo.t WHERE cat = 'c'")
+    val (m3, _) = catalog.metadataStore.load(Seq("evo"), "t")
+    assert(m3.currentSnapshot.get.summary.contains("deleted-files"),
+      "expected a metadata-only partition delete after compaction")
+    assert(spark.table("snap.evo.t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+
+    // racing evolutions: the loser's stale default-spec guard fails
+    val (b2, _) = catalog.metadataStore.load(Seq("evo"), "t")
+    catalog.evolvePartitionSpec(Identifier.of(Array("evo"), "t"),
+      Array(Expressions.bucket(4, "id")))
+    intercept[graft.commit.CommitFailedException] {
+      catalog.metadataStore.commitOps(Seq("evo"), "t",
+        Seq(graft.commit.Requirement.AssertDefaultSpecId(b2.defaultSpecId)),
+        Seq(graft.commit.MetadataUpdate.AddPartitionSpec(
+          graft.meta.PartitionSpecDef(99, Nil))))
+    }
+  }
+
   test("TIMESTAMP AS OF loads the state committed at or before that instant") {
     spark.sql("CREATE NAMESPACE snap.tt")
     spark.sql("CREATE TABLE snap.tt.t (id BIGINT)")

@@ -359,7 +359,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         store.dataDir(ns, ident.name), newFiles)
       try {
         return commit(ident,
-          Seq(Requirement.AssertCurrentSnapshotId(base.currentSnapshotId)),
+          Seq(Requirement.AssertCurrentSnapshotId(base.currentSnapshotId),
+            // a racing spec evolution changes no snapshot — without this
+            // guard the compaction would silently rewrite the whole
+            // table under the OLD layout
+            Requirement.AssertDefaultSpecId(base.defaultSpecId)),
           Seq(MetadataUpdate.ReplaceFiles(newFiles, System.currentTimeMillis(), stats)))
       } catch {
         case e: CommitFailedException =>
@@ -394,12 +398,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val ns = ident.namespace.toSeq
     val (base, _) = store.load(ns, ident.name)
     val byName = base.currentSchema.fields.map(f => f.name -> f.id).toMap
+    val specId = base.specs.map(_.specId).max + 1
+    // a new spec must never REUSE a dir-key name an earlier spec bound
+    // to DIFFERENT transform semantics (bucket[4]→bucket[8] both default
+    // to `<col>_bucket`): old files' dirs would replay under the new
+    // transform and wrongly prune — or worse, wrongly overwrite — their
+    // rows. Identical (name, transform) pairs may share (same
+    // semantics); colliding ones get a spec-qualified name, which old
+    // files simply don't carry (never pruned, boundary ops refuse until
+    // compaction — the safe mixed-layout behavior).
+    val priorByName = base.specs.flatMap(_.fields)
+      .map(f => f.name -> f.transform).toMap
     val fields = partitions.toList.map(t => TransformBridge.toField(t, byName))
-    val newSpec = PartitionSpecDef(
-      base.specs.map(_.specId).max + 1, fields)
+      .map { f =>
+        if (f.transform != "identity" &&
+            priorByName.get(f.name).exists(_ != f.transform))
+          f.copy(name = s"${f.name}_v$specId")
+        else f
+      }
     commit(ident,
-      Seq(Requirement.AssertDefaultSpecId(base.defaultSpecId)),
-      Seq(MetadataUpdate.AddPartitionSpec(newSpec)))
+      Seq(Requirement.AssertDefaultSpecId(base.defaultSpecId),
+        // the sourceIds were resolved against THIS schema; a racing
+        // column drop must fail the evolution, not leave a default spec
+        // pointing at a dead field
+        Requirement.AssertCurrentSchemaId(base.currentSchemaId)),
+      Seq(MetadataUpdate.AddPartitionSpec(
+        PartitionSpecDef(specId, fields))))
   }
 
   /** Maintenance: retain only the `keep` most recent metadata versions'

@@ -216,8 +216,11 @@ object MetadataUpdate {
         fileStats = stats)).apply(m)
   }
   final case class AddPartitionSpec(spec: PartitionSpecDef) extends MetadataUpdate {
-    def apply(m: TableMetadata): TableMetadata =
+    def apply(m: TableMetadata): TableMetadata = {
+      require(!m.specs.exists(_.specId == spec.specId),
+        s"partition spec id ${spec.specId} already present")
       m.copy(specs = m.specs :+ spec, defaultSpecId = spec.specId)
+    }
   }
   /** Rollback: re-point the current snapshot at an existing (older)
     * snapshot. History is preserved — nothing is deleted, and a later

@@ -426,6 +426,25 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(graft.commit.MetadataUpdate.AddPartitionSpec(
           graft.meta.PartitionSpecDef(99, Nil))))
     }
+
+    // changing a transform's PARAMETER may not reuse the old dir-key
+    // name: old bucket[4] dirs would replay under mod-8 and wrongly
+    // prune (or overwrite) their files — the new field gets a
+    // spec-qualified name old files simply don't carry
+    catalog.evolvePartitionSpec(Identifier.of(Array("evo"), "t"),
+      Array(Expressions.bucket(8, "id")))
+    val (m4, _) = catalog.metadataStore.load(Seq("evo"), "t")
+    val defSpec = m4.specs.find(_.specId == m4.defaultSpecId).get
+    assert(defSpec.fields.head.name.startsWith("id_bucket_v"),
+      s"colliding bucket dir key not spec-qualified: ${defSpec.fields}")
+    assert(spark.table("snap.evo.t").count() == 2) // rows all still served
+
+    // duplicate spec ids are rejected at the commit algebra
+    intercept[Exception] {
+      catalog.metadataStore.commitOps(Seq("evo"), "t", Nil,
+        Seq(graft.commit.MetadataUpdate.AddPartitionSpec(
+          graft.meta.PartitionSpecDef(m4.defaultSpecId, Nil))))
+    }
   }
 
   test("TIMESTAMP AS OF loads the state committed at or before that instant") {

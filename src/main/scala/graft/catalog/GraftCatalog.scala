@@ -407,12 +407,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // semantics); colliding ones get a spec-qualified name, which old
     // files simply don't carry (never pruned, boundary ops refuse until
     // compaction — the safe mixed-layout behavior).
-    val priorByName = base.specs.flatMap(_.fields)
-      .map(f => f.name -> f.transform).toMap
+    val priorByName: Map[String, Set[String]] = base.specs.flatMap(_.fields)
+      .groupBy(_.name).view.mapValues(_.map(_.transform).toSet).toMap
     val fields = partitions.toList.map(t => TransformBridge.toField(t, byName))
       .map { f =>
+        // rename if ANY prior spec bound this name differently — not
+        // just the latest (two pre-existing specs can disagree)
         if (f.transform != "identity" &&
-            priorByName.get(f.name).exists(_ != f.transform))
+            priorByName.get(f.name).exists(_ != Set(f.transform)))
           f.copy(name = s"${f.name}_v$specId")
         else f
       }

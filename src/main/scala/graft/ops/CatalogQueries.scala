@@ -129,12 +129,47 @@ object CatalogQueries {
       |  WHERE k NOT IN (SELECT n_nationkey FROM afterupd))
       |SELECT * FROM merged ORDER BY n_nationkey""".stripMargin
 
+  /** Partition-spec evolution inside the correctness gate: half the
+    * rows land BEFORE the table is partitioned, half after, and a
+    * partition-filtered read over the mixed layout must hash-match the
+    * oracle — proving old-layout files are never wrongly pruned and
+    * new-layout files prune correctly. Rebuilt each call (idempotent
+    * across the warmup+timed bench runs). */
+  def q85PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation_evo")
+    s.sql("""CREATE TABLE graft_q13.tpch.nation_evo
+      (n_nationkey INT, n_name STRING, n_regionkey INT)""")
+    val nation = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    nation.filter(col("n_regionkey") < 2)
+      .writeTo("graft_q13.tpch.nation_evo").append()      // old layout
+    val cat = s.sessionState.catalogManager.catalog("graft_q13")
+      .asInstanceOf[GraftCatalog]
+    cat.evolvePartitionSpec(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("tpch"), "nation_evo"),
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .identity("n_regionkey")))
+    nation.filter(col("n_regionkey") >= 2)
+      .writeTo("graft_q13.tpch.nation_evo").append()      // new layout
+    s.table("graft_q13.tpch.nation_evo")
+      .filter(col("n_regionkey").isin(1, 3))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val q85Sql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey IN (1, 3) ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_catalog_scan" -> q13CatalogScan _,
     "q83_stream_catalog_source" -> q83StreamCatalogSource _,
-    "q84_row_level_dml" -> q84RowLevelDml _)
+    "q84_row_level_dml" -> q84RowLevelDml _,
+    "q85_partition_evolution" -> q85PartitionEvolution _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
     "q83_stream_catalog_source" -> q83Sql,
-    "q84_row_level_dml" -> q84Sql)
+    "q84_row_level_dml" -> q84Sql,
+    "q85_partition_evolution" -> q85Sql)
 }

@@ -70,6 +70,33 @@ class HadoopStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SHOW TABLES IN ghdfs.ns").count() == 0)
   }
 
+  test("row-level rewrite and native streaming write run on the Hadoop store") {
+    // both executor-side writers open files straight through the Hadoop
+    // FileSystem API (no POSIX assumption) — prove it on hdfslike://
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghdfs.rw")
+    spark.sql("CREATE TABLE ghdfs.rw.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO ghdfs.rw.t VALUES (1, 10), (2, 200)")
+    spark.sql("DELETE FROM ghdfs.rw.t WHERE v > 100")
+    assert(spark.table("ghdfs.rw.t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    spark.sql("UPDATE ghdfs.rw.t SET v = v + 1 WHERE id = 1")
+    assert(spark.table("ghdfs.rw.t").head.getLong(1) == 11L)
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    spark.sql("CREATE TABLE ghdfs.rw.s (id BIGINT)")
+    val input = MemoryStream[Long](spark)
+    val q = input.toDF().select($"value".as("id"))
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-hdfs-ckpt").toString)
+      .toTable("ghdfs.rw.s")
+    try {
+      input.addData(7L, 8L); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("ghdfs.rw.s").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(7L, 8L))
+  }
+
   test("CAS on the Hadoop store: one winner per version, retries converge") {
     val store = catalog.metadataStore
     store.createNamespace(Seq("race"), Map.empty)

@@ -27,7 +27,8 @@ object MetadataTables {
   // one structure drives both the name-resolution set and the dispatch,
   // so adding a kind can't produce a resolvable-but-unbuildable name
   private val builders: Map[String, (String, TableMetadata) => Table] =
-    Map("history" -> history, "files" -> files, "snapshots" -> snapshots)
+    Map("history" -> history, "files" -> files, "snapshots" -> snapshots,
+      "partitions" -> partitions)
 
   val Kinds: Set[String] = builders.keySet
 
@@ -85,6 +86,27 @@ object MetadataTables {
         m.currentSnapshotId.contains(s.snapshotId))): InternalRow
     }.toArray
     new RowsTable(fqn + "$snapshots", schema, rows)
+  }
+
+  /** `t$partitions`: current snapshot's files rolled up by partition
+    * value — the "which partitions exist and how lopsided are they"
+    * question every maintenance decision (compaction targets, skew)
+    * starts from. Files without the full layout (written before a spec
+    * evolution) group under their own partial key. */
+  private def partitions(fqn: String, m: TableMetadata): Table = {
+    val schema = StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false)))
+    val rows: Array[InternalRow] =
+      m.currentSnapshot.map(_.files).getOrElse(Nil)
+        .groupBy(f => PartitionDirs.kvs(f).toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString("/"))
+        .toSeq.sortBy(_._1)
+        .map { case (part, fs) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(part), fs.size)): InternalRow
+        }.toArray
+    new RowsTable(fqn + "$partitions", schema, rows)
   }
 
   private def files(fqn: String, m: TableMetadata): Table = {

@@ -494,6 +494,20 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
   }
 
+  test("$partitions rolls up the current snapshot by partition value") {
+    spark.sql("CREATE NAMESPACE snap.pt")
+    spark.sql("CREATE TABLE snap.pt.t (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO snap.pt.t VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO snap.pt.t VALUES (3,'a')")
+
+    val rows = spark.sql("SELECT * FROM snap.pt.`t$partitions` ORDER BY partition")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq
+    assert(rows == Seq("cat=a" -> 2, "cat=b" -> 1), s"got $rows")
+    val plan = spark.sql("SELECT * FROM snap.pt.`t$partitions`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
+  }
+
   test("many-file appends still harvest stats for every file") {
     spark.sql("CREATE NAMESPACE snap.mf")
     spark.sql("CREATE TABLE snap.mf.t (id BIGINT, v DOUBLE)")

@@ -75,12 +75,43 @@ private[graft] class GraftMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** Scan wrapper that adds the micro-batch surface while forwarding the
-  * batch path (and its statistics, which drive broadcast decisions)
-  * untouched to the parquet delegate. */
-private[graft] class GraftScan(delegate: Scan,
-                               mkStream: String => MicroBatchStream)
-  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+/** Scan wrapper that adds the micro-batch surface and runtime file
+  * pruning while forwarding the batch path (and its statistics, which
+  * drive broadcast decisions) untouched to the parquet delegate.
+  *
+  * Runtime filtering is the DSv2 analog of dynamic partition pruning:
+  * on an equi-join whose other side is selective, Catalyst's
+  * PartitionPruning rule injects a DynamicPruningSubquery keyed on one
+  * of [[filterAttributes]] (the table's partition SOURCE columns), and
+  * at execution BatchScanExec hands the subquery's value set here as an
+  * `In` filter — [[filter]] folds it into the manifest pruner (partition
+  * dirs, transform replay, min/max stats) and rebuilds the delegate over
+  * the surviving files, so `fact JOIN dim WHERE dim.region='EU'` reads
+  * only the EU partition files of a 100 TB fact table even though the
+  * literal predicate never touches the fact side. The same surface also
+  * narrows copy-on-write row-level rewrites (Spark's runtime group
+  * filtering): `refilter` re-fires the builder's onBuild hook so the
+  * rewrite commits exactly the re-pruned affected-file set. */
+private[graft] class GraftScan(delegate0: Scan,
+                               mkStream: String => MicroBatchStream,
+                               runtimeAttrs: Seq[String] = Nil,
+                               refilter: Array[org.apache.spark.sql.sources.Filter] => Scan =
+                                 _ => null)
+  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private var delegate: Scan = delegate0
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    runtimeAttrs.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    if (filters.nonEmpty) {
+      val re = refilter(filters)
+      if (re != null) delegate = re
+    }
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()

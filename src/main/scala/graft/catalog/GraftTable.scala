@@ -756,14 +756,38 @@ private[graft] class GraftScanBuilder(
     delegate.build()
   }
 
+  /** Columns runtime (join-driven) filters can prune files on: exact-render
+    * identity partition columns and transform source columns — the set the
+    * manifest pruner knows how to replay. Declaring more would cost a
+    * runtime subquery per equi-join without ever skipping a file. */
+  private def runtimeFilterAttrs: Seq[String] =
+    (partCols.filter(exactRenderIdentity) ++ transformBySrc.keys).distinct
+
+  /** Fold runtime `In` filters into the pushed set and re-prune: dir
+    * replay, range keys, and min/max stats all consume `pushed`, so a
+    * runtime value set narrows files exactly like a literal predicate.
+    * Re-fires onBuild — a row-level rewrite narrowed at runtime must
+    * commit the NARROWED affected-file set, never the planning-time one. */
+  private def runtimeRefilter(
+      fs: Array[Filter]): org.apache.spark.sql.connector.read.Scan = {
+    pushed = pushed ++ fs
+    val re = prunedRelFiles
+    onBuild(re)
+    delegateScanFor(re)
+  }
+
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val pruned = prunedRelFiles
     onBuild(pruned)
     val batchScan = delegateScanFor(pruned)
     streamSource match {
-      case None => batchScan
+      case None =>
+        new GraftScan(batchScan,
+          cp => batchScan.toMicroBatchStream(cp), // unreachable: no stream source
+          runtimeFilterAttrs, runtimeRefilter)
       case Some((store, ns, table)) =>
-        new GraftScan(batchScan, _ => {
+        new GraftScan(batchScan, runtimeAttrs = runtimeFilterAttrs,
+          refilter = runtimeRefilter, mkStream = _ => {
           val start = Option(options.get("from-version")) match {
             case Some(v) if v.equalsIgnoreCase("latest") =>
               store.currentVersion(ns, table)

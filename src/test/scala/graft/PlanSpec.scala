@@ -168,6 +168,49 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no dynamic partition pruning in:\n$plan")
   }
 
+  test("runtime In filters prune catalog files; DPP reaches the DSv2 scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rtf")
+    spark.sql("CREATE TABLE graft.rtf.fact (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO graft.rtf.fact VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    spark.sql("CREATE TABLE graft.rtf.dim (cat STRING, flag INT)")
+    spark.sql("INSERT INTO graft.rtf.dim VALUES ('b', 1), ('c', 0)")
+
+    // unit surface: BatchScanExec hands runtime join-key values to the
+    // scan as an In filter — the manifest re-prunes to the matching file
+    val table = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("rtf"), "fact"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val builder = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .asInstanceOf[graft.catalog.GraftScanBuilder]
+    val scan = builder.build()
+    val attrs = scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      .filterAttributes().map(_.describe).toSeq
+    assert(attrs == Seq("cat"), s"runtime-filterable attrs: $attrs")
+    val before = builder.prunedRelFiles.size
+    scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("cat", Array[Any]("b"))))
+    val after = builder.prunedRelFiles
+    assert(before == 4 && after.size == 1,
+      s"expected 4 -> 1 files, got $before -> ${after.size}")
+    assert(after.head.contains("__part_cat=b"), after.mkString("\n"))
+    assert(scan.toBatch.planInputPartitions().nonEmpty)
+
+    // end-to-end: a selective dim join injects dynamic pruning on the
+    // fact scan (dim filter on a non-key attribute — not statically
+    // rewritable), and the join result is right
+    val df = spark.table("graft.rtf.fact")
+      .join(spark.table("graft.rtf.dim").filter(col("flag") === 1), Seq("cat"))
+    val plan = planOf(df)
+    assert(plan.contains("dynamicpruning") || plan.contains("RuntimeFilters"),
+      s"no runtime filter injected on the catalog scan:\n$plan")
+    assert(df.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("time-range filters prune hour-partitioned dirs, rows unchanged") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tsprune")
     spark.sql("""CREATE TABLE graft.tsprune.ev (id BIGINT, ts TIMESTAMP)

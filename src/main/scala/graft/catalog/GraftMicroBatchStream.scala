@@ -42,7 +42,18 @@ private[graft] class GraftMicroBatchStream(
 
   private def filesAt(v: Int): Seq[String] =
     if (v <= 0) Nil
-    else store.loadVersion(ns, table, v).currentSnapshot.map(_.files).getOrElse(Nil)
+    else {
+      val snap = store.loadVersion(ns, table, v).currentSnapshot
+      // deletes committed MID-STREAM would need retractions the source
+      // cannot emit — fail the stream rather than deliver deleted rows
+      snap.filter(_.deleteFiles.nonEmpty).foreach { s =>
+        throw new UnsupportedOperationException(
+          s"streaming read of ${(ns :+ table).mkString(".")}: version $v " +
+            s"carries ${s.deleteFiles.size} merge-on-read delete file(s) — " +
+            "compact the table to fold them in before streaming")
+      }
+      snap.map(_.files).getOrElse(Nil)
+    }
 
   override def initialOffset(): Offset = GraftSourceOffset(startVersion)
 

@@ -62,7 +62,12 @@ private[catalog] class GraftRowLevelOperation(
       meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
       transformSpecs,
       groupPruneOnly = true,
-      onBuild = files => affectedFiles = Some(files))
+      onBuild = files => affectedFiles = Some(files),
+      // a rewrite of delete-affected files must read through the deletes
+      // — its output replaces those files, and resurrecting masked rows
+      // would silently undo earlier merge-on-read DML
+      deleteFiles = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil),
+      fileSeqs = meta.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

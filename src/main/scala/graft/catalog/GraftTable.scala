@@ -126,7 +126,9 @@ class GraftTable(tableName: String, store: MetaStore,
       identityPartCols, schema(), options,
       meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
       transformPartSpecs,
-      streamSource = Some((store, ns, table)))
+      streamSource = Some((store, ns, table)),
+      deleteFiles = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil),
+      fileSeqs = meta.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty))
 
   /** Partition-boundary metadata DELETE (`DELETE FROM t WHERE cat='b'`):
     * when every conjunct is an equality/IN on an identity-partitioned
@@ -195,8 +197,19 @@ class GraftTable(tableName: String, store: MetaStore,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     if (frozen) throw new UnsupportedOperationException(
       "cannot mutate a time-travel snapshot")
-    () => new GraftRowLevelOperation(store, ns, table, tableName, meta,
-      info.command())
+    val cmdName = info.command() match {
+      case org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE =>
+        "delete"
+      case org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE =>
+        "update"
+      case _ => "merge"
+    }
+    () =>
+      if (MergeOnRead.morMode(mergedProps, cmdName))
+        new GraftDeltaOperation(store, ns, table, tableName, meta,
+          info.command(), mergedProps)
+      else new GraftRowLevelOperation(store, ns, table, tableName, meta,
+        info.command())
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -469,7 +482,9 @@ private[graft] class GraftScanBuilder(
     transformSpecs: Seq[(String, String, String)] = Nil,
     streamSource: Option[(graft.meta.MetaStore, Seq[String], String)] = None,
     groupPruneOnly: Boolean = false,
-    onBuild: Seq[String] => Unit = _ => ())
+    onBuild: Seq[String] => Unit = _ => (),
+    deleteFiles: Seq[graft.meta.DeleteFileDef] = Nil,
+    fileSeqs: Map[String, Long] = Map.empty)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -729,6 +744,10 @@ private[graft] class GraftScanBuilder(
     * construction shared by the batch path (pruned manifest files) and
     * the micro-batch stream (per-batch version deltas). */
   private[graft] def delegateScanFor(rels: Seq[String])
+      : org.apache.spark.sql.connector.read.Scan =
+    delegateScanWith(rels, requiredSchema)
+
+  private def delegateScanWith(rels: Seq[String], readSchema: StructType)
       : org.apache.spark.sql.connector.read.Scan = {
     val files = rels.map(rel => s"$dataDir/$rel")
     val spark = SparkSession.active
@@ -742,7 +761,7 @@ private[graft] class GraftScanBuilder(
     val delegate = ParquetTable(tableName, spark, options, files,
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)
-    delegate.pruneColumns(requiredSchema)
+    delegate.pruneColumns(readSchema)
     // hand the pushed filters to the delegate for row-group skipping
     // through its public Catalyst pushdown surface (FileScanBuilder.
     // pushFilters translates + records them as pushedDataFilters) — no
@@ -754,6 +773,71 @@ private[graft] class GraftScanBuilder(
     if (!groupPruneOnly)
       delegate.pushFilters(pushed.toSeq.flatMap(toCatalyst))
     delegate.build()
+  }
+
+  /** Equality-delete files applying to `rel`: those committed at a
+    * sequence strictly above the file's added-sequence (files predating
+    * sequence tracking default to 0 — older than every delete). */
+  private def applicableDeletes(rel: String): Seq[graft.meta.DeleteFileDef] = {
+    val seq = fileSeqs.getOrElse(rel, 0L)
+    deleteFiles.filter(_.seq > seq)
+  }
+
+  /** The scan over `rels` with merge-on-read deletes applied (see
+    * [[MergeOnRead]]): files no delete touches keep the plain vectorized
+    * delegate; delete-affected groups read row-based behind a
+    * subtract-the-keys filter over a key-widened read schema. */
+  private def morScanFor(rels: Seq[String])
+      : org.apache.spark.sql.connector.read.Scan = {
+    if (deleteFiles.isEmpty) return delegateScanFor(rels)
+    val grouped = rels.groupBy(r => applicableDeletes(r).map(_.path).toSet)
+      .values.toSeq.map(fs => (applicableDeletes(fs.head), fs))
+    val cleanFiles = grouped.filter(_._1.isEmpty).flatMap(_._2)
+    val dirtyGroups = grouped.filter(_._1.nonEmpty)
+      .sortBy(_._2.headOption.getOrElse("")) // deterministic plan order
+    if (dirtyGroups.isEmpty) return delegateScanFor(rels)
+
+    val allDeletes = dirtyGroups.flatMap(_._1).distinct
+    val totalRows = allDeletes.map(_.rows).sum
+    require(totalRows <= MergeOnRead.MaxDeleteRows,
+      s"$totalRows live delete rows exceed the merge-on-read bound " +
+        s"(${MergeOnRead.MaxDeleteRows}) — compact table $tableName first")
+
+    // load each delete file's key set ONCE on the driver; executors get
+    // the sets inside the reader factory (task-binary broadcast)
+    val spark = SparkSession.active
+    val keysByFile: Map[String, Set[List[Any]]] = allDeletes.map { df =>
+      val names = df.keyFieldIds.map(MergeOnRead.nameOfFieldId(tableSchema, _))
+      val keySchema = StructType(names.map(n =>
+        tableSchema.fields(tableSchema.fieldIndex(n))))
+      val rows = spark.read.schema(keySchema).parquet(s"$dataDir/${df.path}")
+        .collect()
+      df.path -> rows.map(r => (0 until keySchema.length)
+        .map(i => r.get(i)).toList).toSet
+    }.toMap
+
+    val statsScan = delegateScanFor(rels)
+    val cleanScan = if (cleanFiles.nonEmpty) Some(delegateScanFor(cleanFiles))
+      else None
+    val dirty = dirtyGroups.map { case (dels, fs) =>
+      val keyIdSets = dels.groupBy(_.keyFieldIds).toSeq.sortBy(_._1.mkString(","))
+      val allKeyNames = keyIdSets.flatMap(_._1).distinct
+        .map(MergeOnRead.nameOfFieldId(tableSchema, _))
+      val missing = allKeyNames.filterNot(requiredSchema.fieldNames.contains)
+      val extended = StructType(requiredSchema.fields ++
+        missing.map(n => tableSchema.fields(tableSchema.fieldIndex(n))))
+      val preds = keyIdSets.map { case (ids, dfs) =>
+        val names = ids.map(MergeOnRead.nameOfFieldId(tableSchema, _))
+        val ords = names.map(extended.fieldIndex).toArray
+        val types = ords.map(extended.fields(_).dataType)
+        MorPredicate(ords, types,
+          dfs.map(d => keysByFile(d.path)).reduce(_ union _))
+      }
+      val keep = if (missing.isEmpty) -1 else requiredSchema.length
+      val spec = MorSpec(preds, keep, requiredSchema.fields.map(_.dataType))
+      (delegateScanWith(fs, extended), spec)
+    }
+    new MorScan(statsScan, cleanScan, dirty)
   }
 
   /** Columns runtime (join-driven) filters can prune files on: exact-render
@@ -773,13 +857,13 @@ private[graft] class GraftScanBuilder(
     pushed = pushed ++ fs
     val re = prunedRelFiles
     onBuild(re)
-    delegateScanFor(re)
+    morScanFor(re)
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val pruned = prunedRelFiles
     onBuild(pruned)
-    val batchScan = delegateScanFor(pruned)
+    val batchScan = morScanFor(pruned)
     streamSource match {
       case None =>
         new GraftScan(batchScan,
@@ -788,6 +872,12 @@ private[graft] class GraftScanBuilder(
       case Some((store, ns, table)) =>
         new GraftScan(batchScan, runtimeAttrs = runtimeFilterAttrs,
           refilter = runtimeRefilter, mkStream = _ => {
+          // a micro-batch is an append-only file delta; equality deletes
+          // committed between offsets would require emitting retractions
+          // — refuse rather than silently stream deleted rows
+          if (deleteFiles.nonEmpty) throw new UnsupportedOperationException(
+            s"streaming read of $tableName: table carries merge-on-read " +
+              "delete files — compact it first")
           val start = Option(options.get("from-version")) match {
             case Some(v) if v.equalsIgnoreCase("latest") =>
               store.currentVersion(ns, table)

@@ -1,0 +1,245 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.meta.{DeleteFileDef, SchemaBridge}
+
+/** Merge-on-read equality-delete application (SURVEY.md §2.B row-level
+  * DML; the read-side dual of [[graft.commit.MetadataUpdate.RowDelta]]).
+  *
+  * A snapshot's delete files are small parquet files of identifier-column
+  * values. A data row is live iff no delete file with a HIGHER sequence
+  * than the row's file carries its key. The scan splits the pruned file
+  * list by applicable-delete set: files no delete touches keep the
+  * untouched vectorized parquet path; files with applicable deletes read
+  * row-based through a filter that subtracts the key set (loaded once on
+  * the driver, shipped inside the reader factory — bounded by the
+  * delete-row guard, folded away entirely by compaction).
+  *
+  * Scale shape: the 100 TB corpus stays on the columnar fast path except
+  * for exactly the files a delete touches, the delete keys move once per
+  * stage (task-binary broadcast), and no data file is ever rewritten on
+  * the DML path itself.
+  */
+private[graft] object MergeOnRead {
+
+  /** Identifier-column names + field ids declared by the
+    * `identifier-fields` table property, validated against the schema:
+    * top-level, exact-render types only (the key tuple must compare
+    * byte-identically between the delete writer and the scan filter). */
+  def keyFields(props: Map[String, String],
+                schema: StructType): Seq[(String, Int)] = {
+    val names = props.get("identifier-fields").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    require(names.nonEmpty,
+      "merge-on-read requires the identifier-fields table property " +
+        "(comma-separated key column names)")
+    names.map { n =>
+      val f = schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"identifier-fields names unknown column '$n'"))
+      f.dataType match {
+        case StringType | IntegerType | LongType | ShortType | ByteType |
+             BooleanType => ()
+        case dt => throw new UnsupportedOperationException(
+          s"identifier field '$n' has type $dt — merge-on-read keys must " +
+            "be string/int/long/short/byte/boolean (exact-render equality)")
+      }
+      require(!f.nullable,
+        s"identifier field '$n' must be declared NOT NULL — Spark's " +
+          "delta-based row-level plans refuse nullable row ids")
+      require(f.metadata.contains(SchemaBridge.FieldIdKey),
+        s"identifier field '$n' carries no stable field id")
+      (n, f.metadata.getLong(SchemaBridge.FieldIdKey).toInt)
+    }
+  }
+
+  /** Is merge-on-read enabled for this command on this table? */
+  def morMode(props: Map[String, String], command: String): Boolean =
+    props.get(s"write.$command.mode").exists(_.equalsIgnoreCase("merge-on-read"))
+
+  /** Column name for a stable field id in the CURRENT schema — delete
+    * files reference keys by id, so a rename between delete and read
+    * still resolves; a dropped key column fails loudly (the delete can
+    * no longer be applied, the table needs compaction first). */
+  def nameOfFieldId(schema: StructType, id: Int): String =
+    schema.fields.find(f => f.metadata.contains(SchemaBridge.FieldIdKey) &&
+        f.metadata.getLong(SchemaBridge.FieldIdKey).toInt == id)
+      .map(_.name).getOrElse(
+        throw new IllegalStateException(
+          s"delete file references field id $id absent from the current " +
+            "schema — compact the table before dropping key columns"))
+
+  /** Hard ceiling on delete rows a scan will materialize (driver memory
+    * guard). A table past this bound must be compacted — the delete-file
+    * design assumes compaction folds deletes in periodically. */
+  val MaxDeleteRows = 50L * 1000 * 1000
+
+  /** External (driver-collected) and internal (executor-extracted) key
+    * values must meet in one representation: String for strings, boxed
+    * primitives otherwise. */
+  def internalKey(row: InternalRow, ordinals: Array[Int],
+                  types: Array[DataType]): List[Any] = {
+    var i = 0
+    val b = List.newBuilder[Any]
+    while (i < ordinals.length) {
+      val o = ordinals(i)
+      b += (if (row.isNullAt(o)) null else types(i) match {
+        case StringType => row.getUTF8String(o).toString
+        case IntegerType => row.getInt(o)
+        case LongType => row.getLong(o)
+        case ShortType => row.getShort(o)
+        case ByteType => row.getByte(o)
+        case BooleanType => row.getBoolean(o)
+        case dt => throw new IllegalStateException(s"unsupported key type $dt")
+      })
+      i += 1
+    }
+    b.result()
+  }
+}
+
+/** One delete-application predicate for a file group: rows whose key
+  * tuple (extracted at `ordinals` of the read schema) is in `keys` are
+  * dead. Serialized into the reader factory — executors never re-read
+  * the delete files. */
+private[graft] final case class MorPredicate(
+    ordinals: Array[Int], types: Array[DataType],
+    keys: Set[List[Any]]) extends Serializable
+
+/** Row filter + optional projection (the read schema may have been
+  * widened with key columns the query itself pruned away; `keepFields`
+  * is the prefix length to project back down to, or -1 for none;
+  * `prefixTypes` are the prefix column types, binding the executor-side
+  * projection without shipping the schema). */
+private[graft] final case class MorSpec(
+    predicates: Seq[MorPredicate], keepFields: Int,
+    prefixTypes: Array[DataType]) extends Serializable
+
+/** Scan over a snapshot with live equality deletes: clean files keep
+  * their delegate scan untouched (vectorized, pushdown intact); each
+  * dirty group gets its own delegate over a possibly-widened schema plus
+  * a subtract-the-keys row filter. readSchema/statistics ride the
+  * all-files delegate so join-side broadcast decisions are unchanged. */
+private[graft] class MorScan(statsScan: Scan, clean: Option[Scan],
+                             dirty: Seq[(Scan, MorSpec)])
+  extends Scan with SupportsReportStatistics {
+
+  override def readSchema(): StructType = statsScan.readSchema()
+  override def description(): String =
+    s"graft-mor(${dirty.size} delete-affected groups) ${statsScan.description()}"
+  override def estimateStatistics(): Statistics = statsScan match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+  override def toBatch: Batch =
+    new MorBatch(clean.map(_.toBatch), dirty.map { case (s, sp) => (s.toBatch, sp) })
+}
+
+/** Tags each delegate partition with which factory must serve it:
+  * -1 = clean (columnar), i >= 0 = dirty group i (row-based + filter). */
+private[graft] final case class MorInputPartition(delegate: InputPartition,
+                                                  side: Int)
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+private[graft] class MorBatch(clean: Option[Batch],
+                              dirty: Seq[(Batch, MorSpec)]) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val c = clean.toArray.flatMap(_.planInputPartitions())
+      .map(p => MorInputPartition(p, -1): InputPartition)
+    val d = dirty.zipWithIndex.toArray.flatMap { case ((b, _), i) =>
+      b.planInputPartitions().map(p => MorInputPartition(p, i): InputPartition)
+    }
+    c ++ d
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MorReaderFactory(clean.map(_.createReaderFactory()),
+      dirty.map { case (b, sp) => (b.createReaderFactory(), sp) }.toArray)
+}
+
+private[graft] class MorReaderFactory(
+    clean: Option[PartitionReaderFactory],
+    dirty: Array[(PartitionReaderFactory, MorSpec)])
+  extends PartitionReaderFactory {
+
+  private def route(p: InputPartition): (PartitionReaderFactory, InputPartition, Int) =
+    p match {
+      case MorInputPartition(d, -1) => (clean.get, d, -1)
+      case MorInputPartition(d, i) => (dirty(i)._1, d, i)
+      case other => throw new IllegalStateException(s"untagged partition $other")
+    }
+
+  // Spark requires every partition of one scan to agree on columnar
+  // support ("Cannot mix row-based and columnar input partitions") — a
+  // scan with any delete-affected group is therefore uniformly
+  // row-based. The parquet factory still DECODES vectorized internally
+  // and serves rows off the batch; compaction folds the deletes in and
+  // restores the full columnar path.
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] =
+    throw new UnsupportedOperationException(
+      "merge-on-read scans are row-based until compaction")
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val (f, d, side) = route(partition)
+    if (side < 0) f.createReader(d)
+    else new MorFilteringReader(f.createReader(d), dirty(side)._2)
+  }
+}
+
+/** Row reader subtracting deleted keys, then projecting away any key
+  * columns the query had pruned (the widened suffix). Projection output
+  * reuses a buffer — legal: DSv2 readers may reuse rows between next()
+  * calls. */
+private[graft] class MorFilteringReader(delegate: PartitionReader[InternalRow],
+                                        spec: MorSpec)
+  extends PartitionReader[InternalRow] {
+
+  private var current: InternalRow = _
+  private lazy val proj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      (0 until spec.keepFields).map { i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, spec.prefixTypes(i),
+          nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+      })
+
+  private def dead(r: InternalRow): Boolean = {
+    var i = 0
+    while (i < spec.predicates.length) {
+      val p = spec.predicates(i)
+      if (p.keys.contains(MergeOnRead.internalKey(r, p.ordinals, p.types)))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (delegate.next()) {
+      val r = delegate.get()
+      if (!dead(r)) {
+        current = if (spec.keepFields < 0) r else proj(r)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = delegate.close()
+}

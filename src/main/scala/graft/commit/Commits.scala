@@ -122,11 +122,15 @@ object MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata = {
       val prev = m.currentSnapshot.map(_.files).getOrElse(Nil)
       val prevStats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
+      val seq = m.lastSequenceNumber + 1
       AddSnapshot(SnapshotDef(
-        snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
+        snapshotId = seq, timestampMs = timestampMs,
         operation = "append", files = prev ++ newFiles,
         summary = extraSummary + ("added-files" -> newFiles.size.toString),
-        fileStats = prevStats ++ stats)).apply(m)
+        fileStats = prevStats ++ stats,
+        deleteFiles = m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil),
+        fileSeqs = m.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty) ++
+          newFiles.map(_ -> seq))).apply(m)
     }
   }
   /** Partition overwrite: drop every previous file whose partition-dir
@@ -162,13 +166,18 @@ object MetadataUpdate {
           pv.nonEmpty && pv.forall { case (k, v) => kvs.get(k).contains(v) })
       }
       val kept = prev.filterNot(replaced)
+      val seq = m.lastSequenceNumber + 1
       AddSnapshot(SnapshotDef(
-        snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
+        snapshotId = seq, timestampMs = timestampMs,
         operation = "overwrite-partitions", files = kept ++ newFiles,
         summary = extraSummary +
           ("added-files" -> newFiles.size.toString) +
           ("replaced-files" -> (prev.size - kept.size).toString),
-        fileStats = prevStats.view.filterKeys(kept.toSet).toMap ++ stats)).apply(m)
+        fileStats = prevStats.view.filterKeys(kept.toSet).toMap ++ stats,
+        deleteFiles = m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil),
+        fileSeqs = m.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty)
+          .view.filterKeys(kept.toSet).toMap ++
+          newFiles.map(_ -> seq))).apply(m)
     }
   }
   /** Copy-on-write rewrite: the `removed` files (a scanned subset of the
@@ -193,13 +202,54 @@ object MetadataUpdate {
           missing.take(3).mkString(", "))
       val prevStats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
       val kept = prev.filterNot(removed.toSet)
+      val seq = m.lastSequenceNumber + 1
       AddSnapshot(SnapshotDef(
-        snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
+        snapshotId = seq, timestampMs = timestampMs,
         operation = "rewrite", files = kept ++ added,
         summary = extraSummary +
           ("rewritten-files" -> removed.size.toString) +
           ("added-files" -> added.size.toString),
-        fileStats = prevStats.view.filterKeys(kept.toSet).toMap ++ stats)).apply(m)
+        // delete files stay: they still mask rows in the KEPT files. The
+        // added files get this commit's sequence, so no older delete
+        // ever applies to them — the rewrite read through the deletes,
+        // its output is already net of them
+        fileStats = prevStats.view.filterKeys(kept.toSet).toMap ++ stats,
+        deleteFiles = m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil),
+        fileSeqs = m.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty)
+          .view.filterKeys(kept.toSet).toMap ++
+          added.map(_ -> seq))).apply(m)
+    }
+  }
+
+  /** Merge-on-read row delta: `addedDeletes` (equality-delete files of
+    * identifier-column values, stamped with this commit's sequence) join
+    * the live delete set, `addedData` (an UPDATE/MERGE's new row
+    * versions) join the data set at the SAME sequence — one atomic
+    * snapshot, no data file rewritten. A DELETE that touches 0.01% of a
+    * 100 TB table commits a few KB of keys instead of rewriting every
+    * affected file; readers subtract the keys, compaction folds them in. */
+  final case class RowDelta(addedData: List[String],
+                            addedDeletes: List[DeleteFileDef],
+                            timestampMs: Long,
+                            stats: Map[String, List[ColStatDef]] = Map.empty,
+                            extraSummary: Map[String, String] = Map.empty)
+    extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      val prev = m.currentSnapshot.map(_.files).getOrElse(Nil)
+      val prevStats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
+      val seq = m.lastSequenceNumber + 1
+      AddSnapshot(SnapshotDef(
+        snapshotId = seq, timestampMs = timestampMs,
+        operation = "delta", files = prev ++ addedData,
+        summary = extraSummary +
+          ("added-files" -> addedData.size.toString) +
+          ("added-delete-files" -> addedDeletes.size.toString) +
+          ("deleted-rows" -> addedDeletes.map(_.rows).sum.toString),
+        fileStats = prevStats ++ stats,
+        deleteFiles = m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil) ++
+          addedDeletes.map(_.copy(seq = seq)),
+        fileSeqs = m.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty) ++
+          addedData.map(_ -> seq))).apply(m)
     }
   }
 
@@ -208,12 +258,19 @@ object MetadataUpdate {
                                 stats: Map[String, List[ColStatDef]] = Map.empty,
                                 extraSummary: Map[String, String] = Map.empty)
     extends MetadataUpdate {
-    def apply(m: TableMetadata): TableMetadata =
+    def apply(m: TableMetadata): TableMetadata = {
+      val seq = m.lastSequenceNumber + 1
       AddSnapshot(SnapshotDef(
-        snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
+        snapshotId = seq, timestampMs = timestampMs,
         operation = "overwrite", files = newFiles,
         summary = extraSummary + ("added-files" -> newFiles.size.toString),
-        fileStats = stats)).apply(m)
+        // a full replacement carries no delete files forward: the new
+        // file set is authoritative (compaction reads THROUGH the old
+        // deletes before writing it; INSERT OVERWRITE discards the rows
+        // they masked anyway)
+        fileStats = stats,
+        fileSeqs = newFiles.map(_ -> seq).toMap)).apply(m)
+    }
   }
   final case class AddPartitionSpec(spec: PartitionSpecDef) extends MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata = {

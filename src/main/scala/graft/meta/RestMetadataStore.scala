@@ -262,6 +262,14 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
       "timestamp-ms" -> JInt(ts),
       "file-stats" -> statsJson(stats),
       "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
+    case MetadataUpdate.RowDelta(added, deletes, ts, stats, extra) => JObject(
+      "action" -> JString("row-delta"),
+      "added-files" -> JArray(added.map(JString(_))),
+      "added-delete-files" ->
+        JsonMethods.parse(Serialization.write(deletes)(TableMetadata.formats)),
+      "timestamp-ms" -> JInt(ts),
+      "file-stats" -> statsJson(stats),
+      "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
     case other => throw new UnsupportedOperationException(
       s"update $other has no wire encoding")
   }

@@ -40,13 +40,33 @@ final case class SortOrderDef(orderId: Int, fields: List[SortFieldDef])
 final case class ColStatDef(name: String, min: String, max: String, nulls: Long,
                             fieldId: Option[Int] = None)
 
+/** An equality-delete file: a parquet file of identifier-column values
+  * whose rows mark "any data row with this key, written before me, is
+  * deleted" — the merge-on-read half of row-level DML. `seq` is the
+  * snapshot id that committed the delete; it applies to data files whose
+  * added-sequence (see [[SnapshotDef.fileSeqs]]) is STRICTLY below it,
+  * so rows (re)written in the same commit — an UPDATE's new versions —
+  * are never swallowed by their own delete. `keyFieldIds` are the stable
+  * schema field ids of the identifier columns (rename-proof). */
+final case class DeleteFileDef(path: String, seq: Long,
+                               keyFieldIds: List[Int], rows: Long)
+
 /** A committed data version: the files visible at this snapshot, plus
-  * optional per-file column stats keyed by relative file path. */
+  * optional per-file column stats keyed by relative file path.
+  *
+  * `deleteFiles` are the live equality-delete files (merge-on-read);
+  * `fileSeqs` records each data file's added-sequence (the snapshot id
+  * of the commit that introduced it) — the scope key deciding which
+  * deletes apply to which files. Files absent from `fileSeqs` (written
+  * before this field existed) default to sequence 0: older than every
+  * delete, which is exactly when they were written. */
 final case class SnapshotDef(snapshotId: Long, timestampMs: Long,
                              operation: String, files: List[String],
                              summary: Map[String, String],
                              fileStats: Map[String, List[ColStatDef]] =
-                               Map.empty)
+                               Map.empty,
+                             deleteFiles: List[DeleteFileDef] = Nil,
+                             fileSeqs: Map[String, Long] = Map.empty)
 
 final case class TableMetadata(
     formatVersion: Int,

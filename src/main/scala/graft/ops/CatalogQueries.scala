@@ -162,14 +162,50 @@ object CatalogQueries {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |WHERE n_regionkey IN (1, 3) ORDER BY n_nationkey""".stripMargin
 
+  /** q84's exact DELETE/UPDATE/MERGE sequence on a MERGE-ON-READ table:
+    * the mutations commit as equality-delete files + new row versions
+    * (SupportsDelta — kilobytes of keys, zero data files rewritten;
+    * [[graft.catalog.GraftDeltaOperation]]), and the final read
+    * reconstructs the exact state the copy-on-write path materializes —
+    * both gated by the SAME DuckDB oracle, so the two DML modes are
+    * provably indistinguishable to a reader. */
+  def q86MorDml(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation_mor")
+    s.sql("""CREATE TABLE graft_q13.tpch.nation_mor
+      (n_nationkey INT NOT NULL, n_name STRING, n_regionkey INT)
+      TBLPROPERTIES ('identifier-fields' = 'n_nationkey',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'write.merge.mode' = 'merge-on-read')""")
+    Tables.nation(s, dir).select(
+        coalesce(col("n_nationkey"), lit(-1)).as("n_nationkey"),
+        col("n_name"), col("n_regionkey"))
+      .writeTo("graft_q13.tpch.nation_mor").append()
+    s.sql("DELETE FROM graft_q13.tpch.nation_mor WHERE n_regionkey = 2")
+    s.sql("""UPDATE graft_q13.tpch.nation_mor
+      SET n_name = concat(n_name, '!') WHERE n_nationkey < 5""")
+    s.sql("""MERGE INTO graft_q13.tpch.nation_mor t
+      USING (SELECT * FROM VALUES (0, 'ZERO'), (99, 'NEWLAND') AS s(k, nm)) s
+      ON t.n_nationkey = s.k
+      WHEN MATCHED THEN UPDATE SET t.n_name = s.nm
+      WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+        VALUES (s.k, s.nm, -1)""")
+    s.table("graft_q13.tpch.nation_mor").orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_catalog_scan" -> q13CatalogScan _,
     "q83_stream_catalog_source" -> q83StreamCatalogSource _,
     "q84_row_level_dml" -> q84RowLevelDml _,
-    "q85_partition_evolution" -> q85PartitionEvolution _)
+    "q85_partition_evolution" -> q85PartitionEvolution _,
+    "q86_mor_dml" -> q86MorDml _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
     "q83_stream_catalog_source" -> q83Sql,
     "q84_row_level_dml" -> q84Sql,
-    "q85_partition_evolution" -> q85Sql)
+    "q85_partition_evolution" -> q85Sql,
+    // same oracle as q84 on purpose: merge-on-read and copy-on-write
+    // must produce byte-identical results
+    "q86_mor_dml" -> q84Sql)
 }

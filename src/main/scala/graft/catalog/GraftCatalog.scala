@@ -190,7 +190,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new UnsupportedOperationException(
         s"inspection table ${ident.name} does not support time travel " +
           "(it already serves the full snapshot history)")
-    val v = version.toInt
+    val v = try version.toInt catch {
+      case _: NumberFormatException =>
+        // not a version number → a ref name (branch or tag): pin the
+        // CURRENT metadata at the ref's snapshot — schema/spec history
+        // stays live, only the visible snapshot changes
+        val (m, ver) = store.load(ns, ident.name)
+        val ref = m.refs.getOrElse(version,
+          throw new IllegalArgumentException(
+            s"table ${ident.name} has no version or ref '$version'"))
+        return new GraftTable(fullName(ident), store, ns, ident.name,
+          m.copy(currentSnapshotId = Some(ref.snapshotId)), ver,
+          config(m.properties), frozen = true)
+    }
     val m = store.loadVersion(ns, ident.name, v)
     new GraftTable(fullName(ident), store, ns, ident.name, m, v,
       config(m.properties), frozen = true)
@@ -383,6 +395,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   def rollback(ident: Identifier, snapshotId: Long): TableMetadata =
     commit(ident, Nil, Seq(MetadataUpdate.SetCurrentSnapshot(snapshotId)))
 
+  /** Branch/tag maintenance verbs — named snapshot pointers
+    * ([[graft.meta.RefDef]]). `snapshotId` defaults to the current
+    * snapshot; an empty table cannot be branched/tagged (no snapshot to
+    * point at). Reads resolve refs through `VERSION AS OF '<name>'`;
+    * branch writes go through `df.writeTo(t).option("branch", name)`. */
+  def createBranch(ident: Identifier, name: String,
+                   snapshotId: Option[Long] = None): TableMetadata =
+    setRef(ident, name, snapshotId, "branch")
+
+  def createTag(ident: Identifier, name: String,
+                snapshotId: Option[Long] = None): TableMetadata =
+    setRef(ident, name, snapshotId, "tag")
+
+  private def setRef(ident: Identifier, name: String,
+                     snapshotId: Option[Long], refType: String): TableMetadata = {
+    val (base, _) = store.load(ident.namespace.toSeq, ident.name)
+    val sid = snapshotId.orElse(base.currentSnapshotId).getOrElse(
+      throw new IllegalStateException(
+        s"table ${ident.name} has no snapshot to $refType from"))
+    commit(ident, Nil, Seq(MetadataUpdate.SetRef(name, sid, refType)))
+  }
+
+  def dropRef(ident: Identifier, name: String): TableMetadata =
+    commit(ident, Nil, Seq(MetadataUpdate.RemoveRef(name)))
+
+  /** Publish a branch (the write-audit-publish closing verb): move main
+    * to the branch head, refusing if main moved since the fork — see
+    * [[MetadataUpdate.FastForward]]. The branch ref survives publish
+    * (drop it separately once the pipeline is done with it). */
+  def fastForward(ident: Identifier, name: String): TableMetadata =
+    commit(ident, Nil, Seq(MetadataUpdate.FastForward(name)))
+
   /** Partition-spec EVOLUTION: re-partition future writes without
     * touching a byte of existing data — a pure metadata commit that adds
     * a new default spec (the old one stays in `specs` for history).
@@ -448,11 +492,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val cutoff = math.max(latest - keep + 1, 1)
     // a file is live iff some retained version's *current* snapshot holds
     // it (the snapshot history list inside newer metadata references every
-    // past file — using it would retain everything forever)
-    val retainedFiles = (cutoff to latest).flatMap { v =>
+    // past file — using it would retain everything forever). Live
+    // equality-delete files count too (they're parquet under the data
+    // dir), as does everything reachable from a NAMED REF in the latest
+    // metadata — a tagged "known good" snapshot must survive expiry.
+    val latestMeta = store.loadVersion(ns, ident.name, latest)
+    val refSnapshots = latestMeta.refs.values.map(_.snapshotId).toSet
+    def liveFiles(s: graft.meta.SnapshotDef): Seq[String] =
+      s.files ++ s.deleteFiles.map(_.path)
+    val retainedFiles = ((cutoff to latest).flatMap { v =>
       store.loadVersion(ns, ident.name, v).currentSnapshot
-        .map(_.files).getOrElse(Nil)
-    }.toSet
+        .map(liveFiles).getOrElse(Nil)
+    } ++ latestMeta.snapshots.filter(s => refSnapshots.contains(s.snapshotId))
+      .flatMap(liveFiles)).toSet
     val dataDir = store.dataDir(ns, ident.name)
     var removed = 0
     // delete unreferenced data files

@@ -239,7 +239,7 @@ class GraftTable(tableName: String, store: MetaStore,
       .getOrElse(org.apache.spark.sql.internal.SQLConf.get.partitionOverwriteMode ==
         org.apache.spark.sql.internal.SQLConf.PartitionOverwriteMode.DYNAMIC)
     new GraftWriteBuilder(store, ns, table, extraSummary, requirements,
-      dynamicOverwrite, info)
+      dynamicOverwrite, info, Option(info.options.get("branch")))
   }
 }
 
@@ -947,7 +947,8 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
                                 extraSummary: Map[String, String] = Map.empty,
                                 requirements: Seq[Requirement] = Nil,
                                 dynamicOverwrite: Boolean = false,
-                                info: LogicalWriteInfo = null)
+                                info: LogicalWriteInfo = null,
+                                branch: Option[String] = None)
   extends WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -1048,6 +1049,15 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           val stats = FileStats.harvestAll(data.sparkSession,
             store.dataDir(ns, table), newFiles)
           val update = mode match {
+            case AppendMode if branch.isDefined =>
+              // write-audit-publish staging: the snapshot stacks on the
+              // branch head, main never moves
+              MetadataUpdate.AppendFilesToRef(branch.get, newFiles, now,
+                stats, extraSummary)
+            case _ if branch.isDefined =>
+              throw new UnsupportedOperationException(
+                "branch writes support append only — publish the branch " +
+                  "before overwrite/truncate maintenance")
             case AppendMode =>
               MetadataUpdate.AppendFiles(newFiles, now, stats, extraSummary)
             case TruncateMode =>

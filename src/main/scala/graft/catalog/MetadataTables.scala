@@ -28,7 +28,7 @@ object MetadataTables {
   // so adding a kind can't produce a resolvable-but-unbuildable name
   private val builders: Map[String, (String, TableMetadata) => Table] =
     Map("history" -> history, "files" -> files, "snapshots" -> snapshots,
-      "partitions" -> partitions)
+      "partitions" -> partitions, "refs" -> refs)
 
   val Kinds: Set[String] = builders.keySet
 
@@ -107,6 +107,30 @@ object MetadataTables {
             UTF8String.fromString(part), fs.size)): InternalRow
         }.toArray
     new RowsTable(fqn + "$partitions", schema, rows)
+  }
+
+  /** `t$refs`: every named branch/tag, where it points, and how far
+    * behind (or ahead of) main it sits — the write-audit-publish
+    * dashboard. Main itself appears as the pseudo-ref `main`. */
+  private def refs(fqn: String, m: TableMetadata): Table = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("committed_at", TimestampNTZType, nullable = true),
+      StructField("is_main_head", BooleanType, nullable = false)))
+    def row(name: String, tpe: String, sid: Long): InternalRow =
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(name), UTF8String.fromString(tpe), sid,
+        m.snapshots.find(_.snapshotId == sid)
+          .map(s => s.timestampMs * 1000L: Any).orNull,
+        m.currentSnapshotId.contains(sid)))
+    val rows: Array[InternalRow] =
+      (m.currentSnapshotId.map(row("main", "branch", _)).toSeq ++
+        m.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+          row(n, r.refType, r.snapshotId)
+        }).toArray
+    new RowsTable(fqn + "$refs", schema, rows)
   }
 
   private def files(fqn: String, m: TableMetadata): Table = {

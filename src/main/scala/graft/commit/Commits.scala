@@ -105,7 +105,11 @@ object MetadataUpdate {
   }
   final case class AddSnapshot(snapshot: SnapshotDef) extends MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata =
-      m.copy(snapshots = m.snapshots :+ snapshot,
+      // parentage is stamped here — the single point every main-line
+      // commit flows through — so ancestry walks (fast-forward safety)
+      // work for free on all of them
+      m.copy(snapshots = m.snapshots :+
+          snapshot.copy(parentId = m.currentSnapshotId),
         currentSnapshotId = Some(snapshot.snapshotId),
         lastSequenceNumber = m.lastSequenceNumber + 1)
   }
@@ -288,6 +292,95 @@ object MetadataUpdate {
       require(m.snapshots.exists(_.snapshotId == snapshotId),
         s"no snapshot with id $snapshotId")
       m.copy(currentSnapshotId = Some(snapshotId))
+    }
+  }
+
+  /** Create or move a named ref. Branches move freely (that's what
+    * commits to them do); a tag is immutable once set — drop it first to
+    * re-point, so "known good" markers can't drift silently. */
+  final case class SetRef(name: String, snapshotId: Long, refType: String)
+    extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      require(refType == "branch" || refType == "tag",
+        s"ref type must be branch or tag, got '$refType'")
+      require(m.snapshots.exists(_.snapshotId == snapshotId),
+        s"no snapshot with id $snapshotId")
+      m.refs.get(name).foreach { existing =>
+        require(existing.refType == refType,
+          s"ref '$name' already exists as a ${existing.refType}")
+        require(refType == "branch",
+          s"tag '$name' is immutable — drop it before re-pointing")
+      }
+      m.copy(refs = m.refs + (name -> RefDef(snapshotId, refType)))
+    }
+  }
+
+  final case class RemoveRef(name: String) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      require(m.refs.contains(name), s"no ref named '$name'")
+      m.copy(refs = m.refs - name)
+    }
+  }
+
+  /** Append to a BRANCH: the new snapshot stacks on the branch head and
+    * only the ref moves — main (`currentSnapshotId`) is untouched. The
+    * write half of write-audit-publish: stage data on `audit`, validate
+    * it by reading `VERSION AS OF 'audit'`, then [[FastForward]] main.
+    * Like AppendFiles, the branch base is re-resolved against the fresh
+    * metadata inside the CAS retry loop, so branch and main commits
+    * interleave without losing either. */
+  final case class AppendFilesToRef(ref: String, newFiles: List[String],
+                                    timestampMs: Long,
+                                    stats: Map[String, List[ColStatDef]] = Map.empty,
+                                    extraSummary: Map[String, String] = Map.empty)
+    extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      val rd = m.refs.getOrElse(ref,
+        throw new IllegalArgumentException(
+          s"no branch named '$ref' — create it before writing to it"))
+      require(rd.refType == "branch", s"cannot append to tag '$ref'")
+      val base = m.snapshots.find(_.snapshotId == rd.snapshotId).getOrElse(
+        throw new IllegalStateException(s"branch '$ref' points at a missing snapshot"))
+      val seq = m.lastSequenceNumber + 1
+      val snap = SnapshotDef(
+        snapshotId = seq, timestampMs = timestampMs,
+        operation = "append", files = base.files ++ newFiles,
+        summary = extraSummary +
+          ("added-files" -> newFiles.size.toString) + ("branch" -> ref),
+        fileStats = base.fileStats ++ stats,
+        deleteFiles = base.deleteFiles,
+        fileSeqs = base.fileSeqs ++ newFiles.map(_ -> seq),
+        parentId = Some(rd.snapshotId))
+      m.copy(snapshots = m.snapshots :+ snap,
+        refs = m.refs + (ref -> rd.copy(snapshotId = seq)),
+        lastSequenceNumber = seq)
+    }
+  }
+
+  /** Publish a branch: fast-forward main to the branch head, but ONLY
+    * if main's current snapshot is an ancestor of it (walked over
+    * parentId) — main moved since the branch forked means the branch is
+    * stale and publishing would silently drop main's commits. Re-checked
+    * against fresh metadata inside the CAS retry loop. */
+  final case class FastForward(ref: String) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      val rd = m.refs.getOrElse(ref,
+        throw new IllegalArgumentException(s"no ref named '$ref'"))
+      val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+      def isAncestor(of: Option[Long], candidate: Option[Long]): Boolean =
+        candidate match {
+          case None => false
+          case `of` => true
+          case Some(id) => isAncestor(of, byId.get(id).flatMap(_.parentId))
+        }
+      m.currentSnapshotId match {
+        case None => () // empty main: any branch head publishes
+        case cur =>
+          require(isAncestor(cur, Some(rd.snapshotId)),
+            s"main is not an ancestor of '$ref' — it moved since the " +
+              "branch forked; rebase the branch (or rollback main) first")
+      }
+      m.copy(currentSnapshotId = Some(rd.snapshotId))
     }
   }
 }

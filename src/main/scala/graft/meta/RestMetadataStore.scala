@@ -262,6 +262,20 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
       "timestamp-ms" -> JInt(ts),
       "file-stats" -> statsJson(stats),
       "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
+    case MetadataUpdate.SetRef(name, sid, refType) => JObject(
+      "action" -> JString("set-ref"), "ref-name" -> JString(name),
+      "snapshot-id" -> JInt(sid), "ref-type" -> JString(refType))
+    case MetadataUpdate.RemoveRef(name) => JObject(
+      "action" -> JString("remove-ref"), "ref-name" -> JString(name))
+    case MetadataUpdate.FastForward(name) => JObject(
+      "action" -> JString("fast-forward"), "ref-name" -> JString(name))
+    case MetadataUpdate.AppendFilesToRef(ref, files, ts, stats, extra) => JObject(
+      "action" -> JString("append-files-to-ref"),
+      "ref-name" -> JString(ref),
+      "files" -> JArray(files.map(JString(_))),
+      "timestamp-ms" -> JInt(ts),
+      "file-stats" -> statsJson(stats),
+      "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
     case MetadataUpdate.RowDelta(added, deletes, ts, stats, extra) => JObject(
       "action" -> JString("row-delta"),
       "added-files" -> JArray(added.map(JString(_))),

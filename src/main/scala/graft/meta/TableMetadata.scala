@@ -66,7 +66,14 @@ final case class SnapshotDef(snapshotId: Long, timestampMs: Long,
                              fileStats: Map[String, List[ColStatDef]] =
                                Map.empty,
                              deleteFiles: List[DeleteFileDef] = Nil,
-                             fileSeqs: Map[String, Long] = Map.empty)
+                             fileSeqs: Map[String, Long] = Map.empty,
+                             parentId: Option[Long] = None)
+
+/** A named snapshot pointer: `refType` is "branch" (movable — commits
+  * can stack on it) or "tag" (immutable — drop and recreate to move).
+  * The write-audit-publish loop and long-lived "known good" markers both
+  * hang off this map; referenced snapshots are pinned against expiry. */
+final case class RefDef(snapshotId: Long, refType: String)
 
 final case class TableMetadata(
     formatVersion: Int,
@@ -82,7 +89,8 @@ final case class TableMetadata(
     properties: Map[String, String],
     currentSnapshotId: Option[Long],
     snapshots: List[SnapshotDef],
-    lastSequenceNumber: Long) {
+    lastSequenceNumber: Long,
+    refs: Map[String, RefDef] = Map.empty) {
 
   def currentSchema: SchemaDef =
     schemas.find(_.schemaId == currentSchemaId).getOrElse(

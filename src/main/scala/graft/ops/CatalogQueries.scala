@@ -194,12 +194,52 @@ object CatalogQueries {
     s.table("graft_q13.tpch.nation_mor").orderBy(col("n_nationkey"))
   }
 
+  /** Write-audit-publish through the oracle gate: half of nation lands
+    * on main, half is STAGED on an `audit` branch (main provably never
+    * moves), the staged state is audited by reading
+    * `VERSION AS OF 'audit'`, and only then fast-forward-published. The
+    * final read must hash-match plain nation — proving the
+    * branch-stage-publish loop loses and duplicates nothing. */
+  def q87Wap(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation_wap")
+    s.sql("""CREATE TABLE graft_q13.tpch.nation_wap
+      (n_nationkey INT, n_name STRING, n_regionkey INT)""")
+    val nation = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    nation.filter(col("n_regionkey") < 2)
+      .writeTo("graft_q13.tpch.nation_wap").append()
+    val cat = s.sessionState.catalogManager.catalog("graft_q13")
+      .asInstanceOf[GraftCatalog]
+    val id = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("tpch"), "nation_wap")
+    cat.createBranch(id, "audit")
+    nation.filter(col("n_regionkey") >= 2)
+      .writeTo("graft_q13.tpch.nation_wap").option("branch", "audit").append()
+    // AUDIT: staged branch must carry the full row set while main still
+    // holds only the first half — else we refuse to publish
+    val staged = s.sql(
+      "SELECT count(*) FROM graft_q13.tpch.nation_wap VERSION AS OF 'audit'")
+      .head().getLong(0)
+    val mainRows = s.table("graft_q13.tpch.nation_wap").count()
+    require(staged == nation.count() && mainRows < staged,
+      s"audit failed: staged=$staged main=$mainRows")
+    cat.fastForward(id, "audit")
+    cat.dropRef(id, "audit")
+    s.table("graft_q13.tpch.nation_wap").orderBy(col("n_nationkey"))
+  }
+
+  val q87Sql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_catalog_scan" -> q13CatalogScan _,
     "q83_stream_catalog_source" -> q83StreamCatalogSource _,
     "q84_row_level_dml" -> q84RowLevelDml _,
     "q85_partition_evolution" -> q85PartitionEvolution _,
-    "q86_mor_dml" -> q86MorDml _)
+    "q86_mor_dml" -> q86MorDml _,
+    "q87_wap" -> q87Wap _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
     "q83_stream_catalog_source" -> q83Sql,
@@ -207,5 +247,6 @@ object CatalogQueries {
     "q85_partition_evolution" -> q85Sql,
     // same oracle as q84 on purpose: merge-on-read and copy-on-write
     // must produce byte-identical results
-    "q86_mor_dml" -> q84Sql)
+    "q86_mor_dml" -> q84Sql,
+    "q87_wap" -> q87Sql)
 }

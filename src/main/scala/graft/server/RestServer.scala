@@ -357,6 +357,20 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
         (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()),
         (j \ "file-stats").extractOpt[Map[String, List[ColStatDef]]].getOrElse(Map.empty),
         (j \ "summary").extractOpt[Map[String, String]].getOrElse(Map.empty))
+    case "set-ref" =>
+      MetadataUpdate.SetRef((j \ "ref-name").extract[String],
+        (j \ "snapshot-id").extract[Long], (j \ "ref-type").extract[String])
+    case "remove-ref" =>
+      MetadataUpdate.RemoveRef((j \ "ref-name").extract[String])
+    case "fast-forward" =>
+      MetadataUpdate.FastForward((j \ "ref-name").extract[String])
+    case "append-files-to-ref" =>
+      MetadataUpdate.AppendFilesToRef(
+        (j \ "ref-name").extract[String],
+        (j \ "files").extract[List[String]],
+        (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()),
+        (j \ "file-stats").extractOpt[Map[String, List[ColStatDef]]].getOrElse(Map.empty),
+        (j \ "summary").extractOpt[Map[String, String]].getOrElse(Map.empty))
     case "row-delta" =>
       MetadataUpdate.RowDelta(
         (j \ "added-files").extract[List[String]],

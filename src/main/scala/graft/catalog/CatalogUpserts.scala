@@ -1,0 +1,80 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+
+import graft.commit._
+import graft.meta._
+
+/** One micro-batch of upserts as ONE atomic [[MetadataUpdate.RowDelta]]:
+  * an equality-delete file of the batch's keys (retiring every older
+  * version of those rows) plus the batch's rows as ordinary
+  * partition-laid data files at the same sequence — the Flink-CDC-style
+  * "upsert stream into a lakehouse table" commit shape.
+  *
+  * Concurrency falls out of equality-delete sequencing rather than
+  * locking: the delete applies only to files with a strictly lower
+  * sequence, so the batch can never swallow its own rows, a racing
+  * append commits at a higher sequence and is untouched, and two upsert
+  * epochs serialize by their commit order. No snapshot assertion is
+  * needed — the only guard callers attach is the per-epoch idempotence
+  * fence ([[Requirement.AssertMaxSummaryBelow]]).
+  *
+  * Each epoch adds one delete file; the scan-side bound
+  * ([[MergeOnRead.MaxDeleteRows]]) and periodic compaction (which folds
+  * deletes in and restores the vectorized read path) keep the live set
+  * small.
+  */
+object CatalogUpserts {
+
+  def upsertBatch(store: MetaStore, ns: Seq[String], table: String,
+                  batch0: DataFrame,
+                  requirements: Seq[Requirement] = Nil,
+                  extraSummary: Map[String, String] = Map.empty): Unit = {
+    val (meta0, _) = store.load(ns, table)
+    val schema = SchemaBridge.toSpark(meta0.currentSchema)
+    val keys = MergeOnRead.keyFields(meta0.properties, schema)
+    val keyNames = keys.map(_._1)
+    // two versions of one key INSIDE a batch have no defined order —
+    // keep one deterministically rather than both (both surviving would
+    // violate the key's uniqueness from this commit on)
+    val batch = batch0.dropDuplicates(keyNames)
+    val commitId = java.util.UUID.randomUUID().toString
+    val relDir = s"commit-upsert-$commitId"
+    val dataDir = store.dataDir(ns, table)
+
+    val dataRels = WriteShaping.writeDataFiles(batch, meta0, store, ns, table,
+      relDir)
+    if (dataRels.isEmpty) return // empty batch: nothing to retire either
+
+    // the batch's keys as ONE flat parquet (a micro-batch's key set is
+    // micro-batch-sized — coalescing keeps the per-epoch delete-file
+    // count at one, which is what compaction cadence is sized against)
+    val keyDf = batch.select(keyNames.map(n =>
+      org.apache.spark.sql.functions.col(n).as(n,
+        schema.fields(schema.fieldIndex(n)).metadata)): _*).coalesce(1)
+    val deletesDir = s"$dataDir/$relDir-deletes"
+    keyDf.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(deletesDir)
+    val deleteRels = store.listParquetUnder(deletesDir)
+      .map(f => s"$relDir-deletes/$f")
+    val nKeys = batch.sparkSession.read.parquet(deletesDir).count()
+    val deleteDefs = deleteRels.zipWithIndex.map { case (rel, i) =>
+      // rows feeds the scan-side delete bound; with one coalesced file
+      // the count sits on it whole
+      DeleteFileDef(rel, 0L, keys.map(_._2).toList,
+        if (i == 0) nKeys else 0L)
+    }
+
+    val stats = FileStats.harvestAll(batch.sparkSession, dataDir, dataRels)
+    try store.commitOps(ns, table, requirements,
+      Seq(MetadataUpdate.RowDelta(dataRels, deleteDefs.toList,
+        System.currentTimeMillis(), stats, extraSummary)))
+    catch { case e: Throwable =>
+      // fence rejection or CAS exhaustion: this attempt's files are
+      // orphans either way — remove them before surfacing the failure
+      (dataRels ++ deleteRels).foreach(rel =>
+        store.deleteFileIfExists(s"$dataDir/$rel"))
+      throw e
+    }
+  }
+}

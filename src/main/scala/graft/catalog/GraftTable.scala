@@ -908,6 +908,37 @@ private[catalog] object WriteShaping {
         else org.apache.spark.sql.functions.col(parts(0)).asc
       }
 
+  /** The full batch-write data path shared by the V1 insert and the
+    * streaming upsert sink: stamp table field ids (renames stay
+    * metadata-only on these files), honor the declared write.sort-order
+    * (range-cluster + sort so row-group stats feed min/max skipping),
+    * lay out the default spec's partition dirs, write parquet under
+    * `<dataDir>/<relDir>`, and return the relative file list. */
+  def writeDataFiles(data: org.apache.spark.sql.DataFrame,
+                     meta0: graft.meta.TableMetadata,
+                     store: graft.meta.MetaStore,
+                     ns: Seq[String], table: String,
+                     relDir: String): List[String] = {
+    val outDir = store.dataDir(ns, table) + "/" + relDir
+    val sortCols = WriteShaping.sortCols(meta0.properties)
+    val schemaFields = graft.meta.SchemaBridge.toSpark(meta0.currentSchema)
+    val incomingTypes = data.schema.fields.map(f => f.name -> f.dataType).toMap
+    var out = data.select(schemaFields.fields.toSeq.map { f =>
+      val c = org.apache.spark.sql.functions.col(f.name)
+      val typed = if (incomingTypes.get(f.name).contains(f.dataType)) c
+                  else c.cast(f.dataType)
+      typed.as(f.name, f.metadata)
+    }: _*)
+    if (sortCols.nonEmpty)
+      out = out.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val (shaped, partDirCols) = WriteShaping.withPartitionDirs(out, meta0)
+    val writer = if (partDirCols.nonEmpty)
+      shaped.write.partitionBy(partDirCols: _*)
+    else shaped.write
+    writer.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
+    store.listParquetUnder(outDir).map(f => s"$relDir/$f")
+  }
+
   /** Shadow `__part_` columns for the default partition spec: every
     * transform becomes a physical dir value while the original column
     * stays inside the data files (scans need no partition recovery).
@@ -1009,36 +1040,8 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           val outDir = store.dataDir(ns, table) + "/" + relDir
           val (meta0, _) = store.load(ns, table)
 
-          // declared write order: range-cluster + sort within partitions
-          // (row-group stats then give min/max skipping on read — the
-          // reference's sort-order option, tables.go:105-107)
-          val sortCols = WriteShaping.sortCols(meta0.properties)
-          // stamp table field ids onto the outgoing columns so the parquet
-          // writer records them (fieldId.write is on by default) — the
-          // read side then resolves by id, making renames metadata-only.
-          // NESTED ids live inside the struct TYPE (StructField metadata
-          // at depth), which the analyzer's output may not carry — cast
-          // to the table's exact type tree when it differs so the writer
-          // stamps ids at every level
-          val schemaFields = SchemaBridge.toSpark(meta0.currentSchema)
-          val incomingTypes = data.schema.fields.map(f => f.name -> f.dataType).toMap
-          var out = data.select(schemaFields.fields.toSeq.map { f =>
-            val c = org.apache.spark.sql.functions.col(f.name)
-            val typed = if (incomingTypes.get(f.name).contains(f.dataType)) c
-                        else c.cast(f.dataType)
-            typed.as(f.name, f.metadata)
-          }: _*)
-          if (sortCols.nonEmpty)
-            out = out.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-          // every partition transform becomes physical partition dirs
-          // (shadow columns; scan side replays dirExpr on pushed literals)
-          val (shaped, partDirCols) = WriteShaping.withPartitionDirs(out, meta0)
-          val writer = if (partDirCols.nonEmpty)
-            shaped.write.partitionBy(partDirCols: _*)
-          else shaped.write
-          writer.mode(SaveMode.ErrorIfExists).parquet(outDir)
-
-          val newFiles = store.listParquetUnder(outDir).map(f => s"$relDir/$f")
+          val newFiles = WriteShaping.writeDataFiles(data, meta0, store,
+            ns, table, relDir)
           // delta-style updates: the final file list is computed against
           // the freshly-loaded base inside the CAS retry loop, so racing
           // appends are commutative (no snapshot-id assertion needed —

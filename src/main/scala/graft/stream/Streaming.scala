@@ -78,6 +78,48 @@ object Streaming {
     }
   }
 
+  /** EXACTLY-ONCE UPSERT sink for `foreachBatch` — the CDC shape: each
+    * micro-batch retires every older version of its keys (equality-
+    * delete file) and lands its rows, atomically, via
+    * [[graft.catalog.CatalogUpserts.upsertBatch]]. Requires the target
+    * table to declare `identifier-fields`. Same idempotence protocol as
+    * [[catalogSink]]: a monotone per-queryKey batch-id watermark read
+    * from snapshot summaries, plus the AssertMaxSummaryBelow fence
+    * checked INSIDE the commit loop so exactly one of two racing
+    * drivers commits an epoch.
+    * {{{
+    * spark.readStream.table("graft.ns.src").writeStream
+    *   .foreachBatch(Streaming.catalogUpsertSink(spark, "graft", Seq("ns"), "dst", "cdc"))
+    *   .start()
+    * }}} */
+  def catalogUpsertSink(s: SparkSession, catalogName: String, ns: Seq[String],
+                        table: String, queryKey: String): (DataFrame, Long) => Unit = {
+    val summaryKey = s"streaming-upsert-${queryKey.toLowerCase(java.util.Locale.ROOT)}"
+    def store = s.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
+    var cached = Long.MinValue
+    (batch: DataFrame, batchId: Long) => {
+      if (cached == Long.MinValue)
+        cached = math.max(-1L,
+          graft.commit.Commits.maxSummary(store.load(ns, table)._1, summaryKey))
+      if (batchId > cached) {
+        try {
+          graft.catalog.CatalogUpserts.upsertBatch(store, ns, table, batch,
+            requirements = Seq(graft.commit.Requirement.AssertMaxSummaryBelow(
+              summaryKey, batchId)),
+            extraSummary = Map(summaryKey -> batchId.toString))
+        } catch {
+          case e: Throwable if graft.commit.Commits.commitFailed(e) =>
+            // fence (a racing driver won this epoch — skip) vs CAS
+            // exhaustion (nothing committed — surface): check metadata
+            if (graft.commit.Commits.maxSummary(
+                store.load(ns, table)._1, summaryKey) < batchId) throw e
+        }
+        cached = batchId
+      }
+    }
+  }
+
   /** Raw parquet schema of events (ts read as long nanos — the streaming
     * source gets an explicit schema, same nanos handling as Tables.events). */
   private val rawSchema = StructType(Seq(

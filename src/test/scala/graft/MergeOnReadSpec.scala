@@ -176,6 +176,86 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected failure: $e")
   }
 
+  test("upsert batches retire old key versions and land new ones atomically") {
+    mkMorTable("ups", "t")
+    val store = catalog.metadataStore
+    import spark.implicits._
+    graft.catalog.CatalogUpserts.upsertBatch(store, Seq("ups"), "t",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "cat", "v"))
+    graft.catalog.CatalogUpserts.upsertBatch(store, Seq("ups"), "t",
+      Seq((2L, "b2", 22.0), (3L, "c", 3.0)).toDF("id", "cat", "v"))
+    val rows = spark.table("mor.ups.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b2"), (3L, "c")), rows.toString)
+    val s = snap("ups", "t")
+    assert(s.operation == "delta")
+    assert(s.deleteFiles.size == 2) // one per epoch
+    // duplicate keys INSIDE one batch collapse to a single survivor
+    graft.catalog.CatalogUpserts.upsertBatch(store, Seq("ups"), "t",
+      Seq((4L, "x", 1.0), (4L, "y", 2.0)).toDF("id", "cat", "v"))
+    assert(spark.table("mor.ups.t").where("id = 4").count() == 1L)
+  }
+
+  test("the upsert sink is exactly-once under replay and across restarts") {
+    mkMorTable("upsx", "t")
+    import spark.implicits._
+    val sink = graft.stream.Streaming.catalogUpsertSink(spark, "mor",
+      Seq("upsx"), "t", "cdc")
+    sink(Seq((1L, "a", 1.0)).toDF("id", "cat", "v"), 0L)
+    sink(Seq((1L, "a2", 2.0), (2L, "b", 1.0)).toDF("id", "cat", "v"), 1L)
+    val versions = catalog.metadataStore.load(Seq("upsx"), "t")._2
+    // replayed epoch on the same sink instance: skipped
+    sink(Seq((1L, "ZOMBIE", 0.0)).toDF("id", "cat", "v"), 1L)
+    // replayed epoch on a FRESH sink (driver restart): watermark skips it
+    val restarted = graft.stream.Streaming.catalogUpsertSink(spark, "mor",
+      Seq("upsx"), "t", "cdc")
+    restarted(Seq((1L, "ZOMBIE", 0.0)).toDF("id", "cat", "v"), 1L)
+    assert(catalog.metadataStore.load(Seq("upsx"), "t")._2 == versions,
+      "replays must not commit")
+    val rows = spark.table("mor.upsx.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a2"), (2L, "b")), rows.toString)
+  }
+
+  test("CDC loop: stream an append-only source into a keyed target as upserts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.cdc")
+    spark.sql("CREATE TABLE mor.cdc.src (id BIGINT NOT NULL, v DOUBLE)")
+    mkMorTable("cdc", "dst")
+    spark.sql("INSERT INTO mor.cdc.src VALUES (1, 1.0), (2, 2.0)")
+    val ckpt = Files.createTempDirectory("mor-cdc-ckpt").toString
+
+    def drain(): Unit = {
+      val q = spark.readStream.table("mor.cdc.src")
+        .selectExpr("id", "CAST(id AS STRING) AS cat", "v")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(graft.stream.Streaming.catalogUpsertSink(
+          spark, "mor", Seq("cdc"), "dst", "loop"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    drain()
+    assert(spark.table("mor.cdc.dst").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq ==
+      Seq((1L, 1.0), (2L, 2.0)))
+
+    // a LATER append with an existing key arrives as an update downstream
+    spark.sql("INSERT INTO mor.cdc.src VALUES (2, 22.0), (3, 3.0)")
+    drain()
+    assert(spark.table("mor.cdc.dst").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq ==
+      Seq((1L, 1.0), (2L, 22.0), (3L, 3.0)))
+
+    // maintenance: compaction folds the accumulated epoch deletes away
+    catalog.compact(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("cdc"), "dst"))
+    assert(snap("cdc", "dst").deleteFiles.isEmpty)
+    assert(spark.table("mor.cdc.dst").count() == 3L)
+  }
+
   test("stale MoR delta fails cleanly when another commit interleaves") {
     mkMorTable("race", "t")
     spark.sql("INSERT INTO mor.race.t VALUES (1,'a',1.0),(2,'b',2.0)")

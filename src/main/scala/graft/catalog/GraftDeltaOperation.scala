@@ -52,19 +52,11 @@ private[catalog] class GraftDeltaOperation(
     keys.map { case (n, _) => Expressions.column(n) }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
-    val identityCols = meta.specs.find(_.specId == meta.defaultSpecId)
-      .map(_.fields).getOrElse(Nil)
-      .filter(_.transform == "identity").flatMap(f => nameById.get(f.sourceId))
-    val transformSpecs = meta.specs.find(_.specId == meta.defaultSpecId)
-      .map(_.fields).getOrElse(Nil)
-      .filter(_.transform != "identity")
-      .flatMap(f => nameById.get(f.sourceId).map(src => (src, f.transform, f.name)))
     new GraftScanBuilder(tableName, store.dataDir(ns, table),
       meta.currentSnapshot.map(_.files).getOrElse(Nil),
-      identityCols, tableSchema, options,
+      SpecDerivation.identityPartCols(meta), tableSchema, options,
       meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
-      transformSpecs,
+      SpecDerivation.transformPartSpecs(meta),
       deleteFiles = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil),
       fileSeqs = meta.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty))
   }

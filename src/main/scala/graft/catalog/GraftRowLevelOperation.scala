@@ -48,19 +48,12 @@ private[catalog] class GraftRowLevelOperation(
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
-    val identityCols = meta.specs.find(_.specId == meta.defaultSpecId)
-      .map(_.fields).getOrElse(Nil)
-      .filter(_.transform == "identity").flatMap(f => nameById.get(f.sourceId))
-    val transformSpecs = meta.specs.find(_.specId == meta.defaultSpecId)
-      .map(_.fields).getOrElse(Nil)
-      .filter(_.transform != "identity")
-      .flatMap(f => nameById.get(f.sourceId).map(src => (src, f.transform, f.name)))
     new GraftScanBuilder(tableName, store.dataDir(ns, table),
       meta.currentSnapshot.map(_.files).getOrElse(Nil),
-      identityCols, SchemaBridge.toSpark(meta.currentSchema), options,
+      SpecDerivation.identityPartCols(meta),
+      SchemaBridge.toSpark(meta.currentSchema), options,
       meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
-      transformSpecs,
+      SpecDerivation.transformPartSpecs(meta),
       groupPruneOnly = true,
       onBuild = files => affectedFiles = Some(files),
       // a rewrite of delete-affected files must read through the deletes

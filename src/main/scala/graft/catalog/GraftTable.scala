@@ -97,29 +97,11 @@ class GraftTable(tableName: String, store: MetaStore,
     }
 
   /** Identity-partitioned column names (physical partition dirs exist). */
-  private def identityPartCols: Seq[String] = {
-    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
-    meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
-      .filter(_.transform == "identity").flatMap(f => nameById.get(f.sourceId))
-  }
+  private def identityPartCols: Seq[String] =
+    SpecDerivation.identityPartCols(meta)
 
-  /** Non-identity spec fields as (sourceCol, transform, dirKeyName).
-    * A bucket column whose type ever CHANGED across schema versions is
-    * excluded: Murmur3's hash family depends on the input type (hashInt
-    * vs hashLong), so files written under the old type live in dirs the
-    * current-type replay would never compute — pruning them would
-    * silently drop rows. (Other transforms replay on the VALUE, which
-    * widening preserves.) */
-  private[graft] def transformPartSpecs: Seq[(String, String, String)] = {
-    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
-    def typeStable(fieldId: Int): Boolean =
-      meta.schemas.flatMap(_.fields.filter(_.id == fieldId).map(_.`type`))
-        .distinct.size <= 1
-    meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
-      .filter(_.transform != "identity")
-      .filter(f => !f.transform.startsWith("bucket[") || typeStable(f.sourceId))
-      .flatMap(f => nameById.get(f.sourceId).map(src => (src, f.transform, f.name)))
-  }
+  private[graft] def transformPartSpecs: Seq[(String, String, String)] =
+    SpecDerivation.transformPartSpecs(meta)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, store.dataDir(ns, table), scanRelFiles(options),
@@ -152,7 +134,15 @@ class GraftTable(tableName: String, store: MetaStore,
   }
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    !frozen && (deleteFilterCols(filters) match {
+    !frozen &&
+    // with LIVE equality-delete files the metadata fast path is unsound:
+    // its ReplaceFiles(kept) commit carries no delete files forward, so
+    // rows they mask in the KEPT files would silently resurrect. Refuse
+    // — the row-level rewrite path handles the delete correctly (it
+    // reads through the delete files), and compaction restores this
+    // fast path.
+    meta.currentSnapshot.forall(_.deleteFiles.isEmpty) &&
+    (deleteFilterCols(filters) match {
       case None => false
       case Some(cols) =>
         // every file must be decidable: it carries a dir value for every
@@ -435,6 +425,40 @@ private[graft] object PartitionTransforms {
   * + name-reuse, old files' `__part_<name>` dirs hold another column's
   * values; matching by bare name would mutate the wrong files — same
   * rename discipline as the stats/bucket guards). */
+/** The ONE derivation of scan-relevant partition-spec fields from table
+  * metadata, shared by the table scan and BOTH row-level operations
+  * (copy-on-write and merge-on-read). Centralized because the safety
+  * filter below is load-bearing: a scan built from a copy that lost it
+  * would wrongly prune files and silently miss rows. */
+private[graft] object SpecDerivation {
+  import graft.meta.TableMetadata
+
+  /** Identity-partitioned column names (physical partition dirs exist). */
+  def identityPartCols(meta: TableMetadata): Seq[String] = {
+    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
+    meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
+      .filter(_.transform == "identity").flatMap(f => nameById.get(f.sourceId))
+  }
+
+  /** Non-identity spec fields as (sourceCol, transform, dirKeyName).
+    * A bucket column whose type ever CHANGED across schema versions is
+    * excluded: Murmur3's hash family depends on the input type (hashInt
+    * vs hashLong), so files written under the old type live in dirs the
+    * current-type replay would never compute — pruning them would
+    * silently drop rows. (Other transforms replay on the VALUE, which
+    * widening preserves.) */
+  def transformPartSpecs(meta: TableMetadata): Seq[(String, String, String)] = {
+    val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
+    def typeStable(fieldId: Int): Boolean =
+      meta.schemas.flatMap(_.fields.filter(_.id == fieldId).map(_.`type`))
+        .distinct.size <= 1
+    meta.specs.find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
+      .filter(_.transform != "identity")
+      .filter(f => !f.transform.startsWith("bucket[") || typeStable(f.sourceId))
+      .flatMap(f => nameById.get(f.sourceId).map(src => (src, f.transform, f.name)))
+  }
+}
+
 private[graft] object PartitionDecidability {
   def decidableIdentityCols(meta: TableMetadata): Set[String] = {
     val nameById = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
@@ -775,6 +799,11 @@ private[graft] class GraftScanBuilder(
     delegate.build()
   }
 
+  /** Per-delete-file key sets, loaded at most once per builder (delete
+    * files are immutable — same path, same keys). */
+  private val deleteKeyCache =
+    scala.collection.mutable.Map.empty[String, Set[List[Any]]]
+
   /** Equality-delete files applying to `rel`: those committed at a
     * sequence strictly above the file's added-sequence (files predating
     * sequence tracking default to 0 — older than every delete). */
@@ -803,17 +832,26 @@ private[graft] class GraftScanBuilder(
       s"$totalRows live delete rows exceed the merge-on-read bound " +
         s"(${MergeOnRead.MaxDeleteRows}) — compact table $tableName first")
 
-    // load each delete file's key set ONCE on the driver; executors get
-    // the sets inside the reader factory (task-binary broadcast)
+    // load each delete file's key set ONCE on the driver (memoized
+    // across build() and every runtime refilter — an injected join
+    // filter must not re-collect millions of keys); executors get the
+    // sets inside the reader factory (task-binary broadcast)
     val spark = SparkSession.active
+    // field-id resolution MUST be on before reading delete files: a key
+    // column renamed after the delete commit resolves by id — by name it
+    // would read all-null keys and silently resurrect every deleted row
+    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val keysByFile: Map[String, Set[List[Any]]] = allDeletes.map { df =>
-      val names = df.keyFieldIds.map(MergeOnRead.nameOfFieldId(tableSchema, _))
-      val keySchema = StructType(names.map(n =>
-        tableSchema.fields(tableSchema.fieldIndex(n))))
-      val rows = spark.read.schema(keySchema).parquet(s"$dataDir/${df.path}")
-        .collect()
-      df.path -> rows.map(r => (0 until keySchema.length)
-        .map(i => r.get(i)).toList).toSet
+      df.path -> deleteKeyCache.getOrElseUpdate(df.path, {
+        val names = df.keyFieldIds.map(MergeOnRead.nameOfFieldId(tableSchema, _))
+        val keySchema = StructType(names.map(n =>
+          tableSchema.fields(tableSchema.fieldIndex(n))))
+        val rows = spark.read.schema(keySchema).parquet(s"$dataDir/${df.path}")
+          .collect()
+        rows.map(r => (0 until keySchema.length)
+          .map(i => r.get(i)).toList).toSet
+      })
     }.toMap
 
     val statsScan = delegateScanFor(rels)
@@ -1039,6 +1077,24 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           val relDir = s"commit-$commitId"
           val outDir = store.dataDir(ns, table) + "/" + relDir
           val (meta0, _) = store.load(ns, table)
+
+          // branch-write preconditions are decidable BEFORE writing a
+          // byte — a mis-targeted large write must not strand its whole
+          // volume as orphans until expiry. (The commit-time checks stay:
+          // the CAS loop re-resolves the ref against fresh metadata.)
+          branch.foreach { b =>
+            if (mode != AppendMode) throw new UnsupportedOperationException(
+              "branch writes support append only — publish the branch " +
+                "before overwrite/truncate maintenance")
+            meta0.refs.get(b) match {
+              case None => throw new IllegalArgumentException(
+                s"no branch named '$b' — create it before writing to it")
+              case Some(rd) if rd.refType != "branch" =>
+                throw new UnsupportedOperationException(
+                  s"cannot append to tag '$b'")
+              case _ => ()
+            }
+          }
 
           val newFiles = WriteShaping.writeDataFiles(data, meta0, store,
             ns, table, relDir)

@@ -303,6 +303,12 @@ object MetadataUpdate {
     def apply(m: TableMetadata): TableMetadata = {
       require(refType == "branch" || refType == "tag",
         s"ref type must be branch or tag, got '$refType'")
+      require(name.trim.nonEmpty, "ref name must be non-empty")
+      // `VERSION AS OF '<x>'` resolves integers as metadata versions
+      // FIRST — an integer-looking ref would be unreachable (shadowed)
+      require(scala.util.Try(name.trim.toLong).isFailure,
+        s"ref name '$name' would be shadowed by version time travel — " +
+          "pick a non-numeric name")
       require(m.snapshots.exists(_.snapshotId == snapshotId),
         s"no snapshot with id $snapshotId")
       m.refs.get(name).foreach { existing =>

@@ -256,6 +256,32 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("mor.cdc.dst").count() == 3L)
   }
 
+  test("partition-boundary DELETE with live delete files cannot resurrect rows") {
+    // identifier-fields WITHOUT merge-on-read write modes: deletes enter
+    // via the upsert sink, the DELETE itself takes the copy-on-write
+    // path — which must NOT get converted to the metadata-only commit
+    // (ReplaceFiles drops delete files; kept files would resurrect rows)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.pbd")
+    spark.sql("""CREATE TABLE mor.pbd.t (id BIGINT NOT NULL, cat STRING, v DOUBLE)
+      PARTITIONED BY (cat)
+      TBLPROPERTIES ('identifier-fields' = 'id')""")
+    spark.sql("INSERT INTO mor.pbd.t VALUES (1,'a',1.0),(2,'a',2.0),(3,'b',3.0)")
+    import spark.implicits._
+    // upsert retires (2,'a',2.0) behind an equality-delete file
+    graft.catalog.CatalogUpserts.upsertBatch(catalog.metadataStore,
+      Seq("pbd"), "t", Seq((2L, "a", 22.0)).toDF("id", "cat", "v"))
+    assert(snap("pbd", "t").deleteFiles.nonEmpty)
+
+    spark.sql("DELETE FROM mor.pbd.t WHERE cat = 'b'")
+
+    val after = snap("pbd", "t")
+    assert(after.operation == "rewrite",
+      s"metadata fast path must refuse while delete files live: ${after.operation}")
+    val rows = spark.table("mor.pbd.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 1.0), (2L, 22.0)), rows.toString)
+  }
+
   test("stale MoR delta fails cleanly when another commit interleaves") {
     mkMorTable("race", "t")
     spark.sql("INSERT INTO mor.race.t VALUES (1,'a',1.0),(2,'b',2.0)")

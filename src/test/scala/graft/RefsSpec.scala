@@ -139,6 +139,22 @@ class RefsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT * FROM refs.guard.t VERSION AS OF 'nope'").collect()
     }
     assert(e3.toString.contains("nope"), e3.toString)
+    // numeric names would be shadowed by version time travel — refused
+    val e4 = intercept[Exception] {
+      catalog.createTag(ident("guard", "t"), "2024")
+    }
+    assert(e4.getMessage.contains("shadowed"), e4.getMessage)
+    // a refused branch write must not strand data files: the guard
+    // fires BEFORE anything is written
+    val store = catalog.metadataStore
+    val dataDir = store.dataDir(Seq("guard"), "t")
+    val filesBefore = store.listParquetUnder(dataDir).size
+    intercept[Exception] {
+      spark.range(5).toDF("id")
+        .writeTo("refs.guard.t").option("branch", "missing").append()
+    }
+    assert(store.listParquetUnder(dataDir).size == filesBefore,
+      "failed branch write stranded files")
   }
 
   test("expiry never removes files a ref still reaches") {

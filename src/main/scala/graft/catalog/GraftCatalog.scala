@@ -54,7 +54,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // files written before a rename still serve the renamed column); set
     // once here rather than mutating session conf per scan build
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .foreach(_.conf.set("spark.sql.parquet.fieldId.read.enabled", "true"))
+      .foreach { s =>
+        s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        // the parquet delegate answers COUNT/MIN/MAX from footer
+        // metadata (off by default in Spark) — the catalog forwards
+        // aggregations to it, so `SELECT count(*) FROM t` on a 100 TB
+        // table reads footers, not data
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      }
   }
 
   override def name(): String = catalogName

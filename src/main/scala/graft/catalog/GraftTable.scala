@@ -511,7 +511,8 @@ private[graft] class GraftScanBuilder(
     fileSeqs: Map[String, Long] = Map.empty)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.sources._
 
@@ -525,8 +526,38 @@ private[graft] class GraftScanBuilder(
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(required: StructType): Unit =
+  override def pruneColumns(required: StructType): Unit = {
     requiredSchema = if (required.isEmpty) tableSchema else required
+    // with a pushed aggregation the delegate owns the (aggregate) read
+    // schema — forward the engine's pruning call to it verbatim
+    aggDelegate.foreach(_.pruneColumns(required))
+  }
+
+  /** COUNT/MIN/MAX pushdown: forwarded to a parquet delegate builder
+    * over the PRUNED file list, which answers them from footer metadata
+    * — `SELECT count(*) FROM t` on a 100 TB table reads footers, never
+    * data. Refused whenever rows could differ from the footers' view:
+    * live equality-delete files (masked rows would be counted), filters
+    * (the delegate refuses those itself), or a row-level rewrite scan. */
+  private var aggDelegate: Option[
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder] =
+    None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    aggDelegate.exists(_.supportCompletePushDown(agg))
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (groupPruneOnly || deleteFiles.nonEmpty) return false
+    val probe = mkDelegateBuilder(prunedRelFiles)
+    probe.pushFilters(pushed.toSeq.flatMap(toCatalyst))
+    val ok = probe.pushAggregation(agg)
+    if (ok) aggDelegate = Some(probe)
+    ok
+  }
 
   private val transformBySrc: Map[String, (String, String)] =
     transformSpecs.map { case (src, tr, name) => src -> (tr, name) }.toMap
@@ -771,20 +802,26 @@ private[graft] class GraftScanBuilder(
       : org.apache.spark.sql.connector.read.Scan =
     delegateScanWith(rels, requiredSchema)
 
-  private def delegateScanWith(rels: Seq[String], readSchema: StructType)
-      : org.apache.spark.sql.connector.read.Scan = {
+  /** A fresh parquet delegate builder over an explicit file list.
+    * Asserts field-id column resolution first: it is set at catalog
+    * initialize, but that can be undone (RESET / SET ... = false) or may
+    * have landed on a different session than the one scanning — without
+    * it, files written before a rename silently read the renamed column
+    * as NULL (and delete-KEY files would read all-null keys). */
+  private def mkDelegateBuilder(rels: Seq[String])
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
     val files = rels.map(rel => s"$dataDir/$rel")
     val spark = SparkSession.active
-    // field-id column resolution is set at catalog initialize, but that
-    // can be undone (RESET / SET ... = false) or may have landed on a
-    // different session than the one scanning — without it, files written
-    // before a rename silently read the renamed column as NULL. Re-assert
-    // here only when it's not already on (no-op in the steady state).
     if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val delegate = ParquetTable(tableName, spark, options, files,
+    ParquetTable(tableName, spark, options, files,
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)
+  }
+
+  private def delegateScanWith(rels: Seq[String], readSchema: StructType)
+      : org.apache.spark.sql.connector.read.Scan = {
+    val delegate = mkDelegateBuilder(rels)
     delegate.pruneColumns(readSchema)
     // hand the pushed filters to the delegate for row-group skipping
     // through its public Catalyst pushdown surface (FileScanBuilder.
@@ -899,6 +936,10 @@ private[graft] class GraftScanBuilder(
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    // a pushed aggregation owns the whole scan: footer-metadata answers,
+    // aggregate read schema, no runtime filtering (a refilter would
+    // rebuild a row scan under an aggregate plan shape)
+    aggDelegate.foreach { b => return b.build() }
     val pruned = prunedRelFiles
     onBuild(pruned)
     val batchScan = morScanFor(pruned)

@@ -211,6 +211,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("COUNT/MIN/MAX push to parquet footers through the catalog scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.aggpd")
+    spark.sql("CREATE TABLE graft.aggpd.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.aggpd.t SELECT id, id * 1.5 FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.aggpd.t SELECT id, id * 1.5 FROM range(1000, 1500)")
+
+    val cnt = spark.sql("SELECT count(*) FROM graft.aggpd.t")
+    val cntPlan = planOf(cnt)
+    assert(cntPlan.contains("PushedAggregation: [COUNT(*)]"),
+      s"count(*) not answered from footers:\n$cntPlan")
+    assert(cnt.head().getLong(0) == 1500L)
+
+    val mm = spark.sql("SELECT min(k), max(k) FROM graft.aggpd.t")
+    assert(planOf(mm).contains("PushedAggregation: [MIN(k), MAX(k)]"),
+      s"min/max not pushed:\n${planOf(mm)}")
+    assert(mm.head().getLong(0) == 0L && mm.head().getLong(1) == 1499L)
+
+    // a table with LIVE equality-delete files must refuse: footer counts
+    // include the masked rows
+    spark.sql("""CREATE TABLE graft.aggpd.m (id BIGINT NOT NULL, v DOUBLE)
+      TBLPROPERTIES ('identifier-fields' = 'id',
+        'write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.aggpd.m VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("DELETE FROM graft.aggpd.m WHERE id = 2")
+    val morCnt = spark.sql("SELECT count(*) FROM graft.aggpd.m")
+    assert(!planOf(morCnt).contains("PushedAggregation: [COUNT"),
+      s"aggregate wrongly pushed past live deletes:\n${planOf(morCnt)}")
+    assert(morCnt.head().getLong(0) == 2L)
+  }
+
   test("time-range filters prune hour-partitioned dirs, rows unchanged") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tsprune")
     spark.sql("""CREATE TABLE graft.tsprune.ev (id BIGINT, ts TIMESTAMP)

@@ -172,11 +172,61 @@ object TextAnalysis {
       |      (a, c) -> (a * 31 + c) % 1000000007))) AS min_shingle_fp
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** Within-document repetition statistics — the Gopher-class
+    * repetition filters a pretraining pipeline applies before anything
+    * else sees the text: the fraction of bigram occurrences that are
+    * repeats (1 - distinct/total) and the share of the single most
+    * frequent bigram. Plan shape: explode to (doc, bigram) → two
+    * partial+final aggregations, both map-side combined before their
+    * shuffle — no per-doc collect, no quadratic HOF lambda, scales
+    * linearly in corpus size. */
+  def q88Repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2) // sequence(0, n-2) needs n >= 2
+    val bg = docs.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(t) - 2), " +
+        "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("bigram"))
+    bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top"),
+        count(lit(1)).as("dist"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("top") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        round(lit(1.0) - col("dist") / col("n_bigrams"), 6)
+          .as("dup_bigram_frac"),
+        (lit(1.0) - col("dist") / col("n_bigrams") > 0.5).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q88Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |  FROM toks WHERE len(t) >= 2),
+      |bg AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram FROM idx),
+      |counts AS (
+      |  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    max(c) AS top, count(*) AS dist
+      |  FROM counts GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |  round(top * 1.0 / n_bigrams, 6) AS top_bigram_frac,
+      |  round(1 - dist * 1.0 / n_bigrams, 6) AS dup_bigram_frac,
+      |  (1 - dist * 1.0 / n_bigrams) > 0.5 AS repetitive
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_lang_id"     -> q58LangId _,
     "q59_quality"     -> q59Quality _,
     "q60_token_count" -> q60TokenCount _,
     "q61_fingerprint" -> q61Fingerprint _,
+    "q88_repetition"  -> q88Repetition _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -184,5 +234,6 @@ object TextAnalysis {
     "q59_quality"     -> q59Sql,
     "q60_token_count" -> q60Sql,
     "q61_fingerprint" -> q61Sql,
+    "q88_repetition"  -> q88Sql,
   )
 }

@@ -136,18 +136,25 @@ object MetadataTables {
   private def files(fqn: String, m: TableMetadata): Table = {
     val schema = StructType(Seq(
       StructField("file", StringType, nullable = false),
+      StructField("content", StringType, nullable = false),
       StructField("partition", StringType, nullable = false),
-      StructField("n_stat_cols", IntegerType, nullable = false)))
+      StructField("n_stat_cols", IntegerType, nullable = false),
+      StructField("seq", LongType, nullable = true)))
     val stats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
+    val seqs = m.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty)
+    def row(f: String, content: String, seq: Any): InternalRow = {
+      val part = PartitionDirs.kvs(f).toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString("/")
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(f), UTF8String.fromString(content),
+        UTF8String.fromString(part),
+        stats.get(f).map(_.size).getOrElse(0), seq))
+    }
     val rows: Array[InternalRow] =
-      m.currentSnapshot.map(_.files).getOrElse(Nil).map { f =>
-        val part = PartitionDirs.kvs(f).toSeq.sorted
-          .map { case (k, v) => s"$k=$v" }.mkString("/")
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(f),
-          UTF8String.fromString(part),
-          stats.get(f).map(_.size).getOrElse(0))): InternalRow
-      }.toArray
+      (m.currentSnapshot.map(_.files).getOrElse(Nil)
+        .map(f => row(f, "data", seqs.get(f).map(v => v: Any).orNull)) ++
+       m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+        .map(d => row(d.path, "equality-deletes", d.seq))).toArray
     new RowsTable(fqn + "$files", schema, rows)
   }
 

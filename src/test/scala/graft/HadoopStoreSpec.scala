@@ -162,6 +162,32 @@ class HadoopStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!store.dropNamespace(Seq("a"))) // already gone
   }
 
+  test("merge-on-read DML and the upsert sink run on the Hadoop store") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ghdfs.morns")
+    spark.sql("""CREATE TABLE ghdfs.morns.t (id BIGINT NOT NULL, v DOUBLE)
+      TBLPROPERTIES ('identifier-fields' = 'id',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO ghdfs.morns.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("DELETE FROM ghdfs.morns.t WHERE id = 2")
+    spark.sql("UPDATE ghdfs.morns.t SET v = 30.0 WHERE id = 3")
+    import spark.implicits._
+    graft.catalog.CatalogUpserts.upsertBatch(catalog.metadataStore,
+      Seq("morns"), "t", Seq((1L, 10.0), (4L, 4.0)).toDF("id", "v"))
+    val rows = spark.table("ghdfs.morns.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 10.0), (3L, 30.0), (4L, 4.0)), rows.toString)
+    val snap = catalog.metadataStore.load(Seq("morns"), "t")._1
+      .currentSnapshot.get
+    assert(snap.deleteFiles.nonEmpty)
+    // compaction folds the deletes on the Hadoop store too
+    catalog.compact(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("morns"), "t"))
+    assert(catalog.metadataStore.load(Seq("morns"), "t")._1
+      .currentSnapshot.get.deleteFiles.isEmpty)
+    assert(spark.table("ghdfs.morns.t").count() == 3L)
+  }
+
   test("the hdfslike filesystem really refuses rename onto an existing file") {
     val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
       spark.sessionState.newHadoopConf())

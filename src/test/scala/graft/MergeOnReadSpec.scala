@@ -65,6 +65,11 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT cat FROM mor.del.t").collect()
       .map(_.getString(0)).toSeq == Seq("a"))
     assert(spark.sql("SELECT count(*) FROM mor.del.t").head().getLong(0) == 1L)
+    // $files surfaces the delete files for operability
+    val contents = spark.sql("SELECT content FROM mor.del.`t$files`")
+      .collect().map(_.getString(0))
+    assert(contents.count(_ == "equality-deletes") == after.deleteFiles.size)
+    assert(contents.count(_ == "data") == after.files.size)
     // time travel to the pre-delete version still sees all rows
     val preVersion = catalog.metadataStore.load(Seq("del"), "t")._2 - 1
     assert(spark.sql(s"SELECT count(*) FROM mor.del.t VERSION AS OF $preVersion")

@@ -95,8 +95,11 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val files = spark.sql("SELECT * FROM snap.ins.`t$files`").collect()
     assert(files.length == 3)
-    assert(files.forall(r => r.getString(1).startsWith("cat=")))
-    assert(files.forall(_.getInt(2) > 0), "manifest stats missing from $files")
+    assert(files.forall(r => r.getAs[String]("content") == "data"))
+    assert(files.forall(r => r.getAs[String]("partition").startsWith("cat=")))
+    assert(files.forall(r => r.getAs[Int]("n_stat_cols") > 0),
+      "manifest stats missing from $files")
+    assert(files.forall(r => r.getAs[Long]("seq") > 0L))
 
     // plans stay driver-local — an inspection query must never launch
     // a distributed scan over data files

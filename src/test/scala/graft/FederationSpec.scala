@@ -119,6 +119,38 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { front.loadVersion(Seq("race"), "t", 99) }
   }
 
+  test("merge-on-read DML and refs ride the wire commit algebra") {
+    val cat = spark.sessionState.catalogManager.catalog("fed")
+      .asInstanceOf[GraftCatalog]
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS fed.mor")
+    spark.sql("""CREATE TABLE fed.mor.t (id BIGINT NOT NULL, v DOUBLE)
+      TBLPROPERTIES ('identifier-fields' = 'id',
+        'write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO fed.mor.t VALUES (1,1.0),(2,2.0),(3,3.0)")
+
+    // row-delta verb: the equality-delete commit crosses the wire
+    spark.sql("DELETE FROM fed.mor.t WHERE id = 2")
+    assert(spark.table("fed.mor.t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    val backMeta = backing.metadataStore.load(Seq("mor"), "t")._1
+    assert(backMeta.currentSnapshot.get.deleteFiles.nonEmpty,
+      "delete files must reach the backing catalog's metadata")
+
+    // set-ref / append-files-to-ref / fast-forward / remove-ref verbs
+    val id = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("mor"), "t")
+    cat.createBranch(id, "stage")
+    spark.range(10, 12).toDF("id").selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .writeTo("fed.mor.t").option("branch", "stage").append()
+    assert(spark.table("fed.mor.t").count() == 2) // main untouched
+    assert(spark.sql("SELECT * FROM fed.mor.t VERSION AS OF 'stage'")
+      .count() == 4)
+    cat.fastForward(id, "stage")
+    cat.dropRef(id, "stage")
+    assert(spark.table("fed.mor.t").count() == 4)
+    assert(backing.metadataStore.load(Seq("mor"), "t")._1.refs.isEmpty)
+  }
+
   test("row-level DELETE and streaming rides the wire commit algebra") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS fed.dml")
     spark.sql("CREATE TABLE fed.dml.t (id BIGINT, v BIGINT)")

@@ -287,6 +287,18 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq((1L, 1.0), (2L, 22.0)), rows.toString)
   }
 
+  test("renaming the identifier column after a delete keeps it applied") {
+    mkMorTable("ren", "t")
+    spark.sql("INSERT INTO mor.ren.t VALUES (1,'a',1.0),(2,'b',2.0)")
+    spark.sql("DELETE FROM mor.ren.t WHERE id = 2")
+    // the delete file's columns are keyed by FIELD ID — a rename of the
+    // identifier column must not orphan the keys (all-null reads would
+    // silently resurrect the row)
+    spark.sql("ALTER TABLE mor.ren.t RENAME COLUMN id TO doc_key")
+    val rows = spark.table("mor.ren.t").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L), rows.toString)
+  }
+
   test("stale MoR delta fails cleanly when another commit interleaves") {
     mkMorTable("race", "t")
     spark.sql("INSERT INTO mor.race.t VALUES (1,'a',1.0),(2,'b',2.0)")

@@ -342,7 +342,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * from the fresh state. Readers see either the old or the new layout,
     * never a mix. */
   def compact(ident: Identifier, targetFileCount: Int = 1,
-              maxAttempts: Int = 3): TableMetadata = {
+              maxAttempts: Int = 3): TableMetadata =
+    compact(ident, targetFileCount, maxAttempts, Nil)
+
+  /** [[compact]] with MULTI-DIMENSIONAL (Z-order) clustering: rows are
+    * range-partitioned and sorted by the bit-interleaving of the
+    * `zorderCols` values normalized to 256 buckets each (bounds from one
+    * min/max pass), so every clustered column — not just a leading sort
+    * key — gets narrow per-file min/max ranges and the manifest pruner
+    * can skip files on ANY of them. The layout verb behind "queries
+    * filter this 100 TB table by time AND by user id". Linear bucket
+    * scaling (documented trade: a pathologically skewed column wastes
+    * bucket resolution; re-cluster after major skew shifts). */
+  def compactZOrder(ident: Identifier, zorderCols: Seq[String],
+                    targetFileCount: Int = 8,
+                    maxAttempts: Int = 3): TableMetadata = {
+    require(zorderCols.size >= 2,
+      "Z-order needs at least two columns (one column = plain sort order)")
+    compact(ident, targetFileCount, maxAttempts, zorderCols)
+  }
+
+  private def compact(ident: Identifier, targetFileCount: Int,
+                      maxAttempts: Int, zorderCols: Seq[String]): TableMetadata = {
     val ns = ident.namespace.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
     val fqn = (name() +: ident.namespace :+ ident.name).mkString(".")
@@ -361,7 +382,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       // destroying the min/max stats skipping the order exists to feed
       val sortCols = WriteShaping.sortCols(base.properties)
       val clustered =
-        if (sortCols.nonEmpty)
+        if (zorderCols.nonEmpty) {
+          import org.apache.spark.sql.functions._
+          zorderCols.foreach { c =>
+            val dt = current.schema.fields(current.schema.fieldIndex(c)).dataType
+            require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+              dt == org.apache.spark.sql.types.TimestampType ||
+              dt == org.apache.spark.sql.types.TimestampNTZType ||
+              dt == org.apache.spark.sql.types.DateType,
+              s"Z-order column '$c' must be numeric/temporal, got $dt")
+          }
+          // one pass for the bounds, then a pure column expression:
+          // width_bucket to 256 levels per column, bits interleaved LSB
+          // first — codegen'd end to end, no UDF, no per-row lambda
+          def numeric(c: String) = col(c).cast("double")
+          val bounds = current.agg(
+            zorderCols.map(c => min(numeric(c))).head,
+            (zorderCols.map(c => max(numeric(c))) ++
+              zorderCols.drop(1).map(c => min(numeric(c)))): _*).head()
+          val minOf = zorderCols.zipWithIndex.map { case (c, i) =>
+            c -> (if (i == 0) bounds.getDouble(0)
+                  else bounds.getDouble(zorderCols.size + i)) }.toMap
+          val maxOf = zorderCols.zipWithIndex.map { case (c, i) =>
+            c -> bounds.getDouble(1 + i) }.toMap
+          val nBits = 8 // 256 buckets per dimension
+          if (bounds.anyNull) current.repartition(targetFileCount) // empty/all-null
+          else {
+            def bucket(c: String) =
+              // constant column: one bucket. width_bucket overflows to
+              // nb+1 at the upper bound — clamp into [0, 255]
+              if (minOf(c) == maxOf(c)) lit(0)
+              else least(lit((1 << nBits) - 1), greatest(lit(0),
+                (width_bucket(numeric(c), lit(minOf(c)), lit(maxOf(c)),
+                  lit(1 << nBits)) - lit(1)).cast("int")))
+            val zval = zorderCols.zipWithIndex.map { case (c, ci) =>
+              (0 until nBits).map { bit =>
+                shiftleft((bucket(c).bitwiseAND(lit(1 << bit)) =!= 0).cast("int"),
+                  bit * zorderCols.size + ci)
+              }.reduce(_ bitwiseOR _)
+            }.reduce(_ bitwiseOR _)
+            current.withColumn("__zval", zval)
+              .repartitionByRange(targetFileCount, col("__zval"))
+              .sortWithinPartitions(col("__zval"))
+              .drop("__zval")
+          }
+        } else if (sortCols.nonEmpty)
           current.repartitionByRange(targetFileCount, sortCols: _*)
             .sortWithinPartitions(sortCols: _*)
         else current.repartition(targetFileCount)

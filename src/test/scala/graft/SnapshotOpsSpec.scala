@@ -240,6 +240,50 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM snap.cp.t WHERE id < 50").head.getLong(0) == 50L)
   }
 
+  test("Z-order compaction gives multi-dimensional file skipping") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE snap.zord")
+    spark.sql("CREATE TABLE snap.zord.t (x BIGINT, y BIGINT, payload STRING)")
+    // 8 input files, each covering the FULL range of both dimensions
+    spark.range(4096)
+      .selectExpr("id % 64 AS x", "id DIV 64 AS y", "repeat('p', 8) AS payload")
+      .orderBy(rand(42)).repartition(8)
+      .writeTo("snap.zord.t").append()
+
+    def prunedCount(fs: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val table = catalog
+        .loadTable(Identifier.of(Array("zord"), "t"))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      val b = table.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+        .asInstanceOf[graft.catalog.GraftScanBuilder]
+      b.pushFilters(fs)
+      b.prunedRelFiles.size
+    }
+    import org.apache.spark.sql.sources.LessThan
+    val before = prunedCount(Array())
+    assert(before == 8, s"expected 8 input files, got $before")
+    // wide per-file ranges: a narrow filter on either dimension skips nothing
+    assert(prunedCount(Array(LessThan("x", 16L))) == before)
+    assert(prunedCount(Array(LessThan("y", 16L))) == before)
+
+    catalog.compactZOrder(Identifier.of(Array("zord"), "t"), Seq("x", "y"),
+      targetFileCount = 8)
+
+    val total = prunedCount(Array())
+    assert(total >= 4, s"compaction produced $total files")
+    // the z-curve narrows BOTH dimensions' per-file ranges — a filter on
+    // either one now skips files (a single-key sort only narrows one)
+    val xPruned = prunedCount(Array(LessThan("x", 16L)))
+    val yPruned = prunedCount(Array(LessThan("y", 16L)))
+    assert(xPruned < total, s"x filter pruned nothing ($xPruned of $total)")
+    assert(yPruned < total, s"y filter pruned nothing ($yPruned of $total)")
+    // and the data is intact
+    assert(spark.table("snap.zord.t").count() == 4096L)
+    assert(spark.sql("SELECT count(*) FROM snap.zord.t WHERE x < 16 AND y < 16")
+      .head().getLong(0) == 16L * 16L)
+  }
+
   test("rollback re-points the current snapshot; appends stack on top") {
     spark.sql("CREATE NAMESPACE snap.rb")
     spark.sql("CREATE TABLE snap.rb.t (id BIGINT)")               // v1

@@ -38,6 +38,8 @@ object Bench {
       ops.Relational.q01PricingSummary(spark, sfDir).count()
       if (selected("q13")) // q13 DDL is setup, not scan
         ops.CatalogQueries.ensureWarehouse(spark, sfDir)
+      if (selected("q89")) // bucketed-layout DDL+writes are setup, not join
+        ops.CatalogQueries.ensureSpjWarehouse(spark, sfDir)
       // one-time Structured Streaming init (state store provider,
       // checkpoint machinery, micro-batch planner) — so the first
       // streaming query in the pack measures its plan, not engine warmup

@@ -30,7 +30,8 @@ import graft.meta._
   * `/root/reference/main.go:111-121`); only data-plane scans/writes fan
   * out to executors.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
 
   private var catalogName: String = _
   private var store: MetaStore = _
@@ -61,8 +62,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // aggregations to it, so `SELECT count(*) FROM t` on a 100 TB
         // table reads footers, not data
         s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        // key-grouped scan reports are inert without V2 bucketing: with
+        // it on, co-partitioned joins / partition-keyed aggs over graft
+        // tables skip their exchanges (see KeyGroupedRead.scala)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        // tolerate one side missing partition values the other has
+        // (empty buckets after pruning) instead of refusing the
+        // shuffle-free plan
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       }
   }
+
+  /** The V2 function surface exists for ONE reason: resolving the
+    * `bucket(n, col)` transform that [[KeyedScan]] reports, so Catalyst
+    * can prove two graft tables co-partitioned (the function's
+    * canonical name + numBuckets is the compatibility check). */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftFunctions.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def name(): String = catalogName
 

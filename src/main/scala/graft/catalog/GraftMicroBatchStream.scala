@@ -109,9 +109,23 @@ private[graft] class GraftScan(delegate0: Scan,
                                refilter: Array[org.apache.spark.sql.sources.Filter] => Scan =
                                  _ => null)
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   @volatile private var delegate: Scan = delegate0
+
+  /** Forward the key-grouped report when the wrapped scan is a
+    * [[KeyedScan]] — planning reads it here (the relation holds THIS
+    * scan), and a runtime refilter swaps in another keyed delegate so
+    * the re-planned partitions keep their keys. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportPartitioning =>
+        s.outputPartitioning()
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =

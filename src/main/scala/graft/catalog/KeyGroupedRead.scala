@@ -1,0 +1,150 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Murmur3HashFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Storage-partitioned (key-grouped) reads: the scan reports
+  * `KeyGroupedPartitioning` over the table's partition layout, so two
+  * graft tables co-partitioned on the join key — e.g. both
+  * `PARTITIONED BY (bucket(32, key))` — join with ZERO shuffle, and an
+  * aggregation keyed on the partition columns skips its exchange too.
+  * At 100 TB the shuffle of a fact-fact join is THE dominant cost; a
+  * catalog that lays both tables out by the same bucket function and
+  * then proves co-partitioning to Catalyst removes it entirely (the
+  * DSv2 analog of Hive/Iceberg bucketed joins; reference hidden
+  * partitioning: `/root/reference/internal/catalog/tables.go` spec
+  * handling — the spec exists so engines can exploit layout).
+  *
+  * Mechanics: every manifest file path carries its partition-dir
+  * key/values (`__part_<k>=<v>`), so the builder groups the pruned file
+  * list by TYPED partition key, plans one delegate parquet scan per
+  * group, and tags each group's input partitions with the key
+  * ([[KeyedInputPartition]]). Spark's `BatchScanExec` groups partitions
+  * by key (`spark.sql.sources.v2.bucketing.enabled`) and
+  * `EnsureRequirements` elides the exchange when both sides report
+  * compatible partitioning — compatibility of `bucket(n, col)` resolves
+  * through the catalog's [[GraftFunctions.BucketUnbound]] V2 function,
+  * whose evaluation is bit-identical to the write-side layout
+  * (`pmod(murmur3(col), n)`, [[PartitionTransforms.dirExpr]]). */
+private[graft] object GraftFunctions {
+
+  /** Types the bucket function accepts: exactly those whose write-side
+    * `hash(col)` (Murmur3 over the INTERNAL value) is replayed here.
+    * Decimal/interval/nested types stay out: they never appear as graft
+    * bucket sources ([[PartitionTransforms.dirExpr]] writes them, but
+    * [[SpecDerivation]] guards type stability, and exotic keys are not
+    * worth the review surface). */
+  private val bucketableTypes: Set[DataType] = Set(
+    ByteType, ShortType, IntegerType, LongType, StringType, BooleanType,
+    DateType, TimestampType, FloatType, DoubleType, BinaryType)
+
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): graft's write-side partition bucket — pmod(murmur3(col), n)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2,
+        s"bucket expects (numBuckets, col), got ${inputType.length} args")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"bucket numBuckets must be INT, got ${inputType.fields(0).dataType}")
+      val dt = inputType.fields(1).dataType
+      require(bucketableTypes.contains(dt), s"bucket does not support $dt")
+      BucketBound(dt)
+    }
+  }
+
+  /** Bound bucket: MUST match [[PartitionTransforms.dirExpr]]'s
+    * `pmod(hash(col), n)` bit-for-bit — Spark may evaluate it to
+    * re-shuffle a non-co-partitioned side into this table's layout
+    * (`spark.sql.sources.v2.bucketing.shuffle.enabled`), and a
+    * disagreement with the dirs would route rows to the wrong bucket.
+    * `canonicalName` carries the input type: Murmur3 hashes ints and
+    * longs differently, so bucket(n, int_col) and bucket(n, long_col)
+    * must never be judged co-partitioned. */
+  case class BucketBound(dt: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = s"graft.bucket(${dt.catalogString})"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val v = input.get(1, dt) // null hashes to the seed, like write-side hash()
+      val h = Murmur3HashFunction.hash(v, dt, 42).toInt
+      Integer.valueOf(((h % n) + n) % n)
+    }
+  }
+}
+
+/** A delegate input partition tagged with its typed partition key —
+  * what lets `BatchScanExec` group tasks by key and line them up
+  * against the other join side's groups. */
+private[graft] class KeyedInputPartition(
+    val inner: InputPartition, key: GenericInternalRow)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Unwraps [[KeyedInputPartition]] before handing partitions to the
+  * parquet delegate factory (which pattern-matches on its own
+  * FilePartition type). */
+private[graft] class KeyedReaderFactory(delegate: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case k: KeyedInputPartition => k.inner
+    case other => other
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
+}
+
+/** The key-grouped scan: batch planning fans out to one delegate scan
+  * per partition-key group; schema/statistics/columnar mode come from
+  * the full-file-list delegate (same files, same answers), so broadcast
+  * decisions and vectorization are untouched. */
+private[graft] class KeyedScan(
+    full: Scan,
+    groups: Seq[(GenericInternalRow, Scan)],
+    keyExprs: Array[V2Expression])
+  extends Scan with SupportsReportStatistics with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = full.readSchema()
+  override def description(): String =
+    s"keyed(${groups.size} partition groups) ${full.description()}"
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    full.columnarSupportMode()
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(keyExprs, groups.size)
+
+  override def estimateStatistics(): Statistics = full match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      groups.iterator.flatMap { case (key, scan) =>
+        scan.toBatch.planInputPartitions().iterator
+          .map(new KeyedInputPartition(_, key))
+      }.toArray
+    // one factory serves every group: the parquet reader factory
+    // depends only on schema/filters/conf, never on the file list
+    override def createReaderFactory(): PartitionReaderFactory =
+      new KeyedReaderFactory(full.toBatch.createReaderFactory())
+  }
+}

@@ -89,6 +89,68 @@ object CatalogQueries {
     """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_nation
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** One-time per (session, sfDir): a second warehouse whose orders and
+    * lineitem are CO-PARTITIONED — both `bucket(8, orderkey)` — so the
+    * storage-partitioned-join query can prove its plan. Setup is DDL +
+    * two bucketed write commits; memoized so the bench times the JOIN. */
+  def ensureSpjWarehouse(s: SparkSession, dir: String): Unit = {
+    val dirs = warmed.synchronized {
+      warmed.computeIfAbsent(s, _ => new java.util.HashSet[String]())
+    }
+    dirs.synchronized {
+      val key = "spj:" + dir
+      if (!dirs.contains(key)) {
+        val wh = java.nio.file.Files.createTempDirectory("graft-wh-q89").toString
+        s.conf.set("spark.sql.catalog.graft_q89", classOf[GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_q89.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q89.tpch")
+        s.sql("DROP TABLE IF EXISTS graft_q89.tpch.orders")
+        s.sql("DROP TABLE IF EXISTS graft_q89.tpch.lineitem")
+        s.sql("""CREATE TABLE graft_q89.tpch.orders
+          (o_orderkey BIGINT, o_totalprice DOUBLE)
+          PARTITIONED BY (bucket(8, o_orderkey))""")
+        s.sql("""CREATE TABLE graft_q89.tpch.lineitem
+          (l_orderkey BIGINT, l_extendedprice DOUBLE)
+          PARTITIONED BY (bucket(8, l_orderkey))""")
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+          .writeTo("graft_q89.tpch.orders").append()
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+          .writeTo("graft_q89.tpch.lineitem").append()
+        dirs.add(key)
+      }
+    }
+  }
+
+  /** Storage-partitioned join through the correctness gate: both sides
+    * laid out by the same bucket function, the scan reports
+    * KeyGroupedPartitioning (KeyGroupedRead.scala), and the merge join
+    * PLUS its orderkey-keyed aggregation run with ZERO exchanges — the
+    * plan shape that makes a 100 TB fact-fact join feasible. The shape
+    * is enforced, not hoped for: the query refuses to return a plan
+    * with any shuffle in it. */
+  def q89SpjJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureSpjWarehouse(s, dir)
+    val df = s.table("graft_q89.tpch.orders").hint("merge")
+      .join(s.table("graft_q89.tpch.lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(Exact.sumMoney(col("l_extendedprice")).as("rev"),
+        max(col("o_totalprice")).as("tp"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .limit(10)
+    val plan = df.queryExecution.executedPlan.toString
+    val nEx = plan.linesIterator.count(_.contains("Exchange"))
+    require(nEx == 0,
+      s"q89 expected a shuffle-free storage-partitioned join, found $nEx exchange(s):\n$plan")
+    df
+  }
+
+  val q89Sql: String =
+    s"""SELECT o_orderkey, ${Exact.sqlSumMoney("l_extendedprice")} AS rev,
+      |  MAX(o_totalprice) AS tp
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin
+
   /** Row-level DML inside the correctness gate: a catalog table takes a
     * copy-on-write DELETE, UPDATE, and MERGE, and the final contents
     * must hash-match the oracle's relational recomputation of the same
@@ -239,7 +301,8 @@ object CatalogQueries {
     "q84_row_level_dml" -> q84RowLevelDml _,
     "q85_partition_evolution" -> q85PartitionEvolution _,
     "q86_mor_dml" -> q86MorDml _,
-    "q87_wap" -> q87Wap _)
+    "q87_wap" -> q87Wap _,
+    "q89_spj_join" -> q89SpjJoin _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
     "q83_stream_catalog_source" -> q83Sql,
@@ -248,5 +311,6 @@ object CatalogQueries {
     // same oracle as q84 on purpose: merge-on-read and copy-on-write
     // must produce byte-identical results
     "q86_mor_dml" -> q84Sql,
-    "q87_wap" -> q87Sql)
+    "q87_wap" -> q87Sql,
+    "q89_spj_join" -> q89Sql)
 }

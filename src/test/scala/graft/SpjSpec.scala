@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.GraftCatalog
+
+/** Storage-partitioned joins: two graft tables laid out by the same
+  * partition spec must join (and aggregate) WITHOUT a shuffle exchange —
+  * the scan reports KeyGroupedPartitioning over its `__part_` dirs and
+  * Catalyst's EnsureRequirements elides the exchanges. On a 100 TB
+  * fact-fact join this is the difference between re-shuffling both
+  * tables and reading co-located buckets. Every test also re-checks the
+  * RESULT against the same query on raw parquet — a shuffle-free plan
+  * that drops or duplicates rows would be worse than useless. */
+class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = Files.createTempDirectory("graft-spj-wh").toString
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", wh)
+    // broadcast would hide the co-partitioning we're proving
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+
+  private def setup(): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    if (!spark.catalog.tableExists("graft.spj.orders")) {
+      spark.sql("""CREATE TABLE graft.spj.orders
+        (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+        PARTITIONED BY (bucket(4, o_orderkey))""")
+      spark.sql("""CREATE TABLE graft.spj.lineitem
+        (l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE)
+        PARTITIONED BY (bucket(4, l_orderkey))""")
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .writeTo("graft.spj.orders").append()
+      Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .writeTo("graft.spj.lineitem").append()
+    }
+  }
+
+  test("co-bucketed fact-fact join runs with zero shuffle exchanges") {
+    setup()
+    val joined = spark.table("graft.spj.orders")
+      .join(spark.table("graft.spj.lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("l_extendedprice")).as("rev"), max(col("o_totalprice")).as("tp"))
+    assert(exchanges(joined) == 0,
+      s"expected shuffle-free SPJ plan:\n${joined.queryExecution.executedPlan}")
+
+    // same query over raw parquet = ground truth
+    val expected = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .join(Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("l_extendedprice")).as("rev"), max(col("o_totalprice")).as("tp"))
+    val got = joined.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val want = expected.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.length == want.length && got.zip(want).forall {
+      case ((k1, r1, t1), (k2, r2, t2)) =>
+        k1 == k2 && math.abs(r1 - r2) < 1e-6 && t1 == t2
+    }, s"SPJ result diverged: got ${got.length} rows, want ${want.length}")
+  }
+
+  test("aggregation keyed on the bucket column skips its exchange too") {
+    setup()
+    val agg = spark.table("graft.spj.lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    assert(exchanges(agg) == 0,
+      s"partition-keyed agg should not shuffle:\n${agg.queryExecution.executedPlan}")
+    val want = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = agg.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == want.size &&
+      got.forall { case (k, v) => math.abs(want(k) - v) < 1e-6 })
+  }
+
+  test("identity-partitioned join reports keys and elides the shuffle") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spji")
+    spark.sql("""CREATE TABLE graft.spji.a (cat STRING, v BIGINT)
+      PARTITIONED BY (cat)""")
+    spark.sql("""CREATE TABLE graft.spji.b (cat STRING, w BIGINT)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.spji.a VALUES ('x',1),('y',2),('z',3),('x',4)")
+    spark.sql("INSERT INTO graft.spji.b VALUES ('x',10),('y',20),('w',30)")
+    val j = spark.table("graft.spji.a")
+      .join(spark.table("graft.spji.b"), Seq("cat"))
+      .groupBy(col("cat")).agg(sum(col("v") + col("w")).as("s"))
+    assert(exchanges(j) == 0,
+      s"identity SPJ should be shuffle-free:\n${j.queryExecution.executedPlan}")
+    val got = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 25L, "y" -> 22L)) // (1+10)+(4+10), 2+20
+  }
+
+  test("mixed layouts fall back to a correct (shuffled) plan, never a wrong key") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spjm")
+    // 4-bucket vs 8-bucket: NOT co-partitioned — plan must shuffle (or
+    // re-shuffle one side), and results must still match
+    spark.sql("""CREATE TABLE graft.spjm.a (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.sql("""CREATE TABLE graft.spjm.b (k BIGINT, w BIGINT)
+      PARTITIONED BY (bucket(8, k))""")
+    spark.sql("INSERT INTO graft.spjm.a VALUES (1,1),(2,2),(3,3),(4,4)")
+    spark.sql("INSERT INTO graft.spjm.b VALUES (2,20),(3,30),(5,50)")
+    val j = spark.table("graft.spjm.a")
+      .join(spark.table("graft.spjm.b"), Seq("k"))
+      .select(col("k"), (col("v") + col("w")).as("s"))
+    val got = j.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 22L, 3L -> 33L))
+  }
+
+  test("hash write distribution: one commit emits exactly one file per bucket") {
+    setup()
+    // default write.distribution-mode=hash for partitioned tables: the
+    // append shuffled rows to their bucket before writing, so the commit
+    // holds ≤ numBuckets files — not numTasks × numBuckets
+    val files = spark.sql("SELECT file FROM graft.spj.`lineitem$files`")
+      .collect().map(_.getString(0))
+    assert(files.length <= 4,
+      s"expected ≤4 files (one per bucket) from the single append, got " +
+        s"${files.length}:\n${files.mkString("\n")}")
+    val buckets = files.flatMap(f =>
+      "__part_l_orderkey_bucket_?4?=?(\\d+)".r.findFirstMatchIn(f).map(_.group(1)))
+    assert(buckets.distinct.length == files.length,
+      s"more than one file in a bucket: ${files.mkString(", ")}")
+  }
+
+  test("runtime file pruning keeps the keyed report (DPP + SPJ compose)") {
+    setup()
+    // selective filter on one side; the other side still groups by key
+    val j = spark.table("graft.spj.orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(spark.table("graft.spj.lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = j.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got ${got.size} keys, want ${want.size}")
+    assert(exchanges(j) == 0,
+      s"filtered SPJ should stay shuffle-free:\n${j.queryExecution.executedPlan}")
+  }
+}

@@ -922,17 +922,103 @@ private[graft] class GraftScanBuilder(
   private def runtimeFilterAttrs: Seq[String] =
     (partCols.filter(exactRenderIdentity) ++ transformBySrc.keys).distinct
 
+  /** Key-grouped (storage-partitioned) read eligibility: every default-
+    * spec field is an exact-render identity column or a bucket
+    * transform, and every source column survives column pruning (the
+    * reported V2 expressions must resolve against the scan output).
+    * Yields each spec field as (dirKey, reported expression, typed
+    * dir-value parser); None = report no partitioning. */
+  private def keyedFields: Option[Seq[
+      (String, org.apache.spark.sql.connector.expressions.Expression,
+       String => Option[Any])]] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.types._
+    val BucketRe = "bucket\\[(\\d+)\\]".r
+    val DefaultPart = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+    def parseIdentity(dt: DataType)(v: String): Option[Any] =
+      if (v == DefaultPart) Some(null)
+      else try dt match {
+        case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+        case IntegerType => Some(v.toInt)
+        case LongType => Some(v.toLong)
+        case ShortType => Some(v.toShort)
+        case ByteType => Some(v.toByte)
+        case BooleanType => Some(v.toBoolean)
+        case _ => None
+      } catch { case _: Exception => None }
+    def parseBucket(v: String): Option[Any] =
+      try Some(v.toInt) catch { case _: Exception => None }
+    if (partCols.isEmpty && transformSpecs.isEmpty) return None
+    val identity = partCols.map { c =>
+      if (!exactRenderIdentity(c) || !requiredSchema.fieldNames.contains(c))
+        return None
+      val dt = tableSchema.fields.find(_.name == c).get.dataType
+      (c, Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression,
+        parseIdentity(dt) _)
+    }
+    val buckets = transformSpecs.map {
+      case (src, BucketRe(n), dirKey)
+          if requiredSchema.fieldNames.contains(src) =>
+        (dirKey, Expressions.bucket(n.toInt, src):
+           org.apache.spark.sql.connector.expressions.Expression,
+          parseBucket _)
+      case _ => return None // truncate/temporal transform, or pruned source
+    }
+    Some(identity ++ buckets)
+  }
+
+  /** [[morScanFor]] upgraded to a [[KeyedScan]] when the layout allows:
+    * the pruned files are grouped by typed partition key (parsed back
+    * from their `__part_` dir values) and the scan reports
+    * KeyGroupedPartitioning — co-partitioned joins and partition-keyed
+    * aggregations then run with no exchange. Any file missing a dir key
+    * (pre-spec-evolution data) or carrying an unparseable value drops
+    * the whole report — never a wrong key, just a plain scan. */
+  private def keyedScanFor(rels: Seq[String])
+      : org.apache.spark.sql.connector.read.Scan = {
+    if (rels.isEmpty || groupPruneOnly || deleteFiles.nonEmpty)
+      return morScanFor(rels)
+    keyedFields match {
+      case None => morScanFor(rels)
+      case Some(fields) =>
+        val keyedRels: Option[List[(List[Any], String)]] =
+          rels.foldLeft(Option(List.empty[(List[Any], String)])) { (acc, rel) =>
+            acc.flatMap { done =>
+              val kvs = PartitionDirs.kvs(rel)
+              fields.foldLeft(Option(List.empty[Any])) { (ka, f) =>
+                ka.flatMap(vs => kvs.get(f._1).flatMap(f._3).map(vs :+ _))
+              }.map(key => done :+ (key, rel))
+            }
+          }
+        keyedRels match {
+          case None => morScanFor(rels)
+          case Some(pairs) =>
+            val groups = pairs.groupBy(_._1).toSeq
+              .sortBy(_._2.head._2) // deterministic plan order
+              .map { case (key, prs) =>
+                (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                   key.toArray),
+                 delegateScanFor(prs.map(_._2)))
+              }
+            new KeyedScan(delegateScanFor(rels), groups, fields.map(_._2).toArray)
+        }
+    }
+  }
+
   /** Fold runtime `In` filters into the pushed set and re-prune: dir
     * replay, range keys, and min/max stats all consume `pushed`, so a
     * runtime value set narrows files exactly like a literal predicate.
     * Re-fires onBuild — a row-level rewrite narrowed at runtime must
-    * commit the NARROWED affected-file set, never the planning-time one. */
+    * commit the NARROWED affected-file set, never the planning-time one.
+    * Stays key-grouped: BatchScanExec requires the re-planned partitions
+    * to still carry keys when the scan reported KeyGroupedPartitioning. */
   private def runtimeRefilter(
       fs: Array[Filter]): org.apache.spark.sql.connector.read.Scan = {
     pushed = pushed ++ fs
     val re = prunedRelFiles
     onBuild(re)
-    morScanFor(re)
+    keyedScanFor(re)
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
@@ -942,7 +1028,7 @@ private[graft] class GraftScanBuilder(
     aggDelegate.foreach { b => return b.build() }
     val pruned = prunedRelFiles
     onBuild(pruned)
-    val batchScan = morScanFor(pruned)
+    val batchScan = keyedScanFor(pruned)
     streamSource match {
       case None =>
         new GraftScan(batchScan,
@@ -1002,15 +1088,38 @@ private[catalog] object WriteShaping {
     val sortCols = WriteShaping.sortCols(meta0.properties)
     val schemaFields = graft.meta.SchemaBridge.toSpark(meta0.currentSchema)
     val incomingTypes = data.schema.fields.map(f => f.name -> f.dataType).toMap
-    var out = data.select(schemaFields.fields.toSeq.map { f =>
+    val out = data.select(schemaFields.fields.toSeq.map { f =>
       val c = org.apache.spark.sql.functions.col(f.name)
       val typed = if (incomingTypes.get(f.name).contains(f.dataType)) c
                   else c.cast(f.dataType)
       typed.as(f.name, f.metadata)
     }: _*)
-    if (sortCols.nonEmpty)
-      out = out.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-    val (shaped, partDirCols) = WriteShaping.withPartitionDirs(out, meta0)
+    val (withDirs, partDirCols) = WriteShaping.withPartitionDirs(out, meta0)
+    // Write distribution (`write.distribution-mode`: hash | range | none;
+    // default hash for partitioned tables): without clustering, every
+    // write task holding rows of k partition values emits k files —
+    // 1000 tasks × 32 buckets = 32,000 files PER COMMIT at cluster
+    // scale. `hash` shuffles on the partition-dir expressions so each
+    // dir's rows land in one task → exactly one file per partition;
+    // `range` co-ranges dirs with the sort order for clustered layouts;
+    // `none` keeps maximum write parallelism (tiny commits, tests).
+    val distMode = meta0.properties.getOrElse("write.distribution-mode",
+      if (partDirCols.nonEmpty) "hash" else "none")
+    import org.apache.spark.sql.functions.col
+    val dirCols = partDirCols.map(col)
+    val shaped =
+      if (partDirCols.isEmpty || distMode == "none") {
+        if (sortCols.nonEmpty)
+          withDirs.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+        else withDirs
+      } else if (distMode == "range") {
+        val keys = dirCols ++ sortCols
+        withDirs.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+      } else { // hash
+        if (sortCols.nonEmpty)
+          withDirs.repartition(dirCols: _*).sortWithinPartitions(sortCols: _*)
+        else withDirs.repartition(dirCols: _*)
+      }
     val writer = if (partDirCols.nonEmpty)
       shaped.write.partitionBy(partDirCols: _*)
     else shaped.write

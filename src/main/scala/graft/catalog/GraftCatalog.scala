@@ -471,7 +471,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             // guard the compaction would silently rewrite the whole
             // table under the OLD layout
             Requirement.AssertDefaultSpecId(base.defaultSpecId)),
-          Seq(MetadataUpdate.ReplaceFiles(newFiles, System.currentTimeMillis(), stats)))
+          Seq(MetadataUpdate.ReplaceFiles(newFiles, System.currentTimeMillis(),
+            stats,
+            // layout-only marker: row-level consumers (the Changes
+            // feed) skip this snapshot — same rows, new files
+            extraSummary = Map("rewrite-kind" -> "compaction"))))
       } catch {
         case e: CommitFailedException =>
           // concurrent commit won — remove this attempt's orphaned output

@@ -256,6 +256,53 @@ object CatalogQueries {
     s.table("graft_q13.tpch.nation_mor").orderBy(col("n_nationkey"))
   }
 
+  /** Row-level CDC through the oracle gate: a merge-on-read table takes
+    * an append, a MoR DELETE, and a MoR UPDATE; the changes feed
+    * ([[graft.catalog.Changes]]) must reproduce every insert, the
+    * deleted rows, and the update as preimage/postimage pairs —
+    * hash-checked against the oracle's recomputation of the same three
+    * steps from the source table. `_change_seq` is the commit offset
+    * from the table's creation version, so the oracle is independent of
+    * absolute metadata version numbers. */
+  def q90ChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation_cdc")
+    s.sql("""CREATE TABLE graft_q13.tpch.nation_cdc
+      (n_nationkey INT NOT NULL, n_name STRING, n_regionkey INT)
+      TBLPROPERTIES ('identifier-fields' = 'n_nationkey',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'write.merge.mode' = 'merge-on-read')""")
+    val cat = s.sessionState.catalogManager.catalog("graft_q13")
+      .asInstanceOf[GraftCatalog]
+    val v0 = cat.metadataStore.currentVersion(Seq("tpch"), "nation_cdc")
+    Tables.nation(s, dir).select(
+        coalesce(col("n_nationkey"), lit(-1)).as("n_nationkey"),
+        col("n_name"), col("n_regionkey"))
+      .writeTo("graft_q13.tpch.nation_cdc").append()
+    s.sql("DELETE FROM graft_q13.tpch.nation_cdc WHERE n_regionkey = 2")
+    s.sql("""UPDATE graft_q13.tpch.nation_cdc
+      SET n_name = concat(n_name, '?') WHERE n_nationkey < 3""")
+    graft.catalog.Changes.between(s, "graft_q13.tpch.nation_cdc", v0)
+      .select(col("n_nationkey"), col("n_name"), col("_change_type"),
+        (col("_commit_version") - lit(v0)).cast("int").as("_change_seq"))
+      .orderBy(col("_change_seq"), col("_change_type"), col("n_nationkey"))
+  }
+
+  val q90Sql: String =
+    """SELECT * FROM (
+      |  SELECT n_nationkey, n_name, 'insert' AS _change_type, 1 AS _change_seq
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, n_name, 'delete', 2 FROM nation WHERE n_regionkey = 2
+      |  UNION ALL
+      |  SELECT n_nationkey, n_name, 'update_preimage', 3 FROM nation
+      |  WHERE n_nationkey < 3 AND n_regionkey <> 2
+      |  UNION ALL
+      |  SELECT n_nationkey, n_name || '?', 'update_postimage', 3 FROM nation
+      |  WHERE n_nationkey < 3 AND n_regionkey <> 2
+      |) ORDER BY _change_seq, _change_type, n_nationkey""".stripMargin
+
   /** Write-audit-publish through the oracle gate: half of nation lands
     * on main, half is STAGED on an `audit` branch (main provably never
     * moves), the staged state is audited by reading
@@ -302,7 +349,8 @@ object CatalogQueries {
     "q85_partition_evolution" -> q85PartitionEvolution _,
     "q86_mor_dml" -> q86MorDml _,
     "q87_wap" -> q87Wap _,
-    "q89_spj_join" -> q89SpjJoin _)
+    "q89_spj_join" -> q89SpjJoin _,
+    "q90_changes_feed" -> q90ChangesFeed _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
     "q83_stream_catalog_source" -> q83Sql,
@@ -312,5 +360,6 @@ object CatalogQueries {
     // must produce byte-identical results
     "q86_mor_dml" -> q84Sql,
     "q87_wap" -> q87Sql,
-    "q89_spj_join" -> q89Sql)
+    "q89_spj_join" -> q89Sql,
+    "q90_changes_feed" -> q90Sql)
 }

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.{Changes, GraftCatalog}
+import org.apache.spark.sql.connector.catalog.Identifier
+
+/** Row-level CDC semantics of [[Changes.between]]: inserts, deletes,
+  * update pairs, compaction silence, and version-window bounds. */
+class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = Files.createTempDirectory("graft-cdc-wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", wh)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def cat: GraftCatalog =
+    spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
+  private def version(t: String): Int =
+    cat.metadataStore.currentVersion(Seq("cdc"), t)
+
+  private def changes(t: String, from: Int, to: Option[Int] = None) =
+    Changes.between(spark, s"graft.cdc.$t", from, to)
+      .select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+
+  test("append, MoR delete, and MoR update land as insert/delete/update pairs") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdc")
+    spark.sql("""CREATE TABLE graft.cdc.t (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('identifier-fields' = 'k',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read')""")
+    val v0 = version("t")
+    spark.sql("INSERT INTO graft.cdc.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("DELETE FROM graft.cdc.t WHERE k = 2")
+    spark.sql("UPDATE graft.cdc.t SET v = 'A' WHERE k = 1")
+    assert(changes("t", v0) == Set(
+      (1, "a", "insert"), (2, "b", "insert"), (3, "c", "insert"),
+      (2, "b", "delete"),
+      (1, "a", "update_preimage"), (1, "A", "update_postimage")))
+  }
+
+  test("deleting an already-deleted key emits no phantom preimage") {
+    val v1 = version("t")
+    // k=2 is already gone: a second delete covering it must emit nothing
+    spark.sql("DELETE FROM graft.cdc.t WHERE k = 2")
+    assert(changes("t", v1).isEmpty,
+      "re-deleting a dead key must not resurrect its row in the feed")
+  }
+
+  test("compaction is silent; the window composes across it") {
+    val v2 = version("t")
+    cat.compact(Identifier.of(Array("cdc"), "t"))
+    assert(changes("t", v2).isEmpty, "compaction changed no rows")
+    // post-compaction mutation still reports, and reads the compacted state
+    val v3 = version("t")
+    spark.sql("DELETE FROM graft.cdc.t WHERE k = 3")
+    assert(changes("t", v3) == Set((3, "c", "delete")))
+    // a window spanning compaction = union of the per-step changes
+    assert(changes("t", v2) == Set((3, "c", "delete")))
+  }
+
+  test("INSERT OVERWRITE reports removed rows as deletes, new rows as inserts") {
+    spark.sql("""CREATE TABLE graft.cdc.ow (k INT, v STRING)""")
+    spark.sql("INSERT INTO graft.cdc.ow VALUES (1,'x'),(2,'y')")
+    val v1 = version("ow")
+    spark.sql("INSERT OVERWRITE graft.cdc.ow VALUES (9,'z')")
+    assert(changes("ow", v1) == Set(
+      (1, "x", "delete"), (2, "y", "delete"), (9, "z", "insert")))
+  }
+
+  test("version window bounds: (from, to] is honored") {
+    spark.sql("""CREATE TABLE graft.cdc.w (k INT, v STRING)""")
+    val v0 = version("w")
+    spark.sql("INSERT INTO graft.cdc.w VALUES (1,'a')")
+    val v1 = version("w")
+    spark.sql("INSERT INTO graft.cdc.w VALUES (2,'b')")
+    val v2 = version("w")
+    assert(changes("w", v0, Some(v1)) == Set((1, "a", "insert")))
+    assert(changes("w", v1, Some(v2)) == Set((2, "b", "insert")))
+    assert(changes("w", v2).isEmpty, "empty window → empty feed")
+    assertThrows[IllegalArgumentException](changes("w", v2 + 1, Some(v2)))
+  }
+
+  test("copy-on-write DML reports at file granularity (delete+insert of rewritten rows)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdc")
+    spark.sql("""CREATE TABLE graft.cdc.cow (k INT, v STRING)""")
+    spark.sql("INSERT INTO graft.cdc.cow VALUES (1,'a'),(2,'b')")
+    val v1 = version("cow")
+    spark.sql("UPDATE graft.cdc.cow SET v = 'B' WHERE k = 2")
+    val got = changes("cow", v1)
+    // the true change is always present…
+    assert(got.contains((2, "b", "delete")) && got.contains((2, "B", "insert")),
+      s"missing the updated row's delete/insert pair: $got")
+    // …and any extra rows are file-granularity churn: unchanged rows of
+    // a rewritten file round-tripping as identical delete+insert pairs
+    // (here group filtering narrowed the rewrite to k=2's file, so
+    // usually there are none)
+    val extra = got -- Set((2, "b", "delete"), (2, "B", "insert"))
+    val (dels, inss) = extra.partition(_._3 == "delete")
+    assert(dels.map(e => (e._1, e._2)) == inss.map(e => (e._1, e._2)),
+      s"unpaired churn in the CoW feed: $extra")
+  }
+}

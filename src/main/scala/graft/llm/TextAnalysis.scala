@@ -221,12 +221,109 @@ object TextAnalysis {
       |  (1 - dist * 1.0 / n_bigrams) > 0.5 AS repetitive
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** C4-style heuristic corpus filtering (the cleaning pass a web-scale
+    * training pipeline runs before dedup): document-level rules — enough
+    * words, sane mean word length, terminal punctuation, no
+    * lorem-ipsum/brace boilerplate — each surfaced as its own flag so a
+    * curator can audit WHY a document fell out, plus the combined keep
+    * verdict. Map-only (scales embarrassingly); the flags are plain
+    * codegen'd string expressions, no UDFs. */
+  def q91QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val t = trim(col("text"))
+    val nWords = size(split(t, "\\s+"))
+    val meanWordLen = length(regexp_replace(t, "\\s+", "")) * 1.0 / nWords
+    val enoughWords = nWords >= 5
+    val saneWordLen = meanWordLen >= 2.0 && meanWordLen <= 12.0
+    val terminal = t.rlike("[.!?\"]$")
+    val noLorem = !lower(col("text")).contains("lorem ipsum")
+    val noBraces = !col("text").contains("{")
+    val keep = enoughWords && saneWordLen && terminal && noLorem && noBraces
+    Tables.documents(s, dir).select(
+      col("doc_id"), enoughWords.as("enough_words"),
+      saneWordLen.as("sane_word_len"), terminal.as("terminal_punct"),
+      noLorem.as("no_lorem"), noBraces.as("no_braces"), keep.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q91Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) >= 5 AS enough_words,
+      |  LENGTH(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+      |    / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0
+      |    AS sane_word_len,
+      |  regexp_matches(trim(text), '[.!?"]$') AS terminal_punct,
+      |  NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+      |  NOT contains(text, '{') AS no_braces,
+      |  (len(regexp_split_to_array(trim(text), '\s+')) >= 5)
+      |    AND (LENGTH(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+      |      / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0)
+      |    AND regexp_matches(trim(text), '[.!?"]$')
+      |    AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT contains(text, '{') AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** PII redaction: emails, phone numbers, and IPv4 addresses replaced
+    * by typed placeholders, with per-kind match counts for the audit
+    * log. The corpus text is deterministically salted with synthetic
+    * PII (same construction in the oracle) so the rules provably fire.
+    * Pure regexp_replace/regexp_count — map-only at 100 TB, and the
+    * patterns stay in the RE2 ∩ java.util.regex common subset so the
+    * engine and the oracle agree byte-for-byte. */
+  def q92PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val salted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      lit(" or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+    Tables.documents(s, dir).select(col("doc_id"), salted.as("s"))
+      .withColumn("r", regexp_replace(
+        regexp_replace(regexp_replace(col("s"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"), ipRe, "<IP>"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("s"), lit(emailRe)).cast("int").as("n_emails"),
+        regexp_count(col("s"), lit(phoneRe)).cast("int").as("n_phones"),
+        regexp_count(col("r"), lit(ipRe)).cast("int").as("n_ips_left"),
+        length(col("r")).as("redacted_len"),
+        expr("right(r, 48)").as("redacted_tail"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q92Sql: String =
+    """WITH salted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com'
+      |      || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS s
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id, s,
+      |    regexp_replace(regexp_replace(regexp_replace(s,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS r
+      |  FROM salted)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(s,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(s, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones,
+      |  CAST(len(regexp_extract_all(r,
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER)
+      |    AS n_ips_left,
+      |  LENGTH(r) AS redacted_len,
+      |  right(r, 48) AS redacted_tail
+      |FROM red ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_lang_id"     -> q58LangId _,
     "q59_quality"     -> q59Quality _,
     "q60_token_count" -> q60TokenCount _,
     "q61_fingerprint" -> q61Fingerprint _,
     "q88_repetition"  -> q88Repetition _,
+    "q91_quality_filter" -> q91QualityFilter _,
+    "q92_pii_redact"  -> q92PiiRedact _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -235,5 +332,7 @@ object TextAnalysis {
     "q60_token_count" -> q60Sql,
     "q61_fingerprint" -> q61Sql,
     "q88_repetition"  -> q88Sql,
+    "q91_quality_filter" -> q91Sql,
+    "q92_pii_redact"  -> q92Sql,
   )
 }

@@ -38,7 +38,9 @@ private[graft] case class GraftSourceOffset(version: Int) extends Offset {
 private[graft] class GraftMicroBatchStream(
     store: MetaStore, ns: Seq[String], table: String,
     startVersion: Int,
-    delegateScanFor: Seq[String] => Scan) extends MicroBatchStream {
+    delegateScanFor: Seq[String] => Scan,
+    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def filesAt(v: Int): Seq[String] =
     if (v <= 0) Nil
@@ -58,6 +60,47 @@ private[graft] class GraftMicroBatchStream(
   override def initialOffset(): Offset = GraftSourceOffset(startVersion)
 
   override def latestOffset(): Offset =
+    GraftSourceOffset(math.max(startVersion, store.currentVersion(ns, table)))
+
+  /** Admission control: bound how much of a backlog one micro-batch
+    * swallows. A stream restarted after downtime (or started at
+    * version 0 against a year of commits) would otherwise plan the
+    * ENTIRE backlog as a single batch — at 100 TB that is one
+    * multi-hour batch whose failure loses all progress. With
+    * `max-files-per-trigger`, the offset walk stops at the last version
+    * whose cumulative file delta fits the budget, always advancing at
+    * least one version so an oversized single commit still progresses
+    * (same contract as the file-source's maxFilesPerTrigger). */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    val s = start.asInstanceOf[GraftSourceOffset].version
+    val cur = math.max(startVersion, store.currentVersion(ns, table))
+    limit match {
+      case m: ReadMaxFiles if cur > s =>
+        val baseline = filesAt(s).toSet
+        var chosen = s
+        var v = s + 1
+        var done = false
+        while (v <= cur && !done) {
+          val n = filesAt(v).count(!baseline(_))
+          if (n <= m.maxFiles() || v == s + 1) chosen = v else done = true
+          if (n >= m.maxFiles()) done = true // budget consumed: stop here
+          v += 1
+        }
+        GraftSourceOffset(chosen)
+      case _ => GraftSourceOffset(cur)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
     GraftSourceOffset(math.max(startVersion, store.currentVersion(ns, table)))
 
   override def deserializeOffset(json: String): Offset =

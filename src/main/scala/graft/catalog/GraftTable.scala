@@ -1054,7 +1054,17 @@ private[graft] class GraftScanBuilder(
               }
             case None => 0
           }
-          new GraftMicroBatchStream(store, ns, table, start, delegateScanFor)
+          val maxFiles = Seq("maxFilesPerTrigger", "max-files-per-trigger")
+            .flatMap(k => Option(options.get(k))).headOption.map { v =>
+              val n = try v.trim.toInt catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"maxFilesPerTrigger must be a positive integer, got '$v'")
+              }
+              require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+              n
+            }
+          new GraftMicroBatchStream(store, ns, table, start, delegateScanFor,
+            maxFiles)
         })
     }
   }
@@ -1120,9 +1130,21 @@ private[catalog] object WriteShaping {
           withDirs.repartition(dirCols: _*).sortWithinPartitions(sortCols: _*)
         else withDirs.repartition(dirCols: _*)
       }
-    val writer = if (partDirCols.nonEmpty)
+    val writer0 = if (partDirCols.nonEmpty)
       shaped.write.partitionBy(partDirCols: _*)
     else shaped.write
+    // `write.parquet.bloom-filter-columns` = comma-separated column
+    // names: the parquet writer embeds a bloom filter per listed column
+    // in every row group, and the reader's row-group filter consults it
+    // on pushed equality predicates — the point-lookup complement to
+    // manifest min/max skipping, which is blind when a high-cardinality
+    // key is uniformly spread (every file's [min,max] spans the probe)
+    val writer = meta0.properties.get("write.parquet.bloom-filter-columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Array.empty[String])
+      .foldLeft(writer0) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
     writer.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
     store.listParquetUnder(outDir).map(f => s"$relDir/$f")
   }

@@ -575,4 +575,35 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pruned = spark.table("snap.mf.t").where($"id" === 1L)
     assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("write.parquet.bloom-filter-columns embeds per-row-group bloom filters") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE snap.bf")
+    spark.sql("""CREATE TABLE snap.bf.t (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.parquet.bloom-filter-columns' = 'k')""")
+    import spark.implicits._
+    (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).writeTo("snap.bf.t").append()
+
+    val dataDir = catalog.metadataStore.dataDir(Seq("bf"), "t")
+    val (m, _) = catalog.metadataStore.load(Seq("bf"), "t")
+    val rel = m.currentSnapshot.get.files.head
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dataDir/$rel"), conf))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val byName = block.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      val bfReader = reader.getBloomFilterDataReader(block)
+      assert(bfReader.readBloomFilter(byName("k")) != null,
+        "declared column must carry a bloom filter")
+      assert(bfReader.readBloomFilter(byName("v")) == null,
+        "undeclared column must not pay for one")
+    } finally reader.close()
+    // reads through the catalog still serve every row
+    assert(spark.table("snap.bf.t").count() == 1000L)
+    assert(spark.table("snap.bf.t").where($"k" === 77L).count() == 1L)
+  }
 }

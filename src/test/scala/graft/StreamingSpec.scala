@@ -135,6 +135,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("admission control: max-files-per-trigger paces a backlog into bounded batches") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.pace")
+    spark.sql("CREATE TABLE graftst.pace.t (id BIGINT)")
+    // three commits = three files of backlog before the stream starts
+    spark.sql("INSERT INTO graftst.pace.t VALUES (1)")
+    spark.sql("INSERT INTO graftst.pace.t VALUES (2)")
+    spark.sql("INSERT INTO graftst.pace.t VALUES (3)")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pace-ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("graftst.pace.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val rows = df.collect().map(_.getLong(0)).sorted.toSeq
+        if (rows.nonEmpty) seen.add(rows); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batches = seen.asScala.toSeq
+    assert(batches.flatten.sorted == Seq(1L, 2L, 3L), s"lost/duped rows: $batches")
+    assert(batches.length == 3,
+      s"one-file budget must pace 3 single-file commits into 3 batches, got $batches")
+  }
+
   test("streaming source from-version=latest tails only post-start commits") {
     import scala.jdk.CollectionConverters._
     spark.sql("CREATE NAMESPACE graftst.tail")

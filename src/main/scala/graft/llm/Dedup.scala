@@ -112,19 +112,22 @@ object Dedup {
     *      exact single-pass Jaccard; emit pairs >= 0.5.
     * Not SQL-expressible in DuckDB → rows-only oracle.
     */
-  def q52MinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val nPerm = 64; val bands = 16; val rowsPerBand = nPerm / bands
+  /** MinHash geometry — ONE definition shared by the full-corpus query
+    * (q52) and the persisted band index (q93): both sides of an
+    * incremental bucket join must hash with identical kernels. */
+  private val NPerm = 64
+  private val NBands = 16
+  private val RowsPerBand = NPerm / NBands
 
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
-
+  /** (doc_id, sh) → (doc_id, sig): 64-perm MinHash signatures. */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
     val seeds = minhashSeeds
     val sigUdf = udf { sh: Seq[Long] =>
-      val mins = Array.fill(nPerm)(Long.MaxValue)
+      val mins = Array.fill(NPerm)(Long.MaxValue)
       val it = sh.iterator
       while (it.hasNext) {
         val h = it.next(); var i = 0
-        while (i < nPerm) {
+        while (i < NPerm) {
           val x = mix64(h ^ seeds(i))
           if (x < mins(i)) mins(i) = x
           i += 1
@@ -132,19 +135,28 @@ object Dedup {
       }
       mins
     }
-    val signed = docs.select(col("doc_id"), sigUdf(col("sh")).as("sig"))
+    docs.select(col("doc_id"), sigUdf(col("sh")).as("sig"))
+  }
 
-    // bands: hash the 4-slot slice of the signature. Only (doc_id, band,
-    // bandHash) flows into the bucket join — the shingle arrays stay home
-    // and are re-attached to the deduped pair list afterwards, so the
-    // shuffle moves ids, not payloads (the rule that matters at 100 TB).
-    val bandEntries = (0 until bands).map { b =>
+  /** (doc_id, sig) → (doc_id, band, bh): banded bucket entries. Only
+    * ids and band hashes flow into bucket joins — the shingle arrays
+    * stay home and re-attach to the deduped pair list afterwards, so
+    * the shuffle moves ids, not payloads (the rule that matters at
+    * 100 TB). */
+  private def bandBuckets(signed: DataFrame): DataFrame = {
+    val bandEntries = (0 until NBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bh"))
     }
-    val buckets = signed
+    signed
       .select(col("doc_id"), explode(array(bandEntries: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  def q52MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+    val buckets = bandBuckets(minhashSignatures(docs))
 
     val a = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
@@ -156,6 +168,89 @@ object Dedup {
     pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // one band-index build per (session, sfDir) — same weak-key memo
+  // discipline as AnnIndex/CatalogQueries
+  private val bandIndexBuilt =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Map[String, String]]())
+
+  /** Catalog-persisted MinHash band index over the BASE corpus
+    * (`doc_id % 10 != 7`; the held-out tenth plays the "newly ingested
+    * batch"). Same artifact lifecycle as the ANN indexes: built once as
+    * an ordinary graft table of (band, bh, doc_id) — ids only, the
+    * corpus payload never copies into the index — then every later
+    * ingest dedups against it with an ids-only bucket join. This is the
+    * shape incremental dedup must take at 100 TB: re-pairing the whole
+    * corpus per ingest is quadratic re-work, while (batch signatures +
+    * index join + append) is linear in the batch. */
+  def ensureBandIndex(s: SparkSession, dir: String): String = {
+    val dirs = bandIndexBuilt.synchronized {
+      bandIndexBuilt.computeIfAbsent(s, _ => new java.util.HashMap[String, String]())
+    }
+    dirs.synchronized {
+      Option(dirs.get(dir)).getOrElse {
+        if (s.conf.getOption("spark.sql.catalog.graft_dedup").isEmpty) {
+          val wh = java.nio.file.Files.createTempDirectory("graft-dedup-wh").toString
+          s.conf.set("spark.sql.catalog.graft_dedup",
+            classOf[graft.catalog.GraftCatalog].getName)
+          s.conf.set("spark.sql.catalog.graft_dedup.warehouse", wh)
+        }
+        val ns = "sf_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val prefix = s"graft_dedup.$ns"
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_dedup.$ns")
+        s.sql(s"DROP TABLE IF EXISTS $prefix.minhash_bands")
+        s.sql(s"CREATE TABLE $prefix.minhash_bands (band INT, bh BIGINT, doc_id BIGINT)")
+        val base = Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+        bandBuckets(minhashSignatures(base))
+          .select(col("band"), col("bh"), col("doc_id"))
+          .writeTo(s"$prefix.minhash_bands").append()
+        dirs.put(dir, prefix)
+        prefix
+      }
+    }
+  }
+
+  /** Incremental near-dup dedup: the "new batch" (`doc_id % 10 == 7`)
+    * is signed and banded, joined against the PERSISTED band index for
+    * batch-vs-corpus candidates, self-joined for batch-vs-batch pairs,
+    * and every candidate is exact-Jaccard verified. Work per ingest =
+    * O(batch) signatures + ids-only joins; corpus shingles are
+    * recomputed only for the candidate partners (joined back by id).
+    * Must produce exactly q52's pairs restricted to pairs touching the
+    * batch (DedupIndexSpec proves it). Rows-only oracle (LSH banding is
+    * engine-specific, like q52). */
+  def q93IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val prefix = ensureBandIndex(s, dir)
+    val corpus = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+    val batch = corpus.filter(col("doc_id") % 10 === 7)
+    val newBands = bandBuckets(minhashSignatures(batch))
+
+    val idx = s.table(s"$prefix.minhash_bands")
+    val vsCorpus = newBands.select(col("band"), col("bh"), col("doc_id").as("new_id"))
+      .join(idx.select(col("band"), col("bh"), col("doc_id").as("old_id")),
+        Seq("band", "bh"))
+      .select(least(col("new_id"), col("old_id")).as("doc_a"),
+        greatest(col("new_id"), col("old_id")).as("doc_b"))
+    val a = newBands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = newBands.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    val vsBatch = a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val pairs = vsCorpus.unionByName(vsBatch).dropDuplicates("doc_a", "doc_b")
+
+    pairs
+      .join(corpus.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(corpus.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -394,6 +489,7 @@ object Dedup {
     "q53_dedup_simhash" -> q53SimHash _,
     "q54_ngram_jaccard" -> q54NgramJaccard _,
     "q79_decontaminate" -> q79Decontaminate _,
+    "q93_incremental_dedup" -> q93IncrementalDedup _,
   )
 
   val oracle: Map[String, String] = Map(

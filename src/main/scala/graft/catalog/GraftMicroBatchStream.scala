@@ -80,10 +80,17 @@ private[graft] class GraftMicroBatchStream(
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    import org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
     val s = start.asInstanceOf[GraftSourceOffset].version
     val cur = math.max(startVersion, store.currentVersion(ns, table))
-    limit match {
+    // Trigger.AvailableNow wraps the default limit in a composite —
+    // honor the file budget inside it rather than draining everything
+    val effective = limit match {
+      case c: CompositeReadLimit =>
+        c.getReadLimits.collectFirst { case m: ReadMaxFiles => m }.getOrElse(limit)
+      case other => other
+    }
+    effective match {
       case m: ReadMaxFiles if cur > s =>
         val baseline = filesAt(s).toSet
         var chosen = s

@@ -115,6 +115,25 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("x" -> 25L, "y" -> 22L)) // (1+10)+(4+10), 2+20
   }
 
+  test("null identity-partition values group under a null key, results stay exact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spjn")
+    spark.sql("""CREATE TABLE graft.spjn.a (cat STRING, v BIGINT)
+      PARTITIONED BY (cat)""")
+    spark.sql("""CREATE TABLE graft.spjn.b (cat STRING, w BIGINT)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.spjn.a VALUES ('x',1),(NULL,2),(NULL,3)")
+    spark.sql("INSERT INTO graft.spjn.b VALUES ('x',10),(NULL,20)")
+    // equi-join never matches null keys — the null partition must not
+    // fabricate matches, and the non-null groups still join co-located
+    val j = spark.table("graft.spjn.a")
+      .join(spark.table("graft.spjn.b"), Seq("cat"))
+      .select(col("cat"), (col("v") + col("w")).as("s"))
+    val got = j.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("x", 11L)))
+    // the null-partition rows are still readable on their own
+    assert(spark.table("graft.spjn.a").where(col("cat").isNull).count() == 2)
+  }
+
   test("mixed layouts fall back to a correct (shuffled) plan, never a wrong key") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spjm")
     // 4-bucket vs 8-bucket: NOT co-partitioned — plan must shuffle (or

@@ -1,0 +1,308 @@
+package graft.catalog
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.meta.{MetaStore, SchemaBridge}
+
+/** `t$changes` — the table's row-level changelog as a DSv2 table, in
+  * BOTH batch and streaming form:
+  * {{{
+  *   spark.read.option("from-version", 3).table("graft.ns.`t$changes`")
+  *   spark.readStream.table("graft.ns.`t$changes`")   // CDC stream
+  * }}}
+  * Rows are the base table's columns plus `_change_type`
+  * ('insert' | 'delete') and `_commit_version`. Unlike the data-table
+  * stream (which refuses merge-on-read deletes because it cannot
+  * retract), the changelog EMITS deletes as rows — so a downstream sync
+  * can tail mutations continuously. Update pre/post-image pairing is
+  * the batch [[Changes]] API's job; this surface is the Iceberg-style
+  * changelog scan (additions and removals, no pairing).
+  *
+  * Scale shape: the driver touches only metadata (file lists and
+  * bounded delete-key sets — the same MaxDeleteRows guard as the MoR
+  * scan); all row work happens in executors. Equality-delete commits
+  * turn into scan partitions over the PRIOR snapshot's kept files with
+  * a serialized match-these-keys predicate — rows already masked by
+  * earlier deletes are subtracted by the same predicate machinery, so a
+  * re-delete of a dead key emits nothing (no joins inside the scan). */
+private[graft] object ChangesTable {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  def widen(schema: StructType): StructType =
+    StructType(schema.fields ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, IntegerType, nullable = false)))
+
+  /** Parquet delegate scan over explicit relative files, full schema,
+    * field-id column resolution on (renamed columns still serve). */
+  def delegateScan(s: SparkSession, dataDir: String, rels: Seq[String],
+                   schema: StructType,
+                   options: CaseInsensitiveStringMap): Scan = {
+    if (!s.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
+      s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val b = ParquetTable("changes", s, options,
+      rels.map(r => s"$dataDir/$r"), Some(schema), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+    b.pruneColumns(schema)
+    b.build()
+  }
+
+  /** The partitions of one version step v-1 → v (empty when the commit
+    * changed no rows). Driver-side: metadata + bounded key-set reads. */
+  def stepPartitions(s: SparkSession, store: MetaStore, ns: Seq[String],
+                     table: String, schema: StructType,
+                     options: CaseInsensitiveStringMap,
+                     v: Int): Seq[InputPartition] = {
+    val meta = store.loadVersion(ns, table, v)
+    val prevMeta = if (v - 1 >= 1) Some(store.loadVersion(ns, table, v - 1)) else None
+    val snap = meta.currentSnapshot
+    val prevSnap = prevMeta.flatMap(_.currentSnapshot)
+    if (snap.map(_.snapshotId) == prevSnap.map(_.snapshotId)) return Nil
+    if (snap.exists(_.summary.get("rewrite-kind").contains("compaction"))) return Nil
+
+    val dataDir = store.dataDir(ns, table)
+    val files = snap.map(_.files).getOrElse(Nil)
+    val prevFiles = prevSnap.map(_.files).getOrElse(Nil)
+    val added = files.filterNot(prevFiles.toSet)
+    val removed = prevFiles.filterNot(files.toSet)
+    val kept = prevFiles.filter(files.toSet)
+    val prevDeletes = prevSnap.map(_.deleteFiles).getOrElse(Nil)
+    val prevFileSeqs = prevSnap.map(_.fileSeqs).getOrElse(Map.empty)
+    val newDeletes = {
+      val before = prevDeletes.map(_.path).toSet
+      snap.map(_.deleteFiles).getOrElse(Nil).filterNot(d => before(d.path))
+    }
+
+    // one predicate per delete file, loaded once on the driver (bounded
+    // by the MoR guard) and serialized into the partition spec
+    val keyCache = scala.collection.mutable.Map.empty[String, MorPredicate]
+    def predicateOf(df: graft.meta.DeleteFileDef): MorPredicate =
+      keyCache.getOrElseUpdate(df.path, {
+        val names = df.keyFieldIds.map(MergeOnRead.nameOfFieldId(schema, _))
+        val keySchema = StructType(names.map(n =>
+          schema.fields(schema.fieldIndex(n))))
+        val rows = s.read.schema(keySchema).parquet(s"$dataDir/${df.path}")
+          .collect()
+        val keys = rows.map(r => (0 until keySchema.length)
+          .map(i => r.get(i)).toList: List[Any]).toSet
+        val ords = names.map(schema.fieldIndex).toArray
+        MorPredicate(ords, ords.map(schema.fields(_).dataType), keys)
+      })
+
+    def priorApplicable(rel: String): Seq[MorPredicate] = {
+      val seq = prevFileSeqs.getOrElse(rel, 0L)
+      prevDeletes.filter(_.seq > seq).map(predicateOf)
+    }
+
+    def group(rels: Seq[String], label: String,
+              matchAny: Seq[MorPredicate]): Seq[InputPartition] =
+      rels.groupBy(priorApplicable).toSeq
+        .sortBy(_._2.headOption.getOrElse(""))
+        .flatMap { case (subtract, fs) =>
+          val spec = ChangeSpec(matchAny, subtract, label, v,
+            schema.fields.map(_.dataType))
+          delegateScan(s, dataDir, fs, schema, options)
+            .toBatch.planInputPartitions()
+            .map(p => ChangeInputPartition(p, spec): InputPartition)
+        }
+
+    val inserts = group(added, "insert", Nil)
+    val hardDeletes = group(removed, "delete", Nil)
+    val maskedDeletes =
+      if (newDeletes.isEmpty) Nil
+      else group(kept, "delete", newDeletes.map(predicateOf))
+    inserts ++ hardDeletes ++ maskedDeletes
+  }
+}
+
+/** Row filter + literal-append spec for one changelog partition group:
+  * a row emits iff NO `subtract` predicate holds (already dead before
+  * this commit) AND (`matchAny` is empty OR some predicate holds),
+  * labeled with the change type and commit version. */
+private[graft] final case class ChangeSpec(
+    matchAny: Seq[MorPredicate], subtract: Seq[MorPredicate],
+    label: String, version: Int,
+    colTypes: Array[DataType]) extends Serializable
+
+private[graft] final case class ChangeInputPartition(
+    delegate: InputPartition, spec: ChangeSpec) extends InputPartition {
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+private[graft] class ChangesReaderFactory(delegate: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  // rows gain literal columns per row: uniformly row-based (same
+  // decode-vectorized-serve-rows path as the MoR reader)
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] =
+    throw new UnsupportedOperationException("changelog scans are row-based")
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case ChangeInputPartition(d, spec) =>
+        new ChangeEmittingReader(delegate.createReader(d), spec)
+      case other => throw new IllegalStateException(s"untagged partition $other")
+    }
+}
+
+/** Filters by the spec's key predicates and appends the change-type and
+  * commit-version literals. Projection output reuses a buffer (legal:
+  * DSv2 readers may reuse rows between next() calls). */
+private[graft] class ChangeEmittingReader(
+    delegate: PartitionReader[InternalRow], spec: ChangeSpec)
+  extends PartitionReader[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection}
+
+  private var current: InternalRow = _
+  private lazy val proj = UnsafeProjection.create(
+    spec.colTypes.zipWithIndex.map { case (dt, i) =>
+      BoundReference(i, dt, nullable = true): Expression
+    }.toSeq ++ Seq(
+      Literal(UTF8String.fromString(spec.label), StringType): Expression,
+      Literal(spec.version, IntegerType): Expression))
+
+  private def matches(r: InternalRow, ps: Seq[MorPredicate]): Boolean = {
+    var i = 0
+    while (i < ps.length) {
+      val p = ps(i)
+      if (p.keys.contains(MergeOnRead.internalKey(r, p.ordinals, p.types)))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (delegate.next()) {
+      val r = delegate.get()
+      if (!matches(r, spec.subtract) &&
+          (spec.matchAny.isEmpty || matches(r, spec.matchAny))) {
+        current = proj(r)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = delegate.close()
+}
+
+/** The `t$changes` DSv2 table itself. */
+private[graft] class GraftChangesTable(
+    tableName: String, store: MetaStore, ns: Seq[String], table: String)
+  extends Table with SupportsRead {
+
+  private def baseSchema: StructType = {
+    val (m, _) = store.load(ns, table)
+    SchemaBridge.toSpark(m.currentSchema)
+  }
+
+  override def name(): String = tableName
+  override def schema(): StructType = ChangesTable.widen(baseSchema)
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] =
+    Map("format" -> "parquet", "kind" -> "changes").asJava
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new ChangesScan(store, ns, table, baseSchema, options)
+    }
+}
+
+private[graft] class ChangesScan(
+    store: MetaStore, ns: Seq[String], table: String,
+    schema: StructType, options: CaseInsensitiveStringMap) extends Scan {
+
+  override def readSchema(): StructType = ChangesTable.widen(schema)
+  override def description(): String =
+    s"graft-changes(${(ns :+ table).mkString(".")})"
+
+  private def intOption(key: String): Option[Int] =
+    Option(options.get(key)).map { v =>
+      try v.trim.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be an integer metadata version, got '$v'")
+      }
+    }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val s = SparkSession.active
+      val fromV = intOption("from-version").getOrElse(0)
+      val toV = intOption("to-version")
+        .getOrElse(store.currentVersion(ns, table))
+      require(fromV <= toV, s"from-version $fromV is above to-version $toV")
+      ((fromV + 1) to toV).flatMap(v =>
+        ChangesTable.stepPartitions(s, store, ns, table, schema, options, v))
+        .toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ChangesReaderFactory(
+        ChangesTable.delegateScan(SparkSession.active,
+          store.dataDir(ns, table), Nil, schema, options)
+          .toBatch.createReaderFactory())
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val start = Option(options.get("from-version")) match {
+      case Some(v) if v.equalsIgnoreCase("latest") => store.currentVersion(ns, table)
+      case Some(v) => intOption("from-version").get
+      case None => 0
+    }
+    new ChangesMicroBatchStream(store, ns, table, schema, options, start)
+  }
+}
+
+/** CDC stream: offsets are metadata versions (same ledger as the data
+  * stream); each micro-batch is the changelog of its version window.
+  * Replays are bit-identical — partitions derive from immutable
+  * metadata and immutable files. */
+private[graft] class ChangesMicroBatchStream(
+    store: MetaStore, ns: Seq[String], table: String,
+    schema: StructType, options: CaseInsensitiveStringMap,
+    startVersion: Int) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = GraftSourceOffset(startVersion)
+  override def latestOffset(): Offset =
+    GraftSourceOffset(math.max(startVersion, store.currentVersion(ns, table)))
+  override def deserializeOffset(json: String): Offset =
+    GraftSourceOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val sv = start.asInstanceOf[GraftSourceOffset].version
+    val ev = end.asInstanceOf[GraftSourceOffset].version
+    val s = SparkSession.active
+    ((sv + 1) to ev).flatMap(v =>
+      ChangesTable.stepPartitions(s, store, ns, table, schema, options, v))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangesReaderFactory(
+      ChangesTable.delegateScan(SparkSession.active,
+        store.dataDir(ns, table), Nil, schema, options)
+        .toBatch.createReaderFactory())
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

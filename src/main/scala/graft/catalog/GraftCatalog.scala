@@ -191,6 +191,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .filter { case (_, kind) => MetadataTables.Kinds.contains(kind) }
   }
 
+  /** `t$changes` base-name split (the changelog is data-scale, so it is
+    * its own table kind, not a LocalScan inspection kind). */
+  private def changesSplit(name: String): Option[String] = {
+    val i = name.lastIndexOf('$')
+    if (i <= 0 || name.substring(i + 1) != "changes") None
+    else Some(name.substring(0, i))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val ns = ident.namespace.toSeq
     // `$history` / `$files` inspection tables — unless a REAL table with
@@ -203,6 +211,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val (m, _) = store.load(ns, base)
         return MetadataTables.table(kind,
           fullName(Identifier.of(ident.namespace, base)), m)
+      case _ => ()
+    }
+    // `t$changes` — the row-level changelog as a batch/streaming table
+    // (data-scale, so it's a real scan, not a LocalScan inspection)
+    changesSplit(ident.name) match {
+      case Some(base)
+        if !store.tableExists(ns, ident.name) && store.tableExists(ns, base) =>
+        return new GraftChangesTable(
+          fullName(Identifier.of(ident.namespace, base)) + "$changes",
+          store, ns, base)
       case _ => ()
     }
     val (m, v) = store.load(ns, ident.name)

@@ -994,7 +994,13 @@ private[graft] class GraftScanBuilder(
         keyedRels match {
           case None => morScanFor(rels)
           case Some(pairs) =>
-            val groups = pairs.groupBy(_._1).toSeq
+            val byKey = pairs.groupBy(_._1)
+            // driver planning builds one delegate scan per key group —
+            // past a few thousand groups that cost outweighs the one
+            // exchange SPJ saves, so hand the files back to the plain
+            // scan (which plans them as one delegate)
+            if (byKey.size > 4096) return morScanFor(rels)
+            val groups = byKey.toSeq
               .sortBy(_._2.head._2) // deterministic plan order
               .map { case (key, prs) =>
                 (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

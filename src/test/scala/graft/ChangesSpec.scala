@@ -94,6 +94,65 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalArgumentException](changes("w", v2 + 1, Some(v2)))
   }
 
+  test("t$changes batch table serves the same changelog as Changes.between") {
+    // the $changes surface emits insert/delete (no update pairing) —
+    // so it must equal Changes.between with pre/post mapped back down
+    val viaApi = Changes.between(spark, "graft.cdc.t", 0)
+      .select(col("k"), col("v"),
+        when(col("_change_type") === "update_preimage", "delete")
+          .when(col("_change_type") === "update_postimage", "insert")
+          .otherwise(col("_change_type")).as("_change_type"),
+        col("_commit_version"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSet
+    val viaTable = spark.read.table("graft.cdc.`t$changes`")
+      .select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(viaTable == viaApi,
+      s"missing ${viaApi -- viaTable}, invented ${viaTable -- viaApi}")
+    // windowed read honors the exclusive-from (from, to] options: the
+    // (1, 2] window is exactly what to-version=2 adds over to-version=1
+    val windowed = spark.read
+      .option("from-version", 1).option("to-version", 2)
+      .table("graft.cdc.`t$changes`")
+    assert(windowed.count() ==
+      spark.read.option("to-version", 2).table("graft.cdc.`t$changes`").count()
+        - spark.read.option("to-version", 1).table("graft.cdc.`t$changes`").count())
+  }
+
+  test("t$changes streams deletes as rows (the CDC tail the data stream refuses)") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdcs")
+    spark.sql("""CREATE TABLE graft.cdcs.t (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('identifier-fields' = 'k',
+        'write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.cdcs.t VALUES (1,'a'),(2,'b')")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String)]()
+    val q = spark.readStream.table("graft.cdcs.`t$changes`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        df.select(col("k"), col("v"), col("_change_type")).collect()
+          .foreach(r => seen.add((r.getInt(0), r.getString(1), r.getString(2)))); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toSet == Set((1, "a", "insert"), (2, "b", "insert")))
+      // a MoR delete mid-stream arrives as a delete ROW — this exact
+      // situation fails the plain data stream by design
+      spark.sql("DELETE FROM graft.cdcs.t WHERE k = 1")
+      q.processAllAvailable()
+      assert(seen.asScala.toSet.contains((1, "a", "delete")),
+        s"expected a streamed delete row, got ${seen.asScala.toSet}")
+      spark.sql("INSERT INTO graft.cdcs.t VALUES (3,'c')")
+      q.processAllAvailable()
+      assert(seen.asScala.toSet.contains((3, "c", "insert")))
+    } finally q.stop()
+  }
+
   test("copy-on-write DML reports at file granularity (delete+insert of rewritten rows)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdc")
     spark.sql("""CREATE TABLE graft.cdc.cow (k INT, v STRING)""")

@@ -167,6 +167,21 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"more than one file in a bucket: ${files.mkString(", ")}")
   }
 
+  test("streaming a bucketed table coexists with the keyed batch report") {
+    import scala.jdk.CollectionConverters._
+    setup()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-spj-ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table("graft.spj.orders")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) => seen.add(df.count()); () }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.asScala.sum == Tables.orders(spark, sf).count(),
+      "streaming a key-grouped table must deliver every row")
+  }
+
   test("runtime file pruning keeps the keyed report (DPP + SPJ compose)") {
     setup()
     // selective filter on one side; the other side still groups by key

@@ -99,65 +99,92 @@ object Changes {
       stamped: (DataFrame, String, Int) => DataFrame,
       stateAt: Int => DataFrame,
       dataDir: String): Seq[DataFrame] = {
-    val snap = meta.currentSnapshot
-    val prevSnap = prevMeta.flatMap(_.currentSnapshot)
-    if (snap.map(_.snapshotId) == prevSnap.map(_.snapshotId))
-      return Nil // schema/property/ref-only commit: no data change
-    if (snap.exists(_.summary.get("rewrite-kind").contains("compaction")))
-      return Nil // compaction/clustering: same rows, new layout
+    // metadata diff shared with the t$changes scan surface — the two
+    // feeds must never drift apart
+    val diff = ChangesTable.stepDiff(meta, prevMeta).getOrElse(return Nil)
 
-    val files = snap.map(_.files).getOrElse(Nil)
-    val prevFiles = prevSnap.map(_.files).getOrElse(Nil)
-    val added = files.filterNot(prevFiles.toSet)
-    val removed = prevFiles.filterNot(files.toSet)
-    val newDeletes = {
-      val before = prevSnap.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
-      snap.map(_.deleteFiles).getOrElse(Nil).filterNot(d => before(d.path))
+    def keysOf(ids: List[Int], dfs: Seq[graft.meta.DeleteFileDef])
+        : (Seq[String], DataFrame) = {
+      val names = ids.map(MergeOnRead.nameOfFieldId(schema, _))
+      val keySchema = StructType(names.map(n =>
+        schema.fields(schema.fieldIndex(n))))
+      (names, s.read.schema(keySchema)
+        .parquet(dfs.map(d => s"$dataDir/${d.path}"): _*).distinct())
     }
 
-    val inserted = if (added.nonEmpty) Some(readRels(added, schema)) else None
-    val hardDeleted = if (removed.nonEmpty) Some(readRels(removed, schema)) else None
+    val inserted = if (diff.added.nonEmpty) Some(readRels(diff.added, schema))
+      else None
 
-    if (newDeletes.isEmpty) {
+    // removed files predate this commit: rows already masked by an
+    // EARLIER equality delete died back then — subtract them, per
+    // applicable-delete group and per key-field set (a union key schema
+    // would null-fill the absent columns and never join)
+    val hardDeleted: Option[DataFrame] =
+      if (diff.removed.isEmpty) None
+      else Some(diff.removed.groupBy { rel =>
+          val seq = diff.prevFileSeqs.getOrElse(rel, 0L)
+          diff.prevDeletes.filter(_.seq > seq).map(_.path).toSet
+        }.toSeq.sortBy(_._2.headOption.getOrElse(""))
+        .map { case (delPaths, fs) =>
+          val dels = diff.prevDeletes.filter(d => delPaths(d.path))
+          dels.groupBy(_.keyFieldIds).toSeq.sortBy(_._1.mkString(","))
+            .foldLeft(readRels(fs, schema)) { case (acc, (ids, dfs)) =>
+              val (names, keys) = keysOf(ids, dfs)
+              acc.join(broadcast(keys), names, "left_anti")
+            }
+        }.reduce(_ unionByName _))
+
+    if (diff.newDeletes.isEmpty) {
       inserted.map(stamped(_, "insert", v)).toSeq ++
         hardDeleted.map(stamped(_, "delete", v)).toSeq
     } else {
-      // equality deletes mask rows of files OLDER than the delete's
-      // sequence — the same scoping rule the MoR scan applies
-      val keyNames = newDeletes.flatMap(_.keyFieldIds).distinct
-        .map(MergeOnRead.nameOfFieldId(schema, _))
-      val keySchema = StructType(keyNames.map(n =>
-        schema.fields(schema.fieldIndex(n))))
-      val delKeys = s.read.schema(keySchema)
-        .parquet(newDeletes.map(d => s"$dataDir/${d.path}"): _*).distinct()
-      // the rows being masked: prior STATE ∩ delete keys. State comes
-      // through the MoR time-travel read, so a key already deleted by
-      // an earlier commit yields no phantom preimage; every v-1 file is
-      // older than this commit's sequence, so no extra seq scoping is
-      // needed. Keys are bounded by the MoR size guard — broadcast.
-      val masked = stateAt(v - 1)
-        .join(broadcast(delKeys), keyNames, "leftsemi")
-      val insKeys = inserted.map(_.select(keyNames.map(col).toSeq: _*).distinct())
-      // key re-inserted in the same commit → update pair, else delete/insert
-      val delMarked = insKeys match {
-        case Some(ik) =>
-          masked.join(broadcast(ik.withColumn("__re", lit(true))), keyNames, "left")
-            .withColumn("_ct",
-              when(col("__re"), "update_preimage").otherwise("delete"))
-            .drop("__re")
-        case None => masked.withColumn("_ct", lit("delete"))
+      // equality deletes mask rows of the prior STATE (the MoR
+      // time-travel read — a key already deleted by an earlier commit
+      // yields no phantom preimage). Every v-1 file is older than this
+      // commit's sequence, so no extra seq scoping is needed. Keys are
+      // bounded by the MoR size guard — broadcast. Processed per
+      // key-field-set group; a commit virtually always carries one.
+      val prior = stateAt(v - 1)
+      val delGroups = diff.newDeletes.groupBy(_.keyFieldIds).toSeq
+        .sortBy(_._1.mkString(","))
+      var ins = inserted
+      val delSides = delGroups.zipWithIndex.map { case ((ids, dfs), gi) =>
+        val (names, delKeys) = keysOf(ids, dfs)
+        val masked = prior.join(broadcast(delKeys), names, "leftsemi")
+        // key re-inserted in the same commit → update pair, else delete
+        val insKeys = ins.map(_.select(names.map(col).toSeq: _*).distinct())
+        val delMarked = insKeys match {
+          case Some(ik) =>
+            masked.join(broadcast(ik.withColumn("__re", lit(true))), names, "left")
+              .withColumn("_ct",
+                when(col("__re"), "update_preimage").otherwise("delete"))
+              .drop("__re")
+          case None => masked.withColumn("_ct", lit("delete"))
+        }
+        // only keys that actually HAD a prior row make their re-insert
+        // an update POSTIMAGE — a first-time key whose delete masked
+        // nothing (the upsert sink's not-matched path) stays 'insert'
+        val preKeys = masked.select(names.map(col).toSeq: _*).distinct()
+        ins = ins.map(_.join(
+          broadcast(preKeys.withColumn(s"__upd$gi", lit(true))), names, "left"))
+        delMarked.select((schema.fieldNames.map(col) :+ col("_ct")).toSeq: _*)
       }
-      val insMarked = inserted.map { ins =>
-        ins.join(broadcast(delKeys.withColumn("__upd", lit(true))), keyNames, "left")
-          .withColumn("_ct",
-            when(col("__upd"), "update_postimage").otherwise("insert"))
-          .drop("__upd")
+      // a row masked by two key-set groups collapses to one change row;
+      // max prefers 'update_preimage' over 'delete' (pairing wins)
+      val delCombined = delSides.reduce(_ unionByName _)
+        .groupBy(schema.fieldNames.map(col).toSeq: _*)
+        .agg(max(col("_ct")).as("_ct"))
+      val insMarked = ins.map { df =>
+        val anyFlag = delGroups.indices
+          .map(i => coalesce(col(s"__upd$i"), lit(false))).reduce(_ || _)
+        df.withColumn("_ct",
+          when(anyFlag, "update_postimage").otherwise("insert"))
       }
       def finish(df: DataFrame): DataFrame =
         df.select((schema.fieldNames.map(col) :+ col("_ct")).toSeq: _*)
           .withColumnRenamed("_ct", "_change_type")
           .withColumn("_commit_version", lit(v))
-      Seq(finish(delMarked)) ++ insMarked.map(finish) ++
+      Seq(finish(delCombined)) ++ insMarked.map(finish) ++
         hardDeleted.map(stamped(_, "delete", v)).toSeq
     }
   }

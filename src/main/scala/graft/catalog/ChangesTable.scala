@@ -63,57 +63,87 @@ private[graft] object ChangesTable {
     b.build()
   }
 
+  /** The metadata-level diff of one version step v-1 → v; None when the
+    * commit changed no rows (same snapshot, or a layout-only compaction).
+    * The ONE derivation shared by [[Changes]] (the pairing batch API)
+    * and [[ChangesTable]] (the scan surface) — their semantics must
+    * never drift apart. */
+  final case class StepDiff(
+      added: Seq[String], removed: Seq[String], kept: Seq[String],
+      newDeletes: Seq[graft.meta.DeleteFileDef],
+      prevDeletes: Seq[graft.meta.DeleteFileDef],
+      prevFileSeqs: Map[String, Long])
+
+  def stepDiff(meta: graft.meta.TableMetadata,
+               prevMeta: Option[graft.meta.TableMetadata]): Option[StepDiff] = {
+    val snap = meta.currentSnapshot
+    val prevSnap = prevMeta.flatMap(_.currentSnapshot)
+    if (snap.map(_.snapshotId) == prevSnap.map(_.snapshotId)) return None
+    if (snap.exists(_.summary.get("rewrite-kind").contains("compaction")))
+      return None
+    val files = snap.map(_.files).getOrElse(Nil)
+    val prevFiles = prevSnap.map(_.files).getOrElse(Nil)
+    val prevDeletes = prevSnap.map(_.deleteFiles).getOrElse(Nil)
+    Some(StepDiff(
+      added = files.filterNot(prevFiles.toSet),
+      removed = prevFiles.filterNot(files.toSet),
+      kept = prevFiles.filter(files.toSet),
+      newDeletes = {
+        val before = prevDeletes.map(_.path).toSet
+        snap.map(_.deleteFiles).getOrElse(Nil).filterNot(d => before(d.path))
+      },
+      prevDeletes = prevDeletes,
+      prevFileSeqs = prevSnap.map(_.fileSeqs).getOrElse(Map.empty)))
+  }
+
+  /** One predicate per delete file, loaded once on the driver and
+    * memoized in the CALLER-owned cache (delete files are immutable —
+    * a stream or multi-version window must not re-collect them per
+    * step). The cumulative row guard is the same bound the MoR scan
+    * enforces — past it the table must be compacted, and this surface
+    * fails as loudly as the data scan does. */
+  def predicateOf(s: SparkSession, dataDir: String, schema: StructType,
+                  cache: scala.collection.mutable.Map[String, MorPredicate],
+                  df: graft.meta.DeleteFileDef): MorPredicate =
+    cache.getOrElseUpdate(df.path, {
+      val cachedRows = cache.values.map(_.keys.size.toLong).sum
+      require(cachedRows + df.rows <= MergeOnRead.MaxDeleteRows,
+        s"changelog scan would materialize over ${MergeOnRead.MaxDeleteRows} " +
+          "delete rows on the driver — compact the table first")
+      val names = df.keyFieldIds.map(MergeOnRead.nameOfFieldId(schema, _))
+      val keySchema = StructType(names.map(n =>
+        schema.fields(schema.fieldIndex(n))))
+      val rows = s.read.schema(keySchema).parquet(s"$dataDir/${df.path}")
+        .collect()
+      val keys = rows.map(r => (0 until keySchema.length)
+        .map(i => r.get(i)).toList: List[Any]).toSet
+      val ords = names.map(schema.fieldIndex).toArray
+      MorPredicate(ords, ords.map(schema.fields(_).dataType), keys)
+    })
+
   /** The partitions of one version step v-1 → v (empty when the commit
     * changed no rows). Driver-side: metadata + bounded key-set reads. */
   def stepPartitions(s: SparkSession, store: MetaStore, ns: Seq[String],
                      table: String, schema: StructType,
                      options: CaseInsensitiveStringMap,
+                     keyCache: scala.collection.mutable.Map[String, MorPredicate],
                      v: Int): Seq[InputPartition] = {
     val meta = store.loadVersion(ns, table, v)
     val prevMeta = if (v - 1 >= 1) Some(store.loadVersion(ns, table, v - 1)) else None
-    val snap = meta.currentSnapshot
-    val prevSnap = prevMeta.flatMap(_.currentSnapshot)
-    if (snap.map(_.snapshotId) == prevSnap.map(_.snapshotId)) return Nil
-    if (snap.exists(_.summary.get("rewrite-kind").contains("compaction"))) return Nil
-
+    val diff = stepDiff(meta, prevMeta).getOrElse(return Nil)
     val dataDir = store.dataDir(ns, table)
-    val files = snap.map(_.files).getOrElse(Nil)
-    val prevFiles = prevSnap.map(_.files).getOrElse(Nil)
-    val added = files.filterNot(prevFiles.toSet)
-    val removed = prevFiles.filterNot(files.toSet)
-    val kept = prevFiles.filter(files.toSet)
-    val prevDeletes = prevSnap.map(_.deleteFiles).getOrElse(Nil)
-    val prevFileSeqs = prevSnap.map(_.fileSeqs).getOrElse(Map.empty)
-    val newDeletes = {
-      val before = prevDeletes.map(_.path).toSet
-      snap.map(_.deleteFiles).getOrElse(Nil).filterNot(d => before(d.path))
-    }
 
-    // one predicate per delete file, loaded once on the driver (bounded
-    // by the MoR guard) and serialized into the partition spec
-    val keyCache = scala.collection.mutable.Map.empty[String, MorPredicate]
-    def predicateOf(df: graft.meta.DeleteFileDef): MorPredicate =
-      keyCache.getOrElseUpdate(df.path, {
-        val names = df.keyFieldIds.map(MergeOnRead.nameOfFieldId(schema, _))
-        val keySchema = StructType(names.map(n =>
-          schema.fields(schema.fieldIndex(n))))
-        val rows = s.read.schema(keySchema).parquet(s"$dataDir/${df.path}")
-          .collect()
-        val keys = rows.map(r => (0 until keySchema.length)
-          .map(i => r.get(i)).toList: List[Any]).toSet
-        val ords = names.map(schema.fieldIndex).toArray
-        MorPredicate(ords, ords.map(schema.fields(_).dataType), keys)
-      })
+    def pred(df: graft.meta.DeleteFileDef): MorPredicate =
+      predicateOf(s, dataDir, schema, keyCache, df)
 
     def priorApplicable(rel: String): Seq[MorPredicate] = {
-      val seq = prevFileSeqs.getOrElse(rel, 0L)
-      prevDeletes.filter(_.seq > seq).map(predicateOf)
+      val seq = diff.prevFileSeqs.getOrElse(rel, 0L)
+      diff.prevDeletes.filter(_.seq > seq).map(pred)
     }
 
-    def group(rels: Seq[String], label: String,
+    def group(groups: Seq[(Seq[MorPredicate], Seq[String])], label: String,
               matchAny: Seq[MorPredicate]): Seq[InputPartition] =
-      rels.groupBy(priorApplicable).toSeq
-        .sortBy(_._2.headOption.getOrElse(""))
+      groups.sortBy(_._2.headOption.getOrElse(""))
         .flatMap { case (subtract, fs) =>
           val spec = ChangeSpec(matchAny, subtract, label, v,
             schema.fields.map(_.dataType))
@@ -122,11 +152,19 @@ private[graft] object ChangesTable {
             .map(p => ChangeInputPartition(p, spec): InputPartition)
         }
 
-    val inserts = group(added, "insert", Nil)
-    val hardDeletes = group(removed, "delete", Nil)
+    // added files carry THIS commit's sequence — no prior delete ever
+    // applies to them (subtracting would suppress the re-insert of a
+    // previously deleted key)
+    val inserts =
+      if (diff.added.isEmpty) Nil
+      else group(Seq((Nil, diff.added)), "insert", Nil)
+    // removed/kept files predate this commit: rows already masked by an
+    // EARLIER delete died then, and must not re-emit here
+    def bySubtract(rels: Seq[String]) = rels.groupBy(priorApplicable).toSeq
+    val hardDeletes = group(bySubtract(diff.removed), "delete", Nil)
     val maskedDeletes =
-      if (newDeletes.isEmpty) Nil
-      else group(kept, "delete", newDeletes.map(predicateOf))
+      if (diff.newDeletes.isEmpty) Nil
+      else group(bySubtract(diff.kept), "delete", diff.newDeletes.map(pred))
     inserts ++ hardDeletes ++ maskedDeletes
   }
 }
@@ -245,6 +283,11 @@ private[graft] class ChangesScan(
       }
     }
 
+  // delete-file predicates are immutable — share them across every
+  // step of the window (and every batch of the stream below)
+  private val keyCache =
+    scala.collection.mutable.Map.empty[String, MorPredicate]
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val s = SparkSession.active
@@ -253,7 +296,8 @@ private[graft] class ChangesScan(
         .getOrElse(store.currentVersion(ns, table))
       require(fromV <= toV, s"from-version $fromV is above to-version $toV")
       ((fromV + 1) to toV).flatMap(v =>
-        ChangesTable.stepPartitions(s, store, ns, table, schema, options, v))
+        ChangesTable.stepPartitions(s, store, ns, table, schema, options,
+          keyCache, v))
         .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -282,6 +326,9 @@ private[graft] class ChangesMicroBatchStream(
     schema: StructType, options: CaseInsensitiveStringMap,
     startVersion: Int) extends MicroBatchStream {
 
+  private val keyCache =
+    scala.collection.mutable.Map.empty[String, MorPredicate]
+
   override def initialOffset(): Offset = GraftSourceOffset(startVersion)
   override def latestOffset(): Offset =
     GraftSourceOffset(math.max(startVersion, store.currentVersion(ns, table)))
@@ -293,7 +340,8 @@ private[graft] class ChangesMicroBatchStream(
     val ev = end.asInstanceOf[GraftSourceOffset].version
     val s = SparkSession.active
     ((sv + 1) to ev).flatMap(v =>
-      ChangesTable.stepPartitions(s, store, ns, table, schema, options, v))
+      ChangesTable.stepPartitions(s, store, ns, table, schema, options,
+        keyCache, v))
       .toArray
   }
 

@@ -30,6 +30,8 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sessionState.catalogManager.catalog("graft").asInstanceOf[GraftCatalog]
   private def version(t: String): Int =
     cat.metadataStore.currentVersion(Seq("cdc"), t)
+  private def version2(ns: String, t: String): Int =
+    cat.metadataStore.currentVersion(Seq(ns), t)
 
   private def changes(t: String, from: Int, to: Option[Int] = None) =
     Changes.between(spark, s"graft.cdc.$t", from, to)
@@ -151,6 +153,65 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       assert(seen.asScala.toSet.contains((3, "c", "insert")))
     } finally q.stop()
+  }
+
+  test("re-inserting a previously deleted key reappears as an insert in both surfaces") {
+    // graft.cdcs.t currently: k=1 deleted (equality delete), k=2 live, k=3 live
+    val v = version2("cdcs", "t")
+    spark.sql("INSERT INTO graft.cdcs.t VALUES (1,'a2')")
+    val viaTable = spark.read.option("from-version", v)
+      .table("graft.cdcs.`t$changes`")
+      .select(col("k"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(viaTable == Set((1, "a2", "insert")),
+      s"t\\$$changes must emit the re-insert (prior deletes must not mask " +
+        s"files added later), got $viaTable")
+    val viaApi = Changes.between(spark, "graft.cdcs.t", v)
+      .select(col("k"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(viaApi == Set((1, "a2", "insert")))
+  }
+
+  test("upserting a brand-new key is an insert, not an unpaired postimage") {
+    // the upsert sink's RowDelta equality-deletes EVERY batch key, new
+    // or not — a first-time key's delete masks nothing, so the feed
+    // must label its row 'insert' and pair only the existing key
+    val v = version2("cdcs", "t")
+    val store = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].metadataStore
+    import spark.implicits._
+    catalog.CatalogUpserts.upsertBatch(store, Seq("cdcs"), "t",
+      Seq((2, "B2"), (9, "new")).toDF("k", "v"))
+    val feed = Changes.between(spark, "graft.cdcs.t", v)
+      .select(col("k"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set(
+      (2, "b", "update_preimage"), (2, "B2", "update_postimage"),
+      (9, "new", "insert")),
+      s"got $feed")
+  }
+
+  test("overwriting after a MoR delete emits no phantom delete for the dead row") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdcp")
+    spark.sql("""CREATE TABLE graft.cdcp.t (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('identifier-fields' = 'k',
+        'write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.cdcp.t VALUES (1,'a'),(2,'b')")
+    spark.sql("DELETE FROM graft.cdcp.t WHERE k = 1") // k=1 died HERE
+    val v = version2("cdcp", "t")
+    spark.sql("INSERT OVERWRITE graft.cdcp.t VALUES (5,'z')")
+    // the overwrite removes the original file, but k=1's row was
+    // already dead — only the surviving k=2 emits a delete
+    val expected = Set((2, "b", "delete"), (5, "z", "insert"))
+    val viaApi = Changes.between(spark, "graft.cdcp.t", v)
+      .select(col("k"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(viaApi == expected, s"Changes.between got $viaApi")
+    val viaTable = spark.read.option("from-version", v)
+      .table("graft.cdcp.`t$changes`")
+      .select(col("k"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(viaTable == expected, s"t\\$$changes got $viaTable")
   }
 
   test("copy-on-write DML reports at file granularity (delete+insert of rewritten rows)") {

@@ -320,20 +320,77 @@ private[graft] class ChangesScan(
 /** CDC stream: offsets are metadata versions (same ledger as the data
   * stream); each micro-batch is the changelog of its version window.
   * Replays are bit-identical — partitions derive from immutable
-  * metadata and immutable files. */
+  * metadata and immutable files. `max-files-per-trigger` paces history
+  * replay exactly like the data stream (a changelog stream started at
+  * version 0 re-reads the table's whole life — unbounded, that is one
+  * giant batch). */
 private[graft] class ChangesMicroBatchStream(
     store: MetaStore, ns: Seq[String], table: String,
     schema: StructType, options: CaseInsensitiveStringMap,
-    startVersion: Int) extends MicroBatchStream {
+    startVersion: Int) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val keyCache =
     scala.collection.mutable.Map.empty[String, MorPredicate]
+
+  private val maxFilesPerTrigger: Option[Int] =
+    Seq("maxFilesPerTrigger", "max-files-per-trigger")
+      .flatMap(k => Option(options.get(k))).headOption.map(_.trim.toInt)
 
   override def initialOffset(): Offset = GraftSourceOffset(startVersion)
   override def latestOffset(): Offset =
     GraftSourceOffset(math.max(startVersion, store.currentVersion(ns, table)))
   override def deserializeOffset(json: String): Offset =
     GraftSourceOffset(json.trim.toInt)
+
+  /** Files one step will scan: added + removed, plus the kept files a
+    * new equality delete forces a masked re-read of. */
+  private def stepFileCount(v: Int): Int = {
+    val meta = store.loadVersion(ns, table, v)
+    val prev = if (v - 1 >= 1) Some(store.loadVersion(ns, table, v - 1)) else None
+    ChangesTable.stepDiff(meta, prev).map { d =>
+      d.added.size + d.removed.size +
+        (if (d.newDeletes.nonEmpty) d.kept.size else 0)
+    }.getOrElse(0)
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
+    val s = start.asInstanceOf[GraftSourceOffset].version
+    val cur = math.max(startVersion, store.currentVersion(ns, table))
+    val effective = limit match {
+      case c: CompositeReadLimit =>
+        c.getReadLimits.collectFirst { case m: ReadMaxFiles => m }.getOrElse(limit)
+      case other => other
+    }
+    effective match {
+      case m: ReadMaxFiles if cur > s =>
+        var chosen = s
+        var budget = m.maxFiles()
+        var v = s + 1
+        var done = false
+        while (v <= cur && !done) {
+          val n = stepFileCount(v)
+          if (n <= budget || v == s + 1) chosen = v else done = true
+          budget -= n
+          if (budget <= 0) done = true
+          v += 1
+        }
+        GraftSourceOffset(chosen)
+      case _ => GraftSourceOffset(cur)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftSourceOffset(math.max(startVersion, store.currentVersion(ns, table)))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val sv = start.asInstanceOf[GraftSourceOffset].version

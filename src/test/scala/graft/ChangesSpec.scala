@@ -214,6 +214,31 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaTable == expected, s"t\\$$changes got $viaTable")
   }
 
+  test("t$changes stream paces history replay with max-files-per-trigger") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdcr")
+    spark.sql("CREATE TABLE graft.cdcr.t (k INT, v STRING)")
+    spark.sql("INSERT INTO graft.cdcr.t VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.cdcr.t VALUES (2,'b')")
+    spark.sql("INSERT INTO graft.cdcr.t VALUES (3,'c')")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcr-ckpt").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Int]]()
+    val q = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("graft.cdcr.`t$changes`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val ks = df.select(col("k")).collect().map(_.getInt(0)).sorted.toSeq
+        if (ks.nonEmpty) batches.add(ks); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.asScala.toSeq
+    assert(got.flatten.sorted == Seq(1, 2, 3), s"lost/duped rows: $got")
+    assert(got.length == 3,
+      s"one-file budget must pace 3 single-file commits into 3 batches, got $got")
+  }
+
   test("copy-on-write DML reports at file granularity (delete+insert of rewritten rows)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdc")
     spark.sql("""CREATE TABLE graft.cdc.cow (k INT, v STRING)""")

@@ -31,7 +31,19 @@ import graft.meta._
   * out to executors.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog {
+  with FunctionCatalog with ProcedureCatalog {
+
+  /** SQL maintenance surface: `CALL graft.system.<proc>(...)` — see
+    * [[Procedures]]. The `system` namespace is virtual (procedures
+    * only); any namespace is accepted on lookup so unqualified calls
+    * resolve too. */
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    Procedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    Procedures.load(this, ident.name)
 
   private var catalogName: String = _
   private var store: MetaStore = _

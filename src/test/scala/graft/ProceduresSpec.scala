@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.GraftCatalog
+
+/** `CALL graft.system.<proc>(...)` — the SQL surface over the catalog's
+  * maintenance verbs. Each call must run the SAME code path as the API
+  * method and return its committed result as rows. */
+class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = Files.createTempDirectory("graft-proc-wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.graft.warehouse", wh)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("CALL compact folds a multi-file table to one file") {
+    spark.sql("CREATE NAMESPACE graft.proc")
+    spark.sql("CREATE TABLE graft.proc.t (k INT, v STRING)")
+    spark.sql("INSERT INTO graft.proc.t VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.proc.t VALUES (2,'b')")
+    spark.sql("INSERT INTO graft.proc.t VALUES (3,'c')")
+    val res = spark.sql("CALL graft.system.compact(table => 'proc.t')").collect()
+    assert(res.length == 1 && res(0).getInt(1) == 1,
+      s"expected one file after compaction, got ${res.toSeq}")
+    assert(spark.table("graft.proc.t").count() == 3)
+  }
+
+  test("CALL create_branch / fast_forward / drop_ref run the WAP loop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.w (k INT)")
+    spark.sql("INSERT INTO graft.proc.w VALUES (1)")
+    val sid = spark.sql("CALL graft.system.create_branch('proc.w', 'audit')")
+      .collect()(0).getLong(0)
+    assert(sid > 0)
+    spark.sql("INSERT INTO graft.proc.w VALUES (2)") // moves main past the branch
+    // tag the current state, roll the branch forward is refused (main moved)
+    intercept[Exception] {
+      spark.sql("CALL graft.system.fast_forward('proc.w', 'audit')").collect()
+    }
+    val refs = spark.sql("CALL graft.system.drop_ref('proc.w', 'audit')")
+      .collect()(0).getInt(0)
+    assert(refs == 0)
+  }
+
+  test("CALL rollback and expire_snapshots administer history") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.r (k INT)")
+    spark.sql("INSERT INTO graft.proc.r VALUES (1)")
+    val snap1 = spark.sql("SELECT snapshot_id FROM graft.proc.`r$history`")
+      .collect().map(_.getLong(0)).min
+    spark.sql("INSERT INTO graft.proc.r VALUES (2)")
+    assert(spark.table("graft.proc.r").count() == 2)
+    spark.sql(s"CALL graft.system.rollback('proc.r', $snap1)").collect()
+    assert(spark.table("graft.proc.r").count() == 1,
+      "rollback must restore the first snapshot's contents")
+    // expire with keep=1, zero grace: old metadata versions go away
+    val removed = spark
+      .sql("CALL graft.system.expire_snapshots('proc.r', 1, 0)")
+      .collect()(0).getInt(0)
+    assert(removed >= 0) // rolled-back-to files stay live; count is informational
+    assert(spark.table("graft.proc.r").count() == 1)
+  }
+}

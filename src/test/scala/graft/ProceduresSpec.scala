@@ -54,6 +54,17 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refs == 0)
   }
 
+  test("SHOW PROCEDURES lists the maintenance surface") {
+    val df = spark.sql("SHOW PROCEDURES IN graft")
+    val nameCol = df.schema.fieldNames
+      .find(_.toLowerCase.contains("procedure"))
+      .getOrElse(df.schema.fieldNames.last)
+    val names = df.select(nameCol).collect().map(_.getString(0)).toSet
+    assert(graft.catalog.Procedures.Names.toSet.subsetOf(names) ||
+      names.exists(_.contains("compact")),
+      s"expected the maintenance procedures listed, got $names")
+  }
+
   test("CALL rollback and expire_snapshots administer history") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
     spark.sql("CREATE TABLE graft.proc.r (k INT)")

@@ -157,7 +157,8 @@ private[graft] class GraftScan(delegate0: Scan,
                                mkStream: String => MicroBatchStream,
                                runtimeAttrs: Seq[String] = Nil,
                                refilter: Array[org.apache.spark.sql.sources.Filter] => Scan =
-                                 _ => null)
+                                 _ => null,
+                               manifestRows: Option[Long] = None)
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -193,12 +194,25 @@ private[graft] class GraftScan(delegate0: Scan,
   override def toBatch: Batch = delegate.toBatch
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
-  override def estimateStatistics(): Statistics = delegate match {
-    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-      s.estimateStatistics()
-    case _ => new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  /** Delegate statistics overlaid with the manifest row count: the
+    * parquet delegate reports bytes only, but broadcast and CBO
+    * decisions want cardinality — the harvested per-file counts summed
+    * over the PRUNED file list supply it without touching a footer at
+    * plan time. */
+  override def estimateStatistics(): Statistics = {
+    val base: Statistics = delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
+    if (base.numRows().isPresent || manifestRows.isEmpty) base
+    else new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(manifestRows.get)
     }
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -1034,15 +1034,28 @@ private[graft] class GraftScanBuilder(
     aggDelegate.foreach { b => return b.build() }
     val pruned = prunedRelFiles
     onBuild(pruned)
+    // manifest cardinality: when every pruned file carries a harvested
+    // row count, the scan can report numRows — the estimate Catalyst
+    // needs to judge a PRUNED scan broadcastable (file-source stats are
+    // bytes-only). Any file without a count (pre-upgrade metadata)
+    // withholds the report rather than underestimate.
+    val manifestRows: Option[Long] = {
+      val counts = pruned.map(r =>
+        fileStats.get(r).flatMap(_.headOption).flatMap(_.rows))
+      if (pruned.nonEmpty && counts.forall(_.isDefined)) Some(counts.flatten.sum)
+      else if (pruned.isEmpty) Some(0L)
+      else None
+    }
     val batchScan = keyedScanFor(pruned)
     streamSource match {
       case None =>
         new GraftScan(batchScan,
           cp => batchScan.toMicroBatchStream(cp), // unreachable: no stream source
-          runtimeFilterAttrs, runtimeRefilter)
+          runtimeFilterAttrs, runtimeRefilter, manifestRows)
       case Some((store, ns, table)) =>
         new GraftScan(batchScan, runtimeAttrs = runtimeFilterAttrs,
-          refilter = runtimeRefilter, mkStream = _ => {
+          refilter = runtimeRefilter, manifestRows = manifestRows,
+          mkStream = _ => {
           // a micro-batch is an append-only file delta; equality deletes
           // committed between offsets would require emitting retractions
           // — refuse rather than silently stream deleted rows

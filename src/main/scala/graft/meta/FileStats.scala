@@ -65,8 +65,14 @@ object FileStats {
           }
         }
       }
+      // the file's row count, stamped on every column entry: the scan
+      // sums these over its pruned file list to report numRows, which
+      // is what lets Catalyst judge broadcastability of a pruned scan
+      val fileRows = reader.getFooter.getBlocks.asScala
+        .map(_.getRowCount).sum
       acc.map { case (n, a) =>
-        ColStatDef(n, stringify(a.min), stringify(a.max), a.nulls, a.fieldId)
+        ColStatDef(n, stringify(a.min), stringify(a.max), a.nulls, a.fieldId,
+          rows = Some(fileRows))
       }.toList
     } finally reader.close()
   } catch { case _: Exception => Nil } // stats are an optimization, never fatal

@@ -37,8 +37,13 @@ final case class SortOrderDef(orderId: Int, fields: List[SortFieldDef])
   * rename (or before a name is reused by a new column) never drive a
   * wrong skip. `name` is kept for legacy stats with no id (name-matched
   * only as a fallback). */
+/** Per-column min/max/null stats of one data file, plus the FILE's row
+  * count (`rows`, stamped identically on every column's entry — the
+  * manifest-level source for scan cardinality estimates). Optional and
+  * absent on metadata written before it existed. */
 final case class ColStatDef(name: String, min: String, max: String, nulls: Long,
-                            fieldId: Option[Int] = None)
+                            fieldId: Option[Int] = None,
+                            rows: Option[Long] = None)
 
 /** An equality-delete file: a parquet file of identifier-column values
   * whose rows mark "any data row with this key, written before me, is

@@ -53,6 +53,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"filter not pushed through catalog scan:\n$plan")
   }
 
+  test("scan statistics report manifest row counts, narrowed by pruning") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mrows")
+    spark.sql("""CREATE TABLE graft.mrows.t (id BIGINT, cat STRING)
+      PARTITIONED BY (cat)""")
+    spark.sql(
+      "INSERT INTO graft.mrows.t VALUES (1,'a'),(2,'a'),(3,'a'),(4,'b'),(5,'b')")
+    def rowCountOf(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.stats.rowCount
+      }.flatten
+    // full scan: the harvested per-file counts sum to the table size
+    assert(rowCountOf(spark.table("graft.mrows.t")) == Some(BigInt(5)),
+      "manifest row counts must reach the plan's statistics")
+    // partition-pruned scan: cardinality narrows with the file list —
+    // this is what makes a pruned fact-side provably broadcastable
+    assert(rowCountOf(spark.table("graft.mrows.t")
+      .where(col("cat") === "b")) == Some(BigInt(2)),
+      "pruned scans must report the pruned cardinality")
+  }
+
   test("identity-partition filters prune snapshot files before the scan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.prune")
     spark.sql("""CREATE TABLE graft.prune.ev (id BIGINT, cat STRING)

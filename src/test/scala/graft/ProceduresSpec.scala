@@ -54,6 +54,18 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refs == 0)
   }
 
+  test("CALL compact_zorder clusters on the named columns") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.z (a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO graft.proc.z SELECT id, 1000 - id FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.proc.z SELECT id, 1000 - id FROM range(1000, 2000)")
+    val res = spark.sql(
+      "CALL graft.system.compact_zorder('proc.z', 'a,b', 4)").collect()
+    assert(res.length == 1 && res(0).getInt(1) <= 4,
+      s"expected ≤4 z-ordered files, got ${res.toSeq}")
+    assert(spark.table("graft.proc.z").count() == 2000)
+  }
+
   test("SHOW PROCEDURES lists the maintenance surface") {
     val df = spark.sql("SHOW PROCEDURES IN graft")
     val nameCol = df.schema.fieldNames

@@ -29,7 +29,8 @@ object CatalogUpserts {
   def upsertBatch(store: MetaStore, ns: Seq[String], table: String,
                   batch0: DataFrame,
                   requirements: Seq[Requirement] = Nil,
-                  extraSummary: Map[String, String] = Map.empty): Unit = {
+                  extraSummary: Map[String, String] = Map.empty,
+                  extraDeleteKeys: Option[DataFrame] = None): Unit = {
     val (meta0, _) = store.load(ns, table)
     val schema = SchemaBridge.toSpark(meta0.currentSchema)
     val keys = MergeOnRead.keyFields(meta0.properties, schema)
@@ -44,14 +45,22 @@ object CatalogUpserts {
 
     val dataRels = WriteShaping.writeDataFiles(batch, meta0, store, ns, table,
       relDir)
-    if (dataRels.isEmpty) return // empty batch: nothing to retire either
+    if (dataRels.isEmpty && extraDeleteKeys.isEmpty)
+      return // empty batch: nothing to retire either
 
-    // the batch's keys as ONE flat parquet (a micro-batch's key set is
-    // micro-batch-sized — coalescing keeps the per-epoch delete-file
-    // count at one, which is what compaction cadence is sized against)
-    val keyDf = batch.select(keyNames.map(n =>
-      org.apache.spark.sql.functions.col(n).as(n,
-        schema.fields(schema.fieldIndex(n)).metadata)): _*).coalesce(1)
+    // the batch's keys — plus any PURE-delete keys the caller retires
+    // without replacement (a changelog sync's deleted rows) — as ONE
+    // flat parquet (a micro-batch's key set is micro-batch-sized —
+    // coalescing keeps the per-epoch delete-file count at one, which is
+    // what compaction cadence is sized against)
+    def keyProjection(df: DataFrame): DataFrame =
+      df.select(keyNames.map(n =>
+        org.apache.spark.sql.functions.col(n)
+          .cast(schema.fields(schema.fieldIndex(n)).dataType).as(n,
+            schema.fields(schema.fieldIndex(n)).metadata)): _*)
+    val keyDf = extraDeleteKeys.map(keyProjection)
+      .foldLeft(keyProjection(batch))(_ unionByName _)
+      .dropDuplicates(keyNames).coalesce(1)
     val deletesDir = s"$dataDir/$relDir-deletes"
     keyDf.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .parquet(deletesDir)

@@ -91,6 +91,53 @@ object Changes {
     steps.reduceOption(_ unionByName _).getOrElse(empty)
   }
 
+  /** Incremental table sync — the materializer that closes the CDC
+    * loop: applies `src`'s row-level changes since the last synced
+    * version to the keyed merge-on-read table `dst` as ONE atomic
+    * RowDelta (upserted rows + retired keys), fenced by an
+    * `AssertMaxSummaryBelow` requirement on the synced version so a
+    * replayed or raced sync of the same window fails instead of
+    * double-applying. The watermark is the fence summary itself —
+    * no side-channel state, and `dst`'s history shows exactly which
+    * source version each commit mirrors.
+    *
+    * Returns the number of source versions applied (0 = already
+    * current). Work per call: the changelog of the new window + one
+    * commit — at 100 TB a sync is the day's delta, never a re-copy. */
+  def sync(s: SparkSession, src: String, dst: String): Int = {
+    val dstParts = dst.split("\\.")
+    require(dstParts.length >= 3, s"expected catalog.namespace.table, got $dst")
+    val dstStore = s.sessionState.catalogManager.catalog(dstParts.head)
+      .asInstanceOf[GraftCatalog].metadataStore
+    val dstNs = dstParts.tail.init.toSeq
+    val dstTable = dstParts.last
+
+    val srcParts = src.split("\\.")
+    val srcStore = s.sessionState.catalogManager.catalog(srcParts.head)
+      .asInstanceOf[GraftCatalog].metadataStore
+    val cur = srcStore.currentVersion(srcParts.tail.init.toSeq, srcParts.last)
+
+    val (dstMeta, _) = dstStore.load(dstNs, dstTable)
+    val fenceKey = "graft-sync-version"
+    val last = math.max(0L,
+      graft.commit.Commits.maxSummary(dstMeta, fenceKey)).toInt
+    if (cur <= last) return 0
+
+    val schema = SchemaBridge.toSpark(dstMeta.currentSchema)
+    val keyNames = MergeOnRead.keyFields(dstMeta.properties, schema).map(_._1)
+    val ch = between(s, src, last, Some(cur))
+    val ups = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val dels = ch.filter(col("_change_type") === "delete")
+      .select(keyNames.map(col).toSeq: _*)
+    CatalogUpserts.upsertBatch(dstStore, dstNs, dstTable, ups,
+      requirements = Seq(graft.commit.Requirement.AssertMaxSummaryBelow(
+        fenceKey, cur)),
+      extraSummary = Map(fenceKey -> cur.toString),
+      extraDeleteKeys = Some(dels))
+    cur - last
+  }
+
   private def stepChanges(
       s: SparkSession,
       meta: TableMetadata, prevMeta: Option[TableMetadata], v: Int,

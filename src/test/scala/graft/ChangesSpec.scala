@@ -239,6 +239,36 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one-file budget must pace 3 single-file commits into 3 batches, got $got")
   }
 
+  test("Changes.sync mirrors a source into a keyed table, exactly once") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sync")
+    spark.sql("""CREATE TABLE graft.sync.src (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('identifier-fields' = 'k',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read')""")
+    spark.sql("""CREATE TABLE graft.sync.dst (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('identifier-fields' = 'k')""")
+    def srcRows = spark.table("graft.sync.src").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    def dstRows = spark.table("graft.sync.dst").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+    spark.sql("INSERT INTO graft.sync.src VALUES (1,'a'),(2,'b'),(3,'c')")
+    assert(Changes.sync(spark, "graft.sync.src", "graft.sync.dst") > 0)
+    assert(dstRows == srcRows)
+
+    // deletes, updates, and new keys all carry over in one sync step
+    spark.sql("DELETE FROM graft.sync.src WHERE k = 2")
+    spark.sql("UPDATE graft.sync.src SET v = 'A' WHERE k = 1")
+    spark.sql("INSERT INTO graft.sync.src VALUES (4,'d')")
+    assert(Changes.sync(spark, "graft.sync.src", "graft.sync.dst") > 0)
+    assert(dstRows == srcRows)
+    assert(dstRows == Map(1 -> "A", 3 -> "c", 4 -> "d"))
+
+    // already current: a repeat applies nothing and changes nothing
+    assert(Changes.sync(spark, "graft.sync.src", "graft.sync.dst") == 0)
+    assert(dstRows == srcRows)
+  }
+
   test("copy-on-write DML reports at file granularity (delete+insert of rewritten rows)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdc")
     spark.sql("""CREATE TABLE graft.cdc.cow (k INT, v STRING)""")

@@ -113,12 +113,16 @@ object Changes {
     val dstTable = dstParts.last
 
     val srcParts = src.split("\\.")
+    require(srcParts.length >= 3, s"expected catalog.namespace.table, got $src")
     val srcStore = s.sessionState.catalogManager.catalog(srcParts.head)
       .asInstanceOf[GraftCatalog].metadataStore
     val cur = srcStore.currentVersion(srcParts.tail.init.toSeq, srcParts.last)
 
     val (dstMeta, _) = dstStore.load(dstNs, dstTable)
-    val fenceKey = "graft-sync-version"
+    // the fence key carries the SOURCE identity: one target synced from
+    // two sources keeps independent watermarks (a shared key would make
+    // the second source silently skip or mis-window)
+    val fenceKey = s"graft-sync-version:$src"
     val last = math.max(0L,
       graft.commit.Commits.maxSummary(dstMeta, fenceKey)).toInt
     if (cur <= last) return 0
@@ -126,9 +130,25 @@ object Changes {
     val schema = SchemaBridge.toSpark(dstMeta.currentSchema)
     val keyNames = MergeOnRead.keyFields(dstMeta.properties, schema).map(_._1)
     val ch = between(s, src, last, Some(cur))
-    val ups = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+    // NET the window per key: a multi-version window can insert then
+    // delete one key (the delete must win — the one-RowDelta commit
+    // cannot express intra-window ordering) or update it twice (only
+    // the LATEST version may land). Per (key, version) at most one
+    // non-preimage row survives the feed except CoW churn's same-row
+    // delete+insert — the insert is the surviving state, so non-deletes
+    // rank first within a version. localCheckpoint: the window is
+    // delta-sized and feeds two actions below — derive it once.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyNames.map(col): _*)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "delete", 1).otherwise(0))
+    val netted = ch.filter(col("_change_type") =!= "update_preimage")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    val ups = netted.filter(col("_change_type").isin("insert", "update_postimage"))
       .select(schema.fieldNames.map(col).toSeq: _*)
-    val dels = ch.filter(col("_change_type") === "delete")
+    val dels = netted.filter(col("_change_type") === "delete")
       .select(keyNames.map(col).toSeq: _*)
     CatalogUpserts.upsertBatch(dstStore, dstNs, dstTable, ups,
       requirements = Seq(graft.commit.Requirement.AssertMaxSummaryBelow(
@@ -217,10 +237,30 @@ object Changes {
         delMarked.select((schema.fieldNames.map(col) :+ col("_ct")).toSeq: _*)
       }
       // a row masked by two key-set groups collapses to one change row;
-      // max prefers 'update_preimage' over 'delete' (pairing wins)
-      val delCombined = delSides.reduce(_ unionByName _)
-        .groupBy(schema.fieldNames.map(col).toSeq: _*)
-        .agg(max(col("_ct")).as("_ct"))
+      // max prefers 'update_preimage' over 'delete' (pairing wins). The
+      // single-group case — virtually every commit — skips the combine:
+      // no duplicates possible, and a full-row groupBy would both
+      // shuffle needlessly and reject unorderable (map-typed) columns
+      def orderableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+        import org.apache.spark.sql.types._
+        dt match {
+          case MapType(_, _, _) => false
+          case StructType(fs) => fs.forall(f => orderableType(f.dataType))
+          case ArrayType(et, _) => orderableType(et)
+          case _ => true
+        }
+      }
+      val delCombined =
+        if (delSides.length == 1) delSides.head
+        else if (schema.fields.forall(f => orderableType(f.dataType)))
+          delSides.reduce(_ unionByName _)
+            .groupBy(schema.fieldNames.map(col).toSeq: _*)
+            .agg(max(col("_ct")).as("_ct"))
+        else
+          // heterogeneous key sets AND unorderable columns: union as-is
+          // (a row masked by two groups may emit twice — the corner of
+          // a corner; executing beats refusing)
+          delSides.reduce(_ unionByName _)
       val insMarked = ins.map { df =>
         val anyFlag = delGroups.indices
           .map(i => coalesce(col(s"__upd$i"), lit(false))).reduce(_ || _)

@@ -96,20 +96,36 @@ private[graft] object ChangesTable {
       prevFileSeqs = prevSnap.map(_.fileSeqs).getOrElse(Map.empty)))
   }
 
+  /** `max-files-per-trigger` / `maxFilesPerTrigger` read-option parsing
+    * with validation — shared by the data stream and the changelog
+    * stream so a typo'd value fails identically on both. */
+  def parseMaxFilesPerTrigger(options: CaseInsensitiveStringMap): Option[Int] =
+    Seq("maxFilesPerTrigger", "max-files-per-trigger")
+      .flatMap(k => Option(options.get(k))).headOption.map { v =>
+        val n = try v.trim.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"maxFilesPerTrigger must be a positive integer, got '$v'")
+        }
+        require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+        n
+      }
+
   /** One predicate per delete file, loaded once on the driver and
     * memoized in the CALLER-owned cache (delete files are immutable —
     * a stream or multi-version window must not re-collect them per
-    * step). The cumulative row guard is the same bound the MoR scan
-    * enforces — past it the table must be compacted, and this surface
-    * fails as loudly as the data scan does. */
+    * step). The cache is an optimization with a memory ceiling, NOT a
+    * correctness bound: when its total held rows would pass the MoR
+    * guard it is simply cleared (a long-lived stream on an
+    * upsert-then-compact table accumulates DEAD delete files here — a
+    * hard failure would demand a compaction that cannot clear the
+    * cache). The live-set bound is enforced per step in
+    * [[stepPartitions]], mirroring the MoR scan's semantics. */
   def predicateOf(s: SparkSession, dataDir: String, schema: StructType,
                   cache: scala.collection.mutable.Map[String, MorPredicate],
                   df: graft.meta.DeleteFileDef): MorPredicate =
     cache.getOrElseUpdate(df.path, {
       val cachedRows = cache.values.map(_.keys.size.toLong).sum
-      require(cachedRows + df.rows <= MergeOnRead.MaxDeleteRows,
-        s"changelog scan would materialize over ${MergeOnRead.MaxDeleteRows} " +
-          "delete rows on the driver — compact the table first")
+      if (cachedRows + df.rows > MergeOnRead.MaxDeleteRows) cache.clear()
       val names = df.keyFieldIds.map(MergeOnRead.nameOfFieldId(schema, _))
       val keySchema = StructType(names.map(n =>
         schema.fields(schema.fieldIndex(n))))
@@ -132,6 +148,13 @@ private[graft] object ChangesTable {
     val prevMeta = if (v - 1 >= 1) Some(store.loadVersion(ns, table, v - 1)) else None
     val diff = stepDiff(meta, prevMeta).getOrElse(return Nil)
     val dataDir = store.dataDir(ns, table)
+
+    // live-set bound, per step (same semantics as the MoR scan's guard:
+    // the deletes THIS step can touch, not a lifetime cumulative total)
+    val liveRows = (diff.newDeletes ++ diff.prevDeletes).map(_.rows).sum
+    require(liveRows <= MergeOnRead.MaxDeleteRows,
+      s"version $v carries $liveRows live delete rows — over the " +
+        s"changelog bound (${MergeOnRead.MaxDeleteRows}); compact the table first")
 
     def pred(df: graft.meta.DeleteFileDef): MorPredicate =
       predicateOf(s, dataDir, schema, keyCache, df)
@@ -334,8 +357,7 @@ private[graft] class ChangesMicroBatchStream(
     scala.collection.mutable.Map.empty[String, MorPredicate]
 
   private val maxFilesPerTrigger: Option[Int] =
-    Seq("maxFilesPerTrigger", "max-files-per-trigger")
-      .flatMap(k => Option(options.get(k))).headOption.map(_.trim.toInt)
+    ChangesTable.parseMaxFilesPerTrigger(options)
 
   override def initialOffset(): Offset = GraftSourceOffset(startVersion)
   override def latestOffset(): Offset =

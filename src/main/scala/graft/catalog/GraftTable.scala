@@ -1073,17 +1073,8 @@ private[graft] class GraftScanBuilder(
               }
             case None => 0
           }
-          val maxFiles = Seq("maxFilesPerTrigger", "max-files-per-trigger")
-            .flatMap(k => Option(options.get(k))).headOption.map { v =>
-              val n = try v.trim.toInt catch { case _: NumberFormatException =>
-                throw new IllegalArgumentException(
-                  s"maxFilesPerTrigger must be a positive integer, got '$v'")
-              }
-              require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
-              n
-            }
           new GraftMicroBatchStream(store, ns, table, start, delegateScanFor,
-            maxFiles)
+            ChangesTable.parseMaxFilesPerTrigger(options))
         })
     }
   }

@@ -267,6 +267,17 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // already current: a repeat applies nothing and changes nothing
     assert(Changes.sync(spark, "graft.sync.src", "graft.sync.dst") == 0)
     assert(dstRows == srcRows)
+
+    // multi-version windows NET per key: an insert later deleted inside
+    // ONE window must not survive in the mirror, and a key updated
+    // twice must land on the LATEST version, not an arbitrary one
+    spark.sql("INSERT INTO graft.sync.src VALUES (7,'ghost')")
+    spark.sql("DELETE FROM graft.sync.src WHERE k = 7")
+    spark.sql("UPDATE graft.sync.src SET v = 'A2' WHERE k = 1")
+    spark.sql("UPDATE graft.sync.src SET v = 'A3' WHERE k = 1")
+    assert(Changes.sync(spark, "graft.sync.src", "graft.sync.dst") > 0)
+    assert(dstRows == srcRows, s"netting failed: dst=$dstRows src=$srcRows")
+    assert(!dstRows.contains(7) && dstRows(1) == "A3")
   }
 
   test("copy-on-write DML reports at file granularity (delete+insert of rewritten rows)") {

@@ -19,10 +19,10 @@ import graft.meta._
   * needed — the only guard callers attach is the per-epoch idempotence
   * fence ([[Requirement.AssertMaxSummaryBelow]]).
   *
-  * Each epoch adds one delete file; the scan-side bound
-  * ([[MergeOnRead.MaxDeleteRows]]) and periodic compaction (which folds
+  * Each epoch adds one delete file; the scan-side byte budget
+  * ([[MergeOnRead.byteBudget]]) and periodic compaction (which folds
   * deletes in and restores the vectorized read path) keep the live set
-  * small.
+  * broadcast-class.
   */
 object CatalogUpserts {
 
@@ -49,10 +49,11 @@ object CatalogUpserts {
       return // empty batch: nothing to retire either
 
     // the batch's keys — plus any PURE-delete keys the caller retires
-    // without replacement (a changelog sync's deleted rows) — as ONE
-    // flat parquet (a micro-batch's key set is micro-batch-sized —
-    // coalescing keeps the per-epoch delete-file count at one, which is
-    // what compaction cadence is sized against)
+    // without replacement (a changelog sync's deleted rows) — as a flat
+    // parquet. The final dropDuplicates shuffles on the key columns and
+    // AQE coalesces its output partitions by size, so a micro-batch
+    // lands as one small delete file while a giant sync window fans out
+    // to right-sized files instead of funneling through one task.
     def keyProjection(df: DataFrame): DataFrame =
       df.select(keyNames.map(n =>
         org.apache.spark.sql.functions.col(n)
@@ -60,18 +61,20 @@ object CatalogUpserts {
             schema.fields(schema.fieldIndex(n)).metadata)): _*)
     val keyDf = extraDeleteKeys.map(keyProjection)
       .foldLeft(keyProjection(batch))(_ unionByName _)
-      .dropDuplicates(keyNames).coalesce(1)
+      .dropDuplicates(keyNames)
     val deletesDir = s"$dataDir/$relDir-deletes"
     keyDf.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .parquet(deletesDir)
     val deleteRels = store.listParquetUnder(deletesDir)
       .map(f => s"$relDir-deletes/$f")
-    val nKeys = batch.sparkSession.read.parquet(deletesDir).count()
-    val deleteDefs = deleteRels.zipWithIndex.map { case (rel, i) =>
-      // rows feeds the scan-side delete bound; with one coalesced file
-      // the count sits on it whole
+    // per-file rows + bytes come off footers and file stats (driver,
+    // O(KB) each) — the scan-side byte budget and the changelog bound
+    // both read these, and no second Spark job re-counts the keys
+    val hconf = batch.sparkSession.sessionState.newHadoopConf()
+    val deleteDefs = deleteRels.map { rel =>
       DeleteFileDef(rel, 0L, keys.map(_._2).toList,
-        if (i == 0) nKeys else 0L)
+        FileStats.rowCount(s"$dataDir/$rel", hconf).getOrElse(0L),
+        store.fileSizeBytes(s"$dataDir/$rel").getOrElse(0L))
     }
 
     val stats = FileStats.harvestAll(batch.sparkSession, dataDir, dataRels)

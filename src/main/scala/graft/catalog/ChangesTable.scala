@@ -33,8 +33,8 @@ import graft.meta.{MetaStore, SchemaBridge}
   * changelog scan (additions and removals, no pairing).
   *
   * Scale shape: the driver touches only metadata (file lists and
-  * bounded delete-key sets — the same MaxDeleteRows guard as the MoR
-  * scan); all row work happens in executors. Equality-delete commits
+  * bounded delete-key sets — the same broadcast-class byte budget as
+  * the MoR scan); all row work happens in executors. Equality-delete commits
   * turn into scan partitions over the PRIOR snapshot's kept files with
   * a serialized match-these-keys predicate — rows already masked by
   * earlier deletes are subtracted by the same predicate machinery, so a
@@ -124,8 +124,12 @@ private[graft] object ChangesTable {
                   cache: scala.collection.mutable.Map[String, MorPredicate],
                   df: graft.meta.DeleteFileDef): MorPredicate =
     cache.getOrElseUpdate(df.path, {
-      val cachedRows = cache.values.map(_.keys.size.toLong).sum
-      if (cachedRows + df.rows > MergeOnRead.MaxDeleteRows) cache.clear()
+      // ceiling in estimated bytes (~32B/boxed key) — same unit as the
+      // MoR scan's broadcast-class budget, so the cache never holds more
+      // than one budget's worth of keys
+      val cachedBytes = cache.values.map(_.keys.size.toLong * 32L).sum
+      if (cachedBytes + MergeOnRead.estBytes(df) >
+          MergeOnRead.DefaultDeleteByteBudget) cache.clear()
       val names = df.keyFieldIds.map(MergeOnRead.nameOfFieldId(schema, _))
       val keySchema = StructType(names.map(n =>
         schema.fields(schema.fieldIndex(n))))
@@ -150,11 +154,14 @@ private[graft] object ChangesTable {
     val dataDir = store.dataDir(ns, table)
 
     // live-set bound, per step (same semantics as the MoR scan's guard:
-    // the deletes THIS step can touch, not a lifetime cumulative total)
-    val liveRows = (diff.newDeletes ++ diff.prevDeletes).map(_.rows).sum
-    require(liveRows <= MergeOnRead.MaxDeleteRows,
-      s"version $v carries $liveRows live delete rows — over the " +
-        s"changelog bound (${MergeOnRead.MaxDeleteRows}); compact the table first")
+    // the deletes THIS step can touch, not a lifetime cumulative total),
+    // budgeted in bytes of delete files like the scan's broadcast budget
+    val liveBytes = (diff.newDeletes ++ diff.prevDeletes)
+      .map(MergeOnRead.estBytes).sum
+    val budget = MergeOnRead.byteBudget(meta.properties)
+    require(liveBytes <= budget,
+      s"version $v carries $liveBytes bytes of live delete files — over " +
+        s"the changelog budget ($budget); compact the table first")
 
     def pred(df: graft.meta.DeleteFileDef): MorPredicate =
       predicateOf(s, dataDir, schema, keyCache, df)

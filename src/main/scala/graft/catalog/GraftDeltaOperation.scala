@@ -121,7 +121,8 @@ private class GraftDeltaBatchWrite(
     val results = messages.collect { case r: GraftDeltaResult => r }
     val addedData = results.flatMap(_.dataRels).toList
     val addedDeletes = results.toList.flatMap(r =>
-      r.deleteRel.map(rel => DeleteFileDef(rel, 0L, keyFieldIds, r.deleteRows)))
+      r.deleteRel.map(rel => DeleteFileDef(rel, 0L, keyFieldIds, r.deleteRows,
+        store.fileSizeBytes(s"$dataDir/$rel").getOrElse(0L))))
     if (addedData.isEmpty && addedDeletes.isEmpty) return // nothing matched
     val stats = FileStats.harvestAll(SparkSession.active, dataDir, addedData)
     store.commitOps(ns, table,

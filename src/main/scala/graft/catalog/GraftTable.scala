@@ -31,10 +31,12 @@ import graft.meta._
   * giving atomic, versioned, time-travelable appends (the reference's
   * commit endpoint, `tables.go:192`, applied to data instead of schema).
   */
-class GraftTable(tableName: String, store: MetaStore,
-                 ns: Seq[String], table: String,
-                 meta: TableMetadata, version: Int,
-                 mergedProps: Map[String, String],
+class GraftTable(tableName: String, private[graft] val store: MetaStore,
+                 private[graft] val ns: Seq[String],
+                 private[graft] val table: String,
+                 private[graft] val meta: TableMetadata,
+                 version: Int,
+                 private[graft] val mergedProps: Map[String, String],
                  frozen: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -110,7 +112,53 @@ class GraftTable(tableName: String, store: MetaStore,
       transformPartSpecs,
       streamSource = Some((store, ns, table)),
       deleteFiles = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil),
-      fileSeqs = meta.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty))
+      fileSeqs = meta.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty),
+      deleteByteBudget = MergeOnRead.byteBudget(mergedProps))
+
+  // ---- merge-on-read join-fallback surface (see [[MorDeleteJoin]]) ----
+
+  /** The loaded metadata version (`version()` is taken by the connector
+    * Table trait's string-typed default). */
+  private[graft] def metaVersion: Int = version
+
+  private[graft] def liveDeleteFiles: Seq[graft.meta.DeleteFileDef] =
+    meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+
+  private[graft] def morFileSeq(rel: String): Long =
+    meta.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty)
+      .getOrElse(rel, 0L)
+
+  /** The scan's effective file list under `options` (from-version etc.)
+    * — what the join rewrite must split into clean/dirty subsets. */
+  private[graft] def effectiveRelFiles(options: CaseInsensitiveStringMap)
+      : Seq[String] = scanRelFiles(options)
+
+  /** Live delete files exceed the broadcast-class byte budget: the scan
+    * must not collect their keys on the driver; the [[MorDeleteJoin]]
+    * optimizer rule applies them as a distributed left-anti join. */
+  private[graft] def morOverBudget: Boolean = {
+    val ds = liveDeleteFiles
+    ds.nonEmpty &&
+      ds.map(MergeOnRead.estBytes).sum > MergeOnRead.byteBudget(mergedProps)
+  }
+
+  /** A read-only sibling of this table restricted to `rels`, with NO
+    * delete application — the building block of the join rewrite (clean
+    * subset keeps its vectorized scan; dirty subsets feed the anti
+    * join). Stats/seqs are filtered to the subset so file pruning and
+    * cardinality reports keep working. */
+  private[graft] def fileSubsetTable(rels: Seq[String]): GraftTable = {
+    val relSet = rels.toSet
+    val m2 = meta.copy(snapshots = meta.snapshots.map { s =>
+      if (meta.currentSnapshotId.contains(s.snapshotId))
+        s.copy(files = s.files.filter(relSet), deleteFiles = Nil,
+          fileStats = s.fileStats.filter { case (k, _) => relSet(k) },
+          fileSeqs = s.fileSeqs.filter { case (k, _) => relSet(k) })
+      else s
+    })
+    new GraftTable(tableName, store, ns, table, m2, version, mergedProps,
+      frozen = true)
+  }
 
   /** Partition-boundary metadata DELETE (`DELETE FROM t WHERE cat='b'`):
     * when every conjunct is an equality/IN on an identity-partitioned
@@ -508,7 +556,8 @@ private[graft] class GraftScanBuilder(
     groupPruneOnly: Boolean = false,
     onBuild: Seq[String] => Unit = _ => (),
     deleteFiles: Seq[graft.meta.DeleteFileDef] = Nil,
-    fileSeqs: Map[String, Long] = Map.empty)
+    fileSeqs: Map[String, Long] = Map.empty,
+    deleteByteBudget: Long = MergeOnRead.DefaultDeleteByteBudget)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -864,10 +913,19 @@ private[graft] class GraftScanBuilder(
     if (dirtyGroups.isEmpty) return delegateScanFor(rels)
 
     val allDeletes = dirtyGroups.flatMap(_._1).distinct
-    val totalRows = allDeletes.map(_.rows).sum
-    require(totalRows <= MergeOnRead.MaxDeleteRows,
-      s"$totalRows live delete rows exceed the merge-on-read bound " +
-        s"(${MergeOnRead.MaxDeleteRows}) — compact table $tableName first")
+    // driver-memory guard, budgeted in BYTES of delete files (a row
+    // count would fire only after the driver already held gigabytes of
+    // boxed keys). Past the budget the MorDeleteJoin optimizer rule —
+    // installed by GraftExtensions — rewrites the relation into a
+    // distributed anti join long before this scan is built; reaching
+    // here over budget means the session lacks the extensions.
+    val totalBytes = allDeletes.map(MergeOnRead.estBytes).sum
+    val budget = deleteByteBudget
+    require(totalBytes <= budget,
+      s"$totalBytes bytes of live delete files exceed the broadcast-class " +
+        s"budget ($budget) for table $tableName — install " +
+        "graft.functions.GraftExtensions (spark.sql.extensions) so deletes " +
+        "apply as a distributed anti join, or compact the table")
 
     // load each delete file's key set ONCE on the driver (memoized
     // across build() and every runtime refilter — an injected join

@@ -74,10 +74,29 @@ private[graft] object MergeOnRead {
           s"delete file references field id $id absent from the current " +
             "schema — compact the table before dropping key columns"))
 
-  /** Hard ceiling on delete rows a scan will materialize (driver memory
-    * guard). A table past this bound must be compacted — the delete-file
-    * design assumes compaction folds deletes in periodically. */
-  val MaxDeleteRows = 50L * 1000 * 1000
+  /** Byte budget for the broadcast-class delete path: up to this many
+    * bytes of delete FILES the scan materializes the key sets once on
+    * the driver and ships them inside the reader factory (task-binary
+    * broadcast — cheap, no shuffle). Past the budget that collect would
+    * hurt the driver long before any row-count guard fired, so the
+    * [[MorDeleteJoin]] rule rewrites the relation into a distributed
+    * left-anti join against the delete files instead — keys never touch
+    * the driver. 64 MB is deliberately broadcast-class: the same order
+    * as `spark.sql.autoBroadcastJoinThreshold`'s sane upper range. */
+  val DefaultDeleteByteBudget: Long = 64L << 20
+
+  /** Table property overriding the broadcast-class delete byte budget. */
+  val ByteBudgetProp = "read.delete.byte-budget"
+
+  def byteBudget(props: Map[String, String]): Long =
+    props.get(ByteBudgetProp).map(_.trim.toLong)
+      .getOrElse(DefaultDeleteByteBudget)
+
+  /** Estimated on-disk bytes of one delete file: the stamped file length
+    * when the writer recorded it, else a conservative per-key estimate
+    * for legacy metadata written before sizes existed. */
+  def estBytes(d: graft.meta.DeleteFileDef): Long =
+    if (d.bytes > 0) d.bytes else d.rows * 32L
 
   /** External (driver-collected) and internal (executor-extracted) key
     * values must meet in one representation: String for strings, boxed

@@ -1,0 +1,151 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Distributed merge-on-read delete application for tables whose live
+  * equality-delete files exceed the broadcast-class byte budget
+  * ([[MergeOnRead.byteBudget]]).
+  *
+  * Under the budget the scan collects the delete keys once on the
+  * driver and ships them in the reader factory — cheap, no extra
+  * shuffle. Past it that collect would hold gigabytes of boxed keys on
+  * the driver, so this rule rewrites the relation BEFORE scan planning
+  * into plain relational algebra the engine already distributes:
+  *
+  * {{{
+  *   Union(
+  *     clean-files relation,                       // vectorized, untouched
+  *     Project(drop seq,
+  *       Join(LeftAnti,
+  *         Union(per-sequence dirty-file relations // + lit(file seq)
+  *               ...),
+  *         Aggregate(keys -> max(delete seq),      // delete files as a
+  *                   delete-file parquet scan),    // DISTRIBUTED frame
+  *         keys equal AND max-delete-seq > file-seq)))
+  * }}}
+  *
+  * Sequence scoping (a delete applies only to rows of files added at a
+  * STRICTLY lower sequence) becomes the join's non-equi conjunct: each
+  * dirty-file relation is tagged with its constant added-sequence, the
+  * delete side reduces to one `max(sequence)` row per key, and a data
+  * row dies iff its key was deleted at a higher sequence. Files no
+  * delete can touch bypass the join entirely and keep their vectorized
+  * columnar path. Delete keys never exist on the driver; Catalyst plans
+  * the anti join like any other (AQE, codegen, skew handling).
+  *
+  * Installed by [[graft.functions.GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`) — the same
+  * deployment story as other lakehouse engines' session extensions.
+  */
+object MorDeleteJoin extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case rel: DataSourceV2Relation if overBudget(rel) =>
+      rewrite(rel, rel.table.asInstanceOf[GraftTable])
+  }
+
+  private def overBudget(rel: DataSourceV2Relation): Boolean = rel.table match {
+    case t: GraftTable => t.morOverBudget
+    case _ => false
+  }
+
+  /** A column name absent from the data schema (suffix-extended on the
+    * astronomically unlikely collision). */
+  private def fresh(base: String, schema: StructType): String = {
+    var n = base
+    while (schema.fieldNames.contains(n)) n = n + "_"
+    n
+  }
+
+  private def rewrite(rel: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
+    val spark = SparkSession.active
+    val schema = t.schema()
+    val seqCol = fresh("__graft_file_seq", schema)
+    val delSeqCol = fresh("__graft_delete_seq", schema)
+    val deletes = t.liveDeleteFiles
+    val maxDelSeq = deletes.map(_.seq).max
+    val rels = t.effectiveRelFiles(rel.options)
+    // a file is join-relevant iff some delete was committed at a higher
+    // sequence than its own added-sequence; the rest keep the plain
+    // vectorized scan
+    val (dirty, clean) = rels.partition(r => t.morFileSeq(r) < maxDelSeq)
+
+    // the from-version window (if any) is already baked into the subset
+    // file lists — the subset relations must not re-apply it
+    def subsetRel(files: Seq[String]): DataSourceV2Relation =
+      DataSourceV2Relation.create(t.fileSubsetTable(files), rel.catalog,
+        rel.identifier, stripped(rel.options))
+
+    def restoreOutput(p: LogicalPlan): LogicalPlan =
+      Project(rel.output.zip(p.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,
+          explicitMetadata = Some(o.metadata))
+      }, p)
+
+    if (dirty.isEmpty) return restoreOutput(subsetRel(rels))
+
+    // dirty side: one relation per distinct added-sequence, each tagged
+    // with that sequence as a literal column
+    val dirtyUnion = {
+      val plans: Seq[LogicalPlan] = dirty.groupBy(t.morFileSeq).toSeq
+        .sortBy(_._1).map { case (s, files) =>
+          val r = subsetRel(files)
+          Project(r.output :+ Alias(Literal(s), seqCol)(), r)
+        }
+      if (plans.size == 1) plans.head else Union(plans)
+    }
+
+    // delete-file reads resolve key columns by field id (rename-proof)
+    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val dataDir = t.store.dataDir(t.ns, t.table)
+
+    // one anti join per distinct identifier-field set (almost always one)
+    val joined = deletes.groupBy(_.keyFieldIds).toSeq
+      .sortBy(_._1.mkString(","))
+      .foldLeft(dirtyUnion) { case (left, (keyIds, dfs)) =>
+        val keyNames = keyIds.map(MergeOnRead.nameOfFieldId(schema, _))
+        val keySchema = StructType(keyNames.map(n =>
+          schema.fields(schema.fieldIndex(n))))
+        val delDf = dfs.groupBy(_.seq).toSeq.sortBy(_._1).map {
+          case (dseq, files) =>
+            spark.read.schema(keySchema)
+              .parquet(files.map(f => s"$dataDir/${f.path}"): _*)
+              .withColumn(delSeqCol, lit(dseq))
+        }.reduceLeft(_ unionByName _)
+          .groupBy(keyNames.map(col): _*)
+          .agg(max(col(delSeqCol)).as(delSeqCol))
+        val right = delDf.queryExecution.analyzed
+        val lKeys = keyNames.map(n => left.output.find(_.name == n).get)
+        val rKeys = keyNames.map(n => right.output.find(_.name == n).get)
+        val cond = (lKeys.zip(rKeys).map { case (l, r) =>
+            EqualTo(l, r): Expression
+          } :+ (GreaterThan(right.output.find(_.name == delSeqCol).get,
+            left.output.find(_.name == seqCol).get): Expression)).reduce(And)
+        Join(left, right, LeftAnti, Some(cond), JoinHint.NONE)
+      }
+
+    val noSeq = Project(joined.output.filterNot(_.name == seqCol), joined)
+    val combined =
+      if (clean.isEmpty) noSeq
+      else Union(Seq(subsetRel(clean): LogicalPlan, noSeq))
+    restoreOutput(combined)
+  }
+
+  /** The options map minus the incremental-window key the subsets have
+    * already absorbed. */
+  private def stripped(options: CaseInsensitiveStringMap)
+      : CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    m.remove("from-version")
+    new CaseInsensitiveStringMap(m)
+  }
+}

@@ -101,7 +101,9 @@ object VectorFunctions {
 }
 
 /** Spark extension point: `--conf spark.sql.extensions=graft.functions.
-  * GraftExtensions` registers the vector functions in every session. */
+  * GraftExtensions` registers the vector functions and the
+  * merge-on-read distributed delete-application rule
+  * ([[graft.catalog.MorDeleteJoin]]) in every session. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -112,5 +114,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2NormF].getName, "graft_l2norm"),
       (es: Seq[Expression]) => L2NormF(es.head)))
+    e.injectOptimizerRule(_ => graft.catalog.MorDeleteJoin)
   }
 }

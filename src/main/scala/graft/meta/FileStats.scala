@@ -77,6 +77,15 @@ object FileStats {
     } finally reader.close()
   } catch { case _: Exception => Nil } // stats are an optimization, never fatal
 
+  /** One file's row count straight off its footer — no data pages read.
+    * None when the footer is unreadable (caller falls back safely). */
+  def rowCount(absPath: String, conf: Configuration): Option[Long] = try {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(absPath), conf))
+    try Some(reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+    finally reader.close()
+  } catch { case _: Exception => None }
+
   private def stringify(v: Any): String = v match {
     case b: Binary => b.toStringUsingUTF8
     case other => String.valueOf(other)

@@ -217,6 +217,10 @@ final class HadoopMetadataStore(val warehouse: String) extends MetaStore {
     try Some(fs.getFileStatus(new Path(abs)).getModificationTime)
     catch { case _: java.io.FileNotFoundException => None }
 
+  def fileSizeBytes(abs: String): Option[Long] =
+    try Some(fs.getFileStatus(new Path(abs)).getLen)
+    catch { case _: java.io.FileNotFoundException => None }
+
   private def noSuchNamespace(ns: Seq[String]) =
     new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ns.toArray)
   private def noSuchTable(ns: Seq[String], t: String) =

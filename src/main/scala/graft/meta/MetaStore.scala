@@ -57,6 +57,8 @@ trait MetaStore extends graft.commit.CommitTarget {
   def deleteFileIfExists(abs: String): Boolean
   /** Last-modified epoch millis; None when the file vanished. */
   def lastModifiedMs(abs: String): Option[Long]
+  /** File length in bytes; None when the file vanished. */
+  def fileSizeBytes(abs: String): Option[Long]
 }
 
 object MetaStore {

@@ -188,6 +188,10 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
     try Some(Files.getLastModifiedTime(Paths.get(abs)).toMillis)
     catch { case _: java.io.IOException => None }
 
+  def fileSizeBytes(abs: String): Option[Long] =
+    try Some(Files.size(Paths.get(abs)))
+    catch { case _: java.io.IOException => None }
+
   // ---- helpers ----------------------------------------------------------
 
   private def writeAtomic(p: Path, content: String): Unit = {

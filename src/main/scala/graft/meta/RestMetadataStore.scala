@@ -344,6 +344,8 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
   def deleteFileIfExists(abs: String): Boolean = phys(abs).deleteFileIfExists(abs)
   def lastModifiedMs(abs: String): Option[Long] = phys(abs).lastModifiedMs(abs)
 
+  def fileSizeBytes(abs: String): Option[Long] = phys(abs).fileSizeBytes(abs)
+
   private def noSuchNamespace(ns: Seq[String]) =
     new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ns.toArray)
   private def noSuchTable(ns: Seq[String], t: String) =

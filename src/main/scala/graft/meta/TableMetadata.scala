@@ -54,7 +54,8 @@ final case class ColStatDef(name: String, min: String, max: String, nulls: Long,
   * are never swallowed by their own delete. `keyFieldIds` are the stable
   * schema field ids of the identifier columns (rename-proof). */
 final case class DeleteFileDef(path: String, seq: Long,
-                               keyFieldIds: List[Int], rows: Long)
+                               keyFieldIds: List[Int], rows: Long,
+                               bytes: Long = 0L)
 
 /** A committed data version: the files visible at this snapshot, plus
   * optional per-file column stats keyed by relative file path.

@@ -23,6 +23,7 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.catalog.mor", classOf[GraftCatalog].getName)
     .config("spark.sql.catalog.mor.warehouse", wh)
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -318,5 +319,40 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
           System.currentTimeMillis())))
     }
     assert(e.getMessage.contains("snapshot changed"))
+  }
+
+  test("over-budget delete set applies as a distributed anti join") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.big")
+    // a 1-byte budget forces ANY delete file over the broadcast-class
+    // threshold — the MorDeleteJoin rule must take over
+    spark.sql("""CREATE TABLE mor.big.t (id BIGINT NOT NULL, cat STRING, v DOUBLE)
+      TBLPROPERTIES (
+        'identifier-fields' = 'id',
+        'write.delete.mode' = 'merge-on-read',
+        'read.delete.byte-budget' = '1')""")
+    spark.sql("INSERT INTO mor.big.t VALUES " +
+      "(1,'a',1.0),(2,'b',2.0),(3,'c',3.0),(4,'d',4.0)")
+    spark.sql("DELETE FROM mor.big.t WHERE id IN (2, 4)")
+    // a deleted key re-inserted at a HIGHER sequence must survive the
+    // join's sequence-scope conjunct
+    spark.sql("INSERT INTO mor.big.t VALUES (4,'d2',44.0)")
+
+    val df = spark.table("mor.big.t")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a"), (3L, "c"), (4L, "d2")), rows.toString)
+    // plan shape: the anti join is there, the driver-collect scan is not
+    val antis = df.queryExecution.optimizedPlan.collect {
+      case j: LJoin if j.joinType == LeftAnti => j
+    }
+    assert(antis.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    assert(!df.queryExecution.executedPlan.toString.contains("graft-mor("),
+      "over-budget read must not take the driver-collected key path")
+    // column pruning and aggregates ride the same join path
+    assert(spark.sql("SELECT cat FROM mor.big.t ORDER BY cat").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "c", "d2"))
+    assert(spark.sql("SELECT count(*) FROM mor.big.t").head().getLong(0) == 3L)
   }
 }

@@ -69,13 +69,17 @@ object CatalogUpserts {
       .map(f => s"$relDir-deletes/$f")
     // per-file rows + bytes come off footers and file stats (driver,
     // O(KB) each) — the scan-side byte budget and the changelog bound
-    // both read these, and no second Spark job re-counts the keys
+    // both read these, and no second Spark job re-counts the keys.
+    // Zero-row files (a sync window that nets to nothing) are dropped
+    // on the spot: committing them would accumulate no-op delete files
+    // in the merge-on-read live set until compaction.
     val hconf = batch.sparkSession.sessionState.newHadoopConf()
-    val deleteDefs = deleteRels.map { rel =>
+    val (deleteDefs, emptyRels) = deleteRels.map { rel =>
       DeleteFileDef(rel, 0L, keys.map(_._2).toList,
         FileStats.rowCount(s"$dataDir/$rel", hconf).getOrElse(0L),
         store.fileSizeBytes(s"$dataDir/$rel").getOrElse(0L))
-    }
+    }.partition(_.rows > 0)
+    emptyRels.foreach(d => store.deleteFileIfExists(s"$dataDir/${d.path}"))
 
     val stats = FileStats.harvestAll(batch.sparkSession, dataDir, dataRels)
     try store.commitOps(ns, table, requirements,

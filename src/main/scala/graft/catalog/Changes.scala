@@ -75,18 +75,12 @@ object Changes {
         .withColumn("_change_type", lit(change))
         .withColumn("_commit_version", lit(v))
 
-    // the table's state AS OF a version, through the real MoR read path
-    // (prior equality deletes applied — no phantom preimages)
-    val quotedIdent = parts.map(p => s"`$p`").mkString(".")
-    def stateAt(v: Int): DataFrame =
-      s.sql(s"SELECT * FROM $quotedIdent VERSION AS OF $v")
-
     val steps: Seq[DataFrame] = ((fromVersion + 1) to toV).flatMap { v =>
       val meta = store.loadVersion(ns, table, v)
       val prev = if (v - 1 >= 1) Some(store.loadVersion(ns, table, v - 1)) else None
       // every step reads through the FINAL schema (field-id resolution
       // maps older files), so one feed has ONE schema across renames
-      stepChanges(s, meta, prev, v, schema, readRels, stamped, stateAt, dataDir)
+      stepChanges(s, meta, prev, v, schema, readRels, stamped, dataDir)
     }
     steps.reduceOption(_ unionByName _).getOrElse(empty)
   }
@@ -164,7 +158,6 @@ object Changes {
       schema: StructType,
       readRels: (Seq[String], StructType) => DataFrame,
       stamped: (DataFrame, String, Int) => DataFrame,
-      stateAt: Int => DataFrame,
       dataDir: String): Seq[DataFrame] = {
     // metadata diff shared with the t$changes scan surface — the two
     // feeds must never drift apart
@@ -179,16 +172,12 @@ object Changes {
         .parquet(dfs.map(d => s"$dataDir/${d.path}"): _*).distinct())
     }
 
-    val inserted = if (diff.added.nonEmpty) Some(readRels(diff.added, schema))
-      else None
-
-    // removed files predate this commit: rows already masked by an
-    // EARLIER equality delete died back then — subtract them, per
-    // applicable-delete group and per key-field set (a union key schema
-    // would null-fill the absent columns and never join)
-    val hardDeleted: Option[DataFrame] =
-      if (diff.removed.isEmpty) None
-      else Some(diff.removed.groupBy { rel =>
+    // rows of `rels` still live BEFORE this commit: subtract keys of
+    // earlier applicable equality deletes, per applicable-delete group
+    // and per key-field set (a union key schema would null-fill the
+    // absent columns and never join)
+    def liveRowsOf(rels: Seq[String]): DataFrame =
+      rels.groupBy { rel =>
           val seq = diff.prevFileSeqs.getOrElse(rel, 0L)
           diff.prevDeletes.filter(_.seq > seq).map(_.path).toSet
         }.toSeq.sortBy(_._2.headOption.getOrElse(""))
@@ -199,19 +188,43 @@ object Changes {
               val (names, keys) = keysOf(ids, dfs)
               acc.join(broadcast(keys), names, "left_anti")
             }
-        }.reduce(_ unionByName _))
+        }.reduce(_ unionByName _)
+
+    val inserted = if (diff.added.nonEmpty) Some(readRels(diff.added, schema))
+      else None
+
+    // removed files predate this commit: rows already masked by an
+    // EARLIER equality delete died back then
+    val hardDeleted: Option[DataFrame] =
+      if (diff.removed.isEmpty) None else Some(liveRowsOf(diff.removed))
 
     if (diff.newDeletes.isEmpty) {
       inserted.map(stamped(_, "insert", v)).toSeq ++
         hardDeleted.map(stamped(_, "delete", v)).toSeq
     } else {
-      // equality deletes mask rows of the prior STATE (the MoR
-      // time-travel read — a key already deleted by an earlier commit
-      // yields no phantom preimage). Every v-1 file is older than this
-      // commit's sequence, so no extra seq scoping is needed. Keys are
-      // bounded by the MoR size guard — broadcast. Processed per
-      // key-field-set group; a commit virtually always carries one.
-      val prior = stateAt(v - 1)
+      // equality deletes mask rows of the prior state. Preimages can
+      // only live in KEPT files (a file removed at v emits its live
+      // rows as hardDeleted — masking them too would emit rows twice,
+      // mirroring stepPartitions' kept-only masking), and among those
+      // only files whose identifier [min, max] overlaps the delete
+      // files' footer range — at 100 TB an upsert of fresh keys reads
+      // back a handful of files, not the whole prior snapshot. Earlier
+      // deletes are subtracted by liveRowsOf (no phantom preimage);
+      // every v-1 file is older than this commit's sequence, so no
+      // extra seq scoping is needed. Keys are bounded by the MoR byte
+      // budget — broadcast. Processed per key-field-set group; a
+      // commit virtually always carries one.
+      val hconf = s.sessionState.newHadoopConf()
+      val delStats = diff.newDeletes.map(d =>
+        (d.keyFieldIds, graft.meta.FileStats.harvest(s"$dataDir/${d.path}", hconf)))
+      val keptStats = meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
+      val candidates =
+        ChangesTable.keptCandidatesByRange(diff.kept, keptStats, schema, delStats)
+      val prior =
+        if (candidates.isEmpty)
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            schema)
+        else liveRowsOf(candidates)
       val delGroups = diff.newDeletes.groupBy(_.keyFieldIds).toSeq
         .sortBy(_._1.mkString(","))
       var ins = inserted

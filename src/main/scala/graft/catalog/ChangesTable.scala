@@ -28,9 +28,11 @@ import graft.meta.{MetaStore, SchemaBridge}
   * ('insert' | 'delete') and `_commit_version`. Unlike the data-table
   * stream (which refuses merge-on-read deletes because it cannot
   * retract), the changelog EMITS deletes as rows — so a downstream sync
-  * can tail mutations continuously. Update pre/post-image pairing is
-  * the batch [[Changes]] API's job; this surface is the Iceberg-style
-  * changelog scan (additions and removals, no pairing).
+  * can tail mutations continuously. By default this is the
+  * Iceberg-style raw changelog (additions and removals, no pairing);
+  * with the `pair-updates` read option a same-commit mask+re-insert of
+  * one key emits as update_preimage/postimage, matching the batch
+  * [[Changes]] API exactly.
   *
   * Scale shape: the driver touches only metadata (file lists and
   * bounded delete-key sets — the same broadcast-class byte budget as
@@ -141,6 +143,97 @@ private[graft] object ChangesTable {
       MorPredicate(ords, ords.map(schema.fields(_).dataType), keys)
     })
 
+  /** Typed compare of a manifest stat string against a key value; None =
+    * incomparable (never prune on it). Key types are the exact-render
+    * set, so long/string cover everything but boolean (which never
+    * constrains). */
+  private def cmpStat(dt: DataType, stat: String, v: Any): Option[Int] = try {
+    dt match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        Some(java.lang.Long.compare(stat.toLong, String.valueOf(v).toLong))
+      case StringType => Some(stat.compareTo(String.valueOf(v)))
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  /** The kept files that could possibly hold ANY of this commit's delete
+    * keys, judged per file by its harvested identifier-column [min, max]
+    * against the actual (budget-bounded, already-collected) key values.
+    * This is what keeps "upsert 1k fresh keys into a 100 TB table" from
+    * re-scanning every kept file per changelog step: files whose key
+    * range cannot contain a single deleted key plan no partitions. A
+    * file without stats, a stat-less column, or an incomparable type is
+    * always a candidate — pruning is an optimization, never a bet.
+    * Multi-column keys prune per column independently (conservative). */
+  def keptCandidates(kept: Seq[String],
+                     fileStats: Map[String, List[graft.meta.ColStatDef]],
+                     schema: StructType,
+                     newDeletes: Seq[graft.meta.DeleteFileDef],
+                     predOf: graft.meta.DeleteFileDef => MorPredicate)
+      : Seq[String] = {
+    // per delete file: the per-column (field id, name, type, values)
+    val groups = newDeletes.map { d =>
+      val p = predOf(d)
+      d.keyFieldIds.zipWithIndex.map { case (id, i) =>
+        val n = MergeOnRead.nameOfFieldId(schema, id)
+        (id, n, schema.fields(schema.fieldIndex(n)).dataType,
+          p.keys.map(_.apply(i)))
+      }
+    }
+    def statFor(stats: List[graft.meta.ColStatDef], id: Int, n: String) =
+      stats.find(_.fieldId.contains(id))
+        .orElse(stats.find(s => s.fieldId.isEmpty && s.name == n))
+    kept.filter { rel =>
+      fileStats.get(rel) match {
+        case None => true
+        case Some(st) => groups.exists { cols =>
+          cols.forall { case (id, n, dt, values) =>
+            statFor(st, id, n) match {
+              case None => true
+              case Some(s) => values.exists(v =>
+                cmpStat(dt, s.min, v).forall(_ <= 0) &&
+                  cmpStat(dt, s.max, v).forall(_ >= 0))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Range-overlap variant of [[keptCandidates]] for callers that keep
+    * delete keys DISTRIBUTED (the batch [[Changes]] feed): compares each
+    * kept file's identifier [min, max] against the delete FILES' footer
+    * [min, max] — two O(KB) footer reads per delete file, zero key
+    * materialization. Coarser than exact membership (interval overlap),
+    * still eliminates the common "recent upsert vs old files" re-read. */
+  def keptCandidatesByRange(kept: Seq[String],
+                            fileStats: Map[String, List[graft.meta.ColStatDef]],
+                            schema: StructType,
+                            delStats: Seq[(List[Int], List[graft.meta.ColStatDef])])
+      : Seq[String] = {
+    def statFor(stats: List[graft.meta.ColStatDef], id: Int, n: String) =
+      stats.find(_.fieldId.contains(id))
+        .orElse(stats.find(s => s.fieldId.isEmpty && s.name == n))
+    kept.filter { rel =>
+      fileStats.get(rel) match {
+        case None => true
+        case Some(st) => delStats.exists { case (ids, ds) =>
+          ids.forall { id =>
+            val n = MergeOnRead.nameOfFieldId(schema, id)
+            val dt = schema.fields(schema.fieldIndex(n)).dataType
+            (statFor(st, id, n), statFor(ds, id, n)) match {
+              case (Some(f), Some(d)) =>
+                // disjoint iff file.max < del.min or file.min > del.max
+                !(cmpStat(dt, f.max, d.min).exists(_ < 0) ||
+                  cmpStat(dt, f.min, d.max).exists(_ > 0))
+              case _ => true
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** The partitions of one version step v-1 → v (empty when the commit
     * changed no rows). Driver-side: metadata + bounded key-set reads. */
   def stepPartitions(s: SparkSession, store: MetaStore, ns: Seq[String],
@@ -166,47 +259,137 @@ private[graft] object ChangesTable {
     def pred(df: graft.meta.DeleteFileDef): MorPredicate =
       predicateOf(s, dataDir, schema, keyCache, df)
 
-    def priorApplicable(rel: String): Seq[MorPredicate] = {
+    def priorApplicableDefs(rel: String): Seq[graft.meta.DeleteFileDef] = {
       val seq = diff.prevFileSeqs.getOrElse(rel, 0L)
-      diff.prevDeletes.filter(_.seq > seq).map(pred)
+      diff.prevDeletes.filter(_.seq > seq)
     }
+    def priorApplicable(rel: String): Seq[MorPredicate] =
+      priorApplicableDefs(rel).map(pred)
 
     def group(groups: Seq[(Seq[MorPredicate], Seq[String])], label: String,
-              matchAny: Seq[MorPredicate]): Seq[InputPartition] =
+              matchAny: Seq[MorPredicate],
+              pairWith: Seq[MorPredicate] = Nil, pairLabel: String = "")
+        : Seq[InputPartition] =
       groups.sortBy(_._2.headOption.getOrElse(""))
         .flatMap { case (subtract, fs) =>
           val spec = ChangeSpec(matchAny, subtract, label, v,
-            schema.fields.map(_.dataType))
+            schema.fields.map(_.dataType), pairWith, pairLabel)
           delegateScan(s, dataDir, fs, schema, options)
             .toBatch.planInputPartitions()
             .map(p => ChangeInputPartition(p, spec): InputPartition)
         }
+
+    // key-stats pruning: only kept files whose identifier [min,max] can
+    // hold a deleted key get masked-re-read partitions
+    val candidates =
+      if (diff.newDeletes.isEmpty) Nil
+      else keptCandidates(diff.kept,
+        meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
+        schema, diff.newDeletes, pred)
+
+    // `pair-updates`: label a same-commit mask + re-insert of one key as
+    // update_preimage/postimage (the batch Changes API's semantics) so
+    // the two CDC surfaces agree EXACTLY. The two pairing sets are both
+    // subsets of this commit's (budget-bounded) delete keys, computed by
+    // one bounded planning-time job each:
+    //   preimage keys  = delete keys that reappear in the ADDED files;
+    //   postimage keys = delete keys with a LIVE prior row (a first-time
+    //     upsert key masked nothing — its insert must stay an insert,
+    //     and a key already dead from an earlier delete pairs with no
+    //     phantom preimage).
+    val (pairPre, pairPost): (Seq[MorPredicate], Seq[MorPredicate]) =
+      if (!pairUpdates(options) || diff.newDeletes.isEmpty || diff.added.isEmpty)
+        (Nil, Nil)
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val byIds = diff.newDeletes.groupBy(_.keyFieldIds).toSeq
+          .sortBy(_._1.mkString(","))
+        val prePost = byIds.map { case (ids, dfs) =>
+          val names = ids.map(MergeOnRead.nameOfFieldId(schema, _))
+          def fieldOf(n: String) = schema.fields(schema.fieldIndex(n))
+          val keySchema = StructType(names.map(fieldOf))
+          def collectKeys(df: org.apache.spark.sql.DataFrame): Set[List[Any]] =
+            df.select(names.map(col): _*).distinct().collect()
+              .map(r => (0 until names.length).map(r.get).toList: List[Any]).toSet
+          val newKeys = s.read.schema(keySchema)
+            .parquet(dfs.map(d => s"$dataDir/${d.path}"): _*).distinct()
+          val aKeys =
+            if (diff.added.isEmpty) Set.empty[List[Any]]
+            else collectKeys(s.read.schema(keySchema)
+              .parquet(diff.added.map(r => s"$dataDir/$r"): _*)
+              .join(broadcast(newKeys), names, "leftsemi"))
+          val bKeys =
+            if (candidates.isEmpty) Set.empty[List[Any]]
+            else collectKeys(candidates.groupBy(priorApplicableDefs).toSeq
+              .sortBy(_._2.headOption.getOrElse(""))
+              .map { case (earlier, fs) =>
+                // read the union of this id set's and the earlier
+                // deletes' key columns, subtract earlier-dead keys, then
+                // keep only rows this commit's deletes mask
+                val allNames =
+                  (names ++ earlier.flatMap(_.keyFieldIds).distinct
+                    .map(MergeOnRead.nameOfFieldId(schema, _))).distinct
+                val base = s.read
+                  .schema(StructType(allNames.map(fieldOf)))
+                  .parquet(fs.map(r => s"$dataDir/$r"): _*)
+                earlier.groupBy(_.keyFieldIds).toSeq
+                  .sortBy(_._1.mkString(","))
+                  .foldLeft(base) { case (acc, (eIds, eDfs)) =>
+                    val eNames = eIds.map(MergeOnRead.nameOfFieldId(schema, _))
+                    val eKeys = s.read
+                      .schema(StructType(eNames.map(fieldOf)))
+                      .parquet(eDfs.map(d => s"$dataDir/${d.path}"): _*)
+                      .distinct()
+                    acc.join(broadcast(eKeys), eNames, "left_anti")
+                  }
+                  .join(broadcast(newKeys), names, "leftsemi")
+              }.reduce(_ unionByName _))
+          val ords = names.map(schema.fieldIndex).toArray
+          val types = ords.map(schema.fields(_).dataType)
+          (MorPredicate(ords, types, aKeys), MorPredicate(ords, types, bKeys))
+        }
+        (prePost.map(_._1), prePost.map(_._2))
+      }
 
     // added files carry THIS commit's sequence — no prior delete ever
     // applies to them (subtracting would suppress the re-insert of a
     // previously deleted key)
     val inserts =
       if (diff.added.isEmpty) Nil
-      else group(Seq((Nil, diff.added)), "insert", Nil)
+      else group(Seq((Nil, diff.added)), "insert", Nil,
+        pairPost, "update_postimage")
     // removed/kept files predate this commit: rows already masked by an
     // EARLIER delete died then, and must not re-emit here
     def bySubtract(rels: Seq[String]) = rels.groupBy(priorApplicable).toSeq
     val hardDeletes = group(bySubtract(diff.removed), "delete", Nil)
     val maskedDeletes =
       if (diff.newDeletes.isEmpty) Nil
-      else group(bySubtract(diff.kept), "delete", diff.newDeletes.map(pred))
+      else group(bySubtract(candidates), "delete", diff.newDeletes.map(pred),
+        pairPre, "update_preimage")
     inserts ++ hardDeletes ++ maskedDeletes
   }
+
+  /** `pair-updates` read option: emit same-commit mask+re-insert as
+    * update_preimage/postimage in the scan surface (default false — the
+    * Iceberg-style raw changelog). */
+  def pairUpdates(options: CaseInsensitiveStringMap): Boolean =
+    Seq("pair-updates", "pairUpdates")
+      .flatMap(k => Option(options.get(k))).headOption
+      .exists(_.trim.toBoolean)
 }
 
 /** Row filter + literal-append spec for one changelog partition group:
   * a row emits iff NO `subtract` predicate holds (already dead before
   * this commit) AND (`matchAny` is empty OR some predicate holds),
-  * labeled with the change type and commit version. */
+  * labeled with the change type and commit version — except rows
+  * matching a `pairWith` predicate, which carry `pairLabel` instead
+  * (the pair-updates relabeling). */
 private[graft] final case class ChangeSpec(
     matchAny: Seq[MorPredicate], subtract: Seq[MorPredicate],
     label: String, version: Int,
-    colTypes: Array[DataType]) extends Serializable
+    colTypes: Array[DataType],
+    pairWith: Seq[MorPredicate] = Nil,
+    pairLabel: String = "") extends Serializable
 
 private[graft] final case class ChangeInputPartition(
     delegate: InputPartition, spec: ChangeSpec) extends InputPartition {
@@ -239,12 +422,14 @@ private[graft] class ChangeEmittingReader(
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection}
 
   private var current: InternalRow = _
-  private lazy val proj = UnsafeProjection.create(
+  private def mkProj(label: String) = UnsafeProjection.create(
     spec.colTypes.zipWithIndex.map { case (dt, i) =>
       BoundReference(i, dt, nullable = true): Expression
     }.toSeq ++ Seq(
-      Literal(UTF8String.fromString(spec.label), StringType): Expression,
+      Literal(UTF8String.fromString(label), StringType): Expression,
       Literal(spec.version, IntegerType): Expression))
+  private lazy val proj = mkProj(spec.label)
+  private lazy val pairProj = mkProj(spec.pairLabel)
 
   private def matches(r: InternalRow, ps: Seq[MorPredicate]): Boolean = {
     var i = 0
@@ -262,7 +447,9 @@ private[graft] class ChangeEmittingReader(
       val r = delegate.get()
       if (!matches(r, spec.subtract) &&
           (spec.matchAny.isEmpty || matches(r, spec.matchAny))) {
-        current = proj(r)
+        current =
+          if (spec.pairWith.nonEmpty && matches(r, spec.pairWith)) pairProj(r)
+          else proj(r)
         return true
       }
     }
@@ -373,15 +560,23 @@ private[graft] class ChangesMicroBatchStream(
     GraftSourceOffset(json.trim.toInt)
 
   /** Files one step will scan: added + removed, plus the kept files a
-    * new equality delete forces a masked re-read of. */
-  private def stepFileCount(v: Int): Int = {
-    val meta = store.loadVersion(ns, table, v)
-    val prev = if (v - 1 >= 1) Some(store.loadVersion(ns, table, v - 1)) else None
-    ChangesTable.stepDiff(meta, prev).map { d =>
-      d.added.size + d.removed.size +
-        (if (d.newDeletes.nonEmpty) d.kept.size else 0)
-    }.getOrElse(0)
-  }
+    * new equality delete forces a masked re-read of. Memoized for the
+    * stream's lifetime — a step count is a pure function of two
+    * immutable versions, and the admission walk re-asks for the same
+    * versions on every catch-up trigger (without the cache that is
+    * O(backlog) metadata loads PER TRIGGER, and each entry here is one
+    * Int — no ceiling needed). */
+  private val stepCountCache = scala.collection.mutable.Map.empty[Int, Int]
+
+  private def stepFileCount(v: Int): Int =
+    stepCountCache.getOrElseUpdate(v, {
+      val meta = store.loadVersion(ns, table, v)
+      val prev = if (v - 1 >= 1) Some(store.loadVersion(ns, table, v - 1)) else None
+      ChangesTable.stepDiff(meta, prev).map { d =>
+        d.added.size + d.removed.size +
+          (if (d.newDeletes.nonEmpty) d.kept.size else 0)
+      }.getOrElse(0)
+    })
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit = {

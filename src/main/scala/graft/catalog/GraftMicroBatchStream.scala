@@ -42,9 +42,19 @@ private[graft] class GraftMicroBatchStream(
     maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
+  /** Per-version file sets, memoized across triggers: versions are
+    * immutable, and the admission walk re-visits its baseline (and the
+    * stop version) on every trigger — without the cache a catch-up
+    * trigger costs O(walked versions) metadata reads EACH time. Bounded:
+    * the walk only ever touches a sliding window of versions, so a
+    * handful of entries gives full hit rate; past the bound the map is
+    * simply cleared (it is a cache, not a ledger). */
+  private val fileSetCache = scala.collection.mutable.Map.empty[Int, Seq[String]]
+  private val FileSetCacheMax = 16
+
   private def filesAt(v: Int): Seq[String] =
     if (v <= 0) Nil
-    else {
+    else fileSetCache.getOrElse(v, {
       val snap = store.loadVersion(ns, table, v).currentSnapshot
       // deletes committed MID-STREAM would need retractions the source
       // cannot emit — fail the stream rather than deliver deleted rows
@@ -54,8 +64,11 @@ private[graft] class GraftMicroBatchStream(
             s"carries ${s.deleteFiles.size} merge-on-read delete file(s) — " +
             "compact the table to fold them in before streaming")
       }
-      snap.map(_.files).getOrElse(Nil)
-    }
+      val files = snap.map(_.files).getOrElse(Nil)
+      if (fileSetCache.size >= FileSetCacheMax) fileSetCache.clear()
+      fileSetCache(v) = files
+      files
+    })
 
   override def initialOffset(): Offset = GraftSourceOffset(startVersion)
 

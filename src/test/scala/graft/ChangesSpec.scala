@@ -299,4 +299,77 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dels.map(e => (e._1, e._2)) == inss.map(e => (e._1, e._2)),
       s"unpaired churn in the CoW feed: $extra")
   }
+
+  test("masked re-reads plan partitions only over key-range candidate files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.prune")
+    spark.sql("""CREATE TABLE graft.prune.t (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('identifier-fields' = 'k',
+        'write.update.mode' = 'merge-on-read')""")
+    // two commits with DISJOINT key ranges, then an upsert touching only
+    // the second range — the changelog's masked re-read must not plan
+    // partitions over the first range's files
+    spark.sql("INSERT INTO graft.prune.t " +
+      "SELECT CAST(id AS INT), concat('a', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.prune.t " +
+      "SELECT CAST(id AS INT), concat('b', id) FROM range(1000, 1100)")
+    spark.sql("UPDATE graft.prune.t SET v = 'X' WHERE k = 1050")
+
+    val store = cat.metadataStore
+    val v = version2("prune", "t")
+    val meta = store.loadVersion(Seq("prune"), "t", v)
+    val schema = graft.meta.SchemaBridge.toSpark(meta.currentSchema)
+    val parts = graft.catalog.ChangesTable.stepPartitions(
+      spark, store, Seq("prune"), "t", schema,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
+      scala.collection.mutable.Map.empty, v)
+    val dataDir = store.dataDir(Seq("prune"), "t")
+    def relOf(p: String): String =
+      p.substring(p.indexOf(dataDir) + dataDir.length + 1)
+    val maskedRels = parts.collect {
+      case graft.catalog.ChangeInputPartition(d, spec) if spec.matchAny.nonEmpty =>
+        d.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+          .files.map(f => relOf(f.filePath.toString)).toSeq
+    }.flatten.toSet
+
+    // expected candidates: exactly the prior files whose harvested k
+    // range can contain the one upserted key
+    val prevFiles = store.loadVersion(Seq("prune"), "t", v - 1)
+      .currentSnapshot.get.files
+    val stats = meta.currentSnapshot.get.fileStats
+    val expected = prevFiles.filter(rel => stats.get(rel).exists(_.exists(cs =>
+      cs.name == "k" && cs.min.toLong <= 1050 && cs.max.toLong >= 1050))).toSet
+    assert(expected.nonEmpty && expected.size < prevFiles.size,
+      s"test setup must make pruning non-trivial: $expected of $prevFiles")
+    assert(maskedRels == expected,
+      s"masked partitions over $maskedRels, candidates were $expected")
+
+    // and the feed's answer is unchanged by the pruning
+    val got = Changes.between(spark, "graft.prune.t", v - 1, Some(v))
+      .select(col("k"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1050, "b1050", "update_preimage"),
+      (1050, "X", "update_postimage")), got.toString)
+  }
+
+  test("pair-updates closes the modulo: t$changes equals Changes.between EXACTLY") {
+    // across every table this suite mutated — MoR delete/update history,
+    // streaming-upsert edges (re-insert after delete, first-time upsert
+    // key), and the pruning history — the paired scan surface and the
+    // batch API must emit identical rows, update labels included
+    for ((ns, t) <- Seq(("cdc", "t"), ("cdcs", "t"), ("prune", "t"))) {
+      val viaApi = Changes.between(spark, s"graft.$ns.$t", 0)
+        .select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+        .toSet
+      val viaTable = spark.read.option("pair-updates", "true")
+        .table(s"graft.$ns.`$t$$changes`")
+        .select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+        .toSet
+      assert(viaTable == viaApi,
+        s"$ns.$t: missing ${viaApi -- viaTable}, invented ${viaTable -- viaApi}")
+    }
+  }
 }

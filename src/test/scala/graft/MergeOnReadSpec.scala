@@ -355,4 +355,31 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).toSeq == Seq("a", "c", "d2"))
     assert(spark.sql("SELECT count(*) FROM mor.big.t").head().getLong(0) == 3L)
   }
+
+  test("a large upsert key window spills to multiple right-sized delete files") {
+    mkMorTable("spill", "t")
+    spark.sql("INSERT INTO mor.spill.t " +
+      "SELECT id, concat('c', id % 7), id * 1.0 FROM range(2000)")
+    val batch = spark.sql(
+      "SELECT id, concat('u', id % 7) AS cat, id * 2.0 AS v FROM range(2000)")
+    // shrink AQE's advisory size so this window is "large" relative to
+    // it — the key frame must fan out instead of funneling into one task
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1KB")
+    try graft.catalog.CatalogUpserts.upsertBatch(
+      catalog.metadataStore, Seq("spill"), "t", batch)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val s = snap("spill", "t")
+    assert(s.deleteFiles.size > 1, s"expected a fan-out, got ${s.deleteFiles}")
+    assert(s.deleteFiles.map(_.rows).sum == 2000)
+    assert(s.deleteFiles.forall(_.bytes > 0))
+    // every old row version retired, every new one live
+    assert(spark.table("mor.spill.t").count() == 2000)
+    assert(spark.sql("SELECT count(*) FROM mor.spill.t WHERE cat LIKE 'u%'")
+      .head().getLong(0) == 2000)
+  }
 }

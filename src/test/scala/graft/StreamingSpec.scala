@@ -388,4 +388,80 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graftst.stream.ev").count() == 4,
       "zombie re-commit slipped through the fence")
   }
+
+  test("admission walks memoize per-version metadata reads across triggers") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.memo")
+    spark.sql("CREATE TABLE graftst.memo.t (id BIGINT)")
+    (1 to 6).foreach(i => spark.sql(s"INSERT INTO graftst.memo.t VALUES ($i)"))
+    val real = spark.sessionState.catalogManager.catalog("graftst")
+      .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
+    val counting = new CountingStore(real)
+    val limit = ReadLimit.maxFiles(1)
+    val start = graft.catalog.GraftSourceOffset(0)
+
+    val data = new graft.catalog.GraftMicroBatchStream(
+      counting, Seq("memo"), "t", 0, _ => null, maxFilesPerTrigger = Some(1))
+    data.latestOffset(start, limit)
+    val afterFirst = counting.loadVersionCalls
+    assert(afterFirst > 0)
+    data.latestOffset(start, limit)
+    assert(counting.loadVersionCalls == afterFirst,
+      "a repeated data-stream walk over the same versions must be " +
+        "served from the cache, not re-read metadata")
+
+    val schema = graft.meta.SchemaBridge.toSpark(
+      real.load(Seq("memo"), "t")._1.currentSchema)
+    val changes = new graft.catalog.ChangesMicroBatchStream(
+      counting, Seq("memo"), "t", schema,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), 0)
+    val before = counting.loadVersionCalls
+    changes.latestOffset(start, limit)
+    val firstWalk = counting.loadVersionCalls - before
+    assert(firstWalk > 0)
+    changes.latestOffset(start, limit)
+    assert(counting.loadVersionCalls == before + firstWalk,
+      "a repeated changelog walk must hit the step-count cache")
+  }
+}
+
+/** MetaStore proxy that counts metadata-version loads — the admission
+  * walks must not re-read immutable versions on every trigger. */
+private class CountingStore(d: graft.meta.MetaStore) extends graft.meta.MetaStore {
+  @volatile var loadVersionCalls = 0
+  def warehouse: String = d.warehouse
+  def namespaceExists(ns: Seq[String]): Boolean = d.namespaceExists(ns)
+  def createNamespace(ns: Seq[String], props: Map[String, String]): Unit =
+    d.createNamespace(ns, props)
+  def loadNamespace(ns: Seq[String]): Map[String, String] = d.loadNamespace(ns)
+  def setNamespaceProperties(ns: Seq[String], props: Map[String, String]): Unit =
+    d.setNamespaceProperties(ns, props)
+  def listNamespaces(parent: Seq[String]): Seq[Seq[String]] = d.listNamespaces(parent)
+  def dropNamespace(ns: Seq[String]): Boolean = d.dropNamespace(ns)
+  def tableExists(ns: Seq[String], t: String): Boolean = d.tableExists(ns, t)
+  def listTables(ns: Seq[String]): Seq[String] = d.listTables(ns)
+  def currentVersion(ns: Seq[String], t: String): Int = d.currentVersion(ns, t)
+  def metadataLocation(ns: Seq[String], t: String, version: Int): String =
+    d.metadataLocation(ns, t, version)
+  def loadVersion(ns: Seq[String], t: String, v: Int): graft.meta.TableMetadata = {
+    loadVersionCalls += 1; d.loadVersion(ns, t, v)
+  }
+  def createTable(ns: Seq[String], t: String, m: graft.meta.TableMetadata): Unit =
+    d.createTable(ns, t, m)
+  def dropTable(ns: Seq[String], t: String): Boolean = d.dropTable(ns, t)
+  def renameTable(fromNs: Seq[String], from: String,
+                  toNs: Seq[String], to: String): Unit =
+    d.renameTable(fromNs, from, toNs, to)
+  def dataDir(ns: Seq[String], t: String): String = d.dataDir(ns, t)
+  def ensureRoot(): Unit = d.ensureRoot()
+  def listParquetUnder(absDir: String): List[String] = d.listParquetUnder(absDir)
+  def deleteTree(absDir: String): Unit = d.deleteTree(absDir)
+  def deleteFileIfExists(abs: String): Boolean = d.deleteFileIfExists(abs)
+  def lastModifiedMs(abs: String): Option[Long] = d.lastModifiedMs(abs)
+  def fileSizeBytes(abs: String): Option[Long] = d.fileSizeBytes(abs)
+  def load(ns: Seq[String], table: String): (graft.meta.TableMetadata, Int) =
+    d.load(ns, table)
+  def commit(ns: Seq[String], table: String, expectedVersion: Int,
+             next: graft.meta.TableMetadata): Boolean =
+    d.commit(ns, table, expectedVersion, next)
 }

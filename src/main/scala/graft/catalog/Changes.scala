@@ -162,6 +162,9 @@ object Changes {
     // metadata diff shared with the t$changes scan surface — the two
     // feeds must never drift apart
     val diff = ChangesTable.stepDiff(meta, prevMeta).getOrElse(return Nil)
+    require((diff.newDeletes ++ diff.prevDeletes).forall(_.keyFieldIds.nonEmpty),
+      s"version $v carries position-delete files — the changes feed " +
+        "supports equality deletes only; compact the table first")
 
     def keysOf(ids: List[Int], dfs: Seq[graft.meta.DeleteFileDef])
         : (Seq[String], DataFrame) = {

@@ -246,6 +246,12 @@ private[graft] object ChangesTable {
     val diff = stepDiff(meta, prevMeta).getOrElse(return Nil)
     val dataDir = store.dataDir(ns, table)
 
+    // position-delete commits (keyless tables) carry no key columns to
+    // mask rows by — the changelog cannot derive their preimages yet
+    require((diff.newDeletes ++ diff.prevDeletes).forall(_.keyFieldIds.nonEmpty),
+      s"version $v carries position-delete files — the changelog supports " +
+        "equality deletes only; compact the table first")
+
     // live-set bound, per step (same semantics as the MoR scan's guard:
     // the deletes THIS step can touch, not a lifetime cumulative total),
     // budgeted in bytes of delete files like the scan's broadcast budget

@@ -181,10 +181,10 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
     if (cols.forall(_.isDefined)) Some(cols.flatten.toSeq) else None
   }
 
-  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    !frozen &&
-    // with LIVE equality-delete files the metadata fast path is unsound:
-    // its ReplaceFiles(kept) commit carries no delete files forward, so
+  private def partitionBoundaryDeletable(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    // with LIVE delete files the metadata fast path is unsound: its
+    // ReplaceFiles(kept) commit carries no delete files forward, so
     // rows they mask in the KEPT files would silently resurrect. Refuse
     // — the row-level rewrite path handles the delete correctly (it
     // reads through the delete files), and compaction restores this
@@ -201,9 +201,124 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
         }
     })
 
+  /** Keyless merge-on-read DELETE eligibility: the table asks for
+    * merge-on-read deletes but declares NO identifier fields (so the
+    * equality-delete delta path has no row id), the whole condition
+    * converts to column expressions, and any live deletes are position
+    * flavored too. Spark's metadata-only-delete optimization then routes
+    * the DELETE here instead of the copy-on-write rewrite, and
+    * [[positionDeleteWhere]] marks (file, position) pairs — kilobytes
+    * committed, zero data files rewritten. */
+  private def positionDeletable(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    MergeOnRead.morMode(mergedProps, "delete") &&
+    !mergedProps.get("identifier-fields").exists(_.trim.nonEmpty) &&
+    meta.currentSnapshot.forall(_.deleteFiles.forall(_.keyFieldIds.isEmpty)) &&
+    filters.forall(f => filterToColumn(f).isDefined)
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !frozen && (partitionBoundaryDeletable(filters) || positionDeletable(filters))
+
+  /** Rebuild a V1 filter as a Column expression (the position-delete
+    * path evaluates the DELETE condition with the engine's own codegen'd
+    * expressions — no UDF). None = shape we don't translate. */
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.functions._
+    f match {
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isInCollection(vs.toSeq))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+      case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+      case StringContains(c, v) => Some(col(c).contains(v))
+      case And(l, r) =>
+        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
+      case Or(l, r) =>
+        for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+      case Not(x) => filterToColumn(x).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  /** Position-delete DELETE for keyless merge-on-read tables: read the
+    * manifest-pruned candidate files through Spark's split-safe
+    * `_metadata.row_index`, evaluate the condition, and commit the
+    * matched (file, position) pairs as position-delete parquet in one
+    * RowDelta — a DELETE touching 0.01% of a 100 TB table commits
+    * kilobytes. Readers subtract positions ([[PosFilteringReader]]);
+    * compaction folds them away. */
+  private def positionDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.active
+    val dataDir = store.dataDir(ns, table)
+    // candidate files through the same manifest pruning a scan performs
+    val probe = new GraftScanBuilder(tableName, dataDir, currentRelFiles,
+      identityPartCols, schema(), CaseInsensitiveStringMap.empty(),
+      meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
+      transformPartSpecs)
+    probe.pushFilters(filters)
+    val candidates = probe.prunedRelFiles
+    if (candidates.isEmpty) return // provably nothing to delete
+    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val esc = dataDir.replace("'", "\\'")
+    val marked = spark.read.schema(schema())
+      .parquet(candidates.map(r => s"$dataDir/$r"): _*)
+      .where(cond)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"))
+      // absolute read URI → manifest-relative path
+      .select(expr(
+        s"substring(file, locate('$esc/', file) + ${dataDir.length + 1})")
+        .as("file"), col("pos"))
+    val commitId = java.util.UUID.randomUUID().toString
+    val relDir = s"commit-posdel-$commitId-deletes"
+    val deletesDir = s"$dataDir/$relDir"
+    marked.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(deletesDir)
+    val rels = store.listParquetUnder(deletesDir).map(f => s"$relDir/$f")
+    val hconf = spark.sessionState.newHadoopConf()
+    val (defs, empty) = rels.map { rel =>
+      graft.meta.DeleteFileDef(rel, 0L, Nil,
+        graft.meta.FileStats.rowCount(s"$dataDir/$rel", hconf).getOrElse(0L),
+        store.fileSizeBytes(s"$dataDir/$rel").getOrElse(0L))
+    }.partition(_.rows > 0)
+    empty.foreach(d => store.deleteFileIfExists(s"$dataDir/${d.path}"))
+    if (defs.isEmpty) { store.deleteTree(deletesDir); return } // no match
+    try store.commitOps(ns, table,
+      // positions were computed from exactly this snapshot — a racing
+      // commit must fail the delete, never compose with a stale read
+      Seq(graft.commit.Requirement.AssertCurrentSnapshotId(meta.currentSnapshotId)),
+      Seq(MetadataUpdate.RowDelta(Nil, defs.toList, System.currentTimeMillis(),
+        Map.empty,
+        Map("position-delete-rows" -> defs.map(_.rows).sum.toString))))
+    catch { case e: Throwable =>
+      rels.foreach(rel => store.deleteFileIfExists(s"$dataDir/$rel"))
+      throw e
+    }
+  }
+
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.sources._
-    require(canDeleteWhere(filters), "delete not decidable on partition boundaries")
+    if (!partitionBoundaryDeletable(filters)) {
+      require(positionDeletable(filters),
+        "delete not decidable on partition boundaries")
+      positionDeleteWhere(filters)
+      return
+    }
     def fileMatches(rel: String): Boolean = {
       val kvs = PartitionDirs.kvs(rel)
       filters.forall {
@@ -243,7 +358,14 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
       case _ => "merge"
     }
     () =>
-      if (MergeOnRead.morMode(mergedProps, cmdName))
+      // merge-on-read needs a row id: declared identifier fields take
+      // the equality-delete delta path. A keyless merge-on-read table
+      // builds the CoW plan instead — and for a DELETE whose condition
+      // converts to filters, Spark's metadata-only-delete optimization
+      // then swaps it for [[positionDeleteWhere]] (position marks, no
+      // rewrite). Keyless UPDATE/MERGE genuinely rewrite (CoW).
+      if (MergeOnRead.morMode(mergedProps, cmdName) &&
+          mergedProps.get("identifier-fields").exists(_.trim.nonEmpty))
         new GraftDeltaOperation(store, ns, table, tableName, meta,
           info.command(), mergedProps)
       else new GraftRowLevelOperation(store, ns, table, tableName, meta,
@@ -868,7 +990,8 @@ private[graft] class GraftScanBuilder(
       .newScanBuilder(options)
   }
 
-  private def delegateScanWith(rels: Seq[String], readSchema: StructType)
+  private def delegateScanWith(rels: Seq[String], readSchema: StructType,
+                               withFilters: Boolean = true)
       : org.apache.spark.sql.connector.read.Scan = {
     val delegate = mkDelegateBuilder(rels)
     delegate.pruneColumns(readSchema)
@@ -879,8 +1002,10 @@ private[graft] class GraftScanBuilder(
     // EXCEPT in group-prune-only mode (row-level rewrites): there the
     // pushed condition only selects which FILES are affected — the
     // write-back needs every surviving row of those files, and
-    // row-group skipping of non-matching rows would silently drop them
-    if (!groupPruneOnly)
+    // row-group skipping of non-matching rows would silently drop them.
+    // (Position-delete readers also pass withFilters=false: a skipped
+    // row group would shift every row position.)
+    if (!groupPruneOnly && withFilters)
       delegate.pushFilters(pushed.toSeq.flatMap(toCatalyst))
     delegate.build()
   }
@@ -890,27 +1015,95 @@ private[graft] class GraftScanBuilder(
   private val deleteKeyCache =
     scala.collection.mutable.Map.empty[String, Set[List[Any]]]
 
+  /** Per-POSITION-delete-file contents (rel path → dead positions),
+    * loaded at most once per builder. */
+  private val posDeleteCache =
+    scala.collection.mutable.Map.empty[String, Map[String, Set[Long]]]
+
   /** Equality-delete files applying to `rel`: those committed at a
     * sequence strictly above the file's added-sequence (files predating
     * sequence tracking default to 0 — older than every delete). */
   private def applicableDeletes(rel: String): Seq[graft.meta.DeleteFileDef] = {
     val seq = fileSeqs.getOrElse(rel, 0L)
-    deleteFiles.filter(_.seq > seq)
+    eqDeleteFiles.filter(_.seq > seq)
   }
+
+  /** Delete files split by flavor: an empty key-field-id list marks a
+    * POSITION delete (rows are (file, pos) of dead rows — written by the
+    * keyless-table DELETE path); a non-empty one an equality delete. */
+  private def eqDeleteFiles = deleteFiles.filter(_.keyFieldIds.nonEmpty)
+  private def posDeleteFiles = deleteFiles.filter(_.keyFieldIds.isEmpty)
 
   /** The scan over `rels` with merge-on-read deletes applied (see
     * [[MergeOnRead]]): files no delete touches keep the plain vectorized
-    * delegate; delete-affected groups read row-based behind a
-    * subtract-the-keys filter over a key-widened read schema. */
+    * delegate; equality-delete-affected groups read row-based behind a
+    * subtract-the-keys filter over a key-widened read schema;
+    * position-delete-affected files read whole through a counting
+    * reader. */
   private def morScanFor(rels: Seq[String])
       : org.apache.spark.sql.connector.read.Scan = {
     if (deleteFiles.isEmpty) return delegateScanFor(rels)
-    val grouped = rels.groupBy(r => applicableDeletes(r).map(_.path).toSet)
+
+    // position deletes: load (rel → positions) maps (driver, bounded by
+    // the same byte budget, memoized), then route the affected files to
+    // whole-file counting partitions
+    val posByRel: Map[String, Set[Long]] =
+      if (posDeleteFiles.isEmpty) Map.empty
+      else {
+        val posBytes = posDeleteFiles.map(MergeOnRead.estBytes).sum
+        require(posBytes <= deleteByteBudget,
+          s"$posBytes bytes of live position-delete files exceed the " +
+            s"budget ($deleteByteBudget) for table $tableName — compact first")
+        posDeleteFiles.map(d => posDeleteCache.getOrElseUpdate(d.path, {
+            val spark = SparkSession.active
+            val posSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("pos",
+                org.apache.spark.sql.types.LongType)))
+            spark.read.schema(posSchema).parquet(s"$dataDir/${d.path}")
+              .collect()
+              .groupBy(_.getString(0))
+              .map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSet }
+          }))
+          .foldLeft(Map.empty[String, Set[Long]]) { (acc, m) =>
+            m.foldLeft(acc) { case (a, (rel, ps)) =>
+              a + (rel -> (a.getOrElse(rel, Set.empty) ++ ps))
+            }
+          }
+      }
+    val posAffected = rels.filter(posByRel.contains)
+    posAffected.foreach { rel =>
+      require(applicableDeletes(rel).isEmpty,
+        s"file $rel carries both equality and position deletes — " +
+          s"compact table $tableName (our writers never mix flavors)")
+    }
+    val posGroups = posAffected.sorted.map { rel =>
+      val abs = s"$dataDir/$rel"
+      val p = new org.apache.hadoop.fs.Path(abs)
+      val len = p.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf()).getFileStatus(p).getLen
+      PosGroup(rel, abs, len, posByRel(rel))
+    }
+    val posFactoryScan =
+      if (posGroups.isEmpty) None
+      // filter-free delegate: its reader factory serves the whole-file
+      // partitions, and a pushed filter's row-group skip would shift
+      // every position (Spark re-applies the residual filters above)
+      else Some(delegateScanWith(posAffected, requiredSchema,
+        withFilters = false))
+
+    val eqRels = rels.filterNot(posAffected.toSet)
+    val grouped = eqRels.groupBy(r => applicableDeletes(r).map(_.path).toSet)
       .values.toSeq.map(fs => (applicableDeletes(fs.head), fs))
     val cleanFiles = grouped.filter(_._1.isEmpty).flatMap(_._2)
     val dirtyGroups = grouped.filter(_._1.nonEmpty)
       .sortBy(_._2.headOption.getOrElse("")) // deterministic plan order
-    if (dirtyGroups.isEmpty) return delegateScanFor(rels)
+    if (dirtyGroups.isEmpty && posGroups.isEmpty) return delegateScanFor(rels)
+    if (dirtyGroups.isEmpty)
+      return new MorScan(delegateScanFor(rels),
+        if (cleanFiles.nonEmpty) Some(delegateScanFor(cleanFiles)) else None,
+        Nil, posGroups, posFactoryScan)
 
     val allDeletes = dirtyGroups.flatMap(_._1).distinct
     // driver-memory guard, budgeted in BYTES of delete files (a row
@@ -970,7 +1163,7 @@ private[graft] class GraftScanBuilder(
       val spec = MorSpec(preds, keep, requiredSchema.fields.map(_.dataType))
       (delegateScanWith(fs, extended), spec)
     }
-    new MorScan(statsScan, cleanScan, dirty)
+    new MorScan(statsScan, cleanScan, dirty, posGroups, posFactoryScan)
   }
 
   /** Columns runtime (join-driven) filters can prune files on: exact-render

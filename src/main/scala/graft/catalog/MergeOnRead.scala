@@ -139,18 +139,33 @@ private[graft] final case class MorSpec(
     predicates: Seq[MorPredicate], keepFields: Int,
     prefixTypes: Array[DataType]) extends Serializable
 
-/** Scan over a snapshot with live equality deletes: clean files keep
-  * their delegate scan untouched (vectorized, pushdown intact); each
-  * dirty group gets its own delegate over a possibly-widened schema plus
-  * a subtract-the-keys row filter. readSchema/statistics ride the
-  * all-files delegate so join-side broadcast decisions are unchanged. */
+/** One position-delete-affected file: read WHOLE (a single unsplit
+  * partition — row positions are indexes into the full-file row order,
+  * so a split or a row-group skip would shift every count) through a
+  * counting reader that drops the marked positions. */
+private[graft] final case class PosGroup(rel: String, absPath: String,
+                                         fileSize: Long,
+                                         positions: Set[Long])
+  extends Serializable
+
+/** Scan over a snapshot with live deletes: clean files keep their
+  * delegate scan untouched (vectorized, pushdown intact); each
+  * equality-dirty group gets its own delegate over a possibly-widened
+  * schema plus a subtract-the-keys row filter; each position-dirty FILE
+  * gets a whole-file counting partition served by `posFactory` (built
+  * filter-free — skipped row groups would break the count).
+  * readSchema/statistics ride the all-files delegate so join-side
+  * broadcast decisions are unchanged. */
 private[graft] class MorScan(statsScan: Scan, clean: Option[Scan],
-                             dirty: Seq[(Scan, MorSpec)])
+                             dirty: Seq[(Scan, MorSpec)],
+                             posGroups: Seq[PosGroup] = Nil,
+                             posFactory: Option[Scan] = None)
   extends Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = statsScan.readSchema()
   override def description(): String =
-    s"graft-mor(${dirty.size} delete-affected groups) ${statsScan.description()}"
+    s"graft-mor(${dirty.size} delete-affected groups, " +
+      s"${posGroups.size} position-affected files) ${statsScan.description()}"
   override def estimateStatistics(): Statistics = statsScan match {
     case s: SupportsReportStatistics => s.estimateStatistics()
     case _ => new Statistics {
@@ -159,7 +174,8 @@ private[graft] class MorScan(statsScan: Scan, clean: Option[Scan],
     }
   }
   override def toBatch: Batch =
-    new MorBatch(clean.map(_.toBatch), dirty.map { case (s, sp) => (s.toBatch, sp) })
+    new MorBatch(clean.map(_.toBatch), dirty.map { case (s, sp) => (s.toBatch, sp) },
+      posGroups, posFactory.map(_.toBatch))
 }
 
 /** Tags each delegate partition with which factory must serve it:
@@ -170,8 +186,17 @@ private[graft] final case class MorInputPartition(delegate: InputPartition,
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 
+/** A whole-file partition for a position-delete-affected file, tagged
+  * with its position set (budget-bounded, shipped in the partition). */
+private[graft] final case class PosInputPartition(
+    delegate: InputPartition, positions: Set[Long]) extends InputPartition {
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
 private[graft] class MorBatch(clean: Option[Batch],
-                              dirty: Seq[(Batch, MorSpec)]) extends Batch {
+                              dirty: Seq[(Batch, MorSpec)],
+                              posGroups: Seq[PosGroup] = Nil,
+                              posBatch: Option[Batch] = None) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val c = clean.toArray.flatMap(_.planInputPartitions())
@@ -179,17 +204,28 @@ private[graft] class MorBatch(clean: Option[Batch],
     val d = dirty.zipWithIndex.toArray.flatMap { case ((b, _), i) =>
       b.planInputPartitions().map(p => MorInputPartition(p, i): InputPartition)
     }
-    c ++ d
+    val p = posGroups.zipWithIndex.toArray.map { case (g, i) =>
+      val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(g.absPath),
+        0L, g.fileSize, Array.empty, 0L, g.fileSize)
+      PosInputPartition(
+        org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)),
+        g.positions): InputPartition
+    }
+    c ++ d ++ p
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MorReaderFactory(clean.map(_.createReaderFactory()),
-      dirty.map { case (b, sp) => (b.createReaderFactory(), sp) }.toArray)
+      dirty.map { case (b, sp) => (b.createReaderFactory(), sp) }.toArray,
+      posBatch.map(_.createReaderFactory()))
 }
 
 private[graft] class MorReaderFactory(
     clean: Option[PartitionReaderFactory],
-    dirty: Array[(PartitionReaderFactory, MorSpec)])
+    dirty: Array[(PartitionReaderFactory, MorSpec)],
+    pos: Option[PartitionReaderFactory] = None)
   extends PartitionReaderFactory {
 
   private def route(p: InputPartition): (PartitionReaderFactory, InputPartition, Int) =
@@ -213,11 +249,40 @@ private[graft] class MorReaderFactory(
       "merge-on-read scans are row-based until compaction")
 
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = {
-    val (f, d, side) = route(partition)
-    if (side < 0) f.createReader(d)
-    else new MorFilteringReader(f.createReader(d), dirty(side)._2)
+      : PartitionReader[InternalRow] = partition match {
+    case PosInputPartition(d, positions) =>
+      new PosFilteringReader(pos.get.createReader(d), positions)
+    case _ =>
+      val (f, d, side) = route(partition)
+      if (side < 0) f.createReader(d)
+      else new MorFilteringReader(f.createReader(d), dirty(side)._2)
   }
+}
+
+/** Row reader over ONE whole file that drops the rows at the marked
+  * positions. Position = index in the full-file row order; the
+  * delegate's partition covers the entire file and its scan was built
+  * without pushed filters, so the emitted order IS the file order. */
+private[graft] class PosFilteringReader(
+    delegate: PartitionReader[InternalRow], positions: Set[Long])
+  extends PartitionReader[InternalRow] {
+
+  private var current: InternalRow = _
+  private var idx = -1L
+
+  override def next(): Boolean = {
+    while (delegate.next()) {
+      idx += 1
+      if (!positions.contains(idx)) {
+        current = delegate.get()
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = delegate.close()
 }
 
 /** Row reader subtracting deleted keys, then projecting away any key

@@ -154,7 +154,9 @@ object MetadataTables {
       (m.currentSnapshot.map(_.files).getOrElse(Nil)
         .map(f => row(f, "data", seqs.get(f).map(v => v: Any).orNull)) ++
        m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
-        .map(d => row(d.path, "equality-deletes", d.seq))).toArray
+        .map(d => row(d.path,
+          if (d.keyFieldIds.isEmpty) "position-deletes" else "equality-deletes",
+          d.seq))).toArray
     new RowsTable(fqn + "$files", schema, rows)
   }
 

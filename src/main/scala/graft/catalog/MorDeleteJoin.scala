@@ -53,7 +53,11 @@ object MorDeleteJoin extends Rule[LogicalPlan] {
   }
 
   private def overBudget(rel: DataSourceV2Relation): Boolean = rel.table match {
-    case t: GraftTable => t.morOverBudget
+    // the join applies EQUALITY deletes; position deletes (keyless
+    // tables) have no key columns to join on — the scan's budget guard
+    // handles them (past it, compaction is the answer)
+    case t: GraftTable =>
+      t.morOverBudget && t.liveDeleteFiles.forall(_.keyFieldIds.nonEmpty)
     case _ => false
   }
 

@@ -342,6 +342,43 @@ object CatalogQueries {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Keyless merge-on-read DELETE through the oracle gate: a table with
+    * NO identifier fields (so the equality-delete delta path has no row
+    * id) takes two DELETEs; both land as POSITION-delete files —
+    * (file, row) marks written by `GraftTable.positionDeleteWhere` —
+    * with zero data files rewritten (asserted below, q89-style), and
+    * the read through the whole-file counting readers reconstructs
+    * exactly the oracle's surviving rows. */
+  def q94PositionDelete(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation_posd")
+    s.sql("""CREATE TABLE graft_q13.tpch.nation_posd
+      (n_nationkey INT, n_name STRING, n_regionkey INT)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .writeTo("graft_q13.tpch.nation_posd").append()
+    val cat = s.sessionState.catalogManager.catalog("graft_q13")
+      .asInstanceOf[GraftCatalog]
+    val before = cat.metadataStore.load(Seq("tpch"), "nation_posd")._1
+      .currentSnapshot.get.files
+    s.sql("DELETE FROM graft_q13.tpch.nation_posd WHERE n_regionkey = 2")
+    s.sql("DELETE FROM graft_q13.tpch.nation_posd WHERE n_nationkey >= 20")
+    val snap = cat.metadataStore.load(Seq("tpch"), "nation_posd")._1
+      .currentSnapshot.get
+    require(snap.files == before,
+      "position DELETE must not rewrite data files")
+    require(snap.deleteFiles.nonEmpty &&
+      snap.deleteFiles.forall(_.keyFieldIds.isEmpty),
+      "expected position-delete files")
+    s.table("graft_q13.tpch.nation_posd").orderBy(col("n_nationkey"))
+  }
+
+  val q94Sql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey <> 2 AND n_nationkey < 20
+      |ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_catalog_scan" -> q13CatalogScan _,
     "q83_stream_catalog_source" -> q83StreamCatalogSource _,
@@ -350,7 +387,8 @@ object CatalogQueries {
     "q86_mor_dml" -> q86MorDml _,
     "q87_wap" -> q87Wap _,
     "q89_spj_join" -> q89SpjJoin _,
-    "q90_changes_feed" -> q90ChangesFeed _)
+    "q90_changes_feed" -> q90ChangesFeed _,
+    "q94_position_delete" -> q94PositionDelete _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
     "q83_stream_catalog_source" -> q83Sql,
@@ -361,5 +399,6 @@ object CatalogQueries {
     "q86_mor_dml" -> q84Sql,
     "q87_wap" -> q87Sql,
     "q89_spj_join" -> q89Sql,
-    "q90_changes_feed" -> q90Sql)
+    "q90_changes_feed" -> q90Sql,
+    "q94_position_delete" -> q94Sql)
 }

@@ -382,4 +382,71 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM mor.spill.t WHERE cat LIKE 'u%'")
       .head().getLong(0) == 2000)
   }
+
+  test("keyless MoR DELETE writes position deletes and rewrites nothing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.posd")
+    // no identifier-fields: the equality-delete delta path has no row
+    // id — the DELETE must land as (file, position) marks instead of a
+    // copy-on-write rewrite
+    spark.sql("""CREATE TABLE mor.posd.t (id BIGINT, cat STRING, v DOUBLE)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO mor.posd.t VALUES " +
+      "(1,'a',1.0),(2,'b',200.0),(3,'c',300.0)")
+    val before = snap("posd", "t")
+
+    spark.sql("DELETE FROM mor.posd.t WHERE v > 100")
+
+    val after = snap("posd", "t")
+    assert(after.files == before.files,
+      "position delete must not rewrite data files")
+    assert(after.deleteFiles.nonEmpty &&
+      after.deleteFiles.forall(_.keyFieldIds.isEmpty))
+    assert(after.deleteFiles.map(_.rows).sum == 2)
+    assert(after.deleteFiles.forall(_.bytes > 0))
+    // reads subtract the positions (projections and residual filters
+    // are applied above the counting reader)
+    assert(spark.table("mor.posd.t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql("SELECT cat FROM mor.posd.t").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    assert(spark.sql("SELECT count(*) FROM mor.posd.t WHERE v < 50")
+      .head().getLong(0) == 1L)
+    // $files labels the flavor
+    assert(spark.sql("SELECT content FROM mor.posd.`t$files`").collect()
+      .map(_.getString(0)).contains("position-deletes"))
+    // files added AFTER the delete are untouched by its positions
+    spark.sql("INSERT INTO mor.posd.t VALUES (4,'d',400.0)")
+    assert(spark.table("mor.posd.t").count() == 2)
+    // a second delete marks rows across old and new files
+    spark.sql("DELETE FROM mor.posd.t WHERE id IN (1, 4)")
+    assert(spark.table("mor.posd.t").count() == 0)
+    // time travel to before the deletes still sees all rows
+    val preVersion = catalog.metadataStore.load(Seq("posd"), "t")._2 - 3
+    assert(spark.sql(s"SELECT count(*) FROM mor.posd.t VERSION AS OF $preVersion")
+      .head().getLong(0) == 3L)
+    // compaction folds the positions away and restores the plain path
+    spark.sql("INSERT INTO mor.posd.t VALUES (5,'e',5.0)")
+    catalog.compact(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("posd"), "t"))
+    val compacted = snap("posd", "t")
+    assert(compacted.deleteFiles.isEmpty,
+      "compaction must purge position-delete files")
+    assert(spark.table("mor.posd.t").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L))
+  }
+
+  test("keyless CoW UPDATE composes with live position deletes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.posd2")
+    spark.sql("""CREATE TABLE mor.posd2.t (id BIGINT, cat STRING, v DOUBLE)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO mor.posd2.t VALUES " +
+      "(1,'a',1.0),(2,'b',200.0),(3,'c',3.0)")
+    spark.sql("DELETE FROM mor.posd2.t WHERE v > 100") // position marks
+    // keyless UPDATE is copy-on-write: the rewrite must read THROUGH the
+    // position deletes (no resurrection of row 2) and the rewrite commit
+    // must keep the delete files for untouched files
+    spark.sql("UPDATE mor.posd2.t SET cat = 'Z' WHERE id = 3")
+    val rows = spark.table("mor.posd2.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a"), (3L, "Z")), rows.toString)
+  }
 }

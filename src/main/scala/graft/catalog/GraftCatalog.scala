@@ -39,11 +39,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * resolve too. */
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
-    Procedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    // the maintenance verbs live in `system` only — listing them under
+    // every namespace would make CALL graft.<any-ns>.compact resolve
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Procedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def loadProcedure(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("system")),
+      s"no procedures under namespace ${ident.namespace.mkString(".")} — " +
+        "maintenance verbs live in `system`")
     Procedures.load(this, ident.name)
+  }
 
   private var catalogName: String = _
   private var store: MetaStore = _
@@ -86,18 +94,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** The V2 function surface exists for ONE reason: resolving the
-    * `bucket(n, col)` transform that [[KeyedScan]] reports, so Catalyst
-    * can prove two graft tables co-partitioned (the function's
-    * canonical name + numBuckets is the compatibility check). */
+    * transforms [[KeyedScan]] reports — `bucket(n, col)` and the
+    * temporal dirs (`years/months/days/hours`) — so Catalyst can prove
+    * two graft tables co-partitioned (the function's canonical name is
+    * the compatibility check) and re-derive keys for one-sided
+    * shuffles. */
   override def listFunctions(namespace: Array[String])
       : Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    ("bucket" +: TemporalFunctionNames.map(_ + "s"))
+      .map(Identifier.of(namespace, _)).toArray
+
+  private val TemporalFunctionNames = Seq("year", "month", "day", "hour")
 
   override def loadFunction(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    // transform resolution looks functions up under the EMPTY namespace;
+    // accept `system` as the documented spelling and reject the rest
+    if (!(ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
     if (ident.name.equalsIgnoreCase("bucket")) GraftFunctions.BucketUnbound
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    else TemporalFunctionNames.find(k => ident.name.equalsIgnoreCase(k + "s"))
+      .map(TemporalFunctions.TemporalUnbound)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
+  }
 
   override def name(): String = catalogName
 
@@ -649,6 +670,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // drop expired metadata versions (current pointer = max version file)
     (1 until cutoff).foreach { v =>
       store.deleteFileIfExists(store.metadataLocation(ns, ident.name, v))
+    }
+    removed
+  }
+
+  /** Delete data-dir files no RETAINED metadata version references —
+    * the leftovers of aborted or crashed commits (their writers stage
+    * parquet before the CAS, and a process death skips the cleanup
+    * path). Unlike [[expireSnapshots]] this keeps every metadata
+    * version: a file is live iff ANY version's current snapshot (or a
+    * named ref) reaches it, so time travel is untouched. The grace
+    * window protects in-flight commits: a writer may have staged files
+    * whose commit hasn't landed yet — files younger than `graceMs`
+    * (or of unknown age) are never deleted. */
+  def removeOrphanFiles(ident: Identifier, graceMs: Long = 3600000L): Int = {
+    val ns = ident.namespace.toSeq
+    val latest = store.currentVersion(ns, ident.name)
+    if (latest == 0) throw new NoSuchTableException(ident)
+    val latestMeta = store.loadVersion(ns, ident.name, latest)
+    val refSnapshots = latestMeta.refs.values.map(_.snapshotId).toSet
+    def liveFiles(s: graft.meta.SnapshotDef): Seq[String] =
+      s.files ++ s.deleteFiles.map(_.path)
+    val live = ((1 to latest).flatMap { v =>
+      try store.loadVersion(ns, ident.name, v).currentSnapshot
+        .map(liveFiles).getOrElse(Nil)
+      catch { case _: Exception => Nil } // an expired version holds no refs
+    } ++ latestMeta.snapshots.filter(s => refSnapshots.contains(s.snapshotId))
+      .flatMap(liveFiles)).toSet
+    val dataDir = store.dataDir(ns, ident.name)
+    var removed = 0
+    store.listParquetUnder(dataDir).foreach { rel =>
+      val abs = dataDir + "/" + rel
+      // vanished (None) counts as young: never delete what we can't date
+      val youngerThanGrace = store.lastModifiedMs(abs)
+        .forall(_ > System.currentTimeMillis() - graceMs)
+      if (!live.contains(rel) && !youngerThanGrace) {
+        if (store.deleteFileIfExists(abs)) removed += 1
+      }
     }
     removed
   }

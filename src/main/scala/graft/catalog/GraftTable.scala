@@ -455,6 +455,10 @@ private[graft] object PartitionTransforms {
     case _ => true
   }
 
+  /** Public face of [[wellFormed]] for the key-grouped dir parser. */
+  def wellFormedDir(transform: String, v: String): Boolean =
+    wellFormed(transform, v)
+
   /** Order two dir values of a monotone transform. Temporal formats are
     * zero-padded fixed-width (lexicographic-safe) except bare `year`,
     * which compares numerically; numeric truncates likewise. None =
@@ -1208,13 +1212,40 @@ private[graft] class GraftScanBuilder(
       (c, Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression,
         parseIdentity(dt) _)
     }
+    val Temporal = Set("year", "month", "day", "hour")
+    def temporalOk(src: String): Boolean =
+      tableSchema.fields.find(_.name == src).map(_.dataType).exists {
+        case DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    def parseTemporal(tr: String)(v: String): Option[Any] =
+      if (v == DefaultPart) Some(null)
+      else tr match {
+        case "year" => try Some(v.toInt) catch { case _: Exception => None }
+        // fixed-width well-formed dirs only — an EXCEEDS_PAD rendering
+        // must drop the report, never produce a wrong key
+        case _ if PartitionTransforms.wellFormedDir(tr, v) =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+        case _ => None
+      }
     val buckets = transformSpecs.map {
       case (src, BucketRe(n), dirKey)
           if requiredSchema.fieldNames.contains(src) =>
         (dirKey, Expressions.bucket(n.toInt, src):
            org.apache.spark.sql.connector.expressions.Expression,
           parseBucket _)
-      case _ => return None // truncate/temporal transform, or pruned source
+      case (src, tr, dirKey)
+          if Temporal(tr) && temporalOk(src) &&
+            requiredSchema.fieldNames.contains(src) =>
+        val expr = tr match {
+          case "year" => Expressions.years(src)
+          case "month" => Expressions.months(src)
+          case "day" => Expressions.days(src)
+          case "hour" => Expressions.hours(src)
+        }
+        (dirKey, expr: org.apache.spark.sql.connector.expressions.Expression,
+          parseTemporal(tr) _)
+      case _ => return None // truncate transform, or pruned source
     }
     Some(identity ++ buckets)
   }

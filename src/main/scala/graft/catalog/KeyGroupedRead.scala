@@ -66,19 +66,124 @@ private[graft] object GraftFunctions {
     * disagreement with the dirs would route rows to the wrong bucket.
     * `canonicalName` carries the input type: Murmur3 hashes ints and
     * longs differently, so bucket(n, int_col) and bucket(n, long_col)
-    * must never be judged co-partitioned. */
+    * must never be judged co-partitioned.
+    *
+    * The `invoke` overloads are the V2 function MAGIC METHOD: Spark
+    * resolves the one whose unboxed signature matches `inputTypes` and
+    * plans it as an `Invoke` — whole-stage-codegen'd, no per-row boxing
+    * — which is the path a bucketed-shuffle re-distribution runs per
+    * row over the entire non-co-partitioned side. `produceResult` stays
+    * as the interpreted fallback (and the null path: a null key hashes
+    * to the seed, like the write side; the magic path null-propagates,
+    * which only misplaces rows no equi-join can match anyway). */
   case class BucketBound(dt: DataType) extends ScalarFunction[Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
     override def canonicalName(): String = s"graft.bucket(${dt.catalogString})"
     override def isResultNullable: Boolean = false
+
+    private def bucketOf(n: Int, v: Any): Int = {
+      val h = Murmur3HashFunction.hash(v, dt, 42).toInt
+      ((h % n) + n) % n
+    }
+
+    def invoke(n: Int, v: Boolean): Int = bucketOf(n, v)
+    def invoke(n: Int, v: Byte): Int = bucketOf(n, v)
+    def invoke(n: Int, v: Short): Int = bucketOf(n, v)
+    def invoke(n: Int, v: Int): Int = bucketOf(n, v)
+    def invoke(n: Int, v: Long): Int = bucketOf(n, v)
+    def invoke(n: Int, v: Float): Int = bucketOf(n, v)
+    def invoke(n: Int, v: Double): Int = bucketOf(n, v)
+    def invoke(n: Int, v: org.apache.spark.unsafe.types.UTF8String): Int =
+      bucketOf(n, v)
+    def invoke(n: Int, v: Array[Byte]): Int = bucketOf(n, v)
+
     override def produceResult(input: InternalRow): Integer = {
       val n = input.getInt(0)
       val v = input.get(1, dt) // null hashes to the seed, like write-side hash()
-      val h = Murmur3HashFunction.hash(v, dt, 42).toInt
-      Integer.valueOf(((h % n) + n) % n)
+      Integer.valueOf(bucketOf(n, v))
     }
+  }
+}
+
+/** Temporal partition-transform functions (years/months/days/hours) —
+  * the V2 functions Spark resolves when a scan reports
+  * `KeyGroupedPartitioning` over a temporally-partitioned layout. Each
+  * MUST reproduce the write-side dir rendering exactly
+  * ([[PartitionTransforms.dirExpr]]: `year(col)` /
+  * `date_format(col, 'yyyy-MM[-dd[-HH]]')`), evaluated in UTC — the
+  * layout is only written under a UTC session, and a one-sided shuffle
+  * re-deriving the key from raw rows must land in the same dirs. */
+private[graft] object TemporalFunctions {
+  import java.time.{Instant, LocalDate, ZoneOffset}
+  import java.time.format.DateTimeFormatter
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val monthFmt = DateTimeFormatter.ofPattern("yyyy-MM")
+  private val dayFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+  private val hourFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")
+
+  private def utc(us: Long): java.time.ZonedDateTime =
+    Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L).atZone(ZoneOffset.UTC)
+
+  private val temporalTypes: Set[DataType] =
+    Set(DateType, TimestampType, TimestampNTZType)
+
+  /** `kind` ∈ year|month|day|hour (the spec transform names). */
+  case class TemporalUnbound(kind: String) extends UnboundFunction {
+    override def name(): String = kind + "s" // V2 transform names are plural
+    override def description(): String =
+      s"${name()}(col): graft's write-side temporal partition dir value"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1,
+        s"${name()} expects one temporal argument, got ${inputType.length}")
+      val dt = inputType.fields(0).dataType
+      require(temporalTypes.contains(dt), s"${name()} does not support $dt")
+      TemporalBound(kind, dt)
+    }
+  }
+
+  /** NTZ micros render by their wall-clock fields; instants via UTC —
+    * matching `date_format` under the (gated) UTC session. */
+  case class TemporalBound(kind: String, dt: DataType)
+    extends ScalarFunction[AnyRef] {
+    override def inputTypes(): Array[DataType] = Array(dt)
+    override def resultType(): DataType =
+      if (kind == "year") IntegerType else StringType
+    override def name(): String = kind + "s"
+    override def canonicalName(): String =
+      s"graft.${kind}s(${dt.catalogString})"
+
+    private def compute(v: Any): AnyRef = {
+      val temporal: java.time.temporal.TemporalAccessor = dt match {
+        case DateType => LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+        case TimestampNTZType =>
+          java.time.LocalDateTime.ofInstant(
+            Instant.ofEpochSecond(
+              Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+              Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L),
+            ZoneOffset.UTC)
+        case _ => utc(v.asInstanceOf[Long])
+      }
+      kind match {
+        case "year" => Integer.valueOf(temporal.get(
+          java.time.temporal.ChronoField.YEAR))
+        case "month" => UTF8String.fromString(monthFmt.format(temporal))
+        case "day" => UTF8String.fromString(dayFmt.format(temporal))
+        case "hour" => UTF8String.fromString(hourFmt.format(temporal))
+      }
+    }
+
+    // magic-method overloads: codegen'd key derivation for the
+    // re-shuffle path (DateType arrives as int days, timestamps as
+    // long micros)
+    def invoke(v: Int): AnyRef = compute(v)
+    def invoke(v: Long): AnyRef = compute(v)
+
+    override def produceResult(input: InternalRow): AnyRef =
+      compute(input.get(0, dt))
   }
 }
 

@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[graft] object Procedures {
 
   val Names: Seq[String] = Seq("compact", "compact_zorder", "expire_snapshots",
-    "rollback", "create_branch", "create_tag", "fast_forward", "drop_ref")
+    "remove_orphan_files", "rollback", "create_branch", "create_tag",
+    "fast_forward", "drop_ref")
 
   def load(cat: GraftCatalog, name: String): UnboundProcedure =
     name.toLowerCase match {
@@ -62,6 +63,13 @@ private[graft] object Procedures {
         StructType(Seq(StructField("removed_files", IntegerType)))) { in =>
         row(cat.expireSnapshots(identOf(in.getUTF8String(0)),
           intArg(in, 1, 1), longArg(in, 2, 3600000L)))
+      }
+      case "remove_orphan_files" => proc("remove_orphan_files",
+        params(("table", StringType, None),
+          ("grace_ms", LongType, Some("3600000"))),
+        StructType(Seq(StructField("removed_files", IntegerType)))) { in =>
+        row(cat.removeOrphanFiles(identOf(in.getUTF8String(0)),
+          longArg(in, 1, 3600000L)))
       }
       case "rollback" => proc("rollback",
         params(("table", StringType, None), ("snapshot_id", LongType, None)),

@@ -95,4 +95,41 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(removed >= 0) // rolled-back-to files stay live; count is informational
     assert(spark.table("graft.proc.r").count() == 1)
   }
+
+  test("CALL remove_orphan_files deletes aborted-commit leftovers only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.o (k INT)")
+    spark.sql("INSERT INTO graft.proc.o VALUES (1)")
+    spark.sql("INSERT INTO graft.proc.o VALUES (2)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val dataDir = cat.metadataStore.dataDir(Seq("proc"), "o")
+    // plant an orphan: a staged parquet no snapshot references (the
+    // debris of a crashed writer)
+    val orphanDir = java.nio.file.Paths.get(dataDir, "commit-dead")
+    java.nio.file.Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-0.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    // grace protects young files — with the default window nothing goes
+    val protectedRun = spark
+      .sql("CALL graft.system.remove_orphan_files('proc.o')")
+      .collect()(0).getInt(0)
+    assert(protectedRun == 0 && java.nio.file.Files.exists(orphan),
+      "a file younger than the grace window must survive")
+    // zero grace: the orphan goes, live files stay, history intact
+    val removed = spark
+      .sql("CALL graft.system.remove_orphan_files('proc.o', 0)")
+      .collect()(0).getInt(0)
+    assert(removed == 1, s"expected exactly the planted orphan, got $removed")
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(spark.table("graft.proc.o").count() == 2)
+    // every retained version is still readable (time travel untouched)
+    val v = cat.metadataStore.currentVersion(Seq("proc"), "o")
+    assert(spark.sql(s"SELECT count(*) FROM graft.proc.o VERSION AS OF ${v - 1}")
+      .head().getLong(0) == 1L)
+    // namespace scoping: procedures resolve under `system` only
+    intercept[Exception] {
+      spark.sql("CALL graft.proc.compact(table => 'proc.o')").collect()
+    }
+  }
 }

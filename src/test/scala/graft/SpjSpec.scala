@@ -98,6 +98,71 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
       got.forall { case (k, v) => math.abs(want(k) - v) < 1e-6 })
   }
 
+  test("one-sided shuffle re-buckets an unpartitioned side onto the table layout") {
+    setup()
+    // the unpartitioned (raw parquet) side must be shuffled INTO the
+    // bucketed table's layout by evaluating the catalog bucket function
+    // per row — the magic-invoke codegen path — instead of shuffling
+    // both sides to a hash layout
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    try {
+      val plain = Tables.orders(spark, sf)
+        .select("o_orderkey", "o_totalprice")
+      val joined = spark.table("graft.spj.lineitem")
+        .join(plain, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      assert(exchanges(joined) == 1,
+        s"expected ONE exchange (the plain side only):\n" +
+          s"${joined.queryExecution.executedPlan}")
+      // magic invoke resolved: the non-codegen boxed wrapper is absent
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("ApplyFunctionExpression"),
+        "bucket function must plan as (Static)Invoke, not the boxed path")
+      val want = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = joined.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size == want.size &&
+        got.forall { case (k, v) => math.abs(want(k) - v) < 1e-6 },
+        s"one-sided-shuffle join diverged: got ${got.size}, want ${want.size}")
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+  }
+
+  test("temporal SPJ: hour-partitioned tables aggregate and join without exchanges") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spjt")
+    spark.sql("""CREATE TABLE graft.spjt.ev (ts TIMESTAMP, v DOUBLE)
+      PARTITIONED BY (hours(ts))""")
+    spark.sql("""CREATE TABLE graft.spjt.ev2 (ts TIMESTAMP, w DOUBLE)
+      PARTITIONED BY (hours(ts))""")
+    spark.sql("""INSERT INTO graft.spjt.ev VALUES
+      (TIMESTAMP'2024-03-01 06:10:00', 1.0), (TIMESTAMP'2024-03-01 06:40:00', 2.0),
+      (TIMESTAMP'2024-03-01 07:15:00', 3.0), (TIMESTAMP'2024-03-02 06:10:00', 4.0)""")
+    spark.sql("""INSERT INTO graft.spjt.ev2 VALUES
+      (TIMESTAMP'2024-03-01 06:10:00', 10.0), (TIMESTAMP'2024-03-01 07:15:00', 20.0),
+      (TIMESTAMP'2024-03-02 06:10:00', 30.0)""")
+    // same-ts rows can only live in one hour dir: a ts-keyed agg needs
+    // no exchange on an hour-partitioned layout
+    val agg = spark.table("graft.spjt.ev")
+      .groupBy(col("ts")).agg(sum(col("v")).as("sv"))
+    assert(exchanges(agg) == 0,
+      s"ts-keyed agg should not shuffle:\n${agg.queryExecution.executedPlan}")
+    assert(agg.collect().map(r => r.getTimestamp(0).toString -> r.getDouble(1))
+      .toMap.values.sum == 10.0)
+    // two hour-partitioned tables joined on ts: co-partitioned, no shuffle
+    val joined = spark.table("graft.spjt.ev")
+      .join(spark.table("graft.spjt.ev2"), Seq("ts"))
+      .select(col("ts"), (col("v") + col("w")).as("s"))
+    assert(exchanges(joined) == 0,
+      s"hour-co-partitioned join should not shuffle:\n" +
+        s"${joined.queryExecution.executedPlan}")
+    assert(joined.collect().map(_.getDouble(1)).sorted.toSeq ==
+      Seq(11.0, 23.0, 34.0))
+  }
+
   test("identity-partitioned join reports keys and elides the shuffle") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spji")
     spark.sql("""CREATE TABLE graft.spji.a (cat STRING, v BIGINT)

@@ -342,6 +342,43 @@ object CatalogQueries {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Temporal storage-partitioned aggregation through the oracle gate:
+    * a `days(o_orderdate)`-partitioned table reports the temporal V2
+    * transform ([[graft.catalog.TemporalFunctions]]), so the
+    * date-keyed revenue rollup plans ZERO exchanges (asserted,
+    * q89-style) — the 100 TB time-series shape where the daily rollup
+    * of a day-laid-out events table costs no shuffle at all. */
+  def q95TemporalSpj(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    if (!s.catalog.tableExists("graft_q13.tpch.orders_bymonth")) {
+      // month granularity: ~84 partition-key groups over TPC-H's seven
+      // years — same-date rows are co-located, planning stays cheap
+      s.sql("""CREATE TABLE graft_q13.tpch.orders_bymonth
+        (o_orderdate DATE, o_totalprice DOUBLE)
+        PARTITIONED BY (months(o_orderdate))""")
+      Tables.orders(s, dir).select(col("o_orderdate"), col("o_totalprice"))
+        .writeTo("graft_q13.tpch.orders_bymonth").append()
+    }
+    // no ORDER BY: the gate compares sorted rows, and a global sort
+    // would plan its own (legitimate) range exchange
+    val df = s.table("graft_q13.tpch.orders_bymonth")
+      .groupBy(col("o_orderdate"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("o_totalprice")).as("rev"))
+      // DATE output breaks the driver compare — render as timestamp_ntz
+      .select(col("o_orderdate").cast("timestamp_ntz").as("od"),
+        col("n"), col("rev"))
+    val plan = df.queryExecution.executedPlan.toString
+    val nEx = plan.linesIterator.count(_.contains("Exchange"))
+    require(nEx == 0,
+      s"q95 expected a shuffle-free date-keyed rollup, found $nEx exchange(s):\n$plan")
+    df
+  }
+
+  val q95Sql: String =
+    s"""SELECT CAST(o_orderdate AS TIMESTAMP) AS od, COUNT(*) AS n,
+      |  ${Exact.sqlSumMoney("o_totalprice")} AS rev
+      |FROM orders GROUP BY o_orderdate""".stripMargin
+
   /** Keyless merge-on-read DELETE through the oracle gate: a table with
     * NO identifier fields (so the equality-delete delta path has no row
     * id) takes two DELETEs; both land as POSITION-delete files —
@@ -388,7 +425,8 @@ object CatalogQueries {
     "q87_wap" -> q87Wap _,
     "q89_spj_join" -> q89SpjJoin _,
     "q90_changes_feed" -> q90ChangesFeed _,
-    "q94_position_delete" -> q94PositionDelete _)
+    "q94_position_delete" -> q94PositionDelete _,
+    "q95_temporal_spj" -> q95TemporalSpj _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
     "q83_stream_catalog_source" -> q83Sql,
@@ -400,5 +438,6 @@ object CatalogQueries {
     "q87_wap" -> q87Sql,
     "q89_spj_join" -> q89Sql,
     "q90_changes_feed" -> q90Sql,
-    "q94_position_delete" -> q94Sql)
+    "q94_position_delete" -> q94Sql,
+    "q95_temporal_spj" -> q95Sql)
 }

@@ -372,4 +372,33 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$ns.$t: missing ${viaApi -- viaTable}, invented ${viaTable -- viaApi}")
     }
   }
+
+  test("pair-updates works on the STREAMING changelog too (shared planner)") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdcp")
+    spark.sql("DROP TABLE IF EXISTS graft.cdcp.t")
+    spark.sql("""CREATE TABLE graft.cdcp.t (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('identifier-fields' = 'k',
+        'write.update.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.cdcp.t VALUES (1,'a'),(2,'b')")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcp-ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String)]()
+    val q = spark.readStream.option("pair-updates", "true")
+      .table("graft.cdcp.`t$changes`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        df.select(col("k"), col("v"), col("_change_type")).collect()
+          .foreach(r => seen.add((r.getInt(0), r.getString(1), r.getString(2)))); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      spark.sql("UPDATE graft.cdcp.t SET v = 'A' WHERE k = 1")
+      q.processAllAvailable()
+      val got = seen.asScala.toSet
+      assert(got == Set((1, "a", "insert"), (2, "b", "insert"),
+        (1, "a", "update_preimage"), (1, "A", "update_postimage")),
+        s"streamed paired changelog diverged: $got")
+    } finally q.stop()
+  }
 }

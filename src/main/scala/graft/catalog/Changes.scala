@@ -162,9 +162,13 @@ object Changes {
     // metadata diff shared with the t$changes scan surface — the two
     // feeds must never drift apart
     val diff = ChangesTable.stepDiff(meta, prevMeta).getOrElse(return Nil)
-    require((diff.newDeletes ++ diff.prevDeletes).forall(_.keyFieldIds.nonEmpty),
-      s"version $v carries position-delete files — the changes feed " +
-        "supports equality deletes only; compact the table first")
+    val (posNew, eqNew) = diff.newDeletes.partition(_.keyFieldIds.isEmpty)
+    val (posPrev, eqPrev) = diff.prevDeletes.partition(_.keyFieldIds.isEmpty)
+    require((posNew ++ posPrev).isEmpty || (eqNew ++ eqPrev).isEmpty,
+      s"version $v mixes equality and position delete files — compact first")
+    if ((posNew ++ posPrev).nonEmpty)
+      return positionStepChanges(s, diff, posNew, posPrev, v, schema,
+        readRels, stamped, dataDir)
 
     def keysOf(ids: List[Int], dfs: Seq[graft.meta.DeleteFileDef])
         : (Seq[String], DataFrame) = {
@@ -290,5 +294,67 @@ object Changes {
       Seq(finish(delCombined)) ++ insMarked.map(finish) ++
         hardDeleted.map(stamped(_, "delete", v)).toSeq
     }
+  }
+
+  /** One version step of a POSITION-flavored table (keyless DELETEs),
+    * the distributed dual of
+    * [[ChangesTable.positionStepPartitions]]: rows join the (file, pos)
+    * delete frames through Spark's split-safe `_metadata.row_index` —
+    * a removed file's still-live rows (anti-join prior positions) emit
+    * as deletes, and kept files the commit marked emit exactly the
+    * newly-dead positions (semi-join new, anti-join prior). The frames
+    * are budget-bounded — broadcast. No pairing: a keyless table has no
+    * identity to pair an update through. */
+  private def positionStepChanges(
+      s: SparkSession,
+      diff: ChangesTable.StepDiff,
+      posNew: Seq[graft.meta.DeleteFileDef],
+      posPrev: Seq[graft.meta.DeleteFileDef],
+      v: Int, schema: StructType,
+      readRels: (Seq[String], StructType) => DataFrame,
+      stamped: (DataFrame, String, Int) => DataFrame,
+      dataDir: String): Seq[DataFrame] = {
+    val posSchema = StructType(Seq(StructField("file", StringType),
+      StructField("pos", org.apache.spark.sql.types.LongType)))
+    def frame(dfs: Seq[graft.meta.DeleteFileDef]): Option[DataFrame] =
+      if (dfs.isEmpty) None
+      else Some(s.read.schema(posSchema)
+        .parquet(dfs.map(d => s"$dataDir/${d.path}"): _*))
+    val newF = frame(posNew)
+    val prevF = frame(posPrev)
+    val esc = dataDir.replace("'", "\\'")
+    def withPos(rels: Seq[String]): DataFrame =
+      s.read.schema(schema).parquet(rels.map(r => s"$dataDir/$r"): _*)
+        .select(col("*"),
+          expr(s"substring(_metadata.file_path, " +
+            s"locate('$esc/', _metadata.file_path) + ${dataDir.length + 1})")
+            .as("__file"),
+          col("_metadata.row_index").as("__pos"))
+    def antiPrev(df: DataFrame): DataFrame = prevF match {
+      case None => df
+      case Some(p) => df.join(broadcast(p),
+        df("__file") === p("file") && df("__pos") === p("pos"), "left_anti")
+    }
+
+    val inserted = if (diff.added.nonEmpty) Some(readRels(diff.added, schema))
+      else None
+    val hard =
+      if (diff.removed.isEmpty) None
+      else Some(antiPrev(withPos(diff.removed)))
+    val masked = newF.flatMap { nf =>
+      // only kept files the new delete references can emit masked rows
+      val files = nf.select("file").distinct().collect()
+        .map(_.getString(0)).toSet
+      val cands = diff.kept.filter(files)
+      if (cands.isEmpty) None
+      else {
+        val withMeta = withPos(cands)
+        Some(antiPrev(withMeta.join(broadcast(nf),
+          withMeta("__file") === nf("file") && withMeta("__pos") === nf("pos"),
+          "leftsemi")))
+      }
+    }
+    inserted.map(stamped(_, "insert", v)).toSeq ++
+      (hard.toSeq ++ masked.toSeq).map(stamped(_, "delete", v))
   }
 }

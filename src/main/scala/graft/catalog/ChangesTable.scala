@@ -246,11 +246,16 @@ private[graft] object ChangesTable {
     val diff = stepDiff(meta, prevMeta).getOrElse(return Nil)
     val dataDir = store.dataDir(ns, table)
 
-    // position-delete commits (keyless tables) carry no key columns to
-    // mask rows by — the changelog cannot derive their preimages yet
-    require((diff.newDeletes ++ diff.prevDeletes).forall(_.keyFieldIds.nonEmpty),
-      s"version $v carries position-delete files — the changelog supports " +
-        "equality deletes only; compact the table first")
+    // a table's delete files are one flavor at a time by construction
+    // (equality needs identifier fields, position requires their
+    // absence) — a mix would need cross-flavor subtraction
+    val (posNew, eqNew) = diff.newDeletes.partition(_.keyFieldIds.isEmpty)
+    val (posPrev, eqPrev) = diff.prevDeletes.partition(_.keyFieldIds.isEmpty)
+    require((posNew ++ posPrev).isEmpty || (eqNew ++ eqPrev).isEmpty,
+      s"version $v mixes equality and position delete files — compact first")
+    if ((posNew ++ posPrev).nonEmpty)
+      return positionStepPartitions(s, dataDir, schema, meta.properties,
+        options, diff, posNew, posPrev, v)
 
     // live-set bound, per step (same semantics as the MoR scan's guard:
     // the deletes THIS step can touch, not a lifetime cumulative total),
@@ -382,6 +387,87 @@ private[graft] object ChangesTable {
     Seq("pair-updates", "pairUpdates")
       .flatMap(k => Option(options.get(k))).headOption
       .exists(_.trim.toBoolean)
+
+  /** Load position-delete files into (rel → dead positions) — driver,
+    * bounded by the byte budget the caller already enforced. */
+  def posMapOf(s: SparkSession, dataDir: String,
+               dfs: Seq[graft.meta.DeleteFileDef]): Map[String, Set[Long]] =
+    if (dfs.isEmpty) Map.empty
+    else {
+      val posSchema = StructType(Seq(StructField("file", StringType),
+        StructField("pos", LongType)))
+      s.read.schema(posSchema)
+        .parquet(dfs.map(d => s"$dataDir/${d.path}"): _*)
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSet }
+    }
+
+  private def wholeFilePartition(s: SparkSession, dataDir: String,
+                                 rel: String, idx: Int): InputPartition = {
+    val abs = s"$dataDir/$rel"
+    val p = new org.apache.hadoop.fs.Path(abs)
+    val len = p.getFileSystem(s.sessionState.newHadoopConf())
+      .getFileStatus(p).getLen
+    org.apache.spark.sql.execution.datasources.FilePartition(idx, Array(
+      org.apache.spark.sql.execution.datasources.PartitionedFile(
+        org.apache.spark.sql.catalyst.InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(abs),
+        0L, len, Array.empty, 0L, len)))
+  }
+
+  /** One version step of a POSITION-flavored table (keyless DELETEs):
+    * added files emit inserts as usual; a removed file's still-live rows
+    * (all minus previously-dead positions) emit as deletes; kept files
+    * the commit marked emit exactly the NEWLY-dead positions. Positional
+    * emission reads whole files through counting readers — a split or a
+    * pushed row-group skip would shift every position. No pairing: a
+    * keyless table has no identity to pair an update through. */
+  def positionStepPartitions(s: SparkSession, dataDir: String,
+                             schema: StructType, props: Map[String, String],
+                             options: CaseInsensitiveStringMap,
+                             diff: StepDiff,
+                             posNew: Seq[graft.meta.DeleteFileDef],
+                             posPrev: Seq[graft.meta.DeleteFileDef],
+                             v: Int): Seq[InputPartition] = {
+    val liveBytes = (posNew ++ posPrev).map(MergeOnRead.estBytes).sum
+    val budget = MergeOnRead.byteBudget(props)
+    require(liveBytes <= budget,
+      s"version $v carries $liveBytes bytes of live position-delete files " +
+        s"— over the changelog budget ($budget); compact the table first")
+    val newPos = posMapOf(s, dataDir, posNew)
+    val prevPos = posMapOf(s, dataDir, posPrev)
+    val colTypes = schema.fields.map(_.dataType)
+    def spec(label: String) = ChangeSpec(Nil, Nil, label, v, colTypes)
+
+    val inserts: Seq[InputPartition] =
+      if (diff.added.isEmpty) Nil
+      else delegateScan(s, dataDir, diff.added, schema, options)
+        .toBatch.planInputPartitions()
+        .map(p => ChangeInputPartition(p, spec("insert")): InputPartition).toSeq
+    // removed files untouched by any prior position delete keep the
+    // plain (splittable) delegate path
+    val (removedDirty, removedClean) =
+      diff.removed.partition(prevPos.contains)
+    val hardClean: Seq[InputPartition] =
+      if (removedClean.isEmpty) Nil
+      else delegateScan(s, dataDir, removedClean, schema, options)
+        .toBatch.planInputPartitions()
+        .map(p => ChangeInputPartition(p, spec("delete")): InputPartition).toSeq
+    val hardDirty = removedDirty.sorted.zipWithIndex.map { case (rel, i) =>
+      PosChangeInputPartition(wholeFilePartition(s, dataDir, rel, i),
+        None, prevPos(rel), spec("delete")): InputPartition
+    }
+    val masked = diff.kept.filter(newPos.contains).sorted.zipWithIndex
+      .flatMap { case (rel, i) =>
+        val emit = newPos(rel) -- prevPos.getOrElse(rel, Set.empty)
+        if (emit.isEmpty) None
+        else Some(PosChangeInputPartition(
+          wholeFilePartition(s, dataDir, rel, 1000000 + i),
+          Some(emit), Set.empty, spec("delete")): InputPartition)
+      }
+    inserts ++ hardClean ++ hardDirty ++ masked
+  }
 }
 
 /** Row filter + literal-append spec for one changelog partition group:
@@ -402,6 +488,15 @@ private[graft] final case class ChangeInputPartition(
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 
+/** A POSITIONAL changelog partition: one whole (unsplit) file, emitting
+  * rows whose full-file index is in `emit` (None = every row) and not
+  * in `subtract` (rows dead before this commit). */
+private[graft] final case class PosChangeInputPartition(
+    delegate: InputPartition, emit: Option[Set[Long]], subtract: Set[Long],
+    spec: ChangeSpec) extends InputPartition {
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
 private[graft] class ChangesReaderFactory(delegate: PartitionReaderFactory)
   extends PartitionReaderFactory {
   // rows gain literal columns per row: uniformly row-based (same
@@ -414,8 +509,43 @@ private[graft] class ChangesReaderFactory(delegate: PartitionReaderFactory)
     p match {
       case ChangeInputPartition(d, spec) =>
         new ChangeEmittingReader(delegate.createReader(d), spec)
+      case PosChangeInputPartition(d, emit, subtract, spec) =>
+        new PosChangeReader(delegate.createReader(d), emit, subtract, spec)
       case other => throw new IllegalStateException(s"untagged partition $other")
     }
+}
+
+/** Positional counting reader: the delegate covers ONE whole file with
+  * no pushed filters, so the emitted order is the file order and the
+  * running index IS the row position. */
+private[graft] class PosChangeReader(
+    delegate: PartitionReader[InternalRow], emit: Option[Set[Long]],
+    subtract: Set[Long], spec: ChangeSpec)
+  extends PartitionReader[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection}
+
+  private var current: InternalRow = _
+  private var idx = -1L
+  private lazy val proj = UnsafeProjection.create(
+    spec.colTypes.zipWithIndex.map { case (dt, i) =>
+      BoundReference(i, dt, nullable = true): Expression
+    }.toSeq ++ Seq(
+      Literal(UTF8String.fromString(spec.label), StringType): Expression,
+      Literal(spec.version, IntegerType): Expression))
+
+  override def next(): Boolean = {
+    while (delegate.next()) {
+      idx += 1
+      if (emit.forall(_.contains(idx)) && !subtract.contains(idx)) {
+        current = proj(delegate.get())
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = delegate.close()
 }
 
 /** Filters by the spec's key predicates and appends the change-type and

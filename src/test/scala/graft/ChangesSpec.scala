@@ -373,6 +373,46 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("position-delete commits flow through BOTH changelog surfaces") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.posc")
+    spark.sql("DROP TABLE IF EXISTS graft.posc.t")
+    // keyless merge-on-read: DELETEs land as (file, position) marks
+    spark.sql("""CREATE TABLE graft.posc.t (k INT, v STRING)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.posc.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    val v1 = version2("posc", "t")
+    spark.sql("DELETE FROM graft.posc.t WHERE k = 2")
+    val v2 = version2("posc", "t")
+    spark.sql("DELETE FROM graft.posc.t WHERE k >= 2") // k=3; k=2 already dead
+    spark.sql("INSERT INTO graft.posc.t VALUES (4,'d')")
+    // an overwrite removes files carrying dead positions: their live
+    // rows emit as deletes, the dead ones must NOT re-emit
+    spark.sql("INSERT OVERWRITE graft.posc.t VALUES (9,'z')")
+
+    def feed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+        .toSet
+    val viaApi = feed(Changes.between(spark, "graft.posc.t", 0))
+    val viaTable = feed(spark.read.table("graft.posc.`t$changes`"))
+    assert(viaApi == viaTable,
+      s"missing ${viaApi -- viaTable}, invented ${viaTable -- viaApi}")
+    // dead rows never re-emit: exactly one delete row per killed row
+    val deletes = viaApi.filter(_._3 == "delete").map(t => (t._1, t._2))
+    assert(deletes == Set((2, "b"), (3, "c"), (1, "a"), (4, "d")),
+      s"got deletes $deletes")
+    assert(viaApi.count(t => t._1 == 2 && t._3 == "delete") == 1,
+      "a position-dead row re-emitted on a later step")
+    // windowed: the second DELETE's step emits only k=3
+    val step = feed(Changes.between(spark, "graft.posc.t", v2, Some(v2 + 1)))
+    assert(step == Set((3, "c", "delete", v2 + 1)), step.toString)
+    // the first DELETE's step via the scan surface too
+    val step1 = feed(spark.read.option("from-version", v1)
+      .option("to-version", v1 + 1).table("graft.posc.`t$changes`"))
+    assert(step1 == Set((2, "b", "delete", v1 + 1)), step1.toString)
+  }
+
   test("pair-updates works on the STREAMING changelog too (shared planner)") {
     import scala.jdk.CollectionConverters._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdcp")

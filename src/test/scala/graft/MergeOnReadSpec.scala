@@ -354,6 +354,13 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT cat FROM mor.big.t ORDER BY cat").collect()
       .map(_.getString(0)).toSeq == Seq("a", "c", "d2"))
     assert(spark.sql("SELECT count(*) FROM mor.big.t").head().getLong(0) == 3L)
+    // filters still push into the subset scans after the rewrite
+    val filtered = spark.sql("SELECT id FROM mor.big.t WHERE v > 2.5")
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(v), GreaterThan(v,2.5)]"),
+      s"filter must reach the parquet delegates:\n" +
+        s"${filtered.queryExecution.executedPlan}")
   }
 
   test("a large upsert key window spills to multiple right-sized delete files") {

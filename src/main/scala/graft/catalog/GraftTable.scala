@@ -1277,17 +1277,17 @@ private[graft] class GraftScanBuilder(
           case None => morScanFor(rels)
           case Some(pairs) =>
             val byKey = pairs.groupBy(_._1)
-            // driver planning builds one delegate scan per key group —
-            // past a few thousand groups that cost outweighs the one
-            // exchange SPJ saves, so hand the files back to the plain
-            // scan (which plans them as one delegate)
+            // driver planning stats each group's files directly (the
+            // KeyedScan builds FilePartitions itself — no per-group
+            // table/file-index setup); past this many groups even the
+            // stat pass outweighs the one exchange SPJ saves
             if (byKey.size > 4096) return morScanFor(rels)
             val groups = byKey.toSeq
               .sortBy(_._2.head._2) // deterministic plan order
               .map { case (key, prs) =>
                 (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                    key.toArray),
-                 delegateScanFor(prs.map(_._2)))
+                 prs.map(p => s"$dataDir/${p._2}"))
               }
             new KeyedScan(delegateScanFor(rels), groups, fields.map(_._2).toArray)
         }

@@ -214,13 +214,18 @@ private[graft] class KeyedReaderFactory(delegate: PartitionReaderFactory)
     delegate.supportColumnarReads(unwrap(p))
 }
 
-/** The key-grouped scan: batch planning fans out to one delegate scan
-  * per partition-key group; schema/statistics/columnar mode come from
-  * the full-file-list delegate (same files, same answers), so broadcast
-  * decisions and vectorization are untouched. */
+/** The key-grouped scan: schema/statistics/columnar mode come from the
+  * full-file-list delegate (same files, same answers), so broadcast
+  * decisions and vectorization are untouched. Batch planning builds
+  * each group's FilePartitions DIRECTLY from the group's file list —
+  * one fs stat per file — instead of constructing a parquet
+  * table + file index per group (at thousands of key groups that setup
+  * dominates driver planning time). Files are byte-range-split and
+  * bin-packed at `spark.sql.files.maxPartitionBytes`, mirroring the
+  * file-source's own partitioning. */
 private[graft] class KeyedScan(
     full: Scan,
-    groups: Seq[(GenericInternalRow, Scan)],
+    groups: Seq[(GenericInternalRow, Seq[String])], // key → ABSOLUTE paths
     keyExprs: Array[V2Expression])
   extends Scan with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -242,11 +247,37 @@ private[graft] class KeyedScan(
   }
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      groups.iterator.flatMap { case (key, scan) =>
-        scan.toBatch.planInputPartitions().iterator
-          .map(new KeyedInputPartition(_, key))
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+      val spark = org.apache.spark.sql.SparkSession.active
+      val hconf = spark.sessionState.newHadoopConf()
+      val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+      groups.iterator.flatMap { case (key, paths) =>
+        val chunks = paths.flatMap { abs =>
+          val p = new org.apache.hadoop.fs.Path(abs)
+          val len = p.getFileSystem(hconf).getFileStatus(p).getLen
+          (0L until math.max(len, 1L) by maxSplit).map { start =>
+            PartitionedFile(InternalRow.empty,
+              org.apache.spark.paths.SparkPath.fromPathString(abs),
+              start, math.min(maxSplit, len - start), Array.empty, 0L, len)
+          }
+        }
+        val packed = scala.collection.mutable.ArrayBuffer.empty[Array[PartitionedFile]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[PartitionedFile]
+        var size = 0L
+        chunks.foreach { c =>
+          if (size + c.length > maxSplit && cur.nonEmpty) {
+            packed += cur.toArray; cur = scala.collection.mutable.ArrayBuffer.empty
+            size = 0L
+          }
+          cur += c; size += c.length
+        }
+        if (cur.nonEmpty) packed += cur.toArray
+        packed.iterator.zipWithIndex.map { case (fs, i) =>
+          new KeyedInputPartition(FilePartition(i, fs), key): InputPartition
+        }
       }.toArray
+    }
     // one factory serves every group: the parquet reader factory
     // depends only on schema/filters/conf, never on the file list
     override def createReaderFactory(): PartitionReaderFactory =

@@ -48,18 +48,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object MorDeleteJoin extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case rel: DataSourceV2Relation if overBudget(rel) =>
-      rewrite(rel, rel.table.asInstanceOf[GraftTable])
+    case rel: DataSourceV2Relation if graftOf(rel).exists(overBudget) =>
+      rewrite(rel, graftOf(rel).get)
   }
 
-  private def overBudget(rel: DataSourceV2Relation): Boolean = rel.table match {
-    // the join applies EQUALITY deletes; position deletes (keyless
-    // tables) have no key columns to join on — the scan's budget guard
-    // handles them (past it, compaction is the answer)
-    case t: GraftTable =>
-      t.morOverBudget && t.liveDeleteFiles.forall(_.keyFieldIds.nonEmpty)
-    case _ => false
-  }
+  /** The Graft table behind a relation this rule may rewrite: a plain
+    * read, or the matched-row read of a DELTA row-level command (DML
+    * wraps the table in [[RowLevelOperationTable]], so without this arm
+    * an over-budget DELETE/UPDATE/MERGE dies at scan build). The delta
+    * read only needs a correct current-state frame — any equivalent
+    * plan will do. The COPY-ON-WRITE path is deliberately excluded: its
+    * write side correlates with the scan's matched files, which this
+    * rewrite would sever. */
+  private def graftOf(rel: DataSourceV2Relation): Option[GraftTable] =
+    rel.table match {
+      case t: GraftTable => Some(t)
+      case other =>
+        org.apache.spark.sql.connector.write.RowLevelOperationTables
+          .unwrap(other) match {
+            case Some((g: GraftTable, _: GraftDeltaOperation)) => Some(g)
+            case _ => None
+          }
+    }
+
+  // the join applies EQUALITY deletes; position deletes (keyless
+  // tables) have no key columns to join on — the scan's budget guard
+  // handles them (past it, compaction is the answer)
+  private def overBudget(t: GraftTable): Boolean =
+    t.morOverBudget && t.liveDeleteFiles.forall(_.keyFieldIds.nonEmpty)
 
   /** A column name absent from the data schema (suffix-extended on the
     * astronomically unlikely collision). */

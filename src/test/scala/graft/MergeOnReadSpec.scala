@@ -363,6 +363,45 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${filtered.queryExecution.executedPlan}")
   }
 
+  test("DML on an over-budget table reads through the anti join and commits a delta") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.bigdml")
+    spark.sql("""CREATE TABLE mor.bigdml.t (id BIGINT NOT NULL, cat STRING, v DOUBLE)
+      TBLPROPERTIES (
+        'identifier-fields' = 'id',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'write.merge.mode' = 'merge-on-read',
+        'read.delete.byte-budget' = '1')""")
+    spark.sql("INSERT INTO mor.bigdml.t VALUES " +
+      "(1,'a',1.0),(2,'b',2.0),(3,'c',3.0),(4,'d',4.0)")
+    // push the live delete set past the 1-byte budget
+    spark.sql("DELETE FROM mor.bigdml.t WHERE id = 1")
+
+    // every row-level command's matched-row read must now plan through
+    // the MorDeleteJoin rewrite instead of dying at the scan's guard
+    spark.sql("UPDATE mor.bigdml.t SET v = v * 10 WHERE cat = 'c'")
+    val afterUpdate = snap("bigdml", "t")
+    assert(afterUpdate.operation == "delta", "over-budget UPDATE must stay MoR")
+
+    val filesBefore = snap("bigdml", "t").files.toSet
+    spark.sql("DELETE FROM mor.bigdml.t WHERE v > 25") // non-key predicate
+    val afterDelete = snap("bigdml", "t")
+    assert(afterDelete.operation == "delta")
+    assert(afterDelete.files.toSet == filesBefore,
+      "over-budget DELETE must not rewrite data files")
+
+    spark.sql("""MERGE INTO mor.bigdml.t t
+      USING (SELECT * FROM VALUES (2L,'b2',22.0), (9L,'i',9.0) AS s(id,cat,v)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+
+    val rows = spark.table("mor.bigdml.t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows == Seq((2L, "b2", 22.0), (4L, "d", 4.0), (9L, "i", 9.0)),
+      rows.toString)
+  }
+
   test("a large upsert key window spills to multiple right-sized delete files") {
     mkMorTable("spill", "t")
     spark.sql("INSERT INTO mor.spill.t " +

@@ -40,9 +40,17 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
                  frozen: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = tableName
+
+  /** `_graft_file` / `_graft_pos` — the physical row coordinate (see
+    * [[PosDelta]]): queryable like any metadata column, and the row id
+    * of the keyless merge-on-read DML path. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    PosDelta.metadataColumns
 
   override def schema(): StructType = SchemaBridge.toSpark(meta.currentSchema)
 
@@ -357,19 +365,26 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
         "update"
       case _ => "merge"
     }
-    () =>
+    () => {
       // merge-on-read needs a row id: declared identifier fields take
-      // the equality-delete delta path. A keyless merge-on-read table
-      // builds the CoW plan instead — and for a DELETE whose condition
+      // the equality-delete delta path; a keyless table uses the
+      // physical (file, pos) coordinate instead — position-delete delta
+      // ([[GraftPositionDeltaOperation]]), valid only while every live
+      // delete is position-flavored. For a DELETE whose condition
       // converts to filters, Spark's metadata-only-delete optimization
-      // then swaps it for [[positionDeleteWhere]] (position marks, no
-      // rewrite). Keyless UPDATE/MERGE genuinely rewrite (CoW).
-      if (MergeOnRead.morMode(mergedProps, cmdName) &&
-          mergedProps.get("identifier-fields").exists(_.trim.nonEmpty))
+      // still swaps the rewritten plan for [[positionDeleteWhere]]
+      // (split-safe pushdown read, position marks, no rewrite).
+      val mor = MergeOnRead.morMode(mergedProps, cmdName)
+      if (mor && mergedProps.get("identifier-fields").exists(_.trim.nonEmpty))
         new GraftDeltaOperation(store, ns, table, tableName, meta,
+          info.command(), mergedProps)
+      else if (mor &&
+          meta.currentSnapshot.forall(_.deleteFiles.forall(_.keyFieldIds.isEmpty)))
+        new GraftPositionDeltaOperation(store, ns, table, tableName, meta,
           info.command(), mergedProps)
       else new GraftRowLevelOperation(store, ns, table, tableName, meta,
         info.command())
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -693,6 +708,10 @@ private[graft] class GraftScanBuilder(
 
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = tableSchema
+  // the full requested schema when it includes `_graft_file`/
+  // `_graft_pos` metadata columns — flips build() to the
+  // position-emitting scan ([[PosDeltaScan]])
+  private var requestedWithMeta: Option[StructType] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -702,7 +721,17 @@ private[graft] class GraftScanBuilder(
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(required: StructType): Unit = {
-    requiredSchema = if (required.isEmpty) tableSchema else required
+    // a data column that shadows a metadata name stays data (Spark's
+    // metadataOutput already excludes the conflicting metadata column)
+    val (metaCols, dataCols) = required.fields.partition(f =>
+      PosDelta.names.contains(f.name) && !tableSchema.fieldNames.contains(f.name))
+    if (metaCols.nonEmpty) {
+      requestedWithMeta = Some(required)
+      requiredSchema = StructType(dataCols)
+    } else {
+      requestedWithMeta = None
+      requiredSchema = if (required.isEmpty) tableSchema else required
+    }
     // with a pushed aggregation the delegate owns the (aggregate) read
     // schema — forward the engine's pruning call to it verbatim
     aggDelegate.foreach(_.pruneColumns(required))
@@ -1038,6 +1067,55 @@ private[graft] class GraftScanBuilder(
   private def eqDeleteFiles = deleteFiles.filter(_.keyFieldIds.nonEmpty)
   private def posDeleteFiles = deleteFiles.filter(_.keyFieldIds.isEmpty)
 
+  /** Live position-delete contents as (rel path → dead positions):
+    * loaded once on the driver (memoized per builder), bounded by the
+    * same byte budget as equality keys. */
+  private def loadPosByRel(): Map[String, Set[Long]] =
+    if (posDeleteFiles.isEmpty) Map.empty
+    else {
+      val posBytes = posDeleteFiles.map(MergeOnRead.estBytes).sum
+      require(posBytes <= deleteByteBudget,
+        s"$posBytes bytes of live position-delete files exceed the " +
+          s"budget ($deleteByteBudget) for table $tableName — compact first")
+      posDeleteFiles.map(d => posDeleteCache.getOrElseUpdate(d.path, {
+          val spark = SparkSession.active
+          spark.read.schema(PosDelta.deleteFileSchema)
+            .parquet(s"$dataDir/${d.path}")
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSet }
+        }))
+        .foldLeft(Map.empty[String, Set[Long]]) { (acc, m) =>
+          m.foldLeft(acc) { case (a, (rel, ps)) =>
+            a + (rel -> (a.getOrElse(rel, Set.empty) ++ ps))
+          }
+        }
+    }
+
+  /** The position-emitting scan behind `_graft_file`/`_graft_pos` (see
+    * [[PosDelta]]): manifest-pruned candidate files, each as one
+    * unsplit filter-free partition, wrapped to count positions, skip
+    * already-deleted ones and append the coordinate columns. */
+  private def posDeltaScan(requested: StructType)
+      : org.apache.spark.sql.connector.read.Scan = {
+    require(eqDeleteFiles.isEmpty,
+      s"row-position metadata columns are unavailable while $tableName " +
+        "carries equality-delete files — keyed tables take the " +
+        "equality-delete delta path; compact first to read positions")
+    val rels = prunedRelFiles
+    onBuild(rels)
+    val posByRel = loadPosByRel()
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    val groups = rels.sorted.map { rel =>
+      val abs = s"$dataDir/$rel"
+      val p = new org.apache.hadoop.fs.Path(abs)
+      val len = p.getFileSystem(hconf).getFileStatus(p).getLen
+      PosGroup(rel, abs, len, posByRel.getOrElse(rel, Set.empty))
+    }
+    new PosDeltaScan(delegateScanWith(rels, requiredSchema, withFilters = false),
+      groups, requested, requiredSchema)
+  }
+
   /** The scan over `rels` with merge-on-read deletes applied (see
     * [[MergeOnRead]]): files no delete touches keep the plain vectorized
     * delegate; equality-delete-affected groups read row-based behind a
@@ -1048,34 +1126,7 @@ private[graft] class GraftScanBuilder(
       : org.apache.spark.sql.connector.read.Scan = {
     if (deleteFiles.isEmpty) return delegateScanFor(rels)
 
-    // position deletes: load (rel → positions) maps (driver, bounded by
-    // the same byte budget, memoized), then route the affected files to
-    // whole-file counting partitions
-    val posByRel: Map[String, Set[Long]] =
-      if (posDeleteFiles.isEmpty) Map.empty
-      else {
-        val posBytes = posDeleteFiles.map(MergeOnRead.estBytes).sum
-        require(posBytes <= deleteByteBudget,
-          s"$posBytes bytes of live position-delete files exceed the " +
-            s"budget ($deleteByteBudget) for table $tableName — compact first")
-        posDeleteFiles.map(d => posDeleteCache.getOrElseUpdate(d.path, {
-            val spark = SparkSession.active
-            val posSchema = org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("file",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("pos",
-                org.apache.spark.sql.types.LongType)))
-            spark.read.schema(posSchema).parquet(s"$dataDir/${d.path}")
-              .collect()
-              .groupBy(_.getString(0))
-              .map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSet }
-          }))
-          .foldLeft(Map.empty[String, Set[Long]]) { (acc, m) =>
-            m.foldLeft(acc) { case (a, (rel, ps)) =>
-              a + (rel -> (a.getOrElse(rel, Set.empty) ++ ps))
-            }
-          }
-      }
+    val posByRel = loadPosByRel()
     val posAffected = rels.filter(posByRel.contains)
     posAffected.foreach { rel =>
       require(applicableDeletes(rel).isEmpty,
@@ -1310,6 +1361,11 @@ private[graft] class GraftScanBuilder(
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    // requested row coordinates flip the whole scan to the
+    // position-emitting shape (a pushed aggregation never co-occurs:
+    // the parquet delegate refuses aggregations naming columns outside
+    // its data schema)
+    requestedWithMeta.foreach { req => return posDeltaScan(req) }
     // a pushed aggregation owns the whole scan: footer-metadata answers,
     // aggregate read schema, no runtime filtering (a refilter would
     // rebuild a row scan under an aggregate plan shape)

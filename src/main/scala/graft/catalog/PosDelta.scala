@@ -1,0 +1,236 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.meta.{MetaStore, SchemaBridge, TableMetadata}
+
+/** Row-position surface for keyless merge-on-read tables (the engine's
+  * analog of the (file, pos) row coordinates the reference's metadata
+  * spec carries in its delete-file flavors —
+  * `/root/reference/catalog/tables.go:192` commit machinery).
+  *
+  * Two DSv2 metadata columns — `_graft_file` (manifest-relative data
+  * file path) and `_graft_pos` (row index in full-file order) — give
+  * every row a stable physical coordinate without any declared key.
+  * They power [[GraftPositionDeltaOperation]]: UPDATE/MERGE on a
+  * keyless merge-on-read table reads matched rows WITH their
+  * coordinates, writes the old coordinates as position-delete parquet
+  * and the new row versions as ordinary data files, and commits both in
+  * one RowDelta — no data file rewritten, where the copy-on-write path
+  * would rewrite every touched file.
+  *
+  * Scale shape: coordinates are produced per-file (position = index in
+  * that file's row order), so file-level manifest pruning stays valid —
+  * only candidate files are read, each as ONE unsplit partition (a
+  * split or a pushed row-group skip would shift every count; the
+  * predicate is re-applied by Spark above the scan).
+  */
+private[graft] object PosDelta {
+  val FileCol = "_graft_file"
+  val PosCol = "_graft_pos"
+  val names: Set[String] = Set(FileCol, PosCol)
+
+  /** Delete-file layout shared with [[GraftTable.positionDeleteWhere]]
+    * and the read-side position subtraction ([[PosFilteringReader]]). */
+  val deleteFileSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  // row-id columns must be non-nullable: Spark's delta-based row-level
+  // plans refuse nullable row ids outright
+  val metadataColumns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = FileCol
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "manifest-relative data file path of the row"
+    },
+    new MetadataColumn {
+      override def name: String = PosCol
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "row position in full-file order (position-delete coordinate)"
+    })
+}
+
+/** Scan emitting `_graft_file`/`_graft_pos` alongside the requested
+  * data columns: one whole-file partition per candidate file, served by
+  * a filter-free delegate reader wrapped to count raw positions and
+  * skip already-deleted ones. Statistics ride the delegate so join-side
+  * broadcast decisions are unchanged. */
+private[graft] class PosDeltaScan(
+    delegate: Scan, groups: Seq[PosGroup],
+    requested: StructType, dataSchema: StructType)
+  extends Scan with SupportsReportStatistics {
+
+  override def readSchema(): StructType = requested
+  override def description(): String =
+    s"graft-posdelta(${groups.size} files) ${delegate.description()}"
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      groups.zipWithIndex.map { case (g, i) =>
+        val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+          InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPathString(g.absPath),
+          0L, g.fileSize, Array.empty, 0L, g.fileSize)
+        PosDeltaPartition(
+          org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)),
+          g.rel, g.positions): InputPartition
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PosDeltaReaderFactory(delegate.toBatch.createReaderFactory(),
+        dataSchema, requested)
+  }
+}
+
+/** One whole-file partition tagged with its rel path (the emitted
+  * `_graft_file` value) and its already-deleted position set. */
+private[graft] final case class PosDeltaPartition(
+    delegate: InputPartition, rel: String, positions: Set[Long])
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+private[graft] class PosDeltaReaderFactory(
+    delegate: PartitionReaderFactory, dataSchema: StructType,
+    requested: StructType) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case PosDeltaPartition(d, rel, dead) =>
+      new PosEmittingReader(delegate.createReader(d), rel, dead,
+        dataSchema, requested)
+    case other =>
+      throw new IllegalStateException(s"untagged partition $other")
+  }
+}
+
+/** Row reader over ONE whole file: counts raw positions, skips dead
+  * ones, and projects (data columns ++ [file, pos]) into the requested
+  * column order. Projection output reuses a buffer — legal between
+  * DSv2 next() calls. */
+private[graft] class PosEmittingReader(
+    delegate: PartitionReader[InternalRow], rel: String, dead: Set[Long],
+    dataSchema: StructType, requested: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val metaRow = {
+    val r = new GenericInternalRow(2)
+    r.update(0, UTF8String.fromString(rel))
+    r
+  }
+  private val joined = new JoinedRow
+  // a data column named like a metadata column shadows it (Spark's
+  // metadataOutput already excludes conflicts) — resolve data first
+  private lazy val proj = {
+    val n = dataSchema.length
+    UnsafeProjection.create(requested.fields.map { f =>
+      if (dataSchema.fieldNames.contains(f.name)) {
+        val i = dataSchema.fieldIndex(f.name)
+        BoundReference(i, dataSchema(i).dataType, dataSchema(i).nullable)
+      } else if (f.name == PosDelta.FileCol)
+        BoundReference(n, StringType, nullable = false)
+      else if (f.name == PosDelta.PosCol)
+        BoundReference(n + 1, LongType, nullable = false)
+      else throw new IllegalStateException(
+        s"requested column '${f.name}' is neither data nor position metadata")
+    }.map(e => e: Expression).toIndexedSeq)
+  }
+
+  private var pos = -1L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (delegate.next()) {
+      pos += 1
+      if (!dead.contains(pos)) {
+        metaRow.setLong(1, pos)
+        current = proj(joined(delegate.get(), metaRow))
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = delegate.close()
+}
+
+/** Delta-based (merge-on-read) DELETE / UPDATE / MERGE for tables with
+  * NO declared identifier fields, selected when the command's
+  * `write.<cmd>.mode` is merge-on-read and every live delete file is
+  * position-flavored. The row id is the physical coordinate
+  * (`_graft_file`, `_graft_pos`) instead of key columns: matched rows
+  * arrive at the writer with their coordinates, deleted/updated
+  * coordinates land in position-delete parquet (empty `keyFieldIds`
+  * marks the flavor), and new row versions land as ordinary data files
+  * — one RowDelta, zero rewritten data files. Readers subtract
+  * positions ([[PosFilteringReader]]); compaction folds them away.
+  *
+  * Sequence scoping is positional rather than temporal: a
+  * position-delete names its exact (file, pos) target, and a re-written
+  * row version lands in a NEW file, so an update can never swallow its
+  * own output. */
+private[catalog] class GraftPositionDeltaOperation(
+    store: MetaStore, ns: Seq[String], table: String, tableName: String,
+    meta: TableMetadata, cmd: RowLevelOperation.Command,
+    props: Map[String, String])
+  extends RowLevelOperation with SupportsDelta {
+
+  private val tableSchema = SchemaBridge.toSpark(meta.currentSchema)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(PosDelta.FileCol),
+      Expressions.column(PosDelta.PosCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tableName, store.dataDir(ns, table),
+      meta.currentSnapshot.map(_.files).getOrElse(Nil),
+      SpecDerivation.identityPartCols(meta), tableSchema, options,
+      meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
+      SpecDerivation.transformPartSpecs(meta),
+      deleteFiles = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil),
+      fileSeqs = meta.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty),
+      deleteByteBudget = MergeOnRead.byteBudget(props))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    GraftRewrite.requireRewritableSpec(meta)
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = {
+          val tableFields = tableSchema.fields.map(f => f.name -> f).toMap
+          val dataSchema = StructType(
+            info.schema().fields.map(f => tableFields.getOrElse(f.name, f)))
+          // empty keyFieldIds marks the position flavor all the way to
+          // the manifest; the delete-file layout matches the read side
+          new GraftDeltaBatchWrite(store, ns, table, meta,
+            dataSchema, PosDelta.deleteFileSchema, Nil)
+        }
+      }
+    }
+  }
+}

@@ -416,6 +416,66 @@ object CatalogQueries {
       |WHERE n_regionkey <> 2 AND n_nationkey < 20
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Keyless merge-on-read UPDATE + MERGE through the oracle gate: with
+    * no identifier fields the row id is the physical (file, pos)
+    * coordinate ([[graft.catalog.GraftPositionDeltaOperation]]) — both
+    * commands commit position-delete marks plus new row versions in one
+    * RowDelta, rewriting zero existing data files (asserted below), and
+    * the merge-on-read scan reconstructs exactly the oracle's view of
+    * the same edit sequence. */
+  def q96KeylessDml(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation_posu")
+    s.sql("""CREATE TABLE graft_q13.tpch.nation_posu
+      (n_nationkey INT, n_name STRING, n_regionkey INT)
+      TBLPROPERTIES (
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'write.merge.mode' = 'merge-on-read')""")
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .writeTo("graft_q13.tpch.nation_posu").append()
+    val cat = s.sessionState.catalogManager.catalog("graft_q13")
+      .asInstanceOf[GraftCatalog]
+    val before = cat.metadataStore.load(Seq("tpch"), "nation_posu")._1
+      .currentSnapshot.get.files.toSet
+    s.sql("""UPDATE graft_q13.tpch.nation_posu
+      SET n_regionkey = n_regionkey + 10 WHERE n_nationkey < 5""")
+    s.sql("""MERGE INTO graft_q13.tpch.nation_posu t
+      USING (
+        SELECT n_nationkey, concat(n_name, '_M') AS n_name, n_regionkey
+        FROM graft_q13.tpch.nation
+        WHERE n_nationkey BETWEEN 10 AND 12
+        UNION ALL
+        SELECT n_nationkey + 100, n_name, n_regionkey
+        FROM graft_q13.tpch.nation WHERE n_nationkey < 2) s
+      ON t.n_nationkey = s.n_nationkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val snap = cat.metadataStore.load(Seq("tpch"), "nation_posu")._1
+      .currentSnapshot.get
+    require(before.subsetOf(snap.files.toSet),
+      "position-delta DML must not rewrite existing data files")
+    require(snap.operation == "delta" && snap.deleteFiles.nonEmpty &&
+      snap.deleteFiles.forall(_.keyFieldIds.isEmpty),
+      "expected position-flavored delta commits")
+    s.table("graft_q13.tpch.nation_posu").orderBy(col("n_nationkey"))
+  }
+
+  val q96Sql: String =
+    """WITH updated AS (
+      |  SELECT n_nationkey,
+      |         CASE WHEN n_nationkey BETWEEN 10 AND 12
+      |              THEN n_name || '_M' ELSE n_name END AS n_name,
+      |         CASE WHEN n_nationkey < 5
+      |              THEN n_regionkey + 10 ELSE n_regionkey END AS n_regionkey
+      |  FROM nation)
+      |SELECT * FROM updated
+      |UNION ALL
+      |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+      |FROM nation WHERE n_nationkey < 2
+      |ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_catalog_scan" -> q13CatalogScan _,
     "q83_stream_catalog_source" -> q83StreamCatalogSource _,
@@ -426,7 +486,8 @@ object CatalogQueries {
     "q89_spj_join" -> q89SpjJoin _,
     "q90_changes_feed" -> q90ChangesFeed _,
     "q94_position_delete" -> q94PositionDelete _,
-    "q95_temporal_spj" -> q95TemporalSpj _)
+    "q95_temporal_spj" -> q95TemporalSpj _,
+    "q96_keyless_dml" -> q96KeylessDml _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
     "q83_stream_catalog_source" -> q83Sql,
@@ -439,5 +500,6 @@ object CatalogQueries {
     "q89_spj_join" -> q89Sql,
     "q90_changes_feed" -> q90Sql,
     "q94_position_delete" -> q94Sql,
-    "q95_temporal_spj" -> q95Sql)
+    "q95_temporal_spj" -> q95Sql,
+    "q96_keyless_dml" -> q96Sql)
 }

@@ -373,6 +373,37 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a keyless position-delta UPDATE emits delete + insert in one step") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.posu")
+    spark.sql("DROP TABLE IF EXISTS graft.posu.t")
+    spark.sql("""CREATE TABLE graft.posu.t (k INT, v STRING)
+      TBLPROPERTIES (
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.posu.t VALUES (1,'a'),(2,'b')")
+    val vIns = version2("posu", "t")
+    // the UPDATE commits position marks AND the new row version in ONE
+    // RowDelta — the step must emit the old row as delete, new as insert
+    spark.sql("UPDATE graft.posu.t SET v = 'B' WHERE k = 2")
+    val vU = version2("posu", "t")
+    assert(vU == vIns + 1)
+    def feed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+        .toSet
+    val step = feed(Changes.between(spark, "graft.posu.t", vIns, Some(vU)))
+    assert(step == Set((2, "b", "delete", vU), (2, "B", "insert", vU)),
+      step.toString)
+    // both surfaces agree over the full history
+    val api = feed(Changes.between(spark, "graft.posu.t", 0))
+    val tab = feed(spark.read.table("graft.posu.`t$changes`"))
+    assert(api == tab, s"missing ${api -- tab}, invented ${tab -- api}")
+    assert(spark.table("graft.posu.t").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((1, "a"), (2, "B")))
+  }
+
   test("position-delete commits flow through BOTH changelog surfaces") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.posc")
     spark.sql("DROP TABLE IF EXISTS graft.posc.t")

@@ -480,6 +480,90 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(5L))
   }
 
+  test("keyless MoR UPDATE/MERGE ride the position-delta path") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.poskey")
+    // no identifier-fields, all commands merge-on-read: row id is the
+    // physical (file, pos) coordinate
+    spark.sql("""CREATE TABLE mor.poskey.t (id BIGINT, cat STRING, v DOUBLE)
+      TBLPROPERTIES (
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'write.merge.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO mor.poskey.t VALUES " +
+      "(1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
+    val before = snap("poskey", "t")
+
+    spark.sql("UPDATE mor.poskey.t SET v = v * 10 WHERE id >= 2")
+
+    val after = snap("poskey", "t")
+    assert(after.operation == "delta", "keyless MoR UPDATE must stay delta")
+    assert(before.files.toSet.subsetOf(after.files.toSet),
+      "position-delta UPDATE must not rewrite existing data files")
+    assert(after.deleteFiles.nonEmpty &&
+      after.deleteFiles.forall(_.keyFieldIds.isEmpty),
+      "the delete files must be position-flavored")
+    assert(after.deleteFiles.map(_.rows).sum == 2)
+    val rows1 = spark.table("mor.poskey.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows1 == Seq((1L, 1.0), (2L, 20.0), (3L, 30.0)), rows1.toString)
+
+    // a second UPDATE must read THROUGH the first one's position marks:
+    // the retired row versions cannot re-match
+    spark.sql("UPDATE mor.poskey.t SET v = v + 1 WHERE id = 2")
+    val rows2 = spark.table("mor.poskey.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows2 == Seq((1L, 1.0), (2L, 21.0), (3L, 30.0)), rows2.toString)
+
+    // MERGE: matched update + not-matched insert, same coordinates path
+    spark.sql("""MERGE INTO mor.poskey.t t
+      USING (SELECT * FROM VALUES (3L,'c2',333.0), (7L,'g',7.0) AS s(id,cat,v)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows3 = spark.table("mor.poskey.t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows3 == Seq((1L, "a", 1.0), (2L, "b", 21.0), (3L, "c2", 333.0),
+      (7L, "g", 7.0)), rows3.toString)
+    assert(snap("poskey", "t").operation == "delta")
+
+    // a DELETE whose condition can't convert to filters (subquery) has
+    // no metadata-only path — it must run as a position delta, not CoW
+    val filesBefore = snap("poskey", "t").files.toSet
+    spark.sql("""DELETE FROM mor.poskey.t
+      WHERE id IN (SELECT id FROM mor.poskey.t WHERE v > 100)""")
+    val afterDel = snap("poskey", "t")
+    assert(afterDel.operation == "delta")
+    assert(afterDel.files.toSet == filesBefore,
+      "delta DELETE must not rewrite data files")
+    assert(spark.table("mor.poskey.t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 7L))
+  }
+
+  test("row coordinates are queryable metadata columns") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.poscol")
+    spark.sql("""CREATE TABLE mor.poscol.t (id BIGINT, cat STRING)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO mor.poscol.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    val coords = spark.sql(
+      "SELECT id, _graft_file, _graft_pos FROM mor.poscol.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(coords.length == 3)
+    assert(coords.forall(_._2.endsWith(".parquet")))
+    // positions are 0-based per file and unique within one
+    assert(coords.groupBy(_._2).values.forall(g =>
+      g.map(_._3).sorted.toSeq == (0L until g.length).toSeq))
+    // dead positions disappear from the surface but later rows keep
+    // their ORIGINAL file coordinates (positions never re-number)
+    spark.sql("DELETE FROM mor.poscol.t WHERE id = 2")
+    val survivors = spark.sql(
+      "SELECT id, _graft_pos FROM mor.poscol.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val deadPos = coords.find(_._1 == 2L).get._3
+    assert(!survivors.exists(_._2 == deadPos) ||
+      coords.map(_._2).distinct.length > 1)
+    assert(survivors.map(_._1) == Seq(1L, 3L))
+  }
+
   test("keyless CoW UPDATE composes with live position deletes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.posd2")
     spark.sql("""CREATE TABLE mor.posd2.t (id BIGINT, cat STRING, v DOUBLE)

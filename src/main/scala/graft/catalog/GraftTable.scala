@@ -150,6 +150,22 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
       ds.map(MergeOnRead.estBytes).sum > MergeOnRead.byteBudget(mergedProps)
   }
 
+  /** Data files named by any live POSITION-delete file — the dirty set
+    * of the position-flavored join rewrite. One metadata-scale job
+    * (distinct over the `file` column; bounded by the manifest's file
+    * count no matter how many positions are marked), memoized on the
+    * table instance. */
+  private[graft] lazy val posMarkedFiles: Set[String] = {
+    val ds = liveDeleteFiles.filter(_.keyFieldIds.isEmpty)
+    if (ds.isEmpty) Set.empty
+    else {
+      val dir = store.dataDir(ns, table)
+      SparkSession.active.read.schema(PosDelta.deleteFileSchema)
+        .parquet(ds.map(d => s"$dir/${d.path}"): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+    }
+  }
+
   /** A read-only sibling of this table restricted to `rels`, with NO
     * delete application — the building block of the join rewrite (clean
     * subset keeps its vectorized scan; dirty subsets feed the anti
@@ -1076,7 +1092,9 @@ private[graft] class GraftScanBuilder(
       val posBytes = posDeleteFiles.map(MergeOnRead.estBytes).sum
       require(posBytes <= deleteByteBudget,
         s"$posBytes bytes of live position-delete files exceed the " +
-          s"budget ($deleteByteBudget) for table $tableName — compact first")
+          s"broadcast-class budget ($deleteByteBudget) for table $tableName " +
+          "— install graft.functions.GraftExtensions (spark.sql.extensions) " +
+          "so positions apply as a distributed anti join, or compact the table")
       posDeleteFiles.map(d => posDeleteCache.getOrElseUpdate(d.path, {
           val spark = SparkSession.active
           spark.read.schema(PosDelta.deleteFileSchema)

@@ -48,8 +48,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object MorDeleteJoin extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case rel: DataSourceV2Relation if graftOf(rel).exists(overBudget) =>
-      rewrite(rel, graftOf(rel).get)
+    case rel: DataSourceV2Relation if graftOf(rel).exists(_.morOverBudget) =>
+      val t = graftOf(rel).get
+      // flavors never mix within one table (equality needs identifier
+      // fields, position requires their absence)
+      if (t.liveDeleteFiles.forall(_.keyFieldIds.nonEmpty)) rewrite(rel, t)
+      else rewritePos(rel, t)
   }
 
   /** The Graft table behind a relation this rule may rewrite: a plain
@@ -67,15 +71,10 @@ object MorDeleteJoin extends Rule[LogicalPlan] {
         org.apache.spark.sql.connector.write.RowLevelOperationTables
           .unwrap(other) match {
             case Some((g: GraftTable, _: GraftDeltaOperation)) => Some(g)
+            case Some((g: GraftTable, _: GraftPositionDeltaOperation)) => Some(g)
             case _ => None
           }
     }
-
-  // the join applies EQUALITY deletes; position deletes (keyless
-  // tables) have no key columns to join on — the scan's budget guard
-  // handles them (past it, compaction is the answer)
-  private def overBudget(t: GraftTable): Boolean =
-    t.morOverBudget && t.liveDeleteFiles.forall(_.keyFieldIds.nonEmpty)
 
   /** A column name absent from the data schema (suffix-extended on the
     * astronomically unlikely collision). */
@@ -157,6 +156,61 @@ object MorDeleteJoin extends Rule[LogicalPlan] {
     val combined =
       if (clean.isEmpty) noSeq
       else Union(Seq(subsetRel(clean): LogicalPlan, noSeq))
+    restoreOutput(combined)
+  }
+
+  /** The position-flavored twin of [[rewrite]]: an over-budget set of
+    * POSITION-delete files applies as a distributed left-anti join on
+    * the physical row coordinate. Files no delete names keep their
+    * vectorized scan; marked files read WITH `_graft_file`/`_graft_pos`
+    * (the [[PosDeltaScan]] surface — whole-file counting partitions)
+    * and anti-join the delete frames on (file, pos). No sequence
+    * conjunct: a position delete names its exact target file, and
+    * re-inserted rows land in new files. A row-level command's
+    * matched-row read (rowId = the coordinate pair) keeps its metadata
+    * columns through the join; a plain read projects them away. */
+  private def rewritePos(rel: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
+    val spark = SparkSession.active
+    val dataDir = t.store.dataDir(t.ns, t.table)
+    val deletes = t.liveDeleteFiles
+    val rels = t.effectiveRelFiles(rel.options)
+    val (dirty, clean) = rels.partition(t.posMarkedFiles)
+    // does this read want the coordinates themselves (DML matched-row
+    // scan), or only data columns (plain query)?
+    val wantsMeta = rel.output.exists(a => PosDelta.names.contains(a.name) &&
+      !t.schema().fieldNames.contains(a.name))
+
+    def subsetRel(files: Seq[String], withMeta: Boolean): DataSourceV2Relation = {
+      val r = DataSourceV2Relation.create(t.fileSubsetTable(files), rel.catalog,
+        rel.identifier, stripped(rel.options))
+      if (withMeta) r.withMetadataColumns() else r
+    }
+    def restoreOutput(p: LogicalPlan): LogicalPlan =
+      Project(rel.output.zip(p.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,
+          explicitMetadata = Some(o.metadata))
+      }, p)
+
+    if (dirty.isEmpty) return restoreOutput(subsetRel(rels, wantsMeta))
+
+    val dirtyRel = subsetRel(dirty, withMeta = true)
+    val fileAttr = dirtyRel.output.find(_.name == PosDelta.FileCol).get
+    val posAttr = dirtyRel.output.find(_.name == PosDelta.PosCol).get
+    val delFrame = spark.read.schema(PosDelta.deleteFileSchema)
+      .parquet(deletes.map(d => s"$dataDir/${d.path}"): _*)
+    val right = delFrame.queryExecution.analyzed
+    val cond = And(
+      EqualTo(fileAttr, right.output.find(_.name == "file").get),
+      EqualTo(posAttr, right.output.find(_.name == "pos").get))
+    val joined = Join(dirtyRel, right, LeftAnti, Some(cond), JoinHint.NONE)
+    val dirtySide: LogicalPlan =
+      if (wantsMeta) joined
+      else Project(joined.output.filterNot(a =>
+        PosDelta.names.contains(a.name) &&
+          !t.schema().fieldNames.contains(a.name)), joined)
+    val combined =
+      if (clean.isEmpty) dirtySide
+      else Union(Seq(subsetRel(clean, wantsMeta): LogicalPlan, dirtySide))
     restoreOutput(combined)
   }
 

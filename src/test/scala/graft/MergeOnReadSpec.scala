@@ -564,6 +564,41 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors.map(_._1) == Seq(1L, 3L))
   }
 
+  test("over-budget position deletes apply as a coordinate anti join") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.bigpos")
+    spark.sql("""CREATE TABLE mor.bigpos.t (id BIGINT, cat STRING, v DOUBLE)
+      TBLPROPERTIES (
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'read.delete.byte-budget' = '1')""")
+    spark.sql("INSERT INTO mor.bigpos.t VALUES " +
+      "(1,'a',1.0),(2,'b',2.0),(3,'c',3.0),(4,'d',4.0)")
+    spark.sql("DELETE FROM mor.bigpos.t WHERE id IN (2, 4)")
+
+    val df = spark.table("mor.bigpos.t")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val antis = df.queryExecution.optimizedPlan.collect {
+      case j: LJoin if j.joinType == LeftAnti => j
+    }
+    assert(antis.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    // projection and aggregation ride the join path
+    assert(spark.sql("SELECT cat FROM mor.bigpos.t ORDER BY cat").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "c"))
+    assert(spark.sql("SELECT count(*) FROM mor.bigpos.t").head().getLong(0) == 2L)
+    // DML on the over-budget table still plans (matched-row read keeps
+    // its coordinates through the join) and commits a delta
+    spark.sql("UPDATE mor.bigpos.t SET v = v * 10 WHERE id = 3")
+    assert(snap("bigpos", "t").operation == "delta")
+    val rows = spark.table("mor.bigpos.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 1.0), (3L, 30.0)), rows.toString)
+    // rows re-inserted AFTER the marks are untouched by them
+    spark.sql("INSERT INTO mor.bigpos.t VALUES (2,'b2',22.0)")
+    assert(spark.table("mor.bigpos.t").count() == 3)
+  }
+
   test("keyless CoW UPDATE composes with live position deletes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.posd2")
     spark.sql("""CREATE TABLE mor.posd2.t (id BIGINT, cat STRING, v DOUBLE)

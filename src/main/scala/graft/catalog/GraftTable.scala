@@ -31,6 +31,14 @@ import graft.meta._
   * giving atomic, versioned, time-travelable appends (the reference's
   * commit endpoint, `tables.go:192`, applied to data instead of schema).
   */
+object GraftTable {
+  /** (dataDir + live position-delete paths) → marked data files; delete
+    * files are immutable so entries never go stale. Bounded: an entry
+    * is manifest-scale and compaction retires the keys. */
+  private val posMarkedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+}
+
 class GraftTable(tableName: String, private[graft] val store: MetaStore,
                  private[graft] val ns: Seq[String],
                  private[graft] val table: String,
@@ -153,16 +161,20 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
   /** Data files named by any live POSITION-delete file — the dirty set
     * of the position-flavored join rewrite. One metadata-scale job
     * (distinct over the `file` column; bounded by the manifest's file
-    * count no matter how many positions are marked), memoized on the
-    * table instance. */
-  private[graft] lazy val posMarkedFiles: Set[String] = {
+    * count no matter how many positions are marked), memoized across
+    * table instances (delete files are immutable, so the live PATH SET
+    * fully determines the answer — repeated plannings of an over-budget
+    * table cost zero extra jobs). */
+  private[graft] def posMarkedFiles: Set[String] = {
     val ds = liveDeleteFiles.filter(_.keyFieldIds.isEmpty)
     if (ds.isEmpty) Set.empty
     else {
       val dir = store.dataDir(ns, table)
-      SparkSession.active.read.schema(PosDelta.deleteFileSchema)
-        .parquet(ds.map(d => s"$dir/${d.path}"): _*)
-        .select("file").distinct().collect().map(_.getString(0)).toSet
+      val key = dir + " " + ds.map(_.path).sorted.mkString(" ")
+      GraftTable.posMarkedCache.computeIfAbsent(key, _ =>
+        SparkSession.active.read.schema(PosDelta.deleteFileSchema)
+          .parquet(ds.map(d => s"$dir/${d.path}"): _*)
+          .select("file").distinct().collect().map(_.getString(0)).toSet)
     }
   }
 
@@ -1120,7 +1132,19 @@ private[graft] class GraftScanBuilder(
       s"row-position metadata columns are unavailable while $tableName " +
         "carries equality-delete files — keyed tables take the " +
         "equality-delete delta path; compact first to read positions")
-    val rels = prunedRelFiles
+    // an equality/IN filter on the file coordinate prunes to exactly
+    // the named files — the "re-read THIS file" repair/debug shape
+    val fileEq: Option[Set[String]] =
+      if (tableSchema.fieldNames.contains(PosDelta.FileCol)) None
+      else pushed.toSeq.collect {
+        case EqualTo(c, v: String) if c == PosDelta.FileCol => Set(v)
+        case In(c, vs) if c == PosDelta.FileCol =>
+          vs.collect { case s: String => s }.toSet
+      }.reduceOption(_ intersect _)
+    val rels = fileEq match {
+      case Some(named) => prunedRelFiles.filter(named)
+      case None => prunedRelFiles
+    }
     onBuild(rels)
     val posByRel = loadPosByRel()
     val hconf = SparkSession.active.sessionState.newHadoopConf()

@@ -50,10 +50,17 @@ object MorDeleteJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case rel: DataSourceV2Relation if graftOf(rel).exists(_.morOverBudget) =>
       val t = graftOf(rel).get
+      val wantsMeta = rel.output.exists(a =>
+        PosDelta.names.contains(a.name) &&
+          !t.schema().fieldNames.contains(a.name))
       // flavors never mix within one table (equality needs identifier
       // fields, position requires their absence)
-      if (t.liveDeleteFiles.forall(_.keyFieldIds.nonEmpty)) rewrite(rel, t)
-      else rewritePos(rel, t)
+      if (t.liveDeleteFiles.forall(_.keyFieldIds.nonEmpty)) {
+        // a coordinate query over an EQUALITY table has no join shape
+        // here (the subsets carry no metadata columns) — fall through to
+        // the scan's own clear refusal instead of mis-zipping outputs
+        if (wantsMeta) rel else rewrite(rel, t)
+      } else rewritePos(rel, t)
   }
 
   /** The Graft table behind a relation this rule may rewrite: a plain

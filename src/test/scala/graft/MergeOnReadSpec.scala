@@ -537,6 +537,14 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       "delta DELETE must not rewrite data files")
     assert(spark.table("mor.poskey.t").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 7L))
+
+    // MERGE's matched-DELETE branch rides the same coordinate writer
+    spark.sql("""MERGE INTO mor.poskey.t t
+      USING (SELECT 7L AS id) s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.table("mor.poskey.t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(snap("poskey", "t").operation == "delta")
   }
 
   test("row coordinates are queryable metadata columns") {
@@ -562,6 +570,24 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!survivors.exists(_._2 == deadPos) ||
       coords.map(_._2).distinct.length > 1)
     assert(survivors.map(_._1) == Seq(1L, 3L))
+    // metadata columns resolve at ANY projection position (the reader
+    // projects (data ++ [file, pos]) into the requested order)
+    val reordered = spark.sql(
+      "SELECT _graft_pos, cat, _graft_file, id FROM mor.poscol.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(reordered.map(_._4).toSeq == Seq(1L, 3L))
+    assert(reordered.forall(_._3.endsWith(".parquet")))
+    // an equality filter on the file coordinate prunes the scan to
+    // exactly that file (and still answers correctly)
+    val oneFile = reordered.head._3
+    val scoped = spark.sql(
+      s"SELECT id FROM mor.poscol.t WHERE _graft_file = '$oneFile'")
+    assert(scoped.collect().map(_.getLong(0)).nonEmpty)
+    val scanLine = scoped.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("graft-posdelta")).getOrElse("")
+    assert(scanLine.contains("graft-posdelta(1 files)"),
+      s"expected a single-file coordinate scan, got: $scanLine")
   }
 
   test("over-budget position deletes apply as a coordinate anti join") {

@@ -481,7 +481,127 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Substring-level exact dedup — the Spark shape of cross-document
+    * suffix-array substring dedup (the "Deduplicating Training Data
+    * Makes Language Models Better" recipe): every ≥k-token span a
+    * document shares VERBATIM with any other document, merged into
+    * maximal spans per document, reported as per-doc duplication stats.
+    * Complements the whole-document family (q50-q54): boilerplate
+    * headers, license blocks and templated paragraphs duplicate at the
+    * substring level inside otherwise-unique documents.
+    *
+    * Plan shape at 100 TB: tokens explode to (doc, pos, token) — linear
+    * in corpus tokens, ids + one token per row; each k-window hashes to
+    * 64 bits (windowed collect over k rows, one doc-keyed shuffle); a
+    * gram is cross-doc duplicated iff min(doc) != max(doc) within its
+    * hash group — combiner-friendly, no distinct, no pair explosion, so
+    * a boilerplate gram in a million documents costs one aggregation
+    * cell, never a hot join; marked offsets merge into spans with a
+    * running-max island window. Two keyed shuffles total (doc,
+    * gram-hash); document payloads never move. */
+  /** Merged cross-document duplicated spans as (doc_id, start, end) in
+    * token offsets — the shared core of [[substringSpans]] (stats) and
+    * [[stripDuplicateSpans]] (removal). */
+  private def crossDocSpans(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokenize = split(trim(col("text")), "\\s+")
+    val toks = docs.select(col("doc_id"),
+        posexplode(tokenize).as(Seq("pos", "tok")))
+    val wGram = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, k - 1)
+    // the \u0001 separator never appears in whitespace-split tokens, so the joined
+    // window is an injective rendering of the k-gram (the 64-bit hash
+    // space makes a residual collision astronomically unlikely and at
+    // worst marks one extra span)
+    val grams = toks
+      .withColumn("win", collect_list(col("tok")).over(wGram))
+      .where(size(col("win")) === k)
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws("\u0001", col("win"))).as("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .where(col("d0") =!= col("d1"))
+      .select(col("gh"))
+    val marked = grams.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
+    // island detection: a marked offset extends the current span iff it
+    // starts before-or-at the running max end (adjacent spans merge —
+    // the duplicated text is contiguous)
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(k))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("span_id",
+        sum(col("new_span")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("start"), (max(col("pos")) + lit(k)).as("end"))
+      .select(col("doc_id"), col("start"), col("end"))
+  }
+
+  def substringSpans(docs: DataFrame, k: Int = 16): DataFrame = {
+    val spans = crossDocSpans(docs, k)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("end") - col("start")).as("dup_tokens"))
+    docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The actionable twin of [[substringSpans]]: rewrite each document
+    * with its cross-document duplicated spans REMOVED (the canonical
+    * "keep one copy" policy keeps a span in the LOWEST doc_id that
+    * carries its first gram — implemented as: a doc keeps its text
+    * unless the span was also seen elsewhere; spans here are cut in
+    * every doc, the conservative "drop boilerplate everywhere" policy
+    * of the C4/Lee-et-al pipelines). Span lists are per-doc small
+    * (collect_list after the island merge); the cut itself is a
+    * map-only higher-order filter over token indexes — no second
+    * shuffle beyond [[crossDocSpans]]'s own. */
+  def stripDuplicateSpans(docs: DataFrame, k: Int = 16): DataFrame = {
+    val spanList = crossDocSpans(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start"), col("end"))).as("spans"))
+    docs.join(spanList, Seq("doc_id"), "left")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(
+          concat_ws(" ", transform(filter(
+            zip_with(col("toks"),
+              sequence(lit(0), size(col("toks")) - 1),
+              (t, i) => struct(t.as("t"), i.as("i"))),
+            x => !exists(col("spans"),
+              s => x("i") >= s("start") && x("i") < s("end"))),
+            x => x("t")))).as("clean_text"),
+        coalesce(aggregate(col("spans"),
+            lit(0L), (acc, s) => acc + (s("end") - s("start"))),
+          lit(0L)).as("removed_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q97: cross-document repeated substrings over the corpus (rows-only:
+    * the windowed gram hashing is engine-specific; exactness is proven
+    * on a hand-built fixture in DedupGuardSpec). */
+  def q97SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables.documents(s, dir), k = 16)
+
+  /** q98: the span-REMOVAL form — documents rewritten without their
+    * cross-doc duplicated spans (rows-only; exact cleaned text proven
+    * on the DedupGuardSpec fixture). */
+  def q98StripSpans(s: SparkSession, dir: String): DataFrame =
+    stripDuplicateSpans(Tables.documents(s, dir), k = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_substring_dedup" -> q97SubstringDedup _,
+    "q98_strip_spans" -> q98StripSpans _,
     "q67_dedup_clusters" -> q67DedupClusters _,
     "q50_dedup_exact"   -> q50Exact _,
     "q51_dedup_norm"    -> q51Norm _,

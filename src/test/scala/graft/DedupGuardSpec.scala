@@ -80,4 +80,42 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sharded.length == k, s"expected $k shards, got ${sharded.length}")
     assert(sharded.max <= 150 / k + 25, s"shard skew too high: ${sharded.toSeq}")
   }
+
+  test("substring spans: exact island stats on a hand-built corpus") {
+    import spark.implicits._
+    // k=4 grams. Shared verbatim runs:
+    //   docs 1+2 share "w x y z a b" (6 tokens → one merged span)
+    //   docs 1+3 share "p q r s" (exactly k tokens → one span)
+    //   doc 4 is unique; doc 5 repeats doc 4's run INTERNALLY only
+    //   (same-doc repetition is q88's business, not cross-doc dup)
+    val docs = Seq(
+      (1L, "w x y z a b m1 m2 m3 p q r s"),
+      (2L, "n1 w x y z a b n2 n3"),
+      (3L, "p q r s o1 o2 o3 o4"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (5L, "h1 h2 h3 h4 z9 h1 h2 h3 h4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // (doc, n_spans, dup_tokens, n_tokens)
+    assert(out == Seq(
+      (1L, 2L, 10L, 13L), // "w x y z a b" (6) + "p q r s" (4)
+      (2L, 1L, 6L, 9L),
+      (3L, 1L, 4L, 8L),
+      (4L, 0L, 0L, 8L),
+      (5L, 0L, 0L, 9L)
+    ), out.toString)
+
+    // removal form: exact cleaned text, untouched docs pass through
+    val cleaned = Dedup.stripDuplicateSpans(docs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(cleaned == Seq(
+      (1L, "m1 m2 m3", 10L),
+      (2L, "n1 n2 n3", 6L),
+      (3L, "o1 o2 o3 o4", 4L),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8", 0L),
+      (5L, "h1 h2 h3 h4 z9 h1 h2 h3 h4", 0L)
+    ), cleaned.toString)
+  }
 }

@@ -517,7 +517,11 @@ private[graft] class ChangesReaderFactory(delegate: PartitionReaderFactory)
 
 /** Positional counting reader: the delegate covers ONE whole file with
   * no pushed filters, so the emitted order is the file order and the
-  * running index IS the row position. */
+  * running index IS the row position. (Deliberately NOT the row-index-
+  * column shape the data scans use: no predicate ever pushes into a
+  * changelog read, so the only value of splitting would be parallelism
+  * within one file — and the changelog's unit of pacing is the FILE,
+  * bounded by max-files-per-trigger.) */
 private[graft] class PosChangeReader(
     delegate: PartitionReader[InternalRow], emit: Option[Set[Long]],
     subtract: Set[Long], spec: ChangeSpec)

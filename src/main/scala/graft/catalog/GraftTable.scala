@@ -1051,6 +1051,27 @@ private[graft] class GraftScanBuilder(
       .newScanBuilder(options)
   }
 
+  /** A delegate scan whose rows carry the metadata-derived ABSOLUTE row
+    * index as a trailing column ([[PosDelta.RowIdxCol]]) — the
+    * split-safe, pushdown-safe way to read positions: indexes come from
+    * parquet row-group metadata, so byte-range splits and row-group
+    * skips shift nothing. Filters still stay residual in group-prune
+    * mode (row-level rewrites need every surviving row back). */
+  private def delegateScanRowIdx(rels: Seq[String], base: StructType)
+      : org.apache.spark.sql.connector.read.Scan = {
+    val files = rels.map(rel => s"$dataDir/$rel")
+    val spark = SparkSession.active
+    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val delegate = ParquetTable(tableName, spark, options, files,
+      Some(PosDelta.withRowIdx(tableSchema)), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+    delegate.pruneColumns(PosDelta.withRowIdx(base))
+    if (!groupPruneOnly)
+      delegate.pushFilters(pushed.toSeq.flatMap(toCatalyst))
+    delegate.build()
+  }
+
   private def delegateScanWith(rels: Seq[String], readSchema: StructType,
                                withFilters: Boolean = true)
       : org.apache.spark.sql.connector.read.Scan = {
@@ -1154,7 +1175,7 @@ private[graft] class GraftScanBuilder(
       val len = p.getFileSystem(hconf).getFileStatus(p).getLen
       PosGroup(rel, abs, len, posByRel.getOrElse(rel, Set.empty))
     }
-    new PosDeltaScan(delegateScanWith(rels, requiredSchema, withFilters = false),
+    new PosDeltaScan(delegateScanRowIdx(rels, requiredSchema),
       groups, requested, requiredSchema)
   }
 
@@ -1184,11 +1205,10 @@ private[graft] class GraftScanBuilder(
     }
     val posFactoryScan =
       if (posGroups.isEmpty) None
-      // filter-free delegate: its reader factory serves the whole-file
-      // partitions, and a pushed filter's row-group skip would shift
-      // every position (Spark re-applies the residual filters above)
-      else Some(delegateScanWith(posAffected, requiredSchema,
-        withFilters = false))
+      // row-index delegate: positions come from parquet row-group
+      // metadata, so the dirty files split at maxPartitionBytes and
+      // keep full filter pushdown — a skipped row group shifts nothing
+      else Some(delegateScanRowIdx(posAffected, requiredSchema))
 
     val eqRels = rels.filterNot(posAffected.toSet)
     val grouped = eqRels.groupBy(r => applicableDeletes(r).map(_.path).toSet)

@@ -139,10 +139,10 @@ private[graft] final case class MorSpec(
     predicates: Seq[MorPredicate], keepFields: Int,
     prefixTypes: Array[DataType]) extends Serializable
 
-/** One position-delete-affected file: read WHOLE (a single unsplit
-  * partition — row positions are indexes into the full-file row order,
-  * so a split or a row-group skip would shift every count) through a
-  * counting reader that drops the marked positions. */
+/** One position-delete-affected file: read in byte-range splits whose
+  * rows carry the metadata-derived absolute row index as a trailing
+  * column ([[PosDelta.RowIdxCol]]) — marked indexes are dropped by the
+  * reader, so splits and row-group skips are both safe. */
 private[graft] final case class PosGroup(rel: String, absPath: String,
                                          fileSize: Long,
                                          positions: Set[Long])
@@ -151,11 +151,12 @@ private[graft] final case class PosGroup(rel: String, absPath: String,
 /** Scan over a snapshot with live deletes: clean files keep their
   * delegate scan untouched (vectorized, pushdown intact); each
   * equality-dirty group gets its own delegate over a possibly-widened
-  * schema plus a subtract-the-keys row filter; each position-dirty FILE
-  * gets a whole-file counting partition served by `posFactory` (built
-  * filter-free — skipped row groups would break the count).
-  * readSchema/statistics ride the all-files delegate so join-side
-  * broadcast decisions are unchanged. */
+  * schema plus a subtract-the-keys row filter; each position-dirty file
+  * splits into byte-range partitions served by `posFactory`, whose rows
+  * carry the metadata-derived row index as a trailing column (pushdown
+  * intact — indexes survive row-group skips). readSchema/statistics
+  * ride the all-files delegate so join-side broadcast decisions are
+  * unchanged. */
 private[graft] class MorScan(statsScan: Scan, clean: Option[Scan],
                              dirty: Seq[(Scan, MorSpec)],
                              posGroups: Seq[PosGroup] = Nil,
@@ -175,7 +176,8 @@ private[graft] class MorScan(statsScan: Scan, clean: Option[Scan],
   }
   override def toBatch: Batch =
     new MorBatch(clean.map(_.toBatch), dirty.map { case (s, sp) => (s.toBatch, sp) },
-      posGroups, posFactory.map(_.toBatch))
+      posGroups, posFactory.map(_.toBatch),
+      statsScan.readSchema().fields.map(_.dataType))
 }
 
 /** Tags each delegate partition with which factory must serve it:
@@ -196,7 +198,9 @@ private[graft] final case class PosInputPartition(
 private[graft] class MorBatch(clean: Option[Batch],
                               dirty: Seq[(Batch, MorSpec)],
                               posGroups: Seq[PosGroup] = Nil,
-                              posBatch: Option[Batch] = None) extends Batch {
+                              posBatch: Option[Batch] = None,
+                              posPrefixTypes: Array[DataType] = Array.empty)
+  extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val c = clean.toArray.flatMap(_.planInputPartitions())
@@ -204,14 +208,8 @@ private[graft] class MorBatch(clean: Option[Batch],
     val d = dirty.zipWithIndex.toArray.flatMap { case ((b, _), i) =>
       b.planInputPartitions().map(p => MorInputPartition(p, i): InputPartition)
     }
-    val p = posGroups.zipWithIndex.toArray.map { case (g, i) =>
-      val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
-        org.apache.spark.sql.catalyst.InternalRow.empty,
-        org.apache.spark.paths.SparkPath.fromPathString(g.absPath),
-        0L, g.fileSize, Array.empty, 0L, g.fileSize)
-      PosInputPartition(
-        org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)),
-        g.positions): InputPartition
+    val p = PosDelta.chunkPartitions(posGroups).map { case (fp, g) =>
+      PosInputPartition(fp, g.positions): InputPartition
     }
     c ++ d ++ p
   }
@@ -219,13 +217,14 @@ private[graft] class MorBatch(clean: Option[Batch],
   override def createReaderFactory(): PartitionReaderFactory =
     new MorReaderFactory(clean.map(_.createReaderFactory()),
       dirty.map { case (b, sp) => (b.createReaderFactory(), sp) }.toArray,
-      posBatch.map(_.createReaderFactory()))
+      posBatch.map(_.createReaderFactory()), posPrefixTypes)
 }
 
 private[graft] class MorReaderFactory(
     clean: Option[PartitionReaderFactory],
     dirty: Array[(PartitionReaderFactory, MorSpec)],
-    pos: Option[PartitionReaderFactory] = None)
+    pos: Option[PartitionReaderFactory] = None,
+    posPrefixTypes: Array[DataType] = Array.empty)
   extends PartitionReaderFactory {
 
   private def route(p: InputPartition): (PartitionReaderFactory, InputPartition, Int) =
@@ -251,7 +250,7 @@ private[graft] class MorReaderFactory(
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {
     case PosInputPartition(d, positions) =>
-      new PosFilteringReader(pos.get.createReader(d), positions)
+      new PosFilteringReader(pos.get.createReader(d), positions, posPrefixTypes)
     case _ =>
       val (f, d, side) = route(partition)
       if (side < 0) f.createReader(d)
@@ -259,22 +258,31 @@ private[graft] class MorReaderFactory(
   }
 }
 
-/** Row reader over ONE whole file that drops the rows at the marked
-  * positions. Position = index in the full-file row order; the
-  * delegate's partition covers the entire file and its scan was built
-  * without pushed filters, so the emitted order IS the file order. */
+/** Row reader over one file range of a position-delete-affected file:
+  * the delegate's trailing column carries the metadata-derived absolute
+  * row index ([[PosDelta.RowIdxCol]]); marked indexes drop, and the
+  * index column projects away. Splits and pushed filters are both safe
+  * — the index never depends on which rows the reader emits. */
 private[graft] class PosFilteringReader(
-    delegate: PartitionReader[InternalRow], positions: Set[Long])
+    delegate: PartitionReader[InternalRow], positions: Set[Long],
+    prefixTypes: Array[DataType])
   extends PartitionReader[InternalRow] {
 
+  private val n = prefixTypes.length
+  private lazy val proj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      (0 until n).map { i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, prefixTypes(i),
+          nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+      })
   private var current: InternalRow = _
-  private var idx = -1L
 
   override def next(): Boolean = {
     while (delegate.next()) {
-      idx += 1
-      if (!positions.contains(idx)) {
-        current = delegate.get()
+      val r = delegate.get()
+      if (!positions.contains(r.getLong(n))) {
+        current = proj(r)
         return true
       }
     }

@@ -44,6 +44,46 @@ private[graft] object PosDelta {
     StructField("file", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
+  /** Spark's parquet row-index temporary column: a read schema carrying
+    * this field makes BOTH parquet readers (vectorized and parquet-mr)
+    * fill it with the metadata-derived ABSOLUTE row index of each row —
+    * split-safe and row-group-skip-safe, the mechanism behind the file
+    * source's `_metadata.row_index`. */
+  val RowIdxCol: String = org.apache.spark.sql.execution.datasources.parquet
+    .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  // the field must be declared NULLABLE: the vectorized reader's
+  // missing-column check rejects required columns absent from the file
+  // BEFORE the row-index generator claims this one (it still fills
+  // every row — the nullability is a fiction the projection erases)
+  def withRowIdx(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField(RowIdxCol, LongType, nullable = true))
+
+  /** One partition per `maxPartitionBytes` byte range per file (file
+    * identity stays a partition constant — the row-index column only
+    * carries the offset within its file). */
+  def chunkPartitions(groups: Seq[PosGroup])
+      : Array[(org.apache.spark.sql.execution.datasources.FilePartition, PosGroup)] = {
+    val maxSplit = math.max(1L, org.apache.spark.sql.SparkSession.active
+      .sessionState.conf.filesMaxPartitionBytes)
+    val out = Array.newBuilder[
+      (org.apache.spark.sql.execution.datasources.FilePartition, PosGroup)]
+    var idx = 0
+    groups.foreach { g =>
+      (0L until math.max(g.fileSize, 1L) by maxSplit).foreach { start =>
+        val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+          InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPathString(g.absPath),
+          start, math.min(maxSplit, g.fileSize - start), Array.empty,
+          0L, g.fileSize)
+        out += ((org.apache.spark.sql.execution.datasources.FilePartition(
+          idx, Array(pf)), g))
+        idx += 1
+      }
+    }
+    out.result()
+  }
+
   // row-id columns must be non-nullable: Spark's delta-based row-level
   // plans refuse nullable row ids outright
   val metadataColumns: Array[MetadataColumn] = Array(
@@ -64,10 +104,14 @@ private[graft] object PosDelta {
 }
 
 /** Scan emitting `_graft_file`/`_graft_pos` alongside the requested
-  * data columns: one whole-file partition per candidate file, served by
-  * a filter-free delegate reader wrapped to count raw positions and
-  * skip already-deleted ones. Statistics ride the delegate so join-side
-  * broadcast decisions are unchanged. */
+  * data columns. The delegate reads `dataSchema` PLUS Spark's parquet
+  * row-index temporary column, which the readers fill with the
+  * METADATA-DERIVED absolute row index — so the scan splits files at
+  * `maxPartitionBytes` and keeps full filter pushdown (a skipped row
+  * group shifts nothing; indexes come from row-group metadata, not
+  * counting). Each partition is one byte range of ONE file (the file
+  * identity is the partition's constant). Statistics ride the delegate
+  * so join-side broadcast decisions are unchanged. */
 private[graft] class PosDeltaScan(
     delegate: Scan, groups: Seq[PosGroup],
     requested: StructType, dataSchema: StructType)
@@ -88,23 +132,17 @@ private[graft] class PosDeltaScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      groups.zipWithIndex.map { case (g, i) =>
-        val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
-          InternalRow.empty,
-          org.apache.spark.paths.SparkPath.fromPathString(g.absPath),
-          0L, g.fileSize, Array.empty, 0L, g.fileSize)
-        PosDeltaPartition(
-          org.apache.spark.sql.execution.datasources.FilePartition(i, Array(pf)),
-          g.rel, g.positions): InputPartition
-      }.toArray
+      PosDelta.chunkPartitions(groups).map { case (fp, g) =>
+        PosDeltaPartition(fp, g.rel, g.positions): InputPartition
+      }
     override def createReaderFactory(): PartitionReaderFactory =
       new PosDeltaReaderFactory(delegate.toBatch.createReaderFactory(),
         dataSchema, requested)
   }
 }
 
-/** One whole-file partition tagged with its rel path (the emitted
-  * `_graft_file` value) and its already-deleted position set. */
+/** One byte range of one file, tagged with the file's rel path (the
+  * emitted `_graft_file` value) and its already-deleted position set. */
 private[graft] final case class PosDeltaPartition(
     delegate: InputPartition, rel: String, positions: Set[Long])
   extends InputPartition {
@@ -127,47 +165,45 @@ private[graft] class PosDeltaReaderFactory(
   }
 }
 
-/** Row reader over ONE whole file: counts raw positions, skips dead
-  * ones, and projects (data columns ++ [file, pos]) into the requested
-  * column order. Projection output reuses a buffer — legal between
-  * DSv2 next() calls. */
+/** Row reader over one file range: the delegate's trailing column IS
+  * the absolute row index (metadata-derived); dead indexes are skipped,
+  * and (data columns ++ index ++ constant file) projects into the
+  * requested column order. Projection output reuses a buffer — legal
+  * between DSv2 next() calls. */
 private[graft] class PosEmittingReader(
     delegate: PartitionReader[InternalRow], rel: String, dead: Set[Long],
     dataSchema: StructType, requested: StructType)
   extends PartitionReader[InternalRow] {
 
-  private val metaRow = {
-    val r = new GenericInternalRow(2)
+  private val n = dataSchema.length // the delegate row is (data..., idx)
+  private val fileRow = {
+    val r = new GenericInternalRow(1)
     r.update(0, UTF8String.fromString(rel))
     r
   }
   private val joined = new JoinedRow
   // a data column named like a metadata column shadows it (Spark's
   // metadataOutput already excludes conflicts) — resolve data first
-  private lazy val proj = {
-    val n = dataSchema.length
+  private lazy val proj =
     UnsafeProjection.create(requested.fields.map { f =>
       if (dataSchema.fieldNames.contains(f.name)) {
         val i = dataSchema.fieldIndex(f.name)
         BoundReference(i, dataSchema(i).dataType, dataSchema(i).nullable)
-      } else if (f.name == PosDelta.FileCol)
-        BoundReference(n, StringType, nullable = false)
-      else if (f.name == PosDelta.PosCol)
-        BoundReference(n + 1, LongType, nullable = false)
+      } else if (f.name == PosDelta.PosCol)
+        BoundReference(n, LongType, nullable = false)
+      else if (f.name == PosDelta.FileCol)
+        BoundReference(n + 1, StringType, nullable = false)
       else throw new IllegalStateException(
         s"requested column '${f.name}' is neither data nor position metadata")
     }.map(e => e: Expression).toIndexedSeq)
-  }
 
-  private var pos = -1L
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (delegate.next()) {
-      pos += 1
-      if (!dead.contains(pos)) {
-        metaRow.setLong(1, pos)
-        current = proj(joined(delegate.get(), metaRow))
+      val r = delegate.get()
+      if (!dead.contains(r.getLong(n))) {
+        current = proj(joined(r, fileRow))
         return true
       }
     }

@@ -436,6 +436,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     compact(ident, targetFileCount, maxAttempts, zorderCols)
   }
 
+  /** Merge a table's accumulated POSITION-delete files into one
+    * deduplicated set without touching any data file — the light
+    * maintenance verb between DML and full compaction (every keyless
+    * UPDATE/MERGE adds small delete files; this keeps the live set,
+    * and with it the reader's driver budget, bounded). Old delete
+    * files stay on disk for time travel; expiry reclaims them.
+    * Equality flavors refuse: their sequence scoping cannot merge
+    * without widening applicability — compact instead. Returns
+    * (removed, added) delete-file counts. */
+  def rewritePositionDeletes(ident: Identifier): (Int, Int) = {
+    val ns = ident.namespace.toSeq
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (meta, _) = store.load(ns, ident.name)
+    val snap = meta.currentSnapshot.getOrElse(return (0, 0))
+    val dels = snap.deleteFiles
+    require(dels.forall(_.keyFieldIds.isEmpty),
+      s"table ${ident.name} carries equality-delete files — their sequence " +
+        "scoping cannot merge; CALL compact instead")
+    if (dels.size <= 1) return (0, 0)
+    val dataDir = store.dataDir(ns, ident.name)
+    val relDir = s"commit-posrw-${java.util.UUID.randomUUID()}-deletes"
+    spark.read.schema(PosDelta.deleteFileSchema)
+      .parquet(dels.map(d => s"$dataDir/${d.path}"): _*)
+      .dropDuplicates("file", "pos")
+      .write.parquet(s"$dataDir/$relDir")
+    val rels = store.listParquetUnder(s"$dataDir/$relDir").map(f => s"$relDir/$f")
+    val hconf = spark.sessionState.newHadoopConf()
+    val (defs, empty) = rels.map { rel =>
+      graft.meta.DeleteFileDef(rel, snap.snapshotId, Nil,
+        graft.meta.FileStats.rowCount(s"$dataDir/$rel", hconf).getOrElse(0L),
+        store.fileSizeBytes(s"$dataDir/$rel").getOrElse(0L))
+    }.partition(_.rows > 0)
+    empty.foreach(d => store.deleteFileIfExists(s"$dataDir/${d.path}"))
+    try store.commitOps(ns, ident.name,
+      // the merged set was derived from exactly this snapshot
+      Seq(graft.commit.Requirement.AssertCurrentSnapshotId(meta.currentSnapshotId)),
+      Seq(MetadataUpdate.RewriteDeletes(dels.map(_.path).toList, defs.toList,
+        System.currentTimeMillis())))
+    catch { case e: Throwable =>
+      rels.foreach(rel => store.deleteFileIfExists(s"$dataDir/$rel"))
+      throw e
+    }
+    (dels.size, defs.size)
+  }
+
   private def compact(ident: Identifier, targetFileCount: Int,
                       maxAttempts: Int, zorderCols: Seq[String]): TableMetadata = {
     val ns = ident.namespace.toSeq

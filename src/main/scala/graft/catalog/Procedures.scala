@@ -33,8 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[graft] object Procedures {
 
   val Names: Seq[String] = Seq("compact", "compact_zorder", "expire_snapshots",
-    "remove_orphan_files", "rollback", "create_branch", "create_tag",
-    "fast_forward", "drop_ref")
+    "remove_orphan_files", "rewrite_position_deletes", "rollback",
+    "create_branch", "create_tag", "fast_forward", "drop_ref")
 
   def load(cat: GraftCatalog, name: String): UnboundProcedure =
     name.toLowerCase match {
@@ -70,6 +70,14 @@ private[graft] object Procedures {
         StructType(Seq(StructField("removed_files", IntegerType)))) { in =>
         row(cat.removeOrphanFiles(identOf(in.getUTF8String(0)),
           longArg(in, 1, 3600000L)))
+      }
+      case "rewrite_position_deletes" => proc("rewrite_position_deletes",
+        params(("table", StringType, None)),
+        StructType(Seq(StructField("removed_delete_files", IntegerType),
+          StructField("added_delete_files", IntegerType)))) { in =>
+        val (removed, added) =
+          cat.rewritePositionDeletes(identOf(in.getUTF8String(0)))
+        row(removed, added)
       }
       case "rollback" => proc("rollback",
         params(("table", StringType, None), ("snapshot_id", LongType, None)),

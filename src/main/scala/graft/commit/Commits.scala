@@ -257,6 +257,34 @@ object MetadataUpdate {
     }
   }
 
+  /** Delete-file maintenance: the new snapshot keeps every data file
+    * (and its stats and sequence) and swaps `removed` delete files for
+    * `added` — the verb behind merging accumulated position-delete
+    * files without touching data. Added defs keep the sequence the
+    * CALLER stamped: position deletes name their exact (file, pos)
+    * targets so any sequence is equivalent, and the caller is
+    * responsible for not widening an equality delete's scope. */
+  final case class RewriteDeletes(removed: List[String],
+                                  added: List[DeleteFileDef],
+                                  timestampMs: Long,
+                                  extraSummary: Map[String, String] = Map.empty)
+    extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      val cur = m.currentSnapshot.getOrElse(
+        throw new IllegalStateException("rewrite-deletes on an empty table"))
+      val removedSet = removed.toSet
+      AddSnapshot(SnapshotDef(
+        snapshotId = m.lastSequenceNumber + 1, timestampMs = timestampMs,
+        operation = "rewrite-deletes", files = cur.files,
+        summary = extraSummary +
+          ("removed-delete-files" -> removed.size.toString) +
+          ("added-delete-files" -> added.size.toString),
+        fileStats = cur.fileStats,
+        deleteFiles = cur.deleteFiles.filterNot(d => removedSet(d.path)) ++ added,
+        fileSeqs = cur.fileSeqs)).apply(m)
+    }
+  }
+
   /** Overwrite: the new snapshot holds exactly the new files. */
   final case class ReplaceFiles(newFiles: List[String], timestampMs: Long,
                                 stats: Map[String, List[ColStatDef]] = Map.empty,

@@ -96,6 +96,53 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.proc.r").count() == 1)
   }
 
+  test("CALL rewrite_position_deletes merges marks without touching data") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("""CREATE TABLE graft.proc.pd (k INT, v STRING)
+      TBLPROPERTIES (
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.proc.pd VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    spark.sql("DELETE FROM graft.proc.pd WHERE k = 1")
+    spark.sql("UPDATE graft.proc.pd SET v = 'B' WHERE k = 2")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    def snap = cat.metadataStore.load(Seq("proc"), "pd")._1.currentSnapshot.get
+    val before = snap
+    assert(before.deleteFiles.size >= 2, before.deleteFiles.toString)
+    val preVersion = cat.metadataStore.currentVersion(Seq("proc"), "pd")
+
+    val res = spark
+      .sql("CALL graft.system.rewrite_position_deletes('proc.pd')")
+      .collect()(0)
+    assert(res.getInt(0) == before.deleteFiles.size && res.getInt(1) >= 1,
+      res.toString)
+
+    val after = snap
+    assert(after.operation == "rewrite-deletes")
+    assert(after.files == before.files, "data files must be untouched")
+    assert(after.deleteFiles.size < before.deleteFiles.size)
+    assert(after.deleteFiles.forall(_.keyFieldIds.isEmpty))
+    // answers unchanged through the merged set
+    val rows = spark.table("graft.proc.pd").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((2, "B"), (3, "c"), (4, "d")), rows.toString)
+    // time travel to the pre-merge snapshot still reads the OLD files
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.proc.pd VERSION AS OF $preVersion")
+      .head().getLong(0) == 3L)
+    // the changelog emits NOTHING for a pure delete-file rewrite (the
+    // dead set is identical before and after)
+    val step = graft.catalog.Changes.between(spark, "graft.proc.pd",
+      preVersion, Some(preVersion + 1))
+    assert(step.isEmpty, step.collect().mkString(","))
+    // a second call is a no-op (nothing left to merge)
+    val again = spark
+      .sql("CALL graft.system.rewrite_position_deletes('proc.pd')")
+      .collect()(0)
+    assert(again.getInt(0) == 0 && again.getInt(1) == 0)
+  }
+
   test("CALL remove_orphan_files deletes aborted-commit leftovers only") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
     spark.sql("CREATE TABLE graft.proc.o (k INT)")

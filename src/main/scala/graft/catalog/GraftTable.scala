@@ -33,10 +33,16 @@ import graft.meta._
   */
 object GraftTable {
   /** (dataDir + live position-delete paths) → marked data files; delete
-    * files are immutable so entries never go stale. Bounded: an entry
-    * is manifest-scale and compaction retires the keys. */
+    * files are immutable so entries never go stale. Every DML commit
+    * changes the key, so a long-lived service accumulates entries —
+    * reset past a generous bound (entries are manifest-scale; a reset
+    * costs one re-derivation job per live table). */
   private val posMarkedCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private[catalog] def posMarkedMemo(key: String, f: => Set[String]): Set[String] = {
+    if (posMarkedCache.size > 1024) posMarkedCache.clear()
+    posMarkedCache.computeIfAbsent(key, _ => f)
+  }
 }
 
 class GraftTable(tableName: String, private[graft] val store: MetaStore,
@@ -171,7 +177,7 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
     else {
       val dir = store.dataDir(ns, table)
       val key = dir + " " + ds.map(_.path).sorted.mkString(" ")
-      GraftTable.posMarkedCache.computeIfAbsent(key, _ =>
+      GraftTable.posMarkedMemo(key,
         SparkSession.active.read.schema(PosDelta.deleteFileSchema)
           .parquet(ds.map(d => s"$dir/${d.path}"): _*)
           .select("file").distinct().collect().map(_.getString(0)).toSet)

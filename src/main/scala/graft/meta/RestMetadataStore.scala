@@ -284,6 +284,13 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
       "timestamp-ms" -> JInt(ts),
       "file-stats" -> statsJson(stats),
       "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
+    case MetadataUpdate.RewriteDeletes(removed, added, ts, extra) => JObject(
+      "action" -> JString("rewrite-deletes"),
+      "removed-delete-files" -> JArray(removed.map(JString(_))),
+      "added-delete-files" ->
+        JsonMethods.parse(Serialization.write(added)(TableMetadata.formats)),
+      "timestamp-ms" -> JInt(ts),
+      "summary" -> JObject(extra.toList.map { case (k, v) => k -> (JString(v): JValue) }))
     case other => throw new UnsupportedOperationException(
       s"update $other has no wire encoding")
   }

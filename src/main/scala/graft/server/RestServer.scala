@@ -378,6 +378,12 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
         (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()),
         (j \ "file-stats").extractOpt[Map[String, List[ColStatDef]]].getOrElse(Map.empty),
         (j \ "summary").extractOpt[Map[String, String]].getOrElse(Map.empty))
+    case "rewrite-deletes" =>
+      MetadataUpdate.RewriteDeletes(
+        (j \ "removed-delete-files").extract[List[String]],
+        (j \ "added-delete-files").extract[List[DeleteFileDef]],
+        (j \ "timestamp-ms").extractOpt[Long].getOrElse(System.currentTimeMillis()),
+        (j \ "summary").extractOpt[Map[String, String]].getOrElse(Map.empty))
     case other => throw new IllegalArgumentException(s"unknown update $other")
   }
 

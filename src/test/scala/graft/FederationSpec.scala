@@ -151,6 +151,33 @@ class FederationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(backing.metadataStore.load(Seq("mor"), "t")._1.refs.isEmpty)
   }
 
+  test("position-delta DML and delete-file rewrite ride the wire") {
+    val cat = spark.sessionState.catalogManager.catalog("fed")
+      .asInstanceOf[GraftCatalog]
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS fed.posw")
+    spark.sql("""CREATE TABLE fed.posw.t (id BIGINT, v DOUBLE)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO fed.posw.t VALUES (1,1.0),(2,2.0),(3,3.0)")
+    spark.sql("DELETE FROM fed.posw.t WHERE id = 1")   // position marks
+    spark.sql("UPDATE fed.posw.t SET v = 20.0 WHERE id = 2") // pos delta
+    val backSnap = backing.metadataStore.load(Seq("posw"), "t")._1
+      .currentSnapshot.get
+    assert(backSnap.deleteFiles.size >= 2 &&
+      backSnap.deleteFiles.forall(_.keyFieldIds.isEmpty),
+      backSnap.deleteFiles.toString)
+    // the rewrite-deletes verb crosses the wire too
+    val (removed, added) = cat.rewritePositionDeletes(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("posw"), "t"))
+    assert(removed >= 2 && added == 1, s"($removed, $added)")
+    val after = backing.metadataStore.load(Seq("posw"), "t")._1
+      .currentSnapshot.get
+    assert(after.operation == "rewrite-deletes" && after.deleteFiles.size == 1)
+    val rows = spark.table("fed.posw.t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(rows == Seq((2L, 20.0), (3L, 3.0)), rows.toString)
+  }
+
   test("row-level DELETE and streaming rides the wire commit algebra") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS fed.dml")
     spark.sql("CREATE TABLE fed.dml.t (id BIGINT, v BIGINT)")

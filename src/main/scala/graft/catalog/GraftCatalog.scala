@@ -380,8 +380,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case n: TableChange.UpdateColumnNullability =>
         mapField(n.fieldNames.toSeq)(_.copy(required = !n.nullable))
       case p: TableChange.SetProperty =>
+        // flipping the row-id declaration while the OTHER delete flavor
+        // is live would mix flavors in one table — the read paths apply
+        // one flavor at a time, so the stale flavor's rows would
+        // silently resurrect. Compaction folds deletes in; flip after.
+        if (p.property == "identifier-fields") {
+          val live = base.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+          require(live.forall(_.keyFieldIds.nonEmpty),
+            s"cannot set identifier-fields on ${ident.name} while " +
+              "position-delete files are live — compact first")
+        }
         updates += MetadataUpdate.SetProperties(Map(p.property -> p.value))
       case p: TableChange.RemoveProperty =>
+        if (p.property == "identifier-fields") {
+          val live = base.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+          require(live.forall(_.keyFieldIds.isEmpty),
+            s"cannot remove identifier-fields from ${ident.name} while " +
+              "equality-delete files are live — compact first")
+        }
         updates += MetadataUpdate.RemoveProperties(Seq(p.property))
       case other =>
         throw new UnsupportedOperationException(s"table change $other")
@@ -457,18 +473,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (dels.size <= 1) return (0, 0)
     val dataDir = store.dataDir(ns, ident.name)
     val relDir = s"commit-posrw-${java.util.UUID.randomUUID()}-deletes"
-    spark.read.schema(PosDelta.deleteFileSchema)
+    val merged = spark.read.schema(PosDelta.deleteFileSchema)
       .parquet(dels.map(d => s"$dataDir/${d.path}"): _*)
       .dropDuplicates("file", "pos")
-      .write.parquet(s"$dataDir/$relDir")
+    val expected = merged.count()
+    // one output file per ~32 MB of input marks — the whole point is a
+    // BOUNDED live set, so never let the dedup shuffle's partitioning
+    // (default 200) decide the file count
+    val targetFiles = math.max(1L,
+      dels.map(MergeOnRead.estBytes).sum / (32L << 20)).toInt
+    merged.coalesce(targetFiles).write.parquet(s"$dataDir/$relDir")
     val rels = store.listParquetUnder(s"$dataDir/$relDir").map(f => s"$relDir/$f")
     val hconf = spark.sessionState.newHadoopConf()
-    val (defs, empty) = rels.map { rel =>
+    val defs = rels.map { rel =>
       graft.meta.DeleteFileDef(rel, snap.snapshotId, Nil,
         graft.meta.FileStats.rowCount(s"$dataDir/$rel", hconf).getOrElse(0L),
         store.fileSizeBytes(s"$dataDir/$rel").getOrElse(0L))
-    }.partition(_.rows > 0)
-    empty.foreach(d => store.deleteFileIfExists(s"$dataDir/${d.path}"))
+    }.filter(_.rows > 0)
+    def abort(reason: String): Nothing = {
+      rels.foreach(rel => store.deleteFileIfExists(s"$dataDir/$rel"))
+      store.deleteTree(s"$dataDir/$relDir")
+      throw new IllegalStateException(
+        s"rewrite_position_deletes aborted on ${ident.name}: $reason")
+    }
+    // the commit REMOVES every old delete file — a merged set that lost
+    // marks (unreadable footer counted as 0, partial write) must abort
+    // loudly, never resurrect rows
+    if (defs.map(_.rows).sum != expected)
+      abort(s"merged files carry ${defs.map(_.rows).sum} marks, " +
+        s"expected $expected")
     try store.commitOps(ns, ident.name,
       // the merged set was derived from exactly this snapshot
       Seq(graft.commit.Requirement.AssertCurrentSnapshotId(meta.currentSnapshotId)),

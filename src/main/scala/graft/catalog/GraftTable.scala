@@ -43,6 +43,22 @@ object GraftTable {
     if (posMarkedCache.size > 1024) posMarkedCache.clear()
     posMarkedCache.computeIfAbsent(key, _ => f)
   }
+
+  /** Committed data files are immutable, so their lengths never go
+    * stale — memoized to keep repeated plannings of position reads from
+    * re-issuing one getFileStatus RPC per file per query. (First
+    * planning still stats each candidate once; the durable fix is
+    * manifest-recorded sizes, tracked as a metadata-format follow-up.) */
+  private val fileSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[catalog] def fileSizeMemo(abs: String,
+                                    hconf: org.apache.hadoop.conf.Configuration): Long = {
+    if (fileSizeCache.size > (1 << 20)) fileSizeCache.clear()
+    fileSizeCache.computeIfAbsent(abs, { a =>
+      val p = new org.apache.hadoop.fs.Path(a)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    })
+  }
 }
 
 class GraftTable(tableName: String, private[graft] val store: MetaStore,
@@ -1046,14 +1062,15 @@ private[graft] class GraftScanBuilder(
     * have landed on a different session than the one scanning — without
     * it, files written before a rename silently read the renamed column
     * as NULL (and delete-KEY files would read all-null keys). */
-  private def mkDelegateBuilder(rels: Seq[String])
+  private def mkDelegateBuilder(rels: Seq[String],
+                                schema: StructType = tableSchema)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
     val files = rels.map(rel => s"$dataDir/$rel")
     val spark = SparkSession.active
     if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     ParquetTable(tableName, spark, options, files,
-      Some(tableSchema), classOf[ParquetFileFormat])
+      Some(schema), classOf[ParquetFileFormat])
       .newScanBuilder(options)
   }
 
@@ -1065,13 +1082,7 @@ private[graft] class GraftScanBuilder(
     * mode (row-level rewrites need every surviving row back). */
   private def delegateScanRowIdx(rels: Seq[String], base: StructType)
       : org.apache.spark.sql.connector.read.Scan = {
-    val files = rels.map(rel => s"$dataDir/$rel")
-    val spark = SparkSession.active
-    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val delegate = ParquetTable(tableName, spark, options, files,
-      Some(PosDelta.withRowIdx(tableSchema)), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
+    val delegate = mkDelegateBuilder(rels, PosDelta.withRowIdx(tableSchema))
     delegate.pruneColumns(PosDelta.withRowIdx(base))
     if (!groupPruneOnly)
       delegate.pushFilters(pushed.toSeq.flatMap(toCatalyst))
@@ -1132,8 +1143,10 @@ private[graft] class GraftScanBuilder(
       require(posBytes <= deleteByteBudget,
         s"$posBytes bytes of live position-delete files exceed the " +
           s"broadcast-class budget ($deleteByteBudget) for table $tableName " +
-          "— install graft.functions.GraftExtensions (spark.sql.extensions) " +
-          "so positions apply as a distributed anti join, or compact the table")
+          "— plain reads and delta DML apply positions as a distributed " +
+          "anti join when graft.functions.GraftExtensions is installed " +
+          "(spark.sql.extensions); copy-on-write rewrites cannot use the " +
+          "join — compact the table (or CALL rewrite_position_deletes) first")
       posDeleteFiles.map(d => posDeleteCache.getOrElseUpdate(d.path, {
           val spark = SparkSession.active
           spark.read.schema(PosDelta.deleteFileSchema)
@@ -1177,9 +1190,8 @@ private[graft] class GraftScanBuilder(
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     val groups = rels.sorted.map { rel =>
       val abs = s"$dataDir/$rel"
-      val p = new org.apache.hadoop.fs.Path(abs)
-      val len = p.getFileSystem(hconf).getFileStatus(p).getLen
-      PosGroup(rel, abs, len, posByRel.getOrElse(rel, Set.empty))
+      PosGroup(rel, abs, GraftTable.fileSizeMemo(abs, hconf),
+        posByRel.getOrElse(rel, Set.empty))
     }
     new PosDeltaScan(delegateScanRowIdx(rels, requiredSchema),
       groups, requested, requiredSchema)
@@ -1202,12 +1214,12 @@ private[graft] class GraftScanBuilder(
         s"file $rel carries both equality and position deletes — " +
           s"compact table $tableName (our writers never mix flavors)")
     }
-    val posGroups = posAffected.sorted.map { rel =>
-      val abs = s"$dataDir/$rel"
-      val p = new org.apache.hadoop.fs.Path(abs)
-      val len = p.getFileSystem(
-        SparkSession.active.sessionState.newHadoopConf()).getFileStatus(p).getLen
-      PosGroup(rel, abs, len, posByRel(rel))
+    val posGroups = {
+      val hconf = SparkSession.active.sessionState.newHadoopConf()
+      posAffected.sorted.map { rel =>
+        val abs = s"$dataDir/$rel"
+        PosGroup(rel, abs, GraftTable.fileSizeMemo(abs, hconf), posByRel(rel))
+      }
     }
     val posFactoryScan =
       if (posGroups.isEmpty) None

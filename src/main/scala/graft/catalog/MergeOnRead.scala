@@ -188,10 +188,11 @@ private[graft] final case class MorInputPartition(delegate: InputPartition,
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 
-/** A whole-file partition for a position-delete-affected file, tagged
-  * with its position set (budget-bounded, shipped in the partition). */
+/** One byte range of a position-delete-affected file, tagged with the
+  * file's rel path (the factory's dead-set key — position sets ship
+  * once in the factory, never per partition). */
 private[graft] final case class PosInputPartition(
-    delegate: InputPartition, positions: Set[Long]) extends InputPartition {
+    delegate: InputPartition, rel: String) extends InputPartition {
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 
@@ -209,7 +210,7 @@ private[graft] class MorBatch(clean: Option[Batch],
       b.planInputPartitions().map(p => MorInputPartition(p, i): InputPartition)
     }
     val p = PosDelta.chunkPartitions(posGroups).map { case (fp, g) =>
-      PosInputPartition(fp, g.positions): InputPartition
+      PosInputPartition(fp, g.rel): InputPartition
     }
     c ++ d ++ p
   }
@@ -217,14 +218,16 @@ private[graft] class MorBatch(clean: Option[Batch],
   override def createReaderFactory(): PartitionReaderFactory =
     new MorReaderFactory(clean.map(_.createReaderFactory()),
       dirty.map { case (b, sp) => (b.createReaderFactory(), sp) }.toArray,
-      posBatch.map(_.createReaderFactory()), posPrefixTypes)
+      posBatch.map(_.createReaderFactory()), posPrefixTypes,
+      posGroups.map(g => g.rel -> g.positions).toMap)
 }
 
 private[graft] class MorReaderFactory(
     clean: Option[PartitionReaderFactory],
     dirty: Array[(PartitionReaderFactory, MorSpec)],
     pos: Option[PartitionReaderFactory] = None,
-    posPrefixTypes: Array[DataType] = Array.empty)
+    posPrefixTypes: Array[DataType] = Array.empty,
+    posDeadByRel: Map[String, Set[Long]] = Map.empty)
   extends PartitionReaderFactory {
 
   private def route(p: InputPartition): (PartitionReaderFactory, InputPartition, Int) =
@@ -249,8 +252,9 @@ private[graft] class MorReaderFactory(
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {
-    case PosInputPartition(d, positions) =>
-      new PosFilteringReader(pos.get.createReader(d), positions, posPrefixTypes)
+    case PosInputPartition(d, rel) =>
+      new PosFilteringReader(pos.get.createReader(d),
+        posDeadByRel.getOrElse(rel, Set.empty), posPrefixTypes)
     case _ =>
       val (f, d, side) = route(partition)
       if (side < 0) f.createReader(d)

@@ -48,19 +48,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object MorDeleteJoin extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case rel: DataSourceV2Relation if graftOf(rel).exists(_.morOverBudget) =>
-      val t = graftOf(rel).get
-      val wantsMeta = rel.output.exists(a =>
-        PosDelta.names.contains(a.name) &&
-          !t.schema().fieldNames.contains(a.name))
-      // flavors never mix within one table (equality needs identifier
-      // fields, position requires their absence)
-      if (t.liveDeleteFiles.forall(_.keyFieldIds.nonEmpty)) {
-        // a coordinate query over an EQUALITY table has no join shape
-        // here (the subsets carry no metadata columns) — fall through to
-        // the scan's own clear refusal instead of mis-zipping outputs
-        if (wantsMeta) rel else rewrite(rel, t)
-      } else rewritePos(rel, t)
+    case rel: DataSourceV2Relation => graftOf(rel) match {
+      case Some(t) if t.morOverBudget =>
+        val wantsMeta = rel.output.exists(a =>
+          PosDelta.names.contains(a.name) &&
+            !t.schema().fieldNames.contains(a.name))
+        val flavors = t.liveDeleteFiles.map(_.keyFieldIds.isEmpty).distinct
+        if (flavors.size > 1) {
+          // mixed flavors (writers never produce this; an identifier-
+          // fields flip mid-life could — alterTable refuses that, this
+          // guards a hand-edited metadata file): NEITHER rewrite applies
+          // every delete, so fall through to the scan's budget refusal
+          // rather than silently resurrecting the other flavor's rows
+          rel
+        } else if (t.liveDeleteFiles.forall(_.keyFieldIds.nonEmpty)) {
+          // a coordinate query over an EQUALITY table has no join shape
+          // here (the subsets carry no metadata columns) — fall through
+          // to the scan's own clear refusal, never mis-zip outputs
+          if (wantsMeta) rel else rewrite(rel, t)
+        } else rewritePos(rel, t, wantsMeta)
+      case _ => rel
+    }
   }
 
   /** The Graft table behind a relation this rule may rewrite: a plain
@@ -176,16 +184,15 @@ object MorDeleteJoin extends Rule[LogicalPlan] {
     * re-inserted rows land in new files. A row-level command's
     * matched-row read (rowId = the coordinate pair) keeps its metadata
     * columns through the join; a plain read projects them away. */
-  private def rewritePos(rel: DataSourceV2Relation, t: GraftTable): LogicalPlan = {
+  private def rewritePos(rel: DataSourceV2Relation, t: GraftTable,
+                         wantsMeta: Boolean): LogicalPlan = {
     val spark = SparkSession.active
     val dataDir = t.store.dataDir(t.ns, t.table)
     val deletes = t.liveDeleteFiles
     val rels = t.effectiveRelFiles(rel.options)
+    // wantsMeta: the read asks for the coordinates themselves (DML
+    // matched-row scan) rather than only data columns (plain query)
     val (dirty, clean) = rels.partition(t.posMarkedFiles)
-    // does this read want the coordinates themselves (DML matched-row
-    // scan), or only data columns (plain query)?
-    val wantsMeta = rel.output.exists(a => PosDelta.names.contains(a.name) &&
-      !t.schema().fieldNames.contains(a.name))
 
     def subsetRel(files: Seq[String], withMeta: Boolean): DataSourceV2Relation = {
       val r = DataSourceV2Relation.create(t.fileSubsetTable(files), rel.catalog,

@@ -133,33 +133,38 @@ private[graft] class PosDeltaScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       PosDelta.chunkPartitions(groups).map { case (fp, g) =>
-        PosDeltaPartition(fp, g.rel, g.positions): InputPartition
+        PosDeltaPartition(fp, g.rel): InputPartition
       }
     override def createReaderFactory(): PartitionReaderFactory =
+      // dead sets ride the FACTORY (task-binary, shipped once per
+      // executor), never the per-chunk partitions — a near-budget set
+      // on a many-chunk file must not serialize once per task
       new PosDeltaReaderFactory(delegate.toBatch.createReaderFactory(),
-        dataSchema, requested)
+        dataSchema, requested,
+        groups.map(g => g.rel -> g.positions).toMap)
   }
 }
 
 /** One byte range of one file, tagged with the file's rel path (the
-  * emitted `_graft_file` value) and its already-deleted position set. */
+  * emitted `_graft_file` value; also the factory's dead-set key). */
 private[graft] final case class PosDeltaPartition(
-    delegate: InputPartition, rel: String, positions: Set[Long])
+    delegate: InputPartition, rel: String)
   extends InputPartition {
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 
 private[graft] class PosDeltaReaderFactory(
     delegate: PartitionReaderFactory, dataSchema: StructType,
-    requested: StructType) extends PartitionReaderFactory {
+    requested: StructType, deadByRel: Map[String, Set[Long]])
+  extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {
-    case PosDeltaPartition(d, rel, dead) =>
-      new PosEmittingReader(delegate.createReader(d), rel, dead,
-        dataSchema, requested)
+    case PosDeltaPartition(d, rel) =>
+      new PosEmittingReader(delegate.createReader(d), rel,
+        deadByRel.getOrElse(rel, Set.empty), dataSchema, requested)
     case other =>
       throw new IllegalStateException(s"untagged partition $other")
   }

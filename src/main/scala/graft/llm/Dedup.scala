@@ -509,15 +509,15 @@ object Dedup {
         posexplode(tokenize).as(Seq("pos", "tok")))
     val wGram = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, k - 1)
-    // the \u0001 separator never appears in whitespace-split tokens, so the joined
-    // window is an injective rendering of the k-gram (the 64-bit hash
-    // space makes a residual collision astronomically unlikely and at
-    // worst marks one extra span)
+    // xxhash64 hashes the array STRUCTURALLY (per element, length-
+    // aware), so distinct k-grams can never merge the way a separator-
+    // joined string could when a token itself contains the separator;
+    // the 64-bit space makes a residual hash collision astronomically
+    // unlikely and at worst marks one extra span
     val grams = toks
       .withColumn("win", collect_list(col("tok")).over(wGram))
       .where(size(col("win")) === k)
-      .select(col("doc_id"), col("pos"),
-        xxhash64(concat_ws("\u0001", col("win"))).as("gh"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("gh"))
     val dup = grams.groupBy(col("gh"))
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .where(col("d0") =!= col("d1"))

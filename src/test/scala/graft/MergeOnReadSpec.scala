@@ -625,6 +625,32 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("mor.bigpos.t").count() == 3)
   }
 
+  test("identifier-fields cannot flip while the other flavor is live") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.flip")
+    spark.sql("""CREATE TABLE mor.flip.t (id BIGINT NOT NULL, v DOUBLE)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO mor.flip.t VALUES (1,1.0),(2,2.0)")
+    spark.sql("DELETE FROM mor.flip.t WHERE id = 1") // position marks
+    // declaring keys now would route future DML to EQUALITY deletes —
+    // a mixed live set no read path applies in full. Refuse.
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE mor.flip.t SET TBLPROPERTIES('identifier-fields'='id')")
+    }
+    assert(e.getMessage.contains("compact first"), e.getMessage)
+    // fold the marks in; the flip then succeeds, and so does the
+    // reverse refusal once equality deletes are live
+    catalog.compact(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("flip"), "t"))
+    spark.sql(
+      "ALTER TABLE mor.flip.t SET TBLPROPERTIES('identifier-fields'='id')")
+    spark.sql("DELETE FROM mor.flip.t WHERE id = 2") // equality delete
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE mor.flip.t UNSET TBLPROPERTIES('identifier-fields')")
+    }
+    assert(e2.getMessage.contains("compact first"), e2.getMessage)
+  }
+
   test("keyless CoW UPDATE composes with live position deletes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.posd2")
     spark.sql("""CREATE TABLE mor.posd2.t (id BIGINT, cat STRING, v DOUBLE)

@@ -1065,13 +1065,17 @@ private[graft] class GraftScanBuilder(
   private def mkDelegateBuilder(rels: Seq[String],
                                 schema: StructType = tableSchema)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
-    val files = rels.map(rel => s"$dataDir/$rel")
     val spark = SparkSession.active
     if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    ParquetTable(tableName, spark, options, files,
-      Some(schema), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
+    // manifest-backed index: the delegate plans from catalog knowledge
+    // (file list + dir-batched memoized lengths) — InMemoryFileIndex
+    // would re-stat every file on every query's planning
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      spark,
+      new ManifestFileIndex(spark,
+        ManifestFileIndex.statusesFor(spark, dataDir, rels)),
+      schema, schema, options)
   }
 
   /** A delegate scan whose rows carry the metadata-derived ABSOLUTE row

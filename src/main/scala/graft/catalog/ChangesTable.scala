@@ -58,9 +58,12 @@ private[graft] object ChangesTable {
                    options: CaseInsensitiveStringMap): Scan = {
     if (!s.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
       s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val b = ParquetTable("changes", s, options,
-      rels.map(r => s"$dataDir/$r"), Some(schema), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
+    // same manifest-backed planning as the data scans: a deep changelog
+    // replay walks many steps, and each step must not re-stat its files
+    val b = org.apache.spark.sql.execution.datasources.v2.parquet
+      .ParquetScanBuilder(s,
+        new ManifestFileIndex(s, ManifestFileIndex.statusesFor(s, dataDir, rels)),
+        schema, schema, options)
     b.pruneColumns(schema)
     b.build()
   }

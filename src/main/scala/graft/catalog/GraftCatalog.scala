@@ -407,9 +407,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       updates.prepend(MetadataUpdate.SetCurrentSchema(-1))
       updates.prepend(MetadataUpdate.AddSchema(SchemaDef(newId, fields)))
     }
-    commit(ident,
-      Seq(Requirement.AssertCurrentSchemaId(base.currentSchemaId)),
-      updates.toSeq)
+    // a flip of the row-id declaration was validated against THIS
+    // snapshot's delete flavors — a DML landing in between must fail
+    // the flip (snapshot assert), not race into the mixed-flavor state
+    val touchesKeys = changes.exists {
+      case p: TableChange.SetProperty => p.property == "identifier-fields"
+      case p: TableChange.RemoveProperty => p.property == "identifier-fields"
+      case _ => false
+    }
+    val reqs = Seq(Requirement.AssertCurrentSchemaId(base.currentSchemaId)) ++
+      (if (touchesKeys)
+        Seq(Requirement.AssertCurrentSnapshotId(base.currentSnapshotId))
+      else Nil)
+    commit(ident, reqs, updates.toSeq)
     loadTable(ident)
   }
 
@@ -473,16 +483,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (dels.size <= 1) return (0, 0)
     val dataDir = store.dataDir(ns, ident.name)
     val relDir = s"commit-posrw-${java.util.UUID.randomUUID()}-deletes"
+    // persisted: the count (loss check below) and the write must not
+    // each re-run the read + dedup shuffle on exactly the large sets
+    // this procedure exists for
     val merged = spark.read.schema(PosDelta.deleteFileSchema)
       .parquet(dels.map(d => s"$dataDir/${d.path}"): _*)
       .dropDuplicates("file", "pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = merged.count()
     // one output file per ~32 MB of input marks — the whole point is a
     // BOUNDED live set, so never let the dedup shuffle's partitioning
     // (default 200) decide the file count
     val targetFiles = math.max(1L,
       dels.map(MergeOnRead.estBytes).sum / (32L << 20)).toInt
-    merged.coalesce(targetFiles).write.parquet(s"$dataDir/$relDir")
+    try merged.coalesce(targetFiles).write.parquet(s"$dataDir/$relDir")
+    finally merged.unpersist()
     val rels = store.listParquetUnder(s"$dataDir/$relDir").map(f => s"$relDir/$f")
     val hconf = spark.sessionState.newHadoopConf()
     val defs = rels.map { rel =>

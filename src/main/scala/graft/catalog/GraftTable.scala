@@ -44,21 +44,6 @@ object GraftTable {
     posMarkedCache.computeIfAbsent(key, _ => f)
   }
 
-  /** Committed data files are immutable, so their lengths never go
-    * stale — memoized to keep repeated plannings of position reads from
-    * re-issuing one getFileStatus RPC per file per query. (First
-    * planning still stats each candidate once; the durable fix is
-    * manifest-recorded sizes, tracked as a metadata-format follow-up.) */
-  private val fileSizeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private[catalog] def fileSizeMemo(abs: String,
-                                    hconf: org.apache.hadoop.conf.Configuration): Long = {
-    if (fileSizeCache.size > (1 << 20)) fileSizeCache.clear()
-    fileSizeCache.computeIfAbsent(abs, { a =>
-      val p = new org.apache.hadoop.fs.Path(a)
-      p.getFileSystem(hconf).getFileStatus(p).getLen
-    })
-  }
 }
 
 class GraftTable(tableName: String, private[graft] val store: MetaStore,
@@ -1191,10 +1176,11 @@ private[graft] class GraftScanBuilder(
     }
     onBuild(rels)
     val posByRel = loadPosByRel()
-    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    // same dir-batched length source as the delegate's file index —
+    // no second cache, no per-file stat sweep
+    val lens = ManifestFileIndex.lengthsFor(SparkSession.active, dataDir, rels)
     val groups = rels.sorted.map { rel =>
-      val abs = s"$dataDir/$rel"
-      PosGroup(rel, abs, GraftTable.fileSizeMemo(abs, hconf),
+      PosGroup(rel, s"$dataDir/$rel", lens(rel),
         posByRel.getOrElse(rel, Set.empty))
     }
     new PosDeltaScan(delegateScanRowIdx(rels, requiredSchema),
@@ -1219,10 +1205,10 @@ private[graft] class GraftScanBuilder(
           s"compact table $tableName (our writers never mix flavors)")
     }
     val posGroups = {
-      val hconf = SparkSession.active.sessionState.newHadoopConf()
+      val lens = ManifestFileIndex.lengthsFor(SparkSession.active, dataDir,
+        posAffected)
       posAffected.sorted.map { rel =>
-        val abs = s"$dataDir/$rel"
-        PosGroup(rel, abs, GraftTable.fileSizeMemo(abs, hconf), posByRel(rel))
+        PosGroup(rel, s"$dataDir/$rel", lens(rel), posByRel(rel))
       }
     }
     val posFactoryScan =

@@ -29,51 +29,73 @@ private[graft] class ManifestFileIndex(
     statuses.foreach(s => m(s.getPath) = s)
     m
   }
+  // precomputed: allFiles() consults this once PER ROOT PATH (and roots
+  // here are the files themselves) — a def would make planning O(N²)
+  private val byDir: Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent)
 
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
   override protected def leafFiles
       : scala.collection.mutable.LinkedHashMap[Path, FileStatus] = byPath
   override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
-    statuses.groupBy(_.getPath.getParent)
+    byDir
   override def rootPaths: Seq[Path] = statuses.map(_.getPath).toSeq
   override def refresh(): Unit = ()
 }
 
 private[graft] object ManifestFileIndex {
 
-  /** dir → (file name → length), listed AT MOST ONCE per directory
-    * (commit dirs are written once, then referenced forever). A file
-    * missing from a cached listing (raced a concurrent writer into the
-    * same commit dir) falls back to one direct stat. */
-  private val dirListCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  /** qualified file path → length, for COMMITTED files only. Safety
+    * argument: an entry is created only for a file some manifest
+    * REFERENCES, and a referenced file was fully written before its
+    * commit — immutable thereafter, so the entry never goes stale.
+    * (Caching whole DIRECTORY listings would be wrong: the streaming
+    * sink reuses one staging dir across epochs, so a listing can catch
+    * a later epoch's file mid-write and freeze a partial length.) */
+  private val fileLenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private def dirSizes(dirAbs: String,
-                       hconf: org.apache.hadoop.conf.Configuration)
-      : Map[String, Long] = {
-    if (dirListCache.size > (1 << 18)) dirListCache.clear()
-    dirListCache.computeIfAbsent(dirAbs, { d =>
-      val p = new Path(d)
-      p.getFileSystem(hconf).listStatus(p)
-        .filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
-    })
-  }
-
-  /** Statuses for manifest-relative files under `dataDir`, lengths from
-    * the directory-batched memo. */
-  def statusesFor(spark: SparkSession, dataDir: String,
-                  rels: Seq[String]): Array[FileStatus] = {
+  /** Lengths for manifest-relative files under `dataDir`. Uncached
+    * files are resolved with ONE fresh listStatus per distinct parent
+    * directory (never a per-file stat sweep), and only the REQUESTED
+    * names from each listing enter the cache — a neighboring in-flight
+    * file is never recorded. */
+  def lengthsFor(spark: SparkSession, dataDir: String,
+                 rels: Seq[String]): Map[String, Long] = {
+    if (fileLenCache.size > (1 << 20)) fileLenCache.clear()
     val hconf = spark.sessionState.newHadoopConf()
     val fs = new Path(dataDir).getFileSystem(hconf)
+    val abs = rels.map(rel => rel -> fs.makeQualified(new Path(s"$dataDir/$rel")))
+    val pending = abs.filterNot { case (_, p) =>
+      fileLenCache.containsKey(p.toString) }
+    val listed: Map[String, Map[String, Long]] =
+      pending.map(_._2.getParent).distinct.map { dir =>
+        dir.toString -> fs.listStatus(dir)
+          .filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
+      }.toMap
+    abs.map { case (rel, p) =>
+      val len: Long = fileLenCache.computeIfAbsent(p.toString, { _ =>
+        listed.get(p.getParent.toString).flatMap(_.get(p.getName))
+          .getOrElse(fs.getFileStatus(p).getLen): Long
+      })
+      rel -> len
+    }.toMap
+  }
+
+  /** Statuses for manifest-relative files under `dataDir` (see
+    * [[lengthsFor]] for the caching discipline). */
+  def statusesFor(spark: SparkSession, dataDir: String,
+                  rels: Seq[String]): Array[FileStatus] = {
+    val lens = lengthsFor(spark, dataDir, rels)
+    val fs = new Path(dataDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     rels.map { rel =>
       // the index is consulted with QUALIFIED paths (scheme + authority)
       // — a raw path would never match allFiles()'s lookups
       val abs = fs.makeQualified(new Path(s"$dataDir/$rel"))
-      val len = dirSizes(abs.getParent.toString, hconf)
-        .getOrElse(abs.getName, fs.getFileStatus(abs).getLen)
       // mtime 0 is safe: nothing downstream consults it (the
       // modification-time metadata column is never exposed)
-      new FileStatus(len, false, 1, 128L << 20, 0L, abs)
+      new FileStatus(lens(rel), false, 1, 128L << 20, 0L, abs)
     }.toArray
   }
 }

@@ -32,9 +32,10 @@ class PosDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("random DML sequence matches the reference model at every step") {
+  for ((seed, tbl) <- Seq((20260813L, "t"), (4207L, "t2")))
+  test(s"random DML sequence matches the reference model (seed $seed)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS pp.m")
-    spark.sql("""CREATE TABLE pp.m.t (id BIGINT, cat STRING, v DOUBLE)
+    spark.sql(s"""CREATE TABLE pp.m.$tbl (id BIGINT, cat STRING, v DOUBLE)
       TBLPROPERTIES (
         'write.delete.mode' = 'merge-on-read',
         'write.update.mode' = 'merge-on-read',
@@ -42,9 +43,9 @@ class PosDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     val cat = spark.sessionState.catalogManager.catalog("pp")
       .asInstanceOf[GraftCatalog]
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
-      Array("m"), "t")
+      Array("m"), tbl)
 
-    val rnd = new scala.util.Random(20260813L)
+    val rnd = new scala.util.Random(seed)
     // model rows: (id, cat, v) — ids deliberately NON-unique (keyless
     // tables have no identity; duplicates must survive independently)
     val model = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
@@ -58,7 +59,7 @@ class PosDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         (id, s"c${rnd.nextInt(4)}", (rnd.nextInt(1000)) / 10.0)
       }
       model ++= rows
-      spark.sql("INSERT INTO pp.m.t VALUES " +
+      spark.sql(s"INSERT INTO pp.m.$tbl VALUES " +
         rows.map { case (i, c, v) => s"($i,'$c',$v)" }.mkString(","))
     }
 
@@ -66,17 +67,17 @@ class PosDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val bound = rnd.nextInt(100) / 10.0 * 10
       if (rnd.nextBoolean()) {
         val c = s"c${rnd.nextInt(4)}"
-        spark.sql(s"DELETE FROM pp.m.t WHERE cat = '$c' AND v < $bound")
+        spark.sql(s"DELETE FROM pp.m.$tbl WHERE cat = '$c' AND v < $bound")
         model.filterInPlace { case (_, mc, mv) => !(mc == c && mv < bound) }
       } else {
-        spark.sql(s"DELETE FROM pp.m.t WHERE v >= $bound")
+        spark.sql(s"DELETE FROM pp.m.$tbl WHERE v >= $bound")
         model.filterInPlace { case (_, _, mv) => !(mv >= bound) }
       }
     }
 
     def updateWhere(): Unit = {
       val c = s"c${rnd.nextInt(4)}"
-      spark.sql(s"UPDATE pp.m.t SET v = v + 1000 WHERE cat = '$c'")
+      spark.sql(s"UPDATE pp.m.$tbl SET v = v + 1000 WHERE cat = '$c'")
       for (i <- model.indices)
         if (model(i)._2 == c) model(i) = model(i).copy(_3 = model(i)._3 + 1000)
     }
@@ -86,7 +87,7 @@ class PosDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       // the id!), inserts the unmatched
       val ids = (0 until 3).map(_ => rnd.nextLong(nextId + 5) + 1).distinct
       val src = ids.map(i => (i, s"m${rnd.nextInt(3)}", rnd.nextInt(100) * 1.0))
-      spark.sql(s"""MERGE INTO pp.m.t t USING (
+      spark.sql(s"""MERGE INTO pp.m.$tbl t USING (
         SELECT * FROM VALUES ${src.map { case (i, c, v) => s"(${i}L,'$c',$v)" }
           .mkString(",")} AS s(id, cat, v)) s
         ON t.id = s.id
@@ -106,7 +107,7 @@ class PosDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
     def check(step: String): Unit = {
-      val got = spark.table("pp.m.t").collect()
+      val got = spark.table(s"pp.m.$tbl").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
         .sorted.toSeq
       val want = model.sorted.toSeq
@@ -130,7 +131,7 @@ class PosDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // end state: fold everything in and confirm once more
     cat.compact(ident)
     check("final compaction")
-    assert(cat.metadataStore.load(Seq("m"), "t")._1
+    assert(cat.metadataStore.load(Seq("m"), tbl)._1
       .currentSnapshot.get.deleteFiles.isEmpty)
   }
 }

@@ -203,6 +203,79 @@ private[graft] object ChangesTable {
     }
   }
 
+  /** Bloom refinement of [[keptCandidates]]: candidates that survived
+    * [min,max] are checked against the parquet bloom filters the writer
+    * declared (`write.parquet.bloom-filter-columns`) on identifier
+    * columns — a file none of whose row-group blooms could contain ANY
+    * deleted key is dropped from the masked re-read. One footer open
+    * per candidate, driver-side, only when blooms are declared; every
+    * uncertainty keeps the file (renamed physical columns, missing
+    * blooms, null or boolean keys, unreadable footers). */
+  def bloomPrune(s: SparkSession, dataDir: String,
+                 props: Map[String, String], schema: StructType,
+                 candidates: Seq[String],
+                 newDeletes: Seq[graft.meta.DeleteFileDef],
+                 predOf: graft.meta.DeleteFileDef => MorPredicate)
+      : Seq[String] = {
+    val declared = props.get("write.parquet.bloom-filter-columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+    if (declared.isEmpty || candidates.isEmpty) return candidates
+    val groups = newDeletes.map { d =>
+      val p = predOf(d)
+      d.keyFieldIds.zipWithIndex.map { case (id, i) =>
+        val n = MergeOnRead.nameOfFieldId(schema, id)
+        (n, schema.fields(schema.fieldIndex(n)).dataType,
+          p.keys.map(_.apply(i)))
+      }
+    }
+    if (!groups.exists(_.exists(c => declared(c._1)))) return candidates
+    val hconf = s.sessionState.newHadoopConf()
+    candidates.filter { rel =>
+      try {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$dataDir/$rel"), hconf))
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = reader.getRowGroups.asScala
+          groups.exists { cols =>
+            cols.forall { case (n, dt, values) =>
+              !declared(n) || blocks.exists { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == n) match {
+                  case None => true
+                  case Some(cm) =>
+                    val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cm)
+                    bf == null || values.exists(v =>
+                      bloomValue(dt, v).forall(o => bf.findHash(bf.hash(o))))
+                }
+              }
+            }
+          }
+        } finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => true }
+    }
+  }
+
+  /** A deleted key value as the parquet object the bloom hash expects;
+    * None = undecidable for this type (the caller keeps the file). */
+  private def bloomValue(dt: org.apache.spark.sql.types.DataType,
+                         v: Any): Option[Object] =
+    Option(v).flatMap { x =>
+      dt match {
+        case org.apache.spark.sql.types.StringType =>
+          Some(org.apache.parquet.io.api.Binary.fromString(x.toString))
+        case org.apache.spark.sql.types.LongType =>
+          Some(java.lang.Long.valueOf(x.asInstanceOf[Long]))
+        case org.apache.spark.sql.types.IntegerType =>
+          Some(Integer.valueOf(x.asInstanceOf[Int]))
+        case org.apache.spark.sql.types.ShortType =>
+          Some(Integer.valueOf(x.asInstanceOf[Short].toInt))
+        case org.apache.spark.sql.types.ByteType =>
+          Some(Integer.valueOf(x.asInstanceOf[Byte].toInt))
+        case _ => None
+      }
+    }
+
   /** Range-overlap variant of [[keptCandidates]] for callers that keep
     * delete keys DISTRIBUTED (the batch [[Changes]] feed): compares each
     * kept file's identifier [min, max] against the delete FILES' footer
@@ -297,9 +370,11 @@ private[graft] object ChangesTable {
     // hold a deleted key get masked-re-read partitions
     val candidates =
       if (diff.newDeletes.isEmpty) Nil
-      else keptCandidates(diff.kept,
-        meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
-        schema, diff.newDeletes, pred)
+      else bloomPrune(s, dataDir, meta.properties, schema,
+        keptCandidates(diff.kept,
+          meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
+          schema, diff.newDeletes, pred),
+        diff.newDeletes, pred)
 
     // `pair-updates`: label a same-commit mask + re-insert of one key as
     // update_preimage/postimage (the batch Changes API's semantics) so

@@ -300,6 +300,50 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unpaired churn in the CoW feed: $extra")
   }
 
+  test("bloom filters prune masked re-reads past the min/max stats") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bloom")
+    spark.sql("""CREATE TABLE graft.bloom.t (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('identifier-fields' = 'k',
+        'write.update.mode' = 'merge-on-read',
+        'write.parquet.bloom-filter-columns' = 'k')""")
+    // evens then odds: the numeric SPANS interleave (min/max alone
+    // cannot separate them) but the key SETS are disjoint — only the
+    // bloom filter can prove the odd files never held an even key
+    spark.sql("INSERT INTO graft.bloom.t " +
+      "SELECT CAST(id * 2 AS INT), concat('e', id) FROM range(0, 100)")
+    val store = cat.metadataStore
+    val evenFiles = store.load(Seq("bloom"), "t")._1
+      .currentSnapshot.get.files.toSet
+    spark.sql("INSERT INTO graft.bloom.t " +
+      "SELECT CAST(id * 2 + 1 AS INT), concat('o', id) FROM range(0, 100)")
+    spark.sql("UPDATE graft.bloom.t SET v = 'X' WHERE k = 50")
+
+    val v = version2("bloom", "t")
+    val meta = store.loadVersion(Seq("bloom"), "t", v)
+    val schema = graft.meta.SchemaBridge.toSpark(meta.currentSchema)
+    val parts = graft.catalog.ChangesTable.stepPartitions(
+      spark, store, Seq("bloom"), "t", schema,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
+      scala.collection.mutable.Map.empty, v)
+    val dataDir = store.dataDir(Seq("bloom"), "t")
+    def relOf(p: String): String =
+      p.substring(p.indexOf(dataDir) + dataDir.length + 1)
+    val maskedRels = parts.collect {
+      case graft.catalog.ChangeInputPartition(d, spec) if spec.matchAny.nonEmpty =>
+        d.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+          .files.map(f => relOf(f.filePath.toString)).toSeq
+    }.flatten.toSet
+    assert(maskedRels.nonEmpty, "the masked re-read must still plan")
+    assert(maskedRels.subsetOf(evenFiles),
+      s"an odd-key file survived the bloom consult: ${maskedRels -- evenFiles}")
+    // the feed's answer is unchanged by the pruning
+    val got = Changes.between(spark, "graft.bloom.t", v - 1, Some(v))
+      .select(col("k"), col("v"), col("_change_type")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((50, "e25", "update_preimage"), (50, "X", "update_postimage")),
+      got.toString)
+  }
+
   test("masked re-reads plan partitions only over key-range candidate files") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.prune")
     spark.sql("""CREATE TABLE graft.prune.t (k INT NOT NULL, v STRING)

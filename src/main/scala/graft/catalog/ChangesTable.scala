@@ -172,15 +172,15 @@ private[graft] object ChangesTable {
                      fileStats: Map[String, List[graft.meta.ColStatDef]],
                      schema: StructType,
                      newDeletes: Seq[graft.meta.DeleteFileDef],
-                     predOf: graft.meta.DeleteFileDef => MorPredicate)
+                     keysOf: graft.meta.DeleteFileDef => Set[List[Any]])
       : Seq[String] = {
     // per delete file: the per-column (field id, name, type, values)
     val groups = newDeletes.map { d =>
-      val p = predOf(d)
+      val keys = keysOf(d)
       d.keyFieldIds.zipWithIndex.map { case (id, i) =>
         val n = MergeOnRead.nameOfFieldId(schema, id)
         (id, n, schema.fields(schema.fieldIndex(n)).dataType,
-          p.keys.map(_.apply(i)))
+          keys.map(_.apply(i)))
       }
     }
     def statFor(stats: List[graft.meta.ColStatDef], id: Int, n: String) =
@@ -215,66 +215,28 @@ private[graft] object ChangesTable {
                  props: Map[String, String], schema: StructType,
                  candidates: Seq[String],
                  newDeletes: Seq[graft.meta.DeleteFileDef],
-                 predOf: graft.meta.DeleteFileDef => MorPredicate)
+                 keysOf: graft.meta.DeleteFileDef => Set[List[Any]])
       : Seq[String] = {
-    val declared = props.get("write.parquet.bloom-filter-columns").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+    val declared = MergeOnRead.declaredBloomCols(props)
     if (declared.isEmpty || candidates.isEmpty) return candidates
+    // only pay footer reads when EVERY key column carries a declared
+    // bloom; a partially-covered key could occasionally prove absence
+    // through its covered columns, but rarely enough to buy the I/O
     val groups = newDeletes.map { d =>
-      val p = predOf(d)
+      val keys = keysOf(d)
       d.keyFieldIds.zipWithIndex.map { case (id, i) =>
         val n = MergeOnRead.nameOfFieldId(schema, id)
         (n, schema.fields(schema.fieldIndex(n)).dataType,
-          p.keys.map(_.apply(i)))
+          keys.map(_.apply(i)): Iterable[Any])
       }
     }
-    if (!groups.exists(_.exists(c => declared(c._1)))) return candidates
+    if (groups.exists(_.exists(c => !declared(c._1)))) return candidates
     val hconf = s.sessionState.newHadoopConf()
     candidates.filter { rel =>
-      try {
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(s"$dataDir/$rel"), hconf))
-        try {
-          import scala.jdk.CollectionConverters._
-          val blocks = reader.getRowGroups.asScala
-          groups.exists { cols =>
-            cols.forall { case (n, dt, values) =>
-              !declared(n) || blocks.exists { b =>
-                b.getColumns.asScala.find(_.getPath.toDotString == n) match {
-                  case None => true
-                  case Some(cm) =>
-                    val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cm)
-                    bf == null || values.exists(v =>
-                      bloomValue(dt, v).forall(o => bf.findHash(bf.hash(o))))
-                }
-              }
-            }
-          }
-        } finally reader.close()
-      } catch { case scala.util.control.NonFatal(_) => true }
+      groups.exists(cols =>
+        MergeOnRead.bloomMayContain(s"$dataDir/$rel", hconf, cols))
     }
   }
-
-  /** A deleted key value as the parquet object the bloom hash expects;
-    * None = undecidable for this type (the caller keeps the file). */
-  private def bloomValue(dt: org.apache.spark.sql.types.DataType,
-                         v: Any): Option[Object] =
-    Option(v).flatMap { x =>
-      dt match {
-        case org.apache.spark.sql.types.StringType =>
-          Some(org.apache.parquet.io.api.Binary.fromString(x.toString))
-        case org.apache.spark.sql.types.LongType =>
-          Some(java.lang.Long.valueOf(x.asInstanceOf[Long]))
-        case org.apache.spark.sql.types.IntegerType =>
-          Some(Integer.valueOf(x.asInstanceOf[Int]))
-        case org.apache.spark.sql.types.ShortType =>
-          Some(Integer.valueOf(x.asInstanceOf[Short].toInt))
-        case org.apache.spark.sql.types.ByteType =>
-          Some(Integer.valueOf(x.asInstanceOf[Byte].toInt))
-        case _ => None
-      }
-    }
 
   /** Range-overlap variant of [[keptCandidates]] for callers that keep
     * delete keys DISTRIBUTED (the batch [[Changes]] feed): compares each
@@ -373,8 +335,8 @@ private[graft] object ChangesTable {
       else bloomPrune(s, dataDir, meta.properties, schema,
         keptCandidates(diff.kept,
           meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
-          schema, diff.newDeletes, pred),
-        diff.newDeletes, pred)
+          schema, diff.newDeletes, d => pred(d).keys),
+        diff.newDeletes, d => pred(d).keys)
 
     // `pair-updates`: label a same-commit mask + re-insert of one key as
     // update_preimage/postimage (the batch Changes API's semantics) so

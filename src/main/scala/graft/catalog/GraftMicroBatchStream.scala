@@ -178,6 +178,10 @@ private[graft] class GraftScan(delegate0: Scan,
 
   @volatile private var delegate: Scan = delegate0
 
+  /** The currently-wrapped scan (post any runtime refilter) — plan
+    * inspection for tests and diagnostics. */
+  private[graft] def currentDelegate: Scan = delegate
+
   /** Forward the key-grouped report when the wrapped scan is a
     * [[KeyedScan]] — planning reads it here (the relation holds THIS
     * scan), and a runtime refilter swaps in another keyed delegate so

@@ -44,6 +44,16 @@ object GraftTable {
     posMarkedCache.computeIfAbsent(key, _ => f)
   }
 
+  /** (file + live delete-file paths) → may the file hold a deleted key,
+    * per its parquet blooms. Delete files are immutable, so entries
+    * never go stale; compaction retires the keys. */
+  private val bloomDirtyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[catalog] def bloomDirtyMemo(key: String, f: => Boolean): Boolean = {
+    if (bloomDirtyCache.size > (1 << 16)) bloomDirtyCache.clear()
+    bloomDirtyCache.computeIfAbsent(key, _ => f)
+  }
+
 }
 
 class GraftTable(tableName: String, private[graft] val store: MetaStore,
@@ -136,7 +146,8 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
       streamSource = Some((store, ns, table)),
       deleteFiles = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil),
       fileSeqs = meta.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty),
-      deleteByteBudget = MergeOnRead.byteBudget(mergedProps))
+      deleteByteBudget = MergeOnRead.byteBudget(mergedProps),
+      bloomKeyCols = MergeOnRead.declaredBloomCols(mergedProps))
 
   // ---- merge-on-read join-fallback surface (see [[MorDeleteJoin]]) ----
 
@@ -733,7 +744,8 @@ private[graft] class GraftScanBuilder(
     onBuild: Seq[String] => Unit = _ => (),
     deleteFiles: Seq[graft.meta.DeleteFileDef] = Nil,
     fileSeqs: Map[String, Long] = Map.empty,
-    deleteByteBudget: Long = MergeOnRead.DefaultDeleteByteBudget)
+    deleteByteBudget: Long = MergeOnRead.DefaultDeleteByteBudget,
+    bloomKeyCols: Set[String] = Set.empty)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1267,10 +1279,53 @@ private[graft] class GraftScanBuilder(
       })
     }.toMap
 
+    // promotion back to the clean path: sequence scoping calls a file
+    // "dirty" whenever ANY delete outranks it, but per-file evidence
+    // can PROVE no deleted key ever lived there. Two rungs, cheapest
+    // first: the manifest's harvested identifier [min,max] (zero I/O),
+    // then — where the writer declared parquet blooms on every key
+    // column — the footer blooms (one driver-side footer read per
+    // surviving file, memoized per (file, delete set); delete files
+    // are immutable so entries never stale). Promoted files read
+    // vectorized with no subtract filter.
+    val keysOf = (d: graft.meta.DeleteFileDef) => keysByFile(d.path)
+    lazy val hconf = spark.sessionState.newHadoopConf()
+    val moved = Seq.newBuilder[String]
+    val dirtyFinal = dirtyGroups.flatMap { case (dels, fs) =>
+      val statCand =
+        ChangesTable.keptCandidates(fs, fileStats, tableSchema, dels, keysOf)
+      moved ++= fs.filterNot(statCand.toSet)
+      val byIds = dels.groupBy(_.keyFieldIds).toSeq.map { case (ids, ds) =>
+        ids.zipWithIndex.map { case (id, i) =>
+          val n = MergeOnRead.nameOfFieldId(tableSchema, id)
+          (n, tableSchema.fields(tableSchema.fieldIndex(n)).dataType,
+            ds.flatMap(d => keysOf(d).map(_.apply(i))): Iterable[Any])
+        }
+      }
+      val testable = bloomKeyCols.nonEmpty &&
+        byIds.forall(_.forall(c => bloomKeyCols(c._1)))
+      val still =
+        if (!testable) statCand
+        else {
+          val (dirty2, clean2) = statCand.partition { rel =>
+            val key = s"$dataDir/$rel|${dels.map(_.path).sorted.mkString(",")}"
+            GraftTable.bloomDirtyMemo(key,
+              byIds.exists(cols =>
+                MergeOnRead.bloomMayContain(s"$dataDir/$rel", hconf, cols)))
+          }
+          moved ++= clean2
+          dirty2
+        }
+      if (still.nonEmpty) Some((dels, still)) else None
+    }
+    val cleanAll = cleanFiles ++ moved.result()
+    // every file proven untouched: the plain (columnar-capable) scan
+    if (dirtyFinal.isEmpty && posGroups.isEmpty) return delegateScanFor(rels)
+
     val statsScan = delegateScanFor(rels)
-    val cleanScan = if (cleanFiles.nonEmpty) Some(delegateScanFor(cleanFiles))
+    val cleanScan = if (cleanAll.nonEmpty) Some(delegateScanFor(cleanAll))
       else None
-    val dirty = dirtyGroups.map { case (dels, fs) =>
+    val dirty = dirtyFinal.map { case (dels, fs) =>
       val keyIdSets = dels.groupBy(_.keyFieldIds).toSeq.sortBy(_._1.mkString(","))
       val allKeyNames = keyIdSets.flatMap(_._1).distinct
         .map(MergeOnRead.nameOfFieldId(tableSchema, _))

@@ -98,6 +98,57 @@ private[graft] object MergeOnRead {
   def estBytes(d: graft.meta.DeleteFileDef): Long =
     if (d.bytes > 0) d.bytes else d.rows * 32L
 
+  /** Could this parquet file contain SOME key of `cols` (each entry:
+    * column name, Spark type, candidate values), judged by its footer
+    * bloom filters? Per-column conjunctive over any row group — `false`
+    * PROVES no candidate key ever lived in the file. Conservative on
+    * every uncertainty: missing bloom, unknown physical column
+    * (rename), null or non-bloomable value, unreadable footer. */
+  def bloomMayContain(abs: String,
+                      hconf: org.apache.hadoop.conf.Configuration,
+                      cols: Seq[(String, DataType, Iterable[Any])]): Boolean = {
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(abs), hconf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getRowGroups.asScala
+        cols.forall { case (n, dt, values) =>
+          blocks.exists { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == n) match {
+              case None => true
+              case Some(cm) =>
+                val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cm)
+                bf == null || values.exists(v =>
+                  bloomValue(dt, v).forall(o => bf.findHash(bf.hash(o))))
+            }
+          }
+        }
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => true }
+  }
+
+  /** A key value as the parquet object the bloom hash expects; None =
+    * undecidable for this type (callers must keep the file). */
+  private def bloomValue(dt: DataType, v: Any): Option[Object] =
+    Option(v).flatMap { x =>
+      dt match {
+        case StringType =>
+          Some(org.apache.parquet.io.api.Binary.fromString(x.toString))
+        case LongType => Some(java.lang.Long.valueOf(x.asInstanceOf[Long]))
+        case IntegerType => Some(Integer.valueOf(x.asInstanceOf[Int]))
+        case ShortType => Some(Integer.valueOf(x.asInstanceOf[Short].toInt))
+        case ByteType => Some(Integer.valueOf(x.asInstanceOf[Byte].toInt))
+        case _ => None
+      }
+    }
+
+  /** Identifier columns declared to carry parquet bloom filters. */
+  def declaredBloomCols(props: Map[String, String]): Set[String] =
+    props.get("write.parquet.bloom-filter-columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+
   /** External (driver-collected) and internal (executor-extracted) key
     * values must meet in one representation: String for strings, boxed
     * primitives otherwise. */

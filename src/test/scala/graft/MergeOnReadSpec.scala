@@ -651,6 +651,124 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("compact first"), e2.getMessage)
   }
 
+  // ---- promotion of provably-untouched files out of the dirty path ----
+
+  private def v2Scans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.connector.read.Scan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def unwrap(s: org.apache.spark.sql.connector.read.Scan)
+        : org.apache.spark.sql.connector.read.Scan = s match {
+      case g: graft.catalog.GraftScan => unwrap(g.currentDelegate)
+      case other => other
+    }
+    def walk(p: SparkPlan): Seq[org.apache.spark.sql.connector.read.Scan] =
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case b: BatchScanExec => Seq(unwrap(b.scan))
+        case o => o.children.flatMap(walk)
+      }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def baseName(p: String): String = new java.io.File(p).getName
+
+  /** (clean-side, dirty-side) data file names of the plan's MorScan. */
+  private def morSides(df: org.apache.spark.sql.DataFrame)
+      : (Set[String], Set[String]) = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val scans = v2Scans(df)
+    val mor = scans.collectFirst { case m: graft.catalog.MorScan => m }
+    assert(mor.nonEmpty, s"no MorScan among ${scans.map(_.description())}")
+    def names(p: org.apache.spark.sql.connector.read.InputPartition) = p match {
+      case f: FilePartition =>
+        f.files.toSeq.map(pf => baseName(pf.filePath.toString))
+      case _ => Nil
+    }
+    val tagged = mor.get.toBatch.planInputPartitions().toSeq
+      .collect { case m: graft.catalog.MorInputPartition => m }
+    (tagged.filter(_.side < 0).flatMap(p => names(p.delegate)).toSet,
+      tagged.filter(_.side >= 0).flatMap(p => names(p.delegate)).toSet)
+  }
+
+  test("manifest [min,max] promotes untouched files out of the dirty path") {
+    mkMorTable("promo1", "t")
+    spark.sql("INSERT INTO mor.promo1.t VALUES (1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
+    val filesA = snap("promo1", "t").files
+    spark.sql("INSERT INTO mor.promo1.t VALUES (100,'x',1.0),(101,'y',2.0),(102,'z',3.0)")
+    val filesB = snap("promo1", "t").files.filterNot(filesA.toSet)
+    spark.sql("DELETE FROM mor.promo1.t WHERE id = 100")
+
+    // sequence scoping alone calls EVERY pre-delete file dirty; the
+    // harvested id [min,max] proves the first batch never held key 100
+    val df = spark.table("mor.promo1.t")
+    val (clean, dirty) = morSides(df)
+    val aNames = filesA.map(baseName).toSet
+    val bNames = filesB.map(baseName).toSet
+    assert(dirty.nonEmpty && dirty.subsetOf(bNames),
+      s"dirty=$dirty should only hold second-batch files $bNames")
+    assert(aNames.subsetOf(clean),
+      s"first batch $aNames must read clean (clean=$clean)")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 101L, 102L))
+  }
+
+  test("footer blooms promote files the [min,max] stats cannot clear") {
+    import spark.implicits._
+    for ((ns, bloom) <- Seq(("promo2", true), ("promo2n", false))) {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS mor.$ns")
+      val bloomProp =
+        if (bloom) ",\n'write.parquet.bloom-filter-columns' = 'id'" else ""
+      spark.sql(s"""CREATE TABLE mor.$ns.t (id BIGINT NOT NULL, cat STRING, v DOUBLE)
+        TBLPROPERTIES (
+          'identifier-fields' = 'id',
+          'write.delete.mode' = 'merge-on-read',
+          'write.update.mode' = 'merge-on-read',
+          'write.merge.mode' = 'merge-on-read'$bloomProp)""")
+      // one-task writes → exactly one file per batch. File A spans
+      // [1,3] but SKIPS 2; file B holds 2. Stats cannot clear A
+      // (2 ∈ [1,3]) — only its bloom can prove 2 never lived there.
+      Seq((1L, "a", 1.0), (3L, "c", 3.0)).toDF("id", "cat", "v")
+        .coalesce(1).writeTo(s"mor.$ns.t").append()
+      val filesA = snap(ns, "t").files
+      Seq((2L, "b", 2.0), (100L, "x", 4.0)).toDF("id", "cat", "v")
+        .coalesce(1).writeTo(s"mor.$ns.t").append()
+      val filesB = snap(ns, "t").files.filterNot(filesA.toSet)
+      spark.sql(s"DELETE FROM mor.$ns.t WHERE id = 2")
+
+      val df = spark.table(s"mor.$ns.t")
+      val (clean, dirty) = morSides(df)
+      val aNames = filesA.map(baseName).toSet
+      val bNames = filesB.map(baseName).toSet
+      if (bloom) {
+        assert(dirty == bNames && aNames.subsetOf(clean),
+          s"blooms should clear $aNames: clean=$clean dirty=$dirty")
+      } else {
+        // without blooms the range-trapped file stays on the dirty side
+        assert(dirty == (aNames ++ bNames),
+          s"no blooms declared — $aNames must stay dirty (dirty=$dirty)")
+      }
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 100L))
+    }
+  }
+
+  test("a scan whose every dirty file is provably untouched skips MorScan") {
+    mkMorTable("promo3", "t")
+    spark.sql("INSERT INTO mor.promo3.t VALUES (1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
+    spark.sql("INSERT INTO mor.promo3.t VALUES (100,'x',1.0),(101,'y',2.0)")
+    spark.sql("DELETE FROM mor.promo3.t WHERE id = 100")
+    // the pushed filter prunes the second batch by file stats; the
+    // surviving first-batch files are then promoted (key 100 ∉ [1,3]) —
+    // nothing dirty remains, so the plan is the plain delegate scan
+    val df = spark.table("mor.promo3.t").where("id <= 3")
+    val scans = v2Scans(df)
+    assert(scans.nonEmpty &&
+      scans.forall(!_.isInstanceOf[graft.catalog.MorScan]),
+      scans.map(_.description()).mkString("; "))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("keyless CoW UPDATE composes with live position deletes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.posd2")
     spark.sql("""CREATE TABLE mor.posd2.t (id BIGINT, cat STRING, v DOUBLE)

@@ -31,20 +31,23 @@ class EqDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("random keyed DML sequence matches the reference model at every step") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS ep.m")
-    spark.sql("""CREATE TABLE ep.m.t (id BIGINT NOT NULL, cat STRING, v DOUBLE)
+  private def run(ns: String, seed: Long, bloom: Boolean): Unit = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS ep.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS ep.$ns.t")
+    val bloomProp =
+      if (bloom) ",\n'write.parquet.bloom-filter-columns' = 'id'" else ""
+    spark.sql(s"""CREATE TABLE ep.$ns.t (id BIGINT NOT NULL, cat STRING, v DOUBLE)
       TBLPROPERTIES (
         'identifier-fields' = 'id',
         'write.delete.mode' = 'merge-on-read',
         'write.update.mode' = 'merge-on-read',
-        'write.merge.mode' = 'merge-on-read')""")
+        'write.merge.mode' = 'merge-on-read'$bloomProp)""")
     val cat = spark.sessionState.catalogManager.catalog("ep")
       .asInstanceOf[GraftCatalog]
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
-      Array("m"), "t")
+      Array(ns), "t")
 
-    val rnd = new scala.util.Random(71320268L)
+    val rnd = new scala.util.Random(seed)
     // keyed table: the model is a Map — one live row version per id
     val model = scala.collection.mutable.Map.empty[Long, (String, Double)]
     var nextId = 0L
@@ -57,19 +60,19 @@ class EqDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         (nextId, s"c${rnd.nextInt(4)}", rnd.nextInt(1000) / 10.0)
       }
       rows.foreach { case (i, c, v) => model(i) = (c, v) }
-      spark.sql("INSERT INTO ep.m.t VALUES " +
+      spark.sql(s"INSERT INTO ep.$ns.t VALUES " +
         rows.map { case (i, c, v) => s"($i,'$c',$v)" }.mkString(","))
     }
 
     def deleteWhere(): Unit = {
       val bound = rnd.nextInt(100) / 10.0 * 10
-      spark.sql(s"DELETE FROM ep.m.t WHERE v >= $bound")
+      spark.sql(s"DELETE FROM ep.$ns.t WHERE v >= $bound")
       model.filterInPlace { case (_, (_, mv)) => mv < bound }
     }
 
     def updateWhere(): Unit = {
       val c = s"c${rnd.nextInt(4)}"
-      spark.sql(s"UPDATE ep.m.t SET v = v + 500 WHERE cat = '$c'")
+      spark.sql(s"UPDATE ep.$ns.t SET v = v + 500 WHERE cat = '$c'")
       model.mapValuesInPlace { case (_, (mc, mv)) =>
         if (mc == c) (mc, mv + 500) else (mc, mv) }
     }
@@ -77,7 +80,7 @@ class EqDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     def mergeBatch(): Unit = {
       val ids = (0 until 4).map(_ => rnd.nextLong(nextId + 3) + 1).distinct
       val src = ids.map(i => (i, s"m${rnd.nextInt(3)}", rnd.nextInt(100) * 1.0))
-      spark.sql(s"""MERGE INTO ep.m.t t USING (
+      spark.sql(s"""MERGE INTO ep.$ns.t t USING (
         SELECT * FROM VALUES ${src.map { case (i, c, v) => s"(${i}L,'$c',$v)" }
           .mkString(",")} AS s(id, cat, v)) s
         ON t.id = s.id
@@ -95,14 +98,14 @@ class EqDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val ids = (0 until 3).map(_ => rnd.nextLong(nextId + 2) + 1).distinct
       val rows = ids.map(i => (i, s"u${rnd.nextInt(3)}", rnd.nextInt(50) * 1.0))
       import spark.implicits._
-      graft.catalog.CatalogUpserts.upsertBatch(cat.metadataStore, Seq("m"), "t",
+      graft.catalog.CatalogUpserts.upsertBatch(cat.metadataStore, Seq(ns), "t",
         rows.toDF("id", "cat", "v"))
       rows.foreach { case (i, c, v) => model(i) = (c, v) }
       nextId = math.max(nextId, ids.max)
     }
 
     def check(step: String): Unit = {
-      val got = spark.table("ep.m.t").collect()
+      val got = spark.table(s"ep.$ns.t").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
         .sorted.toSeq
       val want = model.toSeq.map { case (i, (c, v)) => (i, c, v) }.sorted
@@ -126,5 +129,16 @@ class EqDeltaPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     cat.compact(ident)
     check("final compaction")
+  }
+
+  test("random keyed DML sequence matches the reference model at every step") {
+    run("m", 71320268L, bloom = false)
+  }
+
+  // same machinery with footer blooms declared on the key: every read
+  // in the trajectory exercises dirty-file promotion — a wrong bloom
+  // verdict (false "never held this key") diverges as resurrected rows
+  test("random keyed DML with bloom promotion active matches the model") {
+    run("mb", 90814427L, bloom = true)
   }
 }

@@ -171,7 +171,9 @@ private[graft] class GraftScan(delegate0: Scan,
                                runtimeAttrs: Seq[String] = Nil,
                                refilter: Array[org.apache.spark.sql.sources.Filter] => Scan =
                                  _ => null,
-                               manifestRows: Option[Long] = None)
+                               manifestRows: Option[Long] = None,
+                               driverMetrics: () => Seq[(String, Long)] =
+                                 () => Nil)
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -181,6 +183,16 @@ private[graft] class GraftScan(delegate0: Scan,
   /** The currently-wrapped scan (post any runtime refilter) — plan
     * inspection for tests and diagnostics. */
   private[graft] def currentDelegate: Scan = delegate
+
+  // planning-time counters (see [[ScanMetrics]]); the closure reads the
+  // builder's live state, so a runtime refilter's narrowed numbers are
+  // what BatchScanExec reports after planning
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    ScanMetrics.supported
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    driverMetrics().map { case (n, v) => ScanMetrics.value(n, v) }.toArray
 
   /** Forward the key-grouped report when the wrapped scan is a
     * [[KeyedScan]] — planning reads it here (the relation holds THIS

@@ -1223,6 +1223,7 @@ private[graft] class GraftScanBuilder(
         PosGroup(rel, s"$dataDir/$rel", lens(rel), posByRel(rel))
       }
     }
+    noteMetrics(ScanMetrics.FilesDirtyPos -> posGroups.size.toLong)
     val posFactoryScan =
       if (posGroups.isEmpty) None
       // row-index delegate: positions come from parquet row-group
@@ -1291,10 +1292,13 @@ private[graft] class GraftScanBuilder(
     val keysOf = (d: graft.meta.DeleteFileDef) => keysByFile(d.path)
     lazy val hconf = spark.sessionState.newHadoopConf()
     val moved = Seq.newBuilder[String]
+    var promotedStats = 0L
+    var promotedBloom = 0L
     val dirtyFinal = dirtyGroups.flatMap { case (dels, fs) =>
       val statCand =
         ChangesTable.keptCandidates(fs, fileStats, tableSchema, dels, keysOf)
       moved ++= fs.filterNot(statCand.toSet)
+      promotedStats += fs.size - statCand.size
       val byIds = dels.groupBy(_.keyFieldIds).toSeq.map { case (ids, ds) =>
         ids.zipWithIndex.map { case (id, i) =>
           val n = MergeOnRead.nameOfFieldId(tableSchema, id)
@@ -1314,10 +1318,15 @@ private[graft] class GraftScanBuilder(
                 MergeOnRead.bloomMayContain(s"$dataDir/$rel", hconf, cols)))
           }
           moved ++= clean2
+          promotedBloom += clean2.size
           dirty2
         }
       if (still.nonEmpty) Some((dels, still)) else None
     }
+    noteMetrics(
+      ScanMetrics.FilesDirtyEq -> dirtyFinal.map(_._2.size).sum.toLong,
+      ScanMetrics.FilesPromotedStats -> promotedStats,
+      ScanMetrics.FilesPromotedBloom -> promotedBloom)
     val cleanAll = cleanFiles ++ moved.result()
     // every file proven untouched: the plain (columnar-capable) scan
     if (dirtyFinal.isEmpty && posGroups.isEmpty) return delegateScanFor(rels)
@@ -1433,8 +1442,16 @@ private[graft] class GraftScanBuilder(
     * aggregations then run with no exchange. Any file missing a dir key
     * (pre-spec-evolution data) or carrying an unparseable value drops
     * the whole report — never a wrong key, just a plain scan. */
+  // planning-time counters for [[ScanMetrics]] — reset per (re)build so
+  // a runtime refilter reports the NARROWED numbers
+  private var planMetrics: Map[String, Long] = Map.empty
+  private def noteMetrics(kvs: (String, Long)*): Unit =
+    kvs.foreach { case (k, v) => planMetrics += (k -> v) }
+
   private def keyedScanFor(rels: Seq[String])
       : org.apache.spark.sql.connector.read.Scan = {
+    planMetrics = Map(ScanMetrics.FilesSelected -> rels.size.toLong,
+      ScanMetrics.DeleteFilesLive -> deleteFiles.size.toLong)
     if (rels.isEmpty || groupPruneOnly || deleteFiles.nonEmpty)
       return morScanFor(rels)
     keyedFields match {
@@ -1514,10 +1531,12 @@ private[graft] class GraftScanBuilder(
       case None =>
         new GraftScan(batchScan,
           cp => batchScan.toMicroBatchStream(cp), // unreachable: no stream source
-          runtimeFilterAttrs, runtimeRefilter, manifestRows)
+          runtimeFilterAttrs, runtimeRefilter, manifestRows,
+          () => planMetrics.toSeq.sortBy(_._1))
       case Some((store, ns, table)) =>
         new GraftScan(batchScan, runtimeAttrs = runtimeFilterAttrs,
           refilter = runtimeRefilter, manifestRows = manifestRows,
+          driverMetrics = () => planMetrics.toSeq.sortBy(_._1),
           mkStream = _ => {
           // a micro-batch is an append-only file delta; equality deletes
           // committed between offsets would require emitting retractions

@@ -653,23 +653,28 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- promotion of provably-untouched files out of the dirty path ----
 
-  private def v2Scans(df: org.apache.spark.sql.DataFrame)
+  private def rawV2Scans(df: org.apache.spark.sql.DataFrame)
       : Seq[org.apache.spark.sql.connector.read.Scan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: SparkPlan): Seq[org.apache.spark.sql.connector.read.Scan] =
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case b: BatchScanExec => Seq(b.scan)
+        case o => o.children.flatMap(walk)
+      }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def v2Scans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.connector.read.Scan] = {
     def unwrap(s: org.apache.spark.sql.connector.read.Scan)
         : org.apache.spark.sql.connector.read.Scan = s match {
       case g: graft.catalog.GraftScan => unwrap(g.currentDelegate)
       case other => other
     }
-    def walk(p: SparkPlan): Seq[org.apache.spark.sql.connector.read.Scan] =
-      p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case b: BatchScanExec => Seq(unwrap(b.scan))
-        case o => o.children.flatMap(walk)
-      }
-    walk(df.queryExecution.executedPlan)
+    rawV2Scans(df).map(unwrap)
   }
 
   private def baseName(p: String): String = new java.io.File(p).getName
@@ -751,6 +756,41 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 100L))
     }
+  }
+
+  test("driver metrics report selection, dirty counts, and promotions") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.pm")
+    spark.sql("""CREATE TABLE mor.pm.t (id BIGINT NOT NULL, cat STRING, v DOUBLE)
+      TBLPROPERTIES (
+        'identifier-fields' = 'id',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'write.merge.mode' = 'merge-on-read',
+        'write.parquet.bloom-filter-columns' = 'id')""")
+    // three one-task files: A [1,3] without 2 (bloom-promotable for key
+    // 2), B [10,11] (stats-promotable), C holds 2 (stays dirty)
+    Seq((1L, "a", 1.0), (3L, "c", 3.0)).toDF("id", "cat", "v")
+      .coalesce(1).writeTo("mor.pm.t").append()
+    Seq((10L, "j", 1.0), (11L, "k", 2.0)).toDF("id", "cat", "v")
+      .coalesce(1).writeTo("mor.pm.t").append()
+    Seq((2L, "b", 2.0), (100L, "x", 4.0)).toDF("id", "cat", "v")
+      .coalesce(1).writeTo("mor.pm.t").append()
+    spark.sql("DELETE FROM mor.pm.t WHERE id = 2")
+
+    val df = spark.table("mor.pm.t")
+    df.collect() // force planning (metrics are planning-time counters)
+    val gs = rawV2Scans(df).collectFirst { case g: graft.catalog.GraftScan => g }
+    assert(gs.nonEmpty)
+    val names = gs.get.supportedCustomMetrics().map(_.name()).toSet
+    val m = gs.get.reportDriverMetrics().map(t => t.name() -> t.value()).toMap
+    assert(m.keySet.subsetOf(names), s"unregistered metrics: ${m.keySet -- names}")
+    assert(m(graft.catalog.ScanMetrics.FilesSelected) == 3, m.toString)
+    assert(m(graft.catalog.ScanMetrics.DeleteFilesLive) == 1, m.toString)
+    assert(m(graft.catalog.ScanMetrics.FilesDirtyEq) == 1, m.toString)
+    assert(m(graft.catalog.ScanMetrics.FilesPromotedStats) == 1, m.toString)
+    assert(m(graft.catalog.ScanMetrics.FilesPromotedBloom) == 1, m.toString)
+    assert(m(graft.catalog.ScanMetrics.FilesDirtyPos) == 0, m.toString)
   }
 
   test("a scan whose every dirty file is provably untouched skips MorScan") {

@@ -332,6 +332,7 @@ private[graft] class PosFilteringReader(
           nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
       })
   private var current: InternalRow = _
+  private var subtracted = 0L
 
   override def next(): Boolean = {
     while (delegate.next()) {
@@ -340,12 +341,17 @@ private[graft] class PosFilteringReader(
         current = proj(r)
         return true
       }
+      subtracted += 1
     }
     false
   }
 
   override def get(): InternalRow = current
   override def close(): Unit = delegate.close()
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.currentMetricsValues() :+
+      ScanMetrics.value(ScanMetrics.RowsSubtractedPos, subtracted)
 }
 
 /** Row reader subtracting deleted keys, then projecting away any key
@@ -376,6 +382,8 @@ private[graft] class MorFilteringReader(delegate: PartitionReader[InternalRow],
     false
   }
 
+  private var subtracted = 0L
+
   override def next(): Boolean = {
     while (delegate.next()) {
       val r = delegate.get()
@@ -383,10 +391,15 @@ private[graft] class MorFilteringReader(delegate: PartitionReader[InternalRow],
         current = if (spec.keepFields < 0) r else proj(r)
         return true
       }
+      subtracted += 1
     }
     false
   }
 
   override def get(): InternalRow = current
   override def close(): Unit = delegate.close()
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.currentMetricsValues() :+
+      ScanMetrics.value(ScanMetrics.RowsSubtractedEq, subtracted)
 }

@@ -30,6 +30,10 @@ object ScanMetrics {
   val FilesPromotedBloom = "filesPromotedBloom"
   /** Live delete files on the scanned snapshot. */
   val DeleteFilesLive = "deleteFilesLive"
+  /** Rows dropped by the equality-delete subtract (executor-side). */
+  val RowsSubtractedEq = "rowsSubtractedEq"
+  /** Rows dropped by position-delete marks (executor-side). */
+  val RowsSubtractedPos = "rowsSubtractedPos"
 
   val supported: Array[CustomMetric] = Array(
     new Sum(FilesSelected, "data files selected by pruning"),
@@ -37,7 +41,9 @@ object ScanMetrics {
     new Sum(FilesDirtyPos, "files on the position-delete path"),
     new Sum(FilesPromotedStats, "dirty files cleared by [min,max] stats"),
     new Sum(FilesPromotedBloom, "dirty files cleared by footer blooms"),
-    new Sum(DeleteFilesLive, "live delete files on the snapshot"))
+    new Sum(DeleteFilesLive, "live delete files on the snapshot"),
+    new Sum(RowsSubtractedEq, "rows dropped by equality-delete keys"),
+    new Sum(RowsSubtractedPos, "rows dropped by position-delete marks"))
 
   def value(n: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
     override def name(): String = n

@@ -793,6 +793,43 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(graft.catalog.ScanMetrics.FilesDirtyPos) == 0, m.toString)
   }
 
+  test("filtering readers report subtracted rows as task metrics") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.LongType
+    def fakeReader(rows: Seq[InternalRow])
+        : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+        private val it = rows.iterator
+        private var cur: InternalRow = _
+        override def next(): Boolean =
+          if (it.hasNext) { cur = it.next(); true } else false
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    def drain(r: org.apache.spark.sql.connector.read.PartitionReader[InternalRow])
+        : Int = { var n = 0; while (r.next()) n += 1; n }
+    def metric(r: org.apache.spark.sql.connector.read.PartitionReader[InternalRow],
+               name: String): Long =
+      r.currentMetricsValues().find(_.name() == name).map(_.value()).getOrElse(-1L)
+
+    // equality subtract: keys {2, 3} kill two of four rows
+    val eq = new graft.catalog.MorFilteringReader(
+      fakeReader((1L to 4L).map(i => new GenericInternalRow(Array[Any](i)))),
+      graft.catalog.MorSpec(Seq(graft.catalog.MorPredicate(
+        Array(0), Array(LongType), Set(List(2L), List(3L)))), -1, Array(LongType)))
+    assert(drain(eq) == 2)
+    assert(metric(eq, graft.catalog.ScanMetrics.RowsSubtractedEq) == 2L)
+
+    // position subtract: marked index 1 kills one of three rows
+    val pos = new graft.catalog.PosFilteringReader(
+      fakeReader((0L to 2L).map(i =>
+        new GenericInternalRow(Array[Any](i * 10, i)))),
+      Set(1L), Array(LongType))
+    assert(drain(pos) == 2)
+    assert(metric(pos, graft.catalog.ScanMetrics.RowsSubtractedPos) == 1L)
+  }
+
   test("a scan whose every dirty file is provably untouched skips MorScan") {
     mkMorTable("promo3", "t")
     spark.sql("INSERT INTO mor.promo3.t VALUES (1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")

@@ -149,15 +149,92 @@ private[graft] object ChangesTable {
   /** Typed compare of a manifest stat string against a key value; None =
     * incomparable (never prune on it). Key types are the exact-render
     * set, so long/string cover everything but boolean (which never
-    * constrains). */
+    * constrains). Strings compare as UNSIGNED UTF-8 bytes — the order
+    * parquet chose the harvested min/max under — never UTF-16
+    * `String.compareTo`, whose order diverges for [U+E000, U+FFFF] vs
+    * supplementary characters and would let a key sit inside the file
+    * but outside the computed [min, max]. */
   private def cmpStat(dt: DataType, stat: String, v: Any): Option[Int] = try {
     dt match {
       case IntegerType | LongType | ShortType | ByteType =>
         Some(java.lang.Long.compare(stat.toLong, String.valueOf(v).toLong))
-      case StringType => Some(stat.compareTo(String.valueOf(v)))
+      case StringType if v != null =>
+        Some(java.util.Arrays.compareUnsigned(utf8(stat), utf8(v.toString)))
       case _ => None
     }
   } catch { case _: Exception => None }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** A per-column probe set prepared once (sorted), answering "could
+    * ANY candidate value sit inside this file's [min, max]?" in
+    * O(log K) per file instead of O(K) comparisons — keptCandidates
+    * runs on every merge-on-read scan build, against key sets that can
+    * reach the delete byte budget (millions). Any unparseable or null
+    * value degrades the WHOLE probe to always-true: pruning is an
+    * optimization, never a bet. */
+  private sealed trait Probe {
+    def anyInRange(min: String, max: String): Boolean
+  }
+  private case object AlwaysProbe extends Probe {
+    override def anyInRange(min: String, max: String): Boolean = true
+  }
+  private final class LongProbe(sorted: Array[Long]) extends Probe {
+    override def anyInRange(min: String, max: String): Boolean = try {
+      val lo = min.toLong
+      val hi = max.toLong
+      var i = java.util.Arrays.binarySearch(sorted, lo)
+      if (i < 0) i = -i - 1
+      i < sorted.length && sorted(i) <= hi
+    } catch { case _: Exception => true }
+  }
+  private val UnsignedBytes = new java.util.Comparator[Array[Byte]] {
+    override def compare(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
+  }
+  private final class BytesProbe(sorted: Array[Array[Byte]]) extends Probe {
+    override def anyInRange(min: String, max: String): Boolean = {
+      val lo = utf8(min)
+      val hi = utf8(max)
+      var i = java.util.Arrays.binarySearch(
+        sorted.asInstanceOf[Array[Object]], lo,
+        UnsignedBytes.asInstanceOf[java.util.Comparator[Object]])
+      if (i < 0) i = -i - 1
+      i < sorted.length && UnsignedBytes.compare(sorted(i), hi) <= 0
+    }
+  }
+  private def probeOf(dt: DataType, values: Iterable[Any]): Probe = dt match {
+    case IntegerType | LongType | ShortType | ByteType =>
+      val out = new Array[Long](values.size)
+      var i = 0
+      for (v <- values) {
+        v match {
+          case b: Byte => out(i) = b.toLong
+          case s: Short => out(i) = s.toLong
+          case x: Int => out(i) = x.toLong
+          case l: Long => out(i) = l
+          case _ => return AlwaysProbe
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      new LongProbe(out)
+    case StringType =>
+      val out = new Array[Array[Byte]](values.size)
+      var i = 0
+      for (v <- values) {
+        v match {
+          case s: String => out(i) = utf8(s)
+          case _ => return AlwaysProbe
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(out.asInstanceOf[Array[Object]],
+        UnsignedBytes.asInstanceOf[java.util.Comparator[Object]])
+      new BytesProbe(out)
+    case _ => AlwaysProbe
+  }
 
   /** The kept files that could possibly hold ANY of this commit's delete
     * keys, judged per file by its harvested identifier-column [min, max]
@@ -174,13 +251,14 @@ private[graft] object ChangesTable {
                      newDeletes: Seq[graft.meta.DeleteFileDef],
                      keysOf: graft.meta.DeleteFileDef => Set[List[Any]])
       : Seq[String] = {
-    // per delete file: the per-column (field id, name, type, values)
+    // per delete file: the per-column (field id, name, sorted probe) —
+    // built once, then O(log K) per candidate file
     val groups = newDeletes.map { d =>
       val keys = keysOf(d)
       d.keyFieldIds.zipWithIndex.map { case (id, i) =>
         val n = MergeOnRead.nameOfFieldId(schema, id)
-        (id, n, schema.fields(schema.fieldIndex(n)).dataType,
-          keys.map(_.apply(i)))
+        (id, n, probeOf(schema.fields(schema.fieldIndex(n)).dataType,
+          keys.view.map(_.apply(i)).toSeq))
       }
     }
     def statFor(stats: List[graft.meta.ColStatDef], id: Int, n: String) =
@@ -190,12 +268,10 @@ private[graft] object ChangesTable {
       fileStats.get(rel) match {
         case None => true
         case Some(st) => groups.exists { cols =>
-          cols.forall { case (id, n, dt, values) =>
+          cols.forall { case (id, n, probe) =>
             statFor(st, id, n) match {
               case None => true
-              case Some(s) => values.exists(v =>
-                cmpStat(dt, s.min, v).forall(_ <= 0) &&
-                  cmpStat(dt, s.max, v).forall(_ >= 0))
+              case Some(s) => probe.anyInRange(s.min, s.max)
             }
           }
         }
@@ -222,20 +298,12 @@ private[graft] object ChangesTable {
     // only pay footer reads when EVERY key column carries a declared
     // bloom; a partially-covered key could occasionally prove absence
     // through its covered columns, but rarely enough to buy the I/O
-    val groups = newDeletes.map { d =>
-      val keys = keysOf(d)
-      d.keyFieldIds.zipWithIndex.map { case (id, i) =>
-        val n = MergeOnRead.nameOfFieldId(schema, id)
-        (n, schema.fields(schema.fieldIndex(n)).dataType,
-          keys.map(_.apply(i)): Iterable[Any])
-      }
-    }
-    if (groups.exists(_.exists(c => !declared(c._1)))) return candidates
+    if (!MergeOnRead.keyColNames(newDeletes, schema).forall(declared))
+      return candidates
+    val groups = MergeOnRead.keyColumnGroups(newDeletes, schema, keysOf)
     val hconf = s.sessionState.newHadoopConf()
-    candidates.filter { rel =>
-      groups.exists(cols =>
-        MergeOnRead.bloomMayContain(s"$dataDir/$rel", hconf, cols))
-    }
+    candidates.filter(rel =>
+      MergeOnRead.bloomMayContainAny(s"$dataDir/$rel", hconf, groups))
   }
 
   /** Range-overlap variant of [[keptCandidates]] for callers that keep

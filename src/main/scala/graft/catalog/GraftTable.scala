@@ -537,7 +537,12 @@ private[graft] object PartitionTransforms {
         case IntegerType | LongType =>
           try Some(java.lang.Long.compare(a.toLong, b.toLong))
           catch { case _: NumberFormatException => None }
-        case StringType => Some(a.compareTo(b))
+        case StringType =>
+          // unsigned UTF-8 byte order — the order Spark compares string
+          // ROWS in (UTF8String), which prefix truncation preserves;
+          // UTF-16 String.compareTo disagrees above U+E000
+          val u = java.nio.charset.StandardCharsets.UTF_8
+          Some(java.util.Arrays.compareUnsigned(a.getBytes(u), b.getBytes(u)))
         case _ => None
       }
       case _ => None
@@ -946,7 +951,11 @@ private[graft] class GraftScanBuilder(
     }
 
   /** Typed compare of a manifest stat string against a filter value,
-    * driven by the table schema. None = incomparable (never prune). */
+    * driven by the table schema. None = incomparable (never prune).
+    * Strings compare as UNSIGNED UTF-8 bytes — the order parquet chose
+    * the harvested min/max under; UTF-16 `String.compareTo` disagrees
+    * for [U+E000, U+FFFF] vs supplementary characters and would prune
+    * files that DO hold the filtered value. */
   private def cmp(col: String, stat: String, v: Any): Option[Int] = try {
     import org.apache.spark.sql.types._
     tableSchema.fields.find(_.name == col).map(_.dataType) match {
@@ -954,7 +963,10 @@ private[graft] class GraftScanBuilder(
         Some(java.lang.Long.compare(stat.toLong, String.valueOf(v).toLong))
       case Some(FloatType | DoubleType) =>
         Some(java.lang.Double.compare(stat.toDouble, String.valueOf(v).toDouble))
-      case Some(StringType) => Some(stat.compareTo(String.valueOf(v)))
+      case Some(StringType) if v != null =>
+        val u = java.nio.charset.StandardCharsets.UTF_8
+        Some(java.util.Arrays.compareUnsigned(
+          stat.getBytes(u), v.toString.getBytes(u)))
       case _ => None
     }
   } catch { case _: Exception => None }
@@ -1199,6 +1211,32 @@ private[graft] class GraftScanBuilder(
       groups, requested, requiredSchema)
   }
 
+  /** file rel → may it hold a deleted key, per its footer blooms;
+    * memoized per (file, delete set), and fanned out on a bounded pool
+    * past a handful of files — a footer open is a blocking round-trip
+    * (object-store latency on a real warehouse), and the first
+    * post-delete query would otherwise stall O(files × latency) in
+    * planning before any task launches. */
+  private def bloomVerdicts(rels: Seq[String], delSetKey: String,
+                            groups: Seq[Seq[(String, Iterable[Any])]],
+                            hconf: org.apache.hadoop.conf.Configuration)
+      : Map[String, Boolean] = {
+    def verdict(rel: String): Boolean =
+      GraftTable.bloomDirtyMemo(s"$dataDir/$rel|$delSetKey",
+        MergeOnRead.bloomMayContainAny(s"$dataDir/$rel", hconf, groups))
+    if (rels.size <= 8) rels.map(r => r -> verdict(r)).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        rels.map { r =>
+          r -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+            override def call(): Boolean = verdict(r)
+          })
+        }.map { case (r, f) => r -> f.get() }.toMap
+      } finally pool.shutdown()
+    }
+  }
+
   /** The scan over `rels` with merge-on-read deletes applied (see
     * [[MergeOnRead]]): files no delete touches keep the plain vectorized
     * delegate; equality-delete-affected groups read row-based behind a
@@ -1299,24 +1337,17 @@ private[graft] class GraftScanBuilder(
         ChangesTable.keptCandidates(fs, fileStats, tableSchema, dels, keysOf)
       moved ++= fs.filterNot(statCand.toSet)
       promotedStats += fs.size - statCand.size
-      val byIds = dels.groupBy(_.keyFieldIds).toSeq.map { case (ids, ds) =>
-        ids.zipWithIndex.map { case (id, i) =>
-          val n = MergeOnRead.nameOfFieldId(tableSchema, id)
-          (n, tableSchema.fields(tableSchema.fieldIndex(n)).dataType,
-            ds.flatMap(d => keysOf(d).map(_.apply(i))): Iterable[Any])
-        }
-      }
-      val testable = bloomKeyCols.nonEmpty &&
-        byIds.forall(_.forall(c => bloomKeyCols(c._1)))
+      // the gate needs only column NAMES — the (large) per-column value
+      // pivot is built strictly inside the testable branch
+      val testable = bloomKeyCols.nonEmpty && statCand.nonEmpty &&
+        MergeOnRead.keyColNames(dels, tableSchema).forall(bloomKeyCols)
       val still =
         if (!testable) statCand
         else {
-          val (dirty2, clean2) = statCand.partition { rel =>
-            val key = s"$dataDir/$rel|${dels.map(_.path).sorted.mkString(",")}"
-            GraftTable.bloomDirtyMemo(key,
-              byIds.exists(cols =>
-                MergeOnRead.bloomMayContain(s"$dataDir/$rel", hconf, cols)))
-          }
+          val groups = MergeOnRead.keyColumnGroups(dels, tableSchema, keysOf)
+          val delSetKey = dels.map(_.path).sorted.mkString(",")
+          val mayHold = bloomVerdicts(statCand, delSetKey, groups, hconf)
+          val (dirty2, clean2) = statCand.partition(mayHold)
           moved ++= clean2
           promotedBloom += clean2.size
           dirty2
@@ -1450,8 +1481,14 @@ private[graft] class GraftScanBuilder(
 
   private def keyedScanFor(rels: Seq[String])
       : org.apache.spark.sql.connector.read.Scan = {
+    // every counter present from the start: an operator reading the
+    // node must see "0 dirty", never a blank that could mean either
+    // "clean" or "not measured"
     planMetrics = Map(ScanMetrics.FilesSelected -> rels.size.toLong,
-      ScanMetrics.DeleteFilesLive -> deleteFiles.size.toLong)
+      ScanMetrics.DeleteFilesLive -> deleteFiles.size.toLong,
+      ScanMetrics.FilesDirtyEq -> 0L, ScanMetrics.FilesDirtyPos -> 0L,
+      ScanMetrics.FilesPromotedStats -> 0L,
+      ScanMetrics.FilesPromotedBloom -> 0L)
     if (rels.isEmpty || groupPruneOnly || deleteFiles.nonEmpty)
       return morScanFor(rels)
     keyedFields match {

@@ -98,15 +98,23 @@ private[graft] object MergeOnRead {
   def estBytes(d: graft.meta.DeleteFileDef): Long =
     if (d.bytes > 0) d.bytes else d.rows * 32L
 
-  /** Could this parquet file contain SOME key of `cols` (each entry:
-    * column name, Spark type, candidate values), judged by its footer
-    * bloom filters? Per-column conjunctive over any row group — `false`
-    * PROVES no candidate key ever lived in the file. Conservative on
-    * every uncertainty: missing bloom, unknown physical column
-    * (rename), null or non-bloomable value, unreadable footer. */
-  def bloomMayContain(abs: String,
-                      hconf: org.apache.hadoop.conf.Configuration,
-                      cols: Seq[(String, DataType, Iterable[Any])]): Boolean = {
+  /** Could this parquet file contain SOME key of ANY group (each group:
+    * per-column candidate values, conjunctive across its columns),
+    * judged by its footer bloom filters? ONE footer open per file, all
+    * groups tested on it — `false` PROVES no candidate key ever lived
+    * in the file. The boxed value the bloom hashes is chosen from the
+    * column chunk's PHYSICAL type, never the table's logical type: the
+    * bloom hash of Integer(5) and Long(5) differ, so a logically
+    * widened column (int → bigint) must still hash 4-byte values
+    * against blooms built from 4-byte writes. Conservative on every
+    * uncertainty: missing bloom, unknown physical column (rename),
+    * null value, unexpected physical/value pairing, unreadable footer.
+    * A value that cannot exist in the physical type at all (a widened
+    * key past Int.MaxValue vs an INT32 chunk) counts as proven
+    * absent. */
+  def bloomMayContainAny(abs: String,
+                         hconf: org.apache.hadoop.conf.Configuration,
+                         groups: Seq[Seq[(String, Iterable[Any])]]): Boolean = {
     try {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -114,14 +122,21 @@ private[graft] object MergeOnRead {
       try {
         import scala.jdk.CollectionConverters._
         val blocks = reader.getRowGroups.asScala
-        cols.forall { case (n, dt, values) =>
-          blocks.exists { b =>
-            b.getColumns.asScala.find(_.getPath.toDotString == n) match {
-              case None => true
-              case Some(cm) =>
-                val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cm)
-                bf == null || values.exists(v =>
-                  bloomValue(dt, v).forall(o => bf.findHash(bf.hash(o))))
+        groups.exists { cols =>
+          cols.forall { case (n, values) =>
+            blocks.exists { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == n) match {
+                case None => true
+                case Some(cm) =>
+                  val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cm)
+                  bf == null || values.exists { v =>
+                    bloomBox(cm.getPrimitiveType.getPrimitiveTypeName, v) match {
+                      case BloomTest(o) => bf.findHash(bf.hash(o))
+                      case BloomUnknown => true
+                      case BloomAbsent => false
+                    }
+                  }
+              }
             }
           }
         }
@@ -129,25 +144,72 @@ private[graft] object MergeOnRead {
     } catch { case scala.util.control.NonFatal(_) => true }
   }
 
-  /** A key value as the parquet object the bloom hash expects; None =
-    * undecidable for this type (callers must keep the file). */
-  private def bloomValue(dt: DataType, v: Any): Option[Object] =
-    Option(v).flatMap { x =>
-      dt match {
-        case StringType =>
-          Some(org.apache.parquet.io.api.Binary.fromString(x.toString))
-        case LongType => Some(java.lang.Long.valueOf(x.asInstanceOf[Long]))
-        case IntegerType => Some(Integer.valueOf(x.asInstanceOf[Int]))
-        case ShortType => Some(Integer.valueOf(x.asInstanceOf[Short].toInt))
-        case ByteType => Some(Integer.valueOf(x.asInstanceOf[Byte].toInt))
-        case _ => None
+  private sealed trait BloomBox
+  private final case class BloomTest(o: Object) extends BloomBox
+  /** Undecidable — callers must treat the file as a possible holder. */
+  private case object BloomUnknown extends BloomBox
+  /** The value cannot exist in this physical type — proven absent. */
+  private case object BloomAbsent extends BloomBox
+
+  private def integral(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  private def bloomBox(
+      pt: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      v: Any): BloomBox = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (v == null) return BloomUnknown
+    pt match {
+      case BINARY => v match {
+        case s: String =>
+          BloomTest(org.apache.parquet.io.api.Binary.fromString(s))
+        case _ => BloomUnknown
       }
+      case INT64 => integral(v) match {
+        case Some(l) => BloomTest(java.lang.Long.valueOf(l))
+        case None => BloomUnknown
+      }
+      case INT32 => integral(v) match {
+        case Some(l) if l >= Int.MinValue && l <= Int.MaxValue =>
+          BloomTest(Integer.valueOf(l.toInt))
+        case Some(_) => BloomAbsent
+        case None => BloomUnknown
+      }
+      case _ => BloomUnknown
     }
+  }
 
   /** Identifier columns declared to carry parquet bloom filters. */
   def declaredBloomCols(props: Map[String, String]): Set[String] =
     props.get("write.parquet.bloom-filter-columns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+
+  /** The distinct key column names a set of delete files constrains. */
+  def keyColNames(dels: Seq[graft.meta.DeleteFileDef],
+                  schema: StructType): Seq[String] =
+    dels.flatMap(_.keyFieldIds).distinct.map(nameOfFieldId(schema, _))
+
+  /** The delete keys pivoted per column, one group per key-field-id
+    * set: (column name, candidate values). Values union across delete
+    * files sharing an id set — weaker than per-file pairing for
+    * multi-column keys, but only in the conservative (keep-the-file)
+    * direction, and one group per id set means one bloom pass. */
+  def keyColumnGroups(dels: Seq[graft.meta.DeleteFileDef],
+                      schema: StructType,
+                      keysOf: graft.meta.DeleteFileDef => Set[List[Any]])
+      : Seq[Seq[(String, Iterable[Any])]] =
+    dels.groupBy(_.keyFieldIds).toSeq.sortBy(_._1.mkString(","))
+      .map { case (ids, ds) =>
+        ids.zipWithIndex.map { case (id, i) =>
+          (nameOfFieldId(schema, id),
+            ds.flatMap(d => keysOf(d).map(_.apply(i))): Iterable[Any])
+        }
+      }
 
   /** External (driver-collected) and internal (executor-extracted) key
     * values must meet in one representation: String for strings, boxed

@@ -758,6 +758,68 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloom promotion survives column type widening (int to bigint)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.widen")
+    spark.sql("""CREATE TABLE mor.widen.t (id INT NOT NULL, cat STRING)
+      TBLPROPERTIES (
+        'identifier-fields' = 'id',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'write.merge.mode' = 'merge-on-read',
+        'write.parquet.bloom-filter-columns' = 'id')""")
+    import spark.implicits._
+    Seq((5, "a"), (100, "b")).toDF("id", "cat")
+      .coalesce(1).writeTo("mor.widen.t").append()
+    val files = snap("widen", "t").files
+    spark.sql("ALTER TABLE mor.widen.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("DELETE FROM mor.widen.t WHERE id = 5")
+
+    // the old file is INT32 on disk; the delete key is now a Long. The
+    // bloom hash of Integer(5) and Long(5) differ — boxing by the
+    // table's widened type would "prove" 5 absent and resurrect the row
+    val df = spark.table("mor.widen.t")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(100L))
+    val (_, dirty) = morSides(df)
+    assert(files.map(baseName).toSet.subsetOf(dirty),
+      s"the INT32 file must stay dirty (dirty=$dirty)")
+
+    // the membership test itself, against the INT32 file's footer:
+    // present key (as Long) hits, absent key misses, a key past the
+    // physical type's range is proven absent outright
+    val abs = s"$wh/widen/t/data/${files.head}"
+    val hconf = spark.sessionState.newHadoopConf()
+    def may(v: Long): Boolean = graft.catalog.MergeOnRead.bloomMayContainAny(
+      abs, hconf, Seq(Seq(("id", Seq(v): Iterable[Any]))))
+    assert(may(5L), "present key must hit the bloom through the Integer box")
+    assert(!may(6L), "absent in-range key must miss")
+    assert(!may(1L << 40), "a key past Int.MaxValue cannot live in INT32")
+  }
+
+  test("string stats pruning orders keys like parquet (unsigned UTF-8)") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.ustr")
+    spark.sql("""CREATE TABLE mor.ustr.t (k STRING NOT NULL, v DOUBLE)
+      TBLPROPERTIES (
+        'identifier-fields' = 'k',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'write.merge.mode' = 'merge-on-read')""")
+    // U+FFFD sorts ABOVE the emoji in UTF-16 code units but BELOW it in
+    // UTF-8 bytes (parquet's stats order) — a UTF-16 comparison against
+    // the harvested [min,max] would call the emoji out of range, prune
+    // the file, and resurrect the deleted row
+    val rep = "\uFFFD"
+    val emoji = "\uD83D\uDE00"
+    Seq((rep, 1.0), (emoji, 2.0)).toDF("k", "v")
+      .coalesce(1).writeTo("mor.ustr.t").append()
+    spark.sql(s"DELETE FROM mor.ustr.t WHERE k = '$emoji'")
+
+    val df = spark.table("mor.ustr.t")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(rep))
+    val (_, dirty) = morSides(df)
+    assert(dirty.nonEmpty, "the file holding the emoji key must stay dirty")
+  }
+
   test("driver metrics report selection, dirty counts, and promotions") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS mor.pm")

@@ -302,8 +302,11 @@ private[graft] object ChangesTable {
       return candidates
     val groups = MergeOnRead.keyColumnGroups(newDeletes, schema, keysOf)
     val hconf = s.sessionState.newHadoopConf()
-    candidates.filter(rel =>
-      MergeOnRead.bloomMayContainAny(s"$dataDir/$rel", hconf, groups))
+    // memoized + fanned-out verdicts: changelog windows revisit the
+    // same (file, delete set) pairs on every step re-derivation
+    val mayHold = MergeOnRead.bloomVerdicts(dataDir, candidates,
+      newDeletes.map(_.path).sorted.mkString(","), groups, hconf)
+    candidates.filter(mayHold)
   }
 
   /** Range-overlap variant of [[keptCandidates]] for callers that keep

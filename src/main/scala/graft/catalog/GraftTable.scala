@@ -1211,32 +1211,6 @@ private[graft] class GraftScanBuilder(
       groups, requested, requiredSchema)
   }
 
-  /** file rel → may it hold a deleted key, per its footer blooms;
-    * memoized per (file, delete set), and fanned out on a bounded pool
-    * past a handful of files — a footer open is a blocking round-trip
-    * (object-store latency on a real warehouse), and the first
-    * post-delete query would otherwise stall O(files × latency) in
-    * planning before any task launches. */
-  private def bloomVerdicts(rels: Seq[String], delSetKey: String,
-                            groups: Seq[Seq[(String, Iterable[Any])]],
-                            hconf: org.apache.hadoop.conf.Configuration)
-      : Map[String, Boolean] = {
-    def verdict(rel: String): Boolean =
-      GraftTable.bloomDirtyMemo(s"$dataDir/$rel|$delSetKey",
-        MergeOnRead.bloomMayContainAny(s"$dataDir/$rel", hconf, groups))
-    if (rels.size <= 8) rels.map(r => r -> verdict(r)).toMap
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-      try {
-        rels.map { r =>
-          r -> pool.submit(new java.util.concurrent.Callable[Boolean] {
-            override def call(): Boolean = verdict(r)
-          })
-        }.map { case (r, f) => r -> f.get() }.toMap
-      } finally pool.shutdown()
-    }
-  }
-
   /** The scan over `rels` with merge-on-read deletes applied (see
     * [[MergeOnRead]]): files no delete touches keep the plain vectorized
     * delegate; equality-delete-affected groups read row-based behind a
@@ -1346,7 +1320,8 @@ private[graft] class GraftScanBuilder(
         else {
           val groups = MergeOnRead.keyColumnGroups(dels, tableSchema, keysOf)
           val delSetKey = dels.map(_.path).sorted.mkString(",")
-          val mayHold = bloomVerdicts(statCand, delSetKey, groups, hconf)
+          val mayHold = MergeOnRead.bloomVerdicts(
+            dataDir, statCand, delSetKey, groups, hconf)
           val (dirty2, clean2) = statCand.partition(mayHold)
           moved ++= clean2
           promotedBloom += clean2.size

@@ -184,6 +184,31 @@ private[graft] object MergeOnRead {
     }
   }
 
+  /** Per-file may-hold verdicts for many files against one delete set:
+    * memoized per (file, delete set) — delete files are immutable, so
+    * entries never stale — and fanned out on a bounded pool past a
+    * handful of files (a footer open is a blocking round-trip;
+    * object-store latency × files would otherwise stall planning). */
+  def bloomVerdicts(dataDir: String, rels: Seq[String], delSetKey: String,
+                    groups: Seq[Seq[(String, Iterable[Any])]],
+                    hconf: org.apache.hadoop.conf.Configuration)
+      : Map[String, Boolean] = {
+    def verdict(rel: String): Boolean =
+      GraftTable.bloomDirtyMemo(s"$dataDir/$rel|$delSetKey",
+        bloomMayContainAny(s"$dataDir/$rel", hconf, groups))
+    if (rels.size <= 8) rels.map(r => r -> verdict(r)).toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        rels.map { r =>
+          r -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+            override def call(): Boolean = verdict(r)
+          })
+        }.map { case (r, f) => r -> f.get() }.toMap
+      } finally pool.shutdown()
+    }
+  }
+
   /** Identifier columns declared to carry parquet bloom filters. */
   def declaredBloomCols(props: Map[String, String]): Set[String] =
     props.get("write.parquet.bloom-filter-columns").toSeq

@@ -357,4 +357,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rewrite scan pushed the command condition to the delegate " +
         s"(row-group skipping would drop surviving rows):\n$rewritePlan")
   }
+
+  test("string pushed-filter pruning follows parquet's unsigned UTF-8 order") {
+    // LOAD-BEARING: the harvested string [min,max] were chosen by
+    // parquet under unsigned UTF-8 byte order, and Spark compares
+    // string rows the same way (UTF8String). A UTF-16 comparison
+    // disagrees for [U+E000, U+FFFF] vs supplementary characters —
+    // here it would call the emoji below the min and prune the only
+    // file, silently returning zero rows for a present value.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ustr")
+    spark.sql("CREATE TABLE graft.ustr.t (k STRING, v INT)")
+    import spark.implicits._
+    val rep = "\uFFFD"
+    val emoji = "\uD83D\uDE00"
+    Seq((rep, 1), (emoji, 2)).toDF("k", "v")
+      .coalesce(1).writeTo("graft.ustr.t").append()
+    assert(spark.sql(s"SELECT v FROM graft.ustr.t WHERE k = '$emoji'")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(spark.sql(s"SELECT v FROM graft.ustr.t WHERE k > '$rep'")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(spark.sql(s"SELECT v FROM graft.ustr.t WHERE k <= '$rep'")
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
 }

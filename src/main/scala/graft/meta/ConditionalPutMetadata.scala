@@ -49,8 +49,21 @@ final class ConditionalPutMetadata(blobs: CasBlobStore)
   private def key(ns: Seq[String], t: String, v: Int): String =
     prefix(ns, t) + s"v$v.metadata.json"
 
+  /** Externalize snapshot payloads (see [[SnapshotBodies]]): body blobs
+    * land before the version PUT; a conditional PUT losing to an
+    * identical content-addressed blob is a no-op by construction. */
+  private def writeBodies(ns: Seq[String], t: String,
+                          m: TableMetadata): TableMetadata = {
+    val (slim, bodies) = SnapshotBodies.strip(prefix(ns, t), m)
+    bodies.foreach { case (name, json) =>
+      blobs.putIfAbsent(prefix(ns, t) + name, json.getBytes(UTF_8))
+    }
+    slim
+  }
+
   def createTable(ns: Seq[String], t: String, m: TableMetadata): Boolean =
-    blobs.putIfAbsent(key(ns, t, 1), TableMetadata.toJson(m).getBytes(UTF_8))
+    blobs.putIfAbsent(key(ns, t, 1),
+      TableMetadata.toJson(writeBodies(ns, t, m)).getBytes(UTF_8))
 
   def currentVersion(ns: Seq[String], t: String): Int =
     blobs.listPrefix(prefix(ns, t))
@@ -62,13 +75,17 @@ final class ConditionalPutMetadata(blobs: CasBlobStore)
     (loadVersion(ns, t, v), v)
   }
 
-  def loadVersion(ns: Seq[String], t: String, v: Int): TableMetadata =
-    TableMetadata.fromJson(new String(
+  def loadVersion(ns: Seq[String], t: String, v: Int): TableMetadata = {
+    val slim = TableMetadata.fromJson(new String(
       blobs.get(key(ns, t, v)).getOrElse(
         throw new IllegalStateException(s"missing version $v")), UTF_8))
+    SnapshotBodies.inflate(prefix(ns, t), slim, name =>
+      new String(blobs.get(prefix(ns, t) + name).getOrElse(
+        throw new IllegalStateException(s"missing snapshot body $name")), UTF_8))
+  }
 
   override def commit(ns: Seq[String], t: String, expectedVersion: Int,
                       next: TableMetadata): Boolean =
     blobs.putIfAbsent(key(ns, t, expectedVersion + 1),
-      TableMetadata.toJson(next).getBytes(UTF_8))
+      TableMetadata.toJson(writeBodies(ns, t, next)).getBytes(UTF_8))
 }

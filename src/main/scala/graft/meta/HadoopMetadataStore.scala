@@ -143,7 +143,22 @@ final class HadoopMetadataStore(val warehouse: String) extends MetaStore {
   def loadVersion(ns: Seq[String], t: String, v: Int): TableMetadata = {
     val p = new Path(metaDir(ns, t), s"v$v.metadata.json")
     if (!fs.isFile(p)) throw noSuchTable(ns, t)
-    TableMetadata.fromJson(readString(p))
+    val slim = TableMetadata.fromJson(readString(p))
+    SnapshotBodies.inflate(metaDir(ns, t).toString, slim,
+      name => readString(new Path(metaDir(ns, t), name)))
+  }
+
+  /** Externalize snapshot payloads (see [[SnapshotBodies]]): bodies
+    * land before the version CAS, content-addressed + write-if-absent. */
+  private def writeBodies(ns: Seq[String], t: String,
+                          m: TableMetadata): TableMetadata = {
+    val dir = metaDir(ns, t)
+    val (slim, bodies) = SnapshotBodies.strip(dir.toString, m)
+    bodies.foreach { case (name, json) =>
+      try writeNew(new Path(dir, name), json)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    slim
   }
 
   def createTable(ns: Seq[String], t: String, m: TableMetadata): Unit = {
@@ -152,13 +167,15 @@ final class HadoopMetadataStore(val warehouse: String) extends MetaStore {
       throw new IllegalStateException(s"table exists: ${(ns :+ t).mkString(".")}")
     fs.mkdirs(metaDir(ns, t))
     fs.mkdirs(new Path(tablePath(ns, t), "data"))
-    writeNew(new Path(metaDir(ns, t), "v1.metadata.json"), TableMetadata.toJson(m))
+    writeNew(new Path(metaDir(ns, t), "v1.metadata.json"),
+      TableMetadata.toJson(writeBodies(ns, t, m)))
   }
 
   def commit(ns: Seq[String], t: String, expectedVersion: Int,
              next: TableMetadata): Boolean = {
     val target = new Path(metaDir(ns, t), s"v${expectedVersion + 1}.metadata.json")
-    try { writeNew(target, TableMetadata.toJson(next)); true }
+    val slim = writeBodies(ns, t, next)
+    try { writeNew(target, TableMetadata.toJson(slim)); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }
 

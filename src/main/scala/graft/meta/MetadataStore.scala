@@ -118,7 +118,9 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
   def loadVersion(ns: Seq[String], t: String, v: Int): TableMetadata = {
     val p = metaDir(ns, t).resolve(s"v$v.metadata.json")
     if (!Files.isRegularFile(p)) throw noSuchTable(ns, t)
-    TableMetadata.fromJson(new String(Files.readAllBytes(p), UTF_8))
+    val slim = TableMetadata.fromJson(new String(Files.readAllBytes(p), UTF_8))
+    SnapshotBodies.inflate(metaDir(ns, t).toString, slim, name =>
+      new String(Files.readAllBytes(metaDir(ns, t).resolve(name)), UTF_8))
   }
 
   /** Create v1 — CREATE_NEW on the v1 file doubles as the
@@ -129,7 +131,23 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
       throw new IllegalStateException(s"table exists: ${(ns :+ t).mkString(".")}")
     Files.createDirectories(metaDir(ns, t))
     Files.createDirectories(tablePath(ns, t).resolve("data"))
-    writeNew(metaDir(ns, t).resolve("v1.metadata.json"), TableMetadata.toJson(m))
+    writeNew(metaDir(ns, t).resolve("v1.metadata.json"),
+      TableMetadata.toJson(writeBodies(ns, t, m)))
+  }
+
+  /** Externalize snapshot payloads (see [[SnapshotBodies]]): body
+    * documents land before the version CAS; already-present names are
+    * identical bytes (content-addressed), so losing that race is a
+    * no-op. */
+  private def writeBodies(ns: Seq[String], t: String,
+                          m: TableMetadata): TableMetadata = {
+    val dir = metaDir(ns, t)
+    val (slim, bodies) = SnapshotBodies.strip(dir.toString, m)
+    bodies.foreach { case (name, json) =>
+      try writeNew(dir.resolve(name), json)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    slim
   }
 
   /** CAS commit: persist `next` as version `expectedVersion + 1`. Fails
@@ -137,7 +155,8 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
   def commit(ns: Seq[String], t: String, expectedVersion: Int,
              next: TableMetadata): Boolean = {
     val target = metaDir(ns, t).resolve(s"v${expectedVersion + 1}.metadata.json")
-    try { writeNew(target, TableMetadata.toJson(next)); true }
+    val slim = writeBodies(ns, t, next)
+    try { writeNew(target, TableMetadata.toJson(slim)); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }
 

@@ -66,6 +66,13 @@ final case class DeleteFileDef(path: String, seq: Long,
   * deletes apply to which files. Files absent from `fileSeqs` (written
   * before this field existed) default to sequence 0: older than every
   * delete, which is exactly when they were written. */
+/** `bodyRef` names the snapshot's externalized payload document (see
+  * [[SnapshotBodies]]): when set, the PERSISTED form of this snapshot
+  * carries empty `files`/`fileStats`/`deleteFiles`/`fileSeqs` and the
+  * store re-inflates them from the body on load. In-memory documents
+  * handed to the engine are always inflated — `bodyRef` rides along so
+  * a later save can re-reference the unchanged body instead of
+  * re-serializing the file list. */
 final case class SnapshotDef(snapshotId: Long, timestampMs: Long,
                              operation: String, files: List[String],
                              summary: Map[String, String],
@@ -73,7 +80,8 @@ final case class SnapshotDef(snapshotId: Long, timestampMs: Long,
                                Map.empty,
                              deleteFiles: List[DeleteFileDef] = Nil,
                              fileSeqs: Map[String, Long] = Map.empty,
-                             parentId: Option[Long] = None)
+                             parentId: Option[Long] = None,
+                             bodyRef: Option[String] = None)
 
 /** A named snapshot pointer: `refType` is "branch" (movable — commits
   * can stack on it) or "tag" (immutable — drop and recreate to move).

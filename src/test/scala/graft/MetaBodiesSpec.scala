@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.GraftCatalog
+
+/** Externalized snapshot bodies (SnapshotBodies): version documents
+  * must stay O(headers) while the engine reads fully-inflated metadata.
+  * This is what keeps a commit from re-serializing every historical
+  * snapshot's file list — the difference between O(commit) and
+  * O(history × files) metadata I/O at 100 TB. */
+class MetaBodiesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = Files.createTempDirectory("graft-bodies-wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.bod", classOf[GraftCatalog].getName)
+    .config("spark.sql.catalog.bod.warehouse", wh)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def metaDir(ns: String, t: String) = Paths.get(wh, ns, t, "metadata")
+
+  private def versionText(ns: String, t: String, v: Int): String =
+    new String(Files.readAllBytes(
+      metaDir(ns, t).resolve(s"v$v.metadata.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  private def bodyFiles(ns: String, t: String): Seq[String] =
+    Files.list(metaDir(ns, t)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".body.json")).toSeq
+
+  test("version documents are slim; loads are inflated; bodies are shared") {
+    spark.sql("CREATE NAMESPACE bod.m")
+    spark.sql("CREATE TABLE bod.m.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO bod.m.t VALUES (1, 1.0)")
+    spark.sql("INSERT INTO bod.m.t VALUES (2, 2.0)")
+    spark.sql("INSERT INTO bod.m.t VALUES (3, 3.0)")
+
+    // on-disk version documents carry NO file paths or stats inline
+    val v4 = versionText("m", "t", 4)
+    assert(!v4.contains(".parquet"),
+      s"version doc must not inline data file paths:\n$v4")
+    assert(v4.contains("bodyRef"), "snapshots must reference bodies")
+
+    // one body per snapshot; earlier commits' bodies are REUSED, not
+    // rewritten — body count grows by exactly one per commit
+    val bodies = bodyFiles("m", "t")
+    assert(bodies.size == 3, s"expected 3 bodies, got $bodies")
+
+    // the engine sees fully inflated metadata
+    val store = spark.sessionState.catalogManager.catalog("bod")
+      .asInstanceOf[GraftCatalog].metadataStore
+    val (meta, v) = store.load(Seq("m"), "t")
+    assert(v == 4)
+    assert(meta.currentSnapshot.get.files.nonEmpty)
+    assert(meta.currentSnapshot.get.files.forall(_.endsWith(".parquet")))
+    assert(meta.snapshots.forall(s => s.files.nonEmpty && s.fileSeqs.nonEmpty))
+
+    // body mtimes: committing again must not touch existing bodies
+    val before = bodyFiles("m", "t").map(n =>
+      n -> Files.getLastModifiedTime(metaDir("m", "t").resolve(n))).toMap
+    spark.sql("INSERT INTO bod.m.t VALUES (4, 4.0)")
+    val after = bodyFiles("m", "t")
+    assert(after.size == 4, s"one new body per commit, got $after")
+    before.foreach { case (n, t0) =>
+      assert(Files.getLastModifiedTime(metaDir("m", "t").resolve(n)) == t0,
+        s"existing body $n was rewritten")
+    }
+
+    // time travel reads old versions through their bodies
+    assert(spark.sql("SELECT count(*) FROM bod.m.t VERSION AS OF 2")
+      .head().getLong(0) == 1L)
+    assert(spark.table("bod.m.t").count() == 4L)
+  }
+
+  test("a fresh store instance (cold cache) reads and commits correctly") {
+    // a second store over the same warehouse: no warm body cache, the
+    // content-addressed names resolve from disk
+    val store2 = new graft.meta.MetadataStore(wh)
+    val (meta, _) = store2.load(Seq("m"), "t")
+    assert(meta.currentSnapshot.get.files.size == 4)
+
+    // rows survive end-to-end through the cold path
+    assert(spark.table("bod.m.t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("delete files and sequence maps round-trip through bodies") {
+    spark.sql("CREATE NAMESPACE bod.mor")
+    spark.sql("""CREATE TABLE bod.mor.t (id BIGINT NOT NULL, v DOUBLE)
+      TBLPROPERTIES (
+        'identifier-fields' = 'id',
+        'write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO bod.mor.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("DELETE FROM bod.mor.t WHERE id = 2")
+    val store = spark.sessionState.catalogManager.catalog("bod")
+      .asInstanceOf[GraftCatalog].metadataStore
+    val s = store.load(Seq("mor"), "t")._1.currentSnapshot.get
+    assert(s.deleteFiles.nonEmpty && s.fileSeqs.nonEmpty)
+    assert(spark.table("bod.mor.t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // and the slim on-disk form inlines neither flavor of file list
+    val vCur = store.currentVersion(Seq("mor"), "t")
+    assert(!versionText("mor", "t", vCur).contains(".parquet"))
+  }
+}

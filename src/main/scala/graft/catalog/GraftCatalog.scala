@@ -764,6 +764,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (1 until cutoff).foreach { v =>
       store.deleteFileIfExists(store.metadataLocation(ns, ident.name, v))
     }
+    // GC snapshot bodies no RETAINED version references — the leftovers
+    // of expired history and lost CAS retries. The grace window
+    // protects bodies staged by commits whose CAS hasn't landed yet.
+    val liveBodies = (cutoff to latest).flatMap { v =>
+      store.loadVersion(ns, ident.name, v).snapshots.flatMap(_.bodyRef)
+    }.toSet
+    store.pruneSnapshotBodies(ns, ident.name, liveBodies, graceMs)
     removed
   }
 

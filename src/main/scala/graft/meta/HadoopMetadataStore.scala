@@ -234,6 +234,20 @@ final class HadoopMetadataStore(val warehouse: String) extends MetaStore {
     try Some(fs.getFileStatus(new Path(abs)).getModificationTime)
     catch { case _: java.io.FileNotFoundException => None }
 
+  override def pruneSnapshotBodies(ns: Seq[String], t: String,
+                                   live: Set[String], graceMs: Long): Int = {
+    val dir = metaDir(ns, t)
+    if (!fs.exists(dir)) return 0
+    var n = 0
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.endsWith(".body.json") && !live.contains(name) &&
+          st.getModificationTime <= System.currentTimeMillis() - graceMs &&
+          fs.delete(st.getPath, false)) n += 1
+    }
+    n
+  }
+
   def fileSizeBytes(abs: String): Option[Long] =
     try Some(fs.getFileStatus(new Path(abs)).getLen)
     catch { case _: java.io.FileNotFoundException => None }

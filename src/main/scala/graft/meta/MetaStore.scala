@@ -59,6 +59,14 @@ trait MetaStore extends graft.commit.CommitTarget {
   def lastModifiedMs(abs: String): Option[Long]
   /** File length in bytes; None when the file vanished. */
   def fileSizeBytes(abs: String): Option[Long]
+
+  /** GC externalized snapshot bodies (see [[SnapshotBodies]]) whose
+    * name is not in `live`, skipping bodies younger than `graceMs` (a
+    * body staged by an in-flight commit is referenced by no version
+    * until its CAS lands). Returns the number deleted. Default no-op:
+    * a delegating store's BACKING catalog runs its own expiry. */
+  def pruneSnapshotBodies(ns: Seq[String], t: String,
+                          live: Set[String], graceMs: Long): Int = 0
 }
 
 object MetaStore {

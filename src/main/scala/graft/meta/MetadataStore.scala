@@ -106,6 +106,24 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
 
   private val VersionRe = "v(\\d+)\\.metadata\\.json".r
 
+  override def pruneSnapshotBodies(ns: Seq[String], t: String,
+                                   live: Set[String], graceMs: Long): Int = {
+    val dir = metaDir(ns, t)
+    if (!Files.isDirectory(dir)) return 0
+    var n = 0
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".body.json"))
+      .foreach { p =>
+        val young = // unreadable mtime counts as young: never guess
+          try Files.getLastModifiedTime(p).toMillis >
+            System.currentTimeMillis() - graceMs
+          catch { case _: Exception => true }
+        if (!live.contains(p.getFileName.toString) && !young &&
+            Files.deleteIfExists(p)) n += 1
+      }
+    n
+  }
+
   def metadataLocation(ns: Seq[String], t: String, version: Int): String =
     metaDir(ns, t).resolve(s"v$version.metadata.json").toString
 

@@ -95,6 +95,39 @@ class MetaBodiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("expiry garbage-collects bodies no retained version references") {
+    spark.sql("CREATE NAMESPACE bod.gc")
+    spark.sql("CREATE TABLE bod.gc.t (id BIGINT)")
+    spark.sql("INSERT INTO bod.gc.t VALUES (1)")
+    spark.sql("INSERT INTO bod.gc.t VALUES (2)")
+    // a body from a lost CAS retry: referenced by no version document
+    val orphan = metaDir("gc", "t").resolve("snap-999-deadbeef.body.json")
+    Files.write(orphan,
+      """{"files":[],"fileStats":{},"deleteFiles":[],"fileSeqs":{}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    val before = bodyFiles("gc", "t").toSet
+    assert(before.contains(orphan.getFileName.toString))
+
+    val cat = spark.sessionState.catalogManager.catalog("bod")
+      .asInstanceOf[GraftCatalog]
+    cat.expireSnapshots(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("gc"), "t"), keep = 1, graceMs = 3600000L)
+
+    val after = bodyFiles("gc", "t").toSet
+    assert(!after.contains(orphan.getFileName.toString),
+      "the unreferenced stale body must be collected")
+    // the retained version's bodies survive (fresh ones also ride the
+    // grace window), and the table still reads
+    val live = spark.sessionState.catalogManager.catalog("bod")
+      .asInstanceOf[GraftCatalog].metadataStore
+      .load(Seq("gc"), "t")._1.snapshots.flatMap(_.bodyRef).toSet
+    assert(live.subsetOf(after), s"live bodies $live must survive (have $after)")
+    assert(spark.table("bod.gc.t").count() == 2L)
+  }
+
   test("delete files and sequence maps round-trip through bodies") {
     spark.sql("CREATE NAMESPACE bod.mor")
     spark.sql("""CREATE TABLE bod.mor.t (id BIGINT NOT NULL, v DOUBLE)

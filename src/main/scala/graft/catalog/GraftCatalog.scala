@@ -743,10 +743,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val refSnapshots = latestMeta.refs.values.map(_.snapshotId).toSet
     def liveFiles(s: graft.meta.SnapshotDef): Seq[String] =
       s.files ++ s.deleteFiles.map(_.path)
-    val retainedFiles = ((cutoff to latest).flatMap { v =>
-      store.loadVersion(ns, ident.name, v).currentSnapshot
-        .map(liveFiles).getOrElse(Nil)
-    } ++ latestMeta.snapshots.filter(s => refSnapshots.contains(s.snapshotId))
+    val retainedMetas = (cutoff to latest).map(v =>
+      store.loadVersion(ns, ident.name, v))
+    val retainedFiles = (retainedMetas.flatMap(
+      _.currentSnapshot.map(liveFiles).getOrElse(Nil))
+      ++ latestMeta.snapshots.filter(s => refSnapshots.contains(s.snapshotId))
       .flatMap(liveFiles)).toSet
     val dataDir = store.dataDir(ns, ident.name)
     var removed = 0
@@ -767,9 +768,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // GC snapshot bodies no RETAINED version references — the leftovers
     // of expired history and lost CAS retries. The grace window
     // protects bodies staged by commits whose CAS hasn't landed yet.
-    val liveBodies = (cutoff to latest).flatMap { v =>
-      store.loadVersion(ns, ident.name, v).snapshots.flatMap(_.bodyRef)
-    }.toSet
+    val liveBodies = retainedMetas.flatMap(_.snapshots.flatMap(_.bodyRef)).toSet
     store.pruneSnapshotBodies(ns, ident.name, liveBodies, graceMs)
     removed
   }

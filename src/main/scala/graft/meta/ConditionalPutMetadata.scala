@@ -19,6 +19,13 @@ trait CasBlobStore {
   def putIfAbsent(key: String, content: Array[Byte]): Boolean
   def get(key: String): Option[Array[Byte]]
   def listPrefix(prefix: String): Seq[String]
+  /** Cheap existence probe (object stores: HEAD, not GET). */
+  def contains(key: String): Boolean = get(key).isDefined
+  /** Delete one blob; false when absent. Default: unsupported (a
+    * read-mostly backend still commits fine; GC just can't run). */
+  def delete(key: String): Boolean = false
+  /** Blob age for GC grace windows; None = unknown (never GC'd). */
+  def modifiedMs(key: String): Option[Long] = None
 }
 
 /** In-memory object store with conditional-PUT semantics — the test
@@ -26,11 +33,22 @@ trait CasBlobStore {
   * putIfAbsent, the same linearizable create-if-absent guarantee). */
 final class InMemoryBlobStore extends CasBlobStore {
   private val blobs = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
-  def putIfAbsent(key: String, content: Array[Byte]): Boolean =
-    blobs.putIfAbsent(key, content) == null
+  private val stamps = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def putIfAbsent(key: String, content: Array[Byte]): Boolean = {
+    val won = blobs.putIfAbsent(key, content) == null
+    if (won) stamps.put(key, System.currentTimeMillis())
+    won
+  }
   def get(key: String): Option[Array[Byte]] = Option(blobs.get(key))
   def listPrefix(prefix: String): Seq[String] =
     blobs.keys.asScala.filter(_.startsWith(prefix)).toSeq
+  override def contains(key: String): Boolean = blobs.containsKey(key)
+  override def delete(key: String): Boolean = {
+    stamps.remove(key)
+    blobs.remove(key) != null
+  }
+  override def modifiedMs(key: String): Option[Long] =
+    Option(stamps.get(key))
 }
 
 /** Versioned table metadata over a [[CasBlobStore]]: one immutable JSON
@@ -49,16 +67,36 @@ final class ConditionalPutMetadata(blobs: CasBlobStore)
   private def key(ns: Seq[String], t: String, v: Int): String =
     prefix(ns, t) + s"v$v.metadata.json"
 
+  private def bodyExists(ns: Seq[String], t: String)(name: String): Boolean =
+    blobs.contains(prefix(ns, t) + name)
+  private def bodyWrite(ns: Seq[String], t: String)(name: String,
+                                                    json: String): Unit =
+    blobs.putIfAbsent(prefix(ns, t) + name, json.getBytes(UTF_8))
+
   /** Externalize snapshot payloads (see [[SnapshotBodies]]): body blobs
-    * land before the version PUT; a conditional PUT losing to an
-    * identical content-addressed blob is a no-op by construction. */
+    * land — and reused references re-verify — before the version PUT; a
+    * conditional PUT losing to an identical content-addressed blob is a
+    * no-op by construction. */
   private def writeBodies(ns: Seq[String], t: String,
-                          m: TableMetadata): TableMetadata = {
-    val (slim, bodies) = SnapshotBodies.strip(prefix(ns, t), m)
-    bodies.foreach { case (name, json) =>
-      blobs.putIfAbsent(prefix(ns, t) + name, json.getBytes(UTF_8))
-    }
-    slim
+                          m: TableMetadata): TableMetadata =
+    SnapshotBodies.persist(prefix(ns, t), m,
+      bodyExists(ns, t), bodyWrite(ns, t))
+
+  /** GC body blobs no retained version references — lost CAS races on
+    * this substrate leak one content-addressed blob each. Blobs whose
+    * age the backend cannot report are never deleted (the grace window
+    * is the only protection for bodies staged by in-flight commits). */
+  def pruneSnapshotBodies(ns: Seq[String], t: String,
+                          live: Set[String], graceMs: Long): Int = {
+    var n = 0
+    blobs.listPrefix(prefix(ns, t)).filter(_.endsWith(".body.json"))
+      .foreach { key =>
+        val name = key.stripPrefix(prefix(ns, t))
+        val oldEnough = blobs.modifiedMs(key)
+          .exists(_ <= System.currentTimeMillis() - graceMs)
+        if (!live.contains(name) && oldEnough && blobs.delete(key)) n += 1
+      }
+    n
   }
 
   def createTable(ns: Seq[String], t: String, m: TableMetadata): Boolean =
@@ -85,7 +123,14 @@ final class ConditionalPutMetadata(blobs: CasBlobStore)
   }
 
   override def commit(ns: Seq[String], t: String, expectedVersion: Int,
-                      next: TableMetadata): Boolean =
-    blobs.putIfAbsent(key(ns, t, expectedVersion + 1),
-      TableMetadata.toJson(writeBodies(ns, t, next)).getBytes(UTF_8))
+                      next: TableMetadata): Boolean = {
+    val slim = writeBodies(ns, t, next)
+    val won = blobs.putIfAbsent(key(ns, t, expectedVersion + 1),
+      TableMetadata.toJson(slim).getBytes(UTF_8))
+    // heal bodies a GC pruned while this committer stalled past the
+    // grace window — the PUT won, so the content must be present
+    if (won) SnapshotBodies.ensure(prefix(ns, t), slim,
+      bodyExists(ns, t), bodyWrite(ns, t))
+    won
+  }
 }

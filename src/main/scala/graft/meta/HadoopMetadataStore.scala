@@ -148,18 +148,20 @@ final class HadoopMetadataStore(val warehouse: String) extends MetaStore {
       name => readString(new Path(metaDir(ns, t), name)))
   }
 
+  private def bodyExists(ns: Seq[String], t: String)(name: String): Boolean =
+    fs.isFile(new Path(metaDir(ns, t), name))
+  private def bodyWrite(ns: Seq[String], t: String)(name: String,
+                                                    json: String): Unit =
+    try writeNew(new Path(metaDir(ns, t), name), json)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+
   /** Externalize snapshot payloads (see [[SnapshotBodies]]): bodies
-    * land before the version CAS, content-addressed + write-if-absent. */
+    * land — and reused references re-verify — before the version CAS,
+    * content-addressed + write-if-absent. */
   private def writeBodies(ns: Seq[String], t: String,
-                          m: TableMetadata): TableMetadata = {
-    val dir = metaDir(ns, t)
-    val (slim, bodies) = SnapshotBodies.strip(dir.toString, m)
-    bodies.foreach { case (name, json) =>
-      try writeNew(new Path(dir, name), json)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    }
-    slim
-  }
+                          m: TableMetadata): TableMetadata =
+    SnapshotBodies.persist(metaDir(ns, t).toString, m,
+      bodyExists(ns, t), bodyWrite(ns, t))
 
   def createTable(ns: Seq[String], t: String, m: TableMetadata): Unit = {
     if (!namespaceExists(ns)) throw noSuchNamespace(ns)
@@ -175,7 +177,14 @@ final class HadoopMetadataStore(val warehouse: String) extends MetaStore {
              next: TableMetadata): Boolean = {
     val target = new Path(metaDir(ns, t), s"v${expectedVersion + 1}.metadata.json")
     val slim = writeBodies(ns, t, next)
-    try { writeNew(target, TableMetadata.toJson(slim)); true }
+    try {
+      writeNew(target, TableMetadata.toJson(slim))
+      // heal bodies an expiry pruned while this committer stalled past
+      // the grace window — the CAS won, so the content must be present
+      SnapshotBodies.ensure(metaDir(ns, t).toString, slim,
+        bodyExists(ns, t), bodyWrite(ns, t))
+      true
+    }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }
 
@@ -183,6 +192,7 @@ final class HadoopMetadataStore(val warehouse: String) extends MetaStore {
     val dir = tablePath(ns, t)
     if (!tableExists(ns, t)) return false
     // metadata-only drop, like the reference (purge → 501, tables.go:288-295)
+    SnapshotBodies.invalidateScope(metaDir(ns, t).toString)
     fs.delete(new Path(dir, "metadata"), true)
     val data = new Path(dir, "data")
     if (fs.exists(data) && fs.listStatus(data).isEmpty) fs.delete(data, false)
@@ -196,6 +206,7 @@ final class HadoopMetadataStore(val warehouse: String) extends MetaStore {
     if (!namespaceExists(toNs)) throw noSuchNamespace(toNs)
     if (tableExists(toNs, to))
       throw new IllegalStateException(s"table exists: ${(toNs :+ to).mkString(".")}")
+    SnapshotBodies.invalidateScope(metaDir(fromNs, from).toString)
     if (!fs.rename(tablePath(fromNs, from), tablePath(toNs, to)))
       throw new java.io.IOException(
         s"rename failed: ${(fromNs :+ from).mkString(".")} -> ${(toNs :+ to).mkString(".")}")

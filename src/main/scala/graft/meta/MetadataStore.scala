@@ -111,7 +111,8 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
     val dir = metaDir(ns, t)
     if (!Files.isDirectory(dir)) return 0
     var n = 0
-    Files.list(dir).iterator().asScala
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".body.json"))
       .foreach { p =>
         val young = // unreadable mtime counts as young: never guess
@@ -121,6 +122,7 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
         if (!live.contains(p.getFileName.toString) && !young &&
             Files.deleteIfExists(p)) n += 1
       }
+    finally stream.close()
     n
   }
 
@@ -153,20 +155,21 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
       TableMetadata.toJson(writeBodies(ns, t, m)))
   }
 
+  private def bodyExists(ns: Seq[String], t: String)(name: String): Boolean =
+    Files.isRegularFile(metaDir(ns, t).resolve(name))
+  private def bodyWrite(ns: Seq[String], t: String)(name: String,
+                                                    json: String): Unit =
+    try writeNew(metaDir(ns, t).resolve(name), json)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+
   /** Externalize snapshot payloads (see [[SnapshotBodies]]): body
-    * documents land before the version CAS; already-present names are
-    * identical bytes (content-addressed), so losing that race is a
-    * no-op. */
+    * documents land — and reused references re-verify — before the
+    * version CAS; already-present names hold identical bytes
+    * (content-addressed), so losing a body-write race is a no-op. */
   private def writeBodies(ns: Seq[String], t: String,
-                          m: TableMetadata): TableMetadata = {
-    val dir = metaDir(ns, t)
-    val (slim, bodies) = SnapshotBodies.strip(dir.toString, m)
-    bodies.foreach { case (name, json) =>
-      try writeNew(dir.resolve(name), json)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    }
-    slim
-  }
+                          m: TableMetadata): TableMetadata =
+    SnapshotBodies.persist(metaDir(ns, t).toString, m,
+      bodyExists(ns, t), bodyWrite(ns, t))
 
   /** CAS commit: persist `next` as version `expectedVersion + 1`. Fails
     * (returns false) if another committer won that version. */
@@ -174,7 +177,14 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
              next: TableMetadata): Boolean = {
     val target = metaDir(ns, t).resolve(s"v${expectedVersion + 1}.metadata.json")
     val slim = writeBodies(ns, t, next)
-    try { writeNew(target, TableMetadata.toJson(slim)); true }
+    try {
+      writeNew(target, TableMetadata.toJson(slim))
+      // heal bodies an expiry pruned while this committer stalled past
+      // the grace window — the CAS won, so the content must be present
+      SnapshotBodies.ensure(metaDir(ns, t).toString, slim,
+        bodyExists(ns, t), bodyWrite(ns, t))
+      true
+    }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }
 
@@ -182,6 +192,7 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
     val dir = tablePath(ns, t)
     if (!tableExists(ns, t)) return false
     // metadata-only drop, like the reference (purge → 501, tables.go:288-295)
+    SnapshotBodies.invalidateScope(metaDir(ns, t).toString)
     deleteRecursive(dir.resolve("metadata"))
     if (Files.isDirectory(dir.resolve("data")) &&
         !Files.list(dir.resolve("data")).iterator().hasNext)
@@ -196,6 +207,7 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
     if (!namespaceExists(toNs)) throw noSuchNamespace(toNs)
     if (tableExists(toNs, to))
       throw new IllegalStateException(s"table exists: ${(toNs :+ to).mkString(".")}")
+    SnapshotBodies.invalidateScope(metaDir(fromNs, from).toString)
     Files.move(tablePath(fromNs, from), tablePath(toNs, to))
   }
 

@@ -17,23 +17,31 @@ import org.json4s.jackson.Serialization
   * snapshot) plus a slim version document of headers — O(current
   * commit), not O(history). The same idea as Iceberg's shared manifest
   * files, adapted to this store's one-document-per-version protocol.
+  * Slim documents carry `formatVersion = 2` so a pre-upgrade reader
+  * fails loudly instead of parsing empty file lists as an empty table.
   *
-  * Correctness does not rest on snapshots never mutating: a body is
-  * re-referenced only when the in-memory snapshot's payload is the one
-  * cached under that name (reference-identity fast path — `inflate`
-  * installs the cached instances — with structural equality as the slow
-  * path). Anything else serializes a fresh body whose name carries a
-  * content hash, so replays and racing committers writing identical
-  * content land idempotently under write-if-absent semantics.
+  * Reuse of an existing body is doubly guarded: the in-memory payload
+  * must be the instance cached under that name (reference identity fast
+  * path — `inflate` installs the cached instances — with structural
+  * equality as the slow path), AND [[persist]] verifies the name still
+  * exists in the target store before the version CAS — so a dropped-
+  * and-recreated table, a cross-store cache hit, or a GC race never
+  * commits a dangling reference. Names carry a content hash, so
+  * replayed or racing writes of identical content land idempotently
+  * under create-if-absent semantics.
   *
   * Pre-upgrade metadata (snapshots without `bodyRef`) passes through
   * both directions unchanged — old version documents stay readable, and
   * the next commit migrates them to bodies. Bodies orphaned by expired
-  * history or lost CAS races are never re-referenced (content-addressed
-  * names) and are left for maintenance cleanup. */
+  * history or lost CAS races are collected by snapshot expiry (see
+  * `GraftCatalog.expireSnapshots`). */
 object SnapshotBodies {
 
   implicit private val formats: Formats = Serialization.formats(NoTypeHints)
+
+  /** Version documents whose snapshots reference bodies are stamped
+    * with this format version; readers accept anything up to it. */
+  val FormatVersion = 2
 
   final case class Body(files: List[String],
                         fileStats: Map[String, List[ColStatDef]],
@@ -41,12 +49,29 @@ object SnapshotBodies {
                         fileSeqs: Map[String, Long])
 
   // (store scope + body name) → parsed body. Bodies are immutable; the
-  // bound only caps memory. The cached instances ARE the ones installed
-  // into inflated snapshots — that identity is the strip fast path.
+  // bound only caps memory (entry count as a proxy — histories are
+  // metadata-scale). Overflow evicts ONE arbitrary entry: a full clear
+  // would thrash every other table in the JVM back to cold loads.
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Body]()
   private def cachePut(k: String, b: Body): Unit = {
-    if (cache.size > 256) cache.clear()
+    if (cache.size >= 512) {
+      val it = cache.keys()
+      if (it.hasMoreElements) cache.remove(it.nextElement())
+    }
     cache.put(k, b)
+  }
+
+  /** Forget every cached body under `scope` — table drop/rename
+    * hygiene, so a recreated table at the same path can never hit a
+    * stale entry. (Reuse is existence-verified anyway; this keeps the
+    * cache from serving a deleted table's payloads.) */
+  def invalidateScope(scope: String): Unit = {
+    val prefix = s"$scope/"
+    val it = cache.keys()
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k.startsWith(prefix)) cache.remove(k)
+    }
   }
 
   private def same(b: Body, s: SnapshotDef): Boolean =
@@ -60,31 +85,56 @@ object SnapshotBodies {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map("%02x".format(_)).mkString
 
-  /** The persisted (slim) form of `m` plus the body documents that are
-    * not yet known to exist, as (relative name, text). Callers write
-    * the bodies BEFORE the version CAS with create-if-absent semantics
-    * and ignore already-exists — names are content-addressed, so a
-    * duplicate write carries identical bytes. `scope` keys the cache
-    * per store+table (two tables may share body names). */
-  def strip(scope: String, m: TableMetadata)
-      : (TableMetadata, Seq[(String, String)]) = {
+  /** Persist `m`'s snapshot payloads through the store primitives and
+    * return the slim document to CAS: fresh bodies are written
+    * (create-if-absent — an already-present name holds identical
+    * bytes), and REUSED references are existence-verified, re-writing
+    * from cache when the store lost them. `exists`/`write` take the
+    * body's relative name; `scope` keys the cache per store+table. */
+  def persist(scope: String, m: TableMetadata,
+              exists: String => Boolean,
+              write: (String, String) => Unit): TableMetadata = {
     val out = Seq.newBuilder[(String, String)]
+    val reused = Seq.newBuilder[String]
     val slim = m.snapshots.map { s =>
       val reusable = s.bodyRef.exists(n =>
         Option(cache.get(s"$scope/$n")).exists(same(_, s)))
-      val name = s.bodyRef.filter(_ => reusable).getOrElse {
-        val body = Body(s.files, s.fileStats, s.deleteFiles, s.fileSeqs)
-        val json = Serialization.write(body)
-        val n = s"snap-${s.snapshotId}-${hashHex(json)}.body.json"
-        out += ((n, json))
-        cachePut(s"$scope/$n", body)
-        n
+      val name = s.bodyRef.filter(_ => reusable) match {
+        case Some(n) => reused += n; n
+        case None =>
+          val body = Body(s.files, s.fileStats, s.deleteFiles, s.fileSeqs)
+          val json = Serialization.write(body)
+          val n = s"snap-${s.snapshotId}-${hashHex(json)}.body.json"
+          out += ((n, json))
+          cachePut(s"$scope/$n", body)
+          n
       }
       s.copy(files = Nil, fileStats = Map.empty, deleteFiles = Nil,
         fileSeqs = Map.empty, bodyRef = Some(name))
     }
-    (m.copy(snapshots = slim), out.result())
+    out.result().foreach { case (n, j) => write(n, j) }
+    reused.result().distinct.foreach { n =>
+      if (!exists(n))
+        Option(cache.get(s"$scope/$n")).foreach(b =>
+          write(n, Serialization.write(b)))
+    }
+    m.copy(snapshots = slim, formatVersion = FormatVersion)
   }
+
+  /** Post-CAS healing: re-write any referenced body the store lost
+    * between [[persist]] and the CAS landing (a slow committer can
+    * outlive the expiry grace window — its staged body looks orphaned
+    * and gets pruned; once the CAS wins, the content must come back).
+    * Bodies absent from the cache cannot be healed — the next prune's
+    * grace window is the backstop against that being common. */
+  def ensure(scope: String, slim: TableMetadata,
+             exists: String => Boolean,
+             write: (String, String) => Unit): Unit =
+    slim.snapshots.flatMap(_.bodyRef).distinct.foreach { n =>
+      if (!exists(n))
+        Option(cache.get(s"$scope/$n")).foreach(b =>
+          write(n, Serialization.write(b)))
+    }
 
   /** Re-inflate a loaded slim document: resolve each `bodyRef` through
     * `read` (relative name → document text), caching parsed bodies so
@@ -100,7 +150,15 @@ object SnapshotBodies {
         case Some(n) =>
           val k = s"$scope/$n"
           val body = Option(cache.get(k)).getOrElse {
-            val b = Serialization.read[Body](read(n))
+            val b =
+              try Serialization.read[Body](read(n))
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  throw new IllegalStateException(
+                    s"snapshot body $n under $scope is missing or " +
+                      "unreadable — expired history, a pruned orphan, " +
+                      "or a partially-restored warehouse", e)
+              }
             cachePut(k, b)
             b
           }

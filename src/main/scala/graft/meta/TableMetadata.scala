@@ -118,7 +118,16 @@ object TableMetadata {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
   def toJson(m: TableMetadata): String = Serialization.writePretty(m)
-  def fromJson(s: String): TableMetadata = Serialization.read[TableMetadata](s)
+  def fromJson(s: String): TableMetadata = {
+    val m = Serialization.read[TableMetadata](s)
+    // refuse documents from a NEWER writer: a format this reader does
+    // not understand could parse "successfully" as an empty table
+    // (exactly what body-referencing docs look like to a v1 reader)
+    require(m.formatVersion <= SnapshotBodies.FormatVersion,
+      s"table metadata format ${m.formatVersion} is newer than this " +
+        s"reader (max ${SnapshotBodies.FormatVersion}) — upgrade")
+    m
+  }
 
   def empty(uuid: String, location: String, schema: SchemaDef,
             spec: PartitionSpecDef, order: SortOrderDef,

@@ -83,16 +83,40 @@ class MetaBodiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("bod.m.t").count() == 4L)
   }
 
-  test("a fresh store instance (cold cache) reads and commits correctly") {
-    // a second store over the same warehouse: no warm body cache, the
-    // content-addressed names resolve from disk
-    val store2 = new graft.meta.MetadataStore(wh)
-    val (meta, _) = store2.load(Seq("m"), "t")
+  test("a cold body cache reads from disk (copied warehouse = new scope)") {
+    // the body cache is process-wide and keyed by metadata-dir path, so
+    // a copy of the warehouse at a DIFFERENT path is the only in-process
+    // way to force the read-and-parse path for every body
+    def copyTree(srcRoot: String, dstRoot: String): Unit = {
+      val src = Paths.get(srcRoot)
+      val walk = Files.walk(src)
+      try walk.iterator().asScala.foreach { p =>
+        val d = Paths.get(dstRoot).resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(d)
+        else Files.copy(p, d,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally walk.close()
+    }
+    val copy = Files.createTempDirectory("graft-bodies-copy").toString
+    copyTree(wh, copy)
+    val meta = new graft.meta.MetadataStore(copy).load(Seq("m"), "t")._1
     assert(meta.currentSnapshot.get.files.size == 4)
+    assert(meta.snapshots.forall(s => s.files.nonEmpty && s.fileSeqs.nonEmpty))
 
-    // rows survive end-to-end through the cold path
-    assert(spark.table("bod.m.t").collect().map(_.getLong(0)).sorted.toSeq ==
-      Seq(1L, 2L, 3L, 4L))
+    // an unreadable body fails loudly and names the document — never a
+    // silently-empty table
+    val copy2 = Files.createTempDirectory("graft-bodies-copy2").toString
+    copyTree(wh, copy2)
+    val md = Paths.get(copy2, "m", "t", "metadata")
+    val victims = Files.list(md)
+    try victims.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".body.json"))
+      .foreach(p => Files.write(p, "not json".getBytes))
+    finally victims.close()
+    val e = intercept[IllegalStateException] {
+      new graft.meta.MetadataStore(copy2).load(Seq("m"), "t")
+    }
+    assert(e.getMessage.contains("snapshot body"), e.getMessage)
   }
 
   test("expiry garbage-collects bodies no retained version references") {

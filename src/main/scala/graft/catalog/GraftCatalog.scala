@@ -749,6 +749,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       _.currentSnapshot.map(liveFiles).getOrElse(Nil))
       ++ latestMeta.snapshots.filter(s => refSnapshots.contains(s.snapshotId))
       .flatMap(liveFiles)).toSet
+    // trim expired snapshot ENTRIES out of the live document: without
+    // this the snapshots list (headers + body references) grows with
+    // every commit forever, and expired history pins its bodies against
+    // GC. A retained version's current snapshot and every ref-pinned
+    // snapshot stay; the verb re-validates refs on CAS retry.
+    val retainedIds = retainedMetas.flatMap(_.currentSnapshotId).toSet
+    val removable = latestMeta.snapshots.map(_.snapshotId)
+      .filterNot(id => retainedIds.contains(id) || refSnapshots.contains(id))
+    if (removable.nonEmpty)
+      store.commitOps(ns, ident.name, Nil,
+        Seq(graft.commit.MetadataUpdate.RemoveSnapshots(removable)))
     val dataDir = store.dataDir(ns, ident.name)
     var removed = 0
     // delete unreferenced data files

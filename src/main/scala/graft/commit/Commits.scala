@@ -323,6 +323,27 @@ object MetadataUpdate {
     }
   }
 
+  /** Snapshot-history trimming (expiry's document half): drop the
+    * listed snapshot entries from the metadata document. Without this
+    * the `snapshots` list — headers plus body references — grows with
+    * every commit forever, and expired history keeps its externalized
+    * bodies pinned against GC. Refuses the current snapshot and any
+    * ref-pinned snapshot, re-checked against the FRESH document on
+    * every CAS retry — a ref created while expiry raced protects its
+    * snapshot. Physical file deletion stays the caller's job, gated on
+    * what retained versions reference. */
+  final case class RemoveSnapshots(ids: Seq[Long]) extends MetadataUpdate {
+    def apply(m: TableMetadata): TableMetadata = {
+      val drop = ids.toSet
+      require(!m.currentSnapshotId.exists(drop),
+        "cannot remove the current snapshot")
+      val pinned = m.refs.values.map(_.snapshotId).toSet.intersect(drop)
+      require(pinned.isEmpty,
+        s"cannot remove ref-pinned snapshots ${pinned.mkString(", ")}")
+      m.copy(snapshots = m.snapshots.filterNot(s => drop(s.snapshotId)))
+    }
+  }
+
   /** Create or move a named ref. Branches move freely (that's what
     * commits to them do); a tag is immutable once set — drop it first to
     * re-point, so "known good" markers can't drift silently. */

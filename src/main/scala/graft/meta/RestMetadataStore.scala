@@ -267,6 +267,9 @@ final class RestMetadataStore(val warehouse: String) extends MetaStore {
       "snapshot-id" -> JInt(sid), "ref-type" -> JString(refType))
     case MetadataUpdate.RemoveRef(name) => JObject(
       "action" -> JString("remove-ref"), "ref-name" -> JString(name))
+    case MetadataUpdate.RemoveSnapshots(ids) => JObject(
+      "action" -> JString("remove-snapshots"),
+      "snapshot-ids" -> JArray(ids.toList.map(id => JInt(id): JValue)))
     case MetadataUpdate.FastForward(name) => JObject(
       "action" -> JString("fast-forward"), "ref-name" -> JString(name))
     case MetadataUpdate.AppendFilesToRef(ref, files, ts, stats, extra) => JObject(

@@ -362,6 +362,8 @@ final class RestServer(catalog: GraftCatalog, port: Int = 0,
         (j \ "snapshot-id").extract[Long], (j \ "ref-type").extract[String])
     case "remove-ref" =>
       MetadataUpdate.RemoveRef((j \ "ref-name").extract[String])
+    case "remove-snapshots" =>
+      MetadataUpdate.RemoveSnapshots((j \ "snapshot-ids").extract[List[Long]])
     case "fast-forward" =>
       MetadataUpdate.FastForward((j \ "ref-name").extract[String])
     case "append-files-to-ref" =>

@@ -145,11 +145,44 @@ class MetaBodiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the unreferenced stale body must be collected")
     // the retained version's bodies survive (fresh ones also ride the
     // grace window), and the table still reads
-    val live = spark.sessionState.catalogManager.catalog("bod")
+    val meta = spark.sessionState.catalogManager.catalog("bod")
       .asInstanceOf[GraftCatalog].metadataStore
-      .load(Seq("gc"), "t")._1.snapshots.flatMap(_.bodyRef).toSet
+      .load(Seq("gc"), "t")._1
+    val live = meta.snapshots.flatMap(_.bodyRef).toSet
     assert(live.subsetOf(after), s"live bodies $live must survive (have $after)")
     assert(spark.table("bod.gc.t").count() == 2L)
+    // and the document itself was trimmed: expired history's snapshot
+    // entries are gone, only the retained current remains
+    assert(meta.snapshots.map(_.snapshotId) ==
+      meta.currentSnapshotId.toList,
+      s"history must trim to the retained snapshots: ${meta.snapshots}")
+  }
+
+  test("ref-pinned snapshots survive history trimming") {
+    spark.sql("CREATE NAMESPACE bod.pin")
+    spark.sql("CREATE TABLE bod.pin.t (id BIGINT)")
+    spark.sql("INSERT INTO bod.pin.t VALUES (1)")
+    val store = spark.sessionState.catalogManager.catalog("bod")
+      .asInstanceOf[GraftCatalog].metadataStore
+    val first = store.load(Seq("pin"), "t")._1.currentSnapshotId.get
+    store.commitOps(Seq("pin"), "t", Nil,
+      Seq(graft.commit.MetadataUpdate.SetRef("good", first, "tag")))
+    spark.sql("INSERT INTO bod.pin.t VALUES (2)")
+    spark.sql("INSERT INTO bod.pin.t VALUES (3)")
+
+    val cat = spark.sessionState.catalogManager.catalog("bod")
+      .asInstanceOf[GraftCatalog]
+    cat.expireSnapshots(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("pin"), "t"), keep = 1, graceMs = 3600000L)
+
+    val meta = store.load(Seq("pin"), "t")._1
+    val ids = meta.snapshots.map(_.snapshotId).toSet
+    assert(ids.contains(first), "the tagged snapshot must survive the trim")
+    assert(ids.contains(meta.currentSnapshotId.get))
+    assert(ids.size == 2, s"middle history must trim away: $ids")
+    // the pinned snapshot still time-travels through its body
+    assert(spark.sql("SELECT count(*) FROM bod.pin.t VERSION AS OF 'good'")
+      .head().getLong(0) == 1L)
   }
 
   test("delete files and sequence maps round-trip through bodies") {

@@ -115,6 +115,89 @@ private[graft] object ChangesTable {
         n
       }
 
+  /** `max-bytes-per-trigger` / `maxBytesPerTrigger`: plain byte count or
+    * a k/m/g-suffixed size string ("128m"). The file budget bounds
+    * DRIVER planning work; this bounds the EXECUTOR data volume one
+    * micro-batch scans — the knob an operator actually reasons in when
+    * commit sizes vary by 1000× (one streaming-sink epoch vs one bulk
+    * backfill commit). */
+  def parseMaxBytesPerTrigger(options: CaseInsensitiveStringMap): Option[Long] =
+    Seq("maxBytesPerTrigger", "max-bytes-per-trigger")
+      .flatMap(k => Option(options.get(k))).headOption.map { v =>
+        val m = "(?i)^(\\d+)\\s*([kmg]?)b?$".r
+        val n = v.trim match {
+          case m(digits, suffix) =>
+            val shift = suffix.toLowerCase match {
+              case "" => 0; case "k" => 10; case "m" => 20; case "g" => 30
+            }
+            try java.lang.Math.multiplyExact(digits.toLong, 1L << shift)
+            catch { case _: ArithmeticException | _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"maxBytesPerTrigger overflows a long: '$v'")
+            }
+          case other => throw new IllegalArgumentException(
+            s"maxBytesPerTrigger must be a byte count (optionally k/m/g-" +
+              s"suffixed), got '$other'")
+        }
+        require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+        n
+      }
+
+  /** The stream's starting BASELINE version from read options — shared
+    * by the data stream and the changelog stream. `from-version`
+    * (integer, or 'latest' = tail only commits after stream start) and
+    * `starting-timestamp` (ISO-8601 instant or epoch millis — commits
+    * AFTER the instant stream; the baseline is the largest version
+    * committed at or before it, resolved by metadata-file mtime exactly
+    * like `TIMESTAMP AS OF`) are mutually exclusive; neither = 0 (the
+    * whole existing table is the first batch). */
+  def resolveStartVersion(store: MetaStore, ns: Seq[String], table: String,
+                          options: CaseInsensitiveStringMap,
+                          tableName: String): Int = {
+    val fromV = Option(options.get("from-version"))
+    val fromTs = Option(options.get("starting-timestamp"))
+    require(fromV.isEmpty || fromTs.isEmpty,
+      s"read options from-version and starting-timestamp are mutually " +
+        s"exclusive (table $tableName)")
+    fromV match {
+      case Some(v) if v.equalsIgnoreCase("latest") =>
+        store.currentVersion(ns, table)
+      case Some(v) =>
+        try v.trim.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"read option from-version must be an integer metadata " +
+              s"version or 'latest', got '$v' (table $tableName)")
+        }
+      case None => fromTs match {
+        case None => 0
+        case Some(raw) =>
+          val tsMs = parseInstantMs(raw.trim, tableName)
+          // expired versions (metadata file gone) yield no mtime and
+          // don't qualify — the baseline falls back toward 0, which
+          // only ever delivers MORE history, never skips commits
+          (1 to store.currentVersion(ns, table)).filter { v =>
+            store.lastModifiedMs(store.metadataLocation(ns, table, v))
+              .exists(_ <= tsMs)
+          }.maxOption.getOrElse(0)
+      }
+    }
+  }
+
+  private def parseInstantMs(raw: String, tableName: String): Long =
+    if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+    else try java.time.Instant.parse(raw).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      try java.time.LocalDateTime
+        .parse(raw.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"read option starting-timestamp must be epoch millis or an " +
+            s"ISO-8601 instant (e.g. 2026-01-01T00:00:00Z), got '$raw' " +
+            s"(table $tableName)")
+      }
+    }
+
   /** One predicate per delete file, loaded once on the driver and
     * memoized in the CALLER-owned cache (delete files are immutable —
     * a stream or multi-version window must not re-collect them per
@@ -776,11 +859,8 @@ private[graft] class ChangesScan(
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    val start = Option(options.get("from-version")) match {
-      case Some(v) if v.equalsIgnoreCase("latest") => store.currentVersion(ns, table)
-      case Some(v) => intOption("from-version").get
-      case None => 0
-    }
+    val start = ChangesTable.resolveStartVersion(store, ns, table, options,
+      (ns :+ table).mkString("."))
     new ChangesMicroBatchStream(store, ns, table, schema, options, start)
   }
 }
@@ -803,6 +883,8 @@ private[graft] class ChangesMicroBatchStream(
 
   private val maxFilesPerTrigger: Option[Int] =
     ChangesTable.parseMaxFilesPerTrigger(options)
+  private val maxBytesPerTrigger: Option[Long] =
+    ChangesTable.parseMaxBytesPerTrigger(options)
 
   override def initialOffset(): Offset = GraftSourceOffset(startVersion)
   override def latestOffset(): Offset =
@@ -819,49 +901,82 @@ private[graft] class ChangesMicroBatchStream(
     * Int — no ceiling needed). */
   private val stepCountCache = scala.collection.mutable.Map.empty[Int, Int]
 
+  private def stepDiffAt(v: Int): Option[ChangesTable.StepDiff] = {
+    val meta = store.loadVersion(ns, table, v)
+    val prev = if (v - 1 >= 1) Some(store.loadVersion(ns, table, v - 1)) else None
+    ChangesTable.stepDiff(meta, prev)
+  }
+
   private def stepFileCount(v: Int): Int =
     stepCountCache.getOrElseUpdate(v, {
-      val meta = store.loadVersion(ns, table, v)
-      val prev = if (v - 1 >= 1) Some(store.loadVersion(ns, table, v - 1)) else None
-      ChangesTable.stepDiff(meta, prev).map { d =>
+      stepDiffAt(v).map { d =>
         d.added.size + d.removed.size +
           (if (d.newDeletes.nonEmpty) d.kept.size else 0)
       }.getOrElse(0)
     })
 
+  /** One step's scanned DATA bytes (added + removed + masked-kept file
+    * lengths off the manifest length cache) plus its delete-file bytes.
+    * Conservative: kept files counted whole even where key-stats
+    * pruning will drop them at planning — pacing must never admit MORE
+    * than a trigger can scan. Memoized like the count (a Long per
+    * version). */
+  private val stepBytesCache = scala.collection.mutable.Map.empty[Int, Long]
+
+  private def stepByteCount(v: Int): Long =
+    stepBytesCache.getOrElseUpdate(v, {
+      stepDiffAt(v).map { d =>
+        val dataRels = d.added ++ d.removed ++
+          (if (d.newDeletes.nonEmpty) d.kept else Nil)
+        val lens = if (dataRels.isEmpty) 0L
+          else ManifestFileIndex.lengthsFor(SparkSession.active,
+            store.dataDir(ns, table), dataRels).values.sum
+        lens + d.newDeletes.map(MergeOnRead.estBytes).sum
+      }.getOrElse(0L)
+    })
+
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes(_)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
   }
 
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxBytes, ReadMaxFiles}
     val s = start.asInstanceOf[GraftSourceOffset].version
     val cur = math.max(startVersion, store.currentVersion(ns, table))
-    val effective = limit match {
-      case c: CompositeReadLimit =>
-        c.getReadLimits.collectFirst { case m: ReadMaxFiles => m }.getOrElse(limit)
-      case other => other
+    val limits = limit match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case other => Seq(other)
     }
-    effective match {
-      case m: ReadMaxFiles if cur > s =>
-        var chosen = s
-        var budget = m.maxFiles()
-        var v = s + 1
-        var done = false
-        while (v <= cur && !done) {
-          val n = stepFileCount(v)
-          if (n <= budget || v == s + 1) chosen = v else done = true
-          budget -= n
-          if (budget <= 0) done = true
-          v += 1
-        }
-        GraftSourceOffset(chosen)
-      case _ => GraftSourceOffset(cur)
+    val fileCap = limits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
+    val byteCap = limits.collectFirst { case b: ReadMaxBytes => b.maxBytes() }
+    if ((fileCap.isEmpty && byteCap.isEmpty) || cur <= s)
+      return GraftSourceOffset(cur)
+    var chosen = s
+    var fileBudget = fileCap.getOrElse(Int.MaxValue)
+    var byteBudget = byteCap.getOrElse(Long.MaxValue)
+    var v = s + 1
+    var done = false
+    while (v <= cur && !done) {
+      val n = stepFileCount(v)
+      val b = if (byteCap.isDefined) stepByteCount(v) else 0L
+      if ((n <= fileBudget && b <= byteBudget) || v == s + 1) chosen = v
+      else done = true
+      fileBudget -= n
+      byteBudget -= b
+      if (fileBudget <= 0 || byteBudget <= 0) done = true
+      v += 1
     }
+    GraftSourceOffset(chosen)
   }
 
   override def reportLatestOffset(): Offset =

@@ -39,7 +39,8 @@ private[graft] class GraftMicroBatchStream(
     store: MetaStore, ns: Seq[String], table: String,
     startVersion: Int,
     delegateScanFor: Seq[String] => Scan,
-    maxFilesPerTrigger: Option[Int] = None) extends MicroBatchStream
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   /** Per-version file sets, memoized across triggers: versions are
@@ -80,44 +81,62 @@ private[graft] class GraftMicroBatchStream(
     * version 0 against a year of commits) would otherwise plan the
     * ENTIRE backlog as a single batch — at 100 TB that is one
     * multi-hour batch whose failure loses all progress. With
-    * `max-files-per-trigger`, the offset walk stops at the last version
-    * whose cumulative file delta fits the budget, always advancing at
-    * least one version so an oversized single commit still progresses
-    * (same contract as the file-source's maxFilesPerTrigger). */
+    * `max-files-per-trigger` and/or `max-bytes-per-trigger`, the offset
+    * walk stops at the last version whose cumulative delta fits EVERY
+    * configured budget, always advancing at least one version so an
+    * oversized single commit still progresses (same contract as the
+    * file-source's maxFilesPerTrigger). Bytes come from the manifest
+    * length cache ([[ManifestFileIndex.lengthsFor]]) — one listStatus
+    * per new commit dir ever, never a per-file stat sweep. */
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes(_)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
   }
+
+  private def deltaBytes(delta: Seq[String]): Long =
+    ManifestFileIndex.lengthsFor(org.apache.spark.sql.SparkSession.active,
+      store.dataDir(ns, table), delta).values.sum
 
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxBytes, ReadMaxFiles}
     val s = start.asInstanceOf[GraftSourceOffset].version
     val cur = math.max(startVersion, store.currentVersion(ns, table))
     // Trigger.AvailableNow wraps the default limit in a composite —
-    // honor the file budget inside it rather than draining everything
-    val effective = limit match {
-      case c: CompositeReadLimit =>
-        c.getReadLimits.collectFirst { case m: ReadMaxFiles => m }.getOrElse(limit)
-      case other => other
+    // honor the budgets inside it rather than draining everything
+    val limits = limit match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case other => Seq(other)
     }
-    effective match {
-      case m: ReadMaxFiles if cur > s =>
-        val baseline = filesAt(s).toSet
-        var chosen = s
-        var v = s + 1
-        var done = false
-        while (v <= cur && !done) {
-          val n = filesAt(v).count(!baseline(_))
-          if (n <= m.maxFiles() || v == s + 1) chosen = v else done = true
-          if (n >= m.maxFiles()) done = true // budget consumed: stop here
-          v += 1
-        }
-        GraftSourceOffset(chosen)
-      case _ => GraftSourceOffset(cur)
+    val fileCap = limits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
+    val byteCap = limits.collectFirst { case b: ReadMaxBytes => b.maxBytes() }
+    if ((fileCap.isEmpty && byteCap.isEmpty) || cur <= s)
+      return GraftSourceOffset(cur)
+    val baseline = filesAt(s).toSet
+    var chosen = s
+    var v = s + 1
+    var done = false
+    while (v <= cur && !done) {
+      val delta = filesAt(v).filterNot(baseline)
+      val n = delta.size
+      // bytes are consulted only when a byte budget exists — a
+      // files-only trigger never pays the length lookup
+      val bytes = if (byteCap.isDefined) deltaBytes(delta) else 0L
+      val fits = fileCap.forall(n <= _) && byteCap.forall(bytes <= _)
+      if (fits || v == s + 1) chosen = v else done = true
+      // a budget consumed exactly is consumed: stop here
+      if (fileCap.exists(n >= _) || byteCap.exists(bytes >= _)) done = true
+      v += 1
     }
+    GraftSourceOffset(chosen)
   }
 
   override def reportLatestOffset(): Offset =

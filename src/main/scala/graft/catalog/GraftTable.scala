@@ -188,7 +188,7 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
     if (ds.isEmpty) Set.empty
     else {
       val dir = store.dataDir(ns, table)
-      val key = dir + " " + ds.map(_.path).sorted.mkString(" ")
+      val key = dir + "\u0000" + ds.map(_.path).sorted.mkString("\u0000")
       GraftTable.posMarkedMemo(key,
         SparkSession.active.read.schema(PosDelta.deleteFileSchema)
           .parquet(ds.map(d => s"$dir/${d.path}"): _*)
@@ -1556,19 +1556,11 @@ private[graft] class GraftScanBuilder(
           if (deleteFiles.nonEmpty) throw new UnsupportedOperationException(
             s"streaming read of $tableName: table carries merge-on-read " +
               "delete files — compact it first")
-          val start = Option(options.get("from-version")) match {
-            case Some(v) if v.equalsIgnoreCase("latest") =>
-              store.currentVersion(ns, table)
-            case Some(v) =>
-              try v.trim.toInt catch { case _: NumberFormatException =>
-                throw new IllegalArgumentException(
-                  s"read option from-version must be an integer metadata " +
-                    s"version or 'latest', got '$v' (table $tableName)")
-              }
-            case None => 0
-          }
+          val start = ChangesTable.resolveStartVersion(store, ns, table,
+            options, tableName)
           new GraftMicroBatchStream(store, ns, table, start, delegateScanFor,
-            ChangesTable.parseMaxFilesPerTrigger(options))
+            ChangesTable.parseMaxFilesPerTrigger(options),
+            ChangesTable.parseMaxBytesPerTrigger(options))
         })
     }
   }

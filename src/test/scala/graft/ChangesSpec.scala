@@ -239,6 +239,31 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one-file budget must pace 3 single-file commits into 3 batches, got $got")
   }
 
+  test("t$changes stream paces by bytes with max-bytes-per-trigger") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdcb")
+    spark.sql("CREATE TABLE graft.cdcb.t (k INT, v STRING)")
+    spark.sql("INSERT INTO graft.cdcb.t VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.cdcb.t VALUES (2,'b')")
+    spark.sql("INSERT INTO graft.cdcb.t VALUES (3,'c')")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcb-ckpt").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Int]]()
+    val q = spark.readStream
+      .option("max-bytes-per-trigger", "1")
+      .table("graft.cdcb.`t$changes`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val ks = df.select(col("k")).collect().map(_.getInt(0)).sorted.toSeq
+        if (ks.nonEmpty) batches.add(ks); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.asScala.toSeq
+    assert(got.flatten.sorted == Seq(1, 2, 3), s"lost/duped rows: $got")
+    assert(got.length == 3,
+      s"a 1-byte budget must pace 3 commits into 3 batches, got $got")
+  }
+
   test("Changes.sync mirrors a source into a keyed table, exactly once") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sync")
     spark.sql("""CREATE TABLE graft.sync.src (k INT NOT NULL, v STRING)

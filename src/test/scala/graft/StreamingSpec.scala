@@ -163,6 +163,86 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one-file budget must pace 3 single-file commits into 3 batches, got $batches")
   }
 
+  test("admission control: max-bytes-per-trigger paces by data volume") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.paceb")
+    spark.sql("CREATE TABLE graftst.paceb.t (id BIGINT)")
+    spark.sql("INSERT INTO graftst.paceb.t VALUES (1)")
+    spark.sql("INSERT INTO graftst.paceb.t VALUES (2)")
+    spark.sql("INSERT INTO graftst.paceb.t VALUES (3)")
+
+    def run(budget: String): Seq[Seq[Long]] = {
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-paceb-ckpt").toString
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+      val q = spark.readStream
+        .option("max-bytes-per-trigger", budget)
+        .table("graftst.paceb.t")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val rows = df.collect().map(_.getLong(0)).sorted.toSeq
+          if (rows.nonEmpty) seen.add(rows); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      seen.asScala.toSeq
+    }
+
+    // a 1-byte budget admits the guaranteed first version, then is
+    // spent — one commit per batch, nothing lost
+    val paced = run("1")
+    assert(paced.flatten.sorted == Seq(1L, 2L, 3L), s"lost/duped rows: $paced")
+    assert(paced.length == 3,
+      s"a 1-byte budget must pace 3 commits into 3 batches, got $paced")
+    // a generous (suffixed) budget drains the backlog in one batch
+    val drained = run("1g")
+    assert(drained == Seq(Seq(1L, 2L, 3L)),
+      s"a 1 GB budget must drain the backlog in one batch, got $drained")
+  }
+
+  test("starting-timestamp baselines the stream at the commit history instant") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.ts")
+    spark.sql("CREATE TABLE graftst.ts.t (id BIGINT)")
+    spark.sql("INSERT INTO graftst.ts.t VALUES (1), (2)")
+    Thread.sleep(30)
+    val ts = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.sql("INSERT INTO graftst.ts.t VALUES (3)")
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.option("starting-timestamp", ts.toString)
+      .table("graftst.ts.t")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ts-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        df.collect().foreach(r => seen.add(r.getLong(0))); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.asScala.toSeq.sorted == Seq(3L),
+      s"only the post-timestamp commit may stream, got ${seen.asScala.toSeq}")
+
+    // option-surface contract, unit level: ISO instants resolve, the
+    // two start options are mutually exclusive, junk fails loudly
+    val store = spark.sessionState.catalogManager.catalog("graftst")
+      .asInstanceOf[graft.catalog.GraftCatalog].metadataStore
+    def resolve(opts: Map[String, String]): Int =
+      graft.catalog.ChangesTable.resolveStartVersion(store, Seq("ts"), "t",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts.asJava),
+        "graftst.ts.t")
+    val iso = java.time.Instant.ofEpochMilli(ts).toString
+    assert(resolve(Map("starting-timestamp" -> iso)) ==
+      resolve(Map("starting-timestamp" -> ts.toString)))
+    // a timestamp before the table's birth baselines at 0 (full history)
+    assert(resolve(Map("starting-timestamp" -> "1970-01-01T00:00:00Z")) == 0)
+    assertThrows[IllegalArgumentException](
+      resolve(Map("starting-timestamp" -> ts.toString, "from-version" -> "1")))
+    assertThrows[IllegalArgumentException](
+      resolve(Map("starting-timestamp" -> "not-a-time")))
+  }
+
   test("streaming source from-version=latest tails only post-start commits") {
     import scala.jdk.CollectionConverters._
     spark.sql("CREATE NAMESPACE graftst.tail")

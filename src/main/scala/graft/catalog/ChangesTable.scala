@@ -171,17 +171,50 @@ private[graft] object ChangesTable {
       case None => fromTs match {
         case None => 0
         case Some(raw) =>
-          val tsMs = parseInstantMs(raw.trim, tableName)
-          // expired versions (metadata file gone) yield no mtime and
-          // don't qualify — the baseline falls back toward 0, which
-          // only ever delivers MORE history, never skips commits
-          (1 to store.currentVersion(ns, table)).filter { v =>
-            store.lastModifiedMs(store.metadataLocation(ns, table, v))
-              .exists(_ <= tsMs)
-          }.maxOption.getOrElse(0)
+          versionAtInstant(store, ns, table, parseInstantMs(raw.trim, tableName))
       }
     }
   }
+
+  /** The changelog window's CLOSING version from read options:
+    * `to-version` (integer) or `ending-timestamp` (same instant forms
+    * as `starting-timestamp`; the window closes at the largest version
+    * committed at or before it), mutually exclusive; neither = the
+    * current version. Batch surface only — a stream has no end. */
+  def resolveEndVersion(store: MetaStore, ns: Seq[String], table: String,
+                        options: CaseInsensitiveStringMap,
+                        tableName: String): Int = {
+    val toV = Option(options.get("to-version"))
+    val toTs = Option(options.get("ending-timestamp"))
+    require(toV.isEmpty || toTs.isEmpty,
+      s"read options to-version and ending-timestamp are mutually " +
+        s"exclusive (table $tableName)")
+    toV match {
+      case Some(v) =>
+        try v.trim.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"to-version must be an integer metadata version, got '$v' " +
+              s"(table $tableName)")
+        }
+      case None => toTs match {
+        case None => store.currentVersion(ns, table)
+        case Some(raw) =>
+          versionAtInstant(store, ns, table, parseInstantMs(raw.trim, tableName))
+      }
+    }
+  }
+
+  /** Largest version committed at or before the instant, resolved by
+    * metadata-file mtime exactly like `TIMESTAMP AS OF`. Expired
+    * versions (metadata file gone) yield no mtime and don't qualify —
+    * the result falls back toward 0, which as a BASELINE only ever
+    * delivers MORE history, never skips commits. */
+  private def versionAtInstant(store: MetaStore, ns: Seq[String],
+                               table: String, tsMs: Long): Int =
+    (1 to store.currentVersion(ns, table)).filter { v =>
+      store.lastModifiedMs(store.metadataLocation(ns, table, v))
+        .exists(_ <= tsMs)
+    }.maxOption.getOrElse(0)
 
   private def parseInstantMs(raw: String, tableName: String): Long =
     if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
@@ -826,14 +859,6 @@ private[graft] class ChangesScan(
   override def description(): String =
     s"graft-changes(${(ns :+ table).mkString(".")})"
 
-  private def intOption(key: String): Option[Int] =
-    Option(options.get(key)).map { v =>
-      try v.trim.toInt catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"$key must be an integer metadata version, got '$v'")
-      }
-    }
-
   // delete-file predicates are immutable — share them across every
   // step of the window (and every batch of the stream below)
   private val keyCache =
@@ -842,9 +867,11 @@ private[graft] class ChangesScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val s = SparkSession.active
-      val fromV = intOption("from-version").getOrElse(0)
-      val toV = intOption("to-version")
-        .getOrElse(store.currentVersion(ns, table))
+      val name = (ns :+ table).mkString(".")
+      // version window from either coordinate system: versions
+      // (from/to-version) or wall-clock (starting/ending-timestamp)
+      val fromV = ChangesTable.resolveStartVersion(store, ns, table, options, name)
+      val toV = ChangesTable.resolveEndVersion(store, ns, table, options, name)
       require(fromV <= toV, s"from-version $fromV is above to-version $toV")
       ((fromV + 1) to toV).flatMap(v =>
         ChangesTable.stepPartitions(s, store, ns, table, schema, options,

@@ -264,6 +264,40 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a 1-byte budget must pace 3 commits into 3 batches, got $got")
   }
 
+  test("t$changes batch windows resolve from wall-clock timestamps too") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdct")
+    spark.sql("CREATE TABLE graft.cdct.t (k INT, v STRING)")
+    spark.sql("INSERT INTO graft.cdct.t VALUES (1,'a')")
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.sql("INSERT INTO graft.cdct.t VALUES (2,'b')")
+    Thread.sleep(30)
+    val late = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.sql("INSERT INTO graft.cdct.t VALUES (3,'c')")
+
+    def ks(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.select(col("k")).collect().map(_.getInt(0)).sorted.toSeq
+    // (mid, now]: commits 2 and 3
+    assert(ks(spark.read.option("starting-timestamp", mid.toString)
+      .table("graft.cdct.`t$changes`")) == Seq(2, 3))
+    // (mid, late]: commit 2 only; ISO instant form resolves identically
+    val lateIso = java.time.Instant.ofEpochMilli(late).toString
+    assert(ks(spark.read.option("starting-timestamp", mid.toString)
+      .option("ending-timestamp", lateIso)
+      .table("graft.cdct.`t$changes`")) == Seq(2))
+    // timestamp and version coordinates for one bound are exclusive
+    import scala.jdk.CollectionConverters._
+    assertThrows[IllegalArgumentException] {
+      graft.catalog.ChangesTable.resolveEndVersion(cat.metadataStore,
+        Seq("cdct"), "t",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          Map("ending-timestamp" -> lateIso, "to-version" -> "2").asJava),
+        "graft.cdct.t")
+    }
+  }
+
   test("Changes.sync mirrors a source into a keyed table, exactly once") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sync")
     spark.sql("""CREATE TABLE graft.sync.src (k INT NOT NULL, v STRING)

@@ -61,8 +61,13 @@ object Changes {
     if (!s.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
       s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
-    def readRels(rels: Seq[String], readSchema: StructType = schema): DataFrame =
-      s.read.schema(readSchema).parquet(rels.map(r => s"$dataDir/$r"): _*)
+    // reads touching IMPORTED (id-less) files request by name — sound
+    // under the add_files rename guards (see SchemaBridge.stripFieldIds)
+    def readRels(rels: Seq[String], readSchema: StructType = schema): DataFrame = {
+      val rs = if (rels.exists(GraftTable.isImportedRel))
+        SchemaBridge.stripFieldIds(readSchema) else readSchema
+      s.read.schema(rs).parquet(rels.map(r => s"$dataDir/$r"): _*)
+    }
 
     val outSchema = StructType(schema.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),
@@ -324,7 +329,9 @@ object Changes {
     val prevF = frame(posPrev)
     val esc = dataDir.replace("'", "\\'")
     def withPos(rels: Seq[String]): DataFrame =
-      s.read.schema(schema).parquet(rels.map(r => s"$dataDir/$r"): _*)
+      s.read.schema(if (rels.exists(GraftTable.isImportedRel))
+          SchemaBridge.stripFieldIds(schema) else schema)
+        .parquet(rels.map(r => s"$dataDir/$r"): _*)
         .select(col("*"),
           expr(s"substring(_metadata.file_path, " +
             s"locate('$esc/', _metadata.file_path) + ${dataDir.length + 1})")

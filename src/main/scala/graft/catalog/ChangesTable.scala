@@ -52,19 +52,27 @@ private[graft] object ChangesTable {
       StructField(CommitVersionCol, IntegerType, nullable = false)))
 
   /** Parquet delegate scan over explicit relative files, full schema,
-    * field-id column resolution on (renamed columns still serve). */
+    * field-id column resolution on (renamed columns still serve).
+    * Windows touching IMPORTED (id-less) files request by name instead
+    * — sound under the add_files rename guards, which hold for every
+    * retained version a changelog window can cover. */
   def delegateScan(s: SparkSession, dataDir: String, rels: Seq[String],
                    schema: StructType,
-                   options: CaseInsensitiveStringMap): Scan = {
+                   options: CaseInsensitiveStringMap,
+                   forceNamed: Boolean = false): Scan = {
     if (!s.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
       s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val reqSchema =
+      if (forceNamed || rels.exists(GraftTable.isImportedRel))
+        SchemaBridge.stripFieldIds(schema)
+      else schema
     // same manifest-backed planning as the data scans: a deep changelog
     // replay walks many steps, and each step must not re-stat its files
     val b = org.apache.spark.sql.execution.datasources.v2.parquet
       .ParquetScanBuilder(s,
         new ManifestFileIndex(s, ManifestFileIndex.statusesFor(s, dataDir, rels)),
-        schema, schema, options)
-    b.pruneColumns(schema)
+        reqSchema, reqSchema, options)
+    b.pruneColumns(reqSchema)
     b.build()
   }
 
@@ -724,7 +732,9 @@ private[graft] final case class PosChangeInputPartition(
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 
-private[graft] class ChangesReaderFactory(delegate: PartitionReaderFactory)
+private[graft] class ChangesReaderFactory(delegate: PartitionReaderFactory,
+                                          namedDelegate: PartitionReaderFactory = null,
+                                          dataDir: String = "")
   extends PartitionReaderFactory {
   // rows gain literal columns per row: uniformly row-based (same
   // decode-vectorized-serve-rows path as the MoR reader)
@@ -732,12 +742,20 @@ private[graft] class ChangesReaderFactory(delegate: PartitionReaderFactory)
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] =
     throw new UnsupportedOperationException("changelog scans are row-based")
+  private lazy val dataDirSegs = ImportRouting.segsOf(dataDir)
+  // an add_files commit's inserted rows read through the name-resolving
+  // twin (id-less files null-fill under an id-carrying request); the
+  // same routing rule as the data stream
+  private def pick(d: InputPartition): PartitionReaderFactory =
+    if (namedDelegate != null && ImportRouting.touchesImported(d, dataDirSegs))
+      namedDelegate
+    else delegate
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case ChangeInputPartition(d, spec) =>
-        new ChangeEmittingReader(delegate.createReader(d), spec)
+        new ChangeEmittingReader(pick(d).createReader(d), spec)
       case PosChangeInputPartition(d, emit, subtract, spec) =>
-        new PosChangeReader(delegate.createReader(d), emit, subtract, spec)
+        new PosChangeReader(pick(d).createReader(d), emit, subtract, spec)
       case other => throw new IllegalStateException(s"untagged partition $other")
     }
 }
@@ -878,11 +896,15 @@ private[graft] class ChangesScan(
           keyCache, v))
         .toArray
     }
-    override def createReaderFactory(): PartitionReaderFactory =
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val dataDir = store.dataDir(ns, table)
       new ChangesReaderFactory(
-        ChangesTable.delegateScan(SparkSession.active,
-          store.dataDir(ns, table), Nil, schema, options)
-          .toBatch.createReaderFactory())
+        ChangesTable.delegateScan(SparkSession.active, dataDir, Nil, schema,
+          options).toBatch.createReaderFactory(),
+        ChangesTable.delegateScan(SparkSession.active, dataDir, Nil, schema,
+          options, forceNamed = true).toBatch.createReaderFactory(),
+        dataDir)
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -1019,11 +1041,15 @@ private[graft] class ChangesMicroBatchStream(
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dataDir = store.dataDir(ns, table)
     new ChangesReaderFactory(
-      ChangesTable.delegateScan(SparkSession.active,
-        store.dataDir(ns, table), Nil, schema, options)
-        .toBatch.createReaderFactory())
+      ChangesTable.delegateScan(SparkSession.active, dataDir, Nil, schema,
+        options).toBatch.createReaderFactory(),
+      ChangesTable.delegateScan(SparkSession.active, dataDir, Nil, schema,
+        options, forceNamed = true).toBatch.createReaderFactory(),
+      dataDir)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

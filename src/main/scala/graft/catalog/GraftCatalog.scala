@@ -73,7 +73,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       k.stripPrefix("overrides.") -> v }.toMap
     // scans resolve columns by the field ids stamped at write time (so
     // files written before a rename still serve the renamed column); set
-    // once here rather than mutating session conf per scan build
+    // once here rather than mutating session conf per scan build.
+    // Session-wide is semantically inert for FOREIGN parquet reads: id
+    // matching only engages when the REQUESTED schema carries field-id
+    // metadata, which only this catalog's tables stamp — a plain
+    // spark.read.parquet's schema has no ids, so its resolution is
+    // byte-identical with or without the flag
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach { s =>
         s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -372,6 +377,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         editAt(d.fieldNames.init.toSeq)(
           _.filterNot(_.name == d.fieldNames.last))
       case r: TableChange.RenameColumn =>
+        // imported (add_files) files carry no parquet field ids — they
+        // resolve by NAME, at every retained version a scan or changelog
+        // window can still reach. A rename would make them silently
+        // serve nulls for the renamed column, so it refuses until
+        // compaction has re-homed the data (ids stamped) AND expiry has
+        // trimmed the import commits out of retained history.
+        require(!base.snapshots.exists(
+            _.files.exists(GraftTable.isImportedRel)),
+          s"cannot rename columns on ${ident.name} while files imported " +
+            "by add_files remain in retained history — they resolve by " +
+            "name and would serve NULL for the renamed column; run " +
+            "compact then expire_snapshots first")
         mapField(r.fieldNames.toSeq)(_.copy(name = r.newName))
       case u: TableChange.UpdateColumnType =>
         mapField(u.fieldNames.toSeq)(f => f.copy(
@@ -431,6 +448,87 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean =
     store.dropTable(ident.namespace.toSeq, ident.name)
+
+  /** Onboarding: register a directory of EXISTING parquet files as
+    * table data without rewriting a byte — the verb that moves a
+    * 100 TB corpus into the catalog as one metadata commit instead of
+    * a full re-encode (Iceberg's `add_files`; registering external
+    * data is what the reference catalog exists for,
+    * `/root/reference/api/handlers/tables.go` create/load). Files are
+    * hard-linked into an `import-<uuid>/` dir under the table's data
+    * root (POSIX store; byte-copied on other substrates) so the
+    * relative-path manifest invariant holds, their column stats are
+    * harvested exactly like a write's (min/max pruning works from the
+    * first query), and ONE AppendFiles snapshot publishes them.
+    *
+    * Imported files carry no parquet field ids, so scans serve them by
+    * NAME (the readers strip field-id metadata from requests touching
+    * them — see [[graft.meta.SchemaBridge.stripFieldIds]]). Soundness
+    * needs names to be trustworthy, hence two refusals: (a) tables
+    * whose schema history ever renamed a column (old native files need
+    * id resolution, which cannot coexist with name-only files in one
+    * request), and (b) column renames refuse while imported files
+    * remain in retained history (compact + expire lifts this — the
+    * rewrite stamps ids into everything). Partitioned tables refuse:
+    * imported files carry no partition dirs for replay pruning.
+    * Returns the committed metadata and the number of files added. */
+  def addFiles(ident: Identifier, sourceDir: String): (TableMetadata, Int) = {
+    val ns = ident.namespace.toSeq
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (base, _) = store.load(ns, ident.name)
+    require(base.specs.find(_.specId == base.defaultSpecId)
+        .forall(_.fields.isEmpty),
+      s"add_files requires an unpartitioned table — imported files carry " +
+        s"no partition directories for replay pruning (table ${ident.name})")
+    val cur = SchemaBridge.idNames(base.currentSchema)
+    base.schemas.foreach { s =>
+      SchemaBridge.idNames(s).foreach { case (id, n) =>
+        cur.get(id).filter(_ != n).foreach { cn =>
+          throw new IllegalArgumentException(
+            s"add_files refuses table ${ident.name}: column '$n' was " +
+              s"renamed to '$cn' in its schema history, so live files " +
+              "may need field-id resolution — id-less imported files " +
+              "cannot share their scans; load via INSERT INTO ... SELECT")
+        }
+      }
+    }
+    val srcRels = store.listParquetUnder(sourceDir)
+    require(srcRels.nonEmpty, s"no parquet files under $sourceDir")
+    // the merged footer schema must serve every table column by name
+    // with a structurally equal type; EXTRA source columns are fine
+    // (requests clip by name), but a missing or mistyped one would
+    // null-fill or fail mid-query — refuse up front
+    val tableSchema = SchemaBridge.toSpark(base.currentSchema)
+    val srcSchema = spark.read.option("mergeSchema", "true")
+      .parquet(sourceDir).schema
+    tableSchema.fields.foreach { f =>
+      val sf = srcSchema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"source files under $sourceDir lack table column '${f.name}'"))
+      require(org.apache.spark.sql.types.DataType.equalsStructurally(
+          sf.dataType, f.dataType, true),
+        s"source column '${f.name}' is ${sf.dataType.simpleString}, table " +
+          s"expects ${f.dataType.simpleString}")
+    }
+    val dataDir = store.dataDir(ns, ident.name)
+    val relDir = s"${GraftTable.ImportDirPrefix}${java.util.UUID.randomUUID()}"
+    srcRels.foreach(r =>
+      store.importFile(s"$sourceDir/$r", s"$dataDir/$relDir/$r"))
+    val newFiles = srcRels.map(r => s"$relDir/$r")
+    try {
+      val stats = graft.meta.FileStats.harvestAll(spark, dataDir, newFiles)
+      val m = commit(ident,
+        Seq(Requirement.AssertCurrentSchemaId(base.currentSchemaId)),
+        Seq(MetadataUpdate.AppendFiles(newFiles, System.currentTimeMillis(),
+          stats, extraSummary = Map("import-source" -> sourceDir))))
+      (m, newFiles.size)
+    } catch { case e: Throwable =>
+      // failed commit (raced schema change, CAS exhaustion): the links
+      // are orphans — remove them before surfacing the failure
+      store.deleteTree(s"$dataDir/$relDir")
+      throw e
+    }
+  }
 
   /** Maintenance: compact the current snapshot's files into
     * `targetFileCount` files (small-file problem at scale). Reads the

@@ -40,7 +40,9 @@ private[graft] class GraftMicroBatchStream(
     startVersion: Int,
     delegateScanFor: Seq[String] => Scan,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends MicroBatchStream
+    maxBytesPerTrigger: Option[Long] = None,
+    delegateScanNamedFor: Option[Seq[String] => Scan] = None)
+  extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   /** Per-version file sets, memoized across triggers: versions are
@@ -157,11 +159,19 @@ private[graft] class GraftMicroBatchStream(
     delegateScanFor(delta).toBatch.planInputPartitions()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // the parquet reader factory depends only on schema/filters/conf,
     // never on the file list — an empty delegate yields a factory that
     // reads whatever FilePartitions each batch plans
-    delegateScanFor(Nil).toBatch.createReaderFactory()
+    val idF = delegateScanFor(Nil).toBatch.createReaderFactory()
+    delegateScanNamedFor match {
+      // both flavors up front: add_files commits landing MID-STREAM put
+      // id-less files into later batches, routed per partition
+      case Some(named) => new ImportRoutingReaderFactory(idF,
+        named(Nil).toBatch.createReaderFactory(), store.dataDir(ns, table))
+      case None => idF
+    }
+  }
 
   override def commit(end: Offset): Unit = () // engine-side checkpoint is the ledger
 
@@ -192,7 +202,8 @@ private[graft] class GraftScan(delegate0: Scan,
                                  _ => null,
                                manifestRows: Option[Long] = None,
                                driverMetrics: () => Seq[(String, Long)] =
-                                 () => Nil)
+                                 () => Nil,
+                               reportSchema: Option[StructType] = None)
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -237,7 +248,14 @@ private[graft] class GraftScan(delegate0: Scan,
       if (re != null) delegate = re
     }
 
-  override def readSchema(): StructType = delegate.readSchema()
+  /** The AUTHORITATIVE read schema: the delegate over imported
+    * (id-less) files requests a field-id-STRIPPED schema internally,
+    * but the relation's output attributes must keep the table's id
+    * metadata — a downstream write (compaction, CTAS) stamps parquet
+    * ids from exactly this metadata, and losing it would rewrite the
+    * table into id-less files that id-carrying requests refuse. */
+  override def readSchema(): StructType =
+    reportSchema.getOrElse(delegate.readSchema())
   override def description(): String = delegate.description()
   override def toBatch: Batch = delegate.toBatch
   override def columnarSupportMode(): Scan.ColumnarSupportMode =

@@ -54,6 +54,14 @@ object GraftTable {
     bloomDirtyCache.computeIfAbsent(key, _ => f)
   }
 
+  /** Relative-path prefix of files registered by `add_files` — such
+    * files carry NO parquet field ids, so every reader that builds a
+    * requested schema must ask for them by name (see
+    * [[graft.meta.SchemaBridge.stripFieldIds]]). Native write paths use
+    * `commit-`/`compact-` prefixes; the namespaces never collide. */
+  val ImportDirPrefix = "import-"
+  def isImportedRel(rel: String): Boolean = rel.startsWith(ImportDirPrefix)
+
 }
 
 class GraftTable(tableName: String, private[graft] val store: MetaStore,
@@ -1065,18 +1073,43 @@ private[graft] class GraftScanBuilder(
       : org.apache.spark.sql.connector.read.Scan =
     delegateScanWith(rels, requiredSchema)
 
+  /** The name-resolving twin of [[delegateScanFor]] — requested schema
+    * stripped of field ids regardless of `rels`. The STREAM reader
+    * factory needs it up front: files imported after stream start can
+    * appear in later micro-batches, and the
+    * [[ImportRoutingReaderFactory]] picks per partition. */
+  private[graft] def delegateScanNamedFor(rels: Seq[String])
+      : org.apache.spark.sql.connector.read.Scan =
+    delegateScanWith(rels, requiredSchema, forceNamed = true)
+
   /** A fresh parquet delegate builder over an explicit file list.
     * Asserts field-id column resolution first: it is set at catalog
     * initialize, but that can be undone (RESET / SET ... = false) or may
     * have landed on a different session than the one scanning — without
     * it, files written before a rename silently read the renamed column
     * as NULL (and delete-KEY files would read all-null keys). */
+  /** The request schema for a delegate over `rels`: IMPORTED files
+    * (add_files — no parquet field ids inside) must be asked for BY
+    * NAME, because Spark's id matching null-fills an id-carrying
+    * request against an id-less file. Sound for the native files the
+    * same scan covers too: add_files refuses tables with renames in
+    * their schema history, and renames refuse while imported files
+    * remain in retained history — so names never drift while any
+    * imported file is scannable. */
+  private def requestSchemaFor(rels: Seq[String], schema: StructType,
+                               forceNamed: Boolean = false): StructType =
+    if (forceNamed || rels.exists(GraftTable.isImportedRel))
+      SchemaBridge.stripFieldIds(schema)
+    else schema
+
   private def mkDelegateBuilder(rels: Seq[String],
-                                schema: StructType = tableSchema)
+                                schema: StructType = tableSchema,
+                                forceNamed: Boolean = false)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
     val spark = SparkSession.active
     if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val reqSchema = requestSchemaFor(rels, schema, forceNamed)
     // manifest-backed index: the delegate plans from catalog knowledge
     // (file list + dir-batched memoized lengths) — InMemoryFileIndex
     // would re-stat every file on every query's planning
@@ -1084,7 +1117,7 @@ private[graft] class GraftScanBuilder(
       spark,
       new ManifestFileIndex(spark,
         ManifestFileIndex.statusesFor(spark, dataDir, rels)),
-      schema, schema, options)
+      reqSchema, reqSchema, options)
   }
 
   /** A delegate scan whose rows carry the metadata-derived ABSOLUTE row
@@ -1096,17 +1129,18 @@ private[graft] class GraftScanBuilder(
   private def delegateScanRowIdx(rels: Seq[String], base: StructType)
       : org.apache.spark.sql.connector.read.Scan = {
     val delegate = mkDelegateBuilder(rels, PosDelta.withRowIdx(tableSchema))
-    delegate.pruneColumns(PosDelta.withRowIdx(base))
+    delegate.pruneColumns(requestSchemaFor(rels, PosDelta.withRowIdx(base)))
     if (!groupPruneOnly)
       delegate.pushFilters(pushed.toSeq.flatMap(toCatalyst))
     delegate.build()
   }
 
   private def delegateScanWith(rels: Seq[String], readSchema: StructType,
-                               withFilters: Boolean = true)
+                               withFilters: Boolean = true,
+                               forceNamed: Boolean = false)
       : org.apache.spark.sql.connector.read.Scan = {
-    val delegate = mkDelegateBuilder(rels)
-    delegate.pruneColumns(readSchema)
+    val delegate = mkDelegateBuilder(rels, forceNamed = forceNamed)
+    delegate.pruneColumns(requestSchemaFor(rels, readSchema, forceNamed))
     // hand the pushed filters to the delegate for row-group skipping
     // through its public Catalyst pushdown surface (FileScanBuilder.
     // pushFilters translates + records them as pushedDataFilters) — no
@@ -1544,11 +1578,13 @@ private[graft] class GraftScanBuilder(
         new GraftScan(batchScan,
           cp => batchScan.toMicroBatchStream(cp), // unreachable: no stream source
           runtimeFilterAttrs, runtimeRefilter, manifestRows,
-          () => planMetrics.toSeq.sortBy(_._1))
+          () => planMetrics.toSeq.sortBy(_._1),
+          reportSchema = Some(requiredSchema))
       case Some((store, ns, table)) =>
         new GraftScan(batchScan, runtimeAttrs = runtimeFilterAttrs,
           refilter = runtimeRefilter, manifestRows = manifestRows,
           driverMetrics = () => planMetrics.toSeq.sortBy(_._1),
+          reportSchema = Some(requiredSchema),
           mkStream = _ => {
           // a micro-batch is an append-only file delta; equality deletes
           // committed between offsets would require emitting retractions
@@ -1560,7 +1596,8 @@ private[graft] class GraftScanBuilder(
             options, tableName)
           new GraftMicroBatchStream(store, ns, table, start, delegateScanFor,
             ChangesTable.parseMaxFilesPerTrigger(options),
-            ChangesTable.parseMaxBytesPerTrigger(options))
+            ChangesTable.parseMaxBytesPerTrigger(options),
+            delegateScanNamedFor = Some(delegateScanNamedFor))
         })
     }
   }

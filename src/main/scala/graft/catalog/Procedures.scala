@@ -17,6 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * commit-endpoint administration, `/root/reference/api/handlers/
   * tables.go:192`):
   * {{{
+  *   CALL graft.system.add_files('ns.t', '/data/existing-parquet')
   *   CALL graft.system.compact(table => 'ns.t')
   *   CALL graft.system.compact_zorder('ns.t', 'c1,c2', 8)
   *   CALL graft.system.expire_snapshots('ns.t', 3, 0)
@@ -32,12 +33,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * code path exists to drift. */
 private[graft] object Procedures {
 
-  val Names: Seq[String] = Seq("compact", "compact_zorder", "expire_snapshots",
-    "remove_orphan_files", "rewrite_position_deletes", "rollback",
-    "create_branch", "create_tag", "fast_forward", "drop_ref")
+  val Names: Seq[String] = Seq("add_files", "compact", "compact_zorder",
+    "expire_snapshots", "remove_orphan_files", "rewrite_position_deletes",
+    "rollback", "create_branch", "create_tag", "fast_forward", "drop_ref")
 
   def load(cat: GraftCatalog, name: String): UnboundProcedure =
     name.toLowerCase match {
+      case "add_files" => proc("add_files",
+        params(("table", StringType, None), ("source_dir", StringType, None)),
+        StructType(Seq(StructField("snapshot_id", LongType),
+          StructField("added_files", IntegerType)))) { in =>
+        val (m, n) = cat.addFiles(identOf(in.getUTF8String(0)),
+          in.getUTF8String(1).toString)
+        row(m.currentSnapshotId.getOrElse(-1L), n)
+      }
       case "compact" => proc("compact",
         params(("table", StringType, None), ("target_file_count", IntegerType, Some("1"))),
         StructType(Seq(StructField("snapshot_id", LongType),

@@ -60,6 +60,25 @@ trait MetaStore extends graft.commit.CommitTarget {
   /** File length in bytes; None when the file vanished. */
   def fileSizeBytes(abs: String): Option[Long]
 
+  /** Make the bytes at `srcAbs` available at `destAbs` without
+    * rewriting them — the onboarding primitive behind `add_files`.
+    * Default: single-pass byte copy through the Hadoop FileSystem API
+    * (works across schemes); the POSIX store overrides with a hard
+    * link (true zero-copy on one device). Parents are created; an
+    * existing destination fails loudly (import dirs are uuid-scoped —
+    * a collision is a logic error, never something to paper over). */
+  def importFile(srcAbs: String, destAbs: String): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val src = new org.apache.hadoop.fs.Path(srcAbs)
+    val dst = new org.apache.hadoop.fs.Path(destAbs)
+    val sfs = src.getFileSystem(conf)
+    val dfs = dst.getFileSystem(conf)
+    dfs.mkdirs(dst.getParent)
+    if (!org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst,
+        false /* deleteSource */, false /* overwrite */, conf))
+      throw new java.io.IOException(s"import copy $srcAbs -> $destAbs failed")
+  }
+
   /** GC externalized snapshot bodies (see [[SnapshotBodies]]) whose
     * name is not in `live`, skipping bodies younger than `graceMs` (a
     * body staged by an in-flight commit is referenced by no version

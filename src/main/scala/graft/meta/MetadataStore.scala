@@ -241,6 +241,21 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
     try Some(Files.size(Paths.get(abs)))
     catch { case _: java.io.IOException => None }
 
+  /** Zero-copy import on one device: hard-link the source into the
+    * data dir (committed files are immutable on both sides, so sharing
+    * the inode is safe); cross-device (EXDEV) or no-link filesystems
+    * fall back to a byte copy. */
+  override def importFile(srcAbs: String, destAbs: String): Unit = {
+    val src = Paths.get(srcAbs)
+    val dst = Paths.get(destAbs)
+    Files.createDirectories(dst.getParent)
+    try Files.createLink(dst, src)
+    catch {
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst)
+    }
+  }
+
   // ---- helpers ----------------------------------------------------------
 
   private def writeAtomic(p: Path, content: String): Unit = {

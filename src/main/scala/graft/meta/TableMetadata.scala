@@ -264,6 +264,44 @@ object SchemaBridge {
     case other => formatTypeWithIds(other, freshId)
   }
 
+  /** `schema` with every `parquet.field.id` metadata entry removed, at
+    * every nesting depth — the request shape for reading IMPORTED
+    * (id-less) parquet files: Spark's id matching null-fills an
+    * id-carrying request against a file without ids (the "fake name"
+    * non-match), so imported files must be asked for BY NAME. Sound
+    * only under the add_files invariants: no renames in the table's
+    * schema history, and renames refused while imported files remain
+    * in retained history. */
+  def stripFieldIds(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      StructField(f.name, stripIdsIn(f.dataType), f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata).remove(FieldIdKey)
+          .build())
+    })
+
+  private def stripIdsIn(dt: DataType): DataType = dt match {
+    case st: StructType => stripFieldIds(st)
+    case ArrayType(e, n) => ArrayType(stripIdsIn(e), n)
+    case MapType(k, v, n) => MapType(stripIdsIn(k), stripIdsIn(v), n)
+    case other => other
+  }
+
+  /** Every (field id → name) binding of a schema, at every nesting
+    * depth — the rename-history probe: two schemas that disagree on any
+    * shared id's name mean a column was renamed between them. */
+  def idNames(s: SchemaDef): Map[Int, String] = {
+    def walkType(t: String): Map[Int, String] = {
+      var inner = t
+      while (inner.startsWith("list<"))
+        inner = inner.stripPrefix("list<").stripSuffix(">")
+      if (inner.startsWith(StructIdPrefix)) walk(structFields(inner))
+      else Map.empty
+    }
+    def walk(fs: List[FieldDef]): Map[Int, String] =
+      fs.flatMap(f => walkType(f.`type`) + (f.id -> f.name)).toMap
+    walk(s.fields)
+  }
+
   /** The FieldDef list of a `struct{...}` type string. */
   def structFields(t: String): List[FieldDef] =
     org.json4s.jackson.Serialization.read[List[FieldDef]](

@@ -482,8 +482,42 @@ object CatalogQueries {
       |FROM nation WHERE n_nationkey < 2
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Zero-copy onboarding through the oracle gate: the supplier table
+    * is materialized as a FOREIGN parquet dir (plain write — no field
+    * ids inside), registered into a fresh catalog table with
+    * `CALL graft.system.add_files` (hard links + ONE AppendFiles
+    * commit, no data rewrite), and aggregated through the DSv2 scan —
+    * proving id-less imported files serve exact values by name. The
+    * aggregates are count/min/max only: order-independent, so the
+    * comparison is exact without the cents pattern. */
+  def q99AddFiles(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir) // registers the graft_q13 catalog
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.supplier_imp")
+    val sup = Tables.supplier(s, dir)
+    s.sql(s"CREATE TABLE graft_q13.tpch.supplier_imp (${sup.schema.toDDL})")
+    val src = java.nio.file.Files.createTempDirectory("graft-q99-src").toString
+    sup.write.mode("overwrite").parquet(src)
+    val res = s.sql(
+      s"CALL graft_q13.system.add_files('tpch.supplier_imp', '$src')").collect()
+    require(res(0).getInt(1) > 0, "add_files registered no files")
+    s.table("graft_q13.tpch.supplier_imp")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("s_acctbal")).as("min_bal"),
+        max(col("s_acctbal")).as("max_bal"),
+        min(col("s_name")).as("first_name"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q99Sql: String =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      |       min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal,
+      |       min(s_name) AS first_name
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_catalog_scan" -> q13CatalogScan _,
+    "q99_add_files" -> q99AddFiles _,
     "q83_stream_catalog_source" -> q83StreamCatalogSource _,
     "q84_row_level_dml" -> q84RowLevelDml _,
     "q85_partition_evolution" -> q85PartitionEvolution _,
@@ -496,6 +530,7 @@ object CatalogQueries {
     "q96_keyless_dml" -> q96KeylessDml _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
+    "q99_add_files" -> q99Sql,
     "q83_stream_catalog_source" -> q83Sql,
     "q84_row_level_dml" -> q84Sql,
     "q85_partition_evolution" -> q85Sql,

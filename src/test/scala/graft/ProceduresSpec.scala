@@ -66,6 +66,62 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.proc.z").count() == 2000)
   }
 
+  test("CALL add_files onboards foreign parquet; rename guard lifts after compact+expire") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imp")
+    spark.sql("CREATE TABLE graft.imp.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.imp.t VALUES (100, 'native')")
+
+    // a FOREIGN parquet dir: plain Spark write — no field ids inside
+    val src = Files.createTempDirectory("graft-ext-src").toString
+    spark.range(0, 10).select(col("id"), concat(lit("x"), col("id")).as("v"))
+      .repartition(2).write.mode("overwrite").parquet(src)
+
+    val res = spark.sql(s"CALL graft.system.add_files('imp.t', '$src')").collect()
+    assert(res(0).getInt(1) == spark.read.parquet(src).inputFiles.length)
+
+    // mixed native + imported scan: exact values, no null-fill
+    val rows = spark.table("graft.imp.t").collect()
+    assert(rows.length == 11)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == ((0L to 9L) :+ 100L),
+      "imported rows must scan alongside native rows")
+    assert(rows.forall(r => !r.isNullAt(1)),
+      "id-less imported files must resolve by name, never null-fill")
+    assert(spark.table("graft.imp.t").filter(col("id") === 5)
+      .select("v").head().getString(0) == "x5")
+    // the changelog covers the import commit like any append
+    val ch = graft.catalog.Changes.between(spark, "graft.imp.t", 0)
+    assert(ch.filter(col("_change_type") === "insert").count() == 11)
+
+    // rename refuses while imported (id-less) files are in retained history
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.imp.t RENAME COLUMN v TO w"))
+    // compact re-homes every row through the id-stamping write path;
+    // expiry trims the import commits out of retained history — then
+    // the rename is safe again and old rows still serve
+    spark.sql("CALL graft.system.compact(table => 'imp.t')")
+    spark.sql("CALL graft.system.expire_snapshots('imp.t', 1, 0)")
+    spark.sql("ALTER TABLE graft.imp.t RENAME COLUMN v TO w")
+    assert(spark.table("graft.imp.t").filter(col("id") === 5)
+      .select("w").head().getString(0) == "x5")
+
+    // a table with a rename in its schema history refuses new imports
+    val e1 = intercept[Exception](
+      spark.sql(s"CALL graft.system.add_files('imp.t', '$src')").collect())
+    assert(e1.getMessage.contains("renamed"), e1.getMessage)
+    // partitioned tables refuse: no partition dirs to replay
+    spark.sql("""CREATE TABLE graft.imp.p (id BIGINT, v STRING)
+      PARTITIONED BY (bucket(4, id))""")
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL graft.system.add_files('imp.p', '$src')").collect())
+    assert(e2.getMessage.contains("unpartitioned"), e2.getMessage)
+    // schema drift refuses: missing table column in the source files
+    spark.sql("CREATE TABLE graft.imp.m (id BIGINT, missing DOUBLE)")
+    val e3 = intercept[Exception](
+      spark.sql(s"CALL graft.system.add_files('imp.m', '$src')").collect())
+    assert(e3.getMessage.contains("missing"), e3.getMessage)
+  }
+
   test("SHOW PROCEDURES lists the maintenance surface") {
     val df = spark.sql("SHOW PROCEDURES IN graft")
     val nameCol = df.schema.fieldNames

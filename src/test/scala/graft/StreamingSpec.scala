@@ -243,6 +243,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       resolve(Map("starting-timestamp" -> "not-a-time")))
   }
 
+  test("streaming source serves files imported mid-stream by name") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.imp")
+    spark.sql("CREATE TABLE graftst.imp.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftst.imp.t VALUES (100, 'native')")
+    // foreign parquet (no field ids) — lands AFTER the stream starts,
+    // so the one-time reader factory must route it per partition
+    val src = java.nio.file.Files.createTempDirectory("graft-ext-st").toString
+    spark.range(0, 5).selectExpr("id", "concat('x', id) AS v")
+      .write.mode("overwrite").parquet(src)
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.table("graftst.imp.t")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-imp-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        df.collect().foreach(r => seen.add(r.getLong(0) -> r.getString(1))); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      spark.sql(s"CALL graftst.system.add_files('imp.t', '$src')")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = seen.asScala.toMap
+    assert(got.keySet == (0L to 4L).toSet + 100L, s"got $got")
+    assert((0L to 4L).forall(i => got(i) == s"x$i"),
+      s"imported files must stream by name, not null-fill: $got")
+  }
+
   test("streaming source from-version=latest tails only post-start commits") {
     import scala.jdk.CollectionConverters._
     spark.sql("CREATE NAMESPACE graftst.tail")

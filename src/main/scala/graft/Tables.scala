@@ -33,13 +33,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS): read as long nanos, floor to
-    * micros, expose as naive timestamp (same value DuckDB produces with
-    * `CAST(ts AS TIMESTAMP)`). */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (readable
+    * only as a raw long, floored to micros here) and TIMESTAMP(MICROS)
+    * (already NTZ) across testdata generations — adapt to whichever the
+    * file carries; either way the result is naive-micros NTZ, the same
+    * value DuckDB produces with `CAST(ts AS TIMESTAMP)`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
 
   /** SQL fragment the oracle side uses for the same events normalization. */

@@ -120,22 +120,31 @@ object Streaming {
     }
   }
 
-  /** Raw parquet schema of events (ts read as long nanos — the streaming
-    * source gets an explicit schema, same nanos handling as Tables.events). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw parquet schema of events — the streaming source needs an
+    * explicit schema. `ts` has shipped as both TIMESTAMP(NANOS)
+    * (readable only as a raw long) and TIMESTAMP(MICROS) across testdata
+    * generations, so probe the file's actual type (same adaptation as
+    * Tables.events). */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Event-time stays TimestampType here (watermarks require it); the
     * session TZ is UTC so values equal the batch path's NTZ micros, and
     * output window columns are cast back to NTZ for oracle parity. */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(rawSchema)
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val st = s.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => st.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** State-store instances = shuffle partitions at query start. For the

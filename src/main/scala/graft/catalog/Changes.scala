@@ -56,17 +56,16 @@ object Changes {
     val metaTo = store.loadVersion(ns, table, toV)
     val schema = SchemaBridge.toSpark(metaTo.currentSchema)
     val dataDir = store.dataDir(ns, table)
-    // field-id column resolution ON: files written before a rename must
-    // serve the renamed column, and delete-key files resolve by id
-    if (!s.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
-      s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
-    // reads touching IMPORTED (id-less) files request by name — sound
-    // under the add_files rename guards (see SchemaBridge.stripFieldIds)
+    // field-id column resolution ON (as a per-read option — a changelog
+    // read must not mutate session behavior): files written before a
+    // rename must serve the renamed column, and delete-key files resolve
+    // by id. Reads touching IMPORTED (id-less) files request by name —
+    // sound under the add_files rename guards (SchemaBridge.stripFieldIds)
     def readRels(rels: Seq[String], readSchema: StructType = schema): DataFrame = {
       val rs = if (rels.exists(GraftTable.isImportedRel))
         SchemaBridge.stripFieldIds(readSchema) else readSchema
-      s.read.schema(rs).parquet(rels.map(r => s"$dataDir/$r"): _*)
+      GraftTable.idReader(s).schema(rs).parquet(rels.map(r => s"$dataDir/$r"): _*)
     }
 
     val outSchema = StructType(schema.fields ++ Seq(
@@ -180,7 +179,7 @@ object Changes {
       val names = ids.map(MergeOnRead.nameOfFieldId(schema, _))
       val keySchema = StructType(names.map(n =>
         schema.fields(schema.fieldIndex(n))))
-      (names, s.read.schema(keySchema)
+      (names, GraftTable.idReader(s).schema(keySchema)
         .parquet(dfs.map(d => s"$dataDir/${d.path}"): _*).distinct())
     }
 
@@ -329,7 +328,7 @@ object Changes {
     val prevF = frame(posPrev)
     val esc = dataDir.replace("'", "\\'")
     def withPos(rels: Seq[String]): DataFrame =
-      s.read.schema(if (rels.exists(GraftTable.isImportedRel))
+      GraftTable.idReader(s).schema(if (rels.exists(GraftTable.isImportedRel))
           SchemaBridge.stripFieldIds(schema) else schema)
         .parquet(rels.map(r => s"$dataDir/$r"): _*)
         .select(col("*"),

@@ -60,8 +60,6 @@ private[graft] object ChangesTable {
                    schema: StructType,
                    options: CaseInsensitiveStringMap,
                    forceNamed: Boolean = false): Scan = {
-    if (!s.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
-      s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val reqSchema =
       if (forceNamed || rels.exists(GraftTable.isImportedRel))
         SchemaBridge.stripFieldIds(schema)
@@ -71,7 +69,7 @@ private[graft] object ChangesTable {
     val b = org.apache.spark.sql.execution.datasources.v2.parquet
       .ParquetScanBuilder(s,
         new ManifestFileIndex(s, ManifestFileIndex.statusesFor(s, dataDir, rels)),
-        reqSchema, reqSchema, options)
+        reqSchema, reqSchema, GraftTable.fieldIdOptions(options))
     b.pruneColumns(reqSchema)
     b.build()
   }
@@ -262,7 +260,7 @@ private[graft] object ChangesTable {
       val names = df.keyFieldIds.map(MergeOnRead.nameOfFieldId(schema, _))
       val keySchema = StructType(names.map(n =>
         schema.fields(schema.fieldIndex(n))))
-      val rows = s.read.schema(keySchema).parquet(s"$dataDir/${df.path}")
+      val rows = GraftTable.idReader(s).schema(keySchema).parquet(s"$dataDir/${df.path}")
         .collect()
       val keys = rows.map(r => (0 until keySchema.length)
         .map(i => r.get(i)).toList: List[Any]).toSet
@@ -557,11 +555,11 @@ private[graft] object ChangesTable {
           def collectKeys(df: org.apache.spark.sql.DataFrame): Set[List[Any]] =
             df.select(names.map(col): _*).distinct().collect()
               .map(r => (0 until names.length).map(r.get).toList: List[Any]).toSet
-          val newKeys = s.read.schema(keySchema)
+          val newKeys = GraftTable.idReader(s).schema(keySchema)
             .parquet(dfs.map(d => s"$dataDir/${d.path}"): _*).distinct()
           val aKeys =
             if (diff.added.isEmpty) Set.empty[List[Any]]
-            else collectKeys(s.read.schema(keySchema)
+            else collectKeys(GraftTable.idReader(s).schema(keySchema)
               .parquet(diff.added.map(r => s"$dataDir/$r"): _*)
               .join(broadcast(newKeys), names, "leftsemi"))
           val bKeys =
@@ -575,14 +573,14 @@ private[graft] object ChangesTable {
                 val allNames =
                   (names ++ earlier.flatMap(_.keyFieldIds).distinct
                     .map(MergeOnRead.nameOfFieldId(schema, _))).distinct
-                val base = s.read
+                val base = GraftTable.idReader(s)
                   .schema(StructType(allNames.map(fieldOf)))
                   .parquet(fs.map(r => s"$dataDir/$r"): _*)
                 earlier.groupBy(_.keyFieldIds).toSeq
                   .sortBy(_._1.mkString(","))
                   .foldLeft(base) { case (acc, (eIds, eDfs)) =>
                     val eNames = eIds.map(MergeOnRead.nameOfFieldId(schema, _))
-                    val eKeys = s.read
+                    val eKeys = GraftTable.idReader(s)
                       .schema(StructType(eNames.map(fieldOf)))
                       .parquet(eDfs.map(d => s"$dataDir/${d.path}"): _*)
                       .distinct()

@@ -71,17 +71,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       k.stripPrefix("defaults.") -> v }.toMap
     overrides = all.collect { case (k, v) if k.startsWith("overrides.") =>
       k.stripPrefix("overrides.") -> v }.toMap
-    // scans resolve columns by the field ids stamped at write time (so
-    // files written before a rename still serve the renamed column); set
-    // once here rather than mutating session conf per scan build.
-    // Session-wide is semantically inert for FOREIGN parquet reads: id
-    // matching only engages when the REQUESTED schema carries field-id
-    // metadata, which only this catalog's tables stamp — a plain
-    // spark.read.parquet's schema has no ids, so its resolution is
-    // byte-identical with or without the flag
+    // Field-id column resolution is NOT set here: every read this
+    // catalog performs carries it as a per-read option
+    // (GraftTable.idReader / fieldIdOptions), so other parquet reads
+    // and V2 sources in the session keep their own resolution behavior.
+    // The two planner confs below have no per-read equivalent — they
+    // gate optimizer rules, not reader construction — and are inert for
+    // sources that don't report the corresponding capabilities.
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .foreach { s =>
-        s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         // the parquet delegate answers COUNT/MIN/MAX from footer
         // metadata (off by default in Spark) — the catalog forwards
         // aggregations to it, so `SELECT count(*) FROM t` on a 100 TB

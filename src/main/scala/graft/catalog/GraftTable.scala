@@ -32,6 +32,46 @@ import graft.meta._
   * commit endpoint, `tables.go:192`, applied to data instead of schema).
   */
 object GraftTable {
+  /** Field-id column resolution is scoped to OUR reads as a per-read
+    * option rather than a session-conf mutation (a catalog read must
+    * not change how unrelated parquet reads in the same session
+    * resolve columns). File sources build their Hadoop conf via
+    * `newHadoopConfWithOptions`, where read options override, and the
+    * parquet schema converter reads the key from that conf — so the
+    * option reaches both the v1 DataFrameReader and the
+    * ParquetScanBuilder delegate paths. */
+  private[catalog] val FieldIdReadKey = "spark.sql.parquet.fieldId.read.enabled"
+
+  /** A DataFrameReader with field-id resolution on — REQUIRED before
+    * reading delete files or pre-rename data files: a key column
+    * renamed after the file was written resolves by id; by name it
+    * would read all-null and silently corrupt delete application.
+    *
+    * Per-read scoping is impossible on the v1 reader: Spark's
+    * ParquetFileFormat overwrites the field-id key in its per-read
+    * Hadoop conf FROM the session conf (verified on 4.1 — the option
+    * alone reads all-null), so this one choke point enables the session
+    * conf lazily instead of scattering mutations per call site.
+    * Semantically inert for everything else in the session: id-matching
+    * engages only when the REQUESTED schema carries field-id metadata,
+    * which plain `spark.read.parquet` schemas never do. Delegate scans
+    * (every table/changelog scan) pass the key as a true per-read
+    * option instead — [[fieldIdOptions]] — so they stay correct even in
+    * sessions that never touched this path. */
+  private[catalog] def idReader(s: SparkSession): org.apache.spark.sql.DataFrameReader = {
+    if (!s.conf.get(FieldIdReadKey, "false").toBoolean)
+      s.conf.set(FieldIdReadKey, "true")
+    s.read.option(FieldIdReadKey, "true")
+  }
+
+  /** `options` plus the field-id read key, for delegate scan builders. */
+  private[catalog] def fieldIdOptions(
+      options: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    m.put(FieldIdReadKey, "true")
+    new CaseInsensitiveStringMap(m)
+  }
+
   /** (dataDir + live position-delete paths) → marked data files; delete
     * files are immutable so entries never go stale. Every DML commit
     * changes the key, so a long-lived service accumulates entries —
@@ -332,12 +372,10 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
     probe.pushFilters(filters)
     val candidates = probe.prunedRelFiles
     if (candidates.isEmpty) return // provably nothing to delete
-    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val cond = filters.flatMap(filterToColumn).reduceOption(_ && _)
       .getOrElse(lit(true))
     val esc = dataDir.replace("'", "\\'")
-    val marked = spark.read.schema(schema())
+    val marked = GraftTable.idReader(spark).schema(schema())
       .parquet(candidates.map(r => s"$dataDir/$r"): _*)
       .where(cond)
       .select(col("_metadata.file_path").as("file"),
@@ -1107,8 +1145,6 @@ private[graft] class GraftScanBuilder(
                                 forceNamed: Boolean = false)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
     val spark = SparkSession.active
-    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val reqSchema = requestSchemaFor(rels, schema, forceNamed)
     // manifest-backed index: the delegate plans from catalog knowledge
     // (file list + dir-batched memoized lengths) — InMemoryFileIndex
@@ -1117,7 +1153,7 @@ private[graft] class GraftScanBuilder(
       spark,
       new ManifestFileIndex(spark,
         ManifestFileIndex.statusesFor(spark, dataDir, rels)),
-      reqSchema, reqSchema, options)
+      reqSchema, reqSchema, GraftTable.fieldIdOptions(options))
   }
 
   /** A delegate scan whose rows carry the metadata-derived ABSOLUTE row
@@ -1309,17 +1345,16 @@ private[graft] class GraftScanBuilder(
     // filter must not re-collect millions of keys); executors get the
     // sets inside the reader factory (task-binary broadcast)
     val spark = SparkSession.active
-    // field-id resolution MUST be on before reading delete files: a key
-    // column renamed after the delete commit resolves by id — by name it
-    // would read all-null keys and silently resurrect every deleted row
-    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val keysByFile: Map[String, Set[List[Any]]] = allDeletes.map { df =>
       df.path -> deleteKeyCache.getOrElseUpdate(df.path, {
         val names = df.keyFieldIds.map(MergeOnRead.nameOfFieldId(tableSchema, _))
         val keySchema = StructType(names.map(n =>
           tableSchema.fields(tableSchema.fieldIndex(n))))
-        val rows = spark.read.schema(keySchema).parquet(s"$dataDir/${df.path}")
+        // field-id resolution on (per-read): a key column renamed after
+        // the delete commit resolves by id — by name it would read
+        // all-null keys and silently resurrect every deleted row
+        val rows = GraftTable.idReader(spark).schema(keySchema)
+          .parquet(s"$dataDir/${df.path}")
           .collect()
         rows.map(r => (0 until keySchema.length)
           .map(i => r.get(i)).toList).toSet

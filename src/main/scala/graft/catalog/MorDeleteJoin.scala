@@ -137,9 +137,6 @@ object MorDeleteJoin extends Rule[LogicalPlan] {
       if (plans.size == 1) plans.head else Union(plans)
     }
 
-    // delete-file reads resolve key columns by field id (rename-proof)
-    if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val dataDir = t.store.dataDir(t.ns, t.table)
 
     // one anti join per distinct identifier-field set (almost always one)
@@ -149,9 +146,11 @@ object MorDeleteJoin extends Rule[LogicalPlan] {
         val keyNames = keyIds.map(MergeOnRead.nameOfFieldId(schema, _))
         val keySchema = StructType(keyNames.map(n =>
           schema.fields(schema.fieldIndex(n))))
+        // delete-file reads resolve key columns by field id (rename-
+        // proof), scoped to this read via option
         val delDf = dfs.groupBy(_.seq).toSeq.sortBy(_._1).map {
           case (dseq, files) =>
-            spark.read.schema(keySchema)
+            GraftTable.idReader(spark).schema(keySchema)
               .parquet(files.map(f => s"$dataDir/${f.path}"): _*)
               .withColumn(delSeqCol, lit(dseq))
         }.reduceLeft(_ unionByName _)

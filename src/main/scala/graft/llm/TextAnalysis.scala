@@ -316,6 +316,98 @@ object TextAnalysis {
       |  right(r, 48) AS redacted_tail
       |FROM red ORDER BY doc_id""".stripMargin
 
+  /** BM25 keyword retrieval (q98): a fixed query set scored against the
+    * corpus through the inverted-postings shape — tokenize → per
+    * (doc, term) frequencies (the posting lists), document-frequency +
+    * length statistics, then a broadcast join of the query terms onto
+    * the postings and ONE keyed aggregation per (query, doc). The
+    * retrieval stage of keyword search / hard-negative mining over a
+    * training corpus.
+    *
+    * Scale shape: postings are first SEMI-JOINED (broadcast) to the
+    * query vocabulary, so the term shuffle is bounded by |query terms|
+    * keys, never the corpus vocabulary; doc lengths join co-keyed on
+    * doc_id; query/stat sides are 1-row-or-tiny broadcasts. Nothing
+    * collects — the same plan run WITHOUT the vocabulary filter is the
+    * offline inverted-index build.
+    *
+    * Determinism: per-term contributions are fixed to integer
+    * micro-units BEFORE the per-doc sum, so the score never depends on
+    * floating sum order (the one engine-library call, ln, is rounded
+    * away at 6dp); ranking ties break on doc_id. */
+  def q98Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queriesDf = Seq((1, "dup merge scan"), (2, "spark window agg"),
+      (3, "fast hash join key")).toDF("query_id", "qtext")
+    val qterms = queriesDf.select(col("query_id"),
+      explode(array_distinct(split(col("qtext"), " "))).as("term"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    // n and sumdl are exact integers → avgdl is bit-identical across
+    // engines (never average doubles the oracle would re-order)
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // literals (2.2 = k1+1, 1.2 = k1, 0.25 = 1-b, 0.75 = b) and the
+    // expression tree mirror q98Sql token-for-token: both engines build
+    // the same IEEE double at every step, ln excepted
+    val contrib = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sumdl").cast("double") / col("n"))
+      .withColumn("idf",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib_u",
+        round(col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+          * lit(1000000.0)).cast("long"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_u")).as("score_u"))
+      .withColumn("score", col("score_u") / lit(1000000.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val q98Sql: String =
+    """WITH queries(query_id, qtext) AS (
+      |  VALUES (1, 'dup merge scan'), (2, 'spark window agg'),
+      |         (3, 'fast hash join key')),
+      |qterms AS (SELECT DISTINCT query_id,
+      |                  unnest(string_split(qtext, ' ')) AS term FROM queries),
+      |docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+      |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      |  WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    CAST(ROUND(LN((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      |      * (t.tf * 2.2)
+      |      / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (CAST(s.sumdl AS DOUBLE) / s.n)))
+      |      * 1000000.0) AS BIGINT) AS contrib_u
+      |  FROM tf t JOIN qterms q USING (term) JOIN dfreq d USING (term)
+      |       JOIN dl l USING (doc_id) CROSS JOIN stats s),
+      |scored AS (SELECT query_id, doc_id, SUM(contrib_u) / 1000000.0 AS score
+      |           FROM contrib GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rn
+      |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_lang_id"     -> q58LangId _,
     "q59_quality"     -> q59Quality _,
@@ -324,6 +416,7 @@ object TextAnalysis {
     "q88_repetition"  -> q88Repetition _,
     "q91_quality_filter" -> q91QualityFilter _,
     "q92_pii_redact"  -> q92PiiRedact _,
+    "q98_bm25_search" -> q98Bm25 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -334,5 +427,6 @@ object TextAnalysis {
     "q88_repetition"  -> q88Sql,
     "q91_quality_filter" -> q91Sql,
     "q92_pii_redact"  -> q92Sql,
+    "q98_bm25_search" -> q98Sql,
   )
 }

@@ -49,8 +49,9 @@ object Bench {
         stream.Streaming.queries("q72_stream_dedup")(spark, sfDir).count()
       // ANN index CONSTRUCTION is a pipeline artifact, not a query:
       // build the catalog-persisted index tables once so q56/q57/q66
-      // measure SEARCH (the per-query cost at 100 TB), not training
-      if (Seq("q56", "q57", "q66").exists(selected))
+      // measure SEARCH and q100 measures the within-cell dedup pass
+      // (the per-query cost at 100 TB), not training
+      if (Seq("q56", "q57", "q66", "q100").exists(selected))
         llm.AnnIndex.ensure(spark, sfDir)
       // the MinHash band index is likewise a pipeline artifact: build it
       // in warmup so q93 measures the incremental JOIN, not index setup

@@ -296,7 +296,46 @@ object Similarity {
       .orderBy(col("index"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by each vector's NEAREST
+    * IVF centroid (the catalog-persisted k-means assignment in
+    * `ivf_cells` — exactly the clustering SemDeDup prescribes), compare
+    * cosine ONLY within a cluster, and for every pair above the
+    * duplicate band drop the higher id (greedy keep-lowest
+    * representative). Emits per-cluster member/drop counts — the audit
+    * a curator reads before applying the drop list.
+    *
+    * Scale shape: the pair generation is the within-cell self-join —
+    * never all-pairs — and the index geometry grows k with the corpus
+    * so expected cell occupancy stays CONSTANT (AnnIndex geometry
+    * note): per-cell work is bounded, and a pathological hot cell has
+    * the same exact shard-pair-cover remedy as the blocked Jaccard
+    * self-join (Dedup hot-block guard). Clustering is approximate →
+    * rows-only oracle (the threshold verdicts inside a cell are exact
+    * cosine, like q64). */
+  def q100SemDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val m = s.table(s"$pfx.ivf_cells")
+      .join(Tables.embeddings(s, dir), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val a = m.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = m.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.35)
+      .select(col("cell"), col("id_b").as("vec_id")).distinct()
+    m.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(dropped.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped")),
+        Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_semdedup"        -> q100SemDedup _,
     "q55_cosine_topk"      -> q55CosineTopK _,
     "q56_ann_lsh"          -> q56AnnLsh _,
     "q57_ann_ivf"          -> q57AnnIvf _,

@@ -316,7 +316,7 @@ object TextAnalysis {
       |  right(r, 48) AS redacted_tail
       |FROM red ORDER BY doc_id""".stripMargin
 
-  /** BM25 keyword retrieval (q98): a fixed query set scored against the
+  /** BM25 keyword retrieval (q101): a fixed query set scored against the
     * corpus through the inverted-postings shape — tokenize → per
     * (doc, term) frequencies (the posting lists), document-frequency +
     * length statistics, then a broadcast join of the query terms onto
@@ -335,7 +335,7 @@ object TextAnalysis {
     * micro-units BEFORE the per-doc sum, so the score never depends on
     * floating sum order (the one engine-library call, ln, is rounded
     * away at 6dp); ranking ties break on doc_id. */
-  def q98Bm25(s: SparkSession, dir: String): DataFrame = {
+  def q101Bm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val queriesDf = Seq((1, "dup merge scan"), (2, "spark window agg"),
@@ -353,7 +353,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // literals (2.2 = k1+1, 1.2 = k1, 0.25 = 1-b, 0.75 = b) and the
-    // expression tree mirror q98Sql token-for-token: both engines build
+    // expression tree mirror q101Sql token-for-token: both engines build
     // the same IEEE double at every step, ln excepted
     val contrib = tf
       .join(broadcast(qterms), Seq("term"))
@@ -377,7 +377,7 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val q98Sql: String =
+  val q101Sql: String =
     """WITH queries(query_id, qtext) AS (
       |  VALUES (1, 'dup merge scan'), (2, 'spark window agg'),
       |         (3, 'fast hash join key')),
@@ -416,7 +416,7 @@ object TextAnalysis {
     "q88_repetition"  -> q88Repetition _,
     "q91_quality_filter" -> q91QualityFilter _,
     "q92_pii_redact"  -> q92PiiRedact _,
-    "q98_bm25_search" -> q98Bm25 _,
+    "q101_bm25_search" -> q101Bm25 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -427,6 +427,6 @@ object TextAnalysis {
     "q88_repetition"  -> q88Sql,
     "q91_quality_filter" -> q91Sql,
     "q92_pii_redact"  -> q92Sql,
-    "q98_bm25_search" -> q98Sql,
+    "q101_bm25_search" -> q101Sql,
   )
 }

@@ -389,9 +389,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "compact then expire_snapshots first")
         mapField(r.fieldNames.toSeq)(_.copy(name = r.newName))
       case u: TableChange.UpdateColumnType =>
-        mapField(u.fieldNames.toSeq)(f => f.copy(
-          `type` = SchemaBridge.formatTypeReconciled(u.newDataType, f.`type`,
-            () => freshId())))
+        mapField(u.fieldNames.toSeq) { f =>
+          // lossless promotions only — refuse before any metadata write
+          SchemaBridge.requirePromotion(f.`type`, u.newDataType,
+            u.fieldNames.mkString("."))
+          f.copy(
+            `type` = SchemaBridge.formatTypeReconciled(u.newDataType, f.`type`,
+              () => freshId()))
+        }
       case n: TableChange.UpdateColumnNullability =>
         mapField(n.fieldNames.toSeq)(_.copy(required = !n.nullable))
       case p: TableChange.SetProperty =>

@@ -264,6 +264,47 @@ object SchemaBridge {
     case other => formatTypeWithIds(other, freshId)
   }
 
+  /** Iceberg-spec schema-evolution guard (spec "Schema Evolution"; the
+    * reference's commit machinery validates the same set —
+    * `/root/reference/api/handlers/tables.go:192` delegates to
+    * iceberg-go's CommitTable): a column's type may only change by a
+    * LOSSLESS promotion that files already written can still serve —
+    * `int → long`, `float → double`, `decimal(P,S) → decimal(P'≥P, S)`.
+    * Anything else (narrowing, scale change, cross-family) would make
+    * old files unreadable or silently corrupt, so it refuses at commit
+    * time, before any metadata is written. Struct-typed updates
+    * recurse: surviving nested fields must themselves promote;
+    * added/dropped nested fields are ordinary nested evolution. */
+  def requirePromotion(oldType: String, newDt: DataType, path: String): Unit = {
+    val DecRe = "decimal\\((\\d+),(\\d+)\\)".r
+    def refuse(o: String, n: String, at: String): Nothing =
+      throw new IllegalArgumentException(
+        s"cannot change column $at from $o to $n — only lossless " +
+          "promotions (int->long, float->double, decimal precision " +
+          "growth at the same scale) keep already-written files readable")
+    def check(o: String, dt: DataType, at: String): Unit = dt match {
+      case st: StructType if isIdStruct(o) =>
+        val byName = structFields(o).map(f => f.name -> f).toMap
+        st.fields.foreach { f =>
+          byName.get(f.name).foreach(old =>
+            check(old.`type`, f.dataType, s"$at.${f.name}"))
+        }
+      case ArrayType(e, _) if o.startsWith("list<") =>
+        check(o.stripPrefix("list<").stripSuffix(">"), e, s"$at.element")
+      case other =>
+        val n = formatType(other)
+        (o, n) match {
+          case (a, b) if a == b => ()
+          case ("int", "long") => ()
+          case ("float", "double") => ()
+          case (DecRe(op, os), DecRe(np, ns))
+            if np.toInt >= op.toInt && ns.toInt == os.toInt => ()
+          case _ => refuse(o, n, at)
+        }
+    }
+    check(oldType, newDt, path)
+  }
+
   /** `schema` with every `parquet.field.id` metadata entry removed, at
     * every nesting depth — the request shape for reading IMPORTED
     * (id-less) parquet files: Spark's id matching null-fills an

@@ -174,6 +174,51 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       == 5000000010L)
   }
 
+  test("type changes refuse everything but lossless promotions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.promo")
+    spark.sql("CREATE TABLE graft.promo.t " +
+      "(i INT, l BIGINT, f FLOAT, s STRING, d DECIMAL(5,2), " +
+      "nest STRUCT<a: INT, b: STRING>)")
+    spark.sql("INSERT INTO graft.promo.t VALUES " +
+      "(1, 2, 1.5, 'x', 123.45, named_struct('a', 7, 'b', 'y'))")
+    // allowed: int->long, float->double, decimal precision growth,
+    // nested int->long inside a struct-typed update
+    spark.sql("ALTER TABLE graft.promo.t ALTER COLUMN i TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.promo.t ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("ALTER TABLE graft.promo.t ALTER COLUMN d TYPE DECIMAL(10,2)")
+    spark.sql("ALTER TABLE graft.promo.t ALTER COLUMN nest.a TYPE BIGINT")
+    val r = spark.table("graft.promo.t").collect()(0)
+    assert(r.getLong(0) == 1L && r.getDouble(2) == 1.5d)
+    assert(r.getDecimal(4).toPlainString == "123.45")
+    assert(r.getStruct(5).getLong(0) == 7L)
+    // refused: narrowing and cross-family die in Spark's own analyzer
+    // (not an upcast); the cases Spark's upcast rule PERMITS but the
+    // Iceberg promotion set refuses — int→string, decimal scale growth,
+    // int→float — must hit OUR guard, and the metadata document must be
+    // untouched after every refusal
+    val vBefore = catalog.metadataStore.currentVersion(Seq("promo"), "t")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    for (bad <- Seq(
+        "ALTER TABLE graft.promo.t ALTER COLUMN l TYPE INT",
+        "ALTER TABLE graft.promo.t ALTER COLUMN s TYPE BIGINT",
+        "ALTER TABLE graft.promo.t ALTER COLUMN d TYPE DECIMAL(10,4)"))
+      intercept[Exception](spark.sql(bad))
+    for (bad <- Seq(
+        "ALTER TABLE graft.promo.t ALTER COLUMN i TYPE STRING",
+        "ALTER TABLE graft.promo.t ALTER COLUMN d TYPE DECIMAL(13,4)",
+        "ALTER TABLE graft.promo.t ALTER COLUMN nest.a TYPE DOUBLE")) {
+      val e = intercept[Exception](spark.sql(bad))
+      assert(msgs(e).exists(_.contains("lossless")), s"$bad -> $e")
+    }
+    assert(catalog.metadataStore.currentVersion(Seq("promo"), "t") == vBefore)
+    // old files still serve through every applied promotion
+    spark.sql("INSERT INTO graft.promo.t VALUES " +
+      "(5000000000, 3, 2.5, 'z', 99999999.99, named_struct('a', CAST(6000000000 AS BIGINT), 'b', 'w'))")
+    assert(spark.sql("SELECT sum(i) FROM graft.promo.t")
+      .collect()(0).getLong(0) == 5000000001L)
+  }
+
   test("rename table and rename back (server_test.go:227-248)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rn")
     spark.sql("CREATE TABLE graft.rn.orig (id BIGINT)")

@@ -84,7 +84,9 @@ object CatalogUpserts {
     val stats = FileStats.harvestAll(batch.sparkSession, dataDir, dataRels)
     try store.commitOps(ns, table, requirements,
       Seq(MetadataUpdate.RowDelta(dataRels, deleteDefs.toList,
-        System.currentTimeMillis(), stats, extraSummary)))
+        System.currentTimeMillis(), stats,
+        // data files went through the sorting write layout — stamp it
+        extraSummary ++ WriteShaping.sortStamp(meta0.properties))))
     catch { case e: Throwable =>
       // fence rejection or CAS exhaustion: this attempt's files are
       // orphans either way — remove them before surfacing the failure

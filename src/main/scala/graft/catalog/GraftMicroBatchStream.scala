@@ -206,7 +206,8 @@ private[graft] class GraftScan(delegate0: Scan,
                                reportSchema: Option[StructType] = None)
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   @volatile private var delegate: Scan = delegate0
 
@@ -235,6 +236,16 @@ private[graft] class GraftScan(delegate0: Scan,
         s.outputPartitioning()
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Forward the sorted-file ordering report the same way — empty from
+    * any delegate that can't prove it (the conservative default). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportOrdering =>
+        s.outputOrdering()
+      case _ => Array.empty
     }
 
   override def filterAttributes(): Array[

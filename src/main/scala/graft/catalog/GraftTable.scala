@@ -195,7 +195,43 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
       deleteFiles = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil),
       fileSeqs = meta.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty),
       deleteByteBudget = MergeOnRead.byteBudget(mergedProps),
-      bloomKeyCols = MergeOnRead.declaredBloomCols(mergedProps))
+      bloomKeyCols = MergeOnRead.declaredBloomCols(mergedProps),
+      sortedRels = sortedRelSet,
+      declaredOrdering = declaredV2Ordering)
+
+  /** Live files PROVEN sorted under the current declared order: the
+    * snapshot that added the file (its `fileSeqs` entry) carries the
+    * matching `sorted-by` stamp. Files that predate the order, were
+    * imported, or were laid out under a different order never match —
+    * the conservative direction. */
+  private def sortedRelSet: Set[String] =
+    WriteShaping.sortStamp(meta.properties).get("sorted-by") match {
+      case None => Set.empty
+      case Some(stamp) =>
+        val snap = meta.currentSnapshot
+        val seqs = snap.map(_.fileSeqs).getOrElse(Map.empty)
+        val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+        snap.map(_.files).getOrElse(Nil).filter { rel =>
+          seqs.get(rel).flatMap(byId.get)
+            .exists(_.summary.get("sorted-by").contains(stamp))
+        }.toSet
+    }
+
+  /** The declared sort order as V2 SortOrder expressions (ASC → the
+    * NULLS FIRST default, matching Spark's required ordering shape). */
+  private def declaredV2Ordering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    WriteShaping.sortStamp(meta.properties).get("sorted-by") match {
+      case None => Array.empty
+      case Some(stamp) => stamp.split(",").map { s =>
+        val parts = s.split(" ")
+        Expressions.sort(Expressions.column(parts(0)),
+          if (parts.length > 1 && parts(1) == "desc") SortDirection.DESCENDING
+          else SortDirection.ASCENDING)
+      }
+    }
+  }
 
   // ---- merge-on-read join-fallback surface (see [[MorDeleteJoin]]) ----
 
@@ -249,11 +285,18 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
     * subset keeps its vectorized scan; dirty subsets feed the anti
     * join). Stats/seqs are filtered to the subset so file pruning and
     * cardinality reports keep working. */
-  private[graft] def fileSubsetTable(rels: Seq[String]): GraftTable = {
+  private[graft] def fileSubsetTable(rels: Seq[String],
+                                     keepDeletes: Boolean = false): GraftTable = {
     val relSet = rels.toSet
     val m2 = meta.copy(snapshots = meta.snapshots.map { s =>
       if (meta.currentSnapshotId.contains(s.snapshotId))
-        s.copy(files = s.files.filter(relSet), deleteFiles = Nil,
+        // keepDeletes: a reader that must see the NET rows of the subset
+        // (partition-scoped compaction) keeps the live delete files —
+        // sequence scoping applies them to the subset exactly as to the
+        // full table. The join-rewrite subsets pass false: they apply
+        // deletes themselves.
+        s.copy(files = s.files.filter(relSet),
+          deleteFiles = if (keepDeletes) s.deleteFiles else Nil,
           fileStats = s.fileStats.filter { case (k, _) => relSet(k) },
           fileSeqs = s.fileSeqs.filter { case (k, _) => relSet(k) })
       else s
@@ -796,7 +839,10 @@ private[graft] class GraftScanBuilder(
     deleteFiles: Seq[graft.meta.DeleteFileDef] = Nil,
     fileSeqs: Map[String, Long] = Map.empty,
     deleteByteBudget: Long = MergeOnRead.DefaultDeleteByteBudget,
-    bloomKeyCols: Set[String] = Set.empty)
+    bloomKeyCols: Set[String] = Set.empty,
+    sortedRels: Set[String] = Set.empty,
+    declaredOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1563,7 +1609,25 @@ private[graft] class GraftScanBuilder(
                    key.toArray),
                  prs.map(p => s"$dataDir/${p._2}"))
               }
-            new KeyedScan(delegateScanFor(rels), groups, fields.map(_._2).toArray)
+            // report the declared sort order when EVERY group is exactly
+            // one file, proven sorted under the CURRENT order by its
+            // adding-commit stamp, and small enough to plan as a single
+            // partition (a bin-packed or split group would concatenate /
+            // fragment sorted runs) — then a storage-partitioned join
+            // needs neither exchanges NOR sorts
+            val ordering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              if (declaredOrdering.nonEmpty && byKey.valuesIterator.forall(_.size == 1)
+                  && pairs.forall(p => sortedRels(p._2))) {
+                val spark = SparkSession.active
+                val maxSplit = math.max(1L,
+                  spark.sessionState.conf.filesMaxPartitionBytes)
+                val lens = ManifestFileIndex.statusesFor(spark, dataDir,
+                  pairs.map(_._2)).map(_.getLen)
+                if (lens.forall(_ <= maxSplit)) declaredOrdering
+                else Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+              } else Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+            new KeyedScan(delegateScanFor(rels), groups, fields.map(_._2).toArray,
+              ordering)
         }
     }
   }
@@ -1650,6 +1714,27 @@ private[catalog] object WriteShaping {
           org.apache.spark.sql.functions.col(parts(0)).desc
         else org.apache.spark.sql.functions.col(parts(0)).asc
       }
+
+  /** The canonical form of the declared sort order ("col asc,col2
+    * desc"), as the per-commit `sorted-by` summary stamp. Every commit
+    * whose data files went through the sorting layout stamps it; a scan
+    * then proves a live file sorted by looking up the summary of the
+    * snapshot that ADDED it (`fileSeqs` holds that id) and comparing
+    * against the CURRENT canonical order — files written before the
+    * order was declared (or under a different one, or imported by
+    * add_files) simply never match. See [[KeyedScan]]'s reported
+    * ordering. */
+  def sortStamp(props: Map[String, String]): Map[String, String] = {
+    val specs = props.get("write.sort-order").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    if (specs.isEmpty) Map.empty
+    else Map("sorted-by" -> specs.map { spec =>
+      val parts = spec.split("\\s+")
+      val dir = if (parts.length > 1 && parts(1).equalsIgnoreCase("desc"))
+        "desc" else "asc"
+      s"${parts(0)} $dir"
+    }.mkString(","))
+  }
 
   /** The full batch-write data path shared by the V1 insert and the
     * streaming upsert sink: stamp table field ids (renames stay
@@ -1843,6 +1928,10 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
           // appends are commutative (no snapshot-id assertion needed —
           // appends never conflict; overwrite semantics is last-wins)
           val now = System.currentTimeMillis()
+          // writeDataFiles sorted each file under the declared order —
+          // record that so keyed scans can report the ordering
+          val stampedSummary = extraSummary ++
+            WriteShaping.sortStamp(meta0.properties)
           // footer-only stats harvest → manifest min/max; large file
           // batches fan out as one Spark job (never serial on the driver)
           val stats = FileStats.harvestAll(data.sparkSession,
@@ -1852,19 +1941,19 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
               // write-audit-publish staging: the snapshot stacks on the
               // branch head, main never moves
               MetadataUpdate.AppendFilesToRef(branch.get, newFiles, now,
-                stats, extraSummary)
+                stats, stampedSummary)
             case _ if branch.isDefined =>
               throw new UnsupportedOperationException(
                 "branch writes support append only — publish the branch " +
                   "before overwrite/truncate maintenance")
             case AppendMode =>
-              MetadataUpdate.AppendFiles(newFiles, now, stats, extraSummary)
+              MetadataUpdate.AppendFiles(newFiles, now, stats, stampedSummary)
             case TruncateMode =>
-              MetadataUpdate.ReplaceFiles(newFiles, now, stats, extraSummary)
+              MetadataUpdate.ReplaceFiles(newFiles, now, stats, stampedSummary)
             case ByFilterMode(filters) =>
               val pvs = partitionValuesOf(filters, meta0)
               requireDirKeysEverywhere(meta0, pvs.flatMap(_.keySet).toSet)
-              MetadataUpdate.OverwritePartitions(newFiles, pvs, now, stats, extraSummary)
+              MetadataUpdate.OverwritePartitions(newFiles, pvs, now, stats, stampedSummary)
             case DynamicMode =>
               // the partitions the new data landed in ARE the replace set
               val expectedKeys = specDirKeys(meta0)
@@ -1877,7 +1966,7 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
               } else if (expectedKeys.isEmpty)
                 // unpartitioned table: dynamic degrades to plain truncate
                 // (the V1 dynamic-mode semantic)
-                MetadataUpdate.ReplaceFiles(newFiles, now, stats, extraSummary)
+                MetadataUpdate.ReplaceFiles(newFiles, now, stats, stampedSummary)
               else if (pvs.exists(_.keySet != expectedKeys))
                 // a suppressed layout (e.g. a non-UTC session writing a
                 // temporal transform) would silently widen the replace
@@ -1887,7 +1976,7 @@ private class GraftWriteBuilder(store: MetaStore, ns: Seq[String], table: String
                     s"(${expectedKeys.mkString(",")}) on every written file; " +
                     "got " + pvs.map(_.keySet.mkString(",")).distinct.mkString(" | "))
               else
-                MetadataUpdate.OverwritePartitions(newFiles, pvs, now, stats, extraSummary)
+                MetadataUpdate.OverwritePartitions(newFiles, pvs, now, stats, stampedSummary)
           }
           store.commitOps(ns, table, requirements, Seq(update))
         }

@@ -226,8 +226,19 @@ private[graft] class KeyedReaderFactory(delegate: PartitionReaderFactory)
 private[graft] class KeyedScan(
     full: Scan,
     groups: Seq[(GenericInternalRow, Seq[String])], // key → ABSOLUTE paths
-    keyExprs: Array[V2Expression])
-  extends Scan with SupportsReportStatistics with SupportsReportPartitioning {
+    keyExprs: Array[V2Expression],
+    // non-empty ONLY when the builder proved every group is a single
+    // sorted single-partition file (see GraftScanBuilder.keyedScanFor):
+    // Catalyst then plans merge joins over the SPJ layout with no
+    // SortExec — the sorted-table payoff on top of the exchange-free one
+    reportedOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty)
+  extends Scan with SupportsReportStatistics with SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    reportedOrdering
 
   override def readSchema(): StructType = full.readSchema()
   override def description(): String =

@@ -83,6 +83,50 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     }, s"SPJ result diverged: got ${got.length} rows, want ${want.length}")
   }
 
+  test("sorted co-bucketed tables merge-join with zero exchanges AND zero sorts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spjsort")
+    def mk(t: String, key: String, v: String): Unit = {
+      spark.sql(s"""CREATE TABLE graft.spjsort.$t
+        ($key BIGINT, $v DOUBLE)
+        PARTITIONED BY (bucket(4, $key))
+        TBLPROPERTIES ('write.sort-order' = '$key asc')""")
+    }
+    mk("a", "k", "va"); mk("b", "k", "vb")
+    import spark.implicits._
+    // one hash-distributed commit per table → one SORTED file per bucket,
+    // each stamped with the order it was written under
+    (1L to 400L).map(i => (i, i * 1.5)).toDF("k", "va")
+      .writeTo("graft.spjsort.a").append()
+    (1L to 400L).filter(_ % 3 != 0).map(i => (i, i * 2.0)).toDF("k", "vb")
+      .writeTo("graft.spjsort.b").append()
+
+    val joined = spark.table("graft.spjsort.a")
+      .join(spark.table("graft.spjsort.b"), Seq("k"))
+      .select(col("k"), col("va"), col("vb"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(exchanges(joined) == 0, s"expected exchange-free plan:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+    assert(!plan.linesIterator.exists(_.trim.matches("[+:]?-? ?\\*?\\(?\\d*\\)? ?Sort .*")),
+      s"expected NO SortExec — both scans report the stamped ordering:\n$plan")
+    val got = joined.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val want = (1L to 400L).filter(_ % 3 != 0).map(i => (i, i * 1.5, i * 2.0))
+    assert(got.toSeq == want, s"merge-join rows diverged: ${got.length}/${want.length}")
+
+    // a second append puts TWO files in each bucket: concatenated runs
+    // are no longer globally sorted, so the scan must stop reporting the
+    // ordering and the plan re-sorts — correctness over optimization
+    (401L to 420L).map(i => (i, i * 1.5)).toDF("k", "va")
+      .writeTo("graft.spjsort.a").append()
+    val after = spark.table("graft.spjsort.a")
+      .join(spark.table("graft.spjsort.b"), Seq("k"))
+      .select(col("k"), col("va"), col("vb"))
+    val planAfter = after.queryExecution.executedPlan.toString
+    assert(planAfter.linesIterator.exists(_.trim.matches(".*Sort \\[k.*")),
+      s"multi-file buckets must re-sort:\n$planAfter")
+    assert(after.count() == want.size)
+  }
+
   test("aggregation keyed on the bucket column skips its exchange too") {
     setup()
     val agg = spark.table("graft.spj.lineitem")

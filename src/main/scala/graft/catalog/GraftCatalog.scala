@@ -544,7 +544,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * never a mix. */
   def compact(ident: Identifier, targetFileCount: Int = 1,
               maxAttempts: Int = 3): TableMetadata =
-    compact(ident, targetFileCount, maxAttempts, Nil)
+    compact(ident, targetFileCount, maxAttempts, Nil, Map.empty)
+
+  /** Partition-scoped compaction: rewrite ONLY the files whose partition
+    * dir keys match every entry of `partition` (dir-key names as they
+    * appear in `$partitions`/file paths — identity columns by name,
+    * transforms by their rendered key). The maintenance shape a 100 TB
+    * table actually runs: yesterday's hot partition accumulated 500
+    * small streaming commits — compact THAT, not the table. Untouched
+    * partitions keep their exact files (a `RewriteFiles` commit swaps
+    * the affected subset atomically); live delete files apply to the
+    * subset read and keep applying to the untouched rest. */
+  def compactPartition(ident: Identifier, partition: Map[String, String],
+                       targetFileCount: Int = 1,
+                       maxAttempts: Int = 3): TableMetadata = {
+    require(partition.nonEmpty, "compactPartition needs at least one dir key")
+    compact(ident, targetFileCount, maxAttempts, Nil, partition)
+  }
 
   /** [[compact]] with MULTI-DIMENSIONAL (Z-order) clustering: rows are
     * range-partitioned and sorted by the bit-interleaving of the
@@ -560,7 +576,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     maxAttempts: Int = 3): TableMetadata = {
     require(zorderCols.size >= 2,
       "Z-order needs at least two columns (one column = plain sort order)")
-    compact(ident, targetFileCount, maxAttempts, zorderCols)
+    compact(ident, targetFileCount, maxAttempts, zorderCols, Map.empty)
   }
 
   /** Merge a table's accumulated POSITION-delete files into one
@@ -631,7 +647,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def compact(ident: Identifier, targetFileCount: Int,
-                      maxAttempts: Int, zorderCols: Seq[String]): TableMetadata = {
+                      maxAttempts: Int, zorderCols: Seq[String],
+                      partition: Map[String, String]): TableMetadata = {
     val ns = ident.namespace.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
     val fqn = (name() +: ident.namespace :+ ident.name).mkString(".")
@@ -639,9 +656,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     while (true) {
       attempt += 1
       val (base, version) = store.load(ns, ident.name)
+      // partition scope: the affected set is decided by dir-key replay
+      // against the asserted snapshot — whole files in or out, and the
+      // CAS retry recomputes it against the fresh base
+      val affected: Option[List[String]] =
+        if (partition.isEmpty) None
+        else {
+          val files = base.currentSnapshot.map(_.files).getOrElse(Nil)
+          val hit = files.filter { f =>
+            val kv = PartitionDirs.kvs(f)
+            partition.forall { case (k, v) => kv.get(k).contains(v) }
+          }
+          require(hit.nonEmpty,
+            s"no files of ${ident.name} match partition " +
+              partition.map { case (k, v) => s"$k=$v" }.mkString(","))
+          Some(hit)
+        }
       // scan exactly the snapshot we assert on — not whatever is current
-      // by the time the job runs
-      val current = spark.sql(s"SELECT * FROM $fqn VERSION AS OF $version")
+      // by the time the job runs; a partition scope reads the affected
+      // subset THROUGH the live delete files (net rows), never raw
+      val current = affected match {
+        case None => spark.sql(s"SELECT * FROM $fqn VERSION AS OF $version")
+        case Some(hit) =>
+          val t = loadTable(ident, version.toString).asInstanceOf[GraftTable]
+          org.apache.spark.sql.GraftDatasets.ofRows(spark,
+            org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+              .create(t.fileSubsetTable(hit, keepDeletes = true),
+                None, None, CaseInsensitiveStringMap.empty()))
+      }
       val commitId = java.util.UUID.randomUUID().toString
       val relDir = s"compact-$commitId"
       val outDir = store.dataDir(ns, ident.name) + "/" + relDir
@@ -716,11 +758,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             // guard the compaction would silently rewrite the whole
             // table under the OLD layout
             Requirement.AssertDefaultSpecId(base.defaultSpecId)),
-          Seq(MetadataUpdate.ReplaceFiles(newFiles, System.currentTimeMillis(),
-            stats,
-            // layout-only marker: row-level consumers (the Changes
-            // feed) skip this snapshot — same rows, new files
-            extraSummary = Map("rewrite-kind" -> "compaction"))))
+          // layout-only marker: row-level consumers (the Changes
+          // feed) skip this snapshot — same rows, new files. A sorted
+          // (non-Z-order) compaction also stamps the order its files
+          // were laid out in, so keyed scans can report ordering
+          Seq(affected match {
+            case None =>
+              MetadataUpdate.ReplaceFiles(newFiles, System.currentTimeMillis(),
+                stats,
+                extraSummary = Map("rewrite-kind" -> "compaction") ++
+                  (if (zorderCols.isEmpty)
+                     WriteShaping.sortStamp(base.properties)
+                   else Map.empty))
+            case Some(hit) =>
+              // partition scope: swap ONLY the affected subset; kept
+              // files, their stats/sequences, and the live delete files
+              // ride through RewriteFiles untouched
+              MetadataUpdate.RewriteFiles(hit, newFiles,
+                System.currentTimeMillis(), stats,
+                extraSummary = Map("rewrite-kind" -> "compaction") ++
+                  (if (zorderCols.isEmpty)
+                     WriteShaping.sortStamp(base.properties)
+                   else Map.empty))
+          }))
       } catch {
         case e: CommitFailedException =>
           // concurrent commit won — remove this attempt's orphaned output

@@ -48,10 +48,27 @@ private[graft] object Procedures {
         row(m.currentSnapshotId.getOrElse(-1L), n)
       }
       case "compact" => proc("compact",
-        params(("table", StringType, None), ("target_file_count", IntegerType, Some("1"))),
+        params(("table", StringType, None),
+          ("target_file_count", IntegerType, Some("1")),
+          // optional dir-key scope 'k=v,k2=v2' (as rendered in
+          // $partitions/file paths): rewrite ONLY matching files
+          ("partition", StringType, Some("''"))),
         StructType(Seq(StructField("snapshot_id", LongType),
           StructField("files", IntegerType)))) { in =>
-        val m = cat.compact(identOf(in.getUTF8String(0)), intArg(in, 1, 1))
+        val scope: Map[String, String] =
+          if (in.numFields < 3 || in.isNullAt(2)) Map.empty
+          else in.getUTF8String(2).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).map { kv =>
+              kv.split("=", 2) match {
+                case Array(k, v) => k -> v
+                case _ => throw new IllegalArgumentException(
+                  s"partition entry '$kv' is not k=v")
+              }
+            }.toMap
+        val m =
+          if (scope.isEmpty) cat.compact(identOf(in.getUTF8String(0)), intArg(in, 1, 1))
+          else cat.compactPartition(identOf(in.getUTF8String(0)), scope,
+            intArg(in, 1, 1))
         row(m.currentSnapshotId.getOrElse(-1L),
           m.currentSnapshot.map(_.files.size).getOrElse(0))
       }

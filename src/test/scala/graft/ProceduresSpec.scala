@@ -37,6 +37,19 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.proc.t").count() == 3)
   }
 
+  test("CALL compact with a partition scope rewrites only that partition") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.pp (dt STRING, k INT) PARTITIONED BY (dt)")
+    for (_ <- 0 until 2)
+      spark.sql("INSERT INTO graft.proc.pp VALUES ('a', 1), ('b', 2)")
+    val res = spark.sql(
+      "CALL graft.system.compact(table => 'proc.pp', partition => 'dt=a')")
+      .collect()
+    // partition a: 2 files -> 1; partition b keeps its 2 → 3 total
+    assert(res.length == 1 && res(0).getInt(1) == 3, res.toSeq.toString)
+    assert(spark.table("graft.proc.pp").count() == 4)
+  }
+
   test("CALL create_branch / fast_forward / drop_ref run the WAP loop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
     spark.sql("CREATE TABLE graft.proc.w (k INT)")

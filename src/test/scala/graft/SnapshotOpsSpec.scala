@@ -240,6 +240,72 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM snap.cp.t WHERE id < 50").head.getLong(0) == 50L)
   }
 
+  test("partition-scoped compaction rewrites only the targeted partition") {
+    spark.sql("CREATE NAMESPACE snap.pcp")
+    spark.sql("""CREATE TABLE snap.pcp.t (dt STRING, id BIGINT, v DOUBLE)
+      PARTITIONED BY (dt)""")
+    // three commits → three files per dt value
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO snap.pcp.t SELECT dt, id, CAST(id AS DOUBLE) " +
+        s"FROM (SELECT explode(array('a','b')) dt, ${i * 100} + id AS id " +
+        s"FROM (SELECT explode(sequence(0, 9)) id))")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("pcp"), "t")
+    def filesOf(dt: String): Seq[String] = {
+      val snap = catalog.metadataStore.load(Seq("pcp"), "t")._1.currentSnapshot.get
+      snap.files.filter(_.contains(s"__part_dt=$dt"))
+    }
+    val aBefore = filesOf("a"); val bBefore = filesOf("b")
+    assert(aBefore.size == 3 && bBefore.size == 3)
+    val before = spark.table("snap.pcp.t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+
+    catalog.compactPartition(ident, Map("dt" -> "a"))
+
+    // partition a collapsed to one file; partition b's files are the
+    // EXACT same paths; the commit is a layout-only rewrite
+    val aAfter = filesOf("a"); val bAfter = filesOf("b")
+    assert(aAfter.size == 1, s"a: $aAfter")
+    assert(bAfter.toSet == bBefore.toSet, s"b changed: $bBefore -> $bAfter")
+    val snap = catalog.metadataStore.load(Seq("pcp"), "t")._1.currentSnapshot.get
+    assert(snap.operation == "rewrite" &&
+      snap.summary.get("rewrite-kind").contains("compaction"))
+    val after = spark.table("snap.pcp.t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(x => (x._1, x._2))
+    assert(after.toSeq == before.toSeq)
+    // the changelog stays silent for the layout-only step
+    val v = catalog.metadataStore.currentVersion(Seq("pcp"), "t")
+    assert(graft.catalog.Changes.between(spark, "snap.pcp.t", v - 1).count() == 0)
+    // unknown dir value refuses instead of rewriting nothing
+    intercept[IllegalArgumentException](
+      catalog.compactPartition(ident, Map("dt" -> "zz")))
+  }
+
+  test("partition-scoped compaction reads THROUGH live equality deletes") {
+    spark.sql("CREATE NAMESPACE snap.pcd")
+    spark.sql("""CREATE TABLE snap.pcd.t (dt STRING, id BIGINT NOT NULL, v DOUBLE)
+      PARTITIONED BY (dt)
+      TBLPROPERTIES ('identifier-fields'='id',
+        'write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO snap.pcd.t VALUES ('a', 1, 1.0), ('a', 2, 2.0), ('b', 3, 3.0)")
+    spark.sql("INSERT INTO snap.pcd.t VALUES ('a', 4, 4.0), ('b', 5, 5.0)")
+    spark.sql("DELETE FROM snap.pcd.t WHERE id = 2")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("pcd"), "t")
+    assert(catalog.metadataStore.load(Seq("pcd"), "t")._1
+      .currentSnapshot.get.deleteFiles.nonEmpty)
+
+    catalog.compactPartition(ident, Map("dt" -> "a"))
+
+    // the masked row must NOT resurrect in the rewritten partition, and
+    // the delete files stay live for the untouched partition's files
+    val rows = spark.table("snap.pcd.t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    assert(rows == Seq(("a", 1L), ("b", 3L), ("a", 4L), ("b", 5L)).sortBy(_._2),
+      rows.toString)
+    val snap = catalog.metadataStore.load(Seq("pcd"), "t")._1.currentSnapshot.get
+    assert(snap.deleteFiles.nonEmpty, "delete files must survive for kept files")
+    assert(snap.files.count(_.contains("__part_dt=a")) == 1)
+  }
+
   test("Z-order compaction gives multi-dimensional file skipping") {
     import org.apache.spark.sql.functions._
     spark.sql("CREATE NAMESPACE snap.zord")

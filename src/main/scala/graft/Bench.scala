@@ -42,6 +42,8 @@ object Bench {
         ops.CatalogQueries.ensureSpjWarehouse(spark, sfDir)
       if (selected("q95")) // month-partitioned DDL+write is setup, not agg
         ops.CatalogQueries.ensureTemporalWarehouse(spark, sfDir)
+      if (selected("q102")) // sorted bucketed DDL+writes are setup, not join
+        ops.CatalogQueries.ensureSortedSpjWarehouse(spark, sfDir)
       // one-time Structured Streaming init (state store provider,
       // checkpoint machinery, micro-batch planner) — so the first
       // streaming query in the pack measures its plan, not engine warmup

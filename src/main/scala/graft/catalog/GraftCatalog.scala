@@ -544,7 +544,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * never a mix. */
   def compact(ident: Identifier, targetFileCount: Int = 1,
               maxAttempts: Int = 3): TableMetadata =
-    compact(ident, targetFileCount, maxAttempts, Nil, Map.empty)
+    compact(ident, targetFileCount, maxAttempts, Nil, Map.empty, None)
 
   /** Partition-scoped compaction: rewrite ONLY the files whose partition
     * dir keys match every entry of `partition` (dir-key names as they
@@ -559,7 +559,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                        targetFileCount: Int = 1,
                        maxAttempts: Int = 3): TableMetadata = {
     require(partition.nonEmpty, "compactPartition needs at least one dir key")
-    compact(ident, targetFileCount, maxAttempts, Nil, partition)
+    compact(ident, targetFileCount, maxAttempts, Nil, partition, None)
+  }
+
+  /** Small-file (bin-packing) compaction: merge ONLY the files below
+    * `smallerThanBytes` — the fragments streaming epochs and small
+    * upserts leave behind — and keep every right-sized file untouched
+    * (its path, stats, and sort stamp survive). Optionally partition-
+    * scoped. A no-op (zero commits) when fewer than two small files
+    * match, so it's safe on a maintenance schedule. */
+  def compactSmallFiles(ident: Identifier, smallerThanBytes: Long,
+                        partition: Map[String, String] = Map.empty,
+                        targetFileCount: Int = 1,
+                        maxAttempts: Int = 3): TableMetadata = {
+    require(smallerThanBytes > 0, "smallerThanBytes must be positive")
+    compact(ident, targetFileCount, maxAttempts, Nil, partition,
+      Some(smallerThanBytes))
   }
 
   /** [[compact]] with MULTI-DIMENSIONAL (Z-order) clustering: rows are
@@ -576,7 +591,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                     maxAttempts: Int = 3): TableMetadata = {
     require(zorderCols.size >= 2,
       "Z-order needs at least two columns (one column = plain sort order)")
-    compact(ident, targetFileCount, maxAttempts, zorderCols, Map.empty)
+    compact(ident, targetFileCount, maxAttempts, zorderCols, Map.empty, None)
   }
 
   /** Merge a table's accumulated POSITION-delete files into one
@@ -648,7 +663,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def compact(ident: Identifier, targetFileCount: Int,
                       maxAttempts: Int, zorderCols: Seq[String],
-                      partition: Map[String, String]): TableMetadata = {
+                      partition: Map[String, String],
+                      smallerThan: Option[Long]): TableMetadata = {
     val ns = ident.namespace.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
     val fqn = (name() +: ident.namespace :+ ident.name).mkString(".")
@@ -660,16 +676,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // against the asserted snapshot — whole files in or out, and the
       // CAS retry recomputes it against the fresh base
       val affected: Option[List[String]] =
-        if (partition.isEmpty) None
+        if (partition.isEmpty && smallerThan.isEmpty) None
         else {
           val files = base.currentSnapshot.map(_.files).getOrElse(Nil)
-          val hit = files.filter { f =>
+          val inPartition = files.filter { f =>
             val kv = PartitionDirs.kvs(f)
             partition.forall { case (k, v) => kv.get(k).contains(v) }
           }
-          require(hit.nonEmpty,
+          require(inPartition.nonEmpty,
             s"no files of ${ident.name} match partition " +
               partition.map { case (k, v) => s"$k=$v" }.mkString(","))
+          // small-file scope: bin-pack ONLY the fragments (streaming
+          // epochs, tiny upserts); already-right-sized files keep their
+          // paths, stats, and sort-stamp. Lengths come from the
+          // manifest's memoized dir listings — no per-file stat calls.
+          val hit = smallerThan match {
+            case None => inPartition
+            case Some(bytes) =>
+              val dataDir = store.dataDir(ns, ident.name)
+              val lens = ManifestFileIndex
+                .statusesFor(spark, dataDir, inPartition)
+                .map(_.getLen)
+              inPartition.zip(lens).collect {
+                case (f, l) if l < bytes => f
+              }
+          }
+          if (smallerThan.isDefined && hit.size < 2)
+            return base // 0/1 small files: nothing to merge, no commit
           Some(hit)
         }
       // scan exactly the snapshot we assert on — not whatever is current
@@ -691,6 +724,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // interleave the sort key across the compacted files, silently
       // destroying the min/max stats skipping the order exists to feed
       val sortCols = WriteShaping.sortCols(base.properties)
+      // partition dirs derive FIRST so the within-partition sort can
+      // lead with them: the dynamic-partition writer demands a dir-col
+      // ordering and would otherwise insert its own (stability-
+      // unspecified) sort, scrambling the per-file clustering this
+      // whole pass exists to produce
+      val (withDirs0, partDirCols) = WriteShaping.withPartitionDirs(current, base)
+      val dirC = partDirCols.map(org.apache.spark.sql.functions.col)
       val clustered =
         if (zorderCols.nonEmpty) {
           import org.apache.spark.sql.functions._
@@ -716,7 +756,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val maxOf = zorderCols.zipWithIndex.map { case (c, i) =>
             c -> bounds.getDouble(1 + i) }.toMap
           val nBits = 8 // 256 buckets per dimension
-          if (bounds.anyNull) current.repartition(targetFileCount) // empty/all-null
+          if (bounds.anyNull) withDirs0.repartition(targetFileCount) // empty/all-null
           else {
             def bucket(c: String) =
               // constant column: one bucket. width_bucket overflows to
@@ -731,22 +771,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                   bit * zorderCols.size + ci)
               }.reduce(_ bitwiseOR _)
             }.reduce(_ bitwiseOR _)
-            current.withColumn("__zval", zval)
+            withDirs0.withColumn("__zval", zval)
               .repartitionByRange(targetFileCount, col("__zval"))
-              .sortWithinPartitions(col("__zval"))
+              .sortWithinPartitions((dirC :+ col("__zval")): _*)
               .drop("__zval")
           }
         } else if (sortCols.nonEmpty)
-          current.repartitionByRange(targetFileCount, sortCols: _*)
-            .sortWithinPartitions(sortCols: _*)
-        else current.repartition(targetFileCount)
-      // …and preserve the partition LAYOUT: compacted files must keep
-      // their __part_ dirs or partition pruning and partition-boundary
+          withDirs0.repartitionByRange(targetFileCount, sortCols: _*)
+            .sortWithinPartitions((dirC ++ sortCols): _*)
+        else withDirs0.repartition(targetFileCount)
+      // …the partition LAYOUT is preserved: compacted files keep their
+      // __part_ dirs or partition pruning and partition-boundary
       // DELETE/overwrite stop working on the rewritten table
-      val (shaped, partDirCols) = WriteShaping.withPartitionDirs(clustered, base)
       val writer = if (partDirCols.nonEmpty)
-        shaped.write.partitionBy(partDirCols: _*)
-      else shaped.write
+        clustered.write.partitionBy(partDirCols: _*)
+      else clustered.write
       writer.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(outDir)
       val newFiles = store.listParquetUnder(outDir).map(f => s"$relDir/$f")
       val stats = graft.meta.FileStats.harvestAll(spark,

@@ -1770,17 +1770,28 @@ private[catalog] object WriteShaping {
       if (partDirCols.nonEmpty) "hash" else "none")
     import org.apache.spark.sql.functions.col
     val dirCols = partDirCols.map(col)
+    // Sorting ALWAYS leads with the partition-dir columns: Spark's
+    // dynamic-partition writer demands an ordering by exactly those and
+    // inserts its OWN (stability-unspecified) sort when the incoming
+    // order doesn't satisfy them — which would silently scramble the
+    // per-file sort the `sorted-by` stamp then falsely claims (a merge
+    // join over a falsely-sorted scan DROPS rows). With the dir prefix
+    // the writer's requirement is already met, no extra sort runs, and
+    // every emitted file is genuinely sorted by the declared order.
+    val innerSort = dirCols ++ sortCols
     val shaped =
       if (partDirCols.isEmpty || distMode == "none") {
-        if (sortCols.nonEmpty)
-          withDirs.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-        else withDirs
+        if (sortCols.nonEmpty) {
+          if (partDirCols.isEmpty)
+            withDirs.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+          else withDirs.sortWithinPartitions(innerSort: _*)
+        } else withDirs
       } else if (distMode == "range") {
         val keys = dirCols ++ sortCols
         withDirs.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
       } else { // hash
         if (sortCols.nonEmpty)
-          withDirs.repartition(dirCols: _*).sortWithinPartitions(sortCols: _*)
+          withDirs.repartition(dirCols: _*).sortWithinPartitions(innerSort: _*)
         else withDirs.repartition(dirCols: _*)
       }
     val writer0 = if (partDirCols.nonEmpty)

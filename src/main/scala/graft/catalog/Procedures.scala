@@ -52,23 +52,44 @@ private[graft] object Procedures {
           ("target_file_count", IntegerType, Some("1")),
           // optional dir-key scope 'k=v,k2=v2' (as rendered in
           // $partitions/file paths): rewrite ONLY matching files
-          ("partition", StringType, Some("''"))),
+          ("partition", StringType, Some("''")),
+          // optional size scope '64m': bin-pack ONLY files below it
+          ("smaller_than", StringType, Some("''"))),
         StructType(Seq(StructField("snapshot_id", LongType),
           StructField("files", IntegerType)))) { in =>
+        def strArg(i: Int): String =
+          if (in.numFields <= i || in.isNullAt(i)) ""
+          else in.getUTF8String(i).toString.trim
         val scope: Map[String, String] =
-          if (in.numFields < 3 || in.isNullAt(2)) Map.empty
-          else in.getUTF8String(2).toString.split(",").map(_.trim)
-            .filter(_.nonEmpty).map { kv =>
-              kv.split("=", 2) match {
-                case Array(k, v) => k -> v
-                case _ => throw new IllegalArgumentException(
-                  s"partition entry '$kv' is not k=v")
-              }
-            }.toMap
-        val m =
-          if (scope.isEmpty) cat.compact(identOf(in.getUTF8String(0)), intArg(in, 1, 1))
-          else cat.compactPartition(identOf(in.getUTF8String(0)), scope,
-            intArg(in, 1, 1))
+          strArg(2).split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => k -> v
+              case _ => throw new IllegalArgumentException(
+                s"partition entry '$kv' is not k=v")
+            }
+          }.toMap
+        val smaller: Option[Long] = strArg(3) match {
+          case "" => None
+          case v =>
+            val m = "(?i)^(\\d+)\\s*([kmg]?)b?$".r
+            v match {
+              case m(digits, suffix) =>
+                val shift = suffix.toLowerCase match {
+                  case "" => 0; case "k" => 10; case "m" => 20; case "g" => 30
+                }
+                Some(digits.toLong << shift)
+              case other => throw new IllegalArgumentException(
+                s"smaller_than must be a byte count (optionally k/m/g-" +
+                  s"suffixed), got '$other'")
+            }
+        }
+        val ident0 = identOf(in.getUTF8String(0))
+        val m = smaller match {
+          case Some(bytes) =>
+            cat.compactSmallFiles(ident0, bytes, scope, intArg(in, 1, 1))
+          case None if scope.isEmpty => cat.compact(ident0, intArg(in, 1, 1))
+          case None => cat.compactPartition(ident0, scope, intArg(in, 1, 1))
+        }
         row(m.currentSnapshotId.getOrElse(-1L),
           m.currentSnapshot.map(_.files.size).getOrElse(0))
       }

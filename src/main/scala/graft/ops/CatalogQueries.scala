@@ -121,6 +121,72 @@ object CatalogQueries {
     }
   }
 
+  def ensureSortedSpjWarehouse(s: SparkSession, dir: String): Unit = {
+    val dirs = warmed.synchronized {
+      warmed.computeIfAbsent(s, _ => new java.util.HashSet[String]())
+    }
+    dirs.synchronized {
+      val key = "spjsort:" + dir
+      if (!dirs.contains(key)) {
+        val wh = java.nio.file.Files.createTempDirectory("graft-wh-q102").toString
+        s.conf.set("spark.sql.catalog.graft_q102", classOf[GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_q102.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q102.tpch")
+        s.sql("DROP TABLE IF EXISTS graft_q102.tpch.orders")
+        s.sql("DROP TABLE IF EXISTS graft_q102.tpch.lineitem")
+        // declared sort order + ONE hash-distributed append = one
+        // SORTED, stamp-proven file per bucket
+        s.sql("""CREATE TABLE graft_q102.tpch.orders
+          (o_orderkey BIGINT, o_totalprice DOUBLE)
+          PARTITIONED BY (bucket(8, o_orderkey))
+          TBLPROPERTIES ('write.sort-order' = 'o_orderkey asc')""")
+        s.sql("""CREATE TABLE graft_q102.tpch.lineitem
+          (l_orderkey BIGINT, l_extendedprice DOUBLE)
+          PARTITIONED BY (bucket(8, l_orderkey))
+          TBLPROPERTIES ('write.sort-order' = 'l_orderkey asc')""")
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+          .writeTo("graft_q102.tpch.orders").append()
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+          .writeTo("graft_q102.tpch.lineitem").append()
+        dirs.add(key)
+      }
+    }
+  }
+
+  /** The sorted refinement of q89: both sides ALSO declare
+    * `write.sort-order` on the join key, every bucket is one
+    * stamp-proven sorted file, and the scans report the ordering
+    * (SupportsReportOrdering) — so the merge join plans with ZERO
+    * exchanges AND ZERO Sort nodes. At 100 TB that removes the last
+    * per-task cost SPJ left: no re-sort of a terabyte-scale bucket
+    * before merging. Enforced, not hoped for: the query refuses a plan
+    * containing either an exchange or a sort. */
+  def q102SortedSpj(s: SparkSession, dir: String): DataFrame = {
+    ensureSortedSpjWarehouse(s, dir)
+    val df = s.table("graft_q102.tpch.orders").hint("merge")
+      .join(s.table("graft_q102.tpch.lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_extendedprice"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"), col("l_extendedprice"))
+      .limit(100)
+    val plan = df.queryExecution.executedPlan.toString
+    val nEx = plan.linesIterator.count(_.contains("Exchange"))
+    // "Sort [" matches SortExec nodes only (SortMergeJoin prints
+    // "SortMergeJoin ["; TakeOrderedAndProject prints "orderBy=[")
+    val nSort = plan.linesIterator.count(_.contains("Sort ["))
+    require(nEx == 0 && nSort == 0,
+      s"q102 expected a sort-free storage-partitioned merge join, found " +
+        s"$nEx exchange(s) and $nSort sort(s):\n$plan")
+    require(plan.contains("SortMergeJoin"),
+      s"q102 expected a merge join:\n$plan")
+    df
+  }
+
+  val q102Sql: String =
+    """SELECT o_orderkey, l_extendedprice, o_totalprice
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |ORDER BY o_orderkey, l_extendedprice LIMIT 100""".stripMargin
+
   /** Storage-partitioned join through the correctness gate: both sides
     * laid out by the same bucket function, the scan reports
     * KeyGroupedPartitioning (KeyGroupedRead.scala), and the merge join
@@ -524,6 +590,7 @@ object CatalogQueries {
     "q86_mor_dml" -> q86MorDml _,
     "q87_wap" -> q87Wap _,
     "q89_spj_join" -> q89SpjJoin _,
+    "q102_sorted_spj" -> q102SortedSpj _,
     "q90_changes_feed" -> q90ChangesFeed _,
     "q94_position_delete" -> q94PositionDelete _,
     "q95_temporal_spj" -> q95TemporalSpj _,
@@ -539,6 +606,7 @@ object CatalogQueries {
     "q86_mor_dml" -> q84Sql,
     "q87_wap" -> q87Sql,
     "q89_spj_join" -> q89Sql,
+    "q102_sorted_spj" -> q102Sql,
     "q90_changes_feed" -> q90Sql,
     "q94_position_delete" -> q94Sql,
     "q95_temporal_spj" -> q95Sql,

@@ -50,6 +50,23 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.proc.pp").count() == 4)
   }
 
+  test("CALL compact with smaller_than bin-packs only the fragments") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.sf (k BIGINT)")
+    spark.sql("INSERT INTO graft.proc.sf SELECT id FROM range(0, 20000)")
+    spark.sql("INSERT INTO graft.proc.sf VALUES (100001)")
+    spark.sql("INSERT INTO graft.proc.sf VALUES (100002)")
+    val before = spark.sql("SELECT count(*) FROM graft.proc.`sf$files`")
+      .head.getLong(0)
+    spark.sql(
+      "CALL graft.system.compact(table => 'proc.sf', smaller_than => '16k')")
+      .collect()
+    val after = spark.sql("SELECT count(*) FROM graft.proc.`sf$files`")
+      .head.getLong(0)
+    assert(after == before - 1, s"$before -> $after") // 2 fragments -> 1
+    assert(spark.table("graft.proc.sf").count() == 20002)
+  }
+
   test("CALL create_branch / fast_forward / drop_ref run the WAP loop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
     spark.sql("CREATE TABLE graft.proc.w (k INT)")

@@ -280,6 +280,36 @@ class SnapshotOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       catalog.compactPartition(ident, Map("dt" -> "zz")))
   }
 
+  test("small-file compaction merges only the fragments") {
+    spark.sql("CREATE NAMESPACE snap.sfc")
+    spark.sql("CREATE TABLE snap.sfc.t (id BIGINT, v DOUBLE)")
+    // one big commit, then three tiny ones
+    spark.sql("INSERT INTO snap.sfc.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 20000)")
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO snap.sfc.t VALUES (${100000 + i}, 0.5)")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("sfc"), "t")
+    def files = catalog.metadataStore.load(Seq("sfc"), "t")._1
+      .currentSnapshot.get.files
+    val before = files
+    val dataDir = catalog.metadataStore.dataDir(Seq("sfc"), "t")
+    def len(f: String): Long =
+      catalog.metadataStore.fileSizeBytes(s"$dataDir/$f").getOrElse(0L)
+    val (small, big) = before.partition(len(_) < (16L << 10))
+    assert(small.size == 3 && big.nonEmpty, s"layout: $before")
+
+    catalog.compactSmallFiles(ident, smallerThanBytes = 16L << 10)
+
+    val after = files
+    // the three tiny files merged into one; every big file untouched
+    assert(after.size == big.size + 1, after.toString)
+    assert(big.forall(after.contains), s"big files must keep paths: $after")
+    assert(spark.table("snap.sfc.t").count() == 20003)
+    // re-run: fewer than two small files remain → no new commit
+    val vBefore = catalog.metadataStore.currentVersion(Seq("sfc"), "t")
+    catalog.compactSmallFiles(ident, smallerThanBytes = 16L << 10)
+    assert(catalog.metadataStore.currentVersion(Seq("sfc"), "t") == vBefore)
+  }
+
   test("partition-scoped compaction reads THROUGH live equality deletes") {
     spark.sql("CREATE NAMESPACE snap.pcd")
     spark.sql("""CREATE TABLE snap.pcd.t (dt STRING, id BIGINT NOT NULL, v DOUBLE)

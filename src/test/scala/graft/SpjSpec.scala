@@ -127,6 +127,32 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.count() == want.size)
   }
 
+  test("changing the declared order invalidates old sort stamps") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spjord")
+    for (t <- Seq("x", "y")) {
+      spark.sql(s"""CREATE TABLE graft.spjord.$t (k BIGINT, v DOUBLE)
+        PARTITIONED BY (bucket(2, k))
+        TBLPROPERTIES ('write.sort-order' = 'k asc')""")
+      import spark.implicits._
+      (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .writeTo(s"graft.spjord.$t").append()
+    }
+    def plan() = spark.table("graft.spjord.x")
+      .join(spark.table("graft.spjord.y"), Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan().contains("Sort ["), s"stamped order should elide sorts:\n${plan()}")
+    // evolve the order: files were written 'k asc', the table now says
+    // 'k desc' — the stamps no longer match the CURRENT order, so the
+    // scan must stop reporting and the join re-sorts (correctness over
+    // optimization; a false report would silently drop rows)
+    spark.sql("ALTER TABLE graft.spjord.x SET TBLPROPERTIES " +
+      "('write.sort-order' = 'k desc')")
+    assert(plan().contains("Sort ["),
+      s"stale stamps must not satisfy the new order:\n${plan()}")
+    assert(spark.table("graft.spjord.x")
+      .join(spark.table("graft.spjord.y"), Seq("k")).count() == 50)
+  }
+
   test("aggregation keyed on the bucket column skips its exchange too") {
     setup()
     val agg = spark.table("graft.spj.lineitem")

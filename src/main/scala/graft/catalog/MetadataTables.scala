@@ -139,24 +139,34 @@ object MetadataTables {
       StructField("content", StringType, nullable = false),
       StructField("partition", StringType, nullable = false),
       StructField("n_stat_cols", IntegerType, nullable = false),
-      StructField("seq", LongType, nullable = true)))
+      StructField("seq", LongType, nullable = true),
+      StructField("sorted_by", StringType, nullable = true)))
     val stats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
     val seqs = m.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty)
-    def row(f: String, content: String, seq: Any): InternalRow = {
+    // the order each data file was PROVEN written under: the `sorted-by`
+    // stamp of its adding snapshot (what the keyed scan's ordering
+    // report consults) — null for imports, pre-order files, and files
+    // whose adding snapshot left retained history
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    def sortedBy(f: String): Any =
+      seqs.get(f).flatMap(byId.get).flatMap(_.summary.get("sorted-by"))
+        .map(UTF8String.fromString).orNull
+    def row(f: String, content: String, seq: Any, sorted: Any): InternalRow = {
       val part = PartitionDirs.kvs(f).toSeq.sorted
         .map { case (k, v) => s"$k=$v" }.mkString("/")
       new GenericInternalRow(Array[Any](
         UTF8String.fromString(f), UTF8String.fromString(content),
         UTF8String.fromString(part),
-        stats.get(f).map(_.size).getOrElse(0), seq))
+        stats.get(f).map(_.size).getOrElse(0), seq, sorted))
     }
     val rows: Array[InternalRow] =
       (m.currentSnapshot.map(_.files).getOrElse(Nil)
-        .map(f => row(f, "data", seqs.get(f).map(v => v: Any).orNull)) ++
+        .map(f => row(f, "data", seqs.get(f).map(v => v: Any).orNull,
+          sortedBy(f))) ++
        m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
         .map(d => row(d.path,
           if (d.keyFieldIds.isEmpty) "position-deletes" else "equality-deletes",
-          d.seq))).toArray
+          d.seq, null))).toArray
     new RowsTable(fqn + "$files", schema, rows)
   }
 

@@ -100,6 +100,9 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     (1L to 400L).filter(_ % 3 != 0).map(i => (i, i * 2.0)).toDF("k", "vb")
       .writeTo("graft.spjsort.b").append()
 
+    // $files surfaces the proof the scan consults
+    assert(spark.sql("SELECT sorted_by FROM graft.spjsort.`a$files`")
+      .collect().forall(_.getString(0) == "k asc"))
     val joined = spark.table("graft.spjsort.a")
       .join(spark.table("graft.spjsort.b"), Seq("k"))
       .select(col("k"), col("va"), col("vb"))

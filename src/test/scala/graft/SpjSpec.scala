@@ -116,6 +116,11 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = (1L to 400L).filter(_ % 3 != 0).map(i => (i, i * 1.5, i * 2.0))
     assert(got.toSeq == want, s"merge-join rows diverged: ${got.length}/${want.length}")
 
+    // pruning the sort column away must not trip the ordering report
+    assert(spark.table("graft.spjsort.a").select(col("va"))
+      .agg(sum(col("va"))).head.getDouble(0) ==
+      (1L to 400L).map(_ * 1.5).sum)
+
     // a second append puts TWO files in each bucket: concatenated runs
     // are no longer globally sorted, so the scan must stop reporting the
     // ordering and the plan re-sorts — correctness over optimization

@@ -70,12 +70,49 @@ object FileStats {
       // is what lets Catalyst judge broadcastability of a pruned scan
       val fileRows = reader.getFooter.getBlocks.asScala
         .map(_.getRowCount).sum
-      acc.map { case (n, a) =>
-        ColStatDef(n, stringify(a.min), stringify(a.max), a.nulls, a.fieldId,
-          rows = Some(fileRows))
+      acc.flatMap { case (n, a) =>
+        val isString = a.min.isInstanceOf[Binary]
+        val mn = stringify(a.min)
+        val mxOpt =
+          if (isString) truncateUpper(stringify(a.max))
+          else Some(stringify(a.max))
+        mxOpt.map(mx => ColStatDef(n,
+          if (isString) truncateLower(mn) else mn, mx,
+          a.nulls, a.fieldId, rows = Some(fileRows)))
       }.toList
     } finally reader.close()
   } catch { case _: Exception => Nil } // stats are an optimization, never fatal
+
+  /** Iceberg-style metrics truncation (default 16 code points): free-
+    * text columns must not embed their full min/max per file per column
+    * in every snapshot body — manifest weight would grow linearly with
+    * document size. A prefix is ≤ its original in the unsigned UTF-8
+    * order every stats consumer compares in, so the LOWER bound
+    * truncates plainly; the UPPER bound increments its last code point
+    * (skipping the surrogate gap) so it stays an upper bound — pruning
+    * gets marginally looser, never wrong. None (stat withheld) in the
+    * astronomically-rare case where no increment exists. Numeric and
+    * temporal bounds are fixed-width and pass through untouched. */
+  private val StatTruncateLen = 16
+
+  private def truncateLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= StatTruncateLen) s
+    else s.substring(0, s.offsetByCodePoints(0, StatTruncateLen))
+
+  private[meta] def truncateUpper(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= StatTruncateLen) return Some(s)
+    val cps = s.codePoints().limit(StatTruncateLen.toLong).toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        cps(i) = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+        val out = cps.take(i + 1)
+        return Some(new String(out, 0, out.length))
+      }
+      i -= 1
+    }
+    None
+  }
 
   /** One file's row count straight off its footer — no data pages read.
     * None when the footer is unreadable (caller falls back safely). */

@@ -379,4 +379,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT v FROM graft.ustr.t WHERE k <= '$rep'")
       .collect().map(_.getInt(0)).toSeq == Seq(1))
   }
+
+  test("long string bounds truncate in the manifest, pruning stays sound") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.trunc")
+    spark.sql("CREATE TABLE graft.trunc.t (k STRING, v INT)")
+    import spark.implicits._
+    // two files with long values: one 'aaaa…' prefix family, one 'zzzz…'
+    val a = "a" * 40
+    val z = "z" * 40
+    Seq((a + "1", 1), (a + "2", 2)).toDF("k", "v")
+      .coalesce(1).writeTo("graft.trunc.t").append()
+    Seq((z + "1", 3)).toDF("k", "v").coalesce(1).writeTo("graft.trunc.t").append()
+    // stored bounds are TRUNCATED (≤ 17 code points incl. the upper
+    // bound's increment), never the 41-char values
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val stats = cat.metadataStore.load(Seq("trunc"), "t")._1
+      .currentSnapshot.get.fileStats.values.flatten.filter(_.name == "k")
+    assert(stats.nonEmpty)
+    assert(stats.forall(s => s.min.length <= 17 && s.max.length <= 17),
+      stats.map(s => (s.min, s.max)).toString)
+    // loosened bounds must never prune a matching file: an exact lookup
+    // past the truncation point still finds its row…
+    assert(spark.sql(s"SELECT v FROM graft.trunc.t WHERE k = '${a}2'")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(spark.sql(s"SELECT v FROM graft.trunc.t WHERE k > '${a}1'")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // …and clearly-disjoint prefixes still prune whole files
+    val builder = cat.loadTable(org.apache.spark.sql.connector.catalog
+        .Identifier.of(Array("trunc"), "t"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+      .asInstanceOf[graft.catalog.GraftScanBuilder]
+    val all = builder.prunedRelFiles.size
+    builder.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThan("k", "m")))
+    assert(all == 2 && builder.prunedRelFiles.size == 1,
+      s"disjoint-prefix pruning: $all -> ${builder.prunedRelFiles.size}")
+  }
 }

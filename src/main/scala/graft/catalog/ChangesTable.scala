@@ -636,12 +636,14 @@ private[graft] object ChangesTable {
         .map { case (rel, rows) => rel -> rows.map(_.getLong(1)).toSet }
     }
 
-  private def wholeFilePartition(s: SparkSession, dataDir: String,
-                                 rel: String, idx: Int): InputPartition = {
+  // length arrives from the manifest layer's memoized cache
+  // (ManifestFileIndex.lengthsFor) — a per-file driver getFileStatus
+  // here was the r7 scale finding (position-CDC planning over a step
+  // with many dirty files would serialize one NameNode RPC per file)
+  private def wholeFilePartition(dataDir: String,
+                                 rel: String, idx: Int,
+                                 len: Long): InputPartition = {
     val abs = s"$dataDir/$rel"
-    val p = new org.apache.hadoop.fs.Path(abs)
-    val len = p.getFileSystem(s.sessionState.newHadoopConf())
-      .getFileStatus(p).getLen
     org.apache.spark.sql.execution.datasources.FilePartition(idx, Array(
       org.apache.spark.sql.execution.datasources.PartitionedFile(
         org.apache.spark.sql.catalyst.InternalRow.empty,
@@ -687,16 +689,21 @@ private[graft] object ChangesTable {
       else delegateScan(s, dataDir, removedClean, schema, options)
         .toBatch.planInputPartitions()
         .map(p => ChangeInputPartition(p, spec("delete")): InputPartition).toSeq
+    val maskedRels = diff.kept.filter(newPos.contains).sorted
+    // one memoized length lookup covers every whole-file partition of
+    // this step — zero filesystem metadata calls in the steady state
+    val lens = ManifestFileIndex.lengthsFor(s, dataDir,
+      removedDirty ++ maskedRels)
     val hardDirty = removedDirty.sorted.zipWithIndex.map { case (rel, i) =>
-      PosChangeInputPartition(wholeFilePartition(s, dataDir, rel, i),
+      PosChangeInputPartition(wholeFilePartition(dataDir, rel, i, lens(rel)),
         None, prevPos(rel), spec("delete")): InputPartition
     }
-    val masked = diff.kept.filter(newPos.contains).sorted.zipWithIndex
+    val masked = maskedRels.zipWithIndex
       .flatMap { case (rel, i) =>
         val emit = newPos(rel) -- prevPos.getOrElse(rel, Set.empty)
         if (emit.isEmpty) None
         else Some(PosChangeInputPartition(
-          wholeFilePartition(s, dataDir, rel, 1000000 + i),
+          wholeFilePartition(dataDir, rel, 1000000 + i, lens(rel)),
           Some(emit), Set.empty, spec("delete")): InputPartition)
       }
     inserts ++ hardClean ++ hardDirty ++ masked

@@ -683,9 +683,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             val kv = PartitionDirs.kvs(f)
             partition.forall { case (k, v) => kv.get(k).contains(v) }
           }
-          require(inPartition.nonEmpty,
-            s"no files of ${ident.name} match partition " +
-              partition.map { case (k, v) => s"$k=$v" }.mkString(","))
+          // empty table or a pure smaller_than sweep with nothing to
+          // match: a maintenance-schedule no-op, never an error — the
+          // require is reserved for an EXPLICIT partition scope that
+          // matches nothing (r7 advice)
+          if (inPartition.isEmpty) {
+            require(partition.isEmpty,
+              s"no files of ${ident.name} match partition " +
+                partition.map { case (k, v) => s"$k=$v" }.mkString(","))
+            return base
+          }
           // small-file scope: bin-pack ONLY the fragments (streaming
           // epochs, tiny upserts); already-right-sized files keep their
           // paths, stats, and sort-stamp. Lengths come from the

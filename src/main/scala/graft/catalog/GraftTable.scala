@@ -57,9 +57,18 @@ object GraftTable {
     * which plain `spark.read.parquet` schemas never do. Delegate scans
     * (every table/changelog scan) pass the key as a true per-read
     * option instead — [[fieldIdOptions]] — so they stay correct even in
-    * sessions that never touched this path. */
+    * sessions that never touched this path.
+    *
+    * A session that EXPLICITLY set the key to false is honored (never
+    * silently overridden — r7 advice): keys then resolve by NAME,
+    * which is identical unless a key column was renamed after its
+    * delete files were written. The lazy enable applies only when the
+    * session never touched the key. */
   private[catalog] def idReader(s: SparkSession): org.apache.spark.sql.DataFrameReader = {
-    if (!s.conf.get(FieldIdReadKey, "false").toBoolean)
+    val sc = s.sessionState.conf
+    val explicitlyOff =
+      sc.contains(FieldIdReadKey) && !sc.getConfString(FieldIdReadKey).toBoolean
+    if (!explicitlyOff && !s.conf.get(FieldIdReadKey, "false").toBoolean)
       s.conf.set(FieldIdReadKey, "true")
     s.read.option(FieldIdReadKey, "true")
   }
@@ -1597,17 +1606,22 @@ private[graft] class GraftScanBuilder(
           case None => morScanFor(rels)
           case Some(pairs) =>
             val byKey = pairs.groupBy(_._1)
-            // driver planning stats each group's files directly (the
             // KeyedScan builds FilePartitions itself — no per-group
-            // table/file-index setup); past this many groups even the
-            // stat pass outweighs the one exchange SPJ saves
+            // table/file-index setup; past this many groups even that
+            // planning pass outweighs the one exchange SPJ saves
             if (byKey.size > 4096) return morScanFor(rels)
+            // one memoized length lookup for the whole file list —
+            // steady-state SPJ planning performs zero filesystem
+            // metadata calls (the engine-wide invariant; a per-file
+            // driver stat here was the r7 scale finding)
+            val lens = ManifestFileIndex.lengthsFor(SparkSession.active,
+              dataDir, pairs.map(_._2))
             val groups = byKey.toSeq
               .sortBy(_._2.head._2) // deterministic plan order
               .map { case (key, prs) =>
                 (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                    key.toArray),
-                 prs.map(p => s"$dataDir/${p._2}"))
+                 prs.map(p => (s"$dataDir/${p._2}", lens(p._2))))
               }
             // report the declared sort order when EVERY group is exactly
             // one file, proven sorted under the CURRENT order by its
@@ -1618,12 +1632,9 @@ private[graft] class GraftScanBuilder(
             val ordering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
               if (declaredOrdering.nonEmpty && byKey.valuesIterator.forall(_.size == 1)
                   && pairs.forall(p => sortedRels(p._2))) {
-                val spark = SparkSession.active
                 val maxSplit = math.max(1L,
-                  spark.sessionState.conf.filesMaxPartitionBytes)
-                val lens = ManifestFileIndex.statusesFor(spark, dataDir,
-                  pairs.map(_._2)).map(_.getLen)
-                if (lens.forall(_ <= maxSplit)) declaredOrdering
+                  SparkSession.active.sessionState.conf.filesMaxPartitionBytes)
+                if (lens.valuesIterator.forall(_ <= maxSplit)) declaredOrdering
                 else Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
               } else Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
             new KeyedScan(delegateScanFor(rels), groups, fields.map(_._2).toArray,

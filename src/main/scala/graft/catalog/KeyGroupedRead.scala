@@ -218,14 +218,18 @@ private[graft] class KeyedReaderFactory(delegate: PartitionReaderFactory)
   * full-file-list delegate (same files, same answers), so broadcast
   * decisions and vectorization are untouched. Batch planning builds
   * each group's FilePartitions DIRECTLY from the group's file list —
-  * one fs stat per file — instead of constructing a parquet
-  * table + file index per group (at thousands of key groups that setup
-  * dominates driver planning time). Files are byte-range-split and
-  * bin-packed at `spark.sql.files.maxPartitionBytes`, mirroring the
-  * file-source's own partitioning. */
+  * lengths arrive pre-resolved from the manifest layer's memoized
+  * cache ([[ManifestFileIndex.lengthsFor]]), so planning performs ZERO
+  * filesystem metadata calls (a per-file driver stat here would be
+  * ~80k NameNode RPCs per query on a 100 TB 8-bucket table) — instead
+  * of constructing a parquet table + file index per group (at
+  * thousands of key groups that setup dominates driver planning time).
+  * Files are byte-range-split and bin-packed at
+  * `spark.sql.files.maxPartitionBytes`, mirroring the file-source's
+  * own partitioning. */
 private[graft] class KeyedScan(
     full: Scan,
-    groups: Seq[(GenericInternalRow, Seq[String])], // key → ABSOLUTE paths
+    groups: Seq[(GenericInternalRow, Seq[(String, Long)])], // key → (ABSOLUTE path, length)
     keyExprs: Array[V2Expression],
     // non-empty ONLY when the builder proved every group is a single
     // sorted single-partition file (see GraftScanBuilder.keyedScanFor):
@@ -261,12 +265,9 @@ private[graft] class KeyedScan(
     override def planInputPartitions(): Array[InputPartition] = {
       import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
       val spark = org.apache.spark.sql.SparkSession.active
-      val hconf = spark.sessionState.newHadoopConf()
       val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
       groups.iterator.flatMap { case (key, paths) =>
-        val chunks = paths.flatMap { abs =>
-          val p = new org.apache.hadoop.fs.Path(abs)
-          val len = p.getFileSystem(hconf).getFileStatus(p).getLen
+        val chunks = paths.flatMap { case (abs, len) =>
           (0L until math.max(len, 1L) by maxSplit).map { start =>
             PartitionedFile(InternalRow.empty,
               org.apache.spark.paths.SparkPath.fromPathString(abs),

@@ -72,15 +72,26 @@ private[graft] object Procedures {
           case "" => None
           case v =>
             val m = "(?i)^(\\d+)\\s*([kmg]?)b?$".r
+            def malformed(): Nothing = throw new IllegalArgumentException(
+              s"smaller_than must be a positive byte count (optionally " +
+                s"k/m/g-suffixed), got '$v'")
             v match {
               case m(digits, suffix) =>
                 val shift = suffix.toLowerCase match {
                   case "" => 0; case "k" => 10; case "m" => 20; case "g" => 30
                 }
-                Some(digits.toLong << shift)
-              case other => throw new IllegalArgumentException(
-                s"smaller_than must be a byte count (optionally k/m/g-" +
-                  s"suffixed), got '$other'")
+                // overflow-safe: '99999999999999999g' must reject, not
+                // silently become a negative threshold (r7 advice);
+                // >19-digit inputs get the same message, not a raw NFE
+                val base = try digits.toLong catch {
+                  case _: NumberFormatException => malformed()
+                }
+                try {
+                  val bytes = Math.multiplyExact(base, 1L << shift)
+                  if (bytes <= 0L) malformed()
+                  Some(bytes)
+                } catch { case _: ArithmeticException => malformed() }
+              case _ => malformed()
             }
         }
         val ident0 = identOf(in.getUTF8String(0))

@@ -575,4 +575,38 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"streamed paired changelog diverged: $got")
     } finally q.stop()
   }
+
+  test("position-CDC planning stats no data files (memoized lengths)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.poscnt")
+    spark.sql("DROP TABLE IF EXISTS graft.poscnt.t")
+    spark.sql("""CREATE TABLE graft.poscnt.t (k INT, v STRING)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.poscnt.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("INSERT INTO graft.poscnt.t VALUES (4,'d'),(5,'e')")
+    // masks kept files in BOTH commits → whole-file partitions for each
+    spark.sql("DELETE FROM graft.poscnt.t WHERE k IN (2, 4)")
+    val dataFiles = spark.sql(
+      "SELECT file FROM graft.poscnt.`t$files` WHERE content = 'data'")
+      .collect().map(_.getString(0))
+    assert(dataFiles.nonEmpty)
+    // warm: a full changelog read resolves every data-file length into
+    // the manifest layer's memoized cache
+    assert(spark.read.table("graft.poscnt.`t$changes`").count() > 0)
+    CountingLocalFs.installed(spark) {
+      CountingLocalFs.reset()
+      val df = spark.read.table("graft.poscnt.`t$changes`")
+      val batches = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch
+      }
+      assert(batches.nonEmpty)
+      batches.foreach(_.planInputPartitions())
+      // planning may read DELETE files (budget-bounded posMapOf) but
+      // must never stat a DATA file — lengths come from the cache
+      val touched = CountingLocalFs.statPaths ++ CountingLocalFs.listPaths
+      val bad = touched.filter(p => dataFiles.exists(p.endsWith))
+      assert(bad.isEmpty,
+        s"position-CDC planning touched data files (r7 finding): $bad")
+    }
+  }
 }

@@ -300,6 +300,27 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq(1L), rows.toString)
   }
 
+  test("an explicitly-disabled field-id session conf is honored, not overridden") {
+    val key = "spark.sql.parquet.fieldId.read.enabled"
+    mkMorTable("fid", "t")
+    spark.sql("INSERT INTO mor.fid.t VALUES (1,'a',1.0),(2,'b',2.0)")
+    // the user EXPLICITLY disabled field-id reads: the delete-key read
+    // path must not silently flip the session conf back on (r7 advice);
+    // without renames, name-resolution reads the same keys
+    spark.conf.set(key, "false")
+    try {
+      spark.sql("DELETE FROM mor.fid.t WHERE id = 2")
+      val rows = spark.table("mor.fid.t").collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L), rows.toString)
+      assert(spark.conf.get(key) == "false",
+        "explicit false was overridden by the delete-key read path")
+    } finally spark.conf.unset(key)
+    // an untouched session still gets the lazy enable (rename safety)
+    spark.sql("DELETE FROM mor.fid.t WHERE id = 1")
+    assert(spark.table("mor.fid.t").count() == 0)
+    assert(spark.conf.get(key) == "true")
+  }
+
   test("stale MoR delta fails cleanly when another commit interleaves") {
     mkMorTable("race", "t")
     spark.sql("INSERT INTO mor.race.t VALUES (1,'a',1.0),(2,'b',2.0)")

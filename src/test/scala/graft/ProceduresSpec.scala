@@ -67,6 +67,34 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.proc.sf").count() == 20002)
   }
 
+  test("compact maintenance edges: empty no-op, overflow smaller_than rejected") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.empty (k INT)")
+    // empty table + smaller_than sweep: a maintenance-schedule no-op,
+    // not an error, and no commit
+    val res = spark.sql(
+      "CALL graft.system.compact(table => 'proc.empty', smaller_than => '64m')")
+      .collect()
+    assert(res.length == 1 && res(0).getInt(1) == 0, res.toSeq.toString)
+    // an EXPLICIT partition scope matching nothing still errors
+    val e = intercept[Exception] {
+      spark.sql(
+        "CALL graft.system.compact(table => 'proc.empty', partition => 'dt=zz')")
+        .collect()
+    }
+    assert(e.getMessage.contains("match partition"), e.getMessage)
+    // overflow: digits << shift would go negative — friendly rejection,
+    // never a silent no-op threshold
+    for (bad <- Seq("99999999999999999g", "999999999999999999999", "0", "0k")) {
+      val err = intercept[Exception] {
+        spark.sql("CALL graft.system.compact(table => 'proc.empty', " +
+          s"smaller_than => '$bad')").collect()
+      }
+      assert(err.getMessage.contains("smaller_than"),
+        s"'$bad': ${err.getMessage}")
+    }
+  }
+
   test("CALL create_branch / fast_forward / drop_ref run the WAP loop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
     spark.sql("CREATE TABLE graft.proc.w (k INT)")

@@ -135,6 +135,37 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.count() == want.size)
   }
 
+  test("steady-state SPJ planning performs zero filesystem metadata calls") {
+    setup()
+    def joined = spark.table("graft.spj.orders")
+      .join(spark.table("graft.spj.lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("l_extendedprice")).as("rev"))
+    // warm: the first plan resolves every committed file's length into
+    // the manifest layer's memoized cache (one listStatus per commit dir)
+    assert(joined.count() > 0)
+    // AQE would hide the scans behind AdaptiveSparkPlanExec until
+    // execution — planning-only inspection needs the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try CountingLocalFs.installed(spark) {
+      CountingLocalFs.reset()
+      val df = joined
+      val batches = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch
+      }
+      assert(batches.size == 2, "both sides must plan as DSv2 batch scans")
+      batches.foreach(b => assert(b.planInputPartitions().nonEmpty))
+      val stats = CountingLocalFs.statPaths
+      val lists = CountingLocalFs.listPaths
+      assert(stats.isEmpty && lists.isEmpty,
+        s"SPJ planning must not touch the filesystem (r7 finding: one " +
+          s"driver stat per file per query) — saw getFileStatus=$stats " +
+          s"listStatus=$lists")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("changing the declared order invalidates old sort stamps") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spjord")
     for (t <- Seq("x", "y")) {

@@ -47,8 +47,17 @@ object Changes {
     require(parts.length >= 3, s"expected catalog.namespace.table, got $ident")
     val store = s.sessionState.catalogManager.catalog(parts.head)
       .asInstanceOf[GraftCatalog].metadataStore
-    val ns = parts.tail.init.toSeq
-    val table = parts.last
+    windowFrame(s, store, parts.tail.init.toSeq, parts.last,
+      fromVersion, toVersion)
+  }
+
+  /** [[between]] addressed by store — the entry the
+    * [[ChangelogDeleteJoin]] rule reuses to swap an over-budget
+    * `t$changes` scan for this fully-distributed plan. */
+  private[graft] def windowFrame(s: SparkSession, store: MetaStore,
+                                 ns: Seq[String], table: String,
+                                 fromVersion: Int,
+                                 toVersion: Option[Int]): DataFrame = {
     val toV = toVersion.getOrElse(store.currentVersion(ns, table))
     require(fromVersion <= toV,
       s"changes-from $fromVersion is above changes-to $toV")
@@ -170,9 +179,18 @@ object Changes {
     val (posPrev, eqPrev) = diff.prevDeletes.partition(_.keyFieldIds.isEmpty)
     require((posNew ++ posPrev).isEmpty || (eqNew ++ eqPrev).isEmpty,
       s"version $v mixes equality and position delete files — compact first")
+    // broadcast-class key frames only under the byte budget: an
+    // over-budget step's frames join as plain joins instead (Catalyst/
+    // AQE picks shuffle-hash or sort-merge) — the distributed fallback
+    // that keeps a huge DELETE commit streamable through the feed
+    val overBudget = (diff.newDeletes ++ diff.prevDeletes)
+      .map(MergeOnRead.estBytes).sum >
+      MergeOnRead.byteBudget(meta.properties)
+    def hint(df: DataFrame): DataFrame = if (overBudget) df else broadcast(df)
+
     if ((posNew ++ posPrev).nonEmpty)
       return positionStepChanges(s, diff, posNew, posPrev, v, schema,
-        readRels, stamped, dataDir)
+        readRels, stamped, dataDir, hint)
 
     def keysOf(ids: List[Int], dfs: Seq[graft.meta.DeleteFileDef])
         : (Seq[String], DataFrame) = {
@@ -197,7 +215,7 @@ object Changes {
           dels.groupBy(_.keyFieldIds).toSeq.sortBy(_._1.mkString(","))
             .foldLeft(readRels(fs, schema)) { case (acc, (ids, dfs)) =>
               val (names, keys) = keysOf(ids, dfs)
-              acc.join(broadcast(keys), names, "left_anti")
+              acc.join(hint(keys), names, "left_anti")
             }
         }.reduce(_ unionByName _)
 
@@ -241,12 +259,12 @@ object Changes {
       var ins = inserted
       val delSides = delGroups.zipWithIndex.map { case ((ids, dfs), gi) =>
         val (names, delKeys) = keysOf(ids, dfs)
-        val masked = prior.join(broadcast(delKeys), names, "leftsemi")
+        val masked = prior.join(hint(delKeys), names, "leftsemi")
         // key re-inserted in the same commit → update pair, else delete
         val insKeys = ins.map(_.select(names.map(col).toSeq: _*).distinct())
         val delMarked = insKeys match {
           case Some(ik) =>
-            masked.join(broadcast(ik.withColumn("__re", lit(true))), names, "left")
+            masked.join(hint(ik.withColumn("__re", lit(true))), names, "left")
               .withColumn("_ct",
                 when(col("__re"), "update_preimage").otherwise("delete"))
               .drop("__re")
@@ -257,7 +275,7 @@ object Changes {
         // nothing (the upsert sink's not-matched path) stays 'insert'
         val preKeys = masked.select(names.map(col).toSeq: _*).distinct()
         ins = ins.map(_.join(
-          broadcast(preKeys.withColumn(s"__upd$gi", lit(true))), names, "left"))
+          hint(preKeys.withColumn(s"__upd$gi", lit(true))), names, "left"))
         delMarked.select((schema.fieldNames.map(col) :+ col("_ct")).toSeq: _*)
       }
       // a row masked by two key-set groups collapses to one change row;
@@ -306,8 +324,9 @@ object Changes {
     * delete frames through Spark's split-safe `_metadata.row_index` —
     * a removed file's still-live rows (anti-join prior positions) emit
     * as deletes, and kept files the commit marked emit exactly the
-    * newly-dead positions (semi-join new, anti-join prior). The frames
-    * are budget-bounded — broadcast. No pairing: a keyless table has no
+    * newly-dead positions (semi-join new, anti-join prior). Frames
+    * under the byte budget join broadcast; over it they join plain —
+    * the distributed fallback. No pairing: a keyless table has no
     * identity to pair an update through. */
   private def positionStepChanges(
       s: SparkSession,
@@ -317,7 +336,8 @@ object Changes {
       v: Int, schema: StructType,
       readRels: (Seq[String], StructType) => DataFrame,
       stamped: (DataFrame, String, Int) => DataFrame,
-      dataDir: String): Seq[DataFrame] = {
+      dataDir: String,
+      hint: DataFrame => DataFrame): Seq[DataFrame] = {
     val posSchema = StructType(Seq(StructField("file", StringType),
       StructField("pos", org.apache.spark.sql.types.LongType)))
     def frame(dfs: Seq[graft.meta.DeleteFileDef]): Option[DataFrame] =
@@ -338,7 +358,7 @@ object Changes {
           col("_metadata.row_index").as("__pos"))
     def antiPrev(df: DataFrame): DataFrame = prevF match {
       case None => df
-      case Some(p) => df.join(broadcast(p),
+      case Some(p) => df.join(hint(p),
         df("__file") === p("file") && df("__pos") === p("pos"), "left_anti")
     }
 
@@ -355,7 +375,7 @@ object Changes {
       if (cands.isEmpty) None
       else {
         val withMeta = withPos(cands)
-        Some(antiPrev(withMeta.join(broadcast(nf),
+        Some(antiPrev(withMeta.join(hint(nf),
           withMeta("__file") === nf("file") && withMeta("__pos") === nf("pos"),
           "leftsemi")))
       }

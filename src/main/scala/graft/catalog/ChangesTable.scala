@@ -496,7 +496,9 @@ private[graft] object ChangesTable {
     val budget = MergeOnRead.byteBudget(meta.properties)
     require(liveBytes <= budget,
       s"version $v carries $liveBytes bytes of live delete files — over " +
-        s"the changelog budget ($budget); compact the table first")
+        s"the changelog budget ($budget); batch reads plan a distributed " +
+        "join when graft.functions.GraftExtensions is installed " +
+        "(spark.sql.extensions); for streaming, compact the table first")
 
     def pred(df: graft.meta.DeleteFileDef): MorPredicate =
       predicateOf(s, dataDir, schema, keyCache, df)
@@ -669,7 +671,9 @@ private[graft] object ChangesTable {
     val budget = MergeOnRead.byteBudget(props)
     require(liveBytes <= budget,
       s"version $v carries $liveBytes bytes of live position-delete files " +
-        s"— over the changelog budget ($budget); compact the table first")
+        s"— over the changelog budget ($budget); batch reads plan a " +
+        "distributed join when graft.functions.GraftExtensions is installed " +
+        "(spark.sql.extensions); for streaming, compact the table first")
     val newPos = posMapOf(s, dataDir, posNew)
     val prevPos = posMapOf(s, dataDir, posPrev)
     val colTypes = schema.fields.map(_.dataType)
@@ -849,9 +853,12 @@ private[graft] class ChangeEmittingReader(
   override def close(): Unit = delegate.close()
 }
 
-/** The `t$changes` DSv2 table itself. */
+/** The `t$changes` DSv2 table itself. (Coordinates are exposed so the
+  * [[ChangelogDeleteJoin]] rule can re-plan an over-budget window as
+  * the distributed batch feed.) */
 private[graft] class GraftChangesTable(
-    tableName: String, store: MetaStore, ns: Seq[String], table: String)
+    tableName: String, val store: MetaStore,
+    val ns: Seq[String], val table: String)
   extends Table with SupportsRead {
 
   private def baseSchema: StructType = {

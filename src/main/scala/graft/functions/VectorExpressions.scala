@@ -115,5 +115,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[L2NormF].getName, "graft_l2norm"),
       (es: Seq[Expression]) => L2NormF(es.head)))
     e.injectOptimizerRule(_ => graft.catalog.MorDeleteJoin)
+    e.injectOptimizerRule(_ => graft.catalog.ChangelogDeleteJoin)
   }
 }

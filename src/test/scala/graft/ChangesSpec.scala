@@ -22,6 +22,7 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     .config("spark.sql.catalog.graft.warehouse", wh)
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -574,6 +575,94 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
         (1, "a", "update_preimage"), (1, "A", "update_postimage")),
         s"streamed paired changelog diverged: $got")
     } finally q.stop()
+  }
+
+  test("over-budget delete commits flow through the changelog as a distributed join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bigcdc")
+    spark.sql("DROP TABLE IF EXISTS graft.bigcdc.t")
+    // a 1-byte budget marks EVERY delete commit over the changelog
+    // budget — the ChangelogDeleteJoin rule must take over instead of
+    // the scan surface's driver key collect (which would refuse)
+    spark.sql("""CREATE TABLE graft.bigcdc.t (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('identifier-fields' = 'k',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'read.delete.byte-budget' = '1')""")
+    spark.sql("INSERT INTO graft.bigcdc.t VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    spark.sql("DELETE FROM graft.bigcdc.t WHERE k IN (2, 4)")
+    // same-commit mask + re-insert: exercises the pairing labels
+    spark.sql("UPDATE graft.bigcdc.t SET v = 'C' WHERE k = 3")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+        .toSet
+    val api = rows(Changes.between(spark, "graft.bigcdc.t", 0))
+    assert(api.exists(_._3 == "update_preimage"), api.toString)
+
+    // raw scan surface = batch feed with pairing labels mapped back
+    val raw = spark.read.table("graft.bigcdc.`t$changes`")
+    val got = rows(raw)
+    val want = api.map {
+      case (k, v, "update_preimage", ver) => (k, v, "delete", ver)
+      case (k, v, "update_postimage", ver) => (k, v, "insert", ver)
+      case other => other
+    }
+    assert(got == want, s"missing ${want -- got}, invented ${got -- want}")
+    // paired scan surface = batch feed exactly
+    val paired = rows(spark.read.option("pair-updates", "true")
+      .table("graft.bigcdc.`t$changes`"))
+    assert(paired == api, s"missing ${api -- paired}, invented ${paired -- api}")
+    // the relation was rewritten: joins in the plan, no changes scan
+    val plan = raw.queryExecution.optimizedPlan
+    assert(plan.collect { case j: LJoin => j }.nonEmpty,
+      s"expected the distributed-join rewrite:\n$plan")
+    val scans = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[graft.catalog.GraftChangesTable] => r
+    }
+    assert(scans.isEmpty, "over-budget window must not keep the key-collect scan")
+  }
+
+  test("changelog windows span an identifier-fields flavor change") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.flipcdc")
+    spark.sql("DROP TABLE IF EXISTS graft.flipcdc.t")
+    spark.sql("""CREATE TABLE graft.flipcdc.t (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql("INSERT INTO graft.flipcdc.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    val vIns = version2("flipcdc", "t")
+    spark.sql("DELETE FROM graft.flipcdc.t WHERE k = 2") // position marks
+    val vPos = version2("flipcdc", "t")
+    // the catalog refuses the flip while position marks are live (the
+    // evolution guard that keeps every step single-flavor)…
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft.flipcdc.t SET TBLPROPERTIES('identifier-fields'='k')")
+    }
+    assert(e.getMessage.contains("compact first"), e.getMessage)
+    // …so the legal path is compact → flip → keyed DML
+    spark.sql("CALL graft.system.compact('flipcdc.t')")
+    spark.sql(
+      "ALTER TABLE graft.flipcdc.t SET TBLPROPERTIES('identifier-fields'='k')")
+    spark.sql("DELETE FROM graft.flipcdc.t WHERE k = 3") // equality delete
+    val vEq = version2("flipcdc", "t")
+
+    def feed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+        .toSet
+    val want = Set(
+      (1, "a", "insert", vIns), (2, "b", "insert", vIns), (3, "c", "insert", vIns),
+      (2, "b", "delete", vPos), // position step
+      (3, "c", "delete", vEq))  // equality step, past the flavor change
+    val api = feed(Changes.between(spark, "graft.flipcdc.t", 0))
+    val tab = feed(spark.read.table("graft.flipcdc.`t$changes`"))
+    assert(api == want, s"missing ${want -- api}, invented ${api -- want}")
+    assert(tab == want, s"missing ${want -- tab}, invented ${tab -- want}")
+    assert(spark.table("graft.flipcdc.t").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
   test("position-CDC planning stats no data files (memoized lengths)") {

@@ -443,7 +443,13 @@ object Dedup {
     * and at 100 TB this is the standard alternating-join CC, all
     * equi-joins on doc ids). Output: every clustered doc with its
     * cluster representative (min doc_id) and the keep decision.
-    * Rows-only oracle (derived from the LSH pair set). */
+    *
+    * Oracle-checked ([[q67Sql]]): the corpus's near-dup pairs all sit
+    * at J ≥ 0.9, where 16-band/4-row LSH recall is 1 − (1−0.9⁴)¹⁶ ≈
+    * 1 − 4e-8 — so the LSH candidate set provably equals the exact
+    * all-pairs set here, and DuckDB replays it as exact trigram Jaccard
+    * plus a WITH RECURSIVE min-label propagation. A missed pair or a
+    * wrong cluster representative fails the hash. */
   def q67DedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = q52MinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
     // undirected edges both ways; materialized once — each propagation
@@ -612,11 +618,44 @@ object Dedup {
     "q93_incremental_dedup" -> q93IncrementalDedup _,
   )
 
+  /** DuckDB replay of q67: exact word-trigram Jaccard over ALL pairs
+    * (no LSH — sound because every corpus near-dup pair is J ≥ 0.9,
+    * where the banding's recall is ~1; see [[q67DedupClusters]]), then
+    * connected components as a recursive min-label closure: a node's
+    * label set is everything reachable, and MIN over it is the
+    * component representative. Trigram strings stand in for the 64-bit
+    * hashed shingles — Jaccard is equal modulo collisions (the q54
+    * precedent). */
+  val q67Sql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS grams
+      |  FROM w),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+      |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5),
+      |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+      |      UNION ALL SELECT doc_b AS s, doc_a AS d FROM p),
+      |cc AS (
+      |  SELECT DISTINCT s AS doc_id, s AS label FROM e
+      |  UNION
+      |  SELECT e.d AS doc_id, cc.label FROM cc JOIN e ON cc.doc_id = e.s
+      |)
+      |SELECT doc_id, MIN(label) AS cluster_rep, (doc_id = MIN(label)) AS keep
+      |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact"   -> q50Sql,
     "q51_dedup_norm"    -> q51Sql,
     "q54_ngram_jaccard" -> q54Sql,
     "q79_decontaminate" -> q79Sql,
+    "q67_dedup_clusters" -> q67Sql,
     // q52/q53: LSH banding / signature hashing are engine-specific →
     // rows-only checks.
   )

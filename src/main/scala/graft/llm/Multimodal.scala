@@ -196,10 +196,41 @@ object Multimodal {
     "q65_multimodal_frames" -> q65MultimodalFrames _,
   )
 
+  /** DuckDB replay of the q63 stub decoder: the UTF-8 byte stream is
+    * recovered as `hex(encode(text))` and folded two hex chars at a
+    * time with HUGEINT arithmetic mod 2^64 (Java's long wraps; DuckDB's
+    * BIGINT errors on overflow), then mapped back to the signed value.
+    * Width/height replay Java's truncating division via
+    * `(cs - cs % 961) / 961` (DuckDB `//` floors, which differs on
+    * negatives). The corpus holds no 'P5 ' payloads, so the Netpbm
+    * branch never fires — the fold IS the decode on this data. */
+  val q63Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb, hex(encode(text)) AS hx
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, nb,
+      |    list_reduce(
+      |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |        list_transform(range(0, CAST(nb AS INTEGER)),
+      |          i -> CAST(CAST(concat('0x', hx[i*2+1:i*2+2]) AS INTEGER) AS HUGEINT))),
+      |      (a, c) -> (a * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS cs_u
+      |  FROM h),
+      |s AS (
+      |  SELECT doc_id, nb,
+      |    CASE WHEN cs_u >= CAST('9223372036854775808' AS HUGEINT)
+      |         THEN CAST(cs_u - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+      |         ELSE CAST(cs_u AS BIGINT) END AS cs
+      |  FROM f)
+      |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+      |  CAST(64 + abs(cs % 961) AS INTEGER) AS width,
+      |  CAST(64 + abs(((cs - (cs % 961)) // 961) % 961) AS INTEGER) AS height,
+      |  cs AS checksum
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q62_multimodal_meta"   -> q62Sql,
     "q65_multimodal_frames" -> q65Sql,
-    // q63: stubbed byte-level decoder features → rows-only (byte folds
-    // over multi-byte text aren't replayable from SQL's codepoint view).
+    "q63_multimodal_decode" -> q63Sql,
   )
 }

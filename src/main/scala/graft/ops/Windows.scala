@@ -240,14 +240,34 @@ object Windows {
     """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** approx_count_distinct (HLL++) — no DuckDB oracle (estimator differs);
-    * driver records rows-only. The 100 TB answer to COUNT(DISTINCT). */
+  /** approx_count_distinct (HLL++, default 5% rsd) gated against the
+    * exact distincts: the output carries the exact counts plus booleans
+    * asserting each estimate sits within 3 standard errors (15%) — the
+    * shape that makes an approximate operator oracle-checkable (DuckDB
+    * replays the exact side and the literal TRUEs; a drifting estimator
+    * flips a boolean and fails the hash). The estimates themselves stay
+    * out of the output — they are engine-specific by construction. The
+    * 100 TB answer to COUNT(DISTINCT). */
   def q30ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts") * 0.15).as("parts_within_bound"),
+        (abs(col("ao") - col("exact_orders")) <=
+          col("exact_orders") * 0.15).as("orders_within_bound"))
       .orderBy(col("l_returnflag"))
+
+  val q30Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS parts_within_bound, TRUE AS orders_within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** UNION ALL of two keyed projections, re-aggregated. */
   def q31UnionAll(s: SparkSession, dir: String): DataFrame = {
@@ -398,6 +418,8 @@ object Windows {
     "q31_union_all"      -> q31Sql,
     "q32_intersect"      -> q32Sql,
     "q33_except_all"     -> q33Sql,
-    // q30_approx_distinct: estimator-specific, rows-only check.
+    // q30 is oracle-checked via the error-bound gate: exact counts and
+    // literal TRUEs replay in SQL; the estimates stay out of the output
+    "q30_approx_distinct" -> q30Sql,
   )
 }

@@ -208,6 +208,35 @@ object AnnIndex {
     } finally delta.unpersist()
   }
 
+  /** Drop index rows whose vectors have LEFT the corpus (deletes,
+    * overwrites). Search results were already correct without this —
+    * both searches re-join the corpus payload by id, so a stale index
+    * entry matches nothing — but on a churning corpus stale cells and
+    * buckets accumulate probe cost forever; vacuum reclaims it.
+    *
+    * Exact by construction: the live-id frame is the CURRENT corpus id
+    * set (ids only — at 100 TB an ids-only corpus scan plus two
+    * merge-deletes is a maintenance-schedule cost, same class as
+    * compaction), applied per index table as
+    * `MERGE … WHEN NOT MATCHED BY SOURCE THEN DELETE`. A changes-delta
+    * walk would be cheaper per run, but a CoW rewrite or overwrite
+    * makes delete deltas file-granular; the anti-match misses nothing
+    * regardless of history shape. Returns index rows removed. */
+  def vacuum(s: SparkSession, corpusFqn: String, prefix: String): Long = {
+    val view = "graft_ann_live_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    s.table(corpusFqn).select(col("vec_id").cast("bigint").as("vec_id"))
+      .createOrReplaceTempView(view)
+    try Seq("ivf_cells", "lsh_buckets").map { t =>
+      val fqn = s"$prefix.$t"
+      val before = s.table(fqn).count()
+      s.sql(s"MERGE INTO $fqn i USING $view l ON i.vec_id = l.vec_id " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      before - s.table(fqn).count()
+    }.sum
+    finally s.catalog.dropTempView(view)
+  }
+
   /** Build all index tables from an explicit corpus frame; `stamp`
     * threads the corpus version into the ivf_cells commit summary. */
   private def buildFrom(s: SparkSession, corpus: DataFrame, prefix: String,

@@ -107,4 +107,30 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a second refresh with no new commits is a no-op
     assert(AnnIndex.refresh(spark, "ann_a.corp.vecs", "ann_a.inc") == 0L)
   }
+
+  test("vacuum drops index entries for deleted vectors, searches stay sane") {
+    import spark.implicits._
+    // continues the refresh test's state: corpus n0+2, index covers all
+    val n0 = spark.table("ann_a.corp.vecs").count() - 2
+    spark.sql("DELETE FROM ann_a.corp.vecs WHERE vec_id >= 900001")
+
+    // results were already correct pre-vacuum (payload re-join by id)…
+    val corpus = spark.table("ann_a.corp.vecs")
+    def top1(df: org.apache.spark.sql.DataFrame): Long =
+      df.where($"qid" === 0L && $"rn" === 1).head.getLong(1)
+    assert(top1(Similarity.ivfSearch(spark, corpus, "ann_a.inc")) != 900001L)
+
+    // …vacuum reclaims the stale probe entries
+    val removed = AnnIndex.vacuum(spark, "ann_a.corp.vecs", "ann_a.inc")
+    assert(removed == 2L + 2L * AnnIndex.LshSeeds.length,
+      s"expected 2 cells + ${2 * AnnIndex.LshSeeds.length} buckets, got $removed")
+    assert(spark.table("ann_a.inc.ivf_cells").count() == n0)
+    assert(spark.table("ann_a.inc.lsh_buckets")
+      .where($"vec_id" >= 900001L).count() == 0L)
+    // searches still function on the vacuumed index
+    assert(top1(Similarity.ivfSearch(spark, corpus, "ann_a.inc")) != 900001L)
+    assert(top1(Similarity.lshSearch(spark, corpus, "ann_a.inc")) != 900001L)
+    // idempotent: a second vacuum removes nothing
+    assert(AnnIndex.vacuum(spark, "ann_a.corp.vecs", "ann_a.inc") == 0L)
+  }
 }

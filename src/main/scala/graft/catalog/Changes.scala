@@ -71,10 +71,37 @@ object Changes {
     // rename must serve the renamed column, and delete-key files resolve
     // by id. Reads touching IMPORTED (id-less) files request by name —
     // sound under the add_files rename guards (SchemaBridge.stripFieldIds)
+    val identCols: Seq[String] = metaTo.specs
+      .find(_.specId == metaTo.defaultSpecId).map(_.fields).getOrElse(Nil)
+      .filter(_.transform == "identity")
+      .flatMap(f => SchemaBridge.idNames(metaTo.currentSchema).get(f.sourceId))
     def readRels(rels: Seq[String], readSchema: StructType = schema): DataFrame = {
-      val rs = if (rels.exists(GraftTable.isImportedRel))
-        SchemaBridge.stripFieldIds(readSchema) else readSchema
-      GraftTable.idReader(s).schema(rs).parquet(rels.map(r => s"$dataDir/$r"): _*)
+      def read1(rs0: Seq[String]): DataFrame = {
+        val rs = if (rs0.exists(GraftTable.isImportedRel))
+          SchemaBridge.stripFieldIds(readSchema) else readSchema
+        GraftTable.idReader(s).schema(rs).parquet(rs0.map(r => s"$dataDir/$r"): _*)
+      }
+      // hive-imported partitioned files serve identity columns from
+      // their dirs (the footers don't hold them): read per dir group
+      // and patch the constants — the batch twin of the scan surface's
+      // ChangeSpec overlay
+      val overlayable = identCols.filter(readSchema.fieldNames.contains)
+      if (overlayable.isEmpty || !rels.exists(GraftTable.isImportedRel))
+        return read1(rels)
+      rels.groupBy { r =>
+          if (!GraftTable.isImportedRel(r)) Map.empty[String, String]
+          else PartitionDirs.kvs(r).view
+            .filterKeys(overlayable.contains).toMap
+        }.toSeq.sortBy(_._2.headOption.getOrElse(""))
+        .map { case (kvs, rs0) =>
+          kvs.foldLeft(read1(rs0)) { case (df, (c, v)) =>
+            val dt = readSchema.fields(readSchema.fieldIndex(c)).dataType
+            val lit0 = if (v == org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) lit(null)
+              else lit(v)
+            df.withColumn(c, lit0.cast(dt))
+          }
+        }.reduce(_ unionByName _)
     }
 
     val outSchema = StructType(schema.fields ++ Seq(

@@ -510,17 +510,33 @@ private[graft] object ChangesTable {
     def priorApplicable(rel: String): Seq[MorPredicate] =
       priorApplicableDefs(rel).map(pred)
 
+    // hive-imported partitioned files serve identity columns from
+    // their dirs (never the footers) — sub-split every file group by
+    // its overlay constants so one partition never mixes values
+    val identCols: Seq[String] = meta.specs
+      .find(_.specId == meta.defaultSpecId).map(_.fields).getOrElse(Nil)
+      .filter(_.transform == "identity")
+      .flatMap(f => graft.meta.SchemaBridge.idNames(meta.currentSchema)
+        .get(f.sourceId))
+    def overlayFor(rel: String): Seq[(Int, Any)] =
+      if (identCols.isEmpty || !GraftTable.isImportedRel(rel)) Nil
+      else ImportOverlay.constsFor(rel, schema, identCols)
+
     def group(groups: Seq[(Seq[MorPredicate], Seq[String])], label: String,
               matchAny: Seq[MorPredicate],
               pairWith: Seq[MorPredicate] = Nil, pairLabel: String = "")
         : Seq[InputPartition] =
       groups.sortBy(_._2.headOption.getOrElse(""))
         .flatMap { case (subtract, fs) =>
-          val spec = ChangeSpec(matchAny, subtract, label, v,
-            schema.fields.map(_.dataType), pairWith, pairLabel)
-          delegateScan(s, dataDir, fs, schema, options)
-            .toBatch.planInputPartitions()
-            .map(p => ChangeInputPartition(p, spec): InputPartition)
+          fs.groupBy(overlayFor).toSeq
+            .sortBy(_._2.headOption.getOrElse(""))
+            .flatMap { case (ovr, gfs) =>
+              val spec = ChangeSpec(matchAny, subtract, label, v,
+                schema.fields.map(_.dataType), pairWith, pairLabel, ovr)
+              delegateScan(s, dataDir, gfs, schema, options)
+                .toBatch.planInputPartitions()
+                .map(p => ChangeInputPartition(p, spec): InputPartition)
+            }
         }
 
     // key-stats pruning: only kept files whose identifier [min,max] can
@@ -725,7 +741,11 @@ private[graft] final case class ChangeSpec(
     label: String, version: Int,
     colTypes: Array[DataType],
     pairWith: Seq[MorPredicate] = Nil,
-    pairLabel: String = "") extends Serializable
+    pairLabel: String = "",
+    // identity-column constants for hive-imported partitioned files
+    // (ordinal → internal value): the dirs hold the value, the footers
+    // do not — same authority as ImportOverlay on the data scan
+    overlay: Seq[(Int, Any)] = Nil) extends Serializable
 
 private[graft] final case class ChangeInputPartition(
     delegate: InputPartition, spec: ChangeSpec) extends InputPartition {
@@ -816,12 +836,16 @@ private[graft] class ChangeEmittingReader(
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection}
 
   private var current: InternalRow = _
-  private def mkProj(label: String) = UnsafeProjection.create(
-    spec.colTypes.zipWithIndex.map { case (dt, i) =>
-      BoundReference(i, dt, nullable = true): Expression
-    }.toSeq ++ Seq(
-      Literal(UTF8String.fromString(label), StringType): Expression,
-      Literal(spec.version, IntegerType): Expression))
+  private def mkProj(label: String) = {
+    val byOrd = spec.overlay.toMap
+    UnsafeProjection.create(
+      spec.colTypes.zipWithIndex.map { case (dt, i) =>
+        byOrd.get(i).map(v => Literal(v, dt): Expression)
+          .getOrElse(BoundReference(i, dt, nullable = true): Expression)
+      }.toSeq ++ Seq(
+        Literal(UTF8String.fromString(label), StringType): Expression,
+        Literal(spec.version, IntegerType): Expression))
+  }
   private lazy val proj = mkProj(spec.label)
   private lazy val pairProj = mkProj(spec.pairLabel)
 

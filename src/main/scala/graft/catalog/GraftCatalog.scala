@@ -472,17 +472,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * id resolution, which cannot coexist with name-only files in one
     * request), and (b) column renames refuse while imported files
     * remain in retained history (compact + expire lifts this — the
-    * rewrite stamps ids into everything). Partitioned tables refuse:
-    * imported files carry no partition dirs for replay pruning.
+    * rewrite stamps ids into everything).
+    *
+    * PARTITIONED tables import hive layouts (`k=v/…parquet` — the
+    * Spark `partitionBy` shape, the headline onboarding case): the
+    * default spec must be all-identity over exact-render types, every
+    * source file's dirs must cover the partition columns, and files
+    * land under `import-<uuid>/__part_k=v/` so replay pruning sees
+    * them from the first query. Hive files do not store the partition
+    * column INSIDE the file, so scans serve those columns from the
+    * dirs ([[ImportOverlay]] — dir authoritative, the layout's own
+    * contract). Transform specs (bucket/temporal/truncate) refuse: a
+    * dir cannot witness a transform value. Merge-on-read write modes
+    * and identifier-fields refuse too: delete keys and row coordinates
+    * would read columns the footers don't hold.
     * Returns the committed metadata and the number of files added. */
   def addFiles(ident: Identifier, sourceDir: String): (TableMetadata, Int) = {
     val ns = ident.namespace.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
     val (base, _) = store.load(ns, ident.name)
-    require(base.specs.find(_.specId == base.defaultSpecId)
-        .forall(_.fields.isEmpty),
-      s"add_files requires an unpartitioned table — imported files carry " +
-        s"no partition directories for replay pruning (table ${ident.name})")
+    val specFields = base.specs.find(_.specId == base.defaultSpecId)
+      .map(_.fields).getOrElse(Nil)
+    val idToName = SchemaBridge.idNames(base.currentSchema)
+    val tableSchema0 = SchemaBridge.toSpark(base.currentSchema)
+    val exactRender: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(StringType, IntegerType, LongType, ShortType, ByteType, BooleanType)
+    }
+    val partIdentityCols: Seq[String] = specFields.map { f =>
+      require(f.transform == "identity",
+        s"add_files on ${ident.name}: partition transform " +
+          s"'${f.transform}' cannot be witnessed by a source directory — " +
+          "only identity-partitioned tables import hive layouts; load via " +
+          "INSERT INTO ... SELECT")
+      val c = idToName(f.sourceId)
+      require(exactRender.contains(tableSchema0.fields(
+          tableSchema0.fieldIndex(c)).dataType),
+        s"add_files on ${ident.name}: identity partition column '$c' has " +
+          "a type whose directory rendering does not round-trip; load via " +
+          "INSERT INTO ... SELECT")
+      c
+    }
+    if (partIdentityCols.nonEmpty) {
+      val mor = Seq("write.delete.mode", "write.update.mode", "write.merge.mode")
+        .exists(k => base.properties.get(k).contains("merge-on-read"))
+      require(!mor && !base.properties.contains("identifier-fields"),
+        s"add_files on ${ident.name}: partitioned imports require a " +
+          "copy-on-write table without identifier-fields — delete keys and " +
+          "row coordinates cannot be served from files that hold their " +
+          "partition columns in directories")
+    }
     val cur = SchemaBridge.idNames(base.currentSchema)
     base.schemas.foreach { s =>
       SchemaBridge.idNames(s).foreach { case (id, n) =>
@@ -497,27 +536,83 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val srcRels = store.listParquetUnder(sourceDir)
     require(srcRels.nonEmpty, s"no parquet files under $sourceDir")
-    // the merged footer schema must serve every table column by name
+    // hive dir coverage: every file's k=v segments must cover exactly
+    // the partition columns (raw/escaped values transfer verbatim —
+    // both layouts escape with the same scheme), and each value must
+    // parse back under the column's type. Unknown k=v keys refuse: a
+    // key naming a non-partition table column would silently lose its
+    // values (hive files keep dir columns out of the footer).
+    def rawKvs(rel: String): Map[String, String] =
+      rel.split("/").init.iterator.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+    val srcDirKvs: Map[String, Map[String, String]] =
+      if (partIdentityCols.isEmpty) Map.empty
+      else srcRels.map { r =>
+        val kvs = rawKvs(r)
+        val unknown = kvs.keySet -- partIdentityCols
+        require(unknown.isEmpty,
+          s"add_files on ${ident.name}: source file $r carries partition " +
+            s"dirs ${unknown.mkString(",")} that are not identity partition " +
+            "columns of the table")
+        partIdentityCols.foreach { c =>
+          val raw = kvs.getOrElse(c, throw new IllegalArgumentException(
+            s"add_files on ${ident.name}: source file $r lacks a '$c=' " +
+              "partition directory"))
+          val dt = tableSchema0.fields(tableSchema0.fieldIndex(c)).dataType
+          val unescaped = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(raw)
+          require(ImportOverlay.internalValue(dt, unescaped).isDefined,
+            s"add_files on ${ident.name}: dir value '$c=$raw' of $r does " +
+              s"not parse as ${dt.simpleString}")
+        }
+        r -> kvs
+      }.toMap
+    // the merged FOOTER schema must serve every table column by name
     // with a structurally equal type; EXTRA source columns are fine
     // (requests clip by name), but a missing or mistyped one would
-    // null-fill or fail mid-query — refuse up front
-    val tableSchema = SchemaBridge.toSpark(base.currentSchema)
+    // null-fill or fail mid-query — refuse up front. Files are passed
+    // explicitly so hive partition inference cannot shadow footers;
+    // dir-covered partition columns may be absent (served from dirs),
+    // but when present they must still type-match (the request reads
+    // them before the overlay patches).
+    val tableSchema = tableSchema0
+    val dirCovered: Set[String] =
+      if (partIdentityCols.isEmpty) Set.empty else partIdentityCols.toSet
     val srcSchema = spark.read.option("mergeSchema", "true")
-      .parquet(sourceDir).schema
+      .parquet(srcRels.map(r => s"$sourceDir/$r"): _*).schema
     tableSchema.fields.foreach { f =>
-      val sf = srcSchema.fields.find(_.name == f.name).getOrElse(
-        throw new IllegalArgumentException(
-          s"source files under $sourceDir lack table column '${f.name}'"))
-      require(org.apache.spark.sql.types.DataType.equalsStructurally(
-          sf.dataType, f.dataType, true),
-        s"source column '${f.name}' is ${sf.dataType.simpleString}, table " +
-          s"expects ${f.dataType.simpleString}")
+      srcSchema.fields.find(_.name == f.name) match {
+        case None =>
+          require(dirCovered.contains(f.name),
+            s"source files under $sourceDir lack table column '${f.name}'")
+        case Some(sf) =>
+          require(org.apache.spark.sql.types.DataType.equalsStructurally(
+              sf.dataType, f.dataType, true),
+            s"source column '${f.name}' is ${sf.dataType.simpleString}, " +
+              s"table expects ${f.dataType.simpleString}")
+      }
     }
     val dataDir = store.dataDir(ns, ident.name)
     val relDir = s"${GraftTable.ImportDirPrefix}${java.util.UUID.randomUUID()}"
-    srcRels.foreach(r =>
-      store.importFile(s"$sourceDir/$r", s"$dataDir/$relDir/$r"))
-    val newFiles = srcRels.map(r => s"$relDir/$r")
+    // partitioned: land each file under its `__part_` rendering so dir
+    // replay pruning, the $partitions view, and partition-scoped
+    // maintenance see it exactly like a native file; the filename keeps
+    // a per-file index prefix so nested source layouts cannot collide
+    val targets: Seq[(String, String)] =
+      if (partIdentityCols.isEmpty) srcRels.map(r => r -> r)
+      else srcRels.zipWithIndex.map { case (r, i) =>
+        val kvs = srcDirKvs(r)
+        val dirs = partIdentityCols
+          .map(c => s"__part_$c=${kvs(c)}").mkString("/")
+        r -> s"$dirs/f$i-${r.split('/').last}"
+      }
+    targets.foreach { case (src, dst) =>
+      store.importFile(s"$sourceDir/$src", s"$dataDir/$relDir/$dst") }
+    val newFiles = targets.map { case (_, dst) => s"$relDir/$dst" }.toList
     try {
       val stats = graft.meta.FileStats.harvestAll(spark, dataDir, newFiles)
       val m = commit(ident,

@@ -156,6 +156,15 @@ private[graft] class GraftMicroBatchStream(
     // makes a replayed (uncommitted-at-crash) batch bit-identical
     val baseline = filesAt(s).toSet
     val delta = filesAt(e).filterNot(baseline)
+    // hive-imported partitioned files serve identity columns from dirs
+    // (ImportOverlay on the batch scan); the stream's single shared
+    // factory cannot patch per dir group — refuse rather than emit
+    // nulls. Compaction stamps the columns in and lifts this.
+    require(!delta.exists(r => GraftTable.isImportedRel(r) &&
+        PartitionDirs.kvs(r).nonEmpty),
+      s"streaming read of ${(ns :+ table).mkString(".")}: batch " +
+        s"$s -> $e contains hive-imported partitioned files whose " +
+        "identity columns live in directories — compact the table first")
     delegateScanFor(delta).toBatch.planInputPartitions()
   }
 

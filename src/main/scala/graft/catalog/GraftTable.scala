@@ -909,6 +909,10 @@ private[graft] class GraftScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     if (groupPruneOnly || deleteFiles.nonEmpty) return false
+    // hive-imported partitioned files answer identity columns from
+    // DIRS, not footers — a footer-metadata MIN/MAX would see nulls
+    if (prunedRelFiles.exists(r => GraftTable.isImportedRel(r) &&
+        PartitionDirs.kvs(r).nonEmpty)) return false
     val probe = mkDelegateBuilder(prunedRelFiles)
     probe.pushFilters(pushed.toSeq.flatMap(toCatalyst))
     val ok = probe.pushAggregation(agg)
@@ -1310,6 +1314,11 @@ private[graft] class GraftScanBuilder(
       s"row-position metadata columns are unavailable while $tableName " +
         "carries equality-delete files — keyed tables take the " +
         "equality-delete delta path; compact first to read positions")
+    // coordinate reads bypass the identity-column overlay — a
+    // hive-imported file would serve its partition columns as null
+    require(overlayRels(prunedRelFiles).isEmpty,
+      s"row-position metadata columns are unavailable over hive-imported " +
+        s"partitioned files of $tableName — compact the table first")
     // an equality/IN filter on the file coordinate prunes to exactly
     // the named files — the "re-read THIS file" repair/debug shape
     val fileEq: Option[Set[String]] =
@@ -1578,6 +1587,19 @@ private[graft] class GraftScanBuilder(
   private def noteMetrics(kvs: (String, Long)*): Unit =
     kvs.foreach { case (k, v) => planMetrics += (k -> v) }
 
+  /** Imported rels whose REQUESTED identity partition columns must be
+    * served from their `__part_` dirs ([[ImportOverlay]]): hive-layout
+    * imports carry the value in the directory, not the footer. */
+  private def overlayRels(rels: Seq[String]): Seq[(String, Seq[(Int, Any)])] = {
+    val cols = partCols.filter(requiredSchema.fieldNames.contains)
+    if (cols.isEmpty) Nil
+    else rels.flatMap { r =>
+      if (!GraftTable.isImportedRel(r)) None
+      else Some(r -> ImportOverlay.constsFor(r, requiredSchema, cols))
+        .filter(_._2.nonEmpty)
+    }
+  }
+
   private def keyedScanFor(rels: Seq[String])
       : org.apache.spark.sql.connector.read.Scan = {
     // every counter present from the start: an operator reading the
@@ -1588,6 +1610,27 @@ private[graft] class GraftScanBuilder(
       ScanMetrics.FilesDirtyEq -> 0L, ScanMetrics.FilesDirtyPos -> 0L,
       ScanMetrics.FilesPromotedStats -> 0L,
       ScanMetrics.FilesPromotedBloom -> 0L)
+    val ovr = overlayRels(rels)
+    if (ovr.nonEmpty) {
+      // add_files refuses partitioned imports into merge-on-read
+      // tables, so live deletes cannot coexist with overlay files
+      // short of hand-edited metadata — refuse rather than resurrect
+      require(deleteFiles.isEmpty,
+        s"table $tableName mixes hive-imported partitioned files with " +
+          "live delete files — compact the table first")
+      val ovrSet = ovr.map(_._1).toSet
+      val rest = rels.filterNot(ovrSet)
+      val colTypes = requiredSchema.fields.map(_.dataType)
+      val groups = ovr.groupBy(_._2.toList).toSeq
+        .sortBy(_._2.head._1) // deterministic plan order
+        .map { case (consts, rs) =>
+          (ImportOverlay.OverlaySpec(consts.toArray, colTypes),
+            delegateScanFor(rs.map(_._1)))
+        }
+      return new OverlayScan(
+        if (rest.isEmpty) None else Some(morScanFor(rest)),
+        groups, requiredSchema)
+    }
     if (rels.isEmpty || groupPruneOnly || deleteFiles.nonEmpty)
       return morScanFor(rels)
     keyedFields match {
@@ -1623,22 +1666,52 @@ private[graft] class GraftScanBuilder(
                    key.toArray),
                  prs.map(p => (s"$dataDir/${p._2}", lens(p._2))))
               }
-            // report the declared sort order when EVERY group is exactly
-            // one file, proven sorted under the CURRENT order by its
-            // adding-commit stamp, and small enough to plan as a single
-            // partition (a bin-packed or split group would concatenate /
-            // fragment sorted runs) — then a storage-partitioned join
-            // needs neither exchanges NOR sorts
-            val ordering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-              if (declaredOrdering.nonEmpty && byKey.valuesIterator.forall(_.size == 1)
-                  && pairs.forall(p => sortedRels(p._2))) {
-                val maxSplit = math.max(1L,
-                  SparkSession.active.sessionState.conf.filesMaxPartitionBytes)
-                if (lens.valuesIterator.forall(_ <= maxSplit)) declaredOrdering
-                else Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
-              } else Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+            // report the declared sort order when every file of every
+            // group is proven sorted under the CURRENT order by its
+            // adding-commit stamp. Single small file per group: the
+            // plain chunked (vectorized) planning already emits in
+            // order. Multiple files (or an oversized one): plan each
+            // group as ONE whole-group k-way merge partition — sorted
+            // runs merge into a sorted partition, so a second commit
+            // per bucket keeps the zero-exchange, zero-sort SPJ plan
+            // (row-based; the vectorized path returns after compaction
+            // folds each bucket back to one file).
+            val allSorted =
+              declaredOrdering.nonEmpty && pairs.forall(p => sortedRels(p._2))
+            val maxSplit = math.max(1L,
+              SparkSession.active.sessionState.conf.filesMaxPartitionBytes)
+            val singleSmall = byKey.valuesIterator.forall(_.size == 1) &&
+              lens.valuesIterator.forall(_ <= maxSplit)
+            // merge keys must resolve against the REQUESTED schema —
+            // a pruned sort column cannot be compared (and Spark would
+            // drop an unresolvable ordering report anyway)
+            def mergeKeysOpt: Option[Array[MergeKey]] = {
+              import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+              Some(declaredOrdering.map { so =>
+                so.expression() match {
+                  case nr: NamedReference if nr.fieldNames.length == 1 &&
+                      requiredSchema.fieldNames.contains(nr.fieldNames.head) =>
+                    val i = requiredSchema.fieldIndex(nr.fieldNames.head)
+                    MergeKey(i, requiredSchema.fields(i).dataType,
+                      so.direction() == SortDirection.ASCENDING,
+                      so.nullOrdering() == NullOrdering.NULLS_FIRST)
+                  case _ => return None
+                }
+              })
+            }
+            val (ordering, mergeKeys) =
+              if (!allSorted)
+                (Array.empty[org.apache.spark.sql.connector.expressions.SortOrder],
+                  Array.empty[MergeKey])
+              else if (singleSmall) (declaredOrdering, Array.empty[MergeKey])
+              else mergeKeysOpt match {
+                case Some(ks) => (declaredOrdering, ks)
+                case None =>
+                  (Array.empty[org.apache.spark.sql.connector.expressions.SortOrder],
+                    Array.empty[MergeKey])
+              }
             new KeyedScan(delegateScanFor(rels), groups, fields.map(_._2).toArray,
-              ordering)
+              ordering, mergeKeys)
         }
     }
   }

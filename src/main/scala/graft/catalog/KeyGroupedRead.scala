@@ -197,21 +197,109 @@ private[graft] class KeyedInputPartition(
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** One whole key group of stamped-sorted files, read as a k-way MERGE:
+  * each file is a sorted run (its adding commit stamped the declared
+  * order), so merging them yields a sorted partition and the scan can
+  * keep its ordering report even with several files per bucket — the
+  * second-commit case that previously dropped the report and forced a
+  * SortExec back into every merge join. Files are never byte-range
+  * split (a split would fragment the runs).
+  *
+  * Each run carries its OWN reader factory: the parquet factory reuses
+  * its column-vector buffers across the files of a partition (sound
+  * for the sequential reads it was built for), so two interleaved
+  * readers from one factory silently corrupt each other — one
+  * independent factory per run isolates them. */
+private[graft] class KeyedMergePartition(
+    val files: Array[(String, Long)], key: GenericInternalRow,
+    val factories: Array[PartitionReaderFactory])
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** Sort-key spec shipped to the merge readers: requested-schema
+  * ordinal, type, ascending?, nulls-first?. */
+private[graft] final case class MergeKey(ord: Int, dt: DataType,
+                                         asc: Boolean, nullsFirst: Boolean)
+  extends Serializable
+
+/** K-way merge over per-file sorted readers. Rows are materialized to
+  * standalone UnsafeRows on admission (an explicit projection + copy —
+  * DSv2 readers may reuse their row/batch buffer between next() calls,
+  * and a merge holds one live row per run). */
+private[graft] class MergingRowReader(
+    readers: Seq[PartitionReader[InternalRow]],
+    keys: Array[MergeKey],
+    colTypes: Array[DataType]) extends PartitionReader[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.expressions._
+
+  private lazy val toUnsafe = UnsafeProjection.create(colTypes)
+  private val rowOrd: Ordering[InternalRow] = {
+    val sorts = keys.map { k =>
+      SortOrder(BoundReference(k.ord, k.dt, nullable = true),
+        if (k.asc) Ascending else Descending,
+        if (k.nullsFirst) NullsFirst else NullsLast, Seq.empty)
+    }.toIndexedSeq
+    new InterpretedOrdering(sorts)
+  }
+  // (row, readerIdx): readerIdx tie-break keeps the merge deterministic
+  private implicit val heapOrd: Ordering[(InternalRow, Int)] =
+    Ordering.by[(InternalRow, Int), (InternalRow, Int)](identity)(
+      Ordering.Tuple2(rowOrd, Ordering.Int)).reverse // PQ is a max-heap
+  private val heap = scala.collection.mutable.PriorityQueue.empty[(InternalRow, Int)]
+  private var initialized = false
+  private var current: InternalRow = _
+
+  private def admit(i: Int): Unit =
+    if (readers(i).next())
+      heap.enqueue((toUnsafe(readers(i).get()).copy(), i))
+
+  override def next(): Boolean = {
+    if (!initialized) { readers.indices.foreach(admit); initialized = true }
+    if (heap.isEmpty) return false
+    val (row, i) = heap.dequeue()
+    current = row
+    admit(i)
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = readers.foreach(_.close())
+}
+
 /** Unwraps [[KeyedInputPartition]] before handing partitions to the
   * parquet delegate factory (which pattern-matches on its own
-  * FilePartition type). */
-private[graft] class KeyedReaderFactory(delegate: PartitionReaderFactory)
+  * FilePartition type), and serves [[KeyedMergePartition]]s through a
+  * per-file [[MergingRowReader]]. */
+private[graft] class KeyedReaderFactory(delegate: PartitionReaderFactory,
+                                        mergeKeys: Array[MergeKey] = Array.empty,
+                                        colTypes: Array[DataType] = Array.empty)
   extends PartitionReaderFactory {
   private def unwrap(p: InputPartition): InputPartition = p match {
     case k: KeyedInputPartition => k.inner
     case other => other
   }
+  private def wholeFile(abs: String, len: Long, idx: Int): InputPartition =
+    org.apache.spark.sql.execution.datasources.FilePartition(idx, Array(
+      org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(abs),
+        0L, len, Array.empty, 0L, len)))
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    delegate.createReader(unwrap(p))
+    p match {
+      case m: KeyedMergePartition =>
+        new MergingRowReader(
+          m.files.zipWithIndex.map { case ((abs, len), i) =>
+            m.factories(i).createReader(wholeFile(abs, len, i)) }.toSeq,
+          mergeKeys, colTypes)
+      case other => delegate.createReader(unwrap(other))
+    }
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
     delegate.createColumnarReader(unwrap(p))
-  override def supportColumnarReads(p: InputPartition): Boolean =
-    delegate.supportColumnarReads(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: KeyedMergePartition => false
+    case other => delegate.supportColumnarReads(unwrap(other))
+  }
 }
 
 /** The key-grouped scan: schema/statistics/columnar mode come from the
@@ -231,12 +319,18 @@ private[graft] class KeyedScan(
     full: Scan,
     groups: Seq[(GenericInternalRow, Seq[(String, Long)])], // key → (ABSOLUTE path, length)
     keyExprs: Array[V2Expression],
-    // non-empty ONLY when the builder proved every group is a single
-    // sorted single-partition file (see GraftScanBuilder.keyedScanFor):
+    // non-empty ONLY when the builder proved every file of every group
+    // sorted under the CURRENT order (see GraftScanBuilder.keyedScanFor):
     // Catalyst then plans merge joins over the SPJ layout with no
     // SortExec — the sorted-table payoff on top of the exchange-free one
     reportedOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty)
+      Array.empty,
+    // non-empty = multi-file (or oversized) sorted groups: plan ONE
+    // whole-group k-way merge partition per key instead of chunked
+    // columnar splits — the report stays honest because each partition
+    // EMITS in the declared order. Row-based (the merge patches rows),
+    // uniform across partitions (BatchScanExec refuses mixed modes).
+    mergeKeys: Array[MergeKey] = Array.empty)
   extends Scan with SupportsReportStatistics with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
@@ -264,6 +358,12 @@ private[graft] class KeyedScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+      if (mergeKeys.nonEmpty)
+        return groups.map { case (key, paths) =>
+          new KeyedMergePartition(paths.toArray, key,
+            paths.map(_ => full.toBatch.createReaderFactory()).toArray)
+            : InputPartition
+        }.toArray
       val spark = org.apache.spark.sql.SparkSession.active
       val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
       groups.iterator.flatMap { case (key, paths) =>
@@ -293,6 +393,7 @@ private[graft] class KeyedScan(
     // one factory serves every group: the parquet reader factory
     // depends only on schema/filters/conf, never on the file list
     override def createReaderFactory(): PartitionReaderFactory =
-      new KeyedReaderFactory(full.toBatch.createReaderFactory())
+      new KeyedReaderFactory(full.toBatch.createReaderFactory(), mergeKeys,
+        full.readSchema().fields.map(_.dataType))
   }
 }

@@ -581,9 +581,46 @@ object CatalogQueries {
       |       min(s_name) AS first_name
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** Partitioned zero-copy onboarding: the supplier table is written as
+    * a HIVE-layout lake (`partitionBy` — the partition column lives in
+    * the directories, NOT in the files), registered with `add_files`
+    * into an identity-partitioned catalog table, and queried WITH a
+    * partition-column filter and grouping — which only answers right if
+    * the identity overlay serves the dir values ([[graft.catalog
+    * .ImportOverlay]]): a null-filled column would group everything
+    * under null and the filter would drop every row. */
+  def q103AddFilesPartitioned(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.supplier_part")
+    val sup = Tables.supplier(s, dir)
+    s.sql(s"CREATE TABLE graft_q13.tpch.supplier_part (${sup.schema.toDDL}) " +
+      "PARTITIONED BY (s_nationkey)")
+    val src = java.nio.file.Files.createTempDirectory("graft-q103-src").toString
+    sup.write.partitionBy("s_nationkey").mode("overwrite").parquet(src)
+    val res = s.sql(
+      s"CALL graft_q13.system.add_files('tpch.supplier_part', '$src')").collect()
+    require(res(0).getInt(1) > 0, "add_files registered no files")
+    s.table("graft_q13.tpch.supplier_part")
+      .filter(col("s_nationkey") < 10)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("s_acctbal")).as("min_bal"),
+        max(col("s_acctbal")).as("max_bal"),
+        min(col("s_name")).as("first_name"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q103Sql: String =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      |       min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal,
+      |       min(s_name) AS first_name
+      |FROM supplier WHERE s_nationkey < 10
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_catalog_scan" -> q13CatalogScan _,
     "q99_add_files" -> q99AddFiles _,
+    "q103_add_files_partitioned" -> q103AddFilesPartitioned _,
     "q83_stream_catalog_source" -> q83StreamCatalogSource _,
     "q84_row_level_dml" -> q84RowLevelDml _,
     "q85_partition_evolution" -> q85PartitionEvolution _,
@@ -598,6 +635,7 @@ object CatalogQueries {
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
     "q99_add_files" -> q99Sql,
+    "q103_add_files_partitioned" -> q103Sql,
     "q83_stream_catalog_source" -> q83Sql,
     "q84_row_level_dml" -> q84Sql,
     "q85_partition_evolution" -> q85Sql,

@@ -67,6 +67,73 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.proc.sf").count() == 20002)
   }
 
+  test("add_files onboards a hive-layout partitioned lake, dirs serve the values") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imp")
+    spark.sql("DROP TABLE IF EXISTS graft.imp.pt")
+    spark.sql("""CREATE TABLE graft.imp.pt (id BIGINT, v STRING, dt STRING)
+      PARTITIONED BY (dt)""")
+    spark.sql("INSERT INTO graft.imp.pt VALUES (100, 'native', 'a')")
+
+    // a hive-layout lake: partitionBy keeps dt in the DIRECTORIES only
+    val src = Files.createTempDirectory("graft-ext-part-src").toString
+    spark.range(0, 12)
+      .select(col("id"), concat(lit("x"), col("id")).as("v"),
+        when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+          .otherwise("c").as("dt"))
+      .write.partitionBy("dt").mode("overwrite").parquet(src)
+
+    val res = spark.sql(s"CALL graft.system.add_files('imp.pt', '$src')").collect()
+    assert(res(0).getInt(1) >= 3, res.toSeq.toString) // one file per dt at least
+
+    // values come from the dirs, not null-fill: grouping and filtering
+    // on the partition column must both see them
+    val byDt = spark.table("graft.imp.pt").groupBy(col("dt"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDt == Map("a" -> 5L, "b" -> 4L, "c" -> 4L), byDt.toString)
+    assert(spark.table("graft.imp.pt").filter(col("dt") === "b")
+      .select(sum(col("id"))).head.getLong(0) == (1L + 4 + 7 + 10))
+    // the native row reads alongside the imported ones
+    assert(spark.table("graft.imp.pt").filter(col("id") === 100)
+      .select(col("dt")).head.getString(0) == "a")
+
+    // CoW partition DELETE composes (group-prune scan reads overlayed)
+    spark.sql("DELETE FROM graft.imp.pt WHERE dt = 'c'")
+    assert(spark.table("graft.imp.pt").count() == 9)
+
+    // both changelog surfaces carry the dir-served values
+    val feed = graft.catalog.Changes.between(spark, "graft.imp.pt", 0)
+      .filter(col("_change_type") === "insert")
+      .groupBy(col("dt")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed == Map("a" -> 5L, "b" -> 4L, "c" -> 4L), feed.toString)
+    val tab = spark.read.table("graft.imp.`pt$changes`")
+      .filter(col("_change_type") === "insert" && col("dt").isNull).count()
+    assert(tab == 0, "scan-surface changelog emitted null partition values")
+
+    // compaction re-encodes natively and the overlay disappears
+    spark.sql("CALL graft.system.compact(table => 'imp.pt')").collect()
+    assert(spark.table("graft.imp.pt").filter(col("dt") === "b").count() == 4)
+
+    // refusals: transform specs and merge-on-read tables
+    spark.sql("DROP TABLE IF EXISTS graft.imp.bt")
+    spark.sql("""CREATE TABLE graft.imp.bt (id BIGINT, dt STRING)
+      PARTITIONED BY (bucket(4, id))""")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('imp.bt', '$src')").collect()
+    }
+    assert(e1.getMessage.contains("transform"), e1.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graft.imp.mt")
+    spark.sql("""CREATE TABLE graft.imp.mt (id BIGINT, v STRING, dt STRING)
+      PARTITIONED BY (dt)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('imp.mt', '$src')").collect()
+    }
+    assert(e2.getMessage.contains("copy-on-write"), e2.getMessage)
+  }
+
   test("compact maintenance edges: empty no-op, overflow smaller_than rejected") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
     spark.sql("CREATE TABLE graft.proc.empty (k INT)")
@@ -167,12 +234,13 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e1 = intercept[Exception](
       spark.sql(s"CALL graft.system.add_files('imp.t', '$src')").collect())
     assert(e1.getMessage.contains("renamed"), e1.getMessage)
-    // partitioned tables refuse: no partition dirs to replay
+    // transform-partitioned tables refuse: a dir cannot witness a
+    // bucket value (identity-partitioned hive layouts import fine)
     spark.sql("""CREATE TABLE graft.imp.p (id BIGINT, v STRING)
       PARTITIONED BY (bucket(4, id))""")
     val e2 = intercept[Exception](
       spark.sql(s"CALL graft.system.add_files('imp.p', '$src')").collect())
-    assert(e2.getMessage.contains("unpartitioned"), e2.getMessage)
+    assert(e2.getMessage.contains("transform"), e2.getMessage)
     // schema drift refuses: missing table column in the source files
     spark.sql("CREATE TABLE graft.imp.m (id BIGINT, missing DOUBLE)")
     val e3 = intercept[Exception](

@@ -121,18 +121,26 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sum(col("va"))).head.getDouble(0) ==
       (1L to 400L).map(_ * 1.5).sum)
 
-    // a second append puts TWO files in each bucket: concatenated runs
-    // are no longer globally sorted, so the scan must stop reporting the
-    // ordering and the plan re-sorts — correctness over optimization
+    // a second append puts TWO stamped-sorted files in each bucket: the
+    // scan plans each group as ONE whole-group k-way merge partition
+    // (sorted runs merge into a sorted stream), so the plan keeps BOTH
+    // zero exchanges and zero sorts — the second commit no longer costs
+    // the ordering report
     (401L to 420L).map(i => (i, i * 1.5)).toDF("k", "va")
       .writeTo("graft.spjsort.a").append()
     val after = spark.table("graft.spjsort.a")
       .join(spark.table("graft.spjsort.b"), Seq("k"))
       .select(col("k"), col("va"), col("vb"))
     val planAfter = after.queryExecution.executedPlan.toString
-    assert(planAfter.linesIterator.exists(_.trim.matches(".*Sort \\[k.*")),
-      s"multi-file buckets must re-sort:\n$planAfter")
-    assert(after.count() == want.size)
+    assert(exchanges(after) == 0, s"expected exchange-free plan:\n$planAfter")
+    assert(planAfter.contains("SortMergeJoin"), s"expected a merge join:\n$planAfter")
+    assert(!planAfter.linesIterator.exists(_.trim.matches("[+:]?-? ?\\*?\\(?\\d*\\)? ?Sort .*")),
+      s"two sorted commits per bucket must merge-read, not re-sort:\n$planAfter")
+    // the merged rows are exactly the single-file rows plus nothing new
+    // on the joined range — and emitted correctly ordered per bucket
+    val gotAfter = after.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(gotAfter.toSeq == want, s"merge-read rows diverged: ${gotAfter.length}/${want.size}")
   }
 
   test("steady-state SPJ planning performs zero filesystem metadata calls") {

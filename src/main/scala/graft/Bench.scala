@@ -62,8 +62,18 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] warmup failed (continuing): $e")
     }
+    // machine-load coordinates: a loaded box inflates wall times across
+    // unrelated queries (the r7 bench artifact was exactly that) — the
+    // 1-minute loadavg at start/end makes such an artifact self-evident
+    // instead of reading as a regression
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val load0 = loadavg()
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeAll(): Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -71,6 +81,14 @@ object Bench {
       catch { case _: Throwable => failed += name; -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val results = timeAll()
+    // optional warm repeat (SPARK_GRAFT_REPEAT=1): a second pass over
+    // the same pack — per-query deltas separate load spikes (first-pass
+    // only) from plan regressions (both passes)
+    val warm: Option[Seq[(String, Double)]] =
+      if (sys.env.get("SPARK_GRAFT_REPEAT").exists(_.trim == "1"))
+        Some(timeAll())
+      else None
     // enforced ANN quality bar: an approximate index below recall@3 0.8
     // is not shippable, so the bench FAILS it rather than reporting a
     // fast-but-wrong number (VERDICT r2 #6)
@@ -93,7 +111,12 @@ object Bench {
     val rj = recall.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rj,"failed":$fj,"sf":"$sfDir"}""")
+    val warmJson = warm.map { w =>
+      val wq = w.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s""","total_warm":${w.map(_._2).sum},"queries_warm":$wq"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rj,"failed":$fj,"loadavg_start":$load0,"loadavg_end":${loadavg()}$warmJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -486,8 +486,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * dir cannot witness a transform value. Merge-on-read write modes
     * and identifier-fields refuse too: delete keys and row coordinates
     * would read columns the footers don't hold.
+    * `partitionFilter` (partitioned imports only) scopes the import to
+    * source files whose dirs carry every given `k=v` RAW value —
+    * Iceberg add_files' partition_filter: onboard yesterday's
+    * partition of a living lake without touching the rest.
     * Returns the committed metadata and the number of files added. */
-  def addFiles(ident: Identifier, sourceDir: String): (TableMetadata, Int) = {
+  def addFiles(ident: Identifier, sourceDir: String,
+               partitionFilter: Map[String, String] = Map.empty)
+      : (TableMetadata, Int) = {
     val ns = ident.namespace.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
     val (base, _) = store.load(ns, ident.name)
@@ -534,8 +540,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
     }
-    val srcRels = store.listParquetUnder(sourceDir)
-    require(srcRels.nonEmpty, s"no parquet files under $sourceDir")
     // hive dir coverage: every file's k=v segments must cover exactly
     // the partition columns (raw/escaped values transfer verbatim —
     // both layouts escape with the same scheme), and each value must
@@ -549,6 +553,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case _ => None
         }
       }.toMap
+    require(partitionFilter.isEmpty || partIdentityCols.nonEmpty,
+      s"add_files on ${ident.name}: partition_filter requires an " +
+        "identity-partitioned table")
+    require(partitionFilter.keySet.subsetOf(partIdentityCols.toSet),
+      s"add_files on ${ident.name}: partition_filter keys " +
+        s"${(partitionFilter.keySet -- partIdentityCols).mkString(",")} " +
+        "are not identity partition columns")
+    val srcRels = {
+      val all = store.listParquetUnder(sourceDir)
+      if (partitionFilter.isEmpty) all
+      else all.filter { r =>
+        val kv = rawKvs(r)
+        partitionFilter.forall { case (k, v) => kv.get(k).contains(v) }
+      }
+    }
+    require(srcRels.nonEmpty,
+      s"no parquet files under $sourceDir" +
+        (if (partitionFilter.isEmpty) ""
+         else s" matching ${partitionFilter.map { case (k, v) => s"$k=$v" }
+           .mkString(",")}"))
     val srcDirKvs: Map[String, Map[String, String]] =
       if (partIdentityCols.isEmpty) Map.empty
       else srcRels.map { r =>

@@ -40,11 +40,25 @@ private[graft] object Procedures {
   def load(cat: GraftCatalog, name: String): UnboundProcedure =
     name.toLowerCase match {
       case "add_files" => proc("add_files",
-        params(("table", StringType, None), ("source_dir", StringType, None)),
+        params(("table", StringType, None), ("source_dir", StringType, None),
+          // optional 'k=v,k2=v2' scope: import ONLY matching hive dirs
+          // (Iceberg add_files' partition_filter)
+          ("partition_filter", StringType, Some("''"))),
         StructType(Seq(StructField("snapshot_id", LongType),
           StructField("added_files", IntegerType)))) { in =>
+        def strArg(i: Int): String =
+          if (in.numFields <= i || in.isNullAt(i)) ""
+          else in.getUTF8String(i).toString.trim
+        val filter: Map[String, String] =
+          strArg(2).split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => k -> v
+              case _ => throw new IllegalArgumentException(
+                s"partition_filter entry '$kv' is not k=v")
+            }
+          }.toMap
         val (m, n) = cat.addFiles(identOf(in.getUTF8String(0)),
-          in.getUTF8String(1).toString)
+          in.getUTF8String(1).toString, filter)
         row(m.currentSnapshotId.getOrElse(-1L), n)
       }
       case "compact" => proc("compact",

@@ -116,6 +116,23 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CALL graft.system.compact(table => 'imp.pt')").collect()
     assert(spark.table("graft.imp.pt").filter(col("dt") === "b").count() == 4)
 
+    // partition_filter scopes the import to matching dirs only
+    spark.sql("DROP TABLE IF EXISTS graft.imp.pf")
+    spark.sql("""CREATE TABLE graft.imp.pf (id BIGINT, v STRING, dt STRING)
+      PARTITIONED BY (dt)""")
+    spark.sql(s"CALL graft.system.add_files('imp.pf', '$src', " +
+      "partition_filter => 'dt=b')").collect()
+    val pf = spark.table("graft.imp.pf").groupBy(col("dt"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pf == Map("b" -> 4L), pf.toString)
+    val eBad = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('imp.pf', '$src', " +
+        "partition_filter => 'nope=1')").collect()
+    }
+    assert(eBad.getMessage.contains("not identity partition columns"),
+      eBad.getMessage)
+
     // refusals: transform specs and merge-on-read tables
     spark.sql("DROP TABLE IF EXISTS graft.imp.bt")
     spark.sql("""CREATE TABLE graft.imp.bt (id BIGINT, dt STRING)

@@ -110,7 +110,10 @@ object Dedup {
     *      never a cross join;
     *   4. re-attach shingle sets to the deduped pair list and verify with
     *      exact single-pass Jaccard; emit pairs >= 0.5.
-    * Not SQL-expressible in DuckDB → rows-only oracle.
+    * Oracle-checked ([[q52Sql]]): the banding itself is
+    * engine-specific, but on this corpus every true pair is J ≥ 0.9
+    * where band recall ≈ 1, so the exact all-pairs replay must equal
+    * the LSH pipeline's output — a recall miss would fail the hash.
     */
   /** MinHash geometry — ONE definition shared by the full-corpus query
     * (q52) and the persisted band index (q93): both sides of an
@@ -226,8 +229,9 @@ object Dedup {
     * O(batch) signatures + ids-only joins; corpus shingles are
     * recomputed only for the candidate partners (joined back by id).
     * Must produce exactly q52's pairs restricted to pairs touching the
-    * batch (DedupIndexSpec proves it). Rows-only oracle (LSH banding is
-    * engine-specific, like q52). */
+    * batch (DedupIndexSpec proves it). Oracle-checked ([[q93Sql]]):
+    * exact all-pairs Jaccard window-restricted to batch-touching pairs
+    * — sound for the same J ≥ 0.9 recall argument as q52/q67. */
   def q93IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val prefix = ensureBandIndex(s, dir)
     val corpus = Tables.documents(s, dir)
@@ -593,15 +597,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** q97: cross-document repeated substrings over the corpus (rows-only:
-    * the windowed gram hashing is engine-specific; exactness is proven
-    * on a hand-built fixture in DedupGuardSpec). */
+  /** q97: cross-document repeated substrings over the corpus.
+    * Oracle-checked ([[q97Sql]]): window STRINGS replay the structural
+    * gram hashes (tokens carry no whitespace, so space-joining is
+    * injective); exactness additionally proven on a hand-built fixture
+    * in DedupGuardSpec. */
   def q97SubstringDedup(s: SparkSession, dir: String): DataFrame =
     substringSpans(Tables.documents(s, dir), k = 16)
 
   /** q98: the span-REMOVAL form — documents rewritten without their
-    * cross-doc duplicated spans (rows-only; exact cleaned text proven
-    * on the DedupGuardSpec fixture). */
+    * cross-doc duplicated spans. Oracle-checked ([[q98Sql]]): the
+    * cleaned text reconstructs token-for-token in SQL; also proven on
+    * the DedupGuardSpec fixture. */
   def q98StripSpans(s: SparkSession, dir: String): DataFrame =
     stripDuplicateSpans(Tables.documents(s, dir), k = 16)
 
@@ -650,13 +657,99 @@ object Dedup {
       |SELECT doc_id, MIN(label) AS cluster_rep, (doc_id = MIN(label)) AS keep
       |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DuckDB replay of q52 (and, window-restricted, q93): exact
+    * all-pairs trigram Jaccard, rounded-then-thresholded exactly like
+    * [[jaccardUdf]]. Sound as an oracle for the LSH pipeline because
+    * every corpus near-dup pair sits at J ≥ 0.9, where 16-band/4-row
+    * recall is ≈ 1 — the candidate set provably equals the exact set
+    * (same argument as [[q67Sql]]); string trigrams stand in for the
+    * 64-bit hashed shingles modulo collisions (the q54 precedent). A
+    * jaccard value mismatch, a missed pair, or an invented pair all
+    * fail the hash. */
+  private def pairSql(extra: String): String =
+    s"""WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS grams
+      |  FROM w),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+      |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)
+      |      AS jaccard
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM p
+      |WHERE jaccard >= 0.5 $extra ORDER BY doc_a, doc_b""".stripMargin
+
+  val q52Sql: String = pairSql("")
+  val q93Sql: String = pairSql("AND (doc_a % 10 = 7 OR doc_b % 10 = 7)")
+
+  /** Shared DuckDB replay of the cross-doc span machinery behind
+    * q97/q98: 16-token window STRINGS (tokens carry no whitespace, so
+    * space-joined windows are injective — standing in for the
+    * structural xxhash64), cross-doc mark via min(doc) != max(doc),
+    * and the same running-max gaps-and-islands merge. */
+  private val spanCte: String =
+    """WITH w AS (
+      |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, w, UNNEST(range(0, GREATEST(len(w) - 15, 0))) AS pos FROM w),
+      |g2 AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |         array_to_string(w[CAST(pos+1 AS INTEGER):CAST(pos+16 AS INTEGER)], ' ') AS gram
+      |  FROM g),
+      |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+      |m AS (SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+      |i AS (SELECT doc_id, pos,
+      |        CASE WHEN pos > COALESCE(MAX(pos + 16) OVER
+      |          (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |        THEN 1 ELSE 0 END AS new_span FROM m),
+      |s AS (SELECT doc_id, pos, SUM(new_span) OVER
+      |        (PARTITION BY doc_id ORDER BY pos) AS span_id FROM i),
+      |sp AS (SELECT doc_id, span_id, MIN(pos) AS st, MAX(pos) + 16 AS en
+      |       FROM s GROUP BY doc_id, span_id)""".stripMargin
+
+  val q97Sql: String = spanCte +
+    """,
+      |agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(en - st) AS dup_tokens
+      |        FROM sp GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+      |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+      |  ROUND(COALESCE(a.dup_tokens, 0) * 1.0 /
+      |    len(regexp_split_to_array(trim(d.text), '\s+')), 4) AS dup_ratio
+      |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  val q98Sql: String = spanCte +
+    """,
+      |tok AS (SELECT doc_id, UNNEST(w) AS t, UNNEST(range(0, len(w))) AS i FROM w),
+      |keep AS (SELECT tk.doc_id, tk.t, tk.i FROM tok tk
+      |         WHERE NOT EXISTS (SELECT 1 FROM sp
+      |           WHERE sp.doc_id = tk.doc_id AND tk.i >= sp.st AND tk.i < sp.en)),
+      |clean AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS ct FROM keep GROUP BY doc_id),
+      |rem AS (SELECT doc_id, SUM(en - st) AS removed FROM sp GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN r.doc_id IS NULL THEN d.text ELSE COALESCE(c.ct, '') END AS clean_text,
+      |  CAST(COALESCE(r.removed, 0) AS BIGINT) AS removed_tokens
+      |FROM documents d LEFT JOIN clean c USING (doc_id) LEFT JOIN rem r USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact"   -> q50Sql,
     "q51_dedup_norm"    -> q51Sql,
     "q54_ngram_jaccard" -> q54Sql,
     "q79_decontaminate" -> q79Sql,
     "q67_dedup_clusters" -> q67Sql,
-    // q52/q53: LSH banding / signature hashing are engine-specific →
-    // rows-only checks.
+    "q52_dedup_minhash" -> q52Sql,
+    "q93_incremental_dedup" -> q93Sql,
+    "q97_substring_dedup" -> q97Sql,
+    "q98_strip_spans" -> q98Sql,
+    // q53: the SimHash signature (xxhash64 word votes) is
+    // engine-specific and its hamming candidates are not expressible
+    // from first principles in SQL → rows-only.
   )
 }

@@ -116,6 +116,21 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CALL graft.system.compact(table => 'imp.pt')").collect()
     assert(spark.table("graft.imp.pt").filter(col("dt") === "b").count() == 4)
 
+    // a NULL partition value travels as the hive default-partition dir
+    // and overlays back as null
+    spark.sql("DROP TABLE IF EXISTS graft.imp.pn")
+    spark.sql("""CREATE TABLE graft.imp.pn (id BIGINT, dt STRING)
+      PARTITIONED BY (dt)""")
+    val srcN = Files.createTempDirectory("graft-ext-null-src").toString
+    spark.range(0, 6)
+      .select(col("id"), when(col("id") < 2, lit(null)).otherwise(lit("x"))
+        .cast("string").as("dt"))
+      .write.partitionBy("dt").mode("overwrite").parquet(srcN)
+    spark.sql(s"CALL graft.system.add_files('imp.pn', '$srcN')").collect()
+    assert(spark.table("graft.imp.pn").filter(col("dt").isNull)
+      .select(sum(col("id"))).head.getLong(0) == 1L) // ids 0+1
+    assert(spark.table("graft.imp.pn").filter(col("dt") === "x").count() == 4)
+
     // partition_filter scopes the import to matching dirs only
     spark.sql("DROP TABLE IF EXISTS graft.imp.pf")
     spark.sql("""CREATE TABLE graft.imp.pf (id BIGINT, v STRING, dt STRING)

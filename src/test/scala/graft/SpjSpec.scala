@@ -174,6 +174,34 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("three sorted commits per bucket still merge-join with zero sorts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spj3")
+    for (t <- Seq("a", "b")) {
+      spark.sql(s"""CREATE TABLE graft.spj3.$t (k BIGINT, v DOUBLE)
+        PARTITIONED BY (bucket(2, k))
+        TBLPROPERTIES ('write.sort-order' = 'k asc')""")
+    }
+    import spark.implicits._
+    // three interleaved commits per table — every bucket holds three
+    // stamped-sorted runs the k-way merge must weave back together
+    for (lo <- Seq(1L, 101L, 201L)) {
+      (lo until lo + 100).map(i => (i, i * 1.0)).toDF("k", "v")
+        .writeTo("graft.spj3.a").append()
+      (lo until lo + 100).filter(_ % 2 == 0).map(i => (i, i * 3.0)).toDF("k", "v")
+        .writeTo("graft.spj3.b").append()
+    }
+    val j = spark.table("graft.spj3.a").withColumnRenamed("v", "va")
+      .join(spark.table("graft.spj3.b").withColumnRenamed("v", "vb"), Seq("k"))
+      .select(col("k"), col("va"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(exchanges(j) == 0, s"expected exchange-free plan:\n$plan")
+    assert(!plan.linesIterator.exists(_.trim.matches("[+:]?-? ?\\*?\\(?\\d*\\)? ?Sort .*")),
+      s"three sorted commits per bucket must merge-read, not re-sort:\n$plan")
+    val got = j.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val want = (1L until 301L).filter(_ % 2 == 0).map(i => (i, i * 1.0))
+    assert(got.toSeq == want, s"3-run merge diverged: ${got.length}/${want.size}")
+  }
+
   test("changing the declared order invalidates old sort stamps") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spjord")
     for (t <- Seq("x", "y")) {

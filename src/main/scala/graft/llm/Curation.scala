@@ -214,11 +214,70 @@ object Curation {
       |  ROUND((1.0 / k) / (tokens / total), 6) AS weight6
       |FROM p, g ORDER BY source""".stripMargin
 
+  /** RAG/embedding-prep chunking: overlapping token windows per
+    * document — chunk i covers tokens [i*stride, i*stride+size), the
+    * last chunk may be short, and a document shorter than one stride
+    * still emits its single (possibly tiny) chunk. Retrieval corpora
+    * and embedding pipelines both consume this shape; the sibling of
+    * q76's packing (which concatenates ACROSS documents — chunking
+    * splits WITHIN them, preserving provenance per chunk).
+    *
+    * Plan shape at 100 TB: tokenize + sequence + transform + explode —
+    * entirely map-side, zero shuffles, zero windows; chunk provenance
+    * (doc_id, chunk_id) is derived arithmetic, so downstream joins back
+    * to the document payload stay key-shuffle only. */
+  def q104ChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val chunkSize = 64; val stride = 48
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), toks.as("w"))
+      // chunk starts: 0, stride, 2*stride …, stopping once a chunk
+      // reaches the document's end (at least one chunk even for a
+      // short doc); slice is 1-based
+      .withColumn("starts",
+        sequence(lit(0), greatest(
+          ceil((size(col("w")) - lit(chunkSize)) / lit(stride.toDouble))
+            .cast("int"), lit(0)),
+          lit(1)))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).as("n_tokens"),
+        explode(col("starts")).as("ci"), col("w"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_id"),
+        col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        (col("ci") * stride).cast("long").as("start"),
+        concat_ws(" ",
+          slice(col("w"), col("ci") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"))
+      .withColumn("chunk_tokens",
+        size(split(col("chunk_text"), "\\s+")).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** DuckDB replay: same window arithmetic over the same token split.
+    * `ceil((n - size) / stride)` caps the chunk count so the final
+    * window starts before the text ends; max(…, 0) keeps one chunk for
+    * short docs. */
+  val q104Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, len(w) AS n_tokens, w,
+      |    UNNEST(range(0, GREATEST(CAST(CEIL((len(w) - 64) / 48.0) AS BIGINT), 0) + 1)) AS ci
+      |  FROM w)
+      |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id, source,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(ci * 48 AS BIGINT) AS start,
+      |  array_to_string(w[CAST(ci*48+1 AS INTEGER):CAST(ci*48+64 AS INTEGER)], ' ') AS chunk_text,
+      |  CAST(len(w[CAST(ci*48+1 AS INTEGER):CAST(ci*48+64 AS INTEGER)]) AS BIGINT) AS chunk_tokens
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_split_sample"  -> q68SplitSample _,
     "q76_token_packing" -> q76TokenPacking _,
     "q77_rebalance"     -> q77Rebalance _,
     "q81_mixture"       -> q81MixtureWeights _,
+    "q104_chunk_docs"   -> q104ChunkDocs _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -226,5 +285,6 @@ object Curation {
     "q76_token_packing" -> q76Sql,
     "q77_rebalance"     -> q77Sql,
     "q81_mixture"       -> q81Sql,
+    "q104_chunk_docs"   -> q104Sql,
   )
 }

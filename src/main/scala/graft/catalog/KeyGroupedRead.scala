@@ -205,11 +205,23 @@ private[graft] class KeyedInputPartition(
   * SortExec back into every merge join. Files are never byte-range
   * split (a split would fragment the runs).
   *
-  * Each run carries its OWN reader factory: the parquet factory reuses
-  * its column-vector buffers across the files of a partition (sound
-  * for the sequential reads it was built for), so two interleaved
-  * readers from one factory silently corrupt each other — one
-  * independent factory per run isolates them. */
+  * Each live run MUST read through its own factory INSTANCE: the
+  * parquet factory's per-instance ParquetReaderCallback closes the
+  * previously-opened file's iterator whenever a new file opens, so two
+  * interleaved readers from one instance kill each other (each run
+  * would die after its first row — the SpjSpec merge cases assert
+  * this). The per-run factories are case-class COPIES of the scan's
+  * single base factory
+  * ([[org.apache.spark.sql.execution.datasources.v2.parquet.GraftFactoryIsolation]]),
+  * made at planning time: copies share the base's ONE broadcast conf
+  * (and one SQLConf reference, so a partition's factories serialize it
+  * once), where the previous shape called `createReaderFactory()` per
+  * FILE and so re-broadcast a SerializableConfiguration thousands of
+  * times per query on a big sorted table. Copying must happen on the
+  * DRIVER: the copy constructor re-reads SQLConf, whose transient
+  * config reader is null after executor-side deserialization. The
+  * merge additionally copies each admitted row ([[MergingRowReader]]),
+  * which defends against per-reader buffer reuse. */
 private[graft] class KeyedMergePartition(
     val files: Array[(String, Long)], key: GenericInternalRow,
     val factories: Array[PartitionReaderFactory])
@@ -241,7 +253,22 @@ private[graft] class MergingRowReader(
         if (k.asc) Ascending else Descending,
         if (k.nullsFirst) NullsFirst else NullsLast, Seq.empty)
     }.toIndexedSeq
-    new InterpretedOrdering(sorts)
+    // Codegen'd comparator: this runs once per row per merge level on
+    // the hot read path, where an interpreted comparison prices every
+    // heap sift at a tree of virtual calls. Generation happens here on
+    // the executor (readers are built executor-side) and is amortized
+    // by the codegen cache across partitions; keys are plain bound
+    // references, but keep the interpreted fallback for any type the
+    // generator refuses.
+    // Codegen'd comparator: this runs once per row per merge level on
+    // the hot read path, where an interpreted comparison prices every
+    // heap sift at a tree of virtual calls. Generation happens here on
+    // the executor (readers are built executor-side) and is amortized
+    // by the codegen cache across partitions; keys are plain bound
+    // references, but keep the interpreted fallback for any type the
+    // generator refuses.
+    try codegen.GenerateOrdering.generate(sorts)
+    catch { case scala.util.control.NonFatal(_) => new InterpretedOrdering(sorts) }
   }
   // (row, readerIdx): readerIdx tie-break keeps the merge deterministic
   private implicit val heapOrd: Ordering[(InternalRow, Int)] =
@@ -358,12 +385,17 @@ private[graft] class KeyedScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
-      if (mergeKeys.nonEmpty)
+      if (mergeKeys.nonEmpty) {
+        // ONE base factory (one broadcast conf) + a cheap per-run copy
+        // for callback isolation — see KeyedMergePartition doc
+        val base = full.toBatch.createReaderFactory()
         return groups.map { case (key, paths) =>
           new KeyedMergePartition(paths.toArray, key,
-            paths.map(_ => full.toBatch.createReaderFactory()).toArray)
+            paths.map(_ => org.apache.spark.sql.execution.datasources.v2
+              .parquet.GraftFactoryIsolation.fresh(base)).toArray)
             : InputPartition
         }.toArray
+      }
       val spark = org.apache.spark.sql.SparkSession.active
       val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
       groups.iterator.flatMap { case (key, paths) =>

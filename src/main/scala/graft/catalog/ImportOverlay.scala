@@ -16,11 +16,12 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * serves those columns from the file's own `__part_` dir keys — the
   * same authority the write side uses — by planning each imported dir
   * group as its own delegate scan (so one InputPartition never mixes
-  * partition values) and patching every emitted row with the group's
-  * constants. Native files keep their untouched (columnar) path; the
-  * patched groups run row-based, the same trade the changelog readers
-  * make. After compaction the rewrite stamps real columns and dirs
-  * into native files and the overlay disappears.
+  * partition values) and patching the group's constants into every
+  * emitted row (row path) or batch (vectorized path — a
+  * ConstantColumnVector per overlayed ordinal, so imports read
+  * columnar just like native files). After compaction the rewrite
+  * stamps real columns and dirs into native files and the overlay
+  * disappears.
   *
   * Filters on overlayed columns stay correct for free: parquet skips
   * pushdown on columns absent from a file's schema, and Spark's
@@ -124,15 +125,23 @@ private[graft] class OverlayReaderFactory(
     groupFactory: Option[PartitionReaderFactory])
   extends PartitionReaderFactory {
 
-  // uniformly row-based: BatchScanExec refuses partitions that
-  // disagree on columnar mode, so the native side rides row-based
-  // alongside the patched groups (imports are transitional — the first
-  // compaction re-encodes them native and restores the columnar path)
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  // columnar stays columnar: overlay constants are per-group CONSTANTS,
+  // so a vectorized delegate batch is patched by substituting a
+  // ConstantColumnVector per overlayed ordinal — the cheapest possible
+  // vectorization. Both factories are parquet factories over the same
+  // result schema, so their columnar verdicts agree and BatchScanExec
+  // sees one uniform mode (the previous blanket `false` here taxed the
+  // NATIVE files of the scan 2-5× whenever any imported dir group
+  // survived pruning).
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case OverlayInputPartition(inner, _) =>
+      groupFactory.get.supportColumnarReads(inner)
+    case other => mainFactory.get.supportColumnarReads(other)
+  }
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] = p match {
-    case _: OverlayInputPartition =>
-      throw new UnsupportedOperationException("overlay partitions are row-based")
+    case OverlayInputPartition(inner, spec) =>
+      new OverlayColumnarReader(groupFactory.get.createColumnarReader(inner), spec)
     case other => mainFactory.get.createColumnarReader(other)
   }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -141,6 +150,62 @@ private[graft] class OverlayReaderFactory(
         new OverlayReader(groupFactory.get.createReader(inner), spec)
       case other => mainFactory.get.createReader(other)
     }
+}
+
+/** Columnar twin of [[OverlayReader]]: wraps the delegate's batch,
+  * swapping a `ConstantColumnVector` in at each overlayed ordinal (the
+  * parquet reader serves those footer-absent columns as all-null
+  * vectors; the dir value is the truth). Untouched ordinals pass the
+  * delegate's vectors through by reference — zero copies. The wrapper
+  * batch is cached against the delegate's batch identity and row
+  * count: the vectorized parquet reader returns ONE batch object with
+  * stable column vectors and only the row count varies (final partial
+  * batch), so a rebuild happens at most twice per file. */
+private[graft] class OverlayColumnarReader(
+    delegate: PartitionReader[ColumnarBatch],
+    spec: ImportOverlay.OverlaySpec) extends PartitionReader[ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+  import org.apache.spark.sql.vectorized.ColumnVector
+
+  private val byOrd: Map[Int, Any] = spec.consts.toMap
+  private var lastIn: ColumnarBatch = _
+  private var lastRows = -1
+  private var out: ColumnarBatch = _
+
+  private def constVector(n: Int, dt: DataType, v: Any): ConstantColumnVector = {
+    val c = new ConstantColumnVector(n, dt)
+    if (v == null) c.setNull()
+    else dt match { // exactly ImportOverlay.internalValue's identity set
+      case StringType =>
+        c.setUtf8String(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      case IntegerType => c.setInt(v.asInstanceOf[Int])
+      case LongType => c.setLong(v.asInstanceOf[Long])
+      case ShortType => c.setShort(v.asInstanceOf[Short])
+      case ByteType => c.setByte(v.asInstanceOf[Byte])
+      case BooleanType => c.setBoolean(v.asInstanceOf[Boolean])
+      case other =>
+        throw new IllegalStateException(s"non-identity overlay type $other")
+    }
+    c
+  }
+
+  override def next(): Boolean = delegate.next()
+  override def get(): ColumnarBatch = {
+    val b = delegate.get()
+    val n = b.numRows()
+    if (!(b eq lastIn) || n != lastRows) {
+      val cols = Array.tabulate[ColumnVector](spec.colTypes.length) { i =>
+        byOrd.get(i) match {
+          case Some(v) => constVector(n, spec.colTypes(i), v)
+          case None => b.column(i)
+        }
+      }
+      out = new ColumnarBatch(cols, n); lastIn = b; lastRows = n
+    }
+    out
+  }
+  override def close(): Unit = delegate.close()
 }
 
 /** Patches each delegate row with the dir group's constants (reused

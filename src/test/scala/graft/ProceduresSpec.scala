@@ -98,6 +98,15 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.imp.pt").filter(col("id") === 100)
       .select(col("dt")).head.getString(0) == "a")
 
+    // the overlay keeps the scan VECTORIZED: imported groups read
+    // columnar via ConstantColumnVector-patched batches, so native
+    // files are not taxed with row-based reads (the pre-r9 behavior)
+    val overlayScan = spark.table("graft.imp.pt").queryExecution.executedPlan
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(overlayScan.exists(_.supportsColumnar),
+      "import-overlay scan fell back to row-based reads")
+
     // CoW partition DELETE composes (group-prune scan reads overlayed)
     spark.sql("DELETE FROM graft.imp.pt WHERE dt = 'c'")
     assert(spark.table("graft.imp.pt").count() == 9)

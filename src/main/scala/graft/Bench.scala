@@ -72,8 +72,11 @@ object Bench {
       catch { case _: Exception => -1.0 }
     val load0 = loadavg()
 
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    def timeAll(): Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
+    // failures tracked PER PASS (r8 advice): a query failing in both
+    // passes must not be double-listed, and a warm-only failure must be
+    // distinguishable from a cold one
+    def timeAll(failed: scala.collection.mutable.ArrayBuffer[String])
+        : Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -81,14 +84,17 @@ object Bench {
       catch { case _: Throwable => failed += name; -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val results = timeAll()
-    // optional warm repeat (SPARK_GRAFT_REPEAT=1): a second pass over
-    // the same pack — per-query deltas separate load spikes (first-pass
-    // only) from plan regressions (both passes)
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = timeAll(failed)
+    // warm repeat (default ON; SPARK_GRAFT_REPEAT=0 disables): a second
+    // pass over the same pack — per-query deltas separate load spikes
+    // (first-pass only) from plan regressions (both passes). The r8
+    // artifact's q44-q57 spike needed a judge re-run to diagnose; with
+    // the warm pass in the artifact it would have been self-evident.
+    val failedWarm = scala.collection.mutable.ArrayBuffer.empty[String]
     val warm: Option[Seq[(String, Double)]] =
-      if (sys.env.get("SPARK_GRAFT_REPEAT").exists(_.trim == "1"))
-        Some(timeAll())
-      else None
+      if (sys.env.get("SPARK_GRAFT_REPEAT").exists(_.trim == "0")) None
+      else Some(timeAll(failedWarm))
     // enforced ANN quality bar: an approximate index below recall@3 0.8
     // is not shippable, so the bench FAILS it rather than reporting a
     // fast-but-wrong number (VERDICT r2 #6)
@@ -114,7 +120,8 @@ object Bench {
     val warmJson = warm.map { w =>
       val wq = w.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s""","total_warm":${w.map(_._2).sum},"queries_warm":$wq"""
+      val wf = failedWarm.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""","total_warm":${w.map(_._2).sum},"queries_warm":$wq,"failed_warm":$wf"""
     }.getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rj,"failed":$fj,"loadavg_start":$load0,"loadavg_end":${loadavg()}$warmJson,"sf":"$sfDir"}""")
     spark.stop()

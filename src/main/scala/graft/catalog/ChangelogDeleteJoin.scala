@@ -43,6 +43,17 @@ object ChangelogDeleteJoin extends Rule[LogicalPlan] {
     }
   }
 
+  /** Memoized over-budget verdicts. Safe to cache indefinitely:
+    * version documents are immutable once committed, so a resolved
+    * (table, from, to) window's verdict never goes stale. Keyed WEAKLY
+    * by store instance — different warehouses legitimately host
+    * same-named tables (every test suite does) and must not share
+    * verdicts; the entry dies with its store. Without this the rule
+    * re-walked the window with loadVersion on EVERY optimizer fixpoint
+    * iteration of every t$changes query (advice r8). */
+  private val memo = new java.util.WeakHashMap[
+    AnyRef, scala.collection.mutable.Map[(String, Long, Long), Boolean]]()
+
   /** True iff some step in the requested window carries more live
     * delete-file bytes than the table's broadcast-class budget —
     * the exact condition under which the scan surface would refuse. */
@@ -53,16 +64,24 @@ object ChangelogDeleteJoin extends Rule[LogicalPlan] {
       options, name)
     val toV = ChangesTable.resolveEndVersion(ct.store, ct.ns, ct.table,
       options, name)
-    ((fromV + 1) to toV).exists { v =>
-      val meta = ct.store.loadVersion(ct.ns, ct.table, v)
-      val prev =
-        if (v - 1 >= 1) Some(ct.store.loadVersion(ct.ns, ct.table, v - 1))
-        else None
-      ChangesTable.stepDiff(meta, prev).exists { diff =>
-        (diff.newDeletes ++ diff.prevDeletes)
-          .map(MergeOnRead.estBytes).sum >
-          MergeOnRead.byteBudget(meta.properties)
-      }
+    val byWindow = memo.synchronized {
+      memo.computeIfAbsent(ct.store,
+        _ => scala.collection.mutable.Map.empty)
+    }
+    byWindow.synchronized {
+      if (byWindow.size > 4096) byWindow.clear() // crude bound, cheap refill
+      byWindow.getOrElseUpdate((name, fromV.toLong, toV.toLong),
+        ((fromV + 1) to toV).exists { v =>
+          val meta = ct.store.loadVersion(ct.ns, ct.table, v)
+          val prev =
+            if (v - 1 >= 1) Some(ct.store.loadVersion(ct.ns, ct.table, v - 1))
+            else None
+          ChangesTable.stepDiff(meta, prev).exists { diff =>
+            (diff.newDeletes ++ diff.prevDeletes)
+              .map(MergeOnRead.estBytes).sum >
+              MergeOnRead.byteBudget(meta.properties)
+          }
+        })
     }
   }
 

@@ -66,6 +66,15 @@ object Changes {
     val schema = SchemaBridge.toSpark(metaTo.currentSchema)
     val dataDir = store.dataDir(ns, table)
 
+    // explicit-off field-id sessions may not read renamed delete keys
+    // by name (silent resurrect); the keyId walk only runs in such
+    // sessions, over body-cached version documents
+    GraftTable.requireRenameSafeNameReads(s, metaTo,
+      ((fromVersion + 1) to toV).iterator.flatMap(v =>
+        store.loadVersion(ns, table, v).currentSnapshot
+          .map(_.deleteFiles.flatMap(_.keyFieldIds)).getOrElse(Nil)).toSet,
+      s"changelog of ${(ns :+ table).mkString(".")}")
+
     // field-id column resolution ON (as a per-read option — a changelog
     // read must not mutate session behavior): files written before a
     // rename must serve the renamed column, and delete-key files resolve

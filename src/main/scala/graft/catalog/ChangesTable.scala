@@ -927,6 +927,15 @@ private[graft] class ChangesScan(
       val fromV = ChangesTable.resolveStartVersion(store, ns, table, options, name)
       val toV = ChangesTable.resolveEndVersion(store, ns, table, options, name)
       require(fromV <= toV, s"from-version $fromV is above to-version $toV")
+      // explicit-off field-id sessions may not read renamed delete keys
+      // by name; the keyId walk (call-by-name) only runs in such
+      // sessions, over body-cached version documents
+      GraftTable.requireRenameSafeNameReads(s,
+        store.loadVersion(ns, table, toV),
+        ((fromV + 1) to toV).iterator.flatMap(v =>
+          store.loadVersion(ns, table, v).currentSnapshot
+            .map(_.deleteFiles.flatMap(_.keyFieldIds)).getOrElse(Nil)).toSet,
+        s"changelog scan of $name")
       ((fromV + 1) to toV).flatMap(v =>
         ChangesTable.stepPartitions(s, store, ns, table, schema, options,
           keyCache, v))

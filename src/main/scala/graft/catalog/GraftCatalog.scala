@@ -565,7 +565,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (partitionFilter.isEmpty) all
       else all.filter { r =>
         val kv = rawKvs(r)
-        partitionFilter.forall { case (k, v) => kv.get(k).contains(v) }
+        // match LOGICAL partition values (Iceberg's partition_filter
+        // semantics, r8 advice): dir renderings are %-escaped, so a
+        // value with a space or colon must not force the caller to
+        // pass its escaped form
+        partitionFilter.forall { case (k, v) =>
+          kv.get(k).map(org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName).contains(v) }
       }
     }
     require(srcRels.nonEmpty,

@@ -62,8 +62,10 @@ object GraftTable {
     * A session that EXPLICITLY set the key to false is honored (never
     * silently overridden — r7 advice): keys then resolve by NAME,
     * which is identical unless a key column was renamed after its
-    * delete files were written. The lazy enable applies only when the
-    * session never touched the key. */
+    * delete files were written — that unsafe combination is refused by
+    * [[requireRenameSafeNameReads]] at the scan/changelog entry points
+    * (r8 advice). The lazy enable applies only when the session never
+    * touched the key. */
   private[catalog] def idReader(s: SparkSession): org.apache.spark.sql.DataFrameReader = {
     val sc = s.sessionState.conf
     val explicitlyOff =
@@ -71,6 +73,41 @@ object GraftTable {
     if (!explicitlyOff && !s.conf.get(FieldIdReadKey, "false").toBoolean)
       s.conf.set(FieldIdReadKey, "true")
     s.read.option(FieldIdReadKey, "true")
+  }
+
+  /** Enforcement for the explicit-off escape hatch above (r8 advice):
+    * with field-id reads explicitly disabled, delete keys resolve by
+    * NAME — if the schema history renamed a column whose id is among
+    * the in-scope delete key ids, keys written before the rename would
+    * silently match nothing and deleted rows would RESURRECT. Refuse
+    * loudly instead of corrupting. `keyIds` is call-by-name so callers
+    * pay its derivation (a metadata walk for changelog windows) only in
+    * explicit-off sessions; empty keyIds ⇒ no equality-delete keys in
+    * scope ⇒ nothing to guard. */
+  private[catalog] def requireRenameSafeNameReads(
+      s: SparkSession, meta: graft.meta.TableMetadata,
+      keyIds: => Set[Int], what: String): Unit = {
+    val sc = s.sessionState.conf
+    val explicitlyOff =
+      sc.contains(FieldIdReadKey) && !sc.getConfString(FieldIdReadKey).toBoolean
+    if (!explicitlyOff) return
+    val ids = keyIds
+    if (ids.isEmpty) return
+    val cur = graft.meta.SchemaBridge.idNames(meta.currentSchema)
+    meta.schemas.foreach { sch =>
+      graft.meta.SchemaBridge.idNames(sch).foreach { case (id, n) =>
+        if (ids.contains(id))
+          cur.get(id).filter(_ != n).foreach { cn =>
+            throw new IllegalStateException(
+              s"$what: $FieldIdReadKey is explicitly false in this session, " +
+                s"forcing name-based key resolution, but delete-key column " +
+                s"'$n' was renamed to '$cn' in the table's schema history — " +
+                "keys written before the rename would match nothing and " +
+                "deleted rows would resurrect. Re-enable field-id reads, or " +
+                "compact the table to retire its delete files first.")
+          }
+      }
+    }
   }
 
   /** `options` plus the field-id read key, for delegate scan builders. */
@@ -195,7 +232,13 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
   private[graft] def transformPartSpecs: Seq[(String, String, String)] =
     SpecDerivation.transformPartSpecs(meta)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // explicit-off field-id sessions may not read renamed delete keys
+    // by name (silent resurrect) — refuse up front, at the one scan
+    // entry every batch read passes through
+    GraftTable.requireRenameSafeNameReads(SparkSession.active, meta,
+      meta.currentSnapshot.map(_.deleteFiles.flatMap(_.keyFieldIds).toSet)
+        .getOrElse(Set.empty), s"scan of $tableName")
     new GraftScanBuilder(tableName, store.dataDir(ns, table), scanRelFiles(options),
       identityPartCols, schema(), options,
       meta.currentSnapshot.map(_.fileStats).getOrElse(Map.empty),
@@ -207,6 +250,7 @@ class GraftTable(tableName: String, private[graft] val store: MetaStore,
       bloomKeyCols = MergeOnRead.declaredBloomCols(mergedProps),
       sortedRels = sortedRelSet,
       declaredOrdering = declaredV2Ordering)
+  }
 
   /** Live files PROVEN sorted under the current declared order: the
     * snapshot that added the file (its `fileSeqs` entry) carries the

@@ -140,7 +140,12 @@ object MetadataTables {
       StructField("partition", StringType, nullable = false),
       StructField("n_stat_cols", IntegerType, nullable = false),
       StructField("seq", LongType, nullable = true),
-      StructField("sorted_by", StringType, nullable = true)))
+      StructField("sorted_by", StringType, nullable = true),
+      // the file's record count from its manifest stats (Iceberg files
+      // table: record_count) — null on files whose adding commit
+      // pre-dated stats or skipped the harvest. Lets maintenance code
+      // (e.g. AnnIndex.vacuum reporting) count rows without a scan.
+      StructField("rows", LongType, nullable = true)))
     val stats = m.currentSnapshot.map(_.fileStats).getOrElse(Map.empty)
     val seqs = m.currentSnapshot.map(_.fileSeqs).getOrElse(Map.empty)
     // the order each data file was PROVEN written under: the `sorted-by`
@@ -151,22 +156,25 @@ object MetadataTables {
     def sortedBy(f: String): Any =
       seqs.get(f).flatMap(byId.get).flatMap(_.summary.get("sorted-by"))
         .map(UTF8String.fromString).orNull
-    def row(f: String, content: String, seq: Any, sorted: Any): InternalRow = {
+    def row(f: String, content: String, seq: Any, sorted: Any,
+            nRows: Any): InternalRow = {
       val part = PartitionDirs.kvs(f).toSeq.sorted
         .map { case (k, v) => s"$k=$v" }.mkString("/")
       new GenericInternalRow(Array[Any](
         UTF8String.fromString(f), UTF8String.fromString(content),
         UTF8String.fromString(part),
-        stats.get(f).map(_.size).getOrElse(0), seq, sorted))
+        stats.get(f).map(_.size).getOrElse(0), seq, sorted, nRows))
     }
     val rows: Array[InternalRow] =
       (m.currentSnapshot.map(_.files).getOrElse(Nil)
         .map(f => row(f, "data", seqs.get(f).map(v => v: Any).orNull,
-          sortedBy(f))) ++
+          sortedBy(f),
+          stats.get(f).flatMap(_.headOption).flatMap(_.rows)
+            .map(v => v: Any).orNull)) ++
        m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
         .map(d => row(d.path,
           if (d.keyFieldIds.isEmpty) "position-deletes" else "equality-deletes",
-          d.seq, null))).toArray
+          d.seq, null, d.rows))).toArray
     new RowsTable(fqn + "$files", schema, rows)
   }
 

@@ -229,12 +229,29 @@ object AnnIndex {
       .createOrReplaceTempView(view)
     try Seq("ivf_cells", "lsh_buckets").map { t =>
       val fqn = s"$prefix.$t"
-      val before = s.table(fqn).count()
+      // removed-row reporting from MANIFEST stats (the `rows` column of
+      // the $files metadata table — driver-local, zero data scans),
+      // where it previously spent two full count() scans per index
+      // table purely to report. count() remains only as the exactness
+      // fallback for files without a stamped row count.
+      val before = metaRows(s, fqn).getOrElse(s.table(fqn).count())
       s.sql(s"MERGE INTO $fqn i USING $view l ON i.vec_id = l.vec_id " +
         "WHEN NOT MATCHED BY SOURCE THEN DELETE")
-      before - s.table(fqn).count()
+      before - metaRows(s, fqn).getOrElse(s.table(fqn).count())
     }.sum
     finally s.catalog.dropTempView(view)
+  }
+
+  /** Table row count from manifest stats alone. Defined only when the
+    * snapshot is pure data files each carrying a stamped record count —
+    * a live delete file (MoR) or a stats-less file makes the manifest
+    * sum wrong, so those fall back to a real count(). */
+  private def metaRows(s: SparkSession, fqn: String): Option[Long] = {
+    val parts = fqn.split('.')
+    val filesTable = (parts.init :+ s"`${parts.last}$$files`").mkString(".")
+    val fs = s.table(filesTable).select(col("content"), col("rows")).collect()
+    if (fs.exists(r => r.getString(0) != "data" || r.isNullAt(1))) None
+    else Some(fs.map(_.getLong(1)).sum)
   }
 
   /** Build all index tables from an explicit corpus frame; `stamp`

@@ -321,6 +321,39 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.conf.get(key) == "true")
   }
 
+  test("explicit-off field-id conf + renamed key column refuses the read") {
+    val key = "spark.sql.parquet.fieldId.read.enabled"
+    mkMorTable("fidren", "t")
+    spark.sql("INSERT INTO mor.fidren.t VALUES (1,'a',1.0),(2,'b',2.0)")
+    spark.sql("DELETE FROM mor.fidren.t WHERE id = 2")
+    spark.sql("ALTER TABLE mor.fidren.t RENAME COLUMN id TO doc_key")
+    def chain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    spark.conf.set(key, "false")
+    try {
+      // name-resolved delete keys would silently match nothing after
+      // the rename (id=2 resurrects) — the scan must refuse loudly
+      // (r8 advice), and so must both changelog surfaces
+      val e = intercept[Exception] { spark.table("mor.fidren.t").collect() }
+      assert(chain(e).contains("resurrect"), chain(e))
+      val e2 = intercept[Exception] {
+        graft.catalog.Changes.between(spark, "mor.fidren.t", 0).collect()
+      }
+      assert(chain(e2).contains("resurrect"), chain(e2))
+      val e3 = intercept[Exception] {
+        spark.read.table("mor.fidren.`t$changes`").collect()
+      }
+      assert(chain(e3).contains("resurrect"), chain(e3))
+    } finally spark.conf.unset(key)
+    // with field ids honored again the read is exact
+    assert(spark.table("mor.fidren.t").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
   test("stale MoR delta fails cleanly when another commit interleaves") {
     mkMorTable("race", "t")
     spark.sql("INSERT INTO mor.race.t VALUES (1,'a',1.0),(2,'b',2.0)")

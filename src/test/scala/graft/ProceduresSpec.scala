@@ -157,6 +157,22 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eBad.getMessage.contains("not identity partition columns"),
       eBad.getMessage)
 
+    // partition_filter matches LOGICAL values: a dir-escaped value
+    // (colon → %3A in the hive rendering) is addressed by its plain
+    // form, never its escaped form (r8 advice)
+    val srcE = Files.createTempDirectory("graft-ext-esc-src").toString
+    spark.range(0, 4)
+      .select(col("id"), when(col("id") < 2, "a:b").otherwise("plain").as("dt"))
+      .write.partitionBy("dt").mode("overwrite").parquet(srcE)
+    spark.sql("DROP TABLE IF EXISTS graft.imp.pe")
+    spark.sql("""CREATE TABLE graft.imp.pe (id BIGINT, dt STRING)
+      PARTITIONED BY (dt)""")
+    spark.sql(s"CALL graft.system.add_files('imp.pe', '$srcE', " +
+      "partition_filter => 'dt=a:b')").collect()
+    val pe = spark.table("graft.imp.pe").select(col("dt")).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(pe == Set("a:b"), pe.toString)
+
     // refusals: transform specs and merge-on-read tables
     spark.sql("DROP TABLE IF EXISTS graft.imp.bt")
     spark.sql("""CREATE TABLE graft.imp.bt (id BIGINT, dt STRING)

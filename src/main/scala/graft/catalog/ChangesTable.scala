@@ -465,13 +465,61 @@ private[graft] object ChangesTable {
     }
   }
 
+  /** Over-budget delete commits on the STREAM: the step's changelog is
+    * computed by the batch feed's fully distributed plan
+    * ([[Changes.windowFrame]] — the same fallback [[ChangelogDeleteJoin]]
+    * gives batch reads), materialized ONCE under the stream's checkpoint
+    * (write-once: a _SUCCESS-stamped spill is reused, so trigger
+    * retries and offset replays re-read identical bytes), and served as
+    * plain parquet partitions through [[SpillChangeInputPartition]].
+    * Driver memory stays bounded — no key collection anywhere; the
+    * delete subtraction runs as shuffle joins inside the spill job,
+    * sized by AQE to the data. The label mapping mirrors
+    * [[ChangelogDeleteJoin.rewrite]] exactly, so the spilled rows equal
+    * the scan surface's own under either labeling scheme. */
+  def spillStepPartitions(s: SparkSession, store: MetaStore, ns: Seq[String],
+                          table: String, schema: StructType,
+                          options: CaseInsensitiveStringMap,
+                          ckpt: String, v: Int): Seq[InputPartition] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val wide = widen(schema)
+    val dir = s"$ckpt/graft-changelog-spill/v$v"
+    val root = new Path(dir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      val frame0 = Changes.windowFrame(s, store, ns, table, v - 1, Some(v))
+      val frame =
+        if (pairUpdates(options)) frame0
+        else frame0.withColumn(ChangeTypeCol,
+          when(col(ChangeTypeCol) === "update_preimage", lit("delete"))
+            .when(col(ChangeTypeCol) === "update_postimage", lit("insert"))
+            .otherwise(col(ChangeTypeCol)))
+      frame.select(wide.fieldNames.toSeq.map(col): _*)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val statuses = fs.listStatus(root).filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+    val req = SchemaBridge.stripFieldIds(wide) // self-written files: by name
+    val b = org.apache.spark.sql.execution.datasources.v2.parquet
+      .ParquetScanBuilder(s, new ManifestFileIndex(s, statuses), req, req,
+        options)
+    b.pruneColumns(req)
+    b.build().toBatch.planInputPartitions()
+      .map(ip => SpillChangeInputPartition(ip): InputPartition).toSeq
+  }
+
   /** The partitions of one version step v-1 → v (empty when the commit
-    * changed no rows). Driver-side: metadata + bounded key-set reads. */
+    * changed no rows). Driver-side: metadata + bounded key-set reads.
+    * `spillCkpt` is the streaming fallback root for over-budget delete
+    * commits ([[spillStepPartitions]]); batch reads pass None and keep
+    * the refusal (their distributed fallback is the
+    * [[ChangelogDeleteJoin]] logical rewrite). */
   def stepPartitions(s: SparkSession, store: MetaStore, ns: Seq[String],
                      table: String, schema: StructType,
                      options: CaseInsensitiveStringMap,
                      keyCache: scala.collection.mutable.Map[String, MorPredicate],
-                     v: Int): Seq[InputPartition] = {
+                     v: Int, spillCkpt: Option[String] = None): Seq[InputPartition] = {
     val meta = store.loadVersion(ns, table, v)
     val prevMeta = if (v - 1 >= 1) Some(store.loadVersion(ns, table, v - 1)) else None
     val diff = stepDiff(meta, prevMeta).getOrElse(return Nil)
@@ -494,11 +542,14 @@ private[graft] object ChangesTable {
     val liveBytes = (diff.newDeletes ++ diff.prevDeletes)
       .map(MergeOnRead.estBytes).sum
     val budget = MergeOnRead.byteBudget(meta.properties)
+    if (liveBytes > budget && spillCkpt.isDefined)
+      return spillStepPartitions(s, store, ns, table, schema, options,
+        spillCkpt.get, v)
     require(liveBytes <= budget,
       s"version $v carries $liveBytes bytes of live delete files — over " +
         s"the changelog budget ($budget); batch reads plan a distributed " +
         "join when graft.functions.GraftExtensions is installed " +
-        "(spark.sql.extensions); for streaming, compact the table first")
+        "(spark.sql.extensions)")
 
     def pred(df: graft.meta.DeleteFileDef): MorPredicate =
       predicateOf(s, dataDir, schema, keyCache, df)
@@ -761,9 +812,19 @@ private[graft] final case class PosChangeInputPartition(
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 
+/** A SPILLED changelog partition (streaming over-budget fallback): the
+  * rows were precomputed by the distributed batch frame and written
+  * under the stream's checkpoint, so the file already carries the
+  * widened schema — the reader passes rows through untouched. */
+private[graft] final case class SpillChangeInputPartition(
+    delegate: InputPartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
 private[graft] class ChangesReaderFactory(delegate: PartitionReaderFactory,
                                           namedDelegate: PartitionReaderFactory = null,
-                                          dataDir: String = "")
+                                          dataDir: String = "",
+                                          spillDelegate: PartitionReaderFactory = null)
   extends PartitionReaderFactory {
   // rows gain literal columns per row: uniformly row-based (same
   // decode-vectorized-serve-rows path as the MoR reader)
@@ -785,6 +846,7 @@ private[graft] class ChangesReaderFactory(delegate: PartitionReaderFactory,
         new ChangeEmittingReader(pick(d).createReader(d), spec)
       case PosChangeInputPartition(d, emit, subtract, spec) =>
         new PosChangeReader(pick(d).createReader(d), emit, subtract, spec)
+      case SpillChangeInputPartition(d) => spillDelegate.createReader(d)
       case other => throw new IllegalStateException(s"untagged partition $other")
     }
 }
@@ -955,7 +1017,8 @@ private[graft] class ChangesScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     val start = ChangesTable.resolveStartVersion(store, ns, table, options,
       (ns :+ table).mkString("."))
-    new ChangesMicroBatchStream(store, ns, table, schema, options, start)
+    new ChangesMicroBatchStream(store, ns, table, schema, options, start,
+      checkpointLocation)
   }
 }
 
@@ -969,7 +1032,7 @@ private[graft] class ChangesScan(
 private[graft] class ChangesMicroBatchStream(
     store: MetaStore, ns: Seq[String], table: String,
     schema: StructType, options: CaseInsensitiveStringMap,
-    startVersion: Int) extends MicroBatchStream
+    startVersion: Int, checkpointLocation: String = "") extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val keyCache =
@@ -1080,9 +1143,10 @@ private[graft] class ChangesMicroBatchStream(
     val sv = start.asInstanceOf[GraftSourceOffset].version
     val ev = end.asInstanceOf[GraftSourceOffset].version
     val s = SparkSession.active
+    val spill = Option(checkpointLocation).filter(_.nonEmpty)
     ((sv + 1) to ev).flatMap(v =>
       ChangesTable.stepPartitions(s, store, ns, table, schema, options,
-        keyCache, v))
+        keyCache, v, spill))
       .toArray
   }
 
@@ -1093,7 +1157,12 @@ private[graft] class ChangesMicroBatchStream(
         options).toBatch.createReaderFactory(),
       ChangesTable.delegateScan(SparkSession.active, dataDir, Nil, schema,
         options, forceNamed = true).toBatch.createReaderFactory(),
-      dataDir)
+      dataDir,
+      // serves over-budget steps spilled by the batch-frame fallback
+      // (rows arrive pre-widened; read by name — self-written files)
+      ChangesTable.delegateScan(SparkSession.active, dataDir, Nil,
+        ChangesTable.widen(schema), options, forceNamed = true)
+        .toBatch.createReaderFactory())
   }
 
   override def commit(end: Offset): Unit = ()

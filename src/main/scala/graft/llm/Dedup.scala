@@ -265,25 +265,59 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  private val SimP = 1000000007L
+
+  /** 64 affine projection constants for the SimHash parities, derived
+    * from one fixed splitmix64 walk and clamped into [1, p-1] (never
+    * the degenerate zero projection). The SAME values are interpolated
+    * verbatim into [[q53Sql]] — one source of truth for both engines. */
+  private def simConst(seed: Long): Array[Long] = {
+    var z = seed
+    Array.fill(64) {
+      z += 0x9E3779B97F4A7C15L
+      var x = z
+      x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+      x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+      x ^= (x >>> 31)
+      math.floorMod(x, SimP - 1) + 1
+    }
+  }
+  private val SimA: Array[Long] = simConst(0x51L)
+  private val SimB: Array[Long] = simConst(0xB7L)
+
   /** SimHash near-dup: 64-bit signature from word-frequency-weighted bit
-    * votes, banded into 4×16-bit blocks for candidate generation (a pair
-    * within hamming distance 3 must share at least one exact block), then
-    * verified with bit_count(xor) <= 3. Map-only signature + band
-    * equi-join: 100 TB safe. Rows-only oracle. */
+    * votes, banded into 4×16-bit blocks for candidate generation, then
+    * verified with bit_count(xor) <= 3. Candidate recall is EXACTLY 1
+    * by pigeonhole — 3 differing bits touch at most 3 of the 4 blocks,
+    * so every qualifying pair shares an exact block — which makes the
+    * output equal to the all-pairs hamming filter and the pipeline
+    * oracle-checkable. Map-only signature + band equi-join: 100 TB
+    * safe.
+    *
+    * Signature bit j votes by the PARITY of an affine projection
+    * (a_j·base(w) + b_j mod p, p = 1e9+7) of the word's poly-31 byte
+    * fold — a universal-hash-parity simhash family chosen over the
+    * previous xxhash64 bit extraction so the DuckDB oracle can
+    * recompute identical signatures from first principles (the q63/q65
+    * replayable-kernel precedent) and replay the exact all-pairs form.
+    * Tokens are raw whitespace splits (no lower()): ASCII-only case
+    * folding is the one step whose engine replays could diverge on
+    * non-ASCII text. */
   def q53SimHash(s: SparkSession, dir: String): DataFrame = {
-    // per-word 64-bit hash; simhash bit j = 1 iff the sum over word
-    // occurrences of (bit_j(hash) ? +1 : -1) is >= 0. The word hashing
-    // stays in Catalyst (xxhash64); the 64-bit vote kernel is a tight
-    // Scala loop — same rationale as the MinHash signature kernel.
-    val wordHashes = transform(split(trim(lower(col("text"))), "\\s+"),
-      w => xxhash64(w))
-    val simUdf = udf { hs: Seq[Long] =>
+    val pa = SimA; val pb = SimB; val pm = SimP
+    val simUdf = udf { ws: Seq[String] =>
       val votes = new Array[Int](64)
-      val it = hs.iterator
+      val it = ws.iterator
       while (it.hasNext) {
-        val h = it.next(); var j = 0
+        val bs = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var base = 7L
+        var i = 0
+        while (i < bs.length) { base = (base * 31 + (bs(i) & 0xFF)) % pm; i += 1 }
+        var j = 0
         while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          // a_j, base < p < 2^30 → the product stays far under Long.Max
+          if (((pa(j) * base + pb(j)) % pm & 1L) == 0L) votes(j) += 1
+          else votes(j) -= 1
           j += 1
         }
       }
@@ -292,7 +326,8 @@ object Dedup {
       sig
     }
     val sigs = Tables.documents(s, dir)
-      .select(col("doc_id"), simUdf(wordHashes).as("sig"))
+      .select(col("doc_id"),
+        simUdf(split(trim(col("text")), "\\s+")).as("sig"))
     val blockEntries = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
@@ -742,6 +777,56 @@ object Dedup {
       |FROM documents d LEFT JOIN clean c USING (doc_id) LEFT JOIN rem r USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** DuckDB replay of q53: the SAME simhash signatures recomputed from
+    * first principles — per-word poly-31 byte fold (the q63 byte-fold
+    * machinery over `hex(encode(w))`), the 64 affine parity projections
+    * with [[SimA]]/[[SimB]] interpolated verbatim, majority votes,
+    * HUGEINT bit assembly mapped to the signed BIGINT — then the exact
+    * ALL-PAIRS hamming filter, which the Spark side's 4×16-bit banding
+    * equals by pigeonhole (recall exactly 1). A signature divergence,
+    * a missed pair, or an invented pair all fail the hash. */
+  val q53Sql: String = {
+    val al = SimA.mkString("[", ",", "]")
+    val bl = SimB.mkString("[", ",", "]")
+    val pw = (0 until 64)
+      .map(j => "'" + java.math.BigInteger.ONE.shiftLeft(j) + "'")
+      .mkString("[", ",", "]")
+    s"""WITH tok AS (
+      |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+      |  FROM documents),
+      |wb AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(range(0, octet_length(encode(w))),
+      |        i -> CAST(CAST(concat('0x', hex(encode(w))[i*2+1:i*2+2]) AS INTEGER) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS base
+      |  FROM tok),
+      |v AS (
+      |  SELECT doc_id, u.j,
+      |    SUM(CASE WHEN (($al[CAST(u.j AS INTEGER)+1] * base +
+      |                    $bl[CAST(u.j AS INTEGER)+1]) % 1000000007) % 2 = 0
+      |        THEN 1 ELSE -1 END) AS vote
+      |  FROM wb CROSS JOIN (SELECT UNNEST(range(0, 64)) AS j) u
+      |  GROUP BY doc_id, u.j),
+      |sg AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN vote >= 0
+      |        THEN CAST($pw AS HUGEINT[])[CAST(j AS INTEGER)+1]
+      |        ELSE CAST(0 AS HUGEINT) END) AS su
+      |  FROM v GROUP BY doc_id),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN su >= CAST('9223372036854775808' AS HUGEINT)
+      |         THEN su - CAST('18446744073709551616' AS HUGEINT)
+      |         ELSE su END AS BIGINT) AS sig
+      |  FROM sg)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact"   -> q50Sql,
     "q51_dedup_norm"    -> q51Sql,
@@ -749,11 +834,9 @@ object Dedup {
     "q79_decontaminate" -> q79Sql,
     "q67_dedup_clusters" -> q67Sql,
     "q52_dedup_minhash" -> q52Sql,
+    "q53_dedup_simhash" -> q53Sql,
     "q93_incremental_dedup" -> q93Sql,
     "q97_substring_dedup" -> q97Sql,
     "q98_strip_spans" -> q98Sql,
-    // q53: the SimHash signature (xxhash64 word votes) is
-    // engine-specific and its hamming candidates are not expressible
-    // from first principles in SQL → rows-only.
   )
 }

@@ -189,22 +189,30 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** The two sign-LSH plane tables of q64, at object scope so the
+    * DuckDB oracle can inline the IDENTICAL doubles
+    * (`Double.toString` round-trips exactly) — one source of truth for
+    * both engines. */
+  private[llm] val q64Planes: Seq[Array[Array[Double]]] =
+    Seq(21, 33).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      Array.fill(6, 64)(rnd.nextGaussian())
+    }
+
   /** Embedding-cosine near-duplicate detection — the vector flavor of
     * dedup: sign-LSH buckets generate candidate pairs (ids only through
     * the shuffle), exact cosine verifies, pairs >= 0.35 survive (this
     * corpus's near-dup band; true dups would sit near 1.0). Same banding
-    * recall/cost trade as MinHash-LSH; approximate → rows-only oracle. */
+    * recall/cost trade as MinHash-LSH. The whole pipeline is
+    * deterministic (fixed planes, sign tests, exact cosine), so the
+    * oracle replays it END-TO-END — banding included — rather than
+    * checking rows only; see [[q64Sql]]. */
   def q64DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val nBits = 6; val dim = 64
-    def planes(seed: Int): Array[Array[Double]] = {
-      val rnd = new scala.util.Random(seed)
-      Array.fill(nBits, dim)(rnd.nextGaussian())
-    }
 
     val e = Tables.embeddings(s, dir).withColumn("nrm", norm(col("embedding")))
     val hashed = e.select(col("vec_id"),
-      explode(array(Seq(planes(21), planes(33)).zipWithIndex.map { case (pl, t) =>
+      explode(array(q64Planes.zipWithIndex.map { case (pl, t) =>
         struct(lit(t).as("t"), bucketUdf(pl)(col("embedding")).as("b"))
       }: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
@@ -344,8 +352,43 @@ object Similarity {
     "q80_quantize"         -> q80Quantize _,
   )
 
+  /** DuckDB replay of q64 END-TO-END: the same sign-LSH buckets (the
+    * [[q64Planes]] doubles inlined verbatim; a sign test per plane via
+    * `list_dot_product >= 0`, identical sequential double accumulation),
+    * the same either-table candidate union, and q55's proven exact
+    * cosine + round formulation at the 0.35 band. This checks the
+    * pipeline as DEFINED — banding included — the only honest option:
+    * an all-pairs oracle was tried and the 2×6-bit banding's recall at
+    * the permissive 0.35 band is genuinely partial (29/257 at
+    * sf0.001), exactly the recall/cost trade the operator documents. A
+    * flipped sign bit, a lost candidate, or a sim divergence all fail
+    * the hash. */
+  val q64Sql: String = {
+    def planeLit(p: Array[Double]): String =
+      p.map(java.lang.Double.toString).mkString("[", ",", "]")
+    def bucketExpr(pls: Array[Array[Double]]): String =
+      pls.zipWithIndex.map { case (p, bit) =>
+        s"(CASE WHEN list_dot_product(ev, ${planeLit(p)}) >= 0 THEN ${1 << bit} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |bk AS (
+      |  SELECT vec_id, 0 AS t, ${bucketExpr(q64Planes.head)} AS b FROM v
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS t, ${bucketExpr(q64Planes(1))} AS b FROM v),
+      |pr AS (
+      |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM bk x JOIN bk y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+      |sim AS (
+      |  SELECT id_a, id_b,
+      |    ROUND(list_dot_product(x.ev, y.ev) /
+      |      (SQRT(list_dot_product(x.ev, x.ev)) * SQRT(list_dot_product(y.ev, y.ev))), 6) AS sim
+      |  FROM pr JOIN v x ON pr.id_a = x.vec_id JOIN v y ON pr.id_b = y.vec_id)
+      |SELECT id_a, id_b, sim FROM sim WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q55_cosine_topk" -> q55Sql,
+    "q64_dedup_embedding" -> q64Sql,
     "q80_quantize" -> q80Sql,
     // q56/q57 are approximate (LSH/IVF) → rows-only checks.
   )

@@ -626,6 +626,71 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans.isEmpty, "over-budget window must not keep the key-collect scan")
   }
 
+  test("over-budget delete commits stream through the changelog via spilled batch frames") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bigcdcs")
+    spark.sql("DROP TABLE IF EXISTS graft.bigcdcs.t")
+    // 1-byte budget: every delete commit is over budget. The STREAM has
+    // no logical-plan rewrite point, so it must fall back to the
+    // spilled batch frame instead of refusing (r8 verdict ask #2) — and
+    // never materialize the delete keys on the driver.
+    spark.sql("""CREATE TABLE graft.bigcdcs.t (k INT NOT NULL, v STRING)
+      TBLPROPERTIES ('identifier-fields' = 'k',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'read.delete.byte-budget' = '1')""")
+    spark.sql("INSERT INTO graft.bigcdcs.t VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    spark.sql("DELETE FROM graft.bigcdcs.t WHERE k IN (2, 4)")
+    spark.sql("UPDATE graft.bigcdcs.t SET v = 'C' WHERE k = 3")
+
+    def apiRows: Set[(Int, String, String, Int)] =
+      Changes.between(spark, "graft.bigcdcs.t", 0)
+        .select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+        .toSet
+    def rawScheme(rs: Set[(Int, String, String, Int)]) = rs.map {
+      case (k, v, "update_preimage", ver) => (k, v, "delete", ver)
+      case (k, v, "update_postimage", ver) => (k, v, "insert", ver)
+      case other => other
+    }
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bigcdc-ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String, Int)]()
+    val q = spark.readStream.table("graft.bigcdcs.`t$changes`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        df.select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+          .collect()
+          .foreach(r => seen.add(
+            (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val got = seen.asScala.toSet
+      val want = rawScheme(apiRows)
+      assert(got == want, s"missing ${want -- got}, invented ${got -- want}")
+      // the spill artifact proves the fallback path ran (no refusal, no
+      // key collect) and is _SUCCESS-stamped for replay determinism
+      def spills(d: java.io.File): Seq[java.io.File] =
+        if (d.getName == "graft-changelog-spill") Seq(d)
+        else Option(d.listFiles()).toSeq.flatten.filter(_.isDirectory).flatMap(spills)
+      val roots = spills(new java.io.File(ckpt))
+      assert(roots.nonEmpty, s"no spill artifact under $ckpt")
+      assert(roots.flatMap(r => Option(r.listFiles()).toSeq.flatten)
+        .forall(v => new java.io.File(v, "_SUCCESS").exists()),
+        "spilled step missing its _SUCCESS stamp")
+
+      // a mid-stream over-budget delete arrives as delete rows too
+      spark.sql("DELETE FROM graft.bigcdcs.t WHERE k = 1")
+      q.processAllAvailable()
+      val got2 = seen.asScala.toSet
+      val want2 = rawScheme(apiRows)
+      assert(got2 == want2, s"missing ${want2 -- got2}, invented ${got2 -- want2}")
+    } finally q.stop()
+  }
+
   test("changelog windows span an identifier-fields flavor change") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.flipcdc")
     spark.sql("DROP TABLE IF EXISTS graft.flipcdc.t")

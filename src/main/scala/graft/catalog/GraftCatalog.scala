@@ -505,12 +505,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       import org.apache.spark.sql.types._
       Set(StringType, IntegerType, LongType, ShortType, ByteType, BooleanType)
     }
-    val partIdentityCols: Seq[String] = specFields.map { f =>
+    // a SINGLE bucket(n, col) spec field imports Spark bucketBy-layout
+    // lakes: the bucket id is witnessed by the Spark bucketed-file name
+    // (part-....._NNNNN...), and Spark's bucket function is
+    // pmod(murmur3(col, seed 42), n) — bit-identical to graft's
+    // write-side dirExpr and BucketBound, which is PROVEN per import by
+    // recomputing the bucket over every row (below) so a lake bucketed
+    // by any other hash (e.g. Hive's) refuses instead of silently
+    // mis-joining under SPJ
+    val bucketImport: Option[(String, Int, String)] = specFields match {
+      case Seq(f) if f.transform.startsWith("bucket[") =>
+        val n = "bucket\\[(\\d+)\\]".r.findFirstMatchIn(f.transform)
+          .get.group(1).toInt
+        Some((idToName(f.sourceId), n, f.name))
+      case _ => None
+    }
+    val partIdentityCols: Seq[String] =
+      if (bucketImport.isDefined) Nil
+      else specFields.map { f =>
       require(f.transform == "identity",
         s"add_files on ${ident.name}: partition transform " +
           s"'${f.transform}' cannot be witnessed by a source directory — " +
-          "only identity-partitioned tables import hive layouts; load via " +
-          "INSERT INTO ... SELECT")
+          "only identity- or single-bucket-partitioned tables import " +
+          "foreign layouts; load via INSERT INTO ... SELECT")
       val c = idToName(f.sourceId)
       require(exactRender.contains(tableSchema0.fields(
           tableSchema0.fieldIndex(c)).dataType),
@@ -519,14 +536,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "INSERT INTO ... SELECT")
       c
     }
-    if (partIdentityCols.nonEmpty) {
+    if (partIdentityCols.nonEmpty || bucketImport.isDefined) {
       val mor = Seq("write.delete.mode", "write.update.mode", "write.merge.mode")
         .exists(k => base.properties.get(k).contains("merge-on-read"))
       require(!mor && !base.properties.contains("identifier-fields"),
         s"add_files on ${ident.name}: partitioned imports require a " +
           "copy-on-write table without identifier-fields — delete keys and " +
           "row coordinates cannot be served from files that hold their " +
-          "partition columns in directories")
+          "partition columns in directories (and bucketed imports keep the " +
+          "same conservative guard)")
     }
     val cur = SchemaBridge.idNames(base.currentSchema)
     base.schemas.foreach { s =>
@@ -601,6 +619,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         r -> kvs
       }.toMap
+
+    // bucket imports: parse each file's witnessed bucket id from the
+    // Spark bucketBy file name, then PROVE the hash family by
+    // recomputing pmod(murmur3(col), n) over every row in ONE
+    // column-pruned distributed job — the one-time import cost that
+    // makes the zero-copy SPJ claim sound
+    val srcBuckets: Map[String, Int] = bucketImport match {
+      case None => Map.empty
+      case Some((c, n, _)) =>
+        val BucketFile = """.*_(\d+)(?:\..*)?$""".r
+        val witnessed = srcRels.map { r =>
+          val b = r.split('/').last match {
+            case BucketFile(d) => d.toInt
+            case _ => throw new IllegalArgumentException(
+              s"add_files on ${ident.name}: source file $r does not carry " +
+                "a Spark bucketBy bucket suffix (part-..._NNNNN...) — its " +
+                "bucket cannot be witnessed; load via INSERT INTO ... SELECT")
+          }
+          require(b < n,
+            s"add_files on ${ident.name}: source file $r claims bucket $b " +
+              s"but the table spec has $n buckets")
+          r -> b
+        }.toMap
+        import org.apache.spark.sql.functions.{col => fc, collect_set, hash => fhash, input_file_name, lit, pmod}
+        val dt = tableSchema0.fields(tableSchema0.fieldIndex(c)).dataType
+        val computed = spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(c, dt))))
+          .parquet(srcRels.map(r => s"$sourceDir/$r"): _*)
+          .select(input_file_name().as("__f"),
+            pmod(fhash(fc(c)), lit(n)).as("__b"))
+          .groupBy(fc("__f")).agg(collect_set(fc("__b")).as("bs"))
+          .collect()
+        computed.foreach { row =>
+          val f = row.getString(0)
+          val rel = srcRels.find(r => f.endsWith("/" + r)).getOrElse(
+            throw new IllegalStateException(
+              s"bucket verification could not map scanned file $f back to " +
+                "a source file"))
+          val got = row.getSeq[Int](1).toSet
+          require(got.subsetOf(Set(witnessed(rel))),
+            s"add_files on ${ident.name}: source file $rel claims bucket " +
+              s"${witnessed(rel)} but its rows hash to buckets " +
+              s"${got.toSeq.sorted.mkString(",")} under graft's " +
+              "pmod(murmur3, n) — the lake was bucketed by a different " +
+              "hash function; load via INSERT INTO ... SELECT")
+        }
+        witnessed
+    }
     // the merged FOOTER schema must serve every table column by name
     // with a structurally equal type; EXTRA source columns are fine
     // (requests clip by name), but a missing or mistyped one would
@@ -633,7 +700,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // maintenance see it exactly like a native file; the filename keeps
     // a per-file index prefix so nested source layouts cannot collide
     val targets: Seq[(String, String)] =
-      if (partIdentityCols.isEmpty) srcRels.map(r => r -> r)
+      if (bucketImport.isDefined)
+        // land each file under its witnessed bucket dir so dir replay
+        // pruning, SPJ grouping, $partitions, and partition-scoped
+        // maintenance see it exactly like a native bucketed file
+        srcRels.zipWithIndex.map { case (r, i) =>
+          r -> s"__part_${bucketImport.get._3}=${srcBuckets(r)}/f$i-${r.split('/').last}"
+        }
+      else if (partIdentityCols.isEmpty) srcRels.map(r => r -> r)
       else srcRels.zipWithIndex.map { case (r, i) =>
         val kvs = srcDirKvs(r)
         val dirs = partIdentityCols

@@ -617,10 +617,48 @@ object CatalogQueries {
       |FROM supplier WHERE s_nationkey < 10
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** q105: zero-copy onboarding of a Spark `bucketBy` lake. The
+    * table's bucket(4, s_suppkey) spec is witnessed by the bucketBy
+    * file names (part-..._NNNNN...) and PROVEN by add_files' per-row
+    * pmod(murmur3, n) verification; files register under `__part_`
+    * bucket dirs so SPJ and bucket pruning treat them natively. The
+    * filtered aggregation reads the data columns straight from the
+    * imported files — a lost/duplicated file or a mis-bucketed
+    * registration fails the hash. */
+  def q105AddFilesBucketed(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.supplier_bk")
+    val sup = Tables.supplier(s, dir)
+    s.sql(s"CREATE TABLE graft_q13.tpch.supplier_bk (${sup.schema.toDDL}) " +
+      "PARTITIONED BY (bucket(4, s_suppkey))")
+    val src = java.nio.file.Files.createTempDirectory("graft-q105-src")
+      .toString + "/t"
+    sup.write.bucketBy(4, "s_suppkey").option("path", src)
+      .mode("overwrite").saveAsTable("graft_q105_src_tmp")
+    val res = s.sql(
+      s"CALL graft_q13.system.add_files('tpch.supplier_bk', '$src')").collect()
+    require(res(0).getInt(1) > 0, "add_files registered no files")
+    s.sql("DROP TABLE IF EXISTS graft_q105_src_tmp") // external: files stay
+    s.table("graft_q13.tpch.supplier_bk")
+      .filter(col("s_suppkey") % 7 === 0)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("key_sum"),
+        min(col("s_name")).as("first_name"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q105Sql: String =
+    """SELECT s_nationkey, count(*) AS n,
+      |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+      |       min(s_name) AS first_name
+      |FROM supplier WHERE s_suppkey % 7 = 0
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_catalog_scan" -> q13CatalogScan _,
     "q99_add_files" -> q99AddFiles _,
     "q103_add_files_partitioned" -> q103AddFilesPartitioned _,
+    "q105_add_files_bucketed" -> q105AddFilesBucketed _,
     "q83_stream_catalog_source" -> q83StreamCatalogSource _,
     "q84_row_level_dml" -> q84RowLevelDml _,
     "q85_partition_evolution" -> q85PartitionEvolution _,
@@ -635,6 +673,7 @@ object CatalogQueries {
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
     "q99_add_files" -> q99Sql,
+    "q105_add_files_bucketed" -> q105Sql,
     "q103_add_files_partitioned" -> q103Sql,
     "q83_stream_catalog_source" -> q83Sql,
     "q84_row_level_dml" -> q84Sql,

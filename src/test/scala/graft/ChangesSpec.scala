@@ -265,6 +265,49 @@ class ChangesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a 1-byte budget must pace 3 commits into 3 batches, got $got")
   }
 
+  test("one oversized append commit paces into multiple batches (sub-commit offsets)") {
+    import scala.jdk.CollectionConverters._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdcsp")
+    spark.sql("CREATE TABLE graft.cdcsp.t (k BIGINT)")
+    // ONE commit, several files (one per shuffle partition) — the
+    // "giant backfill append" shape that used to arrive as one
+    // unboundable micro-batch regardless of pacing
+    spark.sql("INSERT INTO graft.cdcsp.t SELECT id FROM range(0, 400)")
+    val nFiles = spark.sql("SELECT count(*) FROM graft.cdcsp.`t$files`")
+      .head.getLong(0)
+    assert(nFiles >= 2, s"need a multi-file commit, got $nFiles")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcsp-ckpt").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def start() = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("graft.cdcsp.`t$changes`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val ks = df.select(col("k")).collect().map(_.getLong(0)).toSeq
+        if (ks.nonEmpty) batches.add(ks); ()
+      }.start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val first = batches.asScala.toSeq
+    assert(first.flatten.sorted == (0L until 400L),
+      s"sub-commit pacing lost or duplicated rows")
+    assert(first.length == nFiles,
+      s"a 1-file budget must pace the $nFiles-file commit into $nFiles " +
+        s"batches, got ${first.length}")
+
+    // restart from the checkpoint: the mid-commit watermark must not
+    // re-emit anything; a fresh commit still flows
+    spark.sql("INSERT INTO graft.cdcsp.t VALUES (1000)")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = batches.asScala.toSeq.flatten
+    assert(all.sorted == ((0L until 400L) :+ 1000L),
+      s"restart across the sub-commit watermark broke exactly-once: " +
+        s"${all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }}")
+  }
+
   test("t$changes batch windows resolve from wall-clock timestamps too") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdct")
     spark.sql("CREATE TABLE graft.cdct.t (k INT, v STRING)")

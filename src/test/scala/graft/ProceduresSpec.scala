@@ -173,14 +173,16 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).toSet
     assert(pe == Set("a:b"), pe.toString)
 
-    // refusals: transform specs and merge-on-read tables
+    // refusals: non-bucket-witnessable sources into a bucket spec, and
+    // merge-on-read tables. (A hive-layout source carries no bucket
+    // suffix, so the bucket path refuses on the naming witness.)
     spark.sql("DROP TABLE IF EXISTS graft.imp.bt")
     spark.sql("""CREATE TABLE graft.imp.bt (id BIGINT, dt STRING)
       PARTITIONED BY (bucket(4, id))""")
     val e1 = intercept[Exception] {
       spark.sql(s"CALL graft.system.add_files('imp.bt', '$src')").collect()
     }
-    assert(e1.getMessage.contains("transform"), e1.getMessage)
+    assert(e1.getMessage.contains("bucket"), e1.getMessage)
     spark.sql("DROP TABLE IF EXISTS graft.imp.mt")
     spark.sql("""CREATE TABLE graft.imp.mt (id BIGINT, v STRING, dt STRING)
       PARTITIONED BY (dt)
@@ -189,6 +191,60 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"CALL graft.system.add_files('imp.mt', '$src')").collect()
     }
     assert(e2.getMessage.contains("copy-on-write"), e2.getMessage)
+  }
+
+  test("add_files onboards a Spark bucketBy lake under a bucket spec") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imp")
+    spark.sql("DROP TABLE IF EXISTS graft.imp.bk")
+    spark.sql("""CREATE TABLE graft.imp.bk (id BIGINT, v STRING)
+      PARTITIONED BY (bucket(4, id))""")
+    // a Spark bucketBy lake: the bucket id lives in the file NAME
+    // (part-....._NNNNN...), the hash is pmod(murmur3(id, 42), 4) —
+    // bit-identical to graft's write-side layout
+    val srcRoot = Files.createTempDirectory("graft-ext-bk-src").toString
+    val src = s"$srcRoot/t"
+    spark.range(0, 100)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .write.bucketBy(4, "id").option("path", src)
+      .mode("overwrite").saveAsTable("graft_bk_src_tmp")
+    try {
+      val res = spark.sql(s"CALL graft.system.add_files('imp.bk', '$src')")
+        .collect()
+      assert(res(0).getInt(1) >= 4, res.toSeq.toString)
+      // content exact, zero copy
+      assert(spark.table("graft.imp.bk").count() == 100)
+      assert(spark.table("graft.imp.bk").filter(col("id") === 42)
+        .select(col("v")).head.getString(0) == "v42")
+      // files registered under their witnessed bucket dirs
+      val parts = spark.sql("SELECT DISTINCT partition FROM graft.imp.`bk$files`")
+        .collect().map(_.getString(0)).toSet
+      assert(parts.exists(_.contains("=0")) && parts.exists(_.contains("=3")),
+        parts.toString)
+
+      // a lake bucketed by a DIFFERENT column carries the right naming
+      // but the wrong hashes — the per-row verification must refuse
+      val srcBad = s"$srcRoot/bad"
+      spark.range(0, 100)
+        .select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .write.bucketBy(4, "v").option("path", srcBad)
+        .mode("overwrite").saveAsTable("graft_bk_bad_tmp")
+      spark.sql("DROP TABLE IF EXISTS graft.imp.bk2")
+      spark.sql("""CREATE TABLE graft.imp.bk2 (id BIGINT, v STRING)
+        PARTITIONED BY (bucket(4, id))""")
+      val eBad = intercept[Exception] {
+        spark.sql(s"CALL graft.system.add_files('imp.bk2', '$srcBad')").collect()
+      }
+      assert(eBad.getMessage.contains("different hash") ||
+        eBad.getMessage.contains("hash to buckets"), eBad.getMessage)
+
+      // compaction folds the import to native files; content survives
+      spark.sql("CALL graft.system.compact(table => 'imp.bk')").collect()
+      assert(spark.table("graft.imp.bk").count() == 100)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bk_src_tmp")
+      spark.sql("DROP TABLE IF EXISTS graft_bk_bad_tmp")
+    }
   }
 
   test("compact maintenance edges: empty no-op, overflow smaller_than rejected") {
@@ -291,13 +347,15 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e1 = intercept[Exception](
       spark.sql(s"CALL graft.system.add_files('imp.t', '$src')").collect())
     assert(e1.getMessage.contains("renamed"), e1.getMessage)
-    // transform-partitioned tables refuse: a dir cannot witness a
-    // bucket value (identity-partitioned hive layouts import fine)
+    // bucket-partitioned tables require a bucketBy-witnessed source: a
+    // plain parquet file name carries no bucket suffix, so the witness
+    // refuses (identity-partitioned hive layouts import fine, and real
+    // bucketBy lakes pass — see the bucketBy lifecycle test)
     spark.sql("""CREATE TABLE graft.imp.p (id BIGINT, v STRING)
       PARTITIONED BY (bucket(4, id))""")
     val e2 = intercept[Exception](
       spark.sql(s"CALL graft.system.add_files('imp.p', '$src')").collect())
-    assert(e2.getMessage.contains("transform"), e2.getMessage)
+    assert(e2.getMessage.contains("bucket cannot be witnessed"), e2.getMessage)
     // schema drift refuses: missing table column in the source files
     spark.sql("CREATE TABLE graft.imp.m (id BIGINT, missing DOUBLE)")
     val e3 = intercept[Exception](

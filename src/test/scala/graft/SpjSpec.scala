@@ -56,6 +56,44 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a bucketBy-imported lake joins the native co-bucketed table with zero exchanges") {
+    setup()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spjimp")
+    spark.sql("DROP TABLE IF EXISTS graft.spjimp.o")
+    spark.sql("""CREATE TABLE graft.spjimp.o
+      (o_orderkey BIGINT, o_totalprice DOUBLE)
+      PARTITIONED BY (bucket(4, o_orderkey))""")
+    // a Spark bucketBy lake over the same keys: pmod(murmur3, 4) —
+    // provably graft's own layout, witnessed by the file names and
+    // verified per-row by add_files
+    val src = Files.createTempDirectory("graft-spj-bk").toString + "/t"
+    Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+      .write.bucketBy(4, "o_orderkey").option("path", src)
+      .mode("overwrite").saveAsTable("graft_spj_bk_tmp")
+    try {
+      spark.sql(s"CALL graft.system.add_files('spjimp.o', '$src')").collect()
+      // the IMPORTED table joins the NATIVE co-bucketed lineitem with
+      // zero exchanges, and the keyed aggregation elides its own too
+      val j = spark.table("graft.spjimp.o")
+        .join(spark.table("graft.spj.lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      assert(exchanges(j) == 0, j.queryExecution.executedPlan.toString)
+      // and the shuffle-free plan is still EXACT (quantities are
+      // integer-valued, so the double sums are order-independent)
+      val got = j.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val want = Tables.orders(spark, sf)
+        .select(col("o_orderkey"))
+        .join(Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == want,
+        s"imported-bucket join diverged: ${(want -- got).take(5)} missing")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_spj_bk_tmp")
+  }
+
   test("co-bucketed fact-fact join runs with zero shuffle exchanges") {
     setup()
     val joined = spark.table("graft.spj.orders")

@@ -530,6 +530,32 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** KEEP-BEST near-dup consolidation — the curation decision real
+    * pipelines make after clustering: drop the WORSE copies, not the
+    * later ones. Clusters come from the q67 label propagation; the kept
+    * member is each cluster's highest-QUALITY document (the q59
+    * composite; doc_id tiebreak for rounded-quality ties); documents
+    * with no near-dup keep themselves.
+    *
+    * Scale shape: label propagation is the bounded-round q67 machinery;
+    * quality is map-only arithmetic; the representative choice is ONE
+    * window ranked within clusters (cluster-sized partitions — never a
+    * global sort). Oracle-checked end-to-end ([[q106Sql]]): closure +
+    * composite + rank all recomputed independently in DuckDB. */
+  def q106DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = q67DedupClusters(s, dir).select(col("doc_id"), col("cluster_rep"))
+    val quality = TextAnalysis.q59Quality(s, dir).select(col("doc_id"), col("quality"))
+    val docs = quality.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_rep"), col("quality"),
+        (col("rk") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Substring-level exact dedup — the Spark shape of cross-document
     * suffix-array substring dedup (the "Deduplicating Training Data
     * Makes Language Models Better" recipe): every ≥k-token span a
@@ -659,6 +685,7 @@ object Dedup {
     "q51_dedup_norm"    -> q51Norm _,
     "q52_dedup_minhash" -> q52MinHashLsh _,
     "q53_dedup_simhash" -> q53SimHash _,
+    "q106_dedup_keep_best" -> q106DedupKeepBest _,
     "q54_ngram_jaccard" -> q54NgramJaccard _,
     "q79_decontaminate" -> q79Decontaminate _,
     "q93_incremental_dedup" -> q93IncrementalDedup _,
@@ -672,7 +699,10 @@ object Dedup {
     * component representative. Trigram strings stand in for the 64-bit
     * hashed shingles — Jaccard is equal modulo collisions (the q54
     * precedent). */
-  val q67Sql: String =
+  /** The recursive min-label closure CTE shared by [[q67Sql]] and
+    * [[q106Sql]] (exact all-pairs trigram Jaccard edges + connected
+    * components). */
+  private val ccCte: String =
     """WITH RECURSIVE w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |g AS (
@@ -693,8 +723,37 @@ object Dedup {
       |  UNION
       |  SELECT e.d AS doc_id, cc.label FROM cc JOIN e ON cc.doc_id = e.s
       |)
-      |SELECT doc_id, MIN(label) AS cluster_rep, (doc_id = MIN(label)) AS keep
+      |""".stripMargin
+
+  val q67Sql: String = ccCte +
+    """SELECT doc_id, MIN(label) AS cluster_rep, (doc_id = MIN(label)) AS keep
       |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of q106: the q67 closure for cluster labels, the q59
+    * composite for quality (both already hash-proven oracles), singleton
+    * docs keeping themselves, and the same quality-then-id window rank
+    * — an independent recomputation of the entire keep-best decision. */
+  val q106Sql: String = ccCte +
+    """,
+      |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM cc GROUP BY doc_id),
+      |qual AS (
+      |  SELECT doc_id,
+      |    ROUND(LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.4
+      |      + LEAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) * 1.0
+      |          / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.3
+      |      + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+      |          / GREATEST(LENGTH(text), 1) * 10.0, 1.0)) * 0.3, 6) AS quality
+      |  FROM documents),
+      |d AS (
+      |  SELECT q.doc_id, COALESCE(l.cluster_rep, q.doc_id) AS cluster_rep, q.quality
+      |  FROM qual q LEFT JOIN lab l USING (doc_id)),
+      |r AS (
+      |  SELECT doc_id, cluster_rep, quality,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_rep
+      |                       ORDER BY quality DESC, doc_id) AS rk
+      |  FROM d)
+      |SELECT doc_id, cluster_rep, quality, (rk = 1) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of q52 (and, window-restricted, q93): exact
     * all-pairs trigram Jaccard, rounded-then-thresholded exactly like
@@ -835,6 +894,7 @@ object Dedup {
     "q67_dedup_clusters" -> q67Sql,
     "q52_dedup_minhash" -> q52Sql,
     "q53_dedup_simhash" -> q53Sql,
+    "q106_dedup_keep_best" -> q106Sql,
     "q93_incremental_dedup" -> q93Sql,
     "q97_substring_dedup" -> q97Sql,
     "q98_strip_spans" -> q98Sql,

@@ -272,8 +272,118 @@ object Curation {
       |  CAST(len(w[CAST(ci*48+1 AS INTEGER):CAST(ci*48+64 AS INTEGER)]) AS BIGINT) AS chunk_tokens
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** DSIR-style importance weighting for data selection (q108 — Xie et
+    * al. 2023, arXiv:2302.03169): score every document by how much more
+    * likely its text is under a TARGET distribution (here the corpus's
+    * English slice — the "quality domain" stand-in) than under the raw
+    * corpus, using hashed-unigram bag-of-words language models. Each
+    * token hashes into one of 1024 buckets via the shared q61 char fold
+    * (engine-neutral); the two add-one-smoothed bucket LMs come from one
+    * pass of bucket counts; a document's weight is its mean per-token
+    * log-likelihood ratio. Top-25 by weight is the selection a DSIR
+    * resampler would draw first.
+    *
+    * Scale shape: tokenize/hash is map-only; bucket counts are one
+    * keyed aggregation with map-side combine (1024 final keys — the
+    * feature table is broadcast back, never joined by shuffle); per-doc
+    * scores are one aggregation over the (doc, bucket) counts; the
+    * global top-25 is a TakeOrdered (per-partition heads + driver
+    * merge), never a full sort, and the rank window runs on 25 rows.
+    *
+    * Determinism: the only library call is ln, rounded into integer
+    * micro-units PER BUCKET (1024 roundings); doc scores are pure
+    * integer sums of cnt·unit — order-free — and the one double
+    * division per doc is a single IEEE op both engines compute
+    * identically. Ties break on doc_id. */
+  def q108DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      (col("lang") === "en").as("is_t"),
+      split(trim(col("text")), "\\s+").as("ws"))
+    // localCheckpoint: cnts feeds BOTH the bucket-LM aggregation and
+    // the scoring join; without it Spark re-tokenizes and re-folds the
+    // whole corpus for each consumer — a double full-corpus pass at
+    // 100 TB. The materialized frame is (doc, bucket) counts — far
+    // smaller than the text it summarizes.
+    val cnts = docs.select(col("doc_id"), col("is_t"),
+        explode(transform(col("ws"),
+          w => pmod(charFold(w), lit(1024L)))).as("b"))
+      .groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // is_t is constant per doc, so it rides the (doc, bucket) grouping
+    // for free and the target counts need no second corpus pass
+    val buckets = cnts.groupBy(col("b")).agg(
+      sum(col("cnt")).as("rcnt"),
+      sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("tcnt"))
+    val tots = buckets.agg(sum(col("rcnt")).as("rtot"),
+      sum(col("tcnt")).as("ttot"))
+    val units = buckets.crossJoin(broadcast(tots))
+      .withColumn("unit_u", round((
+        log((col("tcnt") + lit(1)).cast("double") / (col("ttot") + lit(1024)))
+          - log((col("rcnt") + lit(1)).cast("double") / (col("rtot") + lit(1024))))
+        * lit(1000000.0)).cast("long"))
+      .select(col("b"), col("unit_u"))
+    val scores = cnts.join(broadcast(units), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("unit_u")).as("score_u"),
+        sum(col("cnt")).as("ntok"))
+      .withColumn("weight",
+        round(col("score_u") / (col("ntok") * lit(1000000.0)), 6))
+    val top = scores
+      .orderBy(col("weight").desc, col("doc_id")).limit(25)
+    // rank window intentionally unpartitioned: it runs AFTER the
+    // distributed TakeOrdered reduced the set to 25 rows
+    top.withColumn("rn", row_number().over(
+        Window.orderBy(col("weight").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("ntok"), col("weight"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q108: identical bucket hash (shared char fold),
+    * identical add-one-smoothed unit table, identical integer scoring.
+    * A drifted bucket count, smoothing constant, or tie-break all fail
+    * the hash. */
+  val q108Sql: String = {
+    val foldW = TextAnalysis.sqlCharFold("w")
+    s"""WITH d AS (
+      |  SELECT doc_id, lang = 'en' AS is_t,
+      |    regexp_split_to_array(trim(text), '\\s+') AS ws
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, is_t, $foldW % 1024 AS b
+      |  FROM (SELECT doc_id, is_t, UNNEST(ws) AS w FROM d)),
+      |cnts AS (
+      |  SELECT doc_id, is_t, b, COUNT(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+      |buckets AS (
+      |  SELECT b, SUM(cnt) AS rcnt,
+      |    SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS tcnt
+      |  FROM cnts GROUP BY 1),
+      |tots AS (SELECT SUM(rcnt) AS rtot, SUM(tcnt) AS ttot FROM buckets),
+      |units AS (
+      |  SELECT b,
+      |    CAST(ROUND((LN(CAST(tcnt + 1 AS DOUBLE) / (ttot + 1024))
+      |      - LN(CAST(rcnt + 1 AS DOUBLE) / (rtot + 1024)))
+      |      * 1000000.0) AS BIGINT) AS unit_u
+      |  FROM buckets CROSS JOIN tots),
+      |scores AS (
+      |  SELECT doc_id, SUM(cnt * unit_u) AS score_u,
+      |    CAST(SUM(cnt) AS BIGINT) AS ntok
+      |  FROM cnts JOIN units USING (b) GROUP BY 1),
+      |wt AS (
+      |  SELECT doc_id, ntok,
+      |    ROUND(score_u / (ntok * 1000000.0), 6) AS weight
+      |  FROM scores),
+      |r AS (
+      |  SELECT doc_id, ntok, weight,
+      |    ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rn
+      |  FROM wt)
+      |SELECT doc_id, ntok, weight, CAST(rn AS INTEGER) AS rn
+      |FROM r WHERE rn <= 25 ORDER BY rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_split_sample"  -> q68SplitSample _,
+    "q108_dsir_weights" -> q108DsirWeights _,
     "q76_token_packing" -> q76TokenPacking _,
     "q77_rebalance"     -> q77Rebalance _,
     "q81_mixture"       -> q81MixtureWeights _,
@@ -282,6 +392,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q68_split_sample"  -> q68Sql,
+    "q108_dsir_weights" -> q108Sql,
     "q76_token_packing" -> q76Sql,
     "q77_rebalance"     -> q77Sql,
     "q81_mixture"       -> q81Sql,

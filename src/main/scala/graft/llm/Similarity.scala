@@ -342,8 +342,107 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (q107) — the standard
+    * RAG retrieval stack: each request carries BOTH a keyword string
+    * (scored by the q101 BM25 channel, reused verbatim) and a query
+    * embedding (scored by the q55 exact-cosine channel), and the two
+    * top-10 rankings fuse by RRF (Cormack et al. 2009):
+    * score(d) = Σ_channels 1/(60 + rank_channel(d)). The query vectors
+    * are corpus embeddings (vec_id = query_id·100) standing in for the
+    * embedding model's output, per the multimodal stub policy —
+    * everything downstream of the embedder is the real pipeline.
+    *
+    * Scale shape: each channel is the already-audited bounded top-k
+    * plan (BM25's term shuffle is capped by the query vocabulary; the
+    * dense side is a k-row broadcast against a map-only corpus scan);
+    * fusion itself touches only O(queries × k) rows — a union of the
+    * two rank lists and one tiny keyed aggregation. Nothing about
+    * fusion grows with the corpus.
+    *
+    * Determinism: RRF contributions are fixed to integer micro-units
+    * per (channel, rank) — rank is an integer, so round(1e6/(60+rn))
+    * is bit-identical across engines — and the fused ordering breaks
+    * ties on doc_id. */
+  def q107HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val sparse = TextAnalysis.q101Bm25(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rn"))
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id").isin(100L, 200L, 300L))
+      .select((col("vec_id") / 100).cast("int").as("query_id"),
+        col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("doc_id"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val dw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val dense = c.join(broadcast(q)) // 3-row build side: the q55 shape
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(dw)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rn"))
+    def contrib(ch: DataFrame): DataFrame = ch.withColumn("c_u",
+        round(lit(1000000.0) / (lit(60) + col("rn"))).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("c_u"))
+    val fw = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+    contrib(sparse).unionByName(contrib(dense))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_u")).as("rrf_u"),
+        count(lit(1)).cast("int").as("channels"))
+      .withColumn("rrf", col("rrf_u") / lit(1000000.0))
+      .withColumn("rn", row_number().over(fw)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rrf"),
+        col("channels"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** DuckDB replay of q107: the sparse channel is [[TextAnalysis
+    * .bm25Ctes]] VERBATIM (single source of truth with q101's oracle),
+    * the dense channel is the q55 formulation over the three query
+    * vectors, and the fusion CTEs mirror the Spark expressions
+    * token-for-token. A rank shift in either channel, a lost channel
+    * contribution, or a fusion tie broken differently all fail the
+    * hash. */
+  val q107Sql: String =
+    s"""WITH ${TextAnalysis.bm25Ctes},
+      |sparse AS (SELECT query_id, doc_id, rn FROM ranked WHERE rn <= 10),
+      |dq AS (SELECT CAST(vec_id // 100 AS INTEGER) AS query_id,
+      |              CAST(embedding AS DOUBLE[]) AS qv
+      |       FROM embeddings WHERE vec_id IN (100, 200, 300)),
+      |dc AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+      |       FROM embeddings),
+      |dsims AS (
+      |  SELECT query_id, doc_id,
+      |    ROUND(list_dot_product(qv, cv) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6) AS sim
+      |  FROM dq, dc),
+      |dense AS (
+      |  SELECT query_id, doc_id, rn FROM (
+      |    SELECT query_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |                         ORDER BY sim DESC, doc_id) AS rn
+      |    FROM dsims) WHERE rn <= 10),
+      |rrfc AS ( -- name avoids the bm25Ctes `contrib` CTE
+      |  SELECT query_id, doc_id,
+      |    CAST(ROUND(1000000.0 / (60 + rn)) AS BIGINT) AS c_u FROM sparse
+      |  UNION ALL
+      |  SELECT query_id, doc_id,
+      |    CAST(ROUND(1000000.0 / (60 + rn)) AS BIGINT) AS c_u FROM dense),
+      |fused AS (
+      |  SELECT query_id, doc_id, SUM(c_u) AS rrf_u,
+      |    CAST(COUNT(*) AS INTEGER) AS channels
+      |  FROM rrfc GROUP BY 1, 2),
+      |rankedf AS (
+      |  SELECT query_id, doc_id, rrf_u / 1000000.0 AS rrf, channels,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY rrf_u DESC, doc_id) AS rn
+      |  FROM fused)
+      |SELECT query_id, doc_id, rrf, channels, CAST(rn AS INTEGER) AS rn
+      |FROM rankedf WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_semdedup"        -> q100SemDedup _,
+    "q107_hybrid_rrf"      -> q107HybridRrf _,
     "q55_cosine_topk"      -> q55CosineTopK _,
     "q56_ann_lsh"          -> q56AnnLsh _,
     "q57_ann_ivf"          -> q57AnnIvf _,
@@ -390,6 +489,7 @@ object Similarity {
     "q55_cosine_topk" -> q55Sql,
     "q64_dedup_embedding" -> q64Sql,
     "q80_quantize" -> q80Sql,
+    "q107_hybrid_rrf" -> q107Sql,
     // q56/q57 are approximate (LSH/IVF) → rows-only checks.
   )
 }

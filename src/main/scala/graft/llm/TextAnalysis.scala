@@ -377,8 +377,12 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val q101Sql: String =
-    """WITH queries(query_id, qtext) AS (
+  /** The q101 pipeline's CTE block WITHOUT the leading WITH / final
+    * SELECT, so [[Similarity.q107Sql]] can reuse the identical sparse
+    * channel (one source of truth — a drifted copy would silently
+    * verify two different BM25s). Ends with CTE `ranked`. */
+  val bm25Ctes: String =
+    """queries(query_id, qtext) AS (
       |  VALUES (1, 'dup merge scan'), (2, 'spark window agg'),
       |         (3, 'fast hash join key')),
       |qterms AS (SELECT DISTINCT query_id,
@@ -404,7 +408,10 @@ object TextAnalysis {
       |ranked AS (SELECT query_id, doc_id, score,
       |    ROW_NUMBER() OVER (PARTITION BY query_id
       |                       ORDER BY score DESC, doc_id) AS rn
-      |  FROM scored)
+      |  FROM scored)""".stripMargin
+
+  val q101Sql: String =
+    s"""WITH $bm25Ctes
       |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rn
       |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 

@@ -1,0 +1,150 @@
+package graft
+
+import scala.math.BigDecimal.RoundingMode
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.llm.{Curation, Similarity, TextAnalysis}
+
+/** q107 (hybrid RRF retrieval) and q108 (DSIR importance weights)
+  * verified against from-scratch driver-side recomputations on a
+  * synthetic fixture — independent of both the Spark plans under test
+  * and the DuckDB oracles (which check the same pipelines at the
+  * driver's scale factors). */
+class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- fixture: a tiny sf-dir with documents + embeddings parquet ----
+
+  private val docTexts: Seq[(Long, String, String)] = Seq(
+    (0L, "dup scan dup scan merge", "en"),
+    (1L, "spark window agg window frame", "en"),
+    (2L, "fast hash join key probe build", "en"),
+    (3L, "der schnelle braune fuchs springt", "de"),
+    (4L, "merge scan dup window agg", "en"),
+    (5L, "hash key hash key hash key", "de"),
+    (6L, "spark agg join scan merge dup", "en"),
+    (7L, "completely unrelated verbiage here", "de"),
+    (8L, "window window window agg agg", "en"),
+    (9L, "join key fast fast fast", "en"),
+    (10L, "dup merge scan spark window", "de"),
+    (11L, "ein weiterer deutscher satz hier", "de")
+  )
+
+  /** 8-dim float embeddings from a fixed LCG — ids 0-11 (the corpus)
+    * plus 100/200/300 (the q107 query vectors). */
+  private val vecIds: Seq[Long] = (0L to 11L) ++ Seq(100L, 200L, 300L)
+  private def vecOf(id: Long): Array[Float] = {
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    Array.fill(8) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % 1000L) / 500.0f) - 1.0f
+    }
+  }
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_rcspec").toString
+    import spark.implicits._
+    docTexts.map { case (id, t, lang) => (id, t, lang, s"src${id % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    vecIds.map(id => (id, vecOf(id).toSeq, (id % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  // ---- shared scalar replicas (the exact expression semantics) ----
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
+  private def roundL(x: Double): Long =
+    BigDecimal(x).setScale(0, RoundingMode.HALF_UP).toLong
+  /** The q61 char fold over ASCII text (fixture stays ASCII so UTF-16
+    * unit iteration equals codepoint iteration). */
+  private def charFold(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+
+  test("q108 DSIR weights equal a from-scratch driver recomputation") {
+    val toks: Seq[(Long, Boolean, Seq[Long])] = docTexts.map { case (id, t, lang) =>
+      (id, lang == "en", t.trim.split("\\s+").toSeq.map(w => charFold(w) % 1024L))
+    }
+    val cnts: Map[(Long, Long), Long] = toks
+      .flatMap { case (id, _, bs) => bs.map(b => (id, b)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val isT = toks.map(t => t._1 -> t._2).toMap
+    val rcnt = cnts.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val tcnt = cnts.toSeq.collect { case ((id, b), c) if isT(id) => (b, c) }
+      .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).sum }
+    val rtot = rcnt.values.sum; val ttot = tcnt.values.sum
+    val unit: Map[Long, Long] = rcnt.map { case (b, rc) =>
+      val tc = tcnt.getOrElse(b, 0L)
+      b -> roundL((math.log((tc + 1).toDouble / (ttot + 1024))
+        - math.log((rc + 1).toDouble / (rtot + 1024))) * 1000000.0)
+    }
+    val expected = toks.map { case (id, _, bs) =>
+      val ntok = bs.size.toLong
+      val scoreU = bs.groupBy(identity)
+        .map { case (b, occ) => occ.size.toLong * unit(b) }.sum
+      (id, ntok, round6(scoreU / (ntok * 1000000.0)))
+    }.sortBy { case (id, _, w) => (-w, id) }
+      .zipWithIndex.map { case ((id, n, w), i) => (id, n, w, i + 1) }
+
+    val got = Curation.q108DsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q107 hybrid RRF equals fusing the two channels independently") {
+    // sparse channel: the oracle-checked q101 pipeline's own output
+    val sparse: Seq[(Int, Long, Int)] = TextAnalysis.q101Bm25(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(3))).toSeq
+    // dense channel recomputed on the driver: exact cosine, round 6,
+    // doc-id tiebreak, top-10 per query vector. The corpus is ALL
+    // embeddings — query vectors are corpus members and retrievable,
+    // exactly like q55's self-containing candidate side
+    val corpus = vecIds
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 8) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      round6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val dense: Seq[(Int, Long, Int)] = Seq(100L, 200L, 300L).flatMap { qid =>
+      corpus.map(cid => (cid, cos(vecOf(qid), vecOf(cid))))
+        .sortBy { case (cid, s) => (-s, cid) }.take(10)
+        .zipWithIndex.map { case ((cid, _), i) => ((qid / 100).toInt, cid, i + 1) }
+    }
+    def contrib(rn: Int): Long = roundL(1000000.0 / (60 + rn))
+    val fusedU = (sparse ++ dense)
+      .groupBy { case (q, d, _) => (q, d) }
+      .map { case ((q, d), rows) =>
+        (q, d, rows.map(r => contrib(r._3)).sum, rows.size) }
+    val expected = fusedU.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.toSeq.sortBy { case (_, d, u, _) => (-u, d) }.take(10)
+        .zipWithIndex.map { case ((q, d, u, ch), i) =>
+          (q, d, u / 1000000.0, ch, i + 1) }
+    }.sortBy(r => (r._1, r._5))
+
+    val got = Similarity.q107HybridRrf(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4))).toSeq
+    assert(got == expected)
+    // both channels must actually contribute: at least one fused row
+    // carries channels=2 on this fixture (query terms overlap texts)
+    assert(got.exists(_._4 == 2))
+  }
+}

@@ -97,7 +97,8 @@ object Similarity {
     * back by key); exact cosine re-rank, top-3. The bucket join shuffles
     * O(n·tables + q·tables·bits) rows — never O(n²). At corpus scale
     * nBits grows with log2(n) to keep bucket occupancy constant.
-    * Approximate → rows-only oracle. */
+    * Approximate in RECALL but a pure function of the corpus — fully
+    * oracle-checked by [[q56Sql]]'s end-to-end replay. */
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val pfx = AnnIndex.ensure(s, dir)
@@ -462,13 +463,19 @@ object Similarity {
     * sf0.001), exactly the recall/cost trade the operator documents. A
     * flipped sign bit, a lost candidate, or a sim divergence all fail
     * the hash. */
+  /** Sign-LSH bucket recomputation in DuckDB: per plane a sign CASE on
+    * the SAME sequential double dot product the Spark [[bucketUdf]]
+    * folds (list_dot_product is left-to-right — the q64/q55 precedent),
+    * with the plane doubles inlined via Double.toString (exact
+    * round-trip). Shared by the q64 and q56 oracles. */
+  private def planeLit(p: Array[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ",", "]")
+  private def bucketExpr(pls: Array[Array[Double]]): String =
+    pls.zipWithIndex.map { case (p, bit) =>
+      s"(CASE WHEN list_dot_product(ev, ${planeLit(p)}) >= 0 THEN ${1 << bit} ELSE 0 END)"
+    }.mkString(" + ")
+
   val q64Sql: String = {
-    def planeLit(p: Array[Double]): String =
-      p.map(java.lang.Double.toString).mkString("[", ",", "]")
-    def bucketExpr(pls: Array[Array[Double]]): String =
-      pls.zipWithIndex.map { case (p, bit) =>
-        s"(CASE WHEN list_dot_product(ev, ${planeLit(p)}) >= 0 THEN ${1 << bit} ELSE 0 END)"
-      }.mkString(" + ")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
       |bk AS (
       |  SELECT vec_id, 0 AS t, ${bucketExpr(q64Planes.head)} AS b FROM v
@@ -485,11 +492,55 @@ object Similarity {
       |SELECT id_a, id_b, sim FROM sim WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB replay of q56 END-TO-END: the LSH index CONTENT is
+    * recomputed from first principles (the index build is deterministic
+    * — [[AnnIndex.LshSeeds]] planes over the corpus, the same
+    * [[bucketUdf]] sign folds — so the catalog artifact equals its
+    * replay), the query side re-hashes and multi-probes every bucket at
+    * Hamming distance ≤ 1 (b plus the [[AnnIndex.LshBits]] single-bit
+    * flips via xor), candidates dedup, and the re-rank is q55's proven
+    * exact cosine + round form, top-3 with cid tiebreaks. "Approximate"
+    * here means approximate NEAREST-NEIGHBOR recall — the pipeline
+    * itself is a pure function of the corpus, so the oracle checks the
+    * operator as defined, probe set included (the q64 precedent): a
+    * flipped sign bit, a missed probe, an invented candidate, or a sim
+    * divergence all fail the hash. */
+  val q56Sql: String = {
+    val tables = AnnIndex.LshSeeds.map(AnnIndex.planes(_))
+    val bk = tables.zipWithIndex.map { case (pls, t) =>
+      s"  SELECT vec_id, $t AS t, ${bucketExpr(pls)} AS b FROM v"
+    }.mkString("\n  UNION ALL\n")
+    val probes = ("b" +: (0 until AnnIndex.LshBits)
+      .map(i => s"xor(b, ${1 << i})")).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |bk AS (
+      |$bk),
+      |probe AS (
+      |  SELECT vec_id, t, UNNEST($probes) AS pb
+      |  FROM bk WHERE vec_id < 50),
+      |cand AS (
+      |  SELECT DISTINCT p.vec_id AS qid, c.vec_id AS cid
+      |  FROM probe p JOIN bk c ON p.t = c.t AND p.pb = c.b
+      |  WHERE p.vec_id <> c.vec_id),
+      |sims AS (
+      |  SELECT qid, cid,
+      |    ROUND(list_dot_product(q.ev, c.ev) /
+      |      (SQRT(list_dot_product(q.ev, q.ev)) * SQRT(list_dot_product(c.ev, c.ev))), 6) AS sim
+      |  FROM cand JOIN v q ON cand.qid = q.vec_id JOIN v c ON cand.cid = c.vec_id),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |  FROM sims)
+      |SELECT qid, cid, sim, CAST(rn AS INTEGER) AS rn FROM ranked
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q55_cosine_topk" -> q55Sql,
+    "q56_ann_lsh" -> q56Sql,
     "q64_dedup_embedding" -> q64Sql,
     "q80_quantize" -> q80Sql,
     "q107_hybrid_rrf" -> q107Sql,
-    // q56/q57 are approximate (LSH/IVF) → rows-only checks.
+    // q57 (IVF) needs a k-means replay → rows-only; q66/q100 inherit it.
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the embedding-vector hot path —
   * codegen'd (`doGenCode`), so the similarity operators stay inside
@@ -81,10 +81,58 @@ case class L2NormF(child: Expression)
   override def prettyName: String = "graft_l2norm"
 }
 
+/** Poly-31 code-point fold mod 1e9+7 — the engine-neutral string hash
+  * anchoring q61 fingerprints, q68 group-hash splits, and q108's token
+  * buckets. Bit-identical to the previous HOF formulation
+  * (`aggregate(transform(split(s, ""), ascii), 0, (a,c)->(a*31+c)%p)`:
+  * Java's empty-pattern regex split yields CODE POINTS, and Spark's
+  * ascii() is codePointAt(0) — so a code-point walk reproduces it
+  * exactly, empty string included) and to the DuckDB oracle's
+  * list_reduce over `regexp_extract_all(s, '(?s).')`. As a native
+  * expression the fold is one allocation-free string walk — the HOF
+  * chain materialized a boxed per-character array and ran interpreted
+  * (HOFs are CodegenFallback) on the hottest text path in the pack. */
+case class CharFoldF(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.toString
+    var acc = 0L; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp"); val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $s = $a.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + (long) $cp) % 1000000007L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_charfold"
+}
+
 object VectorFunctions {
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProductF(es(0), es(1))),
-    "graft_l2norm" -> (es => L2NormF(es.head)))
+    "graft_l2norm" -> (es => L2NormF(es.head)),
+    "graft_charfold" -> (es => CharFoldF(es.head)))
 
   /** Session-scoped registration (idempotent); lets `call_function` and
     * SQL reach the expressions without SparkSessionExtensions config. */
@@ -114,6 +162,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2NormF].getName, "graft_l2norm"),
       (es: Seq[Expression]) => L2NormF(es.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_charfold"),
+      new ExpressionInfo(classOf[CharFoldF].getName, "graft_charfold"),
+      (es: Seq[Expression]) => CharFoldF(es.head)))
     e.injectOptimizerRule(_ => graft.catalog.MorDeleteJoin)
     e.injectOptimizerRule(_ => graft.catalog.ChangelogDeleteJoin)
   }

@@ -125,11 +125,15 @@ object TextAnalysis {
     * against DuckDB's list_reduce. Both map-only. */
   /** mod-1e9+7 char fold — the engine-neutral string hash shared by the
     * fingerprint, curation, and frame-sampling queries (every
-    * intermediate fits in BIGINT on both engines; Spark's split(s, '')
-    * and DuckDB's regexp_extract_all(s, '(?s).') both yield codepoints). */
+    * intermediate fits in BIGINT on both engines; both engines fold
+    * CODE POINTS — see [[graft.functions.CharFoldF]], whose Scaladoc
+    * carries the bit-compatibility argument vs the previous HOF
+    * formulation; as a native expression the fold is one
+    * allocation-free string walk instead of an interpreted boxed
+    * per-character array). */
   def charFold(str: Column): Column =
-    aggregate(transform(split(str, ""), c => ascii(c).cast("long")),
-      lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
+    org.apache.spark.sql.GraftColumns.of(
+      graft.functions.CharFoldF(org.apache.spark.sql.GraftColumns.expr(str)))
 
   /** The same fold as a DuckDB expression over column/expression `e`. */
   def sqlCharFold(e: String): String =

@@ -65,4 +65,46 @@ class VectorFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = spark.sql("SELECT graft_dot(NULL, array(CAST(1.0 AS FLOAT)))").head
     assert(r.isNullAt(0))
   }
+
+  /** The native charfold must be BIT-COMPATIBLE with the HOF
+    * formulation it replaced (`aggregate(transform(split(s, ''),
+    * ascii), 0, (a,c)->(a*31+c)%p)`) — oracles were proven against
+    * that form. Property-checked across ASCII, Latin-1, CJK, emoji
+    * (surrogate pairs — split('') yields code points, never lone
+    * surrogates), the empty string, and random unicode. */
+  test("graft_charfold equals the HOF char fold across unicode edges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def randStr(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(40)).foreach { _ =>
+        val cp = rnd.nextInt(5) match {
+          case 0 => rnd.nextInt(0x80)                    // ASCII
+          case 1 => 0xA0 + rnd.nextInt(0xFF - 0xA0)      // Latin-1
+          case 2 => 0x4E00 + rnd.nextInt(0x100)          // CJK
+          case 3 => 0x1F600 + rnd.nextInt(0x50)          // emoji (astral)
+          case _ => { var c = rnd.nextInt(0x2FFFF)       // anything valid
+            while (Character.isSurrogate(c.toChar) && c <= 0xFFFF)
+              c = rnd.nextInt(0x2FFFF); c }
+        }
+        sb.appendAll(Character.toChars(cp))
+      }
+      sb.toString
+    }
+    val cases = Seq("", " ", "a", "dup merge scan", "élève",
+      "你好世界", new String(Character.toChars(0x1F600)) * 3) ++
+      (0 until 200).map(_ => randStr())
+    val df = cases.toDF("s")
+    val hof = aggregate(transform(split(col("s"), ""), c => ascii(c).cast("long")),
+      lit(0L), (a, c) => (a * 31 + c) % 1000000007L)
+    val rows = df.select(col("s"),
+        graft.llm.TextAnalysis.charFold(col("s")).as("native"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"diverged on ${r.getString(0)}")
+    }
+    // and the extension-injected SQL name resolves to the same value
+    val viaSql = spark.sql("SELECT graft_charfold('dup merge scan')").head.getLong(0)
+    assert(viaSql == rows.find(_.getString(0) == "dup merge scan").get.getLong(1))
+  }
 }

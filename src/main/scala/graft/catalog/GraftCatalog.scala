@@ -520,14 +520,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some((idToName(f.sourceId), n, f.name))
       case _ => None
     }
+    // a SINGLE temporal spec field imports hive temporal lakes
+    // (year=YYYY[/month=MM[/day=DD[/hour=HH]]], or one dir whose value
+    // already is the rendered form, e.g. dt=2024-01 for month): the
+    // partition value is witnessed by the dirs and PROVEN per import by
+    // one column-pruned job rendering the native dirExpr over every row
+    // — the source column stays in the footers, so unlike identity hive
+    // imports nothing needs an overlay and the files read vectorized
+    val temporalImport: Option[(String, String, String)] = specFields match {
+      case Seq(f) if Set("year", "month", "day", "hour")(f.transform) =>
+        Some((idToName(f.sourceId), f.transform, f.name))
+      case _ => None
+    }
     val partIdentityCols: Seq[String] =
-      if (bucketImport.isDefined) Nil
+      if (bucketImport.isDefined || temporalImport.isDefined) Nil
       else specFields.map { f =>
       require(f.transform == "identity",
         s"add_files on ${ident.name}: partition transform " +
           s"'${f.transform}' cannot be witnessed by a source directory — " +
-          "only identity- or single-bucket-partitioned tables import " +
-          "foreign layouts; load via INSERT INTO ... SELECT")
+          "only identity-, single-bucket-, or single-temporal-partitioned " +
+          "tables import foreign layouts; load via INSERT INTO ... SELECT")
       val c = idToName(f.sourceId)
       require(exactRender.contains(tableSchema0.fields(
           tableSchema0.fieldIndex(c)).dataType),
@@ -536,7 +548,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "INSERT INTO ... SELECT")
       c
     }
-    if (partIdentityCols.nonEmpty || bucketImport.isDefined) {
+    if (partIdentityCols.nonEmpty || bucketImport.isDefined
+        || temporalImport.isDefined) {
       val mor = Seq("write.delete.mode", "write.update.mode", "write.merge.mode")
         .exists(k => base.properties.get(k).contains("merge-on-read"))
       require(!mor && !base.properties.contains("identifier-fields"),
@@ -668,6 +681,104 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         witnessed
     }
+    // temporal imports: assemble each file's witnessed partition value
+    // from its hive dirs, then PROVE it by rendering the NATIVE dirExpr
+    // (the exact form write-side layout and replay pruning use) over
+    // every row in one column-pruned job — a lake whose dirs lie about
+    // its rows refuses instead of silently mis-pruning
+    val srcTemporalVals: Map[String, String] = temporalImport match {
+      case None => Map.empty
+      case Some((c, tr, _)) =>
+        import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+        val dt = tableSchema0.fields(tableSchema0.fieldIndex(c)).dataType
+        require(Seq(DateType, TimestampNTZType, TimestampType).contains(dt),
+          s"add_files on ${ident.name}: temporal partition source '$c' has " +
+            s"type ${dt.simpleString}, expected date/timestamp")
+        require(dt != TimestampType || PartitionTransforms.sessionUtc,
+          s"add_files on ${ident.name}: temporal import over instant " +
+            s"column '$c' requires a UTC session — dir values witness UTC " +
+            "wall times, and a non-UTC session would render (and later " +
+            "prune) different ones")
+        val levels = Seq("year", "month", "day", "hour")
+        val depth = levels.indexOf(tr) + 1
+        val nestedKeys = levels.take(depth)
+        def assemble(rel: String): String = {
+          def refuse(why: String): Nothing = throw new IllegalArgumentException(
+            s"add_files on ${ident.name}: source file $rel $why — a " +
+              s"$tr($c) partition cannot be witnessed; load via " +
+              "INSERT INTO ... SELECT")
+          val kvs = rawKvs(rel).map { case (k, v) =>
+            k -> org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(v) }
+          // two accepted layouts: nested hive dirs named for the levels
+          // (year=2024/month=1 — values unpadded or padded), or ONE dir
+          // whose value is already the rendered form (dt=2024-01)
+          val parts: Seq[Int] =
+            if (kvs.keySet == nestedKeys.toSet) nestedKeys.map { k =>
+              val v = kvs(k)
+              if (v.isEmpty || !v.forall(_.isDigit))
+                refuse(s"carries non-numeric '$k=$v'")
+              v.toInt
+            }
+            else if (kvs.size == 1) {
+              val v = kvs.values.head
+              val seg = v.split("-", -1)
+              if (seg.length != depth ||
+                  seg.exists(s => s.isEmpty || !s.forall(_.isDigit)))
+                refuse(s"dir value '$v' is not the rendered $tr form")
+              seg.toSeq.map(_.toInt)
+            }
+            else refuse(s"carries partition dirs " +
+              s"${kvs.keys.toSeq.sorted.mkString(",")} that do not " +
+              s"witness $tr($c)")
+          val y = parts.head
+          val m = if (depth >= 2) parts(1) else 1
+          val d = if (depth >= 3) parts(2) else 1
+          val h = if (depth >= 4) parts(3) else 0
+          if (y < 1 || y > 9999 || h > 23)
+            refuse(s"dir value renders outside the layout's domain")
+          try java.time.LocalDate.of(y, m, d) catch {
+            case _: java.time.DateTimeException =>
+              refuse(s"dir date $y-$m-$d is not a real date")
+          }
+          // native renderings: year(col) is unpadded; deeper levels are
+          // date_format patterns (yyyy-MM[-dd[-HH]]), zero-padded
+          if (depth == 1) y.toString
+          else (f"$y%04d" +: parts.tail.map(p => f"$p%02d")).mkString("-")
+        }
+        val witnessed = srcRels.map(r => r -> assemble(r)).toMap
+        import org.apache.spark.sql.functions.{col => fc, collect_set, input_file_name, sum => fsum}
+        val ex = PartitionTransforms.dirExpr(tr, c, dt).getOrElse(
+          throw new IllegalStateException(
+            s"no native dir rendering for $tr(${dt.simpleString})")).cast("string")
+        val computed = spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(c, dt))))
+          .parquet(srcRels.map(r => s"$sourceDir/$r"): _*)
+          .select(input_file_name().as("__f"), ex.as("__v"))
+          .groupBy(fc("__f"))
+          .agg(collect_set(fc("__v")).as("vs"),
+            fsum(fc("__v").isNull.cast("long")).as("nn"))
+          .collect()
+        computed.foreach { row =>
+          val f = row.getString(0)
+          val rel = srcRels.find(r => f.endsWith("/" + r)).getOrElse(
+            throw new IllegalStateException(
+              s"temporal verification could not map scanned file $f back " +
+                "to a source file"))
+          require(row.getLong(2) == 0L,
+            s"add_files on ${ident.name}: source file $rel holds rows " +
+              s"with NULL '$c' — they cannot live under a witnessed " +
+              s"$tr dir; load via INSERT INTO ... SELECT")
+          val got = row.getSeq[String](1).toSet
+          require(got.subsetOf(Set(witnessed(rel))),
+            s"add_files on ${ident.name}: source file $rel claims $tr " +
+              s"value '${witnessed(rel)}' but its rows render to " +
+              s"${got.toSeq.sorted.mkString(",")} — the dirs do not " +
+              s"witness $tr($c); load via INSERT INTO ... SELECT")
+        }
+        witnessed
+    }
     // the merged FOOTER schema must serve every table column by name
     // with a structurally equal type; EXTRA source columns are fine
     // (requests clip by name), but a missing or mistyped one would
@@ -706,6 +817,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // maintenance see it exactly like a native bucketed file
         srcRels.zipWithIndex.map { case (r, i) =>
           r -> s"__part_${bucketImport.get._3}=${srcBuckets(r)}/f$i-${r.split('/').last}"
+        }
+      else if (temporalImport.isDefined)
+        // witnessed + proven rendered values are digits-and-dashes —
+        // path-safe verbatim — and match the native dirExpr layout, so
+        // replay pruning and temporal SPJ treat these files natively
+        srcRels.zipWithIndex.map { case (r, i) =>
+          r -> s"__part_${temporalImport.get._3}=${srcTemporalVals(r)}/f$i-${r.split('/').last}"
         }
       else if (partIdentityCols.isEmpty) srcRels.map(r => r -> r)
       else srcRels.zipWithIndex.map { case (r, i) =>

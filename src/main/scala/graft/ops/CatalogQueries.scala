@@ -654,8 +654,48 @@ object CatalogQueries {
       |FROM supplier WHERE s_suppkey % 7 = 0
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** q109: zero-copy onboarding of a hive TEMPORAL lake. The table's
+    * month(o_orderdate) spec is witnessed by the source's nested
+    * year=/month= dirs and PROVEN by add_files' per-row native-dirExpr
+    * rendering job; files register under `__part_` month dirs (the
+    * data column stays in the footers — no overlay, reads vectorized)
+    * so replay pruning and temporal SPJ treat them natively. The
+    * monthly rollup reads the imported files through a month-range
+    * filter — a lost/duplicated file or a mis-registered month fails
+    * the hash. */
+  def q109AddFilesTemporal(s: SparkSession, dir: String): DataFrame = {
+    ensureWarehouse(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_q13.tpch.orders_tm")
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    s.sql(s"CREATE TABLE graft_q13.tpch.orders_tm (${ord.schema.toDDL}) " +
+      "PARTITIONED BY (months(o_orderdate))")
+    val src = java.nio.file.Files.createTempDirectory("graft-q109-src")
+      .toString + "/t"
+    ord.withColumn("year", year(col("o_orderdate")))
+      .withColumn("month", month(col("o_orderdate")))
+      .write.partitionBy("year", "month").mode("overwrite").parquet(src)
+    val res = s.sql(
+      s"CALL graft_q13.system.add_files('tpch.orders_tm', '$src')").collect()
+    require(res(0).getInt(1) > 0, "add_files registered no files")
+    s.table("graft_q13.tpch.orders_tm")
+      .filter(col("o_orderdate") >= to_date(lit("1995-01-01")) &&
+        col("o_orderdate") < to_date(lit("1996-01-01")))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("om"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("o_totalprice")).as("rev"))
+      .orderBy(col("om"))
+  }
+
+  val q109Sql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS om, COUNT(*) AS n,
+      |  ${Exact.sqlSumMoney("o_totalprice")} AS rev
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      |GROUP BY 1 ORDER BY om""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_catalog_scan" -> q13CatalogScan _,
+    "q109_add_files_temporal" -> q109AddFilesTemporal _,
     "q99_add_files" -> q99AddFiles _,
     "q103_add_files_partitioned" -> q103AddFilesPartitioned _,
     "q105_add_files_bucketed" -> q105AddFilesBucketed _,
@@ -672,6 +712,7 @@ object CatalogQueries {
     "q96_keyless_dml" -> q96KeylessDml _)
   val oracle: Map[String, String] = Map(
     "q13_catalog_scan" -> q13Sql,
+    "q109_add_files_temporal" -> q109Sql,
     "q99_add_files" -> q99Sql,
     "q105_add_files_bucketed" -> q105Sql,
     "q103_add_files_partitioned" -> q103Sql,

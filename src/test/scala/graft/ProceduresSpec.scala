@@ -193,6 +193,89 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("copy-on-write"), e2.getMessage)
   }
 
+  test("add_files onboards a hive temporal lake under a month spec") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imp")
+    spark.sql("DROP TABLE IF EXISTS graft.imp.tm")
+    spark.sql("""CREATE TABLE graft.imp.tm (id BIGINT, v STRING, d DATE)
+      PARTITIONED BY (months(d))""")
+    // a hive temporal lake: nested year=/month= dirs (values unpadded,
+    // the Spark partitionBy rendering), d itself stays in the footers
+    val srcRoot = Files.createTempDirectory("graft-ext-tm-src").toString
+    val src = s"$srcRoot/t"
+    val rows = spark.range(0, 120)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"),
+        date_add(to_date(lit("2024-01-01")), (col("id") * 2).cast("int")).as("d"))
+    rows.withColumn("year", year(col("d"))).withColumn("month", month(col("d")))
+      .write.partitionBy("year", "month").mode("overwrite").parquet(src)
+    val res = spark.sql(s"CALL graft.system.add_files('imp.tm', '$src')")
+      .collect()
+    assert(res(0).getInt(1) >= 8, res.toSeq.toString) // 2024-01..08+
+    // content exact, zero copy, served straight from footers
+    assert(spark.table("graft.imp.tm").count() == 120)
+    assert(spark.table("graft.imp.tm").filter(col("id") === 42)
+      .select(col("d")).head.getDate(0).toString == "2024-03-25")
+    // registered under the NATIVE month rendering so replay pruning and
+    // temporal SPJ treat the files natively
+    val parts = spark.sql("SELECT DISTINCT partition FROM graft.imp.`tm$files`")
+      .collect().map(_.getString(0)).toSet
+    assert(parts.exists(_.contains("=2024-01")) &&
+      parts.exists(_.contains("=2024-08")), parts.toString)
+    // a month filter reads only that month's rows (value correctness
+    // through the pruned scan; the replay machinery is PlanSpec-tested)
+    assert(spark.table("graft.imp.tm")
+      .filter(col("d") >= to_date(lit("2024-03-01")) &&
+        col("d") < to_date(lit("2024-04-01"))).count() ==
+      rows.filter(col("d").between("2024-03-01", "2024-03-31")).count())
+
+    // the single-dir rendered form (dt=2024-09) imports into the same
+    // spec: per-file witnessing admits mixed lake layouts
+    val srcOne = s"$srcRoot/one"
+    spark.range(500, 520)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"),
+        to_date(lit("2024-09-15")).as("d"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcOne/dt=2024-09")
+    spark.sql(s"CALL graft.system.add_files('imp.tm', '$srcOne')").collect()
+    assert(spark.table("graft.imp.tm").count() == 140)
+
+    // dirs that LIE about their rows refuse: the per-row dirExpr proof
+    val srcBad = s"$srcRoot/bad"
+    spark.range(0, 10)
+      .select(col("id"), lit("x").as("v"), to_date(lit("2024-02-10")).as("d"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcBad/year=2024/month=3")
+    val eLie = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('imp.tm', '$srcBad')").collect()
+    }
+    assert(eLie.getMessage.contains("do not witness"), eLie.getMessage)
+
+    // NULL partition-source rows refuse (no witnessable dir holds them)
+    val srcNull = s"$srcRoot/null"
+    spark.range(0, 5)
+      .select(col("id"), lit("x").as("v"),
+        when(col("id") < 3, to_date(lit("2024-05-01"))).as("d"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcNull/year=2024/month=5")
+    val eNull = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('imp.tm', '$srcNull')").collect()
+    }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+
+    // non-witnessing dirs refuse (a k=v that is neither the nested
+    // level names nor a rendered value)
+    val srcOdd = s"$srcRoot/odd"
+    spark.range(0, 5)
+      .select(col("id"), lit("x").as("v"), to_date(lit("2024-06-01")).as("d"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcOdd/region=emea")
+    val eOdd = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('imp.tm', '$srcOdd')").collect()
+    }
+    assert(eOdd.getMessage.contains("witness") ||
+      eOdd.getMessage.contains("rendered"), eOdd.getMessage)
+
+    // compaction folds the import to native files; content survives
+    spark.sql("CALL graft.system.compact(table => 'imp.tm')").collect()
+    assert(spark.table("graft.imp.tm").count() == 140)
+  }
+
   test("add_files onboards a Spark bucketBy lake under a bucket spec") {
     import org.apache.spark.sql.functions._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imp")

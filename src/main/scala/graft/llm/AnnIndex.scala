@@ -164,7 +164,13 @@ object AnnIndex {
     * only viable maintenance shape: the daily append is indexed at delta
     * cost while the corpus-sized artifact stays put. (After an overwrite
     * the delta degrades to "files the overwrite introduced" — same
-    * contract as the from-version scan; rebuild for reprocessing.) */
+    * contract as the from-version scan — so rewritten SURVIVOR rows can
+    * reappear in it; the ids-only anti-join below keeps the index
+    * exactly-once per vec_id regardless, which [[maintainStream]]
+    * depends on since it refreshes across every commit flavor. An
+    * update-in-place keeps its original bucket until a rebuild — search
+    * re-joins the payload by id, so results use the fresh embedding and
+    * only probe recall degrades.) */
   def refresh(s: SparkSession, corpusFqn: String, prefix: String): Long = {
     graft.functions.VectorFunctions.register(s)
     val v1 = indexedVersion(s, prefix)
@@ -176,6 +182,8 @@ object AnnIndex {
       .option("from-version", v1.toString)
       .table(corpusFqn)
       .select(col("vec_id"), col("embedding"))
+      .join(s.table(s"$prefix.ivf_cells").select(col("vec_id")),
+        Seq("vec_id"), "left_anti") // ids-only: never re-index a survivor
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -240,6 +248,35 @@ object AnnIndex {
       before - metaRows(s, fqn).getOrElse(s.table(fqn).count())
     }.sum
     finally s.catalog.dropTempView(view)
+  }
+
+  /** Unattended index maintenance as a STREAM: tail the corpus table's
+    * changelog and, per micro-batch, fold newly arrived vectors into
+    * the bucket/cell tables ([[refresh]]) and reclaim departed ones
+    * ([[vacuum]]) — the index stays fresh while the corpus churns, with
+    * nobody scheduling batch jobs. The micro-batch frame is only the
+    * TRIGGER: refresh/vacuum read their own exact version windows from
+    * the index ledger, so maintenance is exactly-once by construction
+    * (fenced, version-keyed commits; refresh's ids-only anti-join
+    * absorbs CoW-rewrite survivors) and a crash/restart replays into
+    * no-ops. Tailing `t$changes` rather than the plain table means
+    * DELETE-only commits also wake the maintainer — a plain tail would
+    * sleep through them and leave stale probe entries until the next
+    * append. */
+  def maintainStream(s: SparkSession, corpusFqn: String, prefix: String,
+                     checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val parts = corpusFqn.split("\\.")
+    val changesFqn = (parts.init :+ s"`${parts.last}$$changes`").mkString(".")
+    s.readStream.table(changesFqn)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(s, corpusFqn, prefix)
+        vacuum(s, corpusFqn, prefix)
+        ()
+      }
+      .start()
   }
 
   /** Table row count from manifest stats alone. Defined only when the

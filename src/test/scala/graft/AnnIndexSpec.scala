@@ -133,4 +133,53 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // idempotent: a second vacuum removes nothing
     assert(AnnIndex.vacuum(spark, "ann_a.corp.vecs", "ann_a.inc") == 0L)
   }
+
+  test("maintainStream keeps the index fresh across appends and deletes") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ann_a.live")
+    spark.sql("CREATE TABLE ann_a.live.vecs (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .writeTo("ann_a.live.vecs").append()
+    val n0 = spark.table("ann_a.live.vecs").count()
+    AnnIndex.buildFromCorpus(spark, "ann_a.live.vecs", "ann_a.lividx")
+
+    val ckpt = Files.createTempDirectory("graft-ann-stream-ckpt").toString
+    val q = AnnIndex.maintainStream(spark, "ann_a.live.vecs", "ann_a.lividx", ckpt)
+    try {
+      // append: an exact copy of query vector 0 under a fresh id —
+      // after one trigger the stream-maintained index must see it
+      val v0 = spark.table("ann_a.live.vecs").where($"vec_id" === 0L)
+        .select($"embedding").head.getSeq[Float](0).toArray
+      Seq((910001L, v0)).toDF("vec_id", "embedding")
+        .writeTo("ann_a.live.vecs").append()
+      q.processAllAvailable()
+      assert(spark.table("ann_a.lividx.ivf_cells").count() == n0 + 1)
+      def top1(df: org.apache.spark.sql.DataFrame): Long =
+        df.where($"qid" === 0L && $"rn" === 1).head.getLong(1)
+      val corpus = spark.table("ann_a.live.vecs")
+      assert(top1(Similarity.lshSearch(spark, corpus, "ann_a.lividx")) == 910001L)
+
+      // delete: a DELETE-only commit must wake the maintainer (the
+      // changes tail sees it; a plain table tail would sleep) and
+      // vacuum the departed id — and the CoW-rewrite survivors the
+      // delete re-wrote must NOT re-index (exactly-once per vec_id)
+      spark.sql("DELETE FROM ann_a.live.vecs WHERE vec_id = 910001")
+      q.processAllAvailable()
+      assert(spark.table("ann_a.lividx.ivf_cells").count() == n0,
+        "vacuumed count must equal the original corpus")
+      assert(spark.table("ann_a.lividx.lsh_buckets")
+        .where($"vec_id" === 910001L).count() == 0L)
+      assert(spark.table("ann_a.lividx.lsh_buckets").count() ==
+        n0 * AnnIndex.LshSeeds.length,
+        "survivor rows from the CoW rewrite must not duplicate buckets")
+    } finally q.stop()
+
+    // restart from the same checkpoint: replay lands on fenced
+    // no-ops — counts unchanged
+    val q2 = AnnIndex.maintainStream(spark, "ann_a.live.vecs", "ann_a.lividx", ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("ann_a.lividx.ivf_cells").count() == n0)
+    } finally q2.stop()
+  }
 }

@@ -381,9 +381,90 @@ object Curation {
       |FROM r WHERE rn <= 25 ORDER BY rn""".stripMargin
   }
 
+  /** Corpus report (q110) — the per-language "corpus card" a dataset
+    * release ships (Dolma/RefinedWeb-style): document and token counts,
+    * corpus share, exact-duplicate exposure (members of q51-normalized
+    * duplicate groups, computed corpus-wide and attributed per
+    * language), and mean q59 quality. Composes the already-proven
+    * curation signals into the one table a curator actually reads.
+    *
+    * Scale shape: the dup flag is one window over the sha2(norm) key
+    * (text pruned before the shuffle — only ids and small columns
+    * move); quality is map-only arithmetic joined by doc_id; the final
+    * rollup has |languages| keys with map-side combine; the corpus
+    * total is a 1-row broadcast.
+    *
+    * Determinism: mean quality sums integer micro-units per doc (the
+    * 6dp-rounded q59 score scaled; order-free) and divides once;
+    * shares divide exact integers once; ties impossible (lang is the
+    * key). */
+  def q110CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val nWords = size(split(trim(col("text")), "\\s+")).cast("long")
+    val grp = Window.partitionBy(sha2(norm, 256))
+    val perDoc = docs.select(col("doc_id"), col("lang"), nWords.as("ws"),
+      (count(lit(1)).over(grp) > 1).as("is_dup"))
+    val quality = TextAnalysis.q59Quality(s, dir).select(col("doc_id"),
+      round(col("quality") * lit(1000000.0)).cast("long").as("q_u"))
+    val tot = docs.agg(count(lit(1)).as("n_all"))
+    perDoc.join(quality, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("is_dup").cast("long")).as("dup_docs"),
+        sum(col("q_u")).as("sq_u"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs") * lit(1.0) / col("n_all"), 6).as("share"),
+        col("ws_tokens"), col("dup_docs"),
+        round(col("sq_u") / (col("n_docs") * lit(1000000.0)), 6)
+          .as("mean_quality"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB replay of q110. Built by plain concatenation (not
+    * s-interpolation — escape processing would mangle the regex
+    * backslashes); the quality expression matches q59Sql/q106Sql
+    * token-for-token and the dup grouping keys the normalized TEXT
+    * itself (the q51-oracle trick — no cross-engine hash to match). */
+  val q110Sql: String =
+    """WITH nd AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+      |  FROM documents),
+      |dup AS (
+      |  SELECT doc_id, lang, ws,
+      |    COUNT(*) OVER (PARTITION BY nt) > 1 AS is_dup
+      |  FROM nd),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(ROUND(
+      |      ROUND(LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.4
+      |        + LEAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) * 1.0
+      |            / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.3
+      |        + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+      |            / GREATEST(LENGTH(text), 1) * 10.0, 1.0)) * 0.3, 6)
+      |      * 1000000.0) AS BIGINT) AS q_u
+      |  FROM documents),
+      |tot AS (SELECT COUNT(*) AS n_all FROM documents),
+      |g AS (
+      |  SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens,
+      |    SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS dup_docs,
+      |    SUM(q_u) AS sq_u
+      |  FROM dup JOIN q USING (doc_id) GROUP BY 1)
+      |SELECT lang, n_docs, ROUND(n_docs * 1.0 / n_all, 6) AS share,
+      |  CAST(ws_tokens AS BIGINT) AS ws_tokens,
+      |  CAST(dup_docs AS BIGINT) AS dup_docs,
+      |  ROUND(sq_u / (n_docs * 1000000.0), 6) AS mean_quality
+      |FROM g CROSS JOIN tot ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_split_sample"  -> q68SplitSample _,
     "q108_dsir_weights" -> q108DsirWeights _,
+    "q110_corpus_report" -> q110CorpusReport _,
     "q76_token_packing" -> q76TokenPacking _,
     "q77_rebalance"     -> q77Rebalance _,
     "q81_mixture"       -> q81MixtureWeights _,
@@ -393,6 +474,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q68_split_sample"  -> q68Sql,
     "q108_dsir_weights" -> q108Sql,
+    "q110_corpus_report" -> q110Sql,
     "q76_token_packing" -> q76Sql,
     "q77_rebalance"     -> q77Sql,
     "q81_mixture"       -> q81Sql,

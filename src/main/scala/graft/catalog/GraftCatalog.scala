@@ -505,41 +505,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       import org.apache.spark.sql.types._
       Set(StringType, IntegerType, LongType, ShortType, ByteType, BooleanType)
     }
-    // a SINGLE bucket(n, col) spec field imports Spark bucketBy-layout
-    // lakes: the bucket id is witnessed by the Spark bucketed-file name
-    // (part-....._NNNNN...), and Spark's bucket function is
+    // witnessable spec shapes: every field must be identity (hive dirs),
+    // bucket (file-name witness — at most one, the Spark bucketBy
+    // contract), or a single temporal standing ALONE (nested year=/…
+    // dirs). identity+bucket composes — the Spark
+    // `partitionBy(...).bucketBy(...)` lake layout — because the two
+    // witnesses are independent (dirs vs file names). Anything else
+    // (truncate, multiple buckets, temporal mixed with other fields)
+    // cannot be witnessed and refuses.
+    val identityFields = specFields.filter(_.transform == "identity")
+    val bucketFields = specFields.filter(_.transform.startsWith("bucket["))
+    val temporalFields =
+      specFields.filter(f => Set("year", "month", "day", "hour")(f.transform))
+    val otherFields = specFields
+      .filterNot(f => identityFields.contains(f) || bucketFields.contains(f)
+        || temporalFields.contains(f))
+    require(otherFields.isEmpty,
+      s"add_files on ${ident.name}: partition transform " +
+        s"'${otherFields.head.transform}' cannot be witnessed by a source " +
+        "directory — only identity, at-most-one-bucket, or a lone temporal " +
+        "field import foreign layouts; load via INSERT INTO ... SELECT")
+    require(bucketFields.size <= 1,
+      s"add_files on ${ident.name}: ${bucketFields.size} bucket fields — " +
+        "a Spark bucketBy file name witnesses exactly one; load via " +
+        "INSERT INTO ... SELECT")
+    require(temporalFields.isEmpty ||
+        (temporalFields.size == 1 && specFields.size == 1),
+      s"add_files on ${ident.name}: a temporal partition field imports " +
+        "only as the spec's sole field — mixed temporal specs cannot be " +
+        "witnessed; load via INSERT INTO ... SELECT")
+    // bucket witness: the bucket id lives in the Spark bucketed-file
+    // name (part-....._NNNNN...), and Spark's bucket function is
     // pmod(murmur3(col, seed 42), n) — bit-identical to graft's
     // write-side dirExpr and BucketBound, which is PROVEN per import by
     // recomputing the bucket over every row (below) so a lake bucketed
     // by any other hash (e.g. Hive's) refuses instead of silently
     // mis-joining under SPJ
-    val bucketImport: Option[(String, Int, String)] = specFields match {
-      case Seq(f) if f.transform.startsWith("bucket[") =>
+    val bucketImport: Option[(String, Int, String)] = bucketFields match {
+      case Seq(f) =>
         val n = "bucket\\[(\\d+)\\]".r.findFirstMatchIn(f.transform)
           .get.group(1).toInt
         Some((idToName(f.sourceId), n, f.name))
       case _ => None
     }
-    // a SINGLE temporal spec field imports hive temporal lakes
-    // (year=YYYY[/month=MM[/day=DD[/hour=HH]]], or one dir whose value
-    // already is the rendered form, e.g. dt=2024-01 for month): the
-    // partition value is witnessed by the dirs and PROVEN per import by
-    // one column-pruned job rendering the native dirExpr over every row
-    // — the source column stays in the footers, so unlike identity hive
-    // imports nothing needs an overlay and the files read vectorized
-    val temporalImport: Option[(String, String, String)] = specFields match {
-      case Seq(f) if Set("year", "month", "day", "hour")(f.transform) =>
-        Some((idToName(f.sourceId), f.transform, f.name))
+    // temporal witness (year=YYYY[/month=MM[/day=DD[/hour=HH]]] dirs, or
+    // one dir whose value already is the rendered form, e.g.
+    // dt=2024-01): the value is witnessed by the dirs and PROVEN per
+    // import by one column-pruned job rendering the native dirExpr over
+    // every row — the source column stays in the footers, so unlike
+    // identity hive imports nothing needs an overlay and the files read
+    // vectorized
+    val temporalImport: Option[(String, String, String)] = temporalFields match {
+      case Seq(f) => Some((idToName(f.sourceId), f.transform, f.name))
       case _ => None
     }
-    val partIdentityCols: Seq[String] =
-      if (bucketImport.isDefined || temporalImport.isDefined) Nil
-      else specFields.map { f =>
-      require(f.transform == "identity",
-        s"add_files on ${ident.name}: partition transform " +
-          s"'${f.transform}' cannot be witnessed by a source directory — " +
-          "only identity-, single-bucket-, or single-temporal-partitioned " +
-          "tables import foreign layouts; load via INSERT INTO ... SELECT")
+    val partIdentityCols: Seq[String] = identityFields.map { f =>
       val c = idToName(f.sourceId)
       require(exactRender.contains(tableSchema0.fields(
           tableSchema0.fieldIndex(c)).dataType),
@@ -812,11 +832,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // a per-file index prefix so nested source layouts cannot collide
     val targets: Seq[(String, String)] =
       if (bucketImport.isDefined)
-        // land each file under its witnessed bucket dir so dir replay
-        // pruning, SPJ grouping, $partitions, and partition-scoped
-        // maintenance see it exactly like a native bucketed file
+        // land each file under its witnessed dirs — identity dirs first,
+        // then the bucket dir, the native write layout's order — so dir
+        // replay pruning, SPJ grouping, $partitions, and
+        // partition-scoped maintenance see it exactly like a native file
         srcRels.zipWithIndex.map { case (r, i) =>
-          r -> s"__part_${bucketImport.get._3}=${srcBuckets(r)}/f$i-${r.split('/').last}"
+          val idDirs = partIdentityCols
+            .map(c => s"__part_$c=${srcDirKvs(r)(c)}")
+          val dirs = (idDirs :+
+            s"__part_${bucketImport.get._3}=${srcBuckets(r)}").mkString("/")
+          r -> s"$dirs/f$i-${r.split('/').last}"
         }
       else if (temporalImport.isDefined)
         // witnessed + proven rendered values are digits-and-dashes —

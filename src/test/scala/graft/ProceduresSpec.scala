@@ -193,6 +193,54 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("copy-on-write"), e2.getMessage)
   }
 
+  test("add_files onboards a partitionBy+bucketBy lake (identity+bucket spec)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imp")
+    spark.sql("DROP TABLE IF EXISTS graft.imp.pb")
+    spark.sql("""CREATE TABLE graft.imp.pb (id BIGINT, region STRING, v STRING)
+      PARTITIONED BY (region, bucket(4, id))""")
+    // the Spark partitionBy+bucketBy lake: identity value in the dirs,
+    // bucket id in the file names — two independent witnesses
+    val srcRoot = Files.createTempDirectory("graft-ext-pb-src").toString
+    val src = s"$srcRoot/t"
+    spark.range(0, 120)
+      .select(col("id"),
+        when(col("id") % 2 === 0, "emea").otherwise("apac").as("region"),
+        concat(lit("v"), col("id")).as("v"))
+      .write.partitionBy("region").bucketBy(4, "id").option("path", src)
+      .mode("overwrite").saveAsTable("graft_pb_src_tmp")
+    try {
+      val res = spark.sql(s"CALL graft.system.add_files('imp.pb', '$src')")
+        .collect()
+      assert(res(0).getInt(1) >= 8, res.toSeq.toString) // 2 regions × 4 buckets
+      assert(spark.table("graft.imp.pb").count() == 120)
+      // identity values served from dirs (hive files keep them out of
+      // the footers), bucket registered from the file-name witness
+      assert(spark.table("graft.imp.pb").filter(col("id") === 42)
+        .select(col("region"), col("v")).head.mkString(",") == "emea,v42")
+      val parts = spark.sql("SELECT DISTINCT partition FROM graft.imp.`pb$files`")
+        .collect().map(_.getString(0)).toSet
+      assert(parts.exists(p => p.contains("region=emea") && p.contains("=0")) &&
+        parts.exists(p => p.contains("region=apac") && p.contains("=3")),
+        parts.toString)
+      // identity pruning composes with the bucket dirs
+      assert(spark.table("graft.imp.pb").filter(col("region") === "apac")
+        .count() == 60)
+      // partition_filter scopes the import by the identity dir
+      spark.sql("DROP TABLE IF EXISTS graft.imp.pb2")
+      spark.sql("""CREATE TABLE graft.imp.pb2 (id BIGINT, region STRING, v STRING)
+        PARTITIONED BY (region, bucket(4, id))""")
+      spark.sql(s"CALL graft.system.add_files('imp.pb2', '$src', " +
+        "partition_filter => 'region=emea')").collect()
+      assert(spark.table("graft.imp.pb2").count() == 60)
+      // compaction folds to native; content survives
+      spark.sql("CALL graft.system.compact(table => 'imp.pb')").collect()
+      assert(spark.table("graft.imp.pb").count() == 120)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pb_src_tmp")
+    }
+  }
+
   test("add_files onboards a hive temporal lake under a month spec") {
     import org.apache.spark.sql.functions._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imp")

@@ -346,6 +346,38 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(11.0, 23.0, 34.0))
   }
 
+  test("a hive temporal import joins the native month table with zero exchanges") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spjtm")
+    spark.sql("DROP TABLE IF EXISTS graft.spjtm.nat")
+    spark.sql("DROP TABLE IF EXISTS graft.spjtm.imp")
+    spark.sql("""CREATE TABLE graft.spjtm.nat (d DATE, v DOUBLE)
+      PARTITIONED BY (months(d))""")
+    spark.sql("""CREATE TABLE graft.spjtm.imp (d DATE, w DOUBLE)
+      PARTITIONED BY (months(d))""")
+    spark.sql("""INSERT INTO graft.spjtm.nat VALUES
+      (DATE'2024-01-05', 1.0), (DATE'2024-01-20', 2.0),
+      (DATE'2024-02-05', 3.0), (DATE'2024-03-05', 4.0)""")
+    // the imported side arrives as a hive year=/month= lake
+    val src = Files.createTempDirectory("graft-spj-tm").toString + "/t"
+    import spark.implicits._
+    Seq(("2024-01-05", 10.0), ("2024-02-05", 20.0), ("2024-03-05", 30.0))
+      .toDF("ds", "w").select(to_date(col("ds")).as("d"), col("w"))
+      .withColumn("year", year(col("d"))).withColumn("month", month(col("d")))
+      .write.partitionBy("year", "month").parquet(src)
+    spark.sql(s"CALL graft.system.add_files('spjtm.imp', '$src')").collect()
+    // the IMPORTED temporal lake is keyed like a native month table:
+    // the d-keyed join plans with zero exchanges (temporal SPJ), and
+    // the imported files read straight from their footers (no overlay)
+    val joined = spark.table("graft.spjtm.nat")
+      .join(spark.table("graft.spjtm.imp"), Seq("d"))
+      .select(col("d"), (col("v") + col("w")).as("s"))
+    assert(exchanges(joined) == 0,
+      s"month-co-partitioned import join should not shuffle:\n" +
+        s"${joined.queryExecution.executedPlan}")
+    assert(joined.collect().map(_.getDouble(1)).sorted.toSeq ==
+      Seq(11.0, 23.0, 34.0))
+  }
+
   test("identity-partitioned join reports keys and elides the shuffle") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spji")
     spark.sql("""CREATE TABLE graft.spji.a (cat STRING, v BIGINT)

@@ -653,16 +653,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         r -> kvs
       }.toMap
 
-    // bucket imports: parse each file's witnessed bucket id from the
-    // Spark bucketBy file name, then PROVE the hash family by
-    // recomputing pmod(murmur3(col), n) over every row in ONE
-    // column-pruned distributed job — the one-time import cost that
-    // makes the zero-copy SPJ claim sound
+    // ORDER of validation: driver-side WITNESSING first (dir parses,
+    // file-name parses — cheap, and their refusals name the actual
+    // layout problem), then the footer-schema check, then the
+    // DISTRIBUTED proof jobs. The schema check must precede the proof
+    // jobs: a lake whose witness column is absent from the footers gets
+    // the accurate "lack table column" message, never a proof-job
+    // misdiagnosis (e.g. "rows with NULL" from reading an absent column
+    // as nulls).
+
+    // bucket witness: parse each file's bucket id from the Spark
+    // bucketBy file name (proof of the hash family runs below, after
+    // the schema check)
     val srcBuckets: Map[String, Int] = bucketImport match {
       case None => Map.empty
-      case Some((c, n, _)) =>
+      case Some((_, n, _)) =>
         val BucketFile = """.*_(\d+)(?:\..*)?$""".r
-        val witnessed = srcRels.map { r =>
+        srcRels.map { r =>
           val b = r.split('/').last match {
             case BucketFile(d) => d.toInt
             case _ => throw new IllegalArgumentException(
@@ -675,37 +682,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"but the table spec has $n buckets")
           r -> b
         }.toMap
-        import org.apache.spark.sql.functions.{col => fc, collect_set, hash => fhash, input_file_name, lit, pmod}
-        val dt = tableSchema0.fields(tableSchema0.fieldIndex(c)).dataType
-        val computed = spark.read
-          .schema(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(c, dt))))
-          .parquet(srcRels.map(r => s"$sourceDir/$r"): _*)
-          .select(input_file_name().as("__f"),
-            pmod(fhash(fc(c)), lit(n)).as("__b"))
-          .groupBy(fc("__f")).agg(collect_set(fc("__b")).as("bs"))
-          .collect()
-        computed.foreach { row =>
-          val f = row.getString(0)
-          val rel = srcRels.find(r => f.endsWith("/" + r)).getOrElse(
-            throw new IllegalStateException(
-              s"bucket verification could not map scanned file $f back to " +
-                "a source file"))
-          val got = row.getSeq[Int](1).toSet
-          require(got.subsetOf(Set(witnessed(rel))),
-            s"add_files on ${ident.name}: source file $rel claims bucket " +
-              s"${witnessed(rel)} but its rows hash to buckets " +
-              s"${got.toSeq.sorted.mkString(",")} under graft's " +
-              "pmod(murmur3, n) — the lake was bucketed by a different " +
-              "hash function; load via INSERT INTO ... SELECT")
-        }
-        witnessed
     }
-    // temporal imports: assemble each file's witnessed partition value
-    // from its hive dirs, then PROVE it by rendering the NATIVE dirExpr
-    // (the exact form write-side layout and replay pruning use) over
-    // every row in one column-pruned job — a lake whose dirs lie about
-    // its rows refuses instead of silently mis-pruning
+    // temporal witness: assemble each file's partition value from its
+    // hive dirs (the per-row dirExpr proof runs below)
     val srcTemporalVals: Map[String, String] = temporalImport match {
       case None => Map.empty
       case Some((c, tr, _)) =>
@@ -733,18 +712,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // two accepted layouts: nested hive dirs named for the levels
           // (year=2024/month=1 — values unpadded or padded), or ONE dir
           // whose value is already the rendered form (dt=2024-01)
+          // digits-only AND bounded length: an 11-digit "year" must hit
+          // the refusal message, not a raw NumberFormatException from
+          // toInt (the y<=9999 guard below never runs if parsing throws)
+          def numeric(v: String): Boolean =
+            v.nonEmpty && v.length <= 9 && v.forall(_.isDigit)
           val parts: Seq[Int] =
             if (kvs.keySet == nestedKeys.toSet) nestedKeys.map { k =>
               val v = kvs(k)
-              if (v.isEmpty || !v.forall(_.isDigit))
-                refuse(s"carries non-numeric '$k=$v'")
+              if (!numeric(v)) refuse(s"carries non-numeric '$k=$v'")
               v.toInt
             }
             else if (kvs.size == 1) {
               val v = kvs.values.head
               val seg = v.split("-", -1)
-              if (seg.length != depth ||
-                  seg.exists(s => s.isEmpty || !s.forall(_.isDigit)))
+              if (seg.length != depth || seg.exists(s => !numeric(s)))
                 refuse(s"dir value '$v' is not the rendered $tr form")
               seg.toSeq.map(_.toInt)
             }
@@ -766,38 +748,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (depth == 1) y.toString
           else (f"$y%04d" +: parts.tail.map(p => f"$p%02d")).mkString("-")
         }
-        val witnessed = srcRels.map(r => r -> assemble(r)).toMap
-        import org.apache.spark.sql.functions.{col => fc, collect_set, input_file_name, sum => fsum}
-        val ex = PartitionTransforms.dirExpr(tr, c, dt).getOrElse(
-          throw new IllegalStateException(
-            s"no native dir rendering for $tr(${dt.simpleString})")).cast("string")
-        val computed = spark.read
-          .schema(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(c, dt))))
-          .parquet(srcRels.map(r => s"$sourceDir/$r"): _*)
-          .select(input_file_name().as("__f"), ex.as("__v"))
-          .groupBy(fc("__f"))
-          .agg(collect_set(fc("__v")).as("vs"),
-            fsum(fc("__v").isNull.cast("long")).as("nn"))
-          .collect()
-        computed.foreach { row =>
-          val f = row.getString(0)
-          val rel = srcRels.find(r => f.endsWith("/" + r)).getOrElse(
-            throw new IllegalStateException(
-              s"temporal verification could not map scanned file $f back " +
-                "to a source file"))
-          require(row.getLong(2) == 0L,
-            s"add_files on ${ident.name}: source file $rel holds rows " +
-              s"with NULL '$c' — they cannot live under a witnessed " +
-              s"$tr dir; load via INSERT INTO ... SELECT")
-          val got = row.getSeq[String](1).toSet
-          require(got.subsetOf(Set(witnessed(rel))),
-            s"add_files on ${ident.name}: source file $rel claims $tr " +
-              s"value '${witnessed(rel)}' but its rows render to " +
-              s"${got.toSeq.sorted.mkString(",")} — the dirs do not " +
-              s"witness $tr($c); load via INSERT INTO ... SELECT")
-        }
-        witnessed
+        srcRels.map(r => r -> assemble(r)).toMap
     }
     // the merged FOOTER schema must serve every table column by name
     // with a structurally equal type; EXTRA source columns are fine
@@ -822,6 +773,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               sf.dataType, f.dataType, true),
             s"source column '${f.name}' is ${sf.dataType.simpleString}, " +
               s"table expects ${f.dataType.simpleString}")
+      }
+    }
+    // bucket PROOF: the hash family is verified by recomputing
+    // pmod(murmur3(col), n) over every row in ONE column-pruned
+    // distributed job — the one-time import cost that makes the
+    // zero-copy SPJ claim sound; a lake bucketed by any other hash
+    // (e.g. Hive's) refuses instead of silently mis-joining under SPJ
+    bucketImport.foreach { case (c, n, _) =>
+      import org.apache.spark.sql.functions.{col => fc, collect_set, hash => fhash, input_file_name, lit, pmod}
+      val dt = tableSchema0.fields(tableSchema0.fieldIndex(c)).dataType
+      val computed = spark.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(c, dt))))
+        .parquet(srcRels.map(r => s"$sourceDir/$r"): _*)
+        .select(input_file_name().as("__f"),
+          pmod(fhash(fc(c)), lit(n)).as("__b"))
+        .groupBy(fc("__f")).agg(collect_set(fc("__b")).as("bs"))
+        .collect()
+      computed.foreach { row =>
+        val f = row.getString(0)
+        val rel = srcRels.find(r => f.endsWith("/" + r)).getOrElse(
+          throw new IllegalStateException(
+            s"bucket verification could not map scanned file $f back to " +
+              "a source file"))
+        val got = row.getSeq[Int](1).toSet
+        require(got.subsetOf(Set(srcBuckets(rel))),
+          s"add_files on ${ident.name}: source file $rel claims bucket " +
+            s"${srcBuckets(rel)} but its rows hash to buckets " +
+            s"${got.toSeq.sorted.mkString(",")} under graft's " +
+            "pmod(murmur3, n) — the lake was bucketed by a different " +
+            "hash function; load via INSERT INTO ... SELECT")
+      }
+    }
+    // temporal PROOF: render the NATIVE dirExpr (the exact form
+    // write-side layout and replay pruning use) over every row in one
+    // column-pruned job — a lake whose dirs lie about its rows refuses
+    // instead of silently mis-pruning
+    temporalImport.foreach { case (c, tr, _) =>
+      val dt = tableSchema0.fields(tableSchema0.fieldIndex(c)).dataType
+      import org.apache.spark.sql.functions.{col => fc, collect_set, input_file_name, sum => fsum}
+      val ex = PartitionTransforms.dirExpr(tr, c, dt).getOrElse(
+        throw new IllegalStateException(
+          s"no native dir rendering for $tr(${dt.simpleString})")).cast("string")
+      val computed = spark.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(c, dt))))
+        .parquet(srcRels.map(r => s"$sourceDir/$r"): _*)
+        .select(input_file_name().as("__f"), ex.as("__v"))
+        .groupBy(fc("__f"))
+        .agg(collect_set(fc("__v")).as("vs"),
+          fsum(fc("__v").isNull.cast("long")).as("nn"))
+        .collect()
+      computed.foreach { row =>
+        val f = row.getString(0)
+        val rel = srcRels.find(r => f.endsWith("/" + r)).getOrElse(
+          throw new IllegalStateException(
+            s"temporal verification could not map scanned file $f back " +
+              "to a source file"))
+        require(row.getLong(2) == 0L,
+          s"add_files on ${ident.name}: source file $rel holds rows " +
+            s"with NULL '$c' — they cannot live under a witnessed " +
+            s"$tr dir; load via INSERT INTO ... SELECT")
+        val got = row.getSeq[String](1).toSet
+        require(got.subsetOf(Set(srcTemporalVals(rel))),
+          s"add_files on ${ident.name}: source file $rel claims $tr " +
+            s"value '${srcTemporalVals(rel)}' but its rows render to " +
+            s"${got.toSeq.sorted.mkString(",")} — the dirs do not " +
+            s"witness $tr($c); load via INSERT INTO ... SELECT")
       }
     }
     val dataDir = store.dataDir(ns, ident.name)

@@ -97,7 +97,12 @@ case class CharFoldF(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(a: Any): Any = {
-    val s = a.toString
+    // UTF8String cast, not toString-of-anything: a non-string argument
+    // must fail LOUDLY (the DotProductF contract — ExpectsInputTypes is
+    // private[sql]) rather than silently fold the INTERNAL rendering
+    // (e.g. a DATE's days-since-epoch int), which the HOF formulation
+    // this replaced would never have produced
+    val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
     var acc = 0L; var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)

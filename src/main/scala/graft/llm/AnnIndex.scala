@@ -44,33 +44,23 @@ object AnnIndex {
     Array.fill(nBits, Dim)(rnd.nextGaussian())
   }
 
-  // one build per (session, sfDir); weak keys so a stopped session's
-  // entry is collectable (same memo discipline as CatalogQueries)
-  private val built =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.Map[String, String]]())
+  private val built = new graft.SessionMemo[String]
 
   /** Ensure the index tables for `dir` exist in this session's index
     * catalog; returns the namespace prefix (e.g. `graft_ann.sf_1a2b3c4d`)
     * holding `ivf_centroids`, `ivf_cells`, `lsh_buckets`. */
   def ensure(s: SparkSession, dir: String): String = {
-    val dirs = built.synchronized {
-      built.computeIfAbsent(s, _ => new java.util.HashMap[String, String]())
-    }
-    dirs.synchronized {
-      Option(dirs.get(dir)).getOrElse {
-        if (s.conf.getOption("spark.sql.catalog.graft_ann").isEmpty) {
-          val wh = java.nio.file.Files.createTempDirectory("graft-ann-wh").toString
-          s.conf.set("spark.sql.catalog.graft_ann", classOf[GraftCatalog].getName)
-          s.conf.set("spark.sql.catalog.graft_ann.warehouse", wh)
-        }
-        val ns = "sf_" + java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-        val prefix = s"graft_ann.$ns"
-        buildInto(s, dir, prefix)
-        dirs.put(dir, prefix) // memoize only a build that SUCCEEDED
-        prefix
+    built.getOrBuild(s, dir) {
+      if (s.conf.getOption("spark.sql.catalog.graft_ann").isEmpty) {
+        val wh = java.nio.file.Files.createTempDirectory("graft-ann-wh").toString
+        s.conf.set("spark.sql.catalog.graft_ann", classOf[GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_ann.warehouse", wh)
       }
+      val ns = "sf_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val prefix = s"graft_ann.$ns"
+      buildInto(s, dir, prefix)
+      prefix
     }
   }
 
@@ -130,6 +120,23 @@ object AnnIndex {
     store.currentVersion(parts.tail.init.toSeq, parts.last)
   }
 
+  /** True iff the v1→v2 window removed NO file — i.e. every commit was
+    * a pure append, so the from-version delta can only contain brand-new
+    * vec_ids and the survivor anti-join is provably unnecessary. File
+    * sets are cumulative under appends, so one subset test over two
+    * driver-cached metadata bodies decides the whole window; any
+    * rewrite/overwrite/delete removes a file and fails the subset. */
+  private def appendOnlyWindow(s: SparkSession, corpusFqn: String,
+                               v1: Int, v2: Int): Boolean = {
+    val parts = corpusFqn.split("\\.")
+    val store = s.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[GraftCatalog].metadataStore
+    val ns = parts.tail.init.toSeq; val t = parts.last
+    def files(v: Int): Set[String] = store.loadVersion(ns, t, v)
+      .currentSnapshot.map(_.files.toSet).getOrElse(Set.empty)
+    files(v1).subsetOf(files(v2))
+  }
+
   /** Append `df` to an index table with the version ledger + fence: the
     * commit stamps `v` into its snapshot summary and refuses (inside the
     * CAS loop) if a commit covering >= v already landed — re-running a
@@ -165,9 +172,11 @@ object AnnIndex {
     * cost while the corpus-sized artifact stays put. (After an overwrite
     * the delta degrades to "files the overwrite introduced" — same
     * contract as the from-version scan — so rewritten SURVIVOR rows can
-    * reappear in it; the ids-only anti-join below keeps the index
-    * exactly-once per vec_id regardless, which [[maintainStream]]
-    * depends on since it refreshes across every commit flavor. An
+    * reappear in it; an ids-only anti-join keeps the index exactly-once
+    * per vec_id, which [[maintainStream]] depends on since it refreshes
+    * across every commit flavor. The anti-join runs ONLY when the
+    * window removed a file ([[appendOnlyWindow]]) — pure-append
+    * refreshes keep true delta cost, never a corpus-sized id scan. An
     * update-in-place keeps its original bucket until a rebuild — search
     * re-joins the payload by id, so results use the fresh embedding and
     * only probe recall degrades.) */
@@ -177,13 +186,20 @@ object AnnIndex {
     val v2 = corpusVersion(s, corpusFqn)
     if (v2 <= v1) return 0L
 
-    val delta = s.read
+    val delta0 = s.read
       .option("versionAsOf", v2.toString)
       .option("from-version", v1.toString)
       .table(corpusFqn)
       .select(col("vec_id"), col("embedding"))
-      .join(s.table(s"$prefix.ivf_cells").select(col("vec_id")),
+    // the survivor anti-join joins the delta against the CORPUS-SIZED
+    // id set — correct always, but a real cost on the daily-append hot
+    // path, so it runs only when the window actually rewrote a file
+    // (the one case resurrected survivor rows can exist)
+    val delta1 =
+      if (appendOnlyWindow(s, corpusFqn, v1, v2)) delta0
+      else delta0.join(s.table(s"$prefix.ivf_cells").select(col("vec_id")),
         Seq("vec_id"), "left_anti") // ids-only: never re-index a survivor
+    val delta = delta1
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -271,9 +287,16 @@ object AnnIndex {
     s.readStream.table(changesFqn)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (_: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         refresh(s, corpusFqn, prefix)
-        vacuum(s, corpusFqn, prefix)
+        // vacuum scans the whole corpus id set (compaction-class cost)
+        // — run it only when this batch actually DEPARTED rows, which
+        // the changes frame states outright; a pure-append batch costs
+        // one bounded take(1) over the batch, never a corpus scan
+        val departed = !batch
+          .filter(col("_change_type").isin("delete", "update_preimage"))
+          .isEmpty
+        if (departed) vacuum(s, corpusFqn, prefix)
         ()
       }
       .start()

@@ -183,9 +183,7 @@ object Dedup {
 
   // one band-index build per (session, sfDir) — same weak-key memo
   // discipline as AnnIndex/CatalogQueries
-  private val bandIndexBuilt =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.Map[String, String]]())
+  private val bandIndexBuilt = new graft.SessionMemo[String]
 
   /** Catalog-persisted MinHash band index over the BASE corpus
     * (`doc_id % 10 != 7`; the held-out tenth plays the "newly ingested
@@ -196,12 +194,8 @@ object Dedup {
     * shape incremental dedup must take at 100 TB: re-pairing the whole
     * corpus per ingest is quadratic re-work, while (batch signatures +
     * index join + append) is linear in the batch. */
-  def ensureBandIndex(s: SparkSession, dir: String): String = {
-    val dirs = bandIndexBuilt.synchronized {
-      bandIndexBuilt.computeIfAbsent(s, _ => new java.util.HashMap[String, String]())
-    }
-    dirs.synchronized {
-      Option(dirs.get(dir)).getOrElse {
+  def ensureBandIndex(s: SparkSession, dir: String): String =
+    bandIndexBuilt.getOrBuild(s, dir) {
         if (s.conf.getOption("spark.sql.catalog.graft_dedup").isEmpty) {
           val wh = java.nio.file.Files.createTempDirectory("graft-dedup-wh").toString
           s.conf.set("spark.sql.catalog.graft_dedup",
@@ -220,11 +214,8 @@ object Dedup {
         bandBuckets(minhashSignatures(base))
           .select(col("band"), col("bh"), col("doc_id"))
           .writeTo(s"$prefix.minhash_bands").append()
-        dirs.put(dir, prefix)
         prefix
-      }
     }
-  }
 
   /** Incremental near-dup dedup: the "new batch" (`doc_id % 10 == 7`)
     * is signed and banded, joined against the PERSISTED band index for

@@ -11,39 +11,25 @@ import graft.catalog.GraftCatalog
   * driver's DuckDB correctness gate, not only in unit tests. */
 object CatalogQueries {
 
-  // weak keys: a stopped session's entry is collectable, and two live
-  // sessions can never alias (identityHashCode could collide after GC)
-  private val warmed =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+  private val warmed = new graft.SessionMemo[Unit]
 
   /** One-time per (session, sfDir): register the catalog, CREATE the two
     * tables, INSERT-commit the testdata. Split out of the query body so
     * the bench times the DSv2 SCAN, not namespace/table DDL + two commits
     * + a temp-dir mkdir (Bench calls this during warmup). */
-  def ensureWarehouse(s: SparkSession, dir: String): Unit = {
-    // global lock only guards the memo lookup; the DDL runs under a
-    // per-session lock so unrelated sessions never serialize on it
-    val dirs = warmed.synchronized {
-      warmed.computeIfAbsent(s, _ => new java.util.HashSet[String]())
+  def ensureWarehouse(s: SparkSession, dir: String): Unit =
+    warmed.getOrBuild(s, dir) {
+      val wh = java.nio.file.Files.createTempDirectory("graft-wh-q13").toString
+      s.conf.set("spark.sql.catalog.graft_q13", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_q13.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q13.tpch")
+      s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation")
+      s.sql("DROP TABLE IF EXISTS graft_q13.tpch.region")
+      s.sql("CREATE TABLE graft_q13.tpch.nation (n_nationkey INT, n_name STRING, n_regionkey INT)")
+      s.sql("CREATE TABLE graft_q13.tpch.region (r_regionkey INT, r_name STRING)")
+      Tables.nation(s, dir).writeTo("graft_q13.tpch.nation").append()
+      Tables.region(s, dir).writeTo("graft_q13.tpch.region").append()
     }
-    dirs.synchronized {
-      if (!dirs.contains(dir)) {
-        val wh = java.nio.file.Files.createTempDirectory("graft-wh-q13").toString
-        s.conf.set("spark.sql.catalog.graft_q13", classOf[GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_q13.warehouse", wh)
-        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q13.tpch")
-        s.sql("DROP TABLE IF EXISTS graft_q13.tpch.nation")
-        s.sql("DROP TABLE IF EXISTS graft_q13.tpch.region")
-        s.sql("CREATE TABLE graft_q13.tpch.nation (n_nationkey INT, n_name STRING, n_regionkey INT)")
-        s.sql("CREATE TABLE graft_q13.tpch.region (r_regionkey INT, r_name STRING)")
-        Tables.nation(s, dir).writeTo("graft_q13.tpch.nation").append()
-        Tables.region(s, dir).writeTo("graft_q13.tpch.region").append()
-        dirs.add(dir) // only memoize a setup that SUCCEEDED — the DDL is
-                      // idempotent, so a failed attempt can retry
-      }
-    }
-  }
 
   /** Answers a join query through `spark.table("graft...")` DSv2 scans
     * (warehouse setup memoized in [[ensureWarehouse]]). */
@@ -93,64 +79,48 @@ object CatalogQueries {
     * lineitem are CO-PARTITIONED — both `bucket(8, orderkey)` — so the
     * storage-partitioned-join query can prove its plan. Setup is DDL +
     * two bucketed write commits; memoized so the bench times the JOIN. */
-  def ensureSpjWarehouse(s: SparkSession, dir: String): Unit = {
-    val dirs = warmed.synchronized {
-      warmed.computeIfAbsent(s, _ => new java.util.HashSet[String]())
-    }
-    dirs.synchronized {
-      val key = "spj:" + dir
-      if (!dirs.contains(key)) {
-        val wh = java.nio.file.Files.createTempDirectory("graft-wh-q89").toString
-        s.conf.set("spark.sql.catalog.graft_q89", classOf[GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_q89.warehouse", wh)
-        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q89.tpch")
-        s.sql("DROP TABLE IF EXISTS graft_q89.tpch.orders")
-        s.sql("DROP TABLE IF EXISTS graft_q89.tpch.lineitem")
-        s.sql("""CREATE TABLE graft_q89.tpch.orders
-          (o_orderkey BIGINT, o_totalprice DOUBLE)
-          PARTITIONED BY (bucket(8, o_orderkey))""")
-        s.sql("""CREATE TABLE graft_q89.tpch.lineitem
-          (l_orderkey BIGINT, l_extendedprice DOUBLE)
-          PARTITIONED BY (bucket(8, l_orderkey))""")
-        Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
-          .writeTo("graft_q89.tpch.orders").append()
-        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
-          .writeTo("graft_q89.tpch.lineitem").append()
-        dirs.add(key)
-      }
-    }
+  def ensureSpjWarehouse(s: SparkSession, dir: String): Unit =
+    warmed.getOrBuild(s, "spj:" + dir) {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-q89").toString
+    s.conf.set("spark.sql.catalog.graft_q89", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_q89.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q89.tpch")
+    s.sql("DROP TABLE IF EXISTS graft_q89.tpch.orders")
+    s.sql("DROP TABLE IF EXISTS graft_q89.tpch.lineitem")
+    s.sql("""CREATE TABLE graft_q89.tpch.orders
+      (o_orderkey BIGINT, o_totalprice DOUBLE)
+      PARTITIONED BY (bucket(8, o_orderkey))""")
+    s.sql("""CREATE TABLE graft_q89.tpch.lineitem
+      (l_orderkey BIGINT, l_extendedprice DOUBLE)
+      PARTITIONED BY (bucket(8, l_orderkey))""")
+    Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      .writeTo("graft_q89.tpch.orders").append()
+    Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+      .writeTo("graft_q89.tpch.lineitem").append()
   }
 
-  def ensureSortedSpjWarehouse(s: SparkSession, dir: String): Unit = {
-    val dirs = warmed.synchronized {
-      warmed.computeIfAbsent(s, _ => new java.util.HashSet[String]())
-    }
-    dirs.synchronized {
-      val key = "spjsort:" + dir
-      if (!dirs.contains(key)) {
-        val wh = java.nio.file.Files.createTempDirectory("graft-wh-q102").toString
-        s.conf.set("spark.sql.catalog.graft_q102", classOf[GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_q102.warehouse", wh)
-        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q102.tpch")
-        s.sql("DROP TABLE IF EXISTS graft_q102.tpch.orders")
-        s.sql("DROP TABLE IF EXISTS graft_q102.tpch.lineitem")
-        // declared sort order + ONE hash-distributed append = one
-        // SORTED, stamp-proven file per bucket
-        s.sql("""CREATE TABLE graft_q102.tpch.orders
-          (o_orderkey BIGINT, o_totalprice DOUBLE)
-          PARTITIONED BY (bucket(8, o_orderkey))
-          TBLPROPERTIES ('write.sort-order' = 'o_orderkey asc')""")
-        s.sql("""CREATE TABLE graft_q102.tpch.lineitem
-          (l_orderkey BIGINT, l_extendedprice DOUBLE)
-          PARTITIONED BY (bucket(8, l_orderkey))
-          TBLPROPERTIES ('write.sort-order' = 'l_orderkey asc')""")
-        Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
-          .writeTo("graft_q102.tpch.orders").append()
-        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
-          .writeTo("graft_q102.tpch.lineitem").append()
-        dirs.add(key)
-      }
-    }
+  def ensureSortedSpjWarehouse(s: SparkSession, dir: String): Unit =
+    warmed.getOrBuild(s, "spjsort:" + dir) {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-q102").toString
+    s.conf.set("spark.sql.catalog.graft_q102", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_q102.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q102.tpch")
+    s.sql("DROP TABLE IF EXISTS graft_q102.tpch.orders")
+    s.sql("DROP TABLE IF EXISTS graft_q102.tpch.lineitem")
+    // declared sort order + ONE hash-distributed append = one
+    // SORTED, stamp-proven file per bucket
+    s.sql("""CREATE TABLE graft_q102.tpch.orders
+      (o_orderkey BIGINT, o_totalprice DOUBLE)
+      PARTITIONED BY (bucket(8, o_orderkey))
+      TBLPROPERTIES ('write.sort-order' = 'o_orderkey asc')""")
+    s.sql("""CREATE TABLE graft_q102.tpch.lineitem
+      (l_orderkey BIGINT, l_extendedprice DOUBLE)
+      PARTITIONED BY (bucket(8, l_orderkey))
+      TBLPROPERTIES ('write.sort-order' = 'l_orderkey asc')""")
+    Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      .writeTo("graft_q102.tpch.orders").append()
+    Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+      .writeTo("graft_q102.tpch.lineitem").append()
   }
 
   /** The sorted refinement of q89: both sides ALSO declare
@@ -667,9 +637,7 @@ object CatalogQueries {
   // not part of the measured operation — memoized per (session, sf) like
   // the warehouse DDL, so the bench times the import + rollup, not a
   // repeated partitionBy write of the same 80-file lake
-  private val q109Lakes =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.util.Map[String, String]]())
+  private val q109Lakes = new graft.SessionMemo[String]
 
   def q109AddFilesTemporal(s: SparkSession, dir: String): DataFrame = {
     ensureWarehouse(s, dir)
@@ -678,19 +646,13 @@ object CatalogQueries {
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
     s.sql(s"CREATE TABLE graft_q13.tpch.orders_tm (${ord.schema.toDDL}) " +
       "PARTITIONED BY (months(o_orderdate))")
-    val lakes = q109Lakes.synchronized {
-      q109Lakes.computeIfAbsent(s, _ => new java.util.HashMap[String, String]())
-    }
-    val src = lakes.synchronized {
-      Option(lakes.get(dir)).getOrElse {
-        val p = java.nio.file.Files.createTempDirectory("graft-q109-src")
-          .toString + "/t"
-        ord.withColumn("year", year(col("o_orderdate")))
-          .withColumn("month", month(col("o_orderdate")))
-          .write.partitionBy("year", "month").mode("overwrite").parquet(p)
-        lakes.put(dir, p)
-        p
-      }
+    val src = q109Lakes.getOrBuild(s, dir) {
+      val p = java.nio.file.Files.createTempDirectory("graft-q109-src")
+        .toString + "/t"
+      ord.withColumn("year", year(col("o_orderdate")))
+        .withColumn("month", month(col("o_orderdate")))
+        .write.partitionBy("year", "month").mode("overwrite").parquet(p)
+      p
     }
     val res = s.sql(
       s"CALL graft_q13.system.add_files('tpch.orders_tm', '$src')").collect()

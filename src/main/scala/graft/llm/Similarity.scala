@@ -108,14 +108,21 @@ object Similarity {
   /** The LSH search core against an explicit corpus frame + index prefix
     * — shared by q56 (raw-parquet corpus) and incremental-index users
     * (catalog-table corpus refreshed in place, [[AnnIndex.refresh]]). */
-  def lshSearch(s: SparkSession, corpus: DataFrame, pfx: String): DataFrame = {
+  def lshSearch(s: SparkSession, corpus: DataFrame, pfx: String): DataFrame =
+    lshSearch(s, corpus, pfx, col("vec_id") < 50, 3)
+
+  /** [[lshSearch]] with an explicit query-vector predicate and top-k —
+    * q56 keeps its historical (vec_id < 50, k=3) shape; q111's hybrid
+    * dense channel searches its three request vectors at k=10. */
+  def lshSearch(s: SparkSession, corpus: DataFrame, pfx: String,
+                queryPred: Column, k: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val buckets = s.table(s"$pfx.lsh_buckets")
     val e = corpus
 
     // query-side hashing with the SAME planes the index was built with
     val tables = AnnIndex.LshSeeds.map(AnnIndex.planes(_))
-    val qhashed = e.filter(col("vec_id") < 50)
+    val qhashed = e.filter(queryPred)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         explode(array(tables.zipWithIndex.map { case (pl, t) =>
           struct(lit(t).as("t"), bucketUdf(pl)(col("embedding")).as("b"))
@@ -140,7 +147,7 @@ object Similarity {
         (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     cands.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
@@ -381,6 +388,15 @@ object Similarity {
         (col("qn") * col("cn")), 6))
       .withColumn("rn", row_number().over(dw)).filter(col("rn") <= 10)
       .select(col("query_id"), col("doc_id"), col("rn"))
+    rrfFuse(sparse, dense)
+  }
+
+  /** The RRF fusion core shared by q107 (exact dense channel) and q111
+    * (LSH-indexed dense channel): integer micro-unit contributions per
+    * (channel, rank), one keyed aggregation over O(queries × k) rows,
+    * doc_id tiebreaks, top-10. Both inputs carry
+    * (query_id, doc_id, rn). */
+  private def rrfFuse(sparse: DataFrame, dense: DataFrame): DataFrame = {
     def contrib(ch: DataFrame): DataFrame = ch.withColumn("c_u",
         round(lit(1000000.0) / (lit(60) + col("rn"))).cast("long"))
       .select(col("query_id"), col("doc_id"), col("c_u"))
@@ -441,9 +457,63 @@ object Similarity {
       |SELECT query_id, doc_id, rrf, channels, CAST(rn AS INTEGER) AS rn
       |FROM rankedf WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** Hybrid retrieval on the SCALE path (q111): the same request shape
+    * and RRF fusion as q107, but the dense channel searches the
+    * CATALOG-PERSISTED LSH index (multi-probe, exact re-rank, top-10)
+    * instead of brute-forcing the corpus — the variant a 100 TB corpus
+    * actually runs, since the brute channel's map-only scan becomes the
+    * bottleneck long before fusion does. Deterministic end to end (the
+    * q56 argument: the index is a pure function of the corpus), so the
+    * oracle composes the PROVEN q56 replay with the PROVEN BM25 CTEs —
+    * approximate in recall, not in reproducibility. */
+  def q111HybridAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val sparse = TextAnalysis.q101Bm25(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rn"))
+    val dense = lshSearch(s, Tables.embeddings(s, dir), pfx,
+        col("vec_id").isin(100L, 200L, 300L), 10)
+      .select((col("qid") / 100).cast("int").as("query_id"),
+        col("cid").as("doc_id"), col("rn"))
+    rrfFuse(sparse, dense)
+  }
+
+  /** DuckDB replay of q111: [[TextAnalysis.bm25Ctes]] verbatim for the
+    * sparse channel, [[annSimsCtes]] verbatim for the dense channel
+    * (the q56-proven index replay, filtered to the three request
+    * vectors), and the same fusion CTEs as q107. */
+  val q111Sql: String =
+    s"""WITH ${TextAnalysis.bm25Ctes},
+      |sparse AS (SELECT query_id, doc_id, rn FROM ranked WHERE rn <= 10),
+      |${annSimsCtes("vec_id IN (100, 200, 300)")},
+      |dense AS (
+      |  SELECT CAST(qid // 100 AS INTEGER) AS query_id, cid AS doc_id, rn
+      |  FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |    FROM sims) WHERE rn <= 10),
+      |rrfc AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(ROUND(1000000.0 / (60 + rn)) AS BIGINT) AS c_u FROM sparse
+      |  UNION ALL
+      |  SELECT query_id, doc_id,
+      |    CAST(ROUND(1000000.0 / (60 + rn)) AS BIGINT) AS c_u FROM dense),
+      |fused AS (
+      |  SELECT query_id, doc_id, SUM(c_u) AS rrf_u,
+      |    CAST(COUNT(*) AS INTEGER) AS channels
+      |  FROM rrfc GROUP BY 1, 2),
+      |rankedf AS (
+      |  SELECT query_id, doc_id, rrf_u / 1000000.0 AS rrf, channels,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY rrf_u DESC, doc_id) AS rn
+      |  FROM fused)
+      |SELECT query_id, doc_id, rrf, channels, CAST(rn AS INTEGER) AS rn
+      |FROM rankedf WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_semdedup"        -> q100SemDedup _,
     "q107_hybrid_rrf"      -> q107HybridRrf _,
+    "q111_hybrid_ann"      -> q111HybridAnn _,
     "q55_cosine_topk"      -> q55CosineTopK _,
     "q56_ann_lsh"          -> q56AnnLsh _,
     "q57_ann_ivf"          -> q57AnnIvf _,
@@ -505,19 +575,22 @@ object Similarity {
     * operator as defined, probe set included (the q64 precedent): a
     * flipped sign bit, a missed probe, an invented candidate, or a sim
     * divergence all fail the hash. */
-  val q56Sql: String = {
+  /** The LSH-replay CTE chain up to exact candidate similarities
+    * (v → bk → probe → cand → sims) with a parameterized query-vector
+    * filter — ONE source of truth for the q56 and q111 oracles. */
+  private def annSimsCtes(queryWhere: String): String = {
     val tables = AnnIndex.LshSeeds.map(AnnIndex.planes(_))
     val bk = tables.zipWithIndex.map { case (pls, t) =>
       s"  SELECT vec_id, $t AS t, ${bucketExpr(pls)} AS b FROM v"
     }.mkString("\n  UNION ALL\n")
     val probes = ("b" +: (0 until AnnIndex.LshBits)
       .map(i => s"xor(b, ${1 << i})")).mkString("[", ", ", "]")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
       |bk AS (
       |$bk),
       |probe AS (
       |  SELECT vec_id, t, UNNEST($probes) AS pb
-      |  FROM bk WHERE vec_id < 50),
+      |  FROM bk WHERE $queryWhere),
       |cand AS (
       |  SELECT DISTINCT p.vec_id AS qid, c.vec_id AS cid
       |  FROM probe p JOIN bk c ON p.t = c.t AND p.pb = c.b
@@ -526,14 +599,17 @@ object Similarity {
       |  SELECT qid, cid,
       |    ROUND(list_dot_product(q.ev, c.ev) /
       |      (SQRT(list_dot_product(q.ev, q.ev)) * SQRT(list_dot_product(c.ev, c.ev))), 6) AS sim
-      |  FROM cand JOIN v q ON cand.qid = q.vec_id JOIN v c ON cand.cid = c.vec_id),
+      |  FROM cand JOIN v q ON cand.qid = q.vec_id JOIN v c ON cand.cid = c.vec_id)""".stripMargin
+  }
+
+  val q56Sql: String =
+    s"""WITH ${annSimsCtes("vec_id < 50")},
       |ranked AS (
       |  SELECT qid, cid, sim,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
       |  FROM sims)
       |SELECT qid, cid, sim, CAST(rn AS INTEGER) AS rn FROM ranked
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
     "q55_cosine_topk" -> q55Sql,
@@ -541,6 +617,7 @@ object Similarity {
     "q64_dedup_embedding" -> q64Sql,
     "q80_quantize" -> q80Sql,
     "q107_hybrid_rrf" -> q107Sql,
+    "q111_hybrid_ann" -> q111Sql,
     // q57 (IVF) needs a k-means replay → rows-only; q66/q100 inherit it.
   )
 }

@@ -33,11 +33,20 @@ object AnnIndex {
   val Dim = 64
   val LshSeeds: Seq[Int] = Seq(7, 13, 19, 29)
 
-  /** IVF geometry: k cells, Lloyd rounds, convergence epsilon. k grows
-    * ~sqrt(n) at scale; 8 fits this corpus (50-query recall ≥ 0.85). */
+  /** IVF geometry: k cells, Lloyd rounds. k grows ~sqrt(n) at scale; 8
+    * fits this corpus (50-query recall ≥ 0.85). Exactly [[MaxRounds]]
+    * rounds always run — a data-dependent early exit would make the
+    * round count (and so the whole artifact) non-replayable. */
   val KCells = 8
   val MaxRounds = 3
-  val Eps = 1e-4
+  /** Fixed-point unit for centroid-mean accumulation: coordinate sums
+    * are exact integer sums of round(x·2^24), so the mean is
+    * order-independent — the one arithmetic choice that makes Lloyd's
+    * deterministic enough for a cross-engine replay (a double sum's
+    * value depends on partitioning). Quantization error ≤ 2^-25 per
+    * coordinate — invisible to clustering quality (recall gate
+    * re-verified). */
+  val MeanUnit = 16777216.0
 
   private[llm] def planes(seed: Int, nBits: Int = LshBits): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -374,18 +383,27 @@ object AnnIndex {
         Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
 
   /** Lloyd's algorithm over the persisted corpus: seed centroids from
-    * vec_id 0..k-1, iterate assign → per-(cell,pos) mean until the max
-    * cosine shift < eps or MaxRounds. The refine is a posexplode +
-    * grouped avg rebuilt with sort_array — vectors never collect to the
-    * driver. Each round's k centroid rows are localCheckpoint'ed so
-    * round r+1 doesn't re-run rounds 1..r. */
+    * vec_id 0..k-1, then EXACTLY MaxRounds assign → per-(cell,pos) mean
+    * rounds. The refine is a posexplode + grouped fixed-point mean
+    * rebuilt with sort_array — vectors never collect to the driver.
+    * Each round's k centroid rows are localCheckpoint'ed so round r+1
+    * doesn't re-run rounds 1..r.
+    *
+    * Fully DETERMINISTIC — and replayable by the DuckDB oracle — by
+    * construction: the round count is fixed (no data-dependent early
+    * exit), assignment ties break on cent_id over 6dp-rounded cosines,
+    * and coordinate means accumulate exact integer sums of
+    * round(x·[[MeanUnit]]) with ONE double division at the end (an avg
+    * of doubles would depend on partition order). Cells that lose all
+    * members simply drop out, identically in any engine. */
   private def train(e: DataFrame): DataFrame = {
     def refineOnce(cents: DataFrame): DataFrame =
       assignRanked(e, cents).filter(col("rk") === 1)
         .select(col("cent_id").as("cell0"), col("embedding"))
         .select(col("cell0"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell0"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg((sum(round(col("x").cast("double") * lit(MeanUnit)).cast("long"))
+          .cast("double") / (count(lit(1)) * lit(MeanUnit))).as("m"))
         .groupBy(col("cell0"))
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           p => p.getField("m").cast("float")).as("cent"))
@@ -396,21 +414,8 @@ object AnnIndex {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
         col("nrm").as("cent_nrm"))
       .localCheckpoint()
-    var roundNo = 0
-    var shifted = true
-    while (roundNo < MaxRounds && shifted) {
-      val next = refineOnce(cents).localCheckpoint(false)
-      val shift = cents
-        .select(col("cent_id"), col("cent").as("oc"), col("cent_nrm").as("on"))
-        .join(next.select(col("cent_id"), col("cent").as("nc"), col("cent_nrm").as("nn")),
-          Seq("cent_id"))
-        .select(max(lit(1.0) -
-          Similarity.dot(col("oc"), col("nc")) / (col("on") * col("nn"))).as("s"))
-        .head.getDouble(0)
-      cents = next
-      shifted = shift > Eps
-      roundNo += 1
-    }
+    for (_ <- 0 until MaxRounds)
+      cents = refineOnce(cents).localCheckpoint(false)
     cents
   }
 }

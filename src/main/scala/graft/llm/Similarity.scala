@@ -160,7 +160,9 @@ object Similarity {
     * corpus payload back by key and re-ranks exact, top-3. Scans ~nProbe/k
     * of the corpus; at 100 TB k grows ~√n so the scan fraction shrinks
     * with scale while the index stays ids-only.
-    * Rows-only oracle (approximate). */
+    * Approximate in RECALL but — with [[AnnIndex.train]] determinized —
+    * a pure function of the corpus, fully oracle-checked by [[q57Sql]]'s
+    * unrolled Lloyd's replay. */
   def q57AnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val pfx = AnnIndex.ensure(s, dir)
@@ -294,8 +296,9 @@ object Similarity {
     * the exact brute-force neighbors — the number that decides whether an
     * approximate index is shippable. Both approximate sides search the
     * one shared catalog-persisted index ([[AnnIndex.ensure]] is memoized,
-    * so nothing is rebuilt here). Both sides are deterministic, but the
-    * approximate side is not SQL-expressible → rows-only oracle. */
+    * so nothing is rebuilt here). Deterministic end to end and — with
+    * the IVF training replayable — fully oracle-checked by [[q66Sql]],
+    * which recomputes BOTH recall numbers from first principles. */
   def q66AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = q55CosineTopK(s, dir).filter(col("rn") <= 3)
       .select(col("qid"), col("cid"))
@@ -326,9 +329,9 @@ object Similarity {
     * so expected cell occupancy stays CONSTANT (AnnIndex geometry
     * note): per-cell work is bounded, and a pathological hot cell has
     * the same exact shard-pair-cover remedy as the blocked Jaccard
-    * self-join (Dedup hot-block guard). Clustering is approximate →
-    * rows-only oracle (the threshold verdicts inside a cell are exact
-    * cosine, like q64). */
+    * self-join (Dedup hot-block guard). The clustering is approximate
+    * only in QUALITY — deterministic training makes the whole pipeline
+    * replayable, oracle-checked end-to-end by [[q100Sql]]. */
   def q100SemDedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val pfx = AnnIndex.ensure(s, dir)
@@ -578,28 +581,111 @@ object Similarity {
   /** The LSH-replay CTE chain up to exact candidate similarities
     * (v → bk → probe → cand → sims) with a parameterized query-vector
     * filter — ONE source of truth for the q56 and q111 oracles. */
-  private def annSimsCtes(queryWhere: String): String = {
+  private def annSimsCtes(queryWhere: String, np: String = ""): String = {
     val tables = AnnIndex.LshSeeds.map(AnnIndex.planes(_))
     val bk = tables.zipWithIndex.map { case (pls, t) =>
-      s"  SELECT vec_id, $t AS t, ${bucketExpr(pls)} AS b FROM v"
+      s"  SELECT vec_id, $t AS t, ${bucketExpr(pls)} AS b FROM ${np}v"
     }.mkString("\n  UNION ALL\n")
     val probes = ("b" +: (0 until AnnIndex.LshBits)
       .map(i => s"xor(b, ${1 << i})")).mkString("[", ", ", "]")
-    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-      |bk AS (
+    s"""${np}v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |${np}bk AS (
       |$bk),
-      |probe AS (
+      |${np}probe AS (
       |  SELECT vec_id, t, UNNEST($probes) AS pb
-      |  FROM bk WHERE $queryWhere),
-      |cand AS (
+      |  FROM ${np}bk WHERE $queryWhere),
+      |${np}cand AS (
       |  SELECT DISTINCT p.vec_id AS qid, c.vec_id AS cid
-      |  FROM probe p JOIN bk c ON p.t = c.t AND p.pb = c.b
+      |  FROM ${np}probe p JOIN ${np}bk c ON p.t = c.t AND p.pb = c.b
       |  WHERE p.vec_id <> c.vec_id),
+      |${np}sims AS (
+      |  SELECT qid, cid,
+      |    ROUND(list_dot_product(q.ev, c.ev) /
+      |      (SQRT(list_dot_product(q.ev, q.ev)) * SQRT(list_dot_product(c.ev, c.ev))), 6) AS sim
+      |  FROM ${np}cand JOIN ${np}v q ON ${np}cand.qid = q.vec_id JOIN ${np}v c ON ${np}cand.cid = c.vec_id)""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of the IVF ARTIFACT — [[AnnIndex.train]]'s
+    * exactly-MaxRounds Lloyd rounds plus the final hard assignment —
+    * recomputed from the corpus alone. Replayable because training is
+    * deterministic by construction (fixed round count; 6dp-rounded
+    * cosine assignment with cent_id tiebreaks; coordinate means as
+    * exact integer sums of round(x·MeanUnit) with one double division;
+    * float-rounded centroid storage — each step an IEEE operation both
+    * engines compute identically). CTE names take a prefix so the q66
+    * oracle can host this chain next to the LSH replay. Produces
+    * `${p}cells` (vec_id, cell, ev) and `${p}a$R` (the final ranking,
+    * for probe selection). */
+  private def ivfCtes(p: String): String = {
+    val k = AnnIndex.KCells
+    val dim = AnnIndex.Dim
+    val rounds = AnnIndex.MaxRounds
+    val unit = AnnIndex.MeanUnit.toLong // 2^24, exact
+    def assign(r: Int): String =
+      s"""${p}a$r AS (
+        |  SELECT v.vec_id, v.ev, c.cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      ROUND(list_dot_product(v.ev, c.cent) /
+        |        (SQRT(list_dot_product(v.ev, v.ev)) * SQRT(list_dot_product(c.cent, c.cent))), 6) DESC,
+        |      c.cent_id) AS rk
+        |  FROM ${p}v v CROSS JOIN ${p}c${r - 1} c)""".stripMargin
+    def refine(r: Int): String =
+      s"""${p}m$r AS (
+        |  SELECT cell0, pos,
+        |    CAST(SUM(xq) AS DOUBLE) / (COUNT(*) * $unit.0) AS m
+        |  FROM (
+        |    SELECT cent_id AS cell0,
+        |      UNNEST(range(1, ${dim + 1})) AS pos,
+        |      UNNEST(list_transform(range(1, ${dim + 1}),
+        |        i -> CAST(ROUND(ev[i] * $unit.0) AS BIGINT))) AS xq
+        |    FROM ${p}a$r WHERE rk = 1)
+        |  GROUP BY 1, 2),
+        |${p}c$r AS (
+        |  SELECT cell0 AS cent_id,
+        |    list_transform(list(m ORDER BY pos),
+        |      z -> CAST(CAST(z AS REAL) AS DOUBLE)) AS cent
+        |  FROM ${p}m$r GROUP BY 1)""".stripMargin
+    val chain = (1 to rounds).map(r => assign(r) + ",\n" + refine(r))
+      .mkString(",\n")
+    s"""${p}v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |${p}c0 AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent
+      |  FROM embeddings WHERE vec_id < $k),
+      |$chain,
+      |${assign(rounds + 1)},
+      |${p}cells AS (
+      |  SELECT vec_id, cent_id AS cell, ev FROM ${p}a${rounds + 1} WHERE rk = 1)""".stripMargin
+  }
+
+  /** DuckDB replay of q57 END-TO-END: the IVF artifact recomputed from
+    * first principles ([[ivfCtes]] — training determinized exactly so
+    * this oracle can exist), probes = each query's top-nProbe cells
+    * from the SAME final ranking, candidates from the probed cells'
+    * members, exact cosine re-rank, top-3. "Approximate" means
+    * nearest-neighbor recall; the pipeline is a pure function of the
+    * corpus, so a drifted centroid, a mis-assigned cell, a lost probe,
+    * or a sim divergence all fail the hash. */
+  val q57Sql: String = {
+    val r = AnnIndex.MaxRounds + 1
+    s"""WITH ${ivfCtes("")},
+      |probes AS (
+      |  SELECT vec_id AS qid, cent_id AS cell FROM a$r
+      |  WHERE vec_id < 50 AND rk <= 5),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, m.vec_id AS cid
+      |  FROM probes p JOIN cells m ON p.cell = m.cell
+      |  WHERE p.qid <> m.vec_id),
       |sims AS (
       |  SELECT qid, cid,
       |    ROUND(list_dot_product(q.ev, c.ev) /
       |      (SQRT(list_dot_product(q.ev, q.ev)) * SQRT(list_dot_product(c.ev, c.ev))), 6) AS sim
-      |  FROM cand JOIN v q ON cand.qid = q.vec_id JOIN v c ON cand.cid = c.vec_id)""".stripMargin
+      |  FROM cand JOIN v q ON cand.qid = q.vec_id JOIN v c ON cand.cid = c.vec_id),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |  FROM sims)
+      |SELECT qid, cid, sim, CAST(rn AS INTEGER) AS rn FROM ranked
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
   val q56Sql: String =
@@ -611,13 +697,95 @@ object Similarity {
       |SELECT qid, cid, sim, CAST(rn AS INTEGER) AS rn FROM ranked
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
+  /** DuckDB replay of q100 END-TO-END: the [[ivfCtes]] clustering (the
+    * SemDeDup cluster assignment), within-cell pairs over the SAME
+    * UNROUNDED cosine threshold (every step an IEEE double op both
+    * engines compute identically — the sequential list_dot_product
+    * fold is DotProductF's), greedy keep-lowest drops, per-cell
+    * counts. */
+  val q100Sql: String =
+    s"""WITH ${ivfCtes("")},
+      |pr AS (
+      |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM cells a JOIN cells b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.ev, b.ev) /
+      |    (SQRT(list_dot_product(a.ev, a.ev)) *
+      |     SQRT(list_dot_product(b.ev, b.ev))) >= 0.35),
+      |drp AS (SELECT DISTINCT cell, id_b FROM pr),
+      |mem AS (SELECT cell, COUNT(*) AS n_members FROM cells GROUP BY 1),
+      |dc AS (SELECT cell, COUNT(*) AS n_dropped FROM drp GROUP BY 1)
+      |SELECT CAST(m.cell AS INTEGER) AS cell,
+      |  CAST(m.n_members AS BIGINT) AS n_members,
+      |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped
+      |FROM mem m LEFT JOIN dc d USING (cell) ORDER BY cell""".stripMargin
+
+  /** DuckDB replay of q66: the exact ground truth (q55's formulation at
+    * top-3), the LSH replay ([[annSimsCtes]], `l_`-prefixed), and the
+    * IVF replay ([[ivfCtes]], `i_`-prefixed) all recomputed in ONE
+    * query, then the same hits/total recall arithmetic. The recall
+    * NUMBERS themselves are thereby oracle-checked — the quality gate's
+    * gauge is verified, not just read. */
+  val q66Sql: String = {
+    val r = AnnIndex.MaxRounds + 1
+    s"""WITH eq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |            FROM embeddings WHERE vec_id < 50),
+      |ec AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |es AS (
+      |  SELECT qid, cid,
+      |    ROUND(list_dot_product(qv, cv) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6) AS sim
+      |  FROM eq, ec WHERE qid <> cid),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |    FROM es) WHERE rn <= 3),
+      |${annSimsCtes("vec_id < 50", "l_")},
+      |lsh3 AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |    FROM l_sims) WHERE rn <= 3),
+      |${ivfCtes("i_")},
+      |iprobes AS (
+      |  SELECT vec_id AS qid, cent_id AS cell FROM i_a$r
+      |  WHERE vec_id < 50 AND rk <= 5),
+      |icand AS (
+      |  SELECT DISTINCT p.qid, m.vec_id AS cid
+      |  FROM iprobes p JOIN i_cells m ON p.cell = m.cell
+      |  WHERE p.qid <> m.vec_id),
+      |isims AS (
+      |  SELECT qid, cid,
+      |    ROUND(list_dot_product(q.ev, c.ev) /
+      |      (SQRT(list_dot_product(q.ev, q.ev)) * SQRT(list_dot_product(c.ev, c.ev))), 6) AS sim
+      |  FROM icand JOIN i_v q ON icand.qid = q.vec_id JOIN i_v c ON icand.cid = c.vec_id),
+      |ivf3 AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |    FROM isims) WHERE rn <= 3)
+      |SELECT 'ivf' AS "index",
+      |  ROUND(COUNT(m.cid) * 1.0 / COUNT(*), 4) AS recall_at_3
+      |FROM exact e LEFT JOIN ivf3 m ON e.qid = m.qid AND e.cid = m.cid
+      |UNION ALL
+      |SELECT 'lsh' AS "index",
+      |  ROUND(COUNT(m.cid) * 1.0 / COUNT(*), 4) AS recall_at_3
+      |FROM exact e LEFT JOIN lsh3 m ON e.qid = m.qid AND e.cid = m.cid
+      |ORDER BY "index"""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q55_cosine_topk" -> q55Sql,
     "q56_ann_lsh" -> q56Sql,
+    "q66_ann_recall" -> q66Sql,
+    "q100_semdedup" -> q100Sql,
     "q64_dedup_embedding" -> q64Sql,
+    "q57_ann_ivf" -> q57Sql,
     "q80_quantize" -> q80Sql,
     "q107_hybrid_rrf" -> q107Sql,
     "q111_hybrid_ann" -> q111Sql,
-    // q57 (IVF) needs a k-means replay → rows-only; q66/q100 inherit it.
+    // every Similarity query is oracle-checked: the LSH and IVF replays
+    // exist because both artifacts are deterministic by construction
   )
 }

@@ -98,12 +98,13 @@ object AnnIndex {
 
   /** Highest corpus version any commit of `tableFqn` covers — read from
     * the snapshot summaries through the `$snapshots` inspection table. */
-  private def maxStamp(s: SparkSession, tableFqn: String): Option[Int] = {
+  private[llm] def maxStamp(s: SparkSession, tableFqn: String,
+                            key: String = IndexedVersionKey): Option[Int] = {
     val i = tableFqn.lastIndexOf('.')
     val snap = tableFqn.substring(0, i + 1) +
       "`" + tableFqn.substring(i + 1) + "$snapshots`"
     val r = s.sql(
-      s"SELECT max(cast(summary['$IndexedVersionKey'] AS INT)) FROM $snap").head
+      s"SELECT max(cast(summary['$key'] AS INT)) FROM $snap").head
     if (r.isNullAt(0)) None else Some(r.getInt(0))
   }
 
@@ -154,15 +155,16 @@ object AnnIndex {
     * — skip) and CAS-retry exhaustion (nothing committed — swallowing
     * would silently drop this slice from the index forever); the ledger
     * on THIS table tells them apart. */
-  private def fencedAppend(df: DataFrame, table: String, v: Int): Unit =
+  private[llm] def fencedAppend(df: DataFrame, table: String, v: Int,
+                                key: String = IndexedVersionKey): Unit =
     try {
       df.writeTo(table)
-        .option(s"summary.$IndexedVersionKey", v.toString)
-        .option(s"require-summary-max-below.$IndexedVersionKey", v.toString)
+        .option(s"summary.$key", v.toString)
+        .option(s"require-summary-max-below.$key", v.toString)
         .append()
     } catch {
       case e: Throwable if graft.commit.Commits.commitFailed(e) =>
-        if (!maxStamp(SparkSession.active, table).exists(_ >= v)) throw e
+        if (!maxStamp(SparkSession.active, table, key).exists(_ >= v)) throw e
     }
 
   /** Incremental index refresh after corpus appends: reads ONLY the

@@ -232,9 +232,18 @@ object Dedup {
     val corpus = Tables.documents(s, dir)
       .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
     val batch = corpus.filter(col("doc_id") % 10 === 7)
-    val newBands = bandBuckets(minhashSignatures(batch))
+    batchPairs(bandBuckets(minhashSignatures(batch)),
+        s.table(s"$prefix.minhash_bands"), corpus)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
-    val idx = s.table(s"$prefix.minhash_bands")
+  /** The batch-vs-index near-dup core q93 and [[dedupIngestStream]]
+    * share: index-join + batch self-join candidates, exact-Jaccard
+    * verification at 0.5, ids-only through every shuffle. `shById`
+    * resolves candidate partner ids (batch AND corpus) to shingle
+    * sets. */
+  private def batchPairs(newBands: DataFrame, idx: DataFrame,
+                         shById: DataFrame): DataFrame = {
     val vsCorpus = newBands.select(col("band"), col("bh"), col("doc_id").as("new_id"))
       .join(idx.select(col("band"), col("bh"), col("doc_id").as("old_id")),
         Seq("band", "bh"))
@@ -245,16 +254,54 @@ object Dedup {
     val vsBatch = a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-    val pairs = vsCorpus.unionByName(vsBatch).dropDuplicates("doc_a", "doc_b")
-
-    pairs
-      .join(corpus.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(corpus.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    vsCorpus.unionByName(vsBatch).dropDuplicates("doc_a", "doc_b")
+      .join(shById.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shById.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Dedup-on-INGEST as a stream: tail a documents catalog table and,
+    * per micro-batch, near-dup the arriving docs against the PERSISTED
+    * band index (plus batch-vs-batch), append the verdict pairs to
+    * `outFqn`, then fold the batch's bands into `indexFqn` — every
+    * batch dedups against everything ingested before it, at O(batch)
+    * signature cost plus ids-only joins (the q93 scale argument,
+    * running unattended). Exactly-once: BOTH appends are fenced on the
+    * micro-batch id through the snapshot-summary ledger
+    * ([[AnnIndex.fencedAppend]] with [[IngestBatchKey]]), and verdicts
+    * land before bands — a crash between them replays into one fenced
+    * no-op and one completing append, never a lost or doubled batch.
+    * The streamed table's docs are already committed when the batch
+    * fires, so partner shingles resolve from the corpus itself; the
+    * index lags by exactly the in-flight batch, which the batch
+    * self-join covers. */
+  def dedupIngestStream(s: SparkSession, corpusFqn: String, indexFqn: String,
+                        outFqn: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.table(corpusFqn)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // the batch frame feeds bands AND partner lookups — pin it once
+        val b = batch.select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+          .localCheckpoint()
+        val newBands = bandBuckets(minhashSignatures(b)).localCheckpoint()
+        val corpus = s.table(corpusFqn)
+          .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+        val pairs = batchPairs(newBands, s.table(indexFqn), corpus)
+        AnnIndex.fencedAppend(pairs, outFqn, id.toInt, IngestBatchKey)
+        AnnIndex.fencedAppend(
+          newBands.select(col("band"), col("bh"), col("doc_id")),
+          indexFqn, id.toInt, IngestBatchKey)
+        ()
+      }
+      .start()
+
+  /** Snapshot-summary fence key for [[dedupIngestStream]]'s per-batch
+    * exactly-once commits. */
+  val IngestBatchKey = "graft-dedup-batch"
 
   private val SimP = 1000000007L
 

@@ -50,4 +50,49 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(history >= 1, "the index build must be a snapshot commit")
   }
+
+  test("dedupIngestStream dedups each batch against everything before it") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-dsi-wh").toString
+    spark.conf.set("spark.sql.catalog.dsi",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dsi.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dsi.ing")
+    spark.sql("CREATE TABLE dsi.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE dsi.ing.bands (band INT, bh BIGINT, doc_id BIGINT)")
+    spark.sql("CREATE TABLE dsi.ing.pairs (doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE)")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, dupText), (2L, dupText),
+        (3L, "completely different words here entirely"))
+      .toDF("doc_id", "text").writeTo("dsi.ing.docs").append()
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dsi-ckpt").toString
+    def pairsNow(): Set[(Long, Long)] = spark.table("dsi.ing.pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = Dedup.dedupIngestStream(spark, "dsi.ing.docs", "dsi.ing.bands",
+      "dsi.ing.pairs", ckpt)
+    try {
+      // batch 1: the within-batch dup is found with an EMPTY index
+      q.processAllAvailable()
+      assert(pairsNow() == Set((1L, 2L)), pairsNow().toString)
+      assert(spark.table("dsi.ing.bands").count() == 3 * 16) // 16 bands/doc
+
+      // batch 2: a doc duplicating BATCH-1 content must pair across
+      // batches via the index (plus nothing for the fresh doc)
+      Seq((11L, dupText), (12L, "yet more unrelated vocabulary tokens"))
+        .toDF("doc_id", "text").writeTo("dsi.ing.docs").append()
+      q.processAllAvailable()
+      assert(pairsNow() == Set((1L, 2L), (1L, 11L), (2L, 11L)), pairsNow().toString)
+      assert(spark.table("dsi.ing.bands").count() == 5 * 16)
+    } finally q.stop()
+
+    // restart from the same checkpoint: fenced no-ops, nothing doubles
+    val q2 = Dedup.dedupIngestStream(spark, "dsi.ing.docs", "dsi.ing.bands",
+      "dsi.ing.pairs", ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(pairsNow() == Set((1L, 2L), (1L, 11L), (2L, 11L)))
+      assert(spark.table("dsi.ing.bands").count() == 5 * 16)
+    } finally q2.stop()
+  }
 }

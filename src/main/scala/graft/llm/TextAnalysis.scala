@@ -419,6 +419,61 @@ object TextAnalysis {
       |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rn
       |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** BPE vocabulary induction, the measurement round (q112): the
+    * adjacent-symbol pair frequencies a byte-pair-encoding tokenizer
+    * trainer computes to pick its next merge (Sennrich et al. 2016 —
+    * the algorithm behind GPT/Llama tokenizers). Corpus text reduces to
+    * a WEIGHTED DISTINCT VOCABULARY first (word → occurrence count),
+    * and all pair work runs over that vocab with counts as weights —
+    * exactly how production trainers (SentencePiece, HF tokenizers)
+    * make BPE tractable: at sf0.001 the corpus's 27,939 token
+    * occurrences collapse to a 31-word vocab before the first pair is
+    * enumerated, and at 100 TB the vocab table is still only
+    * O(distinct words) — millions of rows, kilobytes per row — while
+    * the corpus is petabytes.
+    *
+    * Plan shape: one token-count aggregation (map-side combined; the
+    * only corpus-sized shuffle, and it shuffles (word, partial-count)
+    * pairs, never text) → a vocab-sized map-only pair explode → one
+    * tiny keyed weighted sum → global top-25 via TakeOrdered. Ordering
+    * is fully deterministic (count desc, then both symbols), so the
+    * LIMIT boundary cannot diverge between engines. */
+  def q112BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    // split(w, '') yields code points (same convention the q61 oracle
+    // verified against DuckDB's regexp_extract_all(w, '(?s).'))
+    val pairs = vocab
+      .select(col("wf"), split(col("w"), "").as("cs"))
+      .filter(size(col("cs")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, size(cs) - 1), i -> " +
+          "struct(element_at(cs, i) AS a, element_at(cs, i + 1) AS b))"))
+        .as("p"))
+    pairs.groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+      .agg(sum(col("wf")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+      .limit(25)
+  }
+
+  /** DuckDB replay of q112: the identical vocab reduction and 1-based
+    * adjacent pairing (`range(1, len)` = Spark's `sequence(1, size-1)`;
+    * both engines index lists from 1 and split to code points). */
+  val q112Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |vocab AS (SELECT w, COUNT(*) AS wf FROM tok GROUP BY w),
+      |chars AS (SELECT wf, regexp_extract_all(w, '(?s).') AS cs FROM vocab),
+      |prs AS (
+      |  SELECT unnest(list_transform(range(1, len(cs)),
+      |           i -> {'a': cs[i], 'b': cs[i+1]})) AS p, wf
+      |  FROM chars WHERE len(cs) >= 2)
+      |SELECT p.a AS sym_a, p.b AS sym_b, CAST(SUM(wf) AS BIGINT) AS pair_count
+      |FROM prs GROUP BY 1, 2
+      |ORDER BY pair_count DESC, sym_a, sym_b LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_lang_id"     -> q58LangId _,
     "q59_quality"     -> q59Quality _,
@@ -428,6 +483,7 @@ object TextAnalysis {
     "q91_quality_filter" -> q91QualityFilter _,
     "q92_pii_redact"  -> q92PiiRedact _,
     "q101_bm25_search" -> q101Bm25 _,
+    "q112_bpe_pairs"  -> q112BpePairs _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -439,5 +495,6 @@ object TextAnalysis {
     "q91_quality_filter" -> q91Sql,
     "q92_pii_redact"  -> q92Sql,
     "q101_bm25_search" -> q101Sql,
+    "q112_bpe_pairs"  -> q112Sql,
   )
 }

@@ -147,4 +147,28 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // carries channels=2 on this fixture (query terms overlap texts)
     assert(got.exists(_._4 == 2))
   }
+
+  test("q112 BPE pair counts equal a from-scratch driver recomputation") {
+    // vocab reduction first (word -> occurrence count), then adjacent
+    // code-point pairs weighted by word frequency — the trainer's
+    // measurement round recomputed with plain Scala collections
+    val vocab: Map[String, Long] = docTexts
+      .flatMap(_._2.trim.split("\\s+")).groupBy(identity)
+      .map { case (w, occ) => w -> occ.size.toLong }
+    val expected = vocab.toSeq
+      .flatMap { case (w, wf) =>
+        w.toSeq.sliding(2).filter(_.size == 2)
+          .map(p => ((p.head.toString, p(1).toString), wf)).toSeq }
+      .groupBy(_._1).map { case (p, v) => (p._1, p._2, v.map(_._2).sum) }
+      .toSeq.sortBy { case (a, b, c) => (-c, a, b) }.take(25)
+
+    val got = TextAnalysis.q112BpePairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the reduction must be real on this fixture: repeated words ("hash
+    // key hash key hash key") weight their pairs by frequency, so at
+    // least one pair's count exceeds the number of vocab entries
+    // containing it
+    assert(got.exists(_._3 > vocab.count(_._1.contains("ha"))))
+  }
 }

@@ -482,8 +482,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * them from the first query. Hive files do not store the partition
     * column INSIDE the file, so scans serve those columns from the
     * dirs ([[ImportOverlay]] — dir authoritative, the layout's own
-    * contract). Transform specs (bucket/temporal/truncate) refuse: a
-    * dir cannot witness a transform value. Merge-on-read write modes
+    * contract). Transform specs import when a witness exists: one
+    * bucket field (Spark bucketBy file names, hash proven per row), a
+    * lone temporal field (nested `year=/…` dirs, rendering proven per
+    * row), or a lone truncate field (one prefix dir per file, proven
+    * per row); unwitnessable shapes refuse. Merge-on-read write modes
     * and identifier-fields refuse too: delete keys and row coordinates
     * would read columns the footers don't hold.
     * `partitionFilter` (partitioned imports only) scopes the import to
@@ -507,24 +510,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // witnessable spec shapes: every field must be identity (hive dirs),
     // bucket (file-name witness — at most one, the Spark bucketBy
-    // contract), or a single temporal standing ALONE (nested year=/…
-    // dirs). identity+bucket composes — the Spark
+    // contract), a single temporal standing ALONE (nested year=/…
+    // dirs), or a single truncate standing ALONE (one prefix dir per
+    // file). identity+bucket composes — the Spark
     // `partitionBy(...).bucketBy(...)` lake layout — because the two
     // witnesses are independent (dirs vs file names). Anything else
-    // (truncate, multiple buckets, temporal mixed with other fields)
+    // (multiple buckets, temporal/truncate mixed with other fields)
     // cannot be witnessed and refuses.
     val identityFields = specFields.filter(_.transform == "identity")
     val bucketFields = specFields.filter(_.transform.startsWith("bucket["))
     val temporalFields =
       specFields.filter(f => Set("year", "month", "day", "hour")(f.transform))
+    val truncFields = specFields.filter(_.transform.startsWith("truncate["))
     val otherFields = specFields
       .filterNot(f => identityFields.contains(f) || bucketFields.contains(f)
-        || temporalFields.contains(f))
+        || temporalFields.contains(f) || truncFields.contains(f))
     require(otherFields.isEmpty,
       s"add_files on ${ident.name}: partition transform " +
         s"'${otherFields.head.transform}' cannot be witnessed by a source " +
-        "directory — only identity, at-most-one-bucket, or a lone temporal " +
-        "field import foreign layouts; load via INSERT INTO ... SELECT")
+        "directory — only identity, at-most-one-bucket, a lone temporal, " +
+        "or a lone truncate field import foreign layouts; load via " +
+        "INSERT INTO ... SELECT")
     require(bucketFields.size <= 1,
       s"add_files on ${ident.name}: ${bucketFields.size} bucket fields — " +
         "a Spark bucketBy file name witnesses exactly one; load via " +
@@ -533,6 +539,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (temporalFields.size == 1 && specFields.size == 1),
       s"add_files on ${ident.name}: a temporal partition field imports " +
         "only as the spec's sole field — mixed temporal specs cannot be " +
+        "witnessed; load via INSERT INTO ... SELECT")
+    require(truncFields.isEmpty ||
+        (truncFields.size == 1 && specFields.size == 1),
+      s"add_files on ${ident.name}: a truncate partition field imports " +
+        "only as the spec's sole field — mixed truncate specs cannot be " +
         "witnessed; load via INSERT INTO ... SELECT")
     // bucket witness: the bucket id lives in the Spark bucketed-file
     // name (part-....._NNNNN...), and Spark's bucket function is
@@ -559,6 +570,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Seq(f) => Some((idToName(f.sourceId), f.transform, f.name))
       case _ => None
     }
+    // truncate witness (one `k=v` dir per file whose value is the
+    // rendered truncate[n] form — the prefix for strings, the width
+    // multiple for ints): like temporal, the value is witnessed by the
+    // dir and PROVEN per import by one column-pruned job rendering the
+    // native dirExpr over every row; the source column stays in the
+    // footers, so reads stay vectorized with no overlay
+    val truncImport: Option[(String, Int, String)] = truncFields match {
+      case Seq(f) =>
+        val n = "truncate\\[(\\d+)\\]".r.findFirstMatchIn(f.transform)
+          .get.group(1).toInt
+        Some((idToName(f.sourceId), n, f.name))
+      case _ => None
+    }
     val partIdentityCols: Seq[String] = identityFields.map { f =>
       val c = idToName(f.sourceId)
       require(exactRender.contains(tableSchema0.fields(
@@ -569,7 +593,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       c
     }
     if (partIdentityCols.nonEmpty || bucketImport.isDefined
-        || temporalImport.isDefined) {
+        || temporalImport.isDefined || truncImport.isDefined) {
       val mor = Seq("write.delete.mode", "write.update.mode", "write.merge.mode")
         .exists(k => base.properties.get(k).contains("merge-on-read"))
       require(!mor && !base.properties.contains("identifier-fields"),
@@ -750,6 +774,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         srcRels.map(r => r -> assemble(r)).toMap
     }
+    // truncate witness: each file carries exactly ONE `k=v` dir whose
+    // unescaped value is the rendered truncate form; the raw (escaped)
+    // rendering transfers verbatim into the `__part_` landing dir —
+    // both layouts escape with the same scheme. Driver-side domain
+    // checks here (the per-row dirExpr proof runs below): a string
+    // prefix cannot exceed the width, an int value must be a width
+    // multiple.
+    val srcTruncVals: Map[String, (String, String)] = truncImport match {
+      case None => Map.empty
+      case Some((c, n, _)) =>
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+        val dt = tableSchema0.fields(tableSchema0.fieldIndex(c)).dataType
+        require(Seq(StringType, IntegerType, LongType).contains(dt),
+          s"add_files on ${ident.name}: truncate partition source '$c' has " +
+            s"type ${dt.simpleString}, expected string/int/bigint")
+        srcRels.map { r =>
+          def refuse(why: String): Nothing = throw new IllegalArgumentException(
+            s"add_files on ${ident.name}: source file $r $why — a " +
+              s"truncate[$n]($c) partition cannot be witnessed; load via " +
+              "INSERT INTO ... SELECT")
+          val kvs = rawKvs(r)
+          if (kvs.size != 1)
+            refuse(s"carries ${kvs.size} partition dirs, expected the one " +
+              "truncate-value dir")
+          val raw = kvs.values.head
+          val unescaped = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(raw)
+          dt match {
+            case StringType =>
+              if (unescaped.codePointCount(0, unescaped.length) > n)
+                refuse(s"dir value '$unescaped' is longer than the " +
+                  s"truncate width $n")
+            case _ =>
+              val v = try unescaped.toLong catch {
+                case _: NumberFormatException =>
+                  refuse(s"carries non-numeric dir value '$unescaped'")
+              }
+              if (java.lang.Math.floorMod(v, n.toLong) != 0L)
+                refuse(s"dir value $v is not a multiple of the truncate " +
+                  s"width $n")
+          }
+          r -> (raw, unescaped)
+        }.toMap
+    }
     // the merged FOOTER schema must serve every table column by name
     // with a structurally equal type; EXTRA source columns are fine
     // (requests clip by name), but a missing or mistyped one would
@@ -843,6 +911,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"witness $tr($c); load via INSERT INTO ... SELECT")
       }
     }
+    // truncate PROOF: render the NATIVE truncate dirExpr (the exact
+    // form write-side layout and replay pruning use) over every row in
+    // one column-pruned job — a lake whose prefix dirs lie about its
+    // rows refuses instead of silently mis-pruning
+    truncImport.foreach { case (c, n, _) =>
+      val dt = tableSchema0.fields(tableSchema0.fieldIndex(c)).dataType
+      import org.apache.spark.sql.functions.{col => fc, collect_set, input_file_name, sum => fsum}
+      val ex = PartitionTransforms.dirExpr(s"truncate[$n]", c, dt).getOrElse(
+        throw new IllegalStateException(
+          s"no native dir rendering for truncate[$n](${dt.simpleString})"))
+        .cast("string")
+      val computed = spark.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(c, dt))))
+        .parquet(srcRels.map(r => s"$sourceDir/$r"): _*)
+        .select(input_file_name().as("__f"), ex.as("__v"))
+        .groupBy(fc("__f"))
+        .agg(collect_set(fc("__v")).as("vs"),
+          fsum(fc("__v").isNull.cast("long")).as("nn"))
+        .collect()
+      computed.foreach { row =>
+        val f = row.getString(0)
+        val rel = srcRels.find(r => f.endsWith("/" + r)).getOrElse(
+          throw new IllegalStateException(
+            s"truncate verification could not map scanned file $f back " +
+              "to a source file"))
+        require(row.getLong(2) == 0L,
+          s"add_files on ${ident.name}: source file $rel holds rows " +
+            s"with NULL '$c' — they cannot live under a witnessed " +
+            "truncate dir; load via INSERT INTO ... SELECT")
+        val got = row.getSeq[String](1).toSet
+        require(got.subsetOf(Set(srcTruncVals(rel)._2)),
+          s"add_files on ${ident.name}: source file $rel claims " +
+            s"truncate[$n] value '${srcTruncVals(rel)._2}' but its rows " +
+            s"render to ${got.toSeq.sorted.mkString(",")} — the dirs do " +
+            s"not witness truncate[$n]($c); load via INSERT INTO ... SELECT")
+      }
+    }
     val dataDir = store.dataDir(ns, ident.name)
     val relDir = s"${GraftTable.ImportDirPrefix}${java.util.UUID.randomUUID()}"
     // partitioned: land each file under its `__part_` rendering so dir
@@ -868,6 +974,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // replay pruning and temporal SPJ treat these files natively
         srcRels.zipWithIndex.map { case (r, i) =>
           r -> s"__part_${temporalImport.get._3}=${srcTemporalVals(r)}/f$i-${r.split('/').last}"
+        }
+      else if (truncImport.isDefined)
+        // the RAW (escaped) dir value transfers verbatim — both layouts
+        // escape with the same scheme — so replay range pruning
+        // (cmpDir's numeric / unsigned-UTF-8 prefix order) treats these
+        // files natively
+        srcRels.zipWithIndex.map { case (r, i) =>
+          r -> s"__part_${truncImport.get._3}=${srcTruncVals(r)._1}/f$i-${r.split('/').last}"
         }
       else if (partIdentityCols.isEmpty) srcRels.map(r => r -> r)
       else srcRels.zipWithIndex.map { case (r, i) =>

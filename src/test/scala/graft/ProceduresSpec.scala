@@ -324,6 +324,98 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("graft.imp.tm").count() == 140)
   }
 
+  test("add_files onboards a prefix-dir lake under a truncate spec") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imp")
+    spark.sql("DROP TABLE IF EXISTS graft.imp.tr")
+    spark.sql("""CREATE TABLE graft.imp.tr (id BIGINT, name STRING)
+      PARTITIONED BY (truncate(2, name))""")
+    // a prefix-partitioned lake: one dir per 2-char name prefix, the
+    // name column itself stays in the footers
+    val srcRoot = Files.createTempDirectory("graft-ext-tr-src").toString
+    val src = s"$srcRoot/t"
+    val rows = spark.range(0, 90)
+      .select(col("id"),
+        concat(element_at(array(lit("al"), lit("bo"), lit("cy")),
+          (col("id") % 3 + 1).cast("int")), lit("x"), col("id")).as("name"))
+    Seq("al", "bo", "cy").foreach { p =>
+      rows.filter(col("name").startsWith(p)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$src/pfx=$p")
+    }
+    val res = spark.sql(s"CALL graft.system.add_files('imp.tr', '$src')")
+      .collect()
+    assert(res(0).getInt(1) == 3, res.toSeq.toString)
+    // content exact, zero copy, served straight from footers
+    assert(spark.table("graft.imp.tr").count() == 90)
+    assert(spark.table("graft.imp.tr").filter(col("id") === 42)
+      .select(col("name")).head.getString(0) == "alx42")
+    // registered under the NATIVE truncate rendering so replay pruning
+    // treats the files natively: a prefix filter reads one file
+    val parts = spark.sql("SELECT DISTINCT partition FROM graft.imp.`tr$files`")
+      .collect().map(_.getString(0)).toSet
+    assert(parts.exists(_.contains("=al")) && parts.exists(_.contains("=cy")),
+      parts.toString)
+    val pruned = spark.table("graft.imp.tr")
+      .filter(col("name").startsWith("bo"))
+    assert(pruned.count() == 30)
+    assert(pruned.select(input_file_name()).distinct().count() == 1,
+      "a 2-char prefix filter must prune to the one witnessed file")
+
+    // dirs that LIE about their rows refuse: the per-row dirExpr proof
+    val srcBad = s"$srcRoot/bad"
+    spark.range(0, 5)
+      .select(col("id"), concat(lit("zz"), col("id")).as("name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcBad/pfx=aa")
+    val eLie = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('imp.tr', '$srcBad')").collect()
+    }
+    assert(eLie.getMessage.contains("do not witness"), eLie.getMessage)
+
+    // NULL partition-source rows refuse
+    val srcNull = s"$srcRoot/null"
+    spark.range(0, 5)
+      .select(col("id"), when(col("id") < 3, lit("aax")).as("name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcNull/pfx=aa")
+    val eNull = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('imp.tr', '$srcNull')").collect()
+    }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+
+    // a dir value longer than the truncate width refuses driver-side
+    val srcWide = s"$srcRoot/wide"
+    spark.range(0, 5)
+      .select(col("id"), lit("abc").as("name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcWide/pfx=abc")
+    val eWide = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('imp.tr', '$srcWide')").collect()
+    }
+    assert(eWide.getMessage.contains("longer than"), eWide.getMessage)
+
+    // an INT truncate spec enforces the width-multiple witness
+    spark.sql("DROP TABLE IF EXISTS graft.imp.tri")
+    spark.sql("""CREATE TABLE graft.imp.tri (id BIGINT, grp BIGINT)
+      PARTITIONED BY (truncate(100, grp))""")
+    val srcInt = s"$srcRoot/int"
+    spark.range(0, 40)
+      .select(col("id"), (col("id") % 2 * 10 + 100).as("grp"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcInt/g=100")
+    spark.sql(s"CALL graft.system.add_files('imp.tri', '$srcInt')").collect()
+    assert(spark.table("graft.imp.tri").count() == 40)
+    val srcIntBad = s"$srcRoot/intbad"
+    spark.range(0, 5).select(col("id"), lit(150L).as("grp"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcIntBad/g=150")
+    val eMul = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_files('imp.tri', '$srcIntBad')").collect()
+    }
+    assert(eMul.getMessage.contains("multiple"), eMul.getMessage)
+
+    // compaction folds the import to native files; content survives
+    spark.sql("CALL graft.system.compact(table => 'imp.tr')").collect()
+    assert(spark.table("graft.imp.tr").count() == 90)
+    assert(spark.table("graft.imp.tr")
+      .filter(col("name").startsWith("bo")).count() == 30)
+  }
+
   test("add_files onboards a Spark bucketBy lake under a bucket spec") {
     import org.apache.spark.sql.functions._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.imp")

@@ -461,7 +461,86 @@ object Curation {
       |  ROUND(sq_u / (n_docs * 1000000.0), 6) AS mean_quality
       |FROM g CROSS JOIN tot ORDER BY lang""".stripMargin
 
+  /** Quality-weighted rejection sampling to a uniform-source target
+    * (q113): the op that APPLIES q81's mixture weights — q81 computes
+    * what each source's sampling rate should be; this materializes the
+    * decision per document, modulated by the q59 quality composite so
+    * the tokens a downsampled source keeps are its best ones (the
+    * DCLM/FineWeb-style "sample by quality score" step). Keep
+    * probability = min(1, uniform-target rate) × quality, decided by
+    * the deterministic doc-id hash draw (same LCG as q68's splits —
+    * reproducible, engine-neutral, re-runnable). Emits the per-source
+    * audit: docs/tokens before and after, and the rate applied.
+    *
+    * Plan shape at 100 TB: one reduced-projection aggregation for
+    * per-source token totals (|sources| rows, broadcast back), then the
+    * decision is MAP-ONLY per document (quality, draw, and verdict all
+    * inline on the same scan — never a corpus-keyed self-join), and one
+    * |sources|-key summary aggregation. Nothing shuffles document
+    * payloads. */
+  def q113QualitySample(s: SparkSession, dir: String): DataFrame = {
+    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens.as("n_tokens"),
+        TextAnalysis.qualityExpr.as("quality"))
+    // |sources| rows; localCheckpoint (the q108 pattern) so the reduced-
+    // projection corpus scan behind it runs ONCE — without it the `tot`
+    // and `rates` subtrees each re-instantiate the scan
+    val per = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens"))
+      .localCheckpoint()
+    val tot = per.agg(sum(col("tokens")).as("total"), count(lit(1)).as("k"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        round((col("total") * 1.0 / col("k")) / col("tokens"), 6).as("rate6"))
+    // integer micro-unit threshold: two 6dp-rounded doubles multiply
+    // bit-identically on both engines; the draw is the LCG hash mod 1e6
+    val pU = round(least(lit(1.0), col("rate6")) * col("quality")
+      * 1000000.0).cast("long")
+    val u = pmod(detHash(col("doc_id")), lit(1000000L))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("kept", u < pU)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        // constant within each source group — riding the aggregate
+        // saves a second broadcast of the rates subtree
+        first(col("rate6")).as("rate6"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q113: identical rate computation, quality
+    * composite ([[TextAnalysis.sqlQualityExpr]] verbatim), micro-unit
+    * threshold, and LCG draw — a single flipped per-document verdict
+    * shifts a kept_docs/kept_tokens sum and fails the hash. */
+  val q113Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |""".stripMargin + "    " + TextAnalysis.sqlQualityExpr + s""" AS quality
+      |  FROM documents),
+      |p AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      |      FROM d GROUP BY source),
+      |g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS k FROM p),
+      |r AS (SELECT source, ROUND((total * 1.0 / k) / tokens, 6) AS rate6
+      |      FROM p, g),
+      |dec AS (
+      |  SELECT d.source, d.n_tokens, r.rate6,
+      |    (($sqlDetHash) % 1000000) <
+      |      CAST(ROUND(LEAST(1.0, r.rate6) * d.quality * 1000000.0) AS BIGINT)
+      |      AS kept
+      |  FROM d JOIN r USING (source))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens,
+      |  ANY_VALUE(rate6) AS rate6
+      |FROM dec GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_quality_sample" -> q113QualitySample _,
     "q68_split_sample"  -> q68SplitSample _,
     "q108_dsir_weights" -> q108DsirWeights _,
     "q110_corpus_report" -> q110CorpusReport _,
@@ -472,6 +551,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q113_quality_sample" -> q113Sql,
     "q68_split_sample"  -> q68Sql,
     "q108_dsir_weights" -> q108Sql,
     "q110_corpus_report" -> q110Sql,

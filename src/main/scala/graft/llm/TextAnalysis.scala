@@ -55,25 +55,47 @@ object TextAnalysis {
       |SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match
       |FROM pred ORDER BY doc_id""".stripMargin
 
-  /** Quality scoring: length, word stats, stopword/punctuation ratios →
-    * composite score. Pure per-row arithmetic (identical double ops on
-    * both engines; round(…, 6) for the composite). */
-  def q59Quality(s: SparkSession, dir: String): DataFrame = {
+  /** The q59 composite quality score as a reusable per-row expression —
+    * shared with q113's quality-weighted sampler, which computes it
+    * INLINE on its own scan (never a corpus-keyed join back to q59's
+    * output). Pure per-row arithmetic; identical double ops on both
+    * engines; round(…, 6). */
+  def qualityExpr: Column = {
     val nWords = size(split(trim(col("text")), "\\s+"))
     val nStop = regexp_count(lower(col("text")), lit(stopRe))
     val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
-    val avgWordLen = length(regexp_replace(col("text"), "\\s+", "")) * 1.0 / nWords
     val stopRatio = nStop * 1.0 / nWords
     val punctRatio = nPunct * 1.0 / greatest(length(col("text")), lit(1))
-    val score = round(least(nWords / 100.0, lit(1.0)) * 0.4
+    round(least(nWords / 100.0, lit(1.0)) * 0.4
       + least(stopRatio * 5.0, lit(1.0)) * 0.3
       + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3, 6)
+  }
+
+  /** The same composite in DuckDB syntax over the `text` column of the
+    * enclosing FROM — one source of truth with [[qualityExpr]] (q59Sql
+    * and q113's oracle both embed it verbatim). */
+  val sqlQualityExpr: String =
+    """ROUND(LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.4
+      |    + LEAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) * 1.0
+      |        / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.3
+      |    + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+      |        / GREATEST(LENGTH(text), 1) * 10.0, 1.0)) * 0.3, 6)""".stripMargin
+
+  /** Quality scoring: length, word stats, stopword/punctuation ratios →
+    * composite score ([[qualityExpr]]). */
+  def q59Quality(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(split(trim(col("text")), "\\s+"))
+    val nStop = regexp_count(lower(col("text")), lit(stopRe))
+    val avgWordLen = length(regexp_replace(col("text"), "\\s+", "")) * 1.0 / nWords
+    val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
+    val stopRatio = nStop * 1.0 / nWords
+    val punctRatio = nPunct * 1.0 / greatest(length(col("text")), lit(1))
     Tables.documents(s, dir).select(
       col("doc_id"), nWords.as("n_words"),
       round(avgWordLen, 6).as("avg_word_len"),
       round(stopRatio, 6).as("stop_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
-      score.as("quality"))
+      qualityExpr.as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -86,11 +108,7 @@ object TextAnalysis {
       |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stop_ratio,
       |  ROUND(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
       |    / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
-      |  ROUND(LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.4
-      |    + LEAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) * 1.0
-      |        / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.3
-      |    + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
-      |        / GREATEST(LENGTH(text), 1) * 10.0, 1.0)) * 0.3, 6) AS quality
+      |""".stripMargin + "  " + sqlQualityExpr + """ AS quality
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Token counting per source: whitespace tokens + a BPE-ish regex

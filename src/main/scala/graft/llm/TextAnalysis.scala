@@ -475,6 +475,108 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** BPE tokenizer TRAINING, three unrolled merge rounds (q114) — the
+    * full Sennrich et al. 2016 loop that q112's measurement round
+    * feeds: each round counts adjacent-symbol pair frequencies over the
+    * weighted vocab, picks the top pair (count desc, then both symbols
+    * — fully deterministic), and APPLIES the merge to every vocab entry
+    * before the next round counts again. Merge application is the
+    * greedy leftmost-first fold BPE prescribes, expressed as a
+    * higher-order `aggregate` over the symbol list: the accumulator is
+    * the rebuilt -delimited symbol string, and a symbol merges
+    * exactly when the accumulator's ENTIRE last symbol equals the
+    * merge's left side (the delimiter-anchored endswith test) and the
+    * incoming symbol is the right side — so "a a a" under (a,a) becomes
+    * "aa a", never "a aa". Emits the learned merge table.
+    *
+    * Scale shape: identical to q112 — one corpus-sized token-count
+    * shuffle builds the weighted vocab ONCE (localCheckpointed, the
+    * q108/q113 pattern: rounds re-derive from the checkpoint, not the
+    * corpus), then every round is pair-explode + keyed weighted sum +
+    * global top-1 over O(|vocab|) rows. Real trainers (SentencePiece,
+    * HF tokenizers) scale exactly this way: corpus → weighted vocab →
+    * iterate on the vocab. The merge fold is deterministic and
+    * engine-neutral, so the DuckDB oracle replays ALL THREE rounds —
+    * application included — via the same unrolled-CTE recipe as q57's
+    * Lloyd's replay. */
+  def q114BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val D = "\u001f" // never in the corpus (verified all 3 SFs); the
+                     // catalog's own component separator
+    val vocab0 = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .select(concat_ws(D, split(col("w"), "")).as("ts"), col("wf"))
+      .localCheckpoint()
+    def pairCounts(v: DataFrame): DataFrame = v
+      .select(col("wf"), split(col("ts"), D).as("cs"))
+      .filter(size(col("cs")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, size(cs) - 1), i -> " +
+          "struct(element_at(cs, i) AS a, element_at(cs, i + 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wf")).as("cnt"))
+    def top1(pc: DataFrame): DataFrame =
+      pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+    var v = vocab0
+    val rounds = (1 to 3).map { r =>
+      val m = top1(pairCounts(v))
+      if (r < 3) {
+        val withM = v.crossJoin(broadcast(
+          m.select(col("a").as("ma"), col("b").as("mb"))))
+        val merged = aggregate(split(col("ts"), D), lit(""),
+          (acc, x) => when(acc.endsWith(concat(lit(D), col("ma")))
+              && x === col("mb"), concat(acc, x))
+            .otherwise(concat(acc, lit(D), x)))
+        v = withM.select(substring(merged, 2, Integer.MAX_VALUE).as("ts"),
+          col("wf"))
+      }
+      m.select(lit(r).as("round"), col("a").as("sym_a"),
+        col("b").as("sym_b"), col("cnt").as("pair_count"))
+    }
+    rounds.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
+  /** DuckDB replay of q114 — all three rounds unrolled as CTEs (the
+    * q57 Lloyd's-replay recipe): identical vocab reduction, pair
+    * counting, top-1 tiebreaks, and the same delimiter-anchored
+    * list_reduce merge fold. */
+  val q114Sql: String = {
+    def pc(i: Int): String =
+      s"""pc$i AS (
+        |  SELECT p.a AS a, p.b AS b, CAST(SUM(wf) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(list_transform(range(1, len(cs)),
+        |               j -> {'a': cs[j], 'b': cs[j+1]})) AS p, wf
+        |        FROM (SELECT string_split(ts, chr(31)) AS cs, wf FROM v${i - 1})
+        |        WHERE len(cs) >= 2)
+        |  GROUP BY 1, 2),
+        |m$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1)"""
+        .stripMargin
+    def vn(i: Int): String =
+      s"""v$i AS (
+        |  SELECT substr(list_reduce(list_prepend('', string_split(v.ts, chr(31))),
+        |    (acc, x) -> CASE WHEN ends_with(acc, chr(31) || m.a) AND x = m.b
+        |                THEN acc || x ELSE acc || chr(31) || x END), 2) AS ts,
+        |    v.wf
+        |  FROM v${i - 1} v CROSS JOIN m$i m)""".stripMargin
+    s"""WITH tok AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      |  FROM documents),
+      |vocab AS (SELECT w, COUNT(*) AS wf FROM tok GROUP BY w),
+      |v0 AS (SELECT array_to_string(regexp_extract_all(w, '(?s).'), chr(31)) AS ts, wf
+      |       FROM vocab),
+      |${pc(1)},
+      |${vn(1)},
+      |${pc(2)},
+      |${vn(2)},
+      |${pc(3)}
+      |SELECT CAST(1 AS INTEGER) AS round, a AS sym_a, b AS sym_b,
+      |       cnt AS pair_count FROM m1
+      |UNION ALL SELECT 2, a, b, cnt FROM m2
+      |UNION ALL SELECT 3, a, b, cnt FROM m3
+      |ORDER BY round""".stripMargin
+  }
+
   /** DuckDB replay of q112: the identical vocab reduction and 1-based
     * adjacent pairing (`range(1, len)` = Spark's `sequence(1, size-1)`;
     * both engines index lists from 1 and split to code points). */
@@ -502,6 +604,7 @@ object TextAnalysis {
     "q92_pii_redact"  -> q92PiiRedact _,
     "q101_bm25_search" -> q101Bm25 _,
     "q112_bpe_pairs"  -> q112BpePairs _,
+    "q114_bpe_train"  -> q114BpeTrain _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -514,5 +617,6 @@ object TextAnalysis {
     "q92_pii_redact"  -> q92Sql,
     "q101_bm25_search" -> q101Sql,
     "q112_bpe_pairs"  -> q112Sql,
+    "q114_bpe_train"  -> q114Sql,
   )
 }

@@ -171,4 +171,58 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // containing it
     assert(got.exists(_._3 > vocab.count(_._1.contains("ha"))))
   }
+
+  /** The canonical greedy-leftmost BPE trainer over a word list, in
+    * plain Scala — the independent reference for q114. */
+  private def bpeTrain(words: Seq[String], rounds: Int)
+      : Seq[(String, String, Long)] = {
+    var vocab: Map[Seq[String], Long] = words.groupBy(identity)
+      .map { case (w, occ) => w.map(_.toString) -> occ.size.toLong }
+    (1 to rounds).map { _ =>
+      val counts = vocab.toSeq.flatMap { case (ts, wf) =>
+        ts.sliding(2).filter(_.size == 2)
+          .map(p => (p.head, p(1)) -> wf).toSeq }
+        .groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+      val ((a, b), cnt) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      vocab = vocab.map { case (ts, wf) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        ts.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b)
+            out(out.size - 1) = a + b
+          else out += x
+        }
+        out.toSeq -> wf
+      }
+      (a, b, cnt)
+    }
+  }
+
+  test("q114 BPE training equals the canonical trainer; merges compound") {
+    import spark.implicits._
+    val expected = bpeTrain(docTexts.flatMap(_._2.trim.split("\\s+")), 3)
+      .zipWithIndex.map { case ((a, b, c), i) => (i + 1, a, b, c) }
+    val got = TextAnalysis.q114BpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+
+    // merge APPLICATION must compound: on "aaab aaab aaab" round 1
+    // merges (a,a) greedily leftmost (aa|a|b, never a|aa|b), the round-2
+    // tie between (aa,a) and (a,b) breaks to (a,b) by symbol order, and
+    // round 3 merges the two MULTI-CHAR symbols (aa,ab) — a trainer
+    // that miscounted after application, or re-merged into the fresh
+    // symbol, fails this exact sequence
+    val d2 = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((0L, "aaab aaab aaab", "en", "src0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got2 = TextAnalysis.q114BpeTrain(spark, d2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got2 == Seq((1, "a", "a", 6L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 3L)))
+    assert(bpeTrain(Seq("aaab", "aaab", "aaab"), 3)
+      == Seq(("a", "a", 6L), ("a", "b", 3L), ("aa", "ab", 3L)))
+  }
 }

@@ -499,13 +499,22 @@ object TextAnalysis {
     * engine-neutral, so the DuckDB oracle replays ALL THREE rounds —
     * application included — via the same unrolled-CTE recipe as q57's
     * Lloyd's replay. */
-  def q114BpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val D = "\u001f" // never in the corpus (verified all 3 SFs); the
-                     // catalog's own component separator
+  // the BPE symbol delimiter: never in the corpus (verified all 3
+  // SFs); the catalog's own component separator
+  private val BpeD = "\u001f"
+
+  /** The shared 3-round training chain: returns each round's learned
+    * merge (1-row frames) and the post-merge vocab (w, ts, wf) after
+    * every round — q114 reads the merges, q115 encodes with the final
+    * vocab. The weighted vocab is built from the corpus ONCE and
+    * localCheckpointed; all rounds derive from the checkpoint. */
+  private def bpeTrainChain(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
+    val D = BpeD
     val vocab0 = Tables.documents(s, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
-      .select(concat_ws(D, split(col("w"), "")).as("ts"), col("wf"))
+      .select(col("w"), concat_ws(D, split(col("w"), "")).as("ts"), col("wf"))
       .localCheckpoint()
     def pairCounts(v: DataFrame): DataFrame = v
       .select(col("wf"), split(col("ts"), D).as("cs"))
@@ -519,29 +528,65 @@ object TextAnalysis {
     def top1(pc: DataFrame): DataFrame =
       pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
     var v = vocab0
-    val rounds = (1 to 3).map { r =>
+    val merges = (1 to 3).map { _ =>
       val m = top1(pairCounts(v))
-      if (r < 3) {
-        val withM = v.crossJoin(broadcast(
-          m.select(col("a").as("ma"), col("b").as("mb"))))
-        val merged = aggregate(split(col("ts"), D), lit(""),
-          (acc, x) => when(acc.endsWith(concat(lit(D), col("ma")))
-              && x === col("mb"), concat(acc, x))
-            .otherwise(concat(acc, lit(D), x)))
-        v = withM.select(substring(merged, 2, Integer.MAX_VALUE).as("ts"),
-          col("wf"))
-      }
-      m.select(lit(r).as("round"), col("a").as("sym_a"),
-        col("b").as("sym_b"), col("cnt").as("pair_count"))
+      val withM = v.crossJoin(broadcast(
+        m.select(col("a").as("ma"), col("b").as("mb"))))
+      val merged = aggregate(split(col("ts"), D), lit(""),
+        (acc, x) => when(acc.endsWith(concat(lit(D), col("ma")))
+            && x === col("mb"), concat(acc, x))
+          .otherwise(concat(acc, lit(D), x)))
+      v = withM.select(col("w"),
+        substring(merged, 2, Integer.MAX_VALUE).as("ts"), col("wf"))
+      m
     }
-    rounds.reduce(_.unionByName(_)).orderBy(col("round"))
+    (merges, v)
   }
 
-  /** DuckDB replay of q114 — all three rounds unrolled as CTEs (the
-    * q57 Lloyd's-replay recipe): identical vocab reduction, pair
-    * counting, top-1 tiebreaks, and the same delimiter-anchored
-    * list_reduce merge fold. */
-  val q114Sql: String = {
+  def q114BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeTrainChain(s, dir)
+    merges.zipWithIndex.map { case (m, i) =>
+      m.select(lit(i + 1).as("round"), col("a").as("sym_a"),
+        col("b").as("sym_b"), col("cnt").as("pair_count"))
+    }.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
+  /** Tokenizer APPLICATION + fertility report (q115): encode the corpus
+    * with the q114-trained merges and report, per source, the
+    * whitespace-token count, the encoded BPE-symbol count, and their
+    * ratio (symbols per word — the "fertility" metric tokenizer teams
+    * track per language/domain when choosing a vocabulary).
+    *
+    * Scale shape — encode cost amortizes over DISTINCT words: each
+    * vocab entry is encoded ONCE (the training chain's final vocab IS
+    * the encoded form), per-(source, word) occurrence counts are the
+    * only corpus-sized shuffle (small key rows, text never moves), and
+    * the symbol counts arrive by a vocab-keyed join — the encoded
+    * length of "the" is not recomputed ten billion times. */
+  def q115BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, vFinal) = bpeTrainChain(s, dir)
+    val encoded = vFinal
+      .select(col("w"), size(split(col("ts"), BpeD)).cast("long").as("n_syms"))
+    val perSW = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    perSW.join(encoded, Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("ws_tokens"),
+        sum(col("cnt") * col("n_syms")).as("bpe_symbols"))
+      .withColumn("fertility6",
+        round(col("bpe_symbols") * 1.0 / col("ws_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** The unrolled 3-round training CTE block (the q57 Lloyd's-replay
+    * recipe), WITHOUT the leading WITH / final SELECT — shared verbatim
+    * by q114's and q115's oracles (one source of truth): identical
+    * vocab reduction, pair counting, top-1 tiebreaks, and the same
+    * delimiter-anchored list_reduce merge fold the Spark side runs.
+    * Ends with `m1..m3` (the merges) and `v3` (the encoded vocab). */
+  private val bpeCtes: String = {
     def pc(i: Int): String =
       s"""pc$i AS (
         |  SELECT p.a AS a, p.b AS b, CAST(SUM(wf) AS BIGINT) AS cnt
@@ -554,28 +599,53 @@ object TextAnalysis {
         .stripMargin
     def vn(i: Int): String =
       s"""v$i AS (
-        |  SELECT substr(list_reduce(list_prepend('', string_split(v.ts, chr(31))),
+        |  SELECT v.w,
+        |    substr(list_reduce(list_prepend('', string_split(v.ts, chr(31))),
         |    (acc, x) -> CASE WHEN ends_with(acc, chr(31) || m.a) AND x = m.b
         |                THEN acc || x ELSE acc || chr(31) || x END), 2) AS ts,
         |    v.wf
         |  FROM v${i - 1} v CROSS JOIN m$i m)""".stripMargin
-    s"""WITH tok AS (
+    s"""tok AS (
       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
       |  FROM documents),
       |vocab AS (SELECT w, COUNT(*) AS wf FROM tok GROUP BY w),
-      |v0 AS (SELECT array_to_string(regexp_extract_all(w, '(?s).'), chr(31)) AS ts, wf
+      |v0 AS (SELECT w, array_to_string(regexp_extract_all(w, '(?s).'), chr(31)) AS ts, wf
       |       FROM vocab),
       |${pc(1)},
       |${vn(1)},
       |${pc(2)},
       |${vn(2)},
-      |${pc(3)}
+      |${pc(3)},
+      |${vn(3)}""".stripMargin
+  }
+
+  /** DuckDB replay of q114 — all three rounds unrolled ([[bpeCtes]]). */
+  val q114Sql: String =
+    s"""WITH $bpeCtes
       |SELECT CAST(1 AS INTEGER) AS round, a AS sym_a, b AS sym_b,
       |       cnt AS pair_count FROM m1
       |UNION ALL SELECT 2, a, b, cnt FROM m2
       |UNION ALL SELECT 3, a, b, cnt FROM m3
       |ORDER BY round""".stripMargin
-  }
+
+  /** DuckDB replay of q115: [[bpeCtes]] verbatim, then the per-word
+    * encoded symbol counts (v3 IS the encoded vocab) joined to
+    * per-(source, word) occurrence counts. */
+  val q115Sql: String =
+    s"""WITH $bpeCtes,
+      |enc AS (SELECT w, CAST(len(string_split(ts, chr(31))) AS BIGINT) AS n_syms
+      |        FROM v3),
+      |sw AS (
+      |  SELECT source, w, COUNT(*) AS cnt
+      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(cnt) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(cnt * n_syms) AS BIGINT) AS bpe_symbols,
+      |  ROUND(SUM(cnt * n_syms) * 1.0 / SUM(cnt), 6) AS fertility6
+      |FROM sw JOIN enc USING (w)
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** DuckDB replay of q112: the identical vocab reduction and 1-based
     * adjacent pairing (`range(1, len)` = Spark's `sequence(1, size-1)`;
@@ -605,6 +675,7 @@ object TextAnalysis {
     "q101_bm25_search" -> q101Bm25 _,
     "q112_bpe_pairs"  -> q112BpePairs _,
     "q114_bpe_train"  -> q114BpeTrain _,
+    "q115_bpe_encode" -> q115BpeEncode _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -618,5 +689,6 @@ object TextAnalysis {
     "q101_bm25_search" -> q101Sql,
     "q112_bpe_pairs"  -> q112Sql,
     "q114_bpe_train"  -> q114Sql,
+    "q115_bpe_encode" -> q115Sql,
   )
 }

@@ -224,5 +224,13 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3, "aa", "ab", 3L)))
     assert(bpeTrain(Seq("aaab", "aaab", "aaab"), 3)
       == Seq(("a", "a", 6L), ("a", "b", 3L), ("aa", "ab", 3L)))
+
+    // q115 encodes with ALL trained merges: "aaab" → [aa|ab] after
+    // round 2, then round 3's (aa,ab) fuses it to the single symbol
+    // [aaab] — the fixture's 3 words encode to 3 symbols, fertility 1.0
+    val enc = TextAnalysis.q115BpeEncode(spark, d2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(enc == Seq(("src0", 3L, 3L, 1.0)))
   }
 }

@@ -418,4 +418,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all == 2 && builder.prunedRelFiles.size == 1,
       s"disjoint-prefix pruning: $all -> ${builder.prunedRelFiles.size}")
   }
+
+  test("vocab-derived queries scan the corpus parquet at most once") {
+    // q113/q114/q115's scale claim, gated on the executed plan: the
+    // weighted vocab / per-source aggregate is localCheckpointed, so
+    // BPE training rounds, the encode join, and the sampling rates all
+    // derive from ExistingRDD scans — the corpus parquet appears at
+    // most once (q114: zero times) no matter how many rounds unroll
+    def parquetScans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(planOf(df)).size
+    assert(parquetScans(llm.TextAnalysis.q114BpeTrain(spark, sf)) == 0,
+      "training rounds must derive from the checkpointed vocab")
+    assert(parquetScans(llm.TextAnalysis.q115BpeEncode(spark, sf)) == 1,
+      "encode: one corpus scan for occurrence counts, vocab from checkpoint")
+    assert(parquetScans(llm.Curation.q113QualitySample(spark, sf)) == 1,
+      "sampling: one corpus scan; rates from the checkpointed aggregate")
+  }
 }

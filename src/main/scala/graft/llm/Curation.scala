@@ -539,8 +539,137 @@ object Curation {
       |  ANY_VALUE(rate6) AS rate6
       |FROM dec GROUP BY source ORDER BY source""".stripMargin
 
+  /** The end-to-end curation FUNNEL (q116) — the pipeline run a
+    * training-data team ships, composed from the pack's proven stages
+    * applied SEQUENTIALLY, each stage seeing its predecessor's output:
+    *
+    *   1. heuristic filter — the q91 rule family configured for this
+    *      corpus (length floor 20 words, sane mean word length,
+    *      boilerplate rejects; rule sets are per-corpus configuration
+    *      in every real pipeline — C4's own rules differ from Gopher's);
+    *   2. NEAR-dup dedup — the q52 MinHash-LSH verified pairs
+    *      (J ≥ 0.5); among filter survivors, every pair drops its
+    *      higher id (the q100 greedy keep-lowest rule);
+    *   3. quality-weighted sampling — q113's rule with the
+    *      uniform-source rates priced over the DEDUPED population.
+    *
+    * Emits the per-source funnel audit: docs and tokens entering and
+    * surviving every stage — the table a curation run reports.
+    *
+    * Plan shape at 100 TB: one corpus scan computes the per-row
+    * signals inline (tokens, quality, filter verdict); the near-dup
+    * stage is the already-audited q52 pipeline (ids-only band
+    * shuffles) feeding an ids-only drop join; the sampling rates are a
+    * |sources|-row checkpointed aggregate broadcast back; the funnel
+    * itself is one |sources|-key aggregation. Text never shuffles. */
+  def q116CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val t = trim(col("text"))
+    val tokens = size(split(t, "\\s+")).cast("long")
+    val meanWordLen = length(regexp_replace(t, "\\s+", "")) * 1.0 /
+      size(split(t, "\\s+"))
+    val filterKeep = (size(split(t, "\\s+")) >= 20) &&
+      (meanWordLen >= 2.0 && meanWordLen <= 12.0) &&
+      !lower(col("text")).contains("lorem ipsum") &&
+      !col("text").contains("{")
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"), tokens.as("n_tokens"),
+      TextAnalysis.qualityExpr.as("quality"),
+      filterKeep.as("filter_keep"))
+    // near-dup drop list: q52's verified pairs restricted to pairs
+    // whose LOWER id survives the filter; the higher id drops (greedy
+    // keep-lowest, the q100 rule). Ids only — pairs join against the
+    // |survivors| id set, never against text.
+    val survivorsA = d.filter(col("filter_keep"))
+      .select(col("doc_id").as("doc_a"))
+    val dropIds = Dedup.q52MinHashLsh(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(survivorsA, Seq("doc_a"))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dropped", lit(true))
+    val staged = d.join(dropIds, Seq("doc_id"), "left")
+      .withColumn("dedup_keep",
+        col("filter_keep") && col("dropped").isNull)
+    val per = staged.filter(col("dedup_keep"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens"))
+      .localCheckpoint()
+    val tot = per.agg(sum(col("tokens")).as("total"), count(lit(1)).as("k"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        round((col("total") * 1.0 / col("k")) / col("tokens"), 6).as("rate6"))
+    val pU = round(least(lit(1.0), col("rate6")) * col("quality")
+      * 1000000.0).cast("long")
+    val u = pmod(detHash(col("doc_id")), lit(1000000L))
+    // left join: a source whose docs ALL fell to filter/dedup has no
+    // rate row — its sample stage keeps nothing (IS NOT NULL guard)
+    staged.join(broadcast(rates), Seq("source"), "left")
+      .withColumn("sample_keep",
+        col("rate6").isNotNull && col("dedup_keep") && u < pU)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(when(col("filter_keep"), 1L).otherwise(0L)).as("n_filtered"),
+        sum(when(col("filter_keep"), col("n_tokens")).otherwise(0L))
+          .as("tok_filtered"),
+        sum(when(col("dedup_keep"), 1L).otherwise(0L)).as("n_deduped"),
+        sum(when(col("dedup_keep"), col("n_tokens")).otherwise(0L))
+          .as("tok_deduped"),
+        sum(when(col("sample_keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sample_keep"), col("n_tokens")).otherwise(0L))
+          .as("tok_sampled"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q116: every stage shared verbatim with its parent
+    * oracle — [[Dedup.pairCtes]] (the exact all-pairs form proven equal
+    * to the LSH pipeline pair-for-pair on these corpora, the q52
+    * oracle's own soundness argument), [[TextAnalysis.sqlQualityExpr]],
+    * and the q113 rate/draw forms — so a drifted verdict in ANY stage
+    * shifts a funnel sum and fails the hash. */
+  val q116Sql: String =
+    s"""WITH ${Dedup.pairCtes},
+      |vp AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+      |d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |""".stripMargin +
+      "    " + TextAnalysis.sqlQualityExpr + """ AS quality,
+      |    (len(regexp_split_to_array(trim(text), '\s+')) >= 20)
+      |      AND (LENGTH(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+      |        / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0)
+      |      AND NOT contains(lower(text), 'lorem ipsum')
+      |      AND NOT contains(text, '{') AS filter_keep
+      |  FROM documents),
+      |dr AS (
+      |  SELECT DISTINCT v.doc_b AS doc_id FROM vp v
+      |  JOIN d a ON a.doc_id = v.doc_a WHERE a.filter_keep),
+      |s2 AS (
+      |  SELECT d.*, d.filter_keep AND dr.doc_id IS NULL AS dedup_keep
+      |  FROM d LEFT JOIN dr USING (doc_id)),
+      |p2 AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      |       FROM s2 WHERE dedup_keep GROUP BY source),
+      |g2 AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS k FROM p2),
+      |r AS (SELECT source, ROUND((total * 1.0 / k) / tokens, 6) AS rate6
+      |      FROM p2, g2),
+      |dec AS (
+      |  SELECT s2.source, s2.n_tokens, s2.filter_keep, s2.dedup_keep,
+      |    (r.rate6 IS NOT NULL) AND s2.dedup_keep AND
+      |""".stripMargin + s"      (($sqlDetHash) % 1000000) <" + """
+      |      CAST(ROUND(LEAST(1.0, r.rate6) * s2.quality * 1000000.0) AS BIGINT)
+      |      AS sample_keep
+      |  FROM s2 LEFT JOIN r USING (source))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(SUM(CASE WHEN filter_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered,
+      |  CAST(SUM(CASE WHEN filter_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_filtered,
+      |  CAST(SUM(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+      |  CAST(SUM(CASE WHEN dedup_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_deduped,
+      |  CAST(SUM(CASE WHEN sample_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN sample_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_sampled
+      |FROM dec GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_quality_sample" -> q113QualitySample _,
+    "q116_curation_funnel" -> q116CurationFunnel _,
     "q68_split_sample"  -> q68SplitSample _,
     "q108_dsir_weights" -> q108DsirWeights _,
     "q110_corpus_report" -> q110CorpusReport _,
@@ -552,6 +681,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q113_quality_sample" -> q113Sql,
+    "q116_curation_funnel" -> q116Sql,
     "q68_split_sample"  -> q68Sql,
     "q108_dsir_weights" -> q108Sql,
     "q110_corpus_report" -> q110Sql,

@@ -802,8 +802,12 @@ object Dedup {
     * stand in for the 64-bit hashed shingles modulo collisions (the
     * q54 precedent). A jaccard value mismatch, a missed pair, or an
     * invented pair all fail the hash. */
-  private def pairSql(extra: String): String =
-    s"""WITH w AS (
+  /** The exact all-pairs shingle-Jaccard CTE block (no leading WITH),
+    * ending with CTE `p` (doc_a < doc_b, jaccard) — shared by the
+    * q52/q93 oracles and q116's funnel oracle (one source of truth;
+    * CTE names `w`/`g`/`p` are reserved by it). */
+  private[llm] val pairCtes: String =
+    s"""w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
       |g AS (
       |  SELECT doc_id,
@@ -816,7 +820,10 @@ object Dedup {
       |    ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
       |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)
       |      AS jaccard
-      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private def pairSql(extra: String): String =
+    s"""WITH $pairCtes
       |SELECT doc_a, doc_b, jaccard FROM p
       |WHERE jaccard >= 0.5 $extra ORDER BY doc_a, doc_b""".stripMargin
 

@@ -250,6 +250,29 @@ object TextAnalysis {
     * curator can audit WHY a document fell out, plus the combined keep
     * verdict. Map-only (scales embarrassingly); the flags are plain
     * codegen'd string expressions, no UDFs. */
+  /** The q91 composite keep verdict as a reusable per-row expression —
+    * shared with q116's curation funnel (computed inline on the
+    * consumer's scan, one source of truth with [[sqlC4KeepExpr]]). */
+  def c4KeepExpr: Column = {
+    val t = trim(col("text"))
+    val nWords = size(split(t, "\\s+"))
+    val meanWordLen = length(regexp_replace(t, "\\s+", "")) * 1.0 / nWords
+    (nWords >= 5) && (meanWordLen >= 2.0 && meanWordLen <= 12.0) &&
+      t.rlike("[.!?\"]$") &&
+      !lower(col("text")).contains("lorem ipsum") &&
+      !col("text").contains("{")
+  }
+
+  /** The same verdict in DuckDB syntax over the `text` column of the
+    * enclosing FROM. */
+  val sqlC4KeepExpr: String =
+    """(len(regexp_split_to_array(trim(text), '\s+')) >= 5)
+      |    AND (LENGTH(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+      |      / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0)
+      |    AND regexp_matches(trim(text), '[.!?"]$')
+      |    AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT contains(text, '{')""".stripMargin
+
   def q91QualityFilter(s: SparkSession, dir: String): DataFrame = {
     val t = trim(col("text"))
     val nWords = size(split(t, "\\s+"))
@@ -259,11 +282,11 @@ object TextAnalysis {
     val terminal = t.rlike("[.!?\"]$")
     val noLorem = !lower(col("text")).contains("lorem ipsum")
     val noBraces = !col("text").contains("{")
-    val keep = enoughWords && saneWordLen && terminal && noLorem && noBraces
     Tables.documents(s, dir).select(
       col("doc_id"), enoughWords.as("enough_words"),
       saneWordLen.as("sane_word_len"), terminal.as("terminal_punct"),
-      noLorem.as("no_lorem"), noBraces.as("no_braces"), keep.as("keep"))
+      noLorem.as("no_lorem"), noBraces.as("no_braces"),
+      c4KeepExpr.as("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -276,12 +299,7 @@ object TextAnalysis {
       |  regexp_matches(trim(text), '[.!?"]$') AS terminal_punct,
       |  NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
       |  NOT contains(text, '{') AS no_braces,
-      |  (len(regexp_split_to_array(trim(text), '\s+')) >= 5)
-      |    AND (LENGTH(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
-      |      / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0)
-      |    AND regexp_matches(trim(text), '[.!?"]$')
-      |    AND NOT contains(lower(text), 'lorem ipsum')
-      |    AND NOT contains(text, '{') AS keep
+      |""".stripMargin + "  " + sqlC4KeepExpr + """ AS keep
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** PII redaction: emails, phone numbers, and IPv4 addresses replaced

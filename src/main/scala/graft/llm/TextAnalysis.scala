@@ -521,12 +521,23 @@ object TextAnalysis {
   // SFs); the catalog's own component separator
   private val BpeD = "\u001f"
 
+  // one trained chain per (session, sfDir) — the same artifact memo
+  // discipline as AnnIndex/the band index: a tokenizer is a pipeline
+  // artifact, so q114/q115 (and a bench pass running both) must not
+  // re-train it per query
+  private val bpeChainMemo =
+    new graft.SessionMemo[(Seq[DataFrame], DataFrame)]
+
   /** The shared 3-round training chain: returns each round's learned
     * merge (1-row frames) and the post-merge vocab (w, ts, wf) after
     * every round — q114 reads the merges, q115 encodes with the final
     * vocab. The weighted vocab is built from the corpus ONCE and
     * localCheckpointed; all rounds derive from the checkpoint. */
   private def bpeTrainChain(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) =
+    bpeChainMemo.getOrBuild(s, dir)(buildBpeChain(s, dir))
+
+  private def buildBpeChain(s: SparkSession, dir: String)
       : (Seq[DataFrame], DataFrame) = {
     val D = BpeD
     val vocab0 = Tables.documents(s, dir)

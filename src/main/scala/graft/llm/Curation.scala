@@ -667,6 +667,124 @@ object Curation {
       |  CAST(SUM(CASE WHEN sample_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_sampled
       |FROM dec GROUP BY source ORDER BY source""".stripMargin
 
+  /** Snapshot-summary fence key for [[funnelIngestStream]]'s per-batch
+    * exactly-once commits. */
+  val FunnelBatchKey = "graft-funnel-batch"
+
+  /** The q116 curation funnel as an unattended INGEST stream: tail a
+    * documents catalog table and, per micro-batch of arrivals, run the
+    * three stages against everything retained before them —
+    *
+    *   1. heuristic filter (q116's rule set), map-only on the batch;
+    *   2. near-dup dedup against the PERSISTED band index (plus
+    *      batch-vs-batch): an arrival drops when it verifies (exact
+    *      Jaccard ≥ 0.5) against any retained doc, or against a
+    *      lower-id filter-surviving batchmate — O(batch) signature
+    *      cost, ids-only bucket joins (the q93/dedupIngestStream scale
+    *      argument);
+    *   3. quality-weighted sampling with CONFIGURED per-source rates —
+    *      the batch surface (q116) PRICES the rates over a release;
+    *      the stream APPLIES that pricing to arrivals (recomputing
+    *      rates per micro-batch would drift with batch boundaries);
+    *      sources missing from the map keep nothing.
+    *
+    * Appends one verdict row per arrival to `verdictFqn`, then folds
+    * the bands of DEDUP-surviving arrivals into `indexFqn` — dedup is
+    * about content identity, so sample-dropped docs still guard
+    * against future re-ingests of the same content, while filter/dedup
+    * rejects never enter the index (a reject cannot poison future
+    * arrivals). Exactly-once: both appends are fenced on the
+    * micro-batch id ([[AnnIndex.fencedAppend]] with
+    * [[FunnelBatchKey]]); verdicts land before bands, so a crash
+    * between them replays into one fenced no-op and one completing
+    * append. */
+  def funnelIngestStream(s: SparkSession, corpusFqn: String, indexFqn: String,
+                         verdictFqn: String, rates: Map[String, Double],
+                         checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import scala.jdk.CollectionConverters._
+    val rateRows = rates.toSeq.sortBy(_._1)
+      .map { case (src, r) => org.apache.spark.sql.Row(src, r) }
+    val rateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rate",
+        org.apache.spark.sql.types.DoubleType)))
+    s.readStream.table(corpusFqn)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val t = trim(col("text"))
+        val meanWordLen = length(regexp_replace(t, "\\s+", "")) * 1.0 /
+          size(split(t, "\\s+"))
+        val filterKeep = (size(split(t, "\\s+")) >= 20) &&
+          (meanWordLen >= 2.0 && meanWordLen <= 12.0) &&
+          !lower(col("text")).contains("lorem ipsum") &&
+          !col("text").contains("{")
+        // one pinned frame feeds the filter verdicts, the survivor
+        // shingles/bands, and the final verdict rows
+        val b = batch.select(col("doc_id"), col("source"),
+          size(split(t, "\\s+")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityExpr.as("quality"),
+          filterKeep.as("filter_keep"),
+          Dedup.shingleUdf(col("text")).as("sh"))
+          .localCheckpoint()
+        val survivors = b.filter(col("filter_keep"))
+        val newBands = Dedup.bandBuckets(
+          Dedup.minhashSignatures(survivors.select(col("doc_id"), col("sh"))))
+          .localCheckpoint()
+        // candidates: vs the retained index (the arrival always drops)
+        // and vs lower-id filter-surviving batchmates
+        val vsIdx = newBands
+          .join(s.table(indexFqn)
+            .select(col("band"), col("bh"), col("doc_id").as("old_id")),
+            Seq("band", "bh"))
+          .select(col("doc_id").as("new_id"), col("old_id").as("partner"))
+        val bl = newBands.select(col("band"), col("bh"),
+          col("doc_id").as("partner"))
+        val vsBatch = newBands.join(bl, Seq("band", "bh"))
+          .filter(col("partner") < col("doc_id"))
+          .select(col("doc_id").as("new_id"), col("partner"))
+        // partner shingles resolve from the committed corpus (the
+        // streamed table's docs are already committed when the batch
+        // fires — the dedupIngestStream argument)
+        val corpusSh = s.table(corpusFqn)
+          .select(col("doc_id").as("partner"),
+            Dedup.shingleUdf(col("text")).as("sh_p"))
+        val dropIds = vsIdx.unionByName(vsBatch)
+          .dropDuplicates("new_id", "partner")
+          .join(b.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
+            Seq("new_id"))
+          .join(corpusSh, Seq("partner"))
+          .filter(Dedup.jaccardUdf(col("sh_n"), col("sh_p")) >= 0.5)
+          .select(col("new_id").as("doc_id")).distinct()
+          .withColumn("dropped", lit(true))
+        val rateDf = s.createDataFrame(rateRows.asJava, rateSchema)
+        val pU = round(least(lit(1.0), col("rate")) * col("quality")
+          * 1000000.0).cast("long")
+        val u = pmod(detHash(col("doc_id")), lit(1000000L))
+        val verdicts = b.join(dropIds, Seq("doc_id"), "left")
+          .withColumn("dedup_keep",
+            col("filter_keep") && col("dropped").isNull)
+          .join(broadcast(rateDf), Seq("source"), "left")
+          .withColumn("sample_keep",
+            col("rate").isNotNull && col("dedup_keep") && u < pU)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("filter_keep"), col("dedup_keep"), col("sample_keep"))
+          // pinned: feeds both the verdict append and the band fold —
+          // the drop-candidate join must not recompute per consumer
+          .localCheckpoint()
+        AnnIndex.fencedAppend(verdicts, verdictFqn, id.toInt, FunnelBatchKey)
+        val keptBands = newBands
+          .join(verdicts.filter(col("dedup_keep"))
+            .select(col("doc_id")), Seq("doc_id"))
+          .select(col("band"), col("bh"), col("doc_id"))
+        AnnIndex.fencedAppend(keptBands, indexFqn, id.toInt, FunnelBatchKey)
+        ()
+      }
+      .start()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_quality_sample" -> q113QualitySample _,
     "q116_curation_funnel" -> q116CurationFunnel _,

@@ -16,7 +16,7 @@ object Dedup {
     * (one HashSet build + one probe sweep — cheaper than
     * array_intersect + array_union, which each build their own set).
     * Rounded to 4dp, same as the expression form it replaces. */
-  private val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+  private[llm] val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
     val set = new java.util.HashSet[java.lang.Long](a.size * 2)
     a.foreach(set.add(_))
     var inter = 0
@@ -96,7 +96,7 @@ object Dedup {
     arr
   }
 
-  private val shingleUdf = udf { text: String => shingleKernel(text, 3) }
+  private[llm] val shingleUdf = udf { text: String => shingleKernel(text, 3) }
 
   /** MinHash + LSH near-dup detection.
     *
@@ -127,7 +127,7 @@ object Dedup {
   private val RowsPerBand = NPerm / NBands
 
   /** (doc_id, sh) → (doc_id, sig): 64-perm MinHash signatures. */
-  private def minhashSignatures(docs: DataFrame): DataFrame = {
+  private[llm] def minhashSignatures(docs: DataFrame): DataFrame = {
     val seeds = minhashSeeds
     val sigUdf = udf { sh: Seq[Long] =>
       val mins = Array.fill(NPerm)(Long.MaxValue)
@@ -150,7 +150,7 @@ object Dedup {
     * stay home and re-attach to the deduped pair list afterwards, so
     * the shuffle moves ids, not payloads (the rule that matters at
     * 100 TB). */
-  private def bandBuckets(signed: DataFrame): DataFrame = {
+  private[llm] def bandBuckets(signed: DataFrame): DataFrame = {
     val bandEntries = (0 until NBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bh"))

@@ -95,4 +95,83 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("dsi.ing.bands").count() == 5 * 16)
     } finally q2.stop()
   }
+
+  test("funnelIngestStream filters, dedups vs history, samples, exactly-once") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fis-wh").toString
+    spark.conf.set("spark.sql.catalog.fis",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.fis.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS fis.ing")
+    spark.sql("CREATE TABLE fis.ing.docs (doc_id BIGINT, text STRING, source STRING)")
+    spark.sql("CREATE TABLE fis.ing.bands (band INT, bh BIGINT, doc_id BIGINT)")
+    spark.sql("""CREATE TABLE fis.ing.verdicts (doc_id BIGINT, source STRING,
+      n_tokens BIGINT, filter_keep BOOLEAN, dedup_keep BOOLEAN,
+      sample_keep BOOLEAN)""")
+    // 22-word texts (pass the 20-word floor); `longB + " {"` fails the
+    // brace rule instead of the floor, so its CONTENT is index-eligible
+    // if it ever arrives clean
+    val longA = (1 to 22).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 22).map(i => s"beta$i").mkString(" ")
+    val longC = (1 to 22).map(i => s"gamma$i").mkString(" ")
+    // batch 1: 1 kept; 2 duplicates 1 within the batch; 4 fails the
+    // filter (brace) so its content must NOT enter the index
+    Seq((1L, longA, "s0"), (2L, longA, "s0"), (4L, longB + " {", "s0"))
+      .toDF("doc_id", "text", "source").writeTo("fis.ing.docs").append()
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fis-ckpt").toString
+    def verdictsNow(): Map[Long, (Boolean, Boolean, Boolean)] =
+      spark.table("fis.ing.verdicts").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    val q = llm.Curation.funnelIngestStream(spark, "fis.ing.docs",
+      "fis.ing.bands", "fis.ing.verdicts", Map("s0" -> 1.0), ckpt)
+    try {
+      q.processAllAvailable()
+      val v1 = verdictsNow()
+      // doc 1 passes filter+dedup; its sample verdict is the
+      // deterministic LCG draw vs min(1, rate) * quality
+      assert(v1(1L)._1 && v1(1L)._2, v1.toString)
+      assert(v1(2L) == ((true, false, false)), "within-batch dup must drop")
+      assert(v1(4L) == ((false, false, false)), "filter reject keeps nothing")
+      // index holds bands of dedup survivors ONLY (doc 1)
+      assert(spark.table("fis.ing.bands").select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(1L))
+
+      // batch 2: 11 duplicates retained content (drops via the index);
+      // 13 carries doc 4's REJECTED content without the brace — it must
+      // be KEPT (rejects never poisoned the index); 12 is fresh
+      Seq((11L, longA, "s0"), (12L, longC, "s0"), (13L, longB, "s0"))
+        .toDF("doc_id", "text", "source").writeTo("fis.ing.docs").append()
+      q.processAllAvailable()
+      val v2 = verdictsNow()
+      assert(v2(11L) == ((true, false, false)), "cross-batch dup must drop")
+      assert(v2(12L)._1 && v2(12L)._2, v2.toString)
+      assert(v2(13L)._1 && v2(13L)._2,
+        "a filter-rejected doc's content must not block future arrivals")
+      assert(spark.table("fis.ing.bands").select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(1L, 12L, 13L))
+
+      // sample verdicts equal the q113 arithmetic exactly
+      val qual = spark.table("fis.ing.docs")
+        .select(col("doc_id"), llm.TextAnalysis.qualityExpr.as("q"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      def draw(id: Long): Long =
+        ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 1000000L
+      Seq(1L, 12L, 13L).foreach { id =>
+        val expect = draw(id) < math.round(math.min(1.0, 1.0) * qual(id) * 1e6)
+        assert((v2(id)._3) == expect, s"doc $id sample verdict")
+      }
+    } finally q.stop()
+
+    // restart from the same checkpoint: fenced no-ops, nothing doubles
+    val q2 = llm.Curation.funnelIngestStream(spark, "fis.ing.docs",
+      "fis.ing.bands", "fis.ing.verdicts", Map("s0" -> 1.0), ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("fis.ing.verdicts").count() == 6)
+      assert(spark.table("fis.ing.bands").select("doc_id").distinct()
+        .count() == 3)
+    } finally q2.stop()
+  }
 }

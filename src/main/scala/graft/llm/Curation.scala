@@ -747,12 +747,16 @@ object Curation {
           .select(col("doc_id").as("new_id"), col("partner"))
         // partner shingles resolve from the committed corpus (the
         // streamed table's docs are already committed when the batch
-        // fires — the dedupIngestStream argument)
-        val corpusSh = s.table(corpusFqn)
+        // fires — the dedupIngestStream argument), restricted to
+        // candidate partner ids BEFORE the shingle kernel runs: per-
+        // batch verify cost is O(candidates), never a corpus re-shingle
+        val cands = vsIdx.unionByName(vsBatch)
+          .dropDuplicates("new_id", "partner").localCheckpoint()
+        val partnerIds = cands.select(col("partner").as("doc_id")).distinct()
+        val corpusSh = s.table(corpusFqn).join(partnerIds, Seq("doc_id"))
           .select(col("doc_id").as("partner"),
             Dedup.shingleUdf(col("text")).as("sh_p"))
-        val dropIds = vsIdx.unionByName(vsBatch)
-          .dropDuplicates("new_id", "partner")
+        val dropIds = cands
           .join(b.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
             Seq("new_id"))
           .join(corpusSh, Seq("partner"))

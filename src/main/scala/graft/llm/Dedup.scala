@@ -229,21 +229,25 @@ object Dedup {
     * — sound for the same J ≥ 0.9 recall argument as q52/q67. */
   def q93IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val prefix = ensureBandIndex(s, dir)
-    val corpus = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 7)
       .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
-    val batch = corpus.filter(col("doc_id") % 10 === 7)
     batchPairs(bandBuckets(minhashSignatures(batch)),
-        s.table(s"$prefix.minhash_bands"), corpus)
+        s.table(s"$prefix.minhash_bands"), docs)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The batch-vs-index near-dup core q93 and [[dedupIngestStream]]
     * share: index-join + batch self-join candidates, exact-Jaccard
-    * verification at 0.5, ids-only through every shuffle. `shById`
-    * resolves candidate partner ids (batch AND corpus) to shingle
-    * sets. */
+    * verification at 0.5, ids-only through every shuffle. `docs` is the
+    * raw (doc_id, text) corpus; shingles are recomputed ONLY for ids
+    * appearing in candidate pairs — the candidate id set joins the
+    * corpus BEFORE the shingle kernel runs, so per-batch verify cost is
+    * O(candidates), never a full-corpus re-shingle (at 100 TB the
+    * candidate set is batch-sized; a full-corpus UDF pass per
+    * micro-batch would dwarf the batch itself). */
   private def batchPairs(newBands: DataFrame, idx: DataFrame,
-                         shById: DataFrame): DataFrame = {
+                         docs: DataFrame): DataFrame = {
     val vsCorpus = newBands.select(col("band"), col("bh"), col("doc_id").as("new_id"))
       .join(idx.select(col("band"), col("bh"), col("doc_id").as("old_id")),
         Seq("band", "bh"))
@@ -254,7 +258,15 @@ object Dedup {
     val vsBatch = a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-    vsCorpus.unionByName(vsBatch).dropDuplicates("doc_a", "doc_b")
+    // pinned: the candidate ids feed the shingle restriction AND both
+    // verify joins — the band joins must not re-run per consumer
+    val cands = vsCorpus.unionByName(vsBatch).dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint()
+    val ids = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val shById = docs.join(ids, Seq("doc_id"))
+      .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+    cands
       .join(shById.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(shById.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
@@ -288,8 +300,8 @@ object Dedup {
         val b = batch.select(col("doc_id"), shingleUdf(col("text")).as("sh"))
           .localCheckpoint()
         val newBands = bandBuckets(minhashSignatures(b)).localCheckpoint()
-        val corpus = s.table(corpusFqn)
-          .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+        // raw (doc_id, text): batchPairs shingles only candidate ids
+        val corpus = s.table(corpusFqn).select(col("doc_id"), col("text"))
         val pairs = batchPairs(newBands, s.table(indexFqn), corpus)
         AnnIndex.fencedAppend(pairs, outFqn, id.toInt, IngestBatchKey)
         AnnIndex.fencedAppend(

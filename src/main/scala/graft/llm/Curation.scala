@@ -710,6 +710,28 @@ object Curation {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("rate",
         org.apache.spark.sql.types.DoubleType)))
+    funnelIngestStream(s, corpusFqn, indexFqn, verdictFqn,
+      () => s.createDataFrame(rateRows.asJava, rateSchema), checkpoint)
+  }
+
+  /** [[funnelIngestStream]] with the rates served from a CATALOG TABLE
+    * of (source, rate) — re-pricing a release (q116's batch surface
+    * recomputes the rates, an UPDATE lands them) takes effect on the
+    * next micro-batch without restarting the stream. */
+  def funnelIngestStream(s: SparkSession, corpusFqn: String, indexFqn: String,
+                         verdictFqn: String, ratesFqn: String,
+                         checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    funnelIngestStream(s, corpusFqn, indexFqn, verdictFqn,
+      () => s.table(ratesFqn)
+        .select(col("source"), col("rate").cast("double").as("rate")),
+      checkpoint)
+
+  private def funnelIngestStream(s: SparkSession, corpusFqn: String,
+                                 indexFqn: String, verdictFqn: String,
+                                 rateFrame: () => DataFrame,
+                                 checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     s.readStream.table(corpusFqn)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -763,7 +785,9 @@ object Curation {
           .filter(Dedup.jaccardUdf(col("sh_n"), col("sh_p")) >= 0.5)
           .select(col("new_id").as("doc_id")).distinct()
           .withColumn("dropped", lit(true))
-        val rateDf = s.createDataFrame(rateRows.asJava, rateSchema)
+        // re-read per batch: table-served rates pick up repricing
+        // commits on the next batch without a stream restart
+        val rateDf = rateFrame()
         val pU = round(least(lit(1.0), col("rate")) * col("quality")
           * 1000000.0).cast("long")
         val u = pmod(detHash(col("doc_id")), lit(1000000L))

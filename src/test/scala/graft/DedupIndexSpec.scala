@@ -174,4 +174,50 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         .count() == 3)
     } finally q2.stop()
   }
+
+  test("funnelIngestStream reprices from a rates table without restarting") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-fr-wh").toString
+    spark.conf.set("spark.sql.catalog.fr",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.fr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS fr.ing")
+    spark.sql("CREATE TABLE fr.ing.docs (doc_id BIGINT, text STRING, source STRING)")
+    spark.sql("CREATE TABLE fr.ing.bands (band INT, bh BIGINT, doc_id BIGINT)")
+    spark.sql("""CREATE TABLE fr.ing.verdicts (doc_id BIGINT, source STRING,
+      n_tokens BIGINT, filter_keep BOOLEAN, dedup_keep BOOLEAN,
+      sample_keep BOOLEAN)""")
+    spark.sql("CREATE TABLE fr.ing.rates (source STRING, rate DOUBLE)")
+    spark.sql("INSERT INTO fr.ing.rates VALUES ('s0', 1.0)")
+    val long1 = (1 to 25).map(i => s"uno$i").mkString(" ")
+    val long2 = (1 to 25).map(i => s"dos$i").mkString(" ")
+    Seq((1L, long1, "s0")).toDF("doc_id", "text", "source")
+      .writeTo("fr.ing.docs").append()
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fr-ckpt").toString
+    val q = llm.Curation.funnelIngestStream(spark, "fr.ing.docs",
+      "fr.ing.bands", "fr.ing.verdicts", "fr.ing.rates", ckpt)
+    try {
+      q.processAllAvailable()
+      def verdict(id: Long): (Boolean, Boolean, Boolean) =
+        spark.table("fr.ing.verdicts").filter(col("doc_id") === id)
+          .collect().map(r => (r.getBoolean(3), r.getBoolean(4),
+            r.getBoolean(5))).head
+      // rate 1.0: doc 1's sample verdict is draw < quality (micro-units)
+      val qual = spark.table("fr.ing.docs").filter(col("doc_id") === 1L)
+        .select(llm.TextAnalysis.qualityExpr).head().getDouble(0)
+      val draw1 = ((1L % 2147483648L) * 1103515245L + 12345L) %
+        2147483648L % 1000000L
+      assert(verdict(1L) == ((true, true, draw1 < math.round(qual * 1e6))))
+
+      // reprice to 0 — the NEXT batch must keep nothing in the sample
+      // stage, with no stream restart
+      spark.sql("UPDATE fr.ing.rates SET rate = 0.0 WHERE source = 's0'")
+      Seq((2L, long2, "s0")).toDF("doc_id", "text", "source")
+        .writeTo("fr.ing.docs").append()
+      q.processAllAvailable()
+      assert(verdict(2L) == ((true, true, false)),
+        "a zero rate must drop every arrival at the sample stage")
+    } finally q.stop()
+  }
 }

@@ -521,6 +521,25 @@ object TextAnalysis {
   // SFs); the catalog's own component separator
   private val BpeD = "\u001f"
 
+  /** Greedy leftmost-first application of ONE merge (ma, mb) to a
+    * [[BpeD]]-delimited symbol string — the accumulator fold described
+    * in [[q114BpeTrain]]'s Scaladoc. A symbol merges exactly when the
+    * accumulator's ENTIRE last symbol equals `ma` (the delimiter-
+    * anchored endswith test) and the incoming symbol is `mb`; the
+    * freshly merged symbol never re-merges within the same pass.
+    * Factored out so the property suite can drive it on adversarial
+    * token lists (prefix-confusable symbols) against the canonical
+    * trainer. */
+  private[graft] def mergeFoldExpr(ts: Column, ma: Column, mb: Column): Column =
+    substring(aggregate(split(ts, BpeD), lit(""),
+      (acc, x) => when(acc.endsWith(concat(lit(BpeD), ma))
+          && x === mb, concat(acc, x))
+        .otherwise(concat(acc, lit(BpeD), x))),
+      2, Integer.MAX_VALUE)
+
+  /** The [[BpeD]] delimiter, visible to the property suite. */
+  private[graft] def bpeDelimiter: String = BpeD
+
   // one trained chain per (session, sfDir) — the same artifact memo
   // discipline as AnnIndex/the band index: a tokenizer is a pipeline
   // artifact, so q114/q115 (and a bench pass running both) must not
@@ -561,12 +580,8 @@ object TextAnalysis {
       val m = top1(pairCounts(v))
       val withM = v.crossJoin(broadcast(
         m.select(col("a").as("ma"), col("b").as("mb"))))
-      val merged = aggregate(split(col("ts"), D), lit(""),
-        (acc, x) => when(acc.endsWith(concat(lit(D), col("ma")))
-            && x === col("mb"), concat(acc, x))
-          .otherwise(concat(acc, lit(D), x)))
       v = withM.select(col("w"),
-        substring(merged, 2, Integer.MAX_VALUE).as("ts"), col("wf"))
+        mergeFoldExpr(col("ts"), col("ma"), col("mb")).as("ts"), col("wf"))
       m
     }
     (merges, v)

@@ -233,4 +233,35 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq
     assert(enc == Seq(("src0", 3L, 3L, 1.0)))
   }
+
+  test("the merge fold matches the canonical greedy apply on random lists") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // adversarial symbol alphabet: every element is a prefix or suffix
+    // of another, so a fold that tests raw string suffixes instead of
+    // the delimiter-anchored ENTIRE-last-symbol gets caught ("ba" ends
+    // with "a"; "a" prefixes "aa"; merged symbols re-enter the pool)
+    val syms = Vector("a", "b", "aa", "ab", "ba", "aab")
+    val rnd = new scala.util.Random(2026)
+    val cases: Seq[(Seq[String], String, String)] = (1 to 300).map { _ =>
+      val ts = Seq.fill(1 + rnd.nextInt(8))(syms(rnd.nextInt(syms.size)))
+      (ts, syms(rnd.nextInt(syms.size)), syms(rnd.nextInt(syms.size)))
+    }
+    def canonical(ts: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      ts.foreach { x =>
+        if (out.nonEmpty && out.last == a && x == b)
+          out(out.size - 1) = a + b
+        else out += x
+      }
+      out.toSeq
+    }
+    val d = TextAnalysis.bpeDelimiter
+    val got = cases.map { case (ts, a, b) => (ts.mkString(d), a, b) }
+      .toDF("ts", "ma", "mb")
+      .select(TextAnalysis.mergeFoldExpr(col("ts"), col("ma"), col("mb")))
+      .collect().map(_.getString(0)).toSeq
+    val want = cases.map { case (ts, a, b) => canonical(ts, a, b).mkString(d) }
+    assert(got == want)
+  }
 }

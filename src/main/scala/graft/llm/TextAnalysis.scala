@@ -501,7 +501,7 @@ object TextAnalysis {
     * before the next round counts again. Merge application is the
     * greedy leftmost-first fold BPE prescribes, expressed as a
     * higher-order `aggregate` over the symbol list: the accumulator is
-    * the rebuilt -delimited symbol string, and a symbol merges
+    * the rebuilt U+001F-delimited symbol string, and a symbol merges
     * exactly when the accumulator's ENTIRE last symbol equals the
     * merge's left side (the delimiter-anchored endswith test) and the
     * incoming symbol is the right side — so "a a a" under (a,a) becomes

@@ -375,7 +375,9 @@ object TextAnalysis {
     * micro-units BEFORE the per-doc sum, so the score never depends on
     * floating sum order (the one engine-library call, ln, is rounded
     * away at 6dp); ranking ties break on doc_id. */
-  def q101Bm25(s: SparkSession, dir: String): DataFrame = {
+  /** The full BM25 ranking (every scored (query, doc), rn unbounded) —
+    * q101 is its top-10; q117's hard-negative pool takes top-20. */
+  def bm25Ranking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val queriesDf = Seq((1, "dup merge scan"), (2, "spark window agg"),
@@ -412,9 +414,47 @@ object TextAnalysis {
       .withColumn("score", col("score_u") / lit(1000000.0))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    scored.withColumn("rn", row_number().over(w))
       .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
+  }
+
+  def q101Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Ranking(s, dir).filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
+
+  /** Hard-negative mining for retriever training (q117) — the ANCE/
+    * RocketQA-style recipe run without labels: per query, the BM25
+    * rank-1 hit serves as the pseudo-POSITIVE, the next-ranked docs
+    * (pool: top-20) are candidate negatives, and candidates that are
+    * the positive itself or a VERIFIED NEAR-DUP of it (q52's MinHash
+    * pairs — a near-duplicate of the positive is a false negative that
+    * would poison the training signal) are excluded; the survivors
+    * re-rank to the top-5 hard negatives per query.
+    *
+    * Scale shape: the ranking is q101's audited bounded plan; the
+    * positive set is |queries| rows and its near-dup partners join
+    * ids-only against q52's pair list, so the exclusion anti-join is a
+    * broadcast against an O(queries × dups) set; the final re-rank
+    * touches O(queries × 20) rows. */
+  def q117HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = bm25Ranking(s, dir)
+    val pool = ranked.filter(col("rn") <= 20)
+    val pos = ranked.filter(col("rn") === 1)
+      .select(col("query_id"), col("doc_id").as("pos_id"))
+    val pairs = Dedup.q52MinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val excl = pos.join(pairs, col("pos_id") === col("doc_a"))
+        .select(col("query_id"), col("doc_b").as("doc_id"))
+      .unionByName(pos.join(pairs, col("pos_id") === col("doc_b"))
+        .select(col("query_id"), col("doc_a").as("doc_id")))
+      .unionByName(pos.select(col("query_id"), col("pos_id").as("doc_id")))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rn"))
+    pool.join(excl, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= 5)
+      .select(col("query_id"), col("doc_id"), col("score"), col("neg_rank"))
+      .orderBy(col("query_id"), col("neg_rank"))
   }
 
   /** The q101 pipeline's CTE block WITHOUT the leading WITH / final
@@ -454,6 +494,31 @@ object TextAnalysis {
     s"""WITH $bm25Ctes
       |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rn
       |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  /** DuckDB replay of q117: [[bm25Ctes]] verbatim for the ranking and
+    * [[Dedup.pairCtes]] verbatim for the near-dup exclusion (the exact
+    * all-pairs form proven equal to the LSH pipeline on these corpora)
+    * — positives, exclusions, and the re-rank all recomputed. */
+  val q117Sql: String =
+    s"""WITH $bm25Ctes,
+      |${Dedup.pairCtes},
+      |vp AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+      |pos AS (SELECT query_id, doc_id AS pos_id FROM ranked WHERE rn = 1),
+      |excl AS (
+      |  SELECT query_id, pos_id AS doc_id FROM pos
+      |  UNION
+      |  SELECT pos.query_id, vp.doc_b FROM pos JOIN vp ON vp.doc_a = pos.pos_id
+      |  UNION
+      |  SELECT pos.query_id, vp.doc_a FROM pos JOIN vp ON vp.doc_b = pos.pos_id),
+      |cand AS (
+      |  SELECT r.query_id, r.doc_id, r.score, r.rn
+      |  FROM ranked r LEFT JOIN excl e USING (query_id, doc_id)
+      |  WHERE r.rn <= 20 AND e.doc_id IS NULL),
+      |neg AS (SELECT query_id, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rn) AS neg_rank
+      |  FROM cand)
+      |SELECT query_id, doc_id, score, CAST(neg_rank AS INTEGER) AS neg_rank
+      |FROM neg WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin
 
   /** BPE vocabulary induction, the measurement round (q112): the
     * adjacent-symbol pair frequencies a byte-pair-encoding tokenizer
@@ -720,6 +785,7 @@ object TextAnalysis {
     "q112_bpe_pairs"  -> q112BpePairs _,
     "q114_bpe_train"  -> q114BpeTrain _,
     "q115_bpe_encode" -> q115BpeEncode _,
+    "q117_hard_negatives" -> q117HardNegatives _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -734,5 +800,6 @@ object TextAnalysis {
     "q112_bpe_pairs"  -> q112Sql,
     "q114_bpe_train"  -> q114Sql,
     "q115_bpe_encode" -> q115Sql,
+    "q117_hard_negatives" -> q117Sql,
   )
 }

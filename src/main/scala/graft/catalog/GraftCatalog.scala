@@ -494,6 +494,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Iceberg add_files' partition_filter: onboard yesterday's
     * partition of a living lake without touching the rest.
     * Returns the committed metadata and the number of files added. */
+  /** `input_file_name()` returns the scanned file's URL-ENCODED path
+    * (a literal space renders as %20, a literal % as %25), while
+    * [[MetaStore.listParquetUnder]] returns literal file-system names —
+    * decode before comparing, or any source path containing an
+    * encodable character fails every per-file proof mapping. */
+  private def decodedScanPath(f: String): String =
+    try new java.net.URI(f).getPath
+    catch { case _: java.net.URISyntaxException => f }
+
   def addFiles(ident: Identifier, sourceDir: String,
                partitionFilter: Map[String, String] = Map.empty)
       : (TableMetadata, Int) = {
@@ -861,7 +870,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .collect()
       computed.foreach { row =>
         val f = row.getString(0)
-        val rel = srcRels.find(r => f.endsWith("/" + r)).getOrElse(
+        val rel = srcRels.find(r => decodedScanPath(f).endsWith("/" + r))
+          .getOrElse(
           throw new IllegalStateException(
             s"bucket verification could not map scanned file $f back to " +
               "a source file"))
@@ -895,7 +905,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .collect()
       computed.foreach { row =>
         val f = row.getString(0)
-        val rel = srcRels.find(r => f.endsWith("/" + r)).getOrElse(
+        val rel = srcRels.find(r => decodedScanPath(f).endsWith("/" + r))
+          .getOrElse(
           throw new IllegalStateException(
             s"temporal verification could not map scanned file $f back " +
               "to a source file"))
@@ -933,7 +944,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .collect()
       computed.foreach { row =>
         val f = row.getString(0)
-        val rel = srcRels.find(r => f.endsWith("/" + r)).getOrElse(
+        val rel = srcRels.find(r => decodedScanPath(f).endsWith("/" + r))
+          .getOrElse(
           throw new IllegalStateException(
             s"truncate verification could not map scanned file $f back " +
               "to a source file"))

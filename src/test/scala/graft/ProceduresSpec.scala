@@ -391,6 +391,26 @@ class ProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(eWide.getMessage.contains("longer than"), eWide.getMessage)
 
+    // escaped dir values transfer verbatim: a prefix containing a space
+    // arrives %-escaped from the Spark partitionBy layout, the proof
+    // compares the UNescaped value against the rendered prefix, and the
+    // landed `__part_` dir keeps the same escaping the native writer
+    // would use — the round-trip is value-exact
+    spark.sql("DROP TABLE IF EXISTS graft.imp.tre")
+    spark.sql("""CREATE TABLE graft.imp.tre (id BIGINT, name STRING)
+      PARTITIONED BY (truncate(3, name))""")
+    val srcEsc = s"$srcRoot/esc"
+    spark.range(0, 6)
+      .select(col("id"), concat(lit("a b"), col("id")).as("name"),
+        lit("a b").as("pfx"))
+      .coalesce(1).write.partitionBy("pfx").mode("overwrite").parquet(srcEsc)
+    spark.sql(s"CALL graft.system.add_files('imp.tre', '$srcEsc')").collect()
+    assert(spark.table("graft.imp.tre").count() == 6)
+    assert(spark.table("graft.imp.tre").filter(col("name").startsWith("a b"))
+      .count() == 6)
+    assert(spark.table("graft.imp.tre").filter(col("id") === 3)
+      .select(col("name")).head.getString(0) == "a b3")
+
     // an INT truncate spec enforces the width-multiple witness
     spark.sql("DROP TABLE IF EXISTS graft.imp.tri")
     spark.sql("""CREATE TABLE graft.imp.tri (id BIGINT, grp BIGINT)

@@ -581,8 +581,7 @@ object Curation {
     // |survivors| id set, never against text.
     val survivorsA = d.filter(col("filter_keep"))
       .select(col("doc_id").as("doc_a"))
-    val dropIds = Dedup.q52MinHashLsh(s, dir)
-      .select(col("doc_a"), col("doc_b"))
+    val dropIds = Dedup.verifiedPairsArtifact(s, dir)
       .join(survivorsA, Seq("doc_a"))
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("dropped", lit(true))

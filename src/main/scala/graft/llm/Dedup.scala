@@ -160,6 +160,19 @@ object Dedup {
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
   }
 
+  // the verified near-dup pair set as a memoized session artifact for
+  // CONSUMERS (q116's funnel, q117's exclusion): one build serves them
+  // all. q52 itself deliberately does NOT read this memo — its bench
+  // number must price the pipeline, not a cache hit.
+  private val pairsArtifact = new graft.SessionMemo[DataFrame]
+
+  /** q52's verified pairs (doc_a < doc_b), built once per (session,
+    * sfDir) and pinned. */
+  private[llm] def verifiedPairsArtifact(s: SparkSession, dir: String): DataFrame =
+    pairsArtifact.getOrBuild(s, dir)(
+      q52MinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint())
+
   def q52MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleUdf(col("text")).as("sh"))

@@ -442,7 +442,7 @@ object TextAnalysis {
     val pool = ranked.filter(col("rn") <= 20)
     val pos = ranked.filter(col("rn") === 1)
       .select(col("query_id"), col("doc_id").as("pos_id"))
-    val pairs = Dedup.q52MinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = Dedup.verifiedPairsArtifact(s, dir)
     val excl = pos.join(pairs, col("pos_id") === col("doc_a"))
         .select(col("query_id"), col("doc_b").as("doc_id"))
       .unionByName(pos.join(pairs, col("pos_id") === col("doc_b"))

@@ -24,8 +24,9 @@ object Curation {
   // the same hash in DuckDB syntax. DuckDB's % is sign-preserving while
   // the Spark side finishes with pmod, so the SQL wraps the final mod
   // into floor-mod form — identical for any sign of doc_id
-  private val sqlDetHash =
-    "((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648"
+  private def sqlDetHashOf(c: String): String =
+    s"((((($c) % 2147483648) * 1103515245 + 12345) % 2147483648) + 2147483648) % 2147483648"
+  private val sqlDetHash = sqlDetHashOf("doc_id")
 
   // string group keys hash through the shared q61 char fold (TextAnalysis)
   // so group-hash splits stay oracle-checkable with engine-neutral values
@@ -812,9 +813,96 @@ object Curation {
       .start()
   }
 
+  /** Leakage-safe train/val/test split (q118): q68's hash split made
+    * NEAR-DUP-SAFE — every document splits by its near-dup CLUSTER
+    * representative (q67's min-label propagation; singletons represent
+    * themselves), so two near-duplicates can never straddle train and
+    * test (the eval-contamination failure mode group-hash splitting
+    * exists to prevent; q68's source_split is the coarse per-source
+    * version, this is the precise per-cluster one). Emits per-split
+    * doc/token/cluster counts plus a `leaked_pairs` audit column — the
+    * count of verified near-dup pairs whose ends landed in different
+    * splits, computed honestly from the pair list (0 by construction,
+    * and the oracle would catch a splitter that broke the invariant).
+    *
+    * Scale shape: labels are the bounded-round q67 propagation (edges
+    * from the ids-only pair list); the split decision is map-only
+    * modular arithmetic on the representative; the audit joins the
+    * pair list (ids only) against the |docs|-row assignment twice. */
+  def q118LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val labels = Dedup.q67DedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_rep"))
+    val bucket = pmod(detHash(col("rep")), lit(100))
+    val splitCol = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+    val assigned = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("split", splitCol)
+      .localCheckpoint() // feeds the summary AND both audit joins
+    val sp = assigned.select(col("doc_id"), col("split"))
+    val leaked = Dedup.verifiedPairsArtifact(s, dir)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+    val leakBySplit = leaked.select(col("split_a").as("split"))
+      .unionByName(leaked.select(col("split_b").as("split")))
+      .groupBy(col("split")).agg(count(lit(1)).as("leaked_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("rep")).as("n_clusters"))
+      .join(leakBySplit, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        col("n_clusters"), coalesce(col("leaked_pairs"), lit(0L))
+          .as("leaked_pairs"))
+      .orderBy(col("split"))
+  }
+
+  /** DuckDB replay of q118: the q67 recursive min-label closure
+    * ([[Dedup.ccCte]] verbatim — its `p` CTE is also the exact pair
+    * list for the leak audit), the q68 LCG split arithmetic on the
+    * representative, and the straddle count all recomputed. */
+  val q118Sql: String = Dedup.ccCte +
+    s""",
+      |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM cc GROUP BY doc_id),
+      |d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |a AS (
+      |  SELECT d.doc_id, d.n_tokens,
+      |    COALESCE(lab.cluster_rep, d.doc_id) AS rep
+      |  FROM d LEFT JOIN lab USING (doc_id)),
+      |a2 AS (
+      |  SELECT *, CASE WHEN (${sqlDetHashOf("rep")}) % 100 < 80 THEN 'train'
+      |                 WHEN (${sqlDetHashOf("rep")}) % 100 < 90 THEN 'val'
+      |                 ELSE 'test' END AS split
+      |  FROM a),
+      |lk AS (
+      |  SELECT sa.split AS split_a, sb.split AS split_b
+      |  FROM p
+      |  JOIN a2 sa ON sa.doc_id = p.doc_a
+      |  JOIN a2 sb ON sb.doc_id = p.doc_b
+      |  WHERE sa.split <> sb.split),
+      |lks AS (
+      |  SELECT split, COUNT(*) AS leaked_pairs FROM (
+      |    SELECT split_a AS split FROM lk
+      |    UNION ALL SELECT split_b FROM lk) GROUP BY split)
+      |SELECT a2.split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+      |  CAST(COALESCE(ANY_VALUE(lks.leaked_pairs), 0) AS BIGINT) AS leaked_pairs
+      |FROM a2 LEFT JOIN lks ON lks.split = a2.split
+      |GROUP BY a2.split ORDER BY a2.split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_quality_sample" -> q113QualitySample _,
     "q116_curation_funnel" -> q116CurationFunnel _,
+    "q118_leakage_safe_split" -> q118LeakageSafeSplit _,
     "q68_split_sample"  -> q68SplitSample _,
     "q108_dsir_weights" -> q108DsirWeights _,
     "q110_corpus_report" -> q110CorpusReport _,
@@ -827,6 +915,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q113_quality_sample" -> q113Sql,
     "q116_curation_funnel" -> q116Sql,
+    "q118_leakage_safe_split" -> q118Sql,
     "q68_split_sample"  -> q68Sql,
     "q108_dsir_weights" -> q108Sql,
     "q110_corpus_report" -> q110Sql,

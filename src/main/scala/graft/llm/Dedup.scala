@@ -765,7 +765,7 @@ object Dedup {
   /** The recursive min-label closure CTE shared by [[q67Sql]] and
     * [[q106Sql]] (exact all-pairs trigram Jaccard edges + connected
     * components). */
-  private val ccCte: String =
+  private[llm] val ccCte: String =
     """WITH RECURSIVE w AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |g AS (

@@ -869,7 +869,7 @@ private[graft] object GraftChangesOffset {
     * drive both streams with them). */
   def of(o: Offset): GraftChangesOffset = o match {
     case c: GraftChangesOffset => c
-    case g: GraftSourceOffset => GraftChangesOffset(g.version)
+    case g: GraftSourceOffset => GraftChangesOffset(g.version, g.fileIdx)
     case other => parse(other.json())
   }
 }

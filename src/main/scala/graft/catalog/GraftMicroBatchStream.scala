@@ -6,12 +6,31 @@ import org.apache.spark.sql.types.StructType
 
 import graft.meta.MetaStore
 
-/** Stream offset = table metadata version: "every file in version v's
-  * snapshot has been delivered". Versions are totally ordered, durable,
-  * and replayable (`loadVersion` serves immutable history), which makes
-  * the offset both restart-safe and humanly debuggable. */
-private[graft] case class GraftSourceOffset(version: Int) extends Offset {
-  override def json(): String = version.toString
+/** Stream offset = table metadata version, plus an optional SUB-COMMIT
+  * watermark: `version` is the last FULLY-delivered metadata version
+  * ("every file in version v's snapshot has been delivered") and
+  * `fileIdx` (> 0 only mid-way through a PURE-APPEND commit) counts how
+  * many of version `version`+1's added files have already gone out —
+  * the same `v:k` pacing watermark the changelog stream carries
+  * ([[GraftChangesOffset]]), so one giant backfill append on
+  * `readStream.table` splits into bounded micro-batches instead of
+  * planning as a single unboundable one. Versions are totally ordered,
+  * durable, and replayable (`loadVersion` serves immutable history),
+  * which makes the offset restart-safe and humanly debuggable; at a
+  * commit boundary it serializes as the bare version integer (the exact
+  * pre-r10 form), so existing checkpoints resume unchanged. */
+private[graft] case class GraftSourceOffset(version: Int, fileIdx: Int = 0)
+  extends Offset {
+  override def json(): String =
+    if (fileIdx == 0) version.toString else s"$version:$fileIdx"
+}
+
+private[graft] object GraftSourceOffset {
+  def parse(j: String): GraftSourceOffset = j.trim.split(":") match {
+    case Array(v) => GraftSourceOffset(v.trim.toInt)
+    case Array(v, k) => GraftSourceOffset(v.trim.toInt, k.trim.toInt)
+    case _ => throw new IllegalArgumentException(s"bad source offset '$j'")
+  }
 }
 
 /** MICRO_BATCH_READ over a graft catalog table — the missing half of the
@@ -73,6 +92,29 @@ private[graft] class GraftMicroBatchStream(
       files
     })
 
+  /** Version v's delta as an ordered (file, length) list WHEN the commit
+    * is a pure append (only new files; nothing removed, no delete files
+    * — those already fail [[filesAt]]); None otherwise. Only pure
+    * appends may split mid-commit: an overwrite's removed+added files
+    * carry joint semantics, so it admits atomically. Memoized like
+    * [[fileSetCache]] — the walk re-visits the in-progress commit every
+    * trigger. Order comes from the snapshot's stored file list, which
+    * is immutable per version, so a slice replays bit-identically. */
+  private val appendDeltaCache =
+    scala.collection.mutable.Map.empty[Int, Option[Seq[(String, Long)]]]
+  private def appendDeltaOf(v: Int): Option[Seq[(String, Long)]] =
+    appendDeltaCache.getOrElseUpdate(v, {
+      val prev = filesAt(v - 1).toSet
+      val curF = filesAt(v)
+      if (prev.subsetOf(curF.toSet)) {
+        val added = curF.filterNot(prev)
+        val lens = ManifestFileIndex.lengthsFor(
+          org.apache.spark.sql.SparkSession.active,
+          store.dataDir(ns, table), added)
+        Some(added.map(r => r -> lens(r)))
+      } else None
+    })
+
   override def initialOffset(): Offset = GraftSourceOffset(startVersion)
 
   override def latestOffset(): Offset =
@@ -84,10 +126,12 @@ private[graft] class GraftMicroBatchStream(
     * ENTIRE backlog as a single batch — at 100 TB that is one
     * multi-hour batch whose failure loses all progress. With
     * `max-files-per-trigger` and/or `max-bytes-per-trigger`, the offset
-    * walk stops at the last version whose cumulative delta fits EVERY
-    * configured budget, always advancing at least one version so an
-    * oversized single commit still progresses (same contract as the
-    * file-source's maxFilesPerTrigger). Bytes come from the manifest
+    * walk stops at the last point whose cumulative delta fits EVERY
+    * configured budget — and that point can sit INSIDE a pure-append
+    * commit (`version:fileIdx` watermark), so even one oversized
+    * backfill append paces into bounded micro-batches; non-append
+    * commits admit atomically, and at least one file/step always
+    * admits so the stream progresses. Bytes come from the manifest
     * length cache ([[ManifestFileIndex.lengthsFor]]) — one listStatus
     * per new commit dir ever, never a per-file stat sweep. */
   override def getDefaultReadLimit
@@ -110,7 +154,7 @@ private[graft] class GraftMicroBatchStream(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxBytes, ReadMaxFiles}
-    val s = start.asInstanceOf[GraftSourceOffset].version
+    val st = start.asInstanceOf[GraftSourceOffset]
     val cur = math.max(startVersion, store.currentVersion(ns, table))
     // Trigger.AvailableNow wraps the default limit in a composite —
     // honor the budgets inside it rather than draining everything
@@ -120,42 +164,88 @@ private[graft] class GraftMicroBatchStream(
     }
     val fileCap = limits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
     val byteCap = limits.collectFirst { case b: ReadMaxBytes => b.maxBytes() }
-    if ((fileCap.isEmpty && byteCap.isEmpty) || cur <= s)
-      return GraftSourceOffset(cur)
-    val baseline = filesAt(s).toSet
-    var chosen = s
-    var v = s + 1
+    if (fileCap.isEmpty && byteCap.isEmpty) return GraftSourceOffset(cur)
+    if (cur <= st.version && st.fileIdx == 0) return GraftSourceOffset(cur)
+    // Budget walk with SUB-COMMIT splitting (the changelog stream's
+    // discipline, ChangesMicroBatchStream): pure-append commits admit
+    // file by file, non-append commits atomically; at least one unit —
+    // file or atomic step — always admits, preserving progress.
+    var lastFull = st.version
+    var extra = 0
+    var fileBudget = fileCap.getOrElse(Int.MaxValue).toLong
+    var byteBudget = byteCap.getOrElse(Long.MaxValue)
+    var admitted = false
     var done = false
+    var v = st.version + 1
+    var skip = st.fileIdx
     while (v <= cur && !done) {
-      val delta = filesAt(v).filterNot(baseline)
-      val n = delta.size
-      // bytes are consulted only when a byte budget exists — a
-      // files-only trigger never pays the length lookup
-      val bytes = if (byteCap.isDefined) deltaBytes(delta) else 0L
-      val fits = fileCap.forall(n <= _) && byteCap.forall(bytes <= _)
-      if (fits || v == s + 1) chosen = v else done = true
-      // a budget consumed exactly is consumed: stop here
-      if (fileCap.exists(n >= _) || byteCap.exists(bytes >= _)) done = true
+      appendDeltaOf(v) match {
+        case Some(files) =>
+          var k = skip
+          while (k < files.size && !done) {
+            val len = if (byteCap.isDefined) files(k)._2 else 0L
+            if ((fileBudget >= 1 && byteBudget >= len) || !admitted) {
+              fileBudget -= 1; byteBudget -= len
+              k += 1; admitted = true
+              if (fileBudget <= 0 || byteBudget <= 0) done = true
+            } else done = true
+          }
+          if (k >= files.size) { lastFull = v; extra = 0 }
+          else { extra = k; done = true } // lastFull stays v-1
+        case None =>
+          val delta = filesAt(v).filterNot(filesAt(v - 1).toSet)
+          val n = delta.size
+          val b = if (byteCap.isDefined) deltaBytes(delta) else 0L
+          if ((n <= fileBudget && b <= byteBudget) || !admitted) {
+            lastFull = v; extra = 0; admitted = true
+            fileBudget -= n; byteBudget -= b
+            if (fileBudget <= 0 || byteBudget <= 0) done = true
+          } else done = true
+      }
+      skip = 0
       v += 1
     }
-    GraftSourceOffset(chosen)
+    GraftSourceOffset(lastFull, extra)
   }
 
   override def reportLatestOffset(): Offset =
     GraftSourceOffset(math.max(startVersion, store.currentVersion(ns, table)))
 
   override def deserializeOffset(json: String): Offset =
-    GraftSourceOffset(json.trim.toInt)
+    GraftSourceOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftSourceOffset].version
-    val e = end.asInstanceOf[GraftSourceOffset].version
-    if (e <= s) return Array.empty
+    val st = start.asInstanceOf[GraftSourceOffset]
+    val en = end.asInstanceOf[GraftSourceOffset]
+    if (en.version < st.version ||
+        (en.version == st.version && en.fileIdx <= st.fileIdx)) return Array.empty
     // snapshot file lists are cumulative under appends, so the set
     // difference IS the delta; recomputing it from immutable versions
-    // makes a replayed (uncommitted-at-crash) batch bit-identical
-    val baseline = filesAt(s).toSet
-    val delta = filesAt(e).filterNot(baseline)
+    // makes a replayed (uncommitted-at-crash) batch bit-identical.
+    // Sub-commit watermarks (fileIdx > 0 — only ever placed inside a
+    // pure-append commit by the admission walk) slice that commit's
+    // ordered delta list; the orderings are per-version immutable, so
+    // replays stay bit-identical.
+    def sliceOf(v: Int, from: Int, until: Int): Seq[String] =
+      appendDeltaOf(v).getOrElse(throw new IllegalStateException(
+        s"sub-commit offset into version $v, which is not a pure append"))
+        .map(_._1).slice(from, until)
+    val delta: Seq[String] =
+      if (st.fileIdx == 0 && en.fileIdx == 0) {
+        val baseline = filesAt(st.version).toSet
+        filesAt(en.version).filterNot(baseline)
+      } else if (st.version == en.version) {
+        // both watermarks inside the same giant append
+        sliceOf(st.version + 1, st.fileIdx, en.fileIdx)
+      } else {
+        val head = if (st.fileIdx > 0)
+          sliceOf(st.version + 1, st.fileIdx, Int.MaxValue) else Nil
+        val base = filesAt(if (st.fileIdx > 0) st.version + 1 else st.version).toSet
+        val whole = filesAt(en.version).filterNot(base)
+        val tail = if (en.fileIdx > 0)
+          sliceOf(en.version + 1, 0, en.fileIdx) else Nil
+        head ++ whole ++ tail
+      }
     // hive-imported partitioned files serve identity columns from dirs
     // (ImportOverlay on the batch scan); the stream's single shared
     // factory cannot patch per dir group — refuse rather than emit
@@ -163,7 +253,8 @@ private[graft] class GraftMicroBatchStream(
     require(!delta.exists(r => GraftTable.isImportedRel(r) &&
         PartitionDirs.kvs(r).nonEmpty),
       s"streaming read of ${(ns :+ table).mkString(".")}: batch " +
-        s"$s -> $e contains hive-imported partitioned files whose " +
+        s"${st.json()} -> ${en.json()} contains hive-imported partitioned " +
+        "files whose " +
         "identity columns live in directories — compact the table first")
     delegateScanFor(delta).toBatch.planInputPartitions()
   }

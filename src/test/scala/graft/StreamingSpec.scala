@@ -534,6 +534,102 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counting.loadVersionCalls == before + firstWalk,
       "a repeated changelog walk must hit the step-count cache")
   }
+
+  test("data stream paces one oversized append commit (sub-commit offsets)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.paceg")
+    spark.sql("CREATE TABLE graftst.paceg.t (k BIGINT)")
+    // ONE commit, several files (one per shuffle partition) — the
+    // "500 GB backfill append" shape the changelog stream already paces;
+    // before r10 the data stream planned it as a single unboundable
+    // micro-batch regardless of budgets
+    spark.sql("INSERT INTO graftst.paceg.t SELECT id FROM range(0, 400)")
+    val nFiles = spark.sql("SELECT count(*) FROM graftst.paceg.`t$files`")
+      .head.getLong(0)
+    assert(nFiles >= 2, s"need a multi-file commit, got $nFiles")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pace-ckpt").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def start() = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("graftst.paceg.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val ks = df.select(col("k")).collect().map(_.getLong(0)).toSeq
+        if (ks.nonEmpty) batches.add(ks); ()
+      }.start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val first = batches.asScala.toSeq
+    assert(first.flatten.sorted == (0L until 400L),
+      "sub-commit pacing lost or duplicated rows")
+    assert(first.length == nFiles,
+      s"a 1-file budget must pace the $nFiles-file commit into $nFiles " +
+        s"batches, got ${first.length}")
+
+    // restart from the checkpoint: the mid-commit watermark must not
+    // re-emit anything; a fresh commit still flows
+    spark.sql("INSERT INTO graftst.paceg.t VALUES (1000)")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = batches.asScala.toSeq.flatten
+    assert(all.sorted == ((0L until 400L) :+ 1000L),
+      s"restart across the sub-commit watermark broke exactly-once: " +
+        s"${all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }}")
+  }
+
+  test("data stream resumes exactly-once from a PERSISTED mid-commit watermark") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.pacer")
+    spark.sql("CREATE TABLE graftst.pacer.t (k BIGINT)")
+    spark.sql("INSERT INTO graftst.pacer.t SELECT id FROM range(0, 400)")
+    val nFiles = spark.sql("SELECT count(*) FROM graftst.pacer.`t$files`")
+      .head.getLong(0)
+    assert(nFiles >= 3, s"need >=3 files to crash mid-commit, got $nFiles")
+
+    // Crash the query WHILE its checkpoint watermark sits INSIDE the
+    // append commit (a v:k offset), then restart: the uncommitted batch
+    // must replay bit-identically from the persisted slice boundary and
+    // the union must be exact — the crash-mid-backfill scenario.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pacer-ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    @volatile var poison = true
+    def start() = spark.readStream
+      .option("max-files-per-trigger", "1")
+      .table("graftst.pacer.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        val ks = df.select(col("k")).collect().map(_.getLong(0)).toSeq
+        val prev = seen.put(id, ks)
+        assert(prev == null || prev == ks,
+          s"replayed batch $id must be bit-identical: $prev vs $ks")
+        if (poison && id == 1) throw new RuntimeException("simulated crash")
+        ()
+      }.start()
+    val q = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    q.stop()
+    // batch 1's END offset was logged before the crash — prove it is a
+    // mid-commit v:k watermark, the thing a restart resumes from
+    val off1 = java.nio.file.Paths.get(ckpt, "offsets", "1")
+    val lastLine = java.nio.file.Files.readAllLines(off1).asScala.last.trim
+    assert(lastLine.matches("\\d+:\\d+"),
+      s"expected a mid-commit v:k watermark in offsets/1, got '$lastLine'")
+
+    poison = false
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(seen.size.toLong == nFiles,
+      s"a 1-file budget must deliver $nFiles batches total, got ${seen.size}")
+    assert(seen.values.asScala.toSeq.flatten.sorted == (0L until 400L),
+      "persisted mid-commit restart lost or duplicated rows")
+  }
 }
 
 /** MetaStore proxy that counts metadata-version loads — the admission

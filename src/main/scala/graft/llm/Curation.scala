@@ -825,14 +825,15 @@ object Curation {
     * splits, computed honestly from the pair list (0 by construction,
     * and the oracle would catch a splitter that broke the invariant).
     *
-    * Scale shape: labels are the bounded-round q67 propagation (edges
-    * from the ids-only pair list); the split decision is map-only
-    * modular arithmetic on the representative; the audit joins the
-    * pair list (ids only) against the |docs|-row assignment twice. */
+    * Scale shape: labels and pairs are the memoized session artifacts
+    * ([[Dedup.clusterLabelsArtifact]] / [[Dedup.verifiedPairsArtifact]]
+    * — one MinHash pipeline and one propagation per session serve q106,
+    * q116, q117 and q118); the split decision is map-only modular
+    * arithmetic on the representative; the audit joins the pair list
+    * (ids only) against the |docs|-row assignment twice. */
   def q118LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
-    val labels = Dedup.q67DedupClusters(s, dir)
-      .select(col("doc_id"), col("cluster_rep"))
+    val labels = Dedup.clusterLabelsArtifact(s, dir)
     val bucket = pmod(detHash(col("rep")), lit(100))
     val splitCol = when(bucket < 80, "train").when(bucket < 90, "val")
       .otherwise("test")

@@ -542,13 +542,91 @@ object Dedup {
       |SELECT doc_a, doc_b, source, jaccard FROM j
       |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Connected components over an undirected pair list (doc_a, doc_b)
+    * → (doc_id, label) with label = the component's min doc_id.
+    *
+    * Each round does min-label propagation (every doc adopts the
+    * smallest label among itself and its neighbors) followed by a
+    * POINTER JUMP (label := label's label) — the jump halves the
+    * remaining label-chain depth, so convergence is O(log diameter)
+    * rounds instead of O(diameter): a 1000-hop boilerplate chain at
+    * 100 TB converges in ~10 rounds, not 1000. All steps are equi-joins
+    * and an aggregation on doc ids; each round is truncated with
+    * localCheckpoint so the plan stays O(1) deep, and the convergence
+    * bit rides INSIDE the checkpointed frame (the isEmpty probe scans
+    * cached partitions — one action per round).
+    *
+    * FAIL-LOUD: if the cap is ever hit unconverged the method refuses
+    * rather than return wrong labels — q118's train/test-leakage
+    * guarantee rests on labels being actually converged, and a silent
+    * cap would leak exactly when the corpus is at its most duplicated
+    * (DedupGuardSpec drives a >10-hop chain through this). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    // 48 pointer-jumping rounds cover diameters ~2^48 — unreachable in
+    // practice; the require below still refuses if it is ever hit
+    val MaxRounds = 48
+    while (!converged && rounds < MaxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("label") > coalesce(col("nlabel"), col("label"))).as("changed"))
+      // pointer jump: follow one indirection — labels are always node
+      // ids (min over node ids), and label(x) <= x, so the jump only
+      // ever decreases; left join + coalesce guards the roots
+      val jump = stepped
+        .select(col("doc_id").as("label"), col("label").as("jlabel"))
+      val next = stepped.join(jump, Seq("label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("jlabel"), col("label")).as("label"),
+          (col("changed") ||
+            coalesce(col("jlabel"), col("label")) =!= col("label")).as("changed"))
+        .localCheckpoint(false)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
+      rounds += 1
+    }
+    require(converged,
+      s"connected-components did not converge in $MaxRounds pointer-jumping " +
+        "rounds — the near-dup graph's diameter exceeds ~2^48 hops, which " +
+        "indicates a degenerate pair list; refusing to emit unconverged " +
+        "labels (they would mislabel clusters and leak near-dups across " +
+        "train/test splits)")
+    labels
+  }
+
+  // cluster labels as a memoized session artifact for CONSUMERS (q106's
+  // keep-best, q118's leakage-safe split): one propagation serves them
+  // all, built over the equally-memoized verified-pairs artifact. q67
+  // itself deliberately does NOT read this memo — its bench number must
+  // price the propagation, not a cache hit.
+  private val labelsArtifact = new graft.SessionMemo[DataFrame]
+
+  /** q67's converged cluster labels (doc_id, cluster_rep), built once
+    * per (session, sfDir) and pinned. */
+  private[llm] def clusterLabelsArtifact(s: SparkSession, dir: String): DataFrame =
+    labelsArtifact.getOrBuild(s, dir)(
+      connectedComponents(verifiedPairsArtifact(s, dir))
+        .select(col("doc_id"), col("label").as("cluster_rep"))
+        .localCheckpoint())
+
   /** Near-dup clusters + keep/drop decisions: connected components over
-    * the verified MinHash pairs via iterative min-label propagation
-    * (each round: every doc adopts the smallest label among itself and
-    * its neighbors; converges in <= graph-diameter rounds — bounded here,
-    * and at 100 TB this is the standard alternating-join CC, all
-    * equi-joins on doc ids). Output: every clustered doc with its
-    * cluster representative (min doc_id) and the keep decision.
+    * the verified MinHash pairs via min-label propagation with pointer
+    * jumping ([[connectedComponents]] — O(log diameter) rounds, all
+    * equi-joins on doc ids, fail-loud on non-convergence). Output:
+    * every clustered doc with its cluster representative (min doc_id)
+    * and the keep decision.
     *
     * Oracle-checked ([[q67Sql]]): the corpus's near-dup pairs all sit
     * at J ≥ 0.9, where 16-band/4-row LSH recall is 1 − (1−0.9⁴)¹⁶ ≈
@@ -556,42 +634,11 @@ object Dedup {
     * all-pairs set here, and DuckDB replays it as exact trigram Jaccard
     * plus a WITH RECURSIVE min-label propagation. A missed pair or a
     * wrong cluster representative fails the hash. */
-  def q67DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q52MinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    // undirected edges both ways; materialized once — each propagation
-    // round is truncated with localCheckpoint so the plan stays O(1)
-    // deep (10 rounds of nested joins would otherwise blow up analysis)
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
-    var labels = edges.select(col("doc_a").as("doc_id"))
-      .union(edges.select(col("doc_b").as("doc_id"))).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 10) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("label")).as("nlabel"))
-      // carry the convergence bit INSIDE the checkpointed frame: the
-      // isEmpty probe then only scans cached partitions instead of
-      // re-running a labels⋈next join — one action per round, not two
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("label") > coalesce(col("nlabel"), col("label"))).as("changed"))
-        .localCheckpoint(false)
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.drop("changed")
-      rounds += 1
-    }
-    labels
+  def q67DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(q52MinHashLsh(s, dir).select(col("doc_a"), col("doc_b")))
       .select(col("doc_id"), col("label").as("cluster_rep"),
         (col("doc_id") === col("label")).as("keep"))
       .orderBy(col("doc_id"))
-  }
 
   /** KEEP-BEST near-dup consolidation — the curation decision real
     * pipelines make after clustering: drop the WORSE copies, not the
@@ -600,14 +647,16 @@ object Dedup {
     * composite; doc_id tiebreak for rounded-quality ties); documents
     * with no near-dup keep themselves.
     *
-    * Scale shape: label propagation is the bounded-round q67 machinery;
-    * quality is map-only arithmetic; the representative choice is ONE
-    * window ranked within clusters (cluster-sized partitions — never a
-    * global sort). Oracle-checked end-to-end ([[q106Sql]]): closure +
+    * Scale shape: labels come from the memoized session artifact
+    * ([[clusterLabelsArtifact]] — one propagation per session serves
+    * q106 AND q118; q67 itself still prices its own build); quality is
+    * map-only arithmetic; the representative choice is ONE window
+    * ranked within clusters (cluster-sized partitions — never a global
+    * sort). Oracle-checked end-to-end ([[q106Sql]]): closure +
     * composite + rank all recomputed independently in DuckDB. */
   def q106DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = q67DedupClusters(s, dir).select(col("doc_id"), col("cluster_rep"))
+    val labels = clusterLabelsArtifact(s, dir)
     val quality = TextAnalysis.q59Quality(s, dir).select(col("doc_id"), col("quality"))
     val docs = quality.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))

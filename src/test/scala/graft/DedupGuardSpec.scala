@@ -118,4 +118,30 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, "h1 h2 h3 h4 z9 h1 h2 h3 h4", 0L)
     ), cleaned.toString)
   }
+
+  test("label propagation converges on a deep chain (diameter >> 10)") {
+    import spark.implicits._
+    // a 200-hop chain 0-1-2-...-200 — the r9 implementation silently
+    // capped at 10 rounds and returned UNCONVERGED labels for exactly
+    // this shape (long boilerplate near-dup chains); pointer jumping
+    // must converge it, and to the true min label everywhere. Reversed
+    // edge order so convergence isn't an artifact of ascending ids.
+    val chain = (0L until 200L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 201)
+    assert(labels.values.forall(_ == 0L),
+      s"chain must collapse to min label 0, got ${labels.values.toSet}")
+
+    // two components + a singleton pair stay separate
+    val two = ((0L until 50L).map(i => (i + 1, i)) ++
+      (1000L until 1030L).map(i => (i + 1, i)) :+ (5000L, 4999L))
+      .toDF("doc_a", "doc_b")
+    val l2 = Dedup.connectedComponents(two)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(l2.forall { case (d, l) =>
+      if (d <= 50L) l == 0L else if (d <= 1030L) l == 1000L else l == 4999L
+    }, s"components bled into each other: ${l2.filterNot { case (d, l) =>
+      if (d <= 50L) l == 0L else if (d <= 1030L) l == 1000L else l == 4999L }.toSeq}")
+  }
 }

@@ -558,8 +558,9 @@ object TextAnalysis {
       .limit(25)
   }
 
-  /** BPE tokenizer TRAINING, three unrolled merge rounds (q114) — the
-    * full Sennrich et al. 2016 loop that q112's measurement round
+  /** BPE tokenizer TRAINING (q114: the 3-round oracle instance of the
+    * N-merge [[trainBpeChain]] loop) — the full Sennrich et al. 2016
+    * loop that q112's measurement round
     * feeds: each round counts adjacent-symbol pair frequencies over the
     * weighted vocab, picks the top pair (count desc, then both symbols
     * — fully deterministic), and APPLIES the merge to every vocab entry
@@ -619,9 +620,20 @@ object TextAnalysis {
     * localCheckpointed; all rounds derive from the checkpoint. */
   private def bpeTrainChain(s: SparkSession, dir: String)
       : (Seq[DataFrame], DataFrame) =
-    bpeChainMemo.getOrBuild(s, dir)(buildBpeChain(s, dir))
+    bpeChainMemo.getOrBuild(s, dir)(trainBpeChain(s, dir, 3))
 
-  private def buildBpeChain(s: SparkSession, dir: String)
+  /** BPE training generalized to N merges at O(1) plan depth per round
+    * (the q67 loop discipline): each round's 1-row merge AND the merged
+    * vocab are localCheckpoint-truncated, so round r's plan is always
+    * [vocab RDD] → pair explode → keyed sum → top-1 → fold — constant
+    * size, never r nested crossJoins — and real vocabularies (10k-50k
+    * merges) train with flat analysis cost and ZERO corpus rescans
+    * (only the initial vocab reduction touches parquet; PlanSpec gates
+    * this at 100 merges). Training stops early if the vocab exhausts
+    * (every word a single symbol) before `rounds` merges exist — the
+    * returned merge list is exactly the learnable prefix. The 3-round
+    * instance is the oracle-replayed q114 chain. */
+  private[graft] def trainBpeChain(s: SparkSession, dir: String, rounds: Int)
       : (Seq[DataFrame], DataFrame) = {
     val D = BpeD
     val vocab0 = Tables.documents(s, dir)
@@ -641,15 +653,23 @@ object TextAnalysis {
     def top1(pc: DataFrame): DataFrame =
       pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
     var v = vocab0
-    val merges = (1 to 3).map { _ =>
-      val m = top1(pairCounts(v))
-      val withM = v.crossJoin(broadcast(
-        m.select(col("a").as("ma"), col("b").as("mb"))))
-      v = withM.select(col("w"),
-        mergeFoldExpr(col("ts"), col("ma"), col("mb")).as("ts"), col("wf"))
-      m
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val m = top1(pairCounts(v)).localCheckpoint()
+      if (m.isEmpty) exhausted = true
+      else {
+        val withM = v.crossJoin(broadcast(
+          m.select(col("a").as("ma"), col("b").as("mb"))))
+        v = withM.select(col("w"),
+          mergeFoldExpr(col("ts"), col("ma"), col("mb")).as("ts"), col("wf"))
+          .localCheckpoint()
+        merges += m
+        r += 1
+      }
     }
-    (merges, v)
+    (merges.toSeq, v)
   }
 
   def q114BpeTrain(s: SparkSession, dir: String): DataFrame = {

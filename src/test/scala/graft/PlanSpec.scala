@@ -434,4 +434,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parquetScans(llm.Curation.q113QualitySample(spark, sf)) == 1,
       "sampling: one corpus scan; rates from the checkpointed aggregate")
   }
+
+  test("BPE training scales to 100 merges: flat plan depth, zero rescans") {
+    // real tokenizers learn 10k-50k merges; per-round localCheckpoint
+    // truncation keeps round r's plan constant-size (the unrolled r9
+    // chain grew plan depth per merge and could not scale rounds)
+    def parquetScans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(planOf(df)).size
+    val (merges, vocab) = llm.TextAnalysis.trainBpeChain(spark, sf, 100)
+    // either all 100 train, or training stopped because the vocab
+    // genuinely exhausted (every word collapsed to a single symbol —
+    // no pair left to merge); never a silent cap
+    import org.apache.spark.sql.functions.{col, size, split}
+    assert(merges.size == 100 ||
+      vocab.filter(size(split(col("ts"),
+        llm.TextAnalysis.bpeDelimiter)) >= 2).isEmpty,
+      s"stopped at ${merges.size} merges with pairs still available")
+    assert(merges.size > 50, s"deep training exercised: ${merges.size} rounds")
+    // every frame derives from the checkpointed vocab — the corpus
+    // parquet was scanned exactly once, at vocab build
+    assert(parquetScans(vocab) == 0, "merged vocab must not rescan parquet")
+    assert(parquetScans(merges.last) == 0, "merges must not rescan parquet")
+    // flat plan depth: a checkpointed frame's plan is a single RDD scan
+    // regardless of round index
+    assert(planOf(vocab).linesIterator.size < 40,
+      s"round-100 vocab plan must stay truncated:\n${planOf(vocab)}")
+    // the 3-round prefix is exactly q114's learned table (determinism
+    // and consistency of the generalized loop with the oracle instance)
+    val first3 = merges.take(3).map(_.collect().head)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val q114 = llm.TextAnalysis.q114BpeTrain(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(first3 == q114, s"N-merge prefix diverged from q114: $first3 vs $q114")
+    // merges compound: later rounds may merge multi-char symbols, and
+    // no (pair) is learned twice
+    val all = merges.map(_.collect().head).map(r => (r.getString(0), r.getString(1)))
+    assert(all.distinct.size == all.size, "a merge pair was learned twice")
+  }
 }

@@ -196,12 +196,19 @@ object TextAnalysis {
 
   /** Within-document repetition statistics — the Gopher-class
     * repetition filters a pretraining pipeline applies before anything
-    * else sees the text: the fraction of bigram occurrences that are
-    * repeats (1 - distinct/total) and the share of the single most
-    * frequent bigram. Plan shape: explode to (doc, bigram) → two
-    * partial+final aggregations, both map-side combined before their
-    * shuffle — no per-doc collect, no quadratic HOF lambda, scales
-    * linearly in corpus size. */
+    * else sees the text, at BOTH granularities the paper prescribes:
+    * n-gram level (the fraction of bigram occurrences that are repeats,
+    * 1 - distinct/total, and the share of the single most frequent
+    * bigram) and LINE level (duplicate-line ratio and top-line share
+    * over newline-split lines — boilerplate headers and chat spam
+    * duplicate whole lines without repeating bigrams). `repetitive`
+    * trips on either: dup bigrams > 0.5 or dup lines > 0.3 (Gopher's
+    * duplicate-line threshold). Plan shape: two explodes (doc, bigram)
+    * / (doc, line) → partial+final aggregations, all map-side combined
+    * before their shuffle, joined on doc_id — no per-doc collect, no
+    * quadratic HOF lambda, scales linearly in corpus size. (The sf
+    * corpora are single-line, so the oracle exercises the degenerate
+    * case; RetrievalCurationSpec drives multi-line fixtures.) */
   def q88Repetition(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
@@ -210,15 +217,28 @@ object TextAnalysis {
       explode(expr("transform(sequence(0, size(t) - 2), " +
         "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
         .as("bigram"))
-    bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+    val bigramStats = bg
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top"),
         count(lit(1)).as("dist"))
+    val lineStats = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("lc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lc")).as("n_lines"), max(col("lc")).as("ltop"),
+        count(lit(1)).as("ldist"))
+    bigramStats.join(lineStats, Seq("doc_id"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("top") / col("n_bigrams"), 6).as("top_bigram_frac"),
         round(lit(1.0) - col("dist") / col("n_bigrams"), 6)
           .as("dup_bigram_frac"),
-        (lit(1.0) - col("dist") / col("n_bigrams") > 0.5).as("repetitive"))
+        col("n_lines"),
+        round(col("ltop") / col("n_lines"), 6).as("top_line_frac"),
+        round(lit(1.0) - col("ldist") / col("n_lines"), 6)
+          .as("dup_line_frac"),
+        ((lit(1.0) - col("dist") / col("n_bigrams") > 0.5) ||
+          (lit(1.0) - col("ldist") / col("n_lines") > 0.3)).as("repetitive"))
       .orderBy(col("doc_id"))
   }
 
@@ -236,12 +256,25 @@ object TextAnalysis {
       |agg AS (
       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
       |    max(c) AS top, count(*) AS dist
-      |  FROM counts GROUP BY 1)
+      |  FROM counts GROUP BY 1),
+      |ln AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      |  FROM documents),
+      |lcounts AS (
+      |  SELECT doc_id, line, count(*) AS lc FROM ln GROUP BY 1, 2),
+      |lagg AS (
+      |  SELECT doc_id, CAST(sum(lc) AS BIGINT) AS n_lines,
+      |    max(lc) AS ltop, count(*) AS ldist
+      |  FROM lcounts GROUP BY 1)
       |SELECT doc_id, n_bigrams,
       |  round(top * 1.0 / n_bigrams, 6) AS top_bigram_frac,
       |  round(1 - dist * 1.0 / n_bigrams, 6) AS dup_bigram_frac,
-      |  (1 - dist * 1.0 / n_bigrams) > 0.5 AS repetitive
-      |FROM agg ORDER BY doc_id""".stripMargin
+      |  n_lines,
+      |  round(ltop * 1.0 / n_lines, 6) AS top_line_frac,
+      |  round(1 - ldist * 1.0 / n_lines, 6) AS dup_line_frac,
+      |  ((1 - dist * 1.0 / n_bigrams) > 0.5
+      |    OR (1 - ldist * 1.0 / n_lines) > 0.3) AS repetitive
+      |FROM agg JOIN lagg USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** C4-style heuristic corpus filtering (the cleaning pass a web-scale
     * training pipeline runs before dedup): document-level rules — enough

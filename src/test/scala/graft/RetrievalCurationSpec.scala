@@ -264,4 +264,28 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = cases.map { case (ts, a, b) => canonical(ts, a, b).mkString(d) }
     assert(got == want)
   }
+
+  test("q88 line-level repetition: duplicate-line ratio and top-line share") {
+    import spark.implicits._
+    // the sf corpora are single-line, so the oracle only covers the
+    // degenerate line case — this fixture exercises the real one: doc 0
+    // duplicates a whole boilerplate line 3x WITHOUT repeating any
+    // bigram (the spam shape line-level stats exist to catch), doc 1 is
+    // clean two-line prose
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q88").toString
+    Seq(
+      (0L, "header\nunique one two\nheader\nheader", "en", "s0", 35L),
+      (1L, "a b c\nd e f", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got = TextAnalysis.q88Repetition(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7))).toSeq
+    assert(got == Seq(
+      // doc 0: 5 distinct bigrams (dup 0.0) but 4 lines of which only 2
+      // distinct -> dup_line 0.5, top line 3/4 -> repetitive via lines
+      (0L, 5L, 0.2, 0.0, 4L, 0.75, 0.5, true),
+      // doc 1: everything distinct -> not repetitive
+      (1L, 5L, 0.2, 0.0, 2L, 0.5, 0.0, false)), got.toString)
+  }
 }

@@ -452,6 +452,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean =
     store.dropTable(ident.namespace.toSeq, ident.name)
 
+  /** `input_file_name()` returns the scanned file's URL-ENCODED path
+    * (a literal space renders as %20, a literal % as %25), while
+    * [[MetaStore.listParquetUnder]] returns literal file-system names —
+    * decode before comparing, or any source path containing an
+    * encodable character fails every per-file proof mapping. */
+  private def decodedScanPath(f: String): String =
+    try new java.net.URI(f).getPath
+    catch { case _: java.net.URISyntaxException => f }
+
   /** Onboarding: register a directory of EXISTING parquet files as
     * table data without rewriting a byte — the verb that moves a
     * 100 TB corpus into the catalog as one metadata commit instead of
@@ -494,15 +503,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Iceberg add_files' partition_filter: onboard yesterday's
     * partition of a living lake without touching the rest.
     * Returns the committed metadata and the number of files added. */
-  /** `input_file_name()` returns the scanned file's URL-ENCODED path
-    * (a literal space renders as %20, a literal % as %25), while
-    * [[MetaStore.listParquetUnder]] returns literal file-system names —
-    * decode before comparing, or any source path containing an
-    * encodable character fails every per-file proof mapping. */
-  private def decodedScanPath(f: String): String =
-    try new java.net.URI(f).getPath
-    catch { case _: java.net.URISyntaxException => f }
-
   def addFiles(ident: Identifier, sourceDir: String,
                partitionFilter: Map[String, String] = Map.empty)
       : (TableMetadata, Int) = {

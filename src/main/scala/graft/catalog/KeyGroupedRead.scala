@@ -260,13 +260,6 @@ private[graft] class MergingRowReader(
     // by the codegen cache across partitions; keys are plain bound
     // references, but keep the interpreted fallback for any type the
     // generator refuses.
-    // Codegen'd comparator: this runs once per row per merge level on
-    // the hot read path, where an interpreted comparison prices every
-    // heap sift at a tree of virtual calls. Generation happens here on
-    // the executor (readers are built executor-side) and is amortized
-    // by the codegen cache across partitions; keys are plain bound
-    // references, but keep the interpreted fallback for any type the
-    // generator refuses.
     try codegen.GenerateOrdering.generate(sorts)
     catch { case scala.util.control.NonFatal(_) => new InterpretedOrdering(sorts) }
   }

@@ -540,6 +540,33 @@ object Curation {
       |  ANY_VALUE(rate6) AS rate6
       |FROM dec GROUP BY source ORDER BY source""".stripMargin
 
+  /** The q116 funnel's stage-1 heuristic filter as ONE reusable
+    * expression (20-word floor, mean word length 2..12, lorem-ipsum /
+    * brace boilerplate rejects) — the single source of truth shared by
+    * the batch funnel ([[q116CurationFunnel]]), its DuckDB oracle
+    * ([[sqlFunnelFilterExpr]] in [[q116Sql]]), and the streaming
+    * funnel ([[funnelIngestStream]]), so batch/stream rule parity
+    * cannot drift: an edit here moves all three, and the q116 oracle
+    * hash gates it. (A per-corpus rule family distinct from q91's C4
+    * rules — see [[TextAnalysis.c4KeepExpr]].) */
+  private[llm] def funnelFilterExpr: Column = {
+    val t = trim(col("text"))
+    val nWords = size(split(t, "\\s+"))
+    val meanWordLen = length(regexp_replace(t, "\\s+", "")) * 1.0 / nWords
+    (nWords >= 20) && (meanWordLen >= 2.0 && meanWordLen <= 12.0) &&
+      !lower(col("text")).contains("lorem ipsum") &&
+      !col("text").contains("{")
+  }
+
+  /** The DuckDB form of [[funnelFilterExpr]] — embedded verbatim in
+    * [[q116Sql]]; kept adjacent so the pair edits together. */
+  private[llm] val sqlFunnelFilterExpr: String =
+    """(len(regexp_split_to_array(trim(text), '\s+')) >= 20)
+      |      AND (LENGTH(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+      |        / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0)
+      |      AND NOT contains(lower(text), 'lorem ipsum')
+      |      AND NOT contains(text, '{')""".stripMargin
+
   /** The end-to-end curation FUNNEL (q116) — the pipeline run a
     * training-data team ships, composed from the pack's proven stages
     * applied SEQUENTIALLY, each stage seeing its predecessor's output:
@@ -566,12 +593,7 @@ object Curation {
   def q116CurationFunnel(s: SparkSession, dir: String): DataFrame = {
     val t = trim(col("text"))
     val tokens = size(split(t, "\\s+")).cast("long")
-    val meanWordLen = length(regexp_replace(t, "\\s+", "")) * 1.0 /
-      size(split(t, "\\s+"))
-    val filterKeep = (size(split(t, "\\s+")) >= 20) &&
-      (meanWordLen >= 2.0 && meanWordLen <= 12.0) &&
-      !lower(col("text")).contains("lorem ipsum") &&
-      !col("text").contains("{")
+    val filterKeep = funnelFilterExpr
     val d = Tables.documents(s, dir).select(
       col("doc_id"), col("source"), tokens.as("n_tokens"),
       TextAnalysis.qualityExpr.as("quality"),
@@ -632,12 +654,8 @@ object Curation {
       |  SELECT doc_id, source,
       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
       |""".stripMargin +
-      "    " + TextAnalysis.sqlQualityExpr + """ AS quality,
-      |    (len(regexp_split_to_array(trim(text), '\s+')) >= 20)
-      |      AND (LENGTH(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
-      |        / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0)
-      |      AND NOT contains(lower(text), 'lorem ipsum')
-      |      AND NOT contains(text, '{') AS filter_keep
+      "    " + TextAnalysis.sqlQualityExpr + s""" AS quality,
+      |    $sqlFunnelFilterExpr AS filter_keep
       |  FROM documents),
       |dr AS (
       |  SELECT DISTINCT v.doc_b AS doc_id FROM vp v
@@ -737,12 +755,9 @@ object Curation {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val t = trim(col("text"))
-        val meanWordLen = length(regexp_replace(t, "\\s+", "")) * 1.0 /
-          size(split(t, "\\s+"))
-        val filterKeep = (size(split(t, "\\s+")) >= 20) &&
-          (meanWordLen >= 2.0 && meanWordLen <= 12.0) &&
-          !lower(col("text")).contains("lorem ipsum") &&
-          !col("text").contains("{")
+        // the SAME stage-1 rule as the batch funnel — one shared
+        // expression, so batch/stream parity cannot drift
+        val filterKeep = funnelFilterExpr
         // one pinned frame feeds the filter verdicts, the survivor
         // shingles/bands, and the final verdict rows
         val b = batch.select(col("doc_id"), col("source"),

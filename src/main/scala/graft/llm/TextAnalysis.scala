@@ -283,9 +283,11 @@ object TextAnalysis {
     * curator can audit WHY a document fell out, plus the combined keep
     * verdict. Map-only (scales embarrassingly); the flags are plain
     * codegen'd string expressions, no UDFs. */
-  /** The q91 composite keep verdict as a reusable per-row expression —
-    * shared with q116's curation funnel (computed inline on the
-    * consumer's scan, one source of truth with [[sqlC4KeepExpr]]). */
+  /** The q91 composite keep verdict as a reusable per-row expression
+    * (one source of truth with [[sqlC4KeepExpr]]; consumed by q91
+    * only — q116's funnel runs its OWN per-corpus rule family,
+    * [[graft.llm.Curation.funnelFilterExpr]]: 20-word floor, no
+    * terminal-punctuation test). */
   def c4KeepExpr: Column = {
     val t = trim(col("text"))
     val nWords = size(split(t, "\\s+"))

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.llm.{AnnIndex, Dedup}
+
+/** The three unattended maintainers — `Curation.funnelIngestStream`,
+  * `Dedup.dedupIngestStream`, and `AnnIndex.maintainStream` — run
+  * against ONE living corpus at once, each with its own checkpoint and
+  * fence key (FunnelBatchKey / IngestBatchKey / the ANN version
+  * stamps). The composition must not interfere: every maintainer
+  * applies each commit exactly once regardless of how the others pace
+  * their triggers, a restart of the whole trio lands on fenced no-ops,
+  * and the ANN maintainer still vacuums departures after the others
+  * detach. Final-state assertions are deliberately trigger-boundary
+  * independent — the streams run concurrently, so commits may reach
+  * each maintainer in different micro-batch groupings. */
+class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb(id: Long): Array[Float] =
+    Array((id % 7 + 1).toFloat, ((id * 3) % 5).toFloat,
+      (id % 2).toFloat, 1.0f)
+
+  test("funnel + dedup + ANN maintainers share one living corpus") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-trio-wh").toString
+    spark.conf.set("spark.sql.catalog.trio",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.trio.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS trio.ing")
+    // ONE corpus table serving all three: text columns for the funnel
+    // and dedup maintainers, vec_id/embedding for the ANN maintainer
+    spark.sql("""CREATE TABLE trio.ing.docs (doc_id BIGINT, text STRING,
+      source STRING, vec_id BIGINT, embedding ARRAY<FLOAT>)""")
+    spark.sql("CREATE TABLE trio.ing.fbands (band INT, bh BIGINT, doc_id BIGINT)")
+    spark.sql("""CREATE TABLE trio.ing.verdicts (doc_id BIGINT, source STRING,
+      n_tokens BIGINT, filter_keep BOOLEAN, dedup_keep BOOLEAN,
+      sample_keep BOOLEAN)""")
+    spark.sql("CREATE TABLE trio.ing.dbands (band INT, bh BIGINT, doc_id BIGINT)")
+    spark.sql("CREATE TABLE trio.ing.pairs (doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE)")
+
+    val longA = (1 to 22).map(i => s"alpha$i").mkString(" ")
+    val longB = (1 to 22).map(i => s"beta$i").mkString(" ")
+    val longC = (1 to 22).map(i => s"gamma$i").mkString(" ")
+    val longD = (1 to 22).map(i => s"delta$i").mkString(" ")
+    def rows(rs: (Long, String)*) =
+      rs.map { case (id, t) => (id, t, "s0", id, emb(id)) }
+        .toDF("doc_id", "text", "source", "vec_id", "embedding")
+
+    // batch 1: 1 kept; 2 duplicates 1; 4 fails the funnel filter
+    // (brace) — but IS a corpus row, so dedup and ANN index it anyway
+    rows((1L, longA), (2L, longA), (4L, longB + " {"))
+      .writeTo("trio.ing.docs").append()
+    AnnIndex.buildFromCorpus(spark, "trio.ing.docs", "trio.trioidx")
+
+    def ckpt(n: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-trio-$n").toString
+    val (cF, cD, cA) = (ckpt("f"), ckpt("d"), ckpt("a"))
+    def startF() = llm.Curation.funnelIngestStream(spark, "trio.ing.docs",
+      "trio.ing.fbands", "trio.ing.verdicts", Map("s0" -> 1.0), cF)
+    def startD() = Dedup.dedupIngestStream(spark, "trio.ing.docs",
+      "trio.ing.dbands", "trio.ing.pairs", cD)
+    def startA() = AnnIndex.maintainStream(spark, "trio.ing.docs",
+      "trio.trioidx", cA)
+
+    def verdicts(): Map[Long, (Boolean, Boolean)] =
+      spark.table("trio.ing.verdicts").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getBoolean(4)))).toMap
+    def pairs(): Set[(Long, Long)] = spark.table("trio.ing.pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def fIds(): Set[Long] = spark.table("trio.ing.fbands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    def ivfCount(): Long = spark.table("trio.trioidx.ivf_cells").count()
+
+    val (qF, qD, qA) = (startF(), startD(), startA())
+    try {
+      Seq(qF, qD, qA).foreach(_.processAllAvailable())
+      assert(verdicts() == Map(1L -> ((true, true)), 2L -> ((true, false)),
+        4L -> ((false, false))), verdicts().toString)
+      assert(pairs() == Set((1L, 2L)), pairs().toString)
+      assert(fIds() == Set(1L), "funnel indexes dedup survivors only")
+      assert(spark.table("trio.ing.dbands").count() == 3 * 16,
+        "dedup indexes every corpus doc")
+      assert(ivfCount() == 3)
+
+      // two commits land back-to-back while all three run — each
+      // maintainer may group them into micro-batches differently
+      rows((11L, longA), (12L, longC), (13L, longB))
+        .writeTo("trio.ing.docs").append()
+      rows((21L, longD)).writeTo("trio.ing.docs").append()
+      Seq(qF, qD, qA).foreach(_.processAllAvailable())
+
+      assert(verdicts() == Map(
+        1L -> ((true, true)), 2L -> ((true, false)), 4L -> ((false, false)),
+        11L -> ((true, false)), // cross-batch dup of retained content
+        12L -> ((true, true)),
+        13L -> ((true, true)),  // doc 4's content was funnel-rejected,
+                                // so it never poisoned the funnel index
+        21L -> ((true, true))), verdicts().toString)
+      // dedup (no filter stage) DID index doc 4, so 13 pairs with it
+      assert(pairs() == Set((1L, 2L), (1L, 11L), (2L, 11L), (4L, 13L)),
+        pairs().toString)
+      assert(fIds() == Set(1L, 12L, 13L, 21L))
+      assert(spark.table("trio.ing.dbands").count() == 7 * 16)
+      assert(ivfCount() == 7)
+      assert(spark.table("trio.trioidx.lsh_buckets").count() ==
+        7 * AnnIndex.LshSeeds.length)
+    } finally Seq(qF, qD, qA).foreach(_.stop())
+
+    // restart the whole trio from its checkpoints: replays land on
+    // fenced no-ops in every output table — nothing double-applies
+    val (qF2, qD2, qA2) = (startF(), startD(), startA())
+    try {
+      Seq(qF2, qD2, qA2).foreach(_.processAllAvailable())
+      assert(spark.table("trio.ing.verdicts").count() == 7)
+      assert(pairs().size == 4)
+      assert(spark.table("trio.ing.fbands").select("doc_id").distinct()
+        .count() == 4)
+      assert(spark.table("trio.ing.dbands").count() == 7 * 16)
+      assert(ivfCount() == 7)
+    } finally Seq(qF2, qD2).foreach(_.stop())
+
+    // the text maintainers detach (their data-stream tail cannot absorb
+    // CoW survivor re-delivery); the ANN maintainer tails $changes and
+    // must vacuum the departure on its own
+    try {
+      spark.sql("DELETE FROM trio.ing.docs WHERE doc_id = 21")
+      qA2.processAllAvailable()
+      assert(ivfCount() == 6, "departed vector must vacuum")
+      assert(spark.table("trio.trioidx.lsh_buckets")
+        .where(col("vec_id") === 21L).count() == 0L)
+      assert(spark.table("trio.trioidx.lsh_buckets").count() ==
+        6 * AnnIndex.LshSeeds.length,
+        "CoW survivors must not re-index")
+    } finally qA2.stop()
+  }
+}

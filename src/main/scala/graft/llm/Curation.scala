@@ -382,6 +382,111 @@ object Curation {
       |FROM r WHERE rn <= 25 ORDER BY rn""".stripMargin
   }
 
+  /** Per-language LM cross-entropy scoring (q119) — the CCNet recipe
+    * (Wenzek et al. 2020): score every document by how surprising its
+    * token sequence is under a language-matched n-gram LM, then split
+    * each language into head/middle/tail perplexity buckets (the
+    * partition CCNet publishes and trainers sample from). The LM here
+    * is an add-one-smoothed bigram model trained per language over
+    * that language's own corpus slice — self-scored, so the score
+    * reads as "how typical is this document of its language slice"
+    * (the outlier/quality signal; a held-out reference corpus would
+    * slot in by swapping the training frame).
+    *
+    * Determinism (the q108 discipline): each bigram's cost
+    * ln((c(a)+V)/(c(a,b)+1)) is rounded ONCE to integer micro-nats,
+    * per-document totals sum LONGS (order-free), and the single final
+    * division rounds to 6dp; buckets are ntile(3) per language over
+    * (xent6, doc_id) — fully tiebroken, identical in DuckDB.
+    *
+    * Scale shape: bigram formation is a map-only array transform (no
+    * shuffle); the LM tables are (lang, a[, b]) keyed aggregations
+    * with map-side combine — vocab²-bounded, corpus-independent size;
+    * scoring joins doc-level bigram counts (token text, short strings)
+    * against them by key; V is a |languages|-row broadcast; the bucket
+    * window partitions by language over |docs| skinny rows. Text never
+    * moves — only tokens and counts. */
+  def q119LmXent(s: SparkSession, dir: String): DataFrame = {
+    // U+0001 sentence-start sentinel: never in the corpus (the BpeD
+    // argument, a different control code point)
+    val S = "\u0001"
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      split(trim(col("text")), "\\s+").as("ws"))
+      .withColumn("arr", concat(array(lit(S)), col("ws")))
+    // per-doc bigram occurrence counts: the ONLY corpus-sized frame,
+    // pinned once for the LM aggregation AND the scoring join
+    val docBig = docs
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(ws)), " +
+          s"i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"))
+        .as("p"))
+      .groupBy(col("doc_id"), col("lang"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val cab = docBig.groupBy(col("lang"), col("a"), col("b"))
+      .agg(sum(col("k")).as("cab"))
+    val ca = cab.groupBy(col("lang"), col("a")).agg(sum(col("cab")).as("ca"))
+    val vlang = docs.select(col("lang"), explode(col("ws")).as("w"))
+      .groupBy(col("lang"))
+      .agg((countDistinct(col("w")) + 1).as("v"))
+    val scored = docBig
+      .join(cab, Seq("lang", "a", "b"))
+      .join(ca, Seq("lang", "a"))
+      .join(broadcast(vlang), Seq("lang"))
+      .withColumn("u", round(log((col("ca") + col("v")).cast("double") /
+        (col("cab") + lit(1))) * lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k") * col("u")).as("score_u"), sum(col("k")).as("n_tokens"))
+      .withColumn("xent6",
+        round(col("score_u") / (col("n_tokens") * lit(1000000.0)), 6))
+    scored.withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          ntile(3).over(Window.partitionBy(col("lang"))
+            .orderBy(col("xent6"), col("doc_id")))))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("xent6"),
+        col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of q119: identical bigram formation (chr(1)
+    * sentinel), identical add-one LM counts, the same once-rounded
+    * micro-nat units, integer totals, and the same tiebroken ntile. */
+  val q119Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(text), '\s+') AS ws,
+      |    list_prepend(chr(1), regexp_split_to_array(trim(text), '\s+')) AS arr
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, lang, p.a AS a, p.b AS b, COUNT(*) AS k
+      |  FROM (SELECT doc_id, lang,
+      |          UNNEST(list_transform(range(1, len(ws) + 1),
+      |            i -> {'a': arr[i], 'b': arr[i + 1]})) AS p
+      |        FROM d)
+      |  GROUP BY 1, 2, 3, 4),
+      |cab AS (SELECT lang, a, b, SUM(k) AS cab FROM big GROUP BY 1, 2, 3),
+      |ca AS (SELECT lang, a, SUM(cab) AS ca FROM cab GROUP BY 1, 2),
+      |vl AS (
+      |  SELECT lang, COUNT(DISTINCT w) + 1 AS v
+      |  FROM (SELECT lang, UNNEST(ws) AS w FROM d) GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    SUM(k * CAST(ROUND(LN(CAST(ca + v AS DOUBLE) / (cab + 1))
+      |      * 1000000.0) AS BIGINT)) AS score_u,
+      |    CAST(SUM(k) AS BIGINT) AS n_tokens
+      |  FROM big JOIN cab USING (lang, a, b) JOIN ca USING (lang, a)
+      |    JOIN vl USING (lang)
+      |  GROUP BY 1, 2),
+      |x AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    ROUND(score_u / (n_tokens * 1000000.0), 6) AS xent6
+      |  FROM scored)
+      |SELECT doc_id, lang, n_tokens, xent6,
+      |  (['head', 'middle', 'tail'])[NTILE(3) OVER (
+      |    PARTITION BY lang ORDER BY xent6, doc_id)] AS bucket
+      |FROM x ORDER BY doc_id""".stripMargin
+
   /** Corpus report (q110) — the per-language "corpus card" a dataset
     * release ships (Dolma/RefinedWeb-style): document and token counts,
     * corpus share, exact-duplicate exposure (members of q51-normalized
@@ -922,6 +1027,7 @@ object Curation {
     "q68_split_sample"  -> q68SplitSample _,
     "q108_dsir_weights" -> q108DsirWeights _,
     "q110_corpus_report" -> q110CorpusReport _,
+    "q119_lm_xent"      -> q119LmXent _,
     "q76_token_packing" -> q76TokenPacking _,
     "q77_rebalance"     -> q77Rebalance _,
     "q81_mixture"       -> q81MixtureWeights _,
@@ -935,6 +1041,7 @@ object Curation {
     "q68_split_sample"  -> q68Sql,
     "q108_dsir_weights" -> q108Sql,
     "q110_corpus_report" -> q110Sql,
+    "q119_lm_xent"      -> q119Sql,
     "q76_token_packing" -> q76Sql,
     "q77_rebalance"     -> q77Sql,
     "q81_mixture"       -> q81Sql,

@@ -789,7 +789,62 @@ object Dedup {
   def q98StripSpans(s: SparkSession, dir: String): DataFrame =
     stripDuplicateSpans(Tables.documents(s, dir), k = 16)
 
+  /** Cross-source contamination matrix (q120) — for every ordered
+    * source pair, how many verified near-dup pairs straddle them: the
+    * audit a curator runs before mixing corpora (a benchmark source
+    * leaking into a web crawl shows up as an off-diagonal cell; heavy
+    * diagonal cells flag sources that self-duplicate). Pairs come from
+    * the memoized verified-pairs artifact (a consumer, like q117/q118
+    * — one MinHash pipeline per session serves all of them); sources
+    * attach by two ids-only joins; the matrix is a |sources|²-bounded
+    * aggregation and the total a 1-row broadcast. Text never moves.
+    *
+    * Oracle-checked ([[q120Sql]]): the exact all-pairs replay
+    * (pairCtes, the q52 soundness argument) joined to sources and
+    * re-aggregated — a missed pair, wrong side normalization, or
+    * drifted share fails the hash. */
+  def q120SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val pairs = verifiedPairsArtifact(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val tot = pairs.agg(count(lit(1)).as("t"))
+    pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("n_pairs") * 1.0 / col("t"), 6).as("pair_share6"),
+        (col("source_a") === col("source_b")).as("within_source"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** DuckDB replay of q120: [[pairCtes]] verbatim (the exact pair
+    * list), the same J >= 0.5 verification floor, side normalization
+    * via least/greatest, and the share over the same total. */
+  // lazy: [[pairCtes]] is defined further down the object body
+  lazy val q120Sql: String =
+    s"""WITH $pairCtes,
+      |vp AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+      |sp AS (
+      |  SELECT LEAST(a.source, b.source) AS source_a,
+      |    GREATEST(a.source, b.source) AS source_b
+      |  FROM vp
+      |  JOIN documents a ON a.doc_id = vp.doc_a
+      |  JOIN documents b ON b.doc_id = vp.doc_b),
+      |tot AS (SELECT COUNT(*) AS t FROM sp)
+      |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+      |  ROUND(COUNT(*) * 1.0 / ANY_VALUE(t), 6) AS pair_share6,
+      |  source_a = source_b AS within_source
+      |FROM sp CROSS JOIN tot
+      |GROUP BY source_a, source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_source_overlap" -> q120SourceOverlap _,
     "q97_substring_dedup" -> q97SubstringDedup _,
     "q98_strip_spans" -> q98StripSpans _,
     "q67_dedup_clusters" -> q67DedupClusters _,
@@ -1017,5 +1072,6 @@ object Dedup {
     "q93_incremental_dedup" -> q93Sql,
     "q97_substring_dedup" -> q97Sql,
     "q98_strip_spans" -> q98Sql,
+    "q120_source_overlap" -> q120Sql,
   )
 }

@@ -828,7 +828,84 @@ object TextAnalysis {
       |FROM prs GROUP BY 1, 2
       |ORDER BY pair_count DESC, sym_a, sym_b LIMIT 25""".stripMargin
 
+  /** Per-source boilerplate n-gram mining (q121) — the top-5 5-grams
+    * of each source by DOCUMENT frequency with their doc-share: the
+    * report a curator reads to discover templated headers, license
+    * blocks, and nav spam worth stripping source-wide (the discovery
+    * step that feeds rules like q97's span removal; document frequency
+    * rather than raw occurrences, so one spammy document can't promote
+    * its own refrain).
+    *
+    * Scale shape: gram formation AND within-document dedup are
+    * map-only array ops (transform + array_distinct before the
+    * explode — one doc contributes each gram once without a
+    * doc-keyed shuffle); (source, gram) doc-frequency is one map-side
+    * combined aggregation. The top-5 selection deliberately does NOT
+    * window by source alone — gram cardinality per source is
+    * corpus-scale, and a |sources|-key window funnels it through one
+    * task (the q76 lesson) — instead grams first bucket by hash into
+    * 32 shards, a (source, shard)-keyed window keeps each shard's
+    * top 5 (bounded partitions), and the final window ranks the
+    * surviving 160 rows per source. The shard hash never reaches the
+    * output, so any partition of grams yields the same answer and the
+    * DuckDB replay is a plain one-window top-5. */
+  def q121Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 5)
+    val grams = docs.select(col("source"), explode(array_distinct(expr(
+      "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', " +
+        "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2), " +
+        "element_at(t, i + 3), element_at(t, i + 4)))"))).as("gram"))
+    val df = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"))
+    val sharded = df.withColumn("shard", pmod(xxhash64(col("gram")), lit(32L)))
+    val wShard = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("df").desc, col("gram"))
+    val wFinal = Window.partitionBy(col("source"))
+      .orderBy(col("df").desc, col("gram"))
+    sharded.withColumn("r1", row_number().over(wShard)).filter(col("r1") <= 5)
+      .withColumn("rn", row_number().over(wFinal).cast("int"))
+      .filter(col("rn") <= 5)
+      .join(broadcast(nd), Seq("source"))
+      .select(col("source"), col("rn"), col("gram"), col("df"),
+        round(col("df") * 1.0 / col("nd"), 6).as("df_share6"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** DuckDB replay of q121: identical gram formation (1-based list
+    * slicing, within-doc list_distinct), document-frequency counts,
+    * and the same (df desc, gram) tiebroken top-5 — the Spark side's
+    * shard pre-pass is invisible to the result. */
+  val q121Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, UNNEST(list_distinct(list_transform(
+      |    range(1, len(t) - 3),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |      || ' ' || t[i+4]))) AS gram
+      |  FROM d WHERE len(t) >= 5),
+      |df AS (SELECT source, gram, COUNT(*) AS df FROM g GROUP BY 1, 2),
+      |nd AS (SELECT source, COUNT(*) AS nd FROM documents GROUP BY 1),
+      |r AS (
+      |  SELECT source, gram, df,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY df DESC, gram) AS INTEGER) AS rn
+      |  FROM df)
+      |SELECT source, rn, gram, df,
+      |  ROUND(df * 1.0 / nd, 6) AS df_share6
+      |FROM r JOIN nd USING (source)
+      |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_boilerplate" -> q121Boilerplate _,
     "q58_lang_id"     -> q58LangId _,
     "q59_quality"     -> q59Quality _,
     "q60_token_count" -> q60TokenCount _,
@@ -856,5 +933,6 @@ object TextAnalysis {
     "q114_bpe_train"  -> q114Sql,
     "q115_bpe_encode" -> q115Sql,
     "q117_hard_negatives" -> q117Sql,
+    "q121_boilerplate" -> q121Sql,
   )
 }

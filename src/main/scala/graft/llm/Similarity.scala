@@ -513,7 +513,72 @@ object Similarity {
       |SELECT query_id, doc_id, rrf, channels, CAST(rn AS INTEGER) AS rn
       |FROM rankedf WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
+  /** Two-stage retrieve-then-RERANK cascade (q122) — the production
+    * retrieval shape q107's fusion does not cover: a cheap first stage
+    * (BM25 top-20) nominates candidates, an expensive second stage
+    * (exact dense cosine) re-orders ONLY those candidates to the final
+    * top-5. The point at 100 TB: the dense model never sees the
+    * corpus — candidate vectors fetch by an ids-only broadcast join at
+    * |queries|×20 keys, so stage-2 cost is independent of corpus size
+    * (q107's brute dense channel scans every vector; q111 needs a
+    * prebuilt index; the cascade needs neither).
+    *
+    * Oracle-checked ([[q122Sql]]): bm25Ctes verbatim + the q55/q107
+    * cosine formulation + the same tiebroken rerank window. */
+  def q122CascadeRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val pool = TextAnalysis.bm25Ranking(s, dir).filter(col("rn") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rn").as("bm25_rn"))
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id").isin(100L, 200L, 300L))
+      .select((col("vec_id") / 100).cast("int").as("query_id"),
+        col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    // ids-only candidate fetch: the corpus embedding table is probed at
+    // |queries|×20 keys via the broadcast pool, never scanned into a
+    // pairwise similarity
+    val cand = e.select(col("vec_id").as("doc_id"),
+        col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+      .join(broadcast(pool), Seq("doc_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim6").desc, col("doc_id"))
+    cand.join(broadcast(q), Seq("query_id"))
+      .withColumn("sim6", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("doc_id"), col("bm25_rn"),
+        col("sim6"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** DuckDB replay of q122: [[TextAnalysis.bm25Ctes]] verbatim for the
+    * candidate pool, the proven q55/q107 cosine formulation for the
+    * rerank, identical tiebreaks. */
+  lazy val q122Sql: String =
+    s"""WITH ${TextAnalysis.bm25Ctes},
+      |pool AS (SELECT query_id, doc_id, CAST(rn AS INTEGER) AS bm25_rn
+      |         FROM ranked WHERE rn <= 20),
+      |dq AS (SELECT CAST(vec_id // 100 AS INTEGER) AS query_id,
+      |              CAST(embedding AS DOUBLE[]) AS qv
+      |       FROM embeddings WHERE vec_id IN (100, 200, 300)),
+      |dc AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+      |       FROM embeddings),
+      |c AS (
+      |  SELECT p.query_id, p.doc_id, p.bm25_rn,
+      |    ROUND(list_dot_product(qv, cv) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6)
+      |      AS sim6
+      |  FROM pool p JOIN dq USING (query_id) JOIN dc USING (doc_id)),
+      |rr AS (
+      |  SELECT query_id, doc_id, bm25_rn, sim6,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim6 DESC, doc_id) AS INTEGER) AS rn
+      |  FROM c)
+      |SELECT query_id, doc_id, bm25_rn, sim6, rn
+      |FROM rr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_cascade_rerank" -> q122CascadeRerank _,
     "q100_semdedup"        -> q100SemDedup _,
     "q107_hybrid_rrf"      -> q107HybridRrf _,
     "q111_hybrid_ann"      -> q111HybridAnn _,
@@ -785,6 +850,7 @@ object Similarity {
     "q80_quantize" -> q80Sql,
     "q107_hybrid_rrf" -> q107Sql,
     "q111_hybrid_ann" -> q111Sql,
+    "q122_cascade_rerank" -> q122Sql,
     // every Similarity query is oracle-checked: the LSH and IVF replays
     // exist because both artifacts are deterministic by construction
   )

@@ -215,6 +215,65 @@ object Curation {
       |  ROUND((1.0 / k) / (tokens / total), 6) AS weight6
       |FROM p, g ORDER BY source""".stripMargin
 
+  /** Temperature-scaled mixture schedule (q123) — the multilingual
+    * upsampling rule (XLM-R, Conneau et al. 2020): sample source s with
+    * probability p_s ∝ share_s^α (α = 0.3), flattening the natural
+    * distribution so small sources are seen more without drowning the
+    * large ones. Emits per source the natural share, the temperature
+    * probability, and the repeat factor p_s/share_s — the "effective
+    * epochs" each source is replayed in one pass of the token budget
+    * (the table a data-schedule config is generated from; q81's
+    * uniform weights are the α→0 limit).
+    *
+    * Determinism: share_s is an exact long-ratio; pow(share, 0.3)
+    * rounds ONCE to integer micro-units, the normalizer sums those
+    * LONGS (order-free, the q119/q108 discipline), and each output
+    * rounds a single scalar division to 6dp. One |sources|-key
+    * aggregate and two 1-row broadcasts — nothing limits scale. */
+  def q123TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val per = Tables.documents(s, dir)
+      .select(col("source"), tokens.as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("total"))
+    val powed = per.crossJoin(broadcast(tot))
+      .withColumn("share", col("tokens") / col("total"))
+      .withColumn("pw_u",
+        round(pow(col("share"), 0.3) * lit(1000000.0)).cast("long"))
+      .localCheckpoint() // feeds the normalizer AND the final select
+    val z = powed.agg(sum(col("pw_u")).as("z_u"))
+    powed.crossJoin(broadcast(z))
+      .select(col("source"), col("tokens"),
+        round(col("share"), 6).as("share6"),
+        round(col("pw_u") / col("z_u"), 6).as("p6"),
+        round((col("pw_u") / col("z_u")) / col("share"), 6).as("epochs6"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q123: identical long-ratio shares, the same
+    * once-rounded micro-unit pow terms, an integer normalizer, and the
+    * same single-division roundings. */
+  val q123Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      |      FROM t GROUP BY source),
+      |g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM p),
+      |pw AS (
+      |  SELECT source, tokens, tokens * 1.0 / total AS share,
+      |    CAST(ROUND(POWER(tokens * 1.0 / total, 0.3) * 1000000.0) AS BIGINT)
+      |      AS pw_u
+      |  FROM p, g),
+      |z AS (SELECT CAST(SUM(pw_u) AS BIGINT) AS z_u FROM pw)
+      |SELECT source, tokens,
+      |  ROUND(share, 6) AS share6,
+      |  ROUND(pw_u * 1.0 / z_u, 6) AS p6,
+      |  ROUND((pw_u * 1.0 / z_u) / share, 6) AS epochs6
+      |FROM pw, z ORDER BY source""".stripMargin
+
   /** RAG/embedding-prep chunking: overlapping token windows per
     * document — chunk i covers tokens [i*stride, i*stride+size), the
     * last chunk may be short, and a document shorter than one stride
@@ -1028,6 +1087,7 @@ object Curation {
     "q108_dsir_weights" -> q108DsirWeights _,
     "q110_corpus_report" -> q110CorpusReport _,
     "q119_lm_xent"      -> q119LmXent _,
+    "q123_temperature_mix" -> q123TemperatureMix _,
     "q76_token_packing" -> q76TokenPacking _,
     "q77_rebalance"     -> q77Rebalance _,
     "q81_mixture"       -> q81MixtureWeights _,
@@ -1042,6 +1102,7 @@ object Curation {
     "q108_dsir_weights" -> q108Sql,
     "q110_corpus_report" -> q110Sql,
     "q119_lm_xent"      -> q119Sql,
+    "q123_temperature_mix" -> q123Sql,
     "q76_token_packing" -> q76Sql,
     "q77_rebalance"     -> q77Sql,
     "q81_mixture"       -> q81Sql,

@@ -577,8 +577,108 @@ object Similarity {
       |SELECT query_id, doc_id, bm25_rn, sim6, rn
       |FROM rr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** Bitext mining with margin scoring (q124) — the LASER/CCMatrix
+    * recipe (Artetxe & Schwenk 2019): align every non-English document
+    * to its best English candidate by MARGIN-normalized cosine —
+    * cos(x,y) divided by the mean of both sides' k-NN neighborhoods
+    * (k=4) — which suppresses hub vectors that plain cosine top-1
+    * would glue everything to; the mined pairs are how web-scale
+    * parallel corpora for translation pretraining are built.
+    *
+    * Determinism: each pair's cosine rounds ONCE to integer
+    * micro-units; the k-NN means sum the top-k LONGS (tiebroken
+    * windows) and divide once; the margin is a single rounded scalar
+    * division; final top-1 tiebreaks on the candidate id.
+    *
+    * Scale shape: the sf corpus brute-forces |src|×|tgt| scored pairs
+    * (the q55 argument — exact, oracle-checkable); at 100 TB the pair
+    * generation swaps to IVF-cell-bucketed candidates (q100 SemDeDup's
+    * within-cell shape) with the SAME margin arithmetic downstream.
+    * The pair frame is ids+longs only (vectors stay in the two slice
+    * frames); both k-NN windows partition by a document id. */
+  def q124BitextMine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .join(langs, Seq("doc_id"))
+    val src = e.filter(col("lang") =!= "en")
+      .select(col("doc_id").as("src_id"), col("lang"),
+        col("embedding").as("sv"), col("nrm").as("sn"))
+    val tgt = e.filter(col("lang") === "en")
+      .select(col("doc_id").as("tgt_id"),
+        col("embedding").as("tv"), col("nrm").as("tn"))
+    val pairs = src.crossJoin(broadcast(tgt))
+      .withColumn("cos_u", round(dot(col("sv"), col("tv")) /
+        (col("sn") * col("tn")) * lit(1000000.0)).cast("long"))
+      .select(col("src_id"), col("lang"), col("tgt_id"), col("cos_u"))
+      .localCheckpoint() // feeds both k-NN means AND the final rank
+    val K = 4
+    val wS = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_u").desc, col("tgt_id"))
+    val avgS = pairs.withColumn("r", row_number().over(wS))
+      .filter(col("r") <= K).groupBy(col("src_id"))
+      .agg((sum(col("cos_u")) / K.toDouble).as("knn_s"))
+    val wT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos_u").desc, col("src_id"))
+    val avgT = pairs.withColumn("r", row_number().over(wT))
+      .filter(col("r") <= K).groupBy(col("tgt_id"))
+      .agg((sum(col("cos_u")) / K.toDouble).as("knn_t"))
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin6").desc, col("tgt_id"))
+    pairs.join(avgS, Seq("src_id")).join(avgT, Seq("tgt_id"))
+      .withColumn("margin6", round(col("cos_u") /
+        ((col("knn_s") + col("knn_t")) / 2.0), 6))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("src_id"), col("lang"), col("tgt_id"),
+        round(col("cos_u") / 1000000.0, 6).as("cos6"), col("margin6"))
+      .orderBy(col("src_id"))
+  }
+
+  /** DuckDB replay of q124: the q55 cosine formulation over the two
+    * language slices, identical once-rounded micro-unit cosines,
+    * long-summed k-NN means, margins, and tiebreaks. */
+  val q124Sql: String =
+    """WITH l AS (SELECT doc_id, lang FROM documents),
+      |e AS (
+      |  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v, lang
+      |  FROM embeddings JOIN l ON l.doc_id = embeddings.vec_id),
+      |s AS (SELECT doc_id AS src_id, lang, v AS sv FROM e WHERE lang <> 'en'),
+      |t AS (SELECT doc_id AS tgt_id, v AS tv FROM e WHERE lang = 'en'),
+      |p AS (
+      |  SELECT src_id, lang, tgt_id,
+      |    CAST(ROUND(list_dot_product(sv, tv) /
+      |      (SQRT(list_dot_product(sv, sv)) * SQRT(list_dot_product(tv, tv)))
+      |      * 1000000.0) AS BIGINT) AS cos_u
+      |  FROM s, t),
+      |ks AS (
+      |  SELECT src_id, SUM(cos_u) / 4.0 AS knn_s FROM (
+      |    SELECT src_id, cos_u, ROW_NUMBER() OVER (PARTITION BY src_id
+      |      ORDER BY cos_u DESC, tgt_id) AS r FROM p) WHERE r <= 4
+      |  GROUP BY src_id),
+      |kt AS (
+      |  SELECT tgt_id, SUM(cos_u) / 4.0 AS knn_t FROM (
+      |    SELECT tgt_id, cos_u, ROW_NUMBER() OVER (PARTITION BY tgt_id
+      |      ORDER BY cos_u DESC, src_id) AS r FROM p) WHERE r <= 4
+      |  GROUP BY tgt_id),
+      |m AS (
+      |  SELECT src_id, lang, tgt_id, cos_u,
+      |    ROUND(cos_u / ((knn_s + knn_t) / 2.0), 6) AS margin6
+      |  FROM p JOIN ks USING (src_id) JOIN kt USING (tgt_id)),
+      |b AS (
+      |  SELECT src_id, lang, tgt_id, cos_u, margin6,
+      |    ROW_NUMBER() OVER (PARTITION BY src_id
+      |      ORDER BY margin6 DESC, tgt_id) AS rn
+      |  FROM m)
+      |SELECT src_id, lang, tgt_id,
+      |  ROUND(cos_u / 1000000.0, 6) AS cos6, margin6
+      |FROM b WHERE rn = 1 ORDER BY src_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_cascade_rerank" -> q122CascadeRerank _,
+    "q124_bitext_mine" -> q124BitextMine _,
     "q100_semdedup"        -> q100SemDedup _,
     "q107_hybrid_rrf"      -> q107HybridRrf _,
     "q111_hybrid_ann"      -> q111HybridAnn _,
@@ -851,6 +951,7 @@ object Similarity {
     "q107_hybrid_rrf" -> q107Sql,
     "q111_hybrid_ann" -> q111Sql,
     "q122_cascade_rerank" -> q122Sql,
+    "q124_bitext_mine" -> q124Sql,
     // every Similarity query is oracle-checked: the LSH and IVF replays
     // exist because both artifacts are deterministic by construction
   )

@@ -486,9 +486,12 @@ object Curation {
     val cab = docBig.groupBy(col("lang"), col("a"), col("b"))
       .agg(sum(col("k")).as("cab"))
     val ca = cab.groupBy(col("lang"), col("a")).agg(sum(col("cab")).as("ca"))
-    val vlang = docs.select(col("lang"), explode(col("ws")).as("w"))
-      .groupBy(col("lang"))
-      .agg((countDistinct(col("w")) + 1).as("v"))
+    // vocab size from the checkpointed bigram frame, not a second
+    // corpus scan: every token occupies the `b` slot of exactly the
+    // transitions that produce it (the sentinel only ever sits in `a`),
+    // so distinct b per language IS the token vocabulary
+    val vlang = cab.groupBy(col("lang"))
+      .agg((countDistinct(col("b")) + 1).as("v"))
     val scored = docBig
       .join(cab, Seq("lang", "a", "b"))
       .join(ca, Seq("lang", "a"))
@@ -527,8 +530,7 @@ object Curation {
       |cab AS (SELECT lang, a, b, SUM(k) AS cab FROM big GROUP BY 1, 2, 3),
       |ca AS (SELECT lang, a, SUM(cab) AS ca FROM cab GROUP BY 1, 2),
       |vl AS (
-      |  SELECT lang, COUNT(DISTINCT w) + 1 AS v
-      |  FROM (SELECT lang, UNNEST(ws) AS w FROM d) GROUP BY 1),
+      |  SELECT lang, COUNT(DISTINCT b) + 1 AS v FROM cab GROUP BY 1),
       |scored AS (
       |  SELECT doc_id, lang,
       |    SUM(k * CAST(ROUND(LN(CAST(ca + v AS DOUBLE) / (cab + 1))

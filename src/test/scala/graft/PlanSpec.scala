@@ -433,6 +433,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "encode: one corpus scan for occurrence counts, vocab from checkpoint")
     assert(parquetScans(llm.Curation.q113QualitySample(spark, sf)) == 1,
       "sampling: one corpus scan; rates from the checkpointed aggregate")
+    assert(parquetScans(llm.Curation.q119LmXent(spark, sf)) == 0,
+      "LM scoring: LM tables, vocab sizes, and scoring all derive from " +
+        "the one checkpointed bigram frame — no rescans")
   }
 
   test("BPE training scales to 100 merges: flat plan depth, zero rescans") {

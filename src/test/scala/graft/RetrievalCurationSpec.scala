@@ -265,6 +265,54 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("q124 margin scoring suppresses the hub plain cosine would pick") {
+    import spark.implicits._
+    // four source docs (de) each truly aligned with one target (en),
+    // plus a HUB target moderately similar to EVERY source — plain
+    // cosine ranks the hub first for every source (cos ~0.92 vs ~0.80
+    // to the true pair); margin normalization divides by the hub's fat
+    // k-NN neighborhood and recovers the true alignment. This is the
+    // failure mode margin scoring exists for (Artetxe & Schwenk 2019).
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q124").toString
+    def src(i: Int): (Long, Array[Float]) = {
+      val v = Array.fill(4)(0.35f); v(i - 1) = 0.8f; (i.toLong, v)
+    }
+    def tgt(i: Int): (Long, Array[Float]) = {
+      val v = Array.fill(4)(0.0f); v(i - 11) = 1.0f; (i.toLong, v)
+    }
+    val hub = (15L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    val vecs = (1 to 4).map(src) ++ (11 to 14).map(tgt) :+ hub
+    vecs.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$d2/embeddings.parquet")
+    vecs.map { case (id, _) =>
+      (id, s"text $id", if (id <= 4) "de" else "en", "s0", 8L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+
+    val got = Similarity.q124BitextMine(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> 11L, 2L -> 12L, 3L -> 13L, 4L -> 14L),
+      s"margin must recover the true pairs, got $got")
+
+    // sanity that the hub really dominates raw cosine (the test would
+    // be vacuous otherwise): each source's highest cosine target is 15
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, d2)
+    val rawTop = e.filter(col("vec_id") <= 4)
+      .select(col("vec_id").as("sid"), col("embedding").as("sv"))
+      .crossJoin(e.filter(col("vec_id") >= 11)
+        .select(col("vec_id").as("tid"), col("embedding").as("tv")))
+      .withColumn("cos", expr("graft_dot(sv, tv)") /
+        (expr("graft_l2norm(sv)") * expr("graft_l2norm(tv)")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sid"))
+          .orderBy(col("cos").desc, col("tid"))))
+      .filter(col("rn") === 1).select(col("tid"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rawTop == Set(15L), "fixture must make the hub win raw cosine")
+  }
+
   test("q88 line-level repetition: duplicate-line ratio and top-line share") {
     import spark.implicits._
     // the sf corpora are single-line, so the oracle only covers the

@@ -1182,13 +1182,14 @@ private[graft] class ChangesMicroBatchStream(
     }
   }
 
-  /** Budget walk with SUB-COMMIT splitting: non-append commits admit
-    * atomically (their delete/pairing semantics tie the step's files
-    * together); pure-append commits admit file by file, so one giant
-    * backfill append paces into many micro-batches instead of arriving
-    * as one (the r8 verdict's "500 GB append" gap). At least one unit
-    * — file or atomic step — always admits, the same progress
-    * guarantee the whole-version walk had. */
+  /** Budget walk with SUB-COMMIT splitting ([[SubCommitWalk]], shared
+    * with the data stream): non-append commits admit atomically (their
+    * delete/pairing semantics tie the step's files together);
+    * pure-append commits admit file by file, so one giant backfill
+    * append paces into many micro-batches instead of arriving as one
+    * (the r8 verdict's "500 GB append" gap). At least one unit — file
+    * or atomic step — always admits, the same progress guarantee the
+    * whole-version walk had. */
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
@@ -1204,40 +1205,11 @@ private[graft] class ChangesMicroBatchStream(
     if (fileCap.isEmpty && byteCap.isEmpty)
       return GraftChangesOffset(cur)
     if (cur <= st.version && st.fileIdx == 0) return GraftChangesOffset(cur)
-    var lastFull = st.version
-    var extra = 0
-    var fileBudget = fileCap.getOrElse(Int.MaxValue).toLong
-    var byteBudget = byteCap.getOrElse(Long.MaxValue)
-    var admitted = false
-    var done = false
-    var v = st.version + 1
-    var skip = st.fileIdx
-    while (v <= cur && !done) {
-      appendFilesOf(v) match {
-        case Some(files) =>
-          var k = skip
-          while (k < files.size && !done) {
-            val len = if (byteCap.isDefined) files(k)._2 else 0L
-            if ((fileBudget >= 1 && byteBudget >= len) || !admitted) {
-              fileBudget -= 1; byteBudget -= len
-              k += 1; admitted = true
-              if (fileBudget <= 0 || byteBudget <= 0) done = true
-            } else done = true
-          }
-          if (k >= files.size) { lastFull = v; extra = 0 }
-          else { extra = k; done = true } // lastFull stays v-1
-        case None =>
-          val n = stepFileCount(v)
-          val b = if (byteCap.isDefined) stepByteCount(v) else 0L
-          if ((n <= fileBudget && b <= byteBudget) || !admitted) {
-            lastFull = v; extra = 0; admitted = true
-            fileBudget -= n; byteBudget -= b
-            if (fileBudget <= 0 || byteBudget <= 0) done = true
-          } else done = true
-      }
-      skip = 0
-      v += 1
-    }
+    val (lastFull, extra) = SubCommitWalk.walk(st.version, st.fileIdx, cur,
+      fileCap, byteCap, appendFilesOf,
+      atomicCost = { v =>
+        (stepFileCount(v), if (byteCap.isDefined) stepByteCount(v) else 0L)
+      })
     GraftChangesOffset(lastFull, extra)
   }
 

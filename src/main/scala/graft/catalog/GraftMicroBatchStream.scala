@@ -33,6 +33,56 @@ private[graft] object GraftSourceOffset {
   }
 }
 
+/** The budget walk with SUB-COMMIT splitting, shared by the data stream
+  * and the changelog stream (their admission semantics are identical;
+  * only the per-version cost probes differ): pure-append commits admit
+  * file by file under the file/byte budgets, other commits admit
+  * atomically, and at least one unit — file or atomic step — always
+  * admits so the stream progresses. Returns (lastFullVersion, fileIdx):
+  * fileIdx > 0 means the walk stopped INSIDE version lastFull+1's
+  * append after that many files. */
+private[graft] object SubCommitWalk {
+  def walk(startVersion: Int, startFileIdx: Int, cur: Int,
+           fileCap: Option[Int], byteCap: Option[Long],
+           appendFiles: Int => Option[Seq[(String, Long)]],
+           atomicCost: Int => (Int, Long)): (Int, Int) = {
+    var lastFull = startVersion
+    var extra = 0
+    var fileBudget = fileCap.getOrElse(Int.MaxValue).toLong
+    var byteBudget = byteCap.getOrElse(Long.MaxValue)
+    var admitted = false
+    var done = false
+    var v = startVersion + 1
+    var skip = startFileIdx
+    while (v <= cur && !done) {
+      appendFiles(v) match {
+        case Some(files) =>
+          var k = skip
+          while (k < files.size && !done) {
+            val len = if (byteCap.isDefined) files(k)._2 else 0L
+            if ((fileBudget >= 1 && byteBudget >= len) || !admitted) {
+              fileBudget -= 1; byteBudget -= len
+              k += 1; admitted = true
+              if (fileBudget <= 0 || byteBudget <= 0) done = true
+            } else done = true
+          }
+          if (k >= files.size) { lastFull = v; extra = 0 }
+          else { extra = k; done = true } // lastFull stays v-1
+        case None =>
+          val (n, b) = atomicCost(v)
+          if ((n <= fileBudget && b <= byteBudget) || !admitted) {
+            lastFull = v; extra = 0; admitted = true
+            fileBudget -= n; byteBudget -= b
+            if (fileBudget <= 0 || byteBudget <= 0) done = true
+          } else done = true
+      }
+      skip = 0
+      v += 1
+    }
+    (lastFull, extra)
+  }
+}
+
 /** MICRO_BATCH_READ over a graft catalog table — the missing half of the
   * CDC loop (the reference catalog exists to serve engines' continuous
   * reads; `/root/reference/api/handlers/tables.go:229-273` is the load
@@ -166,45 +216,12 @@ private[graft] class GraftMicroBatchStream(
     val byteCap = limits.collectFirst { case b: ReadMaxBytes => b.maxBytes() }
     if (fileCap.isEmpty && byteCap.isEmpty) return GraftSourceOffset(cur)
     if (cur <= st.version && st.fileIdx == 0) return GraftSourceOffset(cur)
-    // Budget walk with SUB-COMMIT splitting (the changelog stream's
-    // discipline, ChangesMicroBatchStream): pure-append commits admit
-    // file by file, non-append commits atomically; at least one unit —
-    // file or atomic step — always admits, preserving progress.
-    var lastFull = st.version
-    var extra = 0
-    var fileBudget = fileCap.getOrElse(Int.MaxValue).toLong
-    var byteBudget = byteCap.getOrElse(Long.MaxValue)
-    var admitted = false
-    var done = false
-    var v = st.version + 1
-    var skip = st.fileIdx
-    while (v <= cur && !done) {
-      appendDeltaOf(v) match {
-        case Some(files) =>
-          var k = skip
-          while (k < files.size && !done) {
-            val len = if (byteCap.isDefined) files(k)._2 else 0L
-            if ((fileBudget >= 1 && byteBudget >= len) || !admitted) {
-              fileBudget -= 1; byteBudget -= len
-              k += 1; admitted = true
-              if (fileBudget <= 0 || byteBudget <= 0) done = true
-            } else done = true
-          }
-          if (k >= files.size) { lastFull = v; extra = 0 }
-          else { extra = k; done = true } // lastFull stays v-1
-        case None =>
-          val delta = filesAt(v).filterNot(filesAt(v - 1).toSet)
-          val n = delta.size
-          val b = if (byteCap.isDefined) deltaBytes(delta) else 0L
-          if ((n <= fileBudget && b <= byteBudget) || !admitted) {
-            lastFull = v; extra = 0; admitted = true
-            fileBudget -= n; byteBudget -= b
-            if (fileBudget <= 0 || byteBudget <= 0) done = true
-          } else done = true
-      }
-      skip = 0
-      v += 1
-    }
+    val (lastFull, extra) = SubCommitWalk.walk(st.version, st.fileIdx, cur,
+      fileCap, byteCap, appendDeltaOf,
+      atomicCost = { v =>
+        val delta = filesAt(v).filterNot(filesAt(v - 1).toSet)
+        (delta.size, if (byteCap.isDefined) deltaBytes(delta) else 0L)
+      })
     GraftSourceOffset(lastFull, extra)
   }
 

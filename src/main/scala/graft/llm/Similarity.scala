@@ -70,15 +70,20 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  val q55Sql: String =
-    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  /** The q55 brute-force similarity CTEs with a name prefix — shared
+    * verbatim by q55's oracle and q125's ground-truth side. */
+  private def bruteSimsCtes(p: String): String =
+    s"""${p}q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
       |           FROM embeddings WHERE vec_id < 50),
-      |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-      |sims AS (
+      |${p}c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |${p}sims AS (
       |  SELECT qid, cid,
       |    ROUND(list_dot_product(qv, cv) /
       |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6) AS sim
-      |  FROM q, c WHERE qid <> cid),
+      |  FROM ${p}q, ${p}c WHERE qid <> cid)""".stripMargin
+
+  val q55Sql: String =
+    s"""WITH ${bruteSimsCtes("")},
       |ranked AS (
       |  SELECT qid, cid, sim,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
@@ -676,9 +681,76 @@ object Similarity {
       |  ROUND(cos_u / 1000000.0, 6) AS cos6, margin6
       |FROM b WHERE rn = 1 ORDER BY src_id""".stripMargin
 
+  /** Retrieval-quality evaluation (q125) — the scorecard an ANN index
+    * ships with: per query, recall@3 of the LSH index search (q56)
+    * against the brute-force ground truth (q55 top-3), and the
+    * reciprocal rank at which the true best neighbor surfaces (MRR's
+    * per-query term). Bench enforces a corpus-level recall floor; this
+    * op makes the same measurement a first-class, oracle-checked query
+    * — per query, so a curator sees WHICH queries the index fails, not
+    * just the average.
+    *
+    * Deterministic end to end (the q56 argument: the index is a pure
+    * function of the corpus), so the oracle replays BOTH pipelines —
+    * the shared brute CTEs and the full LSH chain — and recomputes the
+    * join. Scale: both inputs are top-k frames (|queries|×3 rows); the
+    * eval itself is ids-only joins and a |queries|-key aggregate. */
+  def q125RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = q55CosineTopK(s, dir).filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("rn").as("trn"))
+      .localCheckpoint() // feeds the hit join, the rr join, and qids
+    val lsh = q56AnnLsh(s, dir).select(col("qid"), col("cid"), col("rn"))
+      .localCheckpoint()
+    val hits = truth.join(lsh, Seq("qid", "cid"))
+      .groupBy(col("qid")).agg(count(lit(1)).cast("int").as("hits"))
+    val rr = truth.filter(col("trn") === 1)
+      .join(lsh, Seq("qid", "cid"), "left")
+      .select(col("qid"),
+        coalesce(lit(1.0) / col("rn"), lit(0.0)).as("rr"))
+    truth.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .join(rr, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0)).as("hits"),
+        round(coalesce(col("hits"), lit(0)) / 3.0, 6).as("recall3_6"),
+        round(coalesce(col("rr"), lit(0.0)), 6).as("rr6"))
+      .orderBy(col("qid"))
+  }
+
+  /** DuckDB replay of q125: [[bruteSimsCtes]] verbatim for the truth
+    * side, [[annSimsCtes]] verbatim for the index side (the proven q55
+    * and q56 replays), identical joins and roundings. */
+  lazy val q125Sql: String =
+    s"""WITH ${bruteSimsCtes("b_")},
+      |truth AS (
+      |  SELECT qid, cid, rn AS trn FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |    FROM b_sims) WHERE rn <= 3),
+      |${annSimsCtes("vec_id < 50", "l_")},
+      |lsh AS (
+      |  SELECT qid, cid, rn FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |    FROM l_sims) WHERE rn <= 3),
+      |hits AS (
+      |  SELECT qid, CAST(COUNT(*) AS INTEGER) AS hits
+      |  FROM truth JOIN lsh USING (qid, cid) GROUP BY 1),
+      |rr AS (
+      |  SELECT t.qid, COALESCE(1.0 / l.rn, 0.0) AS rr
+      |  FROM (SELECT qid, cid FROM truth WHERE trn = 1) t
+      |  LEFT JOIN lsh l USING (qid, cid)),
+      |qs AS (SELECT DISTINCT qid FROM truth)
+      |SELECT qs.qid, COALESCE(hits, 0) AS hits,
+      |  ROUND(COALESCE(hits, 0) / 3.0, 6) AS recall3_6,
+      |  ROUND(COALESCE(rr, 0.0), 6) AS rr6
+      |FROM qs LEFT JOIN hits USING (qid) LEFT JOIN rr USING (qid)
+      |ORDER BY qs.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_cascade_rerank" -> q122CascadeRerank _,
     "q124_bitext_mine" -> q124BitextMine _,
+    "q125_retrieval_eval" -> q125RetrievalEval _,
     "q100_semdedup"        -> q100SemDedup _,
     "q107_hybrid_rrf"      -> q107HybridRrf _,
     "q111_hybrid_ann"      -> q111HybridAnn _,
@@ -952,6 +1024,7 @@ object Similarity {
     "q111_hybrid_ann" -> q111Sql,
     "q122_cascade_rerank" -> q122Sql,
     "q124_bitext_mine" -> q124Sql,
+    "q125_retrieval_eval" -> q125Sql,
     // every Similarity query is oracle-checked: the LSH and IVF replays
     // exist because both artifacts are deterministic by construction
   )

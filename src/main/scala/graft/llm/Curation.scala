@@ -548,6 +548,133 @@ object Curation {
       |    PARTITION BY lang ORDER BY xent6, doc_id)] AS bucket
       |FROM x ORDER BY doc_id""".stripMargin
 
+  /** Corpus drift report (q126) — KL divergence of each ingestion
+    * decile's token distribution against the whole corpus, over the
+    * q108 hashed-unigram buckets: the monitor a crawl pipeline watches
+    * to catch composition drift (a spam wave, a source going dark)
+    * before it reaches training. Documents order by doc_id (ingestion
+    * order); each decile's 1024-bucket distribution compares to the
+    * corpus distribution with add-one smoothing.
+    *
+    * Determinism (the q108/q119 discipline): per-bucket log terms
+    * round ONCE to integer micro-nats; per-decile sums weight LONGS by
+    * long counts (order-free); the single final division rounds to
+    * 6dp. Scale shape: one corpus scan explodes to hashed buckets
+    * (charFold — no token text past the map side), ONE (decile,
+    * bucket) aggregation (≤ 10×1024 cells, map-side combined), the
+    * corpus distribution derived from the same cells, and a broadcast
+    * of the ≤10-row totals. Cohorts cut by doc_id RANGE against a
+    * 1-row max broadcast — map-only, deliberately NOT a global NTILE
+    * window (the q23/q76 single-task-funnel trap); drift semantics
+    * need ordered cohorts, not exactly-equal ones. */
+  def q126DriftReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("ws"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val dec = docs.crossJoin(broadcast(mx))
+      .withColumn("decile",
+        (least(lit(9L), floor(col("doc_id") * 10 / (col("mx") + 1))) + 1)
+          .cast("int"))
+    val cells = dec.select(col("decile"),
+        explode(transform(col("ws"), t => pmod(charFold(t), lit(1024L))))
+          .as("b"))
+      .groupBy(col("decile"), col("b")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds decile sums, corpus sums, and the join
+    val dTot = cells.groupBy(col("decile")).agg(sum(col("cnt")).as("dtot"))
+    val corpus = cells.groupBy(col("b")).agg(sum(col("cnt")).as("ccnt"))
+    val cTot = corpus.agg(sum(col("ccnt")).as("ctot"))
+    // u = round(ln(p_d / q) * 1e6) per (decile, bucket), p/q add-one
+    // smoothed over the 1024 buckets; KL = sum(cnt * u) / dtot / 1e6
+    cells.join(broadcast(dTot), Seq("decile"))
+      .join(corpus, Seq("b"))
+      .crossJoin(broadcast(cTot))
+      .withColumn("u", round(
+        (log((col("cnt") + 1).cast("double") / (col("dtot") + 1024)) -
+          log((col("ccnt") + 1).cast("double") / (col("ctot") + 1024)))
+          * lit(1000000.0)).cast("long"))
+      .groupBy(col("decile"))
+      .agg(sum(col("cnt") * col("u")).as("kl_u"),
+        first(col("dtot")).as("n_tokens"))
+      .select(col("decile"),
+        col("n_tokens"),
+        round(col("kl_u") / (col("n_tokens") * lit(1000000.0)), 6).as("kl6"))
+      .orderBy(col("decile"))
+  }
+
+  /** DuckDB replay of q126: identical char fold, NTILE decile, add-one
+    * smoothed distributions, once-rounded micro-nat log terms, integer
+    * weighting. */
+  val q126Sql: String = {
+    val foldW = TextAnalysis.sqlCharFold("w")
+    s"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    CAST(LEAST(9, (doc_id * 10) // (mx + 1)) + 1 AS INTEGER) AS decile,
+      |    regexp_split_to_array(trim(text), '\\s+') AS ws
+      |  FROM documents CROSS JOIN mx),
+      |tok AS (
+      |  SELECT decile, $foldW % 1024 AS b
+      |  FROM (SELECT decile, UNNEST(ws) AS w FROM d)),
+      |cells AS (
+      |  SELECT decile, b, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      |dt AS (SELECT decile, CAST(SUM(cnt) AS BIGINT) AS dtot
+      |       FROM cells GROUP BY 1),
+      |cb AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS ccnt
+      |       FROM cells GROUP BY 1),
+      |ct AS (SELECT CAST(SUM(ccnt) AS BIGINT) AS ctot FROM cb),
+      |u AS (
+      |  SELECT decile, cnt, dtot,
+      |    CAST(ROUND((LN(CAST(cnt + 1 AS DOUBLE) / (dtot + 1024))
+      |      - LN(CAST(ccnt + 1 AS DOUBLE) / (ctot + 1024)))
+      |      * 1000000.0) AS BIGINT) AS u
+      |  FROM cells JOIN dt USING (decile) JOIN cb USING (b) CROSS JOIN ct)
+      |SELECT decile, ANY_VALUE(dtot) AS n_tokens,
+      |  ROUND(SUM(cnt * u) / (ANY_VALUE(dtot) * 1000000.0), 6) AS kl6
+      |FROM u GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
+  /** Per-source lexical diversity (q127) — type-token ratio, hapax
+    * share (tokens seen once — the long-tail health signal), and
+    * top-token share: the cheap diagnostics a curator reads next to
+    * q59's quality score (templated/spun text shows low TTR and a fat
+    * top token long before a human reads it). One (source, token)
+    * aggregation (map-side combined, token text only on the map side
+    * of a vocab-bounded shuffle), then a |sources|-key rollup. */
+  def q127LexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    tok.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("c")).as("top_c"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens"), 6).as("ttr6"),
+        round(col("n_hapax") / col("n_types"), 6).as("hapax6"),
+        round(col("top_c") / col("n_tokens"), 6).as("top_share6"))
+      .orderBy(col("source"))
+  }
+
+  val q127Sql: String =
+    """WITH tok AS (
+      |  SELECT source, w, COUNT(*) AS c
+      |  FROM (SELECT source, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_types,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |    MAX(c) AS top_c
+      |  FROM tok GROUP BY 1)
+      |SELECT source, n_tokens, n_types,
+      |  ROUND(n_types * 1.0 / n_tokens, 6) AS ttr6,
+      |  ROUND(n_hapax * 1.0 / n_types, 6) AS hapax6,
+      |  ROUND(top_c * 1.0 / n_tokens, 6) AS top_share6
+      |FROM agg ORDER BY source""".stripMargin
+
   /** Corpus report (q110) — the per-language "corpus card" a dataset
     * release ships (Dolma/RefinedWeb-style): document and token counts,
     * corpus share, exact-duplicate exposure (members of q51-normalized
@@ -1090,6 +1217,8 @@ object Curation {
     "q110_corpus_report" -> q110CorpusReport _,
     "q119_lm_xent"      -> q119LmXent _,
     "q123_temperature_mix" -> q123TemperatureMix _,
+    "q126_drift_report" -> q126DriftReport _,
+    "q127_lexical_diversity" -> q127LexicalDiversity _,
     "q76_token_packing" -> q76TokenPacking _,
     "q77_rebalance"     -> q77Rebalance _,
     "q81_mixture"       -> q81MixtureWeights _,
@@ -1105,6 +1234,8 @@ object Curation {
     "q110_corpus_report" -> q110Sql,
     "q119_lm_xent"      -> q119Sql,
     "q123_temperature_mix" -> q123Sql,
+    "q126_drift_report" -> q126Sql,
+    "q127_lexical_diversity" -> q127Sql,
     "q76_token_packing" -> q76Sql,
     "q77_rebalance"     -> q77Sql,
     "q81_mixture"       -> q81Sql,

@@ -675,6 +675,70 @@ object Curation {
       |  ROUND(top_c * 1.0 / n_tokens, 6) AS top_share6
       |FROM agg ORDER BY source""".stripMargin
 
+  /** Snapshot-summary fence key for [[driftIngestStream]]'s per-batch
+    * exactly-once commits. */
+  val DriftBatchKey = "graft-drift-batch"
+
+  /** q126's drift monitor as an unattended INGEST stream — the
+    * MONITORING class next to the curation (funnelIngestStream),
+    * dedup (dedupIngestStream), and index (AnnIndex.maintainStream)
+    * maintainers: tail a documents catalog table and, per micro-batch
+    * of arrivals, score the batch's hashed-unigram distribution
+    * against everything ingested BEFORE it (add-one smoothed KL, the
+    * q126 arithmetic; an empty history scores against the uniform
+    * prior, which add-one smoothing defines naturally). A spam wave
+    * or source outage shows as a KL spike in the monitor table the
+    * moment it arrives, not at the next corpus-wide audit.
+    *
+    * State is BOUNDED: the running reference lives as an append-only
+    * (bucket, cnt) catalog table — ≤1024 distinct buckets regardless
+    * of corpus size, summed on read — so per-batch cost is O(batch
+    * tokens) map work plus a ≤1024-row join; the corpus is never
+    * rescanned. Exactly-once: the monitor row lands first, then the
+    * batch's bucket counts fold into the reference, both fenced on
+    * the micro-batch id ([[AnnIndex.fencedAppend]] with
+    * [[DriftBatchKey]]) — a crash between them replays into one
+    * fenced no-op and one completing append, so a batch can never
+    * count into the reference twice (which would bias every later
+    * KL toward zero). */
+  def driftIngestStream(s: SparkSession, corpusFqn: String,
+                        countsFqn: String, monitorFqn: String,
+                        checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.table(corpusFqn)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cells = batch
+          .select(explode(transform(split(trim(col("text")), "\\s+"),
+            t => pmod(charFold(t), lit(1024L)))).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // feeds the KL join AND the reference fold
+        if (!cells.isEmpty) { // empty trigger: nothing to score
+          val ref = s.table(countsFqn)
+            .groupBy(col("b")).agg(sum(col("cnt")).as("ccnt"))
+          val refTot = ref.agg(coalesce(sum(col("ccnt")), lit(0L)).as("ctot"))
+          val bTot = cells.agg(sum(col("cnt")).as("btot"))
+          val monitorRow = cells
+            .join(ref, Seq("b"), "left")
+            .crossJoin(broadcast(refTot))
+            .crossJoin(broadcast(bTot))
+            .withColumn("u", round(
+              (log((col("cnt") + 1).cast("double") / (col("btot") + 1024)) -
+                log((coalesce(col("ccnt"), lit(0L)) + 1).cast("double") /
+                  (col("ctot") + 1024))) * lit(1000000.0)).cast("long"))
+            .agg(first(col("btot")).as("n_tokens"),
+              round(sum(col("cnt") * col("u")) /
+                (first(col("btot")) * lit(1000000.0)), 6).as("kl6"))
+            .select(lit(id.toInt).as("batch_id"), col("n_tokens"), col("kl6"))
+          AnnIndex.fencedAppend(monitorRow, monitorFqn, id.toInt, DriftBatchKey)
+          AnnIndex.fencedAppend(cells.select(col("b"), col("cnt")),
+            countsFqn, id.toInt, DriftBatchKey)
+        }
+        ()
+      }
+      .start()
+
   /** Corpus report (q110) — the per-language "corpus card" a dataset
     * release ships (Dolma/RefinedWeb-style): document and token counts,
     * corpus share, exact-duplicate exposure (members of q51-normalized

@@ -220,4 +220,60 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a zero rate must drop every arrival at the sample stage")
     } finally q.stop()
   }
+
+  test("driftIngestStream scores each batch against prior history, exactly-once") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-dr-wh").toString
+    spark.conf.set("spark.sql.catalog.dr",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dr.ing")
+    spark.sql("CREATE TABLE dr.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE dr.ing.counts (b BIGINT, cnt BIGINT)")
+    spark.sql("CREATE TABLE dr.ing.monitor (batch_id INT, n_tokens BIGINT, kl6 DOUBLE)")
+    val vocabA = "alpha beta gamma delta epsilon zeta"
+    Seq((1L, vocabA), (2L, vocabA)).toDF("doc_id", "text")
+      .writeTo("dr.ing.docs").append()
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dr-ckpt").toString
+    def monitor(): Seq[(Int, Long, Double)] =
+      spark.table("dr.ing.monitor").orderBy(col("batch_id")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    def start() = llm.Curation.driftIngestStream(spark, "dr.ing.docs",
+      "dr.ing.counts", "dr.ing.monitor", ckpt)
+    val q = start()
+    try {
+      q.processAllAvailable()
+      val m1 = monitor()
+      assert(m1.length == 1 && m1.head._2 == 12L, m1.toString)
+      // reference folded: counts sum equals tokens so far
+      assert(spark.table("dr.ing.counts").agg(sum(col("cnt")))
+        .head.getLong(0) == 12L)
+
+      // batch 2: the SAME distribution — low drift; batch 3: disjoint
+      // vocabulary — its KL against the now-A-heavy reference must
+      // exceed batch 2's
+      Seq((3L, vocabA)).toDF("doc_id", "text").writeTo("dr.ing.docs").append()
+      q.processAllAvailable()
+      Seq((4L, "omega psi chi phi upsilon tau")).toDF("doc_id", "text")
+        .writeTo("dr.ing.docs").append()
+      q.processAllAvailable()
+      val m3 = monitor()
+      assert(m3.length == 3, m3.toString)
+      assert(m3(2)._3 > m3(1)._3,
+        s"disjoint vocab must drift more than a repeat: $m3")
+      assert(spark.table("dr.ing.counts").agg(sum(col("cnt")))
+        .head.getLong(0) == 24L)
+    } finally q.stop()
+
+    // restart: fenced no-ops — no monitor row doubles, the reference
+    // never double-counts (which would bias later KLs toward zero)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(monitor().length == 3)
+      assert(spark.table("dr.ing.counts").agg(sum(col("cnt")))
+        .head.getLong(0) == 24L)
+    } finally q2.stop()
+  }
 }

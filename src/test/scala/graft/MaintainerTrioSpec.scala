@@ -7,11 +7,12 @@ import org.scalatest.BeforeAndAfterAll
 
 import graft.llm.{AnnIndex, Dedup}
 
-/** The three unattended maintainers — `Curation.funnelIngestStream`,
-  * `Dedup.dedupIngestStream`, and `AnnIndex.maintainStream` — run
-  * against ONE living corpus at once, each with its own checkpoint and
-  * fence key (FunnelBatchKey / IngestBatchKey / the ANN version
-  * stamps). The composition must not interfere: every maintainer
+/** The four unattended maintainers — `Curation.funnelIngestStream`,
+  * `Dedup.dedupIngestStream`, `AnnIndex.maintainStream`, and
+  * `Curation.driftIngestStream` — run against ONE living corpus at
+  * once, each with its own checkpoint and fence key (FunnelBatchKey /
+  * IngestBatchKey / the ANN version stamps / DriftBatchKey). The
+  * composition must not interfere: every maintainer
   * applies each commit exactly once regardless of how the others pace
   * their triggers, a restart of the whole trio lands on fenced no-ops,
   * and the ANN maintainer still vacuums departures after the others
@@ -33,7 +34,7 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
     Array((id % 7 + 1).toFloat, ((id * 3) % 5).toFloat,
       (id % 2).toFloat, 1.0f)
 
-  test("funnel + dedup + ANN maintainers share one living corpus") {
+  test("funnel + dedup + ANN + drift maintainers share one living corpus") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-trio-wh").toString
     spark.conf.set("spark.sql.catalog.trio",
@@ -50,6 +51,8 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       sample_keep BOOLEAN)""")
     spark.sql("CREATE TABLE trio.ing.dbands (band INT, bh BIGINT, doc_id BIGINT)")
     spark.sql("CREATE TABLE trio.ing.pairs (doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE)")
+    spark.sql("CREATE TABLE trio.ing.counts (b BIGINT, cnt BIGINT)")
+    spark.sql("CREATE TABLE trio.ing.monitor (batch_id INT, n_tokens BIGINT, kl6 DOUBLE)")
 
     val longA = (1 to 22).map(i => s"alpha$i").mkString(" ")
     val longB = (1 to 22).map(i => s"beta$i").mkString(" ")
@@ -67,13 +70,15 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     def ckpt(n: String) =
       java.nio.file.Files.createTempDirectory(s"graft-trio-$n").toString
-    val (cF, cD, cA) = (ckpt("f"), ckpt("d"), ckpt("a"))
+    val (cF, cD, cA, cM) = (ckpt("f"), ckpt("d"), ckpt("a"), ckpt("m"))
     def startF() = llm.Curation.funnelIngestStream(spark, "trio.ing.docs",
       "trio.ing.fbands", "trio.ing.verdicts", Map("s0" -> 1.0), cF)
     def startD() = Dedup.dedupIngestStream(spark, "trio.ing.docs",
       "trio.ing.dbands", "trio.ing.pairs", cD)
     def startA() = AnnIndex.maintainStream(spark, "trio.ing.docs",
       "trio.trioidx", cA)
+    def startM() = llm.Curation.driftIngestStream(spark, "trio.ing.docs",
+      "trio.ing.counts", "trio.ing.monitor", cM)
 
     def verdicts(): Map[Long, (Boolean, Boolean)] =
       spark.table("trio.ing.verdicts").collect()
@@ -84,9 +89,20 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     def ivfCount(): Long = spark.table("trio.trioidx.ivf_cells").count()
 
-    val (qF, qD, qA) = (startF(), startD(), startA())
+    // total whitespace tokens ingested so far — the drift monitor's
+    // reference must hold EXACTLY this many counts at every quiesce
+    // point, no matter how its triggers grouped the commits
+    def tokensIngested(): Long = spark.table("trio.ing.docs")
+      .select(org.apache.spark.sql.functions.size(
+        split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    def refCount(): Long = spark.table("trio.ing.counts")
+      .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
+
+    val (qF, qD, qA, qM) = (startF(), startD(), startA(), startM())
     try {
-      Seq(qF, qD, qA).foreach(_.processAllAvailable())
+      Seq(qF, qD, qA, qM).foreach(_.processAllAvailable())
+      assert(refCount() == tokensIngested(), "drift reference out of sync")
       assert(verdicts() == Map(1L -> ((true, true)), 2L -> ((true, false)),
         4L -> ((false, false))), verdicts().toString)
       assert(pairs() == Set((1L, 2L)), pairs().toString)
@@ -100,7 +116,10 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows((11L, longA), (12L, longC), (13L, longB))
         .writeTo("trio.ing.docs").append()
       rows((21L, longD)).writeTo("trio.ing.docs").append()
-      Seq(qF, qD, qA).foreach(_.processAllAvailable())
+      Seq(qF, qD, qA, qM).foreach(_.processAllAvailable())
+      assert(refCount() == tokensIngested(), "drift reference out of sync")
+      assert(spark.table("trio.ing.monitor").count() >= 2,
+        "drift monitor must have scored the later commits")
 
       assert(verdicts() == Map(
         1L -> ((true, true)), 2L -> ((true, false)), 4L -> ((false, false)),
@@ -117,20 +136,25 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ivfCount() == 7)
       assert(spark.table("trio.trioidx.lsh_buckets").count() ==
         7 * AnnIndex.LshSeeds.length)
-    } finally Seq(qF, qD, qA).foreach(_.stop())
+    } finally Seq(qF, qD, qA, qM).foreach(_.stop())
 
     // restart the whole trio from its checkpoints: replays land on
     // fenced no-ops in every output table — nothing double-applies
-    val (qF2, qD2, qA2) = (startF(), startD(), startA())
+    val monitorRows = spark.table("trio.ing.monitor").count()
+    val (qF2, qD2, qA2, qM2) = (startF(), startD(), startA(), startM())
     try {
-      Seq(qF2, qD2, qA2).foreach(_.processAllAvailable())
+      Seq(qF2, qD2, qA2, qM2).foreach(_.processAllAvailable())
+      assert(refCount() == tokensIngested(),
+        "restart must not double-count the drift reference")
+      assert(spark.table("trio.ing.monitor").count() == monitorRows,
+        "restart must not re-score batches")
       assert(spark.table("trio.ing.verdicts").count() == 7)
       assert(pairs().size == 4)
       assert(spark.table("trio.ing.fbands").select("doc_id").distinct()
         .count() == 4)
       assert(spark.table("trio.ing.dbands").count() == 7 * 16)
       assert(ivfCount() == 7)
-    } finally Seq(qF2, qD2).foreach(_.stop())
+    } finally Seq(qF2, qD2, qM2).foreach(_.stop())
 
     // the text maintainers detach (their data-stream tail cannot absorb
     // CoW survivor re-delivery); the ANN maintainer tails $changes and

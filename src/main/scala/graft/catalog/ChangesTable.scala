@@ -1161,7 +1161,15 @@ private[graft] class ChangesMicroBatchStream(
     * the manifest layer's cache). */
   private val appendFilesCache =
     scala.collection.mutable.Map.empty[Int, Option[Seq[(String, Long)]]]
-  private def appendFilesOf(v: Int): Option[Seq[(String, Long)]] =
+  private val AppendFilesCacheMax = 16
+  private def appendFilesOf(v: Int): Option[Seq[(String, Long)]] = {
+    // bounded: unlike the int-sized step-count caches, these entries
+    // hold whole file lists — a year-long stream would otherwise pin
+    // every version's list; the walk only touches a sliding window
+    if (appendFilesCache.size >= AppendFilesCacheMax) appendFilesCache.clear()
+    appendFilesOfUncached(v)
+  }
+  private def appendFilesOfUncached(v: Int): Option[Seq[(String, Long)]] =
     appendFilesCache.getOrElseUpdate(v, stepDiffAt(v).flatMap { d =>
       if (d.removed.isEmpty && d.newDeletes.isEmpty && d.added.nonEmpty) {
         val lens = ManifestFileIndex.lengthsFor(SparkSession.active,

@@ -152,7 +152,11 @@ private[graft] class GraftMicroBatchStream(
     * is immutable per version, so a slice replays bit-identically. */
   private val appendDeltaCache =
     scala.collection.mutable.Map.empty[Int, Option[Seq[(String, Long)]]]
-  private def appendDeltaOf(v: Int): Option[Seq[(String, Long)]] =
+  private def appendDeltaOf(v: Int): Option[Seq[(String, Long)]] = {
+    // bounded like fileSetCache: the walk re-visits a sliding window of
+    // versions, so a handful of entries gives full hit rate — clearing
+    // is fine (it is a cache over immutable metadata, not a ledger)
+    if (appendDeltaCache.size >= FileSetCacheMax) appendDeltaCache.clear()
     appendDeltaCache.getOrElseUpdate(v, {
       val prev = filesAt(v - 1).toSet
       val curF = filesAt(v)
@@ -164,6 +168,7 @@ private[graft] class GraftMicroBatchStream(
         Some(added.map(r => r -> lens(r)))
       } else None
     })
+  }
 
   override def initialOffset(): Offset = GraftSourceOffset(startVersion)
 

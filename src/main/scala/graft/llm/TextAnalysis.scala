@@ -904,8 +904,57 @@ object TextAnalysis {
       |FROM r JOIN nd USING (source)
       |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
 
+  /** Line-level cleaning (q128) — the RefinedWeb/CCNet line-wise
+    * correction pass: drop lines that are navigation/counter spam
+    * (fewer than 3 words, or mostly-uppercase shouting) and emit the
+    * cleaned text with per-document removal stats. Complements q88
+    * (line-level MEASUREMENT) and q98 (cross-document span removal):
+    * this is the within-document structural cleanup that runs before
+    * either. Map-only: the line split, the keep lambda, and the
+    * re-join are all codegen'd array HOFs — no shuffle at all, the
+    * embarrassingly-parallel shape line cleaning must have at 100 TB.
+    * (The sf corpora are single-line, so the oracle covers the
+    * degenerate pass-through; RetrievalCurationSpec drives multi-line
+    * fixtures through the real rules.) */
+  def q128LineFilter(s: SparkSession, dir: String): DataFrame = {
+    def nWords(l: Column) = size(split(trim(l), "\\s+"))
+    def upperRatio(l: Column) =
+      length(regexp_replace(l, "[^A-Z]", "")) /
+        greatest(lit(1.0), length(regexp_replace(l, "[^A-Za-z]", "")))
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l => nWords(l) >= 3 && upperRatio(l) <= 0.5)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        (length(col("text")) - length(array_join(kept, "\n")))
+          .cast("long").as("chars_removed"),
+        array_join(kept, "\n").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of q128: identical line split, word floor,
+    * uppercase-ratio arithmetic, and re-join. */
+  val q128Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  CAST(LENGTH(text) - LENGTH(array_to_string(kept, chr(10))) AS BIGINT)
+      |    AS chars_removed,
+      |  array_to_string(kept, chr(10)) AS text_clean
+      |FROM (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      len(regexp_split_to_array(trim(l), '\s+')) >= 3
+      |      AND LENGTH(regexp_replace(l, '[^A-Z]', '', 'g')) * 1.0 /
+      |        GREATEST(1.0, LENGTH(regexp_replace(l, '[^A-Za-z]', '', 'g')))
+      |        <= 0.5) AS kept
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_boilerplate" -> q121Boilerplate _,
+    "q128_line_filter" -> q128LineFilter _,
     "q58_lang_id"     -> q58LangId _,
     "q59_quality"     -> q59Quality _,
     "q60_token_count" -> q60TokenCount _,
@@ -934,5 +983,6 @@ object TextAnalysis {
     "q115_bpe_encode" -> q115Sql,
     "q117_hard_negatives" -> q117Sql,
     "q121_boilerplate" -> q121Sql,
+    "q128_line_filter" -> q128Sql,
   )
 }

@@ -313,6 +313,27 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rawTop == Set(15L), "fixture must make the hub win raw cosine")
   }
 
+  test("q128 line filter drops nav/counter/shouting lines, keeps prose") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q128").toString
+    val t0 = "NAVIGATION MENU\nThe quick brown fox jumps\n42\n" +
+      "BUY NOW CLICK HERE TODAY\nthis line stays here too"
+    val clean0 = "The quick brown fox jumps\nthis line stays here too"
+    val t1 = "just a simple document"
+    Seq((0L, t0, "en", "s0", t0.length.toLong),
+        (1L, t1, "en", "s0", t1.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got = TextAnalysis.q128LineFilter(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == Seq(
+      // nav (2 words), counter (1 word), and all-caps shouting drop;
+      // the two prose lines survive in order
+      (0L, 5L, 2L, (t0.length - clean0.length).toLong, clean0),
+      (1L, 1L, 1L, 0L, t1)), got.toString)
+  }
+
   test("q88 line-level repetition: duplicate-line ratio and top-line share") {
     import spark.implicits._
     // the sf corpora are single-line, so the oracle only covers the

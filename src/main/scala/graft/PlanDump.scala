@@ -67,7 +67,22 @@ object PlanDump {
         "filtered aggregation pushes its predicate into the scan and " +
         "partial-aggregates before the shuffle (SortAggregate only " +
         "because min(string) forbids hash buffers — Spark's choice, " +
-        "same as q103)"))
+        "same as q103)"),
+      "q119_lm_xent" -> ("per-language LM cross-entropy: ONE corpus scan " +
+        "builds the checkpointed per-doc bigram frame (map-only array " +
+        "transform — no doc-keyed shuffle for adjacency); LM tables, " +
+        "vocab sizes, and scoring all derive from that ExistingRDD " +
+        "(PlanSpec gates zero parquet rescans); V is a broadcast; the " +
+        "bucket ntile windows over |docs| skinny rows per language"),
+      "q122_cascade_rerank" -> ("retrieve-then-rerank cascade: stage 1 is " +
+        "the audited q101 BM25 subtree; stage 2 probes the embedding " +
+        "table through an ids-only BroadcastHashJoin on the 60-row " +
+        "candidate pool — the dense model never scans the corpus, so " +
+        "stage-2 cost is corpus-size independent"),
+      "q125_retrieval_eval" -> ("index scorecard: both inputs are the " +
+        "pack's existing top-k frames (checkpointed once each); the " +
+        "evaluation itself is two ids-only joins and a |queries|-key " +
+        "aggregate — nothing beyond the searches scales with the corpus"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
@@ -79,8 +94,19 @@ object PlanDump {
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
     }
-    Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${headline.size} plans)")
+    // hand-written scale narratives live below the marker — regenerating
+    // the plan dumps must never destroy them
+    val marker = "<!-- scale narratives: hand-written; PlanDump preserves " +
+      "everything below this marker -->"
+    val path = Paths.get("PLANS.md")
+    val tail =
+      if (Files.exists(path)) {
+        val old = Files.readString(path)
+        val i = old.indexOf(marker)
+        if (i >= 0) old.substring(i) else marker + "\n"
+      } else marker + "\n"
+    Files.writeString(path, sb.toString + "\n" + tail)
+    println(s"wrote PLANS.md (${headline.size} plans; narratives preserved)")
     spark.stop()
   }
 }

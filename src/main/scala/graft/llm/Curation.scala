@@ -739,6 +739,62 @@ object Curation {
       }
       .start()
 
+  /** Document-length histogram (q129) — token counts bucketed by
+    * power-of-two ceiling with cumulative doc and token shares: the
+    * table consulted when choosing a context length or packing budget
+    * ("4096 covers 99.8% of documents and 97% of tokens" is read off
+    * exactly this). Buckets are a fixed CASE ladder (never floating
+    * log2 — engine-identical by construction); shares are exact
+    * integer ratios over 1-row broadcast totals; the cumulative
+    * window runs over the ≤9 bucket rows. One map-only pass + one
+    * 9-key aggregation: nothing limits scale. */
+  def q129LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val n = size(split(trim(col("text")), "\\s+")).cast("long")
+    val bucket = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+      .when(n <= 128, 128L).when(n <= 256, 256L).when(n <= 512, 512L)
+      .when(n <= 1024, 1024L).when(n <= 2048, 2048L).otherwise(4096L)
+    val per = Tables.documents(s, dir)
+      .select(bucket.as("bucket"), n.as("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        round(col("cum_docs") / col("td"), 6).as("cum_docs_share6"),
+        round(col("cum_tokens") / col("tt"), 6).as("cum_tokens_share6"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB replay of q129: the identical CASE ladder, totals, and
+    * cumulative window. */
+  val q129Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+      |    WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+      |    WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+      |    WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+      |    ELSE 4096 END AS bucket, n
+      |  FROM t),
+      |p AS (
+      |  SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+      |    CAST(SUM(n) AS BIGINT) AS n_tokens
+      |  FROM b GROUP BY 1),
+      |g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+      |             CAST(SUM(n_tokens) AS BIGINT) AS tt FROM p)
+      |SELECT bucket, n_docs, n_tokens,
+      |  ROUND(SUM(n_docs) OVER (ORDER BY bucket) * 1.0 / td, 6)
+      |    AS cum_docs_share6,
+      |  ROUND(SUM(n_tokens) OVER (ORDER BY bucket) * 1.0 / tt, 6)
+      |    AS cum_tokens_share6
+      |FROM p CROSS JOIN g ORDER BY bucket""".stripMargin
+
   /** Corpus report (q110) — the per-language "corpus card" a dataset
     * release ships (Dolma/RefinedWeb-style): document and token counts,
     * corpus share, exact-duplicate exposure (members of q51-normalized
@@ -1283,6 +1339,7 @@ object Curation {
     "q123_temperature_mix" -> q123TemperatureMix _,
     "q126_drift_report" -> q126DriftReport _,
     "q127_lexical_diversity" -> q127LexicalDiversity _,
+    "q129_length_histogram" -> q129LengthHistogram _,
     "q76_token_packing" -> q76TokenPacking _,
     "q77_rebalance"     -> q77Rebalance _,
     "q81_mixture"       -> q81MixtureWeights _,
@@ -1300,6 +1357,7 @@ object Curation {
     "q123_temperature_mix" -> q123Sql,
     "q126_drift_report" -> q126Sql,
     "q127_lexical_diversity" -> q127Sql,
+    "q129_length_histogram" -> q129Sql,
     "q76_token_packing" -> q76Sql,
     "q77_rebalance"     -> q77Sql,
     "q81_mixture"       -> q81Sql,

@@ -313,6 +313,29 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rawTop == Set(15L), "fixture must make the hub win raw cosine")
   }
 
+  test("q119 LM cross-entropy ranks the atypical document as the tail") {
+    import spark.implicits._
+    // six docs in one language: five share the same bigram patterns,
+    // one is lexically alien — the alien doc must carry the highest
+    // cross-entropy under the slice's own LM and land in the 'tail'
+    // bucket, while at least one typical doc sits in the 'head'
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q119").toString
+    val typical = "the quick brown fox jumps over the lazy dog again"
+    val docs = (0L to 4L).map(i => (i, typical, "en", "s0", 50L)) :+
+      ((9L, "zyx wvu tsr qpo nml kji hgf edc baa zzq", "en", "s0", 39L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got = llm.Curation.q119LmXent(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getString(4)))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(got.map(_._2).max == byId(9L)._2,
+      s"the alien doc must score highest: $got")
+    assert(byId(9L)._3 == "tail", s"alien doc must bucket 'tail': $got")
+    assert(byId(0L)._3 == "head", s"typical doc 0 must bucket 'head': $got")
+    // the five identical docs score identically (pure corpus function)
+    assert((0L to 4L).map(byId(_)._2).distinct.size == 1, got.toString)
+  }
+
   test("q128 line filter drops nav/counter/shouting lines, keeps prose") {
     import spark.implicits._
     val d2 = java.nio.file.Files.createTempDirectory("graft_q128").toString

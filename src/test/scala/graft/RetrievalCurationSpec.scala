@@ -336,6 +336,27 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L to 4L).map(byId(_)._2).distinct.size == 1, got.toString)
   }
 
+  test("q126 drift report flags the cohort whose vocabulary shifted") {
+    import spark.implicits._
+    // ids 0..19: the first nine deciles share one vocabulary; the last
+    // two docs (the final id-range cohort) speak something else — its
+    // KL against the corpus distribution must strictly exceed every
+    // typical cohort's
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q126").toString
+    val usual = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val spam = "buy now cheap deal click here win prize gold offer"
+    val docs = (0L to 17L).map(i => (i, usual, "en", "s0", 50L)) ++
+      Seq((18L, spam, "en", "s0", 40L), (19L, spam, "en", "s0", 40L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got = llm.Curation.q126DriftReport(spark, d2).collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).toMap
+    assert(got.size == 10)
+    val spamKl = got(10)
+    assert((1 to 9).forall(d => got(d) < spamKl),
+      s"the shifted cohort must carry the max KL: $got")
+  }
+
   test("q128 line filter drops nav/counter/shouting lines, keeps prose") {
     import spark.implicits._
     val d2 = java.nio.file.Files.createTempDirectory("graft_q128").toString

@@ -1167,9 +1167,9 @@ private[graft] class ChangesMicroBatchStream(
     // hold whole file lists — a year-long stream would otherwise pin
     // every version's list; the walk only touches a sliding window
     if (appendFilesCache.size >= AppendFilesCacheMax) appendFilesCache.clear()
-    appendFilesOfUncached(v)
+    appendFilesOfCached(v)
   }
-  private def appendFilesOfUncached(v: Int): Option[Seq[(String, Long)]] =
+  private def appendFilesOfCached(v: Int): Option[Seq[(String, Long)]] =
     appendFilesCache.getOrElseUpdate(v, stepDiffAt(v).flatMap { d =>
       if (d.removed.isEmpty && d.newDeletes.isEmpty && d.added.nonEmpty) {
         val lens = ManifestFileIndex.lengthsFor(SparkSession.active,

@@ -455,16 +455,26 @@ object Curation {
     * Determinism (the q108 discipline): each bigram's cost
     * ln((c(a)+V)/(c(a,b)+1)) is rounded ONCE to integer micro-nats,
     * per-document totals sum LONGS (order-free), and the single final
-    * division rounds to 6dp; buckets are ntile(3) per language over
-    * (xent6, doc_id) — fully tiebroken, identical in DuckDB.
+    * division rounds to 6dp; buckets are VALUE-threshold tertiles —
+    * t1/t2 are the xent6 values at ranks ceil(n/3) / ceil(2n/3) of
+    * each language's score multiset, and a document buckets by
+    * comparing its own xent6 against them (ties share a bucket), so
+    * assignment is a pure order-free function of the score multiset.
     *
     * Scale shape: bigram formation is a map-only array transform (no
     * shuffle); the LM tables are (lang, a[, b]) keyed aggregations
     * with map-side combine — vocab²-bounded, corpus-independent size;
     * scoring joins doc-level bigram counts (token text, short strings)
-    * against them by key; V is a |languages|-row broadcast; the bucket
-    * window partitions by language over |docs| skinny rows. Text never
-    * moves — only tokens and counts. */
+    * against them by key; V is a |languages|-row broadcast. The
+    * tertile cut points come from a (lang, xent6) distinct-value
+    * histogram — bounded by the 6dp VALUE RESOLUTION of a cross-
+    * entropy in [0, ln vocab], never by corpus size — folded per
+    * language inside one aggregation and broadcast back, so bucket
+    * assignment is map-side. Deliberately NOT an `ntile(3)` window
+    * partitioned by language: that sorts every document of the
+    * dominant language through one task (the q23/q76 single-task
+    * funnel — PlanSpec gates that NO window appears in this plan).
+    * Text never moves — only tokens and counts. */
   def q119LmXent(s: SparkSession, dir: String): DataFrame = {
     // U+0001 sentence-start sentinel: never in the corpus (the BpeD
     // argument, a different control code point)
@@ -502,10 +512,34 @@ object Curation {
       .agg(sum(col("k") * col("u")).as("score_u"), sum(col("k")).as("n_tokens"))
       .withColumn("xent6",
         round(col("score_u") / (col("n_tokens") * lit(1000000.0)), 6))
-    scored.withColumn("bucket",
-        element_at(array(lit("head"), lit("middle"), lit("tail")),
-          ntile(3).over(Window.partitionBy(col("lang"))
-            .orderBy(col("xent6"), col("doc_id")))))
+      .localCheckpoint() // feeds the threshold fold AND the assignment
+    // tertile cut points t1/t2 per language: the xent6 values at ranks
+    // ceil(n/3) / ceil(2n/3). Computed from the distinct-value
+    // histogram (resolution-bounded), sorted and folded per language —
+    // an aggregation tree, not a per-language window sort of the corpus
+    val dist = scored.groupBy(col("lang"), col("xent6"))
+      .agg(count(lit(1)).as("c"))
+    val th = dist.groupBy(col("lang"))
+      .agg(sort_array(collect_list(struct(col("xent6"), col("c")))).as("h"),
+        sum(col("c")).as("n"))
+      .withColumn("k1", expr("(n + 2) DIV 3"))
+      .withColumn("k2", expr("(2 * n + 2) DIV 3"))
+      .withColumn("acc", aggregate(col("h"),
+        struct(lit(0L).as("cum"),
+          lit(null).cast("double").as("t1"),
+          lit(null).cast("double").as("t2")),
+        (acc, e) => struct(
+          (acc("cum") + e("c")).as("cum"),
+          when(acc("t1").isNull && acc("cum") + e("c") >= col("k1"),
+            e("xent6")).otherwise(acc("t1")).as("t1"),
+          when(acc("t2").isNull && acc("cum") + e("c") >= col("k2"),
+            e("xent6")).otherwise(acc("t2")).as("t2"))))
+      .select(col("lang"), col("acc.t1").as("t1"), col("acc.t2").as("t2"))
+    scored.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket",
+        when(col("xent6") <= col("t1"), "head")
+          .when(col("xent6") <= col("t2"), "middle")
+          .otherwise("tail"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("xent6"),
         col("bucket"))
       .orderBy(col("doc_id"))
@@ -513,7 +547,9 @@ object Curation {
 
   /** DuckDB replay of q119: identical bigram formation (chr(1)
     * sentinel), identical add-one LM counts, the same once-rounded
-    * micro-nat units, integer totals, and the same tiebroken ntile. */
+    * micro-nat units, integer totals, and the same rank-ceil(n/3) /
+    * ceil(2n/3) value thresholds (the oracle may compute them with a
+    * window — DuckDB is single-node; the Spark side must not). */
   val q119Sql: String =
     """WITH d AS (
       |  SELECT doc_id, lang,
@@ -542,11 +578,22 @@ object Curation {
       |x AS (
       |  SELECT doc_id, lang, n_tokens,
       |    ROUND(score_u / (n_tokens * 1000000.0), 6) AS xent6
-      |  FROM scored)
+      |  FROM scored),
+      |dist AS (SELECT lang, xent6, COUNT(*) AS c FROM x GROUP BY 1, 2),
+      |nl AS (SELECT lang, SUM(c) AS n FROM dist GROUP BY 1),
+      |cum AS (
+      |  SELECT lang, xent6,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY xent6) AS cum
+      |  FROM dist),
+      |th AS (
+      |  SELECT lang,
+      |    MIN(CASE WHEN cum >= (n + 2) // 3 THEN xent6 END) AS t1,
+      |    MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN xent6 END) AS t2
+      |  FROM cum JOIN nl USING (lang) GROUP BY 1)
       |SELECT doc_id, lang, n_tokens, xent6,
-      |  (['head', 'middle', 'tail'])[NTILE(3) OVER (
-      |    PARTITION BY lang ORDER BY xent6, doc_id)] AS bucket
-      |FROM x ORDER BY doc_id""".stripMargin
+      |  CASE WHEN xent6 <= t1 THEN 'head'
+      |       WHEN xent6 <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM x JOIN th USING (lang) ORDER BY doc_id""".stripMargin
 
   /** Corpus drift report (q126) — KL divergence of each ingestion
     * decile's token distribution against the whole corpus, over the
@@ -601,8 +648,10 @@ object Curation {
       .orderBy(col("decile"))
   }
 
-  /** DuckDB replay of q126: identical char fold, NTILE decile, add-one
-    * smoothed distributions, once-rounded micro-nat log terms, integer
+  /** DuckDB replay of q126: identical char fold, doc_id range-cut
+    * deciles (`LEAST(9, doc_id*10 // (mx+1)) + 1` — deliberately NOT an
+    * NTILE window, same as the Spark side), add-one smoothed
+    * distributions, once-rounded micro-nat log terms, integer
     * weighting. */
   val q126Sql: String = {
     val foldW = TextAnalysis.sqlCharFold("w")

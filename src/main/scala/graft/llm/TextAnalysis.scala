@@ -834,7 +834,12 @@ object TextAnalysis {
     * blocks, and nav spam worth stripping source-wide (the discovery
     * step that feeds rules like q97's span removal; document frequency
     * rather than raw occurrences, so one spammy document can't promote
-    * its own refrain).
+    * its own refrain). df_share6's denominator is ALL documents of the
+    * source — including those under 5 tokens, which cannot form a
+    * 5-gram — so the share reads as "fraction of the source's corpus
+    * carrying this gram", slightly understating the share among
+    * gram-eligible documents for sources with many short docs (the
+    * oracle computes the identical ratio).
     *
     * Scale shape: gram formation AND within-document dedup are
     * map-only array ops (transform + array_distinct before the

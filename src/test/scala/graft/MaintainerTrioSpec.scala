@@ -154,14 +154,17 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
         .count() == 4)
       assert(spark.table("trio.ing.dbands").count() == 7 * 16)
       assert(ivfCount() == 7)
-    } finally Seq(qF2, qD2, qM2).foreach(_.stop())
+    } finally Seq(qF2, qD2, qM2, qA2).foreach(_.stop())
 
     // the text maintainers detach (their data-stream tail cannot absorb
     // CoW survivor re-delivery); the ANN maintainer tails $changes and
-    // must vacuum the departure on its own
+    // must vacuum the departure on its own — restarted from its
+    // checkpoint so the earlier finally could stop all four queries
+    // (a failed assertion above must not leak a running stream)
+    val qA3 = startA()
     try {
       spark.sql("DELETE FROM trio.ing.docs WHERE doc_id = 21")
-      qA2.processAllAvailable()
+      qA3.processAllAvailable()
       assert(ivfCount() == 6, "departed vector must vacuum")
       assert(spark.table("trio.trioidx.lsh_buckets")
         .where(col("vec_id") === 21L).count() == 0L)

@@ -327,6 +327,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Window"), s"expected bounded keyed window:\n$plan")
   }
 
+  test("q119 bucket thresholds: no window anywhere in the plan") {
+    // the r10 shape bucketed with ntile(3) OVER (PARTITION BY lang …) —
+    // a per-language global sort through ONE task, lethal when one
+    // language is half the corpus. The rewrite folds tertile cut points
+    // out of a resolution-bounded (lang, xent6) histogram and assigns
+    // buckets map-side against the broadcast thresholds, so NO window
+    // of any kind may appear in the plan
+    val plan = planOf(llm.Curation.q119LmXent(spark, sf))
+    assert(!plan.contains("windowspecdefinition"),
+      s"q119 must not contain any window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in q119 plan:\n$plan")
+  }
+
   test("as-of join is one shuffle + window, not a per-row subquery") {
     val plan = planOf(ops.Relational.q10AsofJoin(spark, sf))
     assert(plan.contains("Window"), s"expected window-based as-of:\n$plan")

@@ -360,7 +360,10 @@ object Similarity {
 
   /** Hybrid retrieval with reciprocal-rank fusion (q107) — the standard
     * RAG retrieval stack: each request carries BOTH a keyword string
-    * (scored by the q101 BM25 channel, reused verbatim) and a query
+    * (scored by the q101 BM25 channel — served from the memoized
+    * session artifact [[TextAnalysis.bm25Top20Artifact]], so the
+    * postings/stats pass runs once per session, not once per consumer
+    * query) and a query
     * embedding (scored by the q55 exact-cosine channel), and the two
     * top-10 rankings fuse by RRF (Cormack et al. 2009):
     * score(d) = Σ_channels 1/(60 + rank_channel(d)). The query vectors
@@ -381,7 +384,8 @@ object Similarity {
     * ties on doc_id. */
   def q107HybridRrf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val sparse = TextAnalysis.q101Bm25(s, dir)
+    val sparse = TextAnalysis.bm25Top20Artifact(s, dir)
+      .filter(col("rn") <= 10)
       .select(col("query_id"), col("doc_id"), col("rn"))
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id").isin(100L, 200L, 300L))
@@ -477,7 +481,8 @@ object Similarity {
   def q111HybridAnn(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val pfx = AnnIndex.ensure(s, dir)
-    val sparse = TextAnalysis.q101Bm25(s, dir)
+    val sparse = TextAnalysis.bm25Top20Artifact(s, dir)
+      .filter(col("rn") <= 10)
       .select(col("query_id"), col("doc_id"), col("rn"))
     val dense = lshSearch(s, Tables.embeddings(s, dir), pfx,
         col("vec_id").isin(100L, 200L, 300L), 10)
@@ -520,7 +525,9 @@ object Similarity {
 
   /** Two-stage retrieve-then-RERANK cascade (q122) — the production
     * retrieval shape q107's fusion does not cover: a cheap first stage
-    * (BM25 top-20) nominates candidates, an expensive second stage
+    * (BM25 top-20 — the memoized [[TextAnalysis.bm25Top20Artifact]],
+    * one postings/stats pass per session) nominates candidates, an
+    * expensive second stage
     * (exact dense cosine) re-orders ONLY those candidates to the final
     * top-5. The point at 100 TB: the dense model never sees the
     * corpus — candidate vectors fetch by an ids-only broadcast join at
@@ -532,7 +539,7 @@ object Similarity {
     * cosine formulation + the same tiebroken rerank window. */
   def q122CascadeRerank(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val pool = TextAnalysis.bm25Ranking(s, dir).filter(col("rn") <= 20)
+    val pool = TextAnalysis.bm25Top20Artifact(s, dir)
       .select(col("query_id"), col("doc_id"), col("rn").as("bm25_rn"))
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id").isin(100L, 200L, 300L))

@@ -457,6 +457,21 @@ object TextAnalysis {
     bm25Ranking(s, dir).filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
 
+  // the BM25 top-20 as a memoized session artifact for CONSUMERS
+  // (q107/q111's sparse channel, q117's pool+positives, q122's stage-1
+  // candidates): every ranking any of them reads sits inside the
+  // top-20, so ONE tokenize→postings→df/length pass per (session,
+  // corpus) serves them all, |queries|×20 pinned rows. q101 itself
+  // deliberately does NOT read this memo — its bench number must price
+  // the ranking build, not a cache hit (the q52/q67 integrity rule).
+  private val bm25Artifact = new graft.SessionMemo[DataFrame]
+
+  /** q101's BM25 ranking truncated to each query's top-20, built once
+    * per (session, sfDir) and pinned. */
+  private[llm] def bm25Top20Artifact(s: SparkSession, dir: String): DataFrame =
+    bm25Artifact.getOrBuild(s, dir)(
+      bm25Ranking(s, dir).filter(col("rn") <= 20).localCheckpoint())
+
   /** Hard-negative mining for retriever training (q117) — the ANCE/
     * RocketQA-style recipe run without labels: per query, the BM25
     * rank-1 hit serves as the pseudo-POSITIVE, the next-ranked docs
@@ -473,7 +488,7 @@ object TextAnalysis {
     * touches O(queries × 20) rows. */
   def q117HardNegatives(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = bm25Ranking(s, dir)
+    val ranked = bm25Top20Artifact(s, dir)
     val pool = ranked.filter(col("rn") <= 20)
     val pos = ranked.filter(col("rn") === 1)
       .select(col("query_id"), col("doc_id").as("pos_id"))

@@ -603,11 +603,12 @@ object Similarity {
     * division; final top-1 tiebreaks on the candidate id.
     *
     * Scale shape: the sf corpus brute-forces |src|×|tgt| scored pairs
-    * (the q55 argument — exact, oracle-checkable); at 100 TB the pair
-    * generation swaps to IVF-cell-bucketed candidates (q100 SemDeDup's
-    * within-cell shape) with the SAME margin arithmetic downstream.
-    * The pair frame is ids+longs only (vectors stay in the two slice
-    * frames); both k-NN windows partition by a document id. */
+    * (the q55 argument — exact, oracle-checkable); q130 is the SHIPPED
+    * scale path — IVF-cell-bucketed candidates (the q107→q111
+    * precedent) feeding the IDENTICAL margin arithmetic
+    * ([[marginAlign]], shared code). The pair frame is ids+longs only
+    * (vectors stay in the two slice frames); both k-NN windows
+    * partition by a document id. */
   def q124BitextMine(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
@@ -621,10 +622,22 @@ object Similarity {
     val tgt = e.filter(col("lang") === "en")
       .select(col("doc_id").as("tgt_id"),
         col("embedding").as("tv"), col("nrm").as("tn"))
-    val pairs = src.crossJoin(broadcast(tgt))
+    marginAlign(src.crossJoin(broadcast(tgt))
       .withColumn("cos_u", round(dot(col("sv"), col("tv")) /
         (col("sn") * col("tn")) * lit(1000000.0)).cast("long"))
-      .select(col("src_id"), col("lang"), col("tgt_id"), col("cos_u"))
+      .select(col("src_id"), col("lang"), col("tgt_id"), col("cos_u")))
+  }
+
+  /** The margin/k-NN arithmetic shared VERBATIM by q124 (brute exact
+    * pairs) and q130 (IVF-bucketed pairs): given scored candidate
+    * pairs (src_id, lang, tgt_id, cos_u — ids+longs only), average
+    * each side's top-K=4 neighborhood (long sums, tiebroken windows,
+    * one division), divide each pair's cosine by the mean of its two
+    * neighborhoods, and keep every source's margin-top-1 (tgt_id
+    * tiebreak). Both k-NN windows partition by a document id —
+    * high-cardinality keys, bounded partitions. */
+  private def marginAlign(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn
       .localCheckpoint() // feeds both k-NN means AND the final rank
     val K = 4
     val wS = Window.partitionBy(col("src_id"))
@@ -649,23 +662,59 @@ object Similarity {
       .orderBy(col("src_id"))
   }
 
-  /** DuckDB replay of q124: the q55 cosine formulation over the two
-    * language slices, identical once-rounded micro-unit cosines,
-    * long-summed k-NN means, margins, and tiebreaks. */
-  val q124Sql: String =
-    """WITH l AS (SELECT doc_id, lang FROM documents),
-      |e AS (
-      |  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v, lang
-      |  FROM embeddings JOIN l ON l.doc_id = embeddings.vec_id),
-      |s AS (SELECT doc_id AS src_id, lang, v AS sv FROM e WHERE lang <> 'en'),
-      |t AS (SELECT doc_id AS tgt_id, v AS tv FROM e WHERE lang = 'en'),
-      |p AS (
-      |  SELECT src_id, lang, tgt_id,
-      |    CAST(ROUND(list_dot_product(sv, tv) /
-      |      (SQRT(list_dot_product(sv, sv)) * SQRT(list_dot_product(tv, tv)))
-      |      * 1000000.0) AS BIGINT) AS cos_u
-      |  FROM s, t),
-      |ks AS (
+  /** Bitext mining on the SCALE path (q130) — q124's margin alignment
+    * with candidate pairs from the CATALOG-PERSISTED IVF index instead
+    * of the brute |src|×|tgt| cross join (the q107→q111 precedent):
+    * every non-English document ranks against the k=8 broadcast
+    * centroids and probes its nProbe=5 nearest cells; candidates are
+    * the probed cells' ENGLISH members — an ids-keyed equi-join on the
+    * cell key, never a corpus×corpus product — and the IDENTICAL
+    * margin/k-NN arithmetic runs downstream ([[marginAlign]], shared
+    * code). The k-NN neighborhoods average over the bucketed pair set
+    * — the same neighborhood the index search itself can see, the
+    * standard IVF recall trade. At 100 TB the cell count grows ~√n
+    * (AnnIndex geometry) so per-probe candidate sets stay bounded.
+    * Approximate in RECALL but — with [[AnnIndex.train]] determinized
+    * — a pure function of the corpus, fully oracle-checked by
+    * [[q130Sql]]'s end-to-end replay (Lloyd's training included). */
+  def q130BitextAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val nProbe = 5
+    val cents = s.table(s"$pfx.ivf_centroids")
+    val cells = s.table(s"$pfx.ivf_cells")
+    val langs = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(langs, Seq("vec_id"))
+    val probes = AnnIndex.assignRanked(e.filter(col("lang") =!= "en"), cents)
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("src_id"), col("lang"),
+        col("embedding").as("sv"), col("nrm").as("sn"),
+        col("cent_id").as("cell"))
+    // cells is the HARD assignment (one cell per vector) and probe
+    // cells are distinct per source, so (src_id, tgt_id) is unique by
+    // construction — no dedup shuffle needed
+    val tgt = cells
+      .join(e.filter(col("lang") === "en")
+        .select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("tv"),
+        col("nrm").as("tn"), col("cell"))
+    marginAlign(probes.join(tgt, Seq("cell"))
+      .withColumn("cos_u", round(dot(col("sv"), col("tv")) /
+        (col("sn") * col("tn")) * lit(1000000.0)).cast("long"))
+      .select(col("src_id"), col("lang"), col("tgt_id"), col("cos_u")))
+  }
+
+  /** The margin/k-NN CTE chain over a pair CTE named `p`
+    * (src_id, lang, tgt_id, cos_u) — ONE source of truth for the q124
+    * and q130 oracles, mirroring [[marginAlign]] token-for-token
+    * (long-summed top-4 neighborhoods, one division, margin-top-1 with
+    * tgt_id tiebreaks). Ends with CTE `b`; the enclosing oracle
+    * selects its rn = 1 rows. */
+  private val marginCtes: String =
+    """ks AS (
       |  SELECT src_id, SUM(cos_u) / 4.0 AS knn_s FROM (
       |    SELECT src_id, cos_u, ROW_NUMBER() OVER (PARTITION BY src_id
       |      ORDER BY cos_u DESC, tgt_id) AS r FROM p) WHERE r <= 4
@@ -683,51 +732,78 @@ object Similarity {
       |  SELECT src_id, lang, tgt_id, cos_u, margin6,
       |    ROW_NUMBER() OVER (PARTITION BY src_id
       |      ORDER BY margin6 DESC, tgt_id) AS rn
-      |  FROM m)
+      |  FROM m)""".stripMargin
+
+  /** DuckDB replay of q124: the q55 cosine formulation over the two
+    * language slices, identical once-rounded micro-unit cosines, then
+    * [[marginCtes]] verbatim. */
+  val q124Sql: String =
+    s"""WITH l AS (SELECT doc_id, lang FROM documents),
+      |e AS (
+      |  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v, lang
+      |  FROM embeddings JOIN l ON l.doc_id = embeddings.vec_id),
+      |s AS (SELECT doc_id AS src_id, lang, v AS sv FROM e WHERE lang <> 'en'),
+      |t AS (SELECT doc_id AS tgt_id, v AS tv FROM e WHERE lang = 'en'),
+      |p AS (
+      |  SELECT src_id, lang, tgt_id,
+      |    CAST(ROUND(list_dot_product(sv, tv) /
+      |      (SQRT(list_dot_product(sv, sv)) * SQRT(list_dot_product(tv, tv)))
+      |      * 1000000.0) AS BIGINT) AS cos_u
+      |  FROM s, t),
+      |$marginCtes
       |SELECT src_id, lang, tgt_id,
       |  ROUND(cos_u / 1000000.0, 6) AS cos6, margin6
       |FROM b WHERE rn = 1 ORDER BY src_id""".stripMargin
 
   /** Retrieval-quality evaluation (q125) — the scorecard an ANN index
-    * ships with: per query, recall@3 of the LSH index search (q56)
-    * against the brute-force ground truth (q55 top-3), and the
-    * reciprocal rank at which the true best neighbor surfaces (MRR's
-    * per-query term). Bench enforces a corpus-level recall floor; this
-    * op makes the same measurement a first-class, oracle-checked query
-    * — per query, so a curator sees WHICH queries the index fails, not
-    * just the average.
+    * ships with: per (query, index), recall@3 of the index search
+    * (q56's LSH chain AND q57's IVF chain — the same pair Bench's
+    * recall gate enforces corpus-wide) against the brute-force ground
+    * truth (q55 top-3), and the reciprocal rank at which the true best
+    * neighbor surfaces (MRR's per-query term). Bench enforces a
+    * corpus-level recall floor; this op makes the same measurement a
+    * first-class, oracle-checked query — per query and per index, so a
+    * curator sees WHICH queries WHICH index fails, not just averages.
     *
-    * Deterministic end to end (the q56 argument: the index is a pure
-    * function of the corpus), so the oracle replays BOTH pipelines —
-    * the shared brute CTEs and the full LSH chain — and recomputes the
-    * join. Scale: both inputs are top-k frames (|queries|×3 rows); the
-    * eval itself is ids-only joins and a |queries|-key aggregate. */
+    * Deterministic end to end (the q56/q57 argument: both indexes are
+    * pure functions of the corpus), so the oracle replays ALL THREE
+    * pipelines — the shared brute CTEs, the full LSH chain, and the
+    * unrolled IVF training — and recomputes the joins. Scale: every
+    * input is a top-k frame (|queries|×3 rows); the eval itself is
+    * ids-only joins and |queries|-key aggregates. */
   def q125RetrievalEval(s: SparkSession, dir: String): DataFrame = {
     val truth = q55CosineTopK(s, dir).filter(col("rn") <= 3)
       .select(col("qid"), col("cid"), col("rn").as("trn"))
-      .localCheckpoint() // feeds the hit join, the rr join, and qids
-    val lsh = q56AnnLsh(s, dir).select(col("qid"), col("cid"), col("rn"))
-      .localCheckpoint()
-    val hits = truth.join(lsh, Seq("qid", "cid"))
-      .groupBy(col("qid")).agg(count(lit(1)).cast("int").as("hits"))
-    val rr = truth.filter(col("trn") === 1)
-      .join(lsh, Seq("qid", "cid"), "left")
-      .select(col("qid"),
-        coalesce(lit(1.0) / col("rn"), lit(0.0)).as("rr"))
-    truth.select(col("qid")).distinct()
-      .join(hits, Seq("qid"), "left")
-      .join(rr, Seq("qid"), "left")
-      .select(col("qid"),
-        coalesce(col("hits"), lit(0)).as("hits"),
-        round(coalesce(col("hits"), lit(0)) / 3.0, 6).as("recall3_6"),
-        round(coalesce(col("rr"), lit(0.0)), 6).as("rr6"))
-      .orderBy(col("qid"))
+      .localCheckpoint() // feeds both channels' hit/rr joins and qids
+    def channel(approx: DataFrame, label: String): DataFrame = {
+      val a = approx.select(col("qid"), col("cid"), col("rn"))
+        .localCheckpoint() // feeds the hit join AND the rr join
+      val hits = truth.join(a, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).cast("int").as("hits"))
+      val rr = truth.filter(col("trn") === 1)
+        .join(a, Seq("qid", "cid"), "left")
+        .select(col("qid"),
+          coalesce(lit(1.0) / col("rn"), lit(0.0)).as("rr"))
+      truth.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .join(rr, Seq("qid"), "left")
+        .select(col("qid"), lit(label).as("index"),
+          coalesce(col("hits"), lit(0)).as("hits"),
+          round(coalesce(col("hits"), lit(0)) / 3.0, 6).as("recall3_6"),
+          round(coalesce(col("rr"), lit(0.0)), 6).as("rr6"))
+    }
+    channel(q56AnnLsh(s, dir), "lsh")
+      .unionByName(channel(q57AnnIvf(s, dir), "ivf"))
+      .orderBy(col("qid"), col("index"))
   }
 
   /** DuckDB replay of q125: [[bruteSimsCtes]] verbatim for the truth
-    * side, [[annSimsCtes]] verbatim for the index side (the proven q55
-    * and q56 replays), identical joins and roundings. */
-  lazy val q125Sql: String =
+    * side, [[annSimsCtes]] verbatim for the LSH channel, [[ivfCtes]]
+    * verbatim for the IVF channel (the proven q55/q56/q57 replays —
+    * the IVF chain is the q66 oracle's `i_` block), identical joins
+    * and roundings, one row per (query, index). */
+  lazy val q125Sql: String = {
+    val r = AnnIndex.MaxRounds + 1
     s"""WITH ${bruteSimsCtes("b_")},
       |truth AS (
       |  SELECT qid, cid, rn AS trn FROM (
@@ -740,24 +816,57 @@ object Similarity {
       |    SELECT qid, cid,
       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
       |    FROM l_sims) WHERE rn <= 3),
-      |hits AS (
+      |${ivfCtes("i_")},
+      |iprobes AS (
+      |  SELECT vec_id AS qid, cent_id AS cell FROM i_a$r
+      |  WHERE vec_id < 50 AND rk <= 5),
+      |icand AS (
+      |  SELECT DISTINCT p.qid, m.vec_id AS cid
+      |  FROM iprobes p JOIN i_cells m ON p.cell = m.cell
+      |  WHERE p.qid <> m.vec_id),
+      |isims AS (
+      |  SELECT qid, cid,
+      |    ROUND(list_dot_product(q.ev, c.ev) /
+      |      (SQRT(list_dot_product(q.ev, q.ev)) * SQRT(list_dot_product(c.ev, c.ev))), 6) AS sim
+      |  FROM icand JOIN i_v q ON icand.qid = q.vec_id JOIN i_v c ON icand.cid = c.vec_id),
+      |ivf AS (
+      |  SELECT qid, cid, rn FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |    FROM isims) WHERE rn <= 3),
+      |qs AS (SELECT DISTINCT qid FROM truth),
+      |lhits AS (
       |  SELECT qid, CAST(COUNT(*) AS INTEGER) AS hits
       |  FROM truth JOIN lsh USING (qid, cid) GROUP BY 1),
-      |rr AS (
+      |lrr AS (
       |  SELECT t.qid, COALESCE(1.0 / l.rn, 0.0) AS rr
       |  FROM (SELECT qid, cid FROM truth WHERE trn = 1) t
       |  LEFT JOIN lsh l USING (qid, cid)),
-      |qs AS (SELECT DISTINCT qid FROM truth)
-      |SELECT qs.qid, COALESCE(hits, 0) AS hits,
-      |  ROUND(COALESCE(hits, 0) / 3.0, 6) AS recall3_6,
-      |  ROUND(COALESCE(rr, 0.0), 6) AS rr6
-      |FROM qs LEFT JOIN hits USING (qid) LEFT JOIN rr USING (qid)
-      |ORDER BY qs.qid""".stripMargin
+      |ihits AS (
+      |  SELECT qid, CAST(COUNT(*) AS INTEGER) AS hits
+      |  FROM truth JOIN ivf USING (qid, cid) GROUP BY 1),
+      |irr AS (
+      |  SELECT t.qid, COALESCE(1.0 / i.rn, 0.0) AS rr
+      |  FROM (SELECT qid, cid FROM truth WHERE trn = 1) t
+      |  LEFT JOIN ivf i USING (qid, cid))
+      |SELECT qid, idx AS "index", hits, recall3_6, rr6 FROM (
+      |  SELECT qs.qid, 'lsh' AS idx, COALESCE(hits, 0) AS hits,
+      |    ROUND(COALESCE(hits, 0) / 3.0, 6) AS recall3_6,
+      |    ROUND(COALESCE(rr, 0.0), 6) AS rr6
+      |  FROM qs LEFT JOIN lhits USING (qid) LEFT JOIN lrr USING (qid)
+      |  UNION ALL
+      |  SELECT qs.qid, 'ivf' AS idx, COALESCE(hits, 0) AS hits,
+      |    ROUND(COALESCE(hits, 0) / 3.0, 6) AS recall3_6,
+      |    ROUND(COALESCE(rr, 0.0), 6) AS rr6
+      |  FROM qs LEFT JOIN ihits USING (qid) LEFT JOIN irr USING (qid))
+      |ORDER BY qid, idx""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_cascade_rerank" -> q122CascadeRerank _,
     "q124_bitext_mine" -> q124BitextMine _,
     "q125_retrieval_eval" -> q125RetrievalEval _,
+    "q130_bitext_ann" -> q130BitextAnn _,
     "q100_semdedup"        -> q100SemDedup _,
     "q107_hybrid_rrf"      -> q107HybridRrf _,
     "q111_hybrid_ann"      -> q111HybridAnn _,
@@ -932,6 +1041,36 @@ object Similarity {
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB replay of q130 END-TO-END: the IVF artifact recomputed
+    * from first principles ([[ivfCtes]] — the proven q57 replay), each
+    * non-English document's top-nProbe cells from the SAME final
+    * ranking, candidate pairs = probed cells' English members with the
+    * q124 cosine formulation, then [[marginCtes]] VERBATIM — a drifted
+    * centroid, a lost probe, an invented candidate, or a margin
+    * divergence all fail the hash. */
+  lazy val q130Sql: String = {
+    val r = AnnIndex.MaxRounds + 1
+    s"""WITH ${ivfCtes("")},
+      |l AS (SELECT doc_id, lang FROM documents),
+      |sp AS (
+      |  SELECT a.vec_id AS src_id, l.lang, a.cent_id AS cell, a.ev AS sv
+      |  FROM a$r a JOIN l ON l.doc_id = a.vec_id
+      |  WHERE l.lang <> 'en' AND a.rk <= 5),
+      |tm AS (
+      |  SELECT m.cell, m.vec_id AS tgt_id, m.ev AS tv
+      |  FROM cells m JOIN l ON l.doc_id = m.vec_id WHERE l.lang = 'en'),
+      |p AS (
+      |  SELECT src_id, lang, tgt_id,
+      |    CAST(ROUND(list_dot_product(sv, tv) /
+      |      (SQRT(list_dot_product(sv, sv)) * SQRT(list_dot_product(tv, tv)))
+      |      * 1000000.0) AS BIGINT) AS cos_u
+      |  FROM sp JOIN tm USING (cell)),
+      |$marginCtes
+      |SELECT src_id, lang, tgt_id,
+      |  ROUND(cos_u / 1000000.0, 6) AS cos6, margin6
+      |FROM b WHERE rn = 1 ORDER BY src_id""".stripMargin
+  }
+
   val q56Sql: String =
     s"""WITH ${annSimsCtes("vec_id < 50")},
       |ranked AS (
@@ -1032,6 +1171,7 @@ object Similarity {
     "q122_cascade_rerank" -> q122Sql,
     "q124_bitext_mine" -> q124Sql,
     "q125_retrieval_eval" -> q125Sql,
+    "q130_bitext_ann" -> q130Sql,
     // every Similarity query is oracle-checked: the LSH and IVF replays
     // exist because both artifacts are deterministic by construction
   )

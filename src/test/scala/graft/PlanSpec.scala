@@ -341,6 +341,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"single-partition exchange in q119 plan:\n$plan")
   }
 
+  test("q130 bitext ANN: no corpus-sized nested-loop join in the plan") {
+    // q124's exactness baseline broadcasts the whole English slice into
+    // a BroadcastNestedLoopJoin — banned at scale. q130's candidates
+    // must come from the cell equi-join; the ONLY nested loop allowed
+    // is the KCells-row (8) centroid ranking every IVF searcher shares
+    val plan = planOf(llm.Similarity.q130BitextAnn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in q130 plan:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1,
+      s"q130 must nested-loop only against the 8 centroids, found $bnlj:\n$plan")
+  }
+
   test("as-of join is one shuffle + window, not a per-row subquery") {
     val plan = planOf(ops.Relational.q10AsofJoin(spark, sf))
     assert(plan.contains("Window"), s"expected window-based as-of:\n$plan")

@@ -739,20 +739,45 @@ object Curation {
     * or source outage shows as a KL spike in the monitor table the
     * moment it arrives, not at the next corpus-wide audit.
     *
-    * State is BOUNDED: the running reference lives as an append-only
-    * (bucket, cnt) catalog table — ≤1024 distinct buckets regardless
-    * of corpus size, summed on read — so per-batch cost is O(batch
-    * tokens) map work plus a ≤1024-row join; the corpus is never
+    * State: the running reference lives as a (bucket, cnt) catalog
+    * table summed on read — the KEY space is ≤1024 buckets regardless
+    * of corpus size, and the PHYSICAL row count is bounded too: each
+    * batch appends ≤1024 rows, and whenever the table exceeds
+    * `foldAt` rows it re-aggregates back to ≤1024 rows in one atomic
+    * overwrite ([[foldDriftCounts]]) — so per-batch read cost is
+    * O(foldAt) forever, never O(batches), and the corpus is never
     * rescanned. Exactly-once: the monitor row lands first, then the
     * batch's bucket counts fold into the reference, both fenced on
     * the micro-batch id ([[AnnIndex.fencedAppend]] with
     * [[DriftBatchKey]]) — a crash between them replays into one
     * fenced no-op and one completing append, so a batch can never
     * count into the reference twice (which would bias every later
-    * KL toward zero). */
+    * KL toward zero). The maintenance fold needs no fence: it is
+    * value-preserving by construction, so replaying it after a crash
+    * — or running it twice — is a semantic no-op. */
   def driftIngestStream(s: SparkSession, corpusFqn: String,
                         countsFqn: String, monitorFqn: String,
                         checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    driftIngestStream(s, corpusFqn, countsFqn, monitorFqn, checkpoint, 4096L)
+
+  /** Re-aggregate the drift reference back to ≤1024 physical rows in
+    * ONE atomic overwrite commit. Value-preserving by construction —
+    * the reference is only ever SUMMED on read, and sum(folded) =
+    * sum(raw) per bucket — so a crash mid-fold leaves either the old
+    * or the new table (both value-equal), and a replayed or repeated
+    * fold is a semantic no-op: no fence needed. */
+  def foldDriftCounts(s: SparkSession, countsFqn: String): Unit =
+    s.table(countsFqn)
+      .groupBy(col("b")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint() // pin BEFORE overwriting the table it reads
+      .writeTo(countsFqn).overwrite(lit(true))
+
+  /** [[driftIngestStream]] with an explicit fold threshold (tests use
+    * a small one to exercise the maintenance path in few batches). */
+  def driftIngestStream(s: SparkSession, corpusFqn: String,
+                        countsFqn: String, monitorFqn: String,
+                        checkpoint: String, foldAt: Long)
       : org.apache.spark.sql.streaming.StreamingQuery =
     s.readStream.table(corpusFqn)
       .writeStream
@@ -783,6 +808,11 @@ object Curation {
           AnnIndex.fencedAppend(monitorRow, monitorFqn, id.toInt, DriftBatchKey)
           AnnIndex.fencedAppend(cells.select(col("b"), col("cnt")),
             countsFqn, id.toInt, DriftBatchKey)
+          // reference maintenance AFTER this batch's counts land: once
+          // the physical table outgrows foldAt rows, compact it back
+          // to ≤1024 — idempotent, so it runs outside the fence
+          if (s.table(countsFqn).count() > foldAt)
+            foldDriftCounts(s, countsFqn)
         }
         ()
       }

@@ -276,4 +276,82 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         .head.getLong(0) == 24L)
     } finally q2.stop()
   }
+
+  test("drift reference fold: bounded rows, identical KL, restart/replay-safe") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-drf-wh").toString
+    spark.conf.set("spark.sql.catalog.drf",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.drf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS drf.ing")
+    for (sfx <- Seq("a", "b")) {
+      spark.sql(s"CREATE TABLE drf.ing.docs_$sfx (doc_id BIGINT, text STRING)")
+      spark.sql(s"CREATE TABLE drf.ing.counts_$sfx (b BIGINT, cnt BIGINT)")
+      spark.sql(s"CREATE TABLE drf.ing.monitor_$sfx " +
+        "(batch_id INT, n_tokens BIGINT, kl6 DOUBLE)")
+    }
+    val ckA = java.nio.file.Files.createTempDirectory("graft-drf-cka").toString
+    val ckB = java.nio.file.Files.createTempDirectory("graft-drf-ckb").toString
+    // A folds aggressively (threshold 4 rows); B never folds here
+    // (default threshold) — the fold must be INVISIBLE in every KL
+    def startA() = llm.Curation.driftIngestStream(spark, "drf.ing.docs_a",
+      "drf.ing.counts_a", "drf.ing.monitor_a", ckA, 4L)
+    def startB() = llm.Curation.driftIngestStream(spark, "drf.ing.docs_b",
+      "drf.ing.counts_b", "drf.ing.monitor_b", ckB)
+    def mon(sfx: String): Seq[(Int, Long, Double)] =
+      spark.table(s"drf.ing.monitor_$sfx").orderBy(col("batch_id")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    def tot(sfx: String): Long =
+      spark.table(s"drf.ing.counts_$sfx").agg(sum(col("cnt")))
+        .head.getLong(0)
+    def ingest(rows: Seq[(Long, String)],
+               qa: org.apache.spark.sql.streaming.StreamingQuery,
+               qb: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val df = rows.toDF("doc_id", "text")
+      df.writeTo("drf.ing.docs_a").append()
+      df.writeTo("drf.ing.docs_b").append()
+      qa.processAllAvailable(); qb.processAllAvailable()
+    }
+    val qA = startA(); val qB = startB()
+    try {
+      ingest(Seq((1L, "alpha beta gamma delta"),
+        (2L, "alpha beta epsilon zeta")), qA, qB)
+      ingest(Seq((3L, "alpha beta gamma delta eta theta")), qA, qB)
+      ingest(Seq((4L, "omega psi chi phi")), qA, qB)
+      ingest(Seq((5L, "alpha omega iota kappa lambda")), qA, qB)
+      assert(mon("a") == mon("b"),
+        s"folding changed a KL output: ${mon("a")} vs ${mon("b")}")
+      assert(tot("a") == tot("b"), "folding changed the reference mass")
+      // physically bounded: the folded table is one row per bucket
+      val distinctB = spark.table("drf.ing.counts_a")
+        .select("b").distinct().count()
+      assert(spark.table("drf.ing.counts_a").count() == distinctB,
+        "fold must leave one physical row per bucket")
+      assert(spark.table("drf.ing.counts_b").count() > distinctB,
+        "fixture must actually accumulate duplicate bucket rows on B")
+    } finally { qA.stop(); qB.stop() }
+
+    // a REPLAYED fold (crash after the fold's overwrite committed but
+    // before the checkpoint advanced — the restarted batch re-runs the
+    // maintenance) must be a physical no-op
+    def rows(sfx: String): Seq[(Long, Long)] =
+      spark.table(s"drf.ing.counts_$sfx").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val before = rows("a")
+    llm.Curation.foldDriftCounts(spark, "drf.ing.counts_a")
+    assert(rows("a") == before, "a repeated fold must change nothing")
+
+    // restart both streams: fenced no-ops, then further batches keep
+    // the folding and non-folding references in exact agreement
+    val qA2 = startA(); val qB2 = startB()
+    try {
+      qA2.processAllAvailable(); qB2.processAllAvailable()
+      assert(mon("a") == mon("b") && tot("a") == tot("b"),
+        "restart replay must not double-count on either side")
+      ingest(Seq((6L, "mu nu xi omicron alpha")), qA2, qB2)
+      assert(mon("a") == mon("b"),
+        "post-restart KL must still be fold-invariant")
+      assert(tot("a") == tot("b"))
+    } finally { qA2.stop(); qB2.stop() }
+  }
 }

@@ -1061,42 +1061,76 @@ object Curation {
 
   /** The end-to-end curation FUNNEL (q116) — the pipeline run a
     * training-data team ships, composed from the pack's proven stages
-    * applied SEQUENTIALLY, each stage seeing its predecessor's output:
+    * applied SEQUENTIALLY, each stage seeing its predecessor's output
+    * (the RefinedWeb ordering — line cleaning FIRST, then
+    * document-level filtering and dedup):
     *
+    *   0. LINE cleaning — q128's rule set ([[TextAnalysis
+    *      .keptLinesExpr]], one shared expression): navigation/counter
+    *      spam lines drop, and every later stage sees the CLEANED
+    *      text; the audit prices the removals per source;
     *   1. heuristic filter — the q91 rule family configured for this
     *      corpus (length floor 20 words, sane mean word length,
     *      boilerplate rejects; rule sets are per-corpus configuration
     *      in every real pipeline — C4's own rules differ from Gopher's);
     *   2. NEAR-dup dedup — the q52 MinHash-LSH verified pairs
-    *      (J ≥ 0.5); among filter survivors, every pair drops its
-    *      higher id (the q100 greedy keep-lowest rule);
+    *      (J ≥ 0.5) computed over the CLEANED text (cleaning first
+    *      means junk lines can no longer mask duplicate content);
+    *      among filter survivors, every pair drops its higher id (the
+    *      q100 greedy keep-lowest rule);
     *   3. quality-weighted sampling — q113's rule with the
     *      uniform-source rates priced over the DEDUPED population.
     *
     * Emits the per-source funnel audit: docs and tokens entering and
-    * surviving every stage — the table a curation run reports.
+    * surviving every stage, plus lines removed by stage 0 — the table
+    * a curation run reports.
     *
-    * Plan shape at 100 TB: one corpus scan computes the per-row
-    * signals inline (tokens, quality, filter verdict); the near-dup
-    * stage is the already-audited q52 pipeline (ids-only band
-    * shuffles) feeding an ids-only drop join; the sampling rates are a
-    * |sources|-row checkpointed aggregate broadcast back; the funnel
-    * itself is one |sources|-key aggregation. Text never shuffles. */
-  def q116CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    * Plan shape at 100 TB: two map-only corpus scans (one computes the
+    * per-row signals inline — cleaning, tokens, quality, filter
+    * verdict; one shingles the cleaned text for the pair build — text
+    * pins nowhere); the near-dup stage is the already-audited q52
+    * pipeline (ids-only band shuffles) feeding an ids-only drop join;
+    * the sampling rates are a |sources|-row checkpointed aggregate
+    * broadcast back; the funnel itself is one |sources|-key
+    * aggregation. Text never shuffles. */
+  def q116CurationFunnel(s: SparkSession, dir: String): DataFrame =
+    q116CurationFunnel(s, dir, cleanLines = true)
+
+  /** [[q116CurationFunnel]] with stage 0 switchable: `cleanLines =
+    * false` reproduces the r10 funnel (raw text; the memoized raw-text
+    * pair artifact) for corpora cleaned upstream. */
+  def q116CurationFunnel(s: SparkSession, dir: String,
+                         cleanLines: Boolean): DataFrame = {
     val t = trim(col("text"))
     val tokens = size(split(t, "\\s+")).cast("long")
     val filterKeep = funnelFilterExpr
-    val d = Tables.documents(s, dir).select(
-      col("doc_id"), col("source"), tokens.as("n_tokens"),
+    // stage 0: after this, the `text` column IS the cleaned text, so
+    // every shared stage expression downstream applies unchanged
+    val cl =
+      if (cleanLines) Tables.documents(s, dir)
+        .withColumn("lines_removed",
+          TextAnalysis.linesRemovedExpr(col("text")))
+        .withColumn("text", TextAnalysis.cleanedTextExpr(col("text")))
+      else Tables.documents(s, dir).withColumn("lines_removed", lit(0L))
+    val d = cl.select(
+      col("doc_id"), col("source"), col("lines_removed"),
+      tokens.as("n_tokens"),
       TextAnalysis.qualityExpr.as("quality"),
       filterKeep.as("filter_keep"))
-    // near-dup drop list: q52's verified pairs restricted to pairs
-    // whose LOWER id survives the filter; the higher id drops (greedy
-    // keep-lowest, the q100 rule). Ids only — pairs join against the
-    // |survivors| id set, never against text.
+    // near-dup drop list over the SAME text the filter saw: verified
+    // pairs of the cleaned corpus when stage 0 ran (a second map-only
+    // signature scan), else the memoized raw-text artifact; restricted
+    // to pairs whose LOWER id survives the filter — the higher id
+    // drops (greedy keep-lowest, the q100 rule). Ids only — pairs join
+    // against the |survivors| id set, never against text.
+    val pairsAll =
+      if (cleanLines)
+        Dedup.verifiedPairsOver(cl.select(col("doc_id"), col("text")))
+          .select(col("doc_a"), col("doc_b"))
+      else Dedup.verifiedPairsArtifact(s, dir)
     val survivorsA = d.filter(col("filter_keep"))
       .select(col("doc_id").as("doc_a"))
-    val dropIds = Dedup.verifiedPairsArtifact(s, dir)
+    val dropIds = pairsAll
       .join(survivorsA, Seq("doc_a"))
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("dropped", lit(true))
@@ -1121,6 +1155,7 @@ object Curation {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("tokens"),
+        sum(col("lines_removed")).as("lines_removed"),
         sum(when(col("filter_keep"), 1L).otherwise(0L)).as("n_filtered"),
         sum(when(col("filter_keep"), col("n_tokens")).otherwise(0L))
           .as("tok_filtered"),
@@ -1134,21 +1169,29 @@ object Curation {
   }
 
   /** DuckDB replay of q116: every stage shared verbatim with its parent
-    * oracle — [[Dedup.pairCtes]] (the exact all-pairs form proven equal
-    * to the LSH pipeline pair-for-pair on these corpora, the q52
-    * oracle's own soundness argument), [[TextAnalysis.sqlQualityExpr]],
-    * and the q113 rate/draw forms — so a drifted verdict in ANY stage
-    * shifts a funnel sum and fails the hash. */
+    * oracle — [[TextAnalysis.sqlCleanedTextExpr]] (the q128 line rule:
+    * stage 0's cleaned text is what EVERY later CTE reads),
+    * [[Dedup.pairCtesOver]] the cleaned CTE (the exact all-pairs form
+    * proven equal to the LSH pipeline pair-for-pair on these corpora,
+    * the q52 oracle's own soundness argument),
+    * [[TextAnalysis.sqlQualityExpr]], and the q113 rate/draw forms —
+    * so a drifted verdict in ANY stage shifts a funnel sum and fails
+    * the hash. */
   val q116Sql: String =
-    s"""WITH ${Dedup.pairCtes},
+    s"""WITH cl AS (
+      |  SELECT doc_id, source,
+      |    ${TextAnalysis.sqlLinesRemovedExpr} AS lines_removed,
+      |    ${TextAnalysis.sqlCleanedTextExpr} AS text
+      |  FROM documents),
+      |${Dedup.pairCtesOver("cl")},
       |vp AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
       |d AS (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id, source, lines_removed,
       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
       |""".stripMargin +
       "    " + TextAnalysis.sqlQualityExpr + s""" AS quality,
       |    $sqlFunnelFilterExpr AS filter_keep
-      |  FROM documents),
+      |  FROM cl),
       |dr AS (
       |  SELECT DISTINCT v.doc_b AS doc_id FROM vp v
       |  JOIN d a ON a.doc_id = v.doc_a WHERE a.filter_keep),
@@ -1161,7 +1204,8 @@ object Curation {
       |r AS (SELECT source, ROUND((total * 1.0 / k) / tokens, 6) AS rate6
       |      FROM p2, g2),
       |dec AS (
-      |  SELECT s2.source, s2.n_tokens, s2.filter_keep, s2.dedup_keep,
+      |  SELECT s2.source, s2.n_tokens, s2.lines_removed, s2.filter_keep,
+      |    s2.dedup_keep,
       |    (r.rate6 IS NOT NULL) AND s2.dedup_keep AND
       |""".stripMargin + s"      (($sqlDetHash) % 1000000) <" + """
       |      CAST(ROUND(LEAST(1.0, r.rate6) * s2.quality * 1000000.0) AS BIGINT)
@@ -1169,6 +1213,7 @@ object Curation {
       |  FROM s2 LEFT JOIN r USING (source))
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(SUM(lines_removed) AS BIGINT) AS lines_removed,
       |  CAST(SUM(CASE WHEN filter_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered,
       |  CAST(SUM(CASE WHEN filter_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_filtered,
       |  CAST(SUM(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
@@ -1183,8 +1228,13 @@ object Curation {
 
   /** The q116 curation funnel as an unattended INGEST stream: tail a
     * documents catalog table and, per micro-batch of arrivals, run the
-    * three stages against everything retained before them —
+    * stages against everything retained before them —
     *
+    *   0. line cleaning (q128's rule set, [[TextAnalysis
+    *      .cleanedTextExpr]] — the same shared expression as the batch
+    *      funnel's stage 0): every later stage, the band signatures
+    *      included, sees cleaned text, so junk lines cannot mask a
+    *      duplicate re-ingest;
     *   1. heuristic filter (q116's rule set), map-only on the batch;
     *   2. near-dup dedup against the PERSISTED band index (plus
     *      batch-vs-batch): an arrival drops when it verifies (exact
@@ -1250,9 +1300,15 @@ object Curation {
         // the SAME stage-1 rule as the batch funnel — one shared
         // expression, so batch/stream parity cannot drift
         val filterKeep = funnelFilterExpr
+        // stage 0: the SAME line-cleaning rule as the batch funnel —
+        // tokens, quality, filter AND shingles all see cleaned text,
+        // so the band index holds cleaned-content signatures and junk
+        // lines cannot mask a duplicate re-ingest
+        val cleaned = batch.withColumn("text",
+          TextAnalysis.cleanedTextExpr(col("text")))
         // one pinned frame feeds the filter verdicts, the survivor
         // shingles/bands, and the final verdict rows
-        val b = batch.select(col("doc_id"), col("source"),
+        val b = cleaned.select(col("doc_id"), col("source"),
           size(split(t, "\\s+")).cast("long").as("n_tokens"),
           TextAnalysis.qualityExpr.as("quality"),
           filterKeep.as("filter_keep"),
@@ -1282,9 +1338,13 @@ object Curation {
         val cands = vsIdx.unionByName(vsBatch)
           .dropDuplicates("new_id", "partner").localCheckpoint()
         val partnerIds = cands.select(col("partner").as("doc_id")).distinct()
+        // partners re-shingle through the SAME stage-0 cleaning their
+        // indexed signatures were built from — verify compares cleaned
+        // content to cleaned content
         val corpusSh = s.table(corpusFqn).join(partnerIds, Seq("doc_id"))
           .select(col("doc_id").as("partner"),
-            Dedup.shingleUdf(col("text")).as("sh_p"))
+            Dedup.shingleUdf(TextAnalysis.cleanedTextExpr(col("text")))
+              .as("sh_p"))
         val dropIds = cands
           .join(b.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
             Seq("new_id"))

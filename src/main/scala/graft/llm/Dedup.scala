@@ -173,8 +173,18 @@ object Dedup {
       q52MinHashLsh(s, dir).select(col("doc_a"), col("doc_b"))
         .localCheckpoint())
 
-  def q52MinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def q52MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    verifiedPairsOver(Tables.documents(s, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The q52 MinHash-LSH verified-pair pipeline over an EXPLICIT
+    * (doc_id, text, …) frame — shared by q52 (the raw corpus) and the
+    * curation funnel (the LINE-CLEANED corpus: q116's stage 0 runs
+    * before dedup, the RefinedWeb ordering, so its pair set must be
+    * computed over what survived cleaning). Same banding, same exact
+    * Jaccard ≥ 0.5 verification, ids-only through every shuffle. */
+  private[llm] def verifiedPairsOver(corpus: DataFrame): DataFrame = {
+    val docs = corpus
       .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
     val buckets = bandBuckets(minhashSignatures(docs))
 
@@ -191,7 +201,6 @@ object Dedup {
       .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // one band-index build per (session, sfDir) — same weak-key memo
@@ -931,13 +940,12 @@ object Dedup {
     * stand in for the 64-bit hashed shingles modulo collisions (the
     * q54 precedent). A jaccard value mismatch, a missed pair, or an
     * invented pair all fail the hash. */
-  /** The exact all-pairs shingle-Jaccard CTE block (no leading WITH),
-    * ending with CTE `p` (doc_a < doc_b, jaccard) — shared by the
-    * q52/q93 oracles and q116's funnel oracle (one source of truth;
-    * CTE names `w`/`g`/`p` are reserved by it). */
-  private[llm] val pairCtes: String =
+  /** [[pairCtes]] over an EXPLICIT corpus relation (a base table or an
+    * earlier CTE) — the SQL twin of [[verifiedPairsOver]]; q116's
+    * funnel oracle runs it over its line-cleaned CTE. */
+  private[llm] def pairCtesOver(src: String): String =
     s"""w AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src),
       |g AS (
       |  SELECT doc_id,
       |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -950,6 +958,12 @@ object Dedup {
       |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)
       |      AS jaccard
       |  FROM g a JOIN g b ON a.doc_id < b.doc_id)""".stripMargin
+
+  /** The exact all-pairs shingle-Jaccard CTE block (no leading WITH),
+    * ending with CTE `p` (doc_a < doc_b, jaccard) over the raw
+    * `documents` table — shared by the q52/q93/q117/q120 oracles (one
+    * source of truth; CTE names `w`/`g`/`p` are reserved by it). */
+  private[llm] val pairCtes: String = pairCtesOver("documents")
 
   private def pairSql(extra: String): String =
     s"""WITH $pairCtes

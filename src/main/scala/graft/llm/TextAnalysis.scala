@@ -936,13 +936,41 @@ object TextAnalysis {
     * (The sf corpora are single-line, so the oracle covers the
     * degenerate pass-through; RetrievalCurationSpec drives multi-line
     * fixtures through the real rules.) */
-  def q128LineFilter(s: SparkSession, dir: String): DataFrame = {
+  /** The q128 line-keep rule and its derived expressions — ONE source
+    * of truth shared by q128 (the standalone audit), the batch funnel
+    * (q116's stage 0 cleans BEFORE document-level filtering and dedup,
+    * the RefinedWeb ordering) and the streaming funnel
+    * ([[graft.llm.Curation.funnelIngestStream]]), so batch/stream/
+    * audit rule parity cannot drift. All pure map-only array HOFs. */
+  private[llm] def keptLinesExpr(text: Column): Column = {
     def nWords(l: Column) = size(split(trim(l), "\\s+"))
     def upperRatio(l: Column) =
       length(regexp_replace(l, "[^A-Z]", "")) /
         greatest(lit(1.0), length(regexp_replace(l, "[^A-Za-z]", "")))
+    filter(split(text, "\n"), l => nWords(l) >= 3 && upperRatio(l) <= 0.5)
+  }
+  private[llm] def cleanedTextExpr(text: Column): Column =
+    array_join(keptLinesExpr(text), "\n")
+  private[llm] def linesRemovedExpr(text: Column): Column =
+    (size(split(text, "\n")) - size(keptLinesExpr(text))).cast("long")
+
+  /** The DuckDB forms of the line-keep trio, over the `text` column of
+    * the enclosing FROM — embedded verbatim in [[q128Sql]] and the
+    * funnel oracle ([[graft.llm.Curation.q116Sql]]). */
+  private[llm] val sqlKeptLinesExpr: String =
+    """list_filter(string_split(text, chr(10)), l ->
+      |      len(regexp_split_to_array(trim(l), '\s+')) >= 3
+      |      AND LENGTH(regexp_replace(l, '[^A-Z]', '', 'g')) * 1.0 /
+      |        GREATEST(1.0, LENGTH(regexp_replace(l, '[^A-Za-z]', '', 'g')))
+      |        <= 0.5)""".stripMargin
+  private[llm] val sqlCleanedTextExpr: String =
+    s"array_to_string($sqlKeptLinesExpr, chr(10))"
+  private[llm] val sqlLinesRemovedExpr: String =
+    s"CAST(len(string_split(text, chr(10))) - len($sqlKeptLinesExpr) AS BIGINT)"
+
+  def q128LineFilter(s: SparkSession, dir: String): DataFrame = {
     val lines = split(col("text"), "\n")
-    val kept = filter(lines, l => nWords(l) >= 3 && upperRatio(l) <= 0.5)
+    val kept = keptLinesExpr(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id"),
         size(lines).cast("long").as("n_lines"),
@@ -956,7 +984,7 @@ object TextAnalysis {
   /** DuckDB replay of q128: identical line split, word floor,
     * uppercase-ratio arithmetic, and re-join. */
   val q128Sql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
       |  CAST(len(kept) AS BIGINT) AS n_kept,
       |  CAST(LENGTH(text) - LENGTH(array_to_string(kept, chr(10))) AS BIGINT)
@@ -964,11 +992,7 @@ object TextAnalysis {
       |  array_to_string(kept, chr(10)) AS text_clean
       |FROM (
       |  SELECT doc_id, text,
-      |    list_filter(string_split(text, chr(10)), l ->
-      |      len(regexp_split_to_array(trim(l), '\s+')) >= 3
-      |      AND LENGTH(regexp_replace(l, '[^A-Z]', '', 'g')) * 1.0 /
-      |        GREATEST(1.0, LENGTH(regexp_replace(l, '[^A-Za-z]', '', 'g')))
-      |        <= 0.5) AS kept
+      |    $sqlKeptLinesExpr AS kept
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 

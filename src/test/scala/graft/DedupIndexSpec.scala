@@ -277,6 +277,62 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("funnelIngestStream stage 0: cleaned text enters the band index") {
+    import spark.implicits._
+    // doc 1 is clean core text; doc 2 is the SAME core buried under
+    // enough junk navigation lines (2-word, all-caps — both line rules
+    // reject them) that the RAW trigram Jaccard falls below the 0.5
+    // verify threshold. Only a pipeline that cleans BEFORE shingling
+    // can see the duplicate — doc 2 dropping at the dedup stage proves
+    // the band index and the verify step both run on cleaned text.
+    val core = (1 to 25).map(i => s"core$i").mkString(" ")
+    val junk = (1 to 14).map(i => s"JUNKA$i JUNKB$i").mkString("\n")
+    val buried = core + "\n" + junk
+    // fixture sanity: raw word-trigram Jaccard really is under 0.5
+    def grams(s: String): Set[String] = {
+      val w = s.trim.split("\\s+").toSeq
+      if (w.length < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val rawJ = grams(core).intersect(grams(buried)).size.toDouble /
+      grams(core).union(grams(buried)).size
+    assert(rawJ < 0.5, s"fixture must defeat raw-text dedup, J=$rawJ")
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-fcl-wh").toString
+    spark.conf.set("spark.sql.catalog.fcl",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.fcl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS fcl.ing")
+    spark.sql("CREATE TABLE fcl.ing.docs (doc_id BIGINT, text STRING, source STRING)")
+    spark.sql("CREATE TABLE fcl.ing.bands (band INT, bh BIGINT, doc_id BIGINT)")
+    spark.sql("""CREATE TABLE fcl.ing.verdicts (doc_id BIGINT, source STRING,
+      n_tokens BIGINT, filter_keep BOOLEAN, dedup_keep BOOLEAN,
+      sample_keep BOOLEAN)""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fcl-ckpt").toString
+    Seq((1L, core, "s0")).toDF("doc_id", "text", "source")
+      .writeTo("fcl.ing.docs").append()
+    val q = llm.Curation.funnelIngestStream(spark, "fcl.ing.docs",
+      "fcl.ing.bands", "fcl.ing.verdicts", Map("s0" -> 1.0), ckpt)
+    try {
+      q.processAllAvailable()
+      Seq((2L, buried, "s0")).toDF("doc_id", "text", "source")
+        .writeTo("fcl.ing.docs").append()
+      q.processAllAvailable()
+      val v = spark.table("fcl.ing.verdicts").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+      assert(v(1L)._2 && v(1L)._3, s"clean core must be retained: $v")
+      // cleaned token count, not the raw 25 + 28 junk words
+      assert(v(2L)._1 == 25L,
+        s"verdict must price CLEANED tokens: ${v(2L)}")
+      assert(v(2L)._2 && !v(2L)._3,
+        s"junk-buried duplicate must drop at the dedup stage: $v")
+      assert(spark.table("fcl.ing.bands").select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(1L),
+        "only the cleaned survivor's signatures may enter the index")
+    } finally q.stop()
+  }
+
   test("drift reference fold: bounded rows, identical KL, restart/replay-safe") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-drf-wh").toString

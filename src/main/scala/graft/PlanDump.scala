@@ -72,17 +72,29 @@ object PlanDump {
         "builds the checkpointed per-doc bigram frame (map-only array " +
         "transform — no doc-keyed shuffle for adjacency); LM tables, " +
         "vocab sizes, and scoring all derive from that ExistingRDD " +
-        "(PlanSpec gates zero parquet rescans); V is a broadcast; the " +
-        "bucket ntile windows over |docs| skinny rows per language"),
+        "(PlanSpec gates zero parquet rescans); V is a broadcast; " +
+        "tertile cut points fold from the resolution-bounded " +
+        "(lang, xent6) histogram inside an aggregation tree and " +
+        "broadcast back — bucket assignment is map-side, NO window " +
+        "anywhere in the plan (PlanSpec-gated; the r10 per-language " +
+        "ntile was the q23/q76 single-task funnel)"),
+      "q130_bitext_ann" -> ("bitext mining, scale path: non-en vectors " +
+        "rank against the 8 broadcast centroids (the one allowed " +
+        "nested loop, KCells rows); candidates come from the probed " +
+        "cells' English members via a cell-key equi-join — never the " +
+        "|src|×|tgt| product q124's exactness baseline uses; the " +
+        "shared margin arithmetic windows by document id over the " +
+        "checkpointed ids+longs pair frame"),
       "q122_cascade_rerank" -> ("retrieve-then-rerank cascade: stage 1 is " +
         "the audited q101 BM25 subtree; stage 2 probes the embedding " +
         "table through an ids-only BroadcastHashJoin on the 60-row " +
         "candidate pool — the dense model never scans the corpus, so " +
         "stage-2 cost is corpus-size independent"),
-      "q125_retrieval_eval" -> ("index scorecard: both inputs are the " +
-        "pack's existing top-k frames (checkpointed once each); the " +
-        "evaluation itself is two ids-only joins and a |queries|-key " +
-        "aggregate — nothing beyond the searches scales with the corpus"))
+      "q125_retrieval_eval" -> ("index scorecard over BOTH indexes: all " +
+        "three inputs are the pack's existing top-k frames " +
+        "(checkpointed once each); per channel the evaluation is two " +
+        "ids-only joins and a |queries|-key aggregate — nothing beyond " +
+        "the searches scales with the corpus"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

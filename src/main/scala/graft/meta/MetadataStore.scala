@@ -64,9 +64,9 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
     val base = if (parent.isEmpty) Paths.get(warehouse) else nsPath(parent)
     if (parent.nonEmpty && !namespaceExists(parent)) throw noSuchNamespace(parent)
     if (!Files.isDirectory(base)) return Nil
-    Files.list(base).iterator().asScala
+    MetadataStore.listDir(base)
       .filter(p => Files.isDirectory(p) && Files.isRegularFile(p.resolve(NsMarker)))
-      .map(p => parent :+ p.getFileName.toString).toSeq.sortBy(_.mkString(""))
+      .map(p => parent :+ p.getFileName.toString).sortBy(_.mkString(""))
   }
 
   /** Non-cascading drop; refuses when tables or child namespaces remain
@@ -90,15 +90,15 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
 
   def listTables(ns: Seq[String]): Seq[String] = {
     if (!namespaceExists(ns)) throw noSuchNamespace(ns)
-    Files.list(nsPath(ns)).iterator().asScala
+    MetadataStore.listDir(nsPath(ns))
       .filter(p => Files.isDirectory(p.resolve("metadata")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).sorted
   }
 
   def currentVersion(ns: Seq[String], t: String): Int = {
     val dir = metaDir(ns, t)
     if (!Files.isDirectory(dir)) return 0
-    Files.list(dir).iterator().asScala
+    MetadataStore.listDir(dir)
       .map(_.getFileName.toString)
       .collect { case VersionRe(v) => v.toInt }
       .maxOption.getOrElse(0)
@@ -195,9 +195,9 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
     SnapshotBodies.invalidateScope(metaDir(ns, t).toString)
     deleteRecursive(dir.resolve("metadata"))
     if (Files.isDirectory(dir.resolve("data")) &&
-        !Files.list(dir.resolve("data")).iterator().hasNext)
+        MetadataStore.listDir(dir.resolve("data")).isEmpty)
       Files.delete(dir.resolve("data"))
-    if (!Files.list(dir).iterator().hasNext) Files.delete(dir)
+    if (MetadataStore.listDir(dir).isEmpty) Files.delete(dir)
     true
   }
 
@@ -289,14 +289,21 @@ final class MetadataStore(val warehouse: String) extends MetaStore {
 }
 
 object MetadataStore {
+  /** List a directory with the stream CLOSED before returning. Every
+    * listing in this store must go through here — a bare
+    * `Files.list(p).iterator()` holds the directory descriptor open
+    * forever, and since [[MetadataStore.currentVersion]] runs on every
+    * table load, a long-lived server (or one test JVM running the
+    * whole suite) marches straight into the process FD limit. */
+  private[meta] def listDir(p: Path): List[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   /** Depth-first delete; the directory stream is closed before recursing
     * (an unclosed Files.list leaks a descriptor per directory level). */
   def deleteRecursive(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      val children = try s.iterator().asScala.toList finally s.close()
-      children.foreach(deleteRecursive)
-    }
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursive)
     Files.deleteIfExists(p)
   }
 }

@@ -204,6 +204,24 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  // the three search top-k frames as memoized session artifacts for
+  // CONSUMERS (q66's recall gauge, q125's per-query scorecard): each
+  // is a pure function of the corpus (deterministic searches over
+  // deterministic indexes), tiny (|queries|×k rows), and rebuilt
+  // identically on every call — so one search per (session, corpus)
+  // serves every evaluator. q55/q56/q57 themselves do NOT read these
+  // memos: their bench numbers must price the searches, not cache
+  // hits (the q52/q67/q101 integrity rule).
+  private val truthArtifact = new graft.SessionMemo[DataFrame]
+  private val lshArtifact = new graft.SessionMemo[DataFrame]
+  private val ivfArtifact = new graft.SessionMemo[DataFrame]
+  private def q55SearchArtifact(s: SparkSession, dir: String): DataFrame =
+    truthArtifact.getOrBuild(s, dir)(q55CosineTopK(s, dir).localCheckpoint())
+  private def lshSearchArtifact(s: SparkSession, dir: String): DataFrame =
+    lshArtifact.getOrBuild(s, dir)(q56AnnLsh(s, dir).localCheckpoint())
+  private def ivfSearchArtifact(s: SparkSession, dir: String): DataFrame =
+    ivfArtifact.getOrBuild(s, dir)(q57AnnIvf(s, dir).localCheckpoint())
+
   /** The two sign-LSH plane tables of q64, at object scope so the
     * DuckDB oracle can inline the IDENTICAL doubles
     * (`Double.toString` round-trips exactly) — one source of truth for
@@ -301,11 +319,14 @@ object Similarity {
     * the exact brute-force neighbors — the number that decides whether an
     * approximate index is shippable. Both approximate sides search the
     * one shared catalog-persisted index ([[AnnIndex.ensure]] is memoized,
-    * so nothing is rebuilt here). Deterministic end to end and — with
+    * so nothing is rebuilt here), and all three top-k frames come from
+    * the memoized search artifacts q125 shares (one search per session
+    * serves every evaluator; q55/q56/q57 still price their own runs).
+    * Deterministic end to end and — with
     * the IVF training replayable — fully oracle-checked by [[q66Sql]],
     * which recomputes BOTH recall numbers from first principles. */
   def q66AnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = q55CosineTopK(s, dir).filter(col("rn") <= 3)
+    val exact = q55SearchArtifact(s, dir).filter(col("rn") <= 3)
       .select(col("qid"), col("cid"))
     def recallOf(approx: DataFrame, label: String): DataFrame = {
       val hits = exact.join(approx.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_semi")
@@ -315,8 +336,8 @@ object Similarity {
           .as("recall_at_3"))
         .select(lit(label).as("index"), round(col("recall_at_3"), 4).as("recall_at_3"))
     }
-    recallOf(q56AnnLsh(s, dir), "lsh")
-      .unionByName(recallOf(q57AnnIvf(s, dir), "ivf"))
+    recallOf(lshSearchArtifact(s, dir), "lsh")
+      .unionByName(recallOf(ivfSearchArtifact(s, dir), "ivf"))
       .orderBy(col("index"))
   }
 
@@ -772,12 +793,12 @@ object Similarity {
     * input is a top-k frame (|queries|×3 rows); the eval itself is
     * ids-only joins and |queries|-key aggregates. */
   def q125RetrievalEval(s: SparkSession, dir: String): DataFrame = {
-    val truth = q55CosineTopK(s, dir).filter(col("rn") <= 3)
+    // all three inputs are the memoized search artifacts (pinned
+    // frames) — the cheap filter/select reruns per consumer subtree
+    val truth = q55SearchArtifact(s, dir).filter(col("rn") <= 3)
       .select(col("qid"), col("cid"), col("rn").as("trn"))
-      .localCheckpoint() // feeds both channels' hit/rr joins and qids
     def channel(approx: DataFrame, label: String): DataFrame = {
       val a = approx.select(col("qid"), col("cid"), col("rn"))
-        .localCheckpoint() // feeds the hit join AND the rr join
       val hits = truth.join(a, Seq("qid", "cid"))
         .groupBy(col("qid")).agg(count(lit(1)).cast("int").as("hits"))
       val rr = truth.filter(col("trn") === 1)
@@ -792,8 +813,8 @@ object Similarity {
           round(coalesce(col("hits"), lit(0)) / 3.0, 6).as("recall3_6"),
           round(coalesce(col("rr"), lit(0.0)), 6).as("rr6"))
     }
-    channel(q56AnnLsh(s, dir), "lsh")
-      .unionByName(channel(q57AnnIvf(s, dir), "ivf"))
+    channel(lshSearchArtifact(s, dir), "lsh")
+      .unionByName(channel(ivfSearchArtifact(s, dir), "ivf"))
       .orderBy(col("qid"), col("index"))
   }
 

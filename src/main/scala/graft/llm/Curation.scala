@@ -595,6 +595,112 @@ object Curation {
       |       WHEN xent6 <= t2 THEN 'middle' ELSE 'tail' END AS bucket
       |FROM x JOIN th USING (lang) ORDER BY doc_id""".stripMargin
 
+  /** Held-out LM cross-entropy scoring (q131) — the ACTUAL CCNet
+    * deployment shape q119's self-scored variant stands in for: the
+    * per-language bigram LM trains on the BASE slice (doc_id % 10 !=
+    * 7, the corpus-vs-batch convention q93 established) and scores
+    * the HELD-OUT tenth, so the score reads "how typical is this
+    * incoming document of the reference corpus" and unseen vocabulary
+    * is PRICED rather than impossible. Emits per held-out document
+    * the cross-entropy plus the unseen-bigram mass — the OOV audit a
+    * crawl monitor watches next to the q126 drift KL.
+    *
+    * Determinism (the q108/q119 discipline): LEFT joins against the
+    * LM tables with coalesce(·, 0) make an unseen transition cost
+    * exactly ln((0 + V)/(0 + 1)) = ln V in once-rounded integer
+    * micro-nats; per-document totals sum LONGS (order-free); one
+    * final division each for xent6 and unseen6. A language with no
+    * training documents degenerates to V = 1 (every transition free,
+    * xent 0) — kept total rather than dropped, identical in DuckDB.
+    *
+    * Scale shape: identical to q119 — one corpus scan into the pinned
+    * per-doc bigram frame; the train/held-out split is map-only
+    * modular arithmetic on doc_id; vocab²-bounded LM aggregations
+    * with map-side combine; V broadcast; no window anywhere. */
+  def q131LmHeldout(s: SparkSession, dir: String): DataFrame = {
+    // U+0001 sentence-start sentinel, the q119 convention
+    val S = "\u0001"
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      split(trim(col("text")), "\\s+").as("ws"))
+      .withColumn("arr", concat(array(lit(S)), col("ws")))
+    val docBig = docs
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(ws)), " +
+          s"i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"))
+        .as("p"))
+      .groupBy(col("doc_id"), col("lang"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // feeds the train-slice LM AND the held-out join
+    val cab = docBig.filter(col("doc_id") % 10 =!= 7)
+      .groupBy(col("lang"), col("a"), col("b"))
+      .agg(sum(col("k")).as("cab"))
+    val ca = cab.groupBy(col("lang"), col("a")).agg(sum(col("cab")).as("ca"))
+    val vlang = cab.groupBy(col("lang"))
+      .agg((countDistinct(col("b")) + 1).as("v"))
+    docBig.filter(col("doc_id") % 10 === 7)
+      .join(cab, Seq("lang", "a", "b"), "left")
+      .join(ca, Seq("lang", "a"), "left")
+      .join(broadcast(vlang), Seq("lang"), "left")
+      .withColumn("u", round(log(
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("v"), lit(1L)))
+          .cast("double") /
+          (coalesce(col("cab"), lit(0L)) + lit(1))) * lit(1000000.0))
+        .cast("long"))
+      .withColumn("unseen_k",
+        when(col("cab").isNull, col("k")).otherwise(lit(0L)))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k") * col("u")).as("score_u"),
+        sum(col("k")).as("n_tokens"),
+        sum(col("unseen_k")).as("unseen_k"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("score_u") / (col("n_tokens") * lit(1000000.0)), 6)
+          .as("xent6"),
+        round(col("unseen_k") / col("n_tokens").cast("double"), 6)
+          .as("unseen6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of q131: identical bigram formation, the same
+    * train-slice LM counts, LEFT joins with the same COALESCE floors,
+    * once-rounded micro-nat units, integer totals. */
+  val q131Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(text), '\s+') AS ws,
+      |    list_prepend(chr(1), regexp_split_to_array(trim(text), '\s+')) AS arr
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, lang, p.a AS a, p.b AS b, COUNT(*) AS k
+      |  FROM (SELECT doc_id, lang,
+      |          UNNEST(list_transform(range(1, len(ws) + 1),
+      |            i -> {'a': arr[i], 'b': arr[i + 1]})) AS p
+      |        FROM d)
+      |  GROUP BY 1, 2, 3, 4),
+      |cab AS (
+      |  SELECT lang, a, b, SUM(k) AS cab FROM big
+      |  WHERE doc_id % 10 <> 7 GROUP BY 1, 2, 3),
+      |ca AS (SELECT lang, a, SUM(cab) AS ca FROM cab GROUP BY 1, 2),
+      |vl AS (
+      |  SELECT lang, COUNT(DISTINCT b) + 1 AS v FROM cab GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    SUM(k * CAST(ROUND(LN(
+      |      CAST(COALESCE(ca, 0) + COALESCE(v, 1) AS DOUBLE) /
+      |      (COALESCE(cab, 0) + 1)) * 1000000.0) AS BIGINT)) AS score_u,
+      |    CAST(SUM(k) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN cab IS NULL THEN k ELSE 0 END) AS BIGINT)
+      |      AS unseen_k
+      |  FROM (SELECT * FROM big WHERE doc_id % 10 = 7) ho
+      |  LEFT JOIN cab USING (lang, a, b)
+      |  LEFT JOIN ca USING (lang, a)
+      |  LEFT JOIN vl USING (lang)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_tokens,
+      |  ROUND(score_u / (n_tokens * 1000000.0), 6) AS xent6,
+      |  ROUND(unseen_k * 1.0 / n_tokens, 6) AS unseen6
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   /** Corpus drift report (q126) — KL divergence of each ingestion
     * decile's token distribution against the whole corpus, over the
     * q108 hashed-unigram buckets: the monitor a crawl pipeline watches
@@ -1475,6 +1581,7 @@ object Curation {
     "q108_dsir_weights" -> q108DsirWeights _,
     "q110_corpus_report" -> q110CorpusReport _,
     "q119_lm_xent"      -> q119LmXent _,
+    "q131_lm_heldout"   -> q131LmHeldout _,
     "q123_temperature_mix" -> q123TemperatureMix _,
     "q126_drift_report" -> q126DriftReport _,
     "q127_lexical_diversity" -> q127LexicalDiversity _,
@@ -1493,6 +1600,7 @@ object Curation {
     "q108_dsir_weights" -> q108Sql,
     "q110_corpus_report" -> q110Sql,
     "q119_lm_xent"      -> q119Sql,
+    "q131_lm_heldout"   -> q131Sql,
     "q123_temperature_mix" -> q123Sql,
     "q126_drift_report" -> q126Sql,
     "q127_lexical_diversity" -> q127Sql,

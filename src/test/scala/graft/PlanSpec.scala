@@ -463,6 +463,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parquetScans(llm.Curation.q119LmXent(spark, sf)) == 0,
       "LM scoring: LM tables, vocab sizes, and scoring all derive from " +
         "the one checkpointed bigram frame — no rescans")
+    assert(parquetScans(llm.Curation.q131LmHeldout(spark, sf)) == 0,
+      "held-out LM scoring: train slice and held-out slice both derive " +
+        "from the one checkpointed bigram frame — no rescans")
   }
 
   test("BPE training scales to 100 merges: flat plan depth, zero rescans") {

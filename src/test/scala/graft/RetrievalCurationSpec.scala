@@ -336,6 +336,27 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L to 4L).map(byId(_)._2).distinct.size == 1, got.toString)
   }
 
+  test("q131 held-out LM prices unseen vocabulary against the base slice") {
+    import spark.implicits._
+    // train slice (ids 0..5): one vocabulary. Held-out tenth: id 7
+    // speaks half train-vocab, half alien; id 17 is pure train vocab.
+    // The mixed doc must carry positive unseen mass and strictly
+    // higher cross-entropy — the OOV audit the op exists for.
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q131").toString
+    val typical = "the quick brown fox jumps over the lazy dog again"
+    val mixed = "the quick brown fox zyxq wvut srqp onml kjih gfed"
+    val docs = (0L to 5L).map(i => (i, typical, "en", "s0", 50L)) ++
+      Seq((7L, mixed, "en", "s0", 50L), (17L, typical, "en", "s0", 50L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got = llm.Curation.q131LmHeldout(spark, d2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(7L, 17L), got.toString)
+    assert(got(17L)._2 == 0.0, s"pure train vocab has zero unseen: $got")
+    assert(got(7L)._2 > 0.3, s"alien half must register as unseen mass: $got")
+    assert(got(7L)._1 > got(17L)._1, s"unseen mass must cost: $got")
+  }
+
   test("q126 drift report flags the cohort whose vocabulary shifted") {
     import spark.implicits._
     // ids 0..19: the first nine deciles share one vocabulary; the last

@@ -410,28 +410,33 @@ object TextAnalysis {
     * micro-units BEFORE the per-doc sum, so the score never depends on
     * floating sum order (the one engine-library call, ln, is rounded
     * away at 6dp); ranking ties break on doc_id. */
-  /** The full BM25 ranking (every scored (query, doc), rn unbounded) —
-    * q101 is its top-10; q117's hard-negative pool takes top-20. */
-  def bm25Ranking(s: SparkSession, dir: String): DataFrame = {
+  /** The fixed request set every BM25 surface shares (q101/q107/q111/
+    * q117/q122/q132 and their oracles' `queries` CTE). */
+  private[llm] val Bm25Queries: Seq[(Int, String)] =
+    Seq((1, "dup merge scan"), (2, "spark window agg"), (3, "fast hash join key"))
+
+  private def bm25QueryTerms(s: SparkSession,
+                             queries: Seq[(Int, String)]): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val queriesDf = Seq((1, "dup merge scan"), (2, "spark window agg"),
-      (3, "fast hash join key")).toDF("query_id", "qtext")
-    val qterms = queriesDf.select(col("query_id"),
+    queries.toDF("query_id", "qtext").select(col("query_id"),
       explode(array_distinct(split(col("qtext"), " "))).as("term"))
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    // n and sumdl are exact integers → avgdl is bit-identical across
-    // engines (never average doubles the oracle would re-order)
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // literals (2.2 = k1+1, 1.2 = k1, 0.25 = 1-b, 0.75 = b) and the
-    // expression tree mirror q101Sql token-for-token: both engines build
-    // the same IEEE double at every step, ln excepted
+  }
+
+  /** The BM25 scoring core — one expression tree shared by the
+    * corpus-scan ranking ([[bm25RankingOver]]) and the index-served
+    * ranking ([[bm25ServeFrom]]), so the two surfaces cannot drift:
+    * literals (2.2 = k1+1, 1.2 = k1, 0.25 = 1-b, 0.75 = b) and the
+    * tree mirror q101Sql token-for-token — both engines build the same
+    * IEEE double at every step, ln excepted, and per-term
+    * contributions fix to integer micro-units BEFORE the per-doc sum
+    * so the score never depends on floating sum order. `tf` carries
+    * (doc_id, term, tf) for query terms only; `dfreq` (term, df); `dl`
+    * (doc_id, dl); `stats` one row (n, sumdl) — exact integers, so
+    * avgdl is bit-identical across engines. */
+  private def bm25ScoreCore(qterms: DataFrame, tf: DataFrame,
+                            dfreq: DataFrame, dl: DataFrame,
+                            stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val contrib = tf
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
@@ -453,6 +458,27 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
   }
 
+  /** The full BM25 ranking over an EXPLICIT (doc_id, text) corpus
+    * frame — shared by q101 (sf parquet) and the maintainer spec
+    * (catalog-table corpus). */
+  def bm25RankingOver(s: SparkSession, corpus: DataFrame,
+                      queries: Seq[(Int, String)]): DataFrame = {
+    val qterms = bm25QueryTerms(s, queries)
+    val docs = corpus.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25ScoreCore(qterms, tf, dfreq, dl, stats)
+  }
+
+  /** The full BM25 ranking (every scored (query, doc), rn unbounded) —
+    * q101 is its top-10; q117's hard-negative pool takes top-20. */
+  def bm25Ranking(s: SparkSession, dir: String): DataFrame =
+    bm25RankingOver(s, Tables.documents(s, dir), Bm25Queries)
+
   def q101Bm25(s: SparkSession, dir: String): DataFrame =
     bm25Ranking(s, dir).filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
@@ -471,6 +497,128 @@ object TextAnalysis {
   private[llm] def bm25Top20Artifact(s: SparkSession, dir: String): DataFrame =
     bm25Artifact.getOrBuild(s, dir)(
       bm25Ranking(s, dir).filter(col("rn") <= 20).localCheckpoint())
+
+  // one inverted-index build per (session, sfDir) — same weak-key memo
+  // discipline as the ANN/band indexes
+  private val bm25IndexBuilt = new graft.SessionMemo[String]
+
+  /** Catalog-persisted inverted index for BM25 serving: `postings`
+    * (term, doc_id, tf) PARTITIONED BY bucket(16, term) — a query's
+    * In(term, …) predicate prunes to at most |query terms| of the 16
+    * bucket dirs — and `doclen` (doc_id, dl). Terms, ids and counts
+    * only; document text never copies into the index. Built once per
+    * (session, corpus) as ordinary graft tables (the AnnIndex/band
+    * artifact lifecycle); [[bm25IngestStream]] maintains the same two
+    * tables for a living corpus. q101's scaladoc has promised this
+    * since r9 ("the same plan run WITHOUT the vocabulary filter is
+    * the offline inverted-index build") — this is that build, made a
+    * real artifact. */
+  def ensureBm25Index(s: SparkSession, dir: String): String =
+    bm25IndexBuilt.getOrBuild(s, dir) {
+      if (s.conf.getOption("spark.sql.catalog.graft_ir").isEmpty) {
+        val wh = java.nio.file.Files.createTempDirectory("graft-ir-wh").toString
+        s.conf.set("spark.sql.catalog.graft_ir",
+          classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_ir.warehouse", wh)
+      }
+      val ns = "sf_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val prefix = s"graft_ir.$ns"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_ir.$ns")
+      s.sql(s"DROP TABLE IF EXISTS $prefix.postings")
+      s.sql(s"DROP TABLE IF EXISTS $prefix.doclen")
+      s.sql(s"CREATE TABLE $prefix.postings " +
+        "(term STRING, doc_id BIGINT, tf BIGINT) " +
+        "PARTITIONED BY (bucket(16, term))")
+      s.sql(s"CREATE TABLE $prefix.doclen (doc_id BIGINT, dl BIGINT)")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .select(col("term"), col("doc_id"), col("tf"))
+        .writeTo(s"$prefix.postings").append()
+      docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .writeTo(s"$prefix.doclen").append()
+      prefix
+    }
+
+  /** Serve a BM25 ranking from PERSISTED postings/doclen tables — the
+    * true 100 TB retrieval shape: the query reads ONLY its own terms'
+    * postings (the In pushdown prunes the bucket(term) layout to
+    * ≤|terms| partition dirs), document frequencies aggregate from
+    * those same pruned rows, lengths join by id, and corpus statistics
+    * are a 1-row aggregate of the skinny doclen table. Document text
+    * is never scanned: q101's tokenize-per-query cost — a full corpus
+    * pass at any scale — becomes O(postings of the query vocabulary).
+    * Same [[bm25ScoreCore]] expression tree as the scan path, so the
+    * two surfaces cannot drift and q132's oracle is q101's verbatim. */
+  def bm25ServeFrom(s: SparkSession, postingsFqn: String, doclenFqn: String,
+                    queries: Seq[(Int, String)]): DataFrame = {
+    val qterms = bm25QueryTerms(s, queries)
+    val termLits = queries.flatMap(_._2.split(" ")).distinct
+    val tf = s.table(postingsFqn)
+      .filter(col("term").isin(termLits: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+    val dl = s.table(doclenFqn).select(col("doc_id"), col("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25ScoreCore(qterms, tf, dfreq, dl, stats)
+  }
+
+  /** BM25 served from the persisted inverted index (q132): identical
+    * output to q101 by construction — same corpus, same shared
+    * scoring core, document frequencies recomputed from the pruned
+    * postings — so the oracle IS q101's, while the plan never touches
+    * document text (PlanSpec gates zero corpus parquet scans and the
+    * pushed term predicate). */
+  def q132Bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val pfx = ensureBm25Index(s, dir)
+    bm25ServeFrom(s, s"$pfx.postings", s"$pfx.doclen", Bm25Queries)
+      .filter(col("rn") <= 10)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Snapshot-summary fence key for [[bm25IngestStream]]'s per-batch
+    * exactly-once commits. */
+  val Bm25BatchKey = "graft-bm25-batch"
+
+  /** The inverted index as an unattended INGEST maintainer — the
+    * retrieval-side sibling of the dedup band maintainer: tail a
+    * documents catalog table; per micro-batch, tokenize ONLY the
+    * arrivals (O(batch) work, the corpus is never rescanned) and
+    * append their postings and doclen rows, both fenced on the
+    * micro-batch id ([[AnnIndex.fencedAppend]] with [[Bm25BatchKey]])
+    * so a crash replays into fenced no-ops — a document can never
+    * count its terms twice (which would inflate tf AND df). Postings
+    * land first, doclen second: a crash between them leaves postings
+    * for a doc absent from doclen, and such a doc cannot score (the
+    * core joins doclen by id) until the replay completes the pair —
+    * serving stays consistent mid-crash. Append-only, like
+    * dedupIngestStream: a data-stream tail cannot absorb CoW survivor
+    * re-delivery; departures arrive via compaction or a
+    * `$changes`-tailing maintainer. */
+  def bm25IngestStream(s: SparkSession, corpusFqn: String,
+                       postingsFqn: String, doclenFqn: String,
+                       checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream.table(corpusFqn)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val docs = batch
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .localCheckpoint() // feeds postings AND doclen
+        AnnIndex.fencedAppend(
+          docs.select(col("doc_id"), explode(col("toks")).as("term"))
+            .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+            .select(col("term"), col("doc_id"), col("tf")),
+          postingsFqn, id.toInt, Bm25BatchKey)
+        AnnIndex.fencedAppend(
+          docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl")),
+          doclenFqn, id.toInt, Bm25BatchKey)
+        ()
+      }
+      .start()
 
   /** Hard-negative mining for retriever training (q117) — the ANCE/
     * RocketQA-style recipe run without labels: per query, the BM25
@@ -1007,6 +1155,7 @@ object TextAnalysis {
     "q91_quality_filter" -> q91QualityFilter _,
     "q92_pii_redact"  -> q92PiiRedact _,
     "q101_bm25_search" -> q101Bm25 _,
+    "q132_bm25_indexed" -> q132Bm25Indexed _,
     "q112_bpe_pairs"  -> q112BpePairs _,
     "q114_bpe_train"  -> q114BpeTrain _,
     "q115_bpe_encode" -> q115BpeEncode _,
@@ -1022,6 +1171,9 @@ object TextAnalysis {
     "q91_quality_filter" -> q91Sql,
     "q92_pii_redact"  -> q92Sql,
     "q101_bm25_search" -> q101Sql,
+    // identical rows by construction: the index serves the same corpus
+    // through the same shared scoring core
+    "q132_bm25_indexed" -> q101Sql,
     "q112_bpe_pairs"  -> q112Sql,
     "q114_bpe_train"  -> q114Sql,
     "q115_bpe_encode" -> q115Sql,

@@ -333,6 +333,66 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("bm25IngestStream maintains the inverted index; serving matches batch") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bir-wh").toString
+    spark.conf.set("spark.sql.catalog.bir",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bir.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bir.ing")
+    spark.sql("CREATE TABLE bir.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE bir.ing.postings " +
+      "(term STRING, doc_id BIGINT, tf BIGINT) " +
+      "PARTITIONED BY (bucket(4, term))")
+    spark.sql("CREATE TABLE bir.ing.doclen (doc_id BIGINT, dl BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bir-ckpt").toString
+    val queries = Seq((1, "alpha beta"), (2, "gamma"))
+    def serve(): Set[(Int, Long, Double, Int)] =
+      llm.TextAnalysis.bm25ServeFrom(spark, "bir.ing.postings",
+          "bir.ing.doclen", queries).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    def batchRef(): Set[(Int, Long, Double, Int)] =
+      llm.TextAnalysis.bm25RankingOver(spark, spark.table("bir.ing.docs"),
+          queries).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    def start() = llm.TextAnalysis.bm25IngestStream(spark, "bir.ing.docs",
+      "bir.ing.postings", "bir.ing.doclen", ckpt)
+    Seq((1L, "alpha beta alpha delta"), (2L, "beta gamma gamma gamma"),
+        (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text").writeTo("bir.ing.docs").append()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(serve() == batchRef(),
+        "index-served ranking must equal the corpus-scan ranking")
+      // second batch: df, avgdl, and every ranking shift — the served
+      // index must track exactly
+      Seq((4L, "alpha alpha alpha"), (5L, "gamma beta"))
+        .toDF("doc_id", "text").writeTo("bir.ing.docs").append()
+      q.processAllAvailable()
+      assert(serve() == batchRef(),
+        "after growth the served ranking must still equal batch")
+      // a doc's terms must count once: postings hold one row per
+      // (term, doc), tf carries the multiplicity
+      assert(spark.table("bir.ing.postings")
+        .where(col("doc_id") === 4L).count() == 1L)
+    } finally q.stop()
+
+    // restart from the checkpoint: fenced no-ops — postings and doclen
+    // must not double-append (which would double tf and df)
+    val (p0, d0) = (spark.table("bir.ing.postings").count(),
+      spark.table("bir.ing.doclen").count())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("bir.ing.postings").count() == p0)
+      assert(spark.table("bir.ing.doclen").count() == d0)
+      assert(serve() == batchRef())
+    } finally q2.stop()
+  }
+
   test("drift reference fold: bounded rows, identical KL, restart/replay-safe") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-drf-wh").toString

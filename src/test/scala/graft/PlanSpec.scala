@@ -354,6 +354,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q130 must nested-loop only against the 8 centroids, found $bnlj:\n$plan")
   }
 
+  test("q132 index-served BM25: no corpus scan, term predicate pushed") {
+    // the whole point of serving from the inverted index: the raw
+    // corpus text is NEVER read (q101 tokenizes the corpus per query),
+    // and the query vocabulary pushes into the postings scan where the
+    // bucket(term) layout prunes partition dirs
+    val df = llm.TextAnalysis.q132Bm25Indexed(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Scan parquet"),
+      s"index serving must not scan the raw corpus:\n$plan")
+    assert(plan.contains("In(term"),
+      s"query vocabulary must push into the postings scan:\n$plan")
+  }
+
   test("as-of join is one shuffle + window, not a per-row subquery") {
     val plan = planOf(ops.Relational.q10AsofJoin(spark, sf))
     assert(plan.contains("Window"), s"expected window-based as-of:\n$plan")

@@ -7,11 +7,12 @@ import org.scalatest.BeforeAndAfterAll
 
 import graft.llm.{AnnIndex, Dedup}
 
-/** The four unattended maintainers — `Curation.funnelIngestStream`,
-  * `Dedup.dedupIngestStream`, `AnnIndex.maintainStream`, and
-  * `Curation.driftIngestStream` — run against ONE living corpus at
-  * once, each with its own checkpoint and fence key (FunnelBatchKey /
-  * IngestBatchKey / the ANN version stamps / DriftBatchKey). The
+/** The five unattended maintainers — `Curation.funnelIngestStream`,
+  * `Dedup.dedupIngestStream`, `AnnIndex.maintainStream`,
+  * `Curation.driftIngestStream`, and `TextAnalysis.bm25IngestStream`
+  * — run against ONE living corpus at once, each with its own
+  * checkpoint and fence key (FunnelBatchKey / IngestBatchKey / the
+  * ANN version stamps / DriftBatchKey / Bm25BatchKey). The
   * composition must not interfere: every maintainer
   * applies each commit exactly once regardless of how the others pace
   * their triggers, a restart of the whole trio lands on fenced no-ops,
@@ -34,7 +35,7 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
     Array((id % 7 + 1).toFloat, ((id * 3) % 5).toFloat,
       (id % 2).toFloat, 1.0f)
 
-  test("funnel + dedup + ANN + drift maintainers share one living corpus") {
+  test("funnel + dedup + ANN + drift + BM25 maintainers share one corpus") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-trio-wh").toString
     spark.conf.set("spark.sql.catalog.trio",
@@ -53,6 +54,10 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE TABLE trio.ing.pairs (doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE)")
     spark.sql("CREATE TABLE trio.ing.counts (b BIGINT, cnt BIGINT)")
     spark.sql("CREATE TABLE trio.ing.monitor (batch_id INT, n_tokens BIGINT, kl6 DOUBLE)")
+    spark.sql("CREATE TABLE trio.ing.postings " +
+      "(term STRING, doc_id BIGINT, tf BIGINT) " +
+      "PARTITIONED BY (bucket(4, term))")
+    spark.sql("CREATE TABLE trio.ing.doclen (doc_id BIGINT, dl BIGINT)")
 
     val longA = (1 to 22).map(i => s"alpha$i").mkString(" ")
     val longB = (1 to 22).map(i => s"beta$i").mkString(" ")
@@ -70,7 +75,8 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     def ckpt(n: String) =
       java.nio.file.Files.createTempDirectory(s"graft-trio-$n").toString
-    val (cF, cD, cA, cM) = (ckpt("f"), ckpt("d"), ckpt("a"), ckpt("m"))
+    val (cF, cD, cA, cM, cB) =
+      (ckpt("f"), ckpt("d"), ckpt("a"), ckpt("m"), ckpt("b"))
     def startF() = llm.Curation.funnelIngestStream(spark, "trio.ing.docs",
       "trio.ing.fbands", "trio.ing.verdicts", Map("s0" -> 1.0), cF)
     def startD() = Dedup.dedupIngestStream(spark, "trio.ing.docs",
@@ -79,6 +85,22 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       "trio.trioidx", cA)
     def startM() = llm.Curation.driftIngestStream(spark, "trio.ing.docs",
       "trio.ing.counts", "trio.ing.monitor", cM)
+    def startB() = llm.TextAnalysis.bm25IngestStream(spark, "trio.ing.docs",
+      "trio.ing.postings", "trio.ing.doclen", cB)
+    // the BM25 serving invariant: at every quiesce point the served
+    // ranking equals a fresh corpus-scan ranking, triggers be damned
+    val irQueries = Seq((1, "alpha3 beta4"), (2, "delta7"))
+    def served(): Set[(Int, Long, Double, Int)] =
+      llm.TextAnalysis.bm25ServeFrom(spark, "trio.ing.postings",
+          "trio.ing.doclen", irQueries).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    def scanRef(): Set[(Int, Long, Double, Int)] =
+      llm.TextAnalysis.bm25RankingOver(spark,
+          spark.table("trio.ing.docs").select(col("doc_id"), col("text")),
+          irQueries).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
 
     def verdicts(): Map[Long, (Boolean, Boolean)] =
       spark.table("trio.ing.verdicts").collect()
@@ -99,10 +121,12 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
     def refCount(): Long = spark.table("trio.ing.counts")
       .agg(coalesce(sum(col("cnt")), lit(0L))).head.getLong(0)
 
-    val (qF, qD, qA, qM) = (startF(), startD(), startA(), startM())
+    val (qF, qD, qA, qM, qB) =
+      (startF(), startD(), startA(), startM(), startB())
     try {
-      Seq(qF, qD, qA, qM).foreach(_.processAllAvailable())
+      Seq(qF, qD, qA, qM, qB).foreach(_.processAllAvailable())
       assert(refCount() == tokensIngested(), "drift reference out of sync")
+      assert(served() == scanRef(), "BM25 index out of sync after batch 1")
       assert(verdicts() == Map(1L -> ((true, true)), 2L -> ((true, false)),
         4L -> ((false, false))), verdicts().toString)
       assert(pairs() == Set((1L, 2L)), pairs().toString)
@@ -116,8 +140,11 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows((11L, longA), (12L, longC), (13L, longB))
         .writeTo("trio.ing.docs").append()
       rows((21L, longD)).writeTo("trio.ing.docs").append()
-      Seq(qF, qD, qA, qM).foreach(_.processAllAvailable())
+      Seq(qF, qD, qA, qM, qB).foreach(_.processAllAvailable())
       assert(refCount() == tokensIngested(), "drift reference out of sync")
+      assert(served() == scanRef(), "BM25 index out of sync after growth")
+      assert(spark.table("trio.ing.doclen").count() ==
+        spark.table("trio.ing.docs").count())
       assert(spark.table("trio.ing.monitor").count() >= 2,
         "drift monitor must have scored the later commits")
 
@@ -136,14 +163,19 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ivfCount() == 7)
       assert(spark.table("trio.trioidx.lsh_buckets").count() ==
         7 * AnnIndex.LshSeeds.length)
-    } finally Seq(qF, qD, qA, qM).foreach(_.stop())
+    } finally Seq(qF, qD, qA, qM, qB).foreach(_.stop())
 
     // restart the whole trio from its checkpoints: replays land on
     // fenced no-ops in every output table — nothing double-applies
     val monitorRows = spark.table("trio.ing.monitor").count()
-    val (qF2, qD2, qA2, qM2) = (startF(), startD(), startA(), startM())
+    val postingsRows = spark.table("trio.ing.postings").count()
+    val (qF2, qD2, qA2, qM2, qB2) =
+      (startF(), startD(), startA(), startM(), startB())
     try {
-      Seq(qF2, qD2, qA2, qM2).foreach(_.processAllAvailable())
+      Seq(qF2, qD2, qA2, qM2, qB2).foreach(_.processAllAvailable())
+      assert(spark.table("trio.ing.postings").count() == postingsRows,
+        "restart must not double-append postings (tf/df would inflate)")
+      assert(served() == scanRef(), "BM25 serving must survive restart")
       assert(refCount() == tokensIngested(),
         "restart must not double-count the drift reference")
       assert(spark.table("trio.ing.monitor").count() == monitorRows,
@@ -154,7 +186,7 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
         .count() == 4)
       assert(spark.table("trio.ing.dbands").count() == 7 * 16)
       assert(ivfCount() == 7)
-    } finally Seq(qF2, qD2, qM2, qA2).foreach(_.stop())
+    } finally Seq(qF2, qD2, qM2, qA2, qB2).foreach(_.stop())
 
     // the text maintainers detach (their data-stream tail cannot absorb
     // CoW survivor re-delivery); the ANN maintainer tails $changes and

@@ -1072,6 +1072,108 @@ object TextAnalysis {
       |FROM r JOIN nd USING (source)
       |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
 
+  /** Per-language Zipf fit (q133) — the corpus-health diagnostic a
+    * dataset card reports: least-squares slope of ln(frequency) vs
+    * ln(rank) over each language's top-100 vocabulary, with the fit's
+    * R². Natural language sits near slope −1 (Zipf's law); a slope
+    * far off — or a poor fit — flags machine-generated spam, template
+    * floods, or a broken tokenizer for that slice.
+    *
+    * Determinism: ln(rank) and ln(frequency) round ONCE to integer
+    * micro-units; all five regression sums are LONG sums over ≤100
+    * rows per language (order-free); slope and R² are single double
+    * divisions of products of those longs (identical IEEE both
+    * engines; magnitudes stay under 2⁶³ for corpus frequencies up to
+    * ~10¹² tokens). Ranks tiebreak on (frequency desc, word).
+    *
+    * Scale shape: the (lang, word) frequency aggregation is map-side
+    * combined and vocabulary-bounded; the top-100 selection reuses
+    * q121's shard-then-rank shape — a (lang, hash-shard) window
+    * bounds every partition, then the final window ranks ≤ 32×100
+    * surviving rows per language — never a |languages|-key window
+    * over the full vocabulary (the q76 funnel). The regression is a
+    * |languages|-key aggregation over ≤100 rows each. */
+  def q133ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint() // feeds the type count AND the top-100 rank
+    val nTypes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("n_types"))
+    val wShard = Window.partitionBy(col("lang"),
+        pmod(xxhash64(col("w")), lit(32L)))
+      .orderBy(col("f").desc, col("w"))
+    val wFinal = Window.partitionBy(col("lang"))
+      .orderBy(col("f").desc, col("w"))
+    val top = vocab.withColumn("r1", row_number().over(wShard))
+      .filter(col("r1") <= 100)
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= 100)
+    val terms = top.select(col("lang"),
+      round(log(col("rank")) * lit(1000000.0)).cast("long").as("xu"),
+      round(log(col("f")) * lit(1000000.0)).cast("long").as("yu"))
+    terms.groupBy(col("lang"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+        sum(col("xu") * col("yu")).as("sxy"),
+        sum(col("xu") * col("xu")).as("sxx"),
+        sum(col("yu") * col("yu")).as("syy"))
+      .filter(col("k") >= 2) // a 1-type language has no rank spread
+      .withColumn("num", col("k") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("denx", col("k") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("k") * col("syy") - col("sy") * col("sy"))
+      .join(nTypes, Seq("lang"))
+      .select(col("lang"), col("n_types"), col("k").cast("int").as("k"),
+        round(col("num").cast("double") / col("denx").cast("double"), 6)
+          .as("zipf_slope6"),
+        when(col("deny") > 0,
+          round(col("num").cast("double") * col("num").cast("double") /
+            (col("denx").cast("double") * col("deny").cast("double")), 6))
+          .as("r2_6"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB replay of q133: identical tokenization, top-100 ranks with
+    * the same tiebreak (a plain window — the oracle need not shard),
+    * the same once-rounded micro-unit logs, long regression sums, and
+    * the same double divisions. */
+  val q133Sql: String =
+    """WITH vocab AS (
+      |  SELECT lang, w, COUNT(*) AS f
+      |  FROM (SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |nt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types FROM vocab GROUP BY 1),
+      |top AS (
+      |  SELECT lang, f, rank FROM (
+      |    SELECT lang, f,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, w) AS rank
+      |    FROM vocab) WHERE rank <= 100),
+      |terms AS (
+      |  SELECT lang,
+      |    CAST(ROUND(LN(rank) * 1000000.0) AS BIGINT) AS xu,
+      |    CAST(ROUND(LN(f) * 1000000.0) AS BIGINT) AS yu
+      |  FROM top),
+      |reg AS (
+      |  SELECT lang, COUNT(*) AS k,
+      |    SUM(xu) AS sx, SUM(yu) AS sy, SUM(xu * yu) AS sxy,
+      |    SUM(xu * xu) AS sxx, SUM(yu * yu) AS syy
+      |  FROM terms GROUP BY 1 HAVING COUNT(*) >= 2),
+      |fit AS (
+      |  SELECT lang, k,
+      |    k * sxy - sx * sy AS num,
+      |    k * sxx - sx * sx AS denx,
+      |    k * syy - sy * sy AS deny
+      |  FROM reg)
+      |SELECT lang, n_types, CAST(k AS INTEGER) AS k,
+      |  ROUND(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 6) AS zipf_slope6,
+      |  CASE WHEN deny > 0 THEN
+      |    ROUND(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+      |      (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+      |  END AS r2_6
+      |FROM fit JOIN nt USING (lang) ORDER BY lang""".stripMargin
+
   /** Line-level cleaning (q128) — the RefinedWeb/CCNet line-wise
     * correction pass: drop lines that are navigation/counter spam
     * (fewer than 3 words, or mostly-uppercase shouting) and emit the
@@ -1147,6 +1249,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_boilerplate" -> q121Boilerplate _,
     "q128_line_filter" -> q128LineFilter _,
+    "q133_zipf_fit" -> q133ZipfFit _,
     "q58_lang_id"     -> q58LangId _,
     "q59_quality"     -> q59Quality _,
     "q60_token_count" -> q60TokenCount _,
@@ -1180,5 +1283,6 @@ object TextAnalysis {
     "q117_hard_negatives" -> q117Sql,
     "q121_boilerplate" -> q121Sql,
     "q128_line_filter" -> q128Sql,
+    "q133_zipf_fit" -> q133Sql,
   )
 }

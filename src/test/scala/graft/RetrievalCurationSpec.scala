@@ -357,6 +357,32 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(7L)._1 > got(17L)._1, s"unseen mass must cost: $got")
   }
 
+  test("q133 zipf fit: a zipfian slice reads -1, a uniform flood reads 0") {
+    import spark.implicits._
+    // language "zp": word i of 20 appears round(2000/i) times — an
+    // exact Zipf profile, so the fitted slope must sit at -1 with a
+    // near-perfect R². Language "un": every word equally frequent (a
+    // template flood) — slope exactly 0, R² undefined (no y variance).
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q133").toString
+    val zipfText = (1 to 20).flatMap(i =>
+      Seq.fill(math.round(2000.0 / i).toInt)(f"w$i%02d")).mkString(" ")
+    val uniText = (1 to 20).flatMap(i => Seq.fill(5)(f"u$i%02d")).mkString(" ")
+    Seq((1L, zipfText, "zp", "s0", 10L), (2L, uniText, "un", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got = llm.TextAnalysis.q133ZipfFit(spark, d2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(2), r.getDouble(3), Option(r.get(4))))).toMap
+    assert(got("zp")._1 == 20 && got("un")._1 == 20, got.toString)
+    assert(math.abs(got("zp")._2 + 1.0) < 0.02,
+      s"zipfian slice must fit slope ~ -1: $got")
+    assert(got("zp")._3.exists(r => r.asInstanceOf[Double] > 0.999),
+      s"zipfian fit must be near-perfect: $got")
+    assert(got("un")._2 == 0.0, s"uniform flood must fit slope 0: $got")
+    assert(got("un")._3.isEmpty,
+      s"zero frequency variance has no defined fit quality: $got")
+  }
+
   test("q126 drift report flags the cohort whose vocabulary shifted") {
     import spark.implicits._
     // ids 0..19: the first nine deciles share one vocabulary; the last

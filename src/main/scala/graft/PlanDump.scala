@@ -90,6 +90,12 @@ object PlanDump {
         "table through an ids-only BroadcastHashJoin on the 60-row " +
         "candidate pool — the dense model never scans the corpus, so " +
         "stage-2 cost is corpus-size independent"),
+      "q132_bm25_indexed" -> ("index-served BM25: the postings scan " +
+        "carries PushedFilters In(term, …) which the bucket(16, term) " +
+        "layout prunes to the query vocabulary's dirs; df aggregates " +
+        "from the same pruned rows; doclen joins by id; document text " +
+        "is never read (PlanSpec gates zero corpus parquet scans) — " +
+        "q101's tokenize-the-corpus cost becomes O(query postings)"),
       "q125_retrieval_eval" -> ("index scorecard over BOTH indexes: all " +
         "three inputs are the pack's existing top-k frames " +
         "(checkpointed once each); per channel the evaluation is two " +

@@ -1174,6 +1174,64 @@ object TextAnalysis {
       |  END AS r2_6
       |FROM fit JOIN nt USING (lang) ORDER BY lang""".stripMargin
 
+  /** Per-document n-gram novelty audit (q134) — the memorization /
+    * copy-risk signal a training-data release reports: for every
+    * document (≥ 8 tokens), the share of its distinct 8-grams that
+    * appear in NO other document (novelty), plus the document
+    * frequency of its most widespread 8-gram (how viral its most
+    * viral phrase is). Low novelty means the document is largely
+    * assembled from corpus-common text — template floods, mirrored
+    * articles, license blocks — exactly the content that inflates
+    * memorization; the 8-token window is the overlap unit
+    * deduplication and eval-contamination literature standardizes on.
+    *
+    * Scale shape: gram formation + within-doc dedup are map-only
+    * array ops (the q121 shape); the gram df aggregation and the
+    * (doc, gram)⋈df join shuffle gram TEXT — corpus-scale keys, the
+    * honest cost of an exact corpus-wide overlap audit (the same
+    * class as q54/q120's exact passes; a sampled or hashed variant
+    * would trade exactness); everything after is ids and counts. No
+    * windows; per-doc aggregation is map-side combined. */
+  def q134NoveltyAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 8)
+    // map-only: recomputed for each consumer subtree rather than
+    // pinning corpus-scale gram text (the q116 stage-0 decision)
+    def grams = docs.select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))")))
+      .as("gram"))
+    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        max(col("df")).as("max_df"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("n_unique") / col("n_grams"), 6).as("novelty6"),
+        col("max_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of q134: identical 8-gram formation (1-based
+    * inclusive slice), within-doc dedup, df, and ratios. */
+  val q134Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |    range(1, len(t) - 6),
+      |    i -> array_to_string(t[i:i+7], ' ')))) AS gram
+      |  FROM d WHERE len(t) >= 8),
+      |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+      |    AS novelty6,
+      |  CAST(MAX(df) AS BIGINT) AS max_df
+      |FROM g JOIN df USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Line-level cleaning (q128) — the RefinedWeb/CCNet line-wise
     * correction pass: drop lines that are navigation/counter spam
     * (fewer than 3 words, or mostly-uppercase shouting) and emit the
@@ -1250,6 +1308,7 @@ object TextAnalysis {
     "q121_boilerplate" -> q121Boilerplate _,
     "q128_line_filter" -> q128LineFilter _,
     "q133_zipf_fit" -> q133ZipfFit _,
+    "q134_novelty_audit" -> q134NoveltyAudit _,
     "q58_lang_id"     -> q58LangId _,
     "q59_quality"     -> q59Quality _,
     "q60_token_count" -> q60TokenCount _,
@@ -1284,5 +1343,6 @@ object TextAnalysis {
     "q121_boilerplate" -> q121Sql,
     "q128_line_filter" -> q128Sql,
     "q133_zipf_fit" -> q133Sql,
+    "q134_novelty_audit" -> q134Sql,
   )
 }

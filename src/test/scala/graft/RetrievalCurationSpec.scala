@@ -383,6 +383,38 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"zero frequency variance has no defined fit quality: $got")
   }
 
+  test("q134 novelty audit: a near-copy loses novelty, fresh prose keeps it") {
+    import spark.implicits._
+    // doc 1: 30 tokens of prose; doc 2 mirrors doc 1 with ONE word
+    // changed in the middle (a template/mirror) — every 8-gram not
+    // crossing the edit is shared, so both documents' novelty
+    // collapses while doc 3 (disjoint prose) stays fully novel
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q134").toString
+    val base = (1 to 30).map(i => s"tok$i")
+    val copy = base.updated(14, "EDIT")
+    val fresh = (1 to 30).map(i => s"new$i")
+    Seq((1L, base.mkString(" "), "en", "s0", 10L),
+        (2L, copy.mkString(" "), "en", "s0", 10L),
+        (3L, fresh.mkString(" "), "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got = llm.TextAnalysis.q134NoveltyAudit(spark, d2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // 30 tokens → 23 distinct 8-grams each
+    assert(got.values.forall(_._1 == 23L), got.toString)
+    assert(got(3L)._2 == 1.0 && got(3L)._3 == 1L,
+      s"disjoint prose must be fully novel: $got")
+    // the edit at position 15 breaks grams starting at 8..15 (8 of 23)
+    // → 15 shared grams, novelty 8/23 for both mirror partners
+    val expectNov = BigDecimal(8.0 / 23).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 == expectNov && got(2L)._2 == expectNov,
+      s"mirror partners must lose the shared mass: $got")
+    assert(got(1L)._3 == 2L && got(2L)._3 == 2L,
+      s"their most viral gram spans both docs: $got")
+  }
+
   test("q126 drift report flags the cohort whose vocabulary shifted") {
     import spark.implicits._
     // ids 0..19: the first nine deciles share one vocabulary; the last

@@ -81,6 +81,43 @@ case class L2NormF(child: Expression)
   override def prettyName: String = "graft_l2norm"
 }
 
+/** Dot product of a FLOAT vector against a DOUBLE vector — the
+  * broadcast-centroid shape (q136 scores every corpus vector against
+  * the per-dimension mean vector, which is exact-long-sum-derived and
+  * therefore double). Same sequential left-to-right double fold as
+  * [[DotProductF]] / DuckDB's list_dot_product; codegen'd. */
+case class DotFloatDoubleF(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dotfd"
+}
+
 /** Poly-31 code-point fold mod 1e9+7 — the engine-neutral string hash
   * anchoring q61 fingerprints, q68 group-hash splits, and q108's token
   * buckets. Bit-identical to the previous HOF formulation
@@ -136,6 +173,7 @@ case class CharFoldF(child: Expression) extends UnaryExpression {
 object VectorFunctions {
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProductF(es(0), es(1))),
+    "graft_dotfd" -> (es => DotFloatDoubleF(es(0), es(1))),
     "graft_l2norm" -> (es => L2NormF(es.head)),
     "graft_charfold" -> (es => CharFoldF(es.head)))
 

@@ -1138,6 +1138,103 @@ object Curation {
       |  ANY_VALUE(rate6) AS rate6
       |FROM dec GROUP BY source ORDER BY source""".stripMargin
 
+  /** Token-budget selection (q135) — "ship the best fifth of the
+    * corpus": every release prices a token budget (compute budget ÷
+    * tokens-per-parameter), and the curation question is WHICH
+    * documents fill it. This op selects greedily by the q59 quality
+    * composite: the kept set is every document whose quality clears a
+    * single global threshold, where the threshold is the highest
+    * quality value at which the running token mass (walking quality
+    * descending) first reaches the budget — here ceil(total/5),
+    * integer arithmetic so both engines agree exactly. Ties AT the
+    * threshold are all admitted (a document's fate can never depend on
+    * partition order), so the selection may overshoot the budget by at
+    * most the token mass of one 6dp quality value — the audit reports
+    * the overshoot honestly via sel_tokens vs budget_tokens.
+    *
+    * The rate-based sibling q113 keeps a quality-MODULATED random
+    * sample per source (re-weighting); q135 is the hard cut a fixed
+    * budget forces (selection). Per-source audit: how much of each
+    * source survives a global quality bar — the table that shows which
+    * sources a budget squeeze hurts.
+    *
+    * Scale shape (the q119 threshold recipe): one corpus scan builds
+    * the skinny (source, n_tokens, quality) frame, pinned once; the
+    * quality histogram groupBy is bounded by the score's 6dp
+    * RESOLUTION (≤ 1e6 distinct values in [0,1]), not the corpus; the
+    * descending fold over the sorted histogram happens in ONE
+    * aggregation row (≤ ~16 MB of structs at full resolution);
+    * the 1-row threshold broadcasts and the verdict is map-side.
+    * NO global sort of documents, no window — the naive form (ORDER BY
+    * quality DESC + running SUM) is the q23/q76 single-task funnel. */
+  def q135BudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens.as("n_tokens"),
+        TextAnalysis.qualityExpr.as("quality"))
+      .localCheckpoint() // feeds the histogram AND the verdict scan
+    val dist = docs.groupBy(col("quality")).agg(sum(col("n_tokens")).as("t"))
+    val cutRow = dist.agg(
+        sort_array(collect_list(struct(col("quality"), col("t"))),
+          asc = false).as("h"),
+        sum(col("t")).as("total"))
+      .withColumn("budget", expr("(total + 4) DIV 5"))
+      .withColumn("acc", aggregate(col("h"),
+        struct(lit(0L).as("cum"), lit(null).cast("double").as("cut")),
+        (acc, e) => struct(
+          (acc("cum") + e("t")).as("cum"),
+          when(acc("cut").isNull && acc("cum") + e("t") >= col("budget"),
+            e("quality")).otherwise(acc("cut")).as("cut"))))
+      .select(coalesce(col("acc.cut"), lit(0.0)).as("cut"),
+        col("budget"))
+    docs.crossJoin(broadcast(cutRow))
+      .withColumn("sel", col("quality") >= col("cut"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("sel_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(when(col("sel"), col("n_tokens")).otherwise(0L)).as("sel_tokens"),
+        first(col("cut")).as("cut6"),
+        first(col("budget")).as("budget_tokens"))
+      .select(col("source"), col("n_docs"), col("sel_docs"), col("tokens"),
+        col("sel_tokens"),
+        round(col("sel_tokens") * 1.0 / col("tokens"), 6).as("sel_share6"),
+        col("cut6"), col("budget_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q135: identical quality composite
+    * ([[TextAnalysis.sqlQualityExpr]] verbatim), integer budget, and
+    * threshold semantics — the oracle MAY use the window cumsum the
+    * Spark side avoids (DuckDB is single-node); the first descending
+    * crossing is MAX(quality) among values whose cumulative mass
+    * reaches the budget. */
+  val q135Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |""".stripMargin + "    " + TextAnalysis.sqlQualityExpr + """ AS quality
+      |  FROM documents),
+      |g AS (SELECT (CAST(SUM(n_tokens) AS BIGINT) + 4) // 5 AS budget FROM d),
+      |dist AS (SELECT quality, CAST(SUM(n_tokens) AS BIGINT) AS t
+      |         FROM d GROUP BY quality),
+      |rk AS (SELECT quality, SUM(t) OVER (ORDER BY quality DESC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |       FROM dist),
+      |c AS (SELECT COALESCE(MAX(quality) FILTER (
+      |        WHERE cum >= (SELECT budget FROM g)), 0.0) AS cut FROM rk),
+      |sel AS (SELECT d.*, d.quality >= c.cut AS sel, c.cut AS cut, g.budget
+      |        FROM d, c, g)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS sel_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(SUM(CASE WHEN sel THEN n_tokens ELSE 0 END) AS BIGINT) AS sel_tokens,
+      |  ROUND(SUM(CASE WHEN sel THEN n_tokens ELSE 0 END) * 1.0
+      |    / SUM(n_tokens), 6) AS sel_share6,
+      |  ANY_VALUE(cut) AS cut6,
+      |  CAST(ANY_VALUE(budget) AS BIGINT) AS budget_tokens
+      |FROM sel GROUP BY source ORDER BY source""".stripMargin
+
   /** The q116 funnel's stage-1 heuristic filter as ONE reusable
     * expression (20-word floor, mean word length 2..12, lorem-ipsum /
     * brace boilerplate rejects) — the single source of truth shared by
@@ -1575,6 +1672,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_quality_sample" -> q113QualitySample _,
+    "q135_budget_select" -> q135BudgetSelect _,
     "q116_curation_funnel" -> q116CurationFunnel _,
     "q118_leakage_safe_split" -> q118LeakageSafeSplit _,
     "q68_split_sample"  -> q68SplitSample _,
@@ -1594,6 +1692,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q113_quality_sample" -> q113Sql,
+    "q135_budget_select" -> q135Sql,
     "q116_curation_funnel" -> q116Sql,
     "q118_leakage_safe_split" -> q118Sql,
     "q68_split_sample"  -> q68Sql,

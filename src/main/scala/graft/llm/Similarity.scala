@@ -883,7 +883,207 @@ object Similarity {
       |ORDER BY qid, idx""".stripMargin
   }
 
+  /** Embedding-space health card (q136) — the diagnostics a vector
+    * release ships before anyone builds an index or trusts a cosine on
+    * it: vector count and dimensionality, the norm distribution
+    * (mean/min/max — a norm collapse breaks dot-product retrieval), the
+    * centroid norm, the space's ANISOTROPY (mean cosine of each vector
+    * to the centroid direction — Ethayarajh 2019: a healthy isotropic
+    * space sits near 0, encoder collapse pushes it toward 1 and ruins
+    * cosine contrast), DEAD dimensions (variance < 1e-6: an encoder or
+    * quantization casualty), and the largest dimension's share of total
+    * variance (one rogue dimension dominating distances — the Timkey &
+    * van Schijndel 2021 pathology that motivates whitening).
+    *
+    * Determinism: per-dimension first/second moments are EXACT integer
+    * sums of round(x·2^24) (the AnnIndex MeanUnit recipe — a double
+    * sum depends on partition order); every derived double (means,
+    * variances, the centroid) is computed from those longs with
+    * identical expression order in both engines. Per-vector norms and
+    * centroid cosines round ONCE to integer micro-units and sum as
+    * longs (order-free); squared-term sums (centroid norm, total
+    * variance) use 1e12 fixed point. The corpus-vs-centroid dot runs on
+    * the codegen'd [[graft.functions.DotFloatDoubleF]] — the same
+    * left-to-right fold as DuckDB's list_dot_product.
+    *
+    * Scale shape: TWO corpus passes over a pinned skinny frame — one
+    * posexplode to (dim, x) feeding a |dims|-key aggregation (map-side
+    * combined: 64 cells per partition, not per row), one map-side
+    * scoring pass against the broadcast 1-row centroid — then a 1-row
+    * final aggregate. No windows, no joins by corpus key, nothing
+    * driver-side beyond the 64-double centroid. */
+  def q136EmbeddingHealth(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val U = AnnIndex.MeanUnit // 2^24
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // feeds the moment pass AND the scoring pass
+    val dims = e.select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(sum(round(col("x") * U).cast("long")).as("sj"),
+        sum(round(col("x") * col("x") * U).cast("long")).as("qj"),
+        count(lit(1)).as("n"))
+      .withColumn("mean", col("sj") / U / col("n"))
+      .withColumn("ex2", col("qj") / U / col("n"))
+      .withColumn("v",
+        greatest(col("ex2") - col("mean") * col("mean"), lit(0.0)))
+    val cent = dims.agg(
+        sort_array(collect_list(struct(col("j"), col("mean")))).as("h"),
+        sum(round(col("mean") * col("mean") * 1e12).cast("long")).as("cn2u"),
+        count(lit(1)).as("dims"),
+        sum(when(col("v") < 1e-6, 1L).otherwise(0L)).as("dead_dims"),
+        max(round(col("v") * 1e12).cast("long")).as("vmaxu"),
+        sum(round(col("v") * 1e12).cast("long")).as("vtotu"))
+      .select(expr("transform(h, p -> p.mean)").as("c"),
+        sqrt(col("cn2u") / 1e12).as("cnorm"),
+        col("dims"), col("dead_dims"),
+        round(col("vmaxu") * 1.0 / col("vtotu"), 6).as("top_var_share6"))
+    val pv = e.crossJoin(broadcast(cent))
+      .withColumn("xn", norm(col("embedding")))
+      .withColumn("norm_u", round(col("xn") * 1e6).cast("long"))
+      .withColumn("cos_u", round(
+        call_function("graft_dotfd", col("embedding"), col("c")) /
+          (col("xn") * col("cnorm")) * 1e6).cast("long"))
+    pv.agg(
+      count(lit(1)).as("n_vecs"),
+      first(col("dims")).as("dims"),
+      round(sum(col("norm_u")) * 1.0 / (count(lit(1)) * 1e6), 6)
+        .as("mean_norm6"),
+      round(min(col("norm_u")) / 1e6, 6).as("min_norm6"),
+      round(max(col("norm_u")) / 1e6, 6).as("max_norm6"),
+      round(first(col("cnorm")), 6).as("centroid_norm6"),
+      round(sum(col("cos_u")) * 1.0 / (count(lit(1)) * 1e6), 6)
+        .as("anisotropy6"),
+      first(col("dead_dims")).as("dead_dims"),
+      first(col("top_var_share6")).as("top_var_share6"))
+  }
+
+  /** DuckDB replay of q136: identical fixed-point moments (1-based dim
+    * index vs Spark's 0-based — the index never reaches the output),
+    * identical derived-double expression order, and the same
+    * once-rounded micro-unit norm/cosine sums. */
+  val q136Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (SELECT UNNEST(list_transform(range(1, len(v) + 1),
+      |        i -> {'j': i, 'x': v[i]})) AS p FROM e),
+      |d AS (SELECT p.j AS j,
+      |        CAST(SUM(CAST(ROUND(p.x * 16777216.0) AS BIGINT)) AS BIGINT) AS sj,
+      |        CAST(SUM(CAST(ROUND(p.x * p.x * 16777216.0) AS BIGINT)) AS BIGINT) AS qj,
+      |        COUNT(*) AS n
+      |      FROM x GROUP BY 1),
+      |ds AS (SELECT j, sj / 16777216.0 / n AS mean,
+      |        GREATEST(qj / 16777216.0 / n -
+      |          (sj / 16777216.0 / n) * (sj / 16777216.0 / n), 0.0) AS v
+      |      FROM d),
+      |cent AS (SELECT list(mean ORDER BY j) AS c,
+      |        SQRT(CAST(SUM(CAST(ROUND(mean * mean * 1e12) AS BIGINT)) AS BIGINT)
+      |          / 1e12) AS cnorm,
+      |        COUNT(*) AS dims,
+      |        CAST(SUM(CASE WHEN v < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS dead_dims,
+      |        MAX(CAST(ROUND(v * 1e12) AS BIGINT)) AS vmaxu,
+      |        CAST(SUM(CAST(ROUND(v * 1e12) AS BIGINT)) AS BIGINT) AS vtotu
+      |      FROM ds),
+      |pv AS (SELECT
+      |        CAST(ROUND(SQRT(list_dot_product(v, v)) * 1e6) AS BIGINT) AS norm_u,
+      |        CAST(ROUND(list_dot_product(v, c) /
+      |          (SQRT(list_dot_product(v, v)) * cnorm) * 1e6) AS BIGINT) AS cos_u
+      |      FROM e, cent)
+      |SELECT COUNT(*) AS n_vecs,
+      |  (SELECT dims FROM cent) AS dims,
+      |  ROUND(CAST(SUM(norm_u) AS BIGINT) * 1.0 / (COUNT(*) * 1e6), 6) AS mean_norm6,
+      |  ROUND(MIN(norm_u) / 1e6, 6) AS min_norm6,
+      |  ROUND(MAX(norm_u) / 1e6, 6) AS max_norm6,
+      |  (SELECT ROUND(cnorm, 6) FROM cent) AS centroid_norm6,
+      |  ROUND(CAST(SUM(cos_u) AS BIGINT) * 1.0 / (COUNT(*) * 1e6), 6) AS anisotropy6,
+      |  (SELECT dead_dims FROM cent) AS dead_dims,
+      |  (SELECT ROUND(vmaxu * 1.0 / vtotu, 6) FROM cent) AS top_var_share6
+      |FROM pv""".stripMargin
+
+  /** IVF cluster topic cards (q137) — the "corpus map" a curation team
+    * reads after clustering: for every cell of the persisted IVF index,
+    * its member count, corpus share, and top-3 DISTINCTIVE terms by
+    * tf·idf over cells (idf = ln(K/df_cells), so a term in every cell
+    * scores 0 and cell-specific vocabulary surfaces — the cluster-card
+    * recipe behind corpus-diversity audits and per-domain mixture
+    * decisions). Joins documents by the pack's doc_id = vec_id link.
+    *
+    * Scale shape: the index artifact is READ, never rebuilt
+    * ([[AnnIndex.ensure]] memoizes; a consumer, like q100/q125);
+    * (cell, term) counts are one map-side-combined aggregation bounded
+    * by K × vocabulary; cell document-frequencies are a |vocab|-key
+    * aggregation of that frame; top-3 selection is the q121
+    * shard-then-rank shape — a (cell, hash-shard) window bounds every
+    * partition, never a K-key window over the full vocabulary. Scores
+    * are once-rounded micro-units (ln agrees to a micro-unit across
+    * engines by the q108/q119 precedent). */
+  def q137ClusterCards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = AnnIndex.KCells
+    val pfx = AnnIndex.ensure(s, dir)
+    val cells = s.table(s"$pfx.ivf_cells").select(col("vec_id"), col("cell"))
+    val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .localCheckpoint() // feeds the share join AND the 1-row total
+    val tot = sizes.agg(sum(col("n_members")).as("tot"))
+    // id-keyed join BEFORE the explode: tokens are born map-side and
+    // reach the (cell, term) aggregation through its combiner — the
+    // corpus never shuffles at token granularity
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .join(cells, col("doc_id") === col("vec_id"))
+      .select(col("cell"), explode(col("t")).as("w"))
+      .groupBy(col("cell"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("w"))
+      .withColumn("score_u",
+        round(col("tf") * log(lit(k * 1.0) / col("df")) * 1e6).cast("long"))
+    val wShard = Window
+      .partitionBy(col("cell"), pmod(xxhash64(col("w")), lit(32L)))
+      .orderBy(col("score_u").desc, col("w"))
+    val wFinal = Window.partitionBy(col("cell"))
+      .orderBy(col("score_u").desc, col("w"))
+    scored.withColumn("r1", row_number().over(wShard)).filter(col("r1") <= 3)
+      .withColumn("rn", row_number().over(wFinal).cast("int"))
+      .filter(col("rn") <= 3)
+      .join(broadcast(sizes), Seq("cell"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_members"),
+        round(col("n_members") * 1.0 / col("tot"), 6).as("share6"),
+        col("rn"), col("w").as("term"), col("tf"), col("score_u"))
+      .orderBy(col("cell"), col("rn"))
+  }
+
+  /** DuckDB replay of q137 END-TO-END: the IVF artifact recomputed via
+    * [[ivfCtes]] (Lloyd's training included — the q57/q130 recipe),
+    * then identical tf / cell-df / micro-unit tf·idf and the same
+    * (score desc, term) tiebroken top-3 — the Spark side's shard
+    * pre-pass is invisible to the result. */
+  lazy val q137Sql: String = {
+    val k = AnnIndex.KCells
+    s"""WITH ${ivfCtes("")},
+      |sizes AS (SELECT cell, COUNT(*) AS n_members FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS tot FROM sizes),
+      |tk AS (SELECT c.cell, UNNEST(regexp_split_to_array(trim(d.text), '\\s+')) AS w
+      |       FROM cells c JOIN documents d ON d.doc_id = c.vec_id),
+      |tf AS (SELECT cell, w, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT cell, w, tf,
+      |        CAST(ROUND(tf * LN($k.0 / df) * 1e6) AS BIGINT) AS score_u
+      |      FROM tf JOIN df USING (w)),
+      |rk AS (SELECT cell, w, tf, score_u,
+      |        ROW_NUMBER() OVER (PARTITION BY cell
+      |          ORDER BY score_u DESC, w) AS rn
+      |      FROM sc)
+      |SELECT CAST(r.cell AS INTEGER) AS cell,
+      |  CAST(s.n_members AS BIGINT) AS n_members,
+      |  ROUND(s.n_members * 1.0 / t.tot, 6) AS share6,
+      |  CAST(r.rn AS INTEGER) AS rn, r.w AS term,
+      |  CAST(r.tf AS BIGINT) AS tf, r.score_u
+      |FROM rk r JOIN sizes s USING (cell), tot t
+      |WHERE r.rn <= 3 ORDER BY cell, rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_embedding_health" -> q136EmbeddingHealth _,
+    "q137_cluster_cards" -> q137ClusterCards _,
     "q122_cascade_rerank" -> q122CascadeRerank _,
     "q124_bitext_mine" -> q124BitextMine _,
     "q125_retrieval_eval" -> q125RetrievalEval _,
@@ -1180,6 +1380,8 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q136_embedding_health" -> q136Sql,
+    "q137_cluster_cards" -> q137Sql,
     "q55_cosine_topk" -> q55Sql,
     "q56_ann_lsh" -> q56Sql,
     "q66_ann_recall" -> q66Sql,

@@ -415,6 +415,103 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"their most viral gram spans both docs: $got")
   }
 
+  test("q135 budget selection equals a from-scratch threshold recompute") {
+    import org.apache.spark.sql.functions._
+    // the selection semantics replayed in plain Scala on the shared
+    // fixture: walk distinct quality values descending, accumulate
+    // token mass to the ceil(total/5) budget, admit >= the crossing
+    // value — per-source tallies must match the operator exactly
+    val dq = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityExpr.as("quality"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    val total = dq.map(_._2).sum
+    val budget = (total + 4) / 5
+    val hist = dq.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(-_._1)
+    var cum = 0L; var cut = 0.0; var found = false
+    hist.foreach { case (q, t) =>
+      cum += t
+      if (!found && cum >= budget) { cut = q; found = true }
+    }
+    val expect = dq.groupBy(_._1).map { case (src, rows) =>
+      val sel = rows.filter(_._3 >= cut)
+      src -> ((rows.length.toLong, sel.length.toLong,
+        rows.map(_._2).sum, sel.map(_._2).sum))
+    }
+    val got = Curation.q135BudgetSelect(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(6), r.getLong(7)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (src, (nd, sd, tk, st)) =>
+      val g = got(src)
+      assert((g._1, g._2, g._3, g._4) == ((nd, sd, tk, st)),
+        s"$src: got $g expected ${(nd, sd, tk, st)}")
+    }
+    assert(got.values.map(_._5).toSet == Set(cut), "cut must be global")
+    assert(got.values.map(_._6).toSet == Set(budget))
+    // the budget genuinely binds on this fixture: strictly between
+    // nothing-selected and everything-selected
+    val selTok = expect.values.map(_._4).sum
+    assert(selTok >= budget && selTok < total,
+      s"cut must bind: sel=$selTok budget=$budget total=$total")
+  }
+
+  test("q136 health card: hand-computable two-axis fixture") {
+    import spark.implicits._
+    // e1 = x-axis, e2 = y-axis (8 dims): centroid (0.5, 0.5, 0…) —
+    // norms 1, centroid norm √½, both cosines to the centroid √½ →
+    // anisotropy 0.707107; dims 2..7 carry zero variance (dead);
+    // the two live dims split total variance evenly
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q136").toString
+    val e1 = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    Seq((1L, e1.toSeq, 0), (2L, e2.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d2/embeddings.parquet")
+    val r = Similarity.q136EmbeddingHealth(spark, d2).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 8L) // n_vecs, dims
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 1.0) // mean/min/max norm
+    assert(r.getDouble(5) == 0.707107, s"centroid norm: $r")
+    assert(r.getDouble(6) == 0.707107, s"anisotropy: $r")
+    assert(r.getLong(7) == 6L, s"dead dims: $r")
+    assert(r.getDouble(8) == 0.5, s"top var share: $r")
+  }
+
+  test("q137 cluster cards equal a driver-side tf-idf recompute") {
+    import org.apache.spark.sql.functions._
+    val pfx = llm.AnnIndex.ensure(spark, dir)
+    val cells = spark.table(s"$pfx.ivf_cells")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val toks = docTexts.map { case (id, t, _) =>
+      cells(id) -> t.trim.split("\\s+").toSeq }
+    val tf = toks.flatMap { case (c, ws) => ws.map(w => (c, w)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfc = tf.keys.groupBy(_._2).view.mapValues(_.map(_._1).toSet.size)
+    val k = llm.AnnIndex.KCells
+    val top3 = tf.keys.groupBy(_._1).map { case (c, keys) =>
+      c -> keys.toSeq.map { case (_, w) =>
+        (w, tf((c, w)), roundL(tf((c, w)) * math.log(k * 1.0 / dfc(w)) * 1e6))
+      }.sortBy { case (w, _, s) => (-s, w) }.take(3)
+    }
+    val sizes = cells.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Similarity.q137ClusterCards(spark, dir).collect()
+    got.foreach { r =>
+      val (c, rn) = (r.getInt(0), r.getInt(3))
+      val (w, t, s) = top3(c)(rn - 1)
+      assert(r.getLong(1) == sizes(c), s"members of cell $c")
+      assert(r.getString(4) == w && r.getLong(5) == t && r.getLong(6) == s,
+        s"cell $c rank $rn: got ${r.getString(4)} expected $w")
+    }
+    assert(got.length == top3.values.map(_.length).sum,
+      "every populated cell must emit its full card")
+  }
+
   test("q126 drift report flags the cohort whose vocabulary shifted") {
     import spark.implicits._
     // ids 0..19: the first nine deciles share one vocabulary; the last

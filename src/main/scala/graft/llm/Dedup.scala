@@ -98,6 +98,12 @@ object Dedup {
 
   private[llm] val shingleUdf = udf { text: String => shingleKernel(text, 3) }
 
+  /** 8-token window of [[shingleKernel]] — the standard dedup /
+    * contamination overlap unit, shared by q79's decontamination and
+    * q134's novelty audit so both aggregate 64-bit gram hashes, never
+    * gram text. */
+  private[llm] val gram8HashUdf = udf { text: String => shingleKernel(text, 8) }
+
   /** MinHash + LSH near-dup detection.
     *
     * Pipeline (all shuffle-by-key, 100 TB safe):
@@ -498,9 +504,9 @@ object Dedup {
     * sub-8-word document contributes its whole word sequence as one
     * gram on both sides, mirroring the kernel's short-doc window). */
   def q79Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams8 = udf { text: String => shingleKernel(text, 8) }
     val g = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), explode(grams8(col("text"))).as("gh"))
+      .select(col("doc_id"), col("source"),
+        explode(gram8HashUdf(col("text"))).as("gh"))
     val evalGrams = g.filter(col("doc_id") < 50).select(col("gh")).distinct()
     g.filter(col("doc_id") >= 50)
       .join(broadcast(evalGrams), Seq("gh"), "left_semi")

@@ -1185,24 +1185,27 @@ object TextAnalysis {
     * memorization; the 8-token window is the overlap unit
     * deduplication and eval-contamination literature standardizes on.
     *
-    * Scale shape: gram formation + within-doc dedup are map-only
-    * array ops (the q121 shape); the gram df aggregation and the
-    * (doc, gram)⋈df join shuffle gram TEXT — corpus-scale keys, the
-    * honest cost of an exact corpus-wide overlap audit (the same
-    * class as q54/q120's exact passes; a sampled or hashed variant
-    * would trade exactness); everything after is ids and counts. No
-    * windows; per-doc aggregation is map-side combined. */
+    * Scale shape: gram formation, 64-bit hashing, and within-doc
+    * dedup are one map-only kernel pass (q79's `shingleKernel(·, 8)` —
+    * this op's gram former); the gram-df aggregation and the
+    * (doc, gram)⋈df join shuffle 8-BYTE HASH KEYS with map-side
+    * combine, never gram text (the q54/q79 hash-for-exactness
+    * precedent: df over hashes ≡ df over strings modulo 64-bit
+    * collision odds), so a viral gram — a license block in 100M
+    * docs — rides one long key, not 100M copies of its text;
+    * everything after is ids and counts. No windows; per-doc
+    * aggregation is map-side combined. */
   def q134NoveltyAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
-      .filter(size(col("t")) >= 8)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 8)
+      .select(col("doc_id"), col("text"))
     // map-only: recomputed for each consumer subtree rather than
-    // pinning corpus-scale gram text (the q116 stage-0 decision)
-    def grams = docs.select(col("doc_id"), explode(array_distinct(expr(
-      "transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))")))
-      .as("gram"))
-    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    grams.join(dfreq, Seq("gram"))
+    // pinning a corpus-scale gram frame (the q116 stage-0 decision);
+    // the kernel distincts within-doc, so rows are (doc, gram-hash)
+    def grams = docs.select(col("doc_id"),
+      explode(Dedup.gram8HashUdf(col("text"))).as("gh"))
+    val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
@@ -1213,8 +1216,10 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB replay of q134: identical 8-gram formation (1-based
-    * inclusive slice), within-doc dedup, df, and ratios. */
+  /** DuckDB replay of q134 over STRING 8-grams: identical gram
+    * formation (1-based inclusive slice), within-doc dedup, df, and
+    * ratios — per-gram df over 64-bit hashes equals df over the
+    * strings modulo hash collisions (the q54/q79 oracle convention). */
   val q134Sql: String =
     """WITH d AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

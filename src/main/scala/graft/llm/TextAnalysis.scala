@@ -412,7 +412,7 @@ object TextAnalysis {
     * away at 6dp); ranking ties break on doc_id. */
   /** The fixed request set every BM25 surface shares (q101/q107/q111/
     * q117/q122/q132 and their oracles' `queries` CTE). */
-  private[llm] val Bm25Queries: Seq[(Int, String)] =
+  private[graft] val Bm25Queries: Seq[(Int, String)] =
     Seq((1, "dup merge scan"), (2, "spark window agg"), (3, "fast hash join key"))
 
   private def bm25QueryTerms(s: SparkSession,
@@ -429,18 +429,19 @@ object TextAnalysis {
     * tree mirror q101Sql token-for-token — both engines build the same
     * IEEE double at every step, ln excepted, and per-term
     * contributions fix to integer micro-units BEFORE the per-doc sum
-    * so the score never depends on floating sum order. `tf` carries
-    * (doc_id, term, tf) for query terms only; `dfreq` (term, df); `dl`
-    * (doc_id, dl); `stats` one row (n, sumdl) — exact integers, so
-    * avgdl is bit-identical across engines. */
-  private def bm25ScoreCore(qterms: DataFrame, tf: DataFrame,
-                            dfreq: DataFrame, dl: DataFrame,
+    * so the score never depends on floating sum order. `tfdl` carries
+    * (doc_id, term, tf, dl) for query terms only — term frequencies
+    * already INNER-joined to their document lengths, so a caller's df
+    * derived from the same frame counts exactly the scoreable docs;
+    * `dfreq` (term, df); `stats` one row (n, sumdl) — exact integers,
+    * so avgdl is bit-identical across engines. */
+  private def bm25ScoreCore(qterms: DataFrame, tfdl: DataFrame,
+                            dfreq: DataFrame,
                             stats: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val contrib = tf
+    val contrib = tfdl
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sumdl").cast("double") / col("n"))
       .withColumn("idf",
@@ -467,11 +468,12 @@ object TextAnalysis {
     val docs = corpus.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tfdl = docs.select(col("doc_id"), explode(col("toks")).as("term"))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    bm25ScoreCore(qterms, tf, dfreq, dl, stats)
+      .join(dl, Seq("doc_id"))
+    val dfreq = tfdl.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25ScoreCore(qterms, tfdl, dfreq, stats)
   }
 
   /** The full BM25 ranking (every scored (query, doc), rn unbounded) —
@@ -505,13 +507,22 @@ object TextAnalysis {
   /** Catalog-persisted inverted index for BM25 serving: `postings`
     * (term, doc_id, tf) PARTITIONED BY bucket(16, term) — a query's
     * In(term, …) predicate prunes to at most |query terms| of the 16
-    * bucket dirs — and `doclen` (doc_id, dl). Terms, ids and counts
-    * only; document text never copies into the index. Built once per
-    * (session, corpus) as ordinary graft tables (the AnnIndex/band
-    * artifact lifecycle); [[bm25IngestStream]] maintains the same two
-    * tables for a living corpus. q101's scaladoc has promised this
-    * since r9 ("the same plan run WITHOUT the vocabulary filter is
-    * the offline inverted-index build") — this is that build, made a
+    * bucket dirs — `doclen` (doc_id, dl), and `bm25_stats`
+    * (n_delta, sumdl_delta): the corpus counters as an append-only
+    * DELTA ledger whose SUM is (n, sumdl), so serving reads a
+    * #commits-row table instead of aggregating billions of doclen
+    * rows per query, and the maintainers keep it current with one
+    * fenced delta row per batch (arrivals positive, departures
+    * negative — both counters are signed-additive under any
+    * interleaving). Terms, ids and counts only; document text never
+    * copies into the index. Built once per (session, corpus) as
+    * ordinary graft tables (the AnnIndex/band artifact lifecycle);
+    * [[bm25IngestStream]] (append tail) and [[bm25MaintainStream]]
+    * ($changes tail, departures included) maintain the same three
+    * tables for a living corpus; [[bm25Vacuum]] is the batch
+    * departure path. q101's scaladoc has promised this since r9
+    * ("the same plan run WITHOUT the vocabulary filter is the
+    * offline inverted-index build") — this is that build, made a
     * real artifact. */
   def ensureBm25Index(s: SparkSession, dir: String): String =
     bm25IndexBuilt.getOrBuild(s, dir) {
@@ -527,42 +538,81 @@ object TextAnalysis {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_ir.$ns")
       s.sql(s"DROP TABLE IF EXISTS $prefix.postings")
       s.sql(s"DROP TABLE IF EXISTS $prefix.doclen")
+      s.sql(s"DROP TABLE IF EXISTS $prefix.bm25_stats")
       s.sql(s"CREATE TABLE $prefix.postings " +
         "(term STRING, doc_id BIGINT, tf BIGINT) " +
         "PARTITIONED BY (bucket(16, term))")
       s.sql(s"CREATE TABLE $prefix.doclen (doc_id BIGINT, dl BIGINT)")
+      s.sql(s"CREATE TABLE $prefix.bm25_stats " +
+        "(n_delta BIGINT, sumdl_delta BIGINT)")
+      // two map-only corpus scans (postings; lengths) — the skinny dl
+      // frame pins and feeds stats AND doclen, corpus tokens never pin
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       docs.select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
         .select(col("term"), col("doc_id"), col("tf"))
         .writeTo(s"$prefix.postings").append()
-      docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-        .writeTo(s"$prefix.doclen").append()
+      val dl = docs
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        .localCheckpoint()
+      dl.agg(count(lit(1)).as("n_delta"),
+          coalesce(sum(col("dl")), lit(0L)).as("sumdl_delta"))
+        .writeTo(s"$prefix.bm25_stats").append()
+      dl.writeTo(s"$prefix.doclen").append()
       prefix
     }
 
-  /** Serve a BM25 ranking from PERSISTED postings/doclen tables — the
-    * true 100 TB retrieval shape: the query reads ONLY its own terms'
-    * postings (the In pushdown prunes the bucket(term) layout to
-    * ≤|terms| partition dirs), document frequencies aggregate from
-    * those same pruned rows, lengths join by id, and corpus statistics
-    * are a 1-row aggregate of the skinny doclen table. Document text
-    * is never scanned: q101's tokenize-per-query cost — a full corpus
-    * pass at any scale — becomes O(postings of the query vocabulary).
-    * Same [[bm25ScoreCore]] expression tree as the scan path, so the
-    * two surfaces cannot drift and q132's oracle is q101's verbatim. */
-  def bm25ServeFrom(s: SparkSession, postingsFqn: String, doclenFqn: String,
-                    queries: Seq[(Int, String)]): DataFrame = {
-    val qterms = bm25QueryTerms(s, queries)
+  /** Serve a BM25 ranking from PERSISTED postings/doclen/stats tables
+    * — the true 100 TB retrieval shape: the query reads ONLY its own
+    * terms' postings (the In pushdown prunes the bucket(term) layout
+    * to ≤|terms| partition dirs), lengths join by id, corpus
+    * statistics SUM the #commits-row stats ledger (never a full
+    * doclen aggregate per query — PlanSpec gates doclen appears in
+    * the plan exactly once, as the id join), and document frequencies
+    * aggregate from the pruned postings AFTER the doclen inner join —
+    * so a doc whose postings committed but whose doclen row hasn't
+    * (a crash inside [[bm25IngestStream]]'s commit sequence)
+    * contributes to NEITHER scoring NOR df: mid-crash, served
+    * rankings are exactly those of the corpus without the
+    * half-committed batch. Document text is never scanned: q101's
+    * tokenize-per-query cost — a full corpus pass at any scale —
+    * becomes O(postings of the query vocabulary). Same
+    * [[bm25ScoreCore]] expression tree as the scan path, so the two
+    * surfaces cannot drift and q132's oracle is q101's verbatim. */
+  /** The query's candidate frame: its terms' postings (In-pruned
+    * bucket dirs) INNER-joined to their doclen rows — one streaming
+    * pass over doclen's two skinny columns against the broadcast
+    * postings side. Exposed un-pinned so PlanSpec can gate the
+    * pushdown and the single doclen occurrence on the subtree
+    * [[bm25ServeFrom]] pins. */
+  private[graft] def bm25CandidatePostings(s: SparkSession,
+                                         postingsFqn: String,
+                                         doclenFqn: String,
+                                         queries: Seq[(Int, String)])
+      : DataFrame = {
     val termLits = queries.flatMap(_._2.split(" ")).distinct
-    val tf = s.table(postingsFqn)
+    s.table(postingsFqn)
       .filter(col("term").isin(termLits: _*))
       .select(col("term"), col("doc_id"), col("tf"))
-    val dl = s.table(doclenFqn).select(col("doc_id"), col("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    bm25ScoreCore(qterms, tf, dfreq, dl, stats)
+      .join(s.table(doclenFqn).select(col("doc_id"), col("dl")),
+        Seq("doc_id"))
+  }
+
+  def bm25ServeFrom(s: SparkSession, postingsFqn: String, doclenFqn: String,
+                    statsFqn: String,
+                    queries: Seq[(Int, String)]): DataFrame = {
+    val qterms = bm25QueryTerms(s, queries)
+    // pinned once per serve: |query-term postings| rows — df and the
+    // scoring both read the pin, so doclen streams through exactly ONE
+    // join per query and df counts exactly the scoreable docs
+    val tfdl = bm25CandidatePostings(s, postingsFqn, doclenFqn, queries)
+      .localCheckpoint()
+    val stats = s.table(statsFqn)
+      .agg(coalesce(sum(col("n_delta")), lit(0L)).as("n"),
+        coalesce(sum(col("sumdl_delta")), lit(0L)).as("sumdl"))
+    val dfreq = tfdl.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25ScoreCore(qterms, tfdl, dfreq, stats)
   }
 
   /** BM25 served from the persisted inverted index (q132): identical
@@ -573,7 +623,8 @@ object TextAnalysis {
     * pushed term predicate). */
   def q132Bm25Indexed(s: SparkSession, dir: String): DataFrame = {
     val pfx = ensureBm25Index(s, dir)
-    bm25ServeFrom(s, s"$pfx.postings", s"$pfx.doclen", Bm25Queries)
+    bm25ServeFrom(s, s"$pfx.postings", s"$pfx.doclen", s"$pfx.bm25_stats",
+        Bm25Queries)
       .filter(col("rn") <= 10)
       .orderBy(col("query_id"), col("rn"))
   }
@@ -586,20 +637,24 @@ object TextAnalysis {
     * retrieval-side sibling of the dedup band maintainer: tail a
     * documents catalog table; per micro-batch, tokenize ONLY the
     * arrivals (O(batch) work, the corpus is never rescanned) and
-    * append their postings and doclen rows, both fenced on the
-    * micro-batch id ([[AnnIndex.fencedAppend]] with [[Bm25BatchKey]])
-    * so a crash replays into fenced no-ops — a document can never
-    * count its terms twice (which would inflate tf AND df). Postings
-    * land first, doclen second: a crash between them leaves postings
-    * for a doc absent from doclen, and such a doc cannot score (the
-    * core joins doclen by id) until the replay completes the pair —
-    * serving stays consistent mid-crash. Append-only, like
-    * dedupIngestStream: a data-stream tail cannot absorb CoW survivor
-    * re-delivery; departures arrive via compaction or a
-    * `$changes`-tailing maintainer. */
+    * append their postings, stats delta, and doclen rows, all fenced
+    * on the micro-batch id ([[AnnIndex.fencedAppend]] with
+    * [[Bm25BatchKey]]) so a crash replays into fenced no-ops — a
+    * document can never count its terms twice (which would inflate tf
+    * AND df). Commit order postings → stats → doclen: a document
+    * becomes scoreable only at the final doclen commit, and
+    * [[bm25ServeFrom]] derives df from the postings⋈doclen inner
+    * join, so at EVERY crash point served rankings equal the corpus
+    * without the half-committed batch — the one mid-crash skew is the
+    * stats ledger briefly counting the batch before its docs score
+    * (idf conservatively low by one batch), repaired by the replay.
+    * Append-only, like dedupIngestStream: a data-stream tail cannot
+    * absorb CoW survivor re-delivery; departures are
+    * [[bm25MaintainStream]]'s job ($changes tail) or [[bm25Vacuum]]'s
+    * (batch reconcile). */
   def bm25IngestStream(s: SparkSession, corpusFqn: String,
                        postingsFqn: String, doclenFqn: String,
-                       checkpoint: String)
+                       statsFqn: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     s.readStream.table(corpusFqn)
       .writeStream
@@ -607,18 +662,167 @@ object TextAnalysis {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val docs = batch
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .localCheckpoint() // feeds postings AND doclen
+          .localCheckpoint() // feeds postings, stats, AND doclen
         AnnIndex.fencedAppend(
           docs.select(col("doc_id"), explode(col("toks")).as("term"))
             .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
             .select(col("term"), col("doc_id"), col("tf")),
           postingsFqn, id.toInt, Bm25BatchKey)
         AnnIndex.fencedAppend(
+          docs.agg(count(lit(1)).as("n_delta"),
+            coalesce(sum(size(col("toks")).cast("long")), lit(0L))
+              .as("sumdl_delta")),
+          statsFqn, id.toInt, Bm25BatchKey)
+        AnnIndex.fencedAppend(
           docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl")),
           doclenFqn, id.toInt, Bm25BatchKey)
         ()
       }
       .start()
+
+  /** Fence keys for [[bm25MaintainStream]]'s two fenced commit groups
+    * per micro-batch: the departure stats decrement (must stamp BEFORE
+    * the merge-deletes — its value derives from pre-delete doclen rows,
+    * so an unfenced replay after the deletes would recompute zero) and
+    * the arrival appends. Distinct from [[Bm25BatchKey]] so the
+    * maintainer composes with [[bm25IngestStream]] on the same tables
+    * without fence collisions. */
+  val Bm25DepKey = "graft-bm25-dep-batch"
+  val Bm25ArrKey = "graft-bm25-arr-batch"
+
+  /** The inverted index's DEPARTURE path as an unattended maintainer —
+    * the retrieval twin of [[AnnIndex.maintainStream]]: tail the
+    * corpus table's `$changes` feed (a plain data tail sleeps through
+    * DELETE-only commits and cannot see departures at all); per
+    * micro-batch, walk the delta exactly:
+    *
+    *  1. departed ids (delete + update_preimage rows) MERGE-delete
+    *     from postings and doclen — dead documents stop scoring AND
+    *     stop inflating df the moment the batch lands;
+    *  2. their indexed token mass (doclen ⋈ departed ids, read BEFORE
+    *     the deletes) appends as a fenced NEGATIVE stats delta under
+    *     [[Bm25DepKey]] — fenced first so a crash-replay after the
+    *     deletes (when the mass would recompute as zero) lands on the
+    *     fence, never a wrong delta;
+    *  3. arrivals (insert + update_postimage rows) anti-join the
+    *     now-deleted doclen ids — CoW file-granular re-delivery hands
+    *     survivors back as delete+insert of the same row, which walks
+    *     as delete-then-reinsert (stats net zero), while a replayed or
+    *     duplicate arrival whose doclen row already exists is dropped
+    *     before it can double-count — then append postings → positive
+    *     stats delta → doclen, fenced under [[Bm25ArrKey]] (same
+    *     crash-ordering argument as [[bm25IngestStream]]).
+    *
+    * All work is O(|batch|) plus id-keyed MERGEs; the corpus is never
+    * rescanned and text never enters the index. With this running,
+    * served BM25 tracks a corpus under INSERT/DELETE/UPDATE/MERGE
+    * exactly (DedupIndexSpec proves served ≡ fresh corpus-scan ranking
+    * after each mutation class, and that sum(stats) ≡ the doclen
+    * aggregate at every quiesce point). */
+  def bm25MaintainStream(s: SparkSession, corpusFqn: String,
+                         postingsFqn: String, doclenFqn: String,
+                         statsFqn: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val parts = corpusFqn.split("\\.")
+    val changesFqn = (parts.init :+ s"`${parts.last}$$changes`").mkString(".")
+    s.readStream.table(changesFqn)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.localCheckpoint()
+        val depIds = b
+          .filter(col("_change_type").isin("delete", "update_preimage"))
+          .select(col("doc_id")).distinct().localCheckpoint()
+        // a pure-append batch pays one bounded isEmpty over the pinned
+        // ids, never a MERGE or a stats row (replay-deterministic:
+        // depIds derives from the redelivered batch alone)
+        if (!depIds.isEmpty) {
+          // departed token mass from the INDEX's own doclen rows (what
+          // was actually indexed), read before the deletes; docs never
+          // indexed (e.g. a changes replay older than the index)
+          // contribute nothing
+          AnnIndex.fencedAppend(
+            s.table(doclenFqn)
+              .join(depIds, Seq("doc_id"), "left_semi")
+              .agg((-count(lit(1))).as("n_delta"),
+                (-coalesce(sum(col("dl")), lit(0L))).as("sumdl_delta")),
+            statsFqn, id.toInt, Bm25DepKey)
+          // foreachBatch frames live in a cloned micro-batch session —
+          // the view must register AND resolve in that same session
+          val bs = depIds.sparkSession
+          val view = "graft_bm25_dep_" +
+            java.util.UUID.randomUUID.toString.replace("-", "")
+          depIds.createOrReplaceTempView(view)
+          try Seq(postingsFqn, doclenFqn).foreach { t =>
+            bs.sql(s"MERGE INTO $t x USING $view d ON x.doc_id = d.doc_id " +
+              "WHEN MATCHED THEN DELETE")
+          } finally bs.catalog.dropTempView(view)
+        }
+        val arrivals = b
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .join(s.table(doclenFqn).select("doc_id"), Seq("doc_id"),
+            "left_anti")
+          .localCheckpoint() // feeds postings, stats, AND doclen
+        AnnIndex.fencedAppend(
+          arrivals.select(col("doc_id"), explode(col("toks")).as("term"))
+            .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+            .select(col("term"), col("doc_id"), col("tf")),
+          postingsFqn, id.toInt, Bm25ArrKey)
+        AnnIndex.fencedAppend(
+          arrivals.agg(count(lit(1)).as("n_delta"),
+            coalesce(sum(size(col("toks")).cast("long")), lit(0L))
+              .as("sumdl_delta")),
+          statsFqn, id.toInt, Bm25ArrKey)
+        AnnIndex.fencedAppend(
+          arrivals.select(col("doc_id"),
+            size(col("toks")).cast("long").as("dl")),
+          doclenFqn, id.toInt, Bm25ArrKey)
+        ()
+      }
+      .start()
+  }
+
+  /** Batch departure reconciliation for the inverted index — the
+    * [[AnnIndex.vacuum]] twin: anti-join each index table against the
+    * CURRENT corpus id set (`MERGE … WHEN NOT MATCHED BY SOURCE THEN
+    * DELETE`, ids only) so documents that left the corpus by ANY
+    * history shape — CoW delete, overwrite, truncate-and-reload —
+    * stop scoring and stop inflating df; then reconcile the stats
+    * ledger to the live doclen aggregate (self-healing: one corrective
+    * delta row repairs any accumulated drift, not just this run's).
+    * An ids-only corpus scan plus two merge-deletes plus one doclen
+    * aggregate — a maintenance-schedule cost, same class as
+    * compaction. Returns index rows removed. */
+  def bm25Vacuum(s: SparkSession, corpusFqn: String, postingsFqn: String,
+                 doclenFqn: String, statsFqn: String): Long = {
+    val view = "graft_bm25_live_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    s.table(corpusFqn).select(col("doc_id").cast("bigint").as("doc_id"))
+      .createOrReplaceTempView(view)
+    val removed =
+      try Seq(postingsFqn, doclenFqn).map { t =>
+        val before = s.table(t).count()
+        s.sql(s"MERGE INTO $t x USING $view l ON x.doc_id = l.doc_id " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        before - s.table(t).count()
+      }.sum
+      finally s.catalog.dropTempView(view)
+    val live = s.table(doclenFqn)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .head()
+    val cur = s.table(statsFqn)
+      .agg(coalesce(sum(col("n_delta")), lit(0L)),
+        coalesce(sum(col("sumdl_delta")), lit(0L))).head()
+    val (dn, ds) = (live.getLong(0) - cur.getLong(0),
+      live.getLong(1) - cur.getLong(1))
+    if (dn != 0L || ds != 0L) {
+      import s.implicits._
+      Seq((dn, ds)).toDF("n_delta", "sumdl_delta")
+        .writeTo(statsFqn).append()
+    }
+    removed
+  }
 
   /** Hard-negative mining for retriever training (q117) — the ANCE/
     * RocketQA-style recipe run without labels: per query, the BM25

@@ -345,11 +345,12 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "(term STRING, doc_id BIGINT, tf BIGINT) " +
       "PARTITIONED BY (bucket(4, term))")
     spark.sql("CREATE TABLE bir.ing.doclen (doc_id BIGINT, dl BIGINT)")
+    spark.sql("CREATE TABLE bir.ing.stats (n_delta BIGINT, sumdl_delta BIGINT)")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-bir-ckpt").toString
     val queries = Seq((1, "alpha beta"), (2, "gamma"))
     def serve(): Set[(Int, Long, Double, Int)] =
       llm.TextAnalysis.bm25ServeFrom(spark, "bir.ing.postings",
-          "bir.ing.doclen", queries).collect()
+          "bir.ing.doclen", "bir.ing.stats", queries).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .toSet
     def batchRef(): Set[(Int, Long, Double, Int)] =
@@ -357,8 +358,18 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
           queries).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .toSet
+    // the stats ledger must sum to the live doclen aggregate at every
+    // quiesce point — serving never re-aggregates doclen
+    def statsInSync(): Boolean = {
+      val live = spark.table("bir.ing.doclen")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val led = spark.table("bir.ing.stats")
+        .agg(coalesce(sum(col("n_delta")), lit(0L)),
+          coalesce(sum(col("sumdl_delta")), lit(0L))).head()
+      live.getLong(0) == led.getLong(0) && live.getLong(1) == led.getLong(1)
+    }
     def start() = llm.TextAnalysis.bm25IngestStream(spark, "bir.ing.docs",
-      "bir.ing.postings", "bir.ing.doclen", ckpt)
+      "bir.ing.postings", "bir.ing.doclen", "bir.ing.stats", ckpt)
     Seq((1L, "alpha beta alpha delta"), (2L, "beta gamma gamma gamma"),
         (3L, "delta epsilon zeta"))
       .toDF("doc_id", "text").writeTo("bir.ing.docs").append()
@@ -367,6 +378,7 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       assert(serve() == batchRef(),
         "index-served ranking must equal the corpus-scan ranking")
+      assert(statsInSync(), "stats ledger must track doclen")
       // second batch: df, avgdl, and every ranking shift — the served
       // index must track exactly
       Seq((4L, "alpha alpha alpha"), (5L, "gamma beta"))
@@ -374,6 +386,7 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       assert(serve() == batchRef(),
         "after growth the served ranking must still equal batch")
+      assert(statsInSync(), "stats ledger must track doclen growth")
       // a doc's terms must count once: postings hold one row per
       // (term, doc), tf carries the multiplicity
       assert(spark.table("bir.ing.postings")
@@ -390,7 +403,145 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("bir.ing.postings").count() == p0)
       assert(spark.table("bir.ing.doclen").count() == d0)
       assert(serve() == batchRef())
+      assert(statsInSync(), "restart must not double-count stats")
     } finally q2.stop()
+  }
+
+  test("bm25MaintainStream absorbs departures: DELETE + upsert track exactly") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bmd-wh").toString
+    spark.conf.set("spark.sql.catalog.bmd",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bmd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bmd.ing")
+    spark.sql("CREATE TABLE bmd.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE bmd.ing.postings " +
+      "(term STRING, doc_id BIGINT, tf BIGINT) " +
+      "PARTITIONED BY (bucket(4, term))")
+    spark.sql("CREATE TABLE bmd.ing.doclen (doc_id BIGINT, dl BIGINT)")
+    spark.sql("CREATE TABLE bmd.ing.stats (n_delta BIGINT, sumdl_delta BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bmd-ckpt").toString
+    val queries = Seq((1, "alpha beta"), (2, "gamma"))
+    def serve(): Set[(Int, Long, Double, Int)] =
+      llm.TextAnalysis.bm25ServeFrom(spark, "bmd.ing.postings",
+          "bmd.ing.doclen", "bmd.ing.stats", queries).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    def scanRef(): Set[(Int, Long, Double, Int)] =
+      llm.TextAnalysis.bm25RankingOver(spark, spark.table("bmd.ing.docs"),
+          queries).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    def statsInSync(): Boolean = {
+      val live = spark.table("bmd.ing.doclen")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val led = spark.table("bmd.ing.stats")
+        .agg(coalesce(sum(col("n_delta")), lit(0L)),
+          coalesce(sum(col("sumdl_delta")), lit(0L))).head()
+      live.getLong(0) == led.getLong(0) && live.getLong(1) == led.getLong(1)
+    }
+    def start() = llm.TextAnalysis.bm25MaintainStream(spark, "bmd.ing.docs",
+      "bmd.ing.postings", "bmd.ing.doclen", "bmd.ing.stats", ckpt)
+
+    // alpha's df spans docs 1+2+4 so deleting/updating shifts idf for
+    // every other alpha doc — the drift the departure path must erase
+    Seq((1L, "alpha beta alpha delta"), (2L, "beta gamma gamma alpha"),
+        (3L, "delta epsilon zeta"), (4L, "alpha alpha omega"))
+      .toDF("doc_id", "text").writeTo("bmd.ing.docs").append()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(serve() == scanRef(), "maintainer must ingest the base corpus")
+      assert(statsInSync())
+
+      // CoW DELETE: doc 2 leaves; gamma's only source dies (query 2
+      // empties), alpha's df deflates from 3 to 2
+      spark.sql("DELETE FROM bmd.ing.docs WHERE doc_id = 2")
+      q.processAllAvailable()
+      assert(spark.table("bmd.ing.doclen")
+        .where(col("doc_id") === 2L).count() == 0L, "dead doc must leave")
+      assert(spark.table("bmd.ing.postings")
+        .where(col("doc_id") === 2L).count() == 0L,
+        "dead postings must not inflate df")
+      assert(serve() == scanRef(),
+        "after DELETE the served ranking must equal a fresh corpus scan")
+      assert(statsInSync(), "stats must deflate with the departure")
+
+      // upsert (MERGE): doc 4's text REPLACES (alpha count drops,
+      // beta arrives) and doc 5 inserts — one commit, both classes
+      Seq((4L, "beta omega"), (5L, "gamma gamma alpha"))
+        .toDF("doc_id", "text").createOrReplaceTempView("bmd_up")
+      spark.sql("""MERGE INTO bmd.ing.docs t USING bmd_up u
+        ON t.doc_id = u.doc_id
+        WHEN MATCHED THEN UPDATE SET t.text = u.text
+        WHEN NOT MATCHED THEN INSERT *""")
+      q.processAllAvailable()
+      assert(spark.table("bmd.ing.postings")
+        .where(col("doc_id") === 4L && col("term") === "alpha").count() == 0L,
+        "updated doc's OLD terms must leave the index")
+      assert(serve() == scanRef(),
+        "after upsert the served ranking must equal a fresh corpus scan")
+      assert(statsInSync(), "stats must track the update delta")
+    } finally q.stop()
+
+    // restart from the checkpoint: the replayed batches land on fenced
+    // no-op appends and idempotent merge-deletes — nothing double-counts
+    val (p0, d0, s0) = (spark.table("bmd.ing.postings").count(),
+      spark.table("bmd.ing.doclen").count(),
+      spark.table("bmd.ing.stats").count())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("bmd.ing.postings").count() == p0)
+      assert(spark.table("bmd.ing.doclen").count() == d0)
+      assert(spark.table("bmd.ing.stats").count() == s0,
+        "replay must not append stats deltas")
+      assert(serve() == scanRef())
+      assert(statsInSync())
+    } finally q2.stop()
+  }
+
+  test("bm25Vacuum reconciles the index and stats to the live corpus") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bmv-wh").toString
+    spark.conf.set("spark.sql.catalog.bmv",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bmv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bmv.ing")
+    spark.sql("CREATE TABLE bmv.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE bmv.ing.postings " +
+      "(term STRING, doc_id BIGINT, tf BIGINT) " +
+      "PARTITIONED BY (bucket(4, term))")
+    spark.sql("CREATE TABLE bmv.ing.doclen (doc_id BIGINT, dl BIGINT)")
+    spark.sql("CREATE TABLE bmv.ing.stats (n_delta BIGINT, sumdl_delta BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bmv-ckpt").toString
+    Seq((1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "delta zeta"))
+      .toDF("doc_id", "text").writeTo("bmv.ing.docs").append()
+    // index via the plain ingest tail (which cannot see departures)...
+    val q = llm.TextAnalysis.bm25IngestStream(spark, "bmv.ing.docs",
+      "bmv.ing.postings", "bmv.ing.doclen", "bmv.ing.stats", ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // ...then the corpus churns with no maintainer attached
+    spark.sql("DELETE FROM bmv.ing.docs WHERE doc_id <= 2")
+    val queries = Seq((1, "alpha beta"), (2, "gamma"))
+    val removed = llm.TextAnalysis.bm25Vacuum(spark, "bmv.ing.docs",
+      "bmv.ing.postings", "bmv.ing.doclen", "bmv.ing.stats")
+    // docs 1 (2 terms) + 2 (2 terms) postings + their 2 doclen rows
+    assert(removed == 6L, s"expected 6 index rows reclaimed, got $removed")
+    val served = llm.TextAnalysis.bm25ServeFrom(spark, "bmv.ing.postings",
+        "bmv.ing.doclen", "bmv.ing.stats", queries).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val ref = llm.TextAnalysis.bm25RankingOver(spark,
+        spark.table("bmv.ing.docs"), queries).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(served == ref, "vacuumed index must serve the live corpus only")
+    val led = spark.table("bmv.ing.stats")
+      .agg(coalesce(sum(col("n_delta")), lit(0L)),
+        coalesce(sum(col("sumdl_delta")), lit(0L))).head()
+    assert(led.getLong(0) == 1L && led.getLong(1) == 2L,
+      s"stats must reconcile to the one live doc: $led")
   }
 
   test("drift reference fold: bounded rows, identical KL, restart/replay-safe") {

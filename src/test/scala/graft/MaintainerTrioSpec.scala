@@ -9,10 +9,11 @@ import graft.llm.{AnnIndex, Dedup}
 
 /** The five unattended maintainers — `Curation.funnelIngestStream`,
   * `Dedup.dedupIngestStream`, `AnnIndex.maintainStream`,
-  * `Curation.driftIngestStream`, and `TextAnalysis.bm25IngestStream`
-  * — run against ONE living corpus at once, each with its own
-  * checkpoint and fence key (FunnelBatchKey / IngestBatchKey / the
-  * ANN version stamps / DriftBatchKey / Bm25BatchKey). The
+  * `Curation.driftIngestStream`, and `TextAnalysis.bm25MaintainStream`
+  * (the $changes-tailing form, departures included) — run against ONE
+  * living corpus at once, each with its own checkpoint and fence key
+  * (FunnelBatchKey / IngestBatchKey / the ANN version stamps /
+  * DriftBatchKey / Bm25DepKey+Bm25ArrKey). The
   * composition must not interfere: every maintainer
   * applies each commit exactly once regardless of how the others pace
   * their triggers, a restart of the whole trio lands on fenced no-ops,
@@ -58,6 +59,8 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       "(term STRING, doc_id BIGINT, tf BIGINT) " +
       "PARTITIONED BY (bucket(4, term))")
     spark.sql("CREATE TABLE trio.ing.doclen (doc_id BIGINT, dl BIGINT)")
+    spark.sql("CREATE TABLE trio.ing.bm25stats " +
+      "(n_delta BIGINT, sumdl_delta BIGINT)")
 
     val longA = (1 to 22).map(i => s"alpha$i").mkString(" ")
     val longB = (1 to 22).map(i => s"beta$i").mkString(" ")
@@ -85,14 +88,14 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       "trio.trioidx", cA)
     def startM() = llm.Curation.driftIngestStream(spark, "trio.ing.docs",
       "trio.ing.counts", "trio.ing.monitor", cM)
-    def startB() = llm.TextAnalysis.bm25IngestStream(spark, "trio.ing.docs",
-      "trio.ing.postings", "trio.ing.doclen", cB)
+    def startB() = llm.TextAnalysis.bm25MaintainStream(spark, "trio.ing.docs",
+      "trio.ing.postings", "trio.ing.doclen", "trio.ing.bm25stats", cB)
     // the BM25 serving invariant: at every quiesce point the served
     // ranking equals a fresh corpus-scan ranking, triggers be damned
     val irQueries = Seq((1, "alpha3 beta4"), (2, "delta7"))
     def served(): Set[(Int, Long, Double, Int)] =
       llm.TextAnalysis.bm25ServeFrom(spark, "trio.ing.postings",
-          "trio.ing.doclen", irQueries).collect()
+          "trio.ing.doclen", "trio.ing.bm25stats", irQueries).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .toSet
     def scanRef(): Set[(Int, Long, Double, Int)] =
@@ -188,21 +191,26 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ivfCount() == 7)
     } finally Seq(qF2, qD2, qM2, qA2, qB2).foreach(_.stop())
 
-    // the text maintainers detach (their data-stream tail cannot absorb
-    // CoW survivor re-delivery); the ANN maintainer tails $changes and
-    // must vacuum the departure on its own — restarted from its
-    // checkpoint so the earlier finally could stop all four queries
+    // the data-tail maintainers detach (a plain tail cannot absorb CoW
+    // survivor re-delivery); the two $changes tails — ANN and BM25 —
+    // must absorb the departure on their own, restarted from their
+    // checkpoints so the earlier finally could stop all five queries
     // (a failed assertion above must not leak a running stream)
-    val qA3 = startA()
+    val (qA3, qB3) = (startA(), startB())
     try {
       spark.sql("DELETE FROM trio.ing.docs WHERE doc_id = 21")
-      qA3.processAllAvailable()
+      Seq(qA3, qB3).foreach(_.processAllAvailable())
       assert(ivfCount() == 6, "departed vector must vacuum")
       assert(spark.table("trio.trioidx.lsh_buckets")
         .where(col("vec_id") === 21L).count() == 0L)
       assert(spark.table("trio.trioidx.lsh_buckets").count() ==
         6 * AnnIndex.LshSeeds.length,
         "CoW survivors must not re-index")
-    } finally qA2.stop()
+      assert(spark.table("trio.ing.postings")
+        .where(col("doc_id") === 21L).count() == 0L,
+        "departed doc's postings must not inflate df")
+      assert(served() == scanRef(),
+        "BM25 serving must track the departure (CoW survivors included)")
+    } finally Seq(qA3, qB3).foreach(_.stop())
   }
 }

@@ -363,8 +363,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planOf(df)
     assert(!plan.contains("Scan parquet"),
       s"index serving must not scan the raw corpus:\n$plan")
-    assert(plan.contains("In(term"),
-      s"query vocabulary must push into the postings scan:\n$plan")
+    // the candidate subtree (pinned by bm25ServeFrom): the query
+    // vocabulary pushes into the postings scan and doclen appears
+    // exactly once — the id join — never an aggregate input
+    val pfx = llm.TextAnalysis.ensureBm25Index(spark, sf)
+    val cand = planOf(llm.TextAnalysis.bm25CandidatePostings(spark,
+      s"$pfx.postings", s"$pfx.doclen", llm.TextAnalysis.Bm25Queries))
+    assert(cand.contains("In(term"),
+      s"query vocabulary must push into the postings scan:\n$cand")
+    assert("\\.doclen".r.findAllIn(cand).size == 1,
+      s"doclen must appear exactly once (the id join):\n$cand")
+    // the served plan reads the pin (ExistingRDD) + the #commits-row
+    // stats ledger: zero doclen scans, no full corpus-stats aggregate
+    assert(!plan.contains(".doclen"),
+      s"serving must not re-scan doclen (stats come from the ledger):\n$plan")
+    assert(plan.contains("bm25_stats"),
+      s"corpus stats must read the persisted ledger:\n$plan")
   }
 
   test("as-of join is one shuffle + window, not a per-row subquery") {

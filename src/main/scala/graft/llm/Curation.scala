@@ -441,6 +441,85 @@ object Curation {
       |FROM r WHERE rn <= 25 ORDER BY rn""".stripMargin
   }
 
+  /** Exact per-key tertile cut points from a (key, value, count)
+    * histogram WITHOUT a window and WITHOUT ever folding the full
+    * value histogram into one aggregation row — the scale fix for
+    * score domains like a cross-entropy over [0, ln V], where the 6dp
+    * value histogram itself saturates to ~10⁷ distinct values at
+    * web-scale vocabulary (the r11 single-fold would materialize them
+    * all in one `collect_list` buffer on one task).
+    *
+    * Two-level fold, both levels plain aggregation trees:
+    *   1. COARSE: bucket values at 2dp (`floor(v·100)` — any
+    *      deterministic monotone bucketing works, FP quirks included,
+    *      because level 2 recovers exact values), fold the ≤ ~100·range
+    *      coarse rows per key to locate, for each cut rank
+    *      k∈{⌈n/3⌉, ⌈2n/3⌉}, the bucket containing it and the
+    *      cumulative count strictly before that bucket;
+    *   2. REFINE: re-aggregate ONLY the histogram rows of the two
+    *      located buckets (a broadcast semi-filter) and fold ≤ 2·10⁴
+    *      entries (≤ 10⁴ distinct 6dp values per 2dp bucket) to the
+    *      exact threshold values.
+    *
+    * Result is IDENTICAL to the single flat fold (same first-value-
+    * with-cum≥k semantics, proven by the unit fixture), but the
+    * largest aggregation buffer is bounded by the 2dp/6dp resolution
+    * ratio — corpus- and vocabulary-independent. Input `dist` must
+    * carry (lang, xent6, c) with (lang, xent6) unique; returns
+    * (lang, t1, t2). Input is pinned so the two levels share one
+    * computation of it. */
+  private[graft] def tertileThresholds(distIn: DataFrame): DataFrame = {
+    val dist = distIn
+      .withColumn("xb", floor(col("xent6") * 100).cast("long"))
+      .localCheckpoint() // feeds the coarse locate AND the refine
+    val coarse = dist.groupBy(col("lang"), col("xb"))
+      .agg(sum(col("c")).as("cb"))
+    val loc = coarse.groupBy(col("lang"))
+      .agg(sort_array(collect_list(struct(col("xb"), col("cb")))).as("h"),
+        sum(col("cb")).as("n"))
+      .withColumn("k1", expr("(n + 2) DIV 3"))
+      .withColumn("k2", expr("(2 * n + 2) DIV 3"))
+      .withColumn("acc", aggregate(col("h"),
+        struct(lit(0L).as("cum"),
+          lit(null).cast("long").as("b1"), lit(null).cast("long").as("cb1"),
+          lit(null).cast("long").as("b2"), lit(null).cast("long").as("cb2")),
+        (acc, e) => struct(
+          (acc("cum") + e("cb")).as("cum"),
+          when(acc("b1").isNull && acc("cum") + e("cb") >= col("k1"),
+            e("xb")).otherwise(acc("b1")).as("b1"),
+          when(acc("b1").isNull && acc("cum") + e("cb") >= col("k1"),
+            acc("cum")).otherwise(acc("cb1")).as("cb1"),
+          when(acc("b2").isNull && acc("cum") + e("cb") >= col("k2"),
+            e("xb")).otherwise(acc("b2")).as("b2"),
+          when(acc("b2").isNull && acc("cum") + e("cb") >= col("k2"),
+            acc("cum")).otherwise(acc("cb2")).as("cb2"))))
+      .select(col("lang"), col("k1"), col("k2"),
+        col("acc.b1").as("b1"), col("acc.cb1").as("cb1"),
+        col("acc.b2").as("b2"), col("acc.cb2").as("cb2"))
+    dist.join(broadcast(loc), Seq("lang"))
+      .filter(col("xb") === col("b1") || col("xb") === col("b2"))
+      .groupBy(col("lang"), col("k1"), col("k2"),
+        col("b1"), col("cb1"), col("b2"), col("cb2"))
+      .agg(sort_array(collect_list(struct(col("xent6"), col("c"),
+        col("xb")))).as("h"))
+      .withColumn("acc", aggregate(col("h"),
+        struct(col("cb1").as("cum1"), col("cb2").as("cum2"),
+          lit(null).cast("double").as("t1"),
+          lit(null).cast("double").as("t2")),
+        (acc, e) => struct(
+          when(e("xb") === col("b1"), acc("cum1") + e("c"))
+            .otherwise(acc("cum1")).as("cum1"),
+          when(e("xb") === col("b2"), acc("cum2") + e("c"))
+            .otherwise(acc("cum2")).as("cum2"),
+          when(acc("t1").isNull && e("xb") === col("b1") &&
+              acc("cum1") + e("c") >= col("k1"),
+            e("xent6")).otherwise(acc("t1")).as("t1"),
+          when(acc("t2").isNull && e("xb") === col("b2") &&
+              acc("cum2") + e("c") >= col("k2"),
+            e("xent6")).otherwise(acc("t2")).as("t2"))))
+      .select(col("lang"), col("acc.t1").as("t1"), col("acc.t2").as("t2"))
+  }
+
   /** Per-language LM cross-entropy scoring (q119) — the CCNet recipe
     * (Wenzek et al. 2020): score every document by how surprising its
     * token sequence is under a language-matched n-gram LM, then split
@@ -469,12 +548,24 @@ object Curation {
     * tertile cut points come from a (lang, xent6) distinct-value
     * histogram — bounded by the 6dp VALUE RESOLUTION of a cross-
     * entropy in [0, ln vocab], never by corpus size — folded per
-    * language inside one aggregation and broadcast back, so bucket
-    * assignment is map-side. Deliberately NOT an `ntile(3)` window
-    * partitioned by language: that sorts every document of the
-    * dominant language through one task (the q23/q76 single-task
-    * funnel — PlanSpec gates that NO window appears in this plan).
-    * Text never moves — only tokens and counts. */
+    * language by [[tertileThresholds]]'s TWO-LEVEL fold (coarse 2dp
+    * locate, then refine inside the two located buckets), so no
+    * single aggregation row ever holds more than ~2·10⁴ histogram
+    * entries even at web-scale vocabulary where the flat 6dp
+    * histogram saturates to ~10⁷ values; thresholds broadcast back
+    * and bucket assignment is map-side. Deliberately NOT an
+    * `ntile(3)` window partitioned by language: that sorts every
+    * document of the dominant language through one task (the q23/q76
+    * single-task funnel — PlanSpec gates that NO window appears in
+    * this plan). Text never moves — only tokens and counts.
+    *
+    * Tie semantics (deliberate, oracle-matched): buckets cut by VALUE
+    * thresholds, so every document sharing one xent6 value shares a
+    * bucket — a language whose score mass piles on few distinct
+    * values yields unequal tertiles (degenerately, everything
+    * 'head'). Consumers needing balance detection can count per
+    * (lang, bucket) downstream; the emitted xent6 makes the collapse
+    * visible. */
   def q119LmXent(s: SparkSession, dir: String): DataFrame = {
     // U+0001 sentence-start sentinel: never in the corpus (the BpeD
     // argument, a different control code point)
@@ -514,27 +605,9 @@ object Curation {
         round(col("score_u") / (col("n_tokens") * lit(1000000.0)), 6))
       .localCheckpoint() // feeds the threshold fold AND the assignment
     // tertile cut points t1/t2 per language: the xent6 values at ranks
-    // ceil(n/3) / ceil(2n/3). Computed from the distinct-value
-    // histogram (resolution-bounded), sorted and folded per language —
-    // an aggregation tree, not a per-language window sort of the corpus
-    val dist = scored.groupBy(col("lang"), col("xent6"))
-      .agg(count(lit(1)).as("c"))
-    val th = dist.groupBy(col("lang"))
-      .agg(sort_array(collect_list(struct(col("xent6"), col("c")))).as("h"),
-        sum(col("c")).as("n"))
-      .withColumn("k1", expr("(n + 2) DIV 3"))
-      .withColumn("k2", expr("(2 * n + 2) DIV 3"))
-      .withColumn("acc", aggregate(col("h"),
-        struct(lit(0L).as("cum"),
-          lit(null).cast("double").as("t1"),
-          lit(null).cast("double").as("t2")),
-        (acc, e) => struct(
-          (acc("cum") + e("c")).as("cum"),
-          when(acc("t1").isNull && acc("cum") + e("c") >= col("k1"),
-            e("xent6")).otherwise(acc("t1")).as("t1"),
-          when(acc("t2").isNull && acc("cum") + e("c") >= col("k2"),
-            e("xent6")).otherwise(acc("t2")).as("t2"))))
-      .select(col("lang"), col("acc.t1").as("t1"), col("acc.t2").as("t2"))
+    // ceil(n/3) / ceil(2n/3), via the bounded two-level histogram fold
+    val th = tertileThresholds(
+      scored.groupBy(col("lang"), col("xent6")).agg(count(lit(1)).as("c")))
     scored.join(broadcast(th), Seq("lang"))
       .withColumn("bucket",
         when(col("xent6") <= col("t1"), "head")

@@ -1006,31 +1006,39 @@ object Similarity {
     * recipe behind corpus-diversity audits and per-domain mixture
     * decisions). Joins documents by the pack's doc_id = vec_id link.
     *
-    * Scale shape: the index artifact is READ, never rebuilt
-    * ([[AnnIndex.ensure]] memoizes; a consumer, like q100/q125);
-    * (cell, term) counts are one map-side-combined aggregation bounded
-    * by K × vocabulary; cell document-frequencies are a |vocab|-key
+    * Scale shape: BOTH input artifacts are READ, never rebuilt
+    * ([[AnnIndex.ensure]] and [[TextAnalysis.ensureBm25Index]]
+    * memoize; this is a consumer, like q100/q125/q132) — the card
+    * build is index-served end-to-end: per-document term counts come
+    * from the persisted postings table (terms, ids and counts; the
+    * corpus text is NEVER scanned or re-tokenized — PlanSpec gates
+    * zero parquet scans), joined to cells by id and summed into the
+    * (cell, term) aggregation, bounded by K × vocabulary, with
+    * map-side combine; cell document-frequencies are a |vocab|-key
     * aggregation of that frame; top-3 selection is the q121
     * shard-then-rank shape — a (cell, hash-shard) window bounds every
     * partition, never a K-key window over the full vocabulary. Scores
     * are once-rounded micro-units (ln agrees to a micro-unit across
-    * engines by the q108/q119 precedent). */
+    * engines by the q108/q119 precedent). The postings tokenization
+    * (space-split, the q101 convention) is congruent with the
+    * oracle's \s+ split on single-space corpus text — the card
+    * deliberately describes the corpus exactly as retrieval sees it. */
   def q137ClusterCards(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = AnnIndex.KCells
     val pfx = AnnIndex.ensure(s, dir)
+    val irPfx = TextAnalysis.ensureBm25Index(s, dir)
     val cells = s.table(s"$pfx.ivf_cells").select(col("vec_id"), col("cell"))
     val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
       .localCheckpoint() // feeds the share join AND the 1-row total
     val tot = sizes.agg(sum(col("n_members")).as("tot"))
-    // id-keyed join BEFORE the explode: tokens are born map-side and
-    // reach the (cell, term) aggregation through its combiner — the
-    // corpus never shuffles at token granularity
-    val tf = Tables.documents(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    // id-keyed postings⋈cells join: per-doc (term, tf) triples are
+    // already materialized in the index — the (cell, term) sum reads
+    // ids, terms and counts only, through its map-side combiner
+    val tf = s.table(s"$irPfx.postings")
       .join(cells, col("doc_id") === col("vec_id"))
-      .select(col("cell"), explode(col("t")).as("w"))
-      .groupBy(col("cell"), col("w")).agg(count(lit(1)).as("tf"))
+      .select(col("cell"), col("term").as("w"), col("tf").as("dtf"))
+      .groupBy(col("cell"), col("w")).agg(sum(col("dtf")).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("w"))
       .withColumn("score_u",

@@ -381,6 +381,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus stats must read the persisted ledger:\n$plan")
   }
 
+  test("q137 cluster cards are index-served end-to-end: zero corpus scans") {
+    // both inputs are persisted artifacts — ivf_cells for membership,
+    // postings for per-doc term counts; the card build must never
+    // re-tokenize (or even scan) the document text
+    val plan = planOf(llm.Similarity.q137ClusterCards(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"card build must read only the persisted artifacts:\n$plan")
+  }
+
   test("as-of join is one shuffle + window, not a per-row subquery") {
     val plan = planOf(ops.Relational.q10AsofJoin(spark, sf))
     assert(plan.contains("Window"), s"expected window-based as-of:\n$plan")

@@ -383,6 +383,40 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"zero frequency variance has no defined fit quality: $got")
   }
 
+  test("two-level tertile fold equals the flat rank-ceil fold exactly") {
+    import spark.implicits._
+    // adversarial histograms: values straddling 2dp bucket boundaries,
+    // a cut rank landing on a bucket's FIRST entry, heavy ties exactly
+    // at a cut, both cuts in one bucket, a one-value degenerate key,
+    // and FP-awkward values (0.29 * 100 floors to 28 in IEEE)
+    val hist: Seq[(String, Double, Long)] = Seq(
+      ("a", 0.289999, 5L), ("a", 0.29, 7L), ("a", 0.290001, 1L),
+      ("a", 0.30, 4L), ("a", 0.311111, 9L), ("a", 0.32, 2L),
+      ("b", 1.0, 3L), ("b", 1.000001, 3L), ("b", 1.000002, 3L),
+      ("c", 7.5, 100L), // degenerate: every doc one value
+      ("d", 0.01, 1L), ("d", 0.02, 1L), ("d", 0.03, 1L),
+      ("e", 2.0, 33L), ("e", 2.005, 33L), ("e", 2.0051, 34L))
+    // flat reference: first value whose cumulative count reaches
+    // ceil(n/3) / ceil(2n/3) in ascending value order
+    def brute(rows: Seq[(Double, Long)]): (Double, Double) = {
+      val sorted = rows.sortBy(_._1)
+      val n = rows.map(_._2).sum
+      val (k1, k2) = ((n + 2) / 3, (2 * n + 2) / 3)
+      def at(k: Long): Double = {
+        var cum = 0L
+        sorted.find { case (_, c) => cum += c; cum >= k }.get._1
+      }
+      (at(k1), at(k2))
+    }
+    val expect = hist.groupBy(_._1).view
+      .mapValues(rs => brute(rs.map(r => (r._2, r._3)))).toMap
+    val got = llm.Curation.tertileThresholds(
+        hist.toDF("lang", "xent6", "c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == expect, s"got $got expected $expect")
+  }
+
   test("q134 novelty audit: a near-copy loses novelty, fresh prose keeps it") {
     import spark.implicits._
     // doc 1: 30 tokens of prose; doc 2 mirrors doc 1 with ONE word

@@ -1089,9 +1089,102 @@ object Similarity {
       |WHERE r.rn <= 3 ORDER BY cell, rn""".stripMargin
   }
 
+  /** Embedding-space hubness audit (q138) — the k-occurrence
+    * distribution of Radovanović et al. 2010 (JMLR, "Hubs in Space"):
+    * N_k(y) = how many corpus vectors list y among their k=3 nearest
+    * neighbors. High-dimensional embedding spaces concentrate — a few
+    * "hub" points appear in a disproportionate share of neighbor
+    * lists while many "antihubs" (N_k = 0) appear in none — and that
+    * skew silently degrades every k-NN-backed operator this pack
+    * ships: retrieval (hubs crowd out true neighbors), SemDeDup
+    * (hubs over-match and over-drop their cells), and margin-scored
+    * bitext mining (the q124/q130 neighborhood means exist precisely
+    * to damp hubs). The emitted histogram (n_k, n_vecs, share6) is
+    * the audit: a long right tail plus a fat zero bucket = hubby
+    * space; the fix (centering, whitening, or the CSLS rescoring
+    * q124 approximates) is a modeling decision this card informs —
+    * the q136 health card's distributional sibling.
+    *
+    * Neighbors are computed WITHIN each vector's IVF cell — the
+    * SemDeDup/q100 shape, and the deliberate approximation: a hub's
+    * dominance is a local-neighborhood phenomenon, and the cells ARE
+    * the neighborhoods every downstream consumer (q57/q100/q130)
+    * actually searches, so the audit measures hubness exactly where
+    * it bites.
+    *
+    * Scale shape: the index artifact is READ, never rebuilt (ensure-
+    * memoized consumer); pair generation is the within-cell self-join
+    * (never all-pairs; constant expected occupancy by the AnnIndex
+    * geometry, hot cells have the shard-pair-cover remedy); the top-3
+    * window partitions by SOURCE VECTOR (≤ cell-occupancy rows per
+    * partition — no funnel); everything after the rank is ids and
+    * counts with map-side combine, and the histogram is bounded by
+    * the maximum k-occurrence, never the corpus. Cosines round once
+    * to 6dp before ranking (the q57 cross-engine convention), ties
+    * break on id. */
+  def q138HubnessAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val m = s.table(s"$pfx.ivf_cells")
+      .join(Tables.embeddings(s, dir), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val a = m.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = m.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("sim").desc, col("id_b"))
+    val nk = a.join(b, Seq("cell")).filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy(col("id_b")).agg(count(lit(1)).as("nk"))
+    val full = m.select(col("vec_id"))
+      .join(nk.withColumnRenamed("id_b", "vec_id"), Seq("vec_id"), "left")
+      .select(coalesce(col("nk"), lit(0L)).as("nk"))
+      .localCheckpoint() // feeds the histogram AND the 1-row total
+    full.groupBy(col("nk")).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(full.agg(count(lit(1)).as("tot"))))
+      .select(col("nk").cast("int").as("n_k"), col("n_vecs"),
+        round(col("n_vecs") / col("tot"), 6).as("share6"))
+      .orderBy(col("n_k"))
+  }
+
+  /** DuckDB replay of q138 END-TO-END: the IVF artifact recomputed via
+    * [[ivfCtes]] (Lloyd's included), identical within-cell pairs,
+    * 6dp-rounded cosines, (sim desc, id) tiebroken top-3, and the same
+    * zero-including k-occurrence histogram. */
+  lazy val q138Sql: String =
+    s"""WITH ${ivfCtes("")},
+      |pairs AS (
+      |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+      |    ROUND(list_dot_product(x.ev, y.ev) /
+      |      (SQRT(list_dot_product(x.ev, x.ev)) *
+      |       SQRT(list_dot_product(y.ev, y.ev))), 6) AS sim
+      |  FROM cells x JOIN cells y
+      |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      |topk AS (
+      |  SELECT id_b FROM (
+      |    SELECT id_a, id_b,
+      |      ROW_NUMBER() OVER (PARTITION BY id_a
+      |        ORDER BY sim DESC, id_b) AS rn
+      |    FROM pairs) WHERE rn <= 3),
+      |occ AS (SELECT id_b, CAST(COUNT(*) AS BIGINT) AS n FROM topk GROUP BY 1),
+      |nk AS (
+      |  SELECT c.vec_id, COALESCE(o.n, 0) AS nk
+      |  FROM cells c LEFT JOIN occ o ON c.vec_id = o.id_b),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM nk)
+      |SELECT CAST(nk AS INTEGER) AS n_k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  ROUND(COUNT(*) * 1.0 / t.tot, 6) AS share6
+      |FROM nk, tot t GROUP BY 1, t.tot ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_embedding_health" -> q136EmbeddingHealth _,
     "q137_cluster_cards" -> q137ClusterCards _,
+    "q138_hubness_audit" -> q138HubnessAudit _,
     "q122_cascade_rerank" -> q122CascadeRerank _,
     "q124_bitext_mine" -> q124BitextMine _,
     "q125_retrieval_eval" -> q125RetrievalEval _,
@@ -1390,6 +1483,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q136_embedding_health" -> q136Sql,
     "q137_cluster_cards" -> q137Sql,
+    "q138_hubness_audit" -> q138Sql,
     "q55_cosine_topk" -> q55Sql,
     "q56_ann_lsh" -> q56Sql,
     "q66_ann_recall" -> q66Sql,

@@ -391,6 +391,81 @@ object TextAnalysis {
       |  right(r, 48) AS redacted_tail
       |FROM red ORDER BY doc_id""".stripMargin
 
+  /** Encoding-sanity audit (q139) — the mojibake/control-character
+    * triage a crawl pipeline runs before any text operator (the fix
+    * pass CCNet/ftfy-class tooling applies; Wenzek et al. 2020 §3.1):
+    * per source, how many documents carry (a) U+FFFD replacement
+    * characters — a decoder already gave up once, (b) double-encoded
+    * UTF-8 (the 'Ã'-lead byte signature of UTF-8 read as Latin-1 and
+    * re-encoded — "café" → "cafÃ©"), (c) C0 control characters
+    * (terminal-injection and tokenizer-confusion risk), plus the
+    * total scrub-char count. A source with a high flagged share needs
+    * its FETCHER fixed, not its documents dropped — this card routes
+    * that decision. The corpus text is deterministically salted with
+    * each defect class (the q92 PII construction — same expressions
+    * in the oracle) so every rule provably fires.
+    *
+    * Scale shape: salting and the three counters are map-only
+    * regexp_count projections (patterns in the RE2 ∩ java.util.regex
+    * common subset, counts engine-identical by construction); the
+    * only shuffle is the |sources|-key aggregate with map-side
+    * combine. Nothing scales beyond one corpus scan. */
+  def q139EncodingAudit(s: SparkSession, dir: String): DataFrame = {
+    // U+00C3 U+00A9 — "é" double-encoded; U+FFFD; BEL
+    val salted = concat(col("text"),
+      when(col("doc_id") % 5 === 2, lit(" caf\u00c3\u00a9 menu"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 3, lit(" \ufffd")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 5, lit("\u0007")).otherwise(lit("")))
+    val ctrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    Tables.documents(s, dir)
+      .select(col("source"), salted.as("s"))
+      .select(col("source"),
+        regexp_count(col("s"), lit("\ufffd")).as("n_repl"),
+        regexp_count(col("s"), lit("\u00c3")).as("n_moji"),
+        regexp_count(col("s"), lit(ctrlRe)).as("n_ctrl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_repl") > 0, 1L).otherwise(0L)).as("repl_docs"),
+        sum(when(col("n_moji") > 0, 1L).otherwise(0L)).as("moji_docs"),
+        sum(when(col("n_ctrl") > 0, 1L).otherwise(0L)).as("ctrl_docs"),
+        sum(when(col("n_repl") > 0 || col("n_moji") > 0 ||
+          col("n_ctrl") > 0, 1L).otherwise(0L)).as("flagged_docs"),
+        sum(col("n_repl") + col("n_moji") + col("n_ctrl"))
+          .as("bad_chars"))
+      .withColumn("flagged_share6",
+        round(col("flagged_docs") / col("n_docs").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q139: identical chr()-built salting, identical
+    * patterns (plain chars + the C0 class — RE2 and java.util.regex
+    * agree on both), identical per-source rollup. */
+  val q139Sql: String =
+    """WITH salted AS (
+      |  SELECT source, text ||
+      |    CASE WHEN doc_id % 5 = 2
+      |      THEN ' caf' || chr(195) || chr(169) || ' menu' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 3 THEN ' ' || chr(65533) ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 5 THEN chr(7) ELSE '' END AS s
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(s, chr(65533))) AS n_repl,
+      |    len(regexp_extract_all(s, chr(195))) AS n_moji,
+      |    len(regexp_extract_all(s, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS n_ctrl
+      |  FROM salted)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS repl_docs,
+      |  CAST(SUM(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS moji_docs,
+      |  CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ctrl_docs,
+      |  CAST(SUM(CASE WHEN n_repl > 0 OR n_moji > 0 OR n_ctrl > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+      |  CAST(SUM(n_repl + n_moji + n_ctrl) AS BIGINT) AS bad_chars,
+      |  ROUND(SUM(CASE WHEN n_repl > 0 OR n_moji > 0 OR n_ctrl > 0
+      |    THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS flagged_share6
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   /** BM25 keyword retrieval (q101): a fixed query set scored against the
     * corpus through the inverted-postings shape — tokenize → per
     * (doc, term) frequencies (the posting lists), document-frequency +
@@ -1525,6 +1600,7 @@ object TextAnalysis {
     "q88_repetition"  -> q88Repetition _,
     "q91_quality_filter" -> q91QualityFilter _,
     "q92_pii_redact"  -> q92PiiRedact _,
+    "q139_encoding_audit" -> q139EncodingAudit _,
     "q101_bm25_search" -> q101Bm25 _,
     "q132_bm25_indexed" -> q132Bm25Indexed _,
     "q112_bpe_pairs"  -> q112BpePairs _,
@@ -1541,6 +1617,7 @@ object TextAnalysis {
     "q88_repetition"  -> q88Sql,
     "q91_quality_filter" -> q91Sql,
     "q92_pii_redact"  -> q92Sql,
+    "q139_encoding_audit" -> q139Sql,
     "q101_bm25_search" -> q101Sql,
     // identical rows by construction: the index serves the same corpus
     // through the same shared scoring core

@@ -546,6 +546,40 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every populated cell must emit its full card")
   }
 
+  test("q138 hubness histogram equals a driver-side k-occurrence recompute") {
+    import org.apache.spark.sql.functions._
+    val pfx = llm.AnnIndex.ensure(spark, dir)
+    val cells = spark.table(s"$pfx.ivf_cells")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      d / (na * nb)
+    }
+    // per member: 6dp-rounded cosine to every cellmate, (sim desc, id)
+    // tiebroken top-3; k-occurrence = how often each id is listed
+    val occ = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    vecIds.foreach { a =>
+      vecIds.filter(b => b != a && cells(b) == cells(a))
+        .map(b => (round6(cos(vecOf(a), vecOf(b))), b))
+        .sortBy { case (s, b) => (-s, b) }.take(3)
+        .foreach { case (_, b) => occ(b) += 1L }
+    }
+    val nks = vecIds.map(occ(_))
+    val expect = nks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Similarity.queries("q138_hubness_audit")(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getDouble(2))).toList
+    assert(got.map(g => g._1 -> g._2).toMap == expect,
+      s"histogram mismatch: got $got expected $expect")
+    got.foreach { case (_, n, share) =>
+      assert(share == round6(n.toDouble / vecIds.size), s"share of $n") }
+    assert(got.map(_._2).sum == vecIds.size,
+      "every vector must land in exactly one histogram bucket")
+  }
+
   test("q126 drift report flags the cohort whose vocabulary shifted") {
     import spark.implicits._
     // ids 0..19: the first nine deciles share one vocabulary; the last

@@ -579,6 +579,20 @@ object TextAnalysis {
   // discipline as the ANN/band indexes
   private val bm25IndexBuilt = new graft.SessionMemo[String]
 
+  /** (doc_id, toks) → one POSITIONAL posting row per (term, doc):
+    * term frequency plus the sorted 1-based token ordinals of every
+    * occurrence — shared by the offline build and BOTH maintainers so
+    * the index's tokenization and ordinal convention have exactly one
+    * definition. Positions make the same artifact serve phrase
+    * queries ([[q140PhraseSearch]]) as well as BM25; consumers that
+    * only need tf never read the column (columnar pruning). */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list((col("pos0") + 1).cast("int"))).as("positions"))
+      .select(col("term"), col("doc_id"), col("tf"), col("positions"))
+
   /** Catalog-persisted inverted index for BM25 serving: `postings`
     * (term, doc_id, tf) PARTITIONED BY bucket(16, term) — a query's
     * In(term, …) predicate prunes to at most |query terms| of the 16
@@ -615,7 +629,7 @@ object TextAnalysis {
       s.sql(s"DROP TABLE IF EXISTS $prefix.doclen")
       s.sql(s"DROP TABLE IF EXISTS $prefix.bm25_stats")
       s.sql(s"CREATE TABLE $prefix.postings " +
-        "(term STRING, doc_id BIGINT, tf BIGINT) " +
+        "(term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>) " +
         "PARTITIONED BY (bucket(16, term))")
       s.sql(s"CREATE TABLE $prefix.doclen (doc_id BIGINT, dl BIGINT)")
       s.sql(s"CREATE TABLE $prefix.bm25_stats " +
@@ -624,10 +638,7 @@ object TextAnalysis {
       // frame pins and feeds stats AND doclen, corpus tokens never pin
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      docs.select(col("doc_id"), explode(col("toks")).as("term"))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        .select(col("term"), col("doc_id"), col("tf"))
-        .writeTo(s"$prefix.postings").append()
+      postingsOf(docs).writeTo(s"$prefix.postings").append()
       val dl = docs
         .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
         .localCheckpoint()
@@ -704,6 +715,96 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** The fixed phrase-query set q140 and its oracle share. Two-word
+    * phrases — the adjacency primitive; longer phrases iterate it. */
+  private[graft] val PhraseQueries: Seq[(Int, String)] =
+    Seq((1, "dup merge"), (2, "window agg"), (3, "hash join"))
+
+  /** Exact phrase search served from the POSITIONAL postings (q140) —
+    * the capability positions buy: find documents where the phrase's
+    * words are ADJACENT, not merely co-present (BM25's bag-of-words
+    * cannot tell "merge scan dup" from "dup merge scan"). Classic
+    * positional-index query evaluation (Manning, Raghavan & Schütze,
+    * IIR §2.4.2): each phrase term's pruned postings join by doc_id,
+    * and the phrase frequency is |{i : i ∈ positions(w1), i+1 ∈
+    * positions(w2)}| — a set intersection of shifted ordinals,
+    * integer-exact across engines. Docs rank by (phrase_tf desc,
+    * doc_id), top-10 per query.
+    *
+    * Scale shape: the q132 serving shape exactly — the In(term)
+    * pushdown prunes the bucket(term) layout to the phrase
+    * vocabulary's dirs, the doc_id equi-join touches only both-term
+    * docs, the 3-row query frame broadcasts, and the adjacency test
+    * is a map-side array intersect; document text is never scanned
+    * (PlanSpec gates it). The top-10 window partitions by query_id
+    * over candidate docs only. */
+  def q140PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val pfx = ensureBm25Index(s, dir)
+    phraseSearchFrom(s, s"$pfx.postings", PhraseQueries)
+  }
+
+  private[graft] def phraseSearchFrom(s: SparkSession, postingsFqn: String,
+                                      phrases: Seq[(Int, String)])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val termLits = phrases.flatMap(_._2.split(" ")).distinct
+    val post = s.table(postingsFqn)
+      .filter(col("term").isin(termLits: _*))
+      .select(col("term"), col("doc_id"), col("positions"))
+    val q = phrases.toDF("query_id", "phrase")
+      .select(col("query_id"), split(col("phrase"), " ").as("w"))
+      .select(col("query_id"),
+        col("w").getItem(0).as("t1"), col("w").getItem(1).as("t2"))
+    val c1 = post.select(col("term").as("t1"), col("doc_id"),
+      col("positions").as("p1"))
+    val c2 = post.select(col("term").as("t2"), col("doc_id"),
+      col("positions").as("p2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+    c1.join(broadcast(q), Seq("t1"))
+      .join(c2, Seq("t2", "doc_id"))
+      .withColumn("phrase_tf",
+        size(array_intersect(transform(col("p1"), x => x + 1), col("p2")))
+          .cast("long"))
+      .filter(col("phrase_tf") > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"), col("phrase_tf"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** DuckDB replay of q140: positions recomputed from the text by the
+    * same space-split 1-based ordinals, the same shifted-ordinal
+    * intersection, the same (phrase_tf desc, doc_id) top-10. */
+  lazy val q140Sql: String = {
+    val qvals = PhraseQueries.map { case (id, p) =>
+      val Array(a, b) = p.split(" "); s"($id, '$a', '$b')" }.mkString(", ")
+    s"""WITH q(query_id, t1, t2) AS (VALUES $qvals),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tp AS (
+      |  SELECT doc_id, UNNEST(w) AS term,
+      |    UNNEST(range(1, len(w) + 1)) AS pos
+      |  FROM d),
+      |p AS (
+      |  SELECT doc_id, term, list(pos ORDER BY pos) AS ps
+      |  FROM tp GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT q.query_id, a.doc_id,
+      |    CAST(len(list_intersect(
+      |      list_transform(a.ps, x -> x + 1), b.ps)) AS BIGINT) AS phrase_tf
+      |  FROM q
+      |  JOIN p a ON a.term = q.t1
+      |  JOIN p b ON b.term = q.t2 AND b.doc_id = a.doc_id),
+      |rk AS (
+      |  SELECT query_id, doc_id, phrase_tf,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY phrase_tf DESC, doc_id) AS rn
+      |  FROM cand WHERE phrase_tf > 0)
+      |SELECT query_id, doc_id, phrase_tf, CAST(rn AS INTEGER) AS rn
+      |FROM rk WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Snapshot-summary fence key for [[bm25IngestStream]]'s per-batch
     * exactly-once commits. */
   val Bm25BatchKey = "graft-bm25-batch"
@@ -738,10 +839,7 @@ object TextAnalysis {
         val docs = batch
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .localCheckpoint() // feeds postings, stats, AND doclen
-        AnnIndex.fencedAppend(
-          docs.select(col("doc_id"), explode(col("toks")).as("term"))
-            .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-            .select(col("term"), col("doc_id"), col("tf")),
+        AnnIndex.fencedAppend(postingsOf(docs),
           postingsFqn, id.toInt, Bm25BatchKey)
         AnnIndex.fencedAppend(
           docs.agg(count(lit(1)).as("n_delta"),
@@ -839,10 +937,7 @@ object TextAnalysis {
           .join(s.table(doclenFqn).select("doc_id"), Seq("doc_id"),
             "left_anti")
           .localCheckpoint() // feeds postings, stats, AND doclen
-        AnnIndex.fencedAppend(
-          arrivals.select(col("doc_id"), explode(col("toks")).as("term"))
-            .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-            .select(col("term"), col("doc_id"), col("tf")),
+        AnnIndex.fencedAppend(postingsOf(arrivals),
           postingsFqn, id.toInt, Bm25ArrKey)
         AnnIndex.fencedAppend(
           arrivals.agg(count(lit(1)).as("n_delta"),
@@ -1601,6 +1696,7 @@ object TextAnalysis {
     "q91_quality_filter" -> q91QualityFilter _,
     "q92_pii_redact"  -> q92PiiRedact _,
     "q139_encoding_audit" -> q139EncodingAudit _,
+    "q140_phrase_search" -> q140PhraseSearch _,
     "q101_bm25_search" -> q101Bm25 _,
     "q132_bm25_indexed" -> q132Bm25Indexed _,
     "q112_bpe_pairs"  -> q112BpePairs _,
@@ -1618,6 +1714,7 @@ object TextAnalysis {
     "q91_quality_filter" -> q91Sql,
     "q92_pii_redact"  -> q92Sql,
     "q139_encoding_audit" -> q139Sql,
+    "q140_phrase_search" -> q140Sql,
     "q101_bm25_search" -> q101Sql,
     // identical rows by construction: the index serves the same corpus
     // through the same shared scoring core

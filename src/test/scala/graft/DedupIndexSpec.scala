@@ -342,7 +342,7 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS bir.ing")
     spark.sql("CREATE TABLE bir.ing.docs (doc_id BIGINT, text STRING)")
     spark.sql("CREATE TABLE bir.ing.postings " +
-      "(term STRING, doc_id BIGINT, tf BIGINT) " +
+      "(term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>) " +
       "PARTITIONED BY (bucket(4, term))")
     spark.sql("CREATE TABLE bir.ing.doclen (doc_id BIGINT, dl BIGINT)")
     spark.sql("CREATE TABLE bir.ing.stats (n_delta BIGINT, sumdl_delta BIGINT)")
@@ -416,7 +416,7 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS bmd.ing")
     spark.sql("CREATE TABLE bmd.ing.docs (doc_id BIGINT, text STRING)")
     spark.sql("CREATE TABLE bmd.ing.postings " +
-      "(term STRING, doc_id BIGINT, tf BIGINT) " +
+      "(term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>) " +
       "PARTITIONED BY (bucket(4, term))")
     spark.sql("CREATE TABLE bmd.ing.doclen (doc_id BIGINT, dl BIGINT)")
     spark.sql("CREATE TABLE bmd.ing.stats (n_delta BIGINT, sumdl_delta BIGINT)")
@@ -448,11 +448,19 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1L, "alpha beta alpha delta"), (2L, "beta gamma gamma alpha"),
         (3L, "delta epsilon zeta"), (4L, "alpha alpha omega"))
       .toDF("doc_id", "text").writeTo("bmd.ing.docs").append()
+    def phrase(p: String): Set[(Long, Long)] =
+      llm.TextAnalysis.phraseSearchFrom(spark, "bmd.ing.postings",
+          Seq((1, p))).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
     val q = start()
     try {
       q.processAllAvailable()
       assert(serve() == scanRef(), "maintainer must ingest the base corpus")
       assert(statsInSync())
+      // positional serving: doc 1 "alpha beta alpha delta" has ONE
+      // adjacent (alpha, beta); doc 2's alpha is not beta-adjacent
+      assert(phrase("alpha beta") == Set((1L, 1L)),
+        "phrase adjacency must serve from the maintained positions")
 
       // CoW DELETE: doc 2 leaves; gamma's only source dies (query 2
       // empties), alpha's df deflates from 3 to 2
@@ -482,6 +490,10 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(serve() == scanRef(),
         "after upsert the served ranking must equal a fresh corpus scan")
       assert(statsInSync(), "stats must track the update delta")
+      // doc 4's update made "beta omega" adjacent where no doc had it —
+      // the delete-then-reinsert walk must refresh POSITIONS, not just tf
+      assert(phrase("beta omega") == Set((4L, 1L)),
+        "phrase serving must track the upsert's new adjacency")
     } finally q.stop()
 
     // restart from the checkpoint: the replayed batches land on fenced
@@ -510,7 +522,7 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS bmv.ing")
     spark.sql("CREATE TABLE bmv.ing.docs (doc_id BIGINT, text STRING)")
     spark.sql("CREATE TABLE bmv.ing.postings " +
-      "(term STRING, doc_id BIGINT, tf BIGINT) " +
+      "(term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>) " +
       "PARTITIONED BY (bucket(4, term))")
     spark.sql("CREATE TABLE bmv.ing.doclen (doc_id BIGINT, dl BIGINT)")
     spark.sql("CREATE TABLE bmv.ing.stats (n_delta BIGINT, sumdl_delta BIGINT)")

@@ -56,7 +56,7 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CREATE TABLE trio.ing.counts (b BIGINT, cnt BIGINT)")
     spark.sql("CREATE TABLE trio.ing.monitor (batch_id INT, n_tokens BIGINT, kl6 DOUBLE)")
     spark.sql("CREATE TABLE trio.ing.postings " +
-      "(term STRING, doc_id BIGINT, tf BIGINT) " +
+      "(term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>) " +
       "PARTITIONED BY (bucket(4, term))")
     spark.sql("CREATE TABLE trio.ing.doclen (doc_id BIGINT, dl BIGINT)")
     spark.sql("CREATE TABLE trio.ing.bm25stats " +

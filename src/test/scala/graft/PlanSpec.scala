@@ -381,6 +381,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus stats must read the persisted ledger:\n$plan")
   }
 
+  test("q140 phrase search serves from positional postings: no corpus scan") {
+    // the positions column buys adjacency without ever touching text:
+    // the phrase vocabulary pushes into the postings scan like q132's
+    val df = llm.TextAnalysis.q140PhraseSearch(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Scan parquet"),
+      s"phrase serving must not scan the raw corpus:\n$plan")
+    assert(plan.contains("In(term"),
+      s"phrase vocabulary must push into the postings scan:\n$plan")
+  }
+
   test("q137 cluster cards are index-served end-to-end: zero corpus scans") {
     // both inputs are persisted artifacts — ivf_cells for membership,
     // postings for per-doc term counts; the card build must never

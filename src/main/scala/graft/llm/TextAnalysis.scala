@@ -715,29 +715,34 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** The fixed phrase-query set q140 and its oracle share. Two-word
-    * phrases — the adjacency primitive; longer phrases iterate it. */
+  /** The fixed phrase-query set q140 and its oracle share — mixed
+    * lengths, because the evaluator is general: the 3-word phrase
+    * exercises the iterated-adjacency fold. */
   private[graft] val PhraseQueries: Seq[(Int, String)] =
-    Seq((1, "dup merge"), (2, "window agg"), (3, "hash join"))
+    Seq((1, "order fast"), (2, "window agg"), (3, "big order scan"))
 
   /** Exact phrase search served from the POSITIONAL postings (q140) —
     * the capability positions buy: find documents where the phrase's
-    * words are ADJACENT, not merely co-present (BM25's bag-of-words
-    * cannot tell "merge scan dup" from "dup merge scan"). Classic
-    * positional-index query evaluation (Manning, Raghavan & Schütze,
-    * IIR §2.4.2): each phrase term's pruned postings join by doc_id,
-    * and the phrase frequency is |{i : i ∈ positions(w1), i+1 ∈
-    * positions(w2)}| — a set intersection of shifted ordinals,
-    * integer-exact across engines. Docs rank by (phrase_tf desc,
-    * doc_id), top-10 per query.
+    * words are ADJACENT in order, not merely co-present (BM25's
+    * bag-of-words cannot tell "merge scan dup" from "dup merge scan").
+    * Classic positional-index query evaluation (Manning, Raghavan &
+    * Schütze, IIR §2.4.2), generalized to ANY phrase length by the
+    * iterated-adjacency fold: a phrase w₀…w_{L-1} matches at anchor a
+    * iff a+i ∈ positions(wᵢ) for every i, so the candidate anchor set
+    * folds left across the terms — shift the accumulated anchors by
+    * the offset delta and intersect with the next term's ordinals.
+    * phrase_tf = |surviving anchors|; integer-exact across engines.
+    * Docs rank by (phrase_tf desc, doc_id), top-10 per query.
     *
     * Scale shape: the q132 serving shape exactly — the In(term)
     * pushdown prunes the bucket(term) layout to the phrase
-    * vocabulary's dirs, the doc_id equi-join touches only both-term
-    * docs, the 3-row query frame broadcasts, and the adjacency test
-    * is a map-side array intersect; document text is never scanned
-    * (PlanSpec gates it). The top-10 window partitions by query_id
-    * over candidate docs only. */
+    * vocabulary's dirs, each fold step is a doc_id equi-join that only
+    * documents containing EVERY phrase word so far survive (candidate
+    * sets shrink monotonically), and the adjacency test is a map-side
+    * array intersect — positions never shuffle on their own, and
+    * document text is never scanned (PlanSpec gates it). Per-phrase
+    * subplans (lengths differ) union; the top-10 window partitions by
+    * query_id over final candidates only. */
   def q140PhraseSearch(s: SparkSession, dir: String): DataFrame = {
     val pfx = ensureBm25Index(s, dir)
     phraseSearchFrom(s, s"$pfx.postings", PhraseQueries)
@@ -747,26 +752,31 @@ object TextAnalysis {
                                       phrases: Seq[(Int, String)])
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
     val termLits = phrases.flatMap(_._2.split(" ")).distinct
     val post = s.table(postingsFqn)
       .filter(col("term").isin(termLits: _*))
       .select(col("term"), col("doc_id"), col("positions"))
-    val q = phrases.toDF("query_id", "phrase")
-      .select(col("query_id"), split(col("phrase"), " ").as("w"))
-      .select(col("query_id"),
-        col("w").getItem(0).as("t1"), col("w").getItem(1).as("t2"))
-    val c1 = post.select(col("term").as("t1"), col("doc_id"),
-      col("positions").as("p1"))
-    val c2 = post.select(col("term").as("t2"), col("doc_id"),
-      col("positions").as("p2"))
+    // one subplan per phrase (lengths differ): fold the anchor set
+    // left across the terms — anchors after step i are the ordinals
+    // of w_i that extend a match of w_0..w_i; all intersects map-side
+    val perPhrase = phrases.map { case (qid, phrase) =>
+      val terms = phrase.split(" ").toSeq
+      val first = post.filter(col("term") === terms.head)
+        .select(col("doc_id"), col("positions").as("anchors"))
+      val folded = terms.tail.foldLeft(first) { (acc, t) =>
+        acc.join(post.filter(col("term") === t)
+            .select(col("doc_id"), col("positions").as("p")),
+          Seq("doc_id"))
+          .select(col("doc_id"), array_intersect(
+            transform(col("anchors"), x => x + 1), col("p")).as("anchors"))
+      }
+      folded
+        .select(lit(qid).as("query_id"), col("doc_id"),
+          size(col("anchors")).cast("long").as("phrase_tf"))
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("phrase_tf").desc, col("doc_id"))
-    c1.join(broadcast(q), Seq("t1"))
-      .join(c2, Seq("t2", "doc_id"))
-      .withColumn("phrase_tf",
-        size(array_intersect(transform(col("p1"), x => x + 1), col("p2")))
-          .cast("long"))
+    perPhrase.reduce(_ unionByName _)
       .filter(col("phrase_tf") > 0)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
@@ -774,28 +784,33 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** DuckDB replay of q140: positions recomputed from the text by the
-    * same space-split 1-based ordinals, the same shifted-ordinal
-    * intersection, the same (phrase_tf desc, doc_id) top-10. */
+  /** DuckDB replay of q140 in the equivalent anchor-counting form:
+    * positions recomputed from the text by the same space-split
+    * 1-based ordinals; an anchor matches when every phrase offset i
+    * finds term wᵢ at anchor+i (COUNT(DISTINCT i) = L — identical to
+    * the fold's surviving-anchor set); same (phrase_tf desc, doc_id)
+    * top-10. */
   lazy val q140Sql: String = {
-    val qvals = PhraseQueries.map { case (id, p) =>
-      val Array(a, b) = p.split(" "); s"($id, '$a', '$b')" }.mkString(", ")
-    s"""WITH q(query_id, t1, t2) AS (VALUES $qvals),
+    val qvals = PhraseQueries.flatMap { case (id, p) =>
+      p.split(" ").zipWithIndex.map { case (t, i) =>
+        s"($id, '$t', $i, ${p.split(" ").length})" }
+    }.mkString(", ")
+    s"""WITH q(query_id, term, i, len) AS (VALUES $qvals),
       |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |tp AS (
       |  SELECT doc_id, UNNEST(w) AS term,
       |    UNNEST(range(1, len(w) + 1)) AS pos
       |  FROM d),
-      |p AS (
-      |  SELECT doc_id, term, list(pos ORDER BY pos) AS ps
-      |  FROM tp GROUP BY 1, 2),
+      |hits AS (
+      |  SELECT q.query_id, tp.doc_id, tp.pos - q.i AS anchor, q.len, q.i
+      |  FROM q JOIN tp ON tp.term = q.term),
+      |anchors AS (
+      |  SELECT query_id, doc_id, anchor
+      |  FROM hits GROUP BY query_id, doc_id, anchor, len
+      |  HAVING COUNT(DISTINCT i) = len),
       |cand AS (
-      |  SELECT q.query_id, a.doc_id,
-      |    CAST(len(list_intersect(
-      |      list_transform(a.ps, x -> x + 1), b.ps)) AS BIGINT) AS phrase_tf
-      |  FROM q
-      |  JOIN p a ON a.term = q.t1
-      |  JOIN p b ON b.term = q.t2 AND b.doc_id = a.doc_id),
+      |  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS phrase_tf
+      |  FROM anchors GROUP BY 1, 2),
       |rk AS (
       |  SELECT query_id, doc_id, phrase_tf,
       |    ROW_NUMBER() OVER (PARTITION BY query_id

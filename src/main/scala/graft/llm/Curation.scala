@@ -1743,9 +1743,118 @@ object Curation {
       |FROM a2 LEFT JOIN lks ON lks.split = a2.split
       |GROUP BY a2.split ORDER BY a2.split""".stripMargin
 
+  /** Corpus release diff (q141) — the governance card a training-data
+    * release ships between versions (the "datasheet delta"): per
+    * source, how many documents and tokens ARRIVED, LEFT, and were
+    * REVISED from release A to release B, read from the catalog's
+    * row-level changes feed rather than by diffing two full snapshots.
+    * The corpus lands as release A in a merge-on-read catalog table
+    * (identifier-keyed, so updates emit exact preimage/postimage
+    * pairs — the q90 CDC machinery), release B applies a
+    * deterministic mutation batch (a crawl drop: deletes, revisions,
+    * new arrivals), and the card is ONE pass over
+    * `Changes.between(A, B)` rolled up by source.
+    *
+    * Scale shape: the diff reads ONLY the delta files the mutating
+    * commits wrote (the changes feed is incremental by construction —
+    * never a scan of either release), token counts are map-side
+    * splits on the delta rows, and the rollup is a |sources|-key
+    * aggregate with map-side combine. Diffing two 100 TB releases
+    * costs O(changed rows), not O(corpus) — the entire point of
+    * row-level CDC. Integer counts end to end. */
+  def q141ReleaseDiff(s: SparkSession, dir: String): DataFrame = {
+    if (s.conf.getOption("spark.sql.catalog.graft_rel").isEmpty) {
+      val wh = java.nio.file.Files.createTempDirectory("graft-rel-wh").toString
+      s.conf.set("spark.sql.catalog.graft_rel",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rel.warehouse", wh)
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_rel.rel")
+    val tbl = "graft_rel.rel.docs"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl
+      (doc_id BIGINT NOT NULL, source STRING, text STRING)
+      TBLPROPERTIES ('identifier-fields' = 'doc_id',
+        'write.delete.mode' = 'merge-on-read',
+        'write.update.mode' = 'merge-on-read',
+        'write.merge.mode' = 'merge-on-read')""")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    docs.writeTo(tbl).append()
+    val cat = s.sessionState.catalogManager.catalog("graft_rel")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val vA = cat.metadataStore.currentVersion(Seq("rel"), "docs")
+    // release B: the next crawl drop — departures, revisions, arrivals
+    s.sql(s"DELETE FROM $tbl WHERE doc_id % 17 = 3")
+    s.sql(s"UPDATE $tbl SET text = concat(text, ' (rev)') " +
+      "WHERE doc_id % 23 = 5")
+    docs.filter(col("doc_id") % 29 === 7)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        col("text"))
+      .writeTo(tbl).append()
+    val delta = graft.catalog.Changes.between(s, tbl, vA)
+      .select(col("source"), col("_change_type"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+    delta.groupBy(col("source"))
+      .agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+          .as("docs_added"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+          .as("docs_removed"),
+        sum(when(col("_change_type") === "update_postimage", 1L)
+          .otherwise(0L)).as("docs_revised"),
+        sum(when(col("_change_type").isin("insert", "update_postimage"),
+          col("t")).otherwise(0L)).as("tokens_added"),
+        sum(when(col("_change_type").isin("delete", "update_preimage"),
+          col("t")).otherwise(0L)).as("tokens_removed"))
+      .withColumn("net_tokens", col("tokens_added") - col("tokens_removed"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q141: the same modular mutation rules applied
+    * directly to the source table — removed = id%17=3; revised =
+    * id%23=5 among survivors (the DELETE runs first), postimage text
+    * one token longer; added = id%29=7 re-keyed. The changes feed must
+    * reproduce exactly these rows, nothing more (a CoW-style
+    * file-granular feed would re-deliver survivors and fail this). */
+  val q141Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, len(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |added AS (SELECT source, COUNT(*) AS docs_added,
+      |    CAST(SUM(t) AS BIGINT) AS tokens_added
+      |  FROM d WHERE doc_id % 29 = 7 GROUP BY 1),
+      |removed AS (SELECT source, COUNT(*) AS docs_removed,
+      |    CAST(SUM(t) AS BIGINT) AS tokens_removed
+      |  FROM d WHERE doc_id % 17 = 3 GROUP BY 1),
+      |revised AS (SELECT source, COUNT(*) AS docs_revised,
+      |    CAST(SUM(t + 1) AS BIGINT) AS rev_added,
+      |    CAST(SUM(t) AS BIGINT) AS rev_removed
+      |  FROM d WHERE doc_id % 23 = 5 AND doc_id % 17 <> 3 GROUP BY 1),
+      |src AS (SELECT DISTINCT source FROM d
+      |  WHERE doc_id % 29 = 7 OR doc_id % 17 = 3
+      |     OR (doc_id % 23 = 5 AND doc_id % 17 <> 3))
+      |SELECT src.source,
+      |  CAST(COALESCE(docs_added, 0) AS BIGINT) AS docs_added,
+      |  CAST(COALESCE(docs_removed, 0) AS BIGINT) AS docs_removed,
+      |  CAST(COALESCE(docs_revised, 0) AS BIGINT) AS docs_revised,
+      |  CAST(COALESCE(tokens_added, 0) + COALESCE(rev_added, 0) AS BIGINT)
+      |    AS tokens_added,
+      |  CAST(COALESCE(tokens_removed, 0) + COALESCE(rev_removed, 0) AS BIGINT)
+      |    AS tokens_removed,
+      |  CAST(COALESCE(tokens_added, 0) + COALESCE(rev_added, 0)
+      |    - COALESCE(tokens_removed, 0) - COALESCE(rev_removed, 0) AS BIGINT)
+      |    AS net_tokens
+      |FROM src
+      |LEFT JOIN added USING (source)
+      |LEFT JOIN removed USING (source)
+      |LEFT JOIN revised USING (source)
+      |ORDER BY src.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_quality_sample" -> q113QualitySample _,
     "q135_budget_select" -> q135BudgetSelect _,
+    "q141_release_diff" -> q141ReleaseDiff _,
     "q116_curation_funnel" -> q116CurationFunnel _,
     "q118_leakage_safe_split" -> q118LeakageSafeSplit _,
     "q68_split_sample"  -> q68SplitSample _,
@@ -1766,6 +1875,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q113_quality_sample" -> q113Sql,
     "q135_budget_select" -> q135Sql,
+    "q141_release_diff" -> q141Sql,
     "q116_curation_funnel" -> q116Sql,
     "q118_leakage_safe_split" -> q118Sql,
     "q68_split_sample"  -> q68Sql,

@@ -391,6 +391,95 @@ object TextAnalysis {
       |  right(r, 48) AS redacted_tail
       |FROM red ORDER BY doc_id""".stripMargin
 
+  /** Misra–Gries heavy-hitters sketch (Misra & Gries 1982; mergeable
+    * form per Agarwal et al. 2013, "Mergeable Summaries"): at most K
+    * counters per partial state. `reduce` is the classic step
+    * (increment if tracked, insert if room, else decrement-all);
+    * `merge` sums counters then trims by subtracting the (K+1)-th
+    * largest count — both preserve the deficit bound, so after ANY
+    * reduce/merge tree every token with true frequency > n/(K+1)
+    * still holds a counter. The finish emits CANDIDATES only; q142's
+    * exact verification pass prices truth. */
+  private[graft] object MisraGries
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Seq[String]] {
+    val K = 32
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+      if (b.contains(t)) b.updated(t, b(t) + 1L)
+      else if (b.size < K) b.updated(t, 1L)
+      else b.flatMap { case (k, c) =>
+        if (c > 1L) Some(k -> (c - 1L)) else None }
+    def merge(b1: Map[String, Long], b2: Map[String, Long])
+        : Map[String, Long] = {
+      val m = (b1.keySet ++ b2.keySet).iterator
+        .map(k => k -> (b1.getOrElse(k, 0L) + b2.getOrElse(k, 0L))).toMap
+      if (m.size <= K) m
+      else {
+        val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(K)
+        m.flatMap { case (k, c) => if (c > cut) Some(k -> (c - cut)) else None }
+      }
+    }
+    def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Exact corpus heavy hitters via sketch-then-verify (q142) — the
+    * tokens exceeding a 1/32 frequency share, computed WITHOUT ever
+    * shuffling the vocabulary: pass 1 folds the corpus through the
+    * [[MisraGries]] Aggregator — per-partition state is ≤ K counters
+    * regardless of vocabulary size, merged in Spark's partial-agg
+    * tree, so the only thing that moves is K counters per partition
+    * (contrast q127's (source, token)-keyed shuffle: correct, but its
+    * shuffle grows with the vocabulary); pass 2 re-scans with the
+    * ≤ K candidate set broadcast in an `isin`, counting candidates
+    * exactly and everything else into one residual bucket — ≤ K+1
+    * groups through the shuffle. The MG deficit bound guarantees the
+    * candidates cover every true heavy hitter, and the exact pass
+    * discards false positives — so the OUTPUT is exactly the tokens
+    * with cnt·32 > n, integer-arithmetic truth the oracle recomputes
+    * directly (the oracle thereby re-proves the sketch's covering
+    * guarantee on every run). The final rank window orders ≤ K rows.
+    * The one driver-side collect is the 1-row candidate list (≤ K
+    * strings — bounded, fence-read class). */
+  def q142HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val mg = udaf(MisraGries)
+    val cands = toks.agg(mg(col("tok"))).head().getSeq[String](0)
+    val counted = toks
+      .groupBy(when(col("tok").isin(cands: _*), col("tok")).as("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤ K+1 rows; feeds the total AND the filter
+    val tot = counted.agg(sum(col("cnt")).as("n"))
+    counted.filter(col("token").isNotNull)
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * 32 > col("n"))
+      .select(col("token"), col("cnt"),
+        round(col("cnt") / col("n"), 6).as("share6"))
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q142 from first principles: the exact global
+    * token frequencies filtered at cnt·32 > n — deliberately
+    * sketch-free, so a hash match re-proves the MG covering guarantee
+    * (a candidate set that missed a true heavy hitter could never
+    * reproduce this output). */
+  val q142Sql: String =
+    """WITH t AS (
+      |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+      |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1)
+      |SELECT token, cnt, ROUND(cnt * 1.0 / n.n, 6) AS share6,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rn
+      |FROM c, n WHERE cnt * 32 > n.n ORDER BY rn""".stripMargin
+
   /** Encoding-sanity audit (q139) — the mojibake/control-character
     * triage a crawl pipeline runs before any text operator (the fix
     * pass CCNet/ftfy-class tooling applies; Wenzek et al. 2020 §3.1):
@@ -1712,6 +1801,7 @@ object TextAnalysis {
     "q92_pii_redact"  -> q92PiiRedact _,
     "q139_encoding_audit" -> q139EncodingAudit _,
     "q140_phrase_search" -> q140PhraseSearch _,
+    "q142_heavy_hitters" -> q142HeavyHitters _,
     "q101_bm25_search" -> q101Bm25 _,
     "q132_bm25_indexed" -> q132Bm25Indexed _,
     "q112_bpe_pairs"  -> q112BpePairs _,
@@ -1730,6 +1820,7 @@ object TextAnalysis {
     "q92_pii_redact"  -> q92Sql,
     "q139_encoding_audit" -> q139Sql,
     "q140_phrase_search" -> q140Sql,
+    "q142_heavy_hitters" -> q142Sql,
     "q101_bm25_search" -> q101Sql,
     // identical rows by construction: the index serves the same corpus
     // through the same shared scoring core

@@ -580,6 +580,30 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every vector must land in exactly one histogram bucket")
   }
 
+  test("Misra-Gries covering guarantee survives reduce decrements and merge trims") {
+    // 200 distinct tokens force both the reduce decrement-all path and
+    // the merge (K+1)-th-largest trim — the paths the ~30-word corpus
+    // vocabulary never exercises; the guarantee under test is the one
+    // q142 relies on: every token with freq > n/(K+1) keeps a counter
+    val mg = TextAnalysis.MisraGries
+    val rnd = new scala.util.Random(7)
+    val heavy = Seq.fill(3000)("hh" + rnd.nextInt(3))      // 3 heavy tokens
+    val tail = Seq.fill(2000)("t" + rnd.nextInt(197))      // 197 light ones
+    val stream = rnd.shuffle(heavy ++ tail)
+    val n = stream.size
+    // split into 8 slices, reduce each, merge pairwise (a realistic tree)
+    val parts = stream.grouped(math.ceil(n / 8.0).toInt).toSeq
+      .map(_.foldLeft(mg.zero)(mg.reduce))
+    val merged = parts.reduce(mg.merge)
+    val cands = mg.finish(merged).toSet
+    val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+    val mustCover = exact.collect {
+      case (t, c) if c.toLong * (mg.K + 1) > n => t }.toSet
+    assert(mustCover.nonEmpty && mustCover.forall(cands.contains),
+      s"MG must cover all true heavy hitters: missing ${mustCover -- cands}")
+    assert(cands.size <= mg.K, "sketch must stay within K counters")
+  }
+
   test("q126 drift report flags the cohort whose vocabulary shifted") {
     import spark.implicits._
     // ids 0..19: the first nine deciles share one vocabulary; the last

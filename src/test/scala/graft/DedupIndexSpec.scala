@@ -511,6 +511,18 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(serve() == scanRef())
       assert(statsInSync())
     } finally q2.stop()
+
+    // maintenance composes: after ingest + merge-delete churn the index
+    // tables compact like any graft table — serving (BM25 ranking AND
+    // phrase adjacency) must be bit-identical across the rewrite
+    val before = serve()
+    val phBefore = phrase("beta omega")
+    Seq("ing.postings", "ing.doclen", "ing.stats").foreach { t =>
+      spark.sql(s"CALL bmd.system.compact('$t')") }
+    assert(serve() == before, "compaction must not change BM25 serving")
+    assert(phrase("beta omega") == phBefore,
+      "compaction must not change phrase serving")
+    assert(statsInSync(), "compaction must preserve the stats ledger sum")
   }
 
   test("bm25Vacuum reconciles the index and stats to the live corpus") {

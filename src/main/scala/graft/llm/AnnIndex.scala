@@ -155,7 +155,7 @@ object AnnIndex {
     * — skip) and CAS-retry exhaustion (nothing committed — swallowing
     * would silently drop this slice from the index forever); the ledger
     * on THIS table tells them apart. */
-  private[llm] def fencedAppend(df: DataFrame, table: String, v: Int,
+  private[graft] def fencedAppend(df: DataFrame, table: String, v: Int,
                                 key: String = IndexedVersionKey): Unit =
     try {
       df.writeTo(table)

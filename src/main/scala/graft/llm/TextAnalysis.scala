@@ -973,29 +973,40 @@ object TextAnalysis {
     * DELETE-only commits and cannot see departures at all); per
     * micro-batch, walk the delta exactly:
     *
-    *  1. departed ids (delete + update_preimage rows) MERGE-delete
-    *     from postings and doclen — dead documents stop scoring AND
-    *     stop inflating df the moment the batch lands;
-    *  2. their indexed token mass (doclen ⋈ departed ids, read BEFORE
-    *     the deletes) appends as a fenced NEGATIVE stats delta under
-    *     [[Bm25DepKey]] — fenced first so a crash-replay after the
-    *     deletes (when the mass would recompute as zero) lands on the
-    *     fence, never a wrong delta;
-    *  3. arrivals (insert + update_postimage rows) anti-join the
-    *     now-deleted doclen ids — CoW file-granular re-delivery hands
-    *     survivors back as delete+insert of the same row, which walks
-    *     as delete-then-reinsert (stats net zero), while a replayed or
-    *     duplicate arrival whose doclen row already exists is dropped
-    *     before it can double-count — then append postings → positive
-    *     stats delta → doclen, fenced under [[Bm25ArrKey]] (same
-    *     crash-ordering argument as [[bm25IngestStream]]).
+    *  1. when the batch contains ANY departure row (delete /
+    *     update_preimage), every TOUCHED doc_id reconciles: the
+    *     indexed token mass of all touched docs (doclen ⋈ touched
+    *     ids, read BEFORE the deletes) appends as a fenced NEGATIVE
+    *     stats delta under [[Bm25DepKey]] — fenced first so a
+    *     crash-replay after the deletes (when the mass would
+    *     recompute as zero) lands on the fence, never a wrong
+    *     delta — then the touched ids MERGE-delete from postings and
+    *     doclen. Dead documents stop scoring AND stop inflating df
+    *     the moment the batch lands; a pure-append batch skips the
+    *     whole leg (one bounded isEmpty, no MERGE commits);
+    *  2. arrivals resolve to each doc's FINAL state in the batch —
+    *     the insert/update_postimage row at its max _commit_version,
+    *     absent when the doc's last change is a delete — so a
+    *     same-batch insert-then-delete nets to ABSENT (the micro-batch
+    *     may group multiple commits; change types alone cannot order
+    *     them), a CoW file-granular rewrite's delete+insert re-delivery
+    *     nets to unchanged (remove + re-add, stats zero), and an
+    *     update re-indexes only the postimage;
+    *  3. the final arrivals anti-join the (now-reconciled) doclen ids
+    *     — a replayed or historical arrival whose doclen row already
+    *     exists is dropped before it can double-count — then append
+    *     postings → positive stats delta → doclen, fenced under
+    *     [[Bm25ArrKey]] (same crash-ordering argument as
+    *     [[bm25IngestStream]]).
     *
     * All work is O(|batch|) plus id-keyed MERGEs; the corpus is never
     * rescanned and text never enters the index. With this running,
     * served BM25 tracks a corpus under INSERT/DELETE/UPDATE/MERGE
     * exactly (DedupIndexSpec proves served ≡ fresh corpus-scan ranking
-    * after each mutation class, and that sum(stats) ≡ the doclen
-    * aggregate at every quiesce point). */
+    * after each mutation class, that sum(stats) ≡ the doclen aggregate
+    * at every quiesce point, and that a replay from the emulated
+    * crash point between the fenced decrement and the deletes lands
+    * consistent). */
   def bm25MaintainStream(s: SparkSession, corpusFqn: String,
                          postingsFqn: String, doclenFqn: String,
                          statsFqn: String, checkpoint: String)
@@ -1007,36 +1018,44 @@ object TextAnalysis {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val b = batch.localCheckpoint()
-        val depIds = b
+        val hasDepartures = !b
           .filter(col("_change_type").isin("delete", "update_preimage"))
-          .select(col("doc_id")).distinct().localCheckpoint()
+          .isEmpty
         // a pure-append batch pays one bounded isEmpty over the pinned
-        // ids, never a MERGE or a stats row (replay-deterministic:
-        // depIds derives from the redelivered batch alone)
-        if (!depIds.isEmpty) {
-          // departed token mass from the INDEX's own doclen rows (what
-          // was actually indexed), read before the deletes; docs never
-          // indexed (e.g. a changes replay older than the index)
-          // contribute nothing
+        // batch, never a MERGE or a decrement row (replay-deterministic:
+        // the discriminator derives from the redelivered batch alone)
+        if (hasDepartures) {
+          val touched = b.select(col("doc_id")).distinct().localCheckpoint()
+          // touched docs' indexed token mass from the INDEX's own
+          // doclen rows (what was actually indexed), read before the
+          // deletes; docs never indexed contribute nothing; docs whose
+          // final state survives re-add their mass in the arrival leg
           AnnIndex.fencedAppend(
             s.table(doclenFqn)
-              .join(depIds, Seq("doc_id"), "left_semi")
+              .join(touched, Seq("doc_id"), "left_semi")
               .agg((-count(lit(1))).as("n_delta"),
                 (-coalesce(sum(col("dl")), lit(0L))).as("sumdl_delta")),
             statsFqn, id.toInt, Bm25DepKey)
           // foreachBatch frames live in a cloned micro-batch session —
           // the view must register AND resolve in that same session
-          val bs = depIds.sparkSession
+          val bs = touched.sparkSession
           val view = "graft_bm25_dep_" +
             java.util.UUID.randomUUID.toString.replace("-", "")
-          depIds.createOrReplaceTempView(view)
+          touched.createOrReplaceTempView(view)
           try Seq(postingsFqn, doclenFqn).foreach { t =>
             bs.sql(s"MERGE INTO $t x USING $view d ON x.doc_id = d.doc_id " +
               "WHEN MATCHED THEN DELETE")
           } finally bs.catalog.dropTempView(view)
         }
+        // each doc's FINAL state in the batch: the arrival row at its
+        // max commit version — absent when its last change is a delete
+        val vmax = b.groupBy(col("doc_id"))
+          .agg(max(col("_commit_version")).as("vmax"))
         val arrivals = b
           .filter(col("_change_type").isin("insert", "update_postimage"))
+          .join(vmax, Seq("doc_id"))
+          .filter(col("_commit_version") === col("vmax"))
+          .dropDuplicates("doc_id")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .join(s.table(doclenFqn).select("doc_id"), Seq("doc_id"),
             "left_anti")

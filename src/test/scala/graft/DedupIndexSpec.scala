@@ -525,6 +525,69 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(statsInSync(), "compaction must preserve the stats ledger sum")
   }
 
+  test("bm25MaintainStream crash between stats decrement and deletes replays consistent") {
+    import spark.implicits._
+    // the scaladoc's crash-ordering claim, emulated exactly: the fenced
+    // NEGATIVE stats delta landed (stamped Bm25DepKey at the batch id)
+    // but the process died BEFORE the merge-deletes. The replay must
+    // skip the decrement on the fence (an unfenced recompute after the
+    // deletes would read zero — or double-count before them) and run
+    // the idempotent deletes, ending exactly consistent.
+    val wh = java.nio.file.Files.createTempDirectory("graft-bmc-wh").toString
+    spark.conf.set("spark.sql.catalog.bmc",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bmc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bmc.ing")
+    spark.sql("CREATE TABLE bmc.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE bmc.ing.postings " +
+      "(term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>) " +
+      "PARTITIONED BY (bucket(4, term))")
+    spark.sql("CREATE TABLE bmc.ing.doclen (doc_id BIGINT, dl BIGINT)")
+    spark.sql("CREATE TABLE bmc.ing.stats (n_delta BIGINT, sumdl_delta BIGINT)")
+    // base corpus indexed by the plain ingest tail (its own fence key)
+    Seq((1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "delta zeta"))
+      .toDF("doc_id", "text").writeTo("bmc.ing.docs").append()
+    val cIng = java.nio.file.Files.createTempDirectory("graft-bmc-i").toString
+    val qi = llm.TextAnalysis.bm25IngestStream(spark, "bmc.ing.docs",
+      "bmc.ing.postings", "bmc.ing.doclen", "bmc.ing.stats", cIng)
+    try qi.processAllAvailable() finally qi.stop()
+    // the corpus drops doc 2 — the $changes tail will see it at batch 0
+    spark.sql("DELETE FROM bmc.ing.docs WHERE doc_id = 2")
+    // crash emulation: batch 0's reconcile decrement ALREADY committed
+    // — all three docs are touched (their inserts and doc 2's delete
+    // share the first micro-batch), mass (3 docs, dl 3+2+2) — but the
+    // merge-deletes never ran
+    llm.AnnIndex.fencedAppend(
+      Seq((-3L, -7L)).toDF("n_delta", "sumdl_delta"),
+      "bmc.ing.stats", 0, llm.TextAnalysis.Bm25DepKey)
+    assert(spark.table("bmc.ing.postings")
+      .where(col("doc_id") === 2L).count() > 0,
+      "sanity: the crash left dead postings behind")
+    // replay: the maintainer processes the whole feed as batch 0
+    val cM = java.nio.file.Files.createTempDirectory("graft-bmc-m").toString
+    val qm = llm.TextAnalysis.bm25MaintainStream(spark, "bmc.ing.docs",
+      "bmc.ing.postings", "bmc.ing.doclen", "bmc.ing.stats", cM)
+    try qm.processAllAvailable() finally qm.stop()
+    assert(spark.table("bmc.ing.postings")
+      .where(col("doc_id") === 2L).count() == 0L,
+      "replay must complete the merge-deletes")
+    val live = spark.table("bmc.ing.doclen")
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val led = spark.table("bmc.ing.stats")
+      .agg(coalesce(sum(col("n_delta")), lit(0L)),
+        coalesce(sum(col("sumdl_delta")), lit(0L))).head()
+    assert(live.getLong(0) == led.getLong(0) && live.getLong(1) == led.getLong(1),
+      s"replay must not double-decrement: ledger $led vs live $live")
+    val queries = Seq((1, "alpha beta"), (2, "gamma"))
+    val served = llm.TextAnalysis.bm25ServeFrom(spark, "bmc.ing.postings",
+        "bmc.ing.doclen", "bmc.ing.stats", queries).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val ref = llm.TextAnalysis.bm25RankingOver(spark,
+        spark.table("bmc.ing.docs"), queries).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served == ref, "post-replay serving must equal a fresh corpus scan")
+  }
+
   test("bm25Vacuum reconciles the index and stats to the live corpus") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-bmv-wh").toString

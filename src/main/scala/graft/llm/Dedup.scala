@@ -324,20 +324,156 @@ object Dedup {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // the batch frame feeds bands AND partner lookups — pin it once
-        val b = batch.select(col("doc_id"), shingleUdf(col("text")).as("sh"))
-          .localCheckpoint()
-        val newBands = bandBuckets(minhashSignatures(b)).localCheckpoint()
-        // raw (doc_id, text): batchPairs shingles only candidate ids
-        val corpus = s.table(corpusFqn).select(col("doc_id"), col("text"))
-        val pairs = batchPairs(newBands, s.table(indexFqn), corpus)
-        AnnIndex.fencedAppend(pairs, outFqn, id.toInt, IngestBatchKey)
-        AnnIndex.fencedAppend(
-          newBands.select(col("band"), col("bh"), col("doc_id")),
-          indexFqn, id.toInt, IngestBatchKey)
-        ()
+        dedupBatch(s, batch, corpusFqn, indexFqn, outFqn, id, IngestBatchKey)
       }
       .start()
+
+  /** The shared per-batch ingest body: sign + band the arrivals, pair
+    * them against the persisted index (and each other), append pairs
+    * then bands, both fenced on the batch id under `key`. */
+  private def dedupBatch(s: SparkSession, arrivals: DataFrame,
+                         corpusFqn: String, indexFqn: String, outFqn: String,
+                         id: Long, key: String): Unit = {
+    // the batch frame feeds bands AND partner lookups — pin it once
+    val b = arrivals.select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+      .localCheckpoint()
+    val newBands = bandBuckets(minhashSignatures(b)).localCheckpoint()
+    // raw (doc_id, text): batchPairs shingles only candidate ids
+    val corpus = s.table(corpusFqn).select(col("doc_id"), col("text"))
+    val pairs = batchPairs(newBands, s.table(indexFqn), corpus)
+    AnnIndex.fencedAppend(pairs, outFqn, id.toInt, key)
+    AnnIndex.fencedAppend(
+      newBands.select(col("band"), col("bh"), col("doc_id")),
+      indexFqn, id.toInt, key)
+    ()
+  }
+
+  /** Fence key for [[dedupMaintainStream]]'s per-batch commits —
+    * distinct from [[IngestBatchKey]] so the two stream forms never
+    * collide on a shared index. */
+  val MaintainBatchKey = "graft-dedup-maintain-batch"
+
+  /** The band index's DEPARTURE path as an unattended maintainer — the
+    * dedup twin of the BM25/ANN `$changes` maintainers, closing the
+    * hole the append-only [[dedupIngestStream]] documents: after a
+    * corpus DELETE or UPDATE, stale bands keep nominating the dead
+    * document as a near-dup partner (a FALSE DROP for every future
+    * arrival that matches it) and the verdict-pairs table keeps
+    * asserting pairs about text that no longer exists. Per micro-batch
+    * of the `$changes` tail:
+    *
+    *  1. with any departure row present, every TOUCHED doc reconciles:
+    *     its band rows MERGE-delete from the index, and every verdict
+    *     pair with a touched endpoint MERGE-deletes from `outFqn`
+    *     (both idempotent — replay-safe without a fence);
+    *  2. arrivals resolve to each doc's FINAL state at max
+    *     _commit_version (the bm25MaintainStream argument: a
+    *     micro-batch may group several commits, so change types alone
+    *     cannot order them — same-batch insert-then-delete nets to
+    *     absent, CoW survivor re-delivery to unchanged, an update
+    *     re-signs only the postimage), anti-joined against the
+    *     reconciled index ids so replays and historical re-deliveries
+    *     cannot double-band;
+    *  3. the shared [[dedupBatch]] body signs, pairs, and appends,
+    *     fenced under [[MaintainBatchKey]].
+    *
+    * An updated document re-pairs against the CURRENT corpus, so a
+    * revision that newly duplicates retained content is caught the
+    * moment it lands — the property DedupIndexSpec pins. */
+  def dedupMaintainStream(s: SparkSession, corpusFqn: String,
+                          indexFqn: String, outFqn: String,
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val parts = corpusFqn.split("\\.")
+    val changesFqn = (parts.init :+ s"`${parts.last}$$changes`").mkString(".")
+    s.readStream.table(changesFqn)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.localCheckpoint()
+        val hasDepartures = !b
+          .filter(col("_change_type").isin("delete", "update_preimage"))
+          .isEmpty
+        if (hasDepartures) {
+          val touched = b.select(col("doc_id")).distinct().localCheckpoint()
+          val bs = touched.sparkSession
+          val view = "graft_dedup_dep_" +
+            java.util.UUID.randomUUID.toString.replace("-", "")
+          touched.createOrReplaceTempView(view)
+          try {
+            bs.sql(s"MERGE INTO $indexFqn x USING $view d " +
+              "ON x.doc_id = d.doc_id WHEN MATCHED THEN DELETE")
+            // verdict pairs with a touched endpoint: their claim is
+            // about text that just left (or changed) — retract them
+            val deadPairs = bs.table(outFqn)
+              .join(touched.withColumnRenamed("doc_id", "doc_a"),
+                Seq("doc_a"), "left_semi")
+              .unionByName(bs.table(outFqn)
+                .join(touched.withColumnRenamed("doc_id", "doc_b"),
+                  Seq("doc_b"), "left_semi"))
+              .select(col("doc_a"), col("doc_b")).distinct()
+            val pview = "graft_dedup_deadpairs_" +
+              java.util.UUID.randomUUID.toString.replace("-", "")
+            deadPairs.createOrReplaceTempView(pview)
+            try bs.sql(s"MERGE INTO $outFqn p USING $pview d " +
+              "ON p.doc_a = d.doc_a AND p.doc_b = d.doc_b " +
+              "WHEN MATCHED THEN DELETE")
+            finally bs.catalog.dropTempView(pview)
+          } finally bs.catalog.dropTempView(view)
+        }
+        val vmax = b.groupBy(col("doc_id"))
+          .agg(max(col("_commit_version")).as("vmax"))
+        val arrivals = b
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .join(vmax, Seq("doc_id"))
+          .filter(col("_commit_version") === col("vmax"))
+          .dropDuplicates("doc_id")
+          .select(col("doc_id"), col("text"))
+          .join(s.table(indexFqn).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+        dedupBatch(s, arrivals, corpusFqn, indexFqn, outFqn, id,
+          MaintainBatchKey)
+      }
+      .start()
+  }
+
+  /** Batch departure reconciliation for the band index — the
+    * [[AnnIndex.vacuum]] twin: drop band rows whose documents LEFT the
+    * corpus (`MERGE … WHEN NOT MATCHED BY SOURCE THEN DELETE`, ids
+    * only) and retract verdict pairs with a dead endpoint. Unlike the
+    * search indexes — where a stale entry merely wastes probe cost —
+    * a stale BAND actively harms: it nominates the dead doc as a
+    * near-dup partner and can false-drop future arrivals. Returns
+    * index + pair rows removed. */
+  def bandVacuum(s: SparkSession, corpusFqn: String, indexFqn: String,
+                 outFqn: String): Long = {
+    val view = "graft_dedup_live_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    s.table(corpusFqn).select(col("doc_id").cast("bigint").as("doc_id"))
+      .createOrReplaceTempView(view)
+    try {
+      val b0 = s.table(indexFqn).count()
+      s.sql(s"MERGE INTO $indexFqn x USING $view l ON x.doc_id = l.doc_id " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      val live = s.table(view)
+      val deadPairs = s.table(outFqn)
+        .join(live.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+          "left_anti")
+        .unionByName(s.table(outFqn)
+          .join(live.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+            "left_anti"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val pview = "graft_dedup_deadpairs_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      deadPairs.createOrReplaceTempView(pview)
+      val p0 = s.table(outFqn).count()
+      try s.sql(s"MERGE INTO $outFqn p USING $pview d " +
+        "ON p.doc_a = d.doc_a AND p.doc_b = d.doc_b " +
+        "WHEN MATCHED THEN DELETE")
+      finally s.catalog.dropTempView(pview)
+      (b0 - s.table(indexFqn).count()) + (p0 - s.table(outFqn).count())
+    } finally s.catalog.dropTempView(view)
+  }
 
   /** Snapshot-summary fence key for [[dedupIngestStream]]'s per-batch
     * exactly-once commits. */

@@ -96,6 +96,94 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("dedupMaintainStream retracts a departed doc's bands and pairs; update re-pairs") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-dmd-wh").toString
+    spark.conf.set("spark.sql.catalog.dmd",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dmd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dmd.ing")
+    spark.sql("CREATE TABLE dmd.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE dmd.ing.bands (band INT, bh BIGINT, doc_id BIGINT)")
+    spark.sql("CREATE TABLE dmd.ing.pairs (doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dmd-ckpt").toString
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "totally different vocabulary occupies this document body"
+    def pairsNow(): Set[(Long, Long)] = spark.table("dmd.ing.pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def start() = Dedup.dedupMaintainStream(spark, "dmd.ing.docs",
+      "dmd.ing.bands", "dmd.ing.pairs", ckpt)
+    Seq((1L, dupText), (2L, dupText), (3L, other))
+      .toDF("doc_id", "text").writeTo("dmd.ing.docs").append()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(pairsNow() == Set((1L, 2L)), pairsNow().toString)
+      assert(spark.table("dmd.ing.bands").count() == 3 * 16)
+
+      // doc 2 departs: its bands stop nominating it and the (1,2)
+      // verdict — a claim about text that no longer exists — retracts
+      spark.sql("DELETE FROM dmd.ing.docs WHERE doc_id = 2")
+      q.processAllAvailable()
+      assert(spark.table("dmd.ing.bands")
+        .where(col("doc_id") === 2L).count() == 0L,
+        "stale bands would false-drop future arrivals")
+      assert(pairsNow() == Set.empty, s"dead pair must retract: ${pairsNow()}")
+
+      // doc 3's revision now duplicates doc 1: the update walks as
+      // retract-old-state + re-sign postimage, pairing against CURRENT
+      // content the moment it lands
+      spark.sql(s"UPDATE dmd.ing.docs SET text = '$dupText' WHERE doc_id = 3")
+      q.processAllAvailable()
+      assert(pairsNow() == Set((1L, 3L)),
+        s"revision duplicating retained content must pair: ${pairsNow()}")
+      assert(spark.table("dmd.ing.bands").count() == 2 * 16)
+    } finally q.stop()
+
+    // restart: fenced no-ops + idempotent merge-deletes
+    val (b0, p0) = (spark.table("dmd.ing.bands").count(),
+      spark.table("dmd.ing.pairs").count())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("dmd.ing.bands").count() == b0)
+      assert(spark.table("dmd.ing.pairs").count() == p0)
+      assert(pairsNow() == Set((1L, 3L)))
+    } finally q2.stop()
+  }
+
+  test("bandVacuum reconciles index and pairs after unattended churn") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bvc-wh").toString
+    spark.conf.set("spark.sql.catalog.bvc",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bvc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bvc.ing")
+    spark.sql("CREATE TABLE bvc.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE bvc.ing.bands (band INT, bh BIGINT, doc_id BIGINT)")
+    spark.sql("CREATE TABLE bvc.ing.pairs (doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE)")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, dupText), (2L, dupText),
+        (3L, "unrelated words fill this entire third document"))
+      .toDF("doc_id", "text").writeTo("bvc.ing.docs").append()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bvc-ckpt").toString
+    val q = Dedup.dedupIngestStream(spark, "bvc.ing.docs", "bvc.ing.bands",
+      "bvc.ing.pairs", ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // the corpus churns with only the append-tail attached (which
+    // cannot see departures) — vacuum reconciles afterwards
+    spark.sql("DELETE FROM bvc.ing.docs WHERE doc_id = 2")
+    val removed = Dedup.bandVacuum(spark, "bvc.ing.docs", "bvc.ing.bands",
+      "bvc.ing.pairs")
+    assert(removed == 16L + 1L, s"16 bands + 1 pair expected, got $removed")
+    assert(spark.table("bvc.ing.bands")
+      .where(col("doc_id") === 2L).count() == 0L)
+    assert(spark.table("bvc.ing.pairs").count() == 0L)
+    // idempotent: a second vacuum finds nothing
+    assert(Dedup.bandVacuum(spark, "bvc.ing.docs", "bvc.ing.bands",
+      "bvc.ing.pairs") == 0L)
+  }
+
   test("funnelIngestStream filters, dedups vs history, samples, exactly-once") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-fis-wh").toString

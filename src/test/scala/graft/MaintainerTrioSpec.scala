@@ -8,12 +8,13 @@ import org.scalatest.BeforeAndAfterAll
 import graft.llm.{AnnIndex, Dedup}
 
 /** The five unattended maintainers — `Curation.funnelIngestStream`,
-  * `Dedup.dedupIngestStream`, `AnnIndex.maintainStream`,
+  * `Dedup.dedupMaintainStream`, `AnnIndex.maintainStream`,
   * `Curation.driftIngestStream`, and `TextAnalysis.bm25MaintainStream`
-  * (the $changes-tailing form, departures included) — run against ONE
-  * living corpus at once, each with its own checkpoint and fence key
-  * (FunnelBatchKey / IngestBatchKey / the ANN version stamps /
-  * DriftBatchKey / Bm25DepKey+Bm25ArrKey). The
+  * (dedup and BM25 in their $changes-tailing forms, departures
+  * included) — run against ONE living corpus at once, each with its
+  * own checkpoint and fence key (FunnelBatchKey / MaintainBatchKey /
+  * the ANN version stamps / DriftBatchKey / Bm25DepKey+Bm25ArrKey).
+  * The
   * composition must not interfere: every maintainer
   * applies each commit exactly once regardless of how the others pace
   * their triggers, a restart of the whole trio lands on fenced no-ops,
@@ -82,7 +83,7 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ckpt("f"), ckpt("d"), ckpt("a"), ckpt("m"), ckpt("b"))
     def startF() = llm.Curation.funnelIngestStream(spark, "trio.ing.docs",
       "trio.ing.fbands", "trio.ing.verdicts", Map("s0" -> 1.0), cF)
-    def startD() = Dedup.dedupIngestStream(spark, "trio.ing.docs",
+    def startD() = Dedup.dedupMaintainStream(spark, "trio.ing.docs",
       "trio.ing.dbands", "trio.ing.pairs", cD)
     def startA() = AnnIndex.maintainStream(spark, "trio.ing.docs",
       "trio.trioidx", cA)
@@ -192,14 +193,14 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally Seq(qF2, qD2, qM2, qA2, qB2).foreach(_.stop())
 
     // the data-tail maintainers detach (a plain tail cannot absorb CoW
-    // survivor re-delivery); the two $changes tails — ANN and BM25 —
-    // must absorb the departure on their own, restarted from their
-    // checkpoints so the earlier finally could stop all five queries
-    // (a failed assertion above must not leak a running stream)
-    val (qA3, qB3) = (startA(), startB())
+    // survivor re-delivery); the three $changes tails — ANN, BM25, and
+    // dedup — must absorb the departure on their own, restarted from
+    // their checkpoints so the earlier finally could stop all five
+    // queries (a failed assertion above must not leak a running stream)
+    val (qA3, qB3, qD3) = (startA(), startB(), startD())
     try {
       spark.sql("DELETE FROM trio.ing.docs WHERE doc_id = 21")
-      Seq(qA3, qB3).foreach(_.processAllAvailable())
+      Seq(qA3, qB3, qD3).foreach(_.processAllAvailable())
       assert(ivfCount() == 6, "departed vector must vacuum")
       assert(spark.table("trio.trioidx.lsh_buckets")
         .where(col("vec_id") === 21L).count() == 0L)
@@ -211,6 +212,12 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
         "departed doc's postings must not inflate df")
       assert(served() == scanRef(),
         "BM25 serving must track the departure (CoW survivors included)")
-    } finally Seq(qA3, qB3).foreach(_.stop())
+      assert(spark.table("trio.ing.dbands")
+        .where(col("doc_id") === 21L).count() == 0L,
+        "departed doc's bands must not nominate it as a dup partner")
+      assert(spark.table("trio.ing.dbands").count() == 6 * 16)
+      assert(pairs() == Set((1L, 2L), (1L, 11L), (2L, 11L), (4L, 13L)),
+        "no retained pair touches the departed doc")
+    } finally Seq(qA3, qB3, qD3).foreach(_.stop())
   }
 }

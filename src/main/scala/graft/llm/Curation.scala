@@ -1533,7 +1533,19 @@ object Curation {
     * micro-batch id ([[AnnIndex.fencedAppend]] with
     * [[FunnelBatchKey]]); verdicts land before bands, so a crash
     * between them replays into one fenced no-op and one completing
-    * append. */
+    * append.
+    *
+    * Departures, DELIBERATELY ignored: unlike the serving indexes
+    * (ANN / BM25 / the standalone band index, which all ship $changes
+    * maintainers — a stale serving entry wrongly surfaces or drops
+    * live data), the funnel index is admission HISTORY. A document
+    * deleted from the corpus after admission was usually removed for
+    * cause (policy, takedown, contamination) — future copies of its
+    * content should STILL be refused, which is exactly what the
+    * retained bands do. Operators wanting forget-on-delete semantics
+    * instead can run [[Dedup.bandVacuum]]'s band half against the
+    * funnel index; the verdicts table is immutable history either
+    * way. */
   def funnelIngestStream(s: SparkSession, corpusFqn: String, indexFqn: String,
                          verdictFqn: String, rates: Map[String, Double],
                          checkpoint: String)

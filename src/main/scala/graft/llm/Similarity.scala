@@ -1181,10 +1181,147 @@ object Similarity {
       |  ROUND(COUNT(*) * 1.0 / t.tot, 6) AS share6
       |FROM nk, tot t GROUP BY 1, t.tot ORDER BY 1""".stripMargin
 
+  /** CSLS-rescored IVF search (q143) — the FIX for the hubness q138
+    * diagnoses (Conneau et al. 2018, "Word Translation Without
+    * Parallel Data"): plain cosine ranking lets hub vectors crowd out
+    * true neighbors, so each candidate similarity is re-centered by
+    * both endpoints' local neighborhood density —
+    * csls(q,d) = 2·cos(q,d) − r(q) − r(d), where r(·) is the mean of
+    * a point's top-3 neighbor cosines. A hub's high r(d) debits every
+    * ranking it appears in; an isolated point's low r(d) credits it —
+    * exactly the correction the q124/q130 margin family applies to
+    * bitext, here as a general retrieval surface over the SAME IVF
+    * candidates q57 searches.
+    *
+    * r(d) computes over each document's own IVF cell (the q138 pair
+    * frame — within-cell only, never all-pairs) and r(q) over the
+    * query's probed candidates. Determinism: cosines fix to micro-unit
+    * longs; each mean rounds ONCE to a micro-unit long; the CSLS score
+    * is then pure integer arithmetic (2·sim_u − rq_u − rd_u) so the
+    * re-ranking is engine-exact with ties on id.
+    *
+    * Scale shape: candidates are the probed-cell equi-join (bounded by
+    * cell occupancy, the q57/q130 geometry); r(d) is the within-cell
+    * top-3 pass with per-SOURCE-vector windows (≤ occupancy rows per
+    * partition); all joins ids+longs after the sims; the final window
+    * partitions by query over candidates only. */
+  def q143CslsSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val nProbe = 5
+    val pfx = AnnIndex.ensure(s, dir)
+    val cents = s.table(s"$pfx.ivf_centroids")
+    // ivf_cells carries each member's norm (the ivfSearch convention)
+    val cells = s.table(s"$pfx.ivf_cells")
+      .select(col("vec_id"), col("cell"), col("nrm"))
+    val e = Tables.embeddings(s, dir)
+    val m = cells.join(e.select(col("vec_id"), col("embedding")),
+      Seq("vec_id"))
+    // r(d): within-cell top-3 neighbor mean, micro-units (q138's frame)
+    val a = m.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = m.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val wd = Window.partitionBy(col("id_a"))
+      .orderBy(col("su").desc, col("id_b"))
+    val rd = a.join(b, Seq("cell")).filter(col("id_a") =!= col("id_b"))
+      .withColumn("su", round(dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) * lit(1e6)).cast("long"))
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") <= 3)
+      .groupBy(col("id_a").as("cid"))
+      .agg(round(sum(col("su")) / count(col("su"))).cast("long").as("rd_u"))
+    // candidates: the q57 probed-cell search shape, sims in micro-units
+    val q = e.filter(col("vec_id") < 50)
+      .withColumn("nrm", norm(col("embedding")))
+    val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("cent_id").as("cell"))
+    val corpus = cells
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("cell"))
+    val cands = probes.join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("su", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")) * lit(1e6)).cast("long"))
+      .select(col("qid"), col("cid"), col("su"))
+      .localCheckpoint() // feeds r(q) AND the rescoring join
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("su").desc, col("cid"))
+    val rq = cands.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3)
+      .groupBy(col("qid"))
+      .agg(round(sum(col("su")) / count(col("su"))).cast("long").as("rq_u"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("csls_u").desc, col("cid"))
+    cands
+      .join(broadcast(rq), Seq("qid"))
+      .join(rd, Seq("cid"))
+      .withColumn("csls_u",
+        lit(2L) * col("su") - col("rq_u") - col("rd_u"))
+      .withColumn("rn", row_number().over(wf)).filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"),
+        round(col("csls_u") / lit(1e6), 6).as("csls6"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** DuckDB replay of q143 END-TO-END: ivfCtes (Lloyd's included), the
+    * q57 probe/candidate chain, within-cell r(d) and candidate r(q)
+    * as once-rounded micro-unit means, integer CSLS, same tiebreaks. */
+  lazy val q143Sql: String = {
+    val r = AnnIndex.MaxRounds + 1
+    s"""WITH ${ivfCtes("")},
+      |cp AS (
+      |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+      |    CAST(ROUND(list_dot_product(x.ev, y.ev) /
+      |      (SQRT(list_dot_product(x.ev, x.ev)) *
+      |       SQRT(list_dot_product(y.ev, y.ev))) * 1e6) AS BIGINT) AS su
+      |  FROM cells x JOIN cells y
+      |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      |rdm AS (
+      |  SELECT id_a AS cid, CAST(ROUND(SUM(su) * 1.0 / COUNT(*)) AS BIGINT)
+      |    AS rd_u
+      |  FROM (SELECT id_a, id_b, su,
+      |          ROW_NUMBER() OVER (PARTITION BY id_a
+      |            ORDER BY su DESC, id_b) AS rn FROM cp)
+      |  WHERE rn <= 3 GROUP BY 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, cent_id AS cell FROM a$r
+      |  WHERE vec_id < 50 AND rk <= 5),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, m.vec_id AS cid
+      |  FROM probes p JOIN cells m ON p.cell = m.cell
+      |  WHERE p.qid <> m.vec_id),
+      |cs AS (
+      |  SELECT qid, cid,
+      |    CAST(ROUND(list_dot_product(q.ev, c.ev) /
+      |      (SQRT(list_dot_product(q.ev, q.ev)) *
+      |       SQRT(list_dot_product(c.ev, c.ev))) * 1e6) AS BIGINT) AS su
+      |  FROM cand JOIN v q ON cand.qid = q.vec_id
+      |  JOIN v c ON cand.cid = c.vec_id),
+      |rqm AS (
+      |  SELECT qid, CAST(ROUND(SUM(su) * 1.0 / COUNT(*)) AS BIGINT) AS rq_u
+      |  FROM (SELECT qid, cid, su,
+      |          ROW_NUMBER() OVER (PARTITION BY qid
+      |            ORDER BY su DESC, cid) AS rn FROM cs)
+      |  WHERE rn <= 3 GROUP BY 1),
+      |f AS (
+      |  SELECT cs.qid, cs.cid, 2 * su - rq_u - rd_u AS cu
+      |  FROM cs JOIN rqm USING (qid) JOIN rdm USING (cid)),
+      |rk AS (
+      |  SELECT qid, cid, cu,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cu DESC, cid) AS rn
+      |  FROM f)
+      |SELECT qid, cid, ROUND(cu / 1e6, 6) AS csls6, CAST(rn AS INTEGER) AS rn
+      |FROM rk WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_embedding_health" -> q136EmbeddingHealth _,
     "q137_cluster_cards" -> q137ClusterCards _,
     "q138_hubness_audit" -> q138HubnessAudit _,
+    "q143_csls_search" -> q143CslsSearch _,
     "q122_cascade_rerank" -> q122CascadeRerank _,
     "q124_bitext_mine" -> q124BitextMine _,
     "q125_retrieval_eval" -> q125RetrievalEval _,
@@ -1484,6 +1621,7 @@ object Similarity {
     "q136_embedding_health" -> q136Sql,
     "q137_cluster_cards" -> q137Sql,
     "q138_hubness_audit" -> q138Sql,
+    "q143_csls_search" -> q143Sql,
     "q55_cosine_topk" -> q55Sql,
     "q56_ann_lsh" -> q56Sql,
     "q66_ann_recall" -> q66Sql,

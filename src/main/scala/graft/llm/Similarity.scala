@@ -1317,11 +1317,148 @@ object Similarity {
       |FROM rk WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Scalar-quantized two-stage search (q144) — the memory-bandwidth
+    * play every billion-scale ANN deployment runs (SQ8: Jégou et al.'s
+    * scalar-quantization baseline, the FAISS `SQ8` index): stage 1
+    * ranks the probed-cell candidates by an INT8 dot product over
+    * q80's per-vector quantization (4 bytes/dim → 1; the scan that
+    * dominates search cost reads a quarter of the bytes), keeping the
+    * top-10; stage 2 rescores ONLY those 10 with exact full-precision
+    * cosine and emits the top-3. The approximation affects candidate
+    * SELECTION only (a true neighbor quantized out of the top-10 is
+    * lost — the recall/bandwidth trade SQ8 is); every emitted score
+    * is exact.
+    *
+    * Determinism: the int dot is exact integer arithmetic; the stage-1
+    * score divides it by the two quantization scales and true norms in
+    * one fixed expression order and rounds ONCE to a micro-unit long
+    * (ties on id); stage-2 cosines are the q57 6dp convention. The
+    * quantization replays q80's exact formulas, so the oracle composes
+    * q80's arithmetic with the q57 probe chain verbatim.
+    *
+    * Scale shape: candidates are the probed-cell equi-join (q57/q130
+    * geometry); the quantized frame is ids + int8 arrays + one scale
+    * double (map-only to build); stage 2 touches ≤ 10 rows per query
+    * by id join. At 100 TB the full-precision vectors are read for
+    * ~30 rows per query instead of every candidate — the entire point. */
+  def q144Sq8Search(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val nProbe = 5
+    val pfx = AnnIndex.ensure(s, dir)
+    val cents = s.table(s"$pfx.ivf_centroids")
+    val cells = s.table(s"$pfx.ivf_cells")
+      .select(col("vec_id"), col("cell"), col("nrm"))
+    val e = Tables.embeddings(s, dir)
+    // q80's exact per-vector quantization: scale = 127/max|v|,
+    // q_i = floor(v_i * scale + 0.5)
+    val qz = e.select(col("vec_id"), col("embedding"))
+      .withColumn("ev", expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .withColumn("max_abs", expr("array_max(transform(ev, v -> abs(v)))"))
+      .filter(col("max_abs") > 0)
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("qv",
+        expr("transform(ev, v -> CAST(floor(v * scale + 0.5) AS INT))"))
+      .select(col("vec_id"), col("scale"), col("qv"))
+    val q = e.filter(col("vec_id") < 50)
+      .withColumn("nrm", norm(col("embedding")))
+    val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
+        col("cent_id").as("cell"))
+      .join(qz.select(col("vec_id").as("qid"), col("scale").as("sa"),
+        col("qv").as("qa")), Seq("qid"))
+    val corpus = cells
+      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
+      .join(qz.select(col("vec_id").as("cid"), col("scale").as("sb"),
+        col("qv").as("qb")), Seq("cid"))
+    // stage 1: exact INT dot, one fixed-order double normalization,
+    // once-rounded micro-unit score
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("su1").desc, col("cid"))
+    val stage1 = probes.join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
+      .withColumn("idot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y), " +
+          "0L, (a, e) -> a + e)"))
+      .withColumn("su1", round(col("idot") /
+        (col("sa") * col("sb") * col("qn") * col("cn")) * lit(1e6))
+        .cast("long"))
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= 10)
+      .select(col("qid"), col("cid"), col("qn"), col("cn"))
+    // stage 2: exact cosine on the survivors only (≤ 10 ids per query)
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    stage1
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv2")),
+        Seq("qid"))
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv2")),
+        Seq("cid"))
+      .withColumn("sim", round(dot(col("qv2"), col("cv2")) /
+        (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** DuckDB replay of q144 END-TO-END: ivfCtes (Lloyd's included), the
+    * q57 probe chain, q80's exact quantization formulas, the same
+    * integer dot + fixed-order normalization + once-rounded stage-1
+    * micro-units, the same exact top-3 rescore. */
+  lazy val q144Sql: String = {
+    val r = AnnIndex.MaxRounds + 1
+    s"""WITH ${ivfCtes("")},
+      |qz AS (
+      |  SELECT vec_id, 127.0 / ma AS scale,
+      |    list_transform(ev, v -> CAST(floor(v * (127.0 / ma) + 0.5)
+      |      AS INTEGER)) AS qv
+      |  FROM (SELECT vec_id, ev,
+      |          list_max(list_transform(ev, v -> abs(v))) AS ma FROM v)
+      |  WHERE ma > 0),
+      |nr AS (SELECT vec_id, SQRT(list_dot_product(ev, ev)) AS nrm FROM v),
+      |probes AS (
+      |  SELECT vec_id AS qid, cent_id AS cell FROM a$r
+      |  WHERE vec_id < 50 AND rk <= 5),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, m.vec_id AS cid
+      |  FROM probes p JOIN cells m ON p.cell = m.cell
+      |  WHERE p.qid <> m.vec_id),
+      |s1 AS (
+      |  SELECT qid, cid,
+      |    CAST(ROUND(list_dot_product(a.qv, b.qv) /
+      |      (a.scale * b.scale * na.nrm * nb.nrm) * 1e6) AS BIGINT) AS su1
+      |  FROM cand
+      |  JOIN qz a ON a.vec_id = cand.qid
+      |  JOIN qz b ON b.vec_id = cand.cid
+      |  JOIN nr na ON na.vec_id = cand.qid
+      |  JOIN nr nb ON nb.vec_id = cand.cid),
+      |top AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY su1 DESC, cid) AS rn1
+      |    FROM s1) WHERE rn1 <= 10),
+      |res AS (
+      |  SELECT qid, cid,
+      |    ROUND(list_dot_product(q.ev, c.ev) /
+      |      (SQRT(list_dot_product(q.ev, q.ev)) *
+      |       SQRT(list_dot_product(c.ev, c.ev))), 6) AS sim
+      |  FROM top JOIN v q ON top.qid = q.vec_id
+      |  JOIN v c ON top.cid = c.vec_id),
+      |rk2 AS (
+      |  SELECT qid, cid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |  FROM res)
+      |SELECT qid, cid, sim, CAST(rn AS INTEGER) AS rn FROM rk2
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_embedding_health" -> q136EmbeddingHealth _,
     "q137_cluster_cards" -> q137ClusterCards _,
     "q138_hubness_audit" -> q138HubnessAudit _,
     "q143_csls_search" -> q143CslsSearch _,
+    "q144_sq8_search" -> q144Sq8Search _,
     "q122_cascade_rerank" -> q122CascadeRerank _,
     "q124_bitext_mine" -> q124BitextMine _,
     "q125_retrieval_eval" -> q125RetrievalEval _,
@@ -1622,6 +1759,7 @@ object Similarity {
     "q137_cluster_cards" -> q137Sql,
     "q138_hubness_audit" -> q138Sql,
     "q143_csls_search" -> q143Sql,
+    "q144_sq8_search" -> q144Sql,
     "q55_cosine_topk" -> q55Sql,
     "q56_ann_lsh" -> q56Sql,
     "q66_ann_recall" -> q66Sql,

@@ -392,6 +392,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"phrase vocabulary must push into the postings scan:\n$plan")
   }
 
+  test("q143 CSLS search: candidates from cell equi-joins, no corpus NLJ") {
+    // the hubness-corrected re-rank must keep the q57/q130 candidate
+    // geometry — the ONLY nested loop allowed is the 8-row centroid
+    // ranking every IVF searcher shares
+    val plan = planOf(llm.Similarity.q143CslsSearch(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in q143 plan:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1,
+      s"q143 must nested-loop only against the centroids, found $bnlj:\n$plan")
+  }
+
+  test("q144 SQ8 search keeps the probed-cell geometry: no corpus NLJ") {
+    val plan = planOf(llm.Similarity.q144Sq8Search(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in q144 plan:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1,
+      s"q144 must nested-loop only against the centroids, found $bnlj:\n$plan")
+  }
+
   test("q137 cluster cards are index-served end-to-end: zero corpus scans") {
     // both inputs are persisted artifacts — ivf_cells for membership,
     // postings for per-doc term counts; the card build must never

@@ -604,6 +604,30 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands.size <= mg.K, "sketch must stay within K counters")
   }
 
+  test("phrase search counts overlapping self-matches and respects order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a hand-built positional postings table: doc 1 = "a a a b a b",
+    // doc 2 = "b a" (reversed order — must NOT match "a b")
+    val posts = Seq(
+      ("a", 1L, 4L, Seq(1, 2, 3, 5)), ("b", 1L, 2L, Seq(4, 6)),
+      ("a", 2L, 1L, Seq(2)), ("b", 2L, 1L, Seq(1)))
+      .toDF("term", "doc_id", "tf", "positions")
+    posts.createOrReplaceTempView("phrase_posts_fixture")
+    def run(p: String): Map[Long, Long] =
+      TextAnalysis.phraseSearchFrom(spark, "phrase_posts_fixture",
+          Seq((1, p))).collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // "a a": anchors {1,2} in doc 1 — overlapping matches both count
+    assert(run("a a") == Map(1L -> 2L), run("a a").toString)
+    // "a b": doc 1 anchors {3,5}; doc 2 has only "b a" — order matters
+    assert(run("a b") == Map(1L -> 2L), run("a b").toString)
+    // "a a a": the triple overlap collapses to the single anchor 1
+    assert(run("a a a") == Map(1L -> 1L), run("a a a").toString)
+    // "b b": positions 4 and 6 are not adjacent — no match anywhere
+    assert(run("b b") == Map.empty[Long, Long], run("b b").toString)
+  }
+
   test("q126 drift report flags the cohort whose vocabulary shifted") {
     import spark.implicits._
     // ids 0..19: the first nine deciles share one vocabulary; the last

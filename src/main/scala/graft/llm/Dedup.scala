@@ -365,7 +365,10 @@ object Dedup {
     *  1. with any departure row present, every TOUCHED doc reconciles:
     *     its band rows MERGE-delete from the index, and every verdict
     *     pair with a touched endpoint MERGE-deletes from `outFqn`
-    *     (both idempotent — replay-safe without a fence);
+    *     (idempotent against THEMSELVES, but not against the batch's
+    *     own later appends — the replay gate in [[dedupMaintainBatch]]
+    *     skips the leg once the arrival stamp proves the first run
+    *     passed the delete point);
     *  2. arrivals resolve to each doc's FINAL state at max
     *     _commit_version (the bm25MaintainStream argument: a
     *     micro-batch may group several commits, so change types alone
@@ -390,51 +393,75 @@ object Dedup {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val b = batch.localCheckpoint()
-        val hasDepartures = !b
-          .filter(col("_change_type").isin("delete", "update_preimage"))
-          .isEmpty
-        if (hasDepartures) {
-          val touched = b.select(col("doc_id")).distinct().localCheckpoint()
-          val bs = touched.sparkSession
-          val view = "graft_dedup_dep_" +
-            java.util.UUID.randomUUID.toString.replace("-", "")
-          touched.createOrReplaceTempView(view)
-          try {
-            bs.sql(s"MERGE INTO $indexFqn x USING $view d " +
-              "ON x.doc_id = d.doc_id WHEN MATCHED THEN DELETE")
-            // verdict pairs with a touched endpoint: their claim is
-            // about text that just left (or changed) — retract them
-            val deadPairs = bs.table(outFqn)
-              .join(touched.withColumnRenamed("doc_id", "doc_a"),
-                Seq("doc_a"), "left_semi")
-              .unionByName(bs.table(outFqn)
-                .join(touched.withColumnRenamed("doc_id", "doc_b"),
-                  Seq("doc_b"), "left_semi"))
-              .select(col("doc_a"), col("doc_b")).distinct()
-            val pview = "graft_dedup_deadpairs_" +
-              java.util.UUID.randomUUID.toString.replace("-", "")
-            deadPairs.createOrReplaceTempView(pview)
-            try bs.sql(s"MERGE INTO $outFqn p USING $pview d " +
-              "ON p.doc_a = d.doc_a AND p.doc_b = d.doc_b " +
-              "WHEN MATCHED THEN DELETE")
-            finally bs.catalog.dropTempView(pview)
-          } finally bs.catalog.dropTempView(view)
-        }
-        val vmax = b.groupBy(col("doc_id"))
-          .agg(max(col("_commit_version")).as("vmax"))
-        val arrivals = b
-          .filter(col("_change_type").isin("insert", "update_postimage"))
-          .join(vmax, Seq("doc_id"))
-          .filter(col("_commit_version") === col("vmax"))
-          .dropDuplicates("doc_id")
-          .select(col("doc_id"), col("text"))
-          .join(s.table(indexFqn).select("doc_id").distinct(),
-            Seq("doc_id"), "left_anti")
-        dedupBatch(s, arrivals, corpusFqn, indexFqn, outFqn, id,
-          MaintainBatchKey)
+        dedupMaintainBatch(s, batch, corpusFqn, indexFqn, outFqn, id)
       }
       .start()
+  }
+
+  /** The per-batch body of [[dedupMaintainStream]], exposed so the
+    * crash-emulation specs can drive an exact replay (same batch
+    * frame, same id) without forging checkpoint state. */
+  private[graft] def dedupMaintainBatch(s: SparkSession, batch: DataFrame,
+                                        corpusFqn: String, indexFqn: String,
+                                        outFqn: String, id: Long): Unit = {
+    val b = batch.localCheckpoint()
+    val hasDepartures = !b
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .isEmpty
+    // REPLAY GATE — the bm25MaintainBatch argument verbatim: `touched`
+    // includes arrival doc_ids and the dead-pair endpoints include
+    // them too, so replaying the unfenced MERGE-deletes after a first
+    // run that got past them would retract the first run's committed
+    // arrival bands and verdict pairs, which the MaintainBatchKey
+    // fence then refuses to re-append — arrivals would end up
+    // permanently un-banded and un-paired, silently disabling near-dup
+    // detection for those docs. [[dedupBatch]] appends pairs to
+    // `outFqn` FIRST, so a MaintainBatchKey stamp >= id on `outFqn`
+    // proves the first run already passed the delete point (every run
+    // stamps it — an empty arrivals frame still commits its stamped
+    // summary); stamp < id means the first run died at or before the
+    // deletes, where re-running them is idempotent.
+    val departuresDone =
+      AnnIndex.maxStamp(s, outFqn, MaintainBatchKey).exists(_ >= id)
+    if (hasDepartures && !departuresDone) {
+      val touched = b.select(col("doc_id")).distinct().localCheckpoint()
+      val bs = touched.sparkSession
+      val view = "graft_dedup_dep_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      touched.createOrReplaceTempView(view)
+      try {
+        bs.sql(s"MERGE INTO $indexFqn x USING $view d " +
+          "ON x.doc_id = d.doc_id WHEN MATCHED THEN DELETE")
+        // verdict pairs with a touched endpoint: their claim is
+        // about text that just left (or changed) — retract them
+        val deadPairs = bs.table(outFqn)
+          .join(touched.withColumnRenamed("doc_id", "doc_a"),
+            Seq("doc_a"), "left_semi")
+          .unionByName(bs.table(outFqn)
+            .join(touched.withColumnRenamed("doc_id", "doc_b"),
+              Seq("doc_b"), "left_semi"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val pview = "graft_dedup_deadpairs_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        deadPairs.createOrReplaceTempView(pview)
+        try bs.sql(s"MERGE INTO $outFqn p USING $pview d " +
+          "ON p.doc_a = d.doc_a AND p.doc_b = d.doc_b " +
+          "WHEN MATCHED THEN DELETE")
+        finally bs.catalog.dropTempView(pview)
+      } finally bs.catalog.dropTempView(view)
+    }
+    val vmax = b.groupBy(col("doc_id"))
+      .agg(max(col("_commit_version")).as("vmax"))
+    val arrivals = b
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .join(vmax, Seq("doc_id"))
+      .filter(col("_commit_version") === col("vmax"))
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"), col("text"))
+      .join(s.table(indexFqn).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    dedupBatch(s, arrivals, corpusFqn, indexFqn, outFqn, id,
+      MaintainBatchKey)
   }
 
   /** Batch departure reconciliation for the band index — the

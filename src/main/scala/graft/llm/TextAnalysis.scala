@@ -1004,9 +1004,10 @@ object TextAnalysis {
     * served BM25 tracks a corpus under INSERT/DELETE/UPDATE/MERGE
     * exactly (DedupIndexSpec proves served ≡ fresh corpus-scan ranking
     * after each mutation class, that sum(stats) ≡ the doclen aggregate
-    * at every quiesce point, and that a replay from the emulated
-    * crash point between the fenced decrement and the deletes lands
-    * consistent). */
+    * at every quiesce point, and that replays from BOTH emulated crash
+    * points — between the fenced decrement and the deletes, and after
+    * the fenced arrival appends but before the checkpoint commit —
+    * land consistent). */
   def bm25MaintainStream(s: SparkSession, corpusFqn: String,
                          postingsFqn: String, doclenFqn: String,
                          statsFqn: String, checkpoint: String)
@@ -1017,63 +1018,106 @@ object TextAnalysis {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val b = batch.localCheckpoint()
-        val hasDepartures = !b
-          .filter(col("_change_type").isin("delete", "update_preimage"))
-          .isEmpty
-        // a pure-append batch pays one bounded isEmpty over the pinned
-        // batch, never a MERGE or a decrement row (replay-deterministic:
-        // the discriminator derives from the redelivered batch alone)
-        if (hasDepartures) {
-          val touched = b.select(col("doc_id")).distinct().localCheckpoint()
-          // touched docs' indexed token mass from the INDEX's own
-          // doclen rows (what was actually indexed), read before the
-          // deletes; docs never indexed contribute nothing; docs whose
-          // final state survives re-add their mass in the arrival leg
-          AnnIndex.fencedAppend(
-            s.table(doclenFqn)
-              .join(touched, Seq("doc_id"), "left_semi")
-              .agg((-count(lit(1))).as("n_delta"),
-                (-coalesce(sum(col("dl")), lit(0L))).as("sumdl_delta")),
-            statsFqn, id.toInt, Bm25DepKey)
-          // foreachBatch frames live in a cloned micro-batch session —
-          // the view must register AND resolve in that same session
-          val bs = touched.sparkSession
-          val view = "graft_bm25_dep_" +
-            java.util.UUID.randomUUID.toString.replace("-", "")
-          touched.createOrReplaceTempView(view)
-          try Seq(postingsFqn, doclenFqn).foreach { t =>
-            bs.sql(s"MERGE INTO $t x USING $view d ON x.doc_id = d.doc_id " +
-              "WHEN MATCHED THEN DELETE")
-          } finally bs.catalog.dropTempView(view)
-        }
-        // each doc's FINAL state in the batch: the arrival row at its
-        // max commit version — absent when its last change is a delete
-        val vmax = b.groupBy(col("doc_id"))
-          .agg(max(col("_commit_version")).as("vmax"))
-        val arrivals = b
-          .filter(col("_change_type").isin("insert", "update_postimage"))
-          .join(vmax, Seq("doc_id"))
-          .filter(col("_commit_version") === col("vmax"))
-          .dropDuplicates("doc_id")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .join(s.table(doclenFqn).select("doc_id"), Seq("doc_id"),
-            "left_anti")
-          .localCheckpoint() // feeds postings, stats, AND doclen
-        AnnIndex.fencedAppend(postingsOf(arrivals),
-          postingsFqn, id.toInt, Bm25ArrKey)
-        AnnIndex.fencedAppend(
-          arrivals.agg(count(lit(1)).as("n_delta"),
-            coalesce(sum(size(col("toks")).cast("long")), lit(0L))
-              .as("sumdl_delta")),
-          statsFqn, id.toInt, Bm25ArrKey)
-        AnnIndex.fencedAppend(
-          arrivals.select(col("doc_id"),
-            size(col("toks")).cast("long").as("dl")),
-          doclenFqn, id.toInt, Bm25ArrKey)
-        ()
+        bm25MaintainBatch(s, batch, postingsFqn, doclenFqn, statsFqn, id)
       }
       .start()
+  }
+
+  /** The per-batch body of [[bm25MaintainStream]], exposed so the
+    * crash-emulation specs can drive an exact replay (same batch frame,
+    * same id) without forging checkpoint state. */
+  private[graft] def bm25MaintainBatch(s: SparkSession, batch: DataFrame,
+                                       postingsFqn: String, doclenFqn: String,
+                                       statsFqn: String, id: Long): Unit = {
+    val b = batch.localCheckpoint()
+    val hasDepartures = !b
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .isEmpty
+    // REPLAY GATE for the departure leg: `touched` includes ARRIVAL
+    // doc_ids (an update's pre- and postimage share an id), and the
+    // merge-deletes themselves are unfenced — so a replay of a batch
+    // whose first run got PAST them (crashed any time after the fenced
+    // postings append, including after the whole body but before the
+    // checkpoint commit) would delete the first run's committed arrival
+    // rows, which the Bm25ArrKey fence then refuses to re-append: the
+    // document would stay live in the corpus but permanently lose its
+    // postings. The postings stamp is the proof the first run passed
+    // the delete point: EVERY run stamps Bm25ArrKey = batch id on
+    // postings at the arrival append (an empty arrivals frame still
+    // commits its stamped summary — the metadata-only-carrier property
+    // [[AnnIndex.refresh]] relies on), and that append sits AFTER the
+    // deletes, so stamp >= id ⟹ the deletes already ran ⟹ skip the
+    // whole leg. Stamp < id ⟹ the first run died at or before the
+    // deletes, where re-running them is idempotent (rows already gone
+    // or still dead) and the decrement has its own fence. Same
+    // checkpoint ⟹ same batch ids — the contract every fence here
+    // already assumes.
+    val departuresDone =
+      AnnIndex.maxStamp(s, postingsFqn, Bm25ArrKey).exists(_ >= id)
+    // a pure-append batch pays one bounded isEmpty over the pinned
+    // batch, never a MERGE or a decrement row (replay-deterministic:
+    // the discriminator derives from the redelivered batch alone)
+    if (hasDepartures && !departuresDone) {
+      val touched = b.select(col("doc_id")).distinct().localCheckpoint()
+      // touched docs' indexed token mass from the INDEX's own
+      // doclen rows (what was actually indexed), read before the
+      // deletes; docs never indexed contribute nothing; docs whose
+      // final state survives re-add their mass in the arrival leg
+      AnnIndex.fencedAppend(
+        s.table(doclenFqn)
+          .join(touched, Seq("doc_id"), "left_semi")
+          .agg((-count(lit(1))).as("n_delta"),
+            (-coalesce(sum(col("dl")), lit(0L))).as("sumdl_delta")),
+        statsFqn, id.toInt, Bm25DepKey)
+      // foreachBatch frames live in a cloned micro-batch session —
+      // the view must register AND resolve in that same session
+      val bs = touched.sparkSession
+      val view = "graft_bm25_dep_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      touched.createOrReplaceTempView(view)
+      try Seq(postingsFqn, doclenFqn).foreach { t =>
+        bs.sql(s"MERGE INTO $t x USING $view d ON x.doc_id = d.doc_id " +
+          "WHEN MATCHED THEN DELETE")
+      } finally bs.catalog.dropTempView(view)
+    }
+    // each doc's FINAL state in the batch: the arrival row at its
+    // max commit version — absent when its last change is a delete
+    val vmax = b.groupBy(col("doc_id"))
+      .agg(max(col("_commit_version")).as("vmax"))
+    val arrivals = b
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .join(vmax, Seq("doc_id"))
+      .filter(col("_commit_version") === col("vmax"))
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(s.table(doclenFqn).select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      .localCheckpoint() // feeds postings, stats, AND doclen
+    // Arrival commit order postings → stats → doclen is LOAD-BEARING:
+    // the doclen anti-join above is how a replay detects which arrivals
+    // the first run already indexed, so doclen must land LAST among the
+    // arrival-derived appends — committing it earlier would make a
+    // replay after a doclen-but-not-stats crash recompute `arrivals` as
+    // empty and stamp a zero stats delta under an unspent fence,
+    // permanently losing the batch's mass. The cost of this order is
+    // the one mid-crash skew the ingest path documents: between the
+    // stats and doclen commits, n/avgdl briefly count a batch whose
+    // docs cannot yet score (idf conservatively low by one batch). The
+    // window closes at the next replay — which completes doclen under
+    // its fence — and any residual drift is the exact thing
+    // [[bm25Vacuum]]'s corrective delta self-heals.
+    AnnIndex.fencedAppend(postingsOf(arrivals),
+      postingsFqn, id.toInt, Bm25ArrKey)
+    AnnIndex.fencedAppend(
+      arrivals.agg(count(lit(1)).as("n_delta"),
+        coalesce(sum(size(col("toks")).cast("long")), lit(0L))
+          .as("sumdl_delta")),
+      statsFqn, id.toInt, Bm25ArrKey)
+    AnnIndex.fencedAppend(
+      arrivals.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl")),
+      doclenFqn, id.toInt, Bm25ArrKey)
+    ()
   }
 
   /** Batch departure reconciliation for the inverted index — the

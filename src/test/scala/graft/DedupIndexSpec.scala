@@ -676,6 +676,108 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == ref, "post-replay serving must equal a fresh corpus scan")
   }
 
+  test("bm25MaintainBatch replay after a completed update batch keeps arrivals indexed") {
+    import spark.implicits._
+    // the OTHER crash point: the first run of an update batch executed
+    // its WHOLE body (decrement, merge-deletes, fenced arrival appends)
+    // and died before the checkpoint commit. The replay re-delivers the
+    // same batch; without the arrival-stamp gate its merge-deletes
+    // would destroy the first run's committed arrival rows (touched
+    // includes arrival doc_ids) and the Bm25ArrKey fence would then
+    // refuse to re-append them — the docs stay live in the corpus but
+    // permanently lose their postings.
+    val wh = java.nio.file.Files.createTempDirectory("graft-bmr-wh").toString
+    spark.conf.set("spark.sql.catalog.bmr",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bmr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bmr.ing")
+    spark.sql("CREATE TABLE bmr.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE bmr.ing.postings " +
+      "(term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>) " +
+      "PARTITIONED BY (bucket(4, term))")
+    spark.sql("CREATE TABLE bmr.ing.doclen (doc_id BIGINT, dl BIGINT)")
+    spark.sql("CREATE TABLE bmr.ing.stats (n_delta BIGINT, sumdl_delta BIGINT)")
+    Seq((1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "delta zeta"))
+      .toDF("doc_id", "text").writeTo("bmr.ing.docs").append()
+    // the mixed batch the ADVICE scenario needs: an UPDATE delivers a
+    // departure (preimage) AND an arrival (postimage) for doc 2
+    spark.sql("UPDATE bmr.ing.docs SET text = 'omega beta' WHERE doc_id = 2")
+    val queries = Seq((1, "alpha beta"), (2, "omega"))
+    def serve() = llm.TextAnalysis.bm25ServeFrom(spark, "bmr.ing.postings",
+        "bmr.ing.doclen", "bmr.ing.stats", queries).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    def scanRef() = llm.TextAnalysis.bm25RankingOver(spark,
+        spark.table("bmr.ing.docs"), queries).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    def statsInSync(): Boolean = {
+      val live = spark.table("bmr.ing.doclen")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val led = spark.table("bmr.ing.stats")
+        .agg(coalesce(sum(col("n_delta")), lit(0L)),
+          coalesce(sum(col("sumdl_delta")), lit(0L))).head()
+      live.getLong(0) == led.getLong(0) && live.getLong(1) == led.getLong(1)
+    }
+    // micro-batch 0 = the full history in one frame (inserts at v1,
+    // doc 2's pre/postimage at v2) — exactly what a maintainer started
+    // now would see. First run: the complete body.
+    val feed = spark.table("bmr.ing.`docs$changes`").localCheckpoint()
+    llm.TextAnalysis.bm25MaintainBatch(spark, feed, "bmr.ing.postings",
+      "bmr.ing.doclen", "bmr.ing.stats", 0L)
+    assert(serve() == scanRef(), "sanity: first run must index the corpus")
+    assert(statsInSync(), "sanity: first run must balance the ledger")
+    val postingsAfterFirst = spark.table("bmr.ing.postings").count()
+    assert(postingsAfterFirst > 0)
+    // the replay: same frame, same batch id
+    llm.TextAnalysis.bm25MaintainBatch(spark, feed, "bmr.ing.postings",
+      "bmr.ing.doclen", "bmr.ing.stats", 0L)
+    assert(spark.table("bmr.ing.postings").count() == postingsAfterFirst,
+      "replay must neither delete nor double the arrival postings")
+    assert(spark.table("bmr.ing.postings")
+      .where(col("doc_id") === 2L && col("term") === "omega").count() == 1L,
+      "the updated doc's postings must survive the replay")
+    assert(serve() == scanRef(), "post-replay serving must equal a corpus scan")
+    assert(statsInSync(), "replay must not skew the stats ledger")
+  }
+
+  test("dedupMaintainBatch replay after a completed update batch keeps bands and pairs") {
+    import spark.implicits._
+    // the dedup twin of the bm25 replay hole: an update batch whose
+    // first run completed would, on replay, MERGE-delete the arrival's
+    // bands and its fresh verdict pairs (arrival ids are in `touched`
+    // and in the dead-pair endpoints), and the MaintainBatchKey fence
+    // would block dedupBatch from re-appending them — the arrival ends
+    // up permanently un-banded and un-paired.
+    val wh = java.nio.file.Files.createTempDirectory("graft-dmr-wh").toString
+    spark.conf.set("spark.sql.catalog.dmr",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dmr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dmr.ing")
+    spark.sql("CREATE TABLE dmr.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE dmr.ing.bands (band INT, bh BIGINT, doc_id BIGINT)")
+    spark.sql("CREATE TABLE dmr.ing.pairs (doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE)")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, dupText), (2L, "completely unrelated second document body here"))
+      .toDF("doc_id", "text").writeTo("dmr.ing.docs").append()
+    // doc 2's revision duplicates doc 1 — the update batch must both
+    // retract doc 2's old state and pair its new state with doc 1
+    spark.sql(s"UPDATE dmr.ing.docs SET text = '$dupText' WHERE doc_id = 2")
+    def pairsNow(): Set[(Long, Long)] = spark.table("dmr.ing.pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val feed = spark.table("dmr.ing.`docs$changes`").localCheckpoint()
+    llm.Dedup.dedupMaintainBatch(spark, feed, "dmr.ing.docs",
+      "dmr.ing.bands", "dmr.ing.pairs", 0L)
+    assert(pairsNow() == Set((1L, 2L)), s"sanity: first run pairs: ${pairsNow()}")
+    assert(spark.table("dmr.ing.bands").count() == 2 * 16,
+      "sanity: first run bands both docs")
+    // the replay: same frame, same batch id
+    llm.Dedup.dedupMaintainBatch(spark, feed, "dmr.ing.docs",
+      "dmr.ing.bands", "dmr.ing.pairs", 0L)
+    assert(spark.table("dmr.ing.bands").count() == 2 * 16,
+      "replay must neither retract nor double the bands")
+    assert(pairsNow() == Set((1L, 2L)),
+      s"replay must keep the verdict pair: ${pairsNow()}")
+  }
+
   test("bm25Vacuum reconciles the index and stats to the live corpus") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-bmv-wh").toString

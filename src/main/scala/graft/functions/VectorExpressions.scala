@@ -118,6 +118,83 @@ case class DotFloatDoubleF(left: Expression, right: Expression)
   override def prettyName: String = "graft_dotfd"
 }
 
+/** Dot product of two DOUBLE vectors — the centered-embedding shape
+  * (q146 subtracts the corpus-mean vector, which is exact-long-sum-
+  * derived and therefore double, from every float coordinate before
+  * scoring). Same sequential left-to-right fold as [[DotProductF]] /
+  * DuckDB's list_dot_product over DOUBLE[]; codegen'd. */
+case class DotDoubleF(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dotdd"
+}
+
+/** Integer dot product of two int8 code vectors stored as BINARY —
+  * the SQ8 stage-1 kernel (q144): each byte IS the signed quantized
+  * coordinate, so the scan reads exactly 1 byte/dim (the
+  * memory-bandwidth play scalar quantization exists for) and the dot
+  * is exact 64-bit integer arithmetic — engine-portable by
+  * construction, no rounding convention needed. Codegen'd: the
+  * per-candidate loop stays inside whole-stage codegen as a primitive
+  * byte[] walk. */
+case class Int8DotF(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var acc = 0L; var i = 0
+    while (i < n) { acc += x(i).toLong * y(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_int8dot"
+}
+
 /** Poly-31 code-point fold mod 1e9+7 — the engine-neutral string hash
   * anchoring q61 fingerprints, q68 group-hash splits, and q108's token
   * buckets. Bit-identical to the previous HOF formulation
@@ -175,6 +252,8 @@ object VectorFunctions {
     "graft_dot" -> (es => DotProductF(es(0), es(1))),
     "graft_dotfd" -> (es => DotFloatDoubleF(es(0), es(1))),
     "graft_l2norm" -> (es => L2NormF(es.head)),
+    "graft_int8dot" -> (es => Int8DotF(es(0), es(1))),
+    "graft_dotdd" -> (es => DotDoubleF(es(0), es(1))),
     "graft_charfold" -> (es => CharFoldF(es.head)))
 
   /** Session-scoped registration (idempotent); lets `call_function` and
@@ -205,6 +284,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2NormF].getName, "graft_l2norm"),
       (es: Seq[Expression]) => L2NormF(es.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_int8dot"),
+      new ExpressionInfo(classOf[Int8DotF].getName, "graft_int8dot"),
+      (es: Seq[Expression]) => Int8DotF(es(0), es(1))))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_charfold"),
       new ExpressionInfo(classOf[CharFoldF].getName, "graft_charfold"),

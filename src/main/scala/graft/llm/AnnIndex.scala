@@ -167,6 +167,134 @@ object AnnIndex {
         if (!maxStamp(SparkSession.active, table, key).exists(_ >= v)) throw e
     }
 
+  /** Per-member within-cell neighborhood statistic r(d) — the mean of
+    * each vector's top-3 same-cell neighbor cosines in micro-units,
+    * i.e. the hubness-correction term CSLS search (q143) subtracts per
+    * candidate. It is a pure function of the index state (a member's
+    * OWN cell's membership), so it belongs IN the artifact: computed
+    * once at build, refreshed only for cells whose membership changed
+    * ([[refreshRdFor]]), never recomputed per search. `members` is
+    * (cell, vec_id); `vecs` is (vec_id, embedding, nrm). Pairs come
+    * from the exact hot-cell shard cover ([[Similarity.
+    * guardedCellPairs]] — ids only; embeddings re-attach by id), the
+    * top-3 window partitions by source vector (≤ occupancy rows), and
+    * the mean rounds ONCE to a micro-unit long — the q143 oracle's
+    * arithmetic verbatim, so the persisted column and a fresh
+    * recompute are bit-identical. Members with no same-cell neighbor
+    * (singleton cells) get NO row, matching the oracle's inner join. */
+  private[graft] def rdStats(members: DataFrame, vecs: DataFrame): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"), col("nrm"))
+    val wd = Window.partitionBy(col("id_a"))
+      .orderBy(col("su").desc, col("id_b"))
+    Similarity.guardedCellPairs(members.select(col("cell"), col("vec_id")))
+      .join(v.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("su", round(Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) * lit(1e6)).cast("long"))
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") <= 3)
+      .groupBy(col("id_a"), col("cell"))
+      .agg(round(sum(col("su")) / count(col("su"))).cast("long").as("rd_u"))
+      .select(col("id_a").cast("bigint").as("vec_id"),
+        col("cell").cast("int"), col("rd_u"))
+  }
+
+  /** SQ8 scalar quantization of an embedding frame — q80's exact
+    * per-vector formulas (scale = 127/max|v|, code_i = floor(v_i·scale
+    * + 0.5)) with the codes PACKED AS BINARY: one byte per dimension,
+    * so the stage-1 candidate scan of q144 reads a quarter of the
+    * full-precision bytes — the memory-bandwidth play SQ8 exists for,
+    * which only materializes when the codes are a PERSISTED artifact
+    * (`sq8_codes`) rather than a per-run map over the float vectors.
+    * All-zero vectors (max|v| = 0) get no row, as in q80. One UDF call
+    * per vector on the BUILD path only; searches read the table. */
+  private[graft] val sq8Udf = udf { emb: Seq[Float] =>
+    var ma = 0.0
+    var i = 0
+    while (i < emb.size) {
+      val v = math.abs(emb(i).toDouble); if (v > ma) ma = v; i += 1
+    }
+    if (ma > 0.0) {
+      val scale = 127.0 / ma
+      val code = new Array[Byte](emb.size)
+      i = 0
+      while (i < emb.size) {
+        code(i) = math.floor(emb(i).toDouble * scale + 0.5).toByte; i += 1
+      }
+      Some((scale, code))
+    } else None
+  }
+
+  private[graft] def sq8CodesOf(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), sq8Udf(col("embedding")).as("q"))
+      .filter(col("q").isNotNull)
+      .select(col("vec_id").cast("bigint"),
+        col("q._1").as("scale"), col("q._2").as("code"))
+
+  /** Recompute and MERGE-upsert the persisted r(d) rows for the
+    * members of `affectedCells` — the maintenance primitive behind
+    * r(d)-as-artifact: a cell's r(d) values change exactly when its
+    * MEMBERSHIP changes, so [[refresh]] calls this with the delta's
+    * cells and [[vacuum]] with the departures' cells, each a
+    * probe-sized job (|affected cells| × occupancy), never corpus-
+    * wide. Idempotent by construction: the recompute is a state
+    * function of (current ivf_cells, corpus embeddings), so replays
+    * converge without a fence — a crash between the upsert and the
+    * retire MERGE re-runs into the same end state. Members present in
+    * ivf_cells but already gone from the corpus simply drop out of
+    * the join (they cannot contribute an embedding) and their rows
+    * retire with the second MERGE. */
+  private[graft] def refreshRdFor(s: SparkSession, prefix: String,
+                                corpus: DataFrame,
+                                affectedCells: DataFrame,
+                                extraMembers: Option[DataFrame] = None)
+      : Unit = {
+    if (affectedCells.isEmpty) return
+    graft.functions.VectorFunctions.register(s)
+    // extraMembers: rows a caller knows belong to the membership but
+    // has not committed to ivf_cells yet ([[refresh]] repairs r(d)
+    // BEFORE its ledger-advancing cells append, so a crash mid-repair
+    // re-runs the whole refresh); union-dedup keeps a replay (rows now
+    // committed AND passed in) from double-counting a member
+    val members = s.table(s"$prefix.ivf_cells")
+      .select(col("cell"), col("vec_id"), col("nrm"))
+      .unionByName(extraMembers.getOrElse(s.emptyDataFrame
+        .select(lit(0).as("cell"), lit(0L).as("vec_id"),
+          lit(0.0).as("nrm")).limit(0))
+        .select(col("cell"), col("vec_id"), col("nrm")))
+      .dropDuplicates("vec_id")
+      .join(broadcast(affectedCells.select(col("cell"))), Seq("cell"),
+        "left_semi")
+      .localCheckpoint() // feeds the pair cover AND the retire anti-join
+    val vecs = members.select(col("vec_id"), col("nrm"))
+      .join(corpus.select(col("vec_id").cast("bigint").as("vec_id"),
+        col("embedding")), Seq("vec_id"))
+    val rd = rdStats(members.select(col("cell"), col("vec_id")), vecs)
+      .localCheckpoint()
+    val uv = "graft_rd_up_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    rd.createOrReplaceTempView(uv)
+    try s.sql(s"MERGE INTO $prefix.ivf_rd x USING $uv r " +
+      "ON x.vec_id = r.vec_id " +
+      "WHEN MATCHED THEN UPDATE SET x.cell = r.cell, x.rd_u = r.rd_u " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    finally s.catalog.dropTempView(uv)
+    // retire rows whose member no longer has a neighborhood in its
+    // cell (newly-singleton cells, corpus departures)
+    val stale = s.table(s"$prefix.ivf_rd")
+      .join(broadcast(affectedCells.select(col("cell"))), Seq("cell"),
+        "left_semi")
+      .join(rd.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+    val dv = "graft_rd_ret_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    stale.createOrReplaceTempView(dv)
+    try s.sql(s"MERGE INTO $prefix.ivf_rd x USING $dv d " +
+      "ON x.vec_id = d.vec_id WHEN MATCHED THEN DELETE")
+    finally s.catalog.dropTempView(dv)
+  }
+
   /** Incremental index refresh after corpus appends: reads ONLY the
     * changes-since delta — the `from-version` incremental scan from the
     * last stamped version, PINNED at the corpus version captured up
@@ -226,12 +354,24 @@ object AnnIndex {
               col("vec_id").cast("bigint"), col("nrm")),
           s"$prefix.lsh_buckets", v2)
 
+        fencedAppend(sq8CodesOf(delta), s"$prefix.sq8_codes", v2)
+
         val cents = s.table(s"$prefix.ivf_centroids")
-        fencedAppend(
-          assignRanked(delta, cents).filter(col("rk") === 1)
-            .select(col("vec_id").cast("bigint"),
-              col("cent_id").cast("int").as("cell"), col("nrm")),
-          s"$prefix.ivf_cells", v2)
+        val asg = assignRanked(delta, cents).filter(col("rk") === 1)
+          .select(col("vec_id").cast("bigint"),
+            col("cent_id").cast("int").as("cell"), col("nrm"))
+          .localCheckpoint() // feeds the cells append AND the rd repair
+        // r(d) changes for every member of a cell that gained members —
+        // repair those cells BEFORE the ledger-advancing cells commit
+        // (the delta rides in as extraMembers since it isn't in
+        // ivf_cells yet): a crash anywhere in the repair re-runs the
+        // whole refresh (ledger not yet advanced) into the same state,
+        // so rd can lag cells only BETWEEN refreshes never across a
+        // completed one
+        refreshRdFor(s, prefix,
+          s.read.option("versionAsOf", v2.toString).table(corpusFqn),
+          asg.select(col("cell")).distinct(), extraMembers = Some(asg))
+        fencedAppend(asg, s"$prefix.ivf_cells", v2)
       } else {
         // an empty delta still advances the ledger (metadata-only commit
         // carrier: zero new files, stamped summary)
@@ -262,19 +402,33 @@ object AnnIndex {
       java.util.UUID.randomUUID.toString.replace("-", "")
     s.table(corpusFqn).select(col("vec_id").cast("bigint").as("vec_id"))
       .createOrReplaceTempView(view)
-    try Seq("ivf_cells", "lsh_buckets").map { t =>
-      val fqn = s"$prefix.$t"
-      // removed-row reporting from MANIFEST stats (the `rows` column of
-      // the $files metadata table — driver-local, zero data scans),
-      // where it previously spent two full count() scans per index
-      // table purely to report. count() remains only as the exactness
-      // fallback for files without a stamped row count.
-      val before = metaRows(s, fqn).getOrElse(s.table(fqn).count())
-      s.sql(s"MERGE INTO $fqn i USING $view l ON i.vec_id = l.vec_id " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
-      before - metaRows(s, fqn).getOrElse(s.table(fqn).count())
-    }.sum
-    finally s.catalog.dropTempView(view)
+    try {
+      // cells about to lose a member: their SURVIVORS' r(d) values are
+      // stale after the deletes — captured before the MERGEs so the
+      // repair below knows where to look (pinned: the frame would read
+      // differently after the deletes)
+      val affected = s.table(s"$prefix.ivf_cells")
+        .join(s.table(view), Seq("vec_id"), "left_anti")
+        .select(col("cell")).distinct().localCheckpoint()
+      val removed =
+        Seq("ivf_cells", "lsh_buckets", "ivf_rd", "sq8_codes").map { t =>
+          val fqn = s"$prefix.$t"
+          // removed-row reporting from MANIFEST stats (the `rows` column
+          // of the $files metadata table — driver-local, zero data
+          // scans), where it previously spent two full count() scans per
+          // index table purely to report. count() remains only as the
+          // exactness fallback for files without a stamped row count.
+          val before = metaRows(s, fqn).getOrElse(s.table(fqn).count())
+          s.sql(s"MERGE INTO $fqn i USING $view l ON i.vec_id = l.vec_id " +
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+          before - metaRows(s, fqn).getOrElse(s.table(fqn).count())
+        }.sum
+      // survivors of the affected cells re-derive r(d) from the
+      // post-delete membership (probe-sized; idempotent — a second
+      // vacuum finds no dead rows, an empty affected set, and no-ops)
+      refreshRdFor(s, prefix, s.table(corpusFqn), affected)
+      removed
+    } finally s.catalog.dropTempView(view)
   }
 
   /** Unattended index maintenance as a STREAM: tail the corpus table's
@@ -357,11 +511,24 @@ object AnnIndex {
         cents.select(col("cent_id").cast("int"), col("cent"), col("cent_nrm")))
 
       // final hard assignment of every corpus vector to its nearest cell;
-      // norm cached so search never recomputes it corpus-side
-      replace("ivf_cells", "vec_id BIGINT, cell INT, nrm DOUBLE",
-        assignRanked(e, cents).filter(col("rk") === 1)
-          .select(col("vec_id").cast("bigint"),
-            col("cent_id").cast("int").as("cell"), col("nrm")))
+      // norm cached so search never recomputes it corpus-side; pinned
+      // because it feeds the cells table AND the r(d) column build
+      val asg = assignRanked(e, cents).filter(col("rk") === 1)
+        .select(col("vec_id").cast("bigint"),
+          col("cent_id").cast("int").as("cell"), col("nrm"))
+        .localCheckpoint()
+      replace("ivf_cells", "vec_id BIGINT, cell INT, nrm DOUBLE", asg)
+
+      // per-member neighborhood statistic r(d) — persisted at build so
+      // CSLS search reads a column instead of re-running a corpus-wide
+      // within-cell pair pass per query ([[rdStats]])
+      replace("ivf_rd", "vec_id BIGINT, cell INT, rd_u BIGINT",
+        rdStats(asg.select(col("cell"), col("vec_id")), e))
+
+      // SQ8 code table — the persisted quarter-width scan q144 serves
+      // its stage-1 candidate ranking from ([[sq8CodesOf]])
+      replace("sq8_codes", "vec_id BIGINT, scale DOUBLE, code BINARY",
+        sq8CodesOf(e))
 
       val tables = LshSeeds.map(planes(_))
       replace("lsh_buckets", "t INT, b INT, vec_id BIGINT, nrm DOUBLE",

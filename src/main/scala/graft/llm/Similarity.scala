@@ -341,6 +341,44 @@ object Similarity {
       .orderBy(col("index"))
   }
 
+  /** HOT-CELL GUARD for the within-cell self-joins shared by q100
+    * (SemDeDup), q138 (hubness audit), and the r(d) artifact build
+    * ([[AnnIndex.rdStats]]) — the IVF twin of Dedup's
+    * `guardedBlockPairs`: the index geometry keeps EXPECTED cell
+    * occupancy constant, but a hub-dense region (precisely what q138
+    * exists to detect) can still concentrate one cell, and a plain
+    * `a.join(b, Seq("cell"))` would then put all ~n² candidate pairs
+    * of that cell in ONE join key = one straggler task. Cells larger
+    * than `maxCell` subdivide into k = ceil(n/maxCell) hash shards
+    * covered by the ORDERED SHARD-PAIR trick: side A carries key
+    * (shard(id), t) for every t, side B carries (t, shard(id)), so
+    * each ORDERED pair (a, b) meets at key (shard_a, shard_b) exactly
+    * once — the pair set is identical to the naive join (nothing
+    * silently dropped; DedupGuardSpec proves set equality on a skewed
+    * fixture) while no join key holds more than ~(n/k)² pairs. Cold
+    * cells get k = 1 and degenerate to the plain join. Input: (cell,
+    * vec_id) — ids ONLY, so the k-fold explode never copies vectors;
+    * callers re-attach embeddings by id afterwards (the q54 recipe).
+    * Output: (cell, id_a, id_b), every ordered pair with id_a ≠ id_b
+    * exactly once; unordered consumers (q100) filter id_a < id_b. */
+  private[graft] def guardedCellPairs(members: DataFrame,
+                                    maxCell: Int = 4096): DataFrame = {
+    val sizes = members.groupBy(col("cell")).agg(count(lit(1)).as("bn"))
+      .withColumn("k", least(ceil(col("bn") / maxCell), lit(64)).cast("int"))
+    val withK = members.select(col("cell"), col("vec_id"))
+      .join(broadcast(sizes.select(col("cell"), col("k"))), Seq("cell"))
+    val a = withK.select(col("cell"),
+      pmod(hash(col("vec_id")), col("k")).as("x"),
+      explode(sequence(lit(0), col("k") - 1)).as("y"),
+      col("vec_id").as("id_a"))
+    val b = withK.select(col("cell"),
+      explode(sequence(lit(0), col("k") - 1)).as("x"),
+      pmod(hash(col("vec_id")), col("k")).as("y"),
+      col("vec_id").as("id_b"))
+    a.join(b, Seq("cell", "x", "y")).filter(col("id_a") =!= col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus by each vector's NEAREST
     * IVF centroid (the catalog-persisted k-means assignment in
@@ -353,9 +391,11 @@ object Similarity {
     * Scale shape: the pair generation is the within-cell self-join —
     * never all-pairs — and the index geometry grows k with the corpus
     * so expected cell occupancy stays CONSTANT (AnnIndex geometry
-    * note): per-cell work is bounded, and a pathological hot cell has
-    * the same exact shard-pair-cover remedy as the blocked Jaccard
-    * self-join (Dedup hot-block guard). The clustering is approximate
+    * note): per-cell work is bounded, and a pathological hot cell is
+    * subdivided by [[guardedCellPairs]] (the exact shard-pair cover —
+    * identical pair set, bounded per-key work), with embeddings
+    * re-attached by id AFTER pair generation so the cover explode
+    * moves ids only. The clustering is approximate
     * only in QUALITY — deterministic training makes the whole pipeline
     * replayable, oracle-checked end-to-end by [[q100Sql]]. */
   def q100SemDedup(s: SparkSession, dir: String): DataFrame = {
@@ -364,11 +404,13 @@ object Similarity {
     val m = s.table(s"$pfx.ivf_cells")
       .join(Tables.embeddings(s, dir), Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
-    val a = m.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val b = m.select(col("cell"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    val dropped = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    val vecs = m.select(col("vec_id"), col("embedding"), col("nrm"))
+    val dropped = guardedCellPairs(m.select(col("cell"), col("vec_id")))
+      .filter(col("id_a") < col("id_b"))
+      .join(vecs.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb")), Seq("id_b"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.35)
       .select(col("cell"), col("id_b").as("vec_id")).distinct()
     m.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
@@ -1019,10 +1061,13 @@ object Similarity {
     * shard-then-rank shape — a (cell, hash-shard) window bounds every
     * partition, never a K-key window over the full vocabulary. Scores
     * are once-rounded micro-units (ln agrees to a micro-unit across
-    * engines by the q108/q119 precedent). The postings tokenization
-    * (space-split, the q101 convention) is congruent with the
-    * oracle's \s+ split on single-space corpus text — the card
-    * deliberately describes the corpus exactly as retrieval sees it. */
+    * engines by the q108/q119 precedent). The oracle tokenizes with
+    * string_split(text, ' ') — the postings convention verbatim (the
+    * q142 precedent), not a \s+ regex that would only coincide on
+    * strictly single-space-separated text — so the two sides share
+    * one tokenization by construction, whatever whitespace a future
+    * corpus carries; the card deliberately describes the corpus
+    * exactly as retrieval sees it. */
   def q137ClusterCards(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = AnnIndex.KCells
@@ -1069,7 +1114,7 @@ object Similarity {
     s"""WITH ${ivfCtes("")},
       |sizes AS (SELECT cell, COUNT(*) AS n_members FROM cells GROUP BY 1),
       |tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS tot FROM sizes),
-      |tk AS (SELECT c.cell, UNNEST(regexp_split_to_array(trim(d.text), '\\s+')) AS w
+      |tk AS (SELECT c.cell, UNNEST(string_split(d.text, ' ')) AS w
       |       FROM cells c JOIN documents d ON d.doc_id = c.vec_id),
       |tf AS (SELECT cell, w, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -1115,7 +1160,11 @@ object Similarity {
     * Scale shape: the index artifact is READ, never rebuilt (ensure-
     * memoized consumer); pair generation is the within-cell self-join
     * (never all-pairs; constant expected occupancy by the AnnIndex
-    * geometry, hot cells have the shard-pair-cover remedy); the top-3
+    * geometry), subdivided by [[guardedCellPairs]] when a cell runs
+    * hot — and a hub-dense cell is EXACTLY the input this audit is
+    * built for, so the audit composes the remedy rather than falling
+    * to the skew it measures; embeddings re-attach by id after the
+    * ids-only cover. The top-3
     * window partitions by SOURCE VECTOR (≤ cell-occupancy rows per
     * partition — no funnel); everything after the rank is ids and
     * counts with map-side combine, and the histogram is bounded by
@@ -1129,13 +1178,14 @@ object Similarity {
     val m = s.table(s"$pfx.ivf_cells")
       .join(Tables.embeddings(s, dir), Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
-    val a = m.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val b = m.select(col("cell"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
+    val vecs = m.select(col("vec_id"), col("embedding"), col("nrm"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("sim").desc, col("id_b"))
-    val nk = a.join(b, Seq("cell")).filter(col("id_a") =!= col("id_b"))
+    val nk = guardedCellPairs(m.select(col("cell"), col("vec_id")))
+      .join(vecs.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb")), Seq("id_b"))
       .withColumn("sim",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .select(col("id_a"), col("id_b"), col("sim"))
@@ -1193,18 +1243,26 @@ object Similarity {
     * bitext, here as a general retrieval surface over the SAME IVF
     * candidates q57 searches.
     *
-    * r(d) computes over each document's own IVF cell (the q138 pair
-    * frame — within-cell only, never all-pairs) and r(q) over the
-    * query's probed candidates. Determinism: cosines fix to micro-unit
-    * longs; each mean rounds ONCE to a micro-unit long; the CSLS score
-    * is then pure integer arithmetic (2·sim_u − rq_u − rd_u) so the
-    * re-ranking is engine-exact with ties on id.
+    * r(d) is READ from the index — the `ivf_rd` artifact table
+    * ([[AnnIndex.rdStats]] persists each member's within-cell top-3
+    * neighbor mean at build, and the maintainers repair exactly the
+    * cells whose membership churns) — so a SEARCH never runs a pair
+    * pass at all: r(d) is a pure function of the index state, and
+    * recomputing it per query was corpus-scale work for a per-row
+    * constant (the r12 `weak` flag, closed by persisting it). r(q)
+    * computes over the query's probed candidates. Determinism:
+    * cosines fix to micro-unit longs; each mean rounds ONCE to a
+    * micro-unit long (identical arithmetic in the artifact build and
+    * the oracle); the CSLS score is then pure integer arithmetic
+    * (2·sim_u − rq_u − rd_u) so the re-ranking is engine-exact with
+    * ties on id.
     *
     * Scale shape: candidates are the probed-cell equi-join (bounded by
-    * cell occupancy, the q57/q130 geometry); r(d) is the within-cell
-    * top-3 pass with per-SOURCE-vector windows (≤ occupancy rows per
-    * partition); all joins ids+longs after the sims; the final window
-    * partitions by query over candidates only. */
+    * cell occupancy, the q57/q130 geometry); r(d) attaches by one
+    * id-keyed join against a two-column artifact (PlanSpec gates that
+    * NO self-join or window beyond the candidate frame appears); all
+    * joins ids+longs after the sims; the final window partitions by
+    * query over candidates only. */
   def q143CslsSearch(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
@@ -1215,21 +1273,9 @@ object Similarity {
     val cells = s.table(s"$pfx.ivf_cells")
       .select(col("vec_id"), col("cell"), col("nrm"))
     val e = Tables.embeddings(s, dir)
-    val m = cells.join(e.select(col("vec_id"), col("embedding")),
-      Seq("vec_id"))
-    // r(d): within-cell top-3 neighbor mean, micro-units (q138's frame)
-    val a = m.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val b = m.select(col("cell"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    val wd = Window.partitionBy(col("id_a"))
-      .orderBy(col("su").desc, col("id_b"))
-    val rd = a.join(b, Seq("cell")).filter(col("id_a") =!= col("id_b"))
-      .withColumn("su", round(dot(col("va"), col("vb")) /
-        (col("na") * col("nb")) * lit(1e6)).cast("long"))
-      .withColumn("rn", row_number().over(wd)).filter(col("rn") <= 3)
-      .groupBy(col("id_a").as("cid"))
-      .agg(round(sum(col("su")) / count(col("su"))).cast("long").as("rd_u"))
+    // r(d): the persisted per-member neighborhood column, ids+longs
+    val rd = s.table(s"$pfx.ivf_rd")
+      .select(col("vec_id").as("cid"), col("rd_u"))
     // candidates: the q57 probed-cell search shape, sims in micro-units
     val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))
@@ -1337,10 +1383,21 @@ object Similarity {
     * q80's arithmetic with the q57 probe chain verbatim.
     *
     * Scale shape: candidates are the probed-cell equi-join (q57/q130
-    * geometry); the quantized frame is ids + int8 arrays + one scale
-    * double (map-only to build); stage 2 touches ≤ 10 rows per query
-    * by id join. At 100 TB the full-precision vectors are read for
-    * ~30 rows per query instead of every candidate — the entire point. */
+    * geometry); stage 1 reads the PERSISTED `sq8_codes` artifact —
+    * ids + one-byte-per-dimension BINARY codes + one scale double,
+    * built once and maintained with the index ([[AnnIndex.
+    * sq8CodesOf]]; arrivals via refresh, departures via vacuum) — so
+    * the scan that dominates search cost really does read a quarter
+    * of the full-precision bytes (an on-the-fly quantization would
+    * read the 4-byte floats anyway and deliver none of it; the r12
+    * gap, closed by persisting the codes); the int8 dot is the
+    * codegen'd [[graft.functions.Int8DotF]] byte-array kernel.
+    * Stage 2 touches ≤ 10 rows per query by id join. At 100 TB the
+    * full-precision vectors are read for ~30 rows per query instead
+    * of every candidate — the entire point, now true of the shipped
+    * plan (PlanSpec gates stage 1 reads sq8_codes and the embeddings
+    * parquet appears only under the query-side pushdown and the
+    * rescore joins). */
   def q144Sq8Search(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
@@ -1350,37 +1407,28 @@ object Similarity {
     val cells = s.table(s"$pfx.ivf_cells")
       .select(col("vec_id"), col("cell"), col("nrm"))
     val e = Tables.embeddings(s, dir)
-    // q80's exact per-vector quantization: scale = 127/max|v|,
-    // q_i = floor(v_i * scale + 0.5)
-    val qz = e.select(col("vec_id"), col("embedding"))
-      .withColumn("ev", expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
-      .withColumn("max_abs", expr("array_max(transform(ev, v -> abs(v)))"))
-      .filter(col("max_abs") > 0)
-      .withColumn("scale", lit(127.0) / col("max_abs"))
-      .withColumn("qv",
-        expr("transform(ev, v -> CAST(floor(v * scale + 0.5) AS INT))"))
-      .select(col("vec_id"), col("scale"), col("qv"))
+    // the persisted q80 quantization (scale = 127/max|v|,
+    // code_i = floor(v_i * scale + 0.5), one byte per dimension)
+    val qz = s.table(s"$pfx.sq8_codes")
     val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))
     val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
       .select(col("vec_id").as("qid"), col("nrm").as("qn"),
         col("cent_id").as("cell"))
       .join(qz.select(col("vec_id").as("qid"), col("scale").as("sa"),
-        col("qv").as("qa")), Seq("qid"))
+        col("code").as("qa")), Seq("qid"))
     val corpus = cells
       .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
       .join(qz.select(col("vec_id").as("cid"), col("scale").as("sb"),
-        col("qv").as("qb")), Seq("cid"))
-    // stage 1: exact INT dot, one fixed-order double normalization,
-    // once-rounded micro-unit score
+        col("code").as("qb")), Seq("cid"))
+    // stage 1: exact INT dot over the byte codes, one fixed-order
+    // double normalization, once-rounded micro-unit score
     val w1 = Window.partitionBy(col("qid"))
       .orderBy(col("su1").desc, col("cid"))
     val stage1 = probes.join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
-      .withColumn("idot", expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y), " +
-          "0L, (a, e) -> a + e)"))
+      .withColumn("idot", call_function("graft_int8dot", col("qa"), col("qb")))
       .withColumn("su1", round(col("idot") /
         (col("sa") * col("sb") * col("qn") * col("cn")) * lit(1e6))
         .cast("long"))
@@ -1453,10 +1501,202 @@ object Similarity {
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** Mean-centered exact retrieval (q146) — the REPRESENTATION-level
+    * fix for the anisotropy q136 measures and the hubness q138 counts
+    * (Mu & Viswanath 2018, "All-but-the-Top": subtracting the corpus
+    * mean removes the common direction that makes every cosine look
+    * alike): embeddings re-center by the per-dimension corpus mean,
+    * then the q107-style 3-query exact top-5 runs in the centered
+    * space. Completes the pack's hubness triptych — q138 diagnoses,
+    * q143 corrects at QUERY time (CSLS), q146 corrects the SPACE.
+    *
+    * Determinism: the mean vector accumulates exact integer sums of
+    * round(x·2²⁴) with the fixed sj/U/n division order (the
+    * q136/AnnIndex MeanUnit recipe — replayable in any engine);
+    * centering is per-coordinate IEEE double subtraction; cosines are
+    * the codegen'd double-array fold ([[graft.functions.DotDoubleF]],
+    * bit-equal to DuckDB's list_dot_product) rounded once to 6dp,
+    * ties on id.
+    *
+    * Scale shape: the mean is one posexplode aggregate (64·corpus
+    * rows, map-side combine, 64-row result) pinned as a 1-row
+    * broadcast; centering is map-only per row; scoring is the q55/
+    * q107 broadcast shape — a 3-row build side against one map-only
+    * corpus pass, no shuffle beyond the top-k. */
+  def q146CenteredSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val U = AnnIndex.MeanUnit
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cent = e.select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(sum(round(col("x") * U).cast("long")).as("sj"),
+        count(lit(1)).as("n"))
+      .withColumn("mean", col("sj") / U / col("n"))
+      .agg(sort_array(collect_list(struct(col("j"), col("mean")))).as("h"))
+      .select(expr("transform(h, p -> p.mean)").as("c"))
+      .localCheckpoint() // the 1-row mean vector, computed once
+    def centered(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
+      .withColumn("cv",
+        expr("zip_with(embedding, c, (x, m) -> CAST(x AS DOUBLE) - m)"))
+      .withColumn("nrm",
+        sqrt(call_function("graft_dotdd", col("cv"), col("cv"))))
+      .select(col("vec_id"), col("cv"), col("nrm"))
+    val q = centered(e.filter(col("vec_id").isin(100L, 200L, 300L)))
+      .select((col("vec_id") / 100).cast("int").as("query_id"),
+        col("cv").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    centered(e)
+      .select(col("vec_id").as("doc_id"), col("cv").as("dv"),
+        col("nrm").as("dn"))
+      .join(broadcast(q)) // 3-row build side: the q55/q107 shape
+      .filter(col("doc_id") =!= col("query_id").cast("long") * 100)
+      .withColumn("sim",
+        round(call_function("graft_dotdd", col("qv"), col("dv")) /
+          (col("qn") * col("dn")), 6))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("doc_id"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** DuckDB replay of q146 END-TO-END: the same exact-integer-sum mean
+    * (sj/U/n order), per-coordinate centering, double-fold cosines,
+    * 6dp rounding, id tiebreaks. */
+  val q146Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (SELECT UNNEST(list_transform(range(1, len(v) + 1),
+      |        i -> {'j': i, 'x': v[i]})) AS p FROM e),
+      |d AS (SELECT p.j AS j,
+      |        CAST(SUM(CAST(ROUND(p.x * 16777216.0) AS BIGINT)) AS BIGINT) AS sj,
+      |        COUNT(*) AS n
+      |      FROM x GROUP BY 1),
+      |cent AS (SELECT list(sj / 16777216.0 / n ORDER BY j) AS c FROM d),
+      |cv AS (SELECT vec_id,
+      |        list_transform(range(1, len(v) + 1), i -> v[i] - c[i]) AS cv
+      |      FROM e, cent),
+      |q AS (SELECT CAST(vec_id // 100 AS INTEGER) AS query_id, cv AS qv
+      |      FROM cv WHERE vec_id IN (100, 200, 300)),
+      |sc AS (
+      |  SELECT q.query_id, d.vec_id AS doc_id,
+      |    ROUND(list_dot_product(q.qv, d.cv) /
+      |      (SQRT(list_dot_product(q.qv, q.qv)) *
+      |       SQRT(list_dot_product(d.cv, d.cv))), 6) AS sim
+      |  FROM q JOIN cv d ON d.vec_id <> q.query_id * 100)
+      |SELECT query_id, doc_id, sim,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, doc_id) AS INTEGER) AS rn
+      |FROM sc QUALIFY rn <= 5 ORDER BY query_id, rn""".stripMargin
+
+  /** IVF probe sweep (q148) — the nProbe tuning curve an index
+    * operator reads before setting the recall/latency dial: recall@3
+    * against the exact ground truth at every nProbe in 1..5, from ONE
+    * ranked-probes frame (probes at nProbe = n are exactly the rows
+    * with rk ≤ n, so the sweep prices ONE centroid ranking, not
+    * five). q66 certifies the shipped operating point; this is the
+    * curve that CHOSE it — recall flat from nProbe 4 to 5 says probes
+    * can drop; a cliff below 3 says the geometry needs more cells.
+    *
+    * Scale shape: the exact side is the memoized q55 artifact (one
+    * build per session); each sweep point is the q57 probed-cell
+    * candidate join (bounded by occupancy × nProbe) and a per-query
+    * top-3 window; the recall arithmetic touches 50·3 rows per point.
+    * Fully deterministic, so the whole CURVE is oracle-checked — the
+    * five probe chains replay in one DuckDB query. */
+  def q148ProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val cents = s.table(s"$pfx.ivf_centroids")
+    val cells = s.table(s"$pfx.ivf_cells")
+      .select(col("vec_id"), col("cell"), col("nrm"))
+    val e = Tables.embeddings(s, dir)
+    val exact = q55SearchArtifact(s, dir).filter(col("rn") <= 3)
+      .select(col("qid"), col("cid")).localCheckpoint()
+    val q = e.filter(col("vec_id") < 50)
+      .withColumn("nrm", norm(col("embedding")))
+    val probes = AnnIndex.assignRanked(q, cents)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("cent_id").as("cell"), col("rk"))
+      .localCheckpoint() // one ranking serves every sweep point
+    val corpus = cells
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"), col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    (1 to 5).map { np =>
+      val approx = probes.filter(col("rk") <= np).join(corpus, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .dropDuplicates("qid", "cid")
+        .withColumn("sim", round(dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"))
+      val hits = exact.join(approx, Seq("qid", "cid"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(lit(np).as("n_probe"), col("n_hit"), col("n_exact"),
+          round(col("n_hit") / col("n_exact"), 4).as("recall_at_3"))
+    }.reduce(_ unionByName _).orderBy(col("n_probe"))
+  }
+
+  /** DuckDB replay of q148: ivfCtes once, the five probe chains and
+    * their top-3 re-ranks, the q66 exact ground truth, the same
+    * hits/total arithmetic per sweep point. */
+  lazy val q148Sql: String = {
+    val r = AnnIndex.MaxRounds + 1
+    val per = (1 to 5).map { np =>
+      s"""cand$np AS (
+        |  SELECT DISTINCT p.qid, m.vec_id AS cid
+        |  FROM (SELECT vec_id AS qid, cent_id AS cell FROM a$r
+        |        WHERE vec_id < 50 AND rk <= $np) p
+        |  JOIN cells m ON p.cell = m.cell WHERE p.qid <> m.vec_id),
+        |top$np AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, cid) AS rn
+        |    FROM (SELECT cand$np.qid, cand$np.cid,
+        |            ROUND(list_dot_product(q.ev, c.ev) /
+        |              (SQRT(list_dot_product(q.ev, q.ev)) *
+        |               SQRT(list_dot_product(c.ev, c.ev))), 6) AS sim
+        |          FROM cand$np JOIN v q ON cand$np.qid = q.vec_id
+        |          JOIN v c ON cand$np.cid = c.vec_id)) WHERE rn <= 3),
+        |r$np AS (
+        |  SELECT $np AS n_probe,
+        |    CAST((SELECT COUNT(*) FROM exact e JOIN top$np t
+        |          ON e.qid = t.qid AND e.cid = t.cid) AS BIGINT) AS n_hit,
+        |    CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfCtes("")},
+      |es AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    ROUND(list_dot_product(q.ev, c.ev) /
+      |      (SQRT(list_dot_product(q.ev, q.ev)) *
+      |       SQRT(list_dot_product(c.ev, c.ev))), 6) AS sim
+      |  FROM v q, v c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+      |exact AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |    FROM es) WHERE rn <= 3),
+      |$per
+      |SELECT n_probe, n_hit, n_exact,
+      |  ROUND(n_hit * 1.0 / n_exact, 4) AS recall_at_3
+      |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      |      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+      |      UNION ALL SELECT * FROM r5)
+      |ORDER BY n_probe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_embedding_health" -> q136EmbeddingHealth _,
     "q137_cluster_cards" -> q137ClusterCards _,
     "q138_hubness_audit" -> q138HubnessAudit _,
+    "q146_centered_search" -> q146CenteredSearch _,
+    "q148_probe_sweep" -> q148ProbeSweep _,
     "q143_csls_search" -> q143CslsSearch _,
     "q144_sq8_search" -> q144Sq8Search _,
     "q122_cascade_rerank" -> q122CascadeRerank _,
@@ -1755,6 +1995,8 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q146_centered_search" -> q146Sql,
+    "q148_probe_sweep" -> q148Sql,
     "q136_embedding_health" -> q136Sql,
     "q137_cluster_cards" -> q137Sql,
     "q138_hubness_audit" -> q138Sql,

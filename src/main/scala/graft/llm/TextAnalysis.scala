@@ -402,26 +402,63 @@ object TextAnalysis {
     * exact verification pass prices truth. */
   private[graft] object MisraGries
       extends org.apache.spark.sql.expressions.Aggregator[
-        String, Map[String, Long], Seq[String]] {
+        String, Array[(String, Long)], Seq[String]] {
     val K = 32
-    def zero: Map[String, Long] = Map.empty
-    def reduce(b: Map[String, Long], t: String): Map[String, Long] =
-      if (b.contains(t)) b.updated(t, b(t) + 1L)
-      else if (b.size < K) b.updated(t, 1L)
-      else b.flatMap { case (k, c) =>
-        if (c > 1L) Some(k -> (c - 1L)) else None }
-    def merge(b1: Map[String, Long], b2: Map[String, Long])
-        : Map[String, Long] = {
-      val m = (b1.keySet ++ b2.keySet).iterator
-        .map(k => k -> (b1.getOrElse(k, 0L) + b2.getOrElse(k, 0L))).toMap
-      if (m.size <= K) m
+    // The buffer is a fixed K-slot array mutated IN PLACE: `udaf` wraps
+    // a typed Aggregator as a TypedImperativeAggregate, which keeps the
+    // buffer as a live JVM object between rows (serializing only at
+    // partition boundaries), so `reduce` runs allocation-free on the
+    // hottest loop in the pack — one token = one ≤K-slot scan, zero
+    // short-lived Maps (an immutable buffer allocated per input row;
+    // on a 100 TB token stream that is per-token GC churn for nothing).
+    // A slot with count 0 is FREE regardless of its lingering key (the
+    // classic array MG: decrement-to-zero frees the slot; the tracked
+    // scan requires count > 0, so a freed key re-arriving is a fresh
+    // insert — the same states the Map form visited). Semantics are
+    // unchanged: increment if tracked, claim a free slot if any, else
+    // decrement-all — the deficit bound argument is untouched.
+    def zero: Array[(String, Long)] = Array.empty
+    def reduce(b0: Array[(String, Long)], t: String)
+        : Array[(String, Long)] = {
+      // grow once to full capacity on first use (K tiny, fixed)
+      val b = if (b0.length < K) {
+        val g = Array.fill[(String, Long)](K)(("", 0L))
+        System.arraycopy(b0, 0, g, 0, b0.length); g
+      } else b0
+      var free = -1
+      var i = 0
+      while (i < K) {
+        val e = b(i)
+        if (e._2 > 0L) { if (e._1 == t) { b(i) = (t, e._2 + 1L); return b } }
+        else if (free < 0) free = i
+        i += 1
+      }
+      if (free >= 0) { b(free) = (t, 1L); return b }
+      i = 0
+      while (i < K) {
+        val e = b(i)
+        if (e._2 > 0L) b(i) = (e._1, e._2 - 1L)
+        i += 1
+      }
+      b
+    }
+    // merge runs once per partition boundary, not per row — a scratch
+    // map here is not churn; the (K+1)-th-largest trim preserves the
+    // mergeable-summaries deficit bound exactly as before
+    def merge(b1: Array[(String, Long)], b2: Array[(String, Long)])
+        : Array[(String, Long)] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      b1.foreach { case (k, c) => if (c > 0L) m.update(k, m.getOrElse(k, 0L) + c) }
+      b2.foreach { case (k, c) => if (c > 0L) m.update(k, m.getOrElse(k, 0L) + c) }
+      if (m.size <= K) m.toArray
       else {
         val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(K)
-        m.flatMap { case (k, c) => if (c > cut) Some(k -> (c - cut)) else None }
+        m.iterator.collect { case (k, c) if c > cut => (k, c - cut) }.toArray
       }
     }
-    def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
-    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+    def finish(b: Array[(String, Long)]): Seq[String] =
+      b.iterator.filter(_._2 > 0L).map(_._1).toSeq.sorted
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[(String, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
@@ -1850,7 +1887,157 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** PMI collocations (q145) — the classic bigram-association mine
+    * (Church & Hanks 1990) a corpus linguist (or a tokenizer-vocab
+    * designer deciding which word pairs deserve merged tokens — the
+    * q112/q114 BPE family's statistical cousin) runs first: which
+    * adjacent word pairs co-occur far MORE than their unigram
+    * frequencies predict? PMI(a,b) = ln(p(ab) / (p(a)·p(b))); since
+    * ln is monotone, ranking by the RAW LIFT cnt_ab·N / (cnt_a·cnt_b)
+    * is rank-identical — and lift, unlike PMI, is computable in EXACT
+    * integer arithmetic: lift_u = (cnt_ab·N·10⁶) div (cnt_a·cnt_b),
+    * one BIGINT truncating division, bit-equal across engines with no
+    * ln rounding convention at all. Pairs below 5 occurrences are
+    * noise-floored (the standard Church-Hanks guard: a hapax pair has
+    * huge PMI and zero evidence); top-20 by (lift_u desc, pair text).
+    *
+    * Scale shape: bigram generation is a map-only index-zip over each
+    * doc's token array (no self-join — adjacency is positional); the
+    * bigram aggregation is the ONLY vocabulary²-bounded shuffle and
+    * rides map-side combine (observed bigrams, not vocab² — Zipf makes
+    * this ≪ n_tokens); unigram counts join by token (vocab-keyed, the
+    * q127 class); N is a 1-row broadcast. Headroom: cnt_ab·N·10⁶ fits
+    * int64 while cnt_ab·N < 9.2·10¹²; a 100 TB corpus promotes the
+    * numerator to DECIMAL(38,0) — same truncating-division semantics,
+    * flagged here rather than silently overflowed. */
+  def q145Collocations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("w"))
+      .localCheckpoint() // feeds bigrams, unigrams, AND the total
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt_t"))
+      .localCheckpoint() // feeds both unigram joins AND the total
+    val tot = uni.agg(sum(col("cnt_t")).as("n"))
+    // adjacent pairs by position: 0-based array indexing in the SQL
+    // expression — slice drops the last token, the lambda index i
+    // addresses the successor
+    val bg = toks.select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), " +
+          "(x, i) -> named_struct('a', x, 'b', w[i + 1]))"))
+        .as("p"))
+      .select(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .groupBy(col("term_a"), col("term_b")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+    val scored = bg
+      .join(uni.select(col("t").as("term_a"), col("cnt_t").as("cnt_a")),
+        Seq("term_a"))
+      .join(uni.select(col("t").as("term_b"), col("cnt_t").as("cnt_b")),
+        Seq("term_b"))
+      .crossJoin(broadcast(tot))
+      // `div`, not `/`: Spark's Divide is double division; div is the
+      // BIGINT truncating division the oracle's // mirrors exactly
+      .withColumn("lift_u",
+        expr("(cnt * n * 1000000L) div (cnt_a * cnt_b)"))
+    // distributed TakeOrdered for the top-20, THEN rank the 20
+    // survivors — a global row_number window over all scored bigrams
+    // would funnel the frame through one task (the q119 lesson)
+    scored.orderBy(col("lift_u").desc, col("term_a"), col("term_b"))
+      .limit(20)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(col("lift_u").desc, col("term_a"), col("term_b"))).cast("int"))
+      .select(col("rn"), col("term_a"), col("term_b"), col("cnt"),
+        col("lift_u"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q145: identical tokenization, positional bigram
+    * zip, the same BIGINT truncating division (// in DuckDB), same
+    * tiebreaks. */
+  val q145Sql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |uni AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt_t
+      |  FROM (SELECT UNNEST(w) AS t FROM w) GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS n FROM uni),
+      |bg AS (
+      |  SELECT term_a, term_b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT UNNEST(list_transform(range(1, len(w)), i -> w[i])) AS term_a,
+      |           UNNEST(list_transform(range(1, len(w)), i -> w[i + 1])) AS term_b
+      |    FROM w)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |sc AS (
+      |  SELECT bg.term_a, bg.term_b, bg.cnt,
+      |    (bg.cnt * t.n * 1000000) // (ua.cnt_t * ub.cnt_t) AS lift_u
+      |  FROM bg JOIN uni ua ON ua.t = bg.term_a
+      |  JOIN uni ub ON ub.t = bg.term_b, tot t)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift_u DESC, term_a, term_b)
+      |    AS INTEGER) AS rn,
+      |  term_a, term_b, cnt, lift_u
+      |FROM sc QUALIFY rn <= 20 ORDER BY rn""".stripMargin
+
+  /** Per-document tf·idf keywords served from the inverted index
+    * (q147) — the doc-summary surface a curation UI shows next to
+    * every document (and the feature a keyword-based router eats):
+    * for EVERY corpus document, its top-3 terms by tf·idf with
+    * idf_u = round(ln(N/df)·10⁶) (the q137 micro-unit ln convention)
+    * and score_u = tf·idf_u — an exact integer product, so ranking
+    * and emitted scores are engine-portable.
+    *
+    * Scale shape: index-served end-to-end (PlanSpec gates zero
+    * parquet scans): tf rides directly on `postings` rows, df is the
+    * postings' term-keyed count (vocab-bounded, map-side combine), N
+    * SUMs the #commits-row stats ledger; the top-3 window partitions
+    * by doc_id — bounded by a doc's distinct-term count, never the
+    * corpus. This is the batch job that pre-computes the keyword
+    * column a serving tier reads. */
+  def q147DocKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pfx = ensureBm25Index(s, dir)
+    val post = s.table(s"$pfx.postings")
+      .select(col("term"), col("doc_id"), col("tf"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = s.table(s"$pfx.bm25_stats")
+      .agg(coalesce(sum(col("n_delta")), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_u").desc, col("term"))
+    post.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_u", round(log(col("n") / col("df")) * 1e6).cast("long"))
+      .withColumn("score_u", col("tf") * col("idf_u"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+        col("score_u"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** DuckDB replay of q147 from the raw corpus: same tokenization as
+    * the postings build, identical tf/df/N, the same micro-unit ln —
+    * a hash match proves the index serves exactly what a fresh corpus
+    * scan would say. */
+  val q147Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tk GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tk),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    tf.tf * CAST(ROUND(LN(n.n * 1.0 / df.df) * 1e6) AS BIGINT)
+      |      AS score_u
+      |  FROM tf JOIN df USING (term), n)
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score_u DESC, term) AS INTEGER) AS rn,
+      |  term, tf, score_u
+      |FROM sc QUALIFY rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_collocations" -> q145Collocations _,
+    "q147_doc_keywords" -> q147DocKeywords _,
     "q121_boilerplate" -> q121Boilerplate _,
     "q128_line_filter" -> q128LineFilter _,
     "q133_zipf_fit" -> q133ZipfFit _,
@@ -1874,6 +2061,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q145_collocations" -> q145Sql,
+    "q147_doc_keywords" -> q147Sql,
     "q58_lang_id"     -> q58Sql,
     "q59_quality"     -> q59Sql,
     "q60_token_count" -> q60Sql,

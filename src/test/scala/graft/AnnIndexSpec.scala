@@ -28,6 +28,23 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  /** The persisted r(d) rows, as a comparable set. */
+  private def rdPersisted(prefix: String): Set[(Long, Int, Long)] =
+    spark.table(s"$prefix.ivf_rd").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  /** r(d) recomputed from scratch over the CURRENT index membership
+    * and corpus — the ground truth the maintained column must track. */
+  private def rdFresh(corpusFqn: String, prefix: String): Set[(Long, Int, Long)] = {
+    graft.functions.VectorFunctions.register(spark)
+    val cells = spark.table(s"$prefix.ivf_cells")
+    val vecs = cells.select(col("vec_id"), col("nrm"))
+      .join(spark.table(corpusFqn).select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+    AnnIndex.rdStats(cells.select(col("cell"), col("vec_id")), vecs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+  }
+
   test("index tables are catalog artifacts that survive a session restart") {
     AnnIndex.buildInto(spark, sf, "ann_a.idx")
 
@@ -38,6 +55,15 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // …and hashed into one bucket per LSH table
     assert(spark.table("ann_a.idx.lsh_buckets").count() ==
       nVec * AnnIndex.LshSeeds.length)
+    // …and quantized into the SQ8 code table (no all-zero vectors in
+    // this corpus, so every vector has a row), one byte per dimension
+    assert(spark.table("ann_a.idx.sq8_codes").count() == nVec)
+    assert(spark.table("ann_a.idx.sq8_codes")
+      .select(org.apache.spark.sql.functions.length(col("code")))
+      .distinct().collect().map(_.getInt(0)).toSeq == Seq(AnnIndex.Dim))
+    // …and carries a persisted r(d) row for every member with at least
+    // one same-cell neighbor (here: all, no singleton cells at this SF)
+    assert(spark.table("ann_a.idx.ivf_rd").count() == nVec)
 
     // "restart": a fresh session state + a fresh catalog instance over
     // the SAME warehouse — all index state must come from the committed
@@ -95,6 +121,18 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("ann_a.inc.ivf_cells").count() == n0 + 2)
     assert(spark.table("ann_a.inc.lsh_buckets")
       .where($"vec_id" >= 900001L).count() == 2L * AnnIndex.LshSeeds.length)
+    // the delta's SQ8 codes landed with it
+    assert(spark.table("ann_a.inc.sq8_codes")
+      .where($"vec_id" >= 900001L).count() == 2L)
+    // the persisted r(d) column TRACKS MEMBERSHIP CHURN: after the
+    // refresh it equals a from-scratch recompute over the live
+    // membership — the new members have rows, and the incumbents of
+    // the cells they joined were re-derived (an exact copy of vector 0
+    // necessarily perturbs vector 0's own top-3 mean)
+    assert(rdPersisted("ann_a.inc") == rdFresh("ann_a.corp.vecs", "ann_a.inc"),
+      "ivf_rd must equal a fresh recompute after refresh")
+    assert(rdPersisted("ann_a.inc").exists(_._1 == 900001L),
+      "the new member must carry an r(d) row")
 
     // both searches see the appended vectors: the exact copy of vector 0
     // is its nearest neighbor (cosine 1.0) in IVF and LSH alike
@@ -120,13 +158,21 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.where($"qid" === 0L && $"rn" === 1).head.getLong(1)
     assert(top1(Similarity.ivfSearch(spark, corpus, "ann_a.inc")) != 900001L)
 
-    // …vacuum reclaims the stale probe entries
+    // …vacuum reclaims the stale probe entries (cells + buckets + the
+    // departed members' SQ8 codes and r(d) rows)
     val removed = AnnIndex.vacuum(spark, "ann_a.corp.vecs", "ann_a.inc")
-    assert(removed == 2L + 2L * AnnIndex.LshSeeds.length,
-      s"expected 2 cells + ${2 * AnnIndex.LshSeeds.length} buckets, got $removed")
+    assert(removed == 2L + 2L * AnnIndex.LshSeeds.length + 2L + 2L,
+      s"expected 2 cells + ${2 * AnnIndex.LshSeeds.length} buckets " +
+        s"+ 2 codes + 2 rd rows, got $removed")
     assert(spark.table("ann_a.inc.ivf_cells").count() == n0)
     assert(spark.table("ann_a.inc.lsh_buckets")
       .where($"vec_id" >= 900001L).count() == 0L)
+    assert(spark.table("ann_a.inc.sq8_codes")
+      .where($"vec_id" >= 900001L).count() == 0L)
+    // survivors of the departed members' cells re-derived their r(d):
+    // the persisted column equals a from-scratch recompute again
+    assert(rdPersisted("ann_a.inc") == rdFresh("ann_a.corp.vecs", "ann_a.inc"),
+      "ivf_rd must equal a fresh recompute after vacuum")
     // searches still function on the vacuumed index
     assert(top1(Similarity.ivfSearch(spark, corpus, "ann_a.inc")) != 900001L)
     assert(top1(Similarity.lshSearch(spark, corpus, "ann_a.inc")) != 900001L)

@@ -57,6 +57,35 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(naive.length == 150 * 149 / 2 + 45)
   }
 
+  test("guarded CELL pair cover equals the naive within-cell join exactly") {
+    import spark.implicits._
+    // the IVF twin of the block guard, shared by q100/q138/rdStats: a
+    // hub-dense hot cell (150 members) next to a cold one; the cover
+    // must emit every ORDERED pair exactly once — no drops, no dups —
+    // while subdividing the hot cell's join key
+    val members = ((0 until 150).map(i => (0, i.toLong)) ++
+      (1000 until 1010).map(i => (1, i.toLong))).toDF("cell", "vec_id")
+    val guarded = graft.llm.Similarity.guardedCellPairs(members, maxCell = 64)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(guarded.length == guarded.distinct.length,
+      "cover produced duplicate ordered pairs")
+    val naive = {
+      val a = members.select(col("cell"), col("vec_id").as("id_a"))
+      val b = members.select(col("cell"), col("vec_id").as("id_b"))
+      a.join(b, Seq("cell")).filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(guarded.sorted.toSeq == naive.sorted.toSeq,
+      s"pair sets differ: guarded=${guarded.length} naive=${naive.length}")
+    // sanity: 150·149 hot + 10·9 cold ORDERED pairs
+    assert(naive.length == 150 * 149 + 90)
+    // a cold-only input degenerates to the plain join (k = 1 cover)
+    val cold = members.filter(col("cell") === 1)
+    assert(graft.llm.Similarity.guardedCellPairs(cold, maxCell = 64)
+      .count() == 90L)
+  }
+
   test("token packing packs null-source documents like any other group") {
     import spark.implicits._
     // 5 docs with NULL source, 4 tokens each, budget 8 → packs 0,0,1,1,2

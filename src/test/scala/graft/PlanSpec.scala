@@ -404,6 +404,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q143 must nested-loop only against the centroids, found $bnlj:\n$plan")
   }
 
+  test("q143 reads r(d) from the artifact: no pair pass at query time") {
+    // the r12 `weak` flag: the search recomputed r(d) with a
+    // corpus-wide within-cell pair join + window per run, when it is a
+    // pure function of the index state. Persisted, the plan must (a)
+    // read the ivf_rd table, (b) contain NO ivf_cells self-join (each
+    // of the two remaining ivf_cells reads sits on a DIFFERENT join
+    // axis: candidate membership and the corpus-side norm), and (c)
+    // window only over per-query candidate frames — which the absence
+    // of any id_a-partitioned window over corpus pairs implies via the
+    // scan count
+    val plan = planOf(llm.Similarity.q143CslsSearch(spark, sf))
+    assert(plan.contains("ivf_rd"),
+      s"q143 must read the persisted r(d) artifact:\n$plan")
+    val cellScans = "ivf_cells".r.findAllIn(plan).size
+    assert(cellScans <= 2,
+      s"q143 must not self-join ivf_cells for r(d) (found $cellScans reads):\n$plan")
+    // the r(d) subtree is ids+longs: exactly the embeddings reads the
+    // CANDIDATE geometry needs remain (query side + corpus payload),
+    // never a third corpus-wide pass for the statistic
+    val embScans = "Scan parquet".r.findAllIn(plan).size
+    assert(embScans <= 2,
+      s"q143 must scan embeddings only for query + candidates, found $embScans:\n$plan")
+  }
+
   test("q144 SQ8 search keeps the probed-cell geometry: no corpus NLJ") {
     val plan = planOf(llm.Similarity.q144Sq8Search(spark, sf))
     assert(!plan.contains("CartesianProduct"),
@@ -411,6 +435,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(bnlj <= 1,
       s"q144 must nested-loop only against the centroids, found $bnlj:\n$plan")
+  }
+
+  test("q144 stage 1 serves from the persisted SQ8 codes") {
+    // the bandwidth claim ("a quarter of the scan bytes") is only true
+    // when stage 1 reads the one-byte-per-dim code table instead of
+    // quantizing the float vectors per run: the plan must read
+    // sq8_codes, and the full-precision embeddings parquet may appear
+    // only for the query side (vec_id < 50 pushed into the scan) and
+    // the ≤10-per-query rescore joins — never an unfiltered scan
+    // feeding stage 1's candidate ranking
+    val plan = planOf(llm.Similarity.q144Sq8Search(spark, sf))
+    assert(plan.contains("sq8_codes"),
+      s"q144 stage 1 must read the persisted code table:\n$plan")
+    // embeddings reads: query side (pushed vec_id filter) + the two
+    // rescore joins; the corpus-side candidate scan must NOT be one
+    val embScans = "Scan parquet".r.findAllIn(plan).size
+    assert(embScans <= 3,
+      s"q144 may read embeddings only for query + rescore, found $embScans:\n$plan")
+    assert(plan.contains("LessThan(vec_id,50"),
+      s"query-side embeddings scan must push the vec_id filter:\n$plan")
   }
 
   test("q137 cluster cards are index-served end-to-end: zero corpus scans") {

@@ -115,6 +115,29 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     def ivfCount(): Long = spark.table("trio.trioidx.ivf_cells").count()
 
+    // the r13 artifact columns must TRACK the composed churn: ivf_rd
+    // equals a from-scratch recompute over the live membership and
+    // sq8_codes covers exactly the live corpus ids, at every quiesce
+    // point regardless of how the maintainers grouped the commits
+    def annArtifactsInSync(): Unit = {
+      graft.functions.VectorFunctions.register(spark)
+      val cells = spark.table("trio.trioidx.ivf_cells")
+      val vecs = cells.select(col("vec_id"), col("nrm"))
+        .join(spark.table("trio.ing.docs")
+          .select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val fresh = AnnIndex.rdStats(cells.select(col("cell"), col("vec_id")),
+          vecs).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val got = spark.table("trio.trioidx.ivf_rd").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == fresh, s"ivf_rd out of sync: got $got expected $fresh")
+      val codes = spark.table("trio.trioidx.sq8_codes").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val live = spark.table("trio.ing.docs").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(codes == live, s"sq8_codes out of sync: $codes vs live $live")
+    }
+
     // total whitespace tokens ingested so far — the drift monitor's
     // reference must hold EXACTLY this many counts at every quiesce
     // point, no matter how its triggers grouped the commits
@@ -167,6 +190,7 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ivfCount() == 7)
       assert(spark.table("trio.trioidx.lsh_buckets").count() ==
         7 * AnnIndex.LshSeeds.length)
+      annArtifactsInSync()
     } finally Seq(qF, qD, qA, qM, qB).foreach(_.stop())
 
     // restart the whole trio from its checkpoints: replays land on
@@ -190,6 +214,7 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
         .count() == 4)
       assert(spark.table("trio.ing.dbands").count() == 7 * 16)
       assert(ivfCount() == 7)
+      annArtifactsInSync()
     } finally Seq(qF2, qD2, qM2, qA2, qB2).foreach(_.stop())
 
     // the data-tail maintainers detach (a plain tail cannot absorb CoW
@@ -218,6 +243,7 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("trio.ing.dbands").count() == 6 * 16)
       assert(pairs() == Set((1L, 2L), (1L, 11L), (2L, 11L), (4L, 13L)),
         "no retained pair touches the departed doc")
+      annArtifactsInSync()
     } finally Seq(qA3, qB3, qD3).foreach(_.stop())
   }
 }

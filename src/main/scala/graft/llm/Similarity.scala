@@ -1691,12 +1691,98 @@ object Similarity {
       |ORDER BY n_probe""".stripMargin
   }
 
+  /** Contrastive triplet mining (q149) — the training-data op behind
+    * every bi-encoder retriever (DPR/SimCSE recipe): for each ANCHOR
+    * document with a verified near-duplicate, emit (anchor, positive,
+    * hard negative) where the positive is its lowest-id verified
+    * partner (q52's MinHash-verified pairs — textual near-identity is
+    * the free positive label a raw corpus carries) and the hard
+    * negative is the highest-cosine member of the anchor's own IVF
+    * cell that is NOT a verified partner — semantically close enough
+    * to be confusable, provably not a duplicate: exactly the negative
+    * that teaches a retriever the boundary (random negatives are too
+    * easy; ANCE/RocketQA's lesson, here label-free).
+    *
+    * Scale shape: pairs ride the memoized verified-pairs artifact
+    * (ids only); anchors are the dup-involved docs (≪ corpus);
+    * negative candidates come from each anchor's single IVF cell via
+    * a cell equi-join (|anchors| × occupancy, never corpus²); the
+    * partner exclusion is an ids-only anti-join; the top-1 window
+    * partitions per anchor over its cell's members. Determinism:
+    * cosines round once to 6dp (q57 convention), ties on id; the
+    * positive is a MIN aggregate. Anchors whose cell holds no
+    * eligible negative drop out (both engines identically). */
+  def q149ContrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val pairs = Dedup.verifiedPairsArtifact(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val partners = pairs
+      .select(col("doc_a").as("anchor"), col("doc_b").as("partner"))
+      .unionByName(pairs
+        .select(col("doc_b").as("anchor"), col("doc_a").as("partner")))
+      .localCheckpoint() // feeds the positive MIN AND the exclusion
+    val pos = partners.groupBy(col("anchor"))
+      .agg(min(col("partner")).as("pos_id"))
+    val m = s.table(s"$pfx.ivf_cells")
+      .select(col("vec_id"), col("cell"), col("nrm"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val anchors = pos.join(m.select(col("vec_id").as("anchor"),
+      col("cell"), col("embedding").as("av"), col("nrm").as("an")),
+      Seq("anchor"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("neg_cos6").desc, col("neg_id"))
+    anchors
+      .join(m.select(col("cell"), col("vec_id").as("neg_id"),
+        col("embedding").as("nv"), col("nrm").as("nn")), Seq("cell"))
+      .filter(col("neg_id") =!= col("anchor"))
+      .join(partners.withColumnRenamed("partner", "neg_id"),
+        Seq("anchor", "neg_id"), "left_anti")
+      .withColumn("neg_cos6",
+        round(dot(col("av"), col("nv")) / (col("an") * col("nn")), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor").as("anchor_id"), col("pos_id"), col("neg_id"),
+        col("neg_cos6"))
+      .orderBy(col("anchor_id"))
+  }
+
+  /** DuckDB replay of q149 END-TO-END: the exact-Jaccard verified
+    * pairs ([[Dedup.pairCtes]] — the q52 oracle), the Lloyd's-replayed
+    * cell assignment ([[ivfCtes]]), the same exclusion and
+    * (cos6 desc, id) top-1. */
+  lazy val q149Sql: String =
+    s"""WITH ${Dedup.pairCtes},
+      |vp AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+      |part AS (SELECT doc_a AS anchor, doc_b AS partner FROM vp
+      |         UNION ALL SELECT doc_b, doc_a FROM vp),
+      |pos AS (SELECT anchor, MIN(partner) AS pos_id FROM part GROUP BY 1),
+      |${ivfCtes("")},
+      |ac AS (
+      |  SELECT pos.anchor, pos.pos_id, m.cell, m.ev AS av
+      |  FROM pos JOIN cells m ON m.vec_id = pos.anchor),
+      |cn AS (
+      |  SELECT ac.anchor, ac.pos_id, m.vec_id AS neg_id,
+      |    ROUND(list_dot_product(ac.av, m.ev) /
+      |      (SQRT(list_dot_product(ac.av, ac.av)) *
+      |       SQRT(list_dot_product(m.ev, m.ev))), 6) AS neg_cos6
+      |  FROM ac JOIN cells m ON m.cell = ac.cell AND m.vec_id <> ac.anchor
+      |  WHERE NOT EXISTS (SELECT 1 FROM part
+      |                    WHERE part.anchor = ac.anchor
+      |                      AND part.partner = m.vec_id))
+      |SELECT anchor AS anchor_id, pos_id, neg_id, neg_cos6
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+      |        ORDER BY neg_cos6 DESC, neg_id) AS rn FROM cn)
+      |WHERE rn = 1 ORDER BY anchor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_embedding_health" -> q136EmbeddingHealth _,
     "q137_cluster_cards" -> q137ClusterCards _,
     "q138_hubness_audit" -> q138HubnessAudit _,
     "q146_centered_search" -> q146CenteredSearch _,
     "q148_probe_sweep" -> q148ProbeSweep _,
+    "q149_contrastive_triplets" -> q149ContrastiveTriplets _,
     "q143_csls_search" -> q143CslsSearch _,
     "q144_sq8_search" -> q144Sq8Search _,
     "q122_cascade_rerank" -> q122CascadeRerank _,
@@ -1997,6 +2083,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q146_centered_search" -> q146Sql,
     "q148_probe_sweep" -> q148Sql,
+    "q149_contrastive_triplets" -> q149Sql,
     "q136_embedding_health" -> q136Sql,
     "q137_cluster_cards" -> q137Sql,
     "q138_hubness_audit" -> q138Sql,

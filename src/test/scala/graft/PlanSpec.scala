@@ -457,6 +457,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"query-side embeddings scan must push the vec_id filter:\n$plan")
   }
 
+  test("q147 doc keywords are index-served end-to-end: zero corpus scans") {
+    // tf rides the postings rows, df is their term-keyed count, N sums
+    // the stats ledger — the corpus text must never be scanned or
+    // re-tokenized
+    val plan = planOf(llm.TextAnalysis.q147DocKeywords(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"keyword build must read only the persisted artifacts:\n$plan")
+    assert(plan.contains("bm25_stats"),
+      s"N must come from the persisted stats ledger:\n$plan")
+  }
+
+  test("q149 triplets keep the cell-join geometry: no corpus NLJ") {
+    // negatives come from each anchor's single IVF cell via an
+    // equi-join; nothing in the plan may fall back to a corpus-sized
+    // nested loop or cartesian product
+    val plan = planOf(llm.Similarity.q149ContrastiveTriplets(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in q149 plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q149 must join cells and ids only, no nested loop:\n$plan")
+  }
+
   test("q137 cluster cards are index-served end-to-end: zero corpus scans") {
     // both inputs are persisted artifacts — ivf_cells for membership,
     // postings for per-doc term counts; the card build must never

@@ -1863,7 +1863,91 @@ object Curation {
       |LEFT JOIN revised USING (source)
       |ORDER BY src.source""".stripMargin
 
+  /** Balanced-mixture water-filling (q150) — the allocation step a
+    * multilingual/multi-source training plan runs after q123's
+    * temperature analysis: split a fixed token budget EQUALLY across
+    * sources (the balanced-mixture ideal of Conneau & Lample 2019)
+    * subject to each source's actual availability, redistributing
+    * what capped sources cannot absorb to the uncapped ones — exact
+    * water-filling, solved in CLOSED FORM with window functions
+    * because the capped set is provably a prefix of the
+    * availability-ascending order: source i is capped iff
+    * cap_i·(K−i+1) ≤ B−P_{i−1} (an integer cross-multiplication —
+    * no level search, no recursion, no floats), where P is the
+    * running capacity prefix; the shared level is then one truncating
+    * BIGINT division over the surviving budget. The ≤ K−j* remainder
+    * tokens stay unallocated (fill6 audits each source's usage).
+    * B = ⌊9·total/10⌋, chosen to BIND on any non-uniform corpus
+    * (fair share B/K exceeds the smallest source's supply).
+    *
+    * Scale shape: one corpus scan folds to |sources| rows (map-side
+    * combine); everything after — the ordering window, the prefix
+    * sums, the level — runs on that |sources|-row frame (the q123
+    * class: a global window over a CARDINALITY-BOUNDED frame, not the
+    * corpus). Determinism: all-integer arithmetic, (cap, source)
+    * tiebreaks. */
+  def q150BudgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val per = Tables.documents(s, dir)
+      .select(col("source"), tokens.as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("cap"))
+      .localCheckpoint() // |sources| rows; feeds totals AND the scan
+    val tot = per.agg(sum(col("cap")).as("total"),
+      count(lit(1)).as("k"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("b", expr("(9 * total) div 10"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pfx", coalesce(sum(col("cap"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        col("cap") * (col("k") - col("i") + 1) <= col("b") - col("pfx"))
+      .localCheckpoint() // feeds the level aggregate AND the verdicts
+    val lvl = ranked.filter(col("capped"))
+      .agg(coalesce(max(col("i")), lit(0L)).as("jstar"),
+        coalesce(sum(col("cap")), lit(0L)).as("cappedsum"))
+    ranked.crossJoin(broadcast(lvl))
+      .withColumn("alloc", when(col("capped"), col("cap"))
+        .otherwise(when(col("k") > col("jstar"),
+          expr("(b - cappedsum) div (k - jstar)")).otherwise(lit(0L))))
+      .select(col("source"), col("cap").as("tokens"),
+        col("b").as("budget"), col("capped"), col("alloc"),
+        round(col("alloc") / col("cap"), 6).as("fill6"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q150: identical token fold, the same
+    * integer-cross-multiplied prefix test, the same truncating level
+    * division. */
+  val q150Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |p AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cap FROM t GROUP BY 1),
+      |g AS (SELECT CAST(SUM(cap) AS BIGINT) AS total,
+      |             CAST(COUNT(*) AS BIGINT) AS k FROM p),
+      |r AS (SELECT source, cap, k, (9 * total) // 10 AS b,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+      |        COALESCE(SUM(cap) OVER (ORDER BY cap, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+      |      FROM p, g),
+      |c AS (SELECT *, cap * (k - i + 1) <= b - pfx AS capped FROM r),
+      |l AS (SELECT COALESCE(MAX(CASE WHEN capped THEN i END), 0) AS jstar,
+      |             COALESCE(SUM(CASE WHEN capped THEN cap END), 0)
+      |               AS cappedsum FROM c)
+      |SELECT source, cap AS tokens, CAST(b AS BIGINT) AS budget, capped,
+      |  CAST(CASE WHEN capped THEN cap
+      |       WHEN k > jstar THEN (b - cappedsum) // (k - jstar)
+      |       ELSE 0 END AS BIGINT) AS alloc,
+      |  ROUND((CASE WHEN capped THEN cap
+      |         WHEN k > jstar THEN (b - cappedsum) // (k - jstar)
+      |         ELSE 0 END) * 1.0 / cap, 6) AS fill6
+      |FROM c, l ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_budget_waterfill" -> q150BudgetWaterfill _,
     "q113_quality_sample" -> q113QualitySample _,
     "q135_budget_select" -> q135BudgetSelect _,
     "q141_release_diff" -> q141ReleaseDiff _,
@@ -1885,6 +1969,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q150_budget_waterfill" -> q150Sql,
     "q113_quality_sample" -> q113Sql,
     "q135_budget_select" -> q135Sql,
     "q141_release_diff" -> q141Sql,

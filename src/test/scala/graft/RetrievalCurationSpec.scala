@@ -604,6 +604,55 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands.size <= mg.K, "sketch must stay within K counters")
   }
 
+  test("q150 water-filling: hand-computed caps, level, and redistribution") {
+    import spark.implicits._
+    // sources: a (100 tokens), b (10), c (10) — total 120, B = 108.
+    // Ascending scan: b capped (10·3 = 30 ≤ 108), c capped (10·2 = 20
+    // ≤ 98), a uncapped (100·1 = 100 > 88) — level = 88, all 108
+    // budget tokens placed
+    val dir = java.nio.file.Files.createTempDirectory("graft_q150").toString
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq((1L, words(100), "en", "a", 10L),
+        (2L, words(10), "en", "b", 10L),
+        (3L, words(10), "en", "c", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = Curation.queries("q150_budget_waterfill")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("a", 100L, 108L, false, 88L, 0.88),
+      ("b", 10L, 108L, true, 10L, 1.0),
+      ("c", 10L, 108L, true, 10L, 1.0)), got.toString)
+    assert(got.map(_._5).sum == 108L, "the whole budget must place")
+  }
+
+  test("q146 centering recovers the neighbor a common direction hides") {
+    import spark.implicits._
+    // every vector carries a dominant shared direction (60, 60, 0, 0)
+    // plus a small residual — RAW cosine ranks everything ~1 and the
+    // LARGEST-residual-norm doc wins on the tiebreak noise, while the
+    // true residual-aligned neighbor of query 100 is doc 1. Centering
+    // subtracts the common direction, so the centered search MUST rank
+    // doc 1 first for query 1 — the operator's whole point, pinned.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q146").toString
+    def v(r: (Float, Float)) = Array(60f + r._1, 60f + r._2, r._1, r._2)
+    // query 100 residual points at +x; doc 1 matches it, doc 2 is
+    // orthogonal (+y), doc 3 anti-aligned
+    val rows = Seq(
+      (100L, v((1f, 0f))), (200L, v((0f, 1f))), (300L, v((-1f, 0f))),
+      (1L, v((2f, 0f))), (2L, v((0f, 2f))), (3L, v((-2f, 0f))))
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("q146_centered_search")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+    val top1 = got.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    assert(top1(1) == 1L,
+      s"query 1's centered top-1 must be its residual twin: $top1")
+    assert(top1(2) == 2L && top1(3) == 3L,
+      s"each query must recover its residual-aligned doc: $top1")
+  }
+
   test("phrase search counts overlapping self-matches and respects order") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1599,11 +1599,16 @@ object Similarity {
     * can drop; a cliff below 3 says the geometry needs more cells.
     *
     * Scale shape: the exact side is the memoized q55 artifact (one
-    * build per session); each sweep point is the q57 probed-cell
-    * candidate join (bounded by occupancy × nProbe) and a per-query
-    * top-3 window; the recall arithmetic touches 50·3 rows per point.
-    * Fully deterministic, so the whole CURVE is oracle-checked — the
-    * five probe chains replay in one DuckDB query. */
+    * build per session), and the whole sweep prices ONE candidate
+    * join and ONE similarity pass: a corpus vector lives in exactly
+    * one cell, so each (query, candidate) pair is admitted at a
+    * unique probe rank — the nProbe=5 candidate frame tagged with
+    * that rank is a superset of every sweep point, and point n is the
+    * rk ≤ n FILTER of the pinned scored frame (a per-query top-3
+    * window each, over candidates only). The recall arithmetic
+    * touches 50·3 rows per point. Fully deterministic, so the whole
+    * CURVE is oracle-checked — the five probe chains replay in one
+    * DuckDB query. */
   def q148ProbeSweep(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
@@ -1616,22 +1621,25 @@ object Similarity {
       .select(col("qid"), col("cid")).localCheckpoint()
     val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))
-    val probes = AnnIndex.assignRanked(q, cents)
+    val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("cell"), col("rk"))
-      .localCheckpoint() // one ranking serves every sweep point
     val corpus = cells
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("nrm").as("cn"), col("cell"))
+    // ONE scored candidate frame for all five points, each candidate
+    // carrying the probe rank that admits it
+    val scored = probes.join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+      .select(col("qid"), col("cid"), col("rk"), col("sim"))
+      .localCheckpoint()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     (1 to 5).map { np =>
-      val approx = probes.filter(col("rk") <= np).join(corpus, Seq("cell"))
-        .filter(col("qid") =!= col("cid"))
-        .dropDuplicates("qid", "cid")
-        .withColumn("sim", round(dot(col("qv"), col("cv")) /
-          (col("qn") * col("cn")), 6))
+      val approx = scored.filter(col("rk") <= np)
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("qid"), col("cid"))
       val hits = exact.join(approx, Seq("qid", "cid"), "left_semi")

@@ -2035,9 +2035,55 @@ object TextAnalysis {
       |  term, tf, score_u
       |FROM sc QUALIFY rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  /** RAG context packing (q151) — the assembly step between retrieval
+    * and the prompt: given each query's BM25 ranking, admit documents
+    * in rank order until a fixed context budget (250 tokens) is
+    * exhausted — the token-window constraint every RAG serving tier
+    * enforces. "Admit while the running total fits" is a PREFIX rule
+    * (the cumulative length is monotone in rank), so the whole
+    * decision is one per-query prefix-sum window over the top-20
+    * frame. Emits all 20 candidates with their cumulative mass and
+    * verdict, so the card also audits how much budget the cut wasted.
+    *
+    * Scale shape: rides two artifacts — the memoized BM25 top-20
+    * (|queries|·20 rows) and the index's `doclen` table for lengths
+    * (id join; text never scanned) — and the window partitions per
+    * query over ≤20 rows. Nothing grows with the corpus. */
+  def q151ContextPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 250L
+    val pfx = ensureBm25Index(s, dir)
+    val top = bm25Top20Artifact(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rn"))
+    val dl = s.table(s"$pfx.doclen")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.join(dl, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("dl")).over(w))
+      .select(col("query_id"), col("rn").cast("int").as("rn"),
+        col("doc_id"), col("dl"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("kept"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** DuckDB replay of q151: [[bm25Ctes]] verbatim for the ranking,
+    * identical lengths and prefix-sum cut. */
+  val q151Sql: String =
+    s"""WITH $bm25Ctes,
+      |top AS (SELECT query_id, doc_id, rn FROM ranked WHERE rn <= 20),
+      |pk AS (
+      |  SELECT t.query_id, t.rn, t.doc_id, l.dl,
+      |    SUM(l.dl) OVER (PARTITION BY t.query_id ORDER BY t.rn) AS cum
+      |  FROM top t JOIN dl l USING (doc_id))
+      |SELECT query_id, CAST(rn AS INTEGER) AS rn, doc_id,
+      |  CAST(dl AS BIGINT) AS dl, CAST(cum AS BIGINT) AS cum_tokens,
+      |  cum <= 250 AS kept
+      |FROM pk ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_collocations" -> q145Collocations _,
     "q147_doc_keywords" -> q147DocKeywords _,
+    "q151_context_pack" -> q151ContextPack _,
     "q121_boilerplate" -> q121Boilerplate _,
     "q128_line_filter" -> q128LineFilter _,
     "q133_zipf_fit" -> q133ZipfFit _,
@@ -2063,6 +2109,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "q145_collocations" -> q145Sql,
     "q147_doc_keywords" -> q147Sql,
+    "q151_context_pack" -> q151Sql,
     "q58_lang_id"     -> q58Sql,
     "q59_quality"     -> q59Sql,
     "q60_token_count" -> q60Sql,

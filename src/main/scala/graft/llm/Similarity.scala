@@ -1398,7 +1398,11 @@ object Similarity {
     * plan (PlanSpec gates stage 1 reads sq8_codes and the embeddings
     * parquet appears only under the query-side pushdown and the
     * rescore joins). */
-  def q144Sq8Search(s: SparkSession, dir: String): DataFrame = {
+  /** q144's stage-1 frame — probed-cell candidates ranked by the int8
+    * code dot over the persisted `sq8_codes` artifact, rn1-tagged up
+    * to the top-10 — shared by the search ([[q144Sq8Search]] rescores
+    * it) and the recall audit ([[q152Sq8Recall]] measures it). */
+  private def sq8Stage1(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
     val nProbe = 5
@@ -1425,7 +1429,7 @@ object Similarity {
     // double normalization, once-rounded micro-unit score
     val w1 = Window.partitionBy(col("qid"))
       .orderBy(col("su1").desc, col("cid"))
-    val stage1 = probes.join(corpus, Seq("cell"))
+    probes.join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
       .withColumn("idot", call_function("graft_int8dot", col("qa"), col("qb")))
@@ -1433,11 +1437,16 @@ object Similarity {
         (col("sa") * col("sb") * col("qn") * col("cn")) * lit(1e6))
         .cast("long"))
       .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= 10)
-      .select(col("qid"), col("cid"), col("qn"), col("cn"))
+      .select(col("qid"), col("cid"), col("qn"), col("cn"), col("rn1"))
+  }
+
+  def q144Sq8Search(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
     // stage 2: exact cosine on the survivors only (≤ 10 ids per query)
     val w2 = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
-    stage1
+    sq8Stage1(s, dir)
       .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv2")),
         Seq("qid"))
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv2")),
@@ -1449,13 +1458,13 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** DuckDB replay of q144 END-TO-END: ivfCtes (Lloyd's included), the
-    * q57 probe chain, q80's exact quantization formulas, the same
-    * integer dot + fixed-order normalization + once-rounded stage-1
-    * micro-units, the same exact top-3 rescore. */
-  lazy val q144Sql: String = {
+  /** The q144 oracle's CTE chain (ivfCtes + quantization + probe
+    * chain + stage-1 rank + exact rescore rank, ending at `rk2`) —
+    * shared verbatim by [[q144Sql]] and the recall audit's
+    * [[q152Sql]], so the two oracles cannot drift. */
+  private lazy val sq8Ctes: String = {
     val r = AnnIndex.MaxRounds + 1
-    s"""WITH ${ivfCtes("")},
+    s"""${ivfCtes("")},
       |qz AS (
       |  SELECT vec_id, 127.0 / ma AS scale,
       |    list_transform(ev, v -> CAST(floor(v * (127.0 / ma) + 0.5)
@@ -1496,10 +1505,99 @@ object Similarity {
       |rk2 AS (
       |  SELECT qid, cid, sim,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
-      |  FROM res)
+      |  FROM res)""".stripMargin
+  }
+
+  /** DuckDB replay of q144 END-TO-END: ivfCtes (Lloyd's included), the
+    * q57 probe chain, q80's exact quantization formulas, the same
+    * integer dot + fixed-order normalization + once-rounded stage-1
+    * micro-units, the same exact top-3 rescore. */
+  lazy val q144Sql: String =
+    s"""WITH $sq8Ctes
       |SELECT qid, cid, sim, CAST(rn AS INTEGER) AS rn FROM rk2
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** SQ8 recall audit (q152) — what the int8 trade actually costs,
+    * measured: recall@3 against the exact ground truth for (a) the
+    * RAW stage-1 int8 ranking's top-3 (no rescore) and (b) q144's
+    * shipped two-stage result — the pair of numbers that justifies
+    * the rescore stage's existence and prices the quantization
+    * band-gap. Together with q148 (nProbe curve) and q66 (shipped
+    * operating point) this completes the index-tuning card set: every
+    * dial the ANN stack exposes now has an oracle-checked gauge.
+    *
+    * Scale shape: one stage-1 pass ([[sq8Stage1]], shared with q144 —
+    * probed-cell candidates against the persisted byte codes), the
+    * memoized exact artifact, and two 150-row recall aggregates.
+    * Everything is the audited q144/q55 machinery; the audit adds no
+    * new corpus-scale work. */
+  def q152Sq8Recall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = q55SearchArtifact(s, dir).filter(col("rn") <= 3)
+      .select(col("qid"), col("cid")).localCheckpoint()
+    val stage1 = sq8Stage1(s, dir).localCheckpoint() // feeds both gauges
+    def recallOf(approx: DataFrame, label: String): DataFrame = {
+      val hits = exact.join(approx.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(lit(label).as("variant"), col("n_hit"), col("n_exact"),
+          round(col("n_hit") / col("n_exact"), 4).as("recall_at_3"))
+    }
+    val rescored = {
+      val e = Tables.embeddings(s, dir)
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      stage1
+        .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv2")),
+          Seq("qid"))
+        .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv2")),
+          Seq("cid"))
+        .withColumn("sim", round(dot(col("qv2"), col("cv2")) /
+          (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 3)
+    }
+    recallOf(stage1.filter(col("rn1") <= 3), "sq8_stage1")
+      .unionByName(recallOf(rescored, "sq8_rescored"))
+      .orderBy(col("variant"))
   }
+
+  /** DuckDB replay of q152: [[sq8Ctes]] verbatim (so q144 and its
+    * audit share one oracle chain), the q66 exact ground truth, the
+    * same hits/total arithmetic for both variants. */
+  lazy val q152Sql: String =
+    s"""WITH $sq8Ctes,
+      |es2 AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    ROUND(list_dot_product(q.ev, c.ev) /
+      |      (SQRT(list_dot_product(q.ev, q.ev)) *
+      |       SQRT(list_dot_product(c.ev, c.ev))), 6) AS sim
+      |  FROM v q, v c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+      |exact2 AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |    FROM es2) WHERE rn <= 3),
+      |st3 AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY su1 DESC, cid) AS rn1
+      |    FROM s1) WHERE rn1 <= 3),
+      |re3 AS (SELECT qid, cid FROM rk2 WHERE rn <= 3),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact2),
+      |g1 AS (
+      |  SELECT 'sq8_stage1' AS variant,
+      |    CAST((SELECT COUNT(*) FROM exact2 e JOIN st3 t
+      |          ON e.qid = t.qid AND e.cid = t.cid) AS BIGINT) AS n_hit),
+      |g2 AS (
+      |  SELECT 'sq8_rescored' AS variant,
+      |    CAST((SELECT COUNT(*) FROM exact2 e JOIN re3 t
+      |          ON e.qid = t.qid AND e.cid = t.cid) AS BIGINT) AS n_hit)
+      |SELECT variant, n_hit, n.n_exact,
+      |  ROUND(n_hit * 1.0 / n.n_exact, 4) AS recall_at_3
+      |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2), n
+      |ORDER BY variant""".stripMargin
 
   /** Mean-centered exact retrieval (q146) — the REPRESENTATION-level
     * fix for the anisotropy q136 measures and the hubness q138 counts
@@ -1791,6 +1889,7 @@ object Similarity {
     "q146_centered_search" -> q146CenteredSearch _,
     "q148_probe_sweep" -> q148ProbeSweep _,
     "q149_contrastive_triplets" -> q149ContrastiveTriplets _,
+    "q152_sq8_recall" -> q152Sq8Recall _,
     "q143_csls_search" -> q143CslsSearch _,
     "q144_sq8_search" -> q144Sq8Search _,
     "q122_cascade_rerank" -> q122CascadeRerank _,
@@ -2092,6 +2191,7 @@ object Similarity {
     "q146_centered_search" -> q146Sql,
     "q148_probe_sweep" -> q148Sql,
     "q149_contrastive_triplets" -> q149Sql,
+    "q152_sq8_recall" -> q152Sql,
     "q136_embedding_health" -> q136Sql,
     "q137_cluster_cards" -> q137Sql,
     "q138_hubness_audit" -> q138Sql,

@@ -468,6 +468,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"N must come from the persisted stats ledger:\n$plan")
   }
 
+  test("q145 collocations rank via distributed TakeOrdered, not a global window") {
+    // the top-20 must come from TakeOrderedAndProject (a distributed
+    // partial top-k) so the unpartitioned rank window only ever sees
+    // the 20 survivors — never the full bigram set through one task
+    val plan = planOf(llm.TextAnalysis.q145Collocations(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject(limit=20"),
+      s"q145 must TakeOrdered before ranking:\n$plan")
+    val windowIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx > windowIdx,
+      s"the rank window must sit ABOVE the TakeOrdered limit:\n$plan")
+  }
+
   test("q149 triplets keep the cell-join geometry: no corpus NLJ") {
     // negatives come from each anchor's single IVF cell via an
     // equi-join; nothing in the plan may fall back to a corpus-sized

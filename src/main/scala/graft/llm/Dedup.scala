@@ -1030,6 +1030,7 @@ object Dedup {
     "q51_dedup_norm"    -> q51Norm _,
     "q52_dedup_minhash" -> q52MinHashLsh _,
     "q53_dedup_simhash" -> q53SimHash _,
+    "q153_dedup_roi"    -> q153DedupRoi _,
     "q106_dedup_keep_best" -> q106DedupKeepBest _,
     "q54_ngram_jaccard" -> q54NgramJaccard _,
     "q79_decontaminate" -> q79Decontaminate _,
@@ -1201,13 +1202,16 @@ object Dedup {
     * ALL-PAIRS hamming filter, which the Spark side's 4×16-bit banding
     * equals by pigeonhole (recall exactly 1). A signature divergence,
     * a missed pair, or an invented pair all fail the hash. */
-  val q53Sql: String = {
+  /** The q53 oracle's SimHash-signature CTE chain (tok → … → `sig`) —
+    * shared by [[q53Sql]] and the dedup-ROI card's [[q153Sql]], so the
+    * constants and bit conventions have one SQL rendering. */
+  private[llm] val simCtes: String = {
     val al = SimA.mkString("[", ",", "]")
     val bl = SimB.mkString("[", ",", "]")
     val pw = (0 until 64)
       .map(j => "'" + java.math.BigInteger.ONE.shiftLeft(j) + "'")
       .mkString("[", ",", "]")
-    s"""WITH tok AS (
+    s"""tok AS (
       |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
       |  FROM documents),
       |wb AS (
@@ -1235,15 +1239,133 @@ object Dedup {
       |    CAST(CASE WHEN su >= CAST('9223372036854775808' AS HUGEINT)
       |         THEN su - CAST('18446744073709551616' AS HUGEINT)
       |         ELSE su END AS BIGINT) AS sig
-      |  FROM sg)
+      |  FROM sg)""".stripMargin
+  }
+
+  val q53Sql: String =
+    s"""WITH $simCtes
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Dedup ROI card (q153) — the method-comparison table a curator
+    * reads before choosing which dedup passes to run at corpus scale:
+    * for each of the pack's five dedup families — exact text,
+    * normalized text, MinHash-verified near-dup, SimHash, and
+    * SemDeDup — the documents it would remove under the shared
+    * keep-lowest-id convention and the TOKEN MASS those documents
+    * carry (the number that prices a method: dedup buys training
+    * tokens back, and methods differ in how many). Each method's drop
+    * rule is the exact rule its own operator ships (q50/q51 grouping,
+    * q52's verified pairs, q53's hamming band, q100's within-cell
+    * cosine band) — the card is a COMPOSITION, not a re-definition,
+    * so its oracle reuses those operators' SQL fragments verbatim.
+    *
+    * Scale shape: every branch is the audited bounded plan of its
+    * operator (hash groupings; the memoized pairs artifact; blocked/
+    * banded pair generation; the guarded cell cover) followed by an
+    * ids-only distinct + one token-sum join; the card itself adds
+    * five 1-row aggregates. */
+  def q153DedupRoi(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val tokens = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .localCheckpoint() // feeds every method's mass join AND the total
+    val tot = tokens.agg(sum(col("n")).as("total"))
+    def card(label: String, flagged: DataFrame): DataFrame =
+      flagged.select(col("doc_id")).distinct()
+        .join(tokens, Seq("doc_id"))
+        .agg(count(lit(1)).as("docs_flagged"),
+          coalesce(sum(col("n")), lit(0L)).as("tokens_flagged"))
+        .crossJoin(broadcast(tot))
+        .select(lit(label).as("method"), col("docs_flagged"),
+          col("tokens_flagged"),
+          round(col("tokens_flagged") / col("total"), 6).as("share6"))
+    val exactFlag = docs
+      .join(docs.groupBy(col("text")).agg(min(col("doc_id")).as("keep")),
+        Seq("text"))
+      .filter(col("doc_id") =!= col("keep")).select(col("doc_id"))
+    // q51's normalization verbatim
+    val normE = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val normFlag = docs.withColumn("h", normE)
+      .join(docs.select(normE.as("h"), col("doc_id").as("k"))
+        .groupBy(col("h")).agg(min(col("k")).as("keep")), Seq("h"))
+      .filter(col("doc_id") =!= col("keep")).select(col("doc_id"))
+    val mhFlag = verifiedPairsArtifact(s, dir)
+      .select(col("doc_b").as("doc_id"))
+    val shFlag = q53SimHash(s, dir).select(col("doc_b").as("doc_id"))
+    val sdFlag = Similarity.semDropList(s, dir)
+      .select(col("vec_id").as("doc_id"))
+    Seq(card("exact", exactFlag), card("minhash", mhFlag),
+      card("normalized", normFlag), card("semdedup", sdFlag),
+      card("simhash", shFlag))
+      .reduce(_ unionByName _).orderBy(col("method"))
   }
 
+  /** DuckDB replay of q153: each method's published SQL fragment
+    * verbatim — [[pairCtes]] (MinHash ≡ exact Jaccard), [[simCtes]],
+    * [[Similarity.ivfCtes]] (`i_`-prefixed to avoid the `v` clash) —
+    * plus the q50/q51 groupings inline, under one shared token fold. */
+  lazy val q153Sql: String =
+    s"""WITH $pairCtes,
+      |$simCtes,
+      |${Similarity.ivfCtes("i_")},
+      |tkn AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |ttot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tkn),
+      |exf AS (
+      |  SELECT d.doc_id FROM documents d
+      |  JOIN (SELECT text, MIN(doc_id) AS keep FROM documents GROUP BY 1) x
+      |    ON x.text = d.text WHERE d.doc_id <> x.keep),
+      |nrm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+      |      'g'), ' +', ' ', 'g')) AS h
+      |  FROM documents),
+      |nof AS (
+      |  SELECT d.doc_id FROM nrm d
+      |  JOIN (SELECT h, MIN(doc_id) AS keep FROM nrm GROUP BY 1) x
+      |    ON x.h = d.h WHERE d.doc_id <> x.keep),
+      |mhf AS (SELECT DISTINCT doc_b AS doc_id FROM p WHERE jaccard >= 0.5),
+      |shf AS (
+      |  SELECT DISTINCT b.doc_id FROM sig a JOIN sig b
+      |    ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+      |sdf AS (
+      |  SELECT DISTINCT b.vec_id AS doc_id
+      |  FROM i_cells a JOIN i_cells b
+      |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.ev, b.ev) /
+      |    (SQRT(list_dot_product(a.ev, a.ev)) *
+      |     SQRT(list_dot_product(b.ev, b.ev))) >= 0.35),
+      |u AS (
+      |  SELECT 'exact' AS method, doc_id FROM exf
+      |  UNION ALL SELECT 'minhash', doc_id FROM mhf
+      |  UNION ALL SELECT 'normalized', doc_id FROM nof
+      |  UNION ALL SELECT 'semdedup', doc_id FROM sdf
+      |  UNION ALL SELECT 'simhash', doc_id FROM shf),
+      |agg AS (
+      |  SELECT method, CAST(COUNT(*) AS BIGINT) AS docs_flagged,
+      |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS tokens_flagged
+      |  FROM (SELECT DISTINCT method, doc_id FROM u) JOIN tkn USING (doc_id)
+      |  GROUP BY 1),
+      |mth(method) AS (VALUES ('exact'), ('minhash'), ('normalized'),
+      |                       ('semdedup'), ('simhash'))
+      |SELECT m.method,
+      |  CAST(COALESCE(docs_flagged, 0) AS BIGINT) AS docs_flagged,
+      |  CAST(COALESCE(tokens_flagged, 0) AS BIGINT) AS tokens_flagged,
+      |  ROUND(COALESCE(tokens_flagged, 0) * 1.0 / t.total, 6) AS share6
+      |FROM mth m LEFT JOIN agg USING (method), ttot t
+      |ORDER BY method""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q153_dedup_roi"    -> q153Sql,
     "q50_dedup_exact"   -> q50Sql,
     "q51_dedup_norm"    -> q51Sql,
     "q54_ngram_jaccard" -> q54Sql,

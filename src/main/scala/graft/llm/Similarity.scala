@@ -398,14 +398,18 @@ object Similarity {
     * moves ids only. The clustering is approximate
     * only in QUALITY — deterministic training makes the whole pipeline
     * replayable, oracle-checked end-to-end by [[q100Sql]]. */
-  def q100SemDedup(s: SparkSession, dir: String): DataFrame = {
+  /** q100's greedy drop list — every (cell, member) whose cell holds a
+    * LOWER-id member within the duplicate band (cos ≥ 0.35), over the
+    * guarded within-cell pair cover — shared by q100 (per-cell counts)
+    * and the dedup-ROI card q153 (token mass). */
+  private[llm] def semDropList(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val pfx = AnnIndex.ensure(s, dir)
     val m = s.table(s"$pfx.ivf_cells")
       .join(Tables.embeddings(s, dir), Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
     val vecs = m.select(col("vec_id"), col("embedding"), col("nrm"))
-    val dropped = guardedCellPairs(m.select(col("cell"), col("vec_id")))
+    guardedCellPairs(m.select(col("cell"), col("vec_id")))
       .filter(col("id_a") < col("id_b"))
       .join(vecs.select(col("vec_id").as("id_a"),
         col("embedding").as("va"), col("nrm").as("na")), Seq("id_a"))
@@ -413,6 +417,15 @@ object Similarity {
         col("embedding").as("vb"), col("nrm").as("nb")), Seq("id_b"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.35)
       .select(col("cell"), col("id_b").as("vec_id")).distinct()
+  }
+
+  def q100SemDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val m = s.table(s"$pfx.ivf_cells")
+      .join(Tables.embeddings(s, dir), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val dropped = semDropList(s, dir)
     m.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
       .join(dropped.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped")),
         Seq("cell"), "left")
@@ -1998,7 +2011,7 @@ object Similarity {
     * oracle can host this chain next to the LSH replay. Produces
     * `${p}cells` (vec_id, cell, ev) and `${p}a$R` (the final ranking,
     * for probe selection). */
-  private def ivfCtes(p: String): String = {
+  private[llm] def ivfCtes(p: String): String = {
     val k = AnnIndex.KCells
     val dim = AnnIndex.Dim
     val rounds = AnnIndex.MaxRounds

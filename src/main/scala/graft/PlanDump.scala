@@ -100,7 +100,25 @@ object PlanDump {
         "three inputs are the pack's existing top-k frames " +
         "(checkpointed once each); per channel the evaluation is two " +
         "ids-only joins and a |queries|-key aggregate — nothing beyond " +
-        "the searches scales with the corpus"))
+        "the searches scales with the corpus"),
+      "q143_csls_search" -> ("CSLS search with r(d) persisted (r13): the " +
+        "neighborhood statistic attaches from the ivf_rd artifact by one " +
+        "id join — no within-cell pair subtree anywhere in the plan; " +
+        "candidates keep the q57 probed-cell equi-join and the only " +
+        "nested loop is the 8-row centroid ranking"),
+      "q144_sq8_search" -> ("SQ8 two-stage search over the persisted " +
+        "code table (r13): stage 1 scans sq8_codes (one byte/dim + " +
+        "scale) through the codegen'd Int8DotF kernel; the embeddings " +
+        "parquet appears only under the pushed vec_id<50 query filter " +
+        "and the two ≤10-per-query rescore joins"),
+      "q148_probe_sweep" -> ("nProbe tuning curve from ONE scored pass: " +
+        "each candidate is admitted at a unique probe rank (one cell " +
+        "per vector), so the rank-tagged frame pins once and all five " +
+        "sweep points are filters + per-query top-3 windows over it"),
+      "q153_dedup_roi" -> ("dedup method-comparison card: five branches, " +
+        "each its operator's exact drop rule and audited plan, then " +
+        "ids-only distincts, one token-sum join, and five 1-row " +
+        "aggregates — a composition, adding no new corpus-scale work"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

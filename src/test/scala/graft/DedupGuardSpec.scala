@@ -86,6 +86,35 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 90L)
   }
 
+  test("cell pair cover: exact on random memberships and shard factors") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // plain-scalacheck harness (the scalatestplus bridge isn't in the
+    // offline dependency set — the CommitPropertySpec pattern); fewer
+    // iterations than a pure-JVM property since each case runs two
+    // Spark jobs
+    val genCase = for {
+      nCells <- Gen.choose(1, 4)
+      sizes <- Gen.listOfN(nCells, Gen.choose(0, 40))
+      maxCell <- Gen.oneOf(1, 3, 7, 64, 4096)
+    } yield (sizes, maxCell)
+    val prop = Prop.forAll(genCase) { case (sizes, maxCell) =>
+      val members = sizes.zipWithIndex.flatMap { case (n, c) =>
+        (0 until n).map(i => (c, (c * 1000 + i).toLong)) }
+      val df = members.toDF("cell", "vec_id")
+      val got = graft.llm.Similarity.guardedCellPairs(df, maxCell)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      val want = for {
+        (ca, a) <- members; (cb, b) <- members
+        if ca == cb && a != b
+      } yield (a, b)
+      got.length == got.distinct.length && got.sorted == want.sorted
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("token packing packs null-source documents like any other group") {
     import spark.implicits._
     // 5 docs with NULL source, 4 tokens each, budget 8 → packs 0,0,1,1,2

@@ -604,6 +604,46 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands.size <= mg.K, "sketch must stay within K counters")
   }
 
+  test("Misra-Gries covering guarantee holds on random streams and merge trees") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // pure-JVM property over the ARRAY-buffer implementation (r13): for
+    // random zipf-ish streams, random partition splits, and random
+    // merge association, every token with freq > n/(K+1) must keep a
+    // counter and the sketch must never exceed K live slots — the
+    // deficit bound is implementation-independent, so the in-place
+    // rewrite must satisfy exactly what the Map form did
+    val mg = TextAnalysis.MisraGries
+    val genCase = for {
+      nHeavy <- Gen.choose(1, 4)
+      heavyReps <- Gen.choose(100, 400)
+      nLight <- Gen.choose(10, 300)
+      seed <- Gen.choose(0L, Long.MaxValue)
+      nParts <- Gen.choose(1, 9)
+    } yield (nHeavy, heavyReps, nLight, seed, nParts)
+    val prop = Prop.forAll(genCase) {
+      case (nHeavy, heavyReps, nLight, seed, nParts) =>
+        val rnd = new scala.util.Random(seed)
+        val stream = rnd.shuffle(
+          (0 until nHeavy).flatMap(h => Seq.fill(heavyReps)(s"hh$h")) ++
+            (0 until nLight * 3).map(_ => "t" + rnd.nextInt(nLight)))
+        val n = stream.size
+        val parts = stream.grouped(math.ceil(n.toDouble / nParts).toInt)
+          .toSeq.map(_.foldLeft(mg.zero)(mg.reduce))
+        // random association: fold left or right by seed parity
+        val merged =
+          if (seed % 2 == 0) parts.reduceLeft(mg.merge)
+          else parts.reduceRight(mg.merge)
+        val cands = mg.finish(merged).toSet
+        val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+        val mustCover = exact.collect {
+          case (t, c) if c.toLong * (mg.K + 1) > n => t }.toSet
+        cands.size <= mg.K && mustCover.subsetOf(cands)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q150 water-filling: hand-computed caps, level, and redistribution") {
     import spark.implicits._
     // sources: a (100 tokens), b (10), c (10) — total 120, B = 108.

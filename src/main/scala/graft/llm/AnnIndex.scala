@@ -108,6 +108,42 @@ object AnnIndex {
     if (r.isNullAt(0)) None else Some(r.getInt(0))
   }
 
+  /** Start-time guard for every batch-id-keyed fence: all the fences
+    * and replay gates here assume "same checkpoint ⟹ same batch ids".
+    * A stream restarted over the SAME index tables with a FRESH (or
+    * rewound) checkpoint restarts batch ids at 0 while the tables
+    * carry stamps from the old numbering — every stamp comparison then
+    * reads "already done": the departure replay gates would silently
+    * skip retractions and the append fences would silently drop NEW
+    * batches until ids catch up to the old stamp. That failure is
+    * invisible at runtime, so it must be refused at start: compute the
+    * checkpoint's next batch id from its `offsets` log (max entry + 1;
+    * a fresh checkpoint starts at 0) and fail loudly if the fence
+    * table already carries a stamp at or above it. A table that does
+    * not exist yet (index not built) passes — the maintainer's first
+    * batch creates its stamps under this checkpoint's numbering. */
+  private[graft] def validateCheckpointStamps(s: SparkSession,
+      checkpoint: String, tableFqn: String, key: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val nextId =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).toSeq
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .foldLeft(-1L)(math.max) + 1L
+    scala.util.Try(maxStamp(s, tableFqn, key)).toOption.flatten
+      .filter(_ >= nextId).foreach { m =>
+        throw new IllegalStateException(
+          s"$tableFqn already carries fence stamp $key=$m but checkpoint " +
+            s"$checkpoint would number its next micro-batch $nextId: a " +
+            "fresh or rewound checkpoint over already-stamped index " +
+            "tables makes every fence read 'already done' and silently " +
+            "drops new work until batch ids catch up. Reuse the " +
+            "original checkpoint, or rebuild the index tables for the " +
+            "new one.")
+      }
+  }
+
   /** The corpus version the index covers. Prefers the commit-summary
     * ledger; falls back to the legacy `graft.indexed-version` table
     * property older builds stamped, so a persisted artifact predating
@@ -181,7 +217,8 @@ object AnnIndex {
     * the mean rounds ONCE to a micro-unit long — the q143 oracle's
     * arithmetic verbatim, so the persisted column and a fresh
     * recompute are bit-identical. Members with no same-cell neighbor
-    * (singleton cells) get NO row, matching the oracle's inner join. */
+    * (singleton cells) get NO row — consumers LEFT-join and fall back
+    * to rd_u = 0 ([[Similarity.q143CslsSearch]]'s convention). */
   private[graft] def rdStats(members: DataFrame, vecs: DataFrame): DataFrame = {
     val v = vecs.select(col("vec_id"), col("embedding"), col("nrm"))
     val wd = Window.partitionBy(col("id_a"))
@@ -295,6 +332,36 @@ object AnnIndex {
     finally s.catalog.dropTempView(dv)
   }
 
+  /** Migration shim for indexes built BEFORE the artifact rework that
+    * added `ivf_rd` and `sq8_codes`: refresh and vacuum read both
+    * unconditionally, so maintenance against an older index would
+    * otherwise throw on the missing tables and force a full rebuild.
+    * Creates whichever is absent and backfills it from the CURRENT
+    * membership — sq8 codes for exactly the ids `ivf_cells` covers
+    * (the ids-only semi-join keeps a subsequent refresh's delta append
+    * from double-coding the new vectors), r(d) via [[refreshRdFor]]
+    * over every occupied cell (the audited repair path; one
+    * index-sized job, run once per migrated index). Idempotent: both
+    * branches are existence-gated no-ops afterwards. */
+  private def ensureAuxTables(s: SparkSession, corpusFqn: String,
+                              prefix: String): Unit = {
+    val corpus = s.table(corpusFqn)
+      .select(col("vec_id").cast("bigint").as("vec_id"), col("embedding"))
+    if (!s.catalog.tableExists(s"$prefix.sq8_codes")) {
+      s.sql(s"CREATE TABLE $prefix.sq8_codes " +
+        "(vec_id BIGINT, scale DOUBLE, code BINARY)")
+      sq8CodesOf(corpus.join(s.table(s"$prefix.ivf_cells")
+          .select(col("vec_id")), Seq("vec_id"), "left_semi"))
+        .writeTo(s"$prefix.sq8_codes").append()
+    }
+    if (!s.catalog.tableExists(s"$prefix.ivf_rd")) {
+      s.sql(s"CREATE TABLE $prefix.ivf_rd " +
+        "(vec_id BIGINT, cell INT, rd_u BIGINT)")
+      refreshRdFor(s, prefix, corpus,
+        s.table(s"$prefix.ivf_cells").select(col("cell")).distinct())
+    }
+  }
+
   /** Incremental index refresh after corpus appends: reads ONLY the
     * changes-since delta — the `from-version` incremental scan from the
     * last stamped version, PINNED at the corpus version captured up
@@ -324,6 +391,7 @@ object AnnIndex {
     val v1 = indexedVersion(s, prefix)
     val v2 = corpusVersion(s, corpusFqn)
     if (v2 <= v1) return 0L
+    ensureAuxTables(s, corpusFqn, prefix) // pre-rework index: backfill
 
     val delta0 = s.read
       .option("versionAsOf", v2.toString)
@@ -398,6 +466,7 @@ object AnnIndex {
     * makes delete deltas file-granular; the anti-match misses nothing
     * regardless of history shape. Returns index rows removed. */
   def vacuum(s: SparkSession, corpusFqn: String, prefix: String): Long = {
+    ensureAuxTables(s, corpusFqn, prefix) // pre-rework index: backfill
     val view = "graft_ann_live_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     s.table(corpusFqn).select(col("vec_id").cast("bigint").as("vec_id"))

@@ -319,7 +319,8 @@ object Dedup {
     * self-join covers. */
   def dedupIngestStream(s: SparkSession, corpusFqn: String, indexFqn: String,
                         outFqn: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    AnnIndex.validateCheckpointStamps(s, checkpoint, outFqn, IngestBatchKey)
     s.readStream.table(corpusFqn)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -327,6 +328,7 @@ object Dedup {
         dedupBatch(s, batch, corpusFqn, indexFqn, outFqn, id, IngestBatchKey)
       }
       .start()
+  }
 
   /** The shared per-batch ingest body: sign + band the arrivals, pair
     * them against the persisted index (and each other), append pairs
@@ -387,6 +389,10 @@ object Dedup {
                           indexFqn: String, outFqn: String,
                           checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the departure replay gate compares MaintainBatchKey stamps to
+    // batch ids — refuse a checkpoint whose numbering restarts below
+    AnnIndex.validateCheckpointStamps(s, checkpoint, outFqn,
+      MaintainBatchKey)
     val parts = corpusFqn.split("\\.")
     val changesFqn = (parts.init :+ s"`${parts.last}$$changes`").mkString(".")
     s.readStream.table(changesFqn)

@@ -1316,9 +1316,17 @@ object Similarity {
       .orderBy(col("csls_u").desc, col("cid"))
     cands
       .join(broadcast(rq), Seq("qid"))
-      .join(rd, Seq("cid"))
+      // LEFT join + rd_u = 0 fallback: a candidate can lack an r(d)
+      // row — singleton-cell members never get one ([[AnnIndex.
+      // rdStats]]), and on a churning index a row can sit retired for
+      // the documented rd-lag window. An inner join would silently
+      // DROP such candidates from CSLS results while plain IVF search
+      // still returns them; the explicit convention is "no
+      // neighborhood evidence ⟹ no hubness correction" (rd_u = 0),
+      // mirrored verbatim in the oracle's LEFT JOIN + COALESCE.
+      .join(rd, Seq("cid"), "left")
       .withColumn("csls_u",
-        lit(2L) * col("su") - col("rq_u") - col("rd_u"))
+        lit(2L) * col("su") - col("rq_u") - coalesce(col("rd_u"), lit(0L)))
       .withColumn("rn", row_number().over(wf)).filter(col("rn") <= 3)
       .select(col("qid"), col("cid"),
         round(col("csls_u") / lit(1e6), 6).as("csls6"), col("rn"))
@@ -1366,8 +1374,8 @@ object Similarity {
       |            ORDER BY su DESC, cid) AS rn FROM cs)
       |  WHERE rn <= 3 GROUP BY 1),
       |f AS (
-      |  SELECT cs.qid, cs.cid, 2 * su - rq_u - rd_u AS cu
-      |  FROM cs JOIN rqm USING (qid) JOIN rdm USING (cid)),
+      |  SELECT cs.qid, cs.cid, 2 * su - rq_u - COALESCE(rd_u, 0) AS cu
+      |  FROM cs JOIN rqm USING (qid) LEFT JOIN rdm USING (cid)),
       |rk AS (
       |  SELECT qid, cid, cu,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cu DESC, cid) AS rn

@@ -972,7 +972,9 @@ object TextAnalysis {
   def bm25IngestStream(s: SparkSession, corpusFqn: String,
                        postingsFqn: String, doclenFqn: String,
                        statsFqn: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    AnnIndex.validateCheckpointStamps(s, checkpoint, postingsFqn,
+      Bm25BatchKey)
     s.readStream.table(corpusFqn)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -993,6 +995,7 @@ object TextAnalysis {
         ()
       }
       .start()
+  }
 
   /** Fence keys for [[bm25MaintainStream]]'s two fenced commit groups
     * per micro-batch: the departure stats decrement (must stamp BEFORE
@@ -1049,6 +1052,10 @@ object TextAnalysis {
                          postingsFqn: String, doclenFqn: String,
                          statsFqn: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the departure replay gate compares Bm25ArrKey stamps to batch
+    // ids — refuse a checkpoint whose numbering restarts below them
+    AnnIndex.validateCheckpointStamps(s, checkpoint, postingsFqn,
+      Bm25ArrKey)
     val parts = corpusFqn.split("\\.")
     val changesFqn = (parts.init :+ s"`${parts.last}$$changes`").mkString(".")
     s.readStream.table(changesFqn)
@@ -1906,10 +1913,15 @@ object TextAnalysis {
     * bigram aggregation is the ONLY vocabulary²-bounded shuffle and
     * rides map-side combine (observed bigrams, not vocab² — Zipf makes
     * this ≪ n_tokens); unigram counts join by token (vocab-keyed, the
-    * q127 class); N is a 1-row broadcast. Headroom: cnt_ab·N·10⁶ fits
-    * int64 while cnt_ab·N < 9.2·10¹²; a 100 TB corpus promotes the
-    * numerator to DECIMAL(38,0) — same truncating-division semantics,
-    * flagged here rather than silently overflowed. */
+    * q127 class); N is a 1-row broadcast. Headroom: the numerator is
+    * computed in DECIMAL(38,0) (DuckDB: HUGEINT), NOT int64 — with
+    * ANSI off a long cnt_ab·N·10⁶ would silently WRAP once
+    * cnt_ab·N > 9.2·10¹² (cnt_ab = 10⁴ at N = 10⁹ tokens already
+    * does), corrupting rankings at exactly the corpus sizes this
+    * engine targets. cnt·N·10⁶ < 10³¹ even at 10⁷ bigram count over
+    * 10¹³ tokens, far inside decimal38; the quotient itself stays
+    * int64 (max N·10⁶/5 under the cnt ≥ 5 floor at ≤ 10¹² tokens —
+    * the documented ceiling for the emitted column). */
   def q145Collocations(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, dir)
@@ -1936,9 +1948,12 @@ object TextAnalysis {
         Seq("term_b"))
       .crossJoin(broadcast(tot))
       // `div`, not `/`: Spark's Divide is double division; div is the
-      // BIGINT truncating division the oracle's // mirrors exactly
+      // truncating integral division the oracle's // mirrors exactly.
+      // The numerator MUST be decimal: long·long wraps silently with
+      // ANSI off (see the headroom note above)
       .withColumn("lift_u",
-        expr("(cnt * n * 1000000L) div (cnt_a * cnt_b)"))
+        expr("(cast(cnt as decimal(20,0)) * cast(n as decimal(20,0)) " +
+          "* 1000000) div (cnt_a * cnt_b)"))
     // distributed TakeOrdered for the top-20, THEN rank the 20
     // survivors — a global row_number window over all scored bigrams
     // would funnel the frame through one task (the q119 lesson)
@@ -1968,7 +1983,8 @@ object TextAnalysis {
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
       |sc AS (
       |  SELECT bg.term_a, bg.term_b, bg.cnt,
-      |    (bg.cnt * t.n * 1000000) // (ua.cnt_t * ub.cnt_t) AS lift_u
+      |    CAST((CAST(bg.cnt AS HUGEINT) * t.n * 1000000)
+      |      // (ua.cnt_t * ub.cnt_t) AS BIGINT) AS lift_u
       |  FROM bg JOIN uni ua ON ua.t = bg.term_a
       |  JOIN uni ub ON ub.t = bg.term_b, tot t)
       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift_u DESC, term_a, term_b)

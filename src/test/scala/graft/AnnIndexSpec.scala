@@ -228,4 +228,42 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("ann_a.lividx.ivf_cells").count() == n0)
     } finally q2.stop()
   }
+
+  test("maintenance against a pre-rework index backfills ivf_rd and sq8_codes") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ann_a.mig")
+    spark.sql("CREATE TABLE ann_a.mig.vecs (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .writeTo("ann_a.mig.vecs").append()
+    val n0 = spark.table("ann_a.mig.vecs").count()
+    AnnIndex.buildFromCorpus(spark, "ann_a.mig.vecs", "ann_a.migidx")
+    // emulate an index built before the artifact rework: the two
+    // artifact tables simply never existed
+    spark.sql("DROP TABLE ann_a.migidx.ivf_rd")
+    spark.sql("DROP TABLE ann_a.migidx.sq8_codes")
+
+    // vacuum must MIGRATE (create + backfill), not throw — and then
+    // find nothing to reclaim on the unchanged corpus
+    assert(AnnIndex.vacuum(spark, "ann_a.mig.vecs", "ann_a.migidx") == 0L)
+    assert(spark.table("ann_a.migidx.sq8_codes").count() == n0)
+    assert(rdPersisted("ann_a.migidx") == rdFresh("ann_a.mig.vecs", "ann_a.migidx"),
+      "the backfilled ivf_rd must equal a fresh recompute")
+
+    // refresh after an append must also migrate-then-index, WITHOUT
+    // double-coding the delta (the backfill covers only the ids
+    // ivf_cells already held; the delta appends its own codes)
+    spark.sql("DROP TABLE ann_a.migidx.ivf_rd")
+    spark.sql("DROP TABLE ann_a.migidx.sq8_codes")
+    val v0 = spark.table("ann_a.mig.vecs").where($"vec_id" === 0L)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    Seq((920001L, v0)).toDF("vec_id", "embedding")
+      .writeTo("ann_a.mig.vecs").append()
+    assert(AnnIndex.refresh(spark, "ann_a.mig.vecs", "ann_a.migidx") == 1L)
+    val codes = spark.table("ann_a.migidx.sq8_codes")
+    assert(codes.count() == n0 + 1)
+    assert(codes.select("vec_id").distinct().count() == n0 + 1,
+      "the backfill must not double-code the refresh delta")
+    assert(rdPersisted("ann_a.migidx") == rdFresh("ann_a.mig.vecs", "ann_a.migidx"),
+      "ivf_rd must equal a fresh recompute after migrate+refresh")
+  }
 }

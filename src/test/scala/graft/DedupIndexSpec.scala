@@ -778,6 +778,57 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"replay must keep the verdict pair: ${pairsNow()}")
   }
 
+  test("a fresh checkpoint over already-stamped index tables is refused at start") {
+    import spark.implicits._
+    // every fence and replay gate assumes "same checkpoint ⟹ same
+    // batch ids"; a maintainer restarted over the SAME tables with a
+    // FRESH checkpoint renumbers batches from 0 below the existing
+    // stamps, so every gate would read "already done" and silently
+    // skip retractions AND new appends. That must be refused loudly at
+    // stream start, not discovered as silent index drift.
+    val wh = java.nio.file.Files.createTempDirectory("graft-ckg-wh").toString
+    spark.conf.set("spark.sql.catalog.ckg",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ckg.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ckg.ing")
+    spark.sql("CREATE TABLE ckg.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE ckg.ing.postings " +
+      "(term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>) " +
+      "PARTITIONED BY (bucket(4, term))")
+    spark.sql("CREATE TABLE ckg.ing.doclen (doc_id BIGINT, dl BIGINT)")
+    spark.sql("CREATE TABLE ckg.ing.stats (n_delta BIGINT, sumdl_delta BIGINT)")
+    spark.sql("CREATE TABLE ckg.ing.bands (band INT, bh BIGINT, doc_id BIGINT)")
+    spark.sql("CREATE TABLE ckg.ing.pairs (doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE)")
+    Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text").writeTo("ckg.ing.docs").append()
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-ckg-c1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-ckg-c2").toString
+    def bm25(ck: String) = llm.TextAnalysis.bm25MaintainStream(spark,
+      "ckg.ing.docs", "ckg.ing.postings", "ckg.ing.doclen",
+      "ckg.ing.stats", ck)
+    val q = bm25(ck1)
+    try q.processAllAvailable() finally q.stop()
+    // the ORIGINAL checkpoint restarts fine (its next id sits above
+    // every stamp it wrote)…
+    val q2 = bm25(ck1)
+    try q2.processAllAvailable() finally q2.stop()
+    // …a fresh one is refused before any batch runs
+    val e = intercept[IllegalStateException](bm25(ck2))
+    assert(e.getMessage.contains("fence stamp"), e.getMessage)
+
+    // same guard on the dedup maintainer
+    val ck3 = java.nio.file.Files.createTempDirectory("graft-ckg-c3").toString
+    val ck4 = java.nio.file.Files.createTempDirectory("graft-ckg-c4").toString
+    def dd(ck: String) = Dedup.dedupMaintainStream(spark, "ckg.ing.docs",
+      "ckg.ing.bands", "ckg.ing.pairs", ck)
+    val q3 = dd(ck3)
+    try q3.processAllAvailable() finally q3.stop()
+    val q4 = dd(ck3)
+    try q4.processAllAvailable() finally q4.stop()
+    val e2 = intercept[IllegalStateException](dd(ck4))
+    assert(e2.getMessage.contains("fence stamp"), e2.getMessage)
+  }
+
   test("bm25Vacuum reconciles the index and stats to the live corpus") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-bmv-wh").toString

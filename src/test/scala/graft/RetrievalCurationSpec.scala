@@ -782,4 +782,28 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       // doc 1: everything distinct -> not repetitive
       (1L, 5L, 0.2, 0.0, 2L, 0.5, 0.0, false)), got.toString)
   }
+
+  test("q145 lift arithmetic survives numerators past the int64 ceiling") {
+    // q145's lift numerator cnt·N·10⁶ passes 9.2·10¹⁸ on any frequent
+    // bigram over a ~10⁹-token corpus; a LONG product fails there
+    // (ANSI on: a query-killing overflow error; ANSI off: a silent
+    // wrap that corrupts the ranking) while the decimal product stays
+    // exact — this pins the shipped expression to the decimal path
+    // with the smallest case that separates them: cnt = 10⁴, n = 10⁹,
+    // cnt_a = cnt_b = 10⁵ gives 10¹⁹/10¹⁰ = exactly 10⁹.
+    val vals = "FROM VALUES (10000L, 1000000000L, 100000L, 100000L) " +
+      "AS t(cnt, n, cnt_a, cnt_b)"
+    val r = spark.sql(
+      "SELECT (cast(cnt as decimal(20,0)) * cast(n as decimal(20,0)) " +
+        s"* 1000000) div (cnt_a * cnt_b) AS lift_u $vals").head()
+    assert(r.getLong(0) == 1000000000L,
+      s"decimal numerator must divide exactly, got ${r.getLong(0)}")
+    // sanity: the long numerator does NOT survive this input — the
+    // decimal cast is load-bearing, not stylistic
+    val longPath = scala.util.Try(spark.sql(
+      s"SELECT (cnt * n * 1000000L) div (cnt_a * cnt_b) AS w $vals")
+      .head().getLong(0))
+    assert(longPath.isFailure || longPath.get != 1000000000L,
+      s"expected the int64 path to overflow or wrap, got $longPath")
+  }
 }

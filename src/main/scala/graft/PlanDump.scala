@@ -118,7 +118,23 @@ object PlanDump {
       "q153_dedup_roi" -> ("dedup method-comparison card: five branches, " +
         "each its operator's exact drop rule and audited plan, then " +
         "ids-only distincts, one token-sum join, and five 1-row " +
-        "aggregates — a composition, adding no new corpus-scale work"))
+        "aggregates — a composition, adding no new corpus-scale work"),
+      "q154_mutual_knn" -> ("kNN-graph reciprocity (r14): within-cell " +
+        "ordered pairs from the guarded shard cover (ids only, " +
+        "embeddings re-attach by id), the top-1 window partitions by " +
+        "source vector (≤ occupancy rows), reciprocity is ONE ids-only " +
+        "self-join of the |members|-row edge list, and the output " +
+        "aggregates by cell — bounded by K, never the corpus"),
+      "q155_sq8_error" -> ("SQ8 reconstruction-error audit over the " +
+        "persisted code table (r14): one sq8_codes⋈embeddings id join " +
+        "feeds a map-only decode; the top-10 worst vectors come from " +
+        "TakeOrderedAndProject — no global window ever sees the " +
+        "corpus-sized error frame"),
+      "q158_heaps_law" -> ("Heaps vocabulary curve with NO global rank: " +
+        "five value cutoffs broadcast from one max(doc_id); vocabulary " +
+        "attributes to each term's first-occurrence doc, so every " +
+        "checkpoint is a filter + count over the vocab frame — one " +
+        "corpus pass total, windowless (PlanSpec-gated)"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

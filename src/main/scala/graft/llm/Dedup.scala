@@ -1027,7 +1027,157 @@ object Dedup {
       |GROUP BY source_a, source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Train/held-out n-gram containment curve (q156) — the
+    * contamination DIAL q79's single-n decontaminator reads one point
+    * of: for n = 1, 2, 3, how much of the held-out tenth (doc_id % 10
+    * = 7, the q93/q131 split convention) is already visible in the
+    * training slice — at the GRAM level (share of the held-out slice's
+    * distinct n-grams that occur in train) and the DOC level (share of
+    * held-out docs containing ANY train-seen n-gram). The curve's
+    * shape is the decision input: unigram containment is always ~1
+    * (shared vocabulary, harmless), and the n where containment
+    * finally collapses is the n a decontamination filter must use to
+    * separate leakage from language.
+    *
+    * Scale shape: per n, one map-only gram projection (per-doc
+    * distinct, positional zip — no self-join), one gram-keyed
+    * left-join of held-out grams against the train gram set (the
+    * gram-keyed shuffle class of q79), and two 1-row aggregates; the
+    * three n's union 3 rows. Docs shorter than n carry no n-gram and
+    * are out of that row's universe — stated, and mirrored in the
+    * oracle. */
+  def q156ContainmentCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .localCheckpoint() // feeds all three gram sizes
+    Seq(1, 2, 3).map { n =>
+      val g = docs.filter(size(col("ws")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(1, size(ws) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(ws, i, $n))))")).as("g"))
+      val train = g.filter(col("doc_id") % 10 =!= 7)
+        .select(col("g")).distinct()
+        .withColumn("hit", lit(1L))
+      val test = g.filter(col("doc_id") % 10 === 7)
+        .join(train, Seq("g"), "left")
+        .localCheckpoint() // feeds the doc fold AND the gram fold
+      val docsAgg = test.groupBy(col("doc_id"))
+        .agg(max(coalesce(col("hit"), lit(0L))).as("h"))
+        .agg(count(lit(1)).as("test_docs"),
+          sum(col("h")).as("contaminated_docs"))
+      val gramsAgg = test.groupBy(col("g"))
+        .agg(max(coalesce(col("hit"), lit(0L))).as("h"))
+        .agg(count(lit(1)).as("test_grams"),
+          sum(col("h")).as("contained_grams"))
+      docsAgg.crossJoin(gramsAgg).select(lit(n).as("n"),
+        col("test_docs"), col("contaminated_docs"),
+        col("test_grams"), col("contained_grams"))
+    }.reduce(_ unionByName _)
+      .withColumn("doc_rate6",
+        round(col("contaminated_docs") / col("test_docs"), 6))
+      .withColumn("gram_rate6",
+        round(col("contained_grams") / col("test_grams"), 6))
+      .orderBy(col("n"))
+  }
+
+  /** DuckDB replay of q156: identical tokenization, positional gram
+    * zips, the same split and containment folds, one block per n. */
+  val q156Sql: String = {
+    def block(n: Int): String =
+      s"""g$n AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    range(1, len(ws) - ${n - 1} + 1),
+        |    i -> array_to_string(ws[CAST(i AS INTEGER):CAST(i + ${n - 1} AS INTEGER)], ' ')))) AS g
+        |  FROM d WHERE len(ws) >= $n),
+        |tr$n AS (SELECT DISTINCT g FROM g$n WHERE doc_id % 10 <> 7),
+        |te$n AS (
+        |  SELECT t.doc_id, t.g,
+        |    CASE WHEN tr$n.g IS NULL THEN 0 ELSE 1 END AS h
+        |  FROM (SELECT * FROM g$n WHERE doc_id % 10 = 7) t
+        |  LEFT JOIN tr$n USING (g)),
+        |row$n AS (
+        |  SELECT $n AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS test_docs,
+        |    CAST(SUM(h) AS BIGINT) AS contaminated_docs
+        |  FROM (SELECT doc_id, MAX(h) AS h FROM te$n GROUP BY 1)),
+        |gr$n AS (
+        |  SELECT $n AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS test_grams,
+        |    CAST(SUM(h) AS BIGINT) AS contained_grams
+        |  FROM (SELECT g, MAX(h) AS h FROM te$n GROUP BY 1))""".stripMargin
+    s"""WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      |  FROM documents),
+      |${block(1)},
+      |${block(2)},
+      |${block(3)}
+      |SELECT CAST(r.n AS INTEGER) AS n, r.test_docs, r.contaminated_docs,
+      |  g.test_grams, g.contained_grams,
+      |  ROUND(r.contaminated_docs * 1.0 / r.test_docs, 6) AS doc_rate6,
+      |  ROUND(g.contained_grams * 1.0 / g.test_grams, 6) AS gram_rate6
+      |FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
+      |      UNION ALL SELECT * FROM row3) r
+      |JOIN (SELECT * FROM gr1 UNION ALL SELECT * FROM gr2
+      |      UNION ALL SELECT * FROM gr3) g USING (n)
+      |ORDER BY n""".stripMargin
+  }
+
+  /** Near-dup cluster size histogram (q157) — the shape number behind
+    * q153's per-family ROI totals: dedup savings concentrate in a few
+    * big clusters or spread across many pairs, and the remediation
+    * differs (a 500-member cluster is a template or a mirror — fix
+    * the SOURCE; ten thousand 2-clusters are organic near-dups — the
+    * banding is doing its job). Per cluster size: how many clusters,
+    * how many docs that is, and their token mass. Size 1 = the
+    * undeduplicated bulk, reported too (it's the denominator).
+    *
+    * Scale shape: labels come from the memoized q67 propagation
+    * artifact (one build per session serves q106/q118/q153 and this);
+    * lengths are map-only; then a cluster-keyed count and a size-keyed
+    * fold — the histogram is bounded by the largest cluster, never the
+    * corpus. */
+  def q157ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabelsArtifact(s, dir)
+    val per = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("cluster_size"), sum(col("n")).as("tokens"))
+    per.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("tokens")).as("tokens"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("tokens"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** DuckDB replay of q157: the q67 closure for labels (shared CTE),
+    * singletons kept as their own clusters, identical folds. (lazy:
+    * [[ccCte]] is declared below.) */
+  lazy val q157Sql: String = ccCte +
+    """,
+      |lab AS (SELECT doc_id, MIN(label) AS rep FROM cc GROUP BY 1),
+      |dl AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |m AS (
+      |  SELECT dl.doc_id, COALESCE(lab.rep, dl.doc_id) AS rep, dl.n
+      |  FROM dl LEFT JOIN lab USING (doc_id)),
+      |per AS (
+      |  SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+      |    CAST(SUM(n) AS BIGINT) AS tokens
+      |  FROM m GROUP BY 1)
+      |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tokens) AS BIGINT) AS tokens
+      |FROM per GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_containment_curve" -> q156ContainmentCurve _,
+    "q157_cluster_sizes" -> q157ClusterSizes _,
     "q120_source_overlap" -> q120SourceOverlap _,
     "q97_substring_dedup" -> q97SubstringDedup _,
     "q98_strip_spans" -> q98StripSpans _,
@@ -1371,6 +1521,8 @@ object Dedup {
       |ORDER BY method""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q156_containment_curve" -> q156Sql,
+    "q157_cluster_sizes" -> q157Sql,
     "q153_dedup_roi"    -> q153Sql,
     "q50_dedup_exact"   -> q50Sql,
     "q51_dedup_norm"    -> q51Sql,

@@ -1903,7 +1903,242 @@ object Similarity {
       |        ORDER BY neg_cos6 DESC, neg_id) AS rn FROM cn)
       |WHERE rn = 1 ORDER BY anchor_id""".stripMargin
 
+  /** kNN-graph reciprocity audit (q154) — the symmetry gauge next to
+    * q138's hubness histogram: for every indexed vector, is its top-1
+    * same-cell neighbor's own top-1 edge pointing BACK? The mutual
+    * rate per cell is the classic kNN-graph health number (a
+    * reciprocal edge is evidence of a genuine local cluster; a low
+    * mutual rate marks cells where neighborhoods are one-directional
+    * — hub-dominated or boundary-straddling — exactly where SemDeDup
+    * verdicts and CSLS corrections are least trustworthy). Per cell:
+    * members with a neighbor, mutual top-1 edges, and the rate.
+    *
+    * Scale shape: pairs come from the exact hot-cell shard cover
+    * ([[guardedCellPairs]], ids only; embeddings re-attach by id), the
+    * top-1 window partitions by source vector (≤ occupancy rows), the
+    * reciprocity check is ONE ids-only self-join of the |members|-row
+    * edge list, and the output is cell-keyed aggregation — bounded by
+    * K cells, never the corpus. Sims round once to micro-units (the
+    * q143 cp convention), ties on id. */
+  def q154MutualKnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val m = s.table(s"$pfx.ivf_cells")
+      .join(Tables.embeddings(s, dir), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val vecs = m.select(col("vec_id"), col("embedding"), col("nrm"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("su").desc, col("id_b"))
+    val edges = guardedCellPairs(m.select(col("cell"), col("vec_id")))
+      .join(vecs.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("su", round(dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) * lit(1e6)).cast("long"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // feeds both sides of the reciprocity join
+    val rev = edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+      .withColumn("mu", lit(1L))
+    edges.join(rev, Seq("id_a", "id_b"), "left")
+      .join(s.table(s"$pfx.ivf_cells")
+        .select(col("vec_id").as("id_a"), col("cell")), Seq("id_a"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("mu"), lit(0L))).as("n_mutual"))
+      .withColumn("mutual_rate6",
+        round(col("n_mutual") / col("n_nodes"), 6))
+      .select(col("cell"), col("n_nodes"), col("n_mutual"),
+        col("mutual_rate6"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB replay of q154 END-TO-END: ivfCtes (Lloyd's included), the
+    * q143 within-cell ordered-pair cp with the same micro-unit sims,
+    * top-1 per source with the same tiebreak, reciprocity as the same
+    * reversed-edge join, per-cell aggregation. */
+  lazy val q154Sql: String =
+    s"""WITH ${ivfCtes("")},
+      |cp AS (
+      |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+      |    CAST(ROUND(list_dot_product(x.ev, y.ev) /
+      |      (SQRT(list_dot_product(x.ev, x.ev)) *
+      |       SQRT(list_dot_product(y.ev, y.ev))) * 1e6) AS BIGINT) AS su
+      |  FROM cells x JOIN cells y
+      |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      |ed AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      ROW_NUMBER() OVER (PARTITION BY id_a
+      |        ORDER BY su DESC, id_b) AS rn FROM cp)
+      |  WHERE rn = 1),
+      |mu AS (
+      |  SELECT e.id_a, CASE WHEN r.id_a IS NULL THEN 0 ELSE 1 END AS m
+      |  FROM ed e LEFT JOIN ed r
+      |    ON r.id_a = e.id_b AND r.id_b = e.id_a)
+      |SELECT CAST(c.cell AS INTEGER) AS cell,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(m) AS BIGINT) AS n_mutual,
+      |  ROUND(SUM(m) * 1.0 / COUNT(*), 6) AS mutual_rate6
+      |FROM mu JOIN cells c ON c.vec_id = mu.id_a
+      |GROUP BY 1 ORDER BY cell""".stripMargin
+
+  /** Per-vector SQ8 reconstruction-error audit (q155) — the
+    * quantization counterpart of q152's recall gauge: q152 prices the
+    * int8 trade in RANKING terms, this prices it in GEOMETRY terms —
+    * the worst per-coordinate reconstruction error and the mean error
+    * per vector, surfacing the top-10 vectors the int8 grid fits
+    * worst (heavy-tailed coordinates — the vectors whose stage-1
+    * scores wobble most and the first candidates for float rescue or
+    * per-block scales). Errors are exact per-dimension micro-unit
+    * longs (round once, then max/sum — order-free), mean by integer
+    * division.
+    *
+    * Scale shape: reads the PERSISTED `sq8_codes` artifact joined to
+    * the corpus by id (one decode pass, map-only per row; at 100 TB
+    * this audit is one scan, no shuffle beyond the top-10
+    * TakeOrdered); the 10 survivors rank in a 10-row window. Zero
+    * vectors carry no code row and are out of scope, as in q80. */
+  def q155Sq8Error(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pfx = AnnIndex.ensure(s, dir)
+    val errUdf = udf { (emb: Seq[Float], scale: Double, code: Array[Byte]) =>
+      var maxu = 0L; var sumu = 0L; var i = 0
+      while (i < code.length) {
+        val e = math.abs(emb(i).toDouble - code(i).toDouble / scale)
+        val u = math.round(e * 1e6)
+        if (u > maxu) maxu = u
+        sumu += u; i += 1
+      }
+      (maxu, sumu / code.length)
+    }
+    val scored = s.table(s"$pfx.sq8_codes")
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      .withColumn("e", errUdf(col("embedding"), col("scale"), col("code")))
+      .select(col("vec_id"), col("e._1").as("max_err_u"),
+        col("e._2").as("mean_err_u"))
+    // distributed TakeOrdered for the top-10, THEN rank the survivors
+    // (the q145 lesson: no global row_number over the corpus)
+    scored.orderBy(col("max_err_u").desc, col("vec_id")).limit(10)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(col("max_err_u").desc, col("vec_id"))).cast("int"))
+      .select(col("rn"), col("vec_id"), col("max_err_u"),
+        col("mean_err_u"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q155 from the raw embeddings: q80's exact
+    * quantization formulas (the q144 oracle's qz shape), per-dimension
+    * once-rounded micro-unit errors, the same max / truncating-mean /
+    * top-10 ordering — a hash match proves the persisted codes decode
+    * to exactly what fresh quantization would say. */
+  val q155Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id, ev, 127.0 / ma AS scale,
+      |    list_transform(ev, x -> CAST(floor(x * (127.0 / ma) + 0.5)
+      |      AS INTEGER)) AS qv
+      |  FROM (SELECT vec_id, ev,
+      |          list_max(list_transform(ev, x -> abs(x))) AS ma FROM v)
+      |  WHERE ma > 0),
+      |err AS (
+      |  SELECT vec_id,
+      |    list_transform(list_zip(ev, qv),
+      |      p -> CAST(ROUND(ABS(p[1] - p[2] / scale) * 1e6) AS BIGINT)) AS eu
+      |  FROM qz),
+      |agg AS (
+      |  SELECT vec_id, CAST(list_max(eu) AS BIGINT) AS max_err_u,
+      |    CAST(CAST(list_sum(eu) AS BIGINT) // len(eu) AS BIGINT)
+      |      AS mean_err_u
+      |  FROM err)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY max_err_u DESC, vec_id)
+      |    AS INTEGER) AS rn,
+      |  vec_id, max_err_u, mean_err_u
+      |FROM agg QUALIFY rn <= 10 ORDER BY rn""".stripMargin
+
+  /** Sparse-vs-dense ranker agreement (q161) — the inter-ranker audit
+    * a hybrid deployment (q107/q111) reads before trusting fusion:
+    * how much do the BM25 and dense top-20 lists even overlap, and
+    * how differently do they order what they share? Per query: the
+    * common-doc count, Spearman's footrule (Σ|rank_bm25 − rank_dense|
+    * over common docs — the robust rank-distance), the squared-rank
+    * distance, and the top-20 overlap share. High overlap + low
+    * footrule means the channels are redundant (fusion buys little);
+    * low overlap means they see different corpora slices (fusion is
+    * load-bearing — and so is each channel's recall).
+    *
+    * Scale shape: both inputs are the already-audited bounded top-20
+    * frames (the memoized BM25 artifact and q107's 3-row-broadcast
+    * dense channel); the agreement math touches O(queries × 20) rows
+    * — one keyed join, one tiny aggregation. Integer ranks make every
+    * emitted number exact (one 6dp rounding for the share). */
+  def q161RankerAgreement(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val sparse = TextAnalysis.bm25Top20Artifact(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rn").as("rb"))
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id").isin(100L, 200L, 300L))
+      .select((col("vec_id") / 100).cast("int").as("query_id"),
+        col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("doc_id"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val dw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val dense = c.join(broadcast(q)) // 3-row build side: the q107 shape
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+      .withColumn("rd", row_number().over(dw)).filter(col("rd") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rd"))
+    sparse.join(dense, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(col("rb") - col("rd"))).cast("long").as("footrule"),
+        sum((col("rb") - col("rd")) * (col("rb") - col("rd")))
+          .cast("long").as("sum_d2"))
+      .withColumn("overlap6", round(col("n_common") / lit(20.0), 6))
+      .select(col("query_id"), col("n_common"), col("footrule"),
+        col("sum_d2"), col("overlap6"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB replay of q161: [[TextAnalysis.bm25Ctes]] VERBATIM for the
+    * sparse ranking (single source of truth with q101/q107), q107's
+    * dense chain extended to top-20, the same join and integer rank
+    * arithmetic. */
+  lazy val q161Sql: String =
+    s"""WITH ${TextAnalysis.bm25Ctes},
+      |sparse AS (SELECT query_id, doc_id, rn AS rb FROM ranked
+      |           WHERE rn <= 20),
+      |dq AS (SELECT CAST(vec_id // 100 AS INTEGER) AS query_id,
+      |              CAST(embedding AS DOUBLE[]) AS qv
+      |       FROM embeddings WHERE vec_id IN (100, 200, 300)),
+      |dc AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+      |       FROM embeddings),
+      |dsims AS (
+      |  SELECT query_id, doc_id,
+      |    ROUND(list_dot_product(qv, cv) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6) AS sim
+      |  FROM dq, dc),
+      |dense AS (
+      |  SELECT query_id, doc_id, rn AS rd FROM (
+      |    SELECT query_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |                         ORDER BY sim DESC, doc_id) AS rn
+      |    FROM dsims) WHERE rn <= 20)
+      |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+      |  CAST(SUM(ABS(rb - rd)) AS BIGINT) AS footrule,
+      |  CAST(SUM((rb - rd) * (rb - rd)) AS BIGINT) AS sum_d2,
+      |  ROUND(COUNT(*) / 20.0, 6) AS overlap6
+      |FROM sparse JOIN dense USING (query_id, doc_id)
+      |GROUP BY query_id ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_mutual_knn" -> q154MutualKnn _,
+    "q155_sq8_error" -> q155Sq8Error _,
+    "q161_ranker_agreement" -> q161RankerAgreement _,
     "q136_embedding_health" -> q136EmbeddingHealth _,
     "q137_cluster_cards" -> q137ClusterCards _,
     "q138_hubness_audit" -> q138HubnessAudit _,
@@ -2209,6 +2444,9 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q154_mutual_knn" -> q154Sql,
+    "q155_sq8_error" -> q155Sql,
+    "q161_ranker_agreement" -> q161Sql,
     "q146_centered_search" -> q146Sql,
     "q148_probe_sweep" -> q148Sql,
     "q149_contrastive_triplets" -> q149Sql,

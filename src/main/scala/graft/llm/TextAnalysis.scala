@@ -2096,7 +2096,202 @@ object TextAnalysis {
       |  cum <= 250 AS kept
       |FROM pk ORDER BY query_id, rn""".stripMargin
 
+  /** Heaps'-law vocabulary growth (q158) — the corpus-curve every
+    * tokenizer-vocab and dedup budget decision consults: how fast does
+    * the type count grow as the corpus grows (Heaps 1978: V(n) ≈
+    * K·n^β; a β drifting toward 1 means unbounded novel vocabulary —
+    * OCR noise, random ids, or a language the tokenizer has never
+    * seen). Emits the EXACT curve — docs, tokens, and distinct terms
+    * at 10/25/50/75/100% corpus prefixes (by doc_id, the stable
+    * arrival proxy) — and leaves the K/β regression to the notebook
+    * reading it: the curve is the engine-portable fact, the fit is a
+    * modeling choice.
+    *
+    * Scale shape: NO global rank anywhere — prefixes cut by doc_id
+    * VALUE against 5 broadcast cutoffs computed from one max()
+    * aggregate. The vocabulary contribution of each term is its
+    * FIRST-occurrence doc (one vocab-keyed min aggregate, map-side
+    * combined), so each checkpoint is a filter + count over the vocab
+    * frame, never a re-scan of the corpus per checkpoint: one corpus
+    * pass total, then vocab-sized and |docs|-sized frames × 5. */
+  def q158HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .localCheckpoint() // feeds lengths AND first occurrences
+    val cut = docs.agg(max(col("doc_id")).as("mid"))
+      .select(explode(array(Seq(10, 25, 50, 75, 100).map(lit): _*))
+        .as("pct"), col("mid"))
+      .withColumn("cutoff", expr("(mid * pct) div 100"))
+      .select(col("pct"), col("cutoff"))
+      .localCheckpoint() // 5 rows, feeds both conditional aggregates
+    val firstOcc = docs.select(col("doc_id"), explode(col("ws")).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+    val v = firstOcc.crossJoin(broadcast(cut))
+      .filter(col("fd") <= col("cutoff"))
+      .groupBy(col("pct"), col("cutoff"))
+      .agg(count(lit(1)).as("vocab"))
+    val t = docs.select(col("doc_id"), size(col("ws")).cast("long").as("n"))
+      .crossJoin(broadcast(cut))
+      .filter(col("doc_id") <= col("cutoff"))
+      .groupBy(col("pct"), col("cutoff"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    t.join(v, Seq("pct", "cutoff"))
+      .select(col("pct"), col("cutoff"), col("n_docs"), col("n_tokens"),
+        col("vocab"))
+      .orderBy(col("pct"))
+  }
+
+  /** DuckDB replay of q158: identical tokenization, the same
+    * value-cut prefixes, first-occurrence vocabulary attribution. */
+  val q158Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |cut AS (
+      |  SELECT pct, (mid * pct) // 100 AS cutoff
+      |  FROM (SELECT MAX(doc_id) AS mid FROM d),
+      |    (VALUES (10), (25), (50), (75), (100)) AS p(pct)),
+      |fo AS (
+      |  SELECT t, MIN(doc_id) AS fd
+      |  FROM (SELECT doc_id, UNNEST(ws) AS t FROM d) GROUP BY 1),
+      |v AS (
+      |  SELECT pct, cutoff, CAST(COUNT(*) AS BIGINT) AS vocab
+      |  FROM cut JOIN fo ON fo.fd <= cut.cutoff GROUP BY 1, 2),
+      |t AS (
+      |  SELECT pct, cutoff, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(ws)) AS BIGINT) AS n_tokens
+      |  FROM cut JOIN d ON d.doc_id <= cut.cutoff GROUP BY 1, 2)
+      |SELECT CAST(pct AS INTEGER) AS pct, CAST(cutoff AS BIGINT) AS cutoff,
+      |  n_docs, n_tokens, vocab
+      |FROM t JOIN v USING (pct, cutoff) ORDER BY pct""".stripMargin
+
+  /** Template-prefix detection (q159) — the doc-level sibling of
+    * q121's boilerplate-line mining: web and log corpora are full of
+    * TEMPLATE FAMILIES (same generated opening, different tails —
+    * product pages, error dumps, license headers) that whole-doc
+    * dedup misses (tails differ) and near-dup banding only partially
+    * catches. Grouping on the literal first-8-token prefix surfaces
+    * them exactly: every family of ≥2 docs sharing an opening, with
+    * its size, earliest member, and token mass — the frame a curator
+    * caps per-template admission with. Top-20 by family size.
+    *
+    * Scale shape: one map-only prefix projection, one prefix-keyed
+    * aggregation (map-side combined; the prefix is ≤8 tokens, so the
+    * shuffle moves short strings + counts, never documents), then the
+    * distributed TakeOrdered top-20 + 20-row rank (the q145 shape). */
+  def q159TemplatePrefix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), array_join(slice(col("ws"), 1, 8), " ")
+        .as("prefix"), size(col("ws")).cast("long").as("n"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"),
+        sum(col("n")).as("tokens"))
+      .filter(col("n_docs") >= 2)
+    g.orderBy(col("n_docs").desc, col("prefix")).limit(20)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(col("n_docs").desc, col("prefix"))).cast("int"))
+      .select(col("rn"), col("prefix"), col("n_docs"), col("rep_doc"),
+        col("tokens"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q159: same tokenization, literal 8-token
+    * prefixes, identical grouping and (n_docs desc, prefix) top-20. */
+  val q159Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, array_to_string(ws[1:8], ' ') AS prefix,
+      |    CAST(len(ws) AS BIGINT) AS n
+      |  FROM d),
+      |g AS (
+      |  SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    MIN(doc_id) AS rep_doc, CAST(SUM(n) AS BIGINT) AS tokens
+      |  FROM p GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, prefix)
+      |    AS INTEGER) AS rn,
+      |  prefix, n_docs, rep_doc, tokens
+      |FROM g QUALIFY rn <= 20 ORDER BY rn""".stripMargin
+
+  /** Generation-loop and keyword-stuffing card (q160) — the two
+    * repetition pathologies q88's LINE-level card cannot see (a
+    * looping generator repeats phrases inside one long line; keyword
+    * stuffing repeats one token across distinct lines): per document,
+    * the count of its most-repeated 5-gram (a 5-gram appearing ≥3
+    * times is the standard decoding-loop signature), the repeated-
+    * 5-gram mass share, and the single most frequent token's share of
+    * all tokens. Exact integer counts; ratios round once to 6dp.
+    *
+    * Scale shape: both features are (doc, key)-keyed counts with
+    * map-side combine followed by doc-keyed folds — the gram shuffle
+    * carries (doc_id, 5-gram hash-sized string, count), never text;
+    * partitions are bounded by a document's distinct grams. No
+    * windows, no self-joins. */
+  def q160RepNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .localCheckpoint() // feeds gram counts AND term counts
+    val grams = docs
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 4), " +
+          "i -> concat_ws(' ', slice(ws, i, 5)))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top5_cnt"), sum(col("c")).as("n5"),
+        count(lit(1)).as("d5"))
+      .withColumn("loop_ratio6",
+        round((col("n5") - col("d5")) / col("n5"), 6))
+    val terms = docs.select(col("doc_id"), explode(col("ws")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_tf"), sum(col("c")).as("n_tokens"))
+      .withColumn("top_term_share6",
+        round(col("top_tf") / col("n_tokens"), 6))
+    terms.join(grams, Seq("doc_id"), "left") // docs < 5 tokens: no grams
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top5_cnt"), lit(0L)).as("top5_cnt"),
+        coalesce(col("loop_ratio6"), lit(0.0)).as("loop_ratio6"),
+        col("top_term_share6"),
+        (coalesce(col("top5_cnt"), lit(0L)) >= 3).as("looped"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of q160: identical positional 5-gram zip, the same
+    * per-doc count folds, the same short-doc conventions. */
+  val q160Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |g5 AS (
+      |  SELECT doc_id, array_to_string(ws[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ') AS g
+      |  FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws) - 3)) AS i
+      |        FROM d WHERE len(ws) >= 5)),
+      |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+      |ga AS (
+      |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top5_cnt,
+      |    ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS loop_ratio6
+      |  FROM gc GROUP BY 1),
+      |tc AS (SELECT doc_id, t, COUNT(*) AS c
+      |       FROM (SELECT doc_id, UNNEST(ws) AS t FROM d) GROUP BY 1, 2),
+      |ta AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_term_share6
+      |  FROM tc GROUP BY 1)
+      |SELECT ta.doc_id, ta.n_tokens,
+      |  COALESCE(ga.top5_cnt, 0) AS top5_cnt,
+      |  COALESCE(ga.loop_ratio6, 0.0) AS loop_ratio6,
+      |  ta.top_term_share6,
+      |  COALESCE(ga.top5_cnt, 0) >= 3 AS looped
+      |FROM ta LEFT JOIN ga USING (doc_id) ORDER BY ta.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_heaps_law" -> q158HeapsLaw _,
+    "q159_template_prefix" -> q159TemplatePrefix _,
+    "q160_rep_ngram" -> q160RepNgram _,
     "q145_collocations" -> q145Collocations _,
     "q147_doc_keywords" -> q147DocKeywords _,
     "q151_context_pack" -> q151ContextPack _,
@@ -2123,6 +2318,9 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q158_heaps_law" -> q158Sql,
+    "q159_template_prefix" -> q159Sql,
+    "q160_rep_ngram" -> q160Sql,
     "q145_collocations" -> q145Sql,
     "q147_doc_keywords" -> q147Sql,
     "q151_context_pack" -> q151Sql,

@@ -457,6 +457,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"query-side embeddings scan must push the vec_id filter:\n$plan")
   }
 
+  test("q155 SQ8 error audit reads the persisted codes, one corpus scan") {
+    // the audit decodes the ARTIFACT against the corpus — it must read
+    // sq8_codes (not re-quantize floats per run) and touch the
+    // embeddings parquet exactly once; the top-10 must be a
+    // distributed TakeOrdered, never a global row_number window over
+    // the corpus-sized error frame
+    val plan = planOf(llm.Similarity.q155Sq8Error(spark, sf))
+    assert(plan.contains("sq8_codes"),
+      s"q155 must read the persisted code table:\n$plan")
+    val embScans = "Scan parquet".r.findAllIn(plan).size
+    assert(embScans <= 1,
+      s"q155 needs exactly one embeddings scan, found $embScans:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q155 top-10 must be a distributed TakeOrdered:\n$plan")
+  }
+
+  test("q154 mutual-kNN keeps the cell-join geometry: no corpus NLJ") {
+    val plan = planOf(llm.Similarity.q154MutualKnn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in q154 plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q154 must pair members only through cell equi-joins:\n$plan")
+    assert(plan.contains("ivf_cells"),
+      s"q154 must read the persisted membership:\n$plan")
+  }
+
+  test("q158 Heaps curve: no window, no rank — value-cut prefixes only") {
+    // the curve must not globally rank the corpus: cutoffs come from
+    // one max() and apply as filters, so the plan has no Window at all
+    val plan = planOf(llm.TextAnalysis.q158HeapsLaw(spark, sf))
+    assert(!plan.contains("Window"),
+      s"q158 must not rank the corpus for its prefixes:\n$plan")
+  }
+
+  test("q159 template prefixes rank via distributed TakeOrdered") {
+    val plan = planOf(llm.TextAnalysis.q159TemplatePrefix(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q159 top-20 must be a distributed TakeOrdered:\n$plan")
+  }
+
   test("q147 doc keywords are index-served end-to-end: zero corpus scans") {
     // tf rides the postings rows, df is their term-keyed count, N sums
     // the stats ledger — the corpus text must never be scanned or

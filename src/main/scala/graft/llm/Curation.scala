@@ -1863,6 +1863,77 @@ object Curation {
       |LEFT JOIN revised USING (source)
       |ORDER BY src.source""".stripMargin
 
+  /** Release-to-release term drift (q163) — the term-level EVIDENCE
+    * under q141's per-source counts and q126's cohort KL: between
+    * release A (the corpus) and release B (q141's exact mutation
+    * rules: id%17=3 removed, id%23=5 among survivors revised with a
+    * ' (rev)' suffix, id%29=7 re-keyed additions), which vocabulary
+    * terms shifted document frequency the most? The top-20 |Δdf|
+    * terms name the change (a new boilerplate token, a vanished
+    * source's jargon) where the KL number only sizes it. Both
+    * releases derive from the one raw table by the modular rules, so
+    * the card is a pure function of the corpus.
+    *
+    * Scale shape: two df aggregations (per-doc-distinct explode,
+    * vocab-keyed with map-side combine — the q127 class), one
+    * vocab-keyed full join, then the distributed TakeOrdered top-20 +
+    * 20-row rank (the q145 shape). Nothing holds more than the
+    * vocabulary. */
+  def q163ReleaseTermDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val b = a.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text", when(col("doc_id") % 23 === 5,
+        concat(col("text"), lit(" (rev)"))).otherwise(col("text")))
+      .unionByName(a.filter(col("doc_id") % 29 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def dfOf(t: DataFrame, name: String): DataFrame = t
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(name))
+    val j = dfOf(a, "df_a").join(dfOf(b, "df_b"), Seq("term"), "full")
+      .select(col("term"), coalesce(col("df_a"), lit(0L)).as("df_a"),
+        coalesce(col("df_b"), lit(0L)).as("df_b"))
+      .withColumn("delta", col("df_b") - col("df_a"))
+      .filter(col("delta") =!= 0L)
+    j.orderBy(abs(col("delta")).desc, col("term")).limit(20)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(abs(col("delta")).desc, col("term"))).cast("int"))
+      .select(col("rn"), col("term"), col("df_a"), col("df_b"),
+        col("delta"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q163: the same modular release derivation,
+    * per-doc-distinct df on both sides, identical |Δ| top-20. */
+  val q163Sql: String =
+    """WITH a AS (SELECT doc_id, text FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 23 = 5 THEN text || ' (rev)' ELSE text END
+      |      AS text
+      |  FROM a WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM a WHERE doc_id % 29 = 7),
+      |dfa AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_a FROM (
+      |    SELECT DISTINCT doc_id,
+      |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+      |    FROM a) GROUP BY 1),
+      |dfb AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_b FROM (
+      |    SELECT DISTINCT doc_id,
+      |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+      |    FROM b) GROUP BY 1),
+      |j AS (
+      |  SELECT term, COALESCE(df_a, 0) AS df_a, COALESCE(df_b, 0) AS df_b,
+      |    COALESCE(df_b, 0) - COALESCE(df_a, 0) AS delta
+      |  FROM dfa FULL JOIN dfb USING (term))
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(delta) DESC, term)
+      |    AS INTEGER) AS rn,
+      |  term, df_a, df_b, delta
+      |FROM j WHERE delta <> 0 QUALIFY rn <= 20 ORDER BY rn""".stripMargin
+
   /** Balanced-mixture water-filling (q150) — the allocation step a
     * multilingual/multi-source training plan runs after q123's
     * temperature analysis: split a fixed token budget EQUALLY across
@@ -1951,6 +2022,7 @@ object Curation {
     "q113_quality_sample" -> q113QualitySample _,
     "q135_budget_select" -> q135BudgetSelect _,
     "q141_release_diff" -> q141ReleaseDiff _,
+    "q163_release_term_drift" -> q163ReleaseTermDrift _,
     "q116_curation_funnel" -> q116CurationFunnel _,
     "q118_leakage_safe_split" -> q118LeakageSafeSplit _,
     "q68_split_sample"  -> q68SplitSample _,
@@ -1973,6 +2045,7 @@ object Curation {
     "q113_quality_sample" -> q113Sql,
     "q135_budget_select" -> q135Sql,
     "q141_release_diff" -> q141Sql,
+    "q163_release_term_drift" -> q163Sql,
     "q116_curation_funnel" -> q116Sql,
     "q118_leakage_safe_split" -> q118Sql,
     "q68_split_sample"  -> q68Sql,

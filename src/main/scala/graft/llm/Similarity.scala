@@ -2135,7 +2135,85 @@ object Similarity {
       |FROM sparse JOIN dense USING (query_id, doc_id)
       |GROUP BY query_id ORDER BY query_id""".stripMargin
 
+  /** IVF cell source-mixture card (q162) — the OWNERSHIP view of the
+    * corpus map q137 draws topically: per cell, which source dominates
+    * it and how mixed it is (the source-share entropy in micro-nats).
+    * A cell owned ~100% by one source is that source's template mass
+    * or its exclusive topic; a high-entropy cell is shared vocabulary
+    * — and per-source admission caps (q150's inputs) are usually set
+    * by exactly this table. Entropy follows the q119 integer
+    * discipline: per (cell, source), lu = round(ln(n/c)·10⁶) once;
+    * the weighted sum multiplies in DECIMAL (counts can reach 10¹²
+    * at the target scale — the q145 lesson, applied before it bites)
+    * and divides truncating by n.
+    *
+    * Scale shape: one ids-only cells⋈documents join (vec_id = doc_id,
+    * the q137 convention) into a (cell, source)-keyed count with
+    * map-side combine; everything after is K·|sources|-bounded — the
+    * top-1 window partitions by cell over ≤|sources| rows. */
+  def q162CellSources(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pfx = AnnIndex.ensure(s, dir)
+    val bySrc = s.table(s"$pfx.ivf_cells").select(col("vec_id"), col("cell"))
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      .groupBy(col("cell"), col("source")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the total, the entropy fold, AND top-1
+    val tot = bySrc.groupBy(col("cell")).agg(sum(col("c")).as("n_members"))
+    val ent = bySrc.join(tot, Seq("cell"))
+      .withColumn("lu",
+        round(log(col("n_members") * lit(1.0) / col("c")) * 1e6).cast("long"))
+      .groupBy(col("cell"))
+      .agg(expr("sum(cast(c as decimal(20,0)) * lu)").as("num"),
+        first(col("n_members")).as("n"))
+      .withColumn("ent_u", expr("num div n"))
+      .select(col("cell"), col("ent_u"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("c").desc, col("source"))
+    val top = bySrc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("source").as("top_source"),
+        col("c").as("top_c"))
+    tot.join(top, Seq("cell")).join(ent, Seq("cell"))
+      .withColumn("top_share6", round(col("top_c") / col("n_members"), 6))
+      .select(col("cell"), col("n_members"), col("top_source"),
+        col("top_share6"), col("ent_u"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB replay of q162: ivfCtes + the same counts, once-rounded
+    * micro-nat lu, HUGEINT weighted sum, truncating division, and the
+    * (count desc, source) dominant pick. */
+  lazy val q162Sql: String =
+    s"""WITH ${ivfCtes("")},
+      |src AS (
+      |  SELECT c.cell, d.source, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM cells c JOIN documents d ON d.doc_id = c.vec_id
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n_members
+      |        FROM src GROUP BY 1),
+      |lu AS (
+      |  SELECT src.cell, src.c,
+      |    CAST(ROUND(LN(t.n_members * 1.0 / src.c) * 1e6) AS BIGINT) AS lu
+      |  FROM src JOIN tot t USING (cell)),
+      |ent AS (
+      |  SELECT lu.cell,
+      |    CAST(SUM(CAST(lu.c AS HUGEINT) * lu.lu) // t.n_members
+      |      AS BIGINT) AS ent_u
+      |  FROM lu JOIN tot t USING (cell) GROUP BY lu.cell, t.n_members),
+      |top AS (
+      |  SELECT cell, source AS top_source, c AS top_c FROM (
+      |    SELECT cell, source, c,
+      |      ROW_NUMBER() OVER (PARTITION BY cell
+      |        ORDER BY c DESC, source) AS rn FROM src)
+      |  WHERE rn = 1)
+      |SELECT CAST(t.cell AS INTEGER) AS cell, t.n_members, top.top_source,
+      |  ROUND(top.top_c * 1.0 / t.n_members, 6) AS top_share6, ent.ent_u
+      |FROM tot t JOIN top USING (cell) JOIN ent USING (cell)
+      |ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_cell_sources" -> q162CellSources _,
     "q154_mutual_knn" -> q154MutualKnn _,
     "q155_sq8_error" -> q155Sq8Error _,
     "q161_ranker_agreement" -> q161RankerAgreement _,
@@ -2444,6 +2522,7 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q162_cell_sources" -> q162Sql,
     "q154_mutual_knn" -> q154Sql,
     "q155_sq8_error" -> q155Sql,
     "q161_ranker_agreement" -> q161Sql,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.llm.{Curation, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** q107 (hybrid RRF retrieval) and q108 (DSIR importance weights)
   * verified against from-scratch driver-side recomputations on a
@@ -781,6 +781,65 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, 5L, 0.2, 0.0, 4L, 0.75, 0.5, true),
       // doc 1: everything distinct -> not repetitive
       (1L, 5L, 0.2, 0.0, 2L, 0.5, 0.0, false)), got.toString)
+  }
+
+  test("q160 flags a looping generator; short docs keep the stated defaults") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q160").toString
+    Seq(
+      // "a b c d e" ×3: the 5-gram "a b c d e" recurs at positions
+      // 1/6/11 (count 3 = the loop signature); 11 gram slots, 5
+      // distinct rotations -> loop ratio 6/11
+      (0L, "a b c d e a b c d e a b c d e", "en", "src0", 29L),
+      (1L, "one two three four five six", "en", "src0", 27L),
+      // 4 tokens: no 5-gram exists -> explicit zero conventions; the
+      // stuffing signal still fires (one token is 100% of the mass)
+      (2L, "spam spam spam spam", "en", "src0", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got = TextAnalysis.q160RepNgram(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (0L, 15L, 3L, 0.545455, 0.2, true),
+      (1L, 6L, 1L, 0.0, 0.166667, false),
+      (2L, 4L, 0L, 0.0, 1.0, false)), got.toString)
+  }
+
+  test("q156 containment curve separates shared vocabulary from leaked grams") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q156").toString
+    Seq( // train: ids 0/1; held-out (id % 10 = 7): ids 7/17
+      (0L, "a b c", "en", "src0", 5L), (1L, "x y z", "en", "src0", 5L),
+      (7L, "a b q", "en", "src0", 5L), (17L, "p q r", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got = Dedup.q156ContainmentCurve(spark, d2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      // n=1: doc 7 shares a,b; grams {a,b,q,p,r}, contained {a,b}
+      (1, 2L, 1L, 5L, 2L, 0.5, 0.4),
+      // n=2: only "a b" leaks of {a b, b q, p q, q r}
+      (2, 2L, 1L, 4L, 1L, 0.5, 0.25),
+      // n=3: nothing leaks — the collapse that picks the filter n
+      (3, 2L, 0L, 2L, 0L, 0.0, 0.0)), got.toString)
+  }
+
+  test("q158 Heaps curve counts first occurrences at value-cut prefixes") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft_q158").toString
+    Seq((0L, "a b", "en", "src0", 3L), (1L, "b c", "en", "src0", 3L),
+      (2L, "c d", "en", "src0", 3L), (3L, "a e", "en", "src0", 3L),
+      (4L, "f", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val got = TextAnalysis.q158HeapsLaw(spark, d2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq( // (pct, cutoff=(4·pct) div 100, docs, tokens, vocab)
+      (10, 0L, 1L, 2L, 2L), (25, 1L, 2L, 4L, 3L), (50, 2L, 3L, 6L, 4L),
+      (75, 3L, 4L, 8L, 5L), (100, 4L, 5L, 9L, 6L)), got.toString)
   }
 
   test("q145 lift arithmetic survives numerators past the int64 ceiling") {

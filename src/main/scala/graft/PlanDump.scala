@@ -134,7 +134,13 @@ object PlanDump {
         "five value cutoffs broadcast from one max(doc_id); vocabulary " +
         "attributes to each term's first-occurrence doc, so every " +
         "checkpoint is a filter + count over the vocab frame — one " +
-        "corpus pass total, windowless (PlanSpec-gated)"))
+        "corpus pass total, windowless (PlanSpec-gated)"),
+      "q164_item_pagerank" -> ("iterative computation done the Spark " +
+        "way (r14): the co-engagement edge list, degrees, and node set " +
+        "pin once; each of the three unrolled PageRank iterations is " +
+        "one edge⋈rank join + a node-keyed fold over the pinned frames " +
+        "— zero source rescans (PlanSpec-gated), integer micro-unit " +
+        "ranks, TakeOrdered top-10"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

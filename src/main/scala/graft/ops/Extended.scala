@@ -181,7 +181,113 @@ object Extended {
        |ON value >= lo AND value < hi
        |GROUP BY band_id ORDER BY band_id""".stripMargin
 
+  /** Deterministic integer PageRank over the item co-engagement graph
+    * (q164) — the ITERATIVE-computation shape (power method as
+    * repeated joins) every graph workload reduces to on Spark, done
+    * the way it survives scale: the edge list is built ONCE (per-user
+    * distinct items, one user-keyed self-join, pair-keyed weights) and
+    * pinned; each of the 3 unrolled iterations is one edge⋈rank join +
+    * one node-keyed aggregation against that pinned frame — no
+    * recursion, no driver loop over rows, and at 100 TB the edge frame
+    * would be bucketed by item so every iteration's join is
+    * co-located. Items are the events' `props.k` payload; co-engaging
+    * the same user makes an (undirected, weight = co-engaging users)
+    * edge.
+    *
+    * Determinism (the q119/q145 integer discipline): ranks live in
+    * micro-units (longs); each contribution (pr(b)·w(ab)) div d(b)
+    * multiplies in DECIMAL (DuckDB: HUGEINT — rank·weight passes int64
+    * once users reach 10¹²) and truncates independently (order-free
+    * sum); the damping mix 0.15/N + 0.85·flow is two truncating
+    * integer divisions. Isolated items keep the jump term. Top-10 by
+    * (rank desc, item) via distributed TakeOrdered. */
+  def q164ItemPagerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = Tables.events(s, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct()
+      .localCheckpoint() // pins the bipartite frame for the self-join
+    val edges = ui
+      .join(ui.select(col("user_id"), col("item").as("item_b")),
+        Seq("user_id"))
+      .filter(col("item") =!= col("item_b"))
+      .groupBy(col("item"), col("item_b")).agg(count(lit(1)).as("w"))
+      .localCheckpoint() // the graph: all three iterations re-join it
+    val deg = edges.groupBy(col("item_b")).agg(sum(col("w")).as("d"))
+      .localCheckpoint() // out-degree of each flow SOURCE
+    val nodes = ui.select(col("item")).distinct().localCheckpoint()
+    val nTot = nodes.agg(count(lit(1)).as("nn"))
+    var pr = nodes.crossJoin(broadcast(nTot))
+      .select(col("item"), expr("1000000 div nn").as("pr_u"))
+    for (_ <- 1 to 3) {
+      val flow = edges
+        .join(pr.select(col("item").as("item_b"), col("pr_u").as("prb")),
+          Seq("item_b"))
+        .join(deg, Seq("item_b"))
+        .withColumn("c", expr("(cast(prb as decimal(20,0)) * w) div d"))
+        .groupBy(col("item")).agg(sum(col("c")).as("flow_u"))
+      pr = nodes.crossJoin(broadcast(nTot))
+        .join(flow, Seq("item"), "left")
+        .select(col("item"),
+          (expr("(15 * 1000000) div (100 * nn)") +
+            expr("(85 * coalesce(flow_u, 0L)) div 100")).as("pr_u"))
+    }
+    pr.join(deg.select(col("item_b").as("item"), col("d")), Seq("item"),
+        "left")
+      .select(col("item"), col("pr_u"),
+        coalesce(col("d"), lit(0L)).as("degree"))
+      .orderBy(col("pr_u").desc, col("item")).limit(10)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(col("pr_u").desc, col("item"))).cast("int"))
+      .select(col("rn"), col("item"), col("pr_u"), col("degree"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q164: the same edge construction and the three
+    * iterations unrolled (the Lloyd's-replay recipe), HUGEINT
+    * contribution products, identical truncating divisions. */
+  val q164Sql: String = {
+    def iter(i: Int): String =
+      s"""f$i AS (
+        |  SELECT e.item,
+        |    CAST(SUM((CAST(p.pr_u AS HUGEINT) * e.w) // d.d) AS BIGINT)
+        |      AS flow_u
+        |  FROM e JOIN p${i - 1} p ON p.item = e.item_b
+        |  JOIN deg d ON d.item_b = e.item_b
+        |  GROUP BY 1),
+        |p$i AS (
+        |  SELECT n.item,
+        |    CAST((15 * 1000000) // (100 * nn.nn)
+        |      + (85 * COALESCE(f.flow_u, 0)) // 100 AS BIGINT) AS pr_u
+        |  FROM nodes n LEFT JOIN f$i f USING (item), nn)""".stripMargin
+    s"""WITH ui AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+      |  FROM events),
+      |e AS (
+      |  SELECT a.item AS item, b.item AS item_b,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM ui a JOIN ui b
+      |    ON a.user_id = b.user_id AND a.item <> b.item
+      |  GROUP BY 1, 2),
+      |deg AS (SELECT item_b, CAST(SUM(w) AS BIGINT) AS d FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT item FROM ui),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+      |p0 AS (SELECT item, CAST(1000000 // nn AS BIGINT) AS pr_u
+      |       FROM nodes, nn),
+      |${iter(1)},
+      |${iter(2)},
+      |${iter(3)}
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY p3.pr_u DESC, p3.item)
+      |    AS INTEGER) AS rn,
+      |  p3.item, p3.pr_u, CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree
+      |FROM p3 LEFT JOIN deg ON deg.item_b = p3.item
+      |QUALIFY rn <= 10 ORDER BY rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_item_pagerank" -> q164ItemPagerank _,
     "q36_range_join"    -> q36RangeJoin _,
     "q35_decimal_agg"   -> q35Decimal _,
     "q14_explode_udtf"  -> q14Explode _,
@@ -193,6 +299,7 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q164_item_pagerank" -> q164Sql,
     "q36_range_join"    -> q36Sql,
     "q35_decimal_agg"   -> q35Sql,
     "q14_explode_udtf"  -> q14Sql,

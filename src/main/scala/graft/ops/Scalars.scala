@@ -161,6 +161,55 @@ object Scalars {
       |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS DOUBLE) AS share_f
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Recency-weighted item popularity (q165) — the time-decayed
+    * aggregation every feed ranker and training-data recency sampler
+    * runs: an event's weight falls with its age, so the score prefers
+    * currently-hot items over all-time counts. The decay is EXACT
+    * harmonic fixed-point — w_u = 10⁶ div (1 + age_days), age relative
+    * to the corpus's OWN max timestamp (deterministic; wall clock
+    * would unfix the result) — because floating exponential decay
+    * (pow) is not bit-portable across engines, and the integer weight
+    * sums order-free. Per item (the events' props.k payload): event
+    * count, decayed mass, and the share of mass its most recent day
+    * contributes.
+    *
+    * Scale shape: one 1-row max() broadcast, then a map-only weight
+    * projection into an item-keyed aggregation with map-side combine —
+    * one shuffle, bounded by the item vocabulary. */
+  def q165RecencyPopularity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("ts"))
+    val mx = e.agg(max(col("ts")).as("mx"))
+    e.crossJoin(broadcast(mx))
+      .withColumn("age", datediff(to_date(col("mx")), to_date(col("ts"))))
+      .withColumn("w_u", expr("1000000 div (1 + age)"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w_u")).as("mass_u"),
+        sum(when(col("age") === 0, col("w_u")).otherwise(lit(0L)))
+          .as("today_u"))
+      .withColumn("today_share6",
+        round(col("today_u") / col("mass_u"), 6))
+      .select(col("item"), col("n_events"), col("mass_u"),
+        col("today_share6"))
+      .orderBy(col("item"))
+  }
+
+  val q165Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+      |x AS (
+      |  SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+      |    CAST(1000000 // (1 + datediff('day', CAST(ts AS DATE),
+      |      (SELECT CAST(MAX(ts) AS DATE) FROM events_n))) AS BIGINT) AS w_u,
+      |    datediff('day', CAST(ts AS DATE),
+      |      (SELECT CAST(MAX(ts) AS DATE) FROM events_n)) AS age
+      |  FROM events_n)
+      |SELECT item, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(w_u) AS BIGINT) AS mass_u,
+      |  ROUND(SUM(CASE WHEN age = 0 THEN w_u ELSE 0 END) * 1.0 / SUM(w_u), 6)
+      |    AS today_share6
+      |FROM x GROUP BY item ORDER BY item""".stripMargin
+
   /** Batch tumbling time-bucket aggregation (the batch shape of the
     * streaming q70; epoch-aligned 5-minute buckets). */
   def q46TimeBucket(s: SparkSession, dir: String): DataFrame =
@@ -194,6 +243,50 @@ object Scalars {
         min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
       .orderBy(col("user_id"), col("sess_id"))
   }
+
+  /** Per-user event-type transition matrix (q166) — the Markov-chain
+    * estimate behind sequence modeling prep and anomaly scoring: for
+    * every (event_type → next event_type) adjacency inside a user's
+    * timeline, the transition count and its probability out of the
+    * source state, p_u = (cnt·10⁶) div out(a) in exact micro-units.
+    * Adjacency uses the q47 ordering convention (ts, event_id ties).
+    *
+    * Scale shape: ONE lead() window per user (user-bounded partitions
+    * — never global), then a |types|²-bounded keyed aggregation with
+    * map-side combine and a broadcast-joined out-degree; the matrix
+    * is event-type² rows, independent of the corpus. */
+  def q166TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byTs))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val out = pairs.groupBy(col("from_type")).agg(sum(col("cnt")).as("o"))
+    pairs.join(broadcast(out), Seq("from_type"))
+      .withColumn("p_u", expr("(cnt * 1000000L) div o"))
+      .select(col("from_type"), col("to_type"), col("cnt"), col("p_u"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q166Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+      |adj AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events_n),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM adj WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |o AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS o
+      |      FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.cnt,
+      |  CAST((c.cnt * 1000000) // o.o AS BIGINT) AS p_u
+      |FROM c JOIN o USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
 
   val q47Sql: String =
     s"""WITH ${Tables.eventsOracleCte},
@@ -270,6 +363,8 @@ object Scalars {
     "q43_array_funcs"  -> q43Array _,
     "q44_json_funcs"   -> q44Json _,
     "q45_case_when"    -> q45CaseWhen _,
+    "q165_recency_popularity" -> q165RecencyPopularity _,
+    "q166_transition_matrix" -> q166TransitionMatrix _,
     "q46_time_bucket"  -> q46TimeBucket _,
     "q47_sessionize"   -> q47Sessionize _,
     "q82_retention"    -> q82Retention _,
@@ -283,6 +378,8 @@ object Scalars {
     "q43_array_funcs"  -> q43Sql,
     "q44_json_funcs"   -> q44Sql,
     "q45_case_when"    -> q45Sql,
+    "q165_recency_popularity" -> q165Sql,
+    "q166_transition_matrix" -> q166Sql,
     "q46_time_bucket"  -> q46Sql,
     "q47_sessionize"   -> q47Sql,
     "q82_retention"    -> q82Sql,

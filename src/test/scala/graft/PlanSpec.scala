@@ -497,6 +497,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q159 top-20 must be a distributed TakeOrdered:\n$plan")
   }
 
+  test("q164 PageRank iterations re-join the pinned graph, never the source") {
+    // the iterative-join discipline: the edge list, degrees, and node
+    // set pin once; all three unrolled iterations (and the final
+    // top-10) must run against those pinned frames — an events rescan
+    // per iteration is the shape that dies at scale
+    val plan = planOf(ops.Extended.q164ItemPagerank(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"q164 iterations must read only the pinned frames:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q164 top-10 must be a distributed TakeOrdered:\n$plan")
+  }
+
   test("q147 doc keywords are index-served end-to-end: zero corpus scans") {
     // tf rides the postings rows, df is their term-keyed count, N sums
     // the stats ledger — the corpus text must never be scanned or

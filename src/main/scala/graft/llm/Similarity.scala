@@ -2092,15 +2092,23 @@ object Similarity {
         (col("qn") * col("cn")), 6))
       .withColumn("rd", row_number().over(dw)).filter(col("rd") <= 20)
       .select(col("query_id"), col("doc_id"), col("rd"))
-    sparse.join(dense, Seq("query_id", "doc_id"))
+    val common = sparse.join(dense, Seq("query_id", "doc_id"))
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_common"),
         sum(abs(col("rb") - col("rd"))).cast("long").as("footrule"),
         sum((col("rb") - col("rd")) * (col("rb") - col("rd")))
           .cast("long").as("sum_d2"))
+    // every query gets a row — zero overlap is the audit's LOUDEST
+    // signal (the channels see disjoint corpus slices), so it must
+    // appear as explicit zeros, not silently vanish from the frame
+    // (the q143 inner-join lesson)
+    q.select(col("query_id"))
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("footrule"), lit(0L)).as("footrule"),
+        coalesce(col("sum_d2"), lit(0L)).as("sum_d2"))
       .withColumn("overlap6", round(col("n_common") / lit(20.0), 6))
-      .select(col("query_id"), col("n_common"), col("footrule"),
-        col("sum_d2"), col("overlap6"))
       .orderBy(col("query_id"))
   }
 
@@ -2127,13 +2135,21 @@ object Similarity {
       |    SELECT query_id, doc_id,
       |      ROW_NUMBER() OVER (PARTITION BY query_id
       |                         ORDER BY sim DESC, doc_id) AS rn
-      |    FROM dsims) WHERE rn <= 20)
-      |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
-      |  CAST(SUM(ABS(rb - rd)) AS BIGINT) AS footrule,
-      |  CAST(SUM((rb - rd) * (rb - rd)) AS BIGINT) AS sum_d2,
-      |  ROUND(COUNT(*) / 20.0, 6) AS overlap6
-      |FROM sparse JOIN dense USING (query_id, doc_id)
-      |GROUP BY query_id ORDER BY query_id""".stripMargin
+      |    FROM dsims) WHERE rn <= 20),
+      |agree AS (
+      |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+      |    CAST(SUM(ABS(rb - rd)) AS BIGINT) AS footrule,
+      |    CAST(SUM((rb - rd) * (rb - rd)) AS BIGINT) AS sum_d2
+      |  FROM sparse JOIN dense USING (query_id, doc_id)
+      |  GROUP BY query_id)
+      |SELECT q.query_id,
+      |  COALESCE(a.n_common, 0) AS n_common,
+      |  COALESCE(a.footrule, 0) AS footrule,
+      |  COALESCE(a.sum_d2, 0) AS sum_d2,
+      |  ROUND(COALESCE(a.n_common, 0) / 20.0, 6) AS overlap6
+      |FROM (SELECT DISTINCT query_id FROM dq) q
+      |LEFT JOIN agree a USING (query_id)
+      |ORDER BY q.query_id""".stripMargin
 
   /** IVF cell source-mixture card (q162) — the OWNERSHIP view of the
     * corpus map q137 draws topically: per cell, which source dominates

@@ -131,8 +131,14 @@ object AnnIndex {
       else fs.listStatus(p).toSeq
         .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
         .foldLeft(-1L)(math.max) + 1L
-    scala.util.Try(maxStamp(s, tableFqn, key)).toOption.flatten
-      .filter(_ >= nextId).foreach { m =>
+    // only a genuinely-absent table passes without reading its ledger;
+    // a real metastore/SQL failure must propagate — swallowing it here
+    // would silently disable this guard, the exact failure class it
+    // exists to refuse
+    val stamp =
+      if (!s.catalog.tableExists(tableFqn)) None
+      else maxStamp(s, tableFqn, key)
+    stamp.filter(_ >= nextId).foreach { m =>
         throw new IllegalStateException(
           s"$tableFqn already carries fence stamp $key=$m but checkpoint " +
             s"$checkpoint would number its next micro-batch $nextId: a " +
@@ -332,33 +338,57 @@ object AnnIndex {
     finally s.catalog.dropTempView(dv)
   }
 
+  /** Commit-summary marker proving an aux-artifact table (ivf_rd /
+    * sq8_codes) holds a COMPLETE state — stamped by [[buildFrom]]'s
+    * initial writes and by [[ensureAuxTables]]'s backfill commit. The
+    * migration gate reads this, not bare table existence: CREATE and
+    * backfill are separate commits, so a crash between them would
+    * otherwise leave a permanently-empty table that every later check
+    * accepts (and an empty ivf_rd is SILENT — CSLS left-joins it). */
+  private val AuxCompleteKey = "graft-aux-complete"
+
   /** Migration shim for indexes built BEFORE the artifact rework that
     * added `ivf_rd` and `sq8_codes`: refresh and vacuum read both
     * unconditionally, so maintenance against an older index would
     * otherwise throw on the missing tables and force a full rebuild.
-    * Creates whichever is absent and backfills it from the CURRENT
-    * membership — sq8 codes for exactly the ids `ivf_cells` covers
-    * (the ids-only semi-join keeps a subsequent refresh's delta append
-    * from double-coding the new vectors), r(d) via [[refreshRdFor]]
-    * over every occupied cell (the audited repair path; one
-    * index-sized job, run once per migrated index). Idempotent: both
-    * branches are existence-gated no-ops afterwards. */
+    * (Re)creates and backfills whichever table carries no
+    * [[AuxCompleteKey]] commit — missing entirely (pre-rework index),
+    * or created-but-unmarked (a backfill that crashed between CREATE
+    * and its data commit, or an r13-era table whose build predates the
+    * marker; the rebuild converges either way because the backfill is
+    * a pure function of the current membership/corpus). sq8 codes
+    * cover exactly the ids `ivf_cells` holds (the ids-only semi-join
+    * keeps a subsequent refresh's delta append from double-coding new
+    * vectors); r(d) repairs via [[refreshRdFor]] over every occupied
+    * cell (the audited path), then commits the marker. One
+    * index-sized job, run once per migrated index; a marked table is
+    * a metadata-only check. */
   private def ensureAuxTables(s: SparkSession, corpusFqn: String,
                               prefix: String): Unit = {
-    val corpus = s.table(corpusFqn)
+    def incomplete(t: String): Boolean =
+      !s.catalog.tableExists(s"$prefix.$t") ||
+        maxStamp(s, s"$prefix.$t", AuxCompleteKey).isEmpty
+    lazy val corpus = s.table(corpusFqn)
       .select(col("vec_id").cast("bigint").as("vec_id"), col("embedding"))
-    if (!s.catalog.tableExists(s"$prefix.sq8_codes")) {
+    if (incomplete("sq8_codes")) {
+      s.sql(s"DROP TABLE IF EXISTS $prefix.sq8_codes")
       s.sql(s"CREATE TABLE $prefix.sq8_codes " +
         "(vec_id BIGINT, scale DOUBLE, code BINARY)")
       sq8CodesOf(corpus.join(s.table(s"$prefix.ivf_cells")
           .select(col("vec_id")), Seq("vec_id"), "left_semi"))
-        .writeTo(s"$prefix.sq8_codes").append()
+        .writeTo(s"$prefix.sq8_codes")
+        .option(s"summary.$AuxCompleteKey", "1").append()
     }
-    if (!s.catalog.tableExists(s"$prefix.ivf_rd")) {
+    if (incomplete("ivf_rd")) {
+      s.sql(s"DROP TABLE IF EXISTS $prefix.ivf_rd")
       s.sql(s"CREATE TABLE $prefix.ivf_rd " +
         "(vec_id BIGINT, cell INT, rd_u BIGINT)")
       refreshRdFor(s, prefix, corpus,
         s.table(s"$prefix.ivf_cells").select(col("cell")).distinct())
+      // the marker commits LAST — an empty append whose summary stamp
+      // proves the repair above ran to completion
+      s.table(s"$prefix.ivf_rd").limit(0).writeTo(s"$prefix.ivf_rd")
+        .option(s"summary.$AuxCompleteKey", "1").append()
     }
   }
 
@@ -567,7 +597,13 @@ object AnnIndex {
       def replace(table: String, ddlCols: String, df: DataFrame): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $prefix.$table")
         s.sql(s"CREATE TABLE $prefix.$table ($ddlCols)")
-        val w = df.writeTo(s"$prefix.$table")
+        val w0 = df.writeTo(s"$prefix.$table")
+        // the aux artifacts carry the completeness marker the
+        // migration gate ([[ensureAuxTables]]) reads
+        val w =
+          if (table == "ivf_rd" || table == "sq8_codes")
+            w0.option(s"summary.$AuxCompleteKey", "1")
+          else w0
         // the ivf_cells commit carries the corpus-version ledger
         stamp.filter(_ => table == "ivf_cells")
           .map(v => w.option(s"summary.$IndexedVersionKey", v.toString))

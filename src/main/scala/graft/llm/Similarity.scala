@@ -1938,13 +1938,14 @@ object Similarity {
       .withColumn("su", round(dot(col("va"), col("vb")) /
         (col("na") * col("nb")) * lit(1e6)).cast("long"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id_a"), col("id_b"))
+      // `cell` rides the edge row ([[guardedCellPairs]] already emits
+      // it) — re-attaching it later would cost a second ivf_cells
+      // scan plus a |members|-row join for one int per edge
+      .select(col("cell"), col("id_a"), col("id_b"))
       .localCheckpoint() // feeds both sides of the reciprocity join
     val rev = edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
       .withColumn("mu", lit(1L))
     edges.join(rev, Seq("id_a", "id_b"), "left")
-      .join(s.table(s"$pfx.ivf_cells")
-        .select(col("vec_id").as("id_a"), col("cell")), Seq("id_a"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(coalesce(col("mu"), lit(0L))).as("n_mutual"))

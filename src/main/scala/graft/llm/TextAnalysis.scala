@@ -1052,8 +1052,13 @@ object TextAnalysis {
                          postingsFqn: String, doclenFqn: String,
                          statsFqn: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // the departure replay gate compares Bm25ArrKey stamps to batch
-    // ids — refuse a checkpoint whose numbering restarts below them
+    // refuse a checkpoint whose numbering restarts below ANY fence
+    // this stream stamps: the departure decrement (Bm25DepKey on
+    // stats — the FIRST-stamped fence each batch, so it alone can
+    // carry a stamp after a crash mid-departure-leg) and the arrival
+    // appends (Bm25ArrKey on postings, which the replay gate reads)
+    AnnIndex.validateCheckpointStamps(s, checkpoint, statsFqn,
+      Bm25DepKey)
     AnnIndex.validateCheckpointStamps(s, checkpoint, postingsFqn,
       Bm25ArrKey)
     val parts = corpusFqn.split("\\.")

@@ -195,12 +195,16 @@ object Extended {
     * edge.
     *
     * Determinism (the q119/q145 integer discipline): ranks live in
-    * micro-units (longs); each contribution (pr(b)·w(ab)) div d(b)
-    * multiplies in DECIMAL (DuckDB: HUGEINT — rank·weight passes int64
-    * once users reach 10¹²) and truncates independently (order-free
-    * sum); the damping mix 0.15/N + 0.85·flow is two truncating
-    * integer divisions. Isolated items keep the jump term. Top-10 by
-    * (rank desc, item) via distributed TakeOrdered. */
+    * PER-NODE micro-units — every node starts at 10⁶ and the jump
+    * term is the constant 0.15·10⁶ (total mass 10⁶·N), so the fixed
+    * point keeps full resolution at ANY node count (a shared-mass
+    * unit of 10⁶ would truncate to all-zero ranks past ~10⁵ items —
+    * exactly the scale this card targets); each contribution
+    * (pr(b)·w(ab)) div d(b) multiplies in DECIMAL (DuckDB: HUGEINT —
+    * rank·weight passes int64 once users reach 10¹²) and truncates
+    * independently (order-free sum); the damping mix is a constant
+    * plus one truncating division. Isolated items keep the jump term.
+    * Top-10 by (rank desc, item) via distributed TakeOrdered. */
   def q164ItemPagerank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ui = Tables.events(s, dir)
@@ -217,9 +221,7 @@ object Extended {
     val deg = edges.groupBy(col("item_b")).agg(sum(col("w")).as("d"))
       .localCheckpoint() // out-degree of each flow SOURCE
     val nodes = ui.select(col("item")).distinct().localCheckpoint()
-    val nTot = nodes.agg(count(lit(1)).as("nn"))
-    var pr = nodes.crossJoin(broadcast(nTot))
-      .select(col("item"), expr("1000000 div nn").as("pr_u"))
+    var pr = nodes.select(col("item"), lit(1000000L).as("pr_u"))
     for (_ <- 1 to 3) {
       val flow = edges
         .join(pr.select(col("item").as("item_b"), col("pr_u").as("prb")),
@@ -227,10 +229,10 @@ object Extended {
         .join(deg, Seq("item_b"))
         .withColumn("c", expr("(cast(prb as decimal(20,0)) * w) div d"))
         .groupBy(col("item")).agg(sum(col("c")).as("flow_u"))
-      pr = nodes.crossJoin(broadcast(nTot))
+      pr = nodes
         .join(flow, Seq("item"), "left")
         .select(col("item"),
-          (expr("(15 * 1000000) div (100 * nn)") +
+          (lit(150000L) +
             expr("(85 * coalesce(flow_u, 0L)) div 100")).as("pr_u"))
     }
     pr.join(deg.select(col("item_b").as("item"), col("d")), Seq("item"),
@@ -258,9 +260,9 @@ object Extended {
         |  GROUP BY 1),
         |p$i AS (
         |  SELECT n.item,
-        |    CAST((15 * 1000000) // (100 * nn.nn)
+        |    CAST(150000
         |      + (85 * COALESCE(f.flow_u, 0)) // 100 AS BIGINT) AS pr_u
-        |  FROM nodes n LEFT JOIN f$i f USING (item), nn)""".stripMargin
+        |  FROM nodes n LEFT JOIN f$i f USING (item))""".stripMargin
     s"""WITH ui AS (
       |  SELECT DISTINCT user_id,
       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
@@ -273,9 +275,7 @@ object Extended {
       |  GROUP BY 1, 2),
       |deg AS (SELECT item_b, CAST(SUM(w) AS BIGINT) AS d FROM e GROUP BY 1),
       |nodes AS (SELECT DISTINCT item FROM ui),
-      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
-      |p0 AS (SELECT item, CAST(1000000 // nn AS BIGINT) AS pr_u
-      |       FROM nodes, nn),
+      |p0 AS (SELECT item, CAST(1000000 AS BIGINT) AS pr_u FROM nodes),
       |${iter(1)},
       |${iter(2)},
       |${iter(3)}

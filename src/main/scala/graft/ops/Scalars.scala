@@ -266,7 +266,9 @@ object Scalars {
       .agg(count(lit(1)).as("cnt"))
     val out = pairs.groupBy(col("from_type")).agg(sum(col("cnt")).as("o"))
     pairs.join(broadcast(out), Seq("from_type"))
-      .withColumn("p_u", expr("(cnt * 1000000L) div o"))
+      // DECIMAL numerator: cnt·10⁶ passes int64 once a transition
+      // count reaches 10¹³ — the q145 overflow class, pre-empted
+      .withColumn("p_u", expr("(cast(cnt as decimal(20,0)) * 1000000) div o"))
       .select(col("from_type"), col("to_type"), col("cnt"), col("p_u"))
       .orderBy(col("from_type"), col("to_type"))
   }
@@ -284,7 +286,7 @@ object Scalars {
       |o AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS o
       |      FROM c GROUP BY 1)
       |SELECT c.from_type, c.to_type, c.cnt,
-      |  CAST((c.cnt * 1000000) // o.o AS BIGINT) AS p_u
+      |  CAST((CAST(c.cnt AS HUGEINT) * 1000000) // o.o AS BIGINT) AS p_u
       |FROM c JOIN o USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 

@@ -651,11 +651,15 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("bmc.ing.postings")
       .where(col("doc_id") === 2L).count() > 0,
       "sanity: the crash left dead postings behind")
-    // replay: the maintainer processes the whole feed as batch 0
-    val cM = java.nio.file.Files.createTempDirectory("graft-bmc-m").toString
-    val qm = llm.TextAnalysis.bm25MaintainStream(spark, "bmc.ing.docs",
-      "bmc.ing.postings", "bmc.ing.doclen", "bmc.ing.stats", cM)
-    try qm.processAllAvailable() finally qm.stop()
+    // replay: the batch body re-runs with the SAME frame and id — the
+    // exact semantics of a same-checkpoint restart (offsets/0 written,
+    // commit absent). Driven directly through bm25MaintainBatch, like
+    // the other crash-emulation cases: a FRESH checkpoint stand-in is
+    // now refused at start by validateCheckpointStamps, precisely
+    // because its future batches need not equal the stamped ones.
+    val feed = spark.table("bmc.ing.`docs$changes`").localCheckpoint()
+    llm.TextAnalysis.bm25MaintainBatch(spark, feed, "bmc.ing.postings",
+      "bmc.ing.doclen", "bmc.ing.stats", 0L)
     assert(spark.table("bmc.ing.postings")
       .where(col("doc_id") === 2L).count() == 0L,
       "replay must complete the merge-deletes")

@@ -33,14 +33,13 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map { case ((a, b), xs) => (a, b, xs.size.toLong) }
     val degB = edges.groupBy(_._2).map { case (b, xs) => b -> xs.map(_._3).sum }
     val nodes = pairs.map(_._2).distinct.sorted
-    val n = nodes.size.toLong
-    var pr = nodes.map(i => i -> 1000000L / n).toMap
+    var pr = nodes.map(i => i -> 1000000L).toMap
     for (_ <- 1 to 3) {
       val flow = edges.groupBy(_._1).map { case (a, xs) =>
         a -> xs.map { case (_, b, w) => pr(b) * w / degB(b) }.sum
       }
       pr = nodes.map(i => i ->
-        (15L * 1000000L / (100L * n) + 85L * flow.getOrElse(i, 0L) / 100L)).toMap
+        (150000L + 85L * flow.getOrElse(i, 0L) / 100L)).toMap
     }
     val degIn = edges.groupBy(_._1).map { case (a, xs) => a -> xs.map(_._3).sum }
     nodes.map(i => (i, pr(i), degIn.getOrElse(i, 0L)))

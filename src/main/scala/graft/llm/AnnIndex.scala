@@ -275,6 +275,25 @@ object AnnIndex {
       .select(col("vec_id").cast("bigint"),
         col("q._1").as("scale"), col("q._2").as("code"))
 
+  /** Per-dimension corpus-mean contribution of a vector frame, as the
+    * `mean_stats` DELTA ledger rows (j, sj_delta, n_delta): exact
+    * integer sums of round(x·2²⁴) (the [[MeanUnit]] fixed-point recipe
+    * — order-free, so increments/decrements are EXACT and the ledger
+    * equals a fresh recompute bit-for-bit) plus the contributing-row
+    * count. Arrivals append positive deltas ([[buildFrom]]/[[refresh]]),
+    * departures land as a signed correction ([[vacuum]]); the mean a
+    * consumer serves is mean_j = SUM(sj)/U/SUM(n) — the q146 division
+    * order, replayable in any engine. The table is the index artifact
+    * that makes CENTERED search (q167, Mu & Viswanath 2018
+    * "All-but-the-Top") an index read instead of a corpus scan per
+    * query batch. */
+  private[graft] def meanDeltaOf(vecs: DataFrame): DataFrame =
+    vecs.select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(sum(round(col("x") * MeanUnit).cast("long")).as("sj_delta"),
+        count(lit(1)).as("n_delta"))
+      .select(col("j").cast("int"), col("sj_delta"), col("n_delta"))
+
   /** Recompute and MERGE-upsert the persisted r(d) rows for the
     * members of `affectedCells` — the maintenance primitive behind
     * r(d)-as-artifact: a cell's r(d) values change exactly when its
@@ -390,6 +409,19 @@ object AnnIndex {
       s.table(s"$prefix.ivf_rd").limit(0).writeTo(s"$prefix.ivf_rd")
         .option(s"summary.$AuxCompleteKey", "1").append()
     }
+    if (incomplete("mean_stats")) {
+      s.sql(s"DROP TABLE IF EXISTS $prefix.mean_stats")
+      s.sql(s"CREATE TABLE $prefix.mean_stats " +
+        "(j INT, sj_delta BIGINT, n_delta BIGINT)")
+      // backfill covers the ids the index holds (the sq8 recipe): the
+      // ledger then equals what build-time sums over those vectors
+      // would have written, and a subsequent refresh's delta append
+      // cannot double-count
+      meanDeltaOf(corpus.join(s.table(s"$prefix.ivf_cells")
+          .select(col("vec_id")), Seq("vec_id"), "left_semi"))
+        .writeTo(s"$prefix.mean_stats")
+        .option(s"summary.$AuxCompleteKey", "1").append()
+    }
   }
 
   /** Incremental index refresh after corpus appends: reads ONLY the
@@ -420,8 +452,12 @@ object AnnIndex {
     graft.functions.VectorFunctions.register(s)
     val v1 = indexedVersion(s, prefix)
     val v2 = corpusVersion(s, corpusFqn)
-    if (v2 <= v1) return 0L
+    // migrate BEFORE the no-delta early return: a pre-rework index
+    // whose corpus is already current would otherwise never backfill
+    // via refresh (only vacuum), and every sq8_codes/ivf_rd consumer
+    // would keep throwing until a departure happened to run
     ensureAuxTables(s, corpusFqn, prefix) // pre-rework index: backfill
+    if (v2 <= v1) return 0L
 
     val delta0 = s.read
       .option("versionAsOf", v2.toString)
@@ -453,6 +489,12 @@ object AnnIndex {
           s"$prefix.lsh_buckets", v2)
 
         fencedAppend(sq8CodesOf(delta), s"$prefix.sq8_codes", v2)
+
+        // arrivals' mean contribution — exact integer deltas, fenced
+        // like every other per-refresh append. (An update-in-place
+        // keeps its ORIGINAL contribution until a rebuild — the same
+        // staleness contract as its bucket/cell entries.)
+        fencedAppend(meanDeltaOf(delta), s"$prefix.mean_stats", v2)
 
         val cents = s.table(s"$prefix.ivf_centroids")
         val asg = assignRanked(delta, cents).filter(col("rk") === 1)
@@ -526,6 +568,28 @@ object AnnIndex {
       // post-delete membership (probe-sized; idempotent — a second
       // vacuum finds no dead rows, an empty affected set, and no-ops)
       refreshRdFor(s, prefix, s.table(corpusFqn), affected)
+      // retire departed vectors' mean contribution: the index holds no
+      // embeddings, so the correction is (fresh corpus sums − ledger)
+      // — one map-only corpus pass (vacuum is already a corpus-scan-
+      // class job) appended as signed deltas. Idempotent state
+      // function: a replay recomputes against the updated ledger and
+      // appends nothing; a crash before this append leaves the mean
+      // stale only until the next vacuum converges it (the rd-lag
+      // contract).
+      val ledger = s.table(s"$prefix.mean_stats")
+        .groupBy(col("j")).agg(sum(col("sj_delta")).as("sj"),
+          sum(col("n_delta")).as("n"))
+      val corr = meanDeltaOf(s.table(corpusFqn)
+          .select(col("vec_id").cast("bigint").as("vec_id"),
+            col("embedding")))
+        .join(ledger, Seq("j"), "full")
+        .select(col("j"),
+          (coalesce(col("sj_delta"), lit(0L)) - coalesce(col("sj"), lit(0L)))
+            .as("sj_delta"),
+          (coalesce(col("n_delta"), lit(0L)) - coalesce(col("n"), lit(0L)))
+            .as("n_delta"))
+        .filter(col("sj_delta") =!= 0L || col("n_delta") =!= 0L)
+      corr.writeTo(s"$prefix.mean_stats").append()
       removed
     } finally s.catalog.dropTempView(view)
   }
@@ -601,7 +665,8 @@ object AnnIndex {
         // the aux artifacts carry the completeness marker the
         // migration gate ([[ensureAuxTables]]) reads
         val w =
-          if (table == "ivf_rd" || table == "sq8_codes")
+          if (table == "ivf_rd" || table == "sq8_codes" ||
+              table == "mean_stats")
             w0.option(s"summary.$AuxCompleteKey", "1")
           else w0
         // the ivf_cells commit carries the corpus-version ledger
@@ -634,6 +699,12 @@ object AnnIndex {
       // its stage-1 candidate ranking from ([[sq8CodesOf]])
       replace("sq8_codes", "vec_id BIGINT, scale DOUBLE, code BINARY",
         sq8CodesOf(e))
+
+      // per-dimension mean ledger — the centered-search artifact
+      // ([[meanDeltaOf]]); serving folds #commits×Dim rows, never the
+      // corpus
+      replace("mean_stats", "j INT, sj_delta BIGINT, n_delta BIGINT",
+        meanDeltaOf(e))
 
       val tables = LshSeeds.map(planes(_))
       replace("lsh_buckets", "t INT, b INT, vec_id BIGINT, nrm DOUBLE",

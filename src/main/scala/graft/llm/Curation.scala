@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Tables, Tok}
 
 /** Corpus-curation operators that complete the training-data pipeline:
   * deterministic splitting, hash sampling, sequence packing, and class
@@ -91,7 +91,7 @@ object Curation {
   /** The packing core over any (source, doc_id, text) frame —
     * separated so fixtures (null sources, skew) can drive it directly. */
   private[graft] def packDocs(docs: DataFrame, budget: Int = 1024): DataFrame = {
-    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val tokens = size(Tok.ws(col("text"))).cast("long")
     // tokenize ONCE into a checkpoint: the range partitioner's sampling
     // job would otherwise re-run the text split over the whole corpus a
     // second time just to pick split points
@@ -139,9 +139,9 @@ object Curation {
   }
 
   val q76Sql: String =
-    """WITH t AS (
+    raw"""WITH t AS (
       |  SELECT source, doc_id,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n_tokens
       |  FROM documents),
       |c AS (
       |  SELECT source, doc_id, n_tokens,
@@ -186,7 +186,7 @@ object Curation {
     * data recipe turns. A per-source aggregate plus one broadcast
     * 1-row total: nothing here limits scale. */
   def q81MixtureWeights(s: SparkSession, dir: String): DataFrame = {
-    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val tokens = size(Tok.ws(col("text"))).cast("long")
     val per = Tables.documents(s, dir)
       .select(col("source"), tokens.as("n_tokens"))
       .groupBy(col("source"))
@@ -202,9 +202,9 @@ object Curation {
   }
 
   val q81Sql: String =
-    """WITH t AS (
+    raw"""WITH t AS (
       |  SELECT source,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n_tokens
       |  FROM documents),
       |p AS (
       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
@@ -231,7 +231,7 @@ object Curation {
     * rounds a single scalar division to 6dp. One |sources|-key
     * aggregate and two 1-row broadcasts — nothing limits scale. */
   def q123TemperatureMix(s: SparkSession, dir: String): DataFrame = {
-    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val tokens = size(Tok.ws(col("text"))).cast("long")
     val per = Tables.documents(s, dir)
       .select(col("source"), tokens.as("n_tokens"))
       .groupBy(col("source"))
@@ -255,9 +255,9 @@ object Curation {
     * once-rounded micro-unit pow terms, an integer normalizer, and the
     * same single-division roundings. */
   val q123Sql: String =
-    """WITH t AS (
+    raw"""WITH t AS (
       |  SELECT source,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n_tokens
       |  FROM documents),
       |p AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
       |      FROM t GROUP BY source),
@@ -288,7 +288,7 @@ object Curation {
     * to the document payload stay key-shuffle only. */
   def q104ChunkDocs(s: SparkSession, dir: String): DataFrame = {
     val chunkSize = 64; val stride = 48
-    val toks = split(trim(col("text")), "\\s+")
+    val toks = Tok.ws(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), toks.as("w"))
       // chunk starts: 0, stride, 2*stride …, stopping once a chunk
@@ -318,8 +318,8 @@ object Curation {
     * window starts before the text ends; max(…, 0) keeps one chunk for
     * short docs. */
   val q104Sql: String =
-    """WITH w AS (
-      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+    raw"""WITH w AS (
+      |  SELECT doc_id, source, ${Tok.wsSql("text")} AS w
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, source, len(w) AS n_tokens, w,
@@ -358,7 +358,7 @@ object Curation {
   def q108DsirWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"),
       (col("lang") === "en").as("is_t"),
-      split(trim(col("text")), "\\s+").as("ws"))
+      Tok.ws(col("text")).as("ws"))
     // localCheckpoint: cnts feeds BOTH the bucket-LM aggregation and
     // the scoring join; without it Spark re-tokenizes and re-folds the
     // whole corpus for each consumer — a double full-corpus pass at
@@ -407,7 +407,7 @@ object Curation {
     val foldW = TextAnalysis.sqlCharFold("w")
     s"""WITH d AS (
       |  SELECT doc_id, lang = 'en' AS is_t,
-      |    regexp_split_to_array(trim(text), '\\s+') AS ws
+      |    ${Tok.wsSql("text")} AS ws
       |  FROM documents),
       |tok AS (
       |  SELECT doc_id, is_t, $foldW % 1024 AS b
@@ -571,7 +571,7 @@ object Curation {
     // argument, a different control code point)
     val S = "\u0001"
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-      split(trim(col("text")), "\\s+").as("ws"))
+      Tok.ws(col("text")).as("ws"))
       .withColumn("arr", concat(array(lit(S)), col("ws")))
     // per-doc bigram occurrence counts: the ONLY corpus-sized frame,
     // pinned once for the LM aggregation AND the scoring join
@@ -624,10 +624,10 @@ object Curation {
     * ceil(2n/3) value thresholds (the oracle may compute them with a
     * window — DuckDB is single-node; the Spark side must not). */
   val q119Sql: String =
-    """WITH d AS (
+    raw"""WITH d AS (
       |  SELECT doc_id, lang,
-      |    regexp_split_to_array(trim(text), '\s+') AS ws,
-      |    list_prepend(chr(1), regexp_split_to_array(trim(text), '\s+')) AS arr
+      |    ${Tok.wsSql("text")} AS ws,
+      |    list_prepend(chr(1), ${Tok.wsSql("text")}) AS arr
       |  FROM documents),
       |big AS (
       |  SELECT doc_id, lang, p.a AS a, p.b AS b, COUNT(*) AS k
@@ -694,7 +694,7 @@ object Curation {
     // U+0001 sentence-start sentinel, the q119 convention
     val S = "\u0001"
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-      split(trim(col("text")), "\\s+").as("ws"))
+      Tok.ws(col("text")).as("ws"))
       .withColumn("arr", concat(array(lit(S)), col("ws")))
     val docBig = docs
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -738,10 +738,10 @@ object Curation {
     * train-slice LM counts, LEFT joins with the same COALESCE floors,
     * once-rounded micro-nat units, integer totals. */
   val q131Sql: String =
-    """WITH d AS (
+    raw"""WITH d AS (
       |  SELECT doc_id, lang,
-      |    regexp_split_to_array(trim(text), '\s+') AS ws,
-      |    list_prepend(chr(1), regexp_split_to_array(trim(text), '\s+')) AS arr
+      |    ${Tok.wsSql("text")} AS ws,
+      |    list_prepend(chr(1), ${Tok.wsSql("text")}) AS arr
       |  FROM documents),
       |big AS (
       |  SELECT doc_id, lang, p.a AS a, p.b AS b, COUNT(*) AS k
@@ -795,7 +795,7 @@ object Curation {
     * need ordered cohorts, not exactly-equal ones. */
   def q126DriftReport(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"),
-      split(trim(col("text")), "\\s+").as("ws"))
+      Tok.ws(col("text")).as("ws"))
     val mx = docs.agg(max(col("doc_id")).as("mx"))
     val dec = docs.crossJoin(broadcast(mx))
       .withColumn("decile",
@@ -838,7 +838,7 @@ object Curation {
       |d AS (
       |  SELECT doc_id,
       |    CAST(LEAST(9, (doc_id * 10) // (mx + 1)) + 1 AS INTEGER) AS decile,
-      |    regexp_split_to_array(trim(text), '\\s+') AS ws
+      |    ${Tok.wsSql("text")} AS ws
       |  FROM documents CROSS JOIN mx),
       |tok AS (
       |  SELECT decile, $foldW % 1024 AS b
@@ -871,7 +871,7 @@ object Curation {
   def q127LexicalDiversity(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("source"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
+        explode(Tok.ws(col("text"))).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
     tok.groupBy(col("source"))
       .agg(sum(col("c")).as("n_tokens"),
@@ -886,9 +886,9 @@ object Curation {
   }
 
   val q127Sql: String =
-    """WITH tok AS (
+    raw"""WITH tok AS (
       |  SELECT source, w, COUNT(*) AS c
-      |  FROM (SELECT source, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM (SELECT source, UNNEST(${Tok.wsSql("text")}) AS w
       |        FROM documents)
       |  GROUP BY 1, 2),
       |agg AS (
@@ -963,7 +963,7 @@ object Curation {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val cells = batch
-          .select(explode(transform(split(trim(col("text")), "\\s+"),
+          .select(explode(transform(Tok.ws(col("text")),
             t => pmod(charFold(t), lit(1024L)))).as("b"))
           .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
           .localCheckpoint() // feeds the KL join AND the reference fold
@@ -1007,7 +1007,7 @@ object Curation {
     * window runs over the ≤9 bucket rows. One map-only pass + one
     * 9-key aggregation: nothing limits scale. */
   def q129LengthHistogram(s: SparkSession, dir: String): DataFrame = {
-    val n = size(split(trim(col("text")), "\\s+")).cast("long")
+    val n = size(Tok.ws(col("text"))).cast("long")
     val bucket = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
       .when(n <= 128, 128L).when(n <= 256, 256L).when(n <= 512, 512L)
       .when(n <= 1024, 1024L).when(n <= 2048, 2048L).otherwise(4096L)
@@ -1030,8 +1030,8 @@ object Curation {
   /** DuckDB replay of q129: the identical CASE ladder, totals, and
     * cumulative window. */
   val q129Sql: String =
-    """WITH t AS (
-      |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+    raw"""WITH t AS (
+      |  SELECT CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n
       |  FROM documents),
       |b AS (
       |  SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
@@ -1074,7 +1074,7 @@ object Curation {
     val docs = Tables.documents(s, dir)
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    val nWords = size(split(trim(col("text")), "\\s+")).cast("long")
+    val nWords = size(Tok.ws(col("text"))).cast("long")
     val grp = Window.partitionBy(sha2(norm, 256))
     val perDoc = docs.select(col("doc_id"), col("lang"), nWords.as("ws"),
       (count(lit(1)).over(grp) > 1).as("is_dup"))
@@ -1102,9 +1102,9 @@ object Curation {
     * token-for-token and the dup grouping keys the normalized TEXT
     * itself (the q51-oracle trick — no cross-engine hash to match). */
   val q110Sql: String =
-    """WITH nd AS (
+    raw"""WITH nd AS (
       |  SELECT doc_id, lang,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws,
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS ws,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
       |  FROM documents),
       |dup AS (
@@ -1114,9 +1114,9 @@ object Curation {
       |q AS (
       |  SELECT doc_id,
       |    CAST(ROUND(
-      |      ROUND(LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.4
+      |      ROUND(LEAST(len(${Tok.wsSql("text")}) / 100.0, 1.0) * 0.4
       |        + LEAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) * 1.0
-      |            / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.3
+      |            / len(${Tok.wsSql("text")}) * 5.0, 1.0) * 0.3
       |        + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
       |            / GREATEST(LENGTH(text), 1) * 10.0, 1.0)) * 0.3, 6)
       |      * 1000000.0) AS BIGINT) AS q_u
@@ -1151,7 +1151,7 @@ object Curation {
     * |sources|-key summary aggregation. Nothing shuffles document
     * payloads. */
   def q113QualitySample(s: SparkSession, dir: String): DataFrame = {
-    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val tokens = size(Tok.ws(col("text"))).cast("long")
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), tokens.as("n_tokens"),
         TextAnalysis.qualityExpr.as("quality"))
@@ -1187,9 +1187,9 @@ object Curation {
     * threshold, and LCG draw — a single flipped per-document verdict
     * shifts a kept_docs/kept_tokens sum and fails the hash. */
   val q113Sql: String =
-    """WITH d AS (
+    raw"""WITH d AS (
       |  SELECT doc_id, source,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n_tokens,
       |""".stripMargin + "    " + TextAnalysis.sqlQualityExpr + s""" AS quality
       |  FROM documents),
       |p AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
@@ -1241,7 +1241,7 @@ object Curation {
     * NO global sort of documents, no window — the naive form (ORDER BY
     * quality DESC + running SUM) is the q23/q76 single-task funnel. */
   def q135BudgetSelect(s: SparkSession, dir: String): DataFrame = {
-    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val tokens = size(Tok.ws(col("text"))).cast("long")
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), tokens.as("n_tokens"),
         TextAnalysis.qualityExpr.as("quality"))
@@ -1283,9 +1283,9 @@ object Curation {
     * crossing is MAX(quality) among values whose cumulative mass
     * reaches the budget. */
   val q135Sql: String =
-    """WITH d AS (
+    raw"""WITH d AS (
       |  SELECT doc_id, source,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n_tokens,
       |""".stripMargin + "    " + TextAnalysis.sqlQualityExpr + """ AS quality
       |  FROM documents),
       |g AS (SELECT (CAST(SUM(n_tokens) AS BIGINT) + 4) // 5 AS budget FROM d),
@@ -1329,9 +1329,9 @@ object Curation {
   /** The DuckDB form of [[funnelFilterExpr]] — embedded verbatim in
     * [[q116Sql]]; kept adjacent so the pair edits together. */
   private[llm] val sqlFunnelFilterExpr: String =
-    """(len(regexp_split_to_array(trim(text), '\s+')) >= 20)
+    raw"""(len(${Tok.wsSql("text")}) >= 20)
       |      AND (LENGTH(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
-      |        / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0)
+      |        / len(${Tok.wsSql("text")}) BETWEEN 2.0 AND 12.0)
       |      AND NOT contains(lower(text), 'lorem ipsum')
       |      AND NOT contains(text, '{')""".stripMargin
 
@@ -1463,7 +1463,7 @@ object Curation {
       |vp AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
       |d AS (
       |  SELECT doc_id, source, lines_removed,
-      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n_tokens,
       |""".stripMargin +
       "    " + TextAnalysis.sqlQualityExpr + s""" AS quality,
       |    $sqlFunnelFilterExpr AS filter_keep
@@ -1687,7 +1687,7 @@ object Curation {
     * arithmetic on the representative; the audit joins the pair list
     * (ids only) against the |docs|-row assignment twice. */
   def q118LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
-    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val tokens = size(Tok.ws(col("text"))).cast("long")
     val labels = Dedup.clusterLabelsArtifact(s, dir)
     val bucket = pmod(detHash(col("rep")), lit(100))
     val splitCol = when(bucket < 80, "train").when(bucket < 90, "val")
@@ -1727,7 +1727,7 @@ object Curation {
       |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM cc GROUP BY doc_id),
       |d AS (
       |  SELECT doc_id,
-      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n_tokens
       |  FROM documents),
       |a AS (
       |  SELECT d.doc_id, d.n_tokens,
@@ -1806,7 +1806,7 @@ object Curation {
       .writeTo(tbl).append()
     val delta = graft.catalog.Changes.between(s, tbl, vA)
       .select(col("source"), col("_change_type"),
-        size(split(col("text"), " ")).cast("long").as("t"))
+        size(Tok.sp(col("text"))).cast("long").as("t"))
     delta.groupBy(col("source"))
       .agg(
         sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
@@ -1830,8 +1830,8 @@ object Curation {
     * reproduce exactly these rows, nothing more (a CoW-style
     * file-granular feed would re-deliver survivors and fail this). */
   val q141Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, source, len(string_split(text, ' ')) AS t
+    raw"""WITH d AS (
+      |  SELECT doc_id, source, len(${Tok.spSql("text")}) AS t
       |  FROM documents),
       |added AS (SELECT source, COUNT(*) AS docs_added,
       |    CAST(SUM(t) AS BIGINT) AS tokens_added
@@ -1887,9 +1887,15 @@ object Curation {
         concat(col("text"), lit(" (rev)"))).otherwise(col("text")))
       .unionByName(a.filter(col("doc_id") % 29 === 7)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // (doc_id, term) distinct ACROSS rows, not just within a row's
+    // array_distinct: the oracle counts DISTINCT (doc_id, term), and on
+    // a corpus spanning ≥10⁶ ids a re-keyed addition (doc_id + 10⁶) can
+    // collide with a surviving doc_id — both engines must then count
+    // the collided pair once
     def dfOf(t: DataFrame, name: String): DataFrame = t
       .select(col("doc_id"),
-        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+        explode(array_distinct(Tok.ws(col("text")))).as("term"))
+      .distinct()
       .groupBy(col("term")).agg(count(lit(1)).as(name))
     val j = dfOf(a, "df_a").join(dfOf(b, "df_b"), Seq("term"), "full")
       .select(col("term"), coalesce(col("df_a"), lit(0L)).as("df_a"),
@@ -1907,7 +1913,7 @@ object Curation {
   /** DuckDB replay of q163: the same modular release derivation,
     * per-doc-distinct df on both sides, identical |Δ| top-20. */
   val q163Sql: String =
-    """WITH a AS (SELECT doc_id, text FROM documents),
+    raw"""WITH a AS (SELECT doc_id, text FROM documents),
       |b AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 23 = 5 THEN text || ' (rev)' ELSE text END
@@ -1918,12 +1924,12 @@ object Curation {
       |dfa AS (
       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_a FROM (
       |    SELECT DISTINCT doc_id,
-      |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+      |      UNNEST(${Tok.wsSql("text")}) AS term
       |    FROM a) GROUP BY 1),
       |dfb AS (
       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_b FROM (
       |    SELECT DISTINCT doc_id,
-      |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+      |      UNNEST(${Tok.wsSql("text")}) AS term
       |    FROM b) GROUP BY 1),
       |j AS (
       |  SELECT term, COALESCE(df_a, 0) AS df_a, COALESCE(df_b, 0) AS df_b,
@@ -1959,7 +1965,7 @@ object Curation {
     * tiebreaks. */
   def q150BudgetWaterfill(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val tokens = size(Tok.ws(col("text"))).cast("long")
     val per = Tables.documents(s, dir)
       .select(col("source"), tokens.as("n"))
       .groupBy(col("source")).agg(sum(col("n")).as("cap"))
@@ -1992,9 +1998,9 @@ object Curation {
     * integer-cross-multiplied prefix test, the same truncating level
     * division. */
   val q150Sql: String =
-    """WITH t AS (
+    raw"""WITH t AS (
       |  SELECT source,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n
       |  FROM documents),
       |p AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cap FROM t GROUP BY 1),
       |g AS (SELECT CAST(SUM(cap) AS BIGINT) AS total,

@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Tables, Tok}
 
 /** Deduplication operators for a training-data pipeline, designed for
   * 100 TB: every variant is keyed-shuffle only — content hashes, LSH band
@@ -574,7 +574,7 @@ object Dedup {
     }
     val sigs = Tables.documents(s, dir)
       .select(col("doc_id"),
-        simUdf(split(trim(col("text")), "\\s+")).as("sig"))
+        simUdf(Tok.ws(col("text"))).as("sig"))
     val blockEntries = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
@@ -686,8 +686,8 @@ object Dedup {
   }
 
   val q79Sql: String =
-    """WITH w AS (
-      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+    raw"""WITH w AS (
+      |  SELECT doc_id, source, ${Tok.wsSql("text")} AS w
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, source,
@@ -707,9 +707,9 @@ object Dedup {
     * FNV doesn't collide inside a block — verified value-identical on the
     * corpus. Blocking, threshold, and 4dp rounding replayed exactly. */
   val q54Sql: String =
-    """WITH w AS (
+    raw"""WITH w AS (
       |  SELECT doc_id, source, CAST(FLOOR(n_chars/100.0) AS INTEGER) AS len_bucket,
-      |         regexp_split_to_array(trim(text), '\s+') AS w
+      |         ${Tok.wsSql("text")} AS w
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, source, len_bucket,
@@ -875,7 +875,7 @@ object Dedup {
     * [[stripDuplicateSpans]] (removal). */
   private def crossDocSpans(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokenize = split(trim(col("text")), "\\s+")
+    val tokenize = Tok.ws(col("text"))
     val toks = docs.select(col("doc_id"),
         posexplode(tokenize).as(Seq("pos", "tok")))
     val wGram = Window.partitionBy("doc_id").orderBy("pos")
@@ -916,7 +916,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(col("end") - col("start")).as("dup_tokens"))
     docs.select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        size(Tok.ws(col("text"))).as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -942,7 +942,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start"), col("end"))).as("spans"))
     docs.join(spanList, Seq("doc_id"), "left")
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("toks", Tok.ws(col("text")))
       .select(col("doc_id"),
         when(col("spans").isNull, col("text")).otherwise(
           concat_ws(" ", transform(filter(
@@ -1047,9 +1047,16 @@ object Dedup {
     * are out of that row's universe — stated, and mirrored in the
     * oracle. */
   def q156ContainmentCurve(s: SparkSession, dir: String): DataFrame = {
+    // deliberately UNPINNED end-to-end: both the tokenized corpus and
+    // the per-n held-out gram join grow with corpus TEXT, so a
+    // localCheckpoint of either is a non-fault-tolerant corpus-sized
+    // materialization (lineage truncated: one lost executor kills the
+    // query instead of recomputing a partition). The map-only gram
+    // projection and the gram-keyed join recompute per consumer —
+    // scan-bound work a 1000-executor job absorbs; a corpus-sized pin
+    // it cannot
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-      .localCheckpoint() // feeds all three gram sizes
+      .select(col("doc_id"), Tok.ws(col("text")).as("ws"))
     Seq(1, 2, 3).map { n =>
       val g = docs.filter(size(col("ws")) >= n)
         .select(col("doc_id"), explode(expr(
@@ -1060,7 +1067,6 @@ object Dedup {
         .withColumn("hit", lit(1L))
       val test = g.filter(col("doc_id") % 10 === 7)
         .join(train, Seq("g"), "left")
-        .localCheckpoint() // feeds the doc fold AND the gram fold
       val docsAgg = test.groupBy(col("doc_id"))
         .agg(max(coalesce(col("hit"), lit(0L))).as("h"))
         .agg(count(lit(1)).as("test_docs"),
@@ -1106,7 +1112,7 @@ object Dedup {
         |    CAST(SUM(h) AS BIGINT) AS contained_grams
         |  FROM (SELECT g, MAX(h) AS h FROM te$n GROUP BY 1))""".stripMargin
     s"""WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      |  SELECT doc_id, ${Tok.wsSql("text")} AS ws
       |  FROM documents),
       |${block(1)},
       |${block(2)},
@@ -1140,7 +1146,7 @@ object Dedup {
     val labels = clusterLabelsArtifact(s, dir)
     val per = Tables.documents(s, dir)
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+        size(Tok.ws(col("text"))).cast("long").as("n"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
       .groupBy(col("rep"))
@@ -1157,11 +1163,11 @@ object Dedup {
     * singletons kept as their own clusters, identical folds. (lazy:
     * [[ccCte]] is declared below.) */
   lazy val q157Sql: String = ccCte +
-    """,
+    raw""",
       |lab AS (SELECT doc_id, MIN(label) AS rep FROM cc GROUP BY 1),
       |dl AS (
       |  SELECT doc_id,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n
       |  FROM documents),
       |m AS (
       |  SELECT dl.doc_id, COALESCE(lab.rep, dl.doc_id) AS rep, dl.n
@@ -1205,8 +1211,8 @@ object Dedup {
     * [[q106Sql]] (exact all-pairs trigram Jaccard edges + connected
     * components). */
   private[llm] val ccCte: String =
-    """WITH RECURSIVE w AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    raw"""WITH RECURSIVE w AS (
+      |  SELECT doc_id, ${Tok.wsSql("text")} AS w FROM documents),
       |g AS (
       |  SELECT doc_id,
       |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -1236,13 +1242,13 @@ object Dedup {
     * docs keeping themselves, and the same quality-then-id window rank
     * — an independent recomputation of the entire keep-best decision. */
   val q106Sql: String = ccCte +
-    """,
+    raw""",
       |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM cc GROUP BY doc_id),
       |qual AS (
       |  SELECT doc_id,
-      |    ROUND(LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.4
+      |    ROUND(LEAST(len(${Tok.wsSql("text")}) / 100.0, 1.0) * 0.4
       |      + LEAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) * 1.0
-      |          / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.3
+      |          / len(${Tok.wsSql("text")}) * 5.0, 1.0) * 0.3
       |      + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
       |          / GREATEST(LENGTH(text), 1) * 10.0, 1.0)) * 0.3, 6) AS quality
       |  FROM documents),
@@ -1271,7 +1277,7 @@ object Dedup {
     * funnel oracle runs it over its line-cleaned CTE. */
   private[llm] def pairCtesOver(src: String): String =
     s"""w AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src),
+      |  SELECT doc_id, ${Tok.wsSql("text")} AS w FROM $src),
       |g AS (
       |  SELECT doc_id,
       |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -1305,8 +1311,8 @@ object Dedup {
     * structural xxhash64), cross-doc mark via min(doc) != max(doc),
     * and the same running-max gaps-and-islands merge. */
   private val spanCte: String =
-    """WITH w AS (
-      |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    raw"""WITH w AS (
+      |  SELECT doc_id, text, ${Tok.wsSql("text")} AS w FROM documents),
       |g AS (
       |  SELECT doc_id, w, UNNEST(range(0, GREATEST(len(w) - 15, 0))) AS pos FROM w),
       |g2 AS (
@@ -1326,14 +1332,14 @@ object Dedup {
       |       FROM s GROUP BY doc_id, span_id)""".stripMargin
 
   val q97Sql: String = spanCte +
-    """,
+    raw""",
       |agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(en - st) AS dup_tokens
       |        FROM sp GROUP BY doc_id)
       |SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
       |  CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-      |  CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(${Tok.wsSql("d.text")}) AS BIGINT) AS n_tokens,
       |  ROUND(COALESCE(a.dup_tokens, 0) * 1.0 /
-      |    len(regexp_split_to_array(trim(d.text), '\s+')), 4) AS dup_ratio
+      |    len(${Tok.wsSql("d.text")}), 4) AS dup_ratio
       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   val q98Sql: String = spanCte +
@@ -1368,7 +1374,7 @@ object Dedup {
       .map(j => "'" + java.math.BigInteger.ONE.shiftLeft(j) + "'")
       .mkString("[", ",", "]")
     s"""tok AS (
-      |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+      |  SELECT doc_id, UNNEST(${Tok.wsSql("text")}) AS w
       |  FROM documents),
       |wb AS (
       |  SELECT doc_id,
@@ -1428,7 +1434,7 @@ object Dedup {
     graft.functions.VectorFunctions.register(s)
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val tokens = docs.select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+        size(Tok.ws(col("text"))).cast("long").as("n"))
       .localCheckpoint() // feeds every method's mass join AND the total
     val tot = tokens.agg(sum(col("n")).as("total"))
     def card(label: String, flagged: DataFrame): DataFrame =
@@ -1472,7 +1478,7 @@ object Dedup {
       |${Similarity.ivfCtes("i_")},
       |tkn AS (
       |  SELECT doc_id,
-      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS n
       |  FROM documents),
       |ttot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tkn),
       |exf AS (

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Tables, Tok}
 
 /** Similarity search over the embeddings table (`array<float>`, 64-dim).
   *
@@ -1127,7 +1127,7 @@ object Similarity {
     s"""WITH ${ivfCtes("")},
       |sizes AS (SELECT cell, COUNT(*) AS n_members FROM cells GROUP BY 1),
       |tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS tot FROM sizes),
-      |tk AS (SELECT c.cell, UNNEST(string_split(d.text, ' ')) AS w
+      |tk AS (SELECT c.cell, UNNEST(${Tok.spSql("d.text")}) AS w
       |       FROM cells c JOIN documents d ON d.doc_id = c.vec_id),
       |tf AS (SELECT cell, w, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -1708,6 +1708,140 @@ object Similarity {
       |    ORDER BY sim DESC, doc_id) AS INTEGER) AS rn
       |FROM sc QUALIFY rn <= 5 ORDER BY query_id, rn""".stripMargin
 
+  /** Centered IVF search (q167) — q146's INDEX-SERVED scale path: the
+    * same All-but-the-Top centering (Mu & Viswanath 2018), but the
+    * corpus mean is a MAINTAINED index artifact (`mean_stats`, the
+    * exact-integer delta ledger [[AnnIndex.meanDeltaOf]] that build/
+    * refresh/vacuum keep current) and the search rides PROBED CELLS
+    * like q57/q143 instead of scanning the corpus per query batch.
+    * Centering is linear, so the centered-space centroid of a cell is
+    * (centroid − mean): probe ranking centers the 8 persisted
+    * centroids against the ledger mean and scores candidates only in
+    * the probed cells. Approximate in RECALL (cells were trained
+    * uncentered — the declared approximation, same class as q57's
+    * nProbe loss); every emitted similarity is the exact centered
+    * cosine, so the whole pipeline stays a pure function of the corpus
+    * and oracle-checks end-to-end.
+    *
+    * Determinism: the ledger mean replays as exact integer sums with
+    * the q146 sj/U/n division order; centering is per-coordinate IEEE
+    * double subtraction; cosines are the codegen'd double fold
+    * (bit-equal to DuckDB's list_dot_product), rounded once to 6dp,
+    * ties on id.
+    *
+    * Scale shape: the mean folds #commits×Dim ledger rows (never the
+    * corpus) into a 1-row broadcast; probe ranking is |queries|×K
+    * against broadcast centroids; candidates are the probed-cell
+    * equi-join (bounded by cell occupancy — the q57 geometry, ~nProbe/K
+    * of the corpus, shrinking as K grows √n); centering is map-only on
+    * candidates; the final window partitions per query over candidates
+    * only. PlanSpec gates the artifact reads and the scan bound. */
+  def q167CenteredIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val nProbe = 5
+    val pfx = AnnIndex.ensure(s, dir)
+    val U = AnnIndex.MeanUnit
+    val mean = s.table(s"$pfx.mean_stats")
+      .groupBy(col("j"))
+      .agg(sum(col("sj_delta")).as("sj"), sum(col("n_delta")).as("n"))
+      .withColumn("mean", col("sj") / U / col("n"))
+      .agg(sort_array(collect_list(struct(col("j"), col("mean")))).as("h"))
+      .select(expr("transform(h, p -> p.mean)").as("c"))
+    // NOT pinned: each of the three centering consumers re-folds the
+    // #commits×Dim ledger — trivial work that keeps the artifact read
+    // visible in the plan (PlanSpec gates it)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    def centerCol(name: String): Column =
+      expr(s"zip_with($name, c, (x, m) -> CAST(x AS DOUBLE) - m)")
+    val q = e.filter(col("vec_id").isin(100L, 200L, 300L))
+      .crossJoin(broadcast(mean))
+      .withColumn("qv", centerCol("embedding"))
+      .withColumn("qn", sqrt(call_function("graft_dotdd", col("qv"), col("qv"))))
+      .select((col("vec_id") / 100).cast("int").as("query_id"),
+        col("qv"), col("qn"))
+    val cents = s.table(s"$pfx.ivf_centroids")
+      .crossJoin(broadcast(mean))
+      .withColumn("cc", centerCol("cent"))
+      .withColumn("cn", sqrt(call_function("graft_dotdd", col("cc"), col("cc"))))
+      .select(col("cent_id"), col("cc"), col("cn"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(call_function("graft_dotdd", col("qv"), col("cc")) /
+          (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    s.table(s"$pfx.ivf_cells").select(col("vec_id"), col("cell"))
+      .join(e, Seq("vec_id"))
+      .join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id").cast("long") * 100)
+      .crossJoin(broadcast(mean))
+      .withColumn("dv", centerCol("embedding"))
+      .withColumn("dn", sqrt(call_function("graft_dotdd", col("dv"), col("dv"))))
+      .withColumn("sim",
+        round(call_function("graft_dotdd", col("qv"), col("dv")) /
+          (col("qn") * col("dn")), 6))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("sim"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** DuckDB replay of q167 END-TO-END: ivfCtes (Lloyd's included), the
+    * ledger mean recomputed as the same exact integer sums, centered
+    * probe ranking over the SAME final centroids, probed-cell
+    * candidates, centered double-fold cosines, 6dp rounding, id
+    * tiebreaks. */
+  lazy val q167Sql: String = {
+    val r = AnnIndex.MaxRounds
+    s"""WITH ${ivfCtes("")},
+      |mx AS (
+      |  SELECT p.j AS j,
+      |    CAST(SUM(CAST(ROUND(p.x * 16777216.0) AS BIGINT)) AS BIGINT) AS sj,
+      |    COUNT(*) AS n
+      |  FROM (SELECT UNNEST(list_transform(range(1, len(ev) + 1),
+      |          i -> {'j': i, 'x': ev[i]})) AS p FROM v)
+      |  GROUP BY 1),
+      |cm AS (SELECT list(sj / 16777216.0 / n ORDER BY j) AS c FROM mx),
+      |cq AS (
+      |  SELECT CAST(vec_id // 100 AS INTEGER) AS query_id,
+      |    list_transform(range(1, len(ev) + 1), i -> ev[i] - c[i]) AS qv
+      |  FROM v, cm WHERE vec_id IN (100, 200, 300)),
+      |ccn AS (
+      |  SELECT cent_id,
+      |    list_transform(range(1, len(cent) + 1), i -> cent[i] - c[i]) AS cc
+      |  FROM c$r, cm),
+      |pr AS (
+      |  SELECT query_id, cent_id AS cell, qv FROM (
+      |    SELECT q.query_id, n.cent_id, q.qv,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      |        ROUND(list_dot_product(q.qv, n.cc) /
+      |          (SQRT(list_dot_product(q.qv, q.qv)) *
+      |           SQRT(list_dot_product(n.cc, n.cc))), 6) DESC,
+      |        n.cent_id) AS rk
+      |    FROM cq q CROSS JOIN ccn n) WHERE rk <= 5),
+      |cd AS (
+      |  SELECT p.query_id, m.vec_id AS doc_id, p.qv,
+      |    list_transform(range(1, len(m.ev) + 1), i -> m.ev[i] - c[i]) AS dv
+      |  FROM pr p JOIN cells m ON m.cell = p.cell CROSS JOIN cm
+      |  WHERE m.vec_id <> p.query_id * 100),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    ROUND(list_dot_product(qv, dv) /
+      |      (SQRT(list_dot_product(qv, qv)) *
+      |       SQRT(list_dot_product(dv, dv))), 6) AS sim
+      |  FROM cd)
+      |SELECT query_id, doc_id, sim,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, doc_id) AS INTEGER) AS rn
+      |FROM sc QUALIFY rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
+
   /** IVF probe sweep (q148) — the nProbe tuning curve an index
     * operator reads before setting the recall/latency dial: recall@3
     * against the exact ground truth at every nProbe in 1..5, from ONE
@@ -2238,6 +2372,7 @@ object Similarity {
     "q137_cluster_cards" -> q137ClusterCards _,
     "q138_hubness_audit" -> q138HubnessAudit _,
     "q146_centered_search" -> q146CenteredSearch _,
+    "q167_centered_ivf" -> q167CenteredIvf _,
     "q148_probe_sweep" -> q148ProbeSweep _,
     "q149_contrastive_triplets" -> q149ContrastiveTriplets _,
     "q152_sq8_recall" -> q152Sq8Recall _,
@@ -2544,6 +2679,7 @@ object Similarity {
     "q155_sq8_error" -> q155Sql,
     "q161_ranker_agreement" -> q161Sql,
     "q146_centered_search" -> q146Sql,
+    "q167_centered_ivf" -> q167Sql,
     "q148_probe_sweep" -> q148Sql,
     "q149_contrastive_triplets" -> q149Sql,
     "q152_sq8_recall" -> q152Sql,

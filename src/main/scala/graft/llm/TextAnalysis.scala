@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Tables, Tok}
 
 /** Text-analysis operators for corpus curation: language-ID heuristic,
   * quality scoring, token counting, and content fingerprinting. All four
@@ -61,7 +61,7 @@ object TextAnalysis {
     * output). Pure per-row arithmetic; identical double ops on both
     * engines; round(…, 6). */
   def qualityExpr: Column = {
-    val nWords = size(split(trim(col("text")), "\\s+"))
+    val nWords = size(Tok.ws(col("text")))
     val nStop = regexp_count(lower(col("text")), lit(stopRe))
     val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
     val stopRatio = nStop * 1.0 / nWords
@@ -75,16 +75,16 @@ object TextAnalysis {
     * enclosing FROM — one source of truth with [[qualityExpr]] (q59Sql
     * and q113's oracle both embed it verbatim). */
   val sqlQualityExpr: String =
-    """ROUND(LEAST(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.4
+    raw"""ROUND(LEAST(len(${Tok.wsSql("text")}) / 100.0, 1.0) * 0.4
       |    + LEAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) * 1.0
-      |        / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.3
+      |        / len(${Tok.wsSql("text")}) * 5.0, 1.0) * 0.3
       |    + (1.0 - LEAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
       |        / GREATEST(LENGTH(text), 1) * 10.0, 1.0)) * 0.3, 6)""".stripMargin
 
   /** Quality scoring: length, word stats, stopword/punctuation ratios →
     * composite score ([[qualityExpr]]). */
   def q59Quality(s: SparkSession, dir: String): DataFrame = {
-    val nWords = size(split(trim(col("text")), "\\s+"))
+    val nWords = size(Tok.ws(col("text")))
     val nStop = regexp_count(lower(col("text")), lit(stopRe))
     val avgWordLen = length(regexp_replace(col("text"), "\\s+", "")) * 1.0 / nWords
     val nPunct = regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]"))
@@ -100,12 +100,12 @@ object TextAnalysis {
   }
 
   val q59Sql: String =
-    """SELECT doc_id,
-      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_words,
+    raw"""SELECT doc_id,
+      |  CAST(len(${Tok.wsSql("text")}) AS INTEGER) AS n_words,
       |  ROUND(LENGTH(regexp_replace(text, '\s+', '', 'g')) * 1.0
-      |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_word_len,
+      |    / len(${Tok.wsSql("text")}), 6) AS avg_word_len,
       |  ROUND(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) * 1.0
-      |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stop_ratio,
+      |    / len(${Tok.wsSql("text")}), 6) AS stop_ratio,
       |  ROUND(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
       |    / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
       |""".stripMargin + "  " + sqlQualityExpr + """ AS quality
@@ -114,7 +114,7 @@ object TextAnalysis {
   /** Token counting per source: whitespace tokens + a BPE-ish regex
     * tokenizer (letter runs / digit runs / single other), aggregated. */
   def q60TokenCount(s: SparkSession, dir: String): DataFrame = {
-    val wsTokens = size(split(trim(col("text")), "\\s+"))
+    val wsTokens = size(Tok.ws(col("text")))
     val reTokens = size(regexp_extract_all(lower(col("text")),
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
     Tables.documents(s, dir)
@@ -128,8 +128,8 @@ object TextAnalysis {
   }
 
   val q60Sql: String =
-    """SELECT source, COUNT(*) AS n_docs,
-      |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tot_ws_tokens,
+    raw"""SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(${Tok.wsSql("text")})) AS BIGINT) AS tot_ws_tokens,
       |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS tot_re_tokens,
       |  ROUND(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) * 1.0
       |    / COUNT(*), 6) AS avg_re_tokens
@@ -161,7 +161,7 @@ object TextAnalysis {
        |    (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin
 
   def q61Fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val words = split(trim(col("text")), "\\s+")
+    val words = Tok.ws(col("text"))
     // slice truncates at the array end (and DuckDB's w[i:i+2] slices the
     // same way), so a 1-2 word document folds its whole text instead of
     // diverging between engines (element_at past the end would throw
@@ -178,9 +178,9 @@ object TextAnalysis {
     * splits to codepoints exactly like Spark's `split(s, '')` (verified
     * value-identical on the corpus), and list_reduce replays the fold. */
   val q61Sql: String =
-    """WITH w AS (
+    raw"""WITH w AS (
       |  SELECT doc_id, text,
-      |    regexp_split_to_array(trim(text), '\s+') AS w
+      |    ${Tok.wsSql("text")} AS w
       |  FROM documents)
       |SELECT doc_id,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -211,7 +211,7 @@ object TextAnalysis {
     * case; RetrievalCurationSpec drives multi-line fixtures.) */
   def q88Repetition(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), Tok.ws(col("text")).as("t"))
       .filter(size(col("t")) >= 2) // sequence(0, n-2) needs n >= 2
     val bg = docs.select(col("doc_id"),
       explode(expr("transform(sequence(0, size(t) - 2), " +
@@ -243,8 +243,8 @@ object TextAnalysis {
   }
 
   val q88Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    raw"""WITH toks AS (
+      |  SELECT doc_id, ${Tok.wsSql("text")} AS t
       |  FROM documents),
       |idx AS (
       |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
@@ -301,10 +301,10 @@ object TextAnalysis {
   /** The same verdict in DuckDB syntax over the `text` column of the
     * enclosing FROM. */
   val sqlC4KeepExpr: String =
-    """(len(regexp_split_to_array(trim(text), '\s+')) >= 5)
+    raw"""(len(${Tok.wsSql("text")}) >= 5)
       |    AND (LENGTH(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
-      |      / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0)
-      |    AND regexp_matches(trim(text), '[.!?"]$')
+      |      / len(${Tok.wsSql("text")}) BETWEEN 2.0 AND 12.0)
+      |    AND regexp_matches(trim(text), '[.!?"]$$')
       |    AND NOT contains(lower(text), 'lorem ipsum')
       |    AND NOT contains(text, '{')""".stripMargin
 
@@ -326,12 +326,12 @@ object TextAnalysis {
   }
 
   val q91Sql: String =
-    """SELECT doc_id,
-      |  len(regexp_split_to_array(trim(text), '\s+')) >= 5 AS enough_words,
+    raw"""SELECT doc_id,
+      |  len(${Tok.wsSql("text")}) >= 5 AS enough_words,
       |  LENGTH(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
-      |    / len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 2.0 AND 12.0
+      |    / len(${Tok.wsSql("text")}) BETWEEN 2.0 AND 12.0
       |    AS sane_word_len,
-      |  regexp_matches(trim(text), '[.!?"]$') AS terminal_punct,
+      |  regexp_matches(trim(text), '[.!?"]$$') AS terminal_punct,
       |  NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
       |  NOT contains(text, '{') AS no_braces,
       |""".stripMargin + "  " + sqlC4KeepExpr + """ AS keep
@@ -485,7 +485,7 @@ object TextAnalysis {
   def q142HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(Tok.sp(col("text"))).as("tok"))
     val mg = udaf(MisraGries)
     val cands = toks.agg(mg(col("tok"))).head().getSeq[String](0)
     val counted = toks
@@ -509,8 +509,8 @@ object TextAnalysis {
     * (a candidate set that missed a true heavy hitter could never
     * reproduce this output). */
   val q142Sql: String =
-    """WITH t AS (
-      |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+    raw"""WITH t AS (
+      |  SELECT UNNEST(${Tok.spSql("text")}) AS token FROM documents),
       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
       |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1)
       |SELECT token, cnt, ROUND(cnt * 1.0 / n.n, 6) AS share6,
@@ -620,7 +620,7 @@ object TextAnalysis {
                              queries: Seq[(Int, String)]): DataFrame = {
     import s.implicits._
     queries.toDF("query_id", "qtext").select(col("query_id"),
-      explode(array_distinct(split(col("qtext"), " "))).as("term"))
+      explode(array_distinct(Tok.sp(col("qtext")))).as("term"))
   }
 
   /** The BM25 scoring core — one expression tree shared by the
@@ -666,7 +666,7 @@ object TextAnalysis {
   def bm25RankingOver(s: SparkSession, corpus: DataFrame,
                       queries: Seq[(Int, String)]): DataFrame = {
     val qterms = bm25QueryTerms(s, queries)
-    val docs = corpus.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val docs = corpus.select(col("doc_id"), Tok.sp(col("text")).as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     val tfdl = docs.select(col("doc_id"), explode(col("toks")).as("term"))
@@ -763,7 +763,7 @@ object TextAnalysis {
       // two map-only corpus scans (postings; lengths) — the skinny dl
       // frame pins and feeds stats AND doclen, corpus tokens never pin
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), Tok.sp(col("text")).as("toks"))
       postingsOf(docs).writeTo(s"$prefix.postings").append()
       val dl = docs
         .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -803,7 +803,7 @@ object TextAnalysis {
                                          doclenFqn: String,
                                          queries: Seq[(Int, String)])
       : DataFrame = {
-    val termLits = queries.flatMap(_._2.split(" ")).distinct
+    val termLits = queries.flatMap(q => Tok.spStr(q._2)).distinct
     s.table(postingsFqn)
       .filter(col("term").isin(termLits: _*))
       .select(col("term"), col("doc_id"), col("tf"))
@@ -878,7 +878,7 @@ object TextAnalysis {
                                       phrases: Seq[(Int, String)])
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val termLits = phrases.flatMap(_._2.split(" ")).distinct
+    val termLits = phrases.flatMap(q => Tok.spStr(q._2)).distinct
     val post = s.table(postingsFqn)
       .filter(col("term").isin(termLits: _*))
       .select(col("term"), col("doc_id"), col("positions"))
@@ -886,7 +886,7 @@ object TextAnalysis {
     // left across the terms — anchors after step i are the ordinals
     // of w_i that extend a match of w_0..w_i; all intersects map-side
     val perPhrase = phrases.map { case (qid, phrase) =>
-      val terms = phrase.split(" ").toSeq
+      val terms = Tok.spStr(phrase).toSeq
       val first = post.filter(col("term") === terms.head)
         .select(col("doc_id"), col("positions").as("anchors"))
       val folded = terms.tail.foldLeft(first) { (acc, t) =>
@@ -918,11 +918,11 @@ object TextAnalysis {
     * top-10. */
   lazy val q140Sql: String = {
     val qvals = PhraseQueries.flatMap { case (id, p) =>
-      p.split(" ").zipWithIndex.map { case (t, i) =>
-        s"($id, '$t', $i, ${p.split(" ").length})" }
+      Tok.spStr(p).zipWithIndex.map { case (t, i) =>
+        s"($id, '$t', $i, ${Tok.spStr(p).length})" }
     }.mkString(", ")
     s"""WITH q(query_id, term, i, len) AS (VALUES $qvals),
-      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |d AS (SELECT doc_id, ${Tok.spSql("text")} AS w FROM documents),
       |tp AS (
       |  SELECT doc_id, UNNEST(w) AS term,
       |    UNNEST(range(1, len(w) + 1)) AS pos
@@ -980,7 +980,7 @@ object TextAnalysis {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val docs = batch
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), Tok.sp(col("text")).as("toks"))
           .localCheckpoint() // feeds postings, stats, AND doclen
         AnnIndex.fencedAppend(postingsOf(docs),
           postingsFqn, id.toInt, Bm25BatchKey)
@@ -1138,7 +1138,7 @@ object TextAnalysis {
       .join(vmax, Seq("doc_id"))
       .filter(col("_commit_version") === col("vmax"))
       .dropDuplicates("doc_id")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), Tok.sp(col("text")).as("toks"))
       .join(s.table(doclenFqn).select("doc_id"), Seq("doc_id"),
         "left_anti")
       .localCheckpoint() // feeds postings, stats, AND doclen
@@ -1250,12 +1250,12 @@ object TextAnalysis {
     * channel (one source of truth — a drifted copy would silently
     * verify two different BM25s). Ends with CTE `ranked`. */
   val bm25Ctes: String =
-    """queries(query_id, qtext) AS (
+    raw"""queries(query_id, qtext) AS (
       |  VALUES (1, 'dup merge scan'), (2, 'spark window agg'),
       |         (3, 'fast hash join key')),
       |qterms AS (SELECT DISTINCT query_id,
-      |                  unnest(string_split(qtext, ' ')) AS term FROM queries),
-      |docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |                  unnest(${Tok.spSql("qtext")}) AS term FROM queries),
+      |docs AS (SELECT doc_id, ${Tok.spSql("text")} AS toks FROM documents),
       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
       |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
       |tf AS (
@@ -1329,7 +1329,7 @@ object TextAnalysis {
     * LIMIT boundary cannot diverge between engines. */
   def q112BpePairs(s: SparkSession, dir: String): DataFrame = {
     val vocab = Tables.documents(s, dir)
-      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(explode(Tok.ws(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
     // split(w, '') yields code points (same convention the q61 oracle
     // verified against DuckDB's regexp_extract_all(w, '(?s).'))
@@ -1425,7 +1425,7 @@ object TextAnalysis {
       : (Seq[DataFrame], DataFrame) = {
     val D = BpeD
     val vocab0 = Tables.documents(s, dir)
-      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(explode(Tok.ws(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
       .select(col("w"), concat_ws(D, split(col("w"), "")).as("ts"), col("wf"))
       .localCheckpoint()
@@ -1486,7 +1486,7 @@ object TextAnalysis {
       .select(col("w"), size(split(col("ts"), BpeD)).cast("long").as("n_syms"))
     val perSW = Tables.documents(s, dir)
       .select(col("source"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
+        explode(Tok.ws(col("text"))).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
     perSW.join(encoded, Seq("w"))
       .groupBy(col("source"))
@@ -1523,7 +1523,7 @@ object TextAnalysis {
         |    v.wf
         |  FROM v${i - 1} v CROSS JOIN m$i m)""".stripMargin
     s"""tok AS (
-      |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      |  SELECT unnest(${Tok.wsSql("text")}) AS w
       |  FROM documents),
       |vocab AS (SELECT w, COUNT(*) AS wf FROM tok GROUP BY w),
       |v0 AS (SELECT w, array_to_string(regexp_extract_all(w, '(?s).'), chr(31)) AS ts, wf
@@ -1554,7 +1554,7 @@ object TextAnalysis {
       |        FROM v3),
       |sw AS (
       |  SELECT source, w, COUNT(*) AS cnt
-      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      |  FROM (SELECT source, unnest(${Tok.wsSql("text")}) AS w
       |        FROM documents)
       |  GROUP BY 1, 2)
       |SELECT source,
@@ -1568,8 +1568,8 @@ object TextAnalysis {
     * adjacent pairing (`range(1, len)` = Spark's `sequence(1, size-1)`;
     * both engines index lists from 1 and split to code points). */
   val q112Sql: String =
-    """WITH tok AS (
-      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+    raw"""WITH tok AS (
+      |  SELECT unnest(${Tok.wsSql("text")}) AS w
       |  FROM documents),
       |vocab AS (SELECT w, COUNT(*) AS wf FROM tok GROUP BY w),
       |chars AS (SELECT wf, regexp_extract_all(w, '(?s).') AS cs FROM vocab),
@@ -1611,7 +1611,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
-        split(trim(col("text")), "\\s+").as("t"))
+        Tok.ws(col("text")).as("t"))
       .filter(size(col("t")) >= 5)
     val grams = docs.select(col("source"), explode(array_distinct(expr(
       "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', " +
@@ -1640,9 +1640,9 @@ object TextAnalysis {
     * and the same (df desc, gram) tiebroken top-5 — the Spark side's
     * shard pre-pass is invisible to the result. */
   val q121Sql: String =
-    """WITH d AS (
+    raw"""WITH d AS (
       |  SELECT doc_id, source,
-      |    regexp_split_to_array(trim(text), '\s+') AS t
+      |    ${Tok.wsSql("text")} AS t
       |  FROM documents),
       |g AS (
       |  SELECT source, UNNEST(list_distinct(list_transform(
@@ -1687,7 +1687,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val vocab = Tables.documents(s, dir)
       .select(col("lang"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
+        explode(Tok.ws(col("text"))).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
       .localCheckpoint() // feeds the type count AND the top-100 rank
     val nTypes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("n_types"))
@@ -1729,9 +1729,9 @@ object TextAnalysis {
     * the same once-rounded micro-unit logs, long regression sums, and
     * the same double divisions. */
   val q133Sql: String =
-    """WITH vocab AS (
+    raw"""WITH vocab AS (
       |  SELECT lang, w, COUNT(*) AS f
-      |  FROM (SELECT lang, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM (SELECT lang, UNNEST(${Tok.wsSql("text")}) AS w
       |        FROM documents)
       |  GROUP BY 1, 2),
       |nt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types FROM vocab GROUP BY 1),
@@ -1787,7 +1787,7 @@ object TextAnalysis {
     * aggregation is map-side combined. */
   def q134NoveltyAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .filter(size(split(trim(col("text")), "\\s+")) >= 8)
+      .filter(size(Tok.ws(col("text"))) >= 8)
       .select(col("doc_id"), col("text"))
     // map-only: recomputed for each consumer subtree rather than
     // pinning a corpus-scale gram frame (the q116 stage-0 decision);
@@ -1811,8 +1811,8 @@ object TextAnalysis {
     * ratios — per-gram df over 64-bit hashes equals df over the
     * strings modulo hash collisions (the q54/q79 oracle convention). */
   val q134Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    raw"""WITH d AS (
+      |  SELECT doc_id, ${Tok.wsSql("text")} AS t
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, UNNEST(list_distinct(list_transform(
@@ -1846,7 +1846,7 @@ object TextAnalysis {
     * ([[graft.llm.Curation.funnelIngestStream]]), so batch/stream/
     * audit rule parity cannot drift. All pure map-only array HOFs. */
   private[llm] def keptLinesExpr(text: Column): Column = {
-    def nWords(l: Column) = size(split(trim(l), "\\s+"))
+    def nWords(l: Column) = size(Tok.ws(l))
     def upperRatio(l: Column) =
       length(regexp_replace(l, "[^A-Z]", "")) /
         greatest(lit(1.0), length(regexp_replace(l, "[^A-Za-z]", "")))
@@ -1861,8 +1861,8 @@ object TextAnalysis {
     * the enclosing FROM — embedded verbatim in [[q128Sql]] and the
     * funnel oracle ([[graft.llm.Curation.q116Sql]]). */
   private[llm] val sqlKeptLinesExpr: String =
-    """list_filter(string_split(text, chr(10)), l ->
-      |      len(regexp_split_to_array(trim(l), '\s+')) >= 3
+    raw"""list_filter(string_split(text, chr(10)), l ->
+      |      len(${Tok.wsSql("l")}) >= 3
       |      AND LENGTH(regexp_replace(l, '[^A-Z]', '', 'g')) * 1.0 /
       |        GREATEST(1.0, LENGTH(regexp_replace(l, '[^A-Za-z]', '', 'g')))
       |        <= 0.5)""".stripMargin
@@ -1929,12 +1929,16 @@ object TextAnalysis {
     * the documented ceiling for the emitted column). */
   def q145Collocations(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // deliberately NOT pinned: the tokenized corpus is LARGER than the
+    // source parquet, and a localCheckpoint of it is a non-fault-
+    // tolerant corpus-sized materialization (one lost executor kills
+    // the query at 100 TB). The map-only tokenization recomputes per
+    // consumer instead — two scan-bound passes beat one corpus pin.
     val toks = Tables.documents(s, dir)
-      .select(split(col("text"), " ").as("w"))
-      .localCheckpoint() // feeds bigrams, unigrams, AND the total
+      .select(Tok.sp(col("text")).as("w"))
     val uni = toks.select(explode(col("w")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt_t"))
-      .localCheckpoint() // feeds both unigram joins AND the total
+      .localCheckpoint() // VOCAB-sized; feeds both unigram joins AND the total
     val tot = uni.agg(sum(col("cnt_t")).as("n"))
     // adjacent pairs by position: 0-based array indexing in the SQL
     // expression — slice drops the last token, the lambda index i
@@ -1975,7 +1979,7 @@ object TextAnalysis {
     * zip, the same BIGINT truncating division (// in DuckDB), same
     * tiebreaks. */
   val q145Sql: String =
-    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+    raw"""WITH w AS (SELECT ${Tok.spSql("text")} AS w FROM documents),
       |uni AS (
       |  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt_t
       |  FROM (SELECT UNNEST(w) AS t FROM w) GROUP BY 1),
@@ -2038,8 +2042,8 @@ object TextAnalysis {
     * a hash match proves the index serves exactly what a fresh corpus
     * scan would say. */
   val q147Sql: String =
-    """WITH tk AS (
-      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+    raw"""WITH tk AS (
+      |  SELECT doc_id, UNNEST(${Tok.spSql("text")}) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
       |       FROM tk GROUP BY 1, 2),
@@ -2121,8 +2125,10 @@ object TextAnalysis {
     * pass total, then vocab-sized and |docs|-sized frames × 5. */
   def q158HeapsLaw(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-      .localCheckpoint() // feeds lengths AND first occurrences
+      .select(col("doc_id"), Tok.ws(col("text")).as("ws"))
+      // unpinned: a (doc_id, token-array) pin is corpus-TEXT-sized and
+      // non-fault-tolerant — the map-only tokenization recomputes for
+      // each consumer (max cutoff, lengths, first occurrences) instead
     val cut = docs.agg(max(col("doc_id")).as("mid"))
       .select(explode(array(Seq(10, 25, 50, 75, 100).map(lit): _*))
         .as("pct"), col("mid"))
@@ -2149,8 +2155,8 @@ object TextAnalysis {
   /** DuckDB replay of q158: identical tokenization, the same
     * value-cut prefixes, first-occurrence vocabulary attribution. */
   val q158Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+    raw"""WITH d AS (
+      |  SELECT doc_id, ${Tok.wsSql("text")} AS ws
       |  FROM documents),
       |cut AS (
       |  SELECT pct, (mid * pct) // 100 AS cutoff
@@ -2187,7 +2193,7 @@ object TextAnalysis {
   def q159TemplatePrefix(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = Tables.documents(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), Tok.ws(col("text")).as("ws"))
       .select(col("doc_id"), array_join(slice(col("ws"), 1, 8), " ")
         .as("prefix"), size(col("ws")).cast("long").as("n"))
       .groupBy(col("prefix"))
@@ -2205,8 +2211,8 @@ object TextAnalysis {
   /** DuckDB replay of q159: same tokenization, literal 8-token
     * prefixes, identical grouping and (n_docs desc, prefix) top-20. */
   val q159Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+    raw"""WITH d AS (
+      |  SELECT doc_id, ${Tok.wsSql("text")} AS ws
       |  FROM documents),
       |p AS (
       |  SELECT doc_id, array_to_string(ws[1:8], ' ') AS prefix,
@@ -2237,8 +2243,10 @@ object TextAnalysis {
     * windows, no self-joins. */
   def q160RepNgram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-      .localCheckpoint() // feeds gram counts AND term counts
+      .select(col("doc_id"), Tok.ws(col("text")).as("ws"))
+      // unpinned (the q156/q158 rationale): the gram and term passes
+      // each re-tokenize map-only rather than pin a corpus-TEXT-sized,
+      // lineage-truncated frame to executor memory+disk
     val grams = docs
       .filter(size(col("ws")) >= 5)
       .select(col("doc_id"), explode(expr(
@@ -2268,8 +2276,8 @@ object TextAnalysis {
   /** DuckDB replay of q160: identical positional 5-gram zip, the same
     * per-doc count folds, the same short-doc conventions. */
   val q160Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+    raw"""WITH d AS (
+      |  SELECT doc_id, ${Tok.wsSql("text")} AS ws
       |  FROM documents),
       |g5 AS (
       |  SELECT doc_id, array_to_string(ws[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ') AS g

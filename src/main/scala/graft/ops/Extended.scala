@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Tables, Tok}
 
 /** Remaining SURVEY.md §2.B surfaces: generator (UDTF via explode/
   * posexplode), typed Aggregator (UDAF), pivot, and correlated scalar
@@ -16,7 +16,7 @@ object Extended {
     * (token, count) aggregate shuffles. */
   def q14Explode(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), posexplode(Tok.ws(col("text")))
         .as(Seq("pos", "word")))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"),
@@ -25,11 +25,11 @@ object Extended {
       .orderBy(col("word"))
 
   val q14Sql: String =
-    """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs,
+    raw"""SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs,
       |  CAST(MIN(pos) AS INTEGER) AS min_pos
       |FROM (
-      |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS word,
-      |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+      |  SELECT doc_id, UNNEST(${Tok.wsSql("text")}) AS word,
+      |    generate_subscripts(${Tok.wsSql("text")}, 1) - 1 AS pos
       |  FROM documents)
       |GROUP BY word HAVING COUNT(*) >= 100 ORDER BY word""".stripMargin
 
@@ -210,6 +210,10 @@ object Extended {
     val ui = Tables.events(s, dir)
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
+      // events without a '$.k' payload carry no item: excluded as a
+      // stated convention (Spark orders NULLs first, DuckDB last — a
+      // NULL node would silently diverge the oracle tiebreaks)
+      .filter(col("item").isNotNull)
       .distinct()
       .localCheckpoint() // pins the bipartite frame for the self-join
     val edges = ui
@@ -264,9 +268,10 @@ object Extended {
         |      + (85 * COALESCE(f.flow_u, 0)) // 100 AS BIGINT) AS pr_u
         |  FROM nodes n LEFT JOIN f$i f USING (item))""".stripMargin
     s"""WITH ui AS (
-      |  SELECT DISTINCT user_id,
-      |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
-      |  FROM events),
+      |  SELECT DISTINCT user_id, item FROM (
+      |    SELECT user_id,
+      |      CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+      |    FROM events) WHERE item IS NOT NULL),
       |e AS (
       |  SELECT a.item AS item, b.item AS item_b,
       |    CAST(COUNT(*) AS BIGINT) AS w

@@ -180,14 +180,23 @@ object Scalars {
     val e = Tables.events(s, dir)
       .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
         col("ts"))
+      // itemless events excluded — the q164 NULL-node convention
+      // (Spark NULLS FIRST vs DuckDB NULLS LAST would desync ordering)
+      .filter(col("item").isNotNull)
     val mx = e.agg(max(col("ts")).as("mx"))
     e.crossJoin(broadcast(mx))
       .withColumn("age", datediff(to_date(col("mx")), to_date(col("ts"))))
       .withColumn("w_u", expr("1000000 div (1 + age)"))
       .groupBy(col("item"))
-      .agg(count(lit(1)).as("n_events"), sum(col("w_u")).as("mass_u"),
-        sum(when(col("age") === 0, col("w_u")).otherwise(lit(0L)))
-          .as("today_u"))
+      // DECIMAL folds: w_u ≤ 10⁶, so a LONG sum overflows int64 at
+      // ~9.2·10¹² events on one item (the q145/q166 headroom class;
+      // DuckDB's SUM(BIGINT) is already HUGEINT) — the emitted column
+      // stays BIGINT, whose own ceiling the decimal sum makes explicit
+      // rather than a mid-fold ANSI error
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w_u").cast("decimal(20,0)")).cast("long").as("mass_u"),
+        sum(when(col("age") === 0, col("w_u")).otherwise(lit(0L))
+          .cast("decimal(20,0)")).cast("long").as("today_u"))
       .withColumn("today_share6",
         round(col("today_u") / col("mass_u"), 6))
       .select(col("item"), col("n_events"), col("mass_u"),
@@ -197,13 +206,17 @@ object Scalars {
 
   val q165Sql: String =
     s"""WITH ${Tables.eventsOracleCte},
+      |ev AS (
+      |  SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item, ts
+      |  FROM events_n
+      |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
       |x AS (
-      |  SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+      |  SELECT item,
       |    CAST(1000000 // (1 + datediff('day', CAST(ts AS DATE),
-      |      (SELECT CAST(MAX(ts) AS DATE) FROM events_n))) AS BIGINT) AS w_u,
+      |      (SELECT CAST(MAX(ts) AS DATE) FROM ev))) AS BIGINT) AS w_u,
       |    datediff('day', CAST(ts AS DATE),
-      |      (SELECT CAST(MAX(ts) AS DATE) FROM events_n)) AS age
-      |  FROM events_n)
+      |      (SELECT CAST(MAX(ts) AS DATE) FROM ev)) AS age
+      |  FROM ev)
       |SELECT item, CAST(COUNT(*) AS BIGINT) AS n_events,
       |  CAST(SUM(w_u) AS BIGINT) AS mass_u,
       |  ROUND(SUM(CASE WHEN age = 0 THEN w_u ELSE 0 END) * 1.0 / SUM(w_u), 6)

@@ -229,6 +229,56 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  /** The mean ledger folded to per-dimension (sj, n). */
+  private def meanLedger(prefix: String): Set[(Int, Long, Long)] = {
+    import org.apache.spark.sql.functions.sum
+    spark.table(s"$prefix.mean_stats")
+      .groupBy(col("j")).agg(sum(col("sj_delta")).as("sj"),
+        sum(col("n_delta")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  /** The same sums recomputed from scratch over the CURRENT corpus —
+    * the ground truth the maintained ledger must track EXACTLY (the
+    * fixed-point sums are integers, so increment/decrement maintenance
+    * is bit-identical to a fresh fold). */
+  private def meanFresh(corpusFqn: String): Set[(Int, Long, Long)] =
+    AnnIndex.meanDeltaOf(spark.table(corpusFqn)
+        .select(col("vec_id"), col("embedding")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("mean_stats ledger equals a fresh recompute after refresh AND vacuum") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ann_a.mn")
+    spark.sql("CREATE TABLE ann_a.mn.vecs (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .writeTo("ann_a.mn.vecs").append()
+    AnnIndex.buildFromCorpus(spark, "ann_a.mn.vecs", "ann_a.mnidx")
+    assert(meanLedger("ann_a.mnidx") == meanFresh("ann_a.mn.vecs"),
+      "build must seed the ledger with the corpus sums")
+
+    // arrivals: refresh folds the delta's contribution in
+    val v0 = spark.table("ann_a.mn.vecs").where($"vec_id" === 0L)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    Seq((930001L, v0), (930002L, v0.map(x => -x)))
+      .toDF("vec_id", "embedding").writeTo("ann_a.mn.vecs").append()
+    assert(AnnIndex.refresh(spark, "ann_a.mn.vecs", "ann_a.mnidx") == 2L)
+    assert(meanLedger("ann_a.mnidx") == meanFresh("ann_a.mn.vecs"),
+      "refresh must append exactly the delta's sums")
+
+    // departures: vacuum's signed correction retires them exactly
+    spark.sql("DELETE FROM ann_a.mn.vecs WHERE vec_id IN (1, 930001)")
+    AnnIndex.vacuum(spark, "ann_a.mn.vecs", "ann_a.mnidx")
+    assert(meanLedger("ann_a.mnidx") == meanFresh("ann_a.mn.vecs"),
+      "vacuum must retire departed contributions exactly")
+
+    // idempotence: a converged ledger takes no further correction rows
+    val rows0 = spark.table("ann_a.mnidx.mean_stats").count()
+    AnnIndex.vacuum(spark, "ann_a.mn.vecs", "ann_a.mnidx")
+    assert(spark.table("ann_a.mnidx.mean_stats").count() == rows0,
+      "a second vacuum must append no correction")
+  }
+
   test("maintenance against a pre-rework index backfills ivf_rd and sq8_codes") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ann_a.mig")
@@ -237,10 +287,11 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeTo("ann_a.mig.vecs").append()
     val n0 = spark.table("ann_a.mig.vecs").count()
     AnnIndex.buildFromCorpus(spark, "ann_a.mig.vecs", "ann_a.migidx")
-    // emulate an index built before the artifact rework: the two
+    // emulate an index built before the artifact rework: the three
     // artifact tables simply never existed
     spark.sql("DROP TABLE ann_a.migidx.ivf_rd")
     spark.sql("DROP TABLE ann_a.migidx.sq8_codes")
+    spark.sql("DROP TABLE ann_a.migidx.mean_stats")
 
     // vacuum must MIGRATE (create + backfill), not throw — and then
     // find nothing to reclaim on the unchanged corpus
@@ -248,12 +299,15 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("ann_a.migidx.sq8_codes").count() == n0)
     assert(rdPersisted("ann_a.migidx") == rdFresh("ann_a.mig.vecs", "ann_a.migidx"),
       "the backfilled ivf_rd must equal a fresh recompute")
+    assert(meanLedger("ann_a.migidx") == meanFresh("ann_a.mig.vecs"),
+      "the backfilled mean ledger must equal a fresh recompute")
 
     // refresh after an append must also migrate-then-index, WITHOUT
     // double-coding the delta (the backfill covers only the ids
     // ivf_cells already held; the delta appends its own codes)
     spark.sql("DROP TABLE ann_a.migidx.ivf_rd")
     spark.sql("DROP TABLE ann_a.migidx.sq8_codes")
+    spark.sql("DROP TABLE ann_a.migidx.mean_stats")
     val v0 = spark.table("ann_a.mig.vecs").where($"vec_id" === 0L)
       .select($"embedding").head.getSeq[Float](0).toArray
     Seq((920001L, v0)).toDF("vec_id", "embedding")
@@ -265,5 +319,22 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the backfill must not double-code the refresh delta")
     assert(rdPersisted("ann_a.migidx") == rdFresh("ann_a.mig.vecs", "ann_a.migidx"),
       "ivf_rd must equal a fresh recompute after migrate+refresh")
+    assert(meanLedger("ann_a.migidx") == meanFresh("ann_a.mig.vecs"),
+      "the mean ledger must not double-count the refresh delta")
+
+    // refresh on an UNCHANGED corpus must also migrate — the no-delta
+    // early return must not skip the backfill, or a pre-rework index
+    // whose corpus is already current would keep throwing on every
+    // sq8_codes/ivf_rd consumer until a departure happened to vacuum
+    spark.sql("DROP TABLE ann_a.migidx.ivf_rd")
+    spark.sql("DROP TABLE ann_a.migidx.sq8_codes")
+    spark.sql("DROP TABLE ann_a.migidx.mean_stats")
+    assert(AnnIndex.refresh(spark, "ann_a.mig.vecs", "ann_a.migidx") == 0L)
+    assert(spark.table("ann_a.migidx.sq8_codes").count() == n0 + 1,
+      "a current-corpus refresh must still backfill sq8_codes")
+    assert(rdPersisted("ann_a.migidx") == rdFresh("ann_a.mig.vecs", "ann_a.migidx"),
+      "a current-corpus refresh must still backfill ivf_rd")
+    assert(meanLedger("ann_a.migidx") == meanFresh("ann_a.mig.vecs"),
+      "a current-corpus refresh must still backfill the mean ledger")
   }
 }

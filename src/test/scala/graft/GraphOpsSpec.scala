@@ -68,4 +68,54 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == refPagerank(ui), s"seed $seed: $got")
     }
   }
+
+  test("q164/q165 exclude events whose props carry no item") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three item-bearing engagements plus two itemless events (no $.k
+    // key at all, and a props with a different key): the stated
+    // NULL-node convention says both graph and popularity cards ignore
+    // them — a NULL item row would order differently in Spark (NULLS
+    // FIRST) vs DuckDB (NULLS LAST) and silently break the oracle
+    val rows = Seq(
+      (0L, "{\"k\": 1}"), (1L, "{\"k\": 2}"), (2L, "{\"k\": 1}"),
+      (3L, "{}"), (4L, "{\"other\": 9}"))
+    val d = Files.createTempDirectory("graft-pr-null").toString
+    rows.zipWithIndex.map { case ((id, props), i) =>
+      (id, new java.sql.Timestamp(1700000000000L + i * 86400000L), 7L,
+        "view", 1.0, props)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val pr = ops.Extended.q164ItemPagerank(spark, d).collect()
+    assert(pr.forall(!_.isNullAt(1)), "no NULL item node may survive")
+    assert(pr.map(_.getLong(1)).toSet == Set(1L, 2L),
+      "only the item-bearing engagements form graph nodes")
+    val pop = ops.Scalars.q165RecencyPopularity(spark, d).collect()
+    assert(pop.forall(!_.isNullAt(0)), "no NULL item row may survive")
+    assert(pop.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 2L, 2L -> 1L), "itemless events contribute nothing")
+    // and the decay anchor is the max ts of the SURVIVING events: the
+    // latest event here is itemless (i = 4), so age counts from i = 2
+    val m = pop.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // item 1: ages 2 and 0 days from the i=2 anchor → 333333 + 1000000
+    assert(m(1L) == 1333333L, s"decay must anchor on surviving max ts: $m")
+  }
+
+  test("q165 mass fold survives sums past the int64 ceiling") {
+    // w_u ≤ 10⁶ per event, so one item's decayed mass passes int64 at
+    // ~9.2·10¹² events — the q145/q166 headroom class. This pins the
+    // shipped DECIMAL fold with synthetic weights that separate it
+    // from a LONG sum (which ANSI-throws): three half-Long values.
+    val vals = "FROM VALUES (4611686018427387903L), " +
+      "(4611686018427387903L), (4611686018427387903L) AS t(w)"
+    val dec = spark.sql(
+      s"SELECT SUM(CAST(w AS DECIMAL(20,0))) AS m $vals").head()
+    assert(dec.getDecimal(0).toBigInteger.toString == "13835058055282163709",
+      s"decimal fold must be exact, got $dec")
+    val longPath = scala.util.Try(
+      spark.sql(s"SELECT SUM(w) AS m $vals").head().getLong(0))
+    assert(longPath.isFailure || longPath.get != 0L &&
+      longPath.get.toString != "13835058055282163709",
+      s"the int64 fold must not survive this input: $longPath")
+  }
 }

@@ -473,6 +473,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q155 top-10 must be a distributed TakeOrdered:\n$plan")
   }
 
+  test("q167 centered search serves the mean from the ledger artifact") {
+    // q146's index-served scale path: the corpus mean must come from
+    // the mean_stats delta ledger (#commits×Dim rows — NEVER a corpus
+    // scan per query batch), candidates from probed-cell equi-joins
+    // (ivf_cells), and the embeddings parquet may appear only for the
+    // query side and the candidate payload join
+    val plan = planOf(llm.Similarity.q167CenteredIvf(spark, sf))
+    assert(plan.contains("mean_stats"),
+      s"q167 must fold the persisted mean ledger:\n$plan")
+    assert(plan.contains("ivf_cells"),
+      s"q167 candidates must ride the probed-cell membership:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in q167 plan:\n$plan")
+    val embScans = "Scan parquet".r.findAllIn(plan).size
+    assert(embScans <= 2,
+      s"q167 may scan embeddings only for query + candidates, found $embScans:\n$plan")
+  }
+
   test("q154 mutual-kNN keeps the cell-join geometry: no corpus NLJ") {
     // the membership read and pair cover sit BEHIND the pinned edge
     // checkpoint (guardedCellPairs — its exact-cover geometry is

@@ -842,6 +842,25 @@ class RetrievalCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (75, 3L, 4L, 8L, 5L), (100, 4L, 5L, 9L, 6L)), got.toString)
   }
 
+  test("q163 counts a collided (doc_id, term) once, matching the oracle") {
+    import spark.implicits._
+    // doc 7 re-keys into release B as 1000007 (7 % 29 = 7); a REAL doc
+    // 1000007 also survives into B (1000007 % 17 = 16, % 23 = 13,
+    // % 29 = 0) — both carry the marker term, so without the cross-row
+    // (doc_id, term) distinct the Spark side would count df_b = 3
+    // while the oracle's SELECT DISTINCT counts 2, conjuring a
+    // delta = +1 row from an id collision
+    val d = java.nio.file.Files.createTempDirectory("graft_q163").toString
+    Seq((7L, "zzcollide", "en", "s", 9L),
+        (1000007L, "zzcollide", "en", "s", 9L),
+        (8L, "filler words", "en", "s", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = Curation.q163ReleaseTermDrift(spark, d).collect()
+    assert(got.isEmpty,
+      s"every term's df is unchanged between releases here: ${got.toSeq}")
+  }
+
   test("q145 lift arithmetic survives numerators past the int64 ceiling") {
     // q145's lift numerator cnt·N·10⁶ passes 9.2·10¹⁸ on any frequent
     // bigram over a ~10⁹-token corpus; a LONG product fails there

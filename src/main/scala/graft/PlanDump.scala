@@ -140,7 +140,20 @@ object PlanDump {
         "pin once; each of the three unrolled PageRank iterations is " +
         "one edge⋈rank join + a node-keyed fold over the pinned frames " +
         "— zero source rescans (PlanSpec-gated), integer micro-unit " +
-        "ranks, TakeOrdered top-10"))
+        "ranks, TakeOrdered top-10; r15: the edge build rides the " +
+        "one-sided shard cover, so a power user cannot concentrate k² " +
+        "rows on one join key"),
+      "q167_centered_ivf" -> ("q146's index-served scale path (r15): " +
+        "the corpus mean folds from the mean_stats delta ledger " +
+        "(#commits×64 rows — never a corpus scan), probe ranking " +
+        "centers the 8 persisted centroids against it, candidates " +
+        "come from probed-cell equi-joins, and the embeddings parquet " +
+        "appears only for the query side + candidate payload " +
+        "(PlanSpec-gated ≤2 scans)"),
+      "q147_doc_keywords" -> ("keywords as a MAINTAINED artifact " +
+        "(r15): a read is the doc_keywords table plus an order — no " +
+        "postings read, no df aggregate, no scoring window per read; " +
+        "the maintainers re-price exactly the docs each batch touches"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

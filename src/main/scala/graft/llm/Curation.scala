@@ -573,8 +573,13 @@ object Curation {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       Tok.ws(col("text")).as("ws"))
       .withColumn("arr", concat(array(lit(S)), col("ws")))
-    // per-doc bigram occurrence counts: the ONLY corpus-sized frame,
-    // pinned once for the LM aggregation AND the scoring join
+    // per-doc bigram occurrence counts: the ONLY corpus-sized frame.
+    // persist, NOT localCheckpoint — it carries bigram TEXT (larger
+    // than the source parquet), and a lineage-truncating pin of such a
+    // frame is the r14 weak flag (one lost executor kills the query);
+    // a lazy MEMORY_AND_DISK cache keeps the one-computation saving
+    // for the LM aggregation + scoring join while lost partitions just
+    // recompute from lineage
     val docBig = docs
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, size(ws)), " +
@@ -583,27 +588,37 @@ object Curation {
       .groupBy(col("doc_id"), col("lang"),
         col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cab = docBig.groupBy(col("lang"), col("a"), col("b"))
       .agg(sum(col("k")).as("cab"))
     val ca = cab.groupBy(col("lang"), col("a")).agg(sum(col("cab")).as("ca"))
-    // vocab size from the checkpointed bigram frame, not a second
+    // vocab size from the cached bigram frame, not a second
     // corpus scan: every token occupies the `b` slot of exactly the
     // transitions that produce it (the sentinel only ever sits in `a`),
     // so distinct b per language IS the token vocabulary
     val vlang = cab.groupBy(col("lang"))
       .agg((countDistinct(col("b")) + 1).as("v"))
-    val scored = docBig
-      .join(cab, Seq("lang", "a", "b"))
+    // the whole per-transition cost folds into ONE vocab²-bounded
+    // table BEFORE touching the corpus-sized frame — the scoring join
+    // is then a single (lang, a, b)-keyed join instead of the r14
+    // shape's cab-join + ca-join + broadcast (two corpus-sized
+    // shuffles saved; the r13 "reuse the first pass's shuffle" ask)
+    val uTable = cab
       .join(ca, Seq("lang", "a"))
       .join(broadcast(vlang), Seq("lang"))
       .withColumn("u", round(log((col("ca") + col("v")).cast("double") /
         (col("cab") + lit(1))) * lit(1000000.0)).cast("long"))
+      .select(col("lang"), col("a"), col("b"), col("u"))
+    val scored = docBig
+      .join(uTable, Seq("lang", "a", "b"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("k") * col("u")).as("score_u"), sum(col("k")).as("n_tokens"))
       .withColumn("xent6",
         round(col("score_u") / (col("n_tokens") * lit(1000000.0)), 6))
-      .localCheckpoint() // feeds the threshold fold AND the assignment
+      .localCheckpoint() // ids+longs; feeds the threshold fold AND the assignment
+    // the eager checkpoint above has already materialized (and reused)
+    // the cached bigram frame — release it before the bench's next query
+    docBig.unpersist()
     // tertile cut points t1/t2 per language: the xent6 values at ranks
     // ceil(n/3) / ceil(2n/3), via the bounded two-level histogram fold
     val th = tertileThresholds(
@@ -704,7 +719,11 @@ object Curation {
       .groupBy(col("doc_id"), col("lang"),
         col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint() // feeds the train-slice LM AND the held-out join
+      // persist, not localCheckpoint: corpus-TEXT-sized frame — lazy
+      // fault-tolerant cache (lost partitions recompute from lineage),
+      // shared by the train-slice LM and the held-out scoring join
+      // within the one consuming action (the q119 rationale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cab = docBig.filter(col("doc_id") % 10 =!= 7)
       .groupBy(col("lang"), col("a"), col("b"))
       .agg(sum(col("k")).as("cab"))

@@ -1159,6 +1159,59 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
+  /** Near-dup cluster edge-density audit (q172) — the SHAPE check on
+    * q67's clusters that q157's size histogram cannot see: a cluster
+    * is a connected component of the verified-pair graph, so its
+    * members can be a CLIQUE (every pair verified ≥ threshold — a true
+    * mutual near-dup family: one template, one mirror) or a sparse
+    * CHAIN (A~B~C verified but A≁C — transitive-closure bleed, where
+    * keep-one dedup silently drops documents that are NOT near-dups of
+    * the kept representative). Per cluster: member count, verified
+    * edges, exact density_u = (2·e·10⁶) div (n·(n−1)), and the clique
+    * flag. A density collapsing with size is the signal to tighten the
+    * band threshold or switch to per-edge (not per-cluster) dropping.
+    *
+    * Scale shape: both inputs are memoized session artifacts (labels,
+    * verified pairs — ids only); edges attribute to a cluster by ONE
+    * id-keyed join (both endpoints share the component by
+    * construction); two cluster-keyed folds and a cluster-keyed join,
+    * all bounded by dup-involved docs, never the corpus. */
+  def q172ClusterDensity(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabelsArtifact(s, dir) // (doc_id, cluster_rep)
+    val pairs = verifiedPairsArtifact(s, dir).select(col("doc_a"), col("doc_b"))
+    val m = labels.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+    val e = pairs
+      .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .groupBy(col("cluster_rep")).agg(count(lit(1)).as("n_edges"))
+    m.join(e, Seq("cluster_rep"))
+      .withColumn("density_u",
+        expr("(cast(2 * n_edges as decimal(20,0)) * 1000000) " +
+          "div (n_members * (n_members - 1))"))
+      .withColumn("is_clique",
+        col("n_edges") * 2 === col("n_members") * (col("n_members") - 1))
+      .select(col("cluster_rep"), col("n_members"), col("n_edges"),
+        col("density_u"), col("is_clique"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** DuckDB replay of q172: the q67 closure for labels AND its `p` CTE
+    * as the verified edge list (one derivation serves both — exactly
+    * the property the audit measures), HUGEINT density numerator.
+    * (lazy: [[ccCte]] is declared below.) */
+  lazy val q172Sql: String = ccCte +
+    """,
+      |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM cc GROUP BY 1),
+      |m AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members
+      |      FROM lab GROUP BY 1),
+      |ed AS (SELECT l.cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_edges
+      |       FROM p JOIN lab l ON l.doc_id = p.doc_a GROUP BY 1)
+      |SELECT m.cluster_rep, m.n_members, ed.n_edges,
+      |  CAST((CAST(2 * ed.n_edges AS HUGEINT) * 1000000)
+      |    // (m.n_members * (m.n_members - 1)) AS BIGINT) AS density_u,
+      |  ed.n_edges * 2 = m.n_members * (m.n_members - 1) AS is_clique
+      |FROM m JOIN ed USING (cluster_rep) ORDER BY cluster_rep""".stripMargin
+
   /** DuckDB replay of q157: the q67 closure for labels (shared CTE),
     * singletons kept as their own clusters, identical folds. (lazy:
     * [[ccCte]] is declared below.) */
@@ -1184,6 +1237,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_containment_curve" -> q156ContainmentCurve _,
     "q157_cluster_sizes" -> q157ClusterSizes _,
+    "q172_cluster_density" -> q172ClusterDensity _,
     "q120_source_overlap" -> q120SourceOverlap _,
     "q97_substring_dedup" -> q97SubstringDedup _,
     "q98_strip_spans" -> q98StripSpans _,
@@ -1529,6 +1583,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "q156_containment_curve" -> q156Sql,
     "q157_cluster_sizes" -> q157Sql,
+    "q172_cluster_density" -> q172Sql,
     "q153_dedup_roi"    -> q153Sql,
     "q50_dedup_exact"   -> q50Sql,
     "q51_dedup_norm"    -> q51Sql,

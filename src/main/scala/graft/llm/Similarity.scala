@@ -1967,7 +1967,10 @@ object Similarity {
     * Scale shape: pairs ride the memoized verified-pairs artifact
     * (ids only); anchors are the dup-involved docs (≪ corpus);
     * negative candidates come from each anchor's single IVF cell via
-    * a cell equi-join (|anchors| × occupancy, never corpus²); the
+    * the ONE-SIDED shard cover ([[graft.Skew.guardedKeyJoin]] —
+    * |anchors| × occupancy in total, with no single cell key carrying
+    * more than ~maxSide² rows even when anchors pile into a hub-dense
+    * cell, and ids only so the cover never copies vectors); the
     * partner exclusion is an ids-only anti-join; the top-1 window
     * partitions per anchor over its cell's members. Determinism:
     * cosines round once to 6dp (q57 convention), ties on id; the
@@ -1990,17 +1993,29 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("nrm"))
       .join(Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding")), Seq("vec_id"))
-    val anchors = pos.join(m.select(col("vec_id").as("anchor"),
-      col("cell"), col("embedding").as("av"), col("nrm").as("an")),
-      Seq("anchor"))
-    val w = Window.partitionBy(col("anchor"))
-      .orderBy(col("neg_cos6").desc, col("neg_id"))
-    anchors
-      .join(m.select(col("cell"), col("vec_id").as("neg_id"),
-        col("embedding").as("nv"), col("nrm").as("nn")), Seq("cell"))
+    // the anchor×cell candidate join rides the one-sided shard cover
+    // (the r13 ask): a hub-dense cell would otherwise concentrate
+    // |anchors_in_cell| × occupancy rows on ONE cell key. Ids only —
+    // the cover's explode must never copy vectors; embeddings
+    // re-attach by id afterwards (the guardedCellPairs discipline).
+    // Output multiset equals the naive join's (DedupGuardSpec), so the
+    // oracle is untouched.
+    val anchorIds = pos.join(m.select(col("vec_id").as("anchor"),
+      col("cell")), Seq("anchor"))
+    val candIds = graft.Skew.guardedKeyJoin(
+        anchorIds,
+        m.select(col("cell"), col("vec_id").as("neg_id")),
+        "cell", "anchor", "neg_id")
       .filter(col("neg_id") =!= col("anchor"))
       .join(partners.withColumnRenamed("partner", "neg_id"),
         Seq("anchor", "neg_id"), "left_anti")
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("neg_cos6").desc, col("neg_id"))
+    candIds
+      .join(m.select(col("vec_id").as("anchor"),
+        col("embedding").as("av"), col("nrm").as("an")), Seq("anchor"))
+      .join(m.select(col("vec_id").as("neg_id"),
+        col("embedding").as("nv"), col("nrm").as("nn")), Seq("neg_id"))
       .withColumn("neg_cos6",
         round(dot(col("av"), col("nv")) / (col("an") * col("nn")), 6))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -754,6 +754,7 @@ object TextAnalysis {
       s.sql(s"DROP TABLE IF EXISTS $prefix.postings")
       s.sql(s"DROP TABLE IF EXISTS $prefix.doclen")
       s.sql(s"DROP TABLE IF EXISTS $prefix.bm25_stats")
+      s.sql(s"DROP TABLE IF EXISTS $prefix.doc_keywords")
       s.sql(s"CREATE TABLE $prefix.postings " +
         "(term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>) " +
         "PARTITIONED BY (bucket(16, term))")
@@ -772,6 +773,19 @@ object TextAnalysis {
           coalesce(sum(col("dl")), lit(0L)).as("sumdl_delta"))
         .writeTo(s"$prefix.bm25_stats").append()
       dl.writeTo(s"$prefix.doclen").append()
+      // the maintained keyword artifact (q147): seeded here from the
+      // postings just written, re-priced per touched doc by the
+      // maintainers — a curation UI reads 3 rows by id instead of
+      // re-pricing the corpus per read
+      s.sql(s"CREATE TABLE $prefix.doc_keywords " +
+        "(doc_id BIGINT, rn INT, term STRING, tf BIGINT, score_u BIGINT)")
+      val post = s.table(s"$prefix.postings")
+        .select(col("term"), col("doc_id"), col("tf"))
+      keywordsOf(post,
+          post.groupBy(col("term")).agg(count(lit(1)).as("df")),
+          s.table(s"$prefix.bm25_stats")
+            .agg(coalesce(sum(col("n_delta")), lit(0L)).as("n")))
+        .writeTo(s"$prefix.doc_keywords").append()
       prefix
     }
 
@@ -992,6 +1006,11 @@ object TextAnalysis {
         AnnIndex.fencedAppend(
           docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl")),
           doclenFqn, id.toInt, Bm25BatchKey)
+        // keyword rows for the batch's docs, priced under the
+        // post-append stats ([[repriceKeywords]] — no-op when the
+        // index namespace carries no doc_keywords table)
+        repriceKeywords(s, docs.select(col("doc_id")), postingsFqn,
+          statsFqn)
         ()
       }
       .start()
@@ -1166,6 +1185,11 @@ object TextAnalysis {
       arrivals.select(col("doc_id"),
         size(col("toks")).cast("long").as("dl")),
       doclenFqn, id.toInt, Bm25ArrKey)
+    // keyword repricing for EVERY touched id (arrivals get fresh rows
+    // under the post-batch stats; departed docs have no postings left,
+    // so the MERGE-delete retires theirs) — an idempotent state
+    // function, safe on replays regardless of which fences skipped
+    repriceKeywords(s, b.select(col("doc_id")), postingsFqn, statsFqn)
     ()
   }
 
@@ -1186,14 +1210,21 @@ object TextAnalysis {
       java.util.UUID.randomUUID.toString.replace("-", "")
     s.table(corpusFqn).select(col("doc_id").cast("bigint").as("doc_id"))
       .createOrReplaceTempView(view)
+    val kwFqn = keywordsFqnOf(postingsFqn)
     val removed =
-      try Seq(postingsFqn, doclenFqn).map { t =>
-        val before = s.table(t).count()
-        s.sql(s"MERGE INTO $t x USING $view l ON x.doc_id = l.doc_id " +
-          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
-        before - s.table(t).count()
-      }.sum
-      finally s.catalog.dropTempView(view)
+      try {
+        // the keyword artifact retires departed docs' rows in the same
+        // sweep (its rows are doc-keyed like postings/doclen); indexes
+        // without the table skip it
+        val tables = Seq(postingsFqn, doclenFqn) ++
+          (if (s.catalog.tableExists(kwFqn)) Seq(kwFqn) else Nil)
+        tables.map { t =>
+          val before = s.table(t).count()
+          s.sql(s"MERGE INTO $t x USING $view l ON x.doc_id = l.doc_id " +
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+          before - s.table(t).count()
+        }.sum
+      } finally s.catalog.dropTempView(view)
     val live = s.table(doclenFqn)
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
       .head()
@@ -1975,6 +2006,86 @@ object TextAnalysis {
       .orderBy(col("rn"))
   }
 
+  /** Windowed skip-gram collocations (q168) — q145's adjacency mine
+    * widened to the window-w co-occurrence statistic SGNS/GloVe
+    * training data is built from (Mikolov et al. 2013 use w = 5;
+    * w = 3 here keeps the pair volume ≤ 3·tokens): every ORDERED pair
+    * (a, b) with b at most 3 positions after a, ranked by the same
+    * exact integer lift as q145 — (cnt_ab·N·10⁶) div (cnt_a·cnt_b),
+    * rank-identical to PMI with no ln convention — under the same
+    * cnt ≥ 5 hapax floor. Adjacent-only q145 finds fixed PHRASES;
+    * the windowed statistic also surfaces loose associations
+    * (subject…verb, entity…qualifier) that never sit adjacent — the
+    * difference between a merged-token candidate list and an
+    * embedding-training co-occurrence table.
+    *
+    * Scale shape: pair generation is a map-only positional
+    * double-zip (never a self-join — the window rides the token
+    * array); the pair aggregation is the only shuffle that can exceed
+    * vocab size and it is ≤ 3·corpus-tokens rows with map-side
+    * combine; unigram counts and N are the q145 frames verbatim;
+    * DECIMAL numerator (the q145 headroom argument); distributed
+    * TakeOrdered top-20, then the 20-row rank. */
+  def q168SkipgramCollocations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(Tok.sp(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt_t"))
+      .localCheckpoint() // VOCAB-sized; feeds both joins AND the total
+    val tot = uni.agg(sum(col("cnt_t")).as("n"))
+    val pairs = toks.select(explode(expr(
+        "flatten(transform(sequence(1, size(w) - 1), i -> " +
+          "transform(sequence(i + 1, least(i + 3, size(w))), j -> " +
+          "named_struct('a', w[i - 1], 'b', w[j - 1]))))")).as("p"))
+      .select(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .groupBy(col("term_a"), col("term_b")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+    val scored = pairs
+      .join(uni.select(col("t").as("term_a"), col("cnt_t").as("cnt_a")),
+        Seq("term_a"))
+      .join(uni.select(col("t").as("term_b"), col("cnt_t").as("cnt_b")),
+        Seq("term_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_u",
+        expr("(cast(cnt as decimal(20,0)) * cast(n as decimal(20,0)) " +
+          "* 1000000) div (cnt_a * cnt_b)"))
+    scored.orderBy(col("lift_u").desc, col("term_a"), col("term_b"))
+      .limit(20)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(col("lift_u").desc, col("term_a"), col("term_b"))).cast("int"))
+      .select(col("rn"), col("term_a"), col("term_b"), col("cnt"),
+        col("lift_u"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q168: identical tokenization, the same windowed
+    * positional double-zip, HUGEINT lift, same tiebreaks. */
+  val q168Sql: String =
+    s"""WITH w AS (SELECT ${Tok.spSql("text")} AS w FROM documents),
+      |uni AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt_t
+      |  FROM (SELECT UNNEST(w) AS t FROM w) GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS n FROM uni),
+      |pg AS (
+      |  SELECT UNNEST(flatten(list_transform(range(1, len(w)), i ->
+      |    list_transform(range(i + 1, least(i + 3, len(w)) + 1), j ->
+      |      {'a': w[i], 'b': w[j]})))) AS p
+      |  FROM w),
+      |bg AS (
+      |  SELECT p.a AS term_a, p.b AS term_b, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM pg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |sc AS (
+      |  SELECT bg.term_a, bg.term_b, bg.cnt,
+      |    CAST((CAST(bg.cnt AS HUGEINT) * t.n * 1000000)
+      |      // (ua.cnt_t * ub.cnt_t) AS BIGINT) AS lift_u
+      |  FROM bg JOIN uni ua ON ua.t = bg.term_a
+      |  JOIN uni ub ON ub.t = bg.term_b, tot t)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift_u DESC, term_a, term_b)
+      |    AS INTEGER) AS rn,
+      |  term_a, term_b, cnt, lift_u
+      |FROM sc QUALIFY rn <= 20 ORDER BY rn""".stripMargin
+
   /** DuckDB replay of q145: identical tokenization, positional bigram
     * zip, the same BIGINT truncating division (// in DuckDB), same
     * tiebreaks. */
@@ -2009,24 +2120,37 @@ object TextAnalysis {
     * and score_u = tf·idf_u — an exact integer product, so ranking
     * and emitted scores are engine-portable.
     *
-    * Scale shape: index-served end-to-end (PlanSpec gates zero
-    * parquet scans): tf rides directly on `postings` rows, df is the
-    * postings' term-keyed count (vocab-bounded, map-side combine), N
-    * SUMs the #commits-row stats ledger; the top-3 window partitions
-    * by doc_id — bounded by a doc's distinct-term count, never the
-    * corpus. This is the batch job that pre-computes the keyword
-    * column a serving tier reads. */
+    * Scale shape: served from the MAINTAINED `doc_keywords` artifact
+    * (PlanSpec gates zero parquet scans and zero per-read scoring):
+    * [[ensureBm25Index]] seeds the table from the postings it just
+    * wrote ([[keywordsOf]] — tf on postings rows, term-keyed df, N
+    * from the stats ledger), and the maintainers re-price exactly the
+    * docs each batch touches ([[repriceKeywords]]); a curation UI
+    * reads 3 rows by id instead of re-pricing the corpus per read (the
+    * r13/r14 verdict ask). Staleness contract: an untouched doc's rows
+    * keep the (N, df) pricing of its last (re)index — the rd-lag
+    * class, converging at rebuild. */
   def q147DocKeywords(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pfx = ensureBm25Index(s, dir)
-    val post = s.table(s"$pfx.postings")
-      .select(col("term"), col("doc_id"), col("tf"))
-    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = s.table(s"$pfx.bm25_stats")
-      .agg(coalesce(sum(col("n_delta")), lit(0L)).as("n"))
+    s.table(s"$pfx.doc_keywords")
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+        col("score_u"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** The tf·idf keyword scoring core — top-3 terms per document from
+    * explicit (doc_id, term, tf), (term, df), and 1-row (n) frames —
+    * shared by the offline `doc_keywords` build and the maintainers'
+    * per-batch repricing ([[repriceKeywords]]) so the persisted rows
+    * and a fresh recompute can never disagree on arithmetic. The
+    * window partitions by doc_id — bounded by a doc's distinct-term
+    * count, never the corpus. */
+  private def keywordsOf(tf: DataFrame, dfreq: DataFrame,
+                         n: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_u").desc, col("term"))
-    post.join(dfreq, Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("idf_u", round(log(col("n") / col("df")) * 1e6).cast("long"))
       .withColumn("score_u", col("tf") * col("idf_u"))
@@ -2034,7 +2158,55 @@ object TextAnalysis {
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("rn"), col("term"), col("tf"),
         col("score_u"))
-      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** The `doc_keywords` table FQN implied by a postings FQN — same
+    * namespace, fixed name — so the maintainers can adopt the keyword
+    * artifact without signature churn: an index whose namespace never
+    * created the table (pre-keyword builds, the band/pair test
+    * fixtures) is maintained exactly as before. */
+  private def keywordsFqnOf(postingsFqn: String): String =
+    postingsFqn.split('.').init.mkString(".") + ".doc_keywords"
+
+  /** Re-price the keyword rows of `ids` under the CURRENT index state
+    * — the maintenance primitive behind keywords-as-artifact: a doc's
+    * top-3 changes exactly when the doc itself is (re)indexed or
+    * departs, so the maintainers call this with each batch's touched
+    * ids (O(touched) output rows). Idempotent by construction — a pure
+    * state function of (postings, stats) at run time, the refreshRdFor
+    * recipe: MERGE-delete the touched rows, insert the fresh top-3 of
+    * ids still indexed (departed docs simply have no postings and stay
+    * deleted); replays converge without a fence.
+    *
+    * Staleness contract (documented, the rd-lag class): rows of
+    * UNTOUCHED docs keep the (N, df) pricing of their last (re)index —
+    * a global repricing per batch would be a full-index job. The df
+    * lookup joins postings term-keyed (index-sized scan of ids+counts,
+    * never corpus text); a `term_df` delta ledger is the declared next
+    * increment if maintenance cadence ever demands true O(batch). */
+  private def repriceKeywords(s: SparkSession, ids: DataFrame,
+                              postingsFqn: String,
+                              statsFqn: String): Unit = {
+    val kwFqn = keywordsFqnOf(postingsFqn)
+    if (!s.catalog.tableExists(kwFqn)) return
+    val post = s.table(postingsFqn)
+      .select(col("term"), col("doc_id"), col("tf"))
+    val mine = post.join(ids.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val dfreq = post.join(mine.select(col("term")).distinct(),
+        Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = s.table(statsFqn)
+      .agg(coalesce(sum(col("n_delta")), lit(0L)).as("n"))
+    val fresh = keywordsOf(mine, dfreq, n).localCheckpoint()
+    val bs = ids.sparkSession
+    val dv = "graft_kw_del_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    ids.select(col("doc_id")).distinct().createOrReplaceTempView(dv)
+    try bs.sql(s"MERGE INTO $kwFqn x USING $dv d ON x.doc_id = d.doc_id " +
+      "WHEN MATCHED THEN DELETE")
+    finally bs.catalog.dropTempView(dv)
+    fresh.writeTo(kwFqn).append()
   }
 
   /** DuckDB replay of q147 from the raw corpus: same tokenization as
@@ -2306,6 +2478,7 @@ object TextAnalysis {
     "q159_template_prefix" -> q159TemplatePrefix _,
     "q160_rep_ngram" -> q160RepNgram _,
     "q145_collocations" -> q145Collocations _,
+    "q168_skipgram_collocations" -> q168SkipgramCollocations _,
     "q147_doc_keywords" -> q147DocKeywords _,
     "q151_context_pack" -> q151ContextPack _,
     "q121_boilerplate" -> q121Boilerplate _,
@@ -2335,6 +2508,7 @@ object TextAnalysis {
     "q159_template_prefix" -> q159Sql,
     "q160_rep_ngram" -> q160Sql,
     "q145_collocations" -> q145Sql,
+    "q168_skipgram_collocations" -> q168Sql,
     "q147_doc_keywords" -> q147Sql,
     "q151_context_pack" -> q151Sql,
     "q58_lang_id"     -> q58Sql,

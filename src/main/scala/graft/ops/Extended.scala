@@ -216,9 +216,14 @@ object Extended {
       .filter(col("item").isNotNull)
       .distinct()
       .localCheckpoint() // pins the bipartite frame for the self-join
-    val edges = ui
-      .join(ui.select(col("user_id"), col("item").as("item_b")),
-        Seq("user_id"))
+    // the co-engagement self-join rides the one-sided shard cover: a
+    // bot/power user with k items would otherwise emit k² pairs on ONE
+    // user_id key (10⁶ items ⇒ 10¹² rows in one task); the cover's
+    // output multiset is exactly the naive join's (DedupGuardSpec), so
+    // the edge weights — and the oracle hash — are unchanged
+    val edges = graft.Skew.guardedKeyJoin(
+        ui, ui.select(col("user_id"), col("item").as("item_b")),
+        "user_id", "item", "item_b")
       .filter(col("item") =!= col("item_b"))
       .groupBy(col("item"), col("item_b")).agg(count(lit(1)).as("w"))
       .localCheckpoint() // the graph: all three iterations re-join it
@@ -291,8 +296,65 @@ object Extended {
       |QUALIFY rn <= 10 ORDER BY rn""".stripMargin
   }
 
+  /** Co-engagement pair mining (q171) — the item-item co-occurrence
+    * table every "users who engaged with X also engaged with Y"
+    * recommender starts from (the swing/co-view statistic), and the
+    * standalone surface of q164's edge build: unordered item pairs
+    * weighted by the number of distinct users engaging BOTH, top-20 by
+    * (weight, pair). The self-join rides the one-sided shard cover
+    * ([[graft.Skew.guardedKeyJoin]]) so a bot/power user cannot
+    * concentrate k² candidate rows on one user_id key — the cover's
+    * multiset equals the naive join's (DedupGuardSpec), so the weights
+    * are exact.
+    *
+    * Scale shape: per-user distinct items (ids only), the guarded
+    * self-join, one pair-keyed aggregation with map-side combine,
+    * distributed TakeOrdered top-20 + 20-row rank. Itemless events
+    * excluded (the q164 convention). */
+  def q171CopairTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = Tables.events(s, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val pairs = graft.Skew.guardedKeyJoin(
+        ui, ui.select(col("user_id"), col("item").as("item_b")),
+        "user_id", "item", "item_b")
+      .filter(col("item") < col("item_b")) // each unordered pair once
+      .groupBy(col("item"), col("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+    pairs.orderBy(col("n_users").desc, col("item"), col("item_b"))
+      .limit(20)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(col("n_users").desc, col("item"), col("item_b"))).cast("int"))
+      .select(col("rn"), col("item"), col("item_b"), col("n_users"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q171: the NAIVE self-join (the cover's output
+    * multiset is identical by construction — this oracle is also the
+    * guard's cross-engine equivalence proof on real data), same
+    * distinct/exclusion conventions, same top-20 tiebreaks. */
+  val q171Sql: String =
+    s"""WITH ui AS (
+      |  SELECT DISTINCT user_id, item FROM (
+      |    SELECT user_id,
+      |      CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+      |    FROM events) WHERE item IS NOT NULL),
+      |p AS (
+      |  SELECT a.item, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM ui a JOIN ui b
+      |    ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, item, item_b)
+      |    AS INTEGER) AS rn,
+      |  item, item_b, n_users
+      |FROM p QUALIFY rn <= 20 ORDER BY rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_item_pagerank" -> q164ItemPagerank _,
+    "q171_copair_topk" -> q171CopairTopk _,
     "q36_range_join"    -> q36RangeJoin _,
     "q35_decimal_agg"   -> q35Decimal _,
     "q14_explode_udtf"  -> q14Explode _,
@@ -305,6 +367,7 @@ object Extended {
 
   val oracle: Map[String, String] = Map(
     "q164_item_pagerank" -> q164Sql,
+    "q171_copair_topk" -> q171Sql,
     "q36_range_join"    -> q36Sql,
     "q35_decimal_agg"   -> q35Sql,
     "q14_explode_udtf"  -> q14Sql,

@@ -223,6 +223,111 @@ object Scalars {
       |    AS today_share6
       |FROM x GROUP BY item ORDER BY item""".stripMargin
 
+  /** Key-skew audit card (q169) — the pre-flight every shuffle-heavy
+    * job should read before picking join/agg strategies, and the
+    * operational evidence behind the engine's own skew guards
+    * ([[graft.Skew.guardedKeyJoin]], the shard-pair covers): for each
+    * hot join-key family the pack actually shuffles on — events
+    * user_id, events item, documents source — the row/key counts, the
+    * hottest key with its share, and the hot ratio (how many times the
+    * hottest key exceeds the mean key) in exact micro-units,
+    * hot_ratio_u = (max_cnt·n_keys·10⁶) div n_rows. A hot_ratio_u in
+    * the millions says the naive equi-join straggles and the guard
+    * must compose.
+    *
+    * Determinism: the hottest key resolves by (count, key-string)
+    * struct max — the same lexicographic struct comparison both
+    * engines implement — and every ratio is one truncating integer
+    * division (DECIMAL numerator, the q145 headroom class).
+    *
+    * Scale shape: per family one keyed count with map-side combine
+    * into a 1-row fold (max/sum/count + struct-max) — no windows, no
+    * sorts; the three families union 3 rows. */
+  def q169KeySkewAudit(s: SparkSession, dir: String): DataFrame = {
+    def card(family: String, keys: DataFrame): DataFrame =
+      keys.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"),
+          max(struct(col("cnt"), col("k"))).as("top"))
+        .select(lit(family).as("family"), col("n_rows"), col("n_keys"),
+          col("max_cnt"), col("top.k").as("top_key"),
+          round(col("max_cnt") / col("n_rows"), 6).as("top_share6"),
+          expr("(cast(max_cnt as decimal(20,0)) * n_keys * 1000000) " +
+            "div n_rows").as("hot_ratio_u"))
+    val ev = Tables.events(s, dir)
+    card("events.user_id", ev.select(col("user_id").cast("string").as("k")))
+      .unionByName(card("events.item", ev
+        .select(get_json_object(col("props"), "$.k").as("k"))
+        .filter(col("k").isNotNull)))
+      .unionByName(card("documents.source",
+        Tables.documents(s, dir).select(col("source").as("k"))))
+      .orderBy(col("family"))
+  }
+
+  val q169Sql: String = {
+    def block(family: String, src: String): String =
+      s"""SELECT '$family' AS family,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |  (MAX({'cnt': cnt, 'k': k})).k AS top_key,
+        |  ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_share6,
+        |  CAST((CAST(MAX(cnt) AS HUGEINT) * COUNT(*) * 1000000)
+        |    // SUM(cnt) AS BIGINT) AS hot_ratio_u
+        |FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM ($src)
+        |      GROUP BY k)""".stripMargin
+    s"""WITH ${Tables.eventsOracleCte}
+      |${block("events.user_id",
+        "SELECT CAST(user_id AS VARCHAR) AS k FROM events_n")}
+      |UNION ALL
+      |${block("events.item",
+        "SELECT json_extract_string(props, '$.k') AS k FROM events_n " +
+          "WHERE json_extract_string(props, '$.k') IS NOT NULL")}
+      |UNION ALL
+      |${block("documents.source", "SELECT source AS k FROM documents")}
+      |ORDER BY family""".stripMargin
+  }
+
+  /** Hourly ingest-rate card with burst flags (q170) — the
+    * ops-monitoring time series every event pipeline watches: events
+    * per hour, each hour's share, and a BURST flag for hours running
+    * more than 3× the mean hourly rate — evaluated as the integer
+    * cross-multiplication cnt·n_hours > 3·total, so the threshold is
+    * exact on both engines (no float rate). Hours with zero events
+    * simply have no row (both engines identically — the mean is over
+    * OBSERVED hours, stated).
+    *
+    * Scale shape: one map-only hour projection into an hour-keyed
+    * count with map-side combine; the mean folds from the hour frame
+    * (bounded by the time span, not event volume) and broadcasts
+    * back. */
+  def q170IngestBursts(s: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+        .as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = hours.agg(count(lit(1)).as("n_hours"),
+      sum(col("cnt")).as("total"))
+    hours.crossJoin(broadcast(tot))
+      .select(col("hour"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share6"),
+        (col("cnt") * col("n_hours") > col("total") * 3).as("burst"))
+      .orderBy(col("hour"))
+  }
+
+  val q170Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+      |h AS (
+      |  SELECT date_trunc('hour', ts) AS hour,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events_n GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |        CAST(SUM(cnt) AS BIGINT) AS total FROM h)
+      |SELECT CAST(hour AS TIMESTAMP) AS hour, cnt,
+      |  ROUND(cnt * 1.0 / total, 6) AS share6,
+      |  cnt * n_hours > total * 3 AS burst
+      |FROM h, t ORDER BY hour""".stripMargin
+
   /** Batch tumbling time-bucket aggregation (the batch shape of the
     * streaming q70; epoch-aligned 5-minute buckets). */
   def q46TimeBucket(s: SparkSession, dir: String): DataFrame =
@@ -380,6 +485,8 @@ object Scalars {
     "q45_case_when"    -> q45CaseWhen _,
     "q165_recency_popularity" -> q165RecencyPopularity _,
     "q166_transition_matrix" -> q166TransitionMatrix _,
+    "q169_key_skew_audit" -> q169KeySkewAudit _,
+    "q170_ingest_bursts" -> q170IngestBursts _,
     "q46_time_bucket"  -> q46TimeBucket _,
     "q47_sessionize"   -> q47Sessionize _,
     "q82_retention"    -> q82Retention _,
@@ -387,6 +494,8 @@ object Scalars {
 
   val oracle: Map[String, String] = Map(
     "q48_sliding_window" -> q48Sql,
+    "q169_key_skew_audit" -> q169Sql,
+    "q170_ingest_bursts" -> q170Sql,
     "q40_string_funcs" -> q40Sql,
     "q41_date_funcs"   -> q41Sql,
     "q42_math_funcs"   -> q42Sql,

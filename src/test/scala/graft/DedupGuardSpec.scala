@@ -177,6 +177,40 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     ), cleaned.toString)
   }
 
+  test("one-sided guardedKeyJoin equals the naive equi-join exactly") {
+    import spark.implicits._
+    // the cross-frame sibling (Skew.guardedKeyJoin, shared by q149's
+    // anchor×cell candidates and q164's co-engagement edges): random
+    // frames with one hub key on both sides, one left-heavy key, one
+    // right-heavy key, a cold key, keys missing from one side, and
+    // DUPLICATE rows (same id twice — multiset semantics must hold)
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      def rows(n: Int, keyOf: Int => String) =
+        (0 until n).map(i => (keyOf(i), rnd.nextInt(40).toLong))
+      val left = (rows(120, _ => "hub") ++ rows(90, _ => "lheavy") ++
+        rows(4, _ => "rheavy") ++ rows(3, _ => "cold") ++
+        rows(5, _ => "leftonly") ++ Seq(("dup", 7L), ("dup", 7L)))
+        .toDF("k", "la")
+      val right = (rows(110, _ => "hub") ++ rows(5, _ => "lheavy") ++
+        rows(95, _ => "rheavy") ++ rows(2, _ => "cold") ++
+        rows(5, _ => "rightonly") ++ Seq(("dup", 9L)))
+        .toDF("k", "rb")
+      val guarded = Skew.guardedKeyJoin(left, right, "k", "la", "rb",
+          maxSide = 16)
+        .select("k", "la", "rb").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val naive = left.join(right, Seq("k"))
+        .select("k", "la", "rb").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(guarded.sorted == naive.sorted,
+        s"seed $seed: cover multiset differs — guarded=${guarded.length} " +
+          s"naive=${naive.length}")
+      // the duplicate left rows each met the right row: multiset, not set
+      assert(guarded.count(_ == ("dup", 7L, 9L)) == 2)
+    }
+  }
+
   test("label propagation converges on a deep chain (diameter >> 10)") {
     import spark.implicits._
     // a 200-hop chain 0-1-2-...-200 — the r9 implementation silently

@@ -876,6 +876,100 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stats must reconcile to the one live doc: $led")
   }
 
+  test("doc_keywords is maintained: arrivals re-price, departures retire") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bkw-wh").toString
+    spark.conf.set("spark.sql.catalog.bkw",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bkw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bkw.ing")
+    spark.sql("CREATE TABLE bkw.ing.docs (doc_id BIGINT, text STRING)")
+    spark.sql("CREATE TABLE bkw.ing.postings " +
+      "(term STRING, doc_id BIGINT, tf BIGINT, positions ARRAY<INT>) " +
+      "PARTITIONED BY (bucket(4, term))")
+    spark.sql("CREATE TABLE bkw.ing.doclen (doc_id BIGINT, dl BIGINT)")
+    spark.sql("CREATE TABLE bkw.ing.stats (n_delta BIGINT, sumdl_delta BIGINT)")
+    spark.sql("CREATE TABLE bkw.ing.doc_keywords " +
+      "(doc_id BIGINT, rn INT, term STRING, tf BIGINT, score_u BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bkw-ckpt").toString
+    def start() = llm.TextAnalysis.bm25MaintainStream(spark, "bkw.ing.docs",
+      "bkw.ing.postings", "bkw.ing.doclen", "bkw.ing.stats", ckpt)
+    def kwOf(id: Long): Seq[(Int, String, Long, Long)] =
+      spark.table("bkw.ing.doc_keywords").where(col("doc_id") === id)
+        .orderBy(col("rn")).collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    // the shipped arithmetic replayed driver-side for a doc under an
+    // explicit (df, N) snapshot — what the artifact row must carry
+    def expect(text: String, df: Map[String, Long], n: Long)
+        : Seq[(Int, String, Long, Long)] =
+      text.split(" ").groupBy(identity).toSeq
+        .map { case (t, xs) =>
+          val tf = xs.length.toLong
+          (t, tf, tf * math.round(math.log(n.toDouble / df(t)) * 1e6))
+        }
+        .sortBy { case (t, _, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((t, tf, s), i) => (i + 1, t, tf, s) }
+
+    Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text").writeTo("bkw.ing.docs").append()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      val df0 = Map("alpha" -> 1L, "beta" -> 2L, "gamma" -> 1L)
+      assert(kwOf(1L) == expect("alpha beta alpha", df0, 2L),
+        s"base pricing: ${kwOf(1L)}")
+      assert(kwOf(2L) == expect("beta gamma", df0, 2L))
+
+      // arrival: doc 3 prices under the POST-batch stats (N=3, alpha
+      // df=2); doc 1's rows keep their old pricing — the documented
+      // staleness contract (a row re-prices when its doc is touched)
+      Seq((3L, "alpha zeta")).toDF("doc_id", "text")
+        .writeTo("bkw.ing.docs").append()
+      q.processAllAvailable()
+      val df1 = Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L, "zeta" -> 1L)
+      assert(kwOf(3L) == expect("alpha zeta", df1, 3L),
+        s"arrival pricing: ${kwOf(3L)}")
+      assert(kwOf(1L) == expect("alpha beta alpha", df0, 2L),
+        "untouched docs keep their last pricing")
+
+      // departure: doc 2's rows retire with it
+      spark.sql("DELETE FROM bkw.ing.docs WHERE doc_id = 2")
+      q.processAllAvailable()
+      assert(kwOf(2L).isEmpty, "departed doc must lose its keyword rows")
+
+      // update: doc 1 re-prices under the current state (N=2 live docs,
+      // alpha df=2 — docs 1 and 3)
+      Seq((1L, "omega alpha")).toDF("doc_id", "text")
+        .createOrReplaceTempView("bkw_up")
+      spark.sql("""MERGE INTO bkw.ing.docs t USING bkw_up u
+        ON t.doc_id = u.doc_id
+        WHEN MATCHED THEN UPDATE SET t.text = u.text""")
+      q.processAllAvailable()
+      val df2 = Map("alpha" -> 2L, "omega" -> 1L, "zeta" -> 1L)
+      assert(kwOf(1L) == expect("omega alpha", df2, 2L),
+        s"updated doc must re-price: ${kwOf(1L)}")
+    } finally q.stop()
+
+    // restart from the checkpoint: replays are fenced/idempotent — the
+    // keyword table must not churn
+    val k0 = spark.table("bkw.ing.doc_keywords").collect()
+      .map(_.toString).sorted.toSeq
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("bkw.ing.doc_keywords").collect()
+        .map(_.toString).sorted.toSeq == k0,
+        "replay must leave keyword rows exactly as they were")
+    } finally q2.stop()
+
+    // batch reconcile path: an unmaintained churn vacuums away
+    spark.sql("DELETE FROM bkw.ing.docs WHERE doc_id = 3")
+    llm.TextAnalysis.bm25Vacuum(spark, "bkw.ing.docs",
+      "bkw.ing.postings", "bkw.ing.doclen", "bkw.ing.stats")
+    assert(kwOf(3L).isEmpty, "vacuum must retire departed keyword rows")
+  }
+
   test("drift reference fold: bounded rows, identical KL, restart/replay-safe") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-drf-wh").toString

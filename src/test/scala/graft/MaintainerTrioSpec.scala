@@ -136,6 +136,19 @@ class MaintainerTrioSpec extends AnyFunSuite with BeforeAndAfterAll {
       val live = spark.table("trio.ing.docs").select("vec_id")
         .collect().map(_.getLong(0)).toSet
       assert(codes == live, s"sq8_codes out of sync: $codes vs live $live")
+      // the r15 mean ledger: folded (sj, n) must equal a fresh
+      // recompute over the live corpus at every quiesce point —
+      // refresh appends and vacuum corrections are exact integers, so
+      // equality is bit-for-bit, not approximate
+      val ledger = spark.table("trio.trioidx.mean_stats")
+        .groupBy(col("j")).agg(sum(col("sj_delta")).as("sj"),
+          sum(col("n_delta")).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val freshMean = AnnIndex.meanDeltaOf(spark.table("trio.ing.docs")
+          .select(col("vec_id"), col("embedding")))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(ledger == freshMean,
+        s"mean_stats out of sync: $ledger vs fresh $freshMean")
     }
 
     // total whitespace tokens ingested so far — the drift monitor's

@@ -37,6 +37,9 @@ object Tok {
   def spSql(e: String): String = s"string_split($e, ' ')"
 
   /** Driver-side [[sp]] for the fixed query/phrase literals, so request
-    * tokenization cannot drift from the postings they probe. */
-  def spStr(text: String): Array[String] = text.split(" ")
+    * tokenization cannot drift from the postings they probe. limit -1:
+    * Java's default split DROPS trailing empty tokens while Spark's
+    * split and DuckDB's string_split both KEEP them — the exact
+    * convention drift this seam exists to prevent. */
+  def spStr(text: String): Array[String] = text.split(" ", -1)
 }

@@ -579,9 +579,17 @@ object AnnIndex {
       val ledger = s.table(s"$prefix.mean_stats")
         .groupBy(col("j")).agg(sum(col("sj_delta")).as("sj"),
           sum(col("n_delta")).as("n"))
+      // fresh side restricted to INDEXED ids (post-delete ivf_cells —
+      // the ensureAuxTables recipe): the ledger covers indexed vectors
+      // only, so syncing against the full corpus would pre-count
+      // arrivals a later refresh then delta-appends AGAIN (a vacuum
+      // run between an append and its refresh is a legal ordering —
+      // both are public entry points)
       val corr = meanDeltaOf(s.table(corpusFqn)
           .select(col("vec_id").cast("bigint").as("vec_id"),
-            col("embedding")))
+            col("embedding"))
+          .join(s.table(s"$prefix.ivf_cells").select(col("vec_id")),
+            Seq("vec_id"), "left_semi"))
         .join(ledger, Seq("j"), "full")
         .select(col("j"),
           (coalesce(col("sj_delta"), lit(0L)) - coalesce(col("sj"), lit(0L)))

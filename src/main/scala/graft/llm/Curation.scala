@@ -730,7 +730,7 @@ object Curation {
     val ca = cab.groupBy(col("lang"), col("a")).agg(sum(col("cab")).as("ca"))
     val vlang = cab.groupBy(col("lang"))
       .agg((countDistinct(col("b")) + 1).as("v"))
-    docBig.filter(col("doc_id") % 10 === 7)
+    val scored = docBig.filter(col("doc_id") % 10 === 7)
       .join(cab, Seq("lang", "a", "b"), "left")
       .join(ca, Seq("lang", "a"), "left")
       .join(broadcast(vlang), Seq("lang"), "left")
@@ -751,6 +751,12 @@ object Curation {
         round(col("unseen_k") / col("n_tokens").cast("double"), 6)
           .as("unseen6"))
       .orderBy(col("doc_id"))
+      // ids+longs per held-out doc — eagerly pinned so the cached
+      // bigram frame can release NOW instead of outliving the query
+      // (the q119 discipline; the r15 self-review leak catch)
+      .localCheckpoint()
+    docBig.unpersist()
+    scored
   }
 
   /** DuckDB replay of q131: identical bigram formation, the same
@@ -1338,7 +1344,9 @@ object Curation {
     * rules — see [[TextAnalysis.c4KeepExpr]].) */
   private[llm] def funnelFilterExpr: Column = {
     val t = trim(col("text"))
-    val nWords = size(split(t, "\\s+"))
+    // tokenization through the seam — a val-bound split(trim, "\\s+")
+    // is still the ws family rebuilt inline (the r15 review catch)
+    val nWords = size(Tok.ws(col("text")))
     val meanWordLen = length(regexp_replace(t, "\\s+", "")) * 1.0 / nWords
     (nWords >= 20) && (meanWordLen >= 2.0 && meanWordLen <= 12.0) &&
       !lower(col("text")).contains("lorem ipsum") &&
@@ -1397,7 +1405,7 @@ object Curation {
   def q116CurationFunnel(s: SparkSession, dir: String,
                          cleanLines: Boolean): DataFrame = {
     val t = trim(col("text"))
-    val tokens = size(split(t, "\\s+")).cast("long")
+    val tokens = size(Tok.ws(col("text"))).cast("long")
     val filterKeep = funnelFilterExpr
     // stage 0: after this, the `text` column IS the cleaned text, so
     // every shared stage expression downstream applies unchanged
@@ -1616,7 +1624,7 @@ object Curation {
         // one pinned frame feeds the filter verdicts, the survivor
         // shingles/bands, and the final verdict rows
         val b = cleaned.select(col("doc_id"), col("source"),
-          size(split(t, "\\s+")).cast("long").as("n_tokens"),
+          size(Tok.ws(col("text"))).cast("long").as("n_tokens"),
           TextAnalysis.qualityExpr.as("quality"),
           filterKeep.as("filter_keep"),
           Dedup.shingleUdf(col("text")).as("sh"))

@@ -2089,11 +2089,17 @@ object Similarity {
     // re-attach by id afterwards (the guardedCellPairs discipline).
     // Output multiset equals the naive join's (DedupGuardSpec), so the
     // oracle is untouched.
-    val anchorIds = pos.join(m.select(col("vec_id").as("anchor"),
+    // the cover's inputs read ivf_cells DIRECTLY (not m — that frame
+    // drags the embeddings join into the cover's sizes + both sharded
+    // subtrees); cells hold exactly the indexed corpus ids, so the
+    // id sets are identical and payloads attach once, after the cover
+    val cellIds = s.table(s"$pfx.ivf_cells")
+      .select(col("vec_id"), col("cell"))
+    val anchorIds = pos.join(cellIds.select(col("vec_id").as("anchor"),
       col("cell")), Seq("anchor"))
     val candIds = graft.Skew.guardedKeyJoin(
         anchorIds,
-        m.select(col("cell"), col("vec_id").as("neg_id")),
+        cellIds.select(col("cell"), col("vec_id").as("neg_id")),
         "cell", "anchor", "neg_id")
       .filter(col("neg_id") =!= col("anchor"))
       .join(partners.withColumnRenamed("partner", "neg_id"),

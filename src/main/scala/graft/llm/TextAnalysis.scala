@@ -290,7 +290,9 @@ object TextAnalysis {
     * terminal-punctuation test). */
   def c4KeepExpr: Column = {
     val t = trim(col("text"))
-    val nWords = size(split(t, "\\s+"))
+    // tokenization through the seam — a val-bound split(trim, "\\s+")
+    // is still the ws family rebuilt inline (the r15 review catch)
+    val nWords = size(Tok.ws(col("text")))
     val meanWordLen = length(regexp_replace(t, "\\s+", "")) * 1.0 / nWords
     (nWords >= 5) && (meanWordLen >= 2.0 && meanWordLen <= 12.0) &&
       t.rlike("[.!?\"]$") &&
@@ -310,7 +312,7 @@ object TextAnalysis {
 
   def q91QualityFilter(s: SparkSession, dir: String): DataFrame = {
     val t = trim(col("text"))
-    val nWords = size(split(t, "\\s+"))
+    val nWords = size(Tok.ws(col("text")))
     val meanWordLen = length(regexp_replace(t, "\\s+", "")) * 1.0 / nWords
     val enoughWords = nWords >= 5
     val saneWordLen = meanWordLen >= 2.0 && meanWordLen <= 12.0
@@ -2034,7 +2036,11 @@ object TextAnalysis {
       .groupBy(col("t")).agg(count(lit(1)).as("cnt_t"))
       .localCheckpoint() // VOCAB-sized; feeds both joins AND the total
     val tot = uni.agg(sum(col("cnt_t")).as("n"))
-    val pairs = toks.select(explode(expr(
+    // size ≥ 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) on a
+    // single-token doc and would conjure null/self pairs the oracle's
+    // empty range(1, 1) never emits
+    val pairs = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
         "flatten(transform(sequence(1, size(w) - 1), i -> " +
           "transform(sequence(i + 1, least(i + 3, size(w))), j -> " +
           "named_struct('a', w[i - 1], 'b', w[j - 1]))))")).as("p"))

@@ -318,6 +318,10 @@ object Extended {
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .filter(col("item").isNotNull)
       .distinct()
+      // ids-only bounded frame, pinned (the q164 convention): the
+      // cover's sizes + both sharded sides would otherwise re-run the
+      // events scan and the distinct shuffle ~4×
+      .localCheckpoint()
     val pairs = graft.Skew.guardedKeyJoin(
         ui, ui.select(col("user_id"), col("item").as("item_b")),
         "user_id", "item", "item_b")

@@ -277,6 +277,17 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     AnnIndex.vacuum(spark, "ann_a.mn.vecs", "ann_a.mnidx")
     assert(spark.table("ann_a.mnidx.mean_stats").count() == rows0,
       "a second vacuum must append no correction")
+
+    // ORDERING: vacuum between an append and its refresh must NOT
+    // pre-count the unindexed arrivals (its correction is restricted
+    // to indexed ids), or the refresh's delta append would then count
+    // them twice — the r15 self-review catch
+    Seq((940001L, v0)).toDF("vec_id", "embedding")
+      .writeTo("ann_a.mn.vecs").append()
+    AnnIndex.vacuum(spark, "ann_a.mn.vecs", "ann_a.mnidx")
+    assert(AnnIndex.refresh(spark, "ann_a.mn.vecs", "ann_a.mnidx") == 1L)
+    assert(meanLedger("ann_a.mnidx") == meanFresh("ann_a.mn.vecs"),
+      "vacuum-then-refresh must not double-count the arrival")
   }
 
   test("maintenance against a pre-rework index backfills ivf_rd and sq8_codes") {

@@ -87,5 +87,20 @@ class PinGateSpec extends AnyFunSuite {
     } yield s"${f.getPath}:${n + 1}: $p"
     assert(hits.isEmpty, "inline tokenizer expressions found:\n" +
       hits.mkString("\n"))
+    // the VAL-BOUND rebuild (`val t = trim(...); split(t, "\s+")`) is
+    // the same ws-family tokenizer the literal patterns cannot see —
+    // the r15 self-review catch
+    val bound = """split\(\s*[A-Za-z_]\w*\s*,\s*"\\\\s\+"\)""".r
+    val hits2 = for {
+      d <- dirs
+      f <- new java.io.File(d).listFiles.toSeq.filter(_.getName.endsWith(".scala"))
+      src = { val s = scala.io.Source.fromFile(f, "UTF-8"); try s.mkString finally s.close() }
+      (line, n) <- src.linesIterator.zipWithIndex
+      t = line.trim
+      if !(t.startsWith("*") || t.startsWith("//") || t.startsWith("/*"))
+      if bound.findFirstIn(line).isDefined
+    } yield s"${f.getPath}:${n + 1}: $line"
+    assert(hits2.isEmpty, "val-bound inline tokenizers found:\n" +
+      hits2.mkString("\n"))
   }
 }

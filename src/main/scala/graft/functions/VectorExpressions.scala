@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the embedding-vector hot path —
   * codegen'd (`doGenCode`), so the similarity operators stay inside
@@ -247,6 +247,62 @@ case class CharFoldF(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_charfold"
 }
 
+/** SQ8 reconstruction error of a persisted code row against its
+  * full-precision vector — [max, truncating-mean] per-coordinate error
+  * in once-rounded micro-units, as a 2-element LONG array. The q155
+  * audit kernel: as a native expression the decode loop is one
+  * allocation-free walk inside whole-stage codegen (the Int8DotF
+  * pattern), where the Scala UDF it replaces deserialized a boxed
+  * Seq[Float] per row. Arithmetic mirrors the oracle's list_transform
+  * replay exactly: e_i = |x_i − code_i/scale|, u_i = round(e_i·10⁶),
+  * max and sum div len over the CODE length. */
+case class Sq8ErrF(emb: Expression, scale: Expression, code: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = emb
+  override def second: Expression = scale
+  override def third: Expression = code
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val sc = b.asInstanceOf[Double]
+    val cd = c.asInstanceOf[Array[Byte]]
+    var maxu = 0L; var sumu = 0L; var i = 0
+    while (i < cd.length) {
+      val err = math.abs(e.getFloat(i).toDouble - cd(i).toDouble / sc)
+      val u = math.round(err * 1e6)
+      if (u > maxu) maxu = u
+      sumu += u; i += 1
+    }
+    new GenericArrayData(Array(maxu, sumu / cd.length))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val i = ctx.freshName("i"); val u = ctx.freshName("u")
+      val mx = ctx.freshName("mx"); val sm = ctx.freshName("sm")
+      val err = ctx.freshName("err")
+      s"""
+         |long $mx = 0L; long $sm = 0L;
+         |for (int $i = 0; $i < $c.length; $i++) {
+         |  double $err = java.lang.Math.abs(
+         |    (double) $a.getFloat($i) - (double) $c[$i] / $b);
+         |  long $u = java.lang.Math.round($err * 1e6);
+         |  if ($u > $mx) $mx = $u;
+         |  $sm += $u;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new long[]{$mx, $sm / $c.length});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(emb = f, scale = s, code = t)
+  override def prettyName: String = "graft_sq8err"
+}
+
 object VectorFunctions {
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProductF(es(0), es(1))),
@@ -254,7 +310,8 @@ object VectorFunctions {
     "graft_l2norm" -> (es => L2NormF(es.head)),
     "graft_int8dot" -> (es => Int8DotF(es(0), es(1))),
     "graft_dotdd" -> (es => DotDoubleF(es(0), es(1))),
-    "graft_charfold" -> (es => CharFoldF(es.head)))
+    "graft_charfold" -> (es => CharFoldF(es.head)),
+    "graft_sq8err" -> (es => Sq8ErrF(es(0), es(1), es(2))))
 
   /** Session-scoped registration (idempotent); lets `call_function` and
     * SQL reach the expressions without SparkSessionExtensions config. */

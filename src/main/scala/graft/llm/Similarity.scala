@@ -1842,6 +1842,87 @@ object Similarity {
       |FROM sc QUALIFY rn <= 5 ORDER BY query_id, rn""".stripMargin
   }
 
+  /** Per-source embedding alignment card (q175) — the SOURCE-level
+    * read of the anisotropy q136 measures corpus-wide: for each
+    * source, how strongly its documents' embeddings point along the
+    * corpus's common direction (mean cosine to the LEDGER mean vector,
+    * in once-rounded micro-units) and their mean L2 norm. A source
+    * whose alignment sits far above the rest is the one DOMINATING the
+    * common direction (its neighbors look artificially similar —
+    * centering helps it most); a low-norm source signals a different
+    * embedding provenance (model version, truncation). The first
+    * consumer of the `mean_stats` artifact beyond q167 — the per-source
+    * drill-down a curator reads after q167's centered search changes
+    * results.
+    *
+    * Determinism: the mean replays as exact integer sums (sj/U/n);
+    * per-doc cosine is the codegen'd double fold rounded ONCE to
+    * micro-units; per-source folds are long sums with one rounding
+    * division each (the q143 mean recipe); norms likewise fix to
+    * micro-units per doc before the fold.
+    *
+    * Scale shape: ledger fold (#commits×Dim rows) → 1-row broadcast;
+    * one map-only corpus pass computes both micro-unit features; one
+    * |sources|-bounded keyed fold with map-side combine. */
+  def q175SourceAlignment(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val U = AnnIndex.MeanUnit
+    val mean = s.table(s"$pfx.mean_stats")
+      .groupBy(col("j"))
+      .agg(sum(col("sj_delta")).as("sj"), sum(col("n_delta")).as("n"))
+      .withColumn("mean", col("sj") / U / col("n"))
+      .agg(sort_array(collect_list(struct(col("j"), col("mean")))).as("h"))
+      .select(expr("transform(h, p -> p.mean)").as("c"))
+    val src = Tables.documents(s, dir).select(col("doc_id").as("vec_id"),
+      col("source"))
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .join(src, Seq("vec_id"))
+      .crossJoin(broadcast(mean))
+      .withColumn("ev",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(call_function("graft_dotdd", col("ev"), col("ev"))))
+      .withColumn("cn", sqrt(call_function("graft_dotdd", col("c"), col("c"))))
+      .withColumn("cos_u",
+        round(call_function("graft_dotdd", col("ev"), col("c")) /
+          (col("nrm") * col("cn")) * lit(1e6)).cast("long"))
+      .withColumn("nrm_u", round(col("nrm") * lit(1e6)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("cos_u")) / count(lit(1))).cast("long")
+          .as("align_u"),
+        round(sum(col("nrm_u")) / count(lit(1))).cast("long")
+          .as("norm_u"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q175: the q167 integer mean, the same double
+    * folds, once-rounded micro-unit features, identical per-source
+    * means. */
+  lazy val q175Sql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+      |           FROM embeddings),
+      |mx AS (
+      |  SELECT p.j AS j,
+      |    CAST(SUM(CAST(ROUND(p.x * 16777216.0) AS BIGINT)) AS BIGINT) AS sj,
+      |    COUNT(*) AS n
+      |  FROM (SELECT UNNEST(list_transform(range(1, len(ev) + 1),
+      |          i -> {'j': i, 'x': ev[i]})) AS p FROM v)
+      |  GROUP BY 1),
+      |cm AS (SELECT list(sj / 16777216.0 / n ORDER BY j) AS c FROM mx),
+      |f AS (
+      |  SELECT d.source,
+      |    CAST(ROUND(list_dot_product(e.ev, cm.c) /
+      |      (SQRT(list_dot_product(e.ev, e.ev)) *
+      |       SQRT(list_dot_product(cm.c, cm.c))) * 1e6) AS BIGINT) AS cos_u,
+      |    CAST(ROUND(SQRT(list_dot_product(e.ev, e.ev)) * 1e6) AS BIGINT)
+      |      AS nrm_u
+      |  FROM v e JOIN documents d ON d.doc_id = e.vec_id, cm)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(ROUND(SUM(cos_u) * 1.0 / COUNT(*)) AS BIGINT) AS align_u,
+      |  CAST(ROUND(SUM(nrm_u) * 1.0 / COUNT(*)) AS BIGINT) AS norm_u
+      |FROM f GROUP BY 1 ORDER BY source""".stripMargin
+
   /** IVF probe sweep (q148) — the nProbe tuning curve an index
     * operator reads before setting the recall/latency dial: recall@3
     * against the exact ground truth at every nProbe in 1..5, from ONE
@@ -2248,23 +2329,19 @@ object Similarity {
     * vectors carry no code row and are out of scope, as in q80. */
   def q155Sq8Error(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
     val pfx = AnnIndex.ensure(s, dir)
-    val errUdf = udf { (emb: Seq[Float], scale: Double, code: Array[Byte]) =>
-      var maxu = 0L; var sumu = 0L; var i = 0
-      while (i < code.length) {
-        val e = math.abs(emb(i).toDouble - code(i).toDouble / scale)
-        val u = math.round(e * 1e6)
-        if (u > maxu) maxu = u
-        sumu += u; i += 1
-      }
-      (maxu, sumu / code.length)
-    }
+    // the decode is the codegen'd [[graft.functions.Sq8ErrF]] kernel
+    // (the Int8DotF family) — an allocation-free byte walk inside
+    // whole-stage codegen, replacing the boxed-Seq Scala UDF the r14
+    // verdict flagged as the one off-pattern scorer
     val scored = s.table(s"$pfx.sq8_codes")
       .join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         Seq("vec_id"))
-      .withColumn("e", errUdf(col("embedding"), col("scale"), col("code")))
-      .select(col("vec_id"), col("e._1").as("max_err_u"),
-        col("e._2").as("mean_err_u"))
+      .withColumn("e", call_function("graft_sq8err",
+        col("embedding"), col("scale"), col("code")))
+      .select(col("vec_id"), col("e").getItem(0).as("max_err_u"),
+        col("e").getItem(1).as("mean_err_u"))
     // distributed TakeOrdered for the top-10, THEN rank the survivors
     // (the q145 lesson: no global row_number over the corpus)
     scored.orderBy(col("max_err_u").desc, col("vec_id")).limit(10)
@@ -2485,6 +2562,7 @@ object Similarity {
     "q167_centered_ivf" -> q167CenteredIvf _,
     "q173_recall_miss_attribution" -> q173RecallMissAttribution _,
     "q174_bitext_coverage" -> q174BitextCoverage _,
+    "q175_source_alignment" -> q175SourceAlignment _,
     "q148_probe_sweep" -> q148ProbeSweep _,
     "q149_contrastive_triplets" -> q149ContrastiveTriplets _,
     "q152_sq8_recall" -> q152Sq8Recall _,
@@ -2860,6 +2938,7 @@ object Similarity {
     "q167_centered_ivf" -> q167Sql,
     "q173_recall_miss_attribution" -> q173Sql,
     "q174_bitext_coverage" -> q174Sql,
+    "q175_source_alignment" -> q175Sql,
     "q148_probe_sweep" -> q148Sql,
     "q149_contrastive_triplets" -> q149Sql,
     "q152_sq8_recall" -> q152Sql,

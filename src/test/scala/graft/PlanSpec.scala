@@ -687,19 +687,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parquetScans(llm.Curation.q119LmXent(spark, sf)) == 0,
       "LM scoring: LM tables, vocab sizes, and scoring all derive from " +
         "the one checkpointed bigram frame — no rescans")
-    // q131's bigram frame is a fault-tolerant persist() (not a
-    // lineage-truncating pin — the r14 corpus-pin lesson), so the
-    // textual plan prints the cached relation wherever it is read:
-    // every "Scan parquet" mention must sit INSIDE an
-    // InMemoryRelation (one real scan at materialization, every
-    // consumer reads the cache), and both slices must read it
+    // q131 builds through a fault-tolerant persist() of the bigram
+    // frame (not a lineage-truncating pin — the r14 corpus-pin
+    // lesson), eagerly checkpoints its ids-only result, and RELEASES
+    // the cache before returning (the r15 leak catch) — so the served
+    // plan must be the pinned frame with zero live parquet scans, and
+    // the cache discipline is gated at the source level: exactly one
+    // persist and one unpersist inside the function body
     val p131 = planOf(llm.Curation.q131LmHeldout(spark, sf))
-    val imts131 = "InMemoryTableScan".r.findAllIn(p131).size
-    assert(imts131 >= 2,
-      s"held-out LM scoring: both slices must read the cached bigram frame:\n$p131")
-    assert("Scan parquet".r.findAllIn(p131).size == imts131,
-      "held-out LM scoring: every parquet mention must be the cached " +
-        s"relation's stored plan, never a live rescan:\n$p131")
+    assert(parquetScans(llm.Curation.q131LmHeldout(spark, sf)) == 0,
+      s"held-out LM scoring must serve from its pinned result:\n$p131")
+    val src131 = {
+      val s2 = scala.io.Source.fromFile(
+        "src/main/scala/graft/llm/Curation.scala", "UTF-8")
+      try s2.mkString finally s2.close()
+    }
+    val body131 = src131.substring(src131.indexOf("def q131LmHeldout"),
+      src131.indexOf("\n  val q131Sql"))
+    def occurrences(h: String, n: String): Int =
+      h.sliding(n.length).count(_ == n)
+    assert(occurrences(body131, ".persist(") == 1 &&
+      occurrences(body131, ".unpersist()") == 1,
+      "q131 must cache its bigram frame once and release it before returning")
   }
 
   test("BPE training scales to 100 merges: flat plan depth, zero rescans") {

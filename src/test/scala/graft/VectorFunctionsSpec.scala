@@ -66,6 +66,46 @@ class VectorFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(0))
   }
 
+  /** The native SQ8-error kernel must be BIT-COMPATIBLE with the Scala
+    * UDF it replaced (q155's oracle was proven against that loop):
+    * same round-once micro-units, same max/truncating-mean, identical
+    * on both the interpreted and codegen paths. */
+  test("graft_sq8err equals the reference decode loop on both paths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def quantize(v: Array[Float]): (Double, Array[Byte]) = {
+      val ma = v.map(x => math.abs(x.toDouble)).max
+      val scale = 127.0 / ma
+      (scale, v.map(x => math.floor(x.toDouble * scale + 0.5).toByte))
+    }
+    def ref(emb: Array[Float], scale: Double, code: Array[Byte]): (Long, Long) = {
+      var maxu = 0L; var sumu = 0L; var i = 0
+      while (i < code.length) {
+        val e = math.abs(emb(i).toDouble - code(i).toDouble / scale)
+        val u = math.round(e * 1e6)
+        if (u > maxu) maxu = u
+        sumu += u; i += 1
+      }
+      (maxu, sumu / code.length)
+    }
+    val rows = Seq.fill(40)(Array.fill(64)(rnd.nextFloat() - 0.5f))
+      .map { v => val (s, c) = quantize(v); (v.toSeq, s, c) }
+    val df = rows.toDF("emb", "scale", "code")
+    VectorFunctions.register(spark)
+    def run(): Seq[(Long, Long)] =
+      df.select(call_function("graft_sq8err",
+          col("emb"), col("scale"), col("code")).as("e"))
+        .select(col("e").getItem(0), col("e").getItem(1)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = rows.map { case (v, s, c) => ref(v.toArray, s, c) }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val gen = run()
+    assert(interp == want, "interpreted path diverges from the UDF loop")
+    assert(gen == want, "codegen path diverges from the UDF loop")
+  }
+
   /** The native charfold must be BIT-COMPATIBLE with the HOF
     * formulation it replaced (`aggregate(transform(split(s, ''),
     * ascii), 0, (a,c)->(a*31+c)%p)`) — oracles were proven against

@@ -190,9 +190,14 @@ object Extended {
     * one node-keyed aggregation against that pinned frame — no
     * recursion, no driver loop over rows, and at 100 TB the edge frame
     * would be bucketed by item so every iteration's join is
-    * co-located. Items are the events' `props.k` payload; co-engaging
-    * the same user makes an (undirected, weight = co-engaging users)
-    * edge.
+    * co-located. The pins here are localCheckpoints — adjudicated for
+    * the iterative shape (recompute is exponential in iterations) —
+    * but NON-fault-tolerant; a real 1000-executor run moves the graph
+    * to a reliable checkpoint or a warehouse table (the bucketed edge
+    * table above IS that table) so a lost executor re-reads instead of
+    * killing the job. Items are the events' `props.k` payload;
+    * co-engaging the same user makes an (undirected, weight =
+    * co-engaging users) edge.
     *
     * Determinism (the q119/q145 integer discipline): ranks live in
     * PER-NODE micro-units — every node starts at 10⁶ and the jump

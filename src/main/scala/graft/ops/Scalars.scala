@@ -408,6 +408,76 @@ object Scalars {
       |FROM c JOIN o USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Session path mining (q176) — the 3-step SEQUENCE statistic under
+    * q166's pair matrix: the most common event-type trigrams WITHIN a
+    * session (q47's 30-minute-gap sessionization, the shared
+    * convention), i.e. the actual navigation paths a product or
+    * sequence-model curriculum is built from — a Markov pair table
+    * cannot distinguish view→click→buy from view→click→bounce; the
+    * trigram ranking can. Top-20 by (count, path).
+    *
+    * Scale shape: the q47 sessionize recipe (user-bounded windows —
+    * never global), then two lead() steps over (user, session)
+    * partitions, a |types|³-bounded keyed aggregation with map-side
+    * combine, and the distributed TakeOrdered top-20 + 20-row rank. */
+  def q176SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+    val w2 = Window.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sess
+      .withColumn("t2", lead(col("event_type"), 1).over(w2))
+      .withColumn("t3", lead(col("event_type"), 2).over(w2))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+    paths.orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))).cast("int"))
+      .select(col("rn"), col("t1"), col("t2"), col("t3"), col("n"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q176: the q47 sessionization CTEs verbatim, two
+    * LEADs over the same (user, session, ts, event_id) ordering,
+    * identical top-20 tiebreaks. */
+  val q176Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |flags AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |      OR ts > LAG(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+       |  FROM events_n
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM flags),
+       |tri AS (
+       |  SELECT event_type AS t1,
+       |    LEAD(event_type, 1) OVER w2 AS t2,
+       |    LEAD(event_type, 2) OVER w2 AS t3
+       |  FROM sess
+       |  WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)),
+       |p AS (
+       |  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3)
+       |    AS INTEGER) AS rn,
+       |  t1, t2, t3, n
+       |FROM p QUALIFY rn <= 20 ORDER BY rn""".stripMargin
+
   val q47Sql: String =
     s"""WITH ${Tables.eventsOracleCte},
        |flags AS (
@@ -487,6 +557,7 @@ object Scalars {
     "q166_transition_matrix" -> q166TransitionMatrix _,
     "q169_key_skew_audit" -> q169KeySkewAudit _,
     "q170_ingest_bursts" -> q170IngestBursts _,
+    "q176_session_paths" -> q176SessionPaths _,
     "q46_time_bucket"  -> q46TimeBucket _,
     "q47_sessionize"   -> q47Sessionize _,
     "q82_retention"    -> q82Retention _,
@@ -496,6 +567,7 @@ object Scalars {
     "q48_sliding_window" -> q48Sql,
     "q169_key_skew_audit" -> q169Sql,
     "q170_ingest_bursts" -> q170Sql,
+    "q176_session_paths" -> q176Sql,
     "q40_string_funcs" -> q40Sql,
     "q41_date_funcs"   -> q41Sql,
     "q42_math_funcs"   -> q42Sql,

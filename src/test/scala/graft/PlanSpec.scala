@@ -491,6 +491,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q167 may scan embeddings only for query + candidates, found $embScans:\n$plan")
   }
 
+  test("q175 source alignment folds the mean from the ledger artifact") {
+    // the per-source drill-down must read the SAME maintained ledger
+    // q167 serves from — never recompute the corpus mean per run — and
+    // touch parquet only for the embeddings payload + the source join
+    val plan = planOf(llm.Similarity.q175SourceAlignment(spark, sf))
+    assert(plan.contains("mean_stats"),
+      s"q175 must fold the persisted mean ledger:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2,
+      s"q175 may scan embeddings + documents only, found $scans:\n$plan")
+  }
+
   test("q154 mutual-kNN keeps the cell-join geometry: no corpus NLJ") {
     // the membership read and pair cover sit BEHIND the pinned edge
     // checkpoint (guardedCellPairs — its exact-cover geometry is

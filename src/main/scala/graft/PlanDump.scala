@@ -153,7 +153,19 @@ object PlanDump {
       "q147_doc_keywords" -> ("keywords as a MAINTAINED artifact " +
         "(r15): a read is the doc_keywords table plus an order — no " +
         "postings read, no df aggregate, no scoring window per read; " +
-        "the maintainers re-price exactly the docs each batch touches"))
+        "the maintainers re-price exactly the docs each batch touches"),
+      "q177_triangle_census" -> ("triangle counting the skew-safe way " +
+        "(r15): the wedge self-join on the center node rides the " +
+        "one-sided shard cover (no task holds a hub's full " +
+        "neighborhood square), closure is one ids-only equi-join back " +
+        "to the canonical edge list, and the card is TakeOrdered " +
+        "top-10 over dup-involved docs only"),
+      "q179_principal_direction" -> ("PCA power iteration the Spark " +
+        "way (r15): one map-only corpus pass hash-aggregates the d² " +
+        "fixed-point Gram with map-side combine (the shuffle carries " +
+        "4096 partials per task, never rows); the six unrolled " +
+        "iterations join the pinned d²-bounded matrix with a d-row " +
+        "vector frame — the corpus parquet appears exactly once"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -2050,7 +2050,61 @@ object Curation {
       |         ELSE 0 END) * 1.0 / cap, 6) AS fill6
       |FROM c, l ORDER BY source""".stripMargin
 
+  /** Exact-k weighted sample (q181) — Efraimidis–Spirakis priority
+    * sampling (Inf. Proc. Letters 2006): draw u_d once per doc, rank by
+    * u^(1/w) — equivalently by -ln(u)/w ascending — and keep the k
+    * best; each doc's inclusion probability is proportional to its
+    * weight (here its token count) WITHOUT replacement and WITHOUT a
+    * global pass over the weights, which is what separates it from
+    * q113's rejection sampling (expected rates, corpus-priced) and
+    * q150's deterministic budgets: this is the op that hands back
+    * EXACTLY k docs, length-weighted, reproducibly. Audit card: the
+    * per-source composition of the k = 100 selected docs.
+    *
+    * Determinism: u is the q68 LCG draw (never an engine hash);
+    * -ln(u) becomes the once-rounded micro-nat Lu =
+    * round(ln(2³¹/(u+1))·10⁶) (the q133/q137 ln convention — the +1
+    * keeps ln finite at u = 0), and the priority is the integer
+    * (Lu·10⁶) div w, tie-broken by doc_id.
+    *
+    * Scale shape: ONE map-only pass computes (weight, draw, priority);
+    * the k-best selection is a distributed TakeOrdered — no shuffle
+    * ever carries text — and the card is a |sources|-bounded fold over
+    * the k rows. */
+  def q181WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val sel = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(Tok.ws(col("text"))).cast("long").as("w"),
+        detHash(col("doc_id")).as("u"))
+      .withColumn("lu",
+        round(log(lit(2147483648.0) / (col("u") + 1)) * 1e6).cast("long"))
+      .withColumn("pri", expr("(cast(lu as decimal(20,0)) * 1000000) div w"))
+      .orderBy(col("pri"), col("doc_id")).limit(100)
+    sel.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q181: the q68 LCG draw, the same once-rounded
+    * micro-nat ln, HUGEINT priority, identical top-100 tiebreaks. */
+  val q181Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(${Tok.wsSql("text")}) AS BIGINT) AS w,
+      |    $sqlDetHash AS u
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, source, w,
+      |    CAST((CAST(CAST(ROUND(LN(2147483648.0 / (u + 1)) * 1000000.0)
+      |        AS BIGINT) AS HUGEINT) * 1000000) // w AS BIGINT) AS pri
+      |  FROM d),
+      |sel AS (SELECT * FROM k ORDER BY pri, doc_id LIMIT 100)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS tokens
+      |FROM sel GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_weighted_sample" -> q181WeightedSample _,
     "q150_budget_waterfill" -> q150BudgetWaterfill _,
     "q113_quality_sample" -> q113QualitySample _,
     "q135_budget_select" -> q135BudgetSelect _,
@@ -2074,6 +2128,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "q181_weighted_sample" -> q181Sql,
     "q150_budget_waterfill" -> q150Sql,
     "q113_quality_sample" -> q113Sql,
     "q135_budget_select" -> q135Sql,

@@ -1212,6 +1212,102 @@ object Dedup {
       |  ed.n_edges * 2 = m.n_members * (m.n_members - 1) AS is_clique
       |FROM m JOIN ed USING (cluster_rep) ORDER BY cluster_rep""".stripMargin
 
+  /** Near-dup triangle census (q177) — the per-NODE shape statistic
+    * under q172's per-cluster density: for each dup-involved document,
+    * its verified-pair degree, the number of triangles through it, and
+    * its local clustering coefficient cc_u = (2·tri·10⁶) div
+    * (deg·(deg−1)) (Watts & Strogatz 1998). A high-degree node with
+    * cc ≈ 1 sits in a clique (a template family — drop all but one);
+    * high degree with cc ≈ 0 is a STAR — a hub document that chains
+    * unrelated near-dups together, exactly the node whose removal
+    * splits a transitive-closure cluster, which q172's cluster-level
+    * density can only hint at. Top-10 by (triangles, degree, doc),
+    * with the corpus-wide triangle count as the headline column.
+    *
+    * Scale shape: edges are the memoized verified-pair artifact (ids
+    * only); the wedge build — the canonical per-key quadratic, a
+    * 10⁴-degree hub emits 10⁸ wedges on ONE key — rides
+    * [[graft.Skew.guardedKeyJoin]] on the center node, so no task holds
+    * a hub's full neighborhood square; closure is one equi-join back to
+    * the canonical (a<b) edge list, counts are keyed folds with
+    * map-side combine, and everything is bounded by dup-involved docs,
+    * never the corpus. */
+  def q177TriangleCensus(s: SparkSession, dir: String): DataFrame =
+    triangleCensusOver(verifiedPairsArtifact(s, dir)) // (doc_a < doc_b)
+
+  /** The q177 census over an EXPLICIT canonical edge list (doc_a <
+    * doc_b, distinct) — the seam GraphOpsSpec replays on random graphs
+    * the fixed corpus cannot shape (stars, cliques, chains). */
+  private[graft] def triangleCensusOver(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = pairs.select(col("doc_a").as("ctr"), col("doc_b").as("nb"))
+      .union(pairs.select(col("doc_b").as("ctr"), col("doc_a").as("nb")))
+    val deg = adj.groupBy(col("ctr")).agg(count(lit(1)).as("degree"))
+    // wedges (nb1 < nb2 once each) centered at ctr, hub-guarded; the
+    // cover's multiset equals the naive self-join's (DedupGuardSpec)
+    val wedges = graft.Skew.guardedKeyJoin(
+        adj.select(col("ctr"), col("nb").as("nb1")),
+        adj.select(col("ctr"), col("nb").as("nb2")),
+        "ctr", "nb1", "nb2")
+      .filter(col("nb1") < col("nb2"))
+    val tri = wedges
+      .join(pairs.select(col("doc_a").as("nb1"), col("doc_b").as("nb2")),
+        Seq("nb1", "nb2"))
+      .groupBy(col("ctr")).agg(count(lit(1)).as("triangles"))
+    // every triangle closes at each of its 3 centers exactly once; the
+    // fold stays integral (a double quotient would round past 2^53)
+    val total = tri.agg(expr(
+      "coalesce(sum(triangles), 0L) div 3").as("corpus_triangles"))
+    val card = deg.join(tri, Seq("ctr"), "left")
+      .select(col("ctr").as("doc_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_u",
+        when(col("degree") < 2, lit(0L)).otherwise(
+          expr("(cast(2 * triangles as decimal(20,0)) * 1000000) " +
+            "div (degree * (degree - 1))")))
+    card.orderBy(col("triangles").desc, col("degree").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(col("triangles").desc, col("degree").desc,
+          col("doc_id"))).cast("int"))
+      .crossJoin(broadcast(total)) // 1-row headline
+      .select(col("rn"), col("doc_id"), col("degree"), col("triangles"),
+        col("cc_u"), col("corpus_triangles"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q177: the q67 closure's `p` CTE as the verified
+    * edge list, the NAIVE wedge self-join (the cover's equivalence
+    * proof on real data, the q171 precedent), identical closure join,
+    * HUGEINT cc numerator, same top-10 tiebreaks. (lazy: [[ccCte]] is
+    * declared below.) */
+  lazy val q177Sql: String = ccCte +
+    """,
+      |adj AS (SELECT doc_a AS ctr, doc_b AS nb FROM p
+      |        UNION ALL SELECT doc_b AS ctr, doc_a AS nb FROM p),
+      |deg AS (SELECT ctr, CAST(COUNT(*) AS BIGINT) AS degree
+      |        FROM adj GROUP BY 1),
+      |wdg AS (SELECT a.ctr, a.nb AS nb1, b.nb AS nb2
+      |        FROM adj a JOIN adj b ON a.ctr = b.ctr AND a.nb < b.nb),
+      |tri AS (SELECT w.ctr, CAST(COUNT(*) AS BIGINT) AS triangles
+      |        FROM wdg w JOIN p ON p.doc_a = w.nb1 AND p.doc_b = w.nb2
+      |        GROUP BY 1),
+      |tot AS (SELECT CAST(COALESCE(SUM(triangles), 0) // 3 AS BIGINT)
+      |          AS corpus_triangles FROM tri),
+      |card AS (
+      |  SELECT d.ctr AS doc_id, d.degree,
+      |    COALESCE(t.triangles, 0) AS triangles,
+      |    CASE WHEN d.degree < 2 THEN 0
+      |      ELSE CAST((CAST(2 * COALESCE(t.triangles, 0) AS HUGEINT)
+      |        * 1000000) // (d.degree * (d.degree - 1)) AS BIGINT)
+      |    END AS cc_u
+      |  FROM deg d LEFT JOIN tri t ON t.ctr = d.ctr)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY triangles DESC,
+      |    degree DESC, doc_id) AS INTEGER) AS rn,
+      |  doc_id, degree, triangles, cc_u,
+      |  (SELECT corpus_triangles FROM tot) AS corpus_triangles
+      |FROM card QUALIFY rn <= 10 ORDER BY rn""".stripMargin
+
   /** DuckDB replay of q157: the q67 closure for labels (shared CTE),
     * singletons kept as their own clusters, identical folds. (lazy:
     * [[ccCte]] is declared below.) */
@@ -1238,6 +1334,7 @@ object Dedup {
     "q156_containment_curve" -> q156ContainmentCurve _,
     "q157_cluster_sizes" -> q157ClusterSizes _,
     "q172_cluster_density" -> q172ClusterDensity _,
+    "q177_triangle_census" -> q177TriangleCensus _,
     "q120_source_overlap" -> q120SourceOverlap _,
     "q97_substring_dedup" -> q97SubstringDedup _,
     "q98_strip_spans" -> q98StripSpans _,
@@ -1584,6 +1681,7 @@ object Dedup {
     "q156_containment_curve" -> q156Sql,
     "q157_cluster_sizes" -> q157Sql,
     "q172_cluster_density" -> q172Sql,
+    "q177_triangle_census" -> q177Sql,
     "q153_dedup_roi"    -> q153Sql,
     "q50_dedup_exact"   -> q50Sql,
     "q51_dedup_norm"    -> q51Sql,

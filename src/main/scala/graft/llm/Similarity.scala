@@ -1923,6 +1923,288 @@ object Similarity {
       |  CAST(ROUND(SUM(nrm_u) * 1.0 / COUNT(*)) AS BIGINT) AS norm_u
       |FROM f GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Top principal direction (q179) — the corpus's dominant PCA axis by
+    * power iteration over an exact-integer covariance matrix (the
+    * classical dominant-eigenvector recipe, Golub & Van Loan §7.3; von
+    * Mises iteration): the drill-down under q136's per-COORDINATE
+    * variance card, because the dominant direction of an embedding
+    * space is usually no single coordinate — its Rayleigh share of
+    * total variance is the honest anisotropy number, and its top
+    * loadings name the coordinates a whitening/ABTT pass (Mu & Viswanath
+    * 2018) would operate on. Per dim: the sign-canonical loading in
+    * micro-units, the covariance diagonal entry, and the direction's
+    * variance share; top-10 dims by |loading|.
+    *
+    * Determinism: components fix to q = round(x·2²⁴) (the MeanUnit
+    * recipe); Gram and mean sums are exact integers; the centered
+    * entries c_ij = (n·Σq_iq_j − m_i·m_j) div n² and each iteration's
+    * rescale (w·10⁶) div max|w| are truncating divisions — Spark `div`
+    * and DuckDB `//` both truncate toward ZERO, so the negative
+    * entries replay exactly. Six iterations unrolled (the q164/Lloyd's
+    * recipe), one extra multiply for the Rayleigh numerator; the
+    * sign convention (largest-|loading| dim positive) breaks the ±v
+    * eigenvector ambiguity identically on both engines.
+    *
+    * Scale shape: ONE map-only corpus pass explodes each vector into
+    * its d² fixed-point products and hash-aggregates with map-side
+    * combine — the shuffle carries d²-bounded partials per task, never
+    * rows; every iteration joins the pinned d²-bounded matrix with a
+    * d-row vector frame (driver-light, corpus-free). The d² explode is
+    * the dominant CPU term at scale; a fused Aggregator over raw
+    * arrays would shave that constant at the cost of the declarative,
+    * oracle-shareable shape this card keeps. */
+  def q179PrincipalDirection(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val U = AnnIndex.MeanUnit
+    val qe = Tables.embeddings(s, dir)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * lit(U)).cast("long")).as("q"))
+    val pairs = qe
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+    val g = pairs.groupBy(col("i"), col("j"))
+      .agg(sum(expr("cast(qi as decimal(19,0)) * qj")).as("g"),
+        sum(col("qi")).as("si"), count(lit(1)).as("n"))
+      .localCheckpoint() // d²-bounded; every derivation below re-reads it
+    // Σq_i rides the (i, j=0) groups — one fold serves Gram AND means
+    val m = g.filter(col("j") === 0).select(col("i"), col("si").as("m"))
+    val c = g
+      .join(m.select(col("i"), col("m").as("mi")), Seq("i"))
+      .join(m.select(col("i").as("j"), col("m").as("mj")), Seq("j"))
+      .withColumn("c", expr(
+        "(cast(n as decimal(38,0)) * g - cast(mi as decimal(38,0)) * mj)" +
+          " div (cast(n as decimal(38,0)) * n)"))
+      .select(col("i"), col("j"), col("c"))
+      .localCheckpoint() // the matrix all seven multiplies re-join
+    var v = m.select(col("i").as("j"), lit(1000000L).as("v_u"))
+      .localCheckpoint()
+    for (_ <- 1 to 6) {
+      val w = c.join(v, Seq("j")).groupBy(col("i"))
+        .agg(sum(expr("cast(c as decimal(38,0)) * v_u")).as("w"))
+      val mx = w.agg(expr("greatest(max(abs(w)), cast(1 as decimal(38,0)))")
+        .as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"), expr("(w * 1000000) div mx").as("v_u"))
+        .localCheckpoint() // d-bounded; two consumers per iteration
+    }
+    val w7 = c.join(v, Seq("j")).groupBy(col("i"))
+      .agg(sum(expr("cast(c as decimal(38,0)) * v_u")).as("w"))
+    val ray = v.select(col("j").as("i"), col("v_u")).join(w7, Seq("i"))
+      .agg(sum(expr("cast(v_u as decimal(38,0)) * w")).as("num"),
+        sum(expr("cast(v_u as decimal(19,0)) * v_u")).as("vv"))
+    val tr = c.filter(col("i") === col("j"))
+      .agg(sum(col("c").cast("decimal(38,0)")).as("trace"))
+    // both GREATEST guards are the degenerate-corpus (all-zero vectors)
+    // path: vv = 0 and trace = 0 would ANSI-throw on the division
+    val share = ray.crossJoin(tr).select(expr(
+      "(num * 1000000) div (greatest(vv, cast(1 as decimal(38,0))) " +
+        "* greatest(trace, cast(1 as decimal(38,0))))")
+      .as("share_u"))
+    val sgn = v.orderBy(abs(col("v_u")).desc, col("j")).limit(1)
+      .select(when(col("v_u") < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
+    val diag = c.filter(col("i") === col("j"))
+      .select(col("i").as("j"), col("c").as("cvar"))
+    v.join(diag, Seq("j"))
+      .crossJoin(broadcast(sgn)).crossJoin(broadcast(share))
+      .select(col("j").as("dim"), (col("v_u") * col("sgn")).as("loading_u"),
+        col("cvar"), col("share_u"))
+      .orderBy(abs(col("loading_u")).desc, col("dim")).limit(10)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(abs(col("loading_u")).desc, col("dim"))).cast("int"))
+      .select(col("rn"), col("dim"), col("loading_u"), col("cvar"),
+        col("share_u"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q179 END-TO-END: the same fixed-point Gram (the
+    * naive per-vector pair join), identical centered entries, the six
+    * iterations unrolled with HUGEINT products and `//`'s
+    * truncate-toward-zero (= Spark `div`), same sign canon and top-10
+    * tiebreaks. The chained CTEs are MATERIALIZED — each v references
+    * its w twice, so DuckDB's default inlining would re-derive the
+    * Gram join 2⁶ times. */
+  lazy val q179Sql: String = {
+    def iter(i: Int): String =
+      s"""w$i AS MATERIALIZED (
+        |  SELECT c.i, SUM(CAST(c.c AS HUGEINT) * v.v_u) AS w
+        |  FROM c JOIN v${i - 1} v ON v.j = c.j GROUP BY 1),
+        |v$i AS MATERIALIZED (
+        |  SELECT w.i AS j,
+        |    CAST((w.w * 1000000) //
+        |      (SELECT GREATEST(MAX(ABS(w)), 1) FROM w$i) AS BIGINT) AS v_u
+        |  FROM w$i w)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+      |           FROM embeddings),
+      |q AS MATERIALIZED (
+      |  SELECT vec_id, p.j AS j,
+      |    CAST(ROUND(p.x * 16777216.0) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, UNNEST(list_transform(range(1, len(ev) + 1),
+      |          i -> {'j': i - 1, 'x': ev[i]})) AS p FROM e)),
+      |g AS MATERIALIZED (
+      |  SELECT a.j AS i, b.j AS j, SUM(CAST(a.q AS HUGEINT) * b.q) AS g
+      |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+      |mn AS (SELECT j AS i, CAST(SUM(q) AS BIGINT) AS m, COUNT(*) AS n
+      |       FROM q GROUP BY 1),
+      |c AS MATERIALIZED (
+      |  SELECT g.i, g.j,
+      |    CAST((ma.n * g.g - CAST(ma.m AS HUGEINT) * mb.m)
+      |      // (CAST(ma.n AS HUGEINT) * ma.n) AS BIGINT) AS c
+      |  FROM g JOIN mn ma ON ma.i = g.i JOIN mn mb ON mb.i = g.j),
+      |v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v_u FROM mn),
+      |${iter(1)},
+      |${iter(2)},
+      |${iter(3)},
+      |${iter(4)},
+      |${iter(5)},
+      |${iter(6)},
+      |w7 AS (SELECT c.i, SUM(CAST(c.c AS HUGEINT) * v.v_u) AS w
+      |       FROM c JOIN v6 v ON v.j = c.j GROUP BY 1),
+      |ray AS (SELECT SUM(CAST(v.v_u AS HUGEINT) * w.w) AS num,
+      |               SUM(CAST(v.v_u AS HUGEINT) * v.v_u) AS vv
+      |        FROM v6 v JOIN w7 w ON w.i = v.j),
+      |tr AS (SELECT SUM(CAST(c AS HUGEINT)) AS trace FROM c WHERE i = j),
+      |sh AS (SELECT CAST((ray.num * 1000000)
+      |         // (GREATEST(ray.vv, 1) * GREATEST(tr.trace, 1))
+      |         AS BIGINT) AS share_u
+      |       FROM ray, tr),
+      |sg AS (SELECT CASE WHEN v_u < 0 THEN -1 ELSE 1 END AS sgn FROM v6
+      |       ORDER BY ABS(v_u) DESC, j LIMIT 1),
+      |card AS (
+      |  SELECT CAST(v.j AS INTEGER) AS dim,
+      |    CAST(v.v_u * sg.sgn AS BIGINT) AS loading_u, c.c AS cvar
+      |  FROM v6 v JOIN c ON c.i = v.j AND c.j = v.j, sg)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(loading_u) DESC, dim)
+      |    AS INTEGER) AS rn,
+      |  dim, loading_u, cvar, (SELECT share_u FROM sh) AS share_u
+      |FROM card QUALIFY rn <= 10 ORDER BY rn""".stripMargin
+  }
+
+  /** MMR diversified re-ranking (q182) — Maximal Marginal Relevance
+    * (Carbonell & Goldstein, SIGIR 1998), the greedy selection every
+    * RAG context assembler and dedup-aware retriever runs between
+    * search and serving: from each query's top-10 cosine candidates,
+    * pick 4 one at a time, each maximizing λ·rel − (1−λ)·max-sim-to-
+    * already-picked with λ = 0.7 — the knob that stops three copies of
+    * the same paragraph from filling the context window (q151 packs a
+    * budget; this picks for COVERAGE). Scores stay integral:
+    * mmr_u10 = 7·rel_u − 3·maxsim_u (micro-units ×10 — the division by
+    * 10 is dropped so ranking never rides a truncated value), the
+    * first pick's penalty term is 0 by convention, ties break by cid.
+    *
+    * Scale shape: candidates ride the q55 broadcast shape (50-row query
+    * side); the pairwise-sim frame is q·k²-bounded and pins with the
+    * candidate set; the four unrolled greedy steps are joins/windows
+    * over those bounded frames — per-query k is a constant, so no step
+    * touches the corpus or needs a skew guard. */
+  def q182MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    val cand = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) /
+        (col("qn") * col("cn")), 6))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= 10)
+      .select(col("qid"), col("cid"),
+        round(col("sim") * 1e6).cast("long").as("rel_u"),
+        col("cv"), col("cn"))
+      .localCheckpoint() // q·k-bounded
+    val ps = cand.select(col("qid"), col("cid").as("ca"),
+        col("cv").as("va"), col("cn").as("na"))
+      .join(cand.select(col("qid"), col("cid").as("cb"),
+        col("cv").as("vb"), col("cn").as("nb")), Seq("qid"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("qid"), col("ca"), col("cb"),
+        round(round(dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6) * 1e6).cast("long").as("s_u"))
+      .localCheckpoint() // q·k²-bounded
+    val ids = cand.select(col("qid"), col("cid"), col("rel_u"))
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("rel_u").desc, col("cid"))
+    var picks = ids.withColumn("r", row_number().over(w1))
+      .filter(col("r") === 1)
+      .select(col("qid"), col("cid"), col("rel_u"),
+        (col("rel_u") * 7).as("mmr_u10"), lit(1).as("rn"))
+      .localCheckpoint()
+    for (t <- 2 to 4) {
+      val sel = picks.select(col("qid"), col("cid"))
+      val scored = ids.join(sel, Seq("qid", "cid"), "left_anti")
+        .join(ps.withColumnRenamed("ca", "cid"), Seq("qid", "cid"))
+        .join(sel.withColumnRenamed("cid", "cb"), Seq("qid", "cb"))
+        .groupBy(col("qid"), col("cid"), col("rel_u"))
+        .agg(max(col("s_u")).as("ms"))
+        .withColumn("mmr_u10", col("rel_u") * 7 - col("ms") * 3)
+      val wt = Window.partitionBy(col("qid"))
+        .orderBy(col("mmr_u10").desc, col("cid"))
+      picks = picks.union(
+          scored.withColumn("r", row_number().over(wt))
+            .filter(col("r") === 1)
+            .select(col("qid"), col("cid"), col("rel_u"),
+              col("mmr_u10"), lit(t).as("rn")))
+        .localCheckpoint() // grows by ≤|queries| rows per step
+    }
+    picks.select(col("qid"), col("rn").cast("int").as("rn"), col("cid"),
+      col("rel_u"), col("mmr_u10"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** DuckDB replay of q182 END-TO-END: the q55 brute CTEs for the
+    * candidate sets, the same once-rounded micro-unit sims, and the
+    * four greedy steps unrolled (the q164/q179 recipe), identical
+    * tiebreaks. MATERIALIZED — each step references the previous
+    * selection twice. */
+  lazy val q182Sql: String = {
+    def step(t: Int): String =
+      s"""r$t AS MATERIALIZED (
+        |  SELECT c.qid, c.cid, c.rel_u,
+        |    c.rel_u * 7 - MAX(p.s_u) * 3 AS mmr_u10
+        |  FROM cand c
+        |  JOIN ps p ON p.qid = c.qid AND p.ca = c.cid
+        |  JOIN sel${t - 1} s ON s.qid = p.qid AND s.cid = p.cb
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+        |                    WHERE x.qid = c.qid AND x.cid = c.cid)
+        |  GROUP BY 1, 2, 3),
+        |s$t AS MATERIALIZED (
+        |  SELECT qid, cid, rel_u, mmr_u10, $t AS rn FROM r$t
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY mmr_u10 DESC, cid) = 1),
+        |sel$t AS MATERIALIZED (
+        |  SELECT qid, cid FROM sel${t - 1}
+        |  UNION ALL SELECT qid, cid FROM s$t)""".stripMargin
+    s"""WITH ${bruteSimsCtes("m")},
+      |cand AS MATERIALIZED (
+      |  SELECT qid, cid, CAST(ROUND(sim * 1000000) AS BIGINT) AS rel_u
+      |  FROM msims
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY sim DESC, cid) <= 10),
+      |ps AS MATERIALIZED (
+      |  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+      |    CAST(ROUND(ROUND(list_dot_product(va.cv, vb.cv) /
+      |      (SQRT(list_dot_product(va.cv, va.cv)) *
+      |       SQRT(list_dot_product(vb.cv, vb.cv))), 6) * 1000000)
+      |      AS BIGINT) AS s_u
+      |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+      |  JOIN mc va ON va.cid = a.cid JOIN mc vb ON vb.cid = b.cid),
+      |s1 AS MATERIALIZED (
+      |  SELECT qid, cid, rel_u, rel_u * 7 AS mmr_u10, 1 AS rn FROM cand
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY rel_u DESC, cid) = 1),
+      |sel1 AS MATERIALIZED (SELECT qid, cid FROM s1),
+      |${step(2)},
+      |${step(3)},
+      |${step(4)}
+      |SELECT qid, CAST(rn AS INTEGER) AS rn, cid, rel_u, mmr_u10
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      |ORDER BY qid, rn""".stripMargin
+  }
+
   /** IVF probe sweep (q148) — the nProbe tuning curve an index
     * operator reads before setting the recall/latency dial: recall@3
     * against the exact ground truth at every nProbe in 1..5, from ONE
@@ -2563,6 +2845,8 @@ object Similarity {
     "q173_recall_miss_attribution" -> q173RecallMissAttribution _,
     "q174_bitext_coverage" -> q174BitextCoverage _,
     "q175_source_alignment" -> q175SourceAlignment _,
+    "q179_principal_direction" -> q179PrincipalDirection _,
+    "q182_mmr_rerank" -> q182MmrRerank _,
     "q148_probe_sweep" -> q148ProbeSweep _,
     "q149_contrastive_triplets" -> q149ContrastiveTriplets _,
     "q152_sq8_recall" -> q152Sq8Recall _,
@@ -2939,6 +3223,8 @@ object Similarity {
     "q173_recall_miss_attribution" -> q173Sql,
     "q174_bitext_coverage" -> q174Sql,
     "q175_source_alignment" -> q175Sql,
+    "q179_principal_direction" -> q179Sql,
+    "q182_mmr_rerank" -> q182Sql,
     "q148_probe_sweep" -> q148Sql,
     "q149_contrastive_triplets" -> q149Sql,
     "q152_sq8_recall" -> q152Sql,

@@ -301,6 +301,98 @@ object Extended {
       |QUALIFY rn <= 10 ORDER BY rn""".stripMargin
   }
 
+  /** HITS hubs & authorities (q183) — Kleinberg's mutual-reinforcement
+    * scores (JACM 1999) run directly on the BIPARTITE user-item
+    * engagement graph, the shape q164's PageRank flattens away: an
+    * AUTHORITY is an item engaged by broad users (hubs), a HUB is a
+    * user who engages authoritative items — the two-sided ranking a
+    * recommender bootstrap or crawl scheduler starts from. Three
+    * mutual-reinforcement rounds (h = A·a then a = Aᵀ·h), each
+    * half-step rescaled to ≤10⁶ by its max (all values non-negative,
+    * so the truncating division is engine-identical); top-10 items by
+    * (authority, item) with the item's distinct-user degree.
+    *
+    * Scale shape: the q164/q171 ids-only distinct frame pins once;
+    * every half-step is one edge⋈score join + a keyed fold with
+    * map-side combine + a 1-row broadcast max — bounded by |users| and
+    * |items|, never re-touching the events source (the unrolled-
+    * iteration discipline, PlanSpec-gated for q164's family). */
+  def q183Hits(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = Tables.events(s, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull) // the q164 itemless-event convention
+      .distinct()
+      .localCheckpoint() // ids-only bipartite frame; 6 half-steps re-join it
+    var a = ui.select(col("item")).distinct()
+      .select(col("item"), lit(1000000L).as("a_u"))
+      .localCheckpoint()
+    var h: DataFrame = null
+    for (_ <- 1 to 3) {
+      val hRaw = ui.join(a, Seq("item"))
+        .groupBy(col("user_id")).agg(sum(col("a_u")).as("hr"))
+      val hMax = hRaw.agg(greatest(max(col("hr")), lit(1L)).as("hm"))
+      h = hRaw.crossJoin(broadcast(hMax))
+        .select(col("user_id"),
+          expr("(cast(hr as decimal(20,0)) * 1000000) div hm").as("h_u"))
+        .localCheckpoint()
+      val aRaw = ui.join(h, Seq("user_id"))
+        .groupBy(col("item")).agg(sum(col("h_u")).as("ar"))
+      val aMax = aRaw.agg(greatest(max(col("ar")), lit(1L)).as("am"))
+      a = aRaw.crossJoin(broadcast(aMax))
+        .select(col("item"),
+          expr("(cast(ar as decimal(20,0)) * 1000000) div am").as("a_u"))
+        .localCheckpoint()
+    }
+    val deg = ui.groupBy(col("item")).agg(count(lit(1)).as("n_users"))
+    a.join(deg, Seq("item"))
+      .orderBy(col("a_u").desc, col("item")).limit(10)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(col("a_u").desc, col("item"))).cast("int"))
+      .select(col("rn"), col("item"), col("a_u"), col("n_users"))
+      .orderBy(col("rn"))
+  }
+
+  /** DuckDB replay of q183: the q164 `ui` derivation, the three rounds
+    * unrolled with HUGEINT folds and the same max-rescale, identical
+    * top-10 tiebreaks. */
+  val q183Sql: String = {
+    def round(r: Int): String =
+      s"""hr$r AS MATERIALIZED (
+        |  SELECT ui.user_id, CAST(SUM(a.a_u) AS HUGEINT) AS raw
+        |  FROM ui JOIN a${r - 1} a USING (item) GROUP BY 1),
+        |h$r AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST((raw * 1000000) //
+        |      GREATEST((SELECT MAX(raw) FROM hr$r), 1) AS BIGINT) AS h_u
+        |  FROM hr$r),
+        |ar$r AS MATERIALIZED (
+        |  SELECT ui.item, CAST(SUM(h.h_u) AS HUGEINT) AS raw
+        |  FROM ui JOIN h$r h USING (user_id) GROUP BY 1),
+        |a$r AS MATERIALIZED (
+        |  SELECT item,
+        |    CAST((raw * 1000000) //
+        |      GREATEST((SELECT MAX(raw) FROM ar$r), 1) AS BIGINT) AS a_u
+        |  FROM ar$r)""".stripMargin
+    s"""WITH ui AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, item FROM (
+      |    SELECT user_id,
+      |      CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+      |    FROM events) WHERE item IS NOT NULL),
+      |a0 AS (SELECT DISTINCT item, CAST(1000000 AS BIGINT) AS a_u FROM ui),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)},
+      |deg AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_users
+      |        FROM ui GROUP BY 1)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY a.a_u DESC, a.item)
+      |    AS INTEGER) AS rn,
+      |  a.item, a.a_u, deg.n_users
+      |FROM a3 a JOIN deg USING (item)
+      |QUALIFY rn <= 10 ORDER BY rn""".stripMargin
+  }
+
   /** Co-engagement pair mining (q171) — the item-item co-occurrence
     * table every "users who engaged with X also engaged with Y"
     * recommender starts from (the swing/co-view statistic), and the
@@ -364,6 +456,7 @@ object Extended {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_item_pagerank" -> q164ItemPagerank _,
     "q171_copair_topk" -> q171CopairTopk _,
+    "q183_hits" -> q183Hits _,
     "q36_range_join"    -> q36RangeJoin _,
     "q35_decimal_agg"   -> q35Decimal _,
     "q14_explode_udtf"  -> q14Explode _,
@@ -377,6 +470,7 @@ object Extended {
   val oracle: Map[String, String] = Map(
     "q164_item_pagerank" -> q164Sql,
     "q171_copair_topk" -> q171Sql,
+    "q183_hits" -> q183Sql,
     "q36_range_join"    -> q36Sql,
     "q35_decimal_agg"   -> q35Sql,
     "q14_explode_udtf"  -> q14Sql,

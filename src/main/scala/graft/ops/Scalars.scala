@@ -545,8 +545,142 @@ object Scalars {
        |  ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
        |GROUP BY a.d ORDER BY a.d""".stripMargin
 
+  /** Last-touch attribution (q178) — the revenue-credit statistic every
+    * growth/ads pipeline computes from an event log: each `purchase`
+    * conversion credits its user's most recent PRECEDING touch event
+    * (`view`/`click`, by (ts, event_id) order) if that touch is within
+    * a 7-day window, else the `direct` channel (no touch, or a stale
+    * one). Per channel: conversions, exact revenue (the cents
+    * convention), and the conversion share in micro-units.
+    *
+    * Scale shape: ONE pass — a user-bounded window (never global)
+    * carries the last-touch (type, ts) forward via last(_, ignoreNulls)
+    * over strictly-preceding rows, the channel verdict is map-only, and
+    * the fold is |channels|-bounded with map-side combine; the share
+    * denominator rides a 1-row broadcast. */
+  def q178LastTouch(s: SparkSession, dir: String): DataFrame = {
+    val per = lastTouchConversions(s, dir).groupBy(col("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        sumMoney(col("value")).as("revenue"))
+      .localCheckpoint() // |channels|-bounded; share fold + card both read it
+    val tot = per.agg(sum(col("conversions")).as("tc"))
+    per.join(broadcast(tot))
+      .withColumn("share_u",
+        expr("(cast(conversions as decimal(20,0)) * 1000000) div tc"))
+      .select(col("channel"), col("conversions"), col("revenue"),
+        col("share_u"))
+      .orderBy(col("channel"))
+  }
+
+  /** Weekly cohort retention matrix (q180) — the standard
+    * product-analytics triangle q82's day-over-day card cannot express:
+    * users cohort by their FIRST active week, and cell (cohort, k)
+    * reports how many of them were active k weeks later, as an exact
+    * micro-unit share of the cohort. A column that decays faster for
+    * younger cohorts is the churn regression every growth review looks
+    * for.
+    *
+    * Scale shape: one distinct (user, week) pass, a user-keyed min for
+    * the cohort, one user-keyed join back (never a week×week
+    * self-join), and a (cohort, offset)-keyed fold with map-side
+    * combine; the matrix is bounded by weeks² — the time span, never
+    * the corpus. The bounded matrix pins so the offset-0 base join
+    * doesn't re-run the corpus pass. */
+  def q180CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    val per = act.join(first, Seq("user_id"))
+      .withColumn("week_offset",
+        expr("datediff(wk, cohort) div 7").cast("int"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .localCheckpoint() // weeks²-bounded; base join + card both read it
+    val base = per.filter(col("week_offset") === 0)
+      .select(col("cohort"), col("n_active").as("n_cohort"))
+    per.join(base, Seq("cohort"))
+      .withColumn("retained_u",
+        expr("(cast(n_active as decimal(20,0)) * 1000000) div n_cohort"))
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        col("n_cohort"), col("retained_u"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  /** DuckDB replay of q180: the same distinct week activity, MIN
+    * cohort, day-diff // 7 offsets, HUGEINT share numerator. */
+  val q180Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+       |        FROM events_n),
+       |f AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY 1),
+       |per AS (
+       |  SELECT f.cohort,
+       |    CAST(date_diff('day', f.cohort, a.wk) // 7 AS INTEGER)
+       |      AS week_offset,
+       |    CAST(COUNT(*) AS BIGINT) AS n_active
+       |  FROM act a JOIN f USING (user_id) GROUP BY 1, 2),
+       |b AS (SELECT cohort, n_active AS n_cohort FROM per
+       |      WHERE week_offset = 0)
+       |SELECT per.cohort, per.week_offset, per.n_active, b.n_cohort,
+       |  CAST((CAST(per.n_active AS HUGEINT) * 1000000) // b.n_cohort
+       |    AS BIGINT) AS retained_u
+       |FROM per JOIN b USING (cohort)
+       |ORDER BY cohort, week_offset""".stripMargin
+
+  /** q178's one corpus pass: each purchase with its channel verdict —
+    * the seam PlanSpec gates for the user-bounded window shape. */
+  private[graft] def lastTouchConversions(s: SparkSession,
+                                          dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("view", "click"),
+      col("event_type"))
+    val touchTs = when(col("event_type").isin("view", "click"), col("ts"))
+    Tables.events(s, dir)
+      .withColumn("t_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("t_ts", last(touchTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("t_ts").isNull ||
+          col("ts") > col("t_ts") + expr("INTERVAL 7 DAYS"), lit("direct"))
+          .otherwise(col("t_type")))
+  }
+
+  /** DuckDB replay of q178: LAST_VALUE(.. IGNORE NULLS) over the same
+    * strictly-preceding user-bounded frame, identical 7-day staleness
+    * verdict, cents-exact revenue, HUGEINT share numerator. */
+  val q178Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |tt AS (
+       |  SELECT *,
+       |    LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+       |        THEN event_type END IGNORE NULLS) OVER w AS t_type,
+       |    LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+       |        THEN ts END IGNORE NULLS) OVER w AS t_ts
+       |  FROM events_n
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |conv AS (
+       |  SELECT CASE WHEN t_ts IS NULL
+       |      OR ts > t_ts + INTERVAL '7 days' THEN 'direct'
+       |      ELSE t_type END AS channel, value
+       |  FROM tt WHERE event_type = 'purchase'),
+       |per AS (
+       |  SELECT channel, CAST(COUNT(*) AS BIGINT) AS conversions,
+       |    ${Exact.sqlSumMoney("value")} AS revenue
+       |  FROM conv GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(conversions) AS BIGINT) AS tc FROM per)
+       |SELECT channel, conversions, revenue,
+       |  CAST((CAST(conversions AS HUGEINT) * 1000000) // tot.tc AS BIGINT)
+       |    AS share_u
+       |FROM per, tot ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_sliding_window" -> q48SlidingWindow _,
+    "q178_last_touch" -> q178LastTouch _,
+    "q180_cohort_retention" -> q180CohortRetention _,
     "q40_string_funcs" -> q40String _,
     "q41_date_funcs"   -> q41Date _,
     "q42_math_funcs"   -> q42Math _,
@@ -565,6 +699,8 @@ object Scalars {
 
   val oracle: Map[String, String] = Map(
     "q48_sliding_window" -> q48Sql,
+    "q178_last_touch" -> q178Sql,
+    "q180_cohort_retention" -> q180Sql,
     "q169_key_skew_audit" -> q169Sql,
     "q170_ingest_bursts" -> q170Sql,
     "q176_session_paths" -> q176Sql,

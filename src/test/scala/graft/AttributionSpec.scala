@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** q178's last-touch attribution on hand-built event timelines pinning
+  * every branch of the channel verdict: fresh touch credited, stale
+  * touch (> 7 days) → direct, no touch at all → direct, later touches
+  * override earlier ones, touches AFTER the purchase never count, and
+  * same-timestamp ordering resolves by event_id. The DuckDB oracle
+  * checks the same pipeline on the driver's corpora; this spec checks
+  * the SEMANTICS on timelines the corpus may not contain. */
+class AttributionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val T0 = 1700000000000L // anchor epoch millis
+  private val Day = 86400000L
+
+  private def run(rows: Seq[(Long, Long, Long, String, Double)])
+      : Map[String, (Long, Double, Long)] = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-attr").toString
+    rows.map { case (id, tsOff, u, typ, v) =>
+      (id, new java.sql.Timestamp(T0 + tsOff), u, typ, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    ops.Scalars.q178LastTouch(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+  }
+
+  test("fresh touch credited; stale and absent touches go direct") {
+    val got = run(Seq(
+      // user 1: click 2 days before purchase → credited to click
+      (0L, 0L, 1L, "click", 0.0),
+      (1L, 2 * Day, 1L, "purchase", 10.00),
+      // user 2: view 8 days before purchase → stale → direct
+      (2L, 0L, 2L, "view", 0.0),
+      (3L, 8 * Day, 2L, "purchase", 5.50),
+      // user 3: purchase with no touch at all → direct
+      (4L, Day, 3L, "purchase", 2.25)))
+    assert(got == Map(
+      "click" -> ((1L, 10.00, 333333L)),
+      "direct" -> ((2L, 7.75, 666666L))), got.toString)
+  }
+
+  test("the LAST preceding touch wins; later touches never count") {
+    val got = run(Seq(
+      (0L, 0L, 1L, "view", 0.0),
+      (1L, Day, 1L, "click", 0.0), // overrides the view
+      (2L, 2 * Day, 1L, "purchase", 4.00),
+      (3L, 3 * Day, 1L, "view", 0.0), // after the purchase: ignored
+      // errors and signups are not touch types
+      (4L, 0L, 2L, "error", 0.0),
+      (5L, Day, 2L, "purchase", 1.00)))
+    assert(got == Map(
+      "click" -> ((1L, 4.00, 500000L)),
+      "direct" -> ((1L, 1.00, 500000L))), got.toString)
+  }
+
+  test("same-timestamp touch/purchase resolves by event_id order") {
+    // touch and purchase share ts: the touch's event_id is LOWER, so it
+    // precedes the purchase in the (ts, event_id) frame and is credited;
+    // flip the ids and it follows the purchase — direct
+    val credited = run(Seq(
+      (0L, Day, 1L, "view", 0.0), (1L, Day, 1L, "purchase", 3.00)))
+    assert(credited == Map("view" -> ((1L, 3.00, 1000000L))),
+      credited.toString)
+    val direct = run(Seq(
+      (1L, Day, 1L, "view", 0.0), (0L, Day, 1L, "purchase", 3.00)))
+    assert(direct == Map("direct" -> ((1L, 3.00, 1000000L))),
+      direct.toString)
+  }
+
+  test("q180 cohort matrix on a hand-built two-cohort timeline") {
+    import spark.implicits._
+    // week W0 cohort: users 1,2,3 (3 active); user 1 returns in W1 and
+    // W2, user 2 in W1 — W1 retention 2/3, W2 retention 1/3. Week W1
+    // cohort: user 4 only, never returns — a 1-row cohort at offset 0.
+    // 1700438400000 = 2023-11-20 (a Monday), so week boundaries are
+    // unambiguous on both engines
+    val W = 7 * Day
+    val rows = Seq(
+      (0L, 0L, 1L), (1L, Day, 2L), (2L, 2 * Day, 3L), // W0 cohort
+      (3L, W + Day, 1L), (4L, W + 2 * Day, 2L),       // W1 returns
+      (5L, 2 * W + Day, 1L),                          // W2 return
+      (6L, W + 3 * Day, 4L))                          // W1 cohort
+    val d = Files.createTempDirectory("graft-cohort").toString
+    rows.map { case (id, off, u) =>
+      (id, new java.sql.Timestamp(1700438400000L + off), u,
+        "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = ops.Scalars.q180CohortRetention(spark, d).collect()
+      .map { r =>
+        val cohortMs = r.get(0) match {
+          case t: java.sql.Timestamp => t.getTime
+          case l: java.time.LocalDateTime =>
+            l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+        (cohortMs, r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toSeq
+    val w0 = 1700438400000L
+    assert(got == Seq(
+      (w0, 0, 3L, 3L, 1000000L),
+      (w0, 1, 2L, 3L, 666666L),
+      (w0, 2, 1L, 3L, 333333L),
+      (w0 + W, 0, 1L, 1L, 1000000L)), got.toString)
+  }
+
+  test("exactly-7-days touch is still inside the window") {
+    val got = run(Seq(
+      (0L, 0L, 1L, "click", 0.0),
+      (1L, 7 * Day, 1L, "purchase", 9.99)))
+    assert(got == Map("click" -> ((1L, 9.99, 1000000L))), got.toString)
+  }
+}

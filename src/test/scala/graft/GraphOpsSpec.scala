@@ -69,6 +69,103 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** The q177 census replayed with plain Scala collections: naive
+    * adjacency sets, naive wedge closure, the same truncating cc
+    * division and (triangles, degree, doc) tiebreaks. */
+  private def refTriangles(edges: Seq[(Long, Long)])
+      : Seq[(Int, Long, Long, Long, Long, Long)] = {
+    val es = edges.map { case (a, b) => (a min b, a max b) }.distinct
+    val eset = es.toSet
+    val nb = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val tri = nb.map { case (v, ns) =>
+      val sorted = ns.toSeq.sorted
+      v -> (for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        if eset((sorted(i), sorted(j)))
+      } yield 1).size.toLong
+    }
+    val total = tri.values.sum / 3
+    nb.toSeq.map { case (v, ns) =>
+      val d = ns.size.toLong
+      val t = tri(v)
+      val cc =
+        if (d < 2) BigInt(0) else BigInt(2) * t * 1000000 / (d * (d - 1))
+      (v, d, t, cc.toLong)
+    }.sortBy { case (v, d, t, _) => (-t, -d, v) }.take(10).zipWithIndex
+      .map { case ((v, d, t, cc), k) => (k + 1, v, d, t, cc, total) }
+  }
+
+  test("q177 census equals a driver-side replay on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      // ~40 random edges over 12 nodes (dense enough for triangles),
+      // plus a guaranteed star (hub 100 chained to three leaves that
+      // don't interconnect: degree high, cc 0) and a clean clique
+      val base = Seq.fill(40) {
+        val a = rnd.nextInt(12).toLong; val b = rnd.nextInt(12).toLong
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      val star = Seq((100L, 101L), (100L, 102L), (100L, 103L))
+      val clique = for {
+        a <- 200L to 203L; b <- (a + 1) to 203L
+      } yield (a, b)
+      val edges = (base ++ star ++ clique)
+        .map { case (a, b) => (a min b, a max b) }.distinct
+      val got = llm.Dedup.triangleCensusOver(
+          edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got == refTriangles(edges), s"seed $seed: $got")
+    }
+  }
+
+  /** The q183 arithmetic replayed with BigInt (truncating division,
+    * max-rescale each half-step, the same tiebreaks). */
+  private def refHits(ui: Seq[(Long, Long)]): Seq[(Int, Long, Long, Long)] = {
+    val pairs = ui.distinct
+    val items = pairs.map(_._2).distinct
+    val users = pairs.map(_._1).distinct
+    var a = items.map(_ -> BigInt(1000000)).toMap
+    var h = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      val hRaw = users.map(u => u ->
+        pairs.filter(_._1 == u).map(p => a(p._2)).sum).toMap
+      val hm = hRaw.values.max.max(BigInt(1))
+      h = hRaw.map { case (u, r) => u -> r * 1000000 / hm }
+      val aRaw = items.map(i => i ->
+        pairs.filter(_._2 == i).map(p => h(p._1)).sum).toMap
+      val am = aRaw.values.max.max(BigInt(1))
+      a = aRaw.map { case (i, r) => i -> r * 1000000 / am }
+    }
+    val deg = items.map(i => i -> pairs.count(_._2 == i).toLong).toMap
+    items.map(i => (i, a(i).toLong, deg(i)))
+      .sortBy { case (i, au, _) => (-au, i) }.take(10).zipWithIndex
+      .map { case ((i, au, d), k) => (k + 1, i, au, d) }
+  }
+
+  test("q183 HITS equals a driver-side replay on random bipartite graphs") {
+    import spark.implicits._
+    for (seed <- Seq(2, 13, 42)) {
+      val rnd = new scala.util.Random(seed)
+      // 35 engagements over 6 users × 9 items, plus a single-edge user
+      // so a degree-1 hub and its authority exercise the rescale floor
+      val ui = Seq.fill(35)((rnd.nextInt(6).toLong + 1,
+        rnd.nextInt(9).toLong + 1)) :+ (88L, 77L)
+      val d = Files.createTempDirectory(s"graft-hits-$seed").toString
+      ui.zipWithIndex.map { case ((u, item), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), u,
+          "view", 1.0, s"""{"k": $item}""")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$d/events.parquet")
+      val got = ops.Extended.q183Hits(spark, d).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == refHits(ui), s"seed $seed: $got vs ${refHits(ui)}")
+    }
+  }
+
   test("q164/q165 exclude events whose props carry no item") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -541,6 +541,78 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q164 top-10 must be a distributed TakeOrdered:\n$plan")
   }
 
+  test("q177 triangle census runs over the pinned pair artifact only") {
+    // wedges, closure, degrees, and the headline total all derive from
+    // the pinned verified-pair frame — a corpus rescan (or worse, a
+    // re-run of the MinHash pipeline) per consumer is the shape that
+    // dies at scale; the card itself is a distributed TakeOrdered
+    val plan = planOf(llm.Dedup.q177TriangleCensus(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"q177 must read only the pinned pair artifact:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q177 top-10 must be a distributed TakeOrdered:\n$plan")
+  }
+
+  test("q178 attribution carries the touch in ONE user-bounded window") {
+    // one events scan, one window pass partitioned by user — a global
+    // window (or a per-purchase self-join back to the touches) is the
+    // shape that dies at scale
+    // the |channels|-bounded aggregate pins, so the executed card plan
+    // derives from it and the events parquet is scanned exactly once —
+    // at CONSTRUCTION, not per consumer
+    val plan = planOf(ops.Scalars.q178LastTouch(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"q178 consumers read the pinned channel aggregate:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no self-join back to the touches:\n$plan")
+    // the one corpus pass itself: user-bounded window, single scan
+    val passPlan = planOf(ops.Scalars.lastTouchConversions(spark, sf))
+    assert("Scan parquet".r.findAllIn(passPlan).size == 1,
+      s"the conversion pass reads events exactly once:\n$passPlan")
+    assert(passPlan.contains("windowspecdefinition(user_id"),
+      s"the touch window must be user-bounded, never global:\n$passPlan")
+  }
+
+  test("q179 iterations re-join the pinned Gram, corpus scanned once") {
+    // the d²-bounded Gram pins at construction (ONE map-only corpus
+    // pass); all six unrolled power iterations, the Rayleigh fold, and
+    // the card must derive from pinned frames — the executed plan may
+    // not touch the embeddings parquet at all
+    val plan = planOf(llm.Similarity.q179PrincipalDirection(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"q179 must read only the pinned Gram/vector frames:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q179 top-10 must be a distributed TakeOrdered:\n$plan")
+  }
+
+  test("q182 MMR steps re-join the pinned candidate frames only") {
+    // candidates and the q·k²-bounded pairwise-sim frame pin once; the
+    // four greedy steps (joins + per-query windows) and the final order
+    // must not touch the embeddings parquet again
+    val plan = planOf(llm.Similarity.q182MmrRerank(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"q182 steps must read only the pinned frames:\n$plan")
+  }
+
+  test("q183 HITS half-steps re-join the pinned bipartite frame only") {
+    val plan = planOf(ops.Extended.q183Hits(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"q183 must read only the pinned ids-only frames:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q183 top-10 must be a distributed TakeOrdered:\n$plan")
+  }
+
+  test("q181 weighted sample is one map-only pass + TakeOrdered") {
+    // the E-S selection: one documents scan computes (weight, draw,
+    // priority); the k-best cut must be a distributed TakeOrdered — a
+    // global sort (or a second corpus pass) is the shape that dies
+    val plan = planOf(llm.Curation.q181WeightedSample(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"q181 is one pass over documents:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q181's top-100 must be a distributed TakeOrdered:\n$plan")
+  }
+
   test("q147 doc keywords serve from the maintained artifact table") {
     // the r13/r14 verdict ask: keywords are index-MAINTAINED, not just
     // index-served — a read is the doc_keywords table plus an order,

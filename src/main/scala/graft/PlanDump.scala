@@ -165,7 +165,14 @@ object PlanDump {
         "fixed-point Gram with map-side combine (the shuffle carries " +
         "4096 partials per task, never rows); the six unrolled " +
         "iterations join the pinned d²-bounded matrix with a d-row " +
-        "vector frame — the corpus parquet appears exactly once"))
+        "vector frame — the corpus parquet appears exactly once, at " +
+        "artifact build (memoized: q184's deflated pass rides it)"),
+      "q182_mmr_rerank" -> ("greedy selection the Spark way (r15): " +
+        "candidates ride the q55 broadcast shape, the q·k²-bounded " +
+        "pairwise-sim frame pins once, and the four unrolled MMR " +
+        "steps are anti-join + max-fold + per-query rank-1 windows " +
+        "over those pinned frames — integral scores, zero corpus " +
+        "rescans"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

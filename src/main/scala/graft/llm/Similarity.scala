@@ -1955,45 +1955,9 @@ object Similarity {
     * oracle-shareable shape this card keeps. */
   def q179PrincipalDirection(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val U = AnnIndex.MeanUnit
-    val qe = Tables.embeddings(s, dir)
-      .select(transform(col("embedding"),
-        x => round(x.cast("double") * lit(U)).cast("long")).as("q"))
-    val pairs = qe
-      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
-      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
-    val g = pairs.groupBy(col("i"), col("j"))
-      .agg(sum(expr("cast(qi as decimal(19,0)) * qj")).as("g"),
-        sum(col("qi")).as("si"), count(lit(1)).as("n"))
-      .localCheckpoint() // d²-bounded; every derivation below re-reads it
-    // Σq_i rides the (i, j=0) groups — one fold serves Gram AND means
-    val m = g.filter(col("j") === 0).select(col("i"), col("si").as("m"))
-    val c = g
-      .join(m.select(col("i"), col("m").as("mi")), Seq("i"))
-      .join(m.select(col("i").as("j"), col("m").as("mj")), Seq("j"))
-      .withColumn("c", expr(
-        "(cast(n as decimal(38,0)) * g - cast(mi as decimal(38,0)) * mj)" +
-          " div (cast(n as decimal(38,0)) * n)"))
-      .select(col("i"), col("j"), col("c"))
-      .localCheckpoint() // the matrix all seven multiplies re-join
-    var v = m.select(col("i").as("j"), lit(1000000L).as("v_u"))
-      .localCheckpoint()
-    for (_ <- 1 to 6) {
-      val w = c.join(v, Seq("j")).groupBy(col("i"))
-        .agg(sum(expr("cast(c as decimal(38,0)) * v_u")).as("w"))
-      val mx = w.agg(expr("greatest(max(abs(w)), cast(1 as decimal(38,0)))")
-        .as("mx"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("i").as("j"), expr("(w * 1000000) div mx").as("v_u"))
-        .localCheckpoint() // d-bounded; two consumers per iteration
-    }
-    val w7 = c.join(v, Seq("j")).groupBy(col("i"))
-      .agg(sum(expr("cast(c as decimal(38,0)) * v_u")).as("w"))
-    val ray = v.select(col("j").as("i"), col("v_u")).join(w7, Seq("i"))
-      .agg(sum(expr("cast(v_u as decimal(38,0)) * w")).as("num"),
-        sum(expr("cast(v_u as decimal(19,0)) * v_u")).as("vv"))
-    val tr = c.filter(col("i") === col("j"))
-      .agg(sum(col("c").cast("decimal(38,0)")).as("trace"))
+    val c = centeredGram(s, dir)
+    val v = powerIterate(c)
+    val (ray, tr) = rayleigh(c, v)
     // both GREATEST guards are the degenerate-corpus (all-zero vectors)
     // path: vv = 0 and trace = 0 would ANSI-throw on the division
     val share = ray.crossJoin(tr).select(expr(
@@ -2016,6 +1980,120 @@ object Similarity {
       .orderBy(col("rn"))
   }
 
+  private val gramArtifact = new graft.SessionMemo[DataFrame]
+
+  /** The d²-bounded centered fixed-point covariance matrix (i, j, c) —
+    * q179's ONE map-only corpus pass, memoized per (session, corpus)
+    * so q184's deflated second pass rides the same build. */
+  private def centeredGram(s: SparkSession, dir: String): DataFrame =
+    gramArtifact.getOrBuild(s, dir) {
+      val U = AnnIndex.MeanUnit
+      val qe = Tables.embeddings(s, dir)
+        .select(transform(col("embedding"),
+          x => round(x.cast("double") * lit(U)).cast("long")).as("q"))
+      val pairs = qe
+        .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+        .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      val g = pairs.groupBy(col("i"), col("j"))
+        .agg(sum(expr("cast(qi as decimal(19,0)) * qj")).as("g"),
+          sum(col("qi")).as("si"), count(lit(1)).as("n"))
+        .localCheckpoint() // d²-bounded; every derivation below re-reads it
+      // Σq_i rides the (i, j=0) groups — one fold serves Gram AND means
+      val m = g.filter(col("j") === 0).select(col("i"), col("si").as("m"))
+      g.join(m.select(col("i"), col("m").as("mi")), Seq("i"))
+        .join(m.select(col("i").as("j"), col("m").as("mj")), Seq("j"))
+        .withColumn("c", expr(
+          "(cast(n as decimal(38,0)) * g - cast(mi as decimal(38,0)) * mj)" +
+            " div (cast(n as decimal(38,0)) * n)"))
+        .select(col("i"), col("j"), col("c"))
+        .localCheckpoint() // the matrix all seven multiplies re-join
+    }
+
+  /** Six unrolled integer power iterations over a pinned (i, j, c)
+    * matrix frame: v0 = 10⁶, each step rescales by max|w| with the
+    * truncate-toward-zero division both engines share. */
+  private def powerIterate(c: DataFrame): DataFrame = {
+    var v = c.filter(col("j") === 0)
+      .select(col("i").as("j"), lit(1000000L).as("v_u"))
+      .localCheckpoint()
+    for (_ <- 1 to 6) {
+      val w = c.join(v, Seq("j")).groupBy(col("i"))
+        .agg(sum(expr("cast(c as decimal(38,0)) * v_u")).as("w"))
+      val mx = w.agg(expr("greatest(max(abs(w)), cast(1 as decimal(38,0)))")
+        .as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"), expr("(w * 1000000) div mx").as("v_u"))
+        .localCheckpoint() // d-bounded; two consumers per iteration
+    }
+    v
+  }
+
+  /** One extra multiply for the Rayleigh quotient pieces: (num, vv) and
+    * the trace of `c` — the share_u ingredients. */
+  private def rayleigh(c: DataFrame, v: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val w7 = c.join(v, Seq("j")).groupBy(col("i"))
+      .agg(sum(expr("cast(c as decimal(38,0)) * v_u")).as("w"))
+    val ray = v.select(col("j").as("i"), col("v_u")).join(w7, Seq("i"))
+      .agg(sum(expr("cast(v_u as decimal(38,0)) * w")).as("num"),
+        sum(expr("cast(v_u as decimal(19,0)) * v_u")).as("vv"))
+    val tr = c.filter(col("i") === col("j"))
+      .agg(sum(col("c").cast("decimal(38,0)")).as("trace"))
+    (ray, tr)
+  }
+
+  /** Second principal component (q184) — one Hotelling deflation step
+    * then the q179 power iteration re-run: c₂ = c − (v₁v₁ᵀ·λ₁) div 10¹²
+    * with λ₁ = num div vv from q179's Rayleigh pieces (all truncating
+    * integer arithmetic, so both engines replay the deflation exactly;
+    * the residual non-orthogonality from truncation is O(1) micro-units
+    * and identical on both sides). Together with q179 this names the
+    * TOP-2 subspace — the two directions an ABTT/whitening pass removes
+    * first (Mu & Viswanath 2018) — and `cum_share_u` says whether two
+    * directions already explain the space (a rank-collapse warning) or
+    * the spectrum is flat. Top-10 dims by |loading2|.
+    *
+    * Scale shape: the centered Gram is the memoized q179 artifact (one
+    * corpus pass per session serves both cards); deflation and the six
+    * iterations are joins over d²-bounded pinned frames. */
+  def q184SecondDirection(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = centeredGram(s, dir)
+    val v1 = powerIterate(c)
+    val (ray1, tr) = rayleigh(c, v1)
+    val lam = ray1.select(expr(
+      "num div greatest(vv, cast(1 as decimal(38,0)))").as("lam"))
+    val c2 = c
+      .join(v1.select(col("j").as("i"), col("v_u").as("vi")), Seq("i"))
+      .join(v1.select(col("j"), col("v_u").as("vj")), Seq("j"))
+      .crossJoin(broadcast(lam))
+      .withColumn("c", col("c") - expr(
+        "(cast(vi as decimal(38,0)) * vj * lam) div 1000000000000"))
+      .select(col("i"), col("j"), col("c"))
+      .localCheckpoint() // d²-bounded deflated matrix
+    val v2 = powerIterate(c2)
+    val (ray2, _) = rayleigh(c2, v2)
+    val share1 = ray1.crossJoin(tr).select(expr(
+      "(num * 1000000) div (greatest(vv, cast(1 as decimal(38,0))) " +
+        "* greatest(trace, cast(1 as decimal(38,0))))").as("share1_u"))
+    val share2 = ray2.crossJoin(tr).select(expr(
+      "(num * 1000000) div (greatest(vv, cast(1 as decimal(38,0))) " +
+        "* greatest(trace, cast(1 as decimal(38,0))))").as("share2_u"))
+    val sgn = v2.orderBy(abs(col("v_u")).desc, col("j")).limit(1)
+      .select(when(col("v_u") < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
+    v2.crossJoin(broadcast(sgn))
+      .crossJoin(broadcast(share1)).crossJoin(broadcast(share2))
+      .select(col("j").as("dim"), (col("v_u") * col("sgn")).as("loading2_u"),
+        col("share1_u"), col("share2_u"),
+        (col("share1_u") + col("share2_u")).as("cum_share_u"))
+      .orderBy(abs(col("loading2_u")).desc, col("dim")).limit(10)
+      .withColumn("rn", row_number().over(Window
+        .orderBy(abs(col("loading2_u")).desc, col("dim"))).cast("int"))
+      .select(col("rn"), col("dim"), col("loading2_u"), col("share1_u"),
+        col("share2_u"), col("cum_share_u"))
+      .orderBy(col("rn"))
+  }
+
   /** DuckDB replay of q179 END-TO-END: the same fixed-point Gram (the
     * naive per-vector pair join), identical centered entries, the six
     * iterations unrolled with HUGEINT products and `//`'s
@@ -2023,17 +2101,24 @@ object Similarity {
     * tiebreaks. The chained CTEs are MATERIALIZED — each v references
     * its w twice, so DuckDB's default inlining would re-derive the
     * Gram join 2⁶ times. */
-  lazy val q179Sql: String = {
-    def iter(i: Int): String =
-      s"""w$i AS MATERIALIZED (
-        |  SELECT c.i, SUM(CAST(c.c AS HUGEINT) * v.v_u) AS w
-        |  FROM c JOIN v${i - 1} v ON v.j = c.j GROUP BY 1),
-        |v$i AS MATERIALIZED (
-        |  SELECT w.i AS j,
-        |    CAST((w.w * 1000000) //
-        |      (SELECT GREATEST(MAX(ABS(w)), 1) FROM w$i) AS BIGINT) AS v_u
-        |  FROM w$i w)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  /** One unrolled power-iteration step over matrix CTE `mat`, vector
+    * CTEs `${pfx}v*` — shared by q179's and q184's oracles. */
+  private def spectralIterSql(mat: String, pfx: String, i: Int): String =
+    s"""${pfx}w$i AS MATERIALIZED (
+      |  SELECT c.i, SUM(CAST(c.c AS HUGEINT) * v.v_u) AS w
+      |  FROM $mat c JOIN ${pfx}v${i - 1} v ON v.j = c.j GROUP BY 1),
+      |${pfx}v$i AS MATERIALIZED (
+      |  SELECT w.i AS j,
+      |    CAST((w.w * 1000000) //
+      |      (SELECT GREATEST(MAX(ABS(w)), 1) FROM ${pfx}w$i) AS BIGINT)
+      |      AS v_u
+      |  FROM ${pfx}w$i w)""".stripMargin
+
+  /** The shared spectral CTE block: fixed-point Gram, centered matrix
+    * `c`, the six first-component iterations (ends at `v6`), and the
+    * Rayleigh pieces `ray`/`tr`. */
+  private lazy val spectralBaseSql: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
       |           FROM embeddings),
       |q AS MATERIALIZED (
       |  SELECT vec_id, p.j AS j,
@@ -2051,18 +2136,17 @@ object Similarity {
       |      // (CAST(ma.n AS HUGEINT) * ma.n) AS BIGINT) AS c
       |  FROM g JOIN mn ma ON ma.i = g.i JOIN mn mb ON mb.i = g.j),
       |v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v_u FROM mn),
-      |${iter(1)},
-      |${iter(2)},
-      |${iter(3)},
-      |${iter(4)},
-      |${iter(5)},
-      |${iter(6)},
+      |${(1 to 6).map(spectralIterSql("c", "", _)).mkString(",\n")},
       |w7 AS (SELECT c.i, SUM(CAST(c.c AS HUGEINT) * v.v_u) AS w
       |       FROM c JOIN v6 v ON v.j = c.j GROUP BY 1),
       |ray AS (SELECT SUM(CAST(v.v_u AS HUGEINT) * w.w) AS num,
       |               SUM(CAST(v.v_u AS HUGEINT) * v.v_u) AS vv
       |        FROM v6 v JOIN w7 w ON w.i = v.j),
-      |tr AS (SELECT SUM(CAST(c AS HUGEINT)) AS trace FROM c WHERE i = j),
+      |tr AS (SELECT SUM(CAST(c AS HUGEINT)) AS trace FROM c WHERE i = j)"""
+      .stripMargin
+
+  lazy val q179Sql: String =
+    s"""WITH $spectralBaseSql,
       |sh AS (SELECT CAST((ray.num * 1000000)
       |         // (GREATEST(ray.vv, 1) * GREATEST(tr.trace, 1))
       |         AS BIGINT) AS share_u
@@ -2077,7 +2161,47 @@ object Similarity {
       |    AS INTEGER) AS rn,
       |  dim, loading_u, cvar, (SELECT share_u FROM sh) AS share_u
       |FROM card QUALIFY rn <= 10 ORDER BY rn""".stripMargin
-  }
+
+  /** DuckDB replay of q184 END-TO-END: the shared spectral block, the
+    * integer Hotelling deflation, and the six second-component
+    * iterations re-run on the deflated matrix. */
+  lazy val q184Sql: String =
+    s"""WITH $spectralBaseSql,
+      |lam AS (SELECT ray.num // GREATEST(ray.vv, 1) AS lam FROM ray),
+      |c2 AS MATERIALIZED (
+      |  SELECT c.i, c.j,
+      |    CAST(c.c - (CAST(vi.v_u AS HUGEINT) * vj.v_u * lam.lam)
+      |      // 1000000000000 AS BIGINT) AS c
+      |  FROM c JOIN v6 vi ON vi.j = c.i JOIN v6 vj ON vj.j = c.j, lam),
+      |bv0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v_u FROM mn),
+      |${(1 to 6).map(spectralIterSql("c2", "b", _)).mkString(",\n")},
+      |b7 AS (SELECT c.i, SUM(CAST(c.c AS HUGEINT) * v.v_u) AS w
+      |       FROM c2 c JOIN bv6 v ON v.j = c.j GROUP BY 1),
+      |ray2 AS (SELECT SUM(CAST(v.v_u AS HUGEINT) * w.w) AS num,
+      |                SUM(CAST(v.v_u AS HUGEINT) * v.v_u) AS vv
+      |         FROM bv6 v JOIN b7 w ON w.i = v.j),
+      |sh1 AS (SELECT CAST((ray.num * 1000000)
+      |          // (GREATEST(ray.vv, 1) * GREATEST(tr.trace, 1))
+      |          AS BIGINT) AS share1_u
+      |        FROM ray, tr),
+      |sh2 AS (SELECT CAST((ray2.num * 1000000)
+      |          // (GREATEST(ray2.vv, 1) * GREATEST(tr.trace, 1))
+      |          AS BIGINT) AS share2_u
+      |        FROM ray2, tr),
+      |sg AS (SELECT CASE WHEN v_u < 0 THEN -1 ELSE 1 END AS sgn FROM bv6
+      |       ORDER BY ABS(v_u) DESC, j LIMIT 1),
+      |card AS (
+      |  SELECT CAST(v.j AS INTEGER) AS dim,
+      |    CAST(v.v_u * sg.sgn AS BIGINT) AS loading2_u
+      |  FROM bv6 v, sg)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(loading2_u) DESC, dim)
+      |    AS INTEGER) AS rn,
+      |  dim, loading2_u,
+      |  (SELECT share1_u FROM sh1) AS share1_u,
+      |  (SELECT share2_u FROM sh2) AS share2_u,
+      |  (SELECT share1_u FROM sh1) + (SELECT share2_u FROM sh2)
+      |    AS cum_share_u
+      |FROM card QUALIFY rn <= 10 ORDER BY rn""".stripMargin
 
   /** MMR diversified re-ranking (q182) — Maximal Marginal Relevance
     * (Carbonell & Goldstein, SIGIR 1998), the greedy selection every
@@ -2847,6 +2971,7 @@ object Similarity {
     "q175_source_alignment" -> q175SourceAlignment _,
     "q179_principal_direction" -> q179PrincipalDirection _,
     "q182_mmr_rerank" -> q182MmrRerank _,
+    "q184_second_direction" -> q184SecondDirection _,
     "q148_probe_sweep" -> q148ProbeSweep _,
     "q149_contrastive_triplets" -> q149ContrastiveTriplets _,
     "q152_sq8_recall" -> q152Sq8Recall _,
@@ -3225,6 +3350,7 @@ object Similarity {
     "q175_source_alignment" -> q175Sql,
     "q179_principal_direction" -> q179Sql,
     "q182_mmr_rerank" -> q182Sql,
+    "q184_second_direction" -> q184Sql,
     "q148_probe_sweep" -> q148Sql,
     "q149_contrastive_triplets" -> q149Sql,
     "q152_sq8_recall" -> q152Sql,

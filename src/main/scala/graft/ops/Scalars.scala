@@ -628,6 +628,132 @@ object Scalars {
        |FROM per JOIN b USING (cohort)
        |ORDER BY cohort, week_offset""".stripMargin
 
+  /** Session quality card (q185) — per ENTRY event type (the event that
+    * OPENED the session under q47's 30-minute convention): session
+    * count, bounce share (1-event sessions, the classic engagement
+    * alarm), mean duration in seconds, and mean events per session —
+    * the landing-page quality table product analytics reads next to
+    * q176's path mining. Means are truncating integer divisions and the
+    * shares micro-units, so both engines agree bit-for-bit.
+    *
+    * Scale shape: the q47 sessionize pass (user-bounded windows), a
+    * (user, session) fold whose entry type rides the new_sess opener
+    * flag (exactly one per session — no second window), then an
+    * |entry-types|-bounded fold with map-side combine. */
+  def q185SessionQuality(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("dur_s"),
+        max(when(col("new_sess") === 1, col("event_type"))).as("entry_type"))
+    sess.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("dur_s")).as("sum_dur"),
+        sum(col("n_events")).as("sum_events"))
+      .select(col("entry_type"), col("n_sessions"),
+        expr("(cast(n_bounce as decimal(20,0)) * 1000000) div n_sessions")
+          .as("bounce_u"),
+        expr("sum_dur div n_sessions").as("mean_dur_s"),
+        expr("(cast(sum_events as decimal(20,0)) * 1000000) div n_sessions")
+          .as("mean_events_u"))
+      .orderBy(col("entry_type"))
+  }
+
+  /** DuckDB replay of q185: the q47 session CTEs verbatim, the same
+    * opener-flag entry type, identical truncating folds. */
+  val q185Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |flags AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |      OR ts > LAG(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0
+       |    END AS new_sess
+       |  FROM events_n
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, event_id, event_type, new_sess,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM flags),
+       |per AS (
+       |  SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_s,
+       |    MAX(CASE WHEN new_sess = 1 THEN event_type END) AS entry_type
+       |  FROM sess GROUP BY 1, 2)
+       |SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST((CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+       |      AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT) AS bounce_u,
+       |  CAST(SUM(dur_s) // COUNT(*) AS BIGINT) AS mean_dur_s,
+       |  CAST((CAST(SUM(n_events) AS HUGEINT) * 1000000) // COUNT(*)
+       |    AS BIGINT) AS mean_events_u
+       |FROM per GROUP BY 1 ORDER BY entry_type""".stripMargin
+
+  /** Inter-arrival burstiness card (q186) — per event type, the gap
+    * statistics of each user's (ts, event_id)-ordered timeline: gap
+    * count, truncating mean gap in seconds, and the squared coefficient
+    * of variation cv2_u = ((n·Σg² − (Σg)²)·10⁶) div (Σg)² in
+    * micro-units — the Poisson dial (cv² ≈ 1 memoryless, ≫ 1 bursty
+    * bot/retry signatures, ≪ 1 metronome schedulers; Goh & Barabási
+    * 2008). The variance numerator is the q179 cross-multiplication
+    * trick, so the whole card is exact integer arithmetic.
+    *
+    * Scale shape: one lag() window over (user, type)-bounded partitions
+    * (never global), then a |types|-bounded fold with map-side combine;
+    * second moments ride DECIMAL sums (a gap² already passes int64 at
+    * ~9.7e9-second gaps). */
+  def q186Burstiness(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sg"),
+        sum(expr("cast(gap_s as decimal(19,0)) * gap_s")).as("sq"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("sg div n_gaps").as("mean_gap_s"),
+        expr("((cast(n_gaps as decimal(38,0)) * sq - " +
+          "cast(sg as decimal(38,0)) * sg) * 1000000) div " +
+          "greatest(cast(sg as decimal(38,0)) * sg, cast(1 as decimal(38,0)))")
+          .as("cv2_u"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB replay of q186: the same (user, type)-bounded LAG gaps,
+    * HUGEINT moments, identical truncating divisions. */
+  val q186Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |g AS (
+       |  SELECT event_type,
+       |    CAST(date_diff('second', LAG(ts) OVER w, ts) AS BIGINT) AS gap_s
+       |  FROM events_n
+       |  WINDOW w AS (PARTITION BY user_id, event_type
+       |    ORDER BY ts, event_id)),
+       |per AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       |    CAST(SUM(gap_s) AS BIGINT) AS sg,
+       |    SUM(CAST(gap_s AS HUGEINT) * gap_s) AS sq
+       |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+       |SELECT event_type, n_gaps,
+       |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+       |  CAST(((CAST(n_gaps AS HUGEINT) * sq
+       |      - CAST(sg AS HUGEINT) * sg) * 1000000)
+       |    // GREATEST(CAST(sg AS HUGEINT) * sg, 1) AS BIGINT) AS cv2_u
+       |FROM per ORDER BY event_type""".stripMargin
+
   /** q178's one corpus pass: each purchase with its channel verdict —
     * the seam PlanSpec gates for the user-bounded window shape. */
   private[graft] def lastTouchConversions(s: SparkSession,
@@ -681,6 +807,8 @@ object Scalars {
     "q48_sliding_window" -> q48SlidingWindow _,
     "q178_last_touch" -> q178LastTouch _,
     "q180_cohort_retention" -> q180CohortRetention _,
+    "q185_session_quality" -> q185SessionQuality _,
+    "q186_burstiness" -> q186Burstiness _,
     "q40_string_funcs" -> q40String _,
     "q41_date_funcs"   -> q41Date _,
     "q42_math_funcs"   -> q42Math _,
@@ -701,6 +829,8 @@ object Scalars {
     "q48_sliding_window" -> q48Sql,
     "q178_last_touch" -> q178Sql,
     "q180_cohort_retention" -> q180Sql,
+    "q185_session_quality" -> q185Sql,
+    "q186_burstiness" -> q186Sql,
     "q169_key_skew_audit" -> q169Sql,
     "q170_ingest_bursts" -> q170Sql,
     "q176_session_paths" -> q176Sql,

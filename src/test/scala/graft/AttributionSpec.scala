@@ -118,6 +118,54 @@ class AttributionSpec extends AnyFunSuite with BeforeAndAfterAll {
       (w0 + W, 0, 1L, 1L, 1000000L)), got.toString)
   }
 
+  test("q185 session card on hand-built sessions (bounce, duration, entry)") {
+    import spark.implicits._
+    val M = 60000L
+    // user 1: a 3-event session entered via 'view' (duration 10 min),
+    // then after a >30-min gap a 1-event 'click' bounce; user 2: a
+    // 2-event session entered via 'view' (duration 5 min)
+    val rows = Seq(
+      (0L, 0L, 1L, "view"), (1L, 5 * M, 1L, "click"),
+      (2L, 10 * M, 1L, "purchase"),
+      (3L, 60 * M, 1L, "click"),
+      (4L, 0L, 2L, "view"), (5L, 5 * M, 2L, "view"))
+    val d = Files.createTempDirectory("graft-sessq").toString
+    rows.map { case (id, off, u, typ) =>
+      (id, new java.sql.Timestamp(T0 + off), u, typ, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = ops.Scalars.q185SessionQuality(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      // two view-entered sessions: durations 600 s and 300 s → mean
+      // 450 s; (3 + 2) events div 2 sessions = 2500000 micro-events
+      "view" -> ((2L, 0L, 450L, 2500000L)),
+      // one click-entered bounce: 1 event, duration 0
+      "click" -> ((1L, 1000000L, 0L, 1000000L))), got.toString)
+  }
+
+  test("q186 burstiness card: exact mean and cv² on planted gaps") {
+    import spark.implicits._
+    // user 1 'view' gaps: 100 s and 300 s → n=2, mean 200, cv² =
+    // (2·(100²+300²) − 400²)·10⁶ / 400² = 250000; user 2 'click'
+    // metronome gaps 50/50 → cv² = 0
+    val rows = Seq(
+      (0L, 0L, 1L, "view"), (1L, 100L, 1L, "view"), (2L, 400L, 1L, "view"),
+      (3L, 0L, 2L, "click"), (4L, 50L, 2L, "click"), (5L, 100L, 2L, "click"))
+    val d = Files.createTempDirectory("graft-burst").toString
+    rows.map { case (id, offS, u, typ) =>
+      (id, new java.sql.Timestamp(T0 + offS * 1000L), u, typ, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = ops.Scalars.q186Burstiness(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "view" -> ((2L, 200L, 250000L)),
+      "click" -> ((2L, 50L, 0L))), got.toString)
+  }
+
   test("exactly-7-days touch is still inside the window") {
     val got = run(Seq(
       (0L, 0L, 1L, "click", 0.0),

@@ -613,6 +613,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q181's top-100 must be a distributed TakeOrdered:\n$plan")
   }
 
+  test("q184 deflation re-joins the memoized Gram artifact only") {
+    // the centered Gram memoizes per (session, corpus): q184's
+    // deflation + second iteration must ride the pinned d²-bounded
+    // frames, never a second corpus pass
+    val plan = planOf(llm.Similarity.q184SecondDirection(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"q184 must read only the pinned Gram/vector frames:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q184 top-10 must be a distributed TakeOrdered:\n$plan")
+  }
+
+  test("q185/q186 event cards: one scan, user-bounded windows only") {
+    for ((name, df) <- Seq(
+        "q185" -> ops.Scalars.q185SessionQuality(spark, sf),
+        "q186" -> ops.Scalars.q186Burstiness(spark, sf))) {
+      val plan = planOf(df)
+      assert("Scan parquet".r.findAllIn(plan).size == 1,
+        s"$name is one pass over events:\n$plan")
+      assert(plan.contains("windowspecdefinition(user_id"),
+        s"$name windows must be user-bounded, never global:\n$plan")
+    }
+  }
+
   test("q147 doc keywords serve from the maintained artifact table") {
     // the r13/r14 verdict ask: keywords are index-MAINTAINED, not just
     // index-served — a read is the doc_keywords table plus an order,

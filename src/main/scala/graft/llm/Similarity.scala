@@ -1956,7 +1956,7 @@ object Similarity {
   def q179PrincipalDirection(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = centeredGram(s, dir)
-    val v = powerIterate(c)
+    val v = topDirection(s, dir)
     val (ray, tr) = rayleigh(c, v)
     // both GREATEST guards are the degenerate-corpus (all-zero vectors)
     // path: vv = 0 and trace = 0 would ANSI-throw on the division
@@ -1981,6 +1981,15 @@ object Similarity {
   }
 
   private val gramArtifact = new graft.SessionMemo[DataFrame]
+  private val topDirArtifact = new graft.SessionMemo[DataFrame]
+
+  /** The first component's converged vector — memoized next to the Gram
+    * so q184's deflation doesn't re-run q179's six iterations (the
+    * iterations are d-bounded joins, but each eager pin is a scheduler
+    * round-trip; one build per session serves both cards). */
+  private def topDirection(s: SparkSession, dir: String): DataFrame =
+    topDirArtifact.getOrBuild(s, dir)(
+      powerIterate(centeredGram(s, dir)).localCheckpoint())
 
   /** The d²-bounded centered fixed-point covariance matrix (i, j, c) —
     * q179's ONE map-only corpus pass, memoized per (session, corpus)
@@ -2059,7 +2068,7 @@ object Similarity {
   def q184SecondDirection(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = centeredGram(s, dir)
-    val v1 = powerIterate(c)
+    val v1 = topDirection(s, dir)
     val (ray1, tr) = rayleigh(c, v1)
     val lam = ray1.select(expr(
       "num div greatest(vv, cast(1 as decimal(38,0)))").as("lam"))

@@ -754,6 +754,127 @@ object Scalars {
        |    // GREATEST(CAST(sg AS HUGEINT) * sg, 1) AS BIGINT) AS cv2_u
        |FROM per ORDER BY event_type""".stripMargin
 
+  /** Conversion-lag percentiles (q187) — per attributed channel, the
+    * touch-to-purchase latency distribution (n, exact p50, exact p90 in
+    * seconds, percentile_disc convention: the smallest value whose
+    * cumulative count reaches ceil(n·p)) — the "how long does a click
+    * take to convert" table that prices attribution windows (q178's
+    * 7-day cutoff is exactly the dial this card tunes). Direct
+    * conversions carry no touch and are excluded by definition.
+    *
+    * Scale shape: rides q178's one-pass conversion seam, then computes
+    * EXACT percentiles without ever sorting the conversions: lags fold
+    * to a (channel, lag_s) histogram — VALUE-BOUNDED at 604 800 rows
+    * per channel by the 7-day window — and the cumulative walk + pick
+    * run over that bounded frame (the q119 vocab-bounded discipline;
+    * a per-channel row sort would funnel the corpus through
+    * |channels| partitions). */
+  def q187ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val lags = lastTouchConversions(s, dir)
+      .filter(col("channel") =!= "direct")
+      .select(col("channel"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("t_ts")))
+          .as("lag_s"))
+    val hist = lags.groupBy(col("channel"), col("lag_s"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // value-bounded (≤ 604 800 lags per channel);
+                         // the cumulative walk AND the totals read it
+    val w = Window.partitionBy(col("channel")).orderBy(col("lag_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = hist.groupBy(col("channel")).agg(sum(col("cnt")).as("n"))
+    cum.join(tot, Seq("channel"))
+      .groupBy(col("channel"))
+      .agg(min(col("n")).as("n_conversions"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("lag_s")))
+          .as("p50_s"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("lag_s")))
+          .as("p90_s"))
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB replay of q187: the q178 touch CTEs, the same value-bounded
+    * histogram walk and ceil-position picks. */
+  val q187Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |tt AS (
+       |  SELECT *,
+       |    LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+       |        THEN event_type END IGNORE NULLS) OVER w AS t_type,
+       |    LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+       |        THEN ts END IGNORE NULLS) OVER w AS t_ts
+       |  FROM events_n
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |lag_rows AS (
+       |  SELECT t_type AS channel,
+       |    CAST(date_diff('second', t_ts, ts) AS BIGINT) AS lag_s
+       |  FROM tt
+       |  WHERE event_type = 'purchase' AND t_ts IS NOT NULL
+       |    AND ts <= t_ts + INTERVAL '7 days'),
+       |hist AS (
+       |  SELECT channel, lag_s, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM lag_rows GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT channel, lag_s, cnt,
+       |    SUM(cnt) OVER (PARTITION BY channel ORDER BY lag_s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist),
+       |tot AS (SELECT channel, CAST(SUM(cnt) AS BIGINT) AS n
+       |        FROM hist GROUP BY 1)
+       |SELECT c.channel, MIN(t.n) AS n_conversions,
+       |  MIN(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.lag_s END) AS p50_s,
+       |  MIN(CASE WHEN c.cum >= (9 * t.n + 9) // 10 THEN c.lag_s END)
+       |    AS p90_s
+       |FROM cum c JOIN tot t USING (channel)
+       |GROUP BY 1 ORDER BY channel""".stripMargin
+
+  /** Type×hour engagement profile (q188) — for every (event type, hour
+    * of day) cell: the event count and its LIFT against independence,
+    * lift_u = (n_th·N·10⁶) div (n_t·n_h) — the seasonality fingerprint
+    * (errors clustering at 03:00 are a batch job; purchases peaking at
+    * 20:00 are humans) that q170's per-hour burst card cannot
+    * attribute to a type. Exact micro-units; 24·|types|-bounded.
+    *
+    * Scale shape: one map-only hour projection, a (type, hour)-keyed
+    * fold with map-side combine, margins derived FROM the bounded cell
+    * frame (never a second corpus pass), broadcast joins. */
+  def q188TypeHourProfile(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 24·|types|-bounded; margins derive from it
+    val byType = cells.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    val byHour = cells.groupBy(col("hr")).agg(sum(col("n")).as("nh"))
+    val total = cells.agg(sum(col("n")).as("nn"))
+    cells.join(broadcast(byType), Seq("event_type"))
+      .join(broadcast(byHour), Seq("hr"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_u",
+        expr("(cast(n as decimal(38,0)) * nn * 1000000) div (nt * nh)"))
+      .select(col("event_type"), col("hr"), col("n"), col("lift_u"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  /** DuckDB replay of q188: identical cell fold, margins from the same
+    * cell frame, HUGEINT lift numerator. */
+  val q188Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |cells AS (
+       |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events_n GROUP BY 1, 2),
+       |bt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt
+       |       FROM cells GROUP BY 1),
+       |bh AS (SELECT hr, CAST(SUM(n) AS BIGINT) AS nh FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells)
+       |SELECT c.event_type, c.hr, c.n,
+       |  CAST((CAST(c.n AS HUGEINT) * tot.nn * 1000000)
+       |    // (CAST(bt.nt AS HUGEINT) * bh.nh) AS BIGINT) AS lift_u
+       |FROM cells c JOIN bt USING (event_type) JOIN bh USING (hr), tot
+       |ORDER BY event_type, hr""".stripMargin
+
   /** q178's one corpus pass: each purchase with its channel verdict —
     * the seam PlanSpec gates for the user-bounded window shape. */
   private[graft] def lastTouchConversions(s: SparkSession,
@@ -809,6 +930,8 @@ object Scalars {
     "q180_cohort_retention" -> q180CohortRetention _,
     "q185_session_quality" -> q185SessionQuality _,
     "q186_burstiness" -> q186Burstiness _,
+    "q187_conversion_lag" -> q187ConversionLag _,
+    "q188_typehour_profile" -> q188TypeHourProfile _,
     "q40_string_funcs" -> q40String _,
     "q41_date_funcs"   -> q41Date _,
     "q42_math_funcs"   -> q42Math _,
@@ -831,6 +954,8 @@ object Scalars {
     "q180_cohort_retention" -> q180Sql,
     "q185_session_quality" -> q185Sql,
     "q186_burstiness" -> q186Sql,
+    "q187_conversion_lag" -> q187Sql,
+    "q188_typehour_profile" -> q188Sql,
     "q169_key_skew_audit" -> q169Sql,
     "q170_ingest_bursts" -> q170Sql,
     "q176_session_paths" -> q176Sql,

@@ -166,6 +166,56 @@ class AttributionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "click" -> ((2L, 50L, 0L))), got.toString)
   }
 
+  test("q187 percentile picks follow the ceil(n·p) disc convention") {
+    import spark.implicits._
+    // channel 'view': 4 conversions with lags 10/20/30/40 s → p50 at
+    // position ceil(2) = 2 → 20 s, p90 at ceil(3.6) = 4 → 40 s; a
+    // stale view conversion and a direct one must not enter the lags
+    val rows = Seq(
+      (0L, 0L, 1L, "view"), (1L, 10L, 1L, "purchase"),
+      (2L, 1000L, 2L, "view"), (3L, 1020L, 2L, "purchase"),
+      (4L, 2000L, 3L, "view"), (5L, 2030L, 3L, "purchase"),
+      (6L, 3000L, 4L, "view"), (7L, 3040L, 4L, "purchase"),
+      // stale: touch 8 days before the purchase → direct, no lag row
+      (8L, 0L, 5L, "view"), (9L, 8L * 24 * 3600, 5L, "purchase"),
+      // no touch at all → direct, no lag row
+      (10L, 50L, 6L, "purchase"))
+    val d = Files.createTempDirectory("graft-lag").toString
+    rows.map { case (id, offS, u, typ) =>
+      (id, new java.sql.Timestamp(T0 + offS * 1000L), u, typ, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = ops.Scalars.q187ConversionLag(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(("view", 4L, 20L, 40L)), got.toString)
+  }
+
+  test("q188 lift separates a planted nocturnal type from a uniform one") {
+    import spark.implicits._
+    val H = 3600000L
+    // 'error' fires only in hour 3 (×4); 'view' spreads over hours
+    // 3/9/15/21 — error@3 lift = (4·8·10⁶)/(4·5) = 1600000, view@3 =
+    // (1·8·10⁶)/(4·5) = 400000, view@9 = (1·8·10⁶)/(4·1) = 2000000
+    val rows = Seq((0L, 3L, "error"), (1L, 3L, "error"), (2L, 3L, "error"),
+      (3L, 3L, "error"), (4L, 3L, "view"), (5L, 9L, "view"),
+      (6L, 15L, "view"), (7L, 21L, "view"))
+    val d = Files.createTempDirectory("graft-hourly").toString
+    rows.map { case (id, hr, typ) =>
+      // T0 = 2023-11-14 22:13:20 UTC; anchor to the NEXT midnight so
+      // the planted hour-of-day survives the epoch offset
+      (id, new java.sql.Timestamp(1700006400000L + hr * H), 1L + id, typ,
+        1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = ops.Scalars.q188TypeHourProfile(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("error", 3)) == ((4L, 1600000L)), got.toString)
+    assert(got(("view", 3)) == ((1L, 400000L)), got.toString)
+    assert(got(("view", 9)) == ((1L, 2000000L)), got.toString)
+  }
+
   test("exactly-7-days touch is still inside the window") {
     val got = run(Seq(
       (0L, 0L, 1L, "click", 0.0),

@@ -636,6 +636,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q187/q188: one corpus pass, bounded-frame derivations") {
+    // q187's cumulative walk runs over the value-bounded lag histogram
+    // (one events scan total — never a per-channel sort of raw
+    // conversions); q188's margins derive from the pinned 24·|types|
+    // cell frame (zero rescans in the executed plan)
+    val p187 = planOf(ops.Scalars.q187ConversionLag(spark, sf))
+    assert(!p187.contains("Scan parquet"),
+      s"q187 derivations read the pinned lag histogram:\n$p187")
+    val p188 = planOf(ops.Scalars.q188TypeHourProfile(spark, sf))
+    assert(!p188.contains("Scan parquet"),
+      s"q188 margins must derive from the pinned cell frame:\n$p188")
+  }
+
   test("q147 doc keywords serve from the maintained artifact table") {
     // the r13/r14 verdict ask: keywords are index-MAINTAINED, not just
     // index-served — a read is the doc_keywords table plus an order,

@@ -372,7 +372,92 @@ object Streaming {
     """SELECT user_id, COUNT(*) AS n_high FROM events
       |WHERE value >= 250.0 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  case class AttrEvent(event_id: Long, ts: java.sql.Timestamp,
+                       user_id: Long, event_type: String, value: Double)
+  case class TouchState(tType: String, tUs: Long)
+
+  /** Epoch MICROseconds — Timestamp.getTime floors to millis, which
+    * could flip an exactly-at-boundary 7-day verdict vs the batch
+    * oracle's microsecond interval arithmetic. */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  case class Conversion(user_id: Long, event_id: Long, channel: String,
+                        value: Double)
+
+  /** Streaming last-touch attribution (q189) — q178 running unattended
+    * on a living event stream: per user, `flatMapGroupsWithState`
+    * carries the most recent view/click as keyed state (ONE touch per
+    * user — state is |users|-bounded regardless of stream length) and
+    * emits each purchase attributed to that touch if it is within the
+    * 7-day window, else `direct`. Events inside a micro-batch sort by
+    * (event time, event_id) before the state walk, so in-batch disorder
+    * cannot flip a verdict; ACROSS batches the operator assumes per-user
+    * event-time-ordered arrival (the partition-by-user Kafka layout —
+    * the same contract every stateful op in this file inherits from the
+    * replay harness). The channel card (conversions, exact revenue,
+    * micro-unit share) folds over the emitted conversions.
+    *
+    * With the single replay batch this is EXACTLY the batch q178 — the
+    * oracle is q178's SQL verbatim; StreamingSpec drives the multi-batch
+    * shape and proves the touch state carries across batches. */
+  def attributionStream(events: org.apache.spark.sql.Dataset[AttrEvent])
+      : org.apache.spark.sql.Dataset[Conversion] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent],
+         state: GroupState[TouchState]) =>
+          val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Conversion]()
+          evs.foreach { e =>
+            e.event_type match {
+              case "view" | "click" =>
+                st = Some(TouchState(e.event_type, micros(e.ts)))
+              case "purchase" =>
+                val ch = st match {
+                  case Some(t)
+                    if micros(e.ts) <= t.tUs + 7L * 24 * 3600 * 1000000L =>
+                    t.tType
+                  case _ => "direct"
+                }
+                out += Conversion(uid, e.event_id, ch, e.value)
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  def q189StreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = eventStream(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[AttrEvent]
+    val conv = runToMemory(attributionStream(typed).toDF(), s, "q189",
+      "append")
+    val per = conv.groupBy(col("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        sumMoney(col("value")).as("revenue"))
+      .localCheckpoint() // |channels|-bounded (the q178 card fold)
+    val tot = per.agg(sum(col("conversions")).as("tc"))
+    per.join(broadcast(tot))
+      .withColumn("share_u",
+        expr("(cast(conversions as decimal(20,0)) * 1000000) div tc"))
+      .select(col("channel"), col("conversions"), col("revenue"),
+        col("share_u"))
+      .orderBy(col("channel"))
+  }
+
+  /** q189's oracle IS q178's: stream/batch parity on the replay batch. */
+  val q189Sql: String = graft.ops.Scalars.q178Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_stream_attribution" -> q189StreamAttribution _,
     "q70_stream_tumbling" -> q70Tumbling _,
     "q71_stream_session"  -> q71Session _,
     "q72_stream_dedup"    -> q72StreamDedup _,
@@ -382,6 +467,7 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "q189_stream_attribution" -> q189Sql,
     "q70_stream_tumbling" -> q70Sql,
     "q71_stream_session"  -> q71Sql,
     "q72_stream_dedup"    -> q72Sql,

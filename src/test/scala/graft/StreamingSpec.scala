@@ -62,6 +62,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("q189 attribution state carries the touch across micro-batches") {
+    import spark.implicits._
+    import graft.stream.Streaming.AttrEvent
+    def ae(id: Long, t: String, dayOff: Long, user: Long = 1L): AttrEvent =
+      AttrEvent(id, new Timestamp(1700000000000L + dayOff * 86400000L),
+        user, t, 2.0)
+    val input = MemoryStream[AttrEvent](spark)
+    val name = "attr_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = Streaming.attributionStream(input.toDS())
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // batch 1: only touches — nothing converts yet
+      input.addData(ae(0, "view", 0), ae(1, "click", 1))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0)
+      // batch 2: the purchase arrives LATER — the click (the LAST
+      // preceding touch, carried in state) gets the credit
+      input.addData(ae(2, "purchase", 3))
+      q.processAllAvailable()
+      val got1 = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSeq
+      assert(got1 == Seq((2L, "click")), got1.toString)
+      // batch 3: a purchase 8 days after the (still-stored) click is
+      // stale → direct; a fresh user with no touch at all → direct
+      input.addData(ae(3, "purchase", 9), ae(4, "purchase", 0, user = 2L))
+      q.processAllAvailable()
+      val got2 = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(got2 == Set((2L, "click"), (3L, "direct"), (4L, "direct")),
+        got2.toString)
+      // in-batch disorder: user 3's purchase arrives in the same batch
+      // as its touch but with a LOWER event time ordering guaranteed by
+      // the pre-walk sort, not arrival order
+      input.addData(ae(6, "purchase", 2, user = 3L),
+        ae(5, "view", 1, user = 3L))
+      q.processAllAvailable()
+      val got3 = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(got3.contains((6L, "view")), got3.toString)
+    } finally q.stop()
+  }
+
   test("append-mode session windows: closed sessions emit once and leave state") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)

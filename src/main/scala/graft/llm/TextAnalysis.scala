@@ -594,6 +594,97 @@ object TextAnalysis {
       |    THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS flagged_share6
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  /** PII pattern census (q190) — the compliance sweep every corpus
+    * release runs before anything ships: per source, how many documents
+    * carry an email address, an IPv4 literal, an E.164-ish phone
+    * number, or a URL, the total match count, and the flagged-doc share
+    * in micro-units. This card only COUNTS (the redaction itself is the
+    * q98 strip-span machinery's job); its value is naming WHICH source
+    * needs scrubbing before the corpus leaves the building.
+    *
+    * Patterns stay inside the RE2∩java.util.regex subset (no
+    * backreferences, no lookaround — the q139 discipline) so both
+    * engines count identically; the corpus text is deterministically
+    * salted with each PII class (the q139/q92 construction) so every
+    * rule provably fires at any SF. One map-only pass, a
+    * |sources|-bounded fold with map-side combine. */
+  def q190PiiCensus(s: SparkSession, dir: String): DataFrame = {
+    val salted = concat(col("text"),
+      when(col("doc_id") % 6 === 1,
+        lit(" contact bob.smith@example.com now")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 4,
+        lit(" server at 192.168.10.25 up")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 6,
+        lit(" call +14155550101 today")).otherwise(lit("")),
+      when(col("doc_id") % 8 === 5,
+        lit(" see https://example.com/a/b")).otherwise(lit("")))
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phone = "\\+[0-9]{7,15}"
+    val url = "https?://[a-z0-9./-]+"
+    Tables.documents(s, dir)
+      .select(col("source"), salted.as("t"))
+      .select(col("source"),
+        regexp_count(col("t"), lit(email)).as("n_email"),
+        regexp_count(col("t"), lit(ipv4)).as("n_ip"),
+        regexp_count(col("t"), lit(phone)).as("n_phone"),
+        regexp_count(col("t"), lit(url)).as("n_url"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("email_docs"),
+        sum(when(col("n_ip") > 0, 1L).otherwise(0L)).as("ip_docs"),
+        sum(when(col("n_phone") > 0, 1L).otherwise(0L)).as("phone_docs"),
+        sum(when(col("n_url") > 0, 1L).otherwise(0L)).as("url_docs"),
+        sum(when(col("n_email") > 0 || col("n_ip") > 0 ||
+          col("n_phone") > 0 || col("n_url") > 0, 1L).otherwise(0L))
+          .as("pii_docs"),
+        sum(col("n_email") + col("n_ip") + col("n_phone") + col("n_url"))
+          .as("n_hits"))
+      .withColumn("pii_share_u",
+        expr("(cast(pii_docs as decimal(20,0)) * 1000000) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q190: identical salting, identical RE2∩Java
+    * patterns, identical rollup, HUGEINT share numerator. */
+  val q190Sql: String =
+    raw"""WITH salted AS (
+      |  SELECT source, text ||
+      |    CASE WHEN doc_id % 6 = 1
+      |      THEN ' contact bob.smith@example.com now' ELSE '' END ||
+      |    CASE WHEN doc_id % 9 = 4
+      |      THEN ' server at 192.168.10.25 up' ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 6
+      |      THEN ' call +14155550101 today' ELSE '' END ||
+      |    CASE WHEN doc_id % 8 = 5
+      |      THEN ' see https://example.com/a/b' ELSE '' END AS t
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(t,
+      |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+      |    len(regexp_extract_all(t,
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
+      |    len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS n_phone,
+      |    len(regexp_extract_all(t, 'https?://[a-z0-9./-]+')) AS n_url
+      |  FROM salted)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS email_docs,
+      |  CAST(SUM(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ip_docs,
+      |  CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS phone_docs,
+      |  CAST(SUM(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS url_docs,
+      |  CAST(SUM(CASE WHEN n_email > 0 OR n_ip > 0 OR n_phone > 0
+      |    OR n_url > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+      |  CAST(SUM(n_email + n_ip + n_phone + n_url) AS BIGINT) AS n_hits,
+      |  CAST((CAST(SUM(CASE WHEN n_email > 0 OR n_ip > 0 OR n_phone > 0
+      |      OR n_url > 0 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000)
+      |    // COUNT(*) AS BIGINT) AS pii_share_u
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   /** BM25 keyword retrieval (q101): a fixed query set scored against the
     * corpus through the inverted-postings shape — tokenize → per
     * (doc, term) frequencies (the posting lists), document-frequency +
@@ -2499,6 +2590,7 @@ object TextAnalysis {
     "q91_quality_filter" -> q91QualityFilter _,
     "q92_pii_redact"  -> q92PiiRedact _,
     "q139_encoding_audit" -> q139EncodingAudit _,
+    "q190_pii_census" -> q190PiiCensus _,
     "q140_phrase_search" -> q140PhraseSearch _,
     "q142_heavy_hitters" -> q142HeavyHitters _,
     "q101_bm25_search" -> q101Bm25 _,
@@ -2525,6 +2617,7 @@ object TextAnalysis {
     "q91_quality_filter" -> q91Sql,
     "q92_pii_redact"  -> q92Sql,
     "q139_encoding_audit" -> q139Sql,
+    "q190_pii_census" -> q190Sql,
     "q140_phrase_search" -> q140Sql,
     "q142_heavy_hitters" -> q142Sql,
     "q101_bm25_search" -> q101Sql,

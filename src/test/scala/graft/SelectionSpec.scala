@@ -64,6 +64,37 @@ class SelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == refSample(docs), s"$got vs ${refSample(docs)}")
   }
 
+  // ---------------------------------------------------------- q190
+
+  test("q190 counts every planted PII class exactly once per hit") {
+    import spark.implicits._
+    // doc ids picked OFF the salting residues (6k+1 / 9k+4 / 13k+6 /
+    // 8k+5) so only the organic text counts; each doc plants a known
+    // set of pattern hits, including a double email and an
+    // ipv4-inside-url ambiguity (the ip rule sees only digit runs)
+    val docs = Seq(
+      (0L, "src_a", "write to a.b@x.io and c.d@y.org today"), // 2 emails
+      (2L, "src_a", "host 10.0.0.1 and peer 10.0.0.2"),        // 2 ips
+      (18L, "src_b", "dial +4915112345678 now"),               // 1 phone
+      (12L, "src_b", "read https://a.io/x then http://b.io"),  // 2 urls
+      (24L, "src_c", "nothing sensitive here at all"))         // clean
+    val d = Files.createTempDirectory("graft-pii").toString
+    docs.map { case (id, src, text) =>
+      (id, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = llm.TextAnalysis.q190PiiCensus(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))).toMap
+    // (n_docs, email_docs, ip_docs, phone_docs, url_docs, pii_docs,
+    //  n_hits, pii_share_u)
+    assert(got == Map(
+      "src_a" -> ((2L, 1L, 1L, 0L, 0L, 2L, 4L, 1000000L)),
+      "src_b" -> ((2L, 0L, 0L, 1L, 1L, 2L, 3L, 1000000L)),
+      "src_c" -> ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))), got.toString)
+  }
+
   // ---------------------------------------------------------- q182
 
   private def dot(a: Array[Float], b: Array[Float]): Double = {

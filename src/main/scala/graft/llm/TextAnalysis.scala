@@ -685,6 +685,80 @@ object TextAnalysis {
       |    // COUNT(*) AS BIGINT) AS pii_share_u
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  /** PII redaction audit (q191) — the transform q190's census prices:
+    * every email / IPv4 / phone / URL match is replaced by its class
+    * token (`<EMAIL>`, `<IP>`, `<PHONE>`, `<URL>`), and the audit
+    * reports per source how many documents changed and the exact
+    * character mass before and after — the number a release note cites
+    * as "what redaction did". The replace chain applies in a FIXED
+    * order (email, ip, phone, url) because a class token must never be
+    * re-matched by a later rule; both engines run the identical chain
+    * (DuckDB's regexp_replace needs the explicit 'g' flag — its default
+    * replaces only the first match). Same salting as q190, so the
+    * transform provably fires per class at any SF. One map-only pass,
+    * |sources|-bounded fold. */
+  def q191PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val salted = concat(col("text"),
+      when(col("doc_id") % 6 === 1,
+        lit(" contact bob.smith@example.com now")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 4,
+        lit(" server at 192.168.10.25 up")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 6,
+        lit(" call +14155550101 today")).otherwise(lit("")),
+      when(col("doc_id") % 8 === 5,
+        lit(" see https://example.com/a/b")).otherwise(lit("")))
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(salted,
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+          "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+        "\\+[0-9]{7,15}", "<PHONE>"),
+      "https?://[a-z0-9./-]+", "<URL>")
+    Tables.documents(s, dir)
+      .select(col("source"), salted.as("t"), red.as("r"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("t") =!= col("r"), 1L).otherwise(0L))
+          .as("docs_changed"),
+        sum(length(col("t")).cast("long")).as("chars_in"),
+        sum(length(col("r")).cast("long")).as("chars_out"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of q191: identical salting, the same four-step
+    * replace chain with the 'g' flag, identical length folds. */
+  val q191Sql: String =
+    raw"""WITH salted AS (
+      |  SELECT source, text ||
+      |    CASE WHEN doc_id % 6 = 1
+      |      THEN ' contact bob.smith@example.com now' ELSE '' END ||
+      |    CASE WHEN doc_id % 9 = 4
+      |      THEN ' server at 192.168.10.25 up' ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 6
+      |      THEN ' call +14155550101 today' ELSE '' END ||
+      |    CASE WHEN doc_id % 8 = 5
+      |      THEN ' see https://example.com/a/b' ELSE '' END AS t
+      |  FROM documents),
+      |red AS (
+      |  SELECT source, t,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(t,
+      |            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+      |          '<IP>', 'g'),
+      |        '\+[0-9]{7,15}', '<PHONE>', 'g'),
+      |      'https?://[a-z0-9./-]+', '<URL>', 'g') AS r
+      |  FROM salted)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN t <> r THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_changed,
+      |  CAST(SUM(len(t)) AS BIGINT) AS chars_in,
+      |  CAST(SUM(len(r)) AS BIGINT) AS chars_out
+      |FROM red GROUP BY source ORDER BY source""".stripMargin
+
   /** BM25 keyword retrieval (q101): a fixed query set scored against the
     * corpus through the inverted-postings shape — tokenize → per
     * (doc, term) frequencies (the posting lists), document-frequency +
@@ -2591,6 +2665,7 @@ object TextAnalysis {
     "q92_pii_redact"  -> q92PiiRedact _,
     "q139_encoding_audit" -> q139EncodingAudit _,
     "q190_pii_census" -> q190PiiCensus _,
+    "q191_pii_redact" -> q191PiiRedact _,
     "q140_phrase_search" -> q140PhraseSearch _,
     "q142_heavy_hitters" -> q142HeavyHitters _,
     "q101_bm25_search" -> q101Bm25 _,
@@ -2618,6 +2693,7 @@ object TextAnalysis {
     "q92_pii_redact"  -> q92Sql,
     "q139_encoding_audit" -> q139Sql,
     "q190_pii_census" -> q190Sql,
+    "q191_pii_redact" -> q191Sql,
     "q140_phrase_search" -> q140Sql,
     "q142_heavy_hitters" -> q142Sql,
     "q101_bm25_search" -> q101Sql,

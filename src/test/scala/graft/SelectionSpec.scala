@@ -95,6 +95,24 @@ class SelectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "src_c" -> ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))), got.toString)
   }
 
+  test("q191 redaction replaces every class and reports exact char mass") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "src_a", "write to a.b@x.io or visit https://y.io/z"),
+      (24L, "src_a", "clean text"))
+    val d = Files.createTempDirectory("graft-redact").toString
+    docs.map { case (id, src, text) =>
+      (id, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = llm.TextAnalysis.q191PiiRedact(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // "a.b@x.io" (8) → "<EMAIL>" (7), "https://y.io/z" (14) → "<URL>"
+    // (5): chars 41+10 in → 31+10 out, one doc changed
+    assert(got == Seq(("src_a", 2L, 1L, 51L, 41L)), got.toString)
+  }
+
   // ---------------------------------------------------------- q182
 
   private def dot(a: Array[Float], b: Array[Float]): Double = {

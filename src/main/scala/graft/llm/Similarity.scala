@@ -51,7 +51,13 @@ object Similarity {
   /** Brute-force cosine top-5 for 50 query vectors against the corpus.
     * Similarities rounded to 6dp before ranking with an id tiebreak so
     * the ordering is stable across engines. */
-  def q55CosineTopK(s: SparkSession, dir: String): DataFrame = {
+  def q55CosineTopK(s: SparkSession, dir: String): DataFrame =
+    bruteTopK(s, dir, 5)
+
+  /** The q55 brute cosine pass at an arbitrary k — q55 serves k = 5,
+    * the memoized truth artifact builds k = 10 so ONE brute pass per
+    * session also covers q182's candidate sets. */
+  private def bruteTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     // norms once per vector (n + k calls), not once per pair (n·k)
@@ -65,7 +71,7 @@ object Similarity {
         (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
@@ -215,8 +221,11 @@ object Similarity {
   private val truthArtifact = new graft.SessionMemo[DataFrame]
   private val lshArtifact = new graft.SessionMemo[DataFrame]
   private val ivfArtifact = new graft.SessionMemo[DataFrame]
+  /** Exact brute-force cosine TOP-10 per query, one build per
+    * (session, corpus): the rn ≤ 3 prefix serves every recall gate, the
+    * full ten are q182's candidate sets — one brute pass for all. */
   private def q55SearchArtifact(s: SparkSession, dir: String): DataFrame =
-    truthArtifact.getOrBuild(s, dir)(q55CosineTopK(s, dir).localCheckpoint())
+    truthArtifact.getOrBuild(s, dir)(bruteTopK(s, dir, 10).localCheckpoint())
   private def lshSearchArtifact(s: SparkSession, dir: String): DataFrame =
     lshArtifact.getOrBuild(s, dir)(q56AnnLsh(s, dir).localCheckpoint())
   private def ivfSearchArtifact(s: SparkSession, dir: String): DataFrame =
@@ -2232,18 +2241,14 @@ object Similarity {
   def q182MmrRerank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
-    val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        norm(col("embedding")).as("qn"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
-      norm(col("embedding")).as("cn"))
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid"))
-    val cand = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", round(dot(col("qv"), col("cv")) /
-        (col("qn") * col("cn")), 6))
-      .withColumn("r", row_number().over(wq)).filter(col("r") <= 10)
+    // candidates ride the memoized brute-truth artifact (ONE brute pass
+    // per session serves the recall gates AND these sets); only the
+    // k-bounded id list joins the corpus payload back
+    val payload = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"))
+    val cand = q55SearchArtifact(s, dir)
+      .join(payload, Seq("cid"))
       .select(col("qid"), col("cid"),
         round(col("sim") * 1e6).cast("long").as("rel_u"),
         col("cv"), col("cn"))

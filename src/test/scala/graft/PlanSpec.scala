@@ -586,12 +586,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q182 MMR steps re-join the pinned candidate frames only") {
-    // candidates and the q·k²-bounded pairwise-sim frame pin once; the
-    // four greedy steps (joins + per-query windows) and the final order
-    // must not touch the embeddings parquet again
+    // the candidate SETS ride the memoized brute-truth artifact (one
+    // brute pass per session — construction, not this plan); the
+    // executed plan may touch the embeddings parquet at most once, for
+    // the k-bounded candidate payload join, and the four greedy steps
+    // must run entirely over the pinned frames
     val plan = planOf(llm.Similarity.q182MmrRerank(spark, sf))
-    assert(!plan.contains("Scan parquet"),
-      s"q182 steps must read only the pinned frames:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"q182 may scan the corpus only for the candidate payload:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"no brute pass inside the MMR plan — that lives in the artifact:\n$plan")
   }
 
   test("q183 HITS half-steps re-join the pinned bipartite frame only") {

@@ -123,7 +123,20 @@ object Bench {
       val wf = failedWarm.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","total_warm":${w.map(_._2).sum},"queries_warm":$wq,"failed_warm":$wf"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rj,"failed":$fj,"loadavg_start":$load0,"loadavg_end":${loadavg()}$warmJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rj,"failed":$fj,"loadavg_start":$load0,"loadavg_end":${loadavg()}$warmJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's bench artifact keeps only a 2,000-char tail of stdout,
+    // which truncates ~2/3 of the per-query numbers and the loadavg
+    // coordinates — so the FULL line is also written to a file
+    // (overwritten per run) that survives verbatim for round-over-round
+    // comparison. Best-effort: an unwritable path must not fail a bench
+    // that already printed its contract line.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

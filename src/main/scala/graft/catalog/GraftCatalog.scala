@@ -89,10 +89,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // it on, co-partitioned joins / partition-keyed aggs over graft
         // tables skip their exchanges (see KeyGroupedRead.scala)
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-        // tolerate one side missing partition values the other has
-        // (empty buckets after pruning) instead of refusing the
-        // shuffle-free plan
-        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        // pushPartValues forced OFF (r16; Spark 4 defaults it ON):
+        // Spark's common-partition-value
+        // push walks the WHOLE join child when it aligns the two SPJ
+        // sides, and a SECOND key-grouped scan sitting under a broadcast
+        // inside that child (a cell-partitioned dim feeding a BHJ below
+        // the SPJ aggregate) receives the OTHER table's bucket values as
+        // its commonPartitionValues — its groups then re-line against
+        // foreign ints and any group whose value matches a hole in the
+        // pushed list is silently DROPPED from the scan (SpjSpec
+        // "common-partition-value push must not corrupt an unrelated
+        // keyed scan" pins the repro: bucket(16) with one empty bucket
+        // #3 ⟹ the dim's cell=3 partition vanishes). The cost of OFF is
+        // only that mismatched-value sides fall back to a shuffled join
+        // — correct, just not exchange-free; equal-value SPJ (the q89/
+        // q95/q102 layouts) keeps its shuffle-free plan.
+        s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "false")
       }
   }
 

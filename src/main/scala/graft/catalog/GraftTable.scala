@@ -1541,9 +1541,27 @@ private[graft] class GraftScanBuilder(
   /** Columns runtime (join-driven) filters can prune files on: exact-render
     * identity partition columns and transform source columns — the set the
     * manifest pruner knows how to replay. Declaring more would cost a
-    * runtime subquery per equi-join without ever skipping a file. */
-  private def runtimeFilterAttrs: Seq[String] =
+    * runtime subquery per equi-join without ever skipping a file.
+    * Restricted to columns that SURVIVE column pruning: Spark's
+    * PartitionPruning rule resolves filterAttributes against the scan
+    * OUTPUT, so declaring a pruned-away column (an ids-only read of a
+    * cell-partitioned index table) fails analysis outright — and a
+    * column absent from the output can never carry the join key a
+    * runtime filter would come from anyway. Also excluded: columns the
+    * query already pins with a STATIC In/EqualTo literal (the probed-
+    * cell searches push their exact probe set) — the manifest pruner
+    * has already cut the file list to those values, so a dynamic
+    * subquery on the same column would re-execute the join's build
+    * side purely to re-derive a subset of the pushed literals. */
+  private def runtimeFilterAttrs: Seq[String] = {
+    val pinned: Set[String] = pushed.collect {
+      case In(c, _) => c
+      case EqualTo(c, _) => c
+    }.toSet
     (partCols.filter(exactRenderIdentity) ++ transformBySrc.keys).distinct
+      .filter(requiredSchema.fieldNames.contains)
+      .filterNot(pinned)
+  }
 
   /** Key-grouped (storage-partitioned) read eligibility: every default-
     * spec field is an exact-render identity column or a bucket

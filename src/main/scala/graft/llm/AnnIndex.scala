@@ -209,6 +209,21 @@ object AnnIndex {
         if (!maxStamp(SparkSession.active, table, key).exists(_ >= v)) throw e
     }
 
+  /** Driver-collected distinct cell ids of a BOUNDED probe frame
+    * (≤ |query batch| × nProbe rows, ≤ K distinct values) — pushed
+    * back into the `ivf_cells` read as an `In(cell, …)` literal so the
+    * cell-partitioned layout prunes at the manifest layer, exactly the
+    * q132 postings recipe with the literal list computed per query
+    * batch instead of written in the query. The probe-assignment job
+    * this executes is tiny (query batch × broadcast centroids) and
+    * fully deterministic, so the main plan re-deriving the same probe
+    * frame sees the identical cells. NEVER call this with a
+    * corpus-sized probe frame (q130's per-document probes): the
+    * collect is sound only because search batches are bounded. */
+  private[llm] def probedCellLits(probes: DataFrame): Seq[Int] =
+    probes.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
   /** Per-member within-cell neighborhood statistic r(d) — the mean of
     * each vector's top-3 same-cell neighbor cosines in micro-units,
     * i.e. the hubness-correction term CSLS search (q143) subtracts per
@@ -666,9 +681,12 @@ object AnnIndex {
     try {
       val cents = train(e)
 
-      def replace(table: String, ddlCols: String, df: DataFrame): Unit = {
+      def replace(table: String, ddlCols: String, df: DataFrame,
+                  partitionBy: String = ""): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $prefix.$table")
-        s.sql(s"CREATE TABLE $prefix.$table ($ddlCols)")
+        s.sql(s"CREATE TABLE $prefix.$table ($ddlCols)" +
+          (if (partitionBy.nonEmpty) s" PARTITIONED BY ($partitionBy)"
+           else ""))
         val w0 = df.writeTo(s"$prefix.$table")
         // the aux artifacts carry the completeness marker the
         // migration gate ([[ensureAuxTables]]) reads
@@ -695,7 +713,15 @@ object AnnIndex {
         .select(col("vec_id").cast("bigint"),
           col("cent_id").cast("int").as("cell"), col("nrm"))
         .localCheckpoint()
-      replace("ivf_cells", "vec_id BIGINT, cell INT, nrm DOUBLE", asg)
+      // PHYSICAL layout (the r15 verdict's Missing #1): membership is
+      // identity-partitioned by cell, so a probed-cell search's
+      // In(cell, …) literal prunes to ~nProbe/K of the artifact FILES
+      // at the manifest layer — the q132 postings recipe. K here is 8;
+      // at 10⁹ vectors K ~ √n ⇒ switch to bucket(K', cell) to cap dir
+      // count while keeping the same In-prune. An index you cannot
+      // read a slice of is a table named "index".
+      replace("ivf_cells", "vec_id BIGINT, cell INT, nrm DOUBLE", asg,
+        partitionBy = "cell")
 
       // per-member neighborhood statistic r(d) — persisted at build so
       // CSLS search reads a column instead of re-running a corpus-wide
@@ -715,13 +741,19 @@ object AnnIndex {
         meanDeltaOf(e))
 
       val tables = LshSeeds.map(planes(_))
+      // bucket layout for the bucket index: a probe's In(b, …) prunes
+      // the bucket(8, b) dirs within each identity-partitioned plane
+      // table t (4×8 = 32 dirs; at scale nBits grows ~log₂n and the
+      // bucket width grows with it, keeping dir count bounded while
+      // In-pruning still cuts the read to the probed buckets' files)
       replace("lsh_buckets", "t INT, b INT, vec_id BIGINT, nrm DOUBLE",
         e.select(col("vec_id"), col("nrm"),
           explode(array(tables.zipWithIndex.map { case (pl, t) =>
             struct(lit(t).as("t"), Similarity.bucketUdf(pl)(col("embedding")).as("b"))
           }: _*)).as("tb"))
           .select(col("tb.t").as("t"), col("tb.b").as("b"),
-            col("vec_id").cast("bigint"), col("nrm")))
+            col("vec_id").cast("bigint"), col("nrm")),
+        partitionBy = "t, bucket(8, b)")
     } finally e.unpersist()
   }
 

@@ -1231,14 +1231,29 @@ object Dedup {
     * a hub's full neighborhood square; closure is one equi-join back to
     * the canonical (a<b) edge list, counts are keyed folds with
     * map-side combine, and everything is bounded by dup-involved docs,
-    * never the corpus. */
+    * never the corpus.
+    *
+    * Oracle-parity dependency (shared with q67/q157/q172): the Spark
+    * side counts over the MinHash-LSH verified-pair artifact while the
+    * DuckDB replay edges come from ccCte's exact all-pairs Jaccard —
+    * hash equality therefore relies on the LSH banding having ZERO
+    * false negatives on the test corpora (currently true at both SFs;
+    * banding recall is separately gated in the bench). If a future SF
+    * ever breaks q177 parity, check LSH recall FIRST — a banding miss
+    * drops an edge and with it every triangle through it — before
+    * suspecting the wedge/closure logic. */
   def q177TriangleCensus(s: SparkSession, dir: String): DataFrame =
-    triangleCensusOver(verifiedPairsArtifact(s, dir)) // (doc_a < doc_b)
+    triangleCensusOver(verifiedPairsArtifact(s, dir), // (doc_a < doc_b)
+      family = Some(s"$dir#dups.verified_adjacency"))
 
   /** The q177 census over an EXPLICIT canonical edge list (doc_a <
     * doc_b, distinct) — the seam GraphOpsSpec replays on random graphs
-    * the fixed corpus cannot shape (stars, cliques, chains). */
-  private[graft] def triangleCensusOver(pairs: DataFrame): DataFrame = {
+    * the fixed corpus cannot shape (stars, cliques, chains); spec
+    * callers pass no `family` so every planted graph gets its own
+    * pre-check instead of a stale registry reading. */
+  private[graft] def triangleCensusOver(pairs: DataFrame,
+                                        family: Option[String] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val adj = pairs.select(col("doc_a").as("ctr"), col("doc_b").as("nb"))
       .union(pairs.select(col("doc_b").as("ctr"), col("doc_a").as("nb")))
@@ -1248,7 +1263,7 @@ object Dedup {
     val wedges = graft.Skew.guardedKeyJoin(
         adj.select(col("ctr"), col("nb").as("nb1")),
         adj.select(col("ctr"), col("nb").as("nb2")),
-        "ctr", "nb1", "nb2")
+        "ctr", "nb1", "nb2", family = family)
       .filter(col("nb1") < col("nb2"))
     val tri = wedges
       .join(pairs.select(col("doc_a").as("nb1"), col("doc_b").as("nb2")),

@@ -148,8 +148,17 @@ object Similarity {
     val qs = qhashed
       .select(col("t"), probeBuckets.as("b"), col("vec_id").as("qid"),
         col("embedding").as("qv"), col("nrm").as("qn"))
+    // probed-buckets-first: the bounded probe set (|queries| × tables ×
+    // (1 + nBits) rows) collects to the driver and pushes back as an
+    // In(b, …) literal, so the bucket(8, b)-partitioned index layout
+    // prunes unprobed bucket dirs at the manifest layer (the q57/q132
+    // recipe; the probe hash is deterministic, so the re-derived join
+    // sees the identical buckets)
+    val probedBs = qs.select(col("b").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
     val cands = qs
-      .join(buckets.select(col("t"), col("b"), col("vec_id").as("cid"),
+      .join(buckets.filter(col("b").isin(probedBs: _*))
+        .select(col("t"), col("b"), col("vec_id").as("cid"),
         col("nrm").as("cn")), Seq("t", "b"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
@@ -181,12 +190,22 @@ object Similarity {
   }
 
   /** The IVF search core against an explicit corpus frame + index prefix
-    * (see [[lshSearch]]). */
+    * (see [[lshSearch]]).
+    *
+    * Candidate geometry (the r15 verdict's Missing #2 fix): probed
+    * cells FIRST. The bounded probe set collects to the driver
+    * ([[AnnIndex.probedCellLits]]) and pushes back as an In literal,
+    * so the cell-partitioned `ivf_cells` layout prunes to ~nProbe/K of
+    * the artifact's FILES at the manifest layer; the corpus payload
+    * then attaches to the already-restricted candidate ids — never an
+    * index ⋈ corpus join over the whole corpus before the probe
+    * restriction. At 10⁹ vectors the payload fetch is O(candidates)
+    * rows through the join (AQE broadcasts the candidate side when it
+    * fits), not a corpus-wide shuffle per query batch. */
   def ivfSearch(s: SparkSession, corpusDf: DataFrame, pfx: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val nProbe = 5
     val cents = s.table(s"$pfx.ivf_centroids")
-    val cells = s.table(s"$pfx.ivf_cells")
     val e = corpusDf
 
     val q = e.filter(col("vec_id") < 50)
@@ -194,13 +213,14 @@ object Similarity {
     val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("cell"))
-    val corpus = cells
-      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"), col("cell"))
-    val cands = probes.join(corpus, Seq("cell"))
+    val members = s.table(s"$pfx.ivf_cells")
+      .filter(col("cell").isin(AnnIndex.probedCellLits(probes): _*))
+      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
+    val cands = probes.join(members, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        Seq("cid"))
       .withColumn("sim", round(dot(col("qv"), col("cv")) /
         (col("qn") * col("cn")), 6))
     val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
@@ -1291,26 +1311,26 @@ object Similarity {
     val nProbe = 5
     val pfx = AnnIndex.ensure(s, dir)
     val cents = s.table(s"$pfx.ivf_centroids")
-    // ivf_cells carries each member's norm (the ivfSearch convention)
-    val cells = s.table(s"$pfx.ivf_cells")
-      .select(col("vec_id"), col("cell"), col("nrm"))
     val e = Tables.embeddings(s, dir)
     // r(d): the persisted per-member neighborhood column, ids+longs
     val rd = s.table(s"$pfx.ivf_rd")
       .select(col("vec_id").as("cid"), col("rd_u"))
-    // candidates: the q57 probed-cell search shape, sims in micro-units
+    // candidates: the q57 probed-cells-FIRST search shape (In-pruned
+    // membership read, payload by id on the restricted candidates —
+    // ivf_cells carries each member's norm), sims in micro-units
     val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))
     val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("cell"))
-    val corpus = cells
-      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"), col("cell"))
-    val cands = probes.join(corpus, Seq("cell"))
+    val members = s.table(s"$pfx.ivf_cells")
+      .filter(col("cell").isin(AnnIndex.probedCellLits(probes): _*))
+      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
+    val cands = probes.join(members, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        Seq("cid"))
       .withColumn("su", round(dot(col("qv"), col("cv")) /
         (col("qn") * col("cn")) * lit(1e6)).cast("long"))
       .select(col("qid"), col("cid"), col("su"))
@@ -1438,8 +1458,6 @@ object Similarity {
     val nProbe = 5
     val pfx = AnnIndex.ensure(s, dir)
     val cents = s.table(s"$pfx.ivf_centroids")
-    val cells = s.table(s"$pfx.ivf_cells")
-      .select(col("vec_id"), col("cell"), col("nrm"))
     val e = Tables.embeddings(s, dir)
     // the persisted q80 quantization (scale = 127/max|v|,
     // code_i = floor(v_i * scale + 0.5), one byte per dimension)
@@ -1451,7 +1469,13 @@ object Similarity {
         col("cent_id").as("cell"))
       .join(qz.select(col("vec_id").as("qid"), col("scale").as("sa"),
         col("code").as("qa")), Seq("qid"))
-    val corpus = cells
+    // probed-cells-first (the q57 geometry): In-pruned membership read;
+    // the quarter-width byte codes then attach by id to the restricted
+    // candidate ids (AQE broadcasts the pruned side when it fits — the
+    // codes scan stays map-side, no corpus-wide exchange)
+    val corpus = s.table(s"$pfx.ivf_cells")
+      .filter(col("cell").isin(AnnIndex.probedCellLits(
+        probes.select(col("cell"))): _*))
       .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
       .join(qz.select(col("vec_id").as("cid"), col("scale").as("sb"),
         col("code").as("qb")), Seq("cid"))
@@ -1785,10 +1809,16 @@ object Similarity {
         col("cent_id").as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("doc_id"))
+    // probed-cells-first (the q57 geometry): the membership read prunes
+    // to the probed cells' files via the In literal, and the embedding
+    // payload attaches to the restricted candidates by id — never an
+    // index ⋈ corpus join ahead of the probe restriction
     s.table(s"$pfx.ivf_cells").select(col("vec_id"), col("cell"))
-      .join(e, Seq("vec_id"))
+      .filter(col("cell").isin(AnnIndex.probedCellLits(
+        probes.select(col("cell"))): _*))
       .join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id").cast("long") * 100)
+      .join(e, Seq("vec_id"))
       .crossJoin(broadcast(mean))
       .withColumn("dv", centerCol("embedding"))
       .withColumn("dn", sqrt(call_function("graft_dotdd", col("dv"), col("dv"))))
@@ -2368,8 +2398,6 @@ object Similarity {
     graft.functions.VectorFunctions.register(s)
     val pfx = AnnIndex.ensure(s, dir)
     val cents = s.table(s"$pfx.ivf_centroids")
-    val cells = s.table(s"$pfx.ivf_cells")
-      .select(col("vec_id"), col("cell"), col("nrm"))
     val e = Tables.embeddings(s, dir)
     val exact = q55SearchArtifact(s, dir).filter(col("rn") <= 3)
       .select(col("qid"), col("cid")).localCheckpoint()
@@ -2378,14 +2406,17 @@ object Similarity {
     val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("cell"), col("rk"))
-    val corpus = cells
-      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"), col("cell"))
+    val members = s.table(s"$pfx.ivf_cells")
+      .filter(col("cell").isin(AnnIndex.probedCellLits(
+        probes.select(col("cell"))): _*))
+      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
     // ONE scored candidate frame for all five points, each candidate
-    // carrying the probe rank that admits it
-    val scored = probes.join(corpus, Seq("cell"))
+    // carrying the probe rank that admits it — probed-cells-first
+    // (In-pruned membership, payload by id on the restricted rows)
+    val scored = probes.join(members, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        Seq("cid"))
       .withColumn("sim", round(dot(col("qv"), col("cv")) /
         (col("qn") * col("cn")), 6))
       .select(col("qid"), col("cid"), col("rk"), col("sim"))
@@ -2601,7 +2632,10 @@ object Similarity {
     val candIds = graft.Skew.guardedKeyJoin(
         anchorIds,
         cellIds.select(col("cell"), col("vec_id").as("neg_id")),
-        "cell", "anchor", "neg_id")
+        "cell", "anchor", "neg_id",
+        // dir-scoped: the dir-built index is immutable per session, so
+        // the recorded occupancy ceiling cannot go stale under it
+        family = Some(s"$dir#ann.ivf_cell.anchor_negatives"))
       .filter(col("neg_id") =!= col("anchor"))
       .join(partners.withColumnRenamed("partner", "neg_id"),
         Seq("anchor", "neg_id"), "left_anti")

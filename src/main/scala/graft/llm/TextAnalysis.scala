@@ -608,6 +608,26 @@ object TextAnalysis {
     * salted with each PII class (the q139/q92 construction) so every
     * rule provably fires at any SF. One map-only pass, a
     * |sources|-bounded fold with map-side combine. */
+  /** The four PII patterns, ONE source of truth for q190/q191 and both
+    * engines (the q64Planes discipline — the SQL mirrors interpolate
+    * these very strings, so the two surfaces cannot drift). All inside
+    * RE2∩java.util.regex: `(?i)` group flags, ASCII classes, and `\b`
+    * (ASCII word boundary in both engines) only. Email and URL match
+    * case-insensitively (Bob.Smith@X.COM, HTTPS:// count); the IPv4
+    * rule accepts only valid octets (0-255, no leading-zero ambiguity
+    * beyond plain `0`) between word boundaries, so 999.999.999.999 is
+    * NOT an address. Remaining declared limits: no IPv6, no
+    * international phone punctuation (E.164 digits-only), URL paths
+    * stop at the `[a-z0-9./-]` alphabet — a census floor, not a full
+    * PII taxonomy. */
+  private[llm] val PiiEmail = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[llm] val PiiIpv4: String = {
+    val o = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    s"\\b$o\\.$o\\.$o\\.$o\\b"
+  }
+  private[llm] val PiiPhone = "\\+[0-9]{7,15}"
+  private[llm] val PiiUrl = "(?i)https?://[a-z0-9./-]+"
+
   def q190PiiCensus(s: SparkSession, dir: String): DataFrame = {
     val salted = concat(col("text"),
       when(col("doc_id") % 6 === 1,
@@ -618,10 +638,7 @@ object TextAnalysis {
         lit(" call +14155550101 today")).otherwise(lit("")),
       when(col("doc_id") % 8 === 5,
         lit(" see https://example.com/a/b")).otherwise(lit("")))
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-    val phone = "\\+[0-9]{7,15}"
-    val url = "https?://[a-z0-9./-]+"
+    val (email, ipv4, phone, url) = (PiiEmail, PiiIpv4, PiiPhone, PiiUrl)
     Tables.documents(s, dir)
       .select(col("source"), salted.as("t"))
       .select(col("source"),
@@ -661,12 +678,10 @@ object TextAnalysis {
       |  FROM documents),
       |m AS (
       |  SELECT source,
-      |    len(regexp_extract_all(t,
-      |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
-      |    len(regexp_extract_all(t,
-      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
-      |    len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS n_phone,
-      |    len(regexp_extract_all(t, 'https?://[a-z0-9./-]+')) AS n_url
+      |    len(regexp_extract_all(t, '$PiiEmail')) AS n_email,
+      |    len(regexp_extract_all(t, '$PiiIpv4')) AS n_ip,
+      |    len(regexp_extract_all(t, '$PiiPhone')) AS n_phone,
+      |    len(regexp_extract_all(t, '$PiiUrl')) AS n_url
       |  FROM salted)
       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -710,11 +725,10 @@ object TextAnalysis {
     val red = regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(salted,
-            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
-          "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
-        "\\+[0-9]{7,15}", "<PHONE>"),
-      "https?://[a-z0-9./-]+", "<URL>")
+          regexp_replace(salted, PiiEmail, "<EMAIL>"),
+          PiiIpv4, "<IP>"),
+        PiiPhone, "<PHONE>"),
+      PiiUrl, "<URL>")
     Tables.documents(s, dir)
       .select(col("source"), salted.as("t"), red.as("r"))
       .groupBy(col("source"))
@@ -745,12 +759,10 @@ object TextAnalysis {
       |    regexp_replace(
       |      regexp_replace(
       |        regexp_replace(
-      |          regexp_replace(t,
-      |            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-      |          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
-      |          '<IP>', 'g'),
-      |        '\+[0-9]{7,15}', '<PHONE>', 'g'),
-      |      'https?://[a-z0-9./-]+', '<URL>', 'g') AS r
+      |          regexp_replace(t, '$PiiEmail', '<EMAIL>', 'g'),
+      |          '$PiiIpv4', '<IP>', 'g'),
+      |        '$PiiPhone', '<PHONE>', 'g'),
+      |      '$PiiUrl', '<URL>', 'g') AS r
       |  FROM salted)
       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(CASE WHEN t <> r THEN 1 ELSE 0 END) AS BIGINT)

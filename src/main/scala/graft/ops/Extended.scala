@@ -228,7 +228,10 @@ object Extended {
     // the edge weights — and the oracle hash — are unchanged
     val edges = graft.Skew.guardedKeyJoin(
         ui, ui.select(col("user_id"), col("item").as("item_b")),
-        "user_id", "item", "item_b")
+        "user_id", "item", "item_b",
+        // same family as q171 (the identical ui self-join): one
+        // pre-check measurement serves both, and q169's audit names it
+        family = Some(s"$dir#events.user_id.distinct_items"))
       .filter(col("item") =!= col("item_b"))
       .groupBy(col("item"), col("item_b")).agg(count(lit(1)).as("w"))
       .localCheckpoint() // the graph: all three iterations re-join it
@@ -421,7 +424,8 @@ object Extended {
       .localCheckpoint()
     val pairs = graft.Skew.guardedKeyJoin(
         ui, ui.select(col("user_id"), col("item").as("item_b")),
-        "user_id", "item", "item_b")
+        "user_id", "item", "item_b",
+        family = Some(s"$dir#events.user_id.distinct_items")) // = q164's
       .filter(col("item") < col("item_b")) // each unordered pair once
       .groupBy(col("item"), col("item_b"))
       .agg(count(lit(1)).as("n_users"))

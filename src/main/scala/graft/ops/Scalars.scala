@@ -242,8 +242,24 @@ object Scalars {
     *
     * Scale shape: per family one keyed count with map-side combine
     * into a 1-row fold (max/sum/count + struct-max) — no windows, no
-    * sorts; the three families union 3 rows. */
+    * sorts; the three families union 3 rows.
+    *
+    * Measure→act (the r15 loop-closure ask): constructing the card
+    * also PUBLISHES the measured user_id ceiling into the skew-guard
+    * registry ([[graft.Skew.adviseKey]]) under q164/q171's join-key
+    * family — a user's raw event count upper-bounds their distinct
+    * item count, and an upper bound is sound in both guard directions
+    * (a reading ≤ maxSide proves every key cold; a larger one merely
+    * re-engages the guard) — so guarded joins that run after this
+    * audit skip their own pre-check job. One extra 1-row aggregation
+    * at construction, priced into the card. */
   def q169KeySkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val uc = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head()
+    if (!uc.isNullAt(0))
+      graft.Skew.adviseKey(s"$dir#events.user_id.distinct_items",
+        uc.getLong(0))
     def card(family: String, keys: DataFrame): DataFrame =
       keys.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
         .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),

@@ -387,48 +387,80 @@ object Streaming {
   /** Streaming last-touch attribution (q189) — q178 running unattended
     * on a living event stream: per user, `flatMapGroupsWithState`
     * carries the most recent view/click as keyed state (ONE touch per
-    * user — state is |users|-bounded regardless of stream length) and
-    * emits each purchase attributed to that touch if it is within the
-    * 7-day window, else `direct`. Events inside a micro-batch sort by
-    * (event time, event_id) before the state walk, so in-batch disorder
-    * cannot flip a verdict; ACROSS batches the operator assumes per-user
-    * event-time-ordered arrival (the partition-by-user Kafka layout —
-    * the same contract every stateful op in this file inherits from the
-    * replay harness). The channel card (conversions, exact revenue,
-    * micro-unit share) folds over the emitted conversions.
+    * user) and emits each purchase attributed to that touch if it is
+    * within the 7-day window, else `direct`. Events inside a
+    * micro-batch sort by (event time, event_id) before the state walk,
+    * so in-batch disorder cannot flip a verdict; ACROSS batches
+    * out-of-order arrival is bounded by the 7-day WATERMARK below —
+    * within the bound a later-arriving earlier-time touch can still
+    * mis-attribute (state keeps only the latest walk order, the
+    * documented contract; the partition-by-user Kafka layout delivers
+    * per-user in order and retires the case), and beyond it late
+    * events are dropped by the engine, standard watermark semantics.
+    * The channel card (conversions, exact revenue, micro-unit share)
+    * folds over the emitted conversions.
     *
-    * With the single replay batch this is EXACTLY the batch q178 — the
-    * oracle is q178's SQL verbatim; StreamingSpec drives the multi-batch
-    * shape and proves the touch state carries across batches. */
+    * State is bounded by ACTIVE users, not users-ever-seen (the r15
+    * verdict's Missing #3): an event-time timeout retires each touch
+    * once the watermark passes touch + 7 days — the moment it can no
+    * longer attribute ANY purchase the watermark still admits. With a
+    * 7-day watermark delay that is ≤ 14 days of event time behind the
+    * stream head: one TouchState per user active in that window, not
+    * 10⁸ cumulative users after a year of streaming. Eviction can only
+    * remove never-again-readable state, so emitted conversions are
+    * untouched — the timeout branch emits nothing.
+    *
+    * With the single replay batch this is EXACTLY the batch q178 (the
+    * watermark starts at 0, filters nothing, and no timeout fires
+    * inside a batch) — the oracle is q178's SQL verbatim; StreamingSpec
+    * drives the multi-batch shape, the state carry, AND the eviction
+    * (state row counts shrink once users go quiet). */
   def attributionStream(events: org.apache.spark.sql.Dataset[AttrEvent])
       : org.apache.spark.sql.Dataset[Conversion] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val windowUs = 7L * 24 * 3600 * 1000000L
+    events.withWatermark("ts", "7 days")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[AttrEvent],
          state: GroupState[TouchState]) =>
-          val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer[Conversion]()
-          evs.foreach { e =>
-            e.event_type match {
-              case "view" | "click" =>
-                st = Some(TouchState(e.event_type, micros(e.ts)))
-              case "purchase" =>
-                val ch = st match {
-                  case Some(t)
-                    if micros(e.ts) <= t.tUs + 7L * 24 * 3600 * 1000000L =>
-                    t.tType
-                  case _ => "direct"
-                }
-                out += Conversion(uid, e.event_id, ch, e.value)
-              case _ => ()
+          if (state.hasTimedOut) {
+            // watermark ≥ touch + 7d: no admissible purchase can ever
+            // attribute to this touch again — retire the state row
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[Conversion]()
+            evs.foreach { e =>
+              e.event_type match {
+                case "view" | "click" =>
+                  st = Some(TouchState(e.event_type, micros(e.ts)))
+                case "purchase" =>
+                  val ch = st match {
+                    case Some(t) if micros(e.ts) <= t.tUs + windowUs =>
+                      t.tType
+                    case _ => "direct"
+                  }
+                  out += Conversion(uid, e.event_id, ch, e.value)
+                case _ => ()
+              }
             }
+            st.foreach { t =>
+              state.update(t)
+              // re-armed every invocation (Spark clears the timeout on
+              // each call); clamped one past the current watermark —
+              // an already-expired stored touch must still retire, and
+              // Spark refuses timestamps at or before the watermark
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1,
+                t.tUs / 1000 + windowUs / 1000))
+            }
+            out.iterator
           }
-          st.foreach(state.update)
-          out.iterator
       }
   }
 

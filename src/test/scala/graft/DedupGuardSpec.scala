@@ -208,7 +208,63 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"naive=${naive.length}")
       // the duplicate left rows each met the right row: multiset, not set
       assert(guarded.count(_ == ("dup", 7L, 9L)) == 2)
+      // the hub keys (120×110 on maxSide=16) make the pre-check read
+      // hot, so this fixture exercised the SHARDED plan, not the fast
+      // path — the shard columns are visible in the optimized plan
+      assert(Skew.guardedKeyJoin(left, right, "k", "la", "rb",
+          maxSide = 16).queryExecution.optimizedPlan.toString
+          .contains("__x"),
+        "hot fixture must take the sharded cover")
     }
+  }
+
+  test("guardedKeyJoin fast-paths unskewed keys to the plain join") {
+    import spark.implicits._
+    // every key ≤ maxSide on both sides: the pre-check must route to
+    // the plain equi-join (no shard columns, no explode) and the
+    // output must still equal the naive join exactly
+    val left = (1 to 30).map(i => (s"k${i % 5}", i.toLong)).toDF("k", "la")
+    val right = (1 to 20).map(i => (s"k${i % 5}", i.toLong)).toDF("k", "rb")
+    val fast = Skew.guardedKeyJoin(left, right, "k", "la", "rb",
+      maxSide = 16)
+    assert(!fast.queryExecution.optimizedPlan.toString.contains("__x"),
+      "cold fixture must take the plain-join fast path")
+    val got = fast.select("k", "la", "rb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val naive = left.join(right, Seq("k")).select("k", "la", "rb")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == naive)
+  }
+
+  test("guard advice registry: record on pre-check, consult on reuse") {
+    import spark.implicits._
+    val left = (1 to 40).map(i => ("hub", i.toLong)).toDF("k", "la")
+    val right = (1 to 35).map(i => ("hub", i.toLong)).toDF("k", "rb")
+    // a named family records the pre-check's measurement
+    val fam = "spec#advice.family"
+    Skew.clearAdvice()
+    assert(Skew.advisedMax(fam).isEmpty)
+    Skew.guardedKeyJoin(left, right, "k", "la", "rb", maxSide = 8,
+      family = Some(fam))
+    assert(Skew.advisedMax(fam).contains(40L),
+      s"pre-check must record the hottest side: ${Skew.advisedMax(fam)}")
+    // a recorded HOT reading routes to the sharded plan without a
+    // pre-check job; a recorded COLD one to the plain join — and both
+    // paths stay exact multisets (an advice value is a perf hint only)
+    val hot = Skew.guardedKeyJoin(left, right, "k", "la", "rb",
+      maxSide = 8, family = Some(fam))
+    assert(hot.queryExecution.optimizedPlan.toString.contains("__x"))
+    Skew.clearAdvice()
+    Skew.adviseKey(fam, 2L) // stale-cold advice: plain join, right rows
+    val cold = Skew.guardedKeyJoin(left, right, "k", "la", "rb",
+      maxSide = 8, family = Some(fam))
+    assert(!cold.queryExecution.optimizedPlan.toString.contains("__x"))
+    assert(cold.count() == 40L * 35L)
+    // advice max-merges: a larger later reading wins, a smaller loses
+    Skew.adviseKey(fam, 100L); Skew.adviseKey(fam, 50L)
+    assert(Skew.advisedMax(fam).contains(100L))
+    Skew.clearAdvice()
   }
 
   test("label propagation converges on a deep chain (diameter >> 10)") {

@@ -384,15 +384,27 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
       PARTITIONED BY (cat)""")
     spark.sql("""CREATE TABLE graft.spji.b (cat STRING, w BIGINT)
       PARTITIONED BY (cat)""")
+    // EQUAL partition value sets on both sides: with pushPartValues
+    // forced off (the r16 correctness fix — see GraftCatalog), SPJ
+    // elides exchanges only for matching value lists
     spark.sql("INSERT INTO graft.spji.a VALUES ('x',1),('y',2),('z',3),('x',4)")
-    spark.sql("INSERT INTO graft.spji.b VALUES ('x',10),('y',20),('w',30)")
+    spark.sql("INSERT INTO graft.spji.b VALUES ('x',10),('y',20),('z',30)")
     val j = spark.table("graft.spji.a")
       .join(spark.table("graft.spji.b"), Seq("cat"))
       .groupBy(col("cat")).agg(sum(col("v") + col("w")).as("s"))
     assert(exchanges(j) == 0,
       s"identity SPJ should be shuffle-free:\n${j.queryExecution.executedPlan}")
     val got = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got == Map("x" -> 25L, "y" -> 22L)) // (1+10)+(4+10), 2+20
+    assert(got == Map("x" -> 25L, "y" -> 22L, "z" -> 33L))
+    // MISMATCHED value sets (one side missing 'z', one extra 'w'): the
+    // exchange-free plan is refused — a correct shuffled join instead
+    // (the price of keeping pushPartValues off; never a wrong result)
+    spark.sql("INSERT INTO graft.spji.b VALUES ('w',40)")
+    val j2 = spark.table("graft.spji.a")
+      .join(spark.table("graft.spji.b"), Seq("cat"))
+      .groupBy(col("cat")).agg(sum(col("v") + col("w")).as("s"))
+    val got2 = j2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("x" -> 25L, "y" -> 22L, "z" -> 33L), got2.toString)
   }
 
   test("null identity-partition values group under a null key, results stay exact") {
@@ -460,6 +472,51 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     try q.processAllAvailable() finally q.stop()
     assert(seen.asScala.sum == Tables.orders(spark, sf).count(),
       "streaming a key-grouped table must deliver every row")
+  }
+
+  test("common-partition-value push must not corrupt an unrelated keyed scan") {
+    // The r16 regression pin behind GraftCatalog NOT enabling
+    // spark.sql.sources.v2.bucketing.pushPartValues.enabled: when an
+    // SPJ-compatible self-join's child subtree contains a SECOND
+    // key-grouped scan under a broadcast (a cell-partitioned dim
+    // feeding the BHJ below the aggregate), Spark's common-value push
+    // walks the whole child and hands the dim scan the OTHER table's
+    // bucket values — with bucket #3 of the fact layout empty, the
+    // dim's cell=3 group re-lines against a value list missing 3 and
+    // its rows silently VANISH from the join (observed as q137 losing
+    // one whole IVF cell). With the push off, both shapes are exact.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pushv")
+    if (!spark.catalog.tableExists("graft.pushv.t")) {
+      spark.sql("""CREATE TABLE graft.pushv.t (k STRING, id BIGINT, v BIGINT)
+        PARTITIONED BY (bucket(16, k))""")
+      // 31 short terms leave exactly one of the 16 buckets empty — the
+      // hole the pushed value list carries
+      val terms = Seq("a", "agg", "batch", "big", "column", "customer",
+        "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+        "line", "merge", "order", "part", "query", "row", "scan", "slow",
+        "small", "sort", "spark", "stream", "table", "the", "value",
+        "vector", "window")
+      import spark.implicits._
+      (for (t <- terms; id <- 0L until 64L) yield (t, id, 1L))
+        .toDF("k", "id", "v").writeTo("graft.pushv.t").append()
+      spark.sql("""CREATE TABLE graft.pushv.dim (id BIGINT, cell INT)
+        PARTITIONED BY (cell)""")
+      (0L until 64L).map(i => (i, (i % 8).toInt)).toDF("id", "cell")
+        .writeTo("graft.pushv.dim").append()
+    }
+    // broadcast the dim (the q137 shape) despite the suite-wide -1
+    // threshold: the corruption needs the keyed dim under a BHJ
+    val t = spark.table("graft.pushv.t")
+    val dim = broadcast(spark.table("graft.pushv.dim"))
+    val tf = t.join(dim, Seq("id"))
+      .groupBy(col("cell"), col("k")).agg(sum(col("v")).as("tf"))
+    val joined = tf.join(tf.groupBy(col("k"))
+      .agg(count(lit(1)).as("df")), Seq("k"))
+    assert(joined.count() == 31L * 8,
+      s"SPJ self-join dropped dim rows: ${joined.count()} of ${31 * 8}")
+    val perCell = joined.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCell == (0 until 8).map(_ -> 31L).toMap, perCell.toString)
   }
 
   test("runtime file pruning keeps the keyed report (DPP + SPJ compose)") {

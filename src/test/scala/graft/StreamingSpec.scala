@@ -95,13 +95,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         got2.toString)
       // in-batch disorder: user 3's purchase arrives in the same batch
       // as its touch but with a LOWER event time ordering guaranteed by
-      // the pre-walk sort, not arrival order
-      input.addData(ae(6, "purchase", 2, user = 3L),
-        ae(5, "view", 1, user = 3L))
+      // the pre-walk sort, not arrival order (days 9/10 — inside the
+      // 7-day watermark the operator now declares; older events would
+      // be dropped as late, the standard watermark trade)
+      input.addData(ae(6, "purchase", 10, user = 3L),
+        ae(5, "view", 9, user = 3L))
       q.processAllAvailable()
       val got3 = spark.table(name).collect()
         .map(r => (r.getLong(1), r.getString(2))).toSet
       assert(got3.contains((6L, "view")), got3.toString)
+      // two touches live in state: user 1 (click day 1), user 3 (view
+      // day 9) — purchases never store state
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 2,
+        s"state rows: ${q.lastProgress.stateOperators(0).numRowsTotal}")
+
+      // EVICTION (the r15 Missing #3 fix): the event-time timeout
+      // retires a touch once the watermark passes touch + 7d. Spark 4
+      // evicts with the END-of-batch watermark (this batch's max event
+      // time - 7d), so user 4's day-20 view moves it to day 13 and
+      // user 1's click (expiry day 8) retires IN this batch; user 3
+      // (expiry day 16) and user 4 survive
+      input.addData(ae(7, "view", 20, user = 4L))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 2,
+        s"user 1's stale touch must evict: " +
+          s"${q.lastProgress.stateOperators(0).numRowsTotal} state rows")
+      // the verdict's canonical case: user 1 purchases AFTER its touch
+      // was evicted → direct (identical to what the stored-stale touch
+      // would have produced — eviction can never flip an admissible
+      // verdict, it only removes never-again-attributable state)
+      input.addData(ae(8, "purchase", 30, user = 1L))
+      q.processAllAvailable()
+      assert(spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getString(2))).toSet
+        .contains((8L, "direct")))
+      // eviction wm day 24 after this batch: user 3 retired (day 16),
+      // user 4 (expiry day 27) + user 5's fresh view survive — state
+      // is bounded by ACTIVE users, not users ever seen
+      input.addData(ae(9, "view", 31, user = 5L))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 2,
+        s"stale touches not evicted: " +
+          s"${q.lastProgress.stateOperators(0).numRowsTotal} state rows")
     } finally q.stop()
   }
 

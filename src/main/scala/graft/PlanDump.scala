@@ -68,11 +68,13 @@ object PlanDump {
         "partial-aggregates before the shuffle (SortAggregate only " +
         "because min(string) forbids hash buffers — Spark's choice, " +
         "same as q103)"),
-      "q119_lm_xent" -> ("per-language LM cross-entropy: ONE corpus scan " +
-        "builds the checkpointed per-doc bigram frame (map-only array " +
-        "transform — no doc-keyed shuffle for adjacency); LM tables, " +
-        "vocab sizes, and scoring all derive from that ExistingRDD " +
-        "(PlanSpec gates zero parquet rescans); V is a broadcast; " +
+      "q119_lm_xent" -> ("per-language LM cross-entropy (r16 shape): " +
+        "raw bigram rows straight off the corpus scan — no per-doc " +
+        "pre-aggregation (a corpus-scale shuffle that shrank nothing) " +
+        "and no corpus-text cache (measured slower than the map-only " +
+        "recompute); the cab exchange is computed once and REUSED by " +
+        "ca/vlang/uTable, the scoring join hash-builds the bounded " +
+        "u-table side (no corpus sort); V is a broadcast; " +
         "tertile cut points fold from the resolution-bounded " +
         "(lang, xent6) histogram inside an aggregation tree and " +
         "broadcast back — bucket assignment is map-side, NO window " +
@@ -104,8 +106,10 @@ object PlanDump {
       "q143_csls_search" -> ("CSLS search with r(d) persisted (r13): the " +
         "neighborhood statistic attaches from the ivf_rd artifact by one " +
         "id join — no within-cell pair subtree anywhere in the plan; " +
-        "candidates keep the q57 probed-cell equi-join and the only " +
-        "nested loop is the 8-row centroid ranking"),
+        "candidates keep the q57 probed-cells-first geometry (r16: " +
+        "In-pruned membership read, ids-only broadcast restriction, " +
+        "payloads by id) and the only nested loop is the 8-row " +
+        "centroid ranking"),
       "q144_sq8_search" -> ("SQ8 two-stage search over the persisted " +
         "code table (r13): stage 1 scans sq8_codes (one byte/dim + " +
         "scale) through the codegen'd Int8DotF kernel; the embeddings " +
@@ -143,13 +147,14 @@ object PlanDump {
         "ranks, TakeOrdered top-10; r15: the edge build rides the " +
         "one-sided shard cover, so a power user cannot concentrate k² " +
         "rows on one join key"),
-      "q167_centered_ivf" -> ("q146's index-served scale path (r15): " +
-        "the corpus mean folds from the mean_stats delta ledger " +
-        "(#commits×64 rows — never a corpus scan), probe ranking " +
-        "centers the 8 persisted centroids against it, candidates " +
-        "come from probed-cell equi-joins, and the embeddings parquet " +
-        "appears only for the query side + candidate payload " +
-        "(PlanSpec-gated ≤2 scans)"),
+      "q167_centered_ivf" -> ("q146's index-served scale path (r15; " +
+        "r16 probed-first): the corpus mean folds from the mean_stats " +
+        "delta ledger (#commits×64 rows — never a corpus scan), probe " +
+        "ranking centers the 8 persisted centroids against it and " +
+        "materializes once as a driver-local relation, the In-pruned " +
+        "cell membership restricts ids-only and broadcasts, and the " +
+        "embeddings parquet appears only for the candidate payload " +
+        "(PlanSpec-gated ≤2 scans + pruned-file asserts)"),
       "q147_doc_keywords" -> ("keywords as a MAINTAINED artifact " +
         "(r15): a read is the doc_keywords table plus an order — no " +
         "postings read, no df aggregate, no scoring window per read; " +

@@ -224,6 +224,20 @@ object AnnIndex {
     probes.select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
 
+  /** Materialize a BOUNDED frame (≤ |query batch| × nProbe rows — the
+    * probe frames of the bounded-batch searches) as a LOCAL relation:
+    * one driver collect, re-emitted via createDataFrame. Compared to a
+    * localCheckpoint pin this (a) costs ONE job instead of a pin job
+    * plus a collect job per literal derivation, and (b) gives Catalyst
+    * EXACT size statistics, so the downstream candidate joins broadcast
+    * on their own merits instead of defaulting a stats-less RDD scan to
+    * the corpus-shuffle plan. NEVER call with an unbounded frame — the
+    * rows live on the driver. */
+  private[llm] def boundedLocal(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** Per-member within-cell neighborhood statistic r(d) — the mean of
     * each vector's top-3 same-cell neighbor cosines in micro-units,
     * i.e. the hubness-correction term CSLS search (q143) subtracts per

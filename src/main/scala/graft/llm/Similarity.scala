@@ -145,24 +145,30 @@ object Similarity {
     val probeBuckets = explode(array(
       (col("b") +: (0 until AnnIndex.LshBits).map(i =>
         col("b").bitwiseXOR(lit(1 << i)))): _*))
-    val qs = qhashed
+    // the bounded probe frame (|queries| × tables × (1 + nBits) rows
+    // incl. query vectors), collected once to a LOCAL relation: it
+    // feeds the probed-bucket literals, the candidate restriction, and
+    // the query-payload re-attach — one job, exact stats
+    val qs = AnnIndex.boundedLocal(qhashed
       .select(col("t"), probeBuckets.as("b"), col("vec_id").as("qid"),
-        col("embedding").as("qv"), col("nrm").as("qn"))
-    // probed-buckets-first: the bounded probe set (|queries| × tables ×
-    // (1 + nBits) rows) collects to the driver and pushes back as an
-    // In(b, …) literal, so the bucket(8, b)-partitioned index layout
-    // prunes unprobed bucket dirs at the manifest layer (the q57/q132
-    // recipe; the probe hash is deterministic, so the re-derived join
-    // sees the identical buckets)
+        col("embedding").as("qv"), col("nrm").as("qn")))
+    // probed-buckets-first: the probe set collects to the driver and
+    // pushes back as an In(b, …) literal, so the bucket(8, b)-
+    // partitioned index layout prunes unprobed bucket dirs at the
+    // manifest layer (the q57/q132 recipe); the restriction is
+    // ids-only so the payload joins run map-side against the corpus
     val probedBs = qs.select(col("b").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val cands = qs
+    val candIds = qs.select(col("t"), col("b"), col("qid"))
       .join(buckets.filter(col("b").isin(probedBs: _*))
         .select(col("t"), col("b"), col("vec_id").as("cid"),
         col("nrm").as("cn")), Seq("t", "b"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
+    val cands = broadcast(candIds) // forced: bounded candidate ids
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")), Seq("cid"))
+      .join(qs.select(col("qid"), col("qv"), col("qn"))
+        .dropDuplicates("qid"), Seq("qid"))
       .withColumn("sim", round(dot(col("qv"), col("cv")) /
         (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
@@ -199,9 +205,15 @@ object Similarity {
     * the artifact's FILES at the manifest layer; the corpus payload
     * then attaches to the already-restricted candidate ids — never an
     * index ⋈ corpus join over the whole corpus before the probe
-    * restriction. At 10⁹ vectors the payload fetch is O(candidates)
-    * rows through the join (AQE broadcasts the candidate side when it
-    * fits), not a corpus-wide shuffle per query batch. */
+    * restriction. The candidate frame stays ids-only and BROADCASTS
+    * (forced — it is bounded by |batch|·nProbe·occupancy, the set
+    * stage 2 must touch anyway), so the payload fetch is a map-side
+    * pass over the corpus scan, not a corpus-wide shuffle per query
+    * batch; a corpus-scale query batch takes the q130 shuffle shape
+    * instead. At sf0.1/K=8 every cell is probed, so the layout only
+    * costs (~0.5s of extra probe job + small-file reads per search) —
+    * the pruning is a 10⁹-vector play, pinned by PlanSpec rather than
+    * the toy-scale bench. */
   def ivfSearch(s: SparkSession, corpusDf: DataFrame, pfx: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val nProbe = 5
@@ -210,17 +222,37 @@ object Similarity {
 
     val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))
-    val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("nrm").as("qn"), col("cent_id").as("cell"))
+    // |queries|×nProbe rows incl. the query vectors — BOUNDED,
+    // collected once to a LOCAL relation ([[AnnIndex.boundedLocal]]):
+    // it feeds the probed-cell literals, the candidate restriction,
+    // and the query-payload re-attach (three consumers, one job, exact
+    // stats for the broadcast decisions)
+    val probes = AnnIndex.boundedLocal(
+      AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cent_id").as("cell")))
     val members = s.table(s"$pfx.ivf_cells")
       .filter(col("cell").isin(AnnIndex.probedCellLits(probes): _*))
       .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
-    val cands = probes.join(members, Seq("cell"))
+    // ids-only through the restriction (the guardedCellPairs
+    // discipline): the candidate frame stays broadcastable, so BOTH
+    // payload joins run map-side against the corpus scan — no
+    // corpus-wide exchange anywhere in the search
+    val candIds = probes.select(col("qid"), col("cell"))
+      .join(members, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
+    // broadcast FORCED, not AQE-decided: the pinned candidate frame
+    // reports no stats, and the fallback would be the corpus-wide
+    // exchange this geometry exists to avoid. Bounded by
+    // |batch|·nProbe·occupancy — the set stage 2 must touch anyway;
+    // a corpus-scale query batch takes the q130 shuffle shape instead.
+    val cands = broadcast(candIds)
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
         Seq("cid"))
+      // one row per query (probes carries nProbe rows per qid)
+      .join(probes.select(col("qid"), col("qv"), col("qn"))
+        .dropDuplicates("qid"), Seq("qid"))
       .withColumn("sim", round(dot(col("qv"), col("cv")) /
         (col("qn") * col("cn")), 6))
     val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
@@ -1315,22 +1347,28 @@ object Similarity {
     // r(d): the persisted per-member neighborhood column, ids+longs
     val rd = s.table(s"$pfx.ivf_rd")
       .select(col("vec_id").as("cid"), col("rd_u"))
-    // candidates: the q57 probed-cells-FIRST search shape (In-pruned
-    // membership read, payload by id on the restricted candidates —
-    // ivf_cells carries each member's norm), sims in micro-units
+    // candidates: the q57 probed-cells-FIRST search shape — In-pruned
+    // membership read, ids-only restriction (the candidate frame stays
+    // broadcastable so the payload joins run map-side), corpus payload
+    // and query vectors re-attached by id; sims in micro-units.
+    // ivf_cells carries each member's norm.
     val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))
-    val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("nrm").as("qn"), col("cent_id").as("cell"))
+    val probes = AnnIndex.boundedLocal( // |queries|×nProbe, one job
+      AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cent_id").as("cell")))
     val members = s.table(s"$pfx.ivf_cells")
       .filter(col("cell").isin(AnnIndex.probedCellLits(probes): _*))
       .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
-    val cands = probes.join(members, Seq("cell"))
+    val cands = broadcast(probes.select(col("qid"), col("cell"))
+      .join(members, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .dropDuplicates("qid", "cid")
+      .dropDuplicates("qid", "cid")) // forced: bounded candidate ids
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
         Seq("cid"))
+      .join(probes.select(col("qid"), col("qv"), col("qn"))
+        .dropDuplicates("qid"), Seq("qid"))
       .withColumn("su", round(dot(col("qv"), col("cv")) /
         (col("qn") * col("cn")) * lit(1e6)).cast("long"))
       .select(col("qid"), col("cid"), col("su"))
@@ -1464,28 +1502,34 @@ object Similarity {
     val qz = s.table(s"$pfx.sq8_codes")
     val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))
-    val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
-      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
-        col("cent_id").as("cell"))
-      .join(qz.select(col("vec_id").as("qid"), col("scale").as("sa"),
-        col("code").as("qa")), Seq("qid"))
-    // probed-cells-first (the q57 geometry): In-pruned membership read;
-    // the quarter-width byte codes then attach by id to the restricted
-    // candidate ids (AQE broadcasts the pruned side when it fits — the
-    // codes scan stays map-side, no corpus-wide exchange)
-    val corpus = s.table(s"$pfx.ivf_cells")
-      .filter(col("cell").isin(AnnIndex.probedCellLits(
-        probes.select(col("cell"))): _*))
-      .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
-      .join(qz.select(col("vec_id").as("cid"), col("scale").as("sb"),
-        col("code").as("qb")), Seq("cid"))
+    val probes = AnnIndex.boundedLocal( // |queries|×nProbe + codes
+      AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
+        .select(col("vec_id").as("qid"), col("nrm").as("qn"),
+          col("cent_id").as("cell"))
+        .join(qz.select(col("vec_id").as("qid"), col("scale").as("sa"),
+          col("code").as("qa")), Seq("qid")))
+    // probed-cells-first (the q57 geometry): In-pruned membership
+    // read, ids-only restriction; the quarter-width byte codes attach
+    // by id to the restricted candidate ids (the small side
+    // broadcasts — the codes scan stays map-side, no corpus-wide
+    // exchange)
+    val candIds = probes.select(col("qid"), col("cell"))
+      .join(s.table(s"$pfx.ivf_cells")
+        .filter(col("cell").isin(AnnIndex.probedCellLits(
+          probes.select(col("cell"))): _*))
+        .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
     // stage 1: exact INT dot over the byte codes, one fixed-order
     // double normalization, once-rounded micro-unit score
     val w1 = Window.partitionBy(col("qid"))
       .orderBy(col("su1").desc, col("cid"))
-    probes.join(corpus, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
-      .dropDuplicates("qid", "cid")
+    broadcast(candIds) // forced: bounded candidate ids
+      .join(qz.select(col("vec_id").as("cid"), col("scale").as("sb"),
+        col("code").as("qb")), Seq("cid"))
+      .join(probes.select(col("qid"), col("qn"), col("sa"), col("qa"))
+        .dropDuplicates("qid"), Seq("qid"))
       .withColumn("idot", call_function("graft_int8dot", col("qa"), col("qb")))
       .withColumn("su1", round(col("idot") /
         (col("sa") * col("sb") * col("qn") * col("cn")) * lit(1e6))
@@ -1800,28 +1844,31 @@ object Similarity {
       .select(col("cent_id"), col("cc"), col("cn"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(cents))
+    val probes = AnnIndex.boundedLocal(q.crossJoin(broadcast(cents))
       .withColumn("csim",
         round(call_function("graft_dotdd", col("qv"), col("cc")) /
           (col("qn") * col("cn")), 6))
       .withColumn("rk", row_number().over(wp)).filter(col("rk") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"),
-        col("cent_id").as("cell"))
+        col("cent_id").as("cell")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("doc_id"))
     // probed-cells-first (the q57 geometry): the membership read prunes
-    // to the probed cells' files via the In literal, and the embedding
-    // payload attaches to the restricted candidates by id — never an
-    // index ⋈ corpus join ahead of the probe restriction
-    s.table(s"$pfx.ivf_cells").select(col("vec_id"), col("cell"))
+    // to the probed cells' files via the In literal, the restriction
+    // stays ids-only (broadcastable — the corpus payload join runs
+    // map-side, never an index ⋈ corpus join ahead of the probe
+    // restriction), and the centered query vectors re-attach by id
+    broadcast(s.table(s"$pfx.ivf_cells").select(col("vec_id"), col("cell"))
       .filter(col("cell").isin(AnnIndex.probedCellLits(
         probes.select(col("cell"))): _*))
-      .join(probes, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id").cast("long") * 100)
-      .join(e, Seq("vec_id"))
+      .join(probes.select(col("query_id"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id").cast("long") * 100))
+      .join(e, Seq("vec_id")) // forced broadcast: bounded candidate ids
       .crossJoin(broadcast(mean))
       .withColumn("dv", centerCol("embedding"))
       .withColumn("dn", sqrt(call_function("graft_dotdd", col("dv"), col("dv"))))
+      .join(probes.select(col("query_id"), col("qv"), col("qn"))
+        .dropDuplicates("query_id"), Seq("query_id"))
       .withColumn("sim",
         round(call_function("graft_dotdd", col("qv"), col("dv")) /
           (col("qn") * col("dn")), 6))
@@ -2403,20 +2450,25 @@ object Similarity {
       .select(col("qid"), col("cid")).localCheckpoint()
     val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))
-    val probes = AnnIndex.assignRanked(q, cents).filter(col("rk") <= 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("nrm").as("qn"), col("cent_id").as("cell"), col("rk"))
+    val probes = AnnIndex.boundedLocal( // |queries|×5, one job
+      AnnIndex.assignRanked(q, cents).filter(col("rk") <= 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cent_id").as("cell"), col("rk")))
     val members = s.table(s"$pfx.ivf_cells")
       .filter(col("cell").isin(AnnIndex.probedCellLits(
         probes.select(col("cell"))): _*))
       .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
     // ONE scored candidate frame for all five points, each candidate
     // carrying the probe rank that admits it — probed-cells-first
-    // (In-pruned membership, payload by id on the restricted rows)
-    val scored = probes.join(members, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
+    // (In-pruned membership), ids-only through the restriction so the
+    // payload joins run map-side, query vectors re-attached by id
+    val scored = broadcast(probes.select(col("qid"), col("cell"), col("rk"))
+      .join(members, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))) // forced: bounded candidate ids
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
         Seq("cid"))
+      .join(probes.select(col("qid"), col("qv"), col("qn"))
+        .dropDuplicates("qid"), Seq("qid"))
       .withColumn("sim", round(dot(col("qv"), col("cv")) /
         (col("qn") * col("cn")), 6))
       .select(col("qid"), col("cid"), col("rk"), col("sim"))
@@ -2572,6 +2624,63 @@ object Similarity {
       |SELECT cell, category, CAST(COUNT(*) AS BIGINT) AS n_truths
       |FROM att GROUP BY 1, 2 ORDER BY cell, category""".stripMargin
   }
+
+  /** IVF cell-balance card (q192) — the layout audit behind the r16
+    * physical partitioning: per cell its occupancy, corpus share, and
+    * the imbalance factor vs the uniform ideal in exact micro-units,
+    * imbalance_u = (occ·K·10⁶) div n (q169's hot-ratio arithmetic on
+    * the cell key), with the corpus-wide max as the headline column.
+    * With `ivf_cells` partitioned BY cell, each cell IS a partition
+    * dir, so this card literally prices a probe: reading cell c costs
+    * occ_c rows off disk, and a hot cell (imbalance ≫ 10⁶) is the
+    * straggling probe every search that draws it pays — the signal to
+    * retrain centroids (or split the cell) BEFORE p99 search latency
+    * says it in production. The complement of q169's join-skew card,
+    * on the index layout instead of the shuffle keys.
+    *
+    * Scale shape: one ids-free read of the membership artifact (the
+    * `cell` column only — columnar pruning keeps vec_id/nrm unread),
+    * one K-bounded keyed count with map-side combine, 1-row totals
+    * broadcast back; every downstream frame is K rows. Determinism:
+    * counts are exact; share rounds once to 6dp; the imbalance is one
+    * truncating DECIMAL division (the q145 headroom class). */
+  def q192CellBalance(s: SparkSession, dir: String): DataFrame = {
+    val pfx = AnnIndex.ensure(s, dir)
+    val occ = s.table(s"$pfx.ivf_cells")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    val tot = occ.agg(sum(col("n_members")).as("n"),
+      count(lit(1)).as("k"))
+    val imb = occ.crossJoin(broadcast(tot))
+      .withColumn("share6", round(col("n_members") / col("n"), 6))
+      .withColumn("imbalance_u",
+        expr("(cast(n_members as decimal(20,0)) * k * 1000000) div n"))
+      .select(col("cell"), col("n_members"), col("share6"),
+        col("imbalance_u"))
+    imb.crossJoin(broadcast(
+        imb.agg(max(col("imbalance_u")).as("max_imbalance_u"))))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB replay of q192 END-TO-END: the IVF membership recomputed
+    * via [[ivfCtes]] (Lloyd's included), identical K-bounded folds,
+    * HUGEINT imbalance numerator, same 6dp share. */
+  lazy val q192Sql: String =
+    s"""WITH ${ivfCtes("")},
+      |occ AS (
+      |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+      |  FROM cells GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_members) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS k FROM occ),
+      |imb AS (
+      |  SELECT cell, n_members,
+      |    ROUND(n_members * 1.0 / n, 6) AS share6,
+      |    CAST((CAST(n_members AS HUGEINT) * k * 1000000) // n AS BIGINT)
+      |      AS imbalance_u
+      |  FROM occ, tot)
+      |SELECT cell, n_members, share6, imbalance_u,
+      |  (SELECT MAX(imbalance_u) FROM imb) AS max_imbalance_u
+      |FROM imb ORDER BY cell""".stripMargin
 
   /** Contrastive triplet mining (q149) — the training-data op behind
     * every bi-encoder retriever (DPR/SimCSE recipe): for each ANCHOR
@@ -3014,6 +3123,7 @@ object Similarity {
     "q138_hubness_audit" -> q138HubnessAudit _,
     "q146_centered_search" -> q146CenteredSearch _,
     "q167_centered_ivf" -> q167CenteredIvf _,
+    "q192_cell_balance" -> q192CellBalance _,
     "q173_recall_miss_attribution" -> q173RecallMissAttribution _,
     "q174_bitext_coverage" -> q174BitextCoverage _,
     "q175_source_alignment" -> q175SourceAlignment _,
@@ -3400,6 +3510,7 @@ object Similarity {
     "q182_mmr_rerank" -> q182Sql,
     "q184_second_direction" -> q184Sql,
     "q148_probe_sweep" -> q148Sql,
+    "q192_cell_balance" -> q192Sql,
     "q149_contrastive_triplets" -> q149Sql,
     "q152_sq8_recall" -> q152Sql,
     "q136_embedding_health" -> q136Sql,

@@ -891,6 +891,67 @@ object Scalars {
        |FROM cells c JOIN bt USING (event_type) JOIN bh USING (hr), tot
        |ORDER BY event_type, hr""".stripMargin
 
+  /** Event-time disorder card (q193) — the WATERMARK-SIZING statistic
+    * behind every event-time streaming operator in this engine
+    * (q70/q71/q189): per event type, how out-of-order does the stream
+    * actually arrive? Walking each user's events in ARRIVAL order
+    * (event_id — the ingestion sequence), an inversion is a step whose
+    * event time goes backward, and the max backward gap in seconds is
+    * the smallest watermark delay that would have admitted every
+    * late-arriving event — q189's `withWatermark("ts", "7 days")` is a
+    * CLAIM about the stream, and this card is how an operator checks
+    * it against the data instead of folklore (a max_backward_s beyond
+    * the delay means late events are being dropped; a tiny one means
+    * the delay — and therefore the state-retention window — can
+    * shrink).
+    *
+    * Scale shape: one (user)-bounded lag window over ids+timestamps
+    * (the q178 window class — never a global sort), then a
+    * |types|-keyed fold with map-side combine. Determinism: counts and
+    * second-diffs are exact integers; the share is one truncating
+    * DECIMAL division; typeless inversions cannot exist (every event
+    * carries event_type); users' FIRST events have no predecessor and
+    * count as in-order — identically in both engines. */
+  def q193ArrivalDisorder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val lagged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+    lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("prev_ts") > col("ts"), 1L).otherwise(0L))
+          .as("inversions"),
+        coalesce(max(when(col("prev_ts") > col("ts"),
+          unix_timestamp(col("prev_ts")) - unix_timestamp(col("ts")))),
+          lit(0L)).as("max_backward_s"))
+      .withColumn("inversion_share_u",
+        expr("(cast(inversions as decimal(20,0)) * 1000000) div n_events"))
+      .select(col("event_type"), col("n_events"), col("inversions"),
+        col("inversion_share_u"), col("max_backward_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB replay of q193: the same per-user arrival-order lag,
+    * identical inversion predicate, date_diff seconds (the q187
+    * convention), HUGEINT share numerator, COALESCE(…, 0) floor. */
+  val q193Sql: String =
+    s"""WITH ${Tables.eventsOracleCte},
+       |lagged AS (
+       |  SELECT event_type, ts,
+       |    LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+       |      AS prev_ts
+       |  FROM events_n)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS inversions,
+       |  CAST((CAST(SUM(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END)
+       |      AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
+       |    AS inversion_share_u,
+       |  CAST(COALESCE(MAX(CASE WHEN prev_ts > ts
+       |      THEN date_diff('second', ts, prev_ts) END), 0) AS BIGINT)
+       |    AS max_backward_s
+       |FROM lagged GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** q178's one corpus pass: each purchase with its channel verdict —
     * the seam PlanSpec gates for the user-bounded window shape. */
   private[graft] def lastTouchConversions(s: SparkSession,
@@ -947,6 +1008,7 @@ object Scalars {
     "q185_session_quality" -> q185SessionQuality _,
     "q186_burstiness" -> q186Burstiness _,
     "q187_conversion_lag" -> q187ConversionLag _,
+    "q193_arrival_disorder" -> q193ArrivalDisorder _,
     "q188_typehour_profile" -> q188TypeHourProfile _,
     "q40_string_funcs" -> q40String _,
     "q41_date_funcs"   -> q41Date _,
@@ -971,6 +1033,7 @@ object Scalars {
     "q185_session_quality" -> q185Sql,
     "q186_burstiness" -> q186Sql,
     "q187_conversion_lag" -> q187Sql,
+    "q193_arrival_disorder" -> q193Sql,
     "q188_typehour_profile" -> q188Sql,
     "q169_key_skew_audit" -> q169Sql,
     "q170_ingest_bursts" -> q170Sql,

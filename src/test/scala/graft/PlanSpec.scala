@@ -448,13 +448,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planOf(llm.Similarity.q144Sq8Search(spark, sf))
     assert(plan.contains("sq8_codes"),
       s"q144 stage 1 must read the persisted code table:\n$plan")
-    // embeddings reads: query side (pushed vec_id filter) + the two
-    // rescore joins; the corpus-side candidate scan must NOT be one
+    // embeddings reads: ONLY the two ≤10-per-query rescore joins — the
+    // query side (pushed vec_id<50) materializes once into the
+    // driver-local probe relation at construction (r16), so the served
+    // plan's corpus-side candidate ranking touches no embeddings at all
     val embScans = "Scan parquet".r.findAllIn(plan).size
-    assert(embScans <= 3,
-      s"q144 may read embeddings only for query + rescore, found $embScans:\n$plan")
-    assert(plan.contains("LessThan(vec_id,50"),
-      s"query-side embeddings scan must push the vec_id filter:\n$plan")
+    assert(embScans <= 2,
+      s"q144 may read embeddings only for the rescore joins, found $embScans:\n$plan")
   }
 
   test("q155 SQ8 error audit reads the persisted codes, one corpus scan") {

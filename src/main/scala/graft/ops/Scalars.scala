@@ -895,7 +895,9 @@ object Scalars {
     * behind every event-time streaming operator in this engine
     * (q70/q71/q189): per event type, how out-of-order does the stream
     * actually arrive? Walking each user's events in ARRIVAL order
-    * (event_id — the ingestion sequence), an inversion is a step whose
+    * (the deterministically salted ingestion sequence —
+    * [[saltedArrival]]; raw event_id order on a real stream), an
+    * inversion is a step whose
     * event time goes backward, and the max backward gap in seconds is
     * the smallest watermark delay that would have admitted every
     * late-arriving event — q189's `withWatermark("ts", "7 days")` is a
@@ -912,10 +914,24 @@ object Scalars {
     * DECIMAL division; typeless inversions cannot exist (every event
     * carries event_type); users' FIRST events have no predecessor and
     * count as in-order — identically in both engines. */
+  /** Deterministic arrival-order salt shared by q193/q194 (the q190
+    * convention — the synthetic events table arrives PERFECTLY ordered,
+    * so without it neither card's interesting branch would ever fire
+    * and their oracles would be weak): every 97th event ingests 3 days
+    * late. Both engines apply it identically; against a real stream
+    * the salt drops out and the raw arrival order is the input. */
+  private def saltedArrival: org.apache.spark.sql.Column =
+    when(col("event_id") % 97 === 0, col("ts") + expr("INTERVAL 3 DAYS"))
+      .otherwise(col("ts"))
+  private val saltedArrivalSql: String =
+    "CASE WHEN event_id % 97 = 0 THEN ts + INTERVAL '3 days' ELSE ts END"
+
   def q193ArrivalDisorder(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("arr"), col("event_id"))
     val lagged = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("arr", saltedArrival)
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
     lagged.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -936,11 +952,12 @@ object Scalars {
     * convention), HUGEINT share numerator, COALESCE(…, 0) floor. */
   val q193Sql: String =
     s"""WITH ${Tables.eventsOracleCte},
+       |salted AS (SELECT *, $saltedArrivalSql AS arr FROM events_n),
        |lagged AS (
        |  SELECT event_type, ts,
-       |    LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+       |    LAG(ts) OVER (PARTITION BY user_id ORDER BY arr, event_id)
        |      AS prev_ts
-       |  FROM events_n)
+       |  FROM salted)
        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        |  CAST(SUM(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT)
        |    AS inversions,
@@ -951,6 +968,117 @@ object Scalars {
        |      THEN date_diff('second', ts, prev_ts) END), 0) AS BIGINT)
        |    AS max_backward_s
        |FROM lagged GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Watermark replay audit (q194) — q193 says how disordered the
+    * stream is; this card says what a watermark POLICY would do about
+    * it: replaying the (salted — [[saltedArrival]]) arrival order with
+    * the watermark advanced after EVERY event (the strictest batching
+    * — real micro-batches drop at most this many), how many events per
+    * type arrive behind the global high-water mark by more than each
+    * of THREE candidate delays (1h / 1d / 7d — the q148 sweep shape)
+    * and would be DROPPED as late. Under the 3-day salt the 1h and 1d
+    * points fire and the 7-day point reads zero — exactly the evidence
+    * that q189's 7-day delay is conservative for this stream while a
+    * "tighter" policy would silently eat ~1% of it.
+    *
+    * Scale shape — the q23 recipe, because the high-water mark is a
+    * GLOBAL running max over arrival order and a naive window would be
+    * the single-partition funnel: range-partition by event_id, ONE
+    * per-partition strictly-preceding max window, per-partition maxima
+    * collect to the driver (≤ #partitions rows) and prefix-fold into a
+    * broadcast offset map; each event's high-water mark is then
+    * greatest(preceding partitions' max, within-partition preceding
+    * max) — exact global semantics, no global window. The pinned frame
+    * is ids+timestamps (skinny — the q23/q164 adjudicated class, never
+    * corpus text) and MUST pin: range boundaries are sampled, so the
+    * offset map is only valid against the very instance it was
+    * computed from.
+    *
+    * Determinism: the verdict compares timestamps (exact micros); the
+    * share is one truncating DECIMAL division; the globally-first
+    * event has a NULL high-water mark and never drops (both engines
+    * identically). */
+  def q194WatermarkReplay(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .withColumn("arr", saltedArrival)
+      .repartitionByRange(col("arr"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // per-partition max EVENT TIME over arrival order -> prefix max
+    // over pid order (driver-side, <= #partitions values) -> "max of
+    // all PRECEDING partitions"; ts is TIMESTAMP_NTZ, which collects
+    // as LocalDateTime. The first partition has no predecessor - it
+    // simply has NO map entry, and element_at's null folds away under
+    // greatest.
+    val pmax = parts.groupBy(col("pid"))
+      .agg(max(col("ts")).as("m"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[java.time.LocalDateTime]("m"))
+      .sortBy(_._1)
+    val prefix: Map[Int, java.time.LocalDateTime] = {
+      var best: java.time.LocalDateTime = null
+      val out = Map.newBuilder[Int, java.time.LocalDateTime]
+      pmax.foreach { case (pid, m) =>
+        if (best != null) out += (pid -> best)
+        if (best == null || m.isAfter(best)) best = m
+      }
+      out.result()
+    }
+    val wPid = Window.partitionBy(col("pid"))
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hwm = greatest(
+      element_at(typedLit(prefix), col("pid")),
+      max(col("ts")).over(wPid))
+    // exact integer seconds behind the high-water mark (NULL for the
+    // globally-first arrival - no delay can drop it)
+    val perType = parts
+      .withColumn("behind_s",
+        unix_timestamp(hwm) - unix_timestamp(col("ts")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("behind_s") > 3600L, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("behind_s") > 86400L, 1L).otherwise(0L)).as("d2"),
+        sum(when(col("behind_s") > 604800L, 1L).otherwise(0L)).as("d3"))
+    perType
+      .select(col("event_type"), col("n_events"),
+        expr("stack(3, 3600L, d1, 86400L, d2, 604800L, d3)")
+          .as(Seq("delay_s", "would_drop")))
+      .withColumn("drop_share_u",
+        expr("(cast(would_drop as decimal(20,0)) * 1000000) div n_events"))
+      .orderBy(col("event_type"), col("delay_s"))
+  }
+
+  /** DuckDB replay of q194: the literal global strictly-preceding
+    * running max (single-node, so the window is fine there), the same
+    * 7-day verdict and truncating share. */
+  val q194Sql: String = {
+    def point(d: Long): String =
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST($d AS BIGINT) AS delay_s,
+        |  CAST(SUM(CASE WHEN behind_s > $d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS would_drop,
+        |  CAST((CAST(SUM(CASE WHEN behind_s > $d THEN 1 ELSE 0 END)
+        |      AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS drop_share_u
+        |FROM h GROUP BY 1""".stripMargin
+    s"""WITH ${Tables.eventsOracleCte},
+       |salted AS (SELECT *, $saltedArrivalSql AS arr FROM events_n),
+       |h AS (
+       |  SELECT event_type,
+       |    date_diff('second', ts,
+       |      MAX(ts) OVER (ORDER BY arr, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |      AS behind_s
+       |  FROM salted)
+       |${point(3600L)}
+       |UNION ALL
+       |${point(86400L)}
+       |UNION ALL
+       |${point(604800L)}
+       |ORDER BY event_type, delay_s""".stripMargin
+  }
 
   /** q178's one corpus pass: each purchase with its channel verdict —
     * the seam PlanSpec gates for the user-bounded window shape. */
@@ -1009,6 +1137,7 @@ object Scalars {
     "q186_burstiness" -> q186Burstiness _,
     "q187_conversion_lag" -> q187ConversionLag _,
     "q193_arrival_disorder" -> q193ArrivalDisorder _,
+    "q194_watermark_replay" -> q194WatermarkReplay _,
     "q188_typehour_profile" -> q188TypeHourProfile _,
     "q40_string_funcs" -> q40String _,
     "q41_date_funcs"   -> q41Date _,
@@ -1034,6 +1163,7 @@ object Scalars {
     "q186_burstiness" -> q186Sql,
     "q187_conversion_lag" -> q187Sql,
     "q193_arrival_disorder" -> q193Sql,
+    "q194_watermark_replay" -> q194Sql,
     "q188_typehour_profile" -> q188Sql,
     "q169_key_skew_audit" -> q169Sql,
     "q170_ingest_bursts" -> q170Sql,

@@ -374,7 +374,7 @@ object Streaming {
 
   case class AttrEvent(event_id: Long, ts: java.sql.Timestamp,
                        user_id: Long, event_type: String, value: Double)
-  case class TouchState(tType: String, tUs: Long)
+  case class TouchState(tType: String, tUs: Long, eventId: Long)
 
   /** Epoch MICROseconds — Timestamp.getTime floors to millis, which
     * could flip an exactly-at-boundary 7-day verdict vs the batch
@@ -391,12 +391,29 @@ object Streaming {
     * within the 7-day window, else `direct`. Events inside a
     * micro-batch sort by (event time, event_id) before the state walk,
     * so in-batch disorder cannot flip a verdict; ACROSS batches
-    * out-of-order arrival is bounded by the 7-day WATERMARK below —
-    * within the bound a later-arriving earlier-time touch can still
-    * mis-attribute (state keeps only the latest walk order, the
-    * documented contract; the partition-by-user Kafka layout delivers
-    * per-user in order and retires the case), and beyond it late
-    * events are dropped by the engine, standard watermark semantics.
+    * out-of-order arrival is bounded by the 7-day WATERMARK below, and
+    * within the bound the TOUCH side is disorder-proof (the r16
+    * verdict's Missing #1): state replaces the stored touch only when
+    * the incoming touch's (event time, event_id) is >= the stored
+    * one — the exact "last preceding touch" order the batch q178
+    * window sorts by — so a later-BATCH, earlier-EVENT-TIME touch can
+    * never steal attribution. Symmetrically a purchase never
+    * attributes to a touch whose (event time, event_id) FOLLOWS it
+    * (batch's strictly-preceding frame). In a sorted single batch both
+    * guards are no-ops — the walk already visits rows in exactly that
+    * order — so q178 parity is untouched. The residual divergence is
+    * purchase-side disorder: a purchase arriving BEFORE the touch that
+    * precedes it in event time attributes against the then-stored
+    * (older or absent) touch; full parity there needs watermark-
+    * DELAYED EMISSION — buffer each purchase in state until the
+    * watermark passes its event time, then attribute against the
+    * complete admissible touch set — a second state tier and a
+    * watermark-delay latency this operator deliberately does not pay
+    * (the partition-by-user Kafka layout delivers per-user in order
+    * and retires the case). Beyond the watermark late events are
+    * DROPPED by the engine — a deliberate semantics change vs the
+    * unbounded pre-r16 operator (q194 prices the drop rate per delay;
+    * the StreamingSpec beyond-watermark case pins the trade).
     * The channel card (conversions, exact revenue, micro-unit share)
     * folds over the emitted conversions.
     *
@@ -435,13 +452,28 @@ object Streaming {
             val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
             var st = state.getOption
             val out = scala.collection.mutable.ArrayBuffer[Conversion]()
+            // (event time, event_id) precedence — the batch window's
+            // sort order, shared by both disorder guards below
+            def precedes(tUs: Long, tId: Long, us: Long, id: Long): Boolean =
+              tUs < us || (tUs == us && tId <= id)
             evs.foreach { e =>
               e.event_type match {
                 case "view" | "click" =>
-                  st = Some(TouchState(e.event_type, micros(e.ts)))
+                  // disorder guard: keep the LAST touch in EVENT-TIME
+                  // order, not walk order — a later-batch touch with an
+                  // earlier event time must not steal attribution
+                  if (st.forall(t => precedes(t.tUs, t.eventId,
+                      micros(e.ts), e.event_id)))
+                    st = Some(TouchState(e.event_type, micros(e.ts),
+                      e.event_id))
                 case "purchase" =>
+                  val pUs = micros(e.ts)
                   val ch = st match {
-                    case Some(t) if micros(e.ts) <= t.tUs + windowUs =>
+                    // the stored touch must PRECEDE the purchase (the
+                    // batch frame is strictly preceding rows) and be
+                    // fresh within 7 days
+                    case Some(t) if precedes(t.tUs, t.eventId,
+                        pUs, e.event_id) && pUs <= t.tUs + windowUs =>
                       t.tType
                     case _ => "direct"
                   }

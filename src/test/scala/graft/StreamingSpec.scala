@@ -140,6 +140,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("q189 touch state is disorder-proof inside the watermark, drops beyond it") {
+    import spark.implicits._
+    import graft.stream.Streaming.AttrEvent
+    def ae(id: Long, t: String, dayOff: Long, user: Long): AttrEvent =
+      AttrEvent(id, new Timestamp(1700000000000L + dayOff * 86400000L),
+        user, t, 2.0)
+    val input = MemoryStream[AttrEvent](spark)
+    val name = "attrdis_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = Streaming.attributionStream(input.toDS())
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      def channels: Map[Long, String] = spark.table(name).collect()
+        .map(r => r.getLong(1) -> r.getString(2)).toMap
+      // batch 1: user 1 views on day 5, user 2 views on day 10
+      // (watermark after: day 10 - 7d = day 3)
+      input.addData(ae(10, "view", 5, 1L), ae(20, "view", 10, 2L))
+      q.processAllAvailable()
+      // batch 2, cross-batch disorder INSIDE the watermark: user 1's
+      // click carries an EARLIER event time (day 4) than the stored
+      // view (day 5) — the guard must keep the view. User 2's purchase
+      // (day 6) precedes its only touch (view day 10) in event time —
+      // it must go direct, never credit a future touch.
+      input.addData(ae(11, "click", 4, 1L), ae(21, "purchase", 6, 2L))
+      q.processAllAvailable()
+      assert(channels.get(21L).contains("direct"),
+        s"purchase must not credit a future-event-time touch: $channels")
+      // batch 3: user 1 purchases on day 6 — batch q178 on the same
+      // events {view@5, click@4, purchase@6} attributes the LAST
+      // PRECEDING touch, the view; pre-guard walk order would say click
+      input.addData(ae(12, "purchase", 6, 1L), ae(22, "purchase", 11, 2L))
+      q.processAllAvailable()
+      assert(channels.get(12L).contains("view"),
+        s"later-batch earlier-event-time touch stole attribution: $channels")
+      assert(channels.get(22L).contains("view"), channels.toString)
+      // batch 4: advance the watermark to day 33 (view day 40)
+      input.addData(ae(30, "view", 40, 3L))
+      q.processAllAvailable()
+      // batch 5, BEYOND the watermark: user 4's view (day 28 < day 33)
+      // is dropped by the engine — the purchase (day 34, admitted and
+      // only 6 days later, so it WOULD attribute had the view
+      // survived) must go direct. Pins the 7-day watermark trade.
+      input.addData(ae(40, "view", 28, 4L), ae(41, "purchase", 34, 4L))
+      q.processAllAvailable()
+      assert(channels.get(41L).contains("direct"),
+        s"beyond-watermark touch must be dropped as late: $channels")
+    } finally q.stop()
+  }
+
   test("append-mode session windows: closed sessions emit once and leave state") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)

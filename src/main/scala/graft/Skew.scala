@@ -73,6 +73,21 @@ object Skew {
 
   private[graft] def clearAdvice(): Unit = advice.clear()
 
+  /** Invalidate every recorded family whose name contains `marker` —
+    * the maintainer-commit hook (the r16 verdict's Missing #3). A
+    * ceiling is a measurement of ONE artifact state: once a maintainer
+    * commits to the artifact a family was measured against (ANN cell
+    * membership appends/vacuums, verified-pair ingest batches), a
+    * recorded "cold" reading can sit under a newly-grown hot key and
+    * silently disable the guard — the exact straggler it exists for.
+    * So the maintainers' commit paths clear their artifact's families
+    * (marker = the family-name segment that names the artifact, e.g.
+    * "ann.ivf_cell"), and the next guarded join re-runs its pre-check
+    * against the post-commit data. Over-clearing is safe — it costs
+    * one re-measured 1-row job, never a wrong plan. */
+  def invalidateAdvice(marker: String): Unit =
+    advice.keySet.removeIf((k: String) => k.contains(marker))
+
   /** Exact sharded INNER equi-join of `left` and `right` on `key`:
     * returns the same multiset of combined rows as
     * `left.join(right, Seq(key))`, with per-join-key work bounded by
@@ -82,7 +97,16 @@ object Skew {
     * set). Payload column names must be disjoint across sides apart
     * from `key`. `family` (optional) names the join-key family for the
     * advice registry: a recorded cold reading skips the pre-check job,
-    * a recorded hot one skips straight to the sharded plan. */
+    * a recorded hot one skips straight to the sharded plan.
+    *
+    * SIDE EFFECT (r16 ADVICE): unless the family has a recorded
+    * reading, CONSTRUCTING the returned DataFrame runs one eager Spark
+    * job (the 1-row pre-check `.head()`) — callers building plans they
+    * may never execute, or building inside a latency-sensitive path,
+    * should pre-seed the family via [[adviseKey]] (q169's audit does
+    * exactly this for the events families). Families measured against
+    * MAINTAINED artifacts must be cleared on the maintainer's commit
+    * ([[invalidateAdvice]]) or the recorded ceiling goes stale. */
   def guardedKeyJoin(left: DataFrame, right: DataFrame, key: String,
                      leftId: String, rightId: String,
                      maxSide: Int = 4096,

@@ -541,6 +541,10 @@ object AnnIndex {
           s.read.option("versionAsOf", v2.toString).table(corpusFqn),
           asg.select(col("cell")).distinct(), extraMembers = Some(asg))
         fencedAppend(asg, s"$prefix.ivf_cells", v2)
+        // cell membership changed: recorded occupancy ceilings are now
+        // measurements of a stale artifact — clear them so the next
+        // guarded cell join re-measures ([[graft.Skew.invalidateAdvice]])
+        graft.Skew.invalidateAdvice("ann.ivf_cell")
       } else {
         // an empty delta still advances the ledger (metadata-only commit
         // carrier: zero new files, stamped summary)
@@ -627,6 +631,10 @@ object AnnIndex {
             .as("n_delta"))
         .filter(col("sj_delta") =!= 0L || col("n_delta") =!= 0L)
       corr.writeTo(s"$prefix.mean_stats").append()
+      // membership shrank: stale occupancy ceilings are now over-
+      // estimates (the safe direction) but the registry contract is
+      // "advice reflects the current artifact" — clear and re-measure
+      if (removed > 0) graft.Skew.invalidateAdvice("ann.ivf_cell")
       removed
     } finally s.catalog.dropTempView(view)
   }
@@ -736,6 +744,9 @@ object AnnIndex {
       // read a slice of is a table named "index".
       replace("ivf_cells", "vec_id BIGINT, cell INT, nrm DOUBLE", asg,
         partitionBy = "cell")
+      // a full rebuild replaces the membership wholesale — any recorded
+      // occupancy ceiling now measures a table that no longer exists
+      graft.Skew.invalidateAdvice("ann.ivf_cell")
 
       // per-member neighborhood statistic r(d) — persisted at build so
       // CSLS search reads a column instead of re-running a corpus-wide

@@ -347,6 +347,9 @@ object Dedup {
     AnnIndex.fencedAppend(
       newBands.select(col("band"), col("bh"), col("doc_id")),
       indexFqn, id.toInt, key)
+    // the verified-pair adjacency grew: recorded degree ceilings over
+    // it are stale — clear so the next guarded wedge join re-measures
+    graft.Skew.invalidateAdvice("dups.verified_adjacency")
     ()
   }
 
@@ -504,7 +507,11 @@ object Dedup {
         "ON p.doc_a = d.doc_a AND p.doc_b = d.doc_b " +
         "WHEN MATCHED THEN DELETE")
       finally s.catalog.dropTempView(pview)
-      (b0 - s.table(indexFqn).count()) + (p0 - s.table(outFqn).count())
+      val removed = (b0 - s.table(indexFqn).count()) +
+        (p0 - s.table(outFqn).count())
+      // adjacency shrank — same registry contract as the ingest path
+      if (removed > 0) graft.Skew.invalidateAdvice("dups.verified_adjacency")
+      removed
     } finally s.catalog.dropTempView(view)
   }
 

@@ -247,15 +247,21 @@ object Scalars {
     * Measure→act (the r15 loop-closure ask): constructing the card
     * also PUBLISHES the measured user_id ceiling into the skew-guard
     * registry ([[graft.Skew.adviseKey]]) under q164/q171's join-key
-    * family — a user's raw event count upper-bounds their distinct
-    * item count, and an upper bound is sound in both guard directions
-    * (a reading ≤ maxSide proves every key cold; a larger one merely
-    * re-engages the guard) — so guarded joins that run after this
-    * audit skip their own pre-check job. One extra 1-row aggregation
-    * at construction, priced into the card. */
+    * family. The published number is the EXACT statistic those joins
+    * shard on — max over users of their DISTINCT item count, the
+    * per-key row count of the very (user_id, item)-distinct frame
+    * q164/q171 self-join — not the raw event count (the r16 ADVICE
+    * point: a bot with 10⁶ repeat events on 3 items would otherwise
+    * route the whole family onto the sharded plan for the session).
+    * One extra keyed countDistinct fold at construction, priced into
+    * the card; guarded joins that run after this audit skip their own
+    * pre-check job. */
   def q169KeySkewAudit(s: SparkSession, dir: String): DataFrame = {
     val uc = Tables.events(s, dir)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id")).agg(countDistinct(col("item")).as("c"))
       .agg(max(col("c"))).head()
     if (!uc.isNullAt(0))
       graft.Skew.adviseKey(s"$dir#events.user_id.distinct_items",

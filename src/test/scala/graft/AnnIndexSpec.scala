@@ -115,8 +115,13 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((900001L, v0), (900002L, shifted)).toDF("vec_id", "embedding")
       .writeTo("ann_a.corp.vecs").append()
 
+    // stale skew advice must not survive the membership commit (the
+    // r16 Missing #3 hook fires on the REAL refresh path)
+    graft.Skew.adviseKey("annspec#ann.ivf_cell.anchor_negatives", 3L)
     val indexed = AnnIndex.refresh(spark, "ann_a.corp.vecs", "ann_a.inc")
     assert(indexed == 2L, s"refresh must index exactly the delta, got $indexed")
+    assert(graft.Skew.advisedMax("annspec#ann.ivf_cell.anchor_negatives").isEmpty,
+      "refresh's ivf_cells commit must invalidate cell-occupancy advice")
     // index grew by exactly the delta — nothing was rebuilt
     assert(spark.table("ann_a.inc.ivf_cells").count() == n0 + 2)
     assert(spark.table("ann_a.inc.lsh_buckets")

@@ -267,6 +267,43 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     Skew.clearAdvice()
   }
 
+  test("maintainer-commit invalidation re-engages the sharded cover") {
+    import spark.implicits._
+    // the r16 verdict's Missing #3 loop: a family measured COLD against
+    // one artifact state must not stay cold after the artifact's
+    // maintainer commits — invalidation clears it and the next guarded
+    // join re-measures against the grown data
+    val fam = "specwh#dups.verified_adjacency.wedges"
+    Skew.clearAdvice()
+    Skew.adviseKey(fam, 2L) // the pre-growth cold ceiling
+    val left = (1 to 40).map(i => ("hub", i.toLong)).toDF("k", "la")
+    val right = (1 to 35).map(i => ("hub", i.toLong)).toDF("k", "rb")
+    // stale-cold reading: the guard trusts it and takes the plain join
+    // even though the (post-append) data is hot — the exact hazard
+    val stale = Skew.guardedKeyJoin(left, right, "k", "la", "rb",
+      maxSide = 8, family = Some(fam))
+    assert(!stale.queryExecution.optimizedPlan.toString.contains("__x"))
+    // the maintainer-commit hook (dedupBatch/bandVacuum call this with
+    // the same marker) clears every family naming the artifact —
+    // including dir-scoped variants — and leaves other families alone
+    Skew.adviseKey("otherdir#ann.ivf_cell.anchor_negatives", 7L)
+    Skew.invalidateAdvice("dups.verified_adjacency")
+    assert(Skew.advisedMax(fam).isEmpty,
+      "maintainer commit must clear the artifact's families")
+    assert(Skew.advisedMax("otherdir#ann.ivf_cell.anchor_negatives")
+      .contains(7L), "unrelated families must survive invalidation")
+    // the next guarded join re-runs its pre-check, reads hot (40×35 on
+    // maxSide=8), records the fresh ceiling, and takes the sharded
+    // cover — the guard is re-engaged
+    val fresh = Skew.guardedKeyJoin(left, right, "k", "la", "rb",
+      maxSide = 8, family = Some(fam))
+    assert(fresh.queryExecution.optimizedPlan.toString.contains("__x"),
+      "post-invalidation join must re-engage the sharded cover")
+    assert(Skew.advisedMax(fam).contains(40L))
+    assert(fresh.count() == 40L * 35L)
+    Skew.clearAdvice()
+  }
+
   test("label propagation converges on a deep chain (diameter >> 10)") {
     import spark.implicits._
     // a 200-hop chain 0-1-2-...-200 — the r9 implementation silently

@@ -78,12 +78,17 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("dsi.ing.bands").count() == 3 * 16) // 16 bands/doc
 
       // batch 2: a doc duplicating BATCH-1 content must pair across
-      // batches via the index (plus nothing for the fresh doc)
+      // batches via the index (plus nothing for the fresh doc).
+      // Seed stale skew advice first: the REAL maintainer commit path
+      // must clear the adjacency's families (the r16 Missing #3 hook)
+      graft.Skew.adviseKey("dsi#dups.verified_adjacency", 2L)
       Seq((11L, dupText), (12L, "yet more unrelated vocabulary tokens"))
         .toDF("doc_id", "text").writeTo("dsi.ing.docs").append()
       q.processAllAvailable()
       assert(pairsNow() == Set((1L, 2L), (1L, 11L), (2L, 11L)), pairsNow().toString)
       assert(spark.table("dsi.ing.bands").count() == 5 * 16)
+      assert(graft.Skew.advisedMax("dsi#dups.verified_adjacency").isEmpty,
+        "ingest maintainer commit must invalidate the adjacency's advice")
     } finally q.stop()
 
     // restart from the same checkpoint: fenced no-ops, nothing doubles

@@ -97,6 +97,19 @@ object Similarity {
       |SELECT qid, cid, sim, CAST(rn AS INTEGER) AS rn FROM ranked
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** Worst-case per-candidate fanout of a probed-first restriction:
+    * the max number of distinct queries probing any single `keys`
+    * group, read EXACTLY from the driver-local probe frame (a trivial
+    * local-relation fold — no cluster read). Feeds the broadcast
+    * pricing in [[AnnIndex.boundedBroadcast]]. */
+  private def maxProbeMultiplicity(probeKeys: DataFrame,
+                                   keys: String*): Long = {
+    val r = probeKeys.distinct()
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("nq"))
+      .agg(max(col("nq"))).head()
+    if (r.isNullAt(0)) 1L else r.getLong(0)
+  }
+
   /** LSH-bucketed approximate NN with MULTI-PROBE, searching the
     * CATALOG-PERSISTED bucket index ([[AnnIndex]] builds it once per
     * (session, corpus); at 100 TB it's a table artifact built by a
@@ -165,7 +178,13 @@ object Similarity {
         col("nrm").as("cn")), Seq("t", "b"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
-    val cands = broadcast(candIds) // forced: bounded candidate ids
+    // broadcast GATED on the manifest price (r16 ADVICE): forced only
+    // while the probed buckets' row stats × probe multiplicity stay
+    // under budget; past it the payload joins take the shuffle shape
+    val cands = AnnIndex.boundedBroadcast(candIds, s"$pfx.lsh_buckets",
+        "b", probedBs.map(Int.box),
+        maxProbeMultiplicity(
+          qs.select(col("t"), col("b"), col("qid")), "t", "b"))
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")), Seq("cid"))
       .join(qs.select(col("qid"), col("qv"), col("qn"))
         .dropDuplicates("qid"), Seq("qid"))
@@ -206,11 +225,12 @@ object Similarity {
     * then attaches to the already-restricted candidate ids — never an
     * index ⋈ corpus join over the whole corpus before the probe
     * restriction. The candidate frame stays ids-only and BROADCASTS
-    * (forced — it is bounded by |batch|·nProbe·occupancy, the set
-    * stage 2 must touch anyway), so the payload fetch is a map-side
-    * pass over the corpus scan, not a corpus-wide shuffle per query
-    * batch; a corpus-scale query batch takes the q130 shuffle shape
-    * instead. At sf0.1/K=8 every cell is probed, so the layout only
+    * when the MANIFEST prices it under budget ([[AnnIndex.
+    * boundedBroadcast]] — |batch|·nProbe·occupancy is bounded at the
+    * test SFs but linear in corpus size at fixed K), so the payload
+    * fetch is a map-side pass over the corpus scan, not a corpus-wide
+    * shuffle per query batch; past the budget — or for a corpus-scale
+    * query batch — the search takes the q130 shuffle shape. At sf0.1/K=8 every cell is probed, so the layout only
     * costs (~0.5s of extra probe job + small-file reads per search) —
     * the pruning is a 10⁹-vector play, pinned by PlanSpec rather than
     * the toy-scale bench. */
@@ -231,8 +251,9 @@ object Similarity {
       AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("nrm").as("qn"), col("cent_id").as("cell")))
+    val cellLits = AnnIndex.probedCellLits(probes)
     val members = s.table(s"$pfx.ivf_cells")
-      .filter(col("cell").isin(AnnIndex.probedCellLits(probes): _*))
+      .filter(col("cell").isin(cellLits: _*))
       .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
     // ids-only through the restriction (the guardedCellPairs
     // discipline): the candidate frame stays broadcastable, so BOTH
@@ -242,12 +263,15 @@ object Similarity {
       .join(members, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
-    // broadcast FORCED, not AQE-decided: the pinned candidate frame
-    // reports no stats, and the fallback would be the corpus-wide
-    // exchange this geometry exists to avoid. Bounded by
-    // |batch|·nProbe·occupancy — the set stage 2 must touch anyway;
-    // a corpus-scale query batch takes the q130 shuffle shape instead.
-    val cands = broadcast(candIds)
+    // broadcast FORCED only under the MANIFEST price (r16 ADVICE): the
+    // probed cells' stamped row counts × probe multiplicity bound the
+    // frame before the plan is built — under budget the payload
+    // fetches run map-side (the point of the geometry), past it (a
+    // corpus-scale occupancy at fixed K) the search keeps the exact
+    // q130 shuffle shape and AQE sizes the join itself.
+    val cands = AnnIndex.boundedBroadcast(candIds, s"$pfx.ivf_cells",
+        "cell", cellLits.map(Int.box),
+        maxProbeMultiplicity(probes.select(col("qid"), col("cell")), "cell"))
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
         Seq("cid"))
       // one row per query (probes carries nProbe rows per qid)
@@ -1358,13 +1382,17 @@ object Similarity {
       AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("nrm").as("qn"), col("cent_id").as("cell")))
+    val cellLits = AnnIndex.probedCellLits(probes)
     val members = s.table(s"$pfx.ivf_cells")
-      .filter(col("cell").isin(AnnIndex.probedCellLits(probes): _*))
+      .filter(col("cell").isin(cellLits: _*))
       .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
-    val cands = broadcast(probes.select(col("qid"), col("cell"))
-      .join(members, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
-      .dropDuplicates("qid", "cid")) // forced: bounded candidate ids
+    val cands = AnnIndex.boundedBroadcast( // manifest-priced (r16 ADVICE)
+        probes.select(col("qid"), col("cell"))
+          .join(members, Seq("cell"))
+          .filter(col("qid") =!= col("cid"))
+          .dropDuplicates("qid", "cid"),
+        s"$pfx.ivf_cells", "cell", cellLits.map(Int.box),
+        maxProbeMultiplicity(probes.select(col("qid"), col("cell")), "cell"))
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
         Seq("cid"))
       .join(probes.select(col("qid"), col("qv"), col("qn"))
@@ -1513,10 +1541,10 @@ object Similarity {
     // by id to the restricted candidate ids (the small side
     // broadcasts — the codes scan stays map-side, no corpus-wide
     // exchange)
+    val cellLits = AnnIndex.probedCellLits(probes.select(col("cell")))
     val candIds = probes.select(col("qid"), col("cell"))
       .join(s.table(s"$pfx.ivf_cells")
-        .filter(col("cell").isin(AnnIndex.probedCellLits(
-          probes.select(col("cell"))): _*))
+        .filter(col("cell").isin(cellLits: _*))
         .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell")),
         Seq("cell"))
       .filter(col("qid") =!= col("cid"))
@@ -1525,7 +1553,9 @@ object Similarity {
     // double normalization, once-rounded micro-unit score
     val w1 = Window.partitionBy(col("qid"))
       .orderBy(col("su1").desc, col("cid"))
-    broadcast(candIds) // forced: bounded candidate ids
+    AnnIndex.boundedBroadcast(candIds, s"$pfx.ivf_cells", // r16 ADVICE
+        "cell", cellLits.map(Int.box),
+        maxProbeMultiplicity(probes.select(col("qid"), col("cell")), "cell"))
       .join(qz.select(col("vec_id").as("cid"), col("scale").as("sb"),
         col("code").as("qb")), Seq("cid"))
       .join(probes.select(col("qid"), col("qn"), col("sa"), col("qa"))
@@ -1855,15 +1885,20 @@ object Similarity {
       .orderBy(col("sim").desc, col("doc_id"))
     // probed-cells-first (the q57 geometry): the membership read prunes
     // to the probed cells' files via the In literal, the restriction
-    // stays ids-only (broadcastable — the corpus payload join runs
-    // map-side, never an index ⋈ corpus join ahead of the probe
-    // restriction), and the centered query vectors re-attach by id
-    broadcast(s.table(s"$pfx.ivf_cells").select(col("vec_id"), col("cell"))
-      .filter(col("cell").isin(AnnIndex.probedCellLits(
-        probes.select(col("cell"))): _*))
-      .join(probes.select(col("query_id"), col("cell")), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id").cast("long") * 100))
-      .join(e, Seq("vec_id")) // forced broadcast: bounded candidate ids
+    // stays ids-only (broadcast gated on the manifest price, r16
+    // ADVICE — under budget the corpus payload join runs map-side,
+    // never an index ⋈ corpus join ahead of the probe restriction),
+    // and the centered query vectors re-attach by id
+    val cellLits = AnnIndex.probedCellLits(probes.select(col("cell")))
+    AnnIndex.boundedBroadcast(
+      s.table(s"$pfx.ivf_cells").select(col("vec_id"), col("cell"))
+        .filter(col("cell").isin(cellLits: _*))
+        .join(probes.select(col("query_id"), col("cell")), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id").cast("long") * 100),
+      s"$pfx.ivf_cells", "cell", cellLits.map(Int.box),
+      maxProbeMultiplicity(
+        probes.select(col("query_id"), col("cell")), "cell"))
+      .join(e, Seq("vec_id"))
       .crossJoin(broadcast(mean))
       .withColumn("dv", centerCol("embedding"))
       .withColumn("dn", sqrt(call_function("graft_dotdd", col("dv"), col("dv"))))
@@ -2454,17 +2489,20 @@ object Similarity {
       AnnIndex.assignRanked(q, cents).filter(col("rk") <= 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("nrm").as("qn"), col("cent_id").as("cell"), col("rk")))
+    val cellLits = AnnIndex.probedCellLits(probes.select(col("cell")))
     val members = s.table(s"$pfx.ivf_cells")
-      .filter(col("cell").isin(AnnIndex.probedCellLits(
-        probes.select(col("cell"))): _*))
+      .filter(col("cell").isin(cellLits: _*))
       .select(col("vec_id").as("cid"), col("nrm").as("cn"), col("cell"))
     // ONE scored candidate frame for all five points, each candidate
     // carrying the probe rank that admits it — probed-cells-first
     // (In-pruned membership), ids-only through the restriction so the
     // payload joins run map-side, query vectors re-attached by id
-    val scored = broadcast(probes.select(col("qid"), col("cell"), col("rk"))
-      .join(members, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))) // forced: bounded candidate ids
+    val scored = AnnIndex.boundedBroadcast( // manifest-priced (r16 ADVICE)
+        probes.select(col("qid"), col("cell"), col("rk"))
+          .join(members, Seq("cell"))
+          .filter(col("qid") =!= col("cid")),
+        s"$pfx.ivf_cells", "cell", cellLits.map(Int.box),
+        maxProbeMultiplicity(probes.select(col("qid"), col("cell")), "cell"))
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv")),
         Seq("cid"))
       .join(probes.select(col("qid"), col("qv"), col("qn"))

@@ -989,32 +989,47 @@ object Scalars {
     *
     * Scale shape — the q23 recipe, because the high-water mark is a
     * GLOBAL running max over arrival order and a naive window would be
-    * the single-partition funnel: range-partition by event_id, ONE
-    * per-partition strictly-preceding max window, per-partition maxima
-    * collect to the driver (≤ #partitions rows) and prefix-fold into a
-    * broadcast offset map; each event's high-water mark is then
-    * greatest(preceding partitions' max, within-partition preceding
-    * max) — exact global semantics, no global window. The pinned frame
-    * is ids+timestamps (skinny — the q23/q164 adjudicated class, never
-    * corpus text) and MUST pin: range boundaries are sampled, so the
-    * offset map is only valid against the very instance it was
-    * computed from.
+    * the single-partition funnel: split arrival order into range
+    * buckets, ONE per-bucket strictly-preceding max window, per-bucket
+    * maxima collect to the driver (≤ #buckets rows) and prefix-fold
+    * into a broadcast offset map; each event's high-water mark is then
+    * greatest(preceding buckets' max, within-bucket preceding max) —
+    * exact global semantics, no global window. The bucket id is a PURE
+    * ROW FUNCTION (count of EXPLICIT driver-collected boundaries below
+    * the arrival second — one bounded approxQuantile job prices them),
+    * NOT spark_partition_id over a sampled repartitionByRange — so the
+    * frame needs NO pin (the r16 verdict's Missing #4: the old
+    * corpus-rows localCheckpoint was non-fault-tolerant and
+    * row-proportional; now both passes re-derive identical buckets
+    * from the literal boundaries, and a lost executor just recomputes).
+    * ANY boundary set keeps the recipe exact — buckets are monotone in
+    * arrival order by construction (same-second rows share a bucket,
+    * floor-of-second is monotone) — quantiles only keep them balanced.
     *
     * Determinism: the verdict compares timestamps (exact micros); the
     * share is one truncating DECIMAL division; the globally-first
     * event has a NULL high-water mark and never drops (both engines
     * identically). */
   def q194WatermarkReplay(s: SparkSession, dir: String): DataFrame = {
-    val parts = Tables.events(s, dir)
+    val ev = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"), col("ts"))
       .withColumn("arr", saltedArrival)
-      .repartitionByRange(col("arr"), col("event_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    // per-partition max EVENT TIME over arrival order -> prefix max
-    // over pid order (driver-side, <= #partitions values) -> "max of
-    // all PRECEDING partitions"; ts is TIMESTAMP_NTZ, which collects
-    // as LocalDateTime. The first partition has no predecessor - it
+      .withColumn("au", unix_timestamp(col("arr")))
+    // explicit deterministic bucket boundaries: one bounded
+    // approxQuantile collect (≤ 31 longs to the driver), then the
+    // bucket id is the count of boundaries strictly below the row's
+    // arrival second — a pure row function both passes re-derive
+    // identically, so nothing pins
+    val bounds = ev.stat.approxQuantile("au",
+        (1 until 32).map(_ / 32.0).toArray, 0.001)
+      .map(_.toLong).distinct.sorted
+    val bLit = array(bounds.map(lit(_)): _*)
+    val parts = ev.withColumn("pid",
+      size(filter(bLit, b => b < col("au"))))
+    // per-bucket max EVENT TIME over arrival order -> prefix max
+    // over pid order (driver-side, <= #buckets values) -> "max of
+    // all PRECEDING buckets"; ts is TIMESTAMP_NTZ, which collects
+    // as LocalDateTime. The first bucket has no predecessor - it
     // simply has NO map entry, and element_at's null folds away under
     // greatest.
     val pmax = parts.groupBy(col("pid"))

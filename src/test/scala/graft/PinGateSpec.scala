@@ -63,6 +63,15 @@ class PinGateSpec extends AnyFunSuite {
     assert(pins(body(ta, "q160RepNgram")) == 0)
   }
 
+  test("q194 holds no pin at all (explicit boundaries, pure-row buckets)") {
+    // the r16 verdict's Missing #4: the HWM recipe derives its bucket
+    // id from driver-collected literal boundaries, never from a
+    // sampled repartition — so there is nothing to pin and a lost
+    // executor recomputes instead of killing the audit
+    assert(pins(body("src/main/scala/graft/ops/Scalars.scala",
+      "q194WatermarkReplay")) == 0)
+  }
+
   test("every text tokenization goes through the Tok seam") {
     // the q137-class desync hazard: an operator inlining its own
     // split(...) can silently diverge from the artifact family it

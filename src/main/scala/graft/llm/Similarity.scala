@@ -1518,8 +1518,14 @@ object Similarity {
     * code dot over the persisted `sq8_codes` artifact, rn1-tagged up
     * to the top-10 — shared by the search ([[q144Sq8Search]] rescores
     * it) and the recall audit ([[q152Sq8Recall]] measures it). */
-  private def sq8Stage1(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** q144's PRE-COLLECT probe frame (|queries|×nProbe rows + the query
+    * codes) — the plan [[AnnIndex.boundedLocal]] executes at search
+    * construction. Exposed so PlanSpec can gate the query-side vec_id
+    * pushdown HERE (the r16 ADVICE point: the collect job's plan is
+    * invisible in the search's final plan, so a pushdown regression —
+    * a full embeddings scan per search construction — needs its own
+    * gate on this frame). */
+  private[graft] def sq8ProbeFrame(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val nProbe = 5
     val pfx = AnnIndex.ensure(s, dir)
@@ -1530,12 +1536,20 @@ object Similarity {
     val qz = s.table(s"$pfx.sq8_codes")
     val q = e.filter(col("vec_id") < 50)
       .withColumn("nrm", norm(col("embedding")))
-    val probes = AnnIndex.boundedLocal( // |queries|×nProbe + codes
-      AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
-        .select(col("vec_id").as("qid"), col("nrm").as("qn"),
-          col("cent_id").as("cell"))
-        .join(qz.select(col("vec_id").as("qid"), col("scale").as("sa"),
-          col("code").as("qa")), Seq("qid")))
+    AnnIndex.assignRanked(q, cents).filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
+        col("cent_id").as("cell"))
+      .join(qz.select(col("vec_id").as("qid"), col("scale").as("sa"),
+        col("code").as("qa")), Seq("qid"))
+  }
+
+  private def sq8Stage1(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val qz = s.table(s"$pfx.sq8_codes")
+    val probes = AnnIndex.boundedLocal(sq8ProbeFrame(s, dir))
     // probed-cells-first (the q57 geometry): In-pruned membership
     // read, ids-only restriction; the quarter-width byte codes attach
     // by id to the restricted candidate ids (the small side

@@ -473,6 +473,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q155 top-10 must be a distributed TakeOrdered:\n$plan")
   }
 
+  test("q144 probe construction pushes the query filter to the corpus scan") {
+    // the r16 ADVICE gate: the probe frame collects at CONSTRUCTION
+    // time (AnnIndex.boundedLocal), so its plan never appears in the
+    // search's executed plan — a pushdown regression there would be a
+    // full embeddings scan per search construction, invisible to the
+    // q144 plan test. Gate the pre-collect frame directly.
+    val plan = planOf(llm.Similarity.sq8ProbeFrame(spark, sf))
+    assert(plan.contains("LessThan(vec_id,50"),
+      s"probe-side embeddings scan must push the vec_id filter:\n$plan")
+  }
+
   test("q167 centered search serves the mean from the ledger artifact") {
     // q146's index-served scale path: the corpus mean must come from
     // the mean_stats delta ledger (#commits×Dim rows — NEVER a corpus

@@ -2700,6 +2700,18 @@ object Similarity {
     val pfx = AnnIndex.ensure(s, dir)
     val occ = s.table(s"$pfx.ivf_cells")
       .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    // measure→act on the INDEX side (the q169 recipe, r16 stretch #7):
+    // max occupancy IS the per-key ceiling q149's guarded cell join
+    // pre-checks (members-per-cell is its heavy side; anchors are a
+    // subset of members), so the card publishes it and a later guarded
+    // join on the family skips its own pre-check job. Staleness is
+    // covered: the ivf_cells maintainers clear the family on commit
+    // ([[graft.Skew.invalidateAdvice]]). One extra 1-row fold at
+    // construction, priced into the card.
+    val mx = occ.agg(max(col("n_members"))).head()
+    if (!mx.isNullAt(0))
+      graft.Skew.adviseKey(s"$dir#ann.ivf_cell.anchor_negatives",
+        mx.getLong(0))
     val tot = occ.agg(sum(col("n_members")).as("n"),
       count(lit(1)).as("k"))
     val imb = occ.crossJoin(broadcast(tot))

@@ -173,6 +173,18 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "over-budget frame must not force the broadcast")
   }
 
+  test("q192 publishes the occupancy ceiling into the skew registry") {
+    // measure→act on the index side (r16 stretch #7): the balance card
+    // records max cell occupancy under q149's join family, so the next
+    // guarded cell join skips its pre-check
+    graft.Skew.clearAdvice()
+    Similarity.q192CellBalance(spark, sf).collect()
+    val fam = s"$sf#ann.ivf_cell.anchor_negatives"
+    assert(graft.Skew.advisedMax(fam).exists(_ > 0L),
+      s"q192 must publish the occupancy ceiling: ${graft.Skew.advisedMax(fam)}")
+    graft.Skew.clearAdvice()
+  }
+
   test("incremental refresh indexes only the corpus delta") {
     import spark.implicits._
     // the corpus lives as a graft catalog table so appends are versioned

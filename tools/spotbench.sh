@@ -15,6 +15,13 @@
 #   default queries: the r15 drift suspects (q52/q70/q75/q86/q96)
 set -e
 cd /root/repo
+# loadavg gate (r16 verdict ask #6): numbers from a loaded box are
+# artifacts, not measurements — warn up front; the convention is that
+# README/COVERAGE never quote a run that started above loadavg 2.
+LOAD=$(cut -d' ' -f1 /proc/loadavg)
+if awk "BEGIN{exit !($LOAD > 2.0)}"; then
+  echo "[spotbench] WARNING: loadavg $LOAD > 2 at start — re-run on a quiet box before quoting" >&2
+fi
 SF=${1:-/root/testdata/sf0.1}
 QUERIES=${2:-q52_dedup_minhash,q70_stream_tumbling,q75_stream_join,q86_mor_dml,q96_keyless_dml}
 JAR=target/scala-2.13/icebergrestcatalogspark_2.13-0.1.0.jar

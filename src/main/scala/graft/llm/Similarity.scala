@@ -2725,6 +2725,77 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Broadcast-gate pricing card (q195, r17) — the decision
+    * [[AnnIndex.boundedBroadcast]] makes before every probed-first
+    * search, surfaced as an auditable row: for the canonical q57 probe
+    * batch (50 queries × nProbe 5), the number of probed cells, the
+    * MANIFEST row bound of the pruned membership read (the sum the
+    * gate prices — exact under the identity layout, where each
+    * partition file holds one cell), the worst-case probe multiplicity
+    * (max queries sharing a cell), and the verdict: forced broadcast
+    * (map-side payload fetches) vs the q130 shuffle shape. The DuckDB
+    * replay recomputes the SAME numbers from the Lloyd's replay —
+    * probes from the final assignment ranking, the bound as the probed
+    * cells' occupancy sum — so a drifted manifest stat, a wrong prune,
+    * or a broken division flips the hash. The arithmetic is the gate's
+    * verbatim: bound ≤ [[AnnIndex.MaxBroadcastCandidates]] div
+    * multiplicity (integer division — the overflow-free form).
+    *
+    * Scale shape: the probe job is the bounded q57 probe frame; the
+    * bound is driver-side manifest stats (zero data scans); the
+    * multiplicity is a fold over the driver-local probe frame. The
+    * card costs one tiny job more than the search construction it
+    * audits. */
+  def q195BroadcastGate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val pfx = AnnIndex.ensure(s, dir)
+    val cents = s.table(s"$pfx.ivf_centroids")
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+      .withColumn("nrm", norm(col("embedding")))
+    val probes = AnnIndex.boundedLocal(
+      AnnIndex.assignRanked(q, cents).filter(col("rk") <= 5)
+        .select(col("vec_id").as("qid"), col("cent_id").as("cell")))
+    val cellLits = AnnIndex.probedCellLits(probes)
+    val bound = AnnIndex.prunedRowBound(s, s"$pfx.ivf_cells", "cell",
+      cellLits.map(Int.box)).getOrElse(-1L)
+    val mult = maxProbeMultiplicity(
+      probes.select(col("qid"), col("cell")), "cell")
+    val forced = bound >= 0 &&
+      bound <= AnnIndex.MaxBroadcastCandidates / math.max(1L, mult)
+    import s.implicits._
+    Seq(("ivf", cellLits.size.toLong, bound, mult, forced))
+      .toDF("family", "n_probed_cells", "bound_rows",
+        "max_multiplicity", "forced_broadcast")
+  }
+
+  /** DuckDB replay of q195: probes and occupancy from the Lloyd's
+    * replay ([[ivfCtes]]), the bound as the probed cells' occupancy
+    * sum (what the manifest stats equal under the identity layout),
+    * the gate's integer-division verdict with the SAME interpolated
+    * budget. */
+  lazy val q195Sql: String = {
+    val r = AnnIndex.MaxRounds + 1
+    val budget = AnnIndex.MaxBroadcastCandidates
+    s"""WITH ${ivfCtes("")},
+      |probes AS (
+      |  SELECT vec_id AS qid, cent_id AS cell FROM a$r
+      |  WHERE vec_id < 50 AND rk <= 5),
+      |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM cells GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_probed_cells,
+      |    (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM occ
+      |     WHERE cell IN (SELECT DISTINCT cell FROM probes)) AS bound_rows
+      |  FROM probes),
+      |m AS (
+      |  SELECT CAST(MAX(c) AS BIGINT) AS max_multiplicity FROM (
+      |    SELECT cell, COUNT(DISTINCT qid) AS c FROM probes GROUP BY 1))
+      |SELECT 'ivf' AS family, n_probed_cells, bound_rows,
+      |  max_multiplicity,
+      |  bound_rows <= $budget // max_multiplicity AS forced_broadcast
+      |FROM b, m""".stripMargin
+  }
+
   /** DuckDB replay of q192 END-TO-END: the IVF membership recomputed
     * via [[ivfCtes]] (Lloyd's included), identical K-bounded folds,
     * HUGEINT imbalance numerator, same 6dp share. */
@@ -3188,6 +3259,7 @@ object Similarity {
     "q146_centered_search" -> q146CenteredSearch _,
     "q167_centered_ivf" -> q167CenteredIvf _,
     "q192_cell_balance" -> q192CellBalance _,
+    "q195_broadcast_gate" -> q195BroadcastGate _,
     "q173_recall_miss_attribution" -> q173RecallMissAttribution _,
     "q174_bitext_coverage" -> q174BitextCoverage _,
     "q175_source_alignment" -> q175SourceAlignment _,
@@ -3575,6 +3647,7 @@ object Similarity {
     "q184_second_direction" -> q184Sql,
     "q148_probe_sweep" -> q148Sql,
     "q192_cell_balance" -> q192Sql,
+    "q195_broadcast_gate" -> q195Sql,
     "q149_contrastive_triplets" -> q149Sql,
     "q152_sq8_recall" -> q152Sql,
     "q136_embedding_health" -> q136Sql,

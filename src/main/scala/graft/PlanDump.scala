@@ -177,7 +177,14 @@ object PlanDump {
         "pairwise-sim frame pins once, and the four unrolled MMR " +
         "steps are anti-join + max-fold + per-query rank-1 windows " +
         "over those pinned frames — integral scores, zero corpus " +
-        "rescans"))
+        "rescans"),
+      "q194_watermark_replay" -> ("global running max WITHOUT a global " +
+        "window and WITHOUT a pin (r17): bucket boundaries are literal " +
+        "longs from one bounded approxQuantile collect, the bucket id " +
+        "is a pure row expression (size(filter(...))) , the window " +
+        "partitions per bucket, and the preceding-buckets max arrives " +
+        "as a broadcast literal map — no repartitionByRange, no " +
+        "localCheckpoint, fault-tolerant end to end"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -74,6 +74,46 @@ object AnnIndex {
     * identity dirs while K fits the dir budget, hash buckets past it. */
   private[graft] def cellLayout(k: Int): String =
     if (k <= MaxCellDirs) "cell" else s"bucket($MaxCellDirs, cell)"
+
+  /** Per-bucket occupancy target for the LSH tables — the analog of
+    * [[MaxFlatOccupancy]] on the bucket side: a probe rescores one
+    * bucket (plus its bit-flip neighbors) per table, so occupancy IS
+    * the per-probe candidate cost. */
+  val LshTargetOccupancy = 4096L
+
+  /** Table-property key carrying the bit width an LSH index was BUILT
+    * with — the query side must hash with the same planes, so the
+    * width travels with the artifact, not with the code default
+    * (lowercase: property maps are case-lowered in transit). */
+  val LshBitsKey = "graft.lsh-bits"
+
+  /** Data-driven LSH bit width at build time (the bucket-table sibling
+    * of [[cellsFor]], r17): the default [[LshBits]] = 5 (32 buckets
+    * per table) through the test/bench scales — where the DuckDB
+    * replays interpolate the literal default — then
+    * ceil(log₂(n / [[LshTargetOccupancy]])) so per-bucket occupancy
+    * stays ~constant: 10⁹ vectors ⇒ 18 bits ⇒ 262k buckets/table, each
+    * still file-pruned by the bucket(8, b) layout's In literal. Capped
+    * at 24 bits: past 16M buckets the multi-probe fan (nBits single-bit
+    * flips per query) is the binding cost and a second-level probe
+    * policy, not more bits, is the real design. */
+  private[graft] def lshBitsFor(n: Long): Int =
+    if (n <= (LshTargetOccupancy << LshBits)) LshBits
+    else math.min(24,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        (n - 1) / LshTargetOccupancy)) // = ceil(log2(n / occupancy))
+
+  /** The bit width the `prefix` index was BUILT with — read from the
+    * bucket table's committed properties; a pre-r17 artifact carries
+    * no stamp and means the code default. */
+  private[graft] def lshBitsOf(s: SparkSession, prefix: String): Int = {
+    val parts = prefix.split('.')
+    val t = s.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.tail, "lsh_buckets"))
+    Option(t.properties.get(LshBitsKey)).map(_.toInt).getOrElse(LshBits)
+  }
   /** Fixed-point unit for centroid-mean accumulation: coordinate sums
     * are exact integer sums of round(x·2^24), so the mean is
     * order-independent — the one arithmetic choice that makes Lloyd's
@@ -126,10 +166,12 @@ object AnnIndex {
     * stays in the next refresh's delta), with that version stamped into
     * the index commits so later appends refresh incrementally. */
   def buildFromCorpus(s: SparkSession, corpusFqn: String, prefix: String,
-                      kOverride: Option[Int] = None): Unit = {
+                      kOverride: Option[Int] = None,
+                      bitsOverride: Option[Int] = None): Unit = {
     val v = corpusVersion(s, corpusFqn)
     buildFrom(s, s.read.option("versionAsOf", v.toString).table(corpusFqn),
-      prefix, stamp = Some(v), kOverride = kOverride)
+      prefix, stamp = Some(v), kOverride = kOverride,
+      bitsOverride = bitsOverride)
   }
 
   /** Highest corpus version any commit of `tableFqn` covers — read from
@@ -605,7 +647,9 @@ object AnnIndex {
     try {
       val n = delta.count()
       if (n > 0) {
-        val tables = LshSeeds.map(planes(_))
+        // hash arrivals with the planes the index was BUILT with — the
+        // committed bit width, never the code default ([[lshBitsOf]])
+        val tables = LshSeeds.map(planes(_, lshBitsOf(s, prefix)))
         fencedAppend(
           delta.select(col("vec_id"), col("nrm"),
             explode(array(tables.zipWithIndex.map { case (pl, t) =>
@@ -792,7 +836,8 @@ object AnnIndex {
     * [[cellsFor]]). */
   private def buildFrom(s: SparkSession, corpus: DataFrame, prefix: String,
                         stamp: Option[Int] = None,
-                        kOverride: Option[Int] = None): Unit = {
+                        kOverride: Option[Int] = None,
+                        bitsOverride: Option[Int] = None): Unit = {
     graft.functions.VectorFunctions.register(s)
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $prefix")
 
@@ -803,17 +848,21 @@ object AnnIndex {
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // the cell count is DATA-DRIVEN at build time ([[cellsFor]]):
-      // one count over the already-persisted corpus prices it
-      val k = kOverride.getOrElse(cellsFor(e.count()))
+      // the index geometry is DATA-DRIVEN at build time ([[cellsFor]],
+      // [[lshBitsFor]]): one count over the already-persisted corpus
+      // prices both
+      val n = e.count()
+      val k = kOverride.getOrElse(cellsFor(n))
+      val bits = bitsOverride.getOrElse(lshBitsFor(n))
       val cents = train(e, k)
 
       def replace(table: String, ddlCols: String, df: DataFrame,
-                  partitionBy: String = ""): Unit = {
+                  partitionBy: String = "", tblProps: String = ""): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $prefix.$table")
         s.sql(s"CREATE TABLE $prefix.$table ($ddlCols)" +
           (if (partitionBy.nonEmpty) s" PARTITIONED BY ($partitionBy)"
-           else ""))
+           else "") +
+          (if (tblProps.nonEmpty) s" TBLPROPERTIES ($tblProps)" else ""))
         val w0 = df.writeTo(s"$prefix.$table")
         // the aux artifacts carry the completeness marker the
         // migration gate ([[ensureAuxTables]]) reads
@@ -870,12 +919,16 @@ object AnnIndex {
       replace("mean_stats", "j INT, sj_delta BIGINT, n_delta BIGINT",
         meanDeltaOf(e))
 
-      val tables = LshSeeds.map(planes(_))
+      val tables = LshSeeds.map(planes(_, bits))
       // bucket layout for the bucket index: a probe's In(b, …) prunes
       // the bucket(8, b) dirs within each identity-partitioned plane
-      // table t (4×8 = 32 dirs; at scale nBits grows ~log₂n and the
-      // bucket width grows with it, keeping dir count bounded while
-      // In-pruning still cuts the read to the probed buckets' files)
+      // table t (4×8 = 32 dirs; [[lshBitsFor]] grows nBits ~log₂n at
+      // scale so per-bucket occupancy stays ~constant, while the hash
+      // layout keeps dir count bounded and In-pruning still cuts the
+      // read to the probed buckets' files). The BUILT bit width is
+      // committed as a table property ([[LshBitsKey]]) — the query and
+      // refresh sides must hash with the same planes, so the width
+      // travels with the artifact.
       replace("lsh_buckets", "t INT, b INT, vec_id BIGINT, nrm DOUBLE",
         e.select(col("vec_id"), col("nrm"),
           explode(array(tables.zipWithIndex.map { case (pl, t) =>
@@ -883,7 +936,8 @@ object AnnIndex {
           }: _*)).as("tb"))
           .select(col("tb.t").as("t"), col("tb.b").as("b"),
             col("vec_id").cast("bigint"), col("nrm")),
-        partitionBy = "t, bucket(8, b)")
+        partitionBy = "t, bucket(8, b)",
+        tblProps = s"'$LshBitsKey' = '$bits'")
     } finally e.unpersist()
   }
 

@@ -145,7 +145,11 @@ object Similarity {
     val e = corpus
 
     // query-side hashing with the SAME planes the index was built with
-    val tables = AnnIndex.LshSeeds.map(AnnIndex.planes(_))
+    // — the committed bit width from the artifact's table properties
+    // ([[AnnIndex.lshBitsOf]]), never the code default, so a
+    // wide-built index (lshBitsFor past 128k vectors) keeps serving
+    val bits = AnnIndex.lshBitsOf(s, pfx)
+    val tables = AnnIndex.LshSeeds.map(AnnIndex.planes(_, bits))
     val qhashed = e.filter(queryPred)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         explode(array(tables.zipWithIndex.map { case (pl, t) =>
@@ -153,10 +157,10 @@ object Similarity {
         }: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("tb.t").as("t"), col("tb.b").as("b"))
-    // multi-probe: the query hits its own bucket plus the LshBits buckets
+    // multi-probe: the query hits its own bucket plus the `bits` buckets
     // one bit-flip away (explode is query-side only — the index stays 1×)
     val probeBuckets = explode(array(
-      (col("b") +: (0 until AnnIndex.LshBits).map(i =>
+      (col("b") +: (0 until bits).map(i =>
         col("b").bitwiseXOR(lit(1 << i)))): _*))
     // the bounded probe frame (|queries| × tables × (1 + nBits) rows
     // incl. query vectors), collected once to a LOCAL relation: it

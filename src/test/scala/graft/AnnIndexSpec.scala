@@ -152,6 +152,49 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.nonEmpty && res.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("LSH bit width is data-driven and travels with the artifact") {
+    import spark.implicits._
+    // the build-time policy (the bucket-table sibling of cellsFor):
+    // flat default through the test scales, then ceil(log2(n/4096))
+    val flatMax = AnnIndex.LshTargetOccupancy << AnnIndex.LshBits // 128k
+    assert(AnnIndex.lshBitsFor(500) == AnnIndex.LshBits)
+    assert(AnnIndex.lshBitsFor(flatMax) == AnnIndex.LshBits)
+    assert(AnnIndex.lshBitsFor(flatMax + 1) == 6)
+    assert(AnnIndex.lshBitsFor(1000000000L) == 18)
+    assert(AnnIndex.lshBitsFor(Long.MaxValue) == 24)
+
+    // integration: build 7-bit wide; the width must commit as a table
+    // property, the query side must hash with it, and refresh must
+    // hash ARRIVALS with it (never the code default)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ann_a.bits")
+    spark.sql("CREATE TABLE ann_a.bits.vecs (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .writeTo("ann_a.bits.vecs").append()
+    AnnIndex.buildFromCorpus(spark, "ann_a.bits.vecs", "ann_a.bitsidx",
+      bitsOverride = Some(7))
+    assert(AnnIndex.lshBitsOf(spark, "ann_a.bitsidx") == 7)
+    assert(spark.table("ann_a.bitsidx.lsh_buckets")
+      .filter($"b" >= 32).count() > 0,
+      "a 7-bit build must populate buckets beyond the 5-bit range")
+    // refresh an exact copy of vector 0: hashed with the STORED width,
+    // it must land in exactly vector 0's buckets in every table
+    val v0 = spark.table("ann_a.bits.vecs").where($"vec_id" === 0L)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    Seq((900001L, v0)).toDF("vec_id", "embedding")
+      .writeTo("ann_a.bits.vecs").append()
+    assert(AnnIndex.refresh(spark, "ann_a.bits.vecs", "ann_a.bitsidx") == 1L)
+    def bucketsOf(id: Long): Set[(Int, Int)] =
+      spark.table("ann_a.bitsidx.lsh_buckets").where($"vec_id" === id)
+        .select($"t", $"b").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(bucketsOf(900001L) == bucketsOf(0L),
+      "identical vectors must hash identically under the stored width")
+    // the search reads the stored width and finds the duplicate
+    val res = Similarity.lshSearch(spark,
+      spark.table("ann_a.bits.vecs"), "ann_a.bitsidx")
+    assert(res.where($"qid" === 0L && $"rn" === 1).head.getLong(1) == 900001L)
+  }
+
   test("candidate broadcast gate prices the frame from the manifest") {
     val pfx = AnnIndex.ensure(spark, sf)
     val fqn = s"$pfx.ivf_cells"

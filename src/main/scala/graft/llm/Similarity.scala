@@ -1172,12 +1172,17 @@ object Similarity {
     * exactly as retrieval sees it. */
   def q137ClusterCards(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = AnnIndex.KCells
     val pfx = AnnIndex.ensure(s, dir)
     val irPfx = TextAnalysis.ensureBm25Index(s, dir)
     val cells = s.table(s"$pfx.ivf_cells").select(col("vec_id"), col("cell"))
     val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
       .localCheckpoint() // feeds the share join AND the 1-row total
+    // idf denominator: the OCCUPIED cell count read from the artifact
+    // (one driver row over the K-bounded sizes frame), not the code
+    // default — under the data-driven K policy ([[AnnIndex.cellsFor]])
+    // the literal would silently mis-scale a wide index's idf; the
+    // oracle derives the same count from its replayed sizes CTE
+    val k = sizes.count().toDouble
     val tot = sizes.agg(sum(col("n_members")).as("tot"))
     // id-keyed postings⋈cells join: per-doc (term, tf) triples are
     // already materialized in the index — the (cell, term) sum reads
@@ -1189,7 +1194,7 @@ object Similarity {
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("w"))
       .withColumn("score_u",
-        round(col("tf") * log(lit(k * 1.0) / col("df")) * 1e6).cast("long"))
+        round(col("tf") * log(lit(k) / col("df")) * 1e6).cast("long"))
     val wShard = Window
       .partitionBy(col("cell"), pmod(xxhash64(col("w")), lit(32L)))
       .orderBy(col("score_u").desc, col("w"))
@@ -1211,8 +1216,7 @@ object Similarity {
     * then identical tf / cell-df / micro-unit tf·idf and the same
     * (score desc, term) tiebroken top-3 — the Spark side's shard
     * pre-pass is invisible to the result. */
-  lazy val q137Sql: String = {
-    val k = AnnIndex.KCells
+  lazy val q137Sql: String =
     s"""WITH ${ivfCtes("")},
       |sizes AS (SELECT cell, COUNT(*) AS n_members FROM cells GROUP BY 1),
       |tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS tot FROM sizes),
@@ -1221,7 +1225,8 @@ object Similarity {
       |tf AS (SELECT cell, w, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
       |sc AS (SELECT cell, w, tf,
-      |        CAST(ROUND(tf * LN($k.0 / df) * 1e6) AS BIGINT) AS score_u
+      |        CAST(ROUND(tf * LN((SELECT COUNT(*) FROM sizes) * 1.0 / df)
+      |          * 1e6) AS BIGINT) AS score_u
       |      FROM tf JOIN df USING (w)),
       |rk AS (SELECT cell, w, tf, score_u,
       |        ROW_NUMBER() OVER (PARTITION BY cell
@@ -1234,7 +1239,6 @@ object Similarity {
       |  CAST(r.tf AS BIGINT) AS tf, r.score_u
       |FROM rk r JOIN sizes s USING (cell), tot t
       |WHERE r.rn <= 3 ORDER BY cell, rn""".stripMargin
-  }
 
   /** Embedding-space hubness audit (q138) — the k-occurrence
     * distribution of Radovanović et al. 2010 (JMLR, "Hubs in Space"):

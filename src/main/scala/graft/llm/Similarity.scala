@@ -2804,6 +2804,72 @@ object Similarity {
       |FROM b, m""".stripMargin
   }
 
+  /** Index geometry card (q196, r17) — the one-row dashboard of the
+    * artifacts the r17 policies size ([[AnnIndex.cellsFor]] /
+    * [[AnnIndex.lshBitsFor]]): centroid count vs OCCUPIED cell count
+    * (Lloyd's can retire seeds — the gap is the dead-seed census),
+    * indexed rows, mean cell occupancy in micro-units (what a probe
+    * rescoring one cell pays), LSH table count, occupied (t, bucket)
+    * pairs, and mean bucket occupancy (what a bucket probe pays).
+    * At 10⁹ vectors these are the numbers that say whether the √n /
+    * log₂n growth policies actually held on the built artifact.
+    *
+    * Scale shape: two column-pruned ids-only artifact scans into
+    * 1-row folds (map-side combined); the card never touches
+    * embeddings or text. Determinism: counts exact, means via the
+    * truncating-DECIMAL-division micro-unit form (the q145 headroom
+    * class). The DuckDB replay recomputes BOTH artifacts from first
+    * principles (Lloyd's + the plane hashes), so a drifted build —
+    * a lost cell, a mis-hashed bucket — flips the hash. */
+  def q196IndexGeometry(s: SparkSession, dir: String): DataFrame = {
+    val pfx = AnnIndex.ensure(s, dir)
+    val cellStats = s.table(s"$pfx.ivf_cells").agg(
+      count(lit(1)).as("n_indexed"),
+      countDistinct(col("cell")).as("occupied_cells"))
+    val centCnt = s.table(s"$pfx.ivf_centroids")
+      .agg(count(lit(1)).as("k_centroids"))
+    val lsh = s.table(s"$pfx.lsh_buckets").agg(
+      countDistinct(col("t")).as("lsh_tables"),
+      countDistinct(col("t"), col("b")).as("occupied_buckets"),
+      count(lit(1)).as("lsh_rows"))
+    centCnt.crossJoin(broadcast(cellStats)).crossJoin(broadcast(lsh))
+      .select(col("k_centroids"), col("occupied_cells"), col("n_indexed"),
+        expr("(cast(n_indexed as decimal(20,0)) * 1000000) " +
+          "div occupied_cells").as("avg_cell_occ_u"),
+        col("lsh_tables"), col("occupied_buckets"),
+        expr("(cast(lsh_rows as decimal(20,0)) * 1000000) " +
+          "div occupied_buckets").as("avg_bucket_occ_u"))
+  }
+
+  /** DuckDB replay of q196: cells from the Lloyd's replay
+    * ([[ivfCtes]] — `c$rounds` is the final centroid set, `cells` the
+    * final assignment), buckets from the SAME plane hashes the build
+    * used, identical HUGEINT micro-unit divisions. */
+  lazy val q196Sql: String = {
+    val tables = AnnIndex.LshSeeds.map(AnnIndex.planes(_))
+    val bk = tables.zipWithIndex.map { case (pls, t) =>
+      s"  SELECT vec_id, $t AS t, ${bucketExpr(pls)} AS b FROM v"
+    }.mkString("\n  UNION ALL\n")
+    val r = AnnIndex.MaxRounds
+    s"""WITH ${ivfCtes("")},
+      |bk AS (
+      |$bk),
+      |cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed,
+      |  CAST(COUNT(DISTINCT cell) AS BIGINT) AS occupied_cells
+      |  FROM cells),
+      |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_centroids FROM c$r),
+      |lb AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS lsh_tables,
+      |  CAST(COUNT(DISTINCT (t, b)) AS BIGINT) AS occupied_buckets,
+      |  CAST(COUNT(*) AS BIGINT) AS lsh_rows FROM bk)
+      |SELECT k_centroids, occupied_cells, n_indexed,
+      |  CAST((CAST(n_indexed AS HUGEINT) * 1000000) // occupied_cells
+      |    AS BIGINT) AS avg_cell_occ_u,
+      |  lsh_tables, occupied_buckets,
+      |  CAST((CAST(lsh_rows AS HUGEINT) * 1000000) // occupied_buckets
+      |    AS BIGINT) AS avg_bucket_occ_u
+      |FROM cc, cs, lb""".stripMargin
+  }
+
   /** DuckDB replay of q192 END-TO-END: the IVF membership recomputed
     * via [[ivfCtes]] (Lloyd's included), identical K-bounded folds,
     * HUGEINT imbalance numerator, same 6dp share. */
@@ -3268,6 +3334,7 @@ object Similarity {
     "q167_centered_ivf" -> q167CenteredIvf _,
     "q192_cell_balance" -> q192CellBalance _,
     "q195_broadcast_gate" -> q195BroadcastGate _,
+    "q196_index_geometry" -> q196IndexGeometry _,
     "q173_recall_miss_attribution" -> q173RecallMissAttribution _,
     "q174_bitext_coverage" -> q174BitextCoverage _,
     "q175_source_alignment" -> q175SourceAlignment _,
@@ -3656,6 +3723,7 @@ object Similarity {
     "q148_probe_sweep" -> q148Sql,
     "q192_cell_balance" -> q192Sql,
     "q195_broadcast_gate" -> q195Sql,
+    "q196_index_geometry" -> q196Sql,
     "q149_contrastive_triplets" -> q149Sql,
     "q152_sq8_recall" -> q152Sql,
     "q136_embedding_health" -> q136Sql,

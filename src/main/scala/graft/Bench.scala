@@ -128,7 +128,21 @@ object Bench {
     val failedWarm = scala.collection.mutable.ArrayBuffer.empty[String]
     val warm: Option[Seq[(String, Double)]] =
       if (sys.env.get("SPARK_GRAFT_REPEAT").exists(_.trim == "0")) None
-      else { debris("pre-warm"); Some(timeAll(failedWarm)) }
+      else {
+        // drop the cold pass's memory-sink views first: each streaming
+        // query registers a fresh uuid-named sink per run, so these are
+        // HARNESS debris (driver-resident result rows), not query
+        // state — the warm pass re-creates its own. Keeps the warm
+        // pass measuring the queries, not pass-1's GC ballast.
+        try spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary &&
+            t.name.matches("q\\d+_[0-9a-f]{8}"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] sink cleanup failed: $e")
+        }
+        debris("pre-warm"); Some(timeAll(failedWarm))
+      }
     // enforced ANN quality bar: an approximate index below recall@3 0.8
     // is not shippable, so the bench FAILS it rather than reporting a
     // fast-but-wrong number (VERDICT r2 #6)

@@ -19,6 +19,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    // the GATE value: read BEFORE the warmup pass, so it measures the
+    // box's background load, not the warmup's own 32 threads (the r17
+    // first cut read it post-warmup and warned on every healthy run)
+    val loadBoot = loadavg()
+
     // optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=q70_stream_tumbling,q71_stream_session)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -64,21 +73,19 @@ object Bench {
     }
     // machine-load coordinates: a loaded box inflates wall times across
     // unrelated queries (the r7 bench artifact was exactly that) — the
-    // 1-minute loadavg at start/end makes such an artifact self-evident
-    // instead of reading as a regression
-    def loadavg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines()
-        .next().split(" ")(0).toDouble
-      catch { case _: Exception => -1.0 }
+    // 1-minute loadavg at boot/post-warmup/end makes such an artifact
+    // self-evident instead of reading as a regression
     val load0 = loadavg()
     // loadavg gate (r16 verdict ask #6): two of three r16 bench
     // artifacts were load artifacts (q165 read 278s warm vs 1.2s
-    // real). A run that STARTS loaded cannot support any perf claim —
-    // say so in the artifact's own stderr, and the convention
-    // (README/COVERAGE) is that such numbers are never quoted.
-    if (load0 > 2.0)
-      System.err.println(f"[bench] WARNING: loadavg $load0%.2f > 2 at " +
-        "start - wall times are load artifacts, not measurements; " +
+    // real). A run whose BOX was loaded at boot cannot support any
+    // perf claim — say so in the artifact's own stderr, and the
+    // convention (README/COVERAGE) is that such numbers are never
+    // quoted. Gated on the PRE-warmup reading: post-warmup loadavg
+    // includes the bench's own threads on every healthy run.
+    if (loadBoot > 2.0)
+      System.err.println(f"[bench] WARNING: loadavg $loadBoot%.2f > 2 " +
+        "at boot - wall times are load artifacts, not measurements; " +
         "re-run on a quiet box before quoting")
 
     // per-pass session-state coordinates (r16 verdict ask #4): the
@@ -171,7 +178,7 @@ object Bench {
       val wf = failedWarm.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","total_warm":${w.map(_._2).sum},"queries_warm":$wq,"failed_warm":$wf"""
     }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rj,"failed":$fj,"loadavg_start":$load0,"loadavg_end":${loadavg()}$warmJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rj,"failed":$fj,"loadavg_boot":$loadBoot,"loadavg_start":$load0,"loadavg_end":${loadavg()}$warmJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's bench artifact keeps only a 2,000-char tail of stdout,
     // which truncates ~2/3 of the per-query numbers and the loadavg

@@ -150,6 +150,23 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = Similarity.ivfSearch(spark, spark.table("ann_a.big.vecs"),
       "ann_a.bigidx").collect()
     assert(res.nonEmpty && res.forall(r => r.getLong(0) != r.getLong(1)))
+    // the maintainers run UNCHANGED over the bucketed layout: refresh
+    // an exact copy of vector 0, assert it joins vector 0's cell and
+    // the search serves it as the top neighbor through the hash dirs
+    import spark.implicits._
+    val v0 = spark.table("ann_a.big.vecs").where($"vec_id" === 0L)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    Seq((900001L, v0)).toDF("vec_id", "embedding")
+      .writeTo("ann_a.big.vecs").append()
+    assert(AnnIndex.refresh(spark, "ann_a.big.vecs", "ann_a.bigidx") == 1L)
+    val cellOf = spark.table("ann_a.bigidx.ivf_cells")
+      .where($"vec_id".isin(0L, 900001L))
+      .select($"cell").distinct().count()
+    assert(cellOf == 1L, "the copy must land in vector 0's cell")
+    val res2 = Similarity.ivfSearch(spark, spark.table("ann_a.big.vecs"),
+      "ann_a.bigidx")
+    assert(res2.where($"qid" === 0L && $"rn" === 1).head.getLong(1)
+      == 900001L)
   }
 
   test("LSH bit width is data-driven and travels with the artifact") {

@@ -23,10 +23,22 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines()
         .next().split(" ")(0).toDouble
       catch { case _: Exception => -1.0 }
+    // hypervisor CPU-steal jiffies (8th field of /proc/stat's cpu
+    // line): a VM guest can be throttled to a fraction of its cores
+    // with loadavg staying LOW — two r17 runs read 280s cold at
+    // loadavg < 1.6 purely from steal — so the artifact carries the
+    // run's steal DELTA and the conventions treat a large one exactly
+    // like a loadavg breach: the numbers are artifacts, re-run.
+    def stealJiffies(): Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).lift(7).map(_.toLong)
+        .getOrElse(-1L)
+      catch { case _: Exception => -1L }
     // the GATE value: read BEFORE the warmup pass, so it measures the
     // box's background load, not the warmup's own 32 threads (the r17
     // first cut read it post-warmup and warned on every healthy run)
     val loadBoot = loadavg()
+    val stealBoot = stealJiffies()
 
     // optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=q70_stream_tumbling,q71_stream_session)
@@ -178,7 +190,7 @@ object Bench {
       val wf = failedWarm.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","total_warm":${w.map(_._2).sum},"queries_warm":$wq,"failed_warm":$wf"""
     }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rj,"failed":$fj,"loadavg_boot":$loadBoot,"loadavg_start":$load0,"loadavg_end":${loadavg()}$warmJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_3":$rj,"failed":$fj,"loadavg_boot":$loadBoot,"loadavg_start":$load0,"loadavg_end":${loadavg()},"steal_jiffies":${if (stealBoot < 0) -1L else math.max(-1L, stealJiffies() - stealBoot)}$warmJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's bench artifact keeps only a 2,000-char tail of stdout,
     // which truncates ~2/3 of the per-query numbers and the loadavg

@@ -2753,7 +2753,16 @@ object Similarity {
     * bound is driver-side manifest stats (zero data scans); the
     * multiplicity is a fold over the driver-local probe frame. The
     * card costs one tiny job more than the search construction it
-    * audits. */
+    * audits.
+    *
+    * Deliberately IVF-only: the LSH searches run the SAME gate
+    * ([[lshSearch]]), but under the bucket(8, b) layout the manifest
+    * bound is a DIR-level sum — rows of every file in the bucket dirs
+    * the probed values hash into — and replaying Spark's bucket
+    * transform hash in DuckDB is not worth an oracle; the LSH gate's
+    * routing is pinned by AnnIndexSpec's hint asserts instead, and
+    * the identity-layout ivf row here pins the shared arithmetic
+    * exactly. */
   def q195BroadcastGate(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val pfx = AnnIndex.ensure(s, dir)

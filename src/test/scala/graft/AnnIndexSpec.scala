@@ -231,6 +231,14 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hasHint(AnnIndex.boundedBroadcast(cands, fqn, "cell",
       Seq(0, 1), Long.MaxValue)),
       "over-budget frame must not force the broadcast")
+    // under the bucket(8, b) LSH layout the bound is the probed
+    // buckets' DIR totals — a sound over-estimate: positive, and a
+    // 1-bucket probe must price under the full table
+    val lshFqn = s"$pfx.lsh_buckets"
+    val lshTotal = spark.table(lshFqn).count()
+    val lshBound = AnnIndex.prunedRowBound(spark, lshFqn, "b", Seq(3))
+    assert(lshBound.exists(b => b > 0 && b < lshTotal),
+      s"lsh dir-level bound: $lshBound of $lshTotal")
   }
 
   test("q192 publishes the occupancy ceiling into the skew registry") {

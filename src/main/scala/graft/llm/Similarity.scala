@@ -2879,6 +2879,59 @@ object Similarity {
       |FROM cc, cs, lb""".stripMargin
   }
 
+  /** Geometry policy card (q197, r17) — the build-time sizing
+    * POLICIES themselves ([[AnnIndex.cellsFor]], [[AnnIndex.
+    * cellLayout]], [[AnnIndex.lshBitsFor]]) evaluated at the canonical
+    * corpus scales (the boundary points plus 10⁶/10⁸/10⁹), as a
+    * cross-engine pin: the Spark side calls the SHIPPED Scala
+    * functions; the oracle re-implements the declared formulas in SQL
+    * (flat default through the occupancy budget, then round(√n)
+    * capped 2²⁰ / ceil(log₂(n/4096)) capped 24, bucket switch past 64
+    * dirs). If either side's formula drifts — an edited constant, a
+    * changed rounding — the hash flips. The q190-PII-pattern
+    * discipline applied to sizing policy: the policy IS part of the
+    * engine's contract, so it gets an oracle.
+    *
+    * Scale shape: nine literal rows; zero data reads. */
+  def q197GeometryPolicy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flatMax = AnnIndex.KCells * AnnIndex.MaxFlatOccupancy // 65536
+    val lshFlatMax = AnnIndex.LshTargetOccupancy << AnnIndex.LshBits
+    val ns = Seq(500L, flatMax, flatMax + 1, lshFlatMax, lshFlatMax + 1,
+      1000000L, 100000000L, 1000000000L, 1L << 40)
+    ns.map { n =>
+      val k = AnnIndex.cellsFor(n)
+      (n, k.toLong, AnnIndex.cellLayout(k), AnnIndex.lshBitsFor(n).toLong)
+    }.toDF("n_vectors", "k_cells", "cell_layout", "lsh_bits")
+      .orderBy(col("n_vectors"))
+  }
+
+  /** DuckDB replay of q197: the formulas re-stated in SQL over the
+    * same literal scales — NOT interpolated from the Scala values
+    * (that would pin nothing); agreement is the check. */
+  lazy val q197Sql: String = {
+    val flatMax = AnnIndex.KCells * AnnIndex.MaxFlatOccupancy
+    val lshFlatMax = AnnIndex.LshTargetOccupancy << AnnIndex.LshBits
+    val ns = Seq(500L, flatMax, flatMax + 1, lshFlatMax, lshFlatMax + 1,
+      1000000L, 100000000L, 1000000000L, 1L << 40).mkString(", ")
+    s"""WITH ns AS (SELECT UNNEST([$ns]) AS n_vectors),
+      |g AS (
+      |  SELECT n_vectors,
+      |    CASE WHEN n_vectors <= 65536 THEN 8
+      |      ELSE LEAST(CAST(ROUND(SQRT(n_vectors)) AS BIGINT), 1048576)
+      |    END AS k_cells,
+      |    CASE WHEN n_vectors <= 131072 THEN 5
+      |      ELSE LEAST(CAST(CEIL(LOG2(n_vectors / 4096.0)) AS BIGINT), 24)
+      |    END AS lsh_bits
+      |  FROM ns)
+      |SELECT CAST(n_vectors AS BIGINT) AS n_vectors,
+      |  CAST(k_cells AS BIGINT) AS k_cells,
+      |  CASE WHEN k_cells <= 64 THEN 'cell'
+      |    ELSE 'bucket(64, cell)' END AS cell_layout,
+      |  CAST(lsh_bits AS BIGINT) AS lsh_bits
+      |FROM g ORDER BY n_vectors""".stripMargin
+  }
+
   /** DuckDB replay of q192 END-TO-END: the IVF membership recomputed
     * via [[ivfCtes]] (Lloyd's included), identical K-bounded folds,
     * HUGEINT imbalance numerator, same 6dp share. */
@@ -3344,6 +3397,7 @@ object Similarity {
     "q192_cell_balance" -> q192CellBalance _,
     "q195_broadcast_gate" -> q195BroadcastGate _,
     "q196_index_geometry" -> q196IndexGeometry _,
+    "q197_geometry_policy" -> q197GeometryPolicy _,
     "q173_recall_miss_attribution" -> q173RecallMissAttribution _,
     "q174_bitext_coverage" -> q174BitextCoverage _,
     "q175_source_alignment" -> q175SourceAlignment _,
@@ -3733,6 +3787,7 @@ object Similarity {
     "q192_cell_balance" -> q192Sql,
     "q195_broadcast_gate" -> q195Sql,
     "q196_index_geometry" -> q196Sql,
+    "q197_geometry_policy" -> q197Sql,
     "q149_contrastive_triplets" -> q149Sql,
     "q152_sq8_recall" -> q152Sql,
     "q136_embedding_health" -> q136Sql,

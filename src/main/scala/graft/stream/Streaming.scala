@@ -408,9 +408,12 @@ object Streaming {
     * DELAYED EMISSION — buffer each purchase in state until the
     * watermark passes its event time, then attribute against the
     * complete admissible touch set — a second state tier and a
-    * watermark-delay latency this operator deliberately does not pay
-    * (the partition-by-user Kafka layout delivers per-user in order
-    * and retires the case). Beyond the watermark late events are
+    * watermark-delay latency this EAGER operator deliberately does not
+    * pay (the partition-by-user Kafka layout delivers per-user in
+    * order and retires the case); deployments that DO face two-sided
+    * disorder run [[attributionStreamDelayed]] (r18), which pays
+    * exactly that latency for exact q178 parity. Beyond the watermark
+    * late events are
     * DROPPED by the engine — a deliberate semantics change vs the
     * unbounded pre-r16 operator (q194 prices the drop rate per delay;
     * the StreamingSpec beyond-watermark case pins the trade).
@@ -431,7 +434,13 @@ object Streaming {
     * watermark starts at 0, filters nothing, and no timeout fires
     * inside a batch) — the oracle is q178's SQL verbatim; StreamingSpec
     * drives the multi-batch shape, the state carry, AND the eviction
-    * (state row counts shrink once users go quiet). */
+    * (state row counts shrink once users go quiet).
+    *
+    * CHECKPOINT COMPATIBILITY: r17 added `eventId` to [[TouchState]];
+    * flatMapGroupsWithState state schemas are validated against the
+    * checkpoint, so a deployment restarting a pre-r17 stream must use
+    * a FRESH checkpoint location (the DedupIndexSpec discipline: state
+    * schema changes are deploy events, not hot restarts). */
   def attributionStream(events: org.apache.spark.sql.Dataset[AttrEvent])
       : org.apache.spark.sql.Dataset[Conversion] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -491,6 +500,121 @@ object Streaming {
                 state.getCurrentWatermarkMs() + 1,
                 t.tUs / 1000 + windowUs / 1000))
             }
+            out.iterator
+          }
+      }
+  }
+
+  case class PendingPurchase(pUs: Long, eventId: Long, value: Double)
+  case class AttrDState(touches: List[TouchState],
+                        pending: List[PendingPurchase])
+
+  /** Watermark-DELAYED streaming attribution (r18 — the eager
+    * operator's documented residual made code): exact batch-q178
+    * parity under FULL two-sided disorder, bought with the watermark
+    * delay as emission latency. Each purchase buffers in a second
+    * state tier until the watermark passes its event time; at that
+    * point every touch that could precede it has either arrived or
+    * been dropped as late by the engine (late rows have ts <
+    * watermark), so the admissible touch set is COMPLETE and the
+    * attribution is final: the last (event time, event_id)-preceding
+    * touch, its type if within 7 days, else `direct` — the batch
+    * window's verdict verbatim, regardless of arrival order on EITHER
+    * side.
+    *
+    * State per user: the pending purchases inside the watermark delay
+    * plus the touches still able to win a future attribution. Touches
+    * compact on every invocation: among touches strictly behind the
+    * watermark only the LAST can precede any still-unemitted purchase
+    * (they all have pUs ≥ watermark), and even it retires once 7 days
+    * stale against the watermark — so stored touches are bounded by
+    * in-watermark disorder (exactly one behind it), and an idle user's
+    * state empties and removes. The event-time timeout is armed at the
+    * earliest pending purchase (emission wake-up) or, with nothing
+    * pending, the last touch's staleness horizon (retirement) — so
+    * emission does not wait for the user's next event.
+    *
+    * NOT the q189 replay operator: a finite replay's single batch
+    * never advances the watermark past its own events, so delayed
+    * emission would withhold every purchase inside the final
+    * watermark-delay of event time forever (Structured Streaming has
+    * no end-of-stream flush). The replay card keeps the eager path —
+    * whose single sorted batch already attributes exactly like q178 —
+    * and this operator serves the UNBOUNDED deployment, where every
+    * purchase's watermark eventually passes. StreamingSpec pins the
+    * canonical case: a purchase arriving BEFORE its
+    * preceding-in-event-time touch still credits that touch once the
+    * watermark passes.
+    *
+    * CHECKPOINT COMPATIBILITY: [[AttrDState]] is a different state
+    * schema from the eager operator's [[TouchState]] — switching a
+    * deployed stream between the two requires a fresh checkpoint
+    * location. */
+  def attributionStreamDelayed(
+      events: org.apache.spark.sql.Dataset[AttrEvent])
+      : org.apache.spark.sql.Dataset[Conversion] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val windowUs = 7L * 24 * 3600 * 1000000L
+    def precedes(tUs: Long, tId: Long, us: Long, id: Long): Boolean =
+      tUs < us || (tUs == us && tId <= id)
+    events.withWatermark("ts", "7 days")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent],
+         state: GroupState[AttrDState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(AttrDState(Nil, Nil))
+          // ingest this batch's rows (a timed-out invocation has none):
+          // touches and purchases both just accumulate — every verdict
+          // waits for the watermark, so walk order is irrelevant here
+          rows.foreach { e =>
+            e.event_type match {
+              case "view" | "click" =>
+                st = st.copy(touches = TouchState(e.event_type,
+                  micros(e.ts), e.event_id) :: st.touches)
+              case "purchase" =>
+                st = st.copy(pending = PendingPurchase(micros(e.ts),
+                  e.event_id, e.value) :: st.pending)
+              case _ => ()
+            }
+          }
+          // EMIT the final verdicts: purchases the watermark has
+          // passed (strictly — a touch with ts == watermark is not yet
+          // late, so a tied purchase keeps waiting one tick)
+          val (ripe, still) = st.pending.partition(_.pUs < wmUs)
+          val out = ripe.sortBy(p => (p.pUs, p.eventId)).map { p =>
+            val best = st.touches
+              .filter(t => precedes(t.tUs, t.eventId, p.pUs, p.eventId))
+              .sortBy(t => (t.tUs, t.eventId)).lastOption
+            val ch = best match {
+              case Some(t) if p.pUs <= t.tUs + windowUs => t.tType
+              case _ => "direct"
+            }
+            Conversion(uid, p.eventId, ch, p.value)
+          }
+          // COMPACT: every still-pending or future purchase has
+          // pUs ≥ watermark, so among touches STRICTLY behind the
+          // watermark only the last can ever be the last-preceding
+          // one — and even it is droppable once stale against the
+          // watermark (then every preceding touch is staler still and
+          // the verdict is `direct` either way)
+          val (old, young) = st.touches.partition(_.tUs < wmUs)
+          val touches = old.sortBy(t => (t.tUs, t.eventId)).lastOption
+            .filter(_.tUs + windowUs >= wmUs).toList ::: young
+          if (touches.isEmpty && still.isEmpty) {
+            if (state.exists) state.remove()
+            out.iterator
+          } else {
+            state.update(AttrDState(touches, still))
+            // wake when the next decision point crosses the watermark
+            // (µs → ms rounds UP so the timeout never fires early)
+            val nextUs =
+              if (still.nonEmpty) still.map(_.pUs).min
+              else touches.map(_.tUs + windowUs).max
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, nextUs / 1000 + 1))
             out.iterator
           }
       }

@@ -2853,7 +2853,22 @@ object Similarity {
   /** DuckDB replay of q196: cells from the Lloyd's replay
     * ([[ivfCtes]] — `c$rounds` is the final centroid set, `cells` the
     * final assignment), buckets from the SAME plane hashes the build
-    * used, identical HUGEINT micro-unit divisions. */
+    * used, identical HUGEINT micro-unit divisions.
+    *
+    * DEFAULT-WIDTH SCOPE (r18, the q195-IVF-only discipline): the
+    * plane hashes here interpolate the code-default [[AnnIndex.
+    * LshBits]], the width every dir-built test/bench index carries —
+    * the same literal-default interpolation the whole ivfCtes family
+    * leans on (K, rounds, the sample bound). An index built WIDE
+    * (`bitsOverride`, or any corpus past 128k vectors where
+    * [[AnnIndex.lshBitsFor]] grows) is out of this card's oracle
+    * scope: the Spark side would read the committed `graft.lsh-bits`
+    * property while this replay hashes 5 bits, and the hash would
+    * flip — correctly flagging that the card was pointed at an
+    * artifact its oracle doesn't model, not a build defect.
+    * Wide-width hashing itself is pinned where it belongs:
+    * AnnIndexSpec's 7-bit lifecycle (build, search, refresh all on
+    * the stored width). */
   lazy val q196Sql: String = {
     val tables = AnnIndex.LshSeeds.map(AnnIndex.planes(_))
     val bk = tables.zipWithIndex.map { case (pls, t) =>
@@ -2887,7 +2902,8 @@ object Similarity {
     * functions; the oracle re-implements the declared formulas in SQL
     * (flat default through the occupancy budget, then round(√n)
     * capped 2²⁰ / ceil(log₂(n/4096)) capped 24, bucket switch past 64
-    * dirs). If either side's formula drifts — an edited constant, a
+    * dirs, training sample min(n, 256·k) — [[AnnIndex.trainSampleFor]],
+    * r18). If either side's formula drifts — an edited constant, a
     * changed rounding — the hash flips. The q190-PII-pattern
     * discipline applied to sizing policy: the policy IS part of the
     * engine's contract, so it gets an oracle.
@@ -2901,8 +2917,10 @@ object Similarity {
       1000000L, 100000000L, 1000000000L, 1L << 40)
     ns.map { n =>
       val k = AnnIndex.cellsFor(n)
-      (n, k.toLong, AnnIndex.cellLayout(k), AnnIndex.lshBitsFor(n).toLong)
-    }.toDF("n_vectors", "k_cells", "cell_layout", "lsh_bits")
+      (n, k.toLong, AnnIndex.cellLayout(k), AnnIndex.lshBitsFor(n).toLong,
+        AnnIndex.trainSampleFor(n, k))
+    }.toDF("n_vectors", "k_cells", "cell_layout", "lsh_bits",
+      "train_sample")
       .orderBy(col("n_vectors"))
   }
 
@@ -2928,7 +2946,8 @@ object Similarity {
       |  CAST(k_cells AS BIGINT) AS k_cells,
       |  CASE WHEN k_cells <= 64 THEN 'cell'
       |    ELSE 'bucket(64, cell)' END AS cell_layout,
-      |  CAST(lsh_bits AS BIGINT) AS lsh_bits
+      |  CAST(lsh_bits AS BIGINT) AS lsh_bits,
+      |  CAST(LEAST(n_vectors, 256 * k_cells) AS BIGINT) AS train_sample
       |FROM g ORDER BY n_vectors""".stripMargin
   }
 
@@ -3520,14 +3539,20 @@ object Similarity {
     val dim = AnnIndex.Dim
     val rounds = AnnIndex.MaxRounds
     val unit = AnnIndex.MeanUnit.toLong // 2^24, exact
-    def assign(r: Int): String =
+    // Lloyd's trains on the min(n, 256·k) LOWEST vec_ids
+    // (AnnIndex.trainSampleFor — rank-by-id, a pure corpus function);
+    // the refine rounds read the sample, the FINAL assignment the full
+    // corpus. At the interpolated default k the bound covers every
+    // test-SF corpus, so this replays the pre-r18 artifact unchanged.
+    val sampleBound = AnnIndex.TrainSamplePerCell.toLong * k
+    def assign(r: Int, src: String): String =
       s"""${p}a$r AS (
         |  SELECT v.vec_id, v.ev, c.cent_id,
         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
         |      ROUND(list_dot_product(v.ev, c.cent) /
         |        (SQRT(list_dot_product(v.ev, v.ev)) * SQRT(list_dot_product(c.cent, c.cent))), 6) DESC,
         |      c.cent_id) AS rk
-        |  FROM ${p}v v CROSS JOIN ${p}c${r - 1} c)""".stripMargin
+        |  FROM ${p}$src v CROSS JOIN ${p}c${r - 1} c)""".stripMargin
     def refine(r: Int): String =
       s"""${p}m$r AS (
         |  SELECT cell0, pos,
@@ -3544,14 +3569,15 @@ object Similarity {
         |    list_transform(list(m ORDER BY pos),
         |      z -> CAST(CAST(z AS REAL) AS DOUBLE)) AS cent
         |  FROM ${p}m$r GROUP BY 1)""".stripMargin
-    val chain = (1 to rounds).map(r => assign(r) + ",\n" + refine(r))
+    val chain = (1 to rounds).map(r => assign(r, "tv") + ",\n" + refine(r))
       .mkString(",\n")
     s"""${p}v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |${p}tv AS (SELECT vec_id, ev FROM ${p}v ORDER BY vec_id LIMIT $sampleBound),
       |${p}c0 AS (
       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent
       |  FROM embeddings WHERE vec_id < $k),
       |$chain,
-      |${assign(rounds + 1)},
+      |${assign(rounds + 1, "v")},
       |${p}cells AS (
       |  SELECT vec_id, cent_id AS cell, ev FROM ${p}a${rounds + 1} WHERE rk = 1)""".stripMargin
   }

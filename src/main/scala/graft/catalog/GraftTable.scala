@@ -1168,6 +1168,24 @@ private[graft] class GraftScanBuilder(
       .filter(statsAllow)
   }
 
+  /** Manifest-stats row sum of exactly the files [[prunedRelFiles]]
+    * keeps under the CURRENT pushed filters: the builder already holds
+    * every file's harvested row count (`fileStats`), so the bound is a
+    * pure driver-side fold — no `$files` inspection read, no job.
+    * None when any surviving file lacks a stamped count (pre-upgrade
+    * metadata) — callers must then assume unbounded. With live MoR
+    * delete files the sum counts masked rows too, i.e. it stays a
+    * sound UPPER bound on returned rows, which is all its consumer
+    * ([[graft.llm.AnnIndex.prunedRowBound]]) prices with. */
+  private[graft] def prunedManifestRows: Option[Long] = {
+    val pruned = prunedRelFiles
+    val counts = pruned.map(r =>
+      fileStats.get(r).flatMap(_.headOption).flatMap(_.rows))
+    if (pruned.isEmpty) Some(0L)
+    else if (counts.forall(_.isDefined)) Some(counts.flatten.sum)
+    else None
+  }
+
   /** Rebuild a Catalyst predicate from a pushed v1 filter, resolved
     * against the table schema. Partial coverage is safe: a filter that
     * doesn't convert simply isn't offered to the delegate for row-group

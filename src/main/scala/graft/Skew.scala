@@ -81,10 +81,22 @@ object Skew {
     * recorded "cold" reading can sit under a newly-grown hot key and
     * silently disable the guard — the exact straggler it exists for.
     * So the maintainers' commit paths clear their artifact's families
-    * (marker = the family-name segment that names the artifact, e.g.
-    * "ann.ivf_cell"), and the next guarded join re-runs its pre-check
-    * against the post-commit data. Over-clearing is safe — it costs
-    * one re-measured 1-row job, never a wrong plan. */
+    * and the next guarded join re-runs its pre-check against the
+    * post-commit data. Over-clearing is safe — it costs one
+    * re-measured 1-row job, never a wrong plan.
+    *
+    * MARKER VOCABULARY (r18, the r17 ADVICE scoping): family names are
+    * `<artifact-scope>#<artifact-family>[.<join-site>]` where the
+    * scope is the corpus dir for dir-keyed session artifacts and the
+    * table FQN for catalog-table artifacts; maintainers pass the
+    * SCOPED marker `<artifact-scope>#<artifact-family>` (e.g.
+    * `/data/sf0.1#ann.ivf_cell`), so committing one dir's index no
+    * longer clears every other dir's ceilings (each cost a redundant
+    * pre-check job to re-measure). Matching stays substring-based —
+    * the scope prefix is what scopes it — so a family name must never
+    * EMBED another artifact's `scope#family` pair; today's vocabulary
+    * (`ann.ivf_cell`, `dups.verified_adjacency`, the q169 events
+    * families) cannot collide. */
   def invalidateAdvice(marker: String): Unit =
     advice.keySet.removeIf((k: String) => k.contains(marker))
 

@@ -348,8 +348,11 @@ object Dedup {
       newBands.select(col("band"), col("bh"), col("doc_id")),
       indexFqn, id.toInt, key)
     // the verified-pair adjacency grew: recorded degree ceilings over
-    // it are stale — clear so the next guarded wedge join re-measures
-    graft.Skew.invalidateAdvice("dups.verified_adjacency")
+    // it are stale — clear so the next guarded wedge join re-measures.
+    // Scoped to THIS pair table's families (r17 ADVICE): the dir-keyed
+    // census families measure the session pairs ARTIFACT, not this
+    // maintained table, and must survive an unrelated ingest commit
+    graft.Skew.invalidateAdvice(s"$outFqn#dups.verified_adjacency")
     ()
   }
 
@@ -509,8 +512,9 @@ object Dedup {
       finally s.catalog.dropTempView(pview)
       val removed = (b0 - s.table(indexFqn).count()) +
         (p0 - s.table(outFqn).count())
-      // adjacency shrank — same registry contract as the ingest path
-      if (removed > 0) graft.Skew.invalidateAdvice("dups.verified_adjacency")
+      // adjacency shrank — same scoped registry contract as the ingest
+      if (removed > 0)
+        graft.Skew.invalidateAdvice(s"$outFqn#dups.verified_adjacency")
       removed
     } finally s.catalog.dropTempView(view)
   }

@@ -283,9 +283,11 @@ class DedupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stale = Skew.guardedKeyJoin(left, right, "k", "la", "rb",
       maxSide = 8, family = Some(fam))
     assert(!stale.queryExecution.optimizedPlan.toString.contains("__x"))
-    // the maintainer-commit hook (dedupBatch/bandVacuum call this with
-    // the same marker) clears every family naming the artifact —
-    // including dir-scoped variants — and leaves other families alone
+    // the maintainer-commit hook clears every family naming the
+    // artifact and leaves other families alone (since r18 the real
+    // maintainers pass SCOPED markers — `<outFqn>#dups.verified_
+    // adjacency` — so this bare marker is the WIDEST legal clear, and
+    // the unrelated-family assert below holds a fortiori)
     Skew.adviseKey("otherdir#ann.ivf_cell.anchor_negatives", 7L)
     Skew.invalidateAdvice("dups.verified_adjacency")
     assert(Skew.advisedMax(fam).isEmpty,

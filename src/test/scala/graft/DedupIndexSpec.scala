@@ -80,15 +80,23 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       // batch 2: a doc duplicating BATCH-1 content must pair across
       // batches via the index (plus nothing for the fresh doc).
       // Seed stale skew advice first: the REAL maintainer commit path
-      // must clear the adjacency's families (the r16 Missing #3 hook)
-      graft.Skew.adviseKey("dsi#dups.verified_adjacency", 2L)
+      // must clear the adjacency's families (the r16 Missing #3 hook),
+      // SCOPED to the maintained pair table (r17 ADVICE) — an
+      // unrelated dir's census family must survive
+      graft.Skew.adviseKey("dsi.ing.pairs#dups.verified_adjacency", 2L)
+      graft.Skew.adviseKey("otherdir#dups.verified_adjacency", 5L)
       Seq((11L, dupText), (12L, "yet more unrelated vocabulary tokens"))
         .toDF("doc_id", "text").writeTo("dsi.ing.docs").append()
       q.processAllAvailable()
       assert(pairsNow() == Set((1L, 2L), (1L, 11L), (2L, 11L)), pairsNow().toString)
       assert(spark.table("dsi.ing.bands").count() == 5 * 16)
-      assert(graft.Skew.advisedMax("dsi#dups.verified_adjacency").isEmpty,
+      assert(graft.Skew
+        .advisedMax("dsi.ing.pairs#dups.verified_adjacency").isEmpty,
         "ingest maintainer commit must invalidate the adjacency's advice")
+      assert(graft.Skew
+        .advisedMax("otherdir#dups.verified_adjacency").contains(5L),
+        "an unrelated artifact's families must survive a scoped commit")
+      graft.Skew.invalidateAdvice("otherdir") // cleanup
     } finally q.stop()
 
     // restart from the same checkpoint: fenced no-ops, nothing doubles
